@@ -1,0 +1,237 @@
+package graft.analyze
+
+import breeze.linalg.DenseVector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{CladeFrame, VariableType}
+import graft.modify.Modify
+import graft.stats.{DesignMatrix, Glm}
+import VariableType._
+
+/** One row of the association-study results table — fixed schema and column
+  * order per the reference (reference: glm_regression.py:240-252,
+  * clarite/modules/analyze/__init__.py:28-40). */
+final case class AssocResult(
+    Variable: String,
+    Outcome: String,
+    Variable_type: String,
+    Weight: Option[String],
+    Converged: Boolean,
+    N: Long,
+    Beta: Option[Double],
+    SE: Option[Double],
+    Beta_pvalue: Option[Double],
+    LRT_pvalue: Option[Double],
+    Diff_AIC: Option[Double],
+    pvalue: Option[Double])
+
+/** Mass per-variable GLM association study (EWAS/PhEWAS) —
+  * `analyze.association_study` (reference: association_study.py:14-132,
+  * glm_regression.py:24-565).
+  *
+  * Execution model (SURVEY.md §3.1, designed for the EWAS shape — thousands
+  * of variables over a modest-row observation table):
+  *
+  *   1. The outcome + covariates block is complete-cased once, projected,
+  *      and BROADCAST (it is a handful of columns — small even at millions
+  *      of rows; the per-variable data each task needs beyond it is just
+  *      that variable's column).
+  *   2. The regression-variable columns are melted to long
+  *      `(variable, id, value)` — one generator projection, then ONE shuffle
+  *      keyed by variable distributes whole columns to executors.
+  *   3. Each task joins its column against the broadcast block locally and
+  *      runs the Breeze IRLS kernel — one (continuous/binary) or two
+  *      (categorical LRT) fits per variable. No further shuffles; results
+  *      are a tiny Dataset[AssocResult].
+  *
+  * At the 100 TB design point with *billions of rows*, the broadcast block
+  * no longer fits and the melt shuffle carries the full table; the same
+  * kernel then runs over per-variable cogroups with distributed partial
+  * X'WX accumulation (the normal equations are associative) — the declared
+  * fan-out shape is unchanged, only the kernel's data feed switches.
+  */
+object AssociationStudy {
+
+  /** Per-variable raw column data shipped to the fit kernel. */
+  private final case class BaseData(
+      index: Map[String, Int],        // id -> row position
+      y: Array[Double],
+      covars: Seq[(String, String, Array[String], Array[Double])])
+      // (name, kind, stringValues | null, doubleValues | null)
+
+  def run(
+      spark: SparkSession,
+      cf: CladeFrame,
+      outcomes: Seq[String],
+      covariates: Seq[String] = Nil,
+      regressionVariables: Seq[String] = Nil,
+      minN: Long = 200,
+      standardizeData: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val rvs =
+      if (regressionVariables.nonEmpty) regressionVariables
+      else cf.variables.filterNot((outcomes ++ covariates).toSet)
+    require(rvs.nonEmpty, "no regression variables")
+    val perOutcome = outcomes.map { outcome =>
+      runOne(spark, cf, outcome, covariates, rvs.filterNot(_ == outcome), minN,
+        standardizeData)
+    }
+    val all = perOutcome.reduce(_ unionByName _)
+    // global sort by pvalue (reference: association_study.py:126-129)
+    all.orderBy(col("pvalue").asc_nulls_last, col("Variable"))
+  }
+
+  private def runOne(
+      spark: SparkSession,
+      cf: CladeFrame,
+      outcome: String,
+      covariates: Seq[String],
+      rvs: Seq[String],
+      minN: Long,
+      standardize: Boolean): DataFrame = {
+    import spark.implicits._
+
+    val outcomeType = cf.typeOf(outcome)
+    val family = outcomeType match {
+      case Continuous => Glm.Gaussian
+      case Binary     => Glm.Binomial
+      case t => throw new IllegalArgumentException(
+        s"outcome $outcome must be continuous or binary, got $t")
+    }
+
+    // ------- base block: complete-case outcome + covariates, collected small
+    val baseCols = outcome +: covariates
+    val baseDf = cf.df
+      .select((cf.idCol +: baseCols).map(c => col(c).cast("string").as(c)): _*)
+      .na.drop("any", baseCols)
+    val baseRows = baseDf.collect()
+    val n0 = baseRows.length
+    val index = baseRows.iterator.zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
+
+    val yRaw = Array.tabulate(n0)(i => baseRows(i).getString(1))
+    val y: Array[Double] = outcomeType match {
+      case Continuous =>
+        val v = yRaw.map(_.toDouble)
+        if (standardize) DesignMatrix.zscore(v) else v
+      case Binary =>
+        // 0/1 by sorted level order with the Case/Control override
+        // (reference: glm_regression.py:128-156)
+        val levels0 = cf.levels.getOrElse(outcome, yRaw.distinct.sorted.toSeq).sorted
+        val levels =
+          if (levels0 == Seq("Case", "Control")) Seq("Control", "Case") else levels0
+        require(levels.size == 2, s"binary outcome $outcome must have 2 levels")
+        yRaw.map(v => if (v == levels(1)) 1.0 else 0.0)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+
+    val covarData = covariates.zipWithIndex.map { case (c, j) =>
+      val raw = Array.tabulate(n0)(i => baseRows(i).getString(j + 2))
+      cf.typeOf(c) match {
+        case Continuous =>
+          val v = raw.map(_.toDouble)
+          (c, "continuous", null: Array[String],
+            if (standardize) DesignMatrix.zscore(v) else v)
+        case Binary      => (c, "binary", raw, null: Array[Double])
+        case _           => (c, "categorical", raw, null: Array[Double])
+      }
+    }
+    val base = spark.sparkContext.broadcast(BaseData(index, y, covarData))
+    val typesB = spark.sparkContext.broadcast(
+      rvs.map(v => v -> cf.typeOf(v).name).toMap)
+    val levelsB = spark.sparkContext.broadcast(cf.levels)
+
+    // ------------- fan-out: melt rv columns, one shuffle keyed by variable
+    val long = Modify.melt(
+      cf.df.select((cf.idCol +: rvs).map(col): _*)
+        .withColumn(cf.idCol, col(cf.idCol).cast("string")),
+      rvs, keep = Seq(cf.idCol))
+      .filter(col("value").isNotNull)
+      .as[(String, String, String)] // (id, variable, value)
+
+    val outcomeName = outcome
+    val doStd = standardize
+    val results = long.groupByKey(_._2).mapGroups { (variable, it) =>
+      val b = base.value
+      val pairs = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
+      it.foreach { case (id, _, v) =>
+        b.index.get(id).foreach(i => pairs += ((i, v)))
+      }
+      val idx = pairs.map(_._1).toArray
+      val vals = pairs.map(_._2).toArray
+      val kind = typesB.value(variable)
+      fitOne(variable, outcomeName, kind, levelsB.value.get(variable), b, idx,
+        vals, family, minN, doStd)
+    }
+    results.toDF()
+  }
+
+  /** Fit one variable's model(s) against the (subset of the) base block.
+    * Runs executor-side; everything here is local array math. */
+  private def fitOne(
+      variable: String,
+      outcome: String,
+      kind: String,
+      knownLevels: Option[Seq[String]],
+      b: BaseData,
+      idx: Array[Int],
+      vals: Array[String],
+      family: Glm.Family,
+      minN: Long,
+      standardize: Boolean): AssocResult = {
+    val n = idx.length
+    val nullRes = AssocResult(variable, outcome, kind, None, Converged = false,
+      n, None, None, None, None, None, None)
+    if (n < minN || n < 3) return nullRes
+
+    try {
+      val ySub = DenseVector(idx.map(b.y))
+      // covariate terms on the subset; non-varying covariates are dropped
+      // (reference: base.py:174-187)
+      val covarTerms: Seq[DesignMatrix.Term] = b.covars.map {
+        case (name, "continuous", _, dv) =>
+          DesignMatrix.ContinuousTerm(name, idx.map(dv))
+        case (name, _, sv, _) =>
+          DesignMatrix.CategoricalTerm(name, idx.map(sv))
+      }
+
+      kind match {
+        case "continuous" | "binary" | "constant" | "unknown" =>
+          val rvTerm: DesignMatrix.Term = kind match {
+            case "binary" =>
+              val lv = knownLevels.getOrElse(vals.distinct.sorted.toSeq)
+              DesignMatrix.BinaryTerm(variable, vals, lv)
+            case _ =>
+              val raw = vals.map(_.toDouble)
+              DesignMatrix.ContinuousTerm(variable,
+                if (standardize) DesignMatrix.zscore(raw) else raw)
+          }
+          if (!rvTerm.varies) return nullRes
+          val (names, x) = DesignMatrix.build(n, covarTerms :+ rvTerm)
+          val fit = Glm.fit(x, ySub, family)
+          val i = names.indexWhere(_ == rvTerm.columns.head._1)
+          val beta = fit.beta(i)
+          val se = fit.se(i)
+          val p = fit.pvalue(i, family)
+          AssocResult(variable, outcome, kind, None, fit.converged, n,
+            Some(beta), Some(se), Some(p), None, None, Some(p))
+
+        case "categorical" =>
+          val rvTerm = DesignMatrix.CategoricalTerm(variable, vals)
+          if (!rvTerm.varies) return nullRes
+          val (_, xFull) = DesignMatrix.build(n, covarTerms :+ rvTerm)
+          val (_, xRest) = DesignMatrix.build(n, covarTerms)
+          val full = Glm.fit(xFull, ySub, family)
+          val rest = Glm.fit(xRest, ySub, family)
+          val (_, lrP, diffAic) = Glm.lrt(full, rest)
+          AssocResult(variable, outcome, kind, None,
+            full.converged && rest.converged, n,
+            None, None, None, Some(lrP), Some(diffAic), Some(lrP))
+
+        case other =>
+          nullRes.copy(Variable_type = other)
+      }
+    } catch {
+      case _: Exception => nullRes
+    }
+  }
+}

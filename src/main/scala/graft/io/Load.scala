@@ -1,0 +1,152 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.{CladeFrame, VariableType}
+
+/** Sources/sinks (SURVEY.md §2.1).
+  *
+  * The reference reads CSV/TSV with a mandatory "ID" index column
+  * (reference: clarite/modules/load.py:17-87) and persists per-variable
+  * kinds out-of-band as a `.dtypes` JSON sidecar
+  * (reference: clarite/cli/custom_types.py:66-152). We keep both surfaces
+  * and add Parquet (schema self-describing; the format actually used at
+  * 100 TB scale — columnar, splittable, predicate-pushdown-able).
+  */
+object Load {
+
+  /** Read a delimited file; first column (or `idCol`) becomes the id.
+    * Mirrors load.from_csv/from_tsv (reference: load.py:17-87). */
+  def fromDelimited(
+      spark: SparkSession,
+      path: String,
+      sep: String,
+      idCol: Option[String] = None): CladeFrame = {
+    val raw = spark.read
+      .option("sep", sep)
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("nullValue", "NA")
+      .option("nanValue", "NaN")
+      .csv(path)
+    val idName = idCol.getOrElse(raw.columns.head)
+    require(raw.columns.contains(idName), s"id column $idName not present")
+    CladeFrame(raw.withColumnRenamed(idName, CladeFrame.DefaultId))
+  }
+
+  /** Raw delimited read with no id handling (the reference's
+    * `index_col=None` path — a sequential id is attached afterwards via
+    * [[withSequentialId]]). */
+  def rawDelimited(spark: SparkSession, path: String, sep: String = ","): DataFrame =
+    spark.read
+      .option("sep", sep)
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("nullValue", "NA")
+      .option("nanValue", "NaN")
+      .csv(path)
+
+  def fromCsv(spark: SparkSession, path: String, idCol: Option[String] = None): CladeFrame =
+    fromDelimited(spark, path, ",", idCol)
+
+  def fromTsv(spark: SparkSession, path: String, idCol: Option[String] = None): CladeFrame =
+    fromDelimited(spark, path, "\t", idCol)
+
+  def fromParquet(spark: SparkSession, path: String, idCol: Option[String] = None): CladeFrame = {
+    val raw = spark.read.parquet(path)
+    idCol match {
+      case Some(c) => CladeFrame(raw.withColumnRenamed(c, CladeFrame.DefaultId))
+      case None    => CladeFrame(raw, raw.columns.head) // caller-supplied key col
+    }
+  }
+
+  /** Attach a sequential row-number id (the reference's default RangeIndex →
+    * "ID" behavior when no index column exists, load.py:44-49). zipWithIndex
+    * keeps file order — deterministic for a given input. */
+  def withSequentialId(df: DataFrame): CladeFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(StructField(CladeFrame.DefaultId, LongType, nullable = false)
+      +: df.schema.fields)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(i +: r.toSeq)
+    }
+    CladeFrame(spark.createDataFrame(rdd, schema))
+  }
+
+  /** Assert that the id column is unique — the reference enforces a proper
+    * index; at scale this is one aggregation, not a collect. */
+  def assertUniqueId(cf: CladeFrame): CladeFrame = {
+    val dup = cf.df.groupBy(col(cf.idCol)).count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0, s"duplicate values in id column ${cf.idCol}")
+    cf
+  }
+
+  // --- dtypes sidecar -----------------------------------------------------
+
+  /** Serialize types+levels as the sidecar JSON
+    * ({col: {type, categories, ordered}}, reference: custom_types.py:117-152). */
+  def dtypesJson(cf: CladeFrame): String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    cf.variables.map { v =>
+      val t = cf.typeOf(v)
+      val cats = cf.levels.get(v) match {
+        case Some(ls) => s""","categories":[${ls.map(q).mkString(",")}],"ordered":false"""
+        case None     => ""
+      }
+      s"${q(v)}:{${"\"type\""}:${q(t.name)}$cats}"
+    }.mkString("{", ",", "}")
+  }
+
+  /** Parse a sidecar produced by [[dtypesJson]] (minimal JSON parser for the
+    * fixed shape; avoids adding a JSON dependency). */
+  def parseDtypesJson(json: String): (Map[String, VariableType], Map[String, Seq[String]]) = {
+    // shape: {"col":{"type":"binary","categories":["a","b"],"ordered":false},...}
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\{([^{}]*)\}""".r
+    val typeRe = """"type"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val catsRe = """"categories"\s*:\s*\[([^\]]*)\]""".r
+    val strRe = """"((?:[^"\\]|\\.)*)"""".r
+    def unescape(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+    var types = Map.empty[String, VariableType]
+    var levels = Map.empty[String, Seq[String]]
+    for (m <- entry.findAllMatchIn(json)) {
+      val colName = unescape(m.group(1))
+      val body = m.group(2)
+      typeRe.findFirstMatchIn(body).foreach { tm =>
+        types += colName -> VariableType.fromString(unescape(tm.group(1)))
+      }
+      catsRe.findFirstMatchIn(body).foreach { cm =>
+        levels += colName -> strRe.findAllMatchIn(cm.group(1)).map(x => unescape(x.group(1))).toSeq
+      }
+    }
+    (types, levels)
+  }
+
+  /** Save data as TSV + dtypes sidecar, mirroring save_clarite_data
+    * (reference: custom_types.py:117-152). */
+  def saveTsvWithSidecar(cf: CladeFrame, dataPath: String, sidecarPath: String): Unit = {
+    cf.df.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(dataPath)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecarPath), dtypesJson(cf))
+  }
+
+  /** Load TSV + sidecar, reapplying saved kinds and category levels
+    * (reference: custom_types.py:38-114). */
+  def loadTsvWithSidecar(spark: SparkSession, dataPath: String, sidecarPath: String): CladeFrame = {
+    val base = fromTsv(spark, dataPath)
+    val json = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sidecarPath)))
+    val (types, levels) = parseDtypesJson(json)
+    // categorical-kind columns are physically strings; continuous → double
+    val casted = types.foldLeft(base.df) { case (d, (c, t)) =>
+      if (!d.columns.contains(c)) d
+      else t match {
+        case VariableType.Continuous => d.withColumn(c, col(c).cast(DoubleType))
+        case VariableType.Unknown    => d
+        case _                       => d.withColumn(c, col(c).cast(StringType))
+      }
+    }
+    CladeFrame(casted, base.types ++ types, levels, base.idCol)
+  }
+}

@@ -1,0 +1,399 @@
+package graft.modify
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.{CladeFrame, VariableType}
+import VariableType._
+
+/** QC / modification operators (SURVEY.md §2.2-2.4, §2.9) — every operator
+  * is CladeFrame => CladeFrame, mirroring the reference's table-in/table-out
+  * contract (reference: clarite/modules/modify.py:5).
+  *
+  * Scale design: all data-dependent column decisions (which columns to drop,
+  * outlier bounds, …) are made from ONE wide aggregation pass over the data
+  * (a single job, map-side combinable, no per-column jobs) and the actual
+  * transformation stays lazy/declarative so Catalyst fuses it with
+  * surrounding operators. Nothing here collects row-level data to the
+  * driver — only O(#columns) aggregate summaries.
+  */
+object Modify {
+
+  // ---------------------------------------------------------------- helpers
+
+  /** One-pass per-column aggregate summary. `aggs` builds the aggregate
+    * columns per variable; returns the single result Row. */
+  private def aggRow(df: DataFrame, aggs: Seq[Column]): Row =
+    df.agg(aggs.head, aggs.tail: _*).head()
+
+  /** Exact distinct-count of non-null values per column, one pass.
+    * countDistinct is exact — required: type inference at a binary/
+    * categorical boundary must not be approximate. At extreme scale an
+    * approx_count_distinct prefilter can skip clearly-continuous columns,
+    * but the final decision stays exact. */
+  private def distinctCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+    if (cols.isEmpty) return Map.empty
+    val r = aggRow(df, cols.map(c => countDistinct(col(c)).as(c)))
+    cols.zipWithIndex.map { case (c, i) => c -> r.getLong(i) }.toMap
+  }
+
+  // ----------------------------------------------------------- §2.2 columns
+
+  /** colfilter: keep/drop named variable columns
+    * (reference: modify.py:179-225). */
+  def colfilter(cf: CladeFrame, skip: Option[Seq[String]] = None,
+                only: Option[Seq[String]] = None): CladeFrame =
+    cf.selectVariables(cf.resolveSkipOnly(skip, only))
+
+  /** colfilter_min_n: drop variables with fewer than n non-NA observations
+    * (reference: modify.py:283-340). One count() aggregation pass. */
+  def colfilterMinN(cf: CladeFrame, n: Long = 200,
+                    skip: Option[Seq[String]] = None,
+                    only: Option[Seq[String]] = None): CladeFrame = {
+    val tested = cf.resolveSkipOnly(skip, only)
+    if (tested.isEmpty) return cf
+    val r = aggRow(cf.df, tested.map(c => count(col(c)).as(c)))
+    val counts = tested.zipWithIndex.map { case (c, i) => c -> r.getLong(i) }.toMap
+    val dropped = tested.filter(counts(_) < n).toSet
+    cf.selectVariables(cf.variables.filterNot(dropped))
+  }
+
+  /** Per-variable non-null counts (exposed for oracle queries/tests). */
+  def nonNullCounts(cf: CladeFrame, cols: Seq[String]): Map[String, Long] = {
+    val r = aggRow(cf.df, cols.map(c => count(col(c)).as(c)))
+    cols.zipWithIndex.map { case (c, i) => c -> r.getLong(i) }.toMap
+  }
+
+  /** colfilter_min_cat_n: drop binary/categorical variables whose rarest
+    * non-NA level has fewer than n observations
+    * (reference: modify.py:228-280).
+    *
+    * Scale path: melt the tested columns to long (variable, value) and do a
+    * single two-level aggregation — one shuffle keyed by (variable, value)
+    * with map-side combine, instead of one job per column. */
+  def colfilterMinCatN(cf: CladeFrame, n: Long = 200,
+                       skip: Option[Seq[String]] = None,
+                       only: Option[Seq[String]] = None): CladeFrame = {
+    val tested = cf.resolveSkipOnly(skip, only)
+      .filter(c => cf.typeOf(c) == Binary || cf.typeOf(c) == Categorical)
+    if (tested.isEmpty) return cf
+    val minCounts = minLevelCounts(cf, tested)
+    val dropped = tested.filter(c => minCounts.getOrElse(c, 0L) < n).toSet
+    cf.selectVariables(cf.variables.filterNot(dropped))
+  }
+
+  /** Smallest level count per (categorical) column — one melt + two aggs. */
+  def minLevelCounts(cf: CladeFrame, cols: Seq[String]): Map[String, Long] = {
+    if (cols.isEmpty) return Map.empty
+    melt(cf.df, cols)
+      .filter(col("value").isNotNull)
+      .groupBy("variable", "value").count()
+      .groupBy("variable").agg(min("count").as("min_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** colfilter_percent_zero: drop continuous variables where >= pct% of
+    * non-NA values are zero (reference: modify.py:343-393). */
+  def colfilterPercentZero(cf: CladeFrame, filterPercent: Double = 90.0,
+                           skip: Option[Seq[String]] = None,
+                           only: Option[Seq[String]] = None): CladeFrame = {
+    val tested = cf.resolveSkipOnly(skip, only).filter(cf.typeOf(_) == Continuous)
+    if (tested.isEmpty) return cf
+    val pcts = percentZero(cf, tested)
+    val dropped = tested.filter(c => pcts(c) >= filterPercent).toSet
+    cf.selectVariables(cf.variables.filterNot(dropped))
+  }
+
+  /** % zeros among non-NA per column, one pass. */
+  def percentZero(cf: CladeFrame, cols: Seq[String]): Map[String, Double] = {
+    val r = aggRow(cf.df,
+      cols.map(c => (avg(when(col(c) === 0, 1.0).otherwise(0.0)) * 100).as(c)))
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (if (r.isNullAt(i)) 0.0 else r.getDouble(i))
+    }.toMap
+  }
+
+  /** move_variables: move columns from left to right
+    * (reference: modify.py:888-940). The join is on the id key; Catalyst
+    * picks sort-merge/broadcast by size. */
+  def moveVariables(left: CladeFrame, right: CladeFrame,
+                    skip: Option[Seq[String]] = None,
+                    only: Option[Seq[String]] = None): (CladeFrame, CladeFrame) = {
+    val moved = left.resolveSkipOnly(skip, only)
+    val movedSet = moved.toSet
+    val newRight = mergeVariables(right, left.selectVariables(moved), "outer")
+    val newLeft = left.selectVariables(left.variables.filterNot(movedSet))
+    (newLeft, newRight)
+  }
+
+  // -------------------------------------------------------------- §2.3 rows
+
+  /** rowfilter_incomplete_obs: drop rows with any NA among selected columns
+    * (reference: modify.py:738-781). Pure Filter — pushed down by Catalyst. */
+  def rowfilterIncompleteObs(cf: CladeFrame,
+                             skip: Option[Seq[String]] = None,
+                             only: Option[Seq[String]] = None): CladeFrame = {
+    val tested = cf.resolveSkipOnly(skip, only)
+    cf.copy(df = cf.df.na.drop("any", tested))
+  }
+
+  /** CLI rowfilter: keep rows where `column <op> value`
+    * (reference: cli/commands/modify.py:196-255 — note the reference swaps
+    * the gt/gte bodies; implemented CORRECTLY here, divergence documented). */
+  def rowfilter(cf: CladeFrame, column: String, comparison: String, value: Any): CladeFrame = {
+    val c = col(column)
+    val v = lit(value)
+    val pred = comparison match {
+      case "lt"  => c < v
+      case "lte" => c <= v
+      case "eq"  => c === v
+      case "gte" => c >= v
+      case "gt"  => c > v
+      case other => throw new IllegalArgumentException(s"bad comparison: $other")
+    }
+    cf.copy(df = cf.df.filter(pred))
+  }
+
+  // ------------------------------------------------------------- §2.4 joins
+
+  /** merge_variables: column-wise equi-join on the id
+    * (reference: modify.py:847-885). how ∈ left|right|inner|outer. */
+  def mergeVariables(left: CladeFrame, right: CladeFrame, how: String = "outer"): CladeFrame = {
+    require(Set("left", "right", "inner", "outer")(how), s"bad join type: $how")
+    val overlap = left.variables.toSet intersect right.variables.toSet
+    require(overlap.isEmpty, s"duplicate variable names: ${overlap.mkString(", ")}")
+    val joined = left.df.join(right.df.withColumnRenamed(right.idCol, left.idCol),
+      Seq(left.idCol), how)
+    CladeFrame(joined, left.types ++ right.types, left.levels ++ right.levels, left.idCol)
+  }
+
+  /** merge_observations: row-wise union on common columns; error on
+    * overlapping ids or type mismatch (reference: modify.py:784-844).
+    * The id-overlap check is a LEFT SEMI join (no data movement to driver). */
+  def mergeObservations(top: CladeFrame, bottom: CladeFrame): CladeFrame = {
+    val common = top.variables.filter(bottom.variables.toSet)
+    require(common.nonEmpty, "no common variables")
+    val mismatched = common.filter(c => top.typeOf(c) != bottom.typeOf(c))
+    require(mismatched.isEmpty, s"type mismatch on: ${mismatched.mkString(", ")}")
+    val overlap = top.df.select(top.idCol)
+      .join(bottom.df.select(col(bottom.idCol).as(top.idCol)), Seq(top.idCol), "left_semi")
+      .limit(1).count()
+    require(overlap == 0, "overlapping ids between top and bottom")
+    val cols = top.idCol +: common
+    val unioned = top.df.select(cols.map(col): _*)
+      .unionByName(bottom.df.withColumnRenamed(bottom.idCol, top.idCol).select(cols.map(col): _*))
+    CladeFrame(unioned, top.types.view.filterKeys(common.toSet).toMap,
+      top.levels.view.filterKeys(common.toSet).toMap, top.idCol)
+  }
+
+  // -------------------------------------------------- §2.9 column functions
+
+  /** make_binary: require exactly 2 unique non-NA values, tag as binary with
+    * sorted levels (reference: modify.py:396-453). */
+  def makeBinary(cf: CladeFrame, skip: Option[Seq[String]] = None,
+                 only: Option[Seq[String]] = None): CladeFrame = {
+    val cols = cf.resolveSkipOnly(skip, only)
+    val counts = distinctCounts(cf.df, cols)
+    val bad = cols.filter(counts(_) != 2)
+    require(bad.isEmpty,
+      s"cannot make binary (not exactly 2 unique values): ${bad.mkString(", ")}")
+    val lv = levelSets(cf, cols)
+    castToString(cf, cols).withTypes(cols.map(_ -> (Binary: VariableType)).toMap).withLevels(lv)
+  }
+
+  /** make_categorical (reference: modify.py:456-500). */
+  def makeCategorical(cf: CladeFrame, skip: Option[Seq[String]] = None,
+                      only: Option[Seq[String]] = None): CladeFrame = {
+    val cols = cf.resolveSkipOnly(skip, only)
+    val lv = levelSets(cf, cols)
+    castToString(cf, cols)
+      .withTypes(cols.map(_ -> (Categorical: VariableType)).toMap).withLevels(lv)
+  }
+
+  /** make_continuous: cast to double; any value that fails the cast is an
+    * error, not a silent null (reference: modify.py:503-567). */
+  def makeContinuous(cf: CladeFrame, skip: Option[Seq[String]] = None,
+                     only: Option[Seq[String]] = None): CladeFrame = {
+    val cols = cf.resolveSkipOnly(skip, only)
+    if (cols.isEmpty) return cf
+    val r = aggRow(cf.df, cols.map(c =>
+      sum(when(col(c).isNotNull && col(c).cast(DoubleType).isNull, 1L).otherwise(0L)).as(c)))
+    val bad = cols.zipWithIndex.collect { case (c, i) if !r.isNullAt(i) && r.getLong(i) > 0 => c }
+    require(bad.isEmpty, s"cannot make continuous (non-numeric values): ${bad.mkString(", ")}")
+    val casted = cols.foldLeft(cf.df)((d, c) => d.withColumn(c, col(c).cast(DoubleType)))
+    cf.copy(df = casted,
+      types = cf.types ++ cols.map(_ -> (Continuous: VariableType)),
+      levels = cf.levels -- cols)
+  }
+
+  /** Distinct sorted non-null level values per column (one melt pass). */
+  def levelSets(cf: CladeFrame, cols: Seq[String]): Map[String, Seq[String]] = {
+    if (cols.isEmpty) return Map.empty
+    melt(cf.df, cols).filter(col("value").isNotNull)
+      .groupBy("variable").agg(sort_array(collect_set(col("value"))).as("levels"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+  }
+
+  /** Result of [[categorize]] with the per-variable decision trail
+    * (the reference logs these counts; we surface them as data). */
+  final case class CategorizeReport(
+      frame: CladeFrame,
+      decisions: Seq[(String, Long, String)]) // (variable, nunique, decision)
+
+  /** categorize: infer CLARITE kinds from distinct counts
+    * (reference: modify.py:40-176):
+    * 0 uniques → dropped; 1 → constant; 2 → binary;
+    * [catMin, catMax] → categorical; >= contMin → continuous if
+    * numeric-coercible else unknown; the (catMax, contMin) gap → unknown.
+    * One aggregation pass computes nunique + coercibility for every column.
+    */
+  def categorize(cf: CladeFrame, catMin: Int = 3, catMax: Int = 6,
+                 contMin: Int = 15): CategorizeReport = {
+    require(catMin > 2 && catMin <= catMax && contMin > catMax)
+    val vars = cf.variables
+    if (vars.isEmpty) return CategorizeReport(cf, Nil)
+    val aggs = vars.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"u_$c"),
+        sum(when(col(c).isNotNull && col(c).cast(DoubleType).isNull, 1L).otherwise(0L)).as(s"b_$c"))
+    }
+    val r = aggRow(cf.df, aggs)
+    val decisions = vars.zipWithIndex.map { case (c, i) =>
+      val u = r.getLong(2 * i)
+      val badCast = if (r.isNullAt(2 * i + 1)) 0L else r.getLong(2 * i + 1)
+      val decision: String =
+        if (u == 0) "dropped"
+        else if (u == 1) Constant.name
+        else if (u == 2) Binary.name
+        else if (u >= catMin && u <= catMax) Categorical.name
+        else if (u >= contMin && badCast == 0) Continuous.name
+        else Unknown.name
+      (c, u, decision)
+    }
+    val keep = decisions.filter(_._3 != "dropped").map(_._1)
+    val newTypes = decisions.collect {
+      case (c, _, d) if d != "dropped" => c -> VariableType.fromString(d)
+    }.toMap
+    val catCols = decisions.collect {
+      case (c, _, d) if d == Constant.name || d == Binary.name || d == Categorical.name => c
+    }
+    val contCols = decisions.collect { case (c, _, d) if d == Continuous.name => c }
+    val base = cf.selectVariables(keep)
+    val casted = contCols.foldLeft(castToString(base, catCols.filter(keep.contains)).df) {
+      (d, c) => d.withColumn(c, col(c).cast(DoubleType))
+    }
+    val lv = levelSets(base, catCols)
+    CategorizeReport(
+      CladeFrame(casted, newTypes, lv, cf.idCol),
+      decisions)
+  }
+
+  /** recode_values: value→value replacement across selected columns
+    * (reference: modify.py:570-633). Declarative when/otherwise chain —
+    * codegen'd, no UDF. */
+  def recodeValues(cf: CladeFrame, replacements: Map[Any, Any],
+                   skip: Option[Seq[String]] = None,
+                   only: Option[Seq[String]] = None): CladeFrame = {
+    val cols = cf.resolveSkipOnly(skip, only)
+    val out = cols.foldLeft(cf.df) { (d, c) =>
+      val recoded = replacements.foldLeft(when(lit(false), col(c))) {
+        case (acc, (from, to)) => acc.when(col(c) === lit(from), lit(to))
+      }.otherwise(col(c))
+      d.withColumn(c, recoded)
+    }
+    cf.copy(df = out)
+  }
+
+  /** remove_outliers: replace out-of-bounds continuous values with NA
+    * (reference: modify.py:636-735). method ∈ gaussian (mean ± cutoff·sd) |
+    * iqr ([Q1 − cutoff·IQR, Q3 + cutoff·IQR]).
+    * Two passes: ONE aggregation computes every column's bounds (exact
+    * percentiles to match pandas linear interpolation), then a lazy
+    * projection applies them. */
+  def removeOutliers(cf: CladeFrame, method: String = "gaussian", cutoff: Double = 3.0,
+                     skip: Option[Seq[String]] = None,
+                     only: Option[Seq[String]] = None): CladeFrame = {
+    require(cutoff > 0, "cutoff must be positive")
+    val cols = cf.resolveSkipOnly(skip, only).filter(cf.typeOf(_) == Continuous)
+    if (cols.isEmpty) return cf
+    val bounds: Map[String, (Double, Double)] = method match {
+      case "gaussian" =>
+        val r = aggRow(cf.df, cols.flatMap(c =>
+          Seq(avg(col(c)).as(s"m_$c"), stddev_samp(col(c)).as(s"s_$c"))))
+        cols.zipWithIndex.map { case (c, i) =>
+          val m = r.getDouble(2 * i); val s = r.getDouble(2 * i + 1)
+          c -> (m - cutoff * s, m + cutoff * s)
+        }.toMap
+      case "iqr" =>
+        val r = aggRow(cf.df, cols.flatMap(c => Seq(
+          percentile(col(c), lit(0.25)).as(s"q1_$c"),
+          percentile(col(c), lit(0.75)).as(s"q3_$c"))))
+        cols.zipWithIndex.map { case (c, i) =>
+          val q1 = r.getDouble(2 * i); val q3 = r.getDouble(2 * i + 1)
+          c -> (q1 - cutoff * (q3 - q1), q3 + cutoff * (q3 - q1))
+        }.toMap
+      case other => throw new IllegalArgumentException(s"bad method: $other")
+    }
+    val out = cols.foldLeft(cf.df) { (d, c) =>
+      val (lo, hi) = bounds(c)
+      d.withColumn(c, when(col(c).between(lo, hi), col(c)))
+    }
+    cf.copy(df = out)
+  }
+
+  /** transform: apply a whitelisted unary function to continuous variables
+    * (reference: modify.py:943-1008). Named whitelist → built-in codegen'd
+    * Column functions; arbitrary code execution is deliberately impossible. */
+  def transform(cf: CladeFrame, method: String,
+                skip: Option[Seq[String]] = None,
+                only: Option[Seq[String]] = None): CladeFrame = {
+    val fn: Column => Column = method match {
+      case "log"   => log(_)
+      case "log10" => log10(_)
+      case "log1p" => log1p(_)
+      case "sqrt"  => sqrt(_)
+      case "exp"   => exp(_)
+      case "abs"   => abs(_)
+      case "square" => c => c * c
+      case "cbrt"  => cbrt(_)
+      case "reciprocal" => c => lit(1.0) / c
+      case other => throw new IllegalArgumentException(s"unknown transform: $other")
+    }
+    val cols = cf.resolveSkipOnly(skip, only).filter(cf.typeOf(_) == Continuous)
+    cf.copy(df = cols.foldLeft(cf.df)((d, c) => d.withColumn(c, fn(col(c).cast(DoubleType)))))
+  }
+
+  /** drop_extra_categories: recompute observed level sets, dropping recorded
+    * levels with zero occurrences (reference: modify.py:1011-1061). In the
+    * string-encoded representation the data itself never holds phantom
+    * levels — this refreshes the metadata in one pass. */
+  def dropExtraCategories(cf: CladeFrame, skip: Option[Seq[String]] = None,
+                          only: Option[Seq[String]] = None): CladeFrame = {
+    val cols = cf.resolveSkipOnly(skip, only)
+      .filter(c => cf.levels.contains(c) || cf.typeOf(c) == Binary ||
+        cf.typeOf(c) == Categorical || cf.typeOf(c) == Constant)
+    if (cols.isEmpty) return cf
+    cf.withLevels(levelSets(cf, cols))
+  }
+
+  // ------------------------------------------------------------------- melt
+
+  /** Wide → long (variable, value) reshape via the `stack` expression —
+    * the scale-friendly shape for per-(column,value) aggregation: a single
+    * generator projection (no shuffle by itself), values cast to string.
+    * Public because describe/ and the EWAS long-format path reuse it. */
+  def melt(df: DataFrame, cols: Seq[String], keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    val pairs = cols.map(c => s"'${c.replace("'", "\\'")}', CAST(`$c` AS STRING)").mkString(", ")
+    df.select(kept :+ expr(s"stack(${cols.size}, $pairs) AS (variable, value)"): _*)
+  }
+
+  /** Typed melt for numeric work: values cast to double, nulls kept out. */
+  def meltNumeric(df: DataFrame, cols: Seq[String], keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    val pairs = cols.map(c => s"'${c.replace("'", "\\'")}', CAST(`$c` AS DOUBLE)").mkString(", ")
+    df.select(kept :+ expr(s"stack(${cols.size}, $pairs) AS (variable, value)"): _*)
+  }
+
+  private def castToString(cf: CladeFrame, cols: Seq[String]): CladeFrame =
+    cf.copy(df = cols.foldLeft(cf.df)((d, c) => d.withColumn(c, col(c).cast(StringType))))
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.analyze.AssociationStudy
+import graft.io.Load
+import graft.modify.Modify
+
+/** Golden-output parity with the reference's R `survey` oracle
+  * (reference: tests/r_test_output/analyze CSVs; comparison contract
+  * rtol=1e-4 per tests/analyze/test_association_study.py:1-11). */
+class AssociationStudySpec extends SparkSpec {
+
+  private def goldenMap(path: String): Map[String, Map[String, Double]] = {
+    // CSV shape: "Variable","Variable_type","N","Beta","SE","Diff_AIC","pvalue"
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    val header = lines.head.split(",").map(_.replaceAll("\"", ""))
+    lines.tail.map { l =>
+      val cells = l.split(",").map(_.replaceAll("\"", ""))
+      val m = header.zip(cells).toMap
+      m("Variable") -> m.collect {
+        case (k, v) if k != "Variable" && k != "Variable_type" && v != "NA" =>
+          k -> v.toDouble
+      }
+    }.toMap
+  }
+
+  lazy val nhanes = {
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_data.csv"))
+    // index_col=None in the fixture → sequential row id
+    // (reference: tests/analyze/conftest.py:25)
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL", "RIAGENDR")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("race", "agecat")))
+    cf
+  }
+
+  test("nhanes_noweights matches R glm golden (binomial logit, LRT)") {
+    val golden = goldenMap(refPath("r_test_output/analyze/nhanes_noweights_result.csv"))
+    val results = Seq(
+      ("race", Seq("agecat", "RIAGENDR")),
+      ("agecat", Seq("race", "RIAGENDR")),
+      ("RIAGENDR", Seq("race", "agecat"))).map { case (rv, covars) =>
+      AssociationStudy.run(spark, nhanes, outcomes = Seq("HI_CHOL"),
+        covariates = covars, regressionVariables = Seq(rv)).collect().head
+    }
+    results.foreach { r =>
+      val v = r.getString(r.fieldIndex("Variable"))
+      val g = golden(v)
+      assert(r.getLong(r.fieldIndex("N")) === g("N").toLong, s"$v N")
+      assertRtol(r.getDouble(r.fieldIndex("pvalue")), g("pvalue"), 1e-4, s"$v pvalue")
+      g.get("Beta").foreach(b =>
+        assertRtol(r.getDouble(r.fieldIndex("Beta")), b, 1e-4, s"$v Beta"))
+      g.get("SE").foreach(se =>
+        assertRtol(r.getDouble(r.fieldIndex("SE")), se, 1e-4, s"$v SE"))
+      g.get("Diff_AIC").foreach(d =>
+        assertRtol(r.getDouble(r.fieldIndex("Diff_AIC")), d, 1e-3, s"$v Diff_AIC"))
+    }
+  }
+
+  test("fpc_noweights matches R glm golden (gaussian identity, t inference)") {
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/fpc_data.csv"))
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeContinuous(cf, only = Some(Seq("x", "y")))
+    val res = AssociationStudy.run(spark, cf, outcomes = Seq("y"),
+      regressionVariables = Seq("x"), minN = 1).collect().head
+    val g = goldenMap(refPath("r_test_output/analyze/fpc_noweights_result.csv"))("x")
+    assert(res.getLong(res.fieldIndex("N")) === 8L)
+    assertRtol(res.getDouble(res.fieldIndex("Beta")), g("Beta"), 1e-4, "Beta")
+    assertRtol(res.getDouble(res.fieldIndex("SE")), g("SE"), 1e-4, "SE")
+    assertRtol(res.getDouble(res.fieldIndex("pvalue")), g("pvalue"), 1e-4, "pvalue")
+  }
+
+  test("nhanes_noweights_withna matches golden (NA-heavy categorical)") {
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_NAs_data.csv"))
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL", "RIAGENDR")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("race", "agecat")))
+    val golden = goldenMap(refPath("r_test_output/analyze/nhanes_noweights_withna_result.csv"))
+    val results = Seq(
+      ("race", Seq("agecat", "RIAGENDR")),
+      ("agecat", Seq("race", "RIAGENDR")),
+      ("RIAGENDR", Seq("race", "agecat"))).map { case (rv, covars) =>
+      AssociationStudy.run(spark, cf, outcomes = Seq("HI_CHOL"),
+        covariates = covars, regressionVariables = Seq(rv)).collect().head
+    }
+    results.foreach { r =>
+      val v = r.getString(r.fieldIndex("Variable"))
+      val g = golden(v)
+      assert(r.getLong(r.fieldIndex("N")) === g("N").toLong, s"$v N")
+      assertRtol(r.getDouble(r.fieldIndex("pvalue")), g("pvalue"), 1e-4, s"$v pvalue")
+    }
+  }
+}
