@@ -1,13 +1,830 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.CladeFrame
+import graft.modify.Modify
+import graft.describe.Describe
+import graft.analyze.{AssociationStudy, Corrections}
+import graft.pipeline.{Dedup, Similarity, Text}
+import graft.streaming.EventStreams
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2), each
+  * with an ANSI-SQL oracle the driver executes in DuckDB over the same
+  * parquet tables. Column names/types and row-level values must hash-match;
+  * every float is rounded identically on both sides and every result has a
+  * deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) — Spark has no ns timestamps, so
+    // sessions set spark.sql.legacy.parquet.nanosAsLong and we normalize to
+    // a microsecond timestamp here (all queries aggregate at >= second
+    // granularity, matching the DuckDB oracle's floor(epoch(ts)))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+
+  /** lineitem with a unique synthetic row id. The synthetic table has
+    * duplicate (orderkey, linenumber) pairs, so a deterministic row_number
+    * over a total ordering is the only safe key (identical full rows are
+    * interchangeable, so this is stable across engines/runs). */
+  private def lineitemKeyed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").withColumn("id",
+      row_number().over(Window.orderBy("l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_quantity", "l_discount", "l_tax")).cast("long"))
+
+  /** lineitem with deterministic injected nulls (the TPC-H tables have no
+    * NULLs; zero-discount/zero-tax become NULL so NA-aware operators have
+    * real work). */
+  private def lineitemWithNulls(s: SparkSession, dir: String): DataFrame =
+    lineitemKeyed(s, dir)
+      .withColumn("disc_nz", nullif(col("l_discount"), lit(0.0)))
+      .withColumn("tax_nz", nullif(col("l_tax"), lit(0.0)))
+
+  /** Deterministic synthetic p-values over documents (both engines compute
+    * the identical integer expression). */
+  private def docPvalues(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        ((col("doc_id") * 37 % 100 + 1).cast("double") / 101.0).as("pvalue"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ======================================================== query inventory
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (scan/filter/join/agg/window/sort — SURVEY §2.1-2.8)
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q2_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "q3_join_revenue_by_nation" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      // dimension tables broadcast; the orders->customer join shuffles on
+      // custkey only after Catalyst prunes to the 3 needed columns
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    "q4_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q5_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    "q6_window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("epoch"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").filter(col("user_id") < 20)
+        .withColumn("epoch", floor(unix_timestamp(col("ts"))).cast("long"))
+        .withColumn("running_value", round(sum("value").over(w), 4))
+        .select("user_id", "epoch", "event_id", "running_value")
+        .orderBy("user_id", "epoch", "event_id")
+    }),
+
+    "q7_tumbling_hourly" -> ((s, dir) =>
+      EventStreams.tumblingCounts(t(s, dir, "events"), "1 hour")
+        .select(unix_timestamp(col("window_start")).cast("long").as("hour_start"),
+          col("event_type"), col("n"), round(col("total_value"), 4).as("total_value"))
+        .orderBy("hour_start", "event_type")),
+
+    // ---- modify: projections / column filters (SURVEY §2.2)
+    "modify_colfilter" -> ((s, dir) => {
+      val cf = CladeFrame(t(s, dir, "part"), "p_partkey")
+      Modify.colfilter(cf, only = Some(Seq("p_name", "p_retailprice"))).df
+        .select(col("p_partkey"), col("p_name"), round(col("p_retailprice"), 2).as("p_retailprice"))
+        .orderBy("p_partkey")
+    }),
+
+    "modify_colfilter_min_n" -> ((s, dir) => {
+      import s.implicits._
+      val cf = CladeFrame(lineitemWithNulls(s, dir), "id")
+      val cols = Seq("l_quantity", "disc_nz", "tax_nz")
+      val counts = Modify.nonNullCounts(cf, cols)
+      val total = cf.df.count()
+      cols.map(c => (c, counts(c), counts(c) >= total * 9 / 10))
+        .toDF("variable", "n_nonnull", "kept").orderBy("variable")
+    }),
+
+    "modify_colfilter_min_cat_n" -> ((s, dir) => {
+      import s.implicits._
+      val cf = CladeFrame(t(s, dir, "orders"), "o_orderkey")
+      val m = Modify.minLevelCounts(cf, Seq("o_orderstatus", "o_orderpriority"))
+      m.toSeq.map { case (k, v) => (k, v) }
+        .toDF("variable", "min_level_n").orderBy("variable")
+    }),
+
+    "modify_colfilter_percent_zero" -> ((s, dir) => {
+      import s.implicits._
+      val cf = CladeFrame(t(s, dir, "lineitem"), "l_orderkey")
+      val p = Modify.percentZero(cf, Seq("l_discount", "l_tax"))
+      p.toSeq.map { case (k, v) => (k, math.rint(v * 1e6) / 1e6) }
+        .toDF("variable", "pct_zero").orderBy("variable")
+    }),
+
+    // ---- modify: row filters (SURVEY §2.3)
+    "modify_rowfilter" -> ((s, dir) => {
+      val cf = CladeFrame(t(s, dir, "lineitem"), "l_orderkey")
+      Modify.rowfilter(cf, "l_quantity", "lt", 10).df
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "modify_rowfilter_incomplete_obs" -> ((s, dir) => {
+      val cf = CladeFrame(lineitemWithNulls(s, dir), "id")
+      Modify.rowfilterIncompleteObs(cf, only = Some(Seq("disc_nz", "tax_nz"))).df
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- modify: joins (SURVEY §2.4)
+    "modify_merge_variables" -> ((s, dir) => {
+      val orders = CladeFrame(t(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice"), "o_custkey")
+      val cust = CladeFrame(t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment"), "c_custkey")
+      Modify.mergeVariables(orders, cust, "inner").df
+        .filter(col("o_orderkey") <= 100)
+        .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    "modify_merge_observations" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val top = CladeFrame(o.filter(col("o_orderkey") % 2 === 0), "o_orderkey")
+      val bottom = CladeFrame(o.filter(col("o_orderkey") % 2 === 1), "o_orderkey")
+      Modify.mergeObservations(top, bottom).df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- modify: column functions (SURVEY §2.9)
+    "modify_recode_values" -> ((s, dir) => {
+      val cf = CladeFrame(t(s, dir, "lineitem"), "l_orderkey")
+      Modify.recodeValues(cf,
+        Map("A" -> "accepted", "N" -> "none", "R" -> "returned"),
+        only = Some(Seq("l_returnflag"))).df
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "modify_remove_outliers_iqr" -> ((s, dir) => {
+      import s.implicits._
+      val cf = CladeFrame(lineitemKeyed(s, dir), "id")
+      val out = Modify.removeOutliers(cf, "iqr", 1.5, only = Some(Seq("l_extendedprice")))
+      val r = out.df.agg(count(lit(1)).as("n_total"),
+        count(col("l_extendedprice")).as("n_kept")).head()
+      Seq((r.getLong(0), r.getLong(1), r.getLong(0) - r.getLong(1)))
+        .toDF("n_total", "n_kept", "n_removed")
+    }),
+
+    "modify_remove_outliers_gaussian" -> ((s, dir) => {
+      import s.implicits._
+      val cf = CladeFrame(lineitemKeyed(s, dir), "id")
+      val out = Modify.removeOutliers(cf, "gaussian", 2.0, only = Some(Seq("l_quantity")))
+      val r = out.df.agg(count(lit(1)).as("n_total"),
+        count(col("l_quantity")).as("n_kept")).head()
+      Seq((r.getLong(0), r.getLong(1), r.getLong(0) - r.getLong(1)))
+        .toDF("n_total", "n_kept", "n_removed")
+    }),
+
+    "modify_transform_log" -> ((s, dir) => {
+      val cf = CladeFrame(t(s, dir, "lineitem"), "l_orderkey")
+      Modify.transform(cf, "log", only = Some(Seq("l_extendedprice"))).df
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_extendedprice"), 4).as("sum_log_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "modify_make_binary" -> ((s, dir) => {
+      val cf = CladeFrame(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linestatus"), "l_orderkey")
+      val bin = Modify.makeBinary(cf, only = Some(Seq("l_linestatus")))
+      Describe.freqTable(s, bin).orderBy("variable", "value")
+    }),
+
+    "modify_categorize" -> ((s, dir) => {
+      import s.implicits._
+      val cf = CladeFrame(t(s, dir, "events"), "event_id")
+      val rep = Modify.categorize(cf)
+      rep.decisions.map { case (v, u, d) => (v, u, d) }
+        .toDF("variable", "nunique", "decision").orderBy("variable")
+    }),
+
+    // ---- describe (SURVEY §2.5)
+    "describe_percent_na" -> ((s, dir) => {
+      val cf = CladeFrame(lineitemWithNulls(s, dir)
+        .select("id", "l_quantity", "disc_nz", "tax_nz"), "id")
+      Describe.percentNa(s, cf)
+        .select(col("variable"), round(col("percent_na"), 6).as("percent_na"))
+        .orderBy("variable")
+    }),
+
+    "describe_freq_table" -> ((s, dir) => {
+      var cf = CladeFrame(t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority"), "o_orderkey")
+      cf = Modify.makeCategorical(cf, only = Some(Seq("o_orderstatus", "o_orderpriority")))
+      Describe.freqTable(s, cf).orderBy("variable", "value")
+    }),
+
+    "describe_correlations" -> ((s, dir) => {
+      val cf = CladeFrame(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "l_orderkey")
+      Describe.correlations(s, cf, threshold = 0.0)
+        .select(col("var1"), col("var2"), round(col("correlation"), 6).as("correlation"))
+        .orderBy("var1", "var2")
+    }),
+
+    "describe_skewness" -> ((s, dir) => {
+      val cf = CladeFrame(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+        "l_orderkey")
+      Describe.skewness(s, cf)
+        .select(col("variable"), round(col("skew"), 6).as("skew"))
+        .orderBy("variable")
+    }),
+
+    "describe_summarize" -> ((s, dir) => {
+      val cf = CladeFrame(t(s, dir, "events"), "event_id")
+      val rep = Modify.categorize(cf)
+      Describe.summarize(s, rep.frame).orderBy("type")
+    }),
+
+    // ---- analyze (SURVEY §2.10, §2.6, §2.7)
+    "analyze_assoc_continuous" -> ((s, dir) => {
+      var cf = CladeFrame(lineitemKeyed(s, dir)
+        .select("id", "l_extendedprice", "l_quantity", "l_discount", "l_tax"), "id")
+      AssociationStudy.run(s, cf, outcomes = Seq("l_extendedprice"),
+        regressionVariables = Seq("l_quantity", "l_discount", "l_tax"), minN = 1)
+        .select(col("Variable").as("variable"), col("N").as("n"),
+          round(col("Beta"), 4).as("beta"), round(col("SE"), 4).as("se"))
+        .orderBy("variable")
+    }),
+
+    "analyze_assoc_logistic" -> ((s, dir) => {
+      // binary outcome (high-price flag) ~ each continuous rv; no SQL
+      // oracle (logistic IRLS is not DuckDB-expressible) -> rows-only check
+      var cf = CladeFrame(lineitemKeyed(s, dir)
+        .withColumn("high_price", (col("l_extendedprice") > 30000).cast("string"))
+        .select("id", "high_price", "l_quantity", "l_discount"), "id")
+      cf = cf.withTypes(Map("high_price" -> graft.model.VariableType.Binary))
+      AssociationStudy.run(s, cf, outcomes = Seq("high_price"),
+        regressionVariables = Seq("l_quantity", "l_discount"), minN = 1)
+        .select(col("Variable").as("variable"), col("N").as("n"),
+          round(col("Beta"), 4).as("beta"), round(col("SE"), 4).as("se"),
+          round(col("pvalue"), 6).as("pvalue"))
+        .orderBy("variable")
+    }),
+
+    "analyze_corrected_pvalues" -> ((s, dir) =>
+      Corrections.addCorrectedPvalues(docPvalues(s, dir))
+        .select(col("doc_id"), round(col("pvalue"), 6).as("pvalue"),
+          round(col("pvalue_bonferroni"), 6).as("pvalue_bonferroni"),
+          round(col("pvalue_fdr"), 6).as("pvalue_fdr"))
+        .orderBy("doc_id")),
+
+    "analyze_top_results" -> ((s, dir) =>
+      docPvalues(s, dir)
+        .orderBy(col("pvalue"), col("doc_id")).limit(10)
+        .select(col("doc_id"), round(col("pvalue"), 6).as("pvalue"))),
+
+    "analyze_manhattan_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"),
+          ((col("doc_id") * 37 % 100 + 1).cast("double") / 101.0).as("pvalue"))
+      Corrections.manhattanPrep(docs, "pvalue", "lang")
+        .select(col("doc_id"), col("lang"),
+          round(col("neg_log_pvalue"), 6).as("neg_log_pvalue"), col("xpos"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- survey-design grouped aggregates, relationally (SURVEY §2.5)
+    "survey_design_aggs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("clust", col("o_custkey") % 20)
+        .groupBy(col("o_orderpriority").as("strat"))
+        .agg(countDistinct("clust").as("n_clusters"),
+          count(lit(1)).as("n_rows"),
+          round(avg("o_totalprice"), 4).as("avg_weight"))
+        .orderBy("strat")),
+
+    // ---- streaming-shaped custom state: gap sessionization
+    "sessionize_events" -> ((s, dir) => {
+      import s.implicits._
+      EventStreams.sessionize(s, t(s, dir, "events"), gapSeconds = 1800)
+        .groupByKey(_.user_id)
+        .mapGroups((u, it) => {
+          val ss = it.toSeq
+          (u, ss.size.toLong, ss.map(_.n_events).sum)
+        })
+        .toDF("user_id", "n_sessions", "n_events")
+        .filter(col("user_id") < 50)
+        .orderBy("user_id")
+    }),
+
+    // ---- dedup (driver mandate)
+    "dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactReport(docs, "text", "doc_id")
+        .agg(count(lit(1)).as("n_groups"), sum("n").as("n_docs"),
+          sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_dupes"))
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      // no SQL oracle (hash-family equivalence is not expressible) ->
+      // rows-only; exactness is covered by DedupSpec against planted dupes
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      Dedup.minhashCandidates(s, docs, "text", "doc_id")
+        .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      Dedup.simhashCandidates(s, docs, "text", "doc_id")
+        .filter(col("hamming") <= 16)
+        .orderBy("id1", "id2")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // exact jaccard on consecutive-id pairs (linear, deterministic)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .withColumn("id2", col("id1") + 1).filter(col("id2") < 100)
+      Dedup.ngramJaccard(s, docs, pairs, "text", "doc_id", shingleK = 4)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = e.select((col("vec_id") - 1).as("id1"), col("vec_id").as("id2"),
+        col("embedding").as("v2"))
+      a.join(b, Seq("id1"))
+        .withColumn("cosine", round(Similarity.dot(col("v1"), col("v2")) /
+          (Similarity.norm(col("v1")) * Similarity.norm(col("v2"))), 6))
+        .select("id1", "id2", "cosine")
+        .orderBy("id1")
+    }),
+
+    // ---- similarity search (driver mandate)
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      // approximate path: same contract, bucket-pruned search; no SQL
+      // oracle (hyperplane family not replicated in SQL) -> rows-only;
+      // recall vs brute force is asserted in SimilaritySpec
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 50), k = 3, dim = 64, bits = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- text analysis (driver mandate)
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "text_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          Text.wsTokenCount(col("text")).as("ws_tokens"),
+          Text.regexTokenCount(col("text")).as("re_tokens"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      Text.qualityFeatures(t(s, dir, "documents").filter(col("doc_id") < 100), "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"))
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      Text.langId(t(s, dir, "documents").filter(col("doc_id") < 100), "text")
+        .select(col("doc_id"), col("pred_lang"))
+        .orderBy("doc_id")),
+
+    // ---- multimodal plumbing (driver mandate; decode kernel stubbed)
+    "multimodal_meta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .withColumn("payload", col("text").cast("binary"))
+      graft.pipeline.Multimodal.withMediaMeta(docs, "payload", "text/plain")
+        .select(col("doc_id"), col("payload_meta.byte_len").as("byte_len"),
+          col("payload_meta.mime").as("mime"))
+        .orderBy("doc_id")
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      // stub decode -> 8-dim features; rows-only check (byte-loop kernel not
+      // SQL-expressible); plumbing correctness in MultimodalSpec
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .withColumn("payload", col("text").cast("binary"))
+      graft.pipeline.Multimodal.extractFeatures(s, docs, "doc_id", "payload")
+        .select(col("id"), round(element_at(col("features"), 1), 4).as("f0"),
+          round(element_at(col("features"), 8), 4).as("f7"))
+        .orderBy("id")
+    }))
+
+  // ============================================================ oracle SQL
+
+  /** DuckDB-runnable oracles. Keys without an entry get the driver's weaker
+    * rows-only check (noted per-query above). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q2_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+         ORDER BY price DESC, o_orderkey LIMIT 10""",
+
+    "q3_join_revenue_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q4_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q5_anti_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY 1""",
+
+    "q6_window_running_sum" ->
+      """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, event_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+         FROM events WHERE user_id < 20
+         ORDER BY user_id, epoch, event_id""",
+
+    "q7_tumbling_hourly" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+         event_type, count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "modify_colfilter" ->
+      """SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+         FROM part ORDER BY p_partkey""",
+
+    "modify_colfilter_min_n" ->
+      """WITH tot AS (SELECT count(*) AS n FROM lineitem)
+         SELECT 'disc_nz' AS variable, count(nullif(l_discount, 0.0)) AS n_nonnull,
+           count(nullif(l_discount, 0.0)) >= (SELECT n * 9 // 10 FROM tot) AS kept FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', count(l_quantity),
+           count(l_quantity) >= (SELECT n * 9 // 10 FROM tot) FROM lineitem
+         UNION ALL
+         SELECT 'tax_nz', count(nullif(l_tax, 0.0)),
+           count(nullif(l_tax, 0.0)) >= (SELECT n * 9 // 10 FROM tot) FROM lineitem
+         ORDER BY 1""",
+
+    "modify_colfilter_min_cat_n" ->
+      """SELECT 'o_orderpriority' AS variable,
+           (SELECT min(n) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderpriority)) AS min_level_n
+         UNION ALL
+         SELECT 'o_orderstatus',
+           (SELECT min(n) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderstatus))
+         ORDER BY 1""",
+
+    "modify_colfilter_percent_zero" ->
+      """SELECT 'l_discount' AS variable,
+           round(avg(CASE WHEN l_discount = 0 THEN 1.0 ELSE 0.0 END) * 100, 6) AS pct_zero
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_tax', round(avg(CASE WHEN l_tax = 0 THEN 1.0 ELSE 0.0 END) * 100, 6)
+         FROM lineitem ORDER BY 1""",
+
+    "modify_rowfilter" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem WHERE l_quantity < 10 GROUP BY 1 ORDER BY 1""",
+
+    "modify_rowfilter_incomplete_obs" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE nullif(l_discount, 0.0) IS NOT NULL AND nullif(l_tax, 0.0) IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+
+    "modify_merge_variables" ->
+      """SELECT o_orderkey, c_name, round(o_totalprice, 2) AS price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+
+    "modify_merge_observations" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0
+               UNION ALL SELECT * FROM orders WHERE o_orderkey % 2 = 1)
+         GROUP BY 1 ORDER BY 1""",
+
+    "modify_recode_values" ->
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
+           WHEN 'R' THEN 'returned' ELSE l_returnflag END AS l_returnflag,
+         count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "modify_remove_outliers_iqr" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                    quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+         SELECT count(*) AS n_total,
+           count(*) FILTER (WHERE l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)) AS n_kept,
+           count(*) - count(*) FILTER (WHERE l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)) AS n_removed
+         FROM lineitem, b""",
+
+    "modify_remove_outliers_gaussian" ->
+      """WITH b AS (SELECT avg(l_quantity) AS m, stddev_samp(l_quantity) AS s FROM lineitem)
+         SELECT count(*) AS n_total,
+           count(*) FILTER (WHERE l_quantity BETWEEN m - 2*s AND m + 2*s) AS n_kept,
+           count(*) - count(*) FILTER (WHERE l_quantity BETWEEN m - 2*s AND m + 2*s) AS n_removed
+         FROM lineitem, b""",
+
+    "modify_transform_log" ->
+      """SELECT l_returnflag, round(sum(ln(l_extendedprice)), 4) AS sum_log_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "modify_make_binary" ->
+      """SELECT 'l_linestatus' AS variable, l_linestatus AS value, count(*) AS count
+         FROM lineitem GROUP BY 2 ORDER BY 1, 2""",
+
+    "modify_categorize" ->
+      """WITH u AS (
+           SELECT 'event_type' AS variable, count(DISTINCT event_type) AS nunique,
+             count(*) FILTER (WHERE event_type IS NOT NULL AND TRY_CAST(event_type AS DOUBLE) IS NULL) AS bad
+           FROM events
+           UNION ALL SELECT 'props', count(DISTINCT props),
+             count(*) FILTER (WHERE props IS NOT NULL AND TRY_CAST(props AS DOUBLE) IS NULL) FROM events
+           UNION ALL SELECT 'ts', count(DISTINCT ts), 0 FROM events
+           UNION ALL SELECT 'user_id', count(DISTINCT user_id), 0 FROM events
+           UNION ALL SELECT 'value', count(DISTINCT value), 0 FROM events)
+         SELECT variable, nunique,
+           CASE WHEN nunique = 0 THEN 'dropped'
+                WHEN nunique = 1 THEN 'constant'
+                WHEN nunique = 2 THEN 'binary'
+                WHEN nunique BETWEEN 3 AND 6 THEN 'categorical'
+                WHEN nunique >= 15 AND bad = 0 THEN 'continuous'
+                ELSE 'unknown' END AS decision
+         FROM u ORDER BY variable""",
+
+    "describe_percent_na" ->
+      """SELECT 'disc_nz' AS variable,
+           round((1.0 - count(nullif(l_discount, 0.0)) * 1.0 / count(*)) * 100, 6) AS percent_na
+         FROM lineitem
+         UNION ALL SELECT 'l_quantity',
+           round((1.0 - count(l_quantity) * 1.0 / count(*)) * 100, 6) FROM lineitem
+         UNION ALL SELECT 'tax_nz',
+           round((1.0 - count(nullif(l_tax, 0.0)) * 1.0 / count(*)) * 100, 6) FROM lineitem
+         ORDER BY 1""",
+
+    "describe_freq_table" ->
+      """SELECT * FROM (
+           SELECT 'o_orderpriority' AS variable, o_orderpriority AS value, count(*) AS count
+           FROM orders GROUP BY 2
+           UNION ALL
+           SELECT 'o_orderstatus', o_orderstatus, count(*) FROM orders GROUP BY 2)
+         ORDER BY variable, value""",
+
+    "describe_correlations" ->
+      """SELECT * FROM (
+           SELECT 'l_quantity' AS var1, 'l_extendedprice' AS var2,
+             round(corr(l_quantity, l_extendedprice), 6) AS correlation FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+           UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM lineitem)
+         ORDER BY var1, var2""",
+
+    "describe_skewness" ->
+      """SELECT variable, round(g1, 6) AS skew FROM (
+           SELECT 'l_quantity' AS variable,
+             skewness(l_quantity) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)) AS g1 FROM lineitem
+           UNION ALL SELECT 'l_extendedprice',
+             skewness(l_extendedprice) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)) FROM lineitem
+           UNION ALL SELECT 'l_discount',
+             skewness(l_discount) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)) FROM lineitem)
+         ORDER BY variable""",
+
+    "describe_summarize" ->
+      """WITH u AS (
+           SELECT 'event_type' AS variable, count(DISTINCT event_type) AS nunique,
+             count(*) FILTER (WHERE event_type IS NOT NULL AND TRY_CAST(event_type AS DOUBLE) IS NULL) AS bad FROM events
+           UNION ALL SELECT 'props', count(DISTINCT props),
+             count(*) FILTER (WHERE props IS NOT NULL AND TRY_CAST(props AS DOUBLE) IS NULL) FROM events
+           UNION ALL SELECT 'ts', count(DISTINCT ts), 0 FROM events
+           UNION ALL SELECT 'user_id', count(DISTINCT user_id), 0 FROM events
+           UNION ALL SELECT 'value', count(DISTINCT value), 0 FROM events),
+         d AS (SELECT CASE WHEN nunique = 0 THEN 'dropped' WHEN nunique = 1 THEN 'constant'
+                WHEN nunique = 2 THEN 'binary' WHEN nunique BETWEEN 3 AND 6 THEN 'categorical'
+                WHEN nunique >= 15 AND bad = 0 THEN 'continuous' ELSE 'unknown' END AS decision FROM u),
+         kinds(type) AS (VALUES ('binary'), ('categorical'), ('constant'), ('continuous'), ('genotypes'), ('unknown'))
+         SELECT kinds.type,
+           (SELECT count(*) FROM d WHERE d.decision = kinds.type) AS n_variables,
+           (SELECT count(*) FROM events) AS n_rows
+         FROM kinds ORDER BY kinds.type""",
+
+    "analyze_assoc_continuous" ->
+      """SELECT variable, n, round(beta, 4) AS beta, round(se, 4) AS se FROM (
+           SELECT 'l_quantity' AS variable, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             regr_slope(l_extendedprice, l_quantity) AS beta,
+             sqrt((regr_syy(l_extendedprice, l_quantity)
+                   - regr_sxy(l_extendedprice, l_quantity)^2 / regr_sxx(l_extendedprice, l_quantity))
+                  / (regr_count(l_extendedprice, l_quantity) - 2)
+                  / regr_sxx(l_extendedprice, l_quantity)) AS se FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', CAST(regr_count(l_extendedprice, l_discount) AS BIGINT),
+             regr_slope(l_extendedprice, l_discount),
+             sqrt((regr_syy(l_extendedprice, l_discount)
+                   - regr_sxy(l_extendedprice, l_discount)^2 / regr_sxx(l_extendedprice, l_discount))
+                  / (regr_count(l_extendedprice, l_discount) - 2)
+                  / regr_sxx(l_extendedprice, l_discount)) FROM lineitem
+           UNION ALL
+           SELECT 'l_tax', CAST(regr_count(l_extendedprice, l_tax) AS BIGINT),
+             regr_slope(l_extendedprice, l_tax),
+             sqrt((regr_syy(l_extendedprice, l_tax)
+                   - regr_sxy(l_extendedprice, l_tax)^2 / regr_sxx(l_extendedprice, l_tax))
+                  / (regr_count(l_extendedprice, l_tax) - 2)
+                  / regr_sxx(l_extendedprice, l_tax)) FROM lineitem)
+         ORDER BY variable""",
+
+    "analyze_corrected_pvalues" ->
+      """WITH p AS (SELECT doc_id, (doc_id * 37 % 100 + 1) / 101.0 AS pvalue
+                    FROM documents WHERE doc_id < 200),
+         r AS (SELECT doc_id, pvalue,
+                 count(*) OVER () AS m,
+                 row_number() OVER (ORDER BY pvalue, doc_id) AS rk FROM p),
+         f AS (SELECT doc_id, pvalue, least(pvalue * m, 1.0) AS bonf,
+                 least(min(pvalue * m / rk) OVER (ORDER BY rk
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) AS fdr
+               FROM r)
+         SELECT doc_id, round(pvalue, 6) AS pvalue, round(bonf, 6) AS pvalue_bonferroni,
+           round(fdr, 6) AS pvalue_fdr
+         FROM f ORDER BY doc_id""",
+
+    "analyze_top_results" ->
+      """SELECT doc_id, round((doc_id * 37 % 100 + 1) / 101.0, 6) AS pvalue
+         FROM documents WHERE doc_id < 200
+         ORDER BY (doc_id * 37 % 100 + 1) / 101.0, doc_id LIMIT 10""",
+
+    "analyze_manhattan_prep" ->
+      """SELECT doc_id, lang,
+           round(-log10((doc_id * 37 % 100 + 1) / 101.0), 6) AS neg_log_pvalue,
+           dense_rank() OVER (ORDER BY lang) AS xpos
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "survey_design_aggs" ->
+      """SELECT o_orderpriority AS strat, count(DISTINCT o_custkey % 20) AS n_clusters,
+         count(*) AS n_rows, round(avg(o_totalprice), 4) AS avg_weight
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "sessionize_events" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                    FROM events WHERE user_id < 50),
+         g AS (SELECT user_id, ep,
+                 CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+               FROM e),
+         s AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ep
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM g)
+         SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+         FROM s GROUP BY 1 ORDER BY 1""",
+
+    "dedup_exact" ->
+      """WITH fp AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+                     FROM documents),
+         grp AS (SELECT f, count(*) AS n FROM fp GROUP BY 1)
+         SELECT count(*) AS n_groups, sum(n) AS n_docs,
+           sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dupes FROM grp""",
+
+    "dedup_embedding_cosine" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS v1, b.embedding AS v2
+           FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+         dots AS (
+           SELECT id1, id2,
+             sum(CAST(v1[r.range + 1] AS DOUBLE) * CAST(v2[r.range + 1] AS DOUBLE)) AS d,
+             sum(CAST(v1[r.range + 1] AS DOUBLE) ^ 2) AS n1,
+             sum(CAST(v2[r.range + 1] AS DOUBLE) ^ 2) AS n2
+           FROM pairs CROSS JOIN range(64) r GROUP BY 1, 2)
+         SELECT id1, id2, round(d / (sqrt(n1) * sqrt(n2)), 6) AS cosine
+         FROM dots ORDER BY id1""",
+
+    "ann_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         dots AS (
+           SELECT query_id, neighbor_id,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) * CAST(cv[r.range + 1] AS DOUBLE)) AS d,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) ^ 2) AS nq,
+             sum(CAST(cv[r.range + 1] AS DOUBLE) ^ 2) AS nc
+           FROM q CROSS JOIN c CROSS JOIN range(64) r
+           WHERE query_id <> neighbor_id GROUP BY 1, 2),
+         scored AS (SELECT query_id, neighbor_id, round(d / (sqrt(nq) * sqrt(nc)), 6) AS cosine
+                    FROM dots),
+         ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)
+         SELECT query_id, neighbor_id, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+
+    "text_token_count" ->
+      """SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "text_quality" ->
+      """WITH f AS (SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[\.,;:!\?]')) AS punct,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop
+           FROM documents WHERE doc_id < 100)
+         SELECT doc_id, n_words,
+           round(CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) * 1.0 / n_words END, 6) AS mean_word_len,
+           round(CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_words > 0 THEN stop * 1.0 / n_words ELSE 0.0 END, 6) AS stopword_ratio
+         FROM f ORDER BY doc_id""",
+
+    "text_langid" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                       FROM documents WHERE doc_id < 100),
+         s AS (SELECT doc_id,
+             len(list_filter(tk, x -> x IN ('the','and','of','to','is','with'))) AS s_en,
+             len(list_filter(tk, x -> x IN ('el','la','de','que','los','una'))) AS s_es,
+             len(list_filter(tk, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
+             len(list_filter(tk, x -> x IN ('le','la','les','des','est','une'))) AS s_fr,
+             len(list_filter(tk, x -> x IN ('的','是','了','在','有','我'))) AS s_zh
+           FROM toks),
+         m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS mx FROM s)
+         SELECT doc_id,
+           CASE WHEN mx = 0 THEN 'und'
+                WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es'
+                WHEN s_de = mx THEN 'de' WHEN s_fr = mx THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+         FROM m ORDER BY doc_id""",
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, 'text/plain' AS mime
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""")
 }

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // non-ANSI cast semantics: categorize/make_continuous rely on
+      // invalid-cast -> NULL (pandas to_numeric parity), and the DuckDB
+      // oracle replays the same decisions with TRY_CAST
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -107,6 +107,9 @@ object AssociationStudy {
     val baseRows = baseDf.collect()
     val n0 = baseRows.length
     val index = baseRows.iterator.zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
+    require(index.size == n0,
+      s"id column ${cf.idCol} is not unique (${n0 - index.size} duplicates) — " +
+        "the observation key must identify rows (reference enforces a proper index)")
 
     val yRaw = Array.tabulate(n0)(i => baseRows(i).getString(1))
     val y: Array[Double] = outcomeType match {

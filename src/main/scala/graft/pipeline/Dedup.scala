@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (driver mandate).
+  *
+  * Scale notes per operator:
+  *  - exact: hash-groupBy — ONE shuffle on the fingerprint; at 100 TB the
+  *    md5 key shuffles far less than the documents (only key+id move when
+  *    projected first, which Catalyst does automatically).
+  *  - MinHash+LSH: shingle → minhash signature (per-row, no shuffle) →
+  *    band buckets → self-join per bucket. The only shuffle is on
+  *    (band, bucketHash); candidate verification is per-pair local math.
+  *  - SimHash: per-row 64-bit signature; near-dup = identical signature
+  *    (or band-prefix buckets for hamming<=k).
+  *  - n-gram Jaccard: exact verification on LSH candidates only — never
+  *    all-pairs.
+  *  - embedding cosine: see Similarity (LSH-bucketed path there).
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized-text fingerprint: keep the smallest id per
+    * group. Returns the deduplicated frame. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    df.withColumn("__fp", Text.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Per-group duplicate report: (fingerprint, n, keeper id). */
+  def exactReport(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", Text.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+
+  // ------------------------------------------------------------ MinHash LSH
+
+  /** Deterministic universal hash family h_i(x) = (a_i·x + b_i) mod p. */
+  private val P = 2305843009213693951L // 2^61 - 1
+  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** Character shingles of the normalized text. */
+  def shingles(s: String, k: Int): Iterator[String] = {
+    val n = s.toLowerCase.replaceAll("\\s+", " ").trim
+    if (n.length <= k) Iterator.single(n) else n.sliding(k)
+  }
+
+  /** MinHash signature of a document. */
+  def minhashSignature(text: String, numHashes: Int, shingleK: Int,
+                       seed: Long = 42L): Array[Long] = {
+    val params = hashParams(numHashes, seed)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles(text, shingleK).foreach { sh =>
+      val x = Text.polyHash(sh) & Long.MaxValue
+      var i = 0
+      while (i < numHashes) {
+        val (a, b) = params(i)
+        // multiplyHigh-free 61-bit modular hash (values < 2^61)
+        val h = (BigInt(a) * BigInt(x % P) + b).mod(P).toLong
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** MinHash-LSH candidate pairs: documents sharing at least one band
+    * bucket. Returns (id1, id2, estimated jaccard from full signatures),
+    * id1 < id2, deduplicated. */
+  def minhashCandidates(spark: SparkSession, df: DataFrame, textCol: String,
+                        idCol: String, numHashes: Int = 64, bands: Int = 16,
+                        shingleK: Int = 5, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, minhashSignature(text, numHashes, shingleK, seed)) }
+      .toDF("id", "sig")
+    // band buckets: (band, hash(band slice)) — the ONLY shuffle
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / numHashes).as("est_jaccard"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs — the
+    * verification stage after LSH (never run all-pairs). */
+  def ngramJaccard(spark: SparkSession, docs: DataFrame, pairs: DataFrame,
+                   textCol: String, idCol: String, shingleK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val sets = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, shingles(t, shingleK).map(Text.polyHash).toArray.distinct) }
+      .toDF("id", "sh")
+    pairs
+      .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sets.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens: sum ±1 per bit weighted by token
+    * hash, sign → bit. */
+  def simhash(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { tok =>
+      val h = Text.polyHash(tok)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** SimHash near-dup candidates: pairs whose signatures agree on at least
+    * one of 4 16-bit bands (hamming distance <= 3 guaranteed recalled). */
+  def simhashCandidates(spark: SparkSession, df: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    import spark.implicits._
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)].map { case (id, t) => (id, simhash(t)) }.toDF("id", "sig")
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(expr("transform(sequence(0,3), b -> (sig >> (b*16)) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
+      .dropDuplicates("id1", "id2")
+  }
+}

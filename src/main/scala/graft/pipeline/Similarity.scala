@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (driver mandate).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: broadcast the (small) query set, score every
+  *    corpus vector with codegen'd array algebra (`zip_with`/`aggregate`),
+  *    per-query top-k via window. Exact; scales linearly in corpus size —
+  *    the right baseline and the verifier for approximate paths.
+  *  - random-hyperplane LSH buckets: per-row signature (no shuffle), search
+  *    only within the query's bucket (and optionally neighboring probes).
+  *    At 100 TB this turns a full scan per query into a bucket scan; the
+  *    bucket table can also be written bucketed-by-signature so lookups
+  *    prune partitions at the source.
+  */
+object Similarity {
+
+  /** L2 norm of an array column, computed with the codegen'd `aggregate`. */
+  def norm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Result: (query_id, neighbor_id, cosine,
+    * rank). Ties broken by neighbor id for determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     roundTo: Int = 6): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) /
+        (norm(col("qv")) * norm(col("cv"))), roundTo))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane signature: `bits` hyperplanes with deterministic
+    * seeded coefficients; bit i = sign(v · h_i). Returned as an int. */
+  def hyperplaneSignature(dim: Int, bits: Int, seed: Long = 42L)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    vec => {
+      var sig: org.apache.spark.sql.Column = lit(0L)
+      for (b <- 0 until bits) {
+        val proj = (0 until dim).map(i =>
+          element_at(vec, i + 1).cast("double") * lit(planes(b)(i))).reduce(_ + _)
+        sig = sig + when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      sig
+    }
+  }
+
+  /** LSH-bucketed ANN: join query and corpus on signature bucket, then
+    * exact cosine within bucket. Trades recall for a bucket-local search;
+    * recall is tunable via fewer bits / multi-probe. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              bits: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val sigOf = hyperplaneSignature(dim, bits, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", sigOf(col("cv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", sigOf(col("qv"))))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) /
+        (norm(col("qv")) * norm(col("cv"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: consecutive-id pairing (cheap sanity
+    * scan) or LSH-bucket self-join when `byBucket` is set. */
+  def cosineNearDups(spark: SparkSession, df: DataFrame, threshold: Double,
+                     dim: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding", byBucket: Boolean = true,
+                     bits: Int = 6, seed: Long = 42L): DataFrame = {
+    val sigOf = hyperplaneSignature(dim, bits, seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", if (byBucket) sigOf(col("v")) else lit(0L))
+    val a = base.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val b = base.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (norm(col("v1")) * norm(col("v2"))))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

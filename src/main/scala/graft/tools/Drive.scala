@@ -1,35 +1,35 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.io.Load
-import graft.modify.Modify
-import graft.describe.Describe
-import graft.analyze.{AssociationStudy, Corrections}
+import org.apache.spark.sql.functions._
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.stats.Glm
 
-/** Scratch driver for end-to-end verification (not part of the API). */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]").appName("drive")
-      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions","4").config("spark.sql.ansi.enabled","false")
+      .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val raw = Load.rawDelimited(spark, "/root/reference/tests/test_data_files/nhanes_data.csv")
-    var cf = Load.withSequentialId(raw)
-    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL","RIAGENDR")))
-    cf = Modify.makeCategorical(cf, only = Some(Seq("race","agecat")))
-    println("== percent_na =="); Describe.percentNa(spark, cf).show(10, false)
-    println("== freq_table (race) =="); Describe.freqTable(spark, cf).filter("variable = 'race'").orderBy("value").show(false)
-    println("== summarize =="); Describe.summarize(spark, cf).show(false)
-    val res = AssociationStudy.run(spark, cf, outcomes = Seq("HI_CHOL"), covariates = Seq("agecat","RIAGENDR"), regressionVariables = Seq("race"))
-    println("== association study (race) =="); res.show(false)
-    println("== corrected pvalues ==")
-    val multi = AssociationStudy.run(spark, cf, outcomes = Seq("HI_CHOL"), regressionVariables = Seq("race","agecat","RIAGENDR"))
-    Corrections.addCorrectedPvalues(multi).select("Variable","pvalue","pvalue_bonferroni","pvalue_fdr").show(false)
-    var cf2 = Modify.makeContinuous(cf, only = Some(Seq("WTMEC2YR")))
-    cf2 = Modify.removeOutliers(cf2, "iqr", 1.5, only = Some(Seq("WTMEC2YR")))
-    println("== after iqr outlier removal, percent_na WTMEC2YR ==")
-    Describe.percentNa(spark, cf2).filter("variable='WTMEC2YR'").show(false)
-    try { Modify.makeBinary(cf, only = Some(Seq("race"))); println("PROBE FAIL: no error") } catch { case e: Exception => println("makeBinary(race) error OK: " + e.getMessage.take(90)) }
-    try { Modify.colfilter(cf, skip = Some(Seq("nope"))); println("PROBE FAIL: no error") } catch { case e: Exception => println("colfilter(nope) error OK: " + e.getMessage.take(90)) }
-    try { Modify.transform(cf2, "evil_code", only=Some(Seq("WTMEC2YR"))); println("PROBE FAIL: no error") } catch { case e: Exception => println("transform(evil) error OK: " + e.getMessage.take(60)) }
+    val rows = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_extendedprice", "l_quantity").collect()
+    val y = DenseVector(rows.map(_.getDouble(0)))
+    val n = rows.length
+    val x = DenseMatrix.zeros[Double](n, 2)
+    for (i <- 0 until n) { x(i, 0) = 1.0; x(i, 1) = rows(i).getDouble(1) }
+    val fit = Glm.fit(x, y, Glm.Gaussian)
+    println(s"direct kernel: beta=${fit.beta.mkString(",")} se=${fit.se.mkString(",")}")
+    // melt-path alignment check: ids as strings round-trip
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("id", col("l_orderkey") * 10 + col("l_linenumber"))
+    println("id distinct: " + li.select("id").distinct.count() + " of " + li.count())
+    val melted = graft.modify.Modify.melt(
+      li.select("id", "l_quantity").withColumn("id", col("id").cast("string")),
+      Seq("l_quantity"), keep = Seq("id"))
+    melted.show(3, false)
+    // join melted back to original by id and compare values
+    val joined = melted.join(li.select(col("id").cast("string").as("id"), col("l_quantity").as("orig")), "id")
+      .withColumn("diff", abs(col("value").cast("double") - col("orig")))
+    println("max diff after melt roundtrip: " + joined.agg(max("diff")).head.getDouble(0))
     spark.stop()
   }
 }
