@@ -293,8 +293,11 @@ object SparkEntry {
 
     // ---- analyze (SURVEY §2.10, §2.6, §2.7)
     "analyze_assoc_continuous" -> ((s, dir) => {
-      var cf = CladeFrame(lineitemKeyed(s, dir)
-        .select("id", "l_extendedprice", "l_quantity", "l_discount", "l_tax"), "id")
+      // all-numeric design -> routed to the distributed sufficient-stats
+      // path (AggregatedGlm): one scan, no ids needed
+      var cf = CladeFrame(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_quantity", "l_discount", "l_tax"),
+        "l_orderkey")
       AssociationStudy.run(s, cf, outcomes = Seq("l_extendedprice"),
         regressionVariables = Seq("l_quantity", "l_discount", "l_tax"), minN = 1)
         .select(col("Variable").as("variable"), col("N").as("n"),
@@ -305,10 +308,11 @@ object SparkEntry {
     "analyze_assoc_logistic" -> ((s, dir) => {
       // binary outcome (high-price flag) ~ each continuous rv; no SQL
       // oracle (logistic IRLS is not DuckDB-expressible) -> rows-only check
-      var cf = CladeFrame(lineitemKeyed(s, dir)
+      var cf = CladeFrame(t(s, dir, "lineitem")
         .withColumn("high_price", (col("l_extendedprice") > 30000).cast("string"))
-        .select("id", "high_price", "l_quantity", "l_discount"), "id")
+        .select("l_orderkey", "high_price", "l_quantity", "l_discount"), "l_orderkey")
       cf = cf.withTypes(Map("high_price" -> graft.model.VariableType.Binary))
+        .withLevels(Map("high_price" -> Seq("false", "true")))
       AssociationStudy.run(s, cf, outcomes = Seq("high_price"),
         regressionVariables = Seq("l_quantity", "l_discount"), minN = 1)
         .select(col("Variable").as("variable"), col("N").as("n"),

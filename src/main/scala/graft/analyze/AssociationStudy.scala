@@ -91,6 +91,11 @@ object AssociationStudy {
       standardize: Boolean): DataFrame = {
     import spark.implicits._
 
+    // tall-data fast path: every design column numeric -> distributed
+    // sufficient-statistics GLM, no collect/melt (see AggregatedGlm)
+    if (AggregatedGlm.supports(cf, outcome, covariates, rvs, standardize))
+      return AggregatedGlm.run(spark, cf, outcome, covariates, rvs, minN)
+
     val outcomeType = cf.typeOf(outcome)
     val family = outcomeType match {
       case Continuous => Glm.Gaussian

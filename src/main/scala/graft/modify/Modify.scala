@@ -324,11 +324,13 @@ object Modify {
           c -> (m - cutoff * s, m + cutoff * s)
         }.toMap
       case "iqr" =>
-        val r = aggRow(cf.df, cols.flatMap(c => Seq(
-          percentile(col(c), lit(0.25)).as(s"q1_$c"),
-          percentile(col(c), lit(0.75)).as(s"q3_$c"))))
+        // one percentile evaluation per column (array of fractions shares
+        // the sorted buffer instead of sorting twice)
+        val r = aggRow(cf.df, cols.map(c =>
+          percentile(col(c), array(lit(0.25), lit(0.75))).as(s"q_$c")))
         cols.zipWithIndex.map { case (c, i) =>
-          val q1 = r.getDouble(2 * i); val q3 = r.getDouble(2 * i + 1)
+          val qs = r.getSeq[Double](i)
+          val q1 = qs(0); val q3 = qs(1)
           c -> (q1 - cutoff * (q3 - q1), q3 + cutoff * (q3 - q1))
         }.toMap
       case other => throw new IllegalArgumentException(s"bad method: $other")

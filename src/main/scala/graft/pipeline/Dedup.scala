@@ -39,11 +39,14 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash LSH
 
-  /** Deterministic universal hash family h_i(x) = (a_i·x + b_i) mod p. */
+  /** Deterministic universal hash family h_i(x) = (a_i·x + b_i) mod p with
+    * a, b, x < 2^31 so a·x+b stays below 2^62 — overflow-free 64-bit
+    * arithmetic in the hot loop (a BigInt version here cost 10x). */
   private val P = 2305843009213693951L // 2^61 - 1
   private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+    Array.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
   /** Character shingles of the normalized text. */
@@ -58,12 +61,11 @@ object Dedup {
     val params = hashParams(numHashes, seed)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     shingles(text, shingleK).foreach { sh =>
-      val x = Text.polyHash(sh) & Long.MaxValue
+      val x = (Text.polyHash(sh) & Long.MaxValue) % Int.MaxValue // < 2^31
       var i = 0
       while (i < numHashes) {
         val (a, b) = params(i)
-        // multiplyHigh-free 61-bit modular hash (values < 2^61)
-        val h = (BigInt(a) * BigInt(x % P) + b).mod(P).toLong
+        val h = (a * x + b) % P // a,x < 2^31 -> product < 2^62, no overflow
         if (h < sig(i)) sig(i) = h
         i += 1
       }
