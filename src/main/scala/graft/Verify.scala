@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.caseSensitive", "true")
       // non-ANSI cast semantics: categorize/make_continuous rely on
       // invalid-cast -> NULL (pandas to_numeric parity), and the DuckDB
       // oracle replays the same decisions with TRY_CAST

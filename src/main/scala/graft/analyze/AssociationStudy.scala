@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.model.{CladeFrame, VariableType}
 import graft.modify.Modify
 import graft.stats.{DesignMatrix, Glm}
+import graft.survey.{SurveyDesignSpec, SurveyKernel}
 import VariableType._
 
 /** One row of the association-study results table — fixed schema and column
@@ -56,8 +57,21 @@ object AssociationStudy {
   private final case class BaseData(
       index: Map[String, Int],        // id -> row position
       y: Array[Double],
-      covars: Seq[(String, String, Array[String], Array[Double])])
+      covars: Seq[(String, String, Array[String], Array[Double])],
       // (name, kind, stringValues | null, doubleValues | null)
+      survey: Option[SurveyBase])
+
+  /** Survey metadata aligned to the base rows (weighted studies). */
+  private final case class SurveyBase(
+      strat: Array[String],
+      clust: Array[String],
+      weightsByName: Map[String, Array[Double]], // normalized, NaN = missing
+      weightNameFor: Map[String, Option[String]],
+      fpcPerClust: Map[String, Double],
+      clustPerStratFull: Map[String, Int],
+      stratForClustFull: Map[String, String],
+      hasStrata: Boolean, hasCluster: Boolean, hasWeights: Boolean,
+      singleCluster: String, dropUnweighted: Boolean)
 
   def run(
       spark: SparkSession,
@@ -66,15 +80,17 @@ object AssociationStudy {
       covariates: Seq[String] = Nil,
       regressionVariables: Seq[String] = Nil,
       minN: Long = 200,
-      standardizeData: Boolean = false): DataFrame = {
+      standardizeData: Boolean = false,
+      surveyDesign: Option[SurveyDesignSpec] = None): DataFrame = {
     import spark.implicits._
     val rvs =
       if (regressionVariables.nonEmpty) regressionVariables
       else cf.variables.filterNot((outcomes ++ covariates).toSet)
     require(rvs.nonEmpty, "no regression variables")
+    surveyDesign.foreach(_.validateAgainstData(cf.variables))
     val perOutcome = outcomes.map { outcome =>
       runOne(spark, cf, outcome, covariates, rvs.filterNot(_ == outcome), minN,
-        standardizeData)
+        standardizeData, surveyDesign)
     }
     val all = perOutcome.reduce(_ unionByName _)
     // global sort by pvalue (reference: association_study.py:126-129)
@@ -88,12 +104,14 @@ object AssociationStudy {
       covariates: Seq[String],
       rvs: Seq[String],
       minN: Long,
-      standardize: Boolean): DataFrame = {
+      standardize: Boolean,
+      surveyDesign: Option[SurveyDesignSpec] = None): DataFrame = {
     import spark.implicits._
 
     // tall-data fast path: every design column numeric -> distributed
     // sufficient-statistics GLM, no collect/melt (see AggregatedGlm)
-    if (AggregatedGlm.supports(cf, outcome, covariates, rvs, standardize))
+    if (surveyDesign.isEmpty &&
+        AggregatedGlm.supports(cf, outcome, covariates, rvs, standardize))
       return AggregatedGlm.run(spark, cf, outcome, covariates, rvs, minN)
 
     val outcomeType = cf.typeOf(outcome)
@@ -105,8 +123,14 @@ object AssociationStudy {
     }
 
     // ------- base block: complete-case outcome + covariates, collected small
+    // (survey subsets restrict the analyzed rows here; design totals remain
+    // full -- survey_design.py:131-141 vs 552-578)
     val baseCols = outcome +: covariates
-    val baseDf = cf.df
+    val subsetDf = surveyDesign.flatMap(_.subsetFilter) match {
+      case Some(pred) => cf.df.filter(pred)
+      case None       => cf.df
+    }
+    val baseDf = subsetDf
       .select((cf.idCol +: baseCols).map(c => col(c).cast("string").as(c)): _*)
       .na.drop("any", baseCols)
     val baseRows = baseDf.collect()
@@ -143,7 +167,26 @@ object AssociationStudy {
         case _           => (c, "categorical", raw, null: Array[Double])
       }
     }
-    val base = spark.sparkContext.broadcast(BaseData(index, y, covarData))
+    val surveyBase = surveyDesign.map { sd =>
+      val idsArr = Array.tabulate(n0)(i => baseRows(i).getString(0))
+      val missing = idsArr.filterNot(sd.stratOf.contains)
+      require(missing.isEmpty,
+        s"The survey design is missing information for ${missing.length} rows in the data")
+      SurveyBase(
+        strat = idsArr.map(sd.stratOf),
+        clust = idsArr.map(sd.clustOf),
+        weightsByName = sd.normalizedWeights.map { case (wn, byId) =>
+          wn -> idsArr.map(id => byId.getOrElse(id, Double.NaN))
+        },
+        weightNameFor = rvs.map(rv => rv -> sd.weightNameFor(rv)).toMap,
+        fpcPerClust = sd.fpcPerClust,
+        clustPerStratFull = sd.clustPerStrat,
+        stratForClustFull = sd.stratForClust,
+        hasStrata = sd.hasStrata, hasCluster = sd.hasCluster,
+        hasWeights = sd.hasWeights,
+        singleCluster = sd.singleCluster, dropUnweighted = sd.dropUnweighted)
+    }
+    val base = spark.sparkContext.broadcast(BaseData(index, y, covarData, surveyBase))
     val typesB = spark.sparkContext.broadcast(
       rvs.map(v => v -> cf.typeOf(v).name).toMap)
     val levelsB = spark.sparkContext.broadcast(cf.levels)
@@ -192,6 +235,12 @@ object AssociationStudy {
     if (n < minN || n < 3) return nullRes
 
     try {
+      b.survey match {
+        case Some(sv) =>
+          return fitOneWeighted(variable, outcome, kind, knownLevels, b, sv,
+            idx, vals, family, minN, standardize)
+        case None => ()
+      }
       val ySub = DenseVector(idx.map(b.y))
       // covariate terms on the subset; non-varying covariates are dropped
       // (reference: base.py:174-187)
@@ -240,6 +289,121 @@ object AssociationStudy {
       }
     } catch {
       case _: Exception => nullRes
+    }
+  }
+
+  /** Survey-weighted per-variable fit: weighted GLM + Stata-linearization
+    * sandwich SEs, survey dof t-inference, Rao-Scott-style working LRT for
+    * categoricals (reference: weighted_glm_regression.py:24-494). */
+  private def fitOneWeighted(
+      variable: String,
+      outcome: String,
+      kind: String,
+      knownLevels: Option[Seq[String]],
+      b: BaseData,
+      sv: SurveyBase,
+      idx0: Array[Int],
+      vals0: Array[String],
+      family: Glm.Family,
+      minN: Long,
+      standardize: Boolean): AssocResult = {
+    val weightName = sv.weightNameFor(variable)
+    val wAll: Array[Double] = weightName match {
+      case Some(wn) => sv.weightsByName(wn)
+      case None     => Array.fill(b.y.length)(1.0)
+    }
+    // missing-weight policy (survey_design.py:397-486): rows with a present
+    // variable value but missing weight -> error (null result) unless
+    // drop_unweighted
+    val missingW = idx0.indices.filter(i => wAll(idx0(i)).isNaN)
+    val nullRes = AssocResult(variable, outcome, kind, weightName,
+      Converged = false, idx0.length, None, None, None, None, None, None)
+    val (idx, vals) =
+      if (missingW.isEmpty) (idx0, vals0)
+      else if (sv.dropUnweighted) {
+        val keep = idx0.indices.filterNot(missingW.toSet).toArray
+        (keep.map(idx0), keep.map(vals0))
+      } else return nullRes
+    val n = idx.length
+    if (n < minN || n < 3) return nullRes.copy(N = n)
+
+    try {
+      val ySub = DenseVector(idx.map(b.y))
+      val w = idx.map(wAll)
+      val covarTerms: Seq[DesignMatrix.Term] = b.covars.map {
+        case (name, "continuous", _, dv) =>
+          DesignMatrix.ContinuousTerm(name, idx.map(dv))
+        case (name, _, svv, _) =>
+          DesignMatrix.CategoricalTerm(name, idx.map(svv))
+      }
+      val design = SurveyKernel.AlignedDesign(
+        strat = idx.map(b.survey.get.strat),
+        clust = idx.map(b.survey.get.clust),
+        weights = w,
+        fpcPerClust = sv.fpcPerClust,
+        clustPerStratFull = sv.clustPerStratFull,
+        stratForClustFull = sv.stratForClustFull,
+        hasStrata = sv.hasStrata, hasCluster = sv.hasCluster,
+        hasWeights = sv.hasWeights,
+        singleCluster = sv.singleCluster)
+
+      kind match {
+        case "continuous" | "binary" | "constant" | "unknown" =>
+          val rvTerm: DesignMatrix.Term = kind match {
+            case "binary" =>
+              val lv = knownLevels.getOrElse(vals.distinct.sorted.toSeq)
+              DesignMatrix.BinaryTerm(variable, vals, lv)
+            case _ =>
+              val raw = vals.map(_.toDouble)
+              DesignMatrix.ContinuousTerm(variable,
+                if (standardize) DesignMatrix.zscore(raw) else raw)
+          }
+          if (!rvTerm.varies) return nullRes.copy(N = n)
+          val (names, x) = DesignMatrix.build(n, covarTerms :+ rvTerm)
+          val fit = Glm.fit(x, ySub, family, Some(DenseVector(w)))
+          val i = names.indexWhere(_ == rvTerm.columns.head._1)
+          val useSandwich = sv.hasStrata || sv.hasCluster || sv.hasWeights
+          val (se0, dof) =
+            if (useSandwich) {
+              val vcov = SurveyKernel.stataLinearizationVcov(x, ySub, fit, family, design)
+              (math.sqrt(vcov(i, i)), design.dof(n, x.cols))
+            } else (fit.se(i), (n - x.cols).toDouble)
+          val beta = fit.beta(i)
+          // dof < 1 -> SE infinite, pvalue 1 (weighted_glm_regression.py:186-189)
+          val (se, p) =
+            if (dof < 1) (Double.PositiveInfinity, 1.0)
+            else (se0, graft.stats.Distributions.tSfTwoSided(beta / se0, dof))
+          AssocResult(variable, outcome, kind, weightName, fit.converged, n,
+            Some(beta), Some(se), Some(p), None, None, Some(p))
+
+        case "categorical" =>
+          val rvTerm = DesignMatrix.CategoricalTerm(variable, vals)
+          if (!rvTerm.varies) return nullRes.copy(N = n)
+          val (namesFull, xFull) = DesignMatrix.build(n, covarTerms :+ rvTerm)
+          val (_, xRest) = DesignMatrix.build(n, covarTerms)
+          val wVec = Some(DenseVector(w))
+          val full = Glm.fit(xFull, ySub, family, wVec)
+          val rest = Glm.fit(xRest, ySub, family, wVec)
+          // working LRT (Lumley & Scott 2014; calculations.py:10-30)
+          val chisq =
+            SurveyKernel.weightedDeviance(xRest, ySub, rest, family, w) -
+            SurveyKernel.weightedDeviance(xFull, ySub, full, family, w)
+          val vcov = SurveyKernel.stataLinearizationVcov(xFull, ySub, full, family, design)
+          val v0 = SurveyKernel.naiveCovOverScale(xFull, full, family, w)
+          val rvIdx = namesFull.zipWithIndex.collect {
+            case (nm, i) if nm.startsWith(s"$variable[T.") => i
+          }
+          val dof = design.dof(n, xFull.cols)
+          val lrP = SurveyKernel.regTermTest(chisq, rvIdx, vcov, v0, dof)
+          // no Diff_AIC for weighted categorical (may be inaccurate)
+          AssocResult(variable, outcome, kind, weightName,
+            full.converged && rest.converged, n,
+            None, None, None, Some(lrP), None, Some(lrP))
+
+        case other => nullRes.copy(Variable_type = other)
+      }
+    } catch {
+      case _: Exception => nullRes.copy(N = n)
     }
   }
 }

@@ -1,35 +1,44 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import breeze.linalg.{DenseMatrix, DenseVector}
-import graft.stats.Glm
+import graft.io.Load
+import graft.modify.Modify
+import graft.analyze.AssociationStudy
+import graft.survey.SurveyDesignSpec
 
+/** Scratch driver for end-to-end verification (not part of the API). */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]").appName("drive")
       .config("spark.sql.shuffle.partitions","4").config("spark.sql.ansi.enabled","false")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.caseSensitive","true").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val rows = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .select("l_extendedprice", "l_quantity").collect()
-    val y = DenseVector(rows.map(_.getDouble(0)))
-    val n = rows.length
-    val x = DenseMatrix.zeros[Double](n, 2)
-    for (i <- 0 until n) { x(i, 0) = 1.0; x(i, 1) = rows(i).getDouble(1) }
-    val fit = Glm.fit(x, y, Glm.Gaussian)
-    println(s"direct kernel: beta=${fit.beta.mkString(",")} se=${fit.se.mkString(",")}")
-    // melt-path alignment check: ids as strings round-trip
-    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .withColumn("id", col("l_orderkey") * 10 + col("l_linenumber"))
-    println("id distinct: " + li.select("id").distinct.count() + " of " + li.count())
-    val melted = graft.modify.Modify.melt(
-      li.select("id", "l_quantity").withColumn("id", col("id").cast("string")),
-      Seq("l_quantity"), keep = Seq("id"))
-    melted.show(3, false)
-    // join melted back to original by id and compare values
-    val joined = melted.join(li.select(col("id").cast("string").as("id"), col("l_quantity").as("orig")), "id")
-      .withColumn("diff", abs(col("value").cast("double") - col("orig")))
-    println("max diff after melt roundtrip: " + joined.agg(max("diff")).head.getDouble(0))
+    val raw = Load.rawDelimited(spark, "/root/reference/tests/test_data_files/nhanes_data.csv")
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL","RIAGENDR")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("race","agecat")))
+    val design = new SurveyDesignSpec(cf.df, "id",
+      strata = Some("SDMVSTRA"), cluster = Some("SDMVPSU"), nest = true,
+      singleWeight = Some("WTMEC2YR"))
+    val data = Modify.colfilter(cf, only = Some(Seq("HI_CHOL","RIAGENDR","race","agecat")))
+    println("== full-design weighted EWAS (expect race LRT p≈0.0861, agecat p≈2.56e-60, RIAGENDR beta≈0.1514) ==")
+    AssociationStudy.run(spark, data, outcomes = Seq("HI_CHOL"),
+      covariates = Seq("agecat","RIAGENDR"), regressionVariables = Seq("race"),
+      surveyDesign = Some(design)).show(false)
+    AssociationStudy.run(spark, data, outcomes = Seq("HI_CHOL"),
+      covariates = Seq("race","agecat"), regressionVariables = Seq("RIAGENDR"),
+      surveyDesign = Some(design)).show(false)
+    // probe: design var leaking into data must error
+    try { AssociationStudy.run(spark, cf, outcomes = Seq("HI_CHOL"),
+      regressionVariables = Seq("WTMEC2YR"), surveyDesign = Some(design)); println("PROBE FAIL") }
+    catch { case e: Exception => println("design-var-in-data error OK: " + e.getMessage.take(100)) }
+    // probe: lonely PSU with mode=fail must error on the lonely dataset
+    try {
+      val rawL = Load.rawDelimited(spark, "/root/reference/tests/test_data_files/nhanes_lonely_data.csv")
+      val cfL = Load.withSequentialId(rawL)
+      new SurveyDesignSpec(cfL.df, "id", strata = Some("SDMVSTRA"),
+        cluster = Some("SDMVPSU"), nest = true, singleWeight = Some("WTMEC2YR"))
+      println("PROBE FAIL: lonely psu accepted")
+    } catch { case e: Exception => println("lonely-psu fail-mode error OK: " + e.getMessage.take(80)) }
     spark.stop()
   }
 }

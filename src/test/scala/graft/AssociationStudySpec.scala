@@ -70,6 +70,29 @@ class AssociationStudySpec extends SparkSpec {
     assertRtol(res.getDouble(res.fieldIndex("pvalue")), g("pvalue"), 1e-4, "pvalue")
   }
 
+  Seq(("apipop_data.csv", "api_apipop_result.csv"),
+      ("apipop_withna_data.csv", "api_apipop_withna_result.csv")).foreach {
+    case (dataFile, goldenFile) =>
+      test(s"$goldenFile matches golden (gaussian joint model, AggregatedGlm path)") {
+        val raw = Load.rawDelimited(spark, refPath(s"test_data_files/$dataFile"))
+        var cf = Load.withSequentialId(raw)
+        cf = Modify.makeContinuous(cf, only = Some(Seq("api00", "ell", "meals", "mobility")))
+        cf = Modify.colfilter(cf, only = Some(Seq("api00", "ell", "meals", "mobility")))
+        val golden = goldenMap(refPath(s"r_test_output/analyze/$goldenFile"))
+        Seq("ell", "meals", "mobility").foreach { rv =>
+          val covars = Seq("ell", "meals", "mobility").filterNot(_ == rv)
+          val r = AssociationStudy.run(spark, cf, outcomes = Seq("api00"),
+            covariates = covars, regressionVariables = Seq(rv), minN = 1)
+            .collect().head
+          val g = golden(rv)
+          assert(r.getLong(r.fieldIndex("N")) === g("N").toLong, s"$rv N")
+          assertRtol(r.getDouble(r.fieldIndex("Beta")), g("Beta"), 1e-4, s"$rv Beta")
+          assertRtol(r.getDouble(r.fieldIndex("SE")), g("SE"), 1e-4, s"$rv SE")
+          assertRtol(r.getDouble(r.fieldIndex("pvalue")), g("pvalue"), 1e-4, s"$rv pvalue")
+        }
+      }
+  }
+
   test("nhanes_noweights_withna matches golden (NA-heavy categorical)") {
     val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_NAs_data.csv"))
     var cf = Load.withSequentialId(raw)
