@@ -21,6 +21,10 @@ object Modify {
 
   // ---------------------------------------------------------------- helpers
 
+  /** Null-on-failure numeric cast (works under both ANSI and legacy cast
+    * semantics — pandas to_numeric parity needs invalid -> NULL). */
+  private def tryCastDouble(c: String): Column = expr(s"try_cast(`$c` AS DOUBLE)")
+
   /** One-pass per-column aggregate summary. `aggs` builds the aggregate
     * columns per variable; returns the single result Row. */
   private def aggRow(df: DataFrame, aggs: Seq[Column]): Row =
@@ -217,10 +221,10 @@ object Modify {
     val cols = cf.resolveSkipOnly(skip, only)
     if (cols.isEmpty) return cf
     val r = aggRow(cf.df, cols.map(c =>
-      sum(when(col(c).isNotNull && col(c).cast(DoubleType).isNull, 1L).otherwise(0L)).as(c)))
+      sum(when(col(c).isNotNull && tryCastDouble(c).isNull, 1L).otherwise(0L)).as(c)))
     val bad = cols.zipWithIndex.collect { case (c, i) if !r.isNullAt(i) && r.getLong(i) > 0 => c }
     require(bad.isEmpty, s"cannot make continuous (non-numeric values): ${bad.mkString(", ")}")
-    val casted = cols.foldLeft(cf.df)((d, c) => d.withColumn(c, col(c).cast(DoubleType)))
+    val casted = cols.foldLeft(cf.df)((d, c) => d.withColumn(c, tryCastDouble(c)))
     cf.copy(df = casted,
       types = cf.types ++ cols.map(_ -> (Continuous: VariableType)),
       levels = cf.levels -- cols)
@@ -254,7 +258,7 @@ object Modify {
     if (vars.isEmpty) return CategorizeReport(cf, Nil)
     val aggs = vars.flatMap { c =>
       Seq(countDistinct(col(c)).as(s"u_$c"),
-        sum(when(col(c).isNotNull && col(c).cast(DoubleType).isNull, 1L).otherwise(0L)).as(s"b_$c"))
+        sum(when(col(c).isNotNull && tryCastDouble(c).isNull, 1L).otherwise(0L)).as(s"b_$c"))
     }
     val r = aggRow(cf.df, aggs)
     val decisions = vars.zipWithIndex.map { case (c, i) =>
@@ -279,7 +283,7 @@ object Modify {
     val contCols = decisions.collect { case (c, _, d) if d == Continuous.name => c }
     val base = cf.selectVariables(keep)
     val casted = contCols.foldLeft(castToString(base, catCols.filter(keep.contains)).df) {
-      (d, c) => d.withColumn(c, col(c).cast(DoubleType))
+      (d, c) => d.withColumn(c, tryCastDouble(c))
     }
     val lv = levelSets(base, catCols)
     CategorizeReport(

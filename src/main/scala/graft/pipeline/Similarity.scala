@@ -64,17 +64,27 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: join query and corpus on signature bucket, then
-    * exact cosine within bucket. Trades recall for a bucket-local search;
-    * recall is tunable via fewer bits / multi-probe. */
+    * exact cosine within bucket. Recall is tunable via fewer bits and
+    * MULTI-PROBE: each query also searches every bucket at hamming
+    * distance <= `probes` from its own signature (flip-one-bit expansion),
+    * which recovers most neighbors lost to a single hyperplane boundary
+    * while still pruning the corpus scan by ~2^bits/(1+bits). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              bits: Int = 8, idCol: String = "vec_id",
+              bits: Int = 8, probes: Int = 1, idCol: String = "vec_id",
               vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
     val sigOf = hyperplaneSignature(dim, bits, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", sigOf(col("cv")))
+    val probeBuckets =
+      if (probes <= 0) array(col("sig"))
+      else array(col("sig") +: (0 until bits).map(b =>
+        col("sig").bitwiseXOR(lit(1L << b))): _*)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", sigOf(col("qv"))))
+      .withColumn("sig", sigOf(col("qv")))
+      .withColumn("bucket", explode(probeBuckets))
+      .drop("sig"))
     val scored = c.join(q, Seq("bucket"))
+      .dropDuplicates("query_id", "neighbor_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) /
         (norm(col("qv")) * norm(col("cv"))))

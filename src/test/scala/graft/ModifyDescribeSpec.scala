@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.describe.Describe
+import graft.io.Load
+import graft.model.{CladeFrame, VariableType}
+import graft.modify.Modify
+
+/** Unit tests for the QC/describe operator semantics (reference behaviors
+  * from clarite/modules/modify.py and describe.py). */
+class ModifyDescribeSpec extends SparkSpec {
+  import VariableType._
+
+  private def mk(rows: Seq[(Long, java.lang.Double, String)]): CladeFrame = {
+    import spark.implicits._
+    CladeFrame(rows.toDF("id", "num", "cat"))
+  }
+
+  lazy val sample: CladeFrame = mk(Seq(
+    (1L, 1.0: java.lang.Double, "a"), (2L, 2.0: java.lang.Double, "b"),
+    (3L, null: java.lang.Double, "a"), (4L, 4.0: java.lang.Double, "b"),
+    (5L, 100.0: java.lang.Double, null)))
+
+  test("colfilterMinN drops sparse columns") {
+    val out = Modify.colfilterMinN(sample, n = 5)
+    assert(out.variables === Seq("cat") === false) // num has 4, cat has 4 -> both dropped
+    assert(out.variables.isEmpty)
+    val keep = Modify.colfilterMinN(sample, n = 4)
+    assert(keep.variables.toSet === Set("num", "cat"))
+  }
+
+  test("colfilterMinCatN drops categories with rare levels") {
+    var cf = Modify.makeCategorical(sample, only = Some(Seq("cat")))
+    val dropped = Modify.colfilterMinCatN(cf, n = 3)
+    assert(!dropped.variables.contains("cat")) // a=2, b=2 -> min 2 < 3
+    val kept = Modify.colfilterMinCatN(cf, n = 2)
+    assert(kept.variables.contains("cat"))
+  }
+
+  test("colfilterPercentZero drops mostly-zero continuous columns") {
+    import spark.implicits._
+    val cf = CladeFrame(Seq((1L, 0.0, 1.0), (2L, 0.0, 2.0), (3L, 0.0, 3.0),
+      (4L, 1.0, 4.0)).toDF("id", "zeros", "vals"))
+    val out = Modify.colfilterPercentZero(cf, filterPercent = 75.0)
+    assert(out.variables === Seq("vals"))
+  }
+
+  test("rowfilterIncompleteObs drops rows with any NA") {
+    assert(Modify.rowfilterIncompleteObs(sample).df.count() === 3)
+    assert(Modify.rowfilterIncompleteObs(sample, only = Some(Seq("num"))).df.count() === 4)
+  }
+
+  test("mergeObservations rejects overlapping ids and mismatched types") {
+    val a = mk(Seq((1L, 1.0: java.lang.Double, "x")))
+    val b = mk(Seq((1L, 2.0: java.lang.Double, "y")))
+    val e = intercept[IllegalArgumentException] { Modify.mergeObservations(a, b) }
+    assert(e.getMessage.contains("overlapping"))
+    val c = mk(Seq((2L, 3.0: java.lang.Double, "z")))
+    assert(Modify.mergeObservations(a, c).df.count() === 2)
+  }
+
+  test("mergeVariables outer join aligns by id") {
+    import spark.implicits._
+    val left = CladeFrame(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "l"))
+    val right = CladeFrame(Seq((2L, 20.0), (3L, 30.0)).toDF("id", "r"))
+    val outer = Modify.mergeVariables(left, right, "outer")
+    assert(outer.df.count() === 3)
+    assert(Modify.mergeVariables(left, right, "inner").df.count() === 1)
+  }
+
+  test("categorize infers kinds per the distinct-count rules") {
+    import spark.implicits._
+    val df = (1 to 30).map { i =>
+      (i.toLong, "const", if (i % 2 == 0) "y" else "n", s"cat${i % 4}",
+        i.toDouble, s"str$i", if (true) null: String else "x")
+    }.toDF("id", "c_const", "c_bin", "c_cat", "c_cont", "c_unknown", "c_allna")
+    val rep = Modify.categorize(CladeFrame(df))
+    val d = rep.decisions.map(x => x._1 -> x._3).toMap
+    assert(d("c_const") === "constant")
+    assert(d("c_bin") === "binary")
+    assert(d("c_cat") === "categorical")
+    assert(d("c_cont") === "continuous")
+    assert(d("c_unknown") === "unknown") // 30 uniques but not numeric
+    assert(d("c_allna") === "dropped")
+    assert(!rep.frame.variables.contains("c_allna"))
+    assert(rep.frame.typeOf("c_cont") === Continuous)
+  }
+
+  test("recodeValues replaces values only in selected columns") {
+    val out = Modify.recodeValues(sample, Map("a" -> "A"), only = Some(Seq("cat")))
+    val vals = out.df.select("cat").collect().map(_.getString(0)).toSet
+    assert(vals === Set("A", "b", null))
+  }
+
+  test("removeOutliers gaussian nulls values beyond mean +/- c*sd") {
+    val out = Modify.removeOutliers(sample, "gaussian", cutoff = 1.0,
+      only = Some(Seq("num")))
+    // mean=26.75, sd~48.9 -> 100 is outside 1 sd
+    assert(out.df.filter(col("num").isNotNull).count() === 3)
+  }
+
+  test("transform applies whitelisted functions and rejects unknown names") {
+    val out = Modify.transform(sample, "log", only = Some(Seq("num")))
+    val v = out.df.filter(col("id") === 2).select("num").head.getDouble(0)
+    assertRtol(v, math.log(2.0), 1e-12, "log")
+    intercept[IllegalArgumentException] { Modify.transform(sample, "os.system") }
+  }
+
+  test("makeBinary validates exactly two levels and records them sorted") {
+    val cf = Modify.makeBinary(sample, only = Some(Seq("cat")))
+    assert(cf.typeOf("cat") === Binary)
+    assert(cf.levels("cat") === Seq("a", "b"))
+  }
+
+  test("describe.percentNa / freqTable / summarize") {
+    var cf = Modify.makeCategorical(sample, only = Some(Seq("cat")))
+    val na = Describe.percentNa(spark, cf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assertRtol(na("num"), 20.0, 1e-12, "num na")
+    assertRtol(na("cat"), 20.0, 1e-12, "cat na")
+    val freq = Describe.freqTable(spark, cf)
+      .filter(col("variable") === "cat").orderBy("value").collect()
+    assert(freq.map(r => (r.getString(1), r.getLong(2))).toSeq === Seq(("a", 2L), ("b", 2L)))
+    val sum = Describe.summarize(spark, cf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum("categorical") === 1L)
+    assert(sum("continuous") === 1L)
+  }
+
+  test("describe.correlations is pairwise-complete like pandas df.corr") {
+    import spark.implicits._
+    // y has an NA; pairwise-complete corr(x,y) uses only complete pairs
+    val df = Seq((1L, 1.0, 2.0: java.lang.Double), (2L, 2.0, 4.0: java.lang.Double),
+      (3L, 3.0, null: java.lang.Double), (4L, 4.0, 8.1: java.lang.Double))
+      .toDF("id", "x", "y")
+    val corr = Describe.correlations(spark, CladeFrame(df), 0.0).collect()
+    assert(corr.length === 1)
+    assert(corr.head.getDouble(2) > 0.999) // near-perfect on the 3 complete pairs
+  }
+
+  test("skewness matches scipy population g1 + D'Agostino transform") {
+    import spark.implicits._
+    val data = Seq(2.0, 8.0, 0.0, 4.0, 1.0, 9.0, 9.0, 0.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val cf = CladeFrame(data.toDF("id", "x"))
+    val r = Describe.skewness(spark, cf).collect().head
+    // scipy.stats.skew([2,8,0,4,1,9,9,0]) = 0.2650554122698573
+    assertRtol(r.getDouble(r.fieldIndex("skew")), 0.2650554122698573, 1e-10, "skew")
+    // scipy.stats.skewtest -> z=0.44626385374196975, p=0.6554066631275459
+    assertRtol(r.getDouble(r.fieldIndex("zscore")), 0.44626385374196975, 1e-8, "z")
+    assertRtol(r.getDouble(r.fieldIndex("pvalue_2sided")), 0.6554066631275459, 1e-8, "p")
+  }
+
+  test("dtypes sidecar roundtrip preserves kinds and levels") {
+    var cf = Modify.makeCategorical(sample, only = Some(Seq("cat")))
+    val json = Load.dtypesJson(cf)
+    val (types, levels) = Load.parseDtypesJson(json)
+    assert(types("cat") === Categorical)
+    assert(levels("cat") === Seq("a", "b"))
+    assert(types("num") === Continuous)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+
+/** Unit tests for the training-data pipeline operators: planted-duplicate
+  * recovery, ANN recall vs brute force, text features, multimodal plumbing. */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank totay"), // near-dup of 0
+      (2L, "completely different text about spark query engines and distributed joins"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (4L, "yet another unrelated document mentioning gradient descent and tokenizers"),
+      (5L, "Completely  different TEXT about spark query engines and distributed joins")) // case/ws dup of 2
+    base.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the smallest id per normalized fingerprint") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 2L, 4L)) // 3 dups 0; 5 normalizes to 2
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair") {
+    val cands = Dedup.minhashCandidates(spark, docs, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = cands.map(c => (c._1, c._2)).toSet
+    assert(pairs.contains((0L, 1L)), s"expected near-dup (0,1) in $pairs")
+    assert(pairs.contains((0L, 3L))) // exact dup -> jaccard 1
+    val est13 = cands.find(c => c._1 == 0L && c._2 == 3L).get._3
+    assert(est13 === 1.0)
+    // unrelated docs 2 vs 4 must NOT collide
+    assert(!pairs.contains((2L, 4L)))
+  }
+
+  test("ngram jaccard verification is exact") {
+    import spark.implicits._
+    val pairs = Seq((0L, 3L), (0L, 2L)).toDF("id1", "id2")
+    val j = Dedup.ngramJaccard(spark, docs, pairs, "text", "doc_id")
+      .collect().map(r => (r.getLong(r.fieldIndex("id1")), r.getLong(r.fieldIndex("id2"))) ->
+        r.getDouble(r.fieldIndex("jaccard"))).toMap
+    assert(j((0L, 3L)) === 1.0)
+    assert(j((0L, 2L)) < 0.2)
+  }
+
+  test("simhash of identical docs is identical; near-dups are close") {
+    val s0 = Dedup.simhash(docs.filter(col("doc_id") === 0).head.getString(1))
+    val s3 = Dedup.simhash(docs.filter(col("doc_id") === 3).head.getString(1))
+    val s1 = Dedup.simhash(docs.filter(col("doc_id") === 1).head.getString(1))
+    val s2 = Dedup.simhash(docs.filter(col("doc_id") === 2).head.getString(1))
+    assert(s0 === s3)
+    assert(java.lang.Long.bitCount(s0 ^ s1) < java.lang.Long.bitCount(s0 ^ s2))
+  }
+
+  test("LSH ANN achieves high recall@3 vs brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket-pruned search with few bits (coarse buckets -> high recall)
+    val approx = Similarity.lshTopK(e, queries, k = 3, dim = 64, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // brute-force self-consistency: rank 1 has the highest cosine
+    val byQuery = Similarity.bruteForceTopK(e, queries, k = 3)
+      .collect().groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
+  test("text features: tokens, quality, langid, fingerprint") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat and the dog, of course!")).toDF("doc_id", "text")
+    val q = Text.qualityFeatures(df, "text").collect().head
+    assert(q.getInt(q.fieldIndex("n_words")) === 7)
+    val tok = df.select(Text.wsTokenCount(col("text")), Text.regexTokenCount(col("text"))).head
+    assert(tok.getInt(0) === 7)
+    assert(tok.getInt(1) === 9) // 7 words + comma + bang
+    val lang = Text.langId(df, "text").collect().head
+    assert(lang.getString(lang.fieldIndex("pred_lang")) === "en")
+    val fp = df.select(Text.fingerprint(col("text"))).head.getString(0)
+    assert(fp.matches("[0-9a-f]{32}"))
+    // normalization-invariant
+    val fp2 = Seq((1L, "  the CAT and the  dog, of course!  ")).toDF("doc_id", "text")
+      .select(Text.fingerprint(col("text"))).head.getString(0)
+    assert(fp === fp2)
+  }
+
+  test("rolling-hash min-sketch is deterministic and shift-robust") {
+    val a = Text.rollingHashMinSketch("the quick brown fox jumps over the lazy dog")
+    val b = Text.rollingHashMinSketch("the quick brown fox jumps over the lazy dog")
+    assert(a.toSeq === b.toSeq)
+    val c = Text.rollingHashMinSketch("xx the quick brown fox jumps over the lazy dog")
+    assert(a.toSet.intersect(c.toSet).nonEmpty) // shared shingle minima survive a prefix shift
+  }
+
+  test("multimodal: media meta + batch feature extraction on binary payloads") {
+    val bin = docs.withColumn("payload", col("text").cast("binary"))
+    val withMeta = Multimodal.withMediaMeta(bin, "payload", "text/plain")
+    val m = withMeta.filter(col("doc_id") === 0).select("payload_meta.*").head
+    assert(m.getLong(0) === docs.filter(col("doc_id") === 0).head.getString(1).length.toLong)
+    assert(m.getString(1).matches("[0-9a-f]{64}"))
+    val feats = Multimodal.extractFeatures(spark, bin, "doc_id", "payload")
+    val rows = feats.collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.getSeq[Float](1).length === 8))
+    // identical payloads -> identical features (deterministic stub)
+    val f = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f(0L) === f(3L))
+    // frame sampling emits bounded pseudo-frames per row
+    val frames = Multimodal.sampleFrames(bin, "doc_id", "payload", frameBytes = 16, maxFrames = 3)
+    assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 3))
+  }
+}

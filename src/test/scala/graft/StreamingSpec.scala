@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Structured-Streaming surface: the SAME transforms run in batch and on a
+  * stream (MemoryStream), plus custom-state sessionization. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("tumblingCounts: batch and streaming agree on the same events") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts(0), 10L, "click", 1.0, "{}"),
+      (2L, ts(600), 10L, "click", 2.0, "{}"),
+      (3L, ts(3700), 11L, "view", 3.0, "{}"),
+      (4L, ts(3800), 10L, "click", 4.0, "{}"))
+    val batchDf = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = EventStreams.tumblingCounts(batchDf)
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.toSeq === Seq((0L, "click", 2L, 3.0), (3600L, "click", 1L, 4.0),
+      (3600L, "view", 1L, 3.0)))
+
+    // same transform as a streaming query over a MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.tumblingCountsStream(streamDf, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .orderBy("window_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions with custom state") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"),
+      (2L, ts(100), 1L, "a", 1.0, "{}"),
+      (3L, ts(5000), 1L, "a", 1.0, "{}"), // gap > 1800 -> new session
+      (4L, ts(0), 2L, "a", 1.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = EventStreams.sessionize(spark, df, gapSeconds = 1800).collect()
+    val byUser = sessions.groupBy(_.user_id)
+    assert(byUser(1L).length === 2)
+    assert(byUser(2L).length === 1)
+    val first = byUser(1L).minBy(_.session_start)
+    assert(first.n_events === 2 && first.session_start === 0 && first.session_end === 100)
+  }
+}
