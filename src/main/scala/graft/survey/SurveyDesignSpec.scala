@@ -135,19 +135,27 @@ final class SurveyDesignSpec(
   }
 
   // ----------------------------------------------------------------- subset
-  private var subsetPredicates: List[Column] = Nil
+  private var subsetIds: Option[Set[String]] = None
   var subsetCount: Int = 0
 
   /** Restrict analysis to a subpopulation; the design totals above remain
     * computed on the full design (survey_design.py:552-578). The predicate
-    * is evaluated against the DATA table at study time. */
-  def subset(predicate: Column): SurveyDesignSpec = {
-    subsetPredicates = predicate :: subsetPredicates
+    * is evaluated NOW against the given table (which may contain columns
+    * later dropped from the analysis data — the reference materializes the
+    * boolean mask the same way), keeping the ids where it is true. */
+  def subset(df: DataFrame, predicate: Column): SurveyDesignSpec = {
+    val keep = df.filter(predicate)
+      .select(col(idCol).cast("string")).collect().map(_.getString(0)).toSet
+    subsetIds = Some(subsetIds.map(_ intersect keep).getOrElse(keep))
     subsetCount += 1
     this
   }
 
-  def subsetFilter: Option[Column] = subsetPredicates.reduceOption(_ && _)
+  /** Filter for the analysis data: id ∈ subset. At parity scale this is a
+    * broadcast hash-set predicate; at 100 TB the subset would instead stay
+    * a DataFrame and this becomes a LEFT SEMI join on id. */
+  def subsetFilter: Option[Column] =
+    subsetIds.map(ids => col(idCol).cast("string").isInCollection(ids))
 
   /** Survey variables must not appear in the analysis data
     * (survey_design.py:488-535). */

@@ -99,8 +99,14 @@ object SurveyKernel {
     }
     popMean :/= n.toDouble
 
-    // group clusters by stratum; center per stratum
-    val clusters = clusterSum.keys.toArray.sorted
+    // group clusters by stratum; center per stratum. ALL full-design
+    // clusters participate — clusters with no fitted rows (dropped by
+    // subsets/complete-case) contribute ZERO score rows, which shifts the
+    // stratum means exactly as the R survey package (and the reference's
+    // categorical groupby, which emits empty categories) computes them.
+    val clusters = design.stratForClustFull.keys.toArray.sorted
+    clusters.foreach(c => if (!clusterSum.contains(c))
+      clusterSum(c) = DenseVector.zeros[Double](p))
     val byStrat = clusters.groupBy(c => design.stratForClustFull(c))
     val centered = scala.collection.mutable.LinkedHashMap[String, DenseVector[Double]]()
     if (design.hasStrata) {

@@ -186,4 +186,85 @@ class WeightedAssociationSpec extends SparkSpec {
       surveyDesign = Some(design))
     g.keys.foreach(v => checkRow(res, v, g(v)))
   }
+
+  test("nhanes subset_cat: categorical subpopulation, design totals stay full") {
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_data.csv"))
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL", "RIAGENDR")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("race", "agecat")))
+    val design = new SurveyDesignSpec(cf.df, "id",
+      strata = Some("SDMVSTRA"), cluster = Some("SDMVPSU"), nest = true,
+      singleWeight = Some("WTMEC2YR"))
+      .subset(cf.df, org.apache.spark.sql.functions.col("agecat") =!= "(19,39]")
+    val data = Modify.colfilter(cf, only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
+    val g = golden(refPath("r_test_output/analyze/nhanes_complete_result_subset_cat.csv"))
+    Seq(("race", Seq("agecat", "RIAGENDR")), ("RIAGENDR", Seq("race", "agecat")))
+      .foreach { case (rv, covars) =>
+        val res = AssociationStudy.run(spark, data, outcomes = Seq("HI_CHOL"),
+          covariates = covars, regressionVariables = Seq(rv),
+          surveyDesign = Some(design))
+        checkRow(res, rv, g(rv), rtol = 1e-3)
+      }
+  }
+
+  test("nhanes subset_cont: continuous-mask subpopulation") {
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_data_subset.csv"))
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL", "RIAGENDR")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("race", "agecat")))
+    val design = new SurveyDesignSpec(cf.df, "id",
+      strata = Some("SDMVSTRA"), cluster = Some("SDMVPSU"), nest = true,
+      singleWeight = Some("WTMEC2YR"))
+      .subset(cf.df, org.apache.spark.sql.functions.col("subset") > 0)
+    val data = Modify.colfilter(cf, only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
+    val g = golden(refPath("r_test_output/analyze/nhanes_complete_result_subset_cont.csv"))
+    Seq(("race", Seq("agecat", "RIAGENDR")), ("agecat", Seq("race", "RIAGENDR")),
+      ("RIAGENDR", Seq("race", "agecat"))).foreach { case (rv, covars) =>
+      val res = AssociationStudy.run(spark, data, outcomes = Seq("HI_CHOL"),
+        covariates = covars, regressionVariables = Seq(rv),
+        surveyDesign = Some(design))
+      checkRow(res, rv, g(rv))
+    }
+  }
+
+  test("nhanes subset with separate design table and subset-induced single clusters") {
+    val cfData = Load.fromTsv(spark, refPath("test_data_files/nhanes_subset/data.txt"), Some("ID"))
+    val cfSurvey = Load.fromTsv(spark,
+      refPath("test_data_files/nhanes_subset/design_data.txt"), Some("ID"))
+    // survey_df.loc[df.index]: restrict the design to the data's rows
+    val surveyDf = cfSurvey.df.join(cfData.df.select("id"), Seq("id"), "left_semi")
+    var cf = cfData
+    cf = Modify.makeBinary(cf, only = Some(Seq("LBXHBC", "black", "female")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("SES_LEVEL", "SDDSRVYR")))
+    val design = new SurveyDesignSpec(surveyDf, "id",
+      strata = Some("SDMVSTRA"), cluster = Some("SDMVPSU"), nest = true,
+      singleWeight = Some("WTMEC4YR"))
+      .subset(cf.df, org.apache.spark.sql.functions.col("black") === "1")
+    val data = Modify.colfilter(cf, skip = Some(Seq("black")))
+    val g = golden(refPath("r_test_output/analyze/nhanes_subset_result.csv"))
+    val res = AssociationStudy.run(spark, data, outcomes = Seq("LBXLYPCT"),
+      covariates = Seq("female", "SES_LEVEL", "RIDAGEYR", "SDDSRVYR", "BMXBMI"),
+      regressionVariables = Seq("LBXVCF", "SMD160", "LBXHBC", "LBDEONO"),
+      minN = 50, surveyDesign = Some(design))
+    g.keys.foreach(v => checkRow(res, v, g(v)))
+  }
+
+  test("nhanes_complete_withna: full design with NA-heavy categorical") {
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_NAs_data.csv"))
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL", "RIAGENDR")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("race", "agecat")))
+    val design = new SurveyDesignSpec(cf.df, "id",
+      strata = Some("SDMVSTRA"), cluster = Some("SDMVPSU"), nest = true,
+      singleWeight = Some("WTMEC2YR"))
+    val data = Modify.colfilter(cf, only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
+    val g = golden(refPath("r_test_output/analyze/nhanes_complete_withna_result.csv"))
+    Seq(("race", Seq("agecat", "RIAGENDR")), ("agecat", Seq("race", "RIAGENDR")),
+      ("RIAGENDR", Seq("race", "agecat"))).foreach { case (rv, covars) =>
+      val res = AssociationStudy.run(spark, data, outcomes = Seq("HI_CHOL"),
+        covariates = covars, regressionVariables = Seq(rv),
+        surveyDesign = Some(design))
+      checkRow(res, rv, g(rv))
+    }
+  }
 }
