@@ -1,0 +1,139 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.analyze.{AssociationStudy, Corrections}
+import graft.describe.Describe
+import graft.io.Load
+import graft.model.CladeFrame
+import graft.modify.Modify
+
+/** Thin CLI mirroring the reference's `clarite-cli` verbs
+  * (reference: clarite/cli/cli.py:8-18, clarite/cli/commands). Pipeline
+  * state is
+  * materialized between invocations — the reference uses TSV + a dtypes
+  * JSON sidecar; this CLI keeps that format and runs one SparkSession per
+  * invocation (the natural `spark-submit` shape, SURVEY.md §3.3).
+  *
+  * Usage examples:
+  *   load from-csv <in.csv> <out>
+  *   describe summarize|percent-na|freq-table|correlations|skewness <in>
+  *   modify categorize|rowfilter-incomplete-obs|colfilter-min-n ... <in> <out>
+  *   analyze association-study <in> <outDir> --outcome y [--covariates a,b]
+  *   analyze add-corrected-pvalues <resultsDir> <outDir>
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { println(usage); sys.exit(2) }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.caseSensitive", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private def flag(args: List[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case List(`name`, v) => v }
+
+  private def loadState(spark: SparkSession, path: String): CladeFrame =
+    Load.loadTsvWithSidecar(spark, s"$path.txt", s"$path.dtypes")
+
+  private def saveState(cf: CladeFrame, path: String): Unit =
+    Load.saveTsvWithSidecar(cf, s"$path.txt", s"$path.dtypes")
+
+  def run(spark: SparkSession, args: List[String]): Unit = args match {
+    // ------------------------------------------------------------- load
+    case "load" :: "from-csv" :: in :: out :: rest =>
+      val cf = Load.withSequentialId(Load.rawDelimited(spark, in, ","))
+      saveState(cf, out)
+    case "load" :: "from-tsv" :: in :: out :: rest =>
+      val cf = Load.withSequentialId(Load.rawDelimited(spark, in, "\t"))
+      saveState(cf, out)
+
+    // --------------------------------------------------------- describe
+    case "describe" :: verb :: in :: _ =>
+      val cf = loadState(spark, in)
+      val out = verb match {
+        case "summarize"    => Describe.summarize(spark, cf)
+        case "percent-na"   => Describe.percentNa(spark, cf)
+        case "freq-table"   => Describe.freqTable(spark, cf)
+        case "correlations" => Describe.correlations(spark, cf)
+        case "skewness"     => Describe.skewness(spark, cf)
+        case "get-types"    => Describe.getTypes(spark, cf)
+        case other => throw new IllegalArgumentException(s"unknown describe verb: $other")
+      }
+      out.show(1000, truncate = false)
+
+    // ----------------------------------------------------------- modify
+    case "modify" :: verb :: in :: out :: rest =>
+      val cf = loadState(spark, in)
+      val only = flag(rest, "--only").map(_.split(",").toSeq)
+      val skip = flag(rest, "--skip").map(_.split(",").toSeq)
+      val result = verb match {
+        case "categorize" => Modify.categorize(cf,
+          flag(rest, "--cat-min").map(_.toInt).getOrElse(3),
+          flag(rest, "--cat-max").map(_.toInt).getOrElse(6),
+          flag(rest, "--cont-min").map(_.toInt).getOrElse(15)).frame
+        case "colfilter"              => Modify.colfilter(cf, skip, only)
+        case "colfilter-min-n"        => Modify.colfilterMinN(cf,
+          flag(rest, "--n").map(_.toLong).getOrElse(200L), skip, only)
+        case "colfilter-min-cat-n"    => Modify.colfilterMinCatN(cf,
+          flag(rest, "--n").map(_.toLong).getOrElse(200L), skip, only)
+        case "colfilter-percent-zero" => Modify.colfilterPercentZero(cf,
+          flag(rest, "--filter-percent").map(_.toDouble).getOrElse(90.0), skip, only)
+        case "rowfilter-incomplete-obs" => Modify.rowfilterIncompleteObs(cf, skip, only)
+        case "rowfilter" => Modify.rowfilter(cf,
+          flag(rest, "--column").get, flag(rest, "--comparison").getOrElse("eq"),
+          flag(rest, "--value").get)
+        case "make-binary"      => Modify.makeBinary(cf, skip, only)
+        case "make-categorical" => Modify.makeCategorical(cf, skip, only)
+        case "make-continuous"  => Modify.makeContinuous(cf, skip, only)
+        case "remove-outliers"  => Modify.removeOutliers(cf,
+          flag(rest, "--method").getOrElse("gaussian"),
+          flag(rest, "--cutoff").map(_.toDouble).getOrElse(3.0), skip, only)
+        case "transform" => Modify.transform(cf, flag(rest, "--method").get, skip, only)
+        case "drop-extra-categories" => Modify.dropExtraCategories(cf, skip, only)
+        case other => throw new IllegalArgumentException(s"unknown modify verb: $other")
+      }
+      saveState(result, out)
+
+    // ---------------------------------------------------------- analyze
+    case "analyze" :: "association-study" :: in :: out :: rest =>
+      val cf = loadState(spark, in)
+      val outcomes = flag(rest, "--outcome").get.split(",").toSeq
+      val covariates = flag(rest, "--covariates").map(_.split(",").toSeq).getOrElse(Nil)
+      val minN = flag(rest, "--min-n").map(_.toLong).getOrElse(200L)
+      val res = AssociationStudy.run(spark, cf, outcomes, covariates, minN = minN)
+      res.coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(out)
+    case "analyze" :: "add-corrected-pvalues" :: in :: out :: rest =>
+      val df = spark.read.option("sep", "\t").option("header", "true")
+        .option("inferSchema", "true").csv(in)
+      Corrections.addCorrectedPvalues(df,
+        flag(rest, "--pvalue").getOrElse("pvalue"))
+        .coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(out)
+
+    case other =>
+      println(usage)
+      throw new IllegalArgumentException(s"unknown command: ${other.take(2).mkString(" ")}")
+  }
+
+  private val usage: String =
+    """graft-cli — Spark-native CLARITE-style pipeline
+      |  load from-csv|from-tsv <in> <out>
+      |  describe summarize|percent-na|freq-table|correlations|skewness|get-types <in>
+      |  modify <verb> <in> <out> [--only a,b] [--skip a,b] [--n N] [--method m] ...
+      |  analyze association-study <in> <outDir> --outcome y [--covariates a,b] [--min-n N]
+      |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]
+      |State format: <path>.txt (TSV) + <path>.dtypes (JSON sidecar).""".stripMargin
+}

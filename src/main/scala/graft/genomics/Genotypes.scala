@@ -1,0 +1,115 @@
+package graft.genomics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{CladeFrame, VariableType}
+
+/** Genotype columns and dosage encodings (reference: the pandas-genomics
+  * `GenotypeDtype` accessor used at glm_regression.py:364-384 and
+  * interaction_study.py:66-89).
+  *
+  * Spark-native representation (SURVEY.md §1.3): a diploid call is an
+  * `array<int>` of allele indices (0 = ref, 1 = alt, -1 = missing) —
+  * columnar, null-free at the array level, and every encoding below is pure
+  * codegen'd column algebra (no UDFs), so encodings fuse into the scan at
+  * any scale.
+  */
+object Genotypes {
+
+  /** Count of alt alleles, null when any call is missing. */
+  private def altCount(g: Column): Column =
+    when(array_contains(g, -1) || isnull(g), lit(null))
+      .otherwise(aggregate(g, lit(0), (acc, a) => acc + when(a === 1, 1).otherwise(0)))
+
+  /** additive: 0/1/2 alt-allele dosage. */
+  def additive(g: Column): Column = altCount(g).cast("double")
+
+  /** dominant: 1 if any alt allele. */
+  def dominant(g: Column): Column =
+    when(altCount(g) >= 1, 1.0).otherwise(when(altCount(g).isNotNull, 0.0))
+
+  /** recessive: 1 only for homozygous alt. */
+  def recessive(g: Column): Column =
+    when(altCount(g) === 2, 1.0).otherwise(when(altCount(g).isNotNull, 0.0))
+
+  /** codominant: the genotype as a 3-level categorical ("0","1","2"). */
+  def codominant(g: Column): Column = altCount(g).cast("string")
+
+  /** edge: heterozygote coded with a per-variant weight alpha
+    * (pandas-genomics EDGE encoding); hom-ref = 0, hom-alt = 1. */
+  def edge(g: Column, alpha: Double): Column = {
+    val c = altCount(g)
+    when(c === 1, alpha).when(c === 2, 1.0).when(c === 0, 0.0)
+  }
+
+  /** Encode every genotype-kind variable of `cf` in place, returning a
+    * frame where those columns are continuous dosages (or 3-level
+    * categoricals for codominant) — the per-variable transform the study
+    * runners apply before fitting (reference: glm_regression.py:364-384). */
+  def encode(cf: CladeFrame, encoding: String,
+             edgeAlphas: Map[String, Double] = Map.empty): CladeFrame = {
+    val genoCols = cf.variablesOfType(VariableType.Genotype)
+    if (genoCols.isEmpty) return cf
+    val enc: (String, Column) => Column = (name, g) => encoding match {
+      case "additive"   => additive(g)
+      case "dominant"   => dominant(g)
+      case "recessive"  => recessive(g)
+      case "codominant" => codominant(g)
+      case "edge" => edge(g, edgeAlphas.getOrElse(name,
+        throw new IllegalArgumentException(s"edge encoding needs alpha for $name")))
+      case other => throw new IllegalArgumentException(s"unknown encoding: $other")
+    }
+    val df = genoCols.foldLeft(cf.df)((d, c) => d.withColumn(c, enc(c, col(c))))
+    val newTypes = genoCols.map(c => c ->
+      (if (encoding == "codominant") VariableType.Categorical else VariableType.Continuous))
+    val newLevels =
+      if (encoding == "codominant") genoCols.map(_ -> Seq("0", "1", "2")).toMap
+      else Map.empty[String, Seq[String]]
+    cf.copy(df = df, types = cf.types ++ newTypes, levels = cf.levels ++ newLevels)
+  }
+
+  /** Seeded case/control genotype simulator (a BAMS-like generator,
+    * reference fixture: tests/analyze/conftest.py:47-119): `nSnps` random
+    * SNPs with the given minor-allele frequency, `effectSnps` contributing
+    * log-odds `beta` per alt allele, plus an optional purely-interactive
+    * pair that shifts odds only when BOTH are alt-carrying. Fully
+    * distributed: one `spark.range`, per-row deterministic RNG seeded by
+    * (seed, sample id). */
+  def simulateCaseControl(
+      spark: SparkSession,
+      nSamples: Int,
+      nSnps: Int,
+      maf: Double = 0.3,
+      effectSnps: Map[Int, Double] = Map.empty,
+      interactionPair: Option[(Int, Int, Double)] = None,
+      seed: Long = 42L): CladeFrame = {
+    import spark.implicits._
+    val rows = spark.range(nSamples).as[Long].mapPartitions { it =>
+      it.map { i =>
+        val rnd = new scala.util.Random(seed * 1000003L + i)
+        val genos = Array.tabulate(nSnps) { _ =>
+          Array(
+            if (rnd.nextDouble() < maf) 1 else 0,
+            if (rnd.nextDouble() < maf) 1 else 0)
+        }
+        def dose(s: Int) = genos(s).count(_ == 1)
+        var logit = -0.5
+        effectSnps.foreach { case (s, b) => logit += b * dose(s) }
+        interactionPair.foreach { case (a, b, g) =>
+          if (dose(a) > 0 && dose(b) > 0) logit += g
+        }
+        val p = 1.0 / (1.0 + math.exp(-logit))
+        val outcome = if (rnd.nextDouble() < p) "Case" else "Control"
+        (i, outcome, genos)
+      }
+    }
+    val df = rows.toDF("id", "Outcome", "genos")
+    val withSnps = (0 until nSnps).foldLeft(df) { (d, s) =>
+      d.withColumn(s"SNP$s", col("genos").getItem(s))
+    }.drop("genos")
+    CladeFrame(withSnps)
+      .withTypes((0 until nSnps).map(s => s"SNP$s" -> (VariableType.Genotype: VariableType)).toMap
+        ++ Map("Outcome" -> VariableType.Binary))
+      .withLevels(Map("Outcome" -> Seq("Case", "Control")))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analyze.{AssociationStudy, InteractionStudy}
+import graft.genomics.Genotypes
+import graft.model.{CladeFrame, VariableType}
+
+/** Genotype encodings + GWAS power assertions mirroring the reference's
+  * simulation tests (reference: tests/analyze/test_gwas.py:10-31). */
+class GenotypesSpec extends SparkSpec {
+
+  test("dosage encodings: additive/dominant/recessive/codominant/edge") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0, 0)), (2L, Array(0, 1)),
+      (3L, Array(1, 1)), (4L, Array(-1, 1))).toDF("id", "g")
+    val out = df.select(
+      Genotypes.additive(col("g")).as("add"),
+      Genotypes.dominant(col("g")).as("dom"),
+      Genotypes.recessive(col("g")).as("rec"),
+      Genotypes.codominant(col("g")).as("cod"),
+      Genotypes.edge(col("g"), 0.7).as("edge")).collect()
+    assert(out(0).getDouble(0) === 0.0 && out(1).getDouble(0) === 1.0 && out(2).getDouble(0) === 2.0)
+    assert(out(3).isNullAt(0)) // missing call -> null
+    assert(out(0).getDouble(1) === 0.0 && out(1).getDouble(1) === 1.0 && out(2).getDouble(1) === 1.0)
+    assert(out(0).getDouble(2) === 0.0 && out(1).getDouble(2) === 0.0 && out(2).getDouble(2) === 1.0)
+    assert(out(1).getString(3) === "1")
+    assertRtol(out(1).getDouble(4), 0.7, 1e-12, "edge het")
+    assert(out(2).getDouble(4) === 1.0)
+  }
+
+  test("GWAS power: main-effect SNPs reach 1e-5; null SNPs don't; interaction-only pair caught") {
+    val cf = Genotypes.simulateCaseControl(spark,
+      nSamples = 3000, nSnps = 8, maf = 0.3,
+      effectSnps = Map(0 -> 0.8, 1 -> 0.8),
+      interactionPair = Some((2, 3, 1.5)))
+    val encoded = Genotypes.encode(cf, "additive")
+    val res = AssociationStudy.run(spark, encoded, outcomes = Seq("Outcome"),
+      regressionVariables = (0 until 8).map(s => s"SNP$s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(r.fieldIndex("pvalue"))).toMap
+    assert(res("SNP0") <= 1e-5, s"main-effect SNP0 p=${res("SNP0")}")
+    assert(res("SNP1") <= 1e-5, s"main-effect SNP1 p=${res("SNP1")}")
+    // pure-noise SNPs must NOT hit genome-wide significance
+    Seq("SNP4", "SNP5", "SNP6", "SNP7").foreach { s =>
+      assert(res(s) > 1e-5, s"null $s p=${res(s)}")
+    }
+    // the interaction-only pair is caught by the interaction study
+    val inter = InteractionStudy.run(spark, encoded, "Outcome",
+      interactions = Seq(("SNP2", "SNP3"), ("SNP4", "SNP5")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(r.fieldIndex("LRT_pvalue"))).toMap
+    assert(inter(("SNP2", "SNP3")) < 0.01, s"interaction pair p=${inter(("SNP2", "SNP3"))}")
+    assert(inter(("SNP4", "SNP5")) > 0.01, s"null pair p=${inter(("SNP4", "SNP5"))}")
+  }
+
+  test("Case/Control outcome ordering: Control is the reference level") {
+    val cf = Genotypes.simulateCaseControl(spark, nSamples = 500, nSnps = 1,
+      effectSnps = Map(0 -> 1.0))
+    val encoded = Genotypes.encode(cf, "additive")
+    val r = AssociationStudy.run(spark, encoded, outcomes = Seq("Outcome"),
+      regressionVariables = Seq("SNP0")).collect().head
+    // positive effect on Case odds -> positive beta iff Case encoded as 1
+    assert(r.getDouble(r.fieldIndex("Beta")) > 0)
+  }
+}
