@@ -20,6 +20,19 @@ final case class InteractionResult(
     Beta_pvalue: Option[Double],
     LRT_pvalue: Option[Double])
 
+/** One row per interaction parameter in `report_betas` mode
+  * (reference: interaction_regression.py:255-295) — reduced- and full-model
+  * coefficients for each interaction design column. */
+final case class InteractionBetaResult(
+    Term1: String, Term2: String, Outcome: String, Parameter: String,
+    Converged: Boolean, N: Long, LRT_pvalue: Option[Double],
+    Red_Var1_beta: Option[Double], Red_Var1_SE: Option[Double], Red_Var1_Pval: Option[Double],
+    Red_Var2_beta: Option[Double], Red_Var2_SE: Option[Double], Red_Var2_Pval: Option[Double],
+    Full_Var1_Var2_beta: Option[Double], Full_Var1_Var2_SE: Option[Double],
+    Full_Var1_Var2_Pval: Option[Double],
+    Full_Var1_beta: Option[Double], Full_Var1_SE: Option[Double], Full_Var1_Pval: Option[Double],
+    Full_Var2_beta: Option[Double], Full_Var2_SE: Option[Double], Full_Var2_Pval: Option[Double])
+
 /** Pairwise interaction study — `analyze.interaction_study`
   * (reference: clarite/modules/analyze/interaction_study.py:10-137,
   * interaction_regression.py:22-501). For each pair (v1, v2): LRT of
@@ -84,22 +97,87 @@ object InteractionStudy {
     val colsB = spark.sparkContext.broadcast(colData)
 
     val outcomeName = outcome
-    val results = interactions.toDS().repartition(
+    val pairsDs = interactions.toDS().repartition(
       math.min(interactions.size, spark.sparkContext.defaultParallelism))
-      .map { case (v1, v2) =>
+    if (!reportBetas) {
+      val results = pairsDs.map { case (v1, v2) =>
         fitPair(v1, v2, outcomeName, yB.value, colsB.value, typesMap, levelsMap,
           covariates, family, minN)
       }
-    results.toDF().orderBy(col("LRT_pvalue").asc_nulls_last, col("Term1"), col("Term2"))
+      results.toDF().orderBy(col("LRT_pvalue").asc_nulls_last, col("Term1"), col("Term2"))
+    } else {
+      val results = pairsDs.flatMap { case (v1, v2) =>
+        fitPairBetas(v1, v2, outcomeName, yB.value, colsB.value, typesMap,
+          levelsMap, covariates, family, minN)
+      }
+      results.toDF().orderBy(col("LRT_pvalue").asc_nulls_last,
+        col("Full_Var1_Var2_Pval").asc_nulls_last, col("Parameter"))
+    }
+  }
+
+  /** report_betas mode: one row per interaction design column with reduced-
+    * and full-model coefficient reports (reference:
+    * interaction_regression.py:255-295). */
+  private def fitPairBetas(
+      v1: String, v2: String, outcome: String,
+      y: Array[Double], colData: Map[String, Array[String]],
+      types: Map[String, String], levels: Map[String, Seq[String]],
+      covariates: Seq[String], family: Glm.Family, minN: Long): Seq[InteractionBetaResult] = {
+    try {
+      val a1 = colData(v1); val a2 = colData(v2)
+      val idx = (0 until y.length).filter(i => a1(i) != null && a2(i) != null).toArray
+      val n = idx.length
+      if (n < minN || n < 3) return Nil
+
+      val ySub = DenseVector(idx.map(y))
+      val covarTerms = covariates.map(c => term(c, types(c), idx.map(colData(c)), levels))
+      val t1 = term(v1, types(v1), idx.map(a1), levels)
+      val t2 = term(v2, types(v2), idx.map(a2), levels)
+      if (!t1.varies || !t2.varies) return Nil
+      val inter = ProductTerm(t1, t2)
+
+      val (namesRest, xRest) = DesignMatrix.build(n, covarTerms ++ Seq(t1, t2))
+      val (namesFull, xFull) = DesignMatrix.build(n, covarTerms ++ Seq(t1, t2, inter))
+      val rest = Glm.fit(xRest, ySub, family)
+      val full = Glm.fit(xFull, ySub, family)
+      val lrdf = full.p - rest.p
+      val lrstat = -2.0 * (rest.llf - full.llf)
+      val lrP =
+        if (lrdf == 0 && lrstat == 0.0) None
+        else Some(graft.stats.Distributions.chi2Sf(lrstat, lrdf.toDouble))
+      val converged = full.converged && rest.converged
+
+      def coef(names: Seq[String], fit: Glm.Fit, nm: String)
+          : (Option[Double], Option[Double], Option[Double]) = {
+        val i = names.indexOf(nm)
+        if (i < 0) (None, None, None)
+        else (Some(fit.beta(i)), Some(fit.se(i)), Some(fit.pvalue(i, family)))
+      }
+
+      inter.columns.map(_._1).map { param =>
+        val Array(p1, p2) = param.split(":", 2)
+        val (rb1, rs1, rp1) = coef(namesRest, rest, p1)
+        val (rb2, rs2, rp2) = coef(namesRest, rest, p2)
+        val (fbi, fsi, fpi) = coef(namesFull, full, param)
+        val (fb1, fs1, fp1) = coef(namesFull, full, p1)
+        val (fb2, fs2, fp2) = coef(namesFull, full, p2)
+        InteractionBetaResult(p1, p2, outcome, param, converged, n, lrP,
+          rb1, rs1, rp1, rb2, rs2, rp2, fbi, fsi, fpi, fb1, fs1, fp1, fb2, fs2, fp2)
+      }
+    } catch {
+      case _: Exception => Nil
+    }
   }
 
   private def term(name: String, kind: String, raw: Array[String],
                    levels: Map[String, Seq[String]]): DesignMatrix.Term = kind match {
     case "continuous" =>
       DesignMatrix.ContinuousTerm(name, raw.map(_.toDouble))
-    case "binary" =>
-      DesignMatrix.BinaryTerm(name, raw, levels.getOrElse(name, raw.distinct.sorted.toSeq))
     case _ =>
+      // binary AND categorical enter interaction formulas as patsy
+      // categoricals (dummy columns named `var[T.level]`) — the reference
+      // builds these via formula strings, unlike the main-effect study's
+      // "binary treated as continuous 0/1" rule
       DesignMatrix.CategoricalTerm(name, raw)
   }
 

@@ -113,4 +113,28 @@ class AssociationStudySpec extends SparkSpec {
       assertRtol(r.getDouble(r.fieldIndex("pvalue")), g("pvalue"), 1e-4, s"$v pvalue")
     }
   }
+
+  test("standardize_data: z-scoring changes betas but not pvalues") {
+    // (reference contract: standardization affects Beta/SE, not pvalues -
+    // weighted_glm_regression.py docstring)
+    val plain = AssociationStudy.run(spark, nhanes, outcomes = Seq("HI_CHOL"),
+      covariates = Seq("race", "agecat"), regressionVariables = Seq("RIAGENDR"))
+      .collect().head
+    val std = AssociationStudy.run(spark, nhanes, outcomes = Seq("HI_CHOL"),
+      covariates = Seq("race", "agecat"), regressionVariables = Seq("RIAGENDR"),
+      standardizeData = true).collect().head
+    // binary rv is 0/1 either way; continuous covariates absent -> same fit;
+    // use a continuous rv for the real check
+    var cf = Modify.makeContinuous(nhanes, only = Some(Seq("WTMEC2YR")))
+    val plainC = AssociationStudy.run(spark, cf, outcomes = Seq("HI_CHOL"),
+      covariates = Seq("race"), regressionVariables = Seq("WTMEC2YR"))
+      .collect().head
+    val stdC = AssociationStudy.run(spark, cf, outcomes = Seq("HI_CHOL"),
+      covariates = Seq("race"), regressionVariables = Seq("WTMEC2YR"),
+      standardizeData = true).collect().head
+    assertRtol(stdC.getDouble(stdC.fieldIndex("pvalue")),
+      plainC.getDouble(plainC.fieldIndex("pvalue")), 1e-6, "pvalue invariant")
+    assert(math.abs(stdC.getDouble(stdC.fieldIndex("Beta")) -
+      plainC.getDouble(plainC.fieldIndex("Beta"))) > 1e-6, "beta should change")
+  }
 }

@@ -73,4 +73,62 @@ class InteractionStudySpec extends SparkSpec {
       interactions = pairs, covariates = Nil)
     check(res, golden("nhanes_pairwise.csv"))
   }
+
+  private def goldenBetas(file: String): Map[String, Map[String, Double]] = {
+    // keyed by Parameter; values: N, LRT_pvalue, Full_Var1_Var2_{beta,SE,Pval}
+    val lines = scala.io.Source.fromFile(refPath(s"r_test_output/interactions/$file"))
+      .getLines().toSeq
+    val header = splitCsv(lines.head)
+    lines.tail.map { l =>
+      val c = splitCsv(l)
+      val m = header.zip(c).toMap
+      m("Parameter") -> Seq("N", "LRT_pvalue", "Full_Var1_Var2_beta",
+        "Full_Var1_Var2_SE", "Full_Var1_Var2_Pval")
+        .flatMap(k => m.get(k).filter(_.nonEmpty).map(v => k -> v.toDouble)).toMap
+    }.toMap
+  }
+
+  /** minimal quoted-field CSV splitter (golden files quote params with commas) */
+  private def splitCsv(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inQ = false
+    line.foreach {
+      case '"' => inQ = !inQ
+      case ',' if !inQ => out += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    out += sb.toString
+    out.toArray
+  }
+
+  Seq(
+    ("nhanes_ageXgender_withbetas.csv", ("agecat", "RIAGENDR"), Seq("race"), 1e-2),
+    ("nhanes_weightXrace_withbetas.csv", ("WTMEC2YR", "race"), Seq("agecat", "RIAGENDR"), 1e-4))
+    .foreach { case (file, (v1, v2), covars, rtol) =>
+      test(s"$file: per-parameter interaction betas") {
+        var data = Modify.colfilter(nhanes,
+          only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat", "WTMEC2YR")))
+        data = Modify.makeContinuous(data, only = Some(Seq("WTMEC2YR")))
+        val res = InteractionStudy.run(spark, data, "HI_CHOL",
+          interactions = Seq((v1, v2)), covariates = covars, reportBetas = true)
+        val rows = res.collect().map { r =>
+          r.getString(r.fieldIndex("Parameter")) -> r
+        }.toMap
+        val g = goldenBetas(file)
+        assert(rows.keySet === g.keySet,
+          s"parameter sets differ: ${rows.keySet} vs ${g.keySet}")
+        g.foreach { case (param, exp) =>
+          val r = rows(param)
+          assert(r.getLong(r.fieldIndex("N")) === exp("N").toLong, s"$param N")
+          assertRtol(r.getDouble(r.fieldIndex("LRT_pvalue")), exp("LRT_pvalue"),
+            rtol, s"$param LRT")
+          Seq("Full_Var1_Var2_beta", "Full_Var1_Var2_SE", "Full_Var1_Var2_Pval")
+            .foreach { k =>
+              exp.get(k).foreach(v =>
+                assertRtol(r.getDouble(r.fieldIndex(k)), v, rtol, s"$param $k"))
+            }
+        }
+      }
+    }
 }
