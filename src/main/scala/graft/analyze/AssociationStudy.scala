@@ -24,7 +24,8 @@ final case class AssocResult(
     Beta_pvalue: Option[Double],
     LRT_pvalue: Option[Double],
     Diff_AIC: Option[Double],
-    pvalue: Option[Double])
+    pvalue: Option[Double],
+    Category: Option[String] = None)
 
 /** Mass per-variable GLM association study (EWAS/PhEWAS) —
   * `analyze.association_study` (reference: association_study.py:14-132,
@@ -81,7 +82,8 @@ object AssociationStudy {
       regressionVariables: Seq[String] = Nil,
       minN: Long = 200,
       standardizeData: Boolean = false,
-      surveyDesign: Option[SurveyDesignSpec] = None): DataFrame = {
+      surveyDesign: Option[SurveyDesignSpec] = None,
+      reportCategoricalBetas: Boolean = false): DataFrame = {
     import spark.implicits._
     val rvs =
       if (regressionVariables.nonEmpty) regressionVariables
@@ -90,7 +92,7 @@ object AssociationStudy {
     surveyDesign.foreach(_.validateAgainstData(cf.variables))
     val perOutcome = outcomes.map { outcome =>
       runOne(spark, cf, outcome, covariates, rvs.filterNot(_ == outcome), minN,
-        standardizeData, surveyDesign)
+        standardizeData, surveyDesign, reportCategoricalBetas)
     }
     val all = perOutcome.reduce(_ unionByName _)
     // global sort by pvalue (reference: association_study.py:126-129)
@@ -105,12 +107,13 @@ object AssociationStudy {
       rvs: Seq[String],
       minN: Long,
       standardize: Boolean,
-      surveyDesign: Option[SurveyDesignSpec] = None): DataFrame = {
+      surveyDesign: Option[SurveyDesignSpec] = None,
+      reportCategoricalBetas: Boolean = false): DataFrame = {
     import spark.implicits._
 
     // tall-data fast path: every design column numeric -> distributed
     // sufficient-statistics GLM, no collect/melt (see AggregatedGlm)
-    if (surveyDesign.isEmpty &&
+    if (surveyDesign.isEmpty && !reportCategoricalBetas &&
         AggregatedGlm.supports(cf, outcome, covariates, rvs, standardize))
       return AggregatedGlm.run(spark, cf, outcome, covariates, rvs, minN)
 
@@ -201,7 +204,8 @@ object AssociationStudy {
 
     val outcomeName = outcome
     val doStd = standardize
-    val results = long.groupByKey(_._2).mapGroups { (variable, it) =>
+    val catBetas = reportCategoricalBetas
+    val results = long.groupByKey(_._2).flatMapGroups { (variable, it) =>
       val b = base.value
       val pairs = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
       it.foreach { case (id, _, v) =>
@@ -211,7 +215,7 @@ object AssociationStudy {
       val vals = pairs.map(_._2).toArray
       val kind = typesB.value(variable)
       fitOne(variable, outcomeName, kind, levelsB.value.get(variable), b, idx,
-        vals, family, minN, doStd)
+        vals, family, minN, doStd, catBetas)
     }
     results.toDF()
   }
@@ -228,17 +232,18 @@ object AssociationStudy {
       vals: Array[String],
       family: Glm.Family,
       minN: Long,
-      standardize: Boolean): AssocResult = {
+      standardize: Boolean,
+      reportCategoricalBetas: Boolean = false): Seq[AssocResult] = {
     val n = idx.length
     val nullRes = AssocResult(variable, outcome, kind, None, Converged = false,
       n, None, None, None, None, None, None)
-    if (n < minN || n < 3) return nullRes
+    if (n < minN || n < 3) return Seq(nullRes)
 
     try {
       b.survey match {
         case Some(sv) =>
           return fitOneWeighted(variable, outcome, kind, knownLevels, b, sv,
-            idx, vals, family, minN, standardize)
+            idx, vals, family, minN, standardize, reportCategoricalBetas)
         case None => ()
       }
       val ySub = DenseVector(idx.map(b.y))
@@ -262,33 +267,44 @@ object AssociationStudy {
               DesignMatrix.ContinuousTerm(variable,
                 if (standardize) DesignMatrix.zscore(raw) else raw)
           }
-          if (!rvTerm.varies) return nullRes
+          if (!rvTerm.varies) return Seq(nullRes)
           val (names, x) = DesignMatrix.build(n, covarTerms :+ rvTerm)
           val fit = Glm.fit(x, ySub, family)
           val i = names.indexWhere(_ == rvTerm.columns.head._1)
           val beta = fit.beta(i)
           val se = fit.se(i)
           val p = fit.pvalue(i, family)
-          AssocResult(variable, outcome, kind, None, fit.converged, n,
-            Some(beta), Some(se), Some(p), None, None, Some(p))
+          Seq(AssocResult(variable, outcome, kind, None, fit.converged, n,
+            Some(beta), Some(se), Some(p), None, None, Some(p)))
 
         case "categorical" =>
           val rvTerm = DesignMatrix.CategoricalTerm(variable, vals)
-          if (!rvTerm.varies) return nullRes
-          val (_, xFull) = DesignMatrix.build(n, covarTerms :+ rvTerm)
+          if (!rvTerm.varies) return Seq(nullRes)
+          val (namesFull, xFull) = DesignMatrix.build(n, covarTerms :+ rvTerm)
           val (_, xRest) = DesignMatrix.build(n, covarTerms)
           val full = Glm.fit(xFull, ySub, family)
           val rest = Glm.fit(xRest, ySub, family)
           val (_, lrP, diffAic) = Glm.lrt(full, rest)
-          AssocResult(variable, outcome, kind, None,
-            full.converged && rest.converged, n,
-            None, None, None, Some(lrP), Some(diffAic), Some(lrP))
+          val converged = full.converged && rest.converged
+          if (!reportCategoricalBetas)
+            Seq(AssocResult(variable, outcome, kind, None, converged, n,
+              None, None, None, Some(lrP), Some(diffAic), Some(lrP)))
+          else {
+            // per-level rows (reference: glm_regression.py:340-354)
+            rvTerm.columns.map(_._1).map { param =>
+              val i = namesFull.indexOf(param)
+              AssocResult(variable, outcome, kind, None, converged, n,
+                Some(full.beta(i)), Some(full.se(i)),
+                Some(full.pvalue(i, family)), Some(lrP), Some(diffAic),
+                Some(lrP), Category = Some(param))
+            }
+          }
 
         case other =>
-          nullRes.copy(Variable_type = other)
+          Seq(nullRes.copy(Variable_type = other))
       }
     } catch {
-      case _: Exception => nullRes
+      case _: Exception => Seq(nullRes)
     }
   }
 
@@ -306,7 +322,8 @@ object AssociationStudy {
       vals0: Array[String],
       family: Glm.Family,
       minN: Long,
-      standardize: Boolean): AssocResult = {
+      standardize: Boolean,
+      reportCategoricalBetas: Boolean = false): Seq[AssocResult] = {
     val weightName = sv.weightNameFor(variable)
     val wAll: Array[Double] = weightName match {
       case Some(wn) => sv.weightsByName(wn)
@@ -323,9 +340,9 @@ object AssociationStudy {
       else if (sv.dropUnweighted) {
         val keep = idx0.indices.filterNot(missingW.toSet).toArray
         (keep.map(idx0), keep.map(vals0))
-      } else return nullRes
+      } else return Seq(nullRes)
     val n = idx.length
-    if (n < minN || n < 3) return nullRes.copy(N = n)
+    if (n < minN || n < 3) return Seq(nullRes.copy(N = n))
 
     try {
       val ySub = DenseVector(idx.map(b.y))
@@ -358,7 +375,7 @@ object AssociationStudy {
               DesignMatrix.ContinuousTerm(variable,
                 if (standardize) DesignMatrix.zscore(raw) else raw)
           }
-          if (!rvTerm.varies) return nullRes.copy(N = n)
+          if (!rvTerm.varies) return Seq(nullRes.copy(N = n))
           val (names, x) = DesignMatrix.build(n, covarTerms :+ rvTerm)
           val fit = Glm.fit(x, ySub, family, Some(DenseVector(w)))
           val i = names.indexWhere(_ == rvTerm.columns.head._1)
@@ -373,12 +390,12 @@ object AssociationStudy {
           val (se, p) =
             if (dof < 1) (Double.PositiveInfinity, 1.0)
             else (se0, graft.stats.Distributions.tSfTwoSided(beta / se0, dof))
-          AssocResult(variable, outcome, kind, weightName, fit.converged, n,
-            Some(beta), Some(se), Some(p), None, None, Some(p))
+          Seq(AssocResult(variable, outcome, kind, weightName, fit.converged, n,
+            Some(beta), Some(se), Some(p), None, None, Some(p)))
 
         case "categorical" =>
           val rvTerm = DesignMatrix.CategoricalTerm(variable, vals)
-          if (!rvTerm.varies) return nullRes.copy(N = n)
+          if (!rvTerm.varies) return Seq(nullRes.copy(N = n))
           val (namesFull, xFull) = DesignMatrix.build(n, covarTerms :+ rvTerm)
           val (_, xRest) = DesignMatrix.build(n, covarTerms)
           val wVec = Some(DenseVector(w))
@@ -395,15 +412,30 @@ object AssociationStudy {
           }
           val dof = design.dof(n, xFull.cols)
           val lrP = SurveyKernel.regTermTest(chisq, rvIdx, vcov, v0, dof)
+          val converged = full.converged && rest.converged
           // no Diff_AIC for weighted categorical (may be inaccurate)
-          AssocResult(variable, outcome, kind, weightName,
-            full.converged && rest.converged, n,
-            None, None, None, Some(lrP), None, Some(lrP))
+          if (!reportCategoricalBetas)
+            Seq(AssocResult(variable, outcome, kind, weightName, converged, n,
+              None, None, None, Some(lrP), None, Some(lrP)))
+          else {
+            // per-level betas with sandwich SEs and survey-dof t inference
+            // (reference: weighted_glm_regression.py report_categorical_betas)
+            rvIdx.map { i =>
+              val beta = full.beta(i)
+              val se0 = math.sqrt(vcov(i, i))
+              val (se, bp) =
+                if (dof < 1) (Double.PositiveInfinity, 1.0)
+                else (se0, graft.stats.Distributions.tSfTwoSided(beta / se0, dof))
+              AssocResult(variable, outcome, kind, weightName, converged, n,
+                Some(beta), Some(se), Some(bp), Some(lrP), None, Some(lrP),
+                Category = Some(namesFull(i)))
+            }
+          }
 
-        case other => nullRes.copy(Variable_type = other)
+        case other => Seq(nullRes.copy(Variable_type = other))
       }
     } catch {
-      case _: Exception => nullRes.copy(N = n)
+      case _: Exception => Seq(nullRes.copy(N = n))
     }
   }
 }

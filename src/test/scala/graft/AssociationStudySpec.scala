@@ -137,4 +137,21 @@ class AssociationStudySpec extends SparkSpec {
     assert(math.abs(stdC.getDouble(stdC.fieldIndex("Beta")) -
       plainC.getDouble(plainC.fieldIndex("Beta"))) > 1e-6, "beta should change")
   }
+
+  test("report_categorical_betas: one row per non-reference level, shared LRT") {
+    val plain = AssociationStudy.run(spark, nhanes, outcomes = Seq("HI_CHOL"),
+      covariates = Seq("agecat", "RIAGENDR"), regressionVariables = Seq("race"))
+      .collect().head
+    val betas = AssociationStudy.run(spark, nhanes, outcomes = Seq("HI_CHOL"),
+      covariates = Seq("agecat", "RIAGENDR"), regressionVariables = Seq("race"),
+      reportCategoricalBetas = true).collect()
+    assert(betas.length === 3) // race has 4 observed levels -> 3 dummies
+    val cats = betas.map(_.getString(betas.head.fieldIndex("Category"))).toSet
+    assert(cats === Set("race[T.2]", "race[T.3]", "race[T.4]"))
+    betas.foreach { r =>
+      assertRtol(r.getDouble(r.fieldIndex("LRT_pvalue")),
+        plain.getDouble(plain.fieldIndex("pvalue")), 1e-12, "shared LRT")
+      assert(!r.isNullAt(r.fieldIndex("Beta")) && !r.isNullAt(r.fieldIndex("SE")))
+    }
+  }
 }
