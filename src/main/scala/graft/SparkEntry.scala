@@ -291,6 +291,12 @@ object SparkEntry {
       Describe.summarize(s, rep.frame).orderBy("type")
     }),
 
+    "describe_histogram" -> ((s, dir) =>
+      graft.describe.Plots.histogram(t(s, dir, "lineitem"), "l_extendedprice", bins = 20)
+        .select(col("bin"), round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"),
+          col("count"))
+        .orderBy("bin")),
+
     // ---- analyze (SURVEY §2.10, §2.6, §2.7)
     "analyze_assoc_continuous" -> ((s, dir) => {
       // all-numeric design -> routed to the distributed sufficient-stats
@@ -680,6 +686,16 @@ object SparkEntry {
            (SELECT count(*) FROM d WHERE d.decision = kinds.type) AS n_variables,
            (SELECT count(*) FROM events) AS n_rows
          FROM kinds ORDER BY kinds.type""",
+
+    "describe_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+         w AS (SELECT lo, hi, (hi - lo) / 20 AS width FROM b),
+         binned AS (SELECT CAST(least(floor((l_extendedprice - w.lo) / w.width), 19) AS INT) AS bin
+                    FROM lineitem, w)
+         SELECT bin, round((SELECT lo FROM w) + bin * (SELECT width FROM w), 4) AS lo,
+           round((SELECT lo FROM w) + (bin + 1) * (SELECT width FROM w), 4) AS hi,
+           count(*) AS count
+         FROM binned GROUP BY bin ORDER BY bin""",
 
     "analyze_assoc_continuous" ->
       """SELECT variable, n, round(beta, 4) AS beta, round(se, 4) AS se FROM (

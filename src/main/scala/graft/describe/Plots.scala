@@ -1,0 +1,52 @@
+package graft.describe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data preparation behind the reference's plotting surface
+  * (SURVEY.md §2.11 — the engine's responsibility ends at producing the
+  * aggregates each plot consumes; rendering is driver-side).
+  *
+  *  - histogram: equal-width binning as ONE groupBy over the bin index
+  *    (reference: plot/histogram.py:9-65)
+  *  - distributions: per-variable histograms for continuous vars via melt
+  *    (reference: plot/distributions.py:19-175)
+  *  - manhattan prep lives in analyze.Corrections (−log10 p + positions)
+  *  - top_results prep is Corrections.topResults (ordered limit)
+  */
+object Plots {
+
+  /** Equal-width histogram: (bin, lo, hi, count), bins indexed 0..n-1 over
+    * [min, max]; the max value falls in the last bin (matplotlib behavior).
+    * Two passes: one min/max aggregate, one groupBy on the computed bin. */
+  def histogram(df: DataFrame, column: String, bins: Int = 100): DataFrame = {
+    val r = df.agg(min(col(column)).cast("double"), max(col(column)).cast("double")).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / bins else 1.0
+    val bin = least(floor((col(column) - lit(lo)) / lit(width)), lit(bins - 1)).cast("int")
+    df.filter(col(column).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("count"))
+      .withColumn("lo", lit(lo) + col("bin") * lit(width))
+      .withColumn("hi", lit(lo) + (col("bin") + 1) * lit(width))
+      .select("bin", "lo", "hi", "count")
+      .orderBy("bin")
+  }
+
+  /** Per-variable histograms for a set of continuous columns: melt + one
+    * grouped aggregation (the multi-page `distributions` PDF data). */
+  def distributions(spark: SparkSession, df: DataFrame, columns: Seq[String],
+                    bins: Int = 100): DataFrame = {
+    import graft.modify.Modify
+    val long = Modify.meltNumeric(df, columns).filter(col("value").isNotNull)
+    val ranges = long.groupBy("variable")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    long.join(broadcast(ranges), "variable")
+      .withColumn("width",
+        when(col("hi") > col("lo"), (col("hi") - col("lo")) / bins).otherwise(1.0))
+      .withColumn("bin",
+        least(floor((col("value") - col("lo")) / col("width")), lit(bins - 1)).cast("int"))
+      .groupBy("variable", "bin").agg(count(lit(1)).as("count"))
+      .orderBy("variable", "bin")
+  }
+}
