@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Column wrappers + SQL registration for graft's native expressions. */
+object GraftFunctions {
+
+  /** Register SQL names on a session; idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "scala_udf")
+
+  /** cosine_similarity(a, b) as a Column. Registers on the active session
+    * first (Column <-> Expression bridges are session-private in Spark 4;
+    * `call_function` is the public path). */
+  def cosine_similarity(a: Column, b: Column): Column = {
+    SparkSession.active.synchronized(register(SparkSession.active))
+    org.apache.spark.sql.functions.call_function("cosine_similarity", a, b)
+  }
+}
+
+/** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * injects the native functions into every session (the supported
+  * extension point for adding catalyst expressions cluster-wide). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}

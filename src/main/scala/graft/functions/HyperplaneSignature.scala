@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native random-hyperplane LSH signature: bit b of the result is
+  * sign(v · plane_b). The plane matrix rides inside the expression node
+  * (seeded, deterministic), so the whole signature is ONE codegen'd loop —
+  * the composable formulation (bits × dim chained `element_at` adds) builds
+  * hundreds of expression nodes and falls out of whole-stage codegen.
+  */
+case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_signature needs array<float>, got ${t.simpleString}")
+    }
+
+  @transient private lazy val flat: Array[Double] = planes.flatten.toArray
+  private def bits: Int = planes.length
+  private def dim: Int = if (planes.isEmpty) 0 else planes.head.length
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var proj = 0.0
+      var i = 0
+      val off = b * dim
+      while (i < n) { proj += x.getFloat(i) * flat(off + i); i += 1 }
+      if (proj >= 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // embed the plane matrix as a reference object in the generated class
+    val flatRef = ctx.addReferenceObj("planes", flat, "double[]")
+    val bitsV = bits
+    val dimV = dim
+    nullSafeCodeGen(ctx, ev, x => {
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val proj = ctx.freshName("proj")
+      val sig = ctx.freshName("sig")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $dimV);
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $bitsV; $b++) {
+         |  double $proj = 0.0;
+         |  int $off = $b * $dimV;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $proj += ((double) $x.getFloat($i)) * $flatRef[$off + $i];
+         |  }
+         |  if ($proj >= 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "hyperplane_signature"
+}

@@ -37,8 +37,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(dot(col("qv"), col("cv")) /
-        (norm(col("qv")) * norm(col("cv"))), roundTo))
+      .withColumn("cosine", round(
+        graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("cv")), roundTo))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -47,19 +47,22 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: `bits` hyperplanes with deterministic
-    * seeded coefficients; bit i = sign(v · h_i). Returned as an int. */
+    * seeded coefficients; bit i = sign(v · h_i). Implemented as the native
+    * codegen'd HyperplaneSignature expression (the plane matrix rides in
+    * the plan as a reference object; ONE fused loop instead of bits x dim
+    * chained element_at nodes). */
   def hyperplaneSignature(dim: Int, bits: Int, seed: Long = 42L)
       : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
     vec => {
-      var sig: org.apache.spark.sql.Column = lit(0L)
-      for (b <- 0 until bits) {
-        val proj = (0 until dim).map(i =>
-          element_at(vec, i + 1).cast("double") * lit(planes(b)(i))).reduce(_ + _)
-        sig = sig + when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-      }
-      sig
+      val spark = org.apache.spark.sql.SparkSession.active
+      val fname = s"hyperplane_sig_${seed}_${bits}_$dim"
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        fname, exprs => graft.functions.HyperplaneSignature(exprs.head, planes),
+        "scala_udf")
+      call_function(fname, vec)
     }
   }
 
@@ -86,8 +89,8 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .dropDuplicates("query_id", "neighbor_id")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) /
-        (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -108,7 +111,8 @@ object Similarity {
     val b = base.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", dot(col("v1"), col("v2")) / (norm(col("v1")) * norm(col("v2"))))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine_similarity(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }

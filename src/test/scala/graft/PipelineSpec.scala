@@ -119,4 +119,22 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(bin, "doc_id", "payload", frameBytes = 16, maxFrames = 3)
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 3))
   }
+
+  test("native cosine_similarity expression: eval, codegen, SQL, parity with HOF version") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pair = e.limit(1).select(col("embedding").as("a"))
+      .crossJoin(e.orderBy(col("vec_id").desc).limit(1).select(col("embedding").as("b")))
+    val native = pair.select(
+      graft.functions.GraftFunctions.cosine_similarity(col("a"), col("b"))).head.getDouble(0)
+    val viaSql = pair.selectExpr("cosine_similarity(a, b)").head.getDouble(0)
+    val hof = pair.select(
+      (Similarity.dot(col("a"), col("b")) / (Similarity.norm(col("a")) * Similarity.norm(col("b"))))).head.getDouble(0)
+    assertRtol(native, hof, 1e-12, "native vs HOF")
+    assert(native === viaSql)
+    // type checking rejects non-float arrays
+    val bad = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    intercept[Exception] { bad.selectExpr("cosine_similarity(a, b)").head }
+  }
 }
