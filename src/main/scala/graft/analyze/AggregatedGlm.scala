@@ -22,11 +22,13 @@ import VariableType._
   *     ONE map-side-combined aggregation pass fits EVERY variable at once
   *     (batched to keep codegen happy); the p×p solves are driver-side
   *     microseconds. Zero shuffles of data rows; the scan streams once.
-  *     Categorical variables with KNOWN levels (metadata) use a cheap
-  *     level-count pre-pass (empty-level pruning, matching
-  *     `_remove_empty_categories`) and the restricted model's statistics
-  *     are the leading block of the full model's — the LRT is fully
-  *     distributed with no extra scan.
+  *     Categorical variables with KNOWN levels (metadata) fit in the SAME
+  *     single pass: the full design uses all-levels dummies without an
+  *     intercept (same span as intercept + L-1 dummies; SSE/LRT are
+  *     parameterization-invariant), level occupancy falls out of the Z'Z
+  *     diagonal (empty-level pruning matching `_remove_empty_categories`,
+  *     plus a stale-metadata guard), and the restricted model solves on
+  *     the {intercept, covars} block of the same statistics.
   *   - Binomial/logit: distributed IRLS — each iteration is one aggregation
   *     pass computing every variable's weighted normal equations and
   *     deviance simultaneously, with each variable's current β embedded as
@@ -106,10 +108,22 @@ object AggregatedGlm {
     case _ => col(v).cast("double")
   }
 
-  private def maskFor(covariates: Seq[String], v: String,
-                      outcomeCols: Seq[String]): Column =
-    (outcomeCols.map(col(_).isNotNull) ++ covariates.map(col(_).isNotNull) :+
-      col(v).isNotNull).reduce(_ && _)
+  private def tryD(c: String): Column = expr(s"try_cast(`$c` AS DOUBLE)")
+
+  /** Complete-case mask over the EFFECTIVE design expressions: a value that
+    * survives a raw null check but fails its numeric cast must not be
+    * counted in n while contributing nothing to the sums. Numeric casts use
+    * try_cast (ANSI-safe); binary/categorical columns are string-encoded,
+    * so their raw null check is the right predicate. */
+  private def maskFor(cf: CladeFrame, covariates: Seq[String], v: String,
+                      outcomeCols: Seq[String]): Column = {
+    def notNullFor(c: String): Column = cf.typeOf(c) match {
+      case Continuous => tryD(c).isNotNull
+      case _          => col(c).isNotNull
+    }
+    (outcomeCols.map(notNullFor) ++ covariates.map(notNullFor) :+
+      notNullFor(v)).reduce(_ && _)
+  }
 
   private def tri(p: Int): Seq[(Int, Int)] =
     for (i <- 0 until p; j <- i until p) yield (i, j)
@@ -123,7 +137,9 @@ object AggregatedGlm {
     * llf/aic follow statsmodels Gaussian loglike with estimated scale. */
   private def solveGauss(s: GaussStats): (DenseVector[Double], DenseMatrix[Double], Double, Double, Double) = {
     val p = s.zy.length
-    val ainv = inv(s.zz)
+    val ainv =
+      try inv(s.zz)
+      catch { case _: Exception => breeze.linalg.pinv(s.zz) }
     val b = ainv * s.zy
     val sse = math.max(s.yy - (b dot s.zy), 0.0)
     val scale = sse / (s.n - p)
@@ -135,44 +151,31 @@ object AggregatedGlm {
   private def fitGaussianBatch(cf: CladeFrame, df: DataFrame, yExpr: Column,
                                outCols: Seq[String], covariates: Seq[String],
                                batch: Seq[String], minN: Long): Seq[RvFit] = {
-    // ---- pass 0 (categorical rvs only): level counts under each rv's mask
-    val catRvs = batch.filter(v => cf.typeOf(v) == Categorical)
-    val levelCounts: Map[String, Seq[(String, Long)]] =
-      if (catRvs.isEmpty) Map.empty
-      else {
-        val aggs = catRvs.flatMap { v =>
-          val m = maskFor(covariates, v, outCols)
-          cf.levels(v).map(lvl =>
-            sum(when(m && col(v).cast("string") === lvl, 1L).otherwise(0L))
-              .as(s"lc_${v}_$lvl"))
-        }
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        var idx = 0
-        catRvs.map { v =>
-          v -> cf.levels(v).map { lvl =>
-            val c = if (row.isNullAt(idx)) 0L else row.getLong(idx)
-            idx += 1
-            (lvl, c)
-          }
-        }.toMap
-      }
-
-    // design columns per rv (sorted observed levels, first = reference)
-    def rvColumns(v: String): Seq[Column] = cf.typeOf(v) match {
-      case Categorical =>
-        val observed = levelCounts(v).filter(_._2 > 0).map(_._1).sorted
-        observed.drop(1).map(lvl =>
+    // Design columns per rv, ONE pass for everything:
+    //  - continuous/binary: [1, covars, rv]
+    //  - categorical: [1, covars, dummy(l) for EVERY declared level] — the
+    //    FULL model solves on {covars, dummies} WITHOUT the intercept (the
+    //    all-levels dummy block spans the same space as intercept +
+    //    (L-1) dummies, and the LRT/SSE are parameterization-invariant),
+    //    while the restricted model solves on the {1, covars} block of the
+    //    SAME statistics. Level occupancy comes free as the dummy diagonal
+    //    of Z'Z: empty levels are pruned driver-side, and a diagonal sum
+    //    below n exposes stale level metadata (values outside the declared
+    //    levels) instead of silently pooling rows into a reference level.
+    def zColumns(v: String): Seq[Column] = {
+      val base = lit(1.0) +: covariates.map(col(_).cast("double"))
+      cf.typeOf(v) match {
+        case Categorical => base ++ cf.levels(v).sorted.map(lvl =>
           when(col(v).cast("string") === lvl, 1.0).otherwise(0.0))
-      case _ => Seq(rvNumeric(cf, v))
+        case _ => base :+ rvNumeric(cf, v)
+      }
     }
-
-    // ---- pass 1: full-model sufficient stats (the restricted model's
-    // stats for categorical rvs are the leading block — same mask/columns)
     val p0 = covariates.size + 1
+
     val aggs: Seq[Column] = batch.flatMap { v =>
-      val z = (lit(1.0) +: covariates.map(col(_).cast("double"))) ++ rvColumns(v)
+      val z = zColumns(v)
       val p = z.size
-      val m = maskFor(covariates, v, outCols)
+      val m = maskFor(cf, covariates, v, outCols)
       Seq(
         sum(when(m, 1L).otherwise(0L)).as(s"n_$v"),
         sum(when(m, yExpr * yExpr)).as(s"yy_$v")) ++
@@ -185,37 +188,62 @@ object AggregatedGlm {
     def nextL(): Long = { val x = if (row.isNullAt(idx)) 0L else row.getLong(idx); idx += 1; x }
 
     batch.map { v =>
-      val nRvCols = rvColumns(v).size
-      val p = p0 + nRvCols
+      val categorical = cf.typeOf(v) == Categorical
+      val pAll = zColumns(v).size
       val n = nextL()
       val yy = nextD()
-      val zy = DenseVector(Array.fill(p)(nextD()))
-      val zz = DenseMatrix.zeros[Double](p, p)
-      tri(p).foreach { case (i, j) => val x = nextD(); zz(i, j) = x; zz(j, i) = x }
+      val zy = DenseVector(Array.fill(pAll)(nextD()))
+      val zz = DenseMatrix.zeros[Double](pAll, pAll)
+      tri(pAll).foreach { case (i, j) => val x = nextD(); zz(i, j) = x; zz(j, i) = x }
       val kind = cf.typeOf(v).name
-      if (n < minN || n <= p || nRvCols == 0)
-        RvFit(v, kind, n, converged = false)
+
+      def sub(ix: Seq[Int]): GaussStats = GaussStats(n, yy,
+        DenseVector(ix.map(zy(_)).toArray),
+        DenseMatrix.tabulate(ix.size, ix.size)((a, b) => zz(ix(a), ix(b))))
+
+      // drop covariates that do not vary under this mask (var from stats:
+      // zz_jj/n - mean^2), matching the collect path / reference base.py
+      def varying(ix: Seq[Int]): Seq[Int] = ix.filter { j =>
+        val mean = zz(0, j) / n
+        (zz(j, j) / n - mean * mean) > 1e-12
+      }
+
+      if (n < minN || n <= 2) RvFit(v, kind, n, converged = false)
       else try {
-        val full = GaussStats(n, yy, zy, zz)
-        cf.typeOf(v) match {
-          case Categorical =>
-            val rest = GaussStats(n, yy, zy(0 until p0).copy,
-              zz(0 until p0, 0 until p0).copy)
-            val (_, _, _, llfF, aicF) = solveGauss(full)
-            val (_, _, _, llfR, aicR) = solveGauss(rest)
+        val covarIx = varying(1 until p0)
+        if (categorical) {
+          // occupied levels from the dummy diagonal
+          val dummyIx = (p0 until pAll).filter(j => zz(j, j) > 0)
+          val occupancy = (p0 until pAll).map(j => zz(j, j)).sum
+          require(math.abs(occupancy - n) < 0.5,
+            s"level metadata for $v is stale: ${n - occupancy.toLong} row(s) " +
+              "hold values outside the declared levels")
+          val fullIx = covarIx ++ dummyIx   // interceptless full design
+          val restIx = 0 +: covarIx         // intercept + covars
+          if (dummyIx.size < 2 || n <= fullIx.size + 1)
+            RvFit(v, kind, n, converged = false)
+          else {
+            val (_, _, _, llfF, aicF) = solveGauss(sub(fullIx))
+            val (_, _, _, llfR, aicR) = solveGauss(sub(restIx))
             val lrstat = -2.0 * (llfR - llfF)
-            val lrdf = (p - p0).toDouble
+            val lrdf = (fullIx.size - restIx.size).toDouble
             val lrP = Distributions.chi2Sf(lrstat, lrdf)
             RvFit(v, kind, n, converged = true,
               lrtPvalue = Some(lrP), diffAic = Some(aicF - aicR), pvalue = Some(lrP))
-          case _ =>
-            val (b, ainv, sse, _, _) = solveGauss(full)
+          }
+        } else {
+          val ix = (0 +: covarIx) :+ (pAll - 1)
+          val p = ix.size
+          if (n <= p) RvFit(v, kind, n, converged = false)
+          else {
+            val (b, ainv, sse, _, _) = solveGauss(sub(ix))
             val scale = sse / (n - p)
             val se = math.sqrt(ainv(p - 1, p - 1) * scale)
             val beta = b(p - 1)
             val pv = Distributions.tSfTwoSided(beta / se, (n - p).toDouble)
             RvFit(v, kind, n, converged = true, Some(beta), Some(se), Some(pv),
               pvalue = Some(pv))
+          }
         }
       } catch { case _: Exception => RvFit(v, kind, n, converged = false) }
     }
@@ -244,7 +272,7 @@ object AggregatedGlm {
       val active = batch.filter(v => !done(v) && !failed(v))
       val aggs: Seq[Column] = active.flatMap { v =>
         val z = design(v)
-        val m = maskFor(covariates, v, outCols)
+        val m = maskFor(cf, covariates, v, outCols)
         // mu: first iteration uses the statsmodels start mu=(y+1/2)/2;
         // later iterations use the current linear predictor
         val mu: Column =
@@ -263,9 +291,12 @@ object AggregatedGlm {
           }
         val zr = eta + (yExpr - mu) / vfun // working response
         val w = vfun
+        // clamp mu for the deviance exactly like the local kernel does —
+        // a saturated row with opposing y must not drive deviance to Inf
+        val muC = least(greatest(mu, lit(1e-10)), lit(1.0 - 1e-10))
         val devTerm = lit(2.0) * (
-          when(yExpr > 0, yExpr * log(yExpr / mu)).otherwise(0.0) +
-          when(yExpr < 1, (lit(1.0) - yExpr) * log((lit(1.0) - yExpr) / (lit(1.0) - mu))).otherwise(0.0))
+          when(yExpr > 0, yExpr * log(yExpr / muC)).otherwise(0.0) +
+          when(yExpr < 1, (lit(1.0) - yExpr) * log((lit(1.0) - yExpr) / (lit(1.0) - muC))).otherwise(0.0))
         Seq(
           sum(when(m, 1L).otherwise(0L)).as(s"n_$v"),
           sum(when(m, devTerm)).as(s"dev_$v")) ++
@@ -284,8 +315,9 @@ object AggregatedGlm {
         tri(p).foreach { case (i, j) => val x = nextD(); a(i, j) = x; a(j, i) = x }
         if (n < minN || n <= p) { failed(v) = true }
         else try {
-          beta(v) = inv(a) * c
-          lastAinv(v) = inv(a)
+          val ai = try inv(a) catch { case _: Exception => breeze.linalg.pinv(a) }
+          beta(v) = ai * c
+          lastAinv(v) = ai
           if (iter > 0 && math.abs(newDev - dev.getOrElse(v, Double.MaxValue)) <=
               Tol * (math.abs(newDev) + Tol)) done(v) = true
           dev(v) = newDev
@@ -300,7 +332,7 @@ object AggregatedGlm {
     if (fitted.nonEmpty) {
       val aggs: Seq[Column] = fitted.flatMap { v =>
         val z = design(v)
-        val m = maskFor(covariates, v, outCols)
+        val m = maskFor(cf, covariates, v, outCols)
         val b = beta(v)
         val eta = z.zipWithIndex.map { case (zi, i) => zi * lit(b(i)) }.reduce(_ + _)
         val mu = lit(1.0) / (lit(1.0) + exp(-eta))

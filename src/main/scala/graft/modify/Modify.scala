@@ -304,7 +304,15 @@ object Modify {
       }.otherwise(col(c))
       d.withColumn(c, recoded)
     }
-    cf.copy(df = out)
+    // recorded category levels must follow the recode (pandas renames the
+    // categories; stale levels would silently mis-encode later regressions)
+    val stringRepl = replacements.map { case (k, v) => k.toString -> v.toString }
+    val newLevels = cf.levels.map {
+      case (c, ls) if cols.contains(c) =>
+        c -> ls.map(l => stringRepl.getOrElse(l, l)).distinct.sorted
+      case kv => kv
+    }
+    cf.copy(df = out, levels = newLevels)
   }
 
   /** remove_outliers: replace out-of-bounds continuous values with NA

@@ -86,10 +86,12 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(rep.frame.typeOf("c_cont") === Continuous)
   }
 
-  test("recodeValues replaces values only in selected columns") {
-    val out = Modify.recodeValues(sample, Map("a" -> "A"), only = Some(Seq("cat")))
+  test("recodeValues replaces values only in selected columns and keeps levels in sync") {
+    var cf = Modify.makeCategorical(sample, only = Some(Seq("cat")))
+    val out = Modify.recodeValues(cf, Map("a" -> "A"), only = Some(Seq("cat")))
     val vals = out.df.select("cat").collect().map(_.getString(0)).toSet
     assert(vals === Set("A", "b", null))
+    assert(out.levels("cat") === Seq("A", "b"))
   }
 
   test("removeOutliers gaussian nulls values beyond mean +/- c*sd") {
