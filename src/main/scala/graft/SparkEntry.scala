@@ -311,6 +311,23 @@ object SparkEntry {
         .orderBy("variable")
     }),
 
+    "analyze_assoc_wide" -> ((s, dir) => {
+      // EWAS-shaped wide fan-in: 32 derived variables fitted in ONE
+      // sufficient-stats aggregation pass (AggregatedGlm batch)
+      val base = t(s, dir, "lineitem")
+      val withVars = wideVars.foldLeft(base) { case (d, (name, ex)) =>
+        d.withColumn(name, expr(ex))
+      }
+      val cf = CladeFrame(withVars.select(
+        (Seq("l_orderkey", "l_extendedprice") ++ wideVars.map(_._1)).map(col): _*),
+        "l_orderkey")
+      AssociationStudy.run(s, cf, outcomes = Seq("l_extendedprice"),
+        regressionVariables = wideVars.map(_._1), minN = 1)
+        .select(col("Variable").as("variable"), col("N").as("n"),
+          round(col("Beta"), 4).as("beta"), round(col("SE"), 4).as("se"))
+        .orderBy("variable")
+    }),
+
     "analyze_assoc_logistic" -> ((s, dir) => {
       // binary outcome (high-price flag) ~ each continuous rv; no SQL
       // oracle (logistic IRLS is not DuckDB-expressible) -> rows-only check
@@ -483,6 +500,25 @@ object SparkEntry {
           round(element_at(col("features"), 8), 4).as("f7"))
         .orderBy("id")
     }))
+
+  /** 32 deterministic derived variables over lineitem — identical SQL in
+    * Spark and DuckDB (integer modulo + double arithmetic only). */
+  private val wideVars: Seq[(String, String)] = (0 until 32).map { i =>
+    (f"wv$i%02d",
+      s"l_quantity * ((l_partkey % ${i + 2}) + 1) + l_tax * $i + l_discount * ${i % 7}")
+  }
+
+  private def wideOracle: String = {
+    val arms = wideVars.map { case (name, ex) =>
+      s"""SELECT '$name' AS variable, CAST(regr_count(l_extendedprice, $ex) AS BIGINT) AS n,
+         round(regr_slope(l_extendedprice, $ex), 4) AS beta,
+         round(sqrt((regr_syy(l_extendedprice, $ex)
+                 - regr_sxy(l_extendedprice, $ex)^2 / regr_sxx(l_extendedprice, $ex))
+               / (regr_count(l_extendedprice, $ex) - 2)
+               / regr_sxx(l_extendedprice, $ex)), 4) AS se FROM lineitem"""
+    }
+    arms.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY variable")
+  }
 
   // ============================================================ oracle SQL
 
@@ -720,6 +756,8 @@ object SparkEntry {
                   / (regr_count(l_extendedprice, l_tax) - 2)
                   / regr_sxx(l_extendedprice, l_tax)) FROM lineitem)
          ORDER BY variable""",
+
+    "analyze_assoc_wide" -> wideOracle,
 
     "analyze_corrected_pvalues" ->
       """WITH p AS (SELECT doc_id, (doc_id * 37 % 100 + 1) / 101.0 AS pvalue

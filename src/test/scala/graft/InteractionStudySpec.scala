@@ -131,4 +131,32 @@ class InteractionStudySpec extends SparkSpec {
         }
       }
     }
+
+  test("nhanes_pairwise_withbetas.csv: all-pairs per-parameter betas") {
+    val data = Modify.colfilter(nhanes,
+      only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
+    val rvs = Seq("RIAGENDR", "race", "agecat")
+    val pairs = for (i <- rvs.indices; j <- (i + 1) until rvs.size)
+      yield (rvs(i), rvs(j))
+    val res = InteractionStudy.run(spark, data, "HI_CHOL",
+      interactions = pairs, covariates = Nil, reportBetas = true)
+    val rows = res.collect().map { r =>
+      r.getString(r.fieldIndex("Parameter")) -> r
+    }.toMap
+    val g = goldenBetas("nhanes_pairwise_withbetas.csv")
+    // parameter sets must match modulo term order within a pair
+    def flip(p: String) = p.split(":", 2) match { case Array(a, b) => s"$b:$a" }
+    g.foreach { case (param, exp) =>
+      val r = rows.getOrElse(param, rows.getOrElse(flip(param),
+        fail(s"parameter $param missing from ${rows.keySet}")))
+      assert(r.getLong(r.fieldIndex("N")) === exp("N").toLong, s"$param N")
+      assertRtol(r.getDouble(r.fieldIndex("LRT_pvalue")), exp("LRT_pvalue"),
+        1e-4, s"$param LRT")
+      exp.get("Full_Var1_Var2_beta").foreach { v =>
+        val mine = r.getDouble(r.fieldIndex("Full_Var1_Var2_beta"))
+        // a flipped pair keeps the same interaction column product -> same beta
+        assertRtol(mine, v, 1e-4, s"$param beta")
+      }
+    }
+  }
 }
