@@ -68,6 +68,9 @@ object AssociationStudy {
       clust: Array[String],
       weightsByName: Map[String, Array[Double]], // normalized, NaN = missing
       weightNameFor: Map[String, Option[String]],
+      weightErrorRvs: Set[String], // rvs with no mapped weight -> null result
+      weightByIdAll: Map[String, Map[String, Double]], // full-design lookup
+      subsetIds: Option[Set[String]],
       fpcPerClust: Map[String, Double],
       clustPerStratFull: Map[String, Int],
       stratForClustFull: Map[String, String],
@@ -175,13 +178,17 @@ object AssociationStudy {
       val missing = idsArr.filterNot(sd.stratOf.contains)
       require(missing.isEmpty,
         s"The survey design is missing information for ${missing.length} rows in the data")
+      val weightLookups = rvs.map(rv => rv -> sd.weightNameEither(rv)).toMap
       SurveyBase(
         strat = idsArr.map(sd.stratOf),
         clust = idsArr.map(sd.clustOf),
         weightsByName = sd.normalizedWeights.map { case (wn, byId) =>
           wn -> idsArr.map(id => byId.getOrElse(id, Double.NaN))
         },
-        weightNameFor = rvs.map(rv => rv -> sd.weightNameFor(rv)).toMap,
+        weightNameFor = weightLookups.collect { case (rv, Right(w)) => rv -> w },
+        weightErrorRvs = weightLookups.collect { case (rv, Left(_)) => rv }.toSet,
+        weightByIdAll = sd.normalizedWeights,
+        subsetIds = sd.subsetIdSet,
         fpcPerClust = sd.fpcPerClust,
         clustPerStratFull = sd.clustPerStrat,
         stratForClustFull = sd.stratForClust,
@@ -208,14 +215,16 @@ object AssociationStudy {
     val results = long.groupByKey(_._2).flatMapGroups { (variable, it) =>
       val b = base.value
       val pairs = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
+      val presentIds = new scala.collection.mutable.ArrayBuffer[String]()
       it.foreach { case (id, _, v) =>
+        presentIds += id
         b.index.get(id).foreach(i => pairs += ((i, v)))
       }
       val idx = pairs.map(_._1).toArray
       val vals = pairs.map(_._2).toArray
       val kind = typesB.value(variable)
       fitOne(variable, outcomeName, kind, levelsB.value.get(variable), b, idx,
-        vals, family, minN, doStd, catBetas)
+        vals, presentIds.toArray, family, minN, doStd, catBetas)
     }
     results.toDF()
   }
@@ -230,6 +239,7 @@ object AssociationStudy {
       b: BaseData,
       idx: Array[Int],
       vals: Array[String],
+      presentIds: Array[String],
       family: Glm.Family,
       minN: Long,
       standardize: Boolean,
@@ -243,7 +253,7 @@ object AssociationStudy {
       b.survey match {
         case Some(sv) =>
           return fitOneWeighted(variable, outcome, kind, knownLevels, b, sv,
-            idx, vals, family, minN, standardize, reportCategoricalBetas)
+            idx, vals, presentIds, family, minN, standardize, reportCategoricalBetas)
         case None => ()
       }
       val ySub = DenseVector(idx.map(b.y))
@@ -320,23 +330,37 @@ object AssociationStudy {
       sv: SurveyBase,
       idx0: Array[Int],
       vals0: Array[String],
+      presentIds: Array[String],
       family: Glm.Family,
       minN: Long,
       standardize: Boolean,
       reportCategoricalBetas: Boolean = false): Seq[AssocResult] = {
+    // an rv with no mapped weight nulls this variable, not the whole study
+    // (reference: per-variable ValueError capture)
+    if (sv.weightErrorRvs.contains(variable))
+      return Seq(AssocResult(variable, outcome, kind, None, Converged = false,
+        idx0.length, None, None, None, None, None, None))
     val weightName = sv.weightNameFor(variable)
     val wAll: Array[Double] = weightName match {
       case Some(wn) => sv.weightsByName(wn)
       case None     => Array.fill(b.y.length)(1.0)
     }
-    // missing-weight policy (survey_design.py:397-486): rows with a present
-    // variable value but missing weight -> error (null result) unless
-    // drop_unweighted
+    // missing-weight policy (survey_design.py:397-486): the check runs over
+    // ALL subset rows where the variable is present (pre-complete-case,
+    // like the reference's ~variable_na & weight_na mask) -> error (null
+    // result) unless drop_unweighted
+    val anyMissingW = weightName.exists { wn =>
+      val byId = sv.weightByIdAll(wn)
+      presentIds.exists { id =>
+        sv.subsetIds.forall(_.contains(id)) &&
+          byId.get(id).forall(_.isNaN)
+      }
+    }
     val missingW = idx0.indices.filter(i => wAll(idx0(i)).isNaN)
     val nullRes = AssocResult(variable, outcome, kind, weightName,
       Converged = false, idx0.length, None, None, None, None, None, None)
     val (idx, vals) =
-      if (missingW.isEmpty) (idx0, vals0)
+      if (!anyMissingW) (idx0, vals0)
       else if (sv.dropUnweighted) {
         val keep = idx0.indices.filterNot(missingW.toSet).toArray
         (keep.map(idx0), keep.map(vals0))

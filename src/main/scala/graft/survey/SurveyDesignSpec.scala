@@ -62,10 +62,15 @@ final class SurveyDesignSpec(
       if (nest && hasStrata && hasCluster) concat(strataCol, lit("-"), clustColRaw)
       else clustColRaw
     val fpcCol = fpc.map(col(_).cast("double")).getOrElse(lit(0.0))
+    // (fpc nulls are checked after collection — see fpcMissingCheck)
     val wCols = weightCols.map(c => col(c).cast("double"))
     val rows = surveyDf.select(
       (Seq(col(idCol).cast("string"), strataCol.as("strat"), clustCol.as("clust"),
         fpcCol.as("fpc")) ++ wCols): _*).collect()
+    if (fpc.nonEmpty) {
+      val bad = rows.count(_.isNullAt(3))
+      require(bad == 0, s"$bad of ${rows.length} fpc values were missing")
+    }
     rows.map { r =>
       val ws = Array.tabulate(weightCols.size) { i =>
         if (r.isNullAt(4 + i)) Double.NaN
@@ -79,6 +84,16 @@ final class SurveyDesignSpec(
     }
   }
   require(collected.nonEmpty, "survey design is empty")
+  // missing design values are a hard error with a count, like the reference
+  // (survey_design.py:180-183, 206-210, 281-284)
+  if (hasStrata) {
+    val bad = collected.count(_._2 == null)
+    require(bad == 0, s"$bad of ${collected.length} strata values were missing")
+  }
+  if (hasCluster) {
+    val bad = collected.count(_._3 == null)
+    require(bad == 0, s"$bad of ${collected.length} cluster values were missing")
+  }
 
   val ids: Array[String] = collected.map(_._1)
   val stratOf: Map[String, String] = collected.map(r => r._1 -> r._2).toMap
@@ -103,7 +118,6 @@ final class SurveyDesignSpec(
   val stratForClust: Map[String, String] =
     collected.groupBy(_._3).view.mapValues(_.head._2).toMap
 
-  val nStratFull: Int = collected.map(_._2).distinct.length
   val nClustFull: Int = collected.map(_._3).distinct.length
 
   /** fpc as a sampling FRACTION per cluster. Values > 1 are population
@@ -117,12 +131,17 @@ final class SurveyDesignSpec(
       else if (hasStrata) {
         val strataSize = collected.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
         collected.map(r => strataSize(r._2) / r._4)
-      } else {
+      } else if (hasCluster) {
         val sampledClusters = nClustFull.toDouble
         collected.map(r => sampledClusters / r._4)
-      }
+      } else raw // no strata/cluster: population sizes are invalid -> fail below
     require(converted.forall(f => f >= 0 && f <= 1), "Error processing FPC- invalid values")
-    collected.map(_._3).zip(converted).toMap // first value per cluster
+    // FIRST value per cluster (survey_design.py:314-317)
+    val m = scala.collection.mutable.LinkedHashMap[String, Double]()
+    collected.map(_._3).zip(converted).foreach { case (c, f) =>
+      if (!m.contains(c)) m(c) = f
+    }
+    m.toMap
   }
 
   if (hasStrata && hasCluster &&
@@ -156,6 +175,16 @@ final class SurveyDesignSpec(
     * a DataFrame and this becomes a LEFT SEMI join on id. */
   def subsetFilter: Option[Column] =
     subsetIds.map(ids => col(idCol).cast("string").isInCollection(ids))
+
+  /** Ids kept by the subsets (None = no subset applied). */
+  def subsetIdSet: Option[Set[String]] = subsetIds
+
+  /** Like weightNameFor but Left(error) instead of throwing — one variable
+    * without a mapped weight must null that variable, not abort the study
+    * (reference: weighted_glm_regression.py per-variable error capture). */
+  def weightNameEither(rv: String): Either[String, Option[String]] =
+    try Right(weightNameFor(rv))
+    catch { case e: IllegalArgumentException => Left(e.getMessage) }
 
   /** Survey variables must not appear in the analysis data
     * (survey_design.py:488-535). */

@@ -41,6 +41,41 @@ object SurveyKernel {
       else n - p - 1
   }
 
+  /** X' diag(w·v) X at the fitted β — shared by the sandwich, the naive
+    * covariance, and regTermTest. */
+  def weightedGram(x: DenseMatrix[Double], weights: Array[Double],
+                   v: DenseVector[Double]): DenseMatrix[Double] = {
+    val n = x.rows
+    val p = x.cols
+    val m = DenseMatrix.zeros[Double](p, p)
+    var i = 0
+    while (i < n) {
+      val wv = weights(i) * v(i)
+      var j = 0
+      while (j < p) {
+        val xij = x(i, j) * wv
+        var k = j
+        while (k < p) { m(j, k) += xij * x(i, k); k += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < p) { var k = j + 1; while (k < p) { m(k, j) = m(j, k); k += 1 }; j += 1 }
+    m
+  }
+
+  /** Variance function v(μ) at the fitted β. */
+  def varianceAt(x: DenseMatrix[Double], fit: Glm.Fit,
+                 family: Glm.Family): DenseVector[Double] = {
+    val eta = x * DenseVector(fit.beta)
+    family match {
+      case Glm.Gaussian => DenseVector.ones[Double](x.rows)
+      case Glm.Binomial =>
+        eta.map(e => { val m = 1.0 / (1.0 + math.exp(-e)); math.max(m * (1.0 - m), 1e-10) })
+    }
+  }
+
   /** Stata-linearization sandwich vcov (survey_model.py:46-172).
     *
     * With canonical links the scale cancels between the Hessian and the
@@ -60,32 +95,13 @@ object SurveyKernel {
       case Glm.Gaussian => eta
       case Glm.Binomial => eta.map(e => 1.0 / (1.0 + math.exp(-e)))
     }
-    val v = family match {
-      case Glm.Gaussian => DenseVector.ones[Double](n)
-      case Glm.Binomial => mu.map(m => math.max(m * (1.0 - m), 1e-10))
-    }
-    // M = X' diag(w v) X
-    val m = DenseMatrix.zeros[Double](p, p)
-    var i = 0
-    while (i < n) {
-      val wv = design.weights(i) * v(i)
-      var j = 0
-      while (j < p) {
-        val xij = x(i, j) * wv
-        var k = j
-        while (k < p) { m(j, k) += xij * x(i, k); k += 1 }
-        j += 1
-      }
-      i += 1
-    }
-    var j = 0
-    while (j < p) { var k = j + 1; while (k < p) { m(k, j) = m(j, k); k += 1 }; j += 1 }
-    val mInv = inv(m)
+    val v = varianceAt(x, fit, family)
+    val mInv = inv(weightedGram(x, design.weights, v))
 
     // per-observation scores u_i = w_i (y_i - mu_i) x_i; cluster sums
     val clusterSum = scala.collection.mutable.LinkedHashMap[String, DenseVector[Double]]()
     val popMean = DenseVector.zeros[Double](p) // observation mean, for 'adjust'
-    i = 0
+    var i = 0
     while (i < n) {
       val r = design.weights(i) * (y(i) - mu(i))
       val u = DenseVector.tabulate(p)(j => r * x(i, j))
@@ -154,33 +170,8 @@ object SurveyKernel {
 
   /** Naive (model-based) covariance / scale = M⁻¹, needed by regTermTest. */
   def naiveCovOverScale(x: DenseMatrix[Double], fit: Glm.Fit,
-                        family: Glm.Family, weights: Array[Double]): DenseMatrix[Double] = {
-    val n = x.rows
-    val p = x.cols
-    val beta = DenseVector(fit.beta)
-    val eta = x * beta
-    val v = family match {
-      case Glm.Gaussian => DenseVector.ones[Double](n)
-      case Glm.Binomial =>
-        eta.map(e => { val m = 1.0 / (1.0 + math.exp(-e)); math.max(m * (1.0 - m), 1e-10) })
-    }
-    val m = DenseMatrix.zeros[Double](p, p)
-    var i = 0
-    while (i < n) {
-      val wv = weights(i) * v(i)
-      var j = 0
-      while (j < p) {
-        val xij = x(i, j) * wv
-        var k = j
-        while (k < p) { m(j, k) += xij * x(i, k); k += 1 }
-        j += 1
-      }
-      i += 1
-    }
-    var j = 0
-    while (j < p) { var k = j + 1; while (k < p) { m(k, j) = m(j, k); k += 1 }; j += 1 }
-    inv(m)
-  }
+                        family: Glm.Family, weights: Array[Double]): DenseMatrix[Double] =
+    inv(weightedGram(x, weights, varianceAt(x, fit, family)))
 
   /** Weighted deviance at the fit (statsmodels freq_weights semantics). */
   def weightedDeviance(x: DenseMatrix[Double], y: DenseVector[Double],
@@ -286,7 +277,10 @@ object SurveyKernel {
       x: DenseMatrix[Double], y: DenseVector[Double], fit: Glm.Fit,
       family: Glm.Family, design: AlignedDesign): DenseMatrix[Double] = {
     val p = x.cols
-    val clusters = design.clust.distinct.sorted
+    // ALL full-design clusters are deleted in turn — a cluster emptied by
+    // subsets/complete-case still reweights its stratum's survivors
+    // (mirrors the zero-score-row domain semantics of the linearization)
+    val clusters = design.stratForClustFull.keys.toArray.sorted
     val betaFull = DenseVector(fit.beta)
     val rows = clusters.map { dropped =>
       val s = design.stratForClustFull(dropped)
