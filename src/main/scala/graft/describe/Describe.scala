@@ -60,8 +60,15 @@ object Describe {
         .groupBy("variable", "value").agg(count(lit(1)).as("count")))
     val otherPart: Option[DataFrame] =
       if (otherCols.isEmpty) None
-      else Some(otherCols.map(c => (c, "<Non-Categorical Values>", 0L))
-        .toDF("variable", "value", "count"))
+      else {
+        // the reference reports the NON-NA COUNT for non-categorical
+        // variables (describe.py:135), not zero
+        val aggs = otherCols.map(c => count(col(c)).as(c))
+        val r = cf.df.agg(aggs.head, aggs.tail: _*).head()
+        Some(otherCols.zipWithIndex
+          .map { case (c, i) => (c, "<Non-Categorical Values>", r.getLong(i)) }
+          .toDF("variable", "value", "count"))
+      }
     (catPart, otherPart) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None)    => a
@@ -107,7 +114,8 @@ object Describe {
     * the D'Agostino skewtest z-statistic and two-sided p-value
     * (reference: describe.py:197-253; scipy.stats.skewtest).
     * One aggregation pass; the z transform is O(#columns) driver math. */
-  def skewness(spark: SparkSession, cf: CladeFrame): DataFrame = {
+  def skewness(spark: SparkSession, cf: CladeFrame,
+               dropna: Boolean = false): DataFrame = {
     import spark.implicits._
     val vars = cf.variables.filter(cf.typeOf(_) == Continuous)
     if (vars.isEmpty)
@@ -115,11 +123,18 @@ object Describe {
         .toDF("variable", "type", "skew", "zscore", "pvalue_2sided")
     val aggs = vars.flatMap(c => Seq(
       org.apache.spark.sql.functions.skewness(col(c).cast("double")).as(s"s_$c"),
-      count(col(c)).as(s"n_$c")))
+      count(col(c)).as(s"n_$c"))) :+ count(lit(1)).as("__rows")
     val r = cf.df.agg(aggs.head, aggs.tail: _*).head()
+    val totalRows = r.getLong(2 * vars.size)
     vars.zipWithIndex.map { case (c, i) =>
-      val skew = if (r.isNullAt(2 * i)) Double.NaN else r.getDouble(2 * i)
       val n = r.getLong(2 * i + 1)
+      // reference default dropna=False propagates NaN when the column has
+      // any missing values (describe.py:249-253, scipy nan_policy)
+      val hasNa = n < totalRows
+      val skew =
+        if (!dropna && hasNa) Double.NaN
+        else if (r.isNullAt(2 * i)) Double.NaN
+        else r.getDouble(2 * i)
       val (z, p) = skewTest(skew, n)
       (c, "continuous", skew, z, p)
     }.toDF("variable", "type", "skew", "zscore", "pvalue_2sided")

@@ -21,6 +21,11 @@ object Plots {
     * Two passes: one min/max aggregate, one groupBy on the computed bin. */
   def histogram(df: DataFrame, column: String, bins: Int = 100): DataFrame = {
     val r = df.agg(min(col(column)).cast("double"), max(col(column)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) {
+      // all-NULL column / empty frame -> empty histogram, not an NPE
+      import df.sparkSession.implicits._
+      return Seq.empty[(Int, Double, Double, Long)].toDF("bin", "lo", "hi", "count")
+    }
     val (lo, hi) = (r.getDouble(0), r.getDouble(1))
     val width = if (hi > lo) (hi - lo) / bins else 1.0
     val bin = least(floor((col(column) - lit(lo)) / lit(width)), lit(bins - 1)).cast("int")

@@ -54,7 +54,11 @@ object Modify {
   def colfilterMinN(cf: CladeFrame, n: Long = 200,
                     skip: Option[Seq[String]] = None,
                     only: Option[Seq[String]] = None): CladeFrame = {
-    val tested = cf.resolveSkipOnly(skip, only)
+    // only binary/categorical/continuous kinds are tested; unknown/constant
+    // variables are left for manual categorization (reference:
+    // modify.py:330-337 kinds list)
+    val tested = cf.resolveSkipOnly(skip, only).filter(c =>
+      Set[VariableType](Binary, Categorical, Continuous)(cf.typeOf(c)))
     if (tested.isEmpty) return cf
     val r = aggRow(cf.df, tested.map(c => count(col(c)).as(c)))
     val counts = tested.zipWithIndex.map { case (c, i) => c -> r.getLong(i) }.toMap
@@ -108,10 +112,12 @@ object Modify {
     cf.selectVariables(cf.variables.filterNot(dropped))
   }
 
-  /** % zeros among non-NA per column, one pass. */
+  /** % zeros among non-NA per column, one pass (NULL rows are excluded
+    * from the denominator, like the reference's (col==0).sum()/col.count()). */
   def percentZero(cf: CladeFrame, cols: Seq[String]): Map[String, Double] = {
     val r = aggRow(cf.df,
-      cols.map(c => (avg(when(col(c) === 0, 1.0).otherwise(0.0)) * 100).as(c)))
+      cols.map(c => (avg(when(col(c).isNotNull,
+        when(col(c) === 0, 1.0).otherwise(0.0))) * 100).as(c)))
     cols.zipWithIndex.map { case (c, i) =>
       c -> (if (r.isNullAt(i)) 0.0 else r.getDouble(i))
     }.toMap
@@ -179,6 +185,13 @@ object Modify {
     require(common.nonEmpty, "no common variables")
     val mismatched = common.filter(c => top.typeOf(c) != bottom.typeOf(c))
     require(mismatched.isEmpty, s"type mismatch on: ${mismatched.mkString(", ")}")
+    // category LEVEL sets are part of the dtype in the reference (pandas
+    // CategoricalDtype equality) — differing level sets must fail loudly
+    val levelMismatch = common.filter(c =>
+      top.levels.contains(c) && bottom.levels.contains(c) &&
+        top.levels(c).sorted != bottom.levels(c).sorted)
+    require(levelMismatch.isEmpty,
+      s"category level mismatch on: ${levelMismatch.mkString(", ")}")
     val overlap = top.df.select(top.idCol)
       .join(bottom.df.select(col(bottom.idCol).as(top.idCol)), Seq(top.idCol), "left_semi")
       .limit(1).count()
@@ -300,16 +313,22 @@ object Modify {
     val cols = cf.resolveSkipOnly(skip, only)
     val out = cols.foldLeft(cf.df) { (d, c) =>
       val recoded = replacements.foldLeft(when(lit(false), col(c))) {
-        case (acc, (from, to)) => acc.when(col(c) === lit(from), lit(to))
+        // a null target recodes the value to missing (the reference's
+        // canonical {special_code: NaN} use case)
+        case (acc, (from, to)) =>
+          acc.when(col(c) === lit(from),
+            if (to == null) lit(null) else lit(to))
       }.otherwise(col(c))
       d.withColumn(c, recoded)
     }
     // recorded category levels must follow the recode (pandas renames the
     // categories; stale levels would silently mis-encode later regressions)
-    val stringRepl = replacements.map { case (k, v) => k.toString -> v.toString }
+    val stringRepl = replacements.map { case (k, v) =>
+      k.toString -> Option(v).map(_.toString)
+    }
     val newLevels = cf.levels.map {
       case (c, ls) if cols.contains(c) =>
-        c -> ls.map(l => stringRepl.getOrElse(l, l)).distinct.sorted
+        c -> ls.flatMap(l => stringRepl.getOrElse(l, Some(l))).distinct.sorted
       case kv => kv
     }
     cf.copy(df = out, levels = newLevels)
@@ -332,8 +351,14 @@ object Modify {
         val r = aggRow(cf.df, cols.flatMap(c =>
           Seq(avg(col(c)).as(s"m_$c"), stddev_samp(col(c)).as(s"s_$c"))))
         cols.zipWithIndex.map { case (c, i) =>
-          val m = r.getDouble(2 * i); val s = r.getDouble(2 * i + 1)
-          c -> (m - cutoff * s, m + cutoff * s)
+          // < 2 non-null values -> no bounds, leave the column untouched
+          // (reference: NaN bounds compare false)
+          if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1))
+            c -> (Double.NegativeInfinity, Double.PositiveInfinity)
+          else {
+            val m = r.getDouble(2 * i); val s = r.getDouble(2 * i + 1)
+            c -> (m - cutoff * s, m + cutoff * s)
+          }
         }.toMap
       case "iqr" =>
         // one percentile evaluation per column (array of fractions shares
@@ -341,9 +366,12 @@ object Modify {
         val r = aggRow(cf.df, cols.map(c =>
           percentile(col(c), array(lit(0.25), lit(0.75))).as(s"q_$c")))
         cols.zipWithIndex.map { case (c, i) =>
-          val qs = r.getSeq[Double](i)
-          val q1 = qs(0); val q3 = qs(1)
-          c -> (q1 - cutoff * (q3 - q1), q3 + cutoff * (q3 - q1))
+          if (r.isNullAt(i)) c -> (Double.NegativeInfinity, Double.PositiveInfinity)
+          else {
+            val qs = r.getSeq[Double](i)
+            val q1 = qs(0); val q3 = qs(1)
+            c -> (q1 - cutoff * (q3 - q1), q3 + cutoff * (q3 - q1))
+          }
         }.toMap
       case other => throw new IllegalArgumentException(s"bad method: $other")
     }
@@ -372,8 +400,11 @@ object Modify {
       case "reciprocal" => c => lit(1.0) / c
       case other => throw new IllegalArgumentException(s"unknown transform: $other")
     }
-    val cols = cf.resolveSkipOnly(skip, only).filter(cf.typeOf(_) == Continuous)
-    cf.copy(df = cols.foldLeft(cf.df)((d, c) => d.withColumn(c, fn(col(c).cast(DoubleType)))))
+    val selected = cf.resolveSkipOnly(skip, only)
+    val bad = selected.filterNot(cf.typeOf(_) == Continuous)
+    require(bad.isEmpty,
+      s"transformations may only be applied to continuous variables: ${bad.mkString(", ")}")
+    cf.copy(df = selected.foldLeft(cf.df)((d, c) => d.withColumn(c, fn(col(c).cast(DoubleType)))))
   }
 
   /** drop_extra_categories: recompute observed level sets, dropping recorded

@@ -27,8 +27,11 @@ object Glm {
       scale: Double,
       converged: Boolean,
       n: Int,
-      p: Int) {
-    def dfResid: Double = n - p
+      p: Int,
+      sumWeights: Double) {
+    /** statsmodels df_resid = sum(freq_weights) - p (equals n - p for unit
+      * weights). */
+    def dfResid: Double = sumWeights - p
     /** Two-sided p-value for coefficient i under the family's inference
       * distribution (t for Gaussian use_t=True, z for Binomial). */
     def pvalue(i: Int, family: Family): Double = {
@@ -72,7 +75,7 @@ object Glm {
     // -1/2 * [ SSE/scale + n*log(2*pi*scale) ]
     val llf = -0.5 * (wresid2 / scale + sumW * math.log(2.0 * math.Pi * scale))
     val aic = -2.0 * llf + 2.0 * p
-    Fit(beta.toArray, se.toArray, llf, aic, scale, converged = true, n, p)
+    Fit(beta.toArray, se.toArray, llf, aic, scale, converged = true, n, p, sumW)
   }
 
   /** Binomial + logit: IRLS, statsmodels-style convergence on deviance. */
@@ -107,7 +110,7 @@ object Glm {
       w(i) * (y(i) * math.log(m) + (1.0 - y(i)) * math.log(1.0 - m))
     })
     val aic = -2.0 * llf + 2.0 * p
-    Fit(beta.toArray, se.toArray, llf, aic, 1.0, converged, n, p)
+    Fit(beta.toArray, se.toArray, llf, aic, 1.0, converged, n, p, bsum(w))
   }
 
   private def deviance(y: DenseVector[Double], mu: DenseVector[Double],

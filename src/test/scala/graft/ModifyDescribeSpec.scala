@@ -21,12 +21,15 @@ class ModifyDescribeSpec extends SparkSpec {
     (3L, null: java.lang.Double, "a"), (4L, 4.0: java.lang.Double, "b"),
     (5L, 100.0: java.lang.Double, null)))
 
-  test("colfilterMinN drops sparse columns") {
-    val out = Modify.colfilterMinN(sample, n = 5)
-    assert(out.variables === Seq("cat") === false) // num has 4, cat has 4 -> both dropped
-    assert(out.variables.isEmpty)
-    val keep = Modify.colfilterMinN(sample, n = 4)
+  test("colfilterMinN drops sparse columns of tested kinds only") {
+    val typed = Modify.makeCategorical(sample, only = Some(Seq("cat")))
+    val out = Modify.colfilterMinN(typed, n = 5)
+    assert(out.variables.isEmpty) // num has 4, cat has 4 -> both dropped
+    val keep = Modify.colfilterMinN(typed, n = 4)
     assert(keep.variables.toSet === Set("num", "cat"))
+    // unknown-kind variables are never tested (left for manual typing)
+    val untyped = Modify.colfilterMinN(sample, n = 5) // cat is Unknown here
+    assert(untyped.variables === Seq("cat"))
   }
 
   test("colfilterMinCatN drops categories with rare levels") {
