@@ -232,6 +232,11 @@ object AggregatedGlm {
               lrtPvalue = Some(lrP), diffAic = Some(aicF - aicR), pvalue = Some(lrP))
           }
         } else {
+          // the rv itself must vary under the mask — otherwise pinv would
+          // return a minimum-norm split between intercept and rv reported
+          // as converged (collect path nulls this case via Term.varies)
+          if (varying(Seq(pAll - 1)).isEmpty) RvFit(v, kind, n, converged = false)
+          else {
           val ix = (0 +: covarIx) :+ (pAll - 1)
           val p = ix.size
           if (n <= p) RvFit(v, kind, n, converged = false)
@@ -243,6 +248,7 @@ object AggregatedGlm {
             val pv = Distributions.tSfTwoSided(beta / se, (n - p).toDouble)
             RvFit(v, kind, n, converged = true, Some(beta), Some(se), Some(pv),
               pvalue = Some(pv))
+          }
           }
         }
       } catch { case _: Exception => RvFit(v, kind, n, converged = false) }

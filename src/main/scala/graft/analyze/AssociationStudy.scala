@@ -226,7 +226,17 @@ object AssociationStudy {
       fitOne(variable, outcomeName, kind, levelsB.value.get(variable), b, idx,
         vals, presentIds.toArray, family, minN, doStd, catBetas)
     }
-    results.toDF()
+    // a variable with NO non-null values forms no melt group at all; the
+    // reference still emits a null row for it (the result table always has
+    // one entry per tested variable) — results are tiny, so the membership
+    // check is a cheap driver-side action
+    val produced = results.map(_.Variable).collect().toSet
+    val missing = rvs.filterNot(produced)
+    val missingRows = missing.map(v => AssocResult(v, outcome,
+      cf.typeOf(v).name, None, Converged = false, 0, None, None, None, None,
+      None, None))
+    if (missingRows.isEmpty) results.toDF()
+    else results.toDF().unionByName(missingRows.toDF())
   }
 
   /** Fit one variable's model(s) against the (subset of the) base block.

@@ -123,17 +123,22 @@ object InteractionStudy {
       y: Array[Double], colData: Map[String, Array[String]],
       types: Map[String, String], levels: Map[String, Seq[String]],
       covariates: Seq[String], family: Glm.Family, minN: Long): Seq[InteractionBetaResult] = {
+    // failures yield a visible non-converged placeholder row, never a
+    // silently-vanished pair (the reference emits 'NOT Converge' rows)
+    def failRow(n: Long) = Seq(InteractionBetaResult(v1, v2, outcome,
+      s"$v1:$v2", Converged = false, n, None, None, None, None, None, None,
+      None, None, None, None, None, None, None, None, None, None))
     try {
       val a1 = colData(v1); val a2 = colData(v2)
       val idx = (0 until y.length).filter(i => a1(i) != null && a2(i) != null).toArray
       val n = idx.length
-      if (n < minN || n < 3) return Nil
+      if (n < minN || n < 3) return failRow(n)
 
       val ySub = DenseVector(idx.map(y))
       val covarTerms = covariates.map(c => term(c, types(c), idx.map(colData(c)), levels))
       val t1 = term(v1, types(v1), idx.map(a1), levels)
       val t2 = term(v2, types(v2), idx.map(a2), levels)
-      if (!t1.varies || !t2.varies) return Nil
+      if (!t1.varies || !t2.varies) return failRow(n)
       val inter = ProductTerm(t1, t2)
 
       val (namesRest, xRest) = DesignMatrix.build(n, covarTerms ++ Seq(t1, t2))
@@ -165,7 +170,7 @@ object InteractionStudy {
           rb1, rs1, rp1, rb2, rs2, rp2, fbi, fsi, fpi, fb1, fs1, fp1, fb2, fs2, fp2)
       }
     } catch {
-      case _: Exception => Nil
+      case _: Exception => failRow(0)
     }
   }
 

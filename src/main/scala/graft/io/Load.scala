@@ -109,7 +109,29 @@ object Load {
     val typeRe = """"type"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     val catsRe = """"categories"\s*:\s*\[([^\]]*)\]""".r
     val strRe = """"((?:[^"\\]|\\.)*)"""".r
-    def unescape(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+    // single-pass unescape (ordered replace would corrupt literal
+    // backslash sequences like "C:\\notes" and never decoded \uXXXX)
+    def unescape(str: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i)
+        if (c == '\\' && i + 1 < str.length) {
+          str.charAt(i + 1) match {
+            case '"'  => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case 'n'  => sb += '\n'; i += 2
+            case 'r'  => sb += '\r'; i += 2
+            case 't'  => sb += '\t'; i += 2
+            case 'u' if i + 5 < str.length =>
+              sb += Integer.parseInt(str.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case other => sb += other; i += 2
+          }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
+    }
     var types = Map.empty[String, VariableType]
     var levels = Map.empty[String, Seq[String]]
     for (m <- entry.findAllMatchIn(json)) {

@@ -57,8 +57,15 @@ object Dedup {
 
   /** MinHash signature of a document. */
   def minhashSignature(text: String, numHashes: Int, shingleK: Int,
-                       seed: Long = 42L): Array[Long] = {
-    val params = hashParams(numHashes, seed)
+                       seed: Long = 42L): Array[Long] =
+    minhashSignatureWith(text, hashParams(numHashes, seed), shingleK)
+
+  /** Signature with a precomputed hash family — hoist `hashParams` out of
+    * per-row loops (it is deterministic; rebuilding it per document costs
+    * billions of Random constructions at corpus scale). */
+  def minhashSignatureWith(text: String, params: Array[(Long, Long)],
+                           shingleK: Int): Array[Long] = {
+    val numHashes = params.length
     val sig = Array.fill(numHashes)(Long.MaxValue)
     shingles(text, shingleK).foreach { sh =>
       val x = (Text.polyHash(sh) & Long.MaxValue) % Int.MaxValue // < 2^31
@@ -82,9 +89,12 @@ object Dedup {
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, minhashSignature(text, numHashes, shingleK, seed)) }
+    val params = hashParams(numHashes, seed) // computed ONCE, closure-captured
+    // ids ride as strings: arbitrary id types survive without cast-to-null
+    // crashes or '7'/'07'-style collisions
+    val sigs = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
+      .map { case (id, text) => (id, minhashSignatureWith(text, params, shingleK)) }
       .toDF("id", "sig")
     // band buckets: (band, hash(band slice)) — the ONLY shuffle
     val banded = sigs.select(col("id"), col("sig"),
@@ -106,8 +116,8 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, docs: DataFrame, pairs: DataFrame,
                    textCol: String, idCol: String, shingleK: Int = 5): DataFrame = {
     import spark.implicits._
-    val sets = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    val sets = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
       .map { case (id, t) => (id, shingles(t, shingleK).map(Text.polyHash).toArray.distinct) }
       .toDF("id", "sh")
     pairs
@@ -144,8 +154,8 @@ object Dedup {
   def simhashCandidates(spark: SparkSession, df: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
     import spark.implicits._
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)].map { case (id, t) => (id, simhash(t)) }.toDF("id", "sig")
+    val sigs = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)].map { case (id, t) => (id, simhash(t)) }.toDF("id", "sig")
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(expr("transform(sequence(0,3), b -> (sig >> (b*16)) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")

@@ -69,9 +69,12 @@ object Multimodal {
     * frame rows out, handled by the generator without collecting). */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
                    frameBytes: Int = 256, maxFrames: Int = 8): DataFrame =
+    // payloads shorter than one frame yield ZERO frames (guard against
+    // sequence(0,-1), which descends and would emit phantom frames)
     df.select(col(idCol), posexplode(expr(
-      s"transform(sequence(0, least(cast(length($binCol)/$frameBytes as int) - 1, ${maxFrames - 1})), " +
-        s"i -> substring($binCol, i * $frameBytes + 1, $frameBytes))")))
+      s"CASE WHEN length($binCol) < $frameBytes THEN array() ELSE " +
+        s"transform(sequence(0, least(cast(length($binCol)/$frameBytes as int) - 1, ${maxFrames - 1})), " +
+        s"i -> substring($binCol, i * $frameBytes + 1, $frameBytes)) END")))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
 }

@@ -78,10 +78,15 @@ object Similarity {
     val sigOf = hyperplaneSignature(dim, bits, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", sigOf(col("cv")))
-    val probeBuckets =
-      if (probes <= 0) array(col("sig"))
-      else array(col("sig") +: (0 until bits).map(b =>
-        col("sig").bitwiseXOR(lit(1L << b))): _*)
+    // all XOR masks with hamming weight <= probes (bounded to keep the
+    // probe fan-out sane)
+    val masks: Seq[Long] = {
+      def combos(d: Int): Seq[Long] =
+        if (d == 0) Seq(0L)
+        else (0 until bits).combinations(d).map(_.map(1L << _).sum).toSeq
+      (0 to math.max(0, math.min(probes, bits))).flatMap(combos).take(512)
+    }
+    val probeBuckets = array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("sig", sigOf(col("qv")))
       .withColumn("bucket", explode(probeBuckets))
@@ -98,19 +103,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Embedding near-duplicate pairs: consecutive-id pairing (cheap sanity
-    * scan) or LSH-bucket self-join when `byBucket` is set. */
+  /** Embedding near-duplicate pairs: LSH-bucket self-join (`byBucket`,
+    * the scale path) or a cheap consecutive-id sanity scan (id2 = id1 + 1 —
+    * linear, NOT an all-pairs join). */
   def cosineNearDups(spark: SparkSession, df: DataFrame, threshold: Double,
                      dim: Int, idCol: String = "vec_id",
                      vecCol: String = "embedding", byBucket: Boolean = true,
                      bits: Int = 6, seed: Long = 42L): DataFrame = {
-    val sigOf = hyperplaneSignature(dim, bits, seed)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", if (byBucket) sigOf(col("v")) else lit(0L))
-    val a = base.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val b = base.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
+    val joined =
+      if (byBucket) {
+        val sigOf = hyperplaneSignature(dim, bits, seed)
+        val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .withColumn("bucket", sigOf(col("v")))
+        base.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+          .join(base.select(col("bucket"), col("id").as("id2"), col("v").as("v2")),
+            Seq("bucket"))
+          .filter(col("id1") < col("id2"))
+      } else {
+        val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+        val b = df.select((col(idCol) - 1).as("id1"), col(idCol).as("id2"),
+          col(vecCol).as("v2"))
+        a.join(b, Seq("id1"))
+      }
+    joined
       .withColumn("cosine",
         graft.functions.GraftFunctions.cosine_similarity(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)

@@ -33,11 +33,13 @@ object EventStreams {
   final case class Session(user_id: Long, session_start: Long, session_end: Long,
                            n_events: Long, total_value: Double)
 
-  /** Gap-based sessionization with custom state —
-    * `flatMapGroupsWithState` + processing-time timeout. Emits a session
-    * when `gapSeconds` passes without events for the user. This is the
-    * canonical custom-state pattern the driver mandate names
-    * (KeyValueGroupedDataset.flatMapGroupsWithState). */
+  /** Gap-based sessionization with custom state — BATCH semantics: the
+    * input is complete, so the trailing open session per user is emitted
+    * too. (Streaming mode must NOT use this shape: re-emitting the open
+    * session every micro-batch duplicates sessions — use
+    * [[sessionizeStream]], which holds the open session in state and emits
+    * it only on gap timeout.) This is the canonical custom-state pattern
+    * the driver mandate names (flatMapGroupsWithState). */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapSeconds: Long = 1800): org.apache.spark.sql.Dataset[Session] = {
     import spark.implicits._
@@ -67,6 +69,47 @@ object EventStreams {
           if (st != null) out += Session(user, st.start, st.last, st.n, st.value)
           state.update(if (st == null) SessionState(0, 0, 0, 0) else st)
           out.iterator
+      }
+  }
+
+  /** Streaming sessionization: closed sessions are emitted as gaps are
+    * observed within the data; the open session is held in state with a
+    * processing-time timeout of `gapSeconds` and emitted (state removed)
+    * when the user goes quiet — no duplicate emissions, bounded state. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapSeconds: Long = 1800): org.apache.spark.sql.Dataset[Session] = {
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id").cast("long"),
+      unix_timestamp(col("ts")).cast("long").as("epoch"),
+      col("value").cast("double"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(user, st.start, st.last, st.n, st.value))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2)
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            var st = state.getOption.orNull
+            sorted.foreach { case (_, t, v) =>
+              if (st == null) st = SessionState(t, t, 0, 0.0)
+              else if (t - st.last > gapSeconds) {
+                out += Session(user, st.start, st.last, st.n, st.value)
+                st = SessionState(t, t, 0, 0.0)
+              }
+              st = st.copy(last = t, n = st.n + 1, value = st.value + v)
+            }
+            if (st != null) {
+              state.update(st) // open session stays in state, not emitted
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            out.iterator
+          }
       }
   }
 }

@@ -28,24 +28,24 @@ class PipelineSpec extends SparkSpec {
   test("minhash LSH finds the planted near-duplicate pair") {
     val cands = Dedup.minhashCandidates(spark, docs, "text", "doc_id",
       numHashes = 64, bands = 16, shingleK = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     val pairs = cands.map(c => (c._1, c._2)).toSet
-    assert(pairs.contains((0L, 1L)), s"expected near-dup (0,1) in $pairs")
-    assert(pairs.contains((0L, 3L))) // exact dup -> jaccard 1
-    val est13 = cands.find(c => c._1 == 0L && c._2 == 3L).get._3
+    assert(pairs.contains(("0", "1")), s"expected near-dup (0,1) in $pairs")
+    assert(pairs.contains(("0", "3"))) // exact dup -> jaccard 1
+    val est13 = cands.find(c => c._1 == "0" && c._2 == "3").get._3
     assert(est13 === 1.0)
     // unrelated docs 2 vs 4 must NOT collide
-    assert(!pairs.contains((2L, 4L)))
+    assert(!pairs.contains(("2", "4")))
   }
 
   test("ngram jaccard verification is exact") {
     import spark.implicits._
-    val pairs = Seq((0L, 3L), (0L, 2L)).toDF("id1", "id2")
+    val pairs = Seq(("0", "3"), ("0", "2")).toDF("id1", "id2")
     val j = Dedup.ngramJaccard(spark, docs, pairs, "text", "doc_id")
-      .collect().map(r => (r.getLong(r.fieldIndex("id1")), r.getLong(r.fieldIndex("id2"))) ->
+      .collect().map(r => (r.getString(r.fieldIndex("id1")), r.getString(r.fieldIndex("id2"))) ->
         r.getDouble(r.fieldIndex("jaccard"))).toMap
-    assert(j((0L, 3L)) === 1.0)
-    assert(j((0L, 2L)) < 0.2)
+    assert(j(("0", "3")) === 1.0)
+    assert(j(("0", "2")) < 0.2)
   }
 
   test("simhash of identical docs is identical; near-dups are close") {
