@@ -39,14 +39,26 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash LSH
 
-  /** Deterministic universal hash family h_i(x) = (a_i·x + b_i) mod p with
-    * a, b, x < 2^31 so a·x+b stays below 2^62 — overflow-free 64-bit
-    * arithmetic in the hot loop (a BigInt version here cost 10x). */
-  private val P = 2305843009213693951L // 2^61 - 1
-  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+  /** Deterministic hash family: murmur3 fmix64 finalizer over
+    * (shingleHash ^ perFunctionSeed). A low-range linear (a·x+b) mod p
+    * scheme is NOT usable here — with narrow coefficients it is nearly
+    * order-preserving, signatures collapse to the globally-smallest
+    * shingle, and every document pair collides in every band. fmix64 gives
+    * full 64-bit avalanche at ~4 ops per hash. */
+  private def hashParams(numHashes: Int, seed: Long): Array[Long] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(numHashes)(
-      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+    Array.fill(numHashes)(rnd.nextLong())
+  }
+
+  /** murmur3 64-bit finalizer — full avalanche mixing. */
+  @inline private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
   }
 
   /** Character shingles of the normalized text. */
@@ -63,16 +75,15 @@ object Dedup {
   /** Signature with a precomputed hash family — hoist `hashParams` out of
     * per-row loops (it is deterministic; rebuilding it per document costs
     * billions of Random constructions at corpus scale). */
-  def minhashSignatureWith(text: String, params: Array[(Long, Long)],
+  def minhashSignatureWith(text: String, params: Array[Long],
                            shingleK: Int): Array[Long] = {
     val numHashes = params.length
     val sig = Array.fill(numHashes)(Long.MaxValue)
     shingles(text, shingleK).foreach { sh =>
-      val x = (Text.polyHash(sh) & Long.MaxValue) % Int.MaxValue // < 2^31
+      val x = Text.polyHash(sh)
       var i = 0
       while (i < numHashes) {
-        val (a, b) = params(i)
-        val h = (a * x + b) % P // a,x < 2^31 -> product < 2^62, no overflow
+        val h = fmix64(x ^ params(i))
         if (h < sig(i)) sig(i) = h
         i += 1
       }
