@@ -126,6 +126,19 @@ object SparkEntry {
           col("event_type"), col("n"), round(col("total_value"), 4).as("total_value"))
         .orderBy("hour_start", "event_type")),
 
+    "events_json_extract" -> ((s, dir) => {
+      // semi-structured payloads: schema-projected from_json (codegen'd;
+      // only the needed field is materialized)
+      val parsed = t(s, dir, "events").withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k"))
+      parsed.groupBy("event_type")
+        .agg(count(col("k")).as("n_k"), sum("k").as("sum_k"),
+          round(avg("k"), 6).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
     // ---- modify: projections / column filters (SURVEY §2.2)
     "modify_colfilter" -> ((s, dir) => {
       val cf = CladeFrame(t(s, dir, "part"), "p_partkey")
@@ -566,6 +579,13 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
          event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "events_json_extract" ->
+      """SELECT event_type,
+         count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "modify_colfilter" ->
       """SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice

@@ -55,7 +55,7 @@ object AggregatedGlm {
     cf.typeOf(rv) match {
       case Continuous  => true
       case Binary      => cf.levels.contains(rv)
-      case Categorical => gaussian && cf.levels.contains(rv)
+      case Categorical => cf.levels.contains(rv)
       case _           => false
     }
 
@@ -257,13 +257,34 @@ object AggregatedGlm {
 
   // ------------------------------------------------------------- Binomial
 
+  /** One IRLS state: a design (column expressions) fitted under a mask.
+    * Numeric rvs have one model; categorical rvs have a full model
+    * (interceptless all-levels dummies + covars — same span as intercept +
+    * L-1 dummies, deviance-invariant) and a restricted model (intercept +
+    * covars) under the SAME mask, so the working LRT is fully distributed. */
+  private final case class IrlsModel(key: String, rv: String,
+                                     cols: Seq[Column], mask: Column) {
+    def p: Int = cols.size
+  }
+
   private def fitBinomialBatch(cf: CladeFrame, df: DataFrame, yExpr: Column,
                                outCols: Seq[String], covariates: Seq[String],
                                batch: Seq[String], minN: Long): Seq[RvFit] = {
-    val p = covariates.size + 2
+    val covarCols = covariates.map(col(_).cast("double"))
 
-    def design(v: String): Seq[Column] =
-      (lit(1.0) +: covariates.map(col(_).cast("double"))) :+ rvNumeric(cf, v)
+    val models: Seq[IrlsModel] = batch.flatMap { v =>
+      val m = maskFor(cf, covariates, v, outCols)
+      cf.typeOf(v) match {
+        case Categorical =>
+          val dummies = cf.levels(v).sorted.map(lvl =>
+            when(col(v).cast("string") === lvl, 1.0).otherwise(0.0))
+          Seq(
+            IrlsModel(s"$v@full", v, covarCols ++ dummies, m),
+            IrlsModel(s"$v@rest", v, lit(1.0) +: covarCols, m))
+        case _ =>
+          Seq(IrlsModel(v, v, (lit(1.0) +: covarCols) :+ rvNumeric(cf, v), m))
+      }
+    }
 
     val lastAinv = scala.collection.mutable.Map[String, DenseMatrix[Double]]()
     val beta = scala.collection.mutable.Map[String, DenseVector[Double]]()
@@ -271,20 +292,26 @@ object AggregatedGlm {
     val done = scala.collection.mutable.Map[String, Boolean]()
     val failed = scala.collection.mutable.Map[String, Boolean]()
     val ns = scala.collection.mutable.Map[String, Long]()
-    batch.foreach { v => done(v) = false; failed(v) = false }
+    val levelCounts = scala.collection.mutable.Map[String, Seq[Long]]()
+    models.foreach { md => done(md.key) = false; failed(md.key) = false }
+    def rvFailed(v: String): Boolean =
+      models.filter(_.rv == v).exists(md => failed(md.key))
 
     var iter = 0
-    while (iter < MaxIter && batch.exists(v => !done(v) && !failed(v))) {
-      val active = batch.filter(v => !done(v) && !failed(v))
-      val aggs: Seq[Column] = active.flatMap { v =>
-        val z = design(v)
-        val m = maskFor(cf, covariates, v, outCols)
+    while (iter < MaxIter &&
+        models.exists(md => !done(md.key) && !failed(md.key) && !rvFailed(md.rv))) {
+      val active = models.filter(md => !done(md.key) && !failed(md.key) && !rvFailed(md.rv))
+      val catRvs = if (iter == 0) batch.filter(v => cf.typeOf(v) == Categorical) else Nil
+      val aggs: Seq[Column] = active.flatMap { md =>
+        val z = md.cols
+        val p = md.p
+        val m = md.mask
         // mu: first iteration uses the statsmodels start mu=(y+1/2)/2;
         // later iterations use the current linear predictor
         val mu: Column =
           if (iter == 0) (yExpr + 0.5) / 2.0
           else {
-            val b = beta(v)
+            val b = beta(md.key)
             val eta = z.zipWithIndex.map { case (zi, i) => zi * lit(b(i)) }.reduce(_ + _)
             lit(1.0) / (lit(1.0) + exp(-eta))
           }
@@ -292,7 +319,7 @@ object AggregatedGlm {
         val eta: Column =
           if (iter == 0) log(mu / (lit(1.0) - mu))
           else {
-            val b = beta(v)
+            val b = beta(md.key)
             z.zipWithIndex.map { case (zi, i) => zi * lit(b(i)) }.reduce(_ + _)
           }
         val zr = eta + (yExpr - mu) / vfun // working response
@@ -304,66 +331,107 @@ object AggregatedGlm {
           when(yExpr > 0, yExpr * log(yExpr / muC)).otherwise(0.0) +
           when(yExpr < 1, (lit(1.0) - yExpr) * log((lit(1.0) - yExpr) / (lit(1.0) - muC))).otherwise(0.0))
         Seq(
-          sum(when(m, 1L).otherwise(0L)).as(s"n_$v"),
-          sum(when(m, devTerm)).as(s"dev_$v")) ++
-          z.zipWithIndex.map { case (zi, i) => sum(when(m, w * zi * zr)).as(s"wzr_${i}_$v") } ++
-          tri(p).map { case (i, j) => sum(when(m, w * z(i) * z(j))).as(s"wzz_${i}_${j}_$v") }
+          sum(when(m, 1L).otherwise(0L)).as(s"n_${md.key}"),
+          sum(when(m, devTerm)).as(s"dev_${md.key}")) ++
+          z.zipWithIndex.map { case (zi, i) => sum(when(m, w * zi * zr)).as(s"wzr_${i}_${md.key}") } ++
+          tri(p).map { case (i, j) => sum(when(m, w * z(i) * z(j))).as(s"wzz_${i}_${j}_${md.key}") }
+      } ++ catRvs.flatMap { v =>
+        // iteration 0 only: masked level occupancy (empty-level df pruning
+        // + stale-metadata guard), like the gaussian path's Z'Z diagonal
+        val m = maskFor(cf, covariates, v, outCols)
+        cf.levels(v).map(lvl =>
+          sum(when(m && col(v).cast("string") === lvl, 1L).otherwise(0L))
+            .as(s"lc_${v}_$lvl"))
       }
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       var idx = 0
       def nextD(): Double = { val x = if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx); idx += 1; x }
       def nextL(): Long = { val x = if (row.isNullAt(idx)) 0L else row.getLong(idx); idx += 1; x }
-      active.foreach { v =>
-        val n = nextL(); ns(v) = n
+      active.foreach { md =>
+        val p = md.p
+        val n = nextL(); ns(md.key) = n
         val newDev = nextD()
         val c = DenseVector(Array.fill(p)(nextD()))
         val a = DenseMatrix.zeros[Double](p, p)
         tri(p).foreach { case (i, j) => val x = nextD(); a(i, j) = x; a(j, i) = x }
-        if (n < minN || n <= p) { failed(v) = true }
+        if (n < minN || n <= p) { failed(md.key) = true }
         else try {
           val ai = try inv(a) catch { case _: Exception => breeze.linalg.pinv(a) }
-          beta(v) = ai * c
-          lastAinv(v) = ai
-          if (iter > 0 && math.abs(newDev - dev.getOrElse(v, Double.MaxValue)) <=
-              Tol * (math.abs(newDev) + Tol)) done(v) = true
-          dev(v) = newDev
-        } catch { case _: Exception => failed(v) = true }
+          beta(md.key) = ai * c
+          lastAinv(md.key) = ai
+          if (iter > 0 && math.abs(newDev - dev.getOrElse(md.key, Double.MaxValue)) <=
+              Tol * (math.abs(newDev) + Tol)) done(md.key) = true
+          dev(md.key) = newDev
+        } catch { case _: Exception => failed(md.key) = true }
+      }
+      catRvs.foreach { v =>
+        levelCounts(v) = cf.levels(v).map(_ => nextL())
       }
       iter += 1
     }
 
-    // one final pass at the converged betas for exact SEs (vcov evaluated
-    // AT the final beta, matching the local kernel within tolerance)
-    val fitted = batch.filter(v => !failed(v) && beta.contains(v))
-    if (fitted.nonEmpty) {
-      val aggs: Seq[Column] = fitted.flatMap { v =>
-        val z = design(v)
-        val m = maskFor(cf, covariates, v, outCols)
-        val b = beta(v)
+    // one final pass at the converged betas for exact SEs of numeric rvs
+    // (vcov evaluated AT the final beta, matching the local kernel)
+    val numericFitted = models.filter(md =>
+      md.key == md.rv && !failed(md.key) && beta.contains(md.key))
+    if (numericFitted.nonEmpty) {
+      val aggs: Seq[Column] = numericFitted.flatMap { md =>
+        val z = md.cols
+        val b = beta(md.key)
         val eta = z.zipWithIndex.map { case (zi, i) => zi * lit(b(i)) }.reduce(_ + _)
         val mu = lit(1.0) / (lit(1.0) + exp(-eta))
         val w = greatest(mu * (lit(1.0) - mu), lit(1e-10))
-        tri(p).map { case (i, j) => sum(when(m, w * z(i) * z(j))).as(s"f_${i}_${j}_$v") }
+        tri(md.p).map { case (i, j) => sum(when(md.mask, w * z(i) * z(j))).as(s"f_${i}_${j}_${md.key}") }
       }
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       var idx = 0
       def nextD(): Double = { val x = if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx); idx += 1; x }
-      fitted.foreach { v =>
+      numericFitted.foreach { md =>
+        val p = md.p
         val a = DenseMatrix.zeros[Double](p, p)
         tri(p).foreach { case (i, j) => val x = nextD(); a(i, j) = x; a(j, i) = x }
-        try lastAinv(v) = inv(a) catch { case _: Exception => failed(v) = true }
+        try lastAinv(md.key) = inv(a) catch { case _: Exception => failed(md.key) = true }
       }
     }
 
     batch.map { v =>
       val kind = cf.typeOf(v).name
-      if (failed(v) || !beta.contains(v))
-        RvFit(v, kind, ns.getOrElse(v, 0L), converged = false)
-      else {
-        val b = beta(v)(p - 1)
-        val se = math.sqrt(lastAinv(v)(p - 1, p - 1))
-        val pv = Distributions.zSfTwoSided(b / se)
-        RvFit(v, kind, ns(v), done(v), Some(b), Some(se), Some(pv), pvalue = Some(pv))
+      cf.typeOf(v) match {
+        case Categorical =>
+          val fullK = s"$v@full"; val restK = s"$v@rest"
+          val n = ns.getOrElse(fullK, 0L)
+          if (rvFailed(v) || !dev.contains(fullK) || !dev.contains(restK))
+            RvFit(v, kind, n, converged = false)
+          else {
+            val occupancy = levelCounts(v)
+            val nOccupied = occupancy.count(_ > 0)
+            val covered = occupancy.sum
+            if (math.abs(covered - n) > 0)
+              throw new IllegalArgumentException(
+                s"level metadata for $v is stale: ${n - covered} row(s) hold " +
+                  "values outside the declared levels")
+            if (nOccupied < 2) RvFit(v, kind, n, converged = false)
+            else {
+              val lrstat = dev(restK) - dev(fullK)
+              val lrdf = (nOccupied - 1).toDouble
+              val lrP = Distributions.chi2Sf(lrstat, lrdf)
+              // binary-y binomial llf = -dev/2 exactly, so
+              // Diff_AIC = (dev_f + 2 p_f) - (dev_r + 2 p_r) = 2*lrdf - lrstat
+              val diffAic = 2.0 * lrdf - lrstat
+              RvFit(v, kind, n, done(fullK) && done(restK),
+                lrtPvalue = Some(lrP), diffAic = Some(diffAic), pvalue = Some(lrP))
+            }
+          }
+        case _ =>
+          if (failed(v) || !beta.contains(v))
+            RvFit(v, kind, ns.getOrElse(v, 0L), converged = false)
+          else {
+            val p = beta(v).length
+            val b = beta(v)(p - 1)
+            val se = math.sqrt(lastAinv(v)(p - 1, p - 1))
+            val pv = Distributions.zSfTwoSided(b / se)
+            RvFit(v, kind, ns(v), done(v), Some(b), Some(se), Some(pv), pvalue = Some(pv))
+          }
       }
     }
   }

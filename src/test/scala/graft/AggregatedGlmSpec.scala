@@ -52,6 +52,24 @@ class AggregatedGlmSpec extends SparkSpec {
     }
   }
 
+  test("binary outcome + categorical rv: distributed LRT == local LRT") {
+    var cf = li.copy(df = li.df.withColumn("high",
+      (col("l_extendedprice") > 30000).cast("string")))
+      .withTypes(Map("high" -> VariableType.Binary))
+      .withLevels(Map("high" -> Seq("false", "true")))
+    val viaAgg = AssociationStudy.run(spark, cf, outcomes = Seq("high"),
+      covariates = Seq("l_quantity"), regressionVariables = Seq("l_returnflag"),
+      minN = 1).collect().head
+    val viaCollect = AssociationStudy.run(spark,
+      cf.copy(levels = cf.levels.view.filterKeys(_ == "high").toMap),
+      outcomes = Seq("high"), covariates = Seq("l_quantity"),
+      regressionVariables = Seq("l_returnflag"), minN = 1).collect().head
+    Seq("LRT_pvalue", "Diff_AIC", "pvalue").foreach { c =>
+      assertRtol(viaAgg.getDouble(viaAgg.fieldIndex(c)),
+        viaCollect.getDouble(viaCollect.fieldIndex(c)), 1e-6, c)
+    }
+  }
+
   test("binary outcome + binary rv: distributed IRLS == local IRLS") {
     var cf = li.copy(df = li.df.withColumn("high",
       (col("l_extendedprice") > 30000).cast("string")))
