@@ -86,7 +86,8 @@ object AssociationStudy {
       minN: Long = 200,
       standardizeData: Boolean = false,
       surveyDesign: Option[SurveyDesignSpec] = None,
-      reportCategoricalBetas: Boolean = false): DataFrame = {
+      reportCategoricalBetas: Boolean = false,
+      broadcastBase: Boolean = true): DataFrame = {
     import spark.implicits._
     val rvs =
       if (regressionVariables.nonEmpty) regressionVariables
@@ -95,7 +96,7 @@ object AssociationStudy {
     surveyDesign.foreach(_.validateAgainstData(cf.variables))
     val perOutcome = outcomes.map { outcome =>
       runOne(spark, cf, outcome, covariates, rvs.filterNot(_ == outcome), minN,
-        standardizeData, surveyDesign, reportCategoricalBetas)
+        standardizeData, surveyDesign, reportCategoricalBetas, broadcastBase)
     }
     val all = perOutcome.reduce(_ unionByName _)
     // global sort by pvalue (reference: association_study.py:126-129)
@@ -111,7 +112,8 @@ object AssociationStudy {
       minN: Long,
       standardize: Boolean,
       surveyDesign: Option[SurveyDesignSpec] = None,
-      reportCategoricalBetas: Boolean = false): DataFrame = {
+      reportCategoricalBetas: Boolean = false,
+      broadcastBase: Boolean = true): DataFrame = {
     import spark.implicits._
 
     // tall-data fast path: every design column numeric -> distributed
@@ -119,6 +121,15 @@ object AssociationStudy {
     if (surveyDesign.isEmpty && !reportCategoricalBetas &&
         AggregatedGlm.supports(cf, outcome, covariates, rvs, standardize))
       return AggregatedGlm.run(spark, cf, outcome, covariates, rvs, minN)
+
+    // tall-data co-group path for level-dependent designs: the base block
+    // JOINS the melted variables instead of being collected+broadcast, so
+    // nothing row-scale ever reaches the driver; each variable's group
+    // streams through the same local kernel (survey studies keep the
+    // broadcast path — their designs are per-observation-bounded)
+    if (!broadcastBase && surveyDesign.isEmpty)
+      return runOneCogroup(spark, cf, outcome, covariates, rvs, minN,
+        standardize, reportCategoricalBetas)
 
     val outcomeType = cf.typeOf(outcome)
     val family = outcomeType match {
@@ -237,6 +248,97 @@ object AssociationStudy {
       None, None))
     if (missingRows.isEmpty) results.toDF()
     else results.toDF().unionByName(missingRows.toDF())
+  }
+
+  /** Co-group execution: melt the rv columns, JOIN the (uncollected) base
+    * block by id, shuffle once keyed by variable, and rebuild the kernel's
+    * per-variable arrays inside each group. Identical numerics to the
+    * broadcast path (same fitOne kernel); the trade is one wide shuffle of
+    * (value + base) rows for zero driver-side materialization. */
+  private def runOneCogroup(
+      spark: SparkSession,
+      cf: CladeFrame,
+      outcome: String,
+      covariates: Seq[String],
+      rvs: Seq[String],
+      minN: Long,
+      standardize: Boolean,
+      reportCategoricalBetas: Boolean): DataFrame = {
+    import spark.implicits._
+    require(!standardize,
+      "standardize_data needs global moments; use the broadcast path or pre-standardize")
+    val outcomeType = cf.typeOf(outcome)
+    val family = outcomeType match {
+      case Continuous => Glm.Gaussian
+      case Binary     => Glm.Binomial
+      case t => throw new IllegalArgumentException(s"bad outcome type $t")
+    }
+    val outcomeLevels: Seq[String] = outcomeType match {
+      case Binary =>
+        val levels0 = cf.levels.getOrElse(outcome,
+          cf.df.select(col(outcome).cast("string")).na.drop().distinct()
+            .collect().map(_.getString(0)).toSeq).sorted
+        if (levels0 == Seq("Case", "Control")) Seq("Control", "Case") else levels0
+      case _ => Nil
+    }
+    val baseCols = outcome +: covariates
+    val baseDf = cf.df
+      .select((cf.idCol +: baseCols).map(c => col(c).cast("string").as(c)): _*)
+      .na.drop("any", baseCols)
+    val long = Modify.melt(
+      cf.df.select((cf.idCol +: rvs).map(col): _*)
+        .withColumn(cf.idCol, col(cf.idCol).cast("string")),
+      rvs, keep = Seq(cf.idCol))
+      .filter(col("value").isNotNull)
+    val joined = long.join(baseDf, Seq(cf.idCol)) // inner: complete base rows
+      // row: id, variable, value, outcome, covars...
+    val covarKinds = covariates.map(c => c -> (cf.typeOf(c) match {
+      case Continuous => "continuous"
+      case Binary     => "binary"
+      case _          => "categorical"
+    })).toMap
+    val typesB = spark.sparkContext.broadcast(rvs.map(v => v -> cf.typeOf(v).name).toMap)
+    val levelsB = spark.sparkContext.broadcast(cf.levels)
+    val outcomeName = outcome
+    val catBetas = reportCategoricalBetas
+    val nCov = covariates.size
+    val covarSeq = covariates
+    val oLevels = outcomeLevels
+
+    val resultDs = joined.groupByKey(r => r.getString(1)).flatMapGroups { (variable, rows) =>
+      val yBuf = new scala.collection.mutable.ArrayBuffer[Double]()
+      val vals = new scala.collection.mutable.ArrayBuffer[String]()
+      val covarBufs = Array.fill(nCov)(new scala.collection.mutable.ArrayBuffer[String]())
+      rows.foreach { r =>
+        // columns: id(0), variable(1), value(2), outcome(3), covars(4..)
+        vals += r.getString(2)
+        val yRaw = r.getString(3)
+        yBuf += (if (oLevels.isEmpty) yRaw.toDouble
+          else if (yRaw == oLevels(1)) 1.0 else 0.0)
+        var j = 0
+        while (j < nCov) { covarBufs(j) += r.getString(4 + j); j += 1 }
+      }
+      val n = yBuf.length
+      val covarData = covarSeq.zipWithIndex.map { case (c, j) =>
+        covarKinds(c) match {
+          case "continuous" =>
+            (c, "continuous", null: Array[String], covarBufs(j).map(_.toDouble).toArray)
+          case k => (c, k, covarBufs(j).toArray, null: Array[Double])
+        }
+      }
+      val localBase = BaseData(Map.empty, yBuf.toArray, covarData, None)
+      fitOne(variable, outcomeName, typesB.value(variable),
+        levelsB.value.get(variable), localBase, Array.range(0, n),
+        vals.toArray, Array.empty[String], family, minN, standardize = false,
+        catBetas)
+    }
+    val produced = resultDs.map(_.Variable).collect().toSet
+    val missing = rvs.filterNot(produced)
+    val missingRows = missing.map(v => AssocResult(v, outcome,
+      cf.typeOf(v).name, None, Converged = false, 0, None, None, None, None,
+      None, None))
+    if (missingRows.isEmpty) resultDs.toDF()
+    else resultDs.toDF().unionByName(missingRows.toDF())
   }
 
   /** Fit one variable's model(s) against the (subset of the) base block.

@@ -154,4 +154,18 @@ class AssociationStudySpec extends SparkSpec {
       assert(!r.isNullAt(r.fieldIndex("Beta")) && !r.isNullAt(r.fieldIndex("SE")))
     }
   }
+
+  test("cogroup path (no broadcast): golden parity on nhanes binomial LRT") {
+    val golden = goldenMap(refPath("r_test_output/analyze/nhanes_noweights_result.csv"))
+    Seq(("race", Seq("agecat", "RIAGENDR")), ("RIAGENDR", Seq("race", "agecat")))
+      .foreach { case (rv, covars) =>
+        val r = AssociationStudy.run(spark, nhanes, outcomes = Seq("HI_CHOL"),
+          covariates = covars, regressionVariables = Seq(rv),
+          broadcastBase = false).collect().head
+        val g = golden(rv)
+        assert(r.getLong(r.fieldIndex("N")) === g("N").toLong, s"$rv N (cogroup)")
+        assertRtol(r.getDouble(r.fieldIndex("pvalue")), g("pvalue"), 1e-4,
+          s"$rv pvalue (cogroup)")
+      }
+  }
 }
