@@ -115,6 +115,42 @@ object Cli {
       val res = AssociationStudy.run(spark, cf, outcomes, covariates, minN = minN)
       res.coalesce(1).write.mode("overwrite")
         .option("sep", "\t").option("header", "true").csv(out)
+    case "analyze" :: "interaction-study" :: in :: out :: rest =>
+      val cf = loadState(spark, in)
+      val outcome = flag(rest, "--outcome").get
+      val covariates = flag(rest, "--covariates").map(_.split(",").toSeq).getOrElse(Nil)
+      val pairs = flag(rest, "--interactions") match {
+        case Some(spec) => spec.split(";").toSeq.map { p =>
+          val Array(a, b) = p.split(","); (a, b)
+        }
+        case None => // all pairs of the remaining variables
+          val rvs = cf.variables.filterNot((outcome +: covariates).toSet)
+          for (i <- rvs.indices; j <- (i + 1) until rvs.size) yield (rvs(i), rvs(j))
+      }
+      graft.analyze.InteractionStudy.run(spark, cf, outcome, pairs, covariates,
+        flag(rest, "--min-n").map(_.toLong).getOrElse(200L),
+        reportBetas = rest.contains("--report-betas"))
+        .coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(out)
+
+    case "analyze" :: "association-study-weighted" :: in :: out :: rest =>
+      val cf = loadState(spark, in)
+      val design = new graft.survey.SurveyDesignSpec(
+        loadState(spark, flag(rest, "--survey").get).df, "id",
+        strata = flag(rest, "--strata"),
+        cluster = flag(rest, "--cluster"),
+        nest = rest.contains("--nest"),
+        singleWeight = flag(rest, "--weights"),
+        fpc = flag(rest, "--fpc"),
+        singleCluster = flag(rest, "--single-cluster").getOrElse("fail"))
+      val res = AssociationStudy.run(spark, cf,
+        flag(rest, "--outcome").get.split(",").toSeq,
+        flag(rest, "--covariates").map(_.split(",").toSeq).getOrElse(Nil),
+        minN = flag(rest, "--min-n").map(_.toLong).getOrElse(200L),
+        surveyDesign = Some(design))
+      res.coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(out)
+
     case "analyze" :: "add-corrected-pvalues" :: in :: out :: rest =>
       val df = spark.read.option("sep", "\t").option("header", "true")
         .option("inferSchema", "true").csv(in)
@@ -134,6 +170,8 @@ object Cli {
       |  describe summarize|percent-na|freq-table|correlations|skewness|get-types <in>
       |  modify <verb> <in> <out> [--only a,b] [--skip a,b] [--n N] [--method m] ...
       |  analyze association-study <in> <outDir> --outcome y [--covariates a,b] [--min-n N]
+      |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
+      |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]
       |State format: <path>.txt (TSV) + <path>.dtypes (JSON sidecar).""".stripMargin
 }
