@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import graft.analyze.Corrections
+
+/** Property-style checks (scalacheck generators, deterministic seeds): the
+  * window-function BH-FDR against a local reference implementation on
+  * arbitrary p-value vectors, plus invariants. */
+class PropertySpec extends SparkSpec {
+
+  /** Local statsmodels-style fdr_bh: sort, p*m/rank, reverse cummin, clip. */
+  private def localBh(ps: Seq[Double]): Seq[Double] = {
+    val m = ps.size
+    val sortedIdx = ps.zipWithIndex.sortBy(_._1).map(_._2)
+    val raw = sortedIdx.zipWithIndex.map { case (orig, rank) =>
+      orig -> ps(orig) * m / (rank + 1)
+    }
+    // reverse cumulative min over the sorted order
+    val adjSorted = raw.map(_._2).scanRight(Double.MaxValue)(math.min).init
+    val out = new Array[Double](m)
+    sortedIdx.zip(adjSorted).foreach { case (orig, v) => out(orig) = math.min(v, 1.0) }
+    out.toSeq
+  }
+
+  test("window BH-FDR matches the local reference on random p-vectors") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.choose(0.0, 1.0))
+    val cases = (0 until 25).flatMap { i =>
+      gen(Gen.Parameters.default.withSize(1 + i * 8),
+        rng.Seed(42L + i)).toSeq
+    } :+ List(0.5, 0.5, 0.5) :+ List(1.0) :+ List(0.0, 1.0, 0.25, 0.25)
+    cases.foreach { ps0 =>
+      {
+        val ps = ps0.take(200)
+        val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "pvalue")
+        val got = Corrections.addCorrectedPvalues(df).orderBy("id")
+          .select("pvalue_fdr").collect().map(_.getDouble(0)).toSeq
+        val want = localBh(ps)
+        got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+          assert(math.abs(g - w) < 1e-12, s"fdr mismatch at $i: $g vs $w (ps=$ps)")
+        }
+        // invariants: bonferroni >= fdr >= raw p (up to clipping)
+        val rows = Corrections.addCorrectedPvalues(df).collect()
+        rows.foreach { r =>
+          val p = r.getDouble(r.fieldIndex("pvalue"))
+          val bonf = r.getDouble(r.fieldIndex("pvalue_bonferroni"))
+          val fdr = r.getDouble(r.fieldIndex("pvalue_fdr"))
+          assert(bonf >= fdr - 1e-12 && fdr >= p - 1e-12)
+          assert(bonf <= 1.0 && fdr <= 1.0)
+        }
+      }
+    }
+  }
+
+  test("jackknife vcov is consistent with linearization on the fpc design") {
+    import graft.io.Load
+    import graft.modify.Modify
+    import graft.stats.{DesignMatrix, Glm}
+    import graft.survey.{SurveyDesignSpec, SurveyKernel}
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/fpc_data.csv"))
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeContinuous(cf, only = Some(Seq("x", "y")))
+    val spec = new SurveyDesignSpec(cf.df, "id",
+      strata = Some("stratid"), cluster = Some("psuid"), nest = true,
+      singleWeight = Some("weight"))
+    val rows = cf.df.select("id", "x", "y").collect().sortBy(_.getLong(0))
+    val n = rows.length
+    val x = DenseMatrix.tabulate(n, 2)((i, j) => if (j == 0) 1.0 else rows(i).getDouble(1))
+    val y = DenseVector(rows.map(_.getDouble(2)))
+    val ids = rows.map(_.getLong(0).toString)
+    val w = ids.map(spec.normalizedWeights("weight"))
+    val design = SurveyKernel.AlignedDesign(
+      ids.map(spec.stratOf), ids.map(spec.clustOf), w, spec.fpcPerClust,
+      spec.clustPerStrat, spec.stratForClust, hasStrata = true,
+      hasCluster = true, hasWeights = true, singleCluster = "fail")
+    val fit = Glm.fit(x, y, Glm.Gaussian, Some(DenseVector(w)))
+    val lin = SurveyKernel.stataLinearizationVcov(x, y, fit, Glm.Gaussian, design)
+    val jk = SurveyKernel.jackknifeVcov(x, y, fit, Glm.Gaussian, design)
+    // same order of magnitude on the slope variance (exact equality is not
+    // expected between the two estimators)
+    val ratio = jk(1, 1) / lin(1, 1)
+    assert(ratio > 0.2 && ratio < 5.0, s"jk/lin variance ratio $ratio out of range")
+  }
+
+  test("GraftExtensions wires up; SQL registration round-trips") {
+    // spark.sql.extensions applies only at SparkSession creation, which a
+    // shared-session suite cannot exercise; verify the injection hook runs
+    // and the function registry path works end-to-end via SQL
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head.getDouble(0)
+    assertRtol(r, 1.0, 1e-12, "self-cosine")
+  }
+}
