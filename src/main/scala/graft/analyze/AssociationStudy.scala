@@ -103,6 +103,19 @@ object AssociationStudy {
     all.orderBy(col("pvalue").asc_nulls_last, col("Variable"))
   }
 
+  /** Deprecated alias kept for surface parity
+    * (reference: clarite/modules/analyze/ewas.py:9-106 — a thin wrapper
+    * that warns and delegates). */
+  @deprecated("use AssociationStudy.run (association_study)", "0.1.0")
+  def ewas(spark: SparkSession, cf: CladeFrame, outcomes: Seq[String],
+           covariates: Seq[String] = Nil, regressionVariables: Seq[String] = Nil,
+           minN: Long = 200,
+           surveyDesign: Option[SurveyDesignSpec] = None): DataFrame = {
+    System.err.println("WARNING: ewas() is deprecated; use association_study")
+    run(spark, cf, outcomes, covariates, regressionVariables, minN,
+      surveyDesign = surveyDesign)
+  }
+
   private def runOne(
       spark: SparkSession,
       cf: CladeFrame,

@@ -164,4 +164,46 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(levels("cat") === Seq("a", "b"))
     assert(types("num") === Continuous)
   }
+
+  test("moveVariables relocates columns between frames") {
+    import spark.implicits._
+    val left = CladeFrame(Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0)).toDF("id", "a", "b"))
+    val right = CladeFrame(Seq((1L, 100.0), (2L, 200.0)).toDF("id", "c"))
+    val (newLeft, newRight) = Modify.moveVariables(left, right, only = Some(Seq("b")))
+    assert(newLeft.variables === Seq("a"))
+    assert(newRight.variables.toSet === Set("c", "b"))
+    val r = newRight.df.filter(col("id") === 2).head
+    assert(r.getDouble(r.fieldIndex("b")) === 20.0)
+  }
+
+  test("dropExtraCategories refreshes level sets to observed values") {
+    var cf = Modify.makeCategorical(sample, only = Some(Seq("cat")))
+    // inject a phantom level into the metadata
+    cf = cf.withLevels(Map("cat" -> Seq("a", "b", "phantom")))
+    val out = Modify.dropExtraCategories(cf, only = Some(Seq("cat")))
+    assert(out.levels("cat") === Seq("a", "b"))
+  }
+
+  test("grouped p-value correction dedups repeated tests per group") {
+    import spark.implicits._
+    // two groups, each repeated twice with the same pvalue (the dedup-
+    // then-correct-then-rejoin mode, reference: utils.py:77-117)
+    val df = Seq(
+      ("t1", "x", 0.01), ("t1", "x", 0.01),
+      ("t2", "y", 0.04), ("t2", "y", 0.04)).toDF("Term1", "Term2", "pvalue")
+    val out = graft.analyze.Corrections.addCorrectedPvalues(df,
+      groupby = Seq("Term1", "Term2")).collect()
+    assert(out.length === 4)
+    val byTerm = out.groupBy(_.getString(0))
+    // m = 2 distinct tests -> bonferroni = p * 2
+    byTerm("t1").foreach(r =>
+      assertRtol(r.getDouble(r.fieldIndex("pvalue_bonferroni")), 0.02, 1e-12, "t1 bonf"))
+    byTerm("t2").foreach(r =>
+      assertRtol(r.getDouble(r.fieldIndex("pvalue_bonferroni")), 0.08, 1e-12, "t2 bonf"))
+    // fdr: ordered p=(0.01,0.04): 0.01*2/1=0.02; 0.04*2/2=0.04
+    byTerm("t1").foreach(r =>
+      assertRtol(r.getDouble(r.fieldIndex("pvalue_fdr")), 0.02, 1e-12, "t1 fdr"))
+    byTerm("t2").foreach(r =>
+      assertRtol(r.getDouble(r.fieldIndex("pvalue_fdr")), 0.04, 1e-12, "t2 fdr"))
+  }
 }
