@@ -42,7 +42,16 @@ object Cli {
   }
 
   private def flag(args: List[String], name: String): Option[String] =
-    args.sliding(2).collectFirst { case List(`name`, v) => v }
+    args.sliding(2).collectFirst { case List(`name`, v) => v } match {
+      case Some(v) if v.startsWith("--") =>
+        throw new IllegalArgumentException(s"flag $name is missing its value (got '$v')")
+      case other => other
+    }
+
+  /** Required flag: a clean usage error instead of None.get. */
+  private def req(args: List[String], name: String): String =
+    flag(args, name).getOrElse(
+      throw new IllegalArgumentException(s"missing required flag $name\n$usage"))
 
   private def loadState(spark: SparkSession, path: String): CladeFrame =
     Load.loadTsvWithSidecar(spark, s"$path.txt", s"$path.dtypes")
@@ -71,7 +80,13 @@ object Cli {
         case "get-types"    => Describe.getTypes(spark, cf)
         case other => throw new IllegalArgumentException(s"unknown describe verb: $other")
       }
-      out.show(1000, truncate = false)
+      args.drop(3).headOption match {
+        case Some(path) if !path.startsWith("--") =>
+          // full table to disk when an output path is given (show() truncates)
+          out.coalesce(1).write.mode("overwrite")
+            .option("sep", "\t").option("header", "true").csv(path)
+        case _ => out.show(1000, truncate = false)
+      }
 
     // ----------------------------------------------------------- modify
     case "modify" :: verb :: in :: out :: rest =>
@@ -92,15 +107,15 @@ object Cli {
           flag(rest, "--filter-percent").map(_.toDouble).getOrElse(90.0), skip, only)
         case "rowfilter-incomplete-obs" => Modify.rowfilterIncompleteObs(cf, skip, only)
         case "rowfilter" => Modify.rowfilter(cf,
-          flag(rest, "--column").get, flag(rest, "--comparison").getOrElse("eq"),
-          flag(rest, "--value").get)
+          req(rest, "--column"), flag(rest, "--comparison").getOrElse("eq"),
+          req(rest, "--value"))
         case "make-binary"      => Modify.makeBinary(cf, skip, only)
         case "make-categorical" => Modify.makeCategorical(cf, skip, only)
         case "make-continuous"  => Modify.makeContinuous(cf, skip, only)
         case "remove-outliers"  => Modify.removeOutliers(cf,
           flag(rest, "--method").getOrElse("gaussian"),
           flag(rest, "--cutoff").map(_.toDouble).getOrElse(3.0), skip, only)
-        case "transform" => Modify.transform(cf, flag(rest, "--method").get, skip, only)
+        case "transform" => Modify.transform(cf, req(rest, "--method"), skip, only)
         case "drop-extra-categories" => Modify.dropExtraCategories(cf, skip, only)
         case other => throw new IllegalArgumentException(s"unknown modify verb: $other")
       }
@@ -109,7 +124,7 @@ object Cli {
     // ---------------------------------------------------------- analyze
     case "analyze" :: "association-study" :: in :: out :: rest =>
       val cf = loadState(spark, in)
-      val outcomes = flag(rest, "--outcome").get.split(",").toSeq
+      val outcomes = req(rest, "--outcome").split(",").toSeq
       val covariates = flag(rest, "--covariates").map(_.split(",").toSeq).getOrElse(Nil)
       val minN = flag(rest, "--min-n").map(_.toLong).getOrElse(200L)
       val res = AssociationStudy.run(spark, cf, outcomes, covariates, minN = minN)
@@ -117,7 +132,7 @@ object Cli {
         .option("sep", "\t").option("header", "true").csv(out)
     case "analyze" :: "interaction-study" :: in :: out :: rest =>
       val cf = loadState(spark, in)
-      val outcome = flag(rest, "--outcome").get
+      val outcome = req(rest, "--outcome")
       val covariates = flag(rest, "--covariates").map(_.split(",").toSeq).getOrElse(Nil)
       val pairs = flag(rest, "--interactions") match {
         case Some(spec) => spec.split(";").toSeq.map { p =>
@@ -136,7 +151,7 @@ object Cli {
     case "analyze" :: "association-study-weighted" :: in :: out :: rest =>
       val cf = loadState(spark, in)
       val design = new graft.survey.SurveyDesignSpec(
-        loadState(spark, flag(rest, "--survey").get).df, "id",
+        loadState(spark, req(rest, "--survey")).df, "id",
         strata = flag(rest, "--strata"),
         cluster = flag(rest, "--cluster"),
         nest = rest.contains("--nest"),
@@ -144,7 +159,7 @@ object Cli {
         fpc = flag(rest, "--fpc"),
         singleCluster = flag(rest, "--single-cluster").getOrElse("fail"))
       val res = AssociationStudy.run(spark, cf,
-        flag(rest, "--outcome").get.split(",").toSeq,
+        req(rest, "--outcome").split(",").toSeq,
         flag(rest, "--covariates").map(_.split(",").toSeq).getOrElse(Nil),
         minN = flag(rest, "--min-n").map(_.toLong).getOrElse(200L),
         surveyDesign = Some(design))

@@ -8,17 +8,24 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 /** Column wrappers + SQL registration for graft's native expressions. */
 object GraftFunctions {
 
-  /** Register SQL names on a session; idempotent. */
+  private def twoArgs(name: String)(exprs: Seq[Expression]): (Expression, Expression) = {
+    require(exprs.length == 2, s"$name requires exactly 2 arguments, got ${exprs.length}")
+    (exprs.head, exprs(1))
+  }
+
+  /** Register SQL names on a session; idempotent (createOrReplace). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "scala_udf")
+      "cosine_similarity", exprs => {
+        val (a, b) = twoArgs("cosine_similarity")(exprs)
+        CosineSimilarity(a, b)
+      }, "scala_udf")
 
   /** cosine_similarity(a, b) as a Column. Registers on the active session
     * first (Column <-> Expression bridges are session-private in Spark 4;
     * `call_function` is the public path). */
   def cosine_similarity(a: Column, b: Column): Column = {
-    SparkSession.active.synchronized(register(SparkSession.active))
+    register(SparkSession.active)
     org.apache.spark.sql.functions.call_function("cosine_similarity", a, b)
   }
 }
@@ -31,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_similarity requires exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
   }
 }

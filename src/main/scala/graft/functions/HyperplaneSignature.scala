@@ -14,6 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {
 
+  require(planes.nonEmpty && planes.length <= 64,
+    s"signature needs 1..64 planes (LongType bits), got ${planes.length}")
+  require(planes.forall(_.length == planes.head.length),
+    "all hyperplanes must have the same dimension")
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -30,14 +35,18 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), dim)
+    // dimension mismatch / null elements -> null (a prefix-hash would put
+    // the vector in an arbitrary bucket with no error)
+    if (x.numElements() != dim) return null
+    var i = 0
+    while (i < dim) { if (x.isNullAt(i)) return null; i += 1 }
     var sig = 0L
     var b = 0
     while (b < bits) {
       var proj = 0.0
-      var i = 0
+      var j = 0
       val off = b * dim
-      while (i < n) { proj += x.getFloat(i) * flat(off + i); i += 1 }
+      while (j < dim) { proj += x.getFloat(j) * flat(off + j); j += 1 }
       if (proj >= 0) sig |= (1L << b)
       b += 1
     }
@@ -57,17 +66,22 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
       val sig = ctx.freshName("sig")
       val off = ctx.freshName("off")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $dimV);
-         |long $sig = 0L;
-         |for (int $b = 0; $b < $bitsV; $b++) {
-         |  double $proj = 0.0;
-         |  int $off = $b * $dimV;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $proj += ((double) $x.getFloat($i)) * $flatRef[$off + $i];
-         |  }
-         |  if ($proj >= 0) $sig |= (1L << $b);
+         |if ($x.numElements() != $dimV) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $dimV; $i++) {
+         |  if ($x.isNullAt($i)) ${ev.isNull} = true;
          |}
-         |${ev.value} = $sig;
+         |if (!${ev.isNull}) {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $bitsV; $b++) {
+         |    double $proj = 0.0;
+         |    int $off = $b * $dimV;
+         |    for (int $i = 0; $i < $dimV; $i++) {
+         |      $proj += ((double) $x.getFloat($i)) * $flatRef[$off + $i];
+         |    }
+         |    if ($proj >= 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
        """.stripMargin
     })
   }

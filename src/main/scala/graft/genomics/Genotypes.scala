@@ -16,10 +16,12 @@ import graft.model.{CladeFrame, VariableType}
   */
 object Genotypes {
 
-  /** Count of alt alleles, null when any call is missing. */
+  /** Count of alternate alleles (any index >= 1 counts — multi-allelic
+    * calls are alternate, not silently ref), null when any call is missing
+    * (negative index). */
   private def altCount(g: Column): Column =
-    when(array_contains(g, -1) || isnull(g), lit(null))
-      .otherwise(aggregate(g, lit(0), (acc, a) => acc + when(a === 1, 1).otherwise(0)))
+    when(isnull(g) || exists(g, _ < 0), lit(null))
+      .otherwise(aggregate(g, lit(0), (acc, a) => acc + when(a >= 1, 1).otherwise(0)))
 
   /** additive: 0/1/2 alt-allele dosage. */
   def additive(g: Column): Column = altCount(g).cast("double")
@@ -59,7 +61,12 @@ object Genotypes {
         throw new IllegalArgumentException(s"edge encoding needs alpha for $name")))
       case other => throw new IllegalArgumentException(s"unknown encoding: $other")
     }
-    val df = genoCols.foldLeft(cf.df)((d, c) => d.withColumn(c, enc(c, col(c))))
+    // ONE projection for every genotype column — a foldLeft(withColumn)
+    // chain re-analyzes a growing plan per column (quadratic at genomic
+    // widths)
+    val df = cf.df.select(cf.df.columns.map { c =>
+      if (genoCols.contains(c)) enc(c, col(c)).as(c) else col(c)
+    }: _*)
     val newTypes = genoCols.map(c => c ->
       (if (encoding == "codominant") VariableType.Categorical else VariableType.Continuous))
     val newLevels =
@@ -104,9 +111,9 @@ object Genotypes {
       }
     }
     val df = rows.toDF("id", "Outcome", "genos")
-    val withSnps = (0 until nSnps).foldLeft(df) { (d, s) =>
-      d.withColumn(s"SNP$s", col("genos").getItem(s))
-    }.drop("genos")
+    val withSnps = df.select(
+      col("id") +: col("Outcome") +:
+        (0 until nSnps).map(s => col("genos").getItem(s).as(s"SNP$s")): _*)
     CladeFrame(withSnps)
       .withTypes((0 until nSnps).map(s => s"SNP$s" -> (VariableType.Genotype: VariableType)).toMap
         ++ Map("Outcome" -> VariableType.Binary))
