@@ -1,17 +1,56 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.io.Load
+import graft.model.CladeFrame
+import graft.modify.Modify
+import graft.describe.{Describe, Plots}
+import graft.analyze.{AssociationStudy, Corrections, InteractionStudy}
+import graft.survey.SurveyDesignSpec
+import graft.pipeline.{Dedup, Similarity, Text}
 
-/** Scratch driver: simulate the driver's smoke-check with a DEFAULT session
-  * (ANSI on, case-insensitive) to ensure entry() has no config dependence. */
+/** End-to-end demonstration drive: the full CLARITE-style pipeline plus the
+  * training-data operators, on real fixtures. Used by the verify skill. */
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]").appName("drive")
-      .config("spark.ui.enabled","false").getOrCreate()
+    val spark = SparkSession.builder().master("local[8]").appName("drive")
+      .config("spark.sql.shuffle.partitions","8").config("spark.sql.ansi.enabled","false")
+      .config("spark.sql.caseSensitive","true").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("ansi=" + spark.conf.get("spark.sql.ansi.enabled"))
-    val df = graft.SparkEntry.entry(spark)
-    println("entry rows=" + df.count())
-    df.show(3)
+
+    // 1. CLARITE pipeline on the NHANES fixture
+    var cf = Load.withSequentialId(Load.rawDelimited(spark,
+      "/root/reference/tests/test_data_files/nhanes_data.csv"))
+    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL","RIAGENDR")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("race","agecat")))
+    val design = new SurveyDesignSpec(cf.df, "id", strata = Some("SDMVSTRA"),
+      cluster = Some("SDMVPSU"), nest = true, singleWeight = Some("WTMEC2YR"))
+    val data = Modify.colfilter(cf, only = Some(Seq("HI_CHOL","RIAGENDR","race","agecat")))
+    println("== weighted EWAS (golden: race 0.274110, agecat 1.804e-06, RIAGENDR beta 0.212760) ==")
+    val ewas = AssociationStudy.run(spark, data, Seq("HI_CHOL"),
+      covariates = Seq("agecat","RIAGENDR"), regressionVariables = Seq("race"),
+      surveyDesign = Some(design))
+      .unionByName(AssociationStudy.run(spark, data, Seq("HI_CHOL"),
+        covariates = Seq("race","agecat"), regressionVariables = Seq("RIAGENDR"),
+        surveyDesign = Some(design)))
+    Corrections.addCorrectedPvalues(ewas)
+      .select("Variable","Beta","SE","pvalue","pvalue_fdr").show(false)
+    println("== interaction (golden LRT 1.064e-07) ==")
+    InteractionStudy.run(spark, data, "HI_CHOL",
+      Seq(("agecat","RIAGENDR")), Seq("race")).select("Term1","Term2","LRT_pvalue").show(false)
+
+    // 2. Training-data operators on the synthetic corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    println("== dedup: exact keeps " + Dedup.exact(docs, "text", "doc_id").count() +
+      " of " + docs.count() + "; minhash candidates " +
+      Dedup.minhashCandidates(spark, docs.limit(100), "text", "doc_id").count())
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    println("== ANN: top-3 for query 0 ==")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 3).show(false)
+    println("== langid sample ==")
+    Text.langId(docs.limit(3), "text").select("doc_id","pred_lang").show(false)
+    println("== histogram of n_chars (5 bins) ==")
+    Plots.histogram(docs, "n_chars", 5).show(false)
     spark.stop()
   }
 }

@@ -206,4 +206,23 @@ class ModifyDescribeSpec extends SparkSpec {
     byTerm("t2").foreach(r =>
       assertRtol(r.getDouble(r.fieldIndex("pvalue_fdr")), 0.04, 1e-12, "t2 fdr"))
   }
+
+  test("Plots.histogram and distributions bin correctly") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble, i * 2.0))
+      .toDF("id", "x", "y")
+    val h = graft.describe.Plots.histogram(df, "x", bins = 10).collect()
+    assert(h.length === 10)
+    assert(h.map(_.getLong(3)).sum === 100)
+    assert(h.forall(_.getLong(3) === 10)) // uniform data -> equal bins
+    // max value lands in the last bin, not bin 10
+    assert(h.map(_.getInt(0)).max === 9)
+    val d = graft.describe.Plots.distributions(spark, df, Seq("x", "y"), bins = 4)
+      .collect()
+    assert(d.map(_.getString(0)).toSet === Set("x", "y"))
+    assert(d.filter(_.getString(0) == "x").map(_.getLong(2)).sum === 100)
+    // all-null column yields an empty histogram, not an error
+    val nulls = Seq((1L, null: java.lang.Double)).toDF("id", "z")
+    assert(graft.describe.Plots.histogram(nulls, "z").collect().isEmpty)
+  }
 }
