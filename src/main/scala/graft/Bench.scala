@@ -20,13 +20,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest SF so per-query times measure the
-    // engine, not first-call JIT + codegen compilation
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // JVM/codegen/sink warmup on the smallest SF so per-query times measure
+    // the engine, not first-call JIT + codegen + noop-source loading
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink: forces FULL computation of every output column —
+      // count() would let Catalyst prune the measured aggregates away
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
