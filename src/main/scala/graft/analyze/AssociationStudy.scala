@@ -135,14 +135,14 @@ object AssociationStudy {
         AggregatedGlm.supports(cf, outcome, covariates, rvs, standardize))
       return AggregatedGlm.run(spark, cf, outcome, covariates, rvs, minN)
 
-    // tall-data co-group path for level-dependent designs: the base block
-    // JOINS the melted variables instead of being collected+broadcast, so
-    // nothing row-scale ever reaches the driver; each variable's group
-    // streams through the same local kernel (survey studies keep the
-    // broadcast path — their designs are per-observation-bounded)
-    if (!broadcastBase && surveyDesign.isEmpty)
+    // tall-data co-group path: the base block (and the per-observation
+    // survey metadata, when a design is attached) JOINS the melted
+    // variables instead of being collected+broadcast, so nothing row-scale
+    // ever reaches the driver; each variable's group streams through the
+    // same local kernel
+    if (!broadcastBase)
       return runOneCogroup(spark, cf, outcome, covariates, rvs, minN,
-        standardize, reportCategoricalBetas)
+        standardize, reportCategoricalBetas, surveyDesign)
 
     val outcomeType = cf.typeOf(outcome)
     val family = outcomeType match {
@@ -276,7 +276,8 @@ object AssociationStudy {
       rvs: Seq[String],
       minN: Long,
       standardize: Boolean,
-      reportCategoricalBetas: Boolean): DataFrame = {
+      reportCategoricalBetas: Boolean,
+      surveyDesign: Option[SurveyDesignSpec] = None): DataFrame = {
     import spark.implicits._
     require(!standardize,
       "standardize_data needs global moments; use the broadcast path or pre-standardize")
@@ -298,13 +299,28 @@ object AssociationStudy {
     val baseDf = cf.df
       .select((cf.idCol +: baseCols).map(c => col(c).cast("string").as(c)): _*)
       .na.drop("any", baseCols)
-    val long = Modify.melt(
+    val long0 = Modify.melt(
       cf.df.select((cf.idCol +: rvs).map(col): _*)
         .withColumn(cf.idCol, col(cf.idCol).cast("string")),
       rvs, keep = Seq(cf.idCol))
       .filter(col("value").isNotNull)
-    val joined = long.join(baseDf, Seq(cf.idCol)) // inner: complete base rows
-      // row: id, variable, value, outcome, covars...
+    // survey subsets restrict analyzed rows; design totals stay full
+    val long = surveyDesign.flatMap(_.subsetFilter) match {
+      case Some(pred) => long0.filter(pred)
+      case None       => long0
+    }
+    // LEFT join keeps rv-present rows with incomplete base visible to the
+    // missing-weight check (outcome null marks them non-fittable); the
+    // survey per-observation metadata rides along as joined columns
+    val nW = surveyDesign.map(_.weightColumnNames.size).getOrElse(0)
+    val joined = surveyDesign match {
+      case Some(sd) =>
+        long.join(baseDf, Seq(cf.idCol), "left")
+          .join(sd.surveyRowsDf, Seq(cf.idCol), "left")
+      case None => long.join(baseDf, Seq(cf.idCol)) // inner: complete base
+    }
+    // row: id(0), variable(1), value(2), outcome(3), covars(4..),
+    //      [__strat, __clust, __w_*]
     val covarKinds = covariates.map(c => c -> (cf.typeOf(c) match {
       case Continuous => "continuous"
       case Binary     => "binary"
@@ -312,6 +328,14 @@ object AssociationStudy {
     })).toMap
     val typesB = spark.sparkContext.broadcast(rvs.map(v => v -> cf.typeOf(v).name).toMap)
     val levelsB = spark.sparkContext.broadcast(cf.levels)
+    val surveySmall = surveyDesign.map { sd =>
+      // only the TINY design-total structures are broadcast — the
+      // per-observation metadata arrived via the join above
+      (rvs.map(rv => rv -> sd.weightNameEither(rv)).toMap,
+        sd.weightColumnNames, sd.fpcPerClust, sd.clustPerStrat,
+        sd.stratForClust, sd.hasStrata, sd.hasCluster, sd.hasWeights,
+        sd.singleCluster, sd.dropUnweighted)
+    }
     val outcomeName = outcome
     val catBetas = reportCategoricalBetas
     val nCov = covariates.size
@@ -319,17 +343,44 @@ object AssociationStudy {
     val oLevels = outcomeLevels
 
     val resultDs = joined.groupByKey(r => r.getString(1)).flatMapGroups { (variable, rows) =>
+      val ids = new scala.collection.mutable.ArrayBuffer[String]()
       val yBuf = new scala.collection.mutable.ArrayBuffer[Double]()
       val vals = new scala.collection.mutable.ArrayBuffer[String]()
       val covarBufs = Array.fill(nCov)(new scala.collection.mutable.ArrayBuffer[String]())
+      val stratBuf = new scala.collection.mutable.ArrayBuffer[String]()
+      val clustBuf = new scala.collection.mutable.ArrayBuffer[String]()
+      val wBufs = Array.fill(nW)(new scala.collection.mutable.ArrayBuffer[Double]())
+      val allIds = new scala.collection.mutable.ArrayBuffer[String]()
+      val wByIdBufs = Array.fill(nW)(Map.newBuilder[String, Double])
       rows.foreach { r =>
-        // columns: id(0), variable(1), value(2), outcome(3), covars(4..)
-        vals += r.getString(2)
-        val yRaw = r.getString(3)
-        yBuf += (if (oLevels.isEmpty) yRaw.toDouble
-          else if (yRaw == oLevels(1)) 1.0 else 0.0)
-        var j = 0
-        while (j < nCov) { covarBufs(j) += r.getString(4 + j); j += 1 }
+        val id = r.getString(0)
+        allIds += id
+        val sBase = 4 + nCov
+        var k = 0
+        while (k < nW) {
+          val w = if (r.isNullAt(sBase + 2 + k)) Double.NaN else r.getDouble(sBase + 2 + k)
+          wByIdBufs(k) += id -> w
+          k += 1
+        }
+        if (!r.isNullAt(3)) { // base-complete row -> fittable
+          ids += id
+          vals += r.getString(2)
+          val yRaw = r.getString(3)
+          yBuf += (if (oLevels.isEmpty) yRaw.toDouble
+            else if (yRaw == oLevels(1)) 1.0 else 0.0)
+          var j = 0
+          while (j < nCov) { covarBufs(j) += r.getString(4 + j); j += 1 }
+          if (nW > 0 || surveySmall.nonEmpty) {
+            stratBuf += (if (r.isNullAt(sBase)) null else r.getString(sBase))
+            clustBuf += (if (r.isNullAt(sBase + 1)) null else r.getString(sBase + 1))
+            var k2 = 0
+            while (k2 < nW) {
+              wBufs(k2) += (if (r.isNullAt(sBase + 2 + k2)) Double.NaN
+                else r.getDouble(sBase + 2 + k2))
+              k2 += 1
+            }
+          }
+        }
       }
       val n = yBuf.length
       val covarData = covarSeq.zipWithIndex.map { case (c, j) =>
@@ -339,10 +390,26 @@ object AssociationStudy {
           case k => (c, k, covarBufs(j).toArray, null: Array[Double])
         }
       }
-      val localBase = BaseData(Map.empty, yBuf.toArray, covarData, None)
+      val surveyBase = surveySmall.map { case (wLookups, wNames, fpc, cps, sfc,
+          hasStrata, hasCluster, hasWeights, singleCluster, dropUnweighted) =>
+        SurveyBase(
+          strat = stratBuf.toArray,
+          clust = clustBuf.toArray,
+          weightsByName = wNames.zipWithIndex.map { case (wn, k) =>
+            wn -> wBufs(k).toArray }.toMap,
+          weightNameFor = wLookups.collect { case (rv, Right(w)) => rv -> w },
+          weightErrorRvs = wLookups.collect { case (rv, Left(_)) => rv }.toSet,
+          weightByIdAll = wNames.zipWithIndex.map { case (wn, k) =>
+            wn -> wByIdBufs(k).result() }.toMap,
+          subsetIds = None, // subset already applied to the joined rows
+          fpcPerClust = fpc, clustPerStratFull = cps, stratForClustFull = sfc,
+          hasStrata = hasStrata, hasCluster = hasCluster, hasWeights = hasWeights,
+          singleCluster = singleCluster, dropUnweighted = dropUnweighted)
+      }
+      val localBase = BaseData(Map.empty, yBuf.toArray, covarData, surveyBase)
       fitOne(variable, outcomeName, typesB.value(variable),
         levelsB.value.get(variable), localBase, Array.range(0, n),
-        vals.toArray, Array.empty[String], family, minN, standardize = false,
+        vals.toArray, allIds.toArray, family, minN, standardize = false,
         catBetas)
     }
     val produced = resultDs.map(_.Variable).collect().toSet

@@ -186,6 +186,36 @@ final class SurveyDesignSpec(
     try Right(weightNameFor(rv))
     catch { case e: IllegalArgumentException => Left(e.getMessage) }
 
+  /** Per-observation survey metadata as a DataFrame — the feed for the
+    * co-group execution path, which must not materialize observation-scale
+    * data on the driver. Columns: id (string), __strat, __clust, plus one
+    * normalized weight column per distinct weight (`__w_<name>`). The
+    * normalization means and design totals are the (tiny) aggregates this
+    * spec already computed. */
+  def surveyRowsDf: DataFrame = {
+    val strataCol = strata.map(col(_).cast("string")).getOrElse(lit("1.0"))
+    val clustColRaw = cluster.map(col(_).cast("string"))
+      .getOrElse(monotonically_increasing_id().cast("string"))
+    val clustCol =
+      if (nest && hasStrata && hasCluster) concat(strataCol, lit("-"), clustColRaw)
+      else clustColRaw
+    val wMeans: Map[String, Double] = weightCols.map { wc =>
+      val present = collected.map(_._5(weightCols.indexOf(wc))).filter(!_.isNaN)
+      wc -> (if (present.isEmpty) 1.0 else present.sum / present.length)
+    }.toMap
+    val wExprs = weightCols.map { wc =>
+      (when(col(wc).isNull, lit(null))
+        .when(col(wc).cast("double") <= 0, lit(1e-99 / wMeans(wc)))
+        .otherwise(col(wc).cast("double") / wMeans(wc))).as(s"__w_$wc")
+    }
+    surveyDf.select(
+      (Seq(col(idCol).cast("string").as(idCol), strataCol.as("__strat"),
+        clustCol.as("__clust")) ++ wExprs): _*)
+  }
+
+  /** Distinct weight column names (order matches surveyRowsDf). */
+  def weightColumnNames: Seq[String] = weightCols
+
   /** Survey variables must not appear in the analysis data
     * (survey_design.py:488-535). */
   def validateAgainstData(dataColumns: Seq[String]): Unit = {

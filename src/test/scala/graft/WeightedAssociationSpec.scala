@@ -267,4 +267,23 @@ class WeightedAssociationSpec extends SparkSpec {
       checkRow(res, rv, g(rv))
     }
   }
+
+  test("survey co-group path: golden parity without base collection") {
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_data.csv"))
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL", "RIAGENDR")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("race", "agecat")))
+    val design = new SurveyDesignSpec(cf.df, "id",
+      strata = Some("SDMVSTRA"), cluster = Some("SDMVPSU"), nest = true,
+      singleWeight = Some("WTMEC2YR"))
+    val data = Modify.colfilter(cf, only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
+    val g = golden(refPath("r_test_output/analyze/nhanes_complete_result.csv"))
+    Seq(("race", Seq("agecat", "RIAGENDR")), ("RIAGENDR", Seq("race", "agecat")))
+      .foreach { case (rv, covars) =>
+        val res = AssociationStudy.run(spark, data, outcomes = Seq("HI_CHOL"),
+          covariates = covars, regressionVariables = Seq(rv),
+          surveyDesign = Some(design), broadcastBase = false)
+        checkRow(res, rv, g(rv))
+      }
+  }
 }
