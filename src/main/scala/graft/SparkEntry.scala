@@ -31,14 +31,16 @@ object SparkEntry {
     else df
   }
 
-  /** lineitem with a unique synthetic row id. The synthetic table has
-    * duplicate (orderkey, linenumber) pairs, so a deterministic row_number
-    * over a total ordering is the only safe key (identical full rows are
-    * interchangeable, so this is stable across engines/runs). */
-  private def lineitemKeyed(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").withColumn("id",
-      row_number().over(Window.orderBy("l_orderkey", "l_linenumber",
-        "l_extendedprice", "l_quantity", "l_discount", "l_tax")).cast("long"))
+  /** lineitem with a deterministic synthetic row id: a hash of the full row.
+    * Zero-shuffle and partition-parallel (the previous global row_number()
+    * window funneled the whole table through ONE partition — a scale-killer).
+    * Identical full rows share an id, which is fine here: they are
+    * interchangeable, no harness query outputs or groups by `id`, and the
+    * CladeFrame id is only an observation label for these QC operators. */
+  private def lineitemKeyed(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.withColumn("id", xxhash64(li.columns.map(col): _*))
+  }
 
   /** lineitem with deterministic injected nulls (the TPC-H tables have no
     * NULLs; zero-discount/zero-tax become NULL so NA-aware operators have
@@ -827,8 +829,8 @@ object SparkEntry {
       """WITH fp AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
                      FROM documents),
          grp AS (SELECT f, count(*) AS n FROM fp GROUP BY 1)
-         SELECT count(*) AS n_groups, sum(n) AS n_docs,
-           sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dupes FROM grp""",
+         SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dupes FROM grp""",
 
     "dedup_embedding_cosine" ->
       """WITH pairs AS (
