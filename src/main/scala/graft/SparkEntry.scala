@@ -312,6 +312,17 @@ object SparkEntry {
           col("count"))
         .orderBy("bin")),
 
+    "plot_qq_prep" -> ((s, dir) =>
+      // 300 input rows <= the n=400 subsample cap, so no sampling fires and
+      // the result is deterministic; theoretical_quantile (inverse normal
+      // CDF, no DuckDB builtin) is covered by PlotsSpec instead
+      graft.describe.Plots.qqPrep(s,
+          t(s, dir, "documents").filter(col("doc_id") < 300).select("doc_id", "n_chars"),
+          Seq("n_chars"))
+        .select(col("variable"), col("position"),
+          round(col("sample_quantile"), 6).as("sample_quantile"))
+        .orderBy("variable", "position")),
+
     // ---- analyze (SURVEY §2.10, §2.6, §2.7)
     "analyze_assoc_continuous" -> ((s, dir) => {
       // all-numeric design -> routed to the distributed sufficient-stats
@@ -755,6 +766,17 @@ object SparkEntry {
            count(*) AS count
          FROM binned GROUP BY bin ORDER BY bin""",
 
+    "plot_qq_prep" ->
+      """WITH v AS (SELECT 'n_chars' AS variable, CAST(n_chars AS DOUBLE) AS value
+                    FROM documents WHERE doc_id < 300),
+         m AS (SELECT variable, count(*) AS n, avg(value) AS mu, stddev_samp(value) AS sd
+               FROM v GROUP BY 1)
+         SELECT v.variable,
+           CAST(row_number() OVER (PARTITION BY v.variable ORDER BY value) AS INT) AS position,
+           round((value - mu) / sd, 6) AS sample_quantile
+         FROM v JOIN m ON v.variable = m.variable
+         ORDER BY v.variable, position""",
+
     "analyze_assoc_continuous" ->
       """SELECT variable, n, round(beta, 4) AS beta, round(se, 4) AS se FROM (
            SELECT 'l_quantity' AS variable, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
@@ -824,6 +846,20 @@ object SparkEntry {
          SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
            count(*) AS n_events
          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "dedup_ngram_jaccard" ->
+      // set-of-4-grams jaccard on the raw strings — equivalent to the Spark
+      // side's hashed-shingle sets as long as polyHash is collision-free on
+      // the corpus (it is; a collision would show up as a hash mismatch here)
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 100),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) <= 4 THEN [t]
+                  ELSE list_transform(range(length(t) - 3), i -> substr(t, CAST(i AS INT) + 1, 4)) END) AS s
+                FROM d)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         ORDER BY id1, id2""",
 
     "dedup_exact" ->
       """WITH fp AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f

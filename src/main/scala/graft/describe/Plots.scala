@@ -1,7 +1,10 @@
 package graft.describe
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.stats.Distributions
 
 /** Data preparation behind the reference's plotting surface
   * (SURVEY.md §2.11 — the engine's responsibility ends at producing the
@@ -53,5 +56,36 @@ object Plots {
         least(floor((col("value") - col("lo")) / col("width")), lit(bins - 1)).cast("int"))
       .groupBy("variable", "bin").agg(count(lit(1)).as("count"))
       .orderBy("variable", "bin")
+  }
+
+  /** QQ-plot data prep (reference: plot/distributions.py:138-142 — QQ plots
+    * subsample to n=400 with a fixed seed "otherwise there are too many
+    * points"). Per variable: seeded subsample of the non-NA values to at
+    * most `n`, standardized (the reference's qqplot(fit=True)), paired with
+    * standard-normal theoretical quantiles at plotting positions
+    * i/(count+1).
+    *
+    * Scale shape: the rank<=n filter on a partitioned window is pushed to
+    * per-partition partial top-k by Spark's WindowGroupLimit rule, so no
+    * variable's full data ever funnels through one partition; everything
+    * after the sample is O(#variables · n). */
+  def qqPrep(spark: SparkSession, df: DataFrame, columns: Seq[String],
+             n: Int = 400, seed: Long = 1L): DataFrame = {
+    import graft.modify.Modify
+    val long = Modify.meltNumeric(df, columns).filter(col("value").isNotNull)
+    val wSample = Window.partitionBy("variable").orderBy(rand(seed), col("value"))
+    val sampled = long.withColumn("__r", row_number().over(wSample))
+      .filter(col("__r") <= n).drop("__r")
+    val moments = sampled.groupBy("variable").agg(
+      count(lit(1)).as("__n"), avg("value").as("__mu"), stddev_samp("value").as("__sd"))
+    val ppf = udf((p: Double) => Distributions.normalPpf(p))
+    val wRank = Window.partitionBy("variable").orderBy("value")
+    sampled.withColumn("position", row_number().over(wRank))
+      .join(broadcast(moments), "variable")
+      .withColumn("sample_quantile", (col("value") - col("__mu")) / col("__sd"))
+      .withColumn("theoretical_quantile",
+        ppf(col("position").cast("double") / (col("__n") + 1)))
+      .select("variable", "position", "theoretical_quantile", "sample_quantile")
+      .orderBy("variable", "position")
   }
 }

@@ -30,6 +30,12 @@ object Distributions {
   def zSfTwoSided(z: Double): Double =
     if (z.isNaN) Double.NaN else 2.0 * normalSf(math.abs(z))
 
+  /** Standard-normal quantile function (inverse CDF). */
+  def normalPpf(p: Double): Double = {
+    if (p.isNaN || p <= 0.0 || p >= 1.0) Double.NaN
+    else math.sqrt(2.0) * Erf.erfInv(2.0 * p - 1.0)
+  }
+
   /** P(X > x) for F distribution with (d1, d2) dof. */
   def fSf(x: Double, d1: Double, d2: Double): Double = {
     if (x.isNaN || d1 <= 0 || d2 <= 0) Double.NaN

@@ -1,56 +1,54 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.io.Load
-import graft.model.CladeFrame
-import graft.modify.Modify
-import graft.describe.{Describe, Plots}
-import graft.analyze.{AssociationStudy, Corrections, InteractionStudy}
-import graft.survey.SurveyDesignSpec
-import graft.pipeline.{Dedup, Similarity, Text}
+import graft.SparkEntry
 
-/** End-to-end demonstration drive: the full CLARITE-style pipeline plus the
-  * training-data operators, on real fixtures. Used by the verify skill. */
+/** Scratch drive: profile the dedup_exact bench anomaly (BENCH_r01 10.7s
+  * for a 5k-doc hash aggregate). Mirrors Bench's session config. */
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]").appName("drive")
-      .config("spark.sql.shuffle.partitions","8").config("spark.sql.ansi.enabled","false")
-      .config("spark.sql.caseSensitive","true").config("spark.ui.enabled","false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = SparkSession.builder().master("local[32]").appName("drive")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.caseSensitive", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
 
-    // 1. CLARITE pipeline on the NHANES fixture
-    var cf = Load.withSequentialId(Load.rawDelimited(spark,
-      "/root/reference/tests/test_data_files/nhanes_data.csv"))
-    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL","RIAGENDR")))
-    cf = Modify.makeCategorical(cf, only = Some(Seq("race","agecat")))
-    val design = new SurveyDesignSpec(cf.df, "id", strata = Some("SDMVSTRA"),
-      cluster = Some("SDMVPSU"), nest = true, singleWeight = Some("WTMEC2YR"))
-    val data = Modify.colfilter(cf, only = Some(Seq("HI_CHOL","RIAGENDR","race","agecat")))
-    println("== weighted EWAS (golden: race 0.274110, agecat 1.804e-06, RIAGENDR beta 0.212760) ==")
-    val ewas = AssociationStudy.run(spark, data, Seq("HI_CHOL"),
-      covariates = Seq("agecat","RIAGENDR"), regressionVariables = Seq("race"),
-      surveyDesign = Some(design))
-      .unionByName(AssociationStudy.run(spark, data, Seq("HI_CHOL"),
-        covariates = Seq("race","agecat"), regressionVariables = Seq("RIAGENDR"),
-        surveyDesign = Some(design)))
-    Corrections.addCorrectedPvalues(ewas)
-      .select("Variable","Beta","SE","pvalue","pvalue_fdr").show(false)
-    println("== interaction (golden LRT 1.064e-07) ==")
-    InteractionStudy.run(spark, data, "HI_CHOL",
-      Seq(("agecat","RIAGENDR")), Seq("race")).select("Term1","Term2","LRT_pvalue").show(false)
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[drive] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
 
-    // 2. Training-data operators on the synthetic corpus
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    println("== dedup: exact keeps " + Dedup.exact(docs, "text", "doc_id").count() +
-      " of " + docs.count() + "; minhash candidates " +
-      Dedup.minhashCandidates(spark, docs.limit(100), "text", "doc_id").count())
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    println("== ANN: top-3 for query 0 ==")
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 3).show(false)
-    println("== langid sample ==")
-    Text.langId(docs.limit(3), "text").select("doc_id","pred_lang").show(false)
-    println("== histogram of n_chars (5 bins) ==")
-    Plots.histogram(docs, "n_chars", 5).show(false)
+    // warmup like Bench does
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    time("documents raw count") {
+      spark.read.parquet(s"$dir/documents.parquet").count()
+    }
+    time("dedup_exact run 1") {
+      SparkEntry.queries("dedup_exact")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("dedup_exact run 2") {
+      SparkEntry.queries("dedup_exact")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("fingerprint only") {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(graft.pipeline.Text.fingerprint(col("text")).as("fp"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("groupBy fp only") {
+      graft.pipeline.Dedup.exactReport(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
