@@ -39,12 +39,17 @@ final case class InteractionBetaResult(
   * `y ~ 1 + covars + v1 + v2 + v1:v2` against the model without the
   * interaction term.
   *
-  * Execution: interaction studies run over a SELECTED set of variables (all
-  * pairs of a shortlist, or an explicit pair list — the all-pairs fan-out is
-  * quadratic, so the variable set is small by construction). We therefore
-  * broadcast the projected column block once and fan the PAIRS out across
-  * executors; each task fits two local GLMs. The pair list is a Dataset, so
-  * a million pairs still distributes evenly.
+  * Two execution paths, identical numerics (shared array kernels):
+  *
+  *  - broadcast (default): the projected column block is collected once and
+  *    broadcast; the PAIR list distributes. Right when rows fit on the
+  *    driver and the pair list is large (all-pairs of a shortlist).
+  *  - co-group (`broadcastBase = false`): one `stack` generator fans each
+  *    observation out to its pairs, one shuffle keyed by pair id, each
+  *    group rebuilds the pair's local arrays executor-side. NOTHING
+  *    row-scale ever reaches the driver — the path for billion-row data
+  *    with a bounded pair list (each pair's rows must fit in one task,
+  *    exactly like the association study's per-variable groups).
   */
 object InteractionStudy {
 
@@ -55,9 +60,12 @@ object InteractionStudy {
       interactions: Seq[(String, String)],
       covariates: Seq[String] = Nil,
       minN: Long = 200,
-      reportBetas: Boolean = false): DataFrame = {
+      reportBetas: Boolean = false,
+      broadcastBase: Boolean = true): DataFrame = {
     import spark.implicits._
     require(interactions.nonEmpty, "no interaction pairs")
+    if (!broadcastBase)
+      return runCogroup(spark, cf, outcome, interactions, covariates, minN, reportBetas)
     val outcomeType = cf.typeOf(outcome)
     val family = outcomeType match {
       case Continuous => Glm.Gaussian
@@ -78,15 +86,8 @@ object InteractionStudy {
     val colIdx = cols.zipWithIndex.toMap
 
     val yRaw = Array.tabulate(n0)(i => rows(i).getString(0))
-    val y: Array[Double] = outcomeType match {
-      case Continuous => yRaw.map(_.toDouble)
-      case Binary =>
-        val levels0 = cf.levels.getOrElse(outcome, yRaw.distinct.sorted.toSeq).sorted
-        val levels =
-          if (levels0 == Seq("Case", "Control")) Seq("Control", "Case") else levels0
-        yRaw.map(v => if (v == levels(1)) 1.0 else 0.0)
-      case _ => throw new IllegalStateException("unreachable")
-    }
+    val y = encodeOutcome(yRaw, outcomeType,
+      cf.levels.get(outcome).map(_.sorted))
     val colData: Map[String, Array[String]] = (covariates ++ vars).map { c =>
       c -> Array.tabulate(n0)(i => rows(i).getString(colIdx(c)))
     }.toMap
@@ -101,43 +102,262 @@ object InteractionStudy {
       math.min(interactions.size, spark.sparkContext.defaultParallelism))
     if (!reportBetas) {
       val results = pairsDs.map { case (v1, v2) =>
-        fitPair(v1, v2, outcomeName, yB.value, colsB.value, typesMap, levelsMap,
-          covariates, family, minN)
+        val cd = colsB.value
+        fitPairCore(v1, v2, outcomeName, typesMap(v1), typesMap(v2),
+          yB.value, cd(v1), cd(v2),
+          covariates.map(c => (c, typesMap(c), cd(c))), family, minN)
       }
-      results.toDF().orderBy(col("LRT_pvalue").asc_nulls_last, col("Term1"), col("Term2"))
+      sortPlain(results.toDF())
     } else {
       val results = pairsDs.flatMap { case (v1, v2) =>
-        fitPairBetas(v1, v2, outcomeName, yB.value, colsB.value, typesMap,
-          levelsMap, covariates, family, minN)
+        val cd = colsB.value
+        fitPairBetasCore(v1, v2, outcomeName, typesMap(v1), typesMap(v2),
+          yB.value, cd(v1), cd(v2),
+          covariates.map(c => (c, typesMap(c), cd(c))), family, minN)
       }
-      results.toDF().orderBy(col("LRT_pvalue").asc_nulls_last,
-        col("Full_Var1_Var2_Pval").asc_nulls_last, col("Parameter"))
+      sortBetas(results.toDF())
+    }
+  }
+
+  /** Co-group execution: a `stack` generator fans each base-complete
+    * observation out to its (pair_id, val1, val2) rows, ONE shuffle keyed by
+    * pair id, and each group streams through the same local kernels as the
+    * broadcast path. The only driver-side action is the tiny produced-pair
+    * membership check (results are O(#pairs)). */
+  private def runCogroup(
+      spark: SparkSession,
+      cf: CladeFrame,
+      outcome: String,
+      interactions: Seq[(String, String)],
+      covariates: Seq[String],
+      minN: Long,
+      reportBetas: Boolean): DataFrame = {
+    import spark.implicits._
+    val outcomeType = cf.typeOf(outcome)
+    val family = outcomeType match {
+      case Continuous => Glm.Gaussian
+      case Binary     => Glm.Binomial
+      case t => throw new IllegalArgumentException(s"bad outcome type $t")
+    }
+    // binary outcome levels: from metadata if present, else one tiny
+    // distinct scan (O(#levels) rows to the driver, never row-scale)
+    val outcomeLevels: Option[Seq[String]] = outcomeType match {
+      case Binary => Some(cf.levels.getOrElse(outcome,
+        cf.df.select(col(outcome).cast("string")).na.drop().distinct()
+          .collect().map(_.getString(0)).toSeq).sorted)
+      case _ => None
+    }
+    val vars = interactions.flatMap(p => Seq(p._1, p._2)).distinct
+    val baseCols = outcome +: covariates
+    val base = cf.df
+      .select((baseCols ++ vars).map(c => col(c).cast("string").as(c)): _*)
+      .na.drop("any", baseCols)
+    val pairSql = interactions.zipWithIndex.map { case ((a, b), i) =>
+      s"$i, `$a`, `$b`"
+    }.mkString(", ")
+    val long = base.select(
+        baseCols.map(col) :+
+          expr(s"stack(${interactions.size}, $pairSql) AS (pair_id, val1, val2)"): _*)
+      .filter(col("val1").isNotNull && col("val2").isNotNull)
+    // row: outcome(0), covars(1..nCov), pair_id(nCov+1), val1, val2
+    val nCov = covariates.size
+    val covarKindArr = covariates.map(c => cf.typeOf(c).name)
+    val interArr = interactions.toIndexedSeq
+    val varKinds: Map[String, String] = vars.map(v => v -> cf.typeOf(v).name).toMap
+    val outcomeName = outcome
+    val oLevels = outcomeLevels
+    val covarSeq = covariates
+    val levelsB = spark.sparkContext.broadcast(cf.levels)
+
+    def collectGroup(rows: Iterator[org.apache.spark.sql.Row])
+        : (Array[Double], Array[String], Array[String], Seq[(String, String, Array[String])]) = {
+      val yBuf = new scala.collection.mutable.ArrayBuffer[Double]()
+      val a1 = new scala.collection.mutable.ArrayBuffer[String]()
+      val a2 = new scala.collection.mutable.ArrayBuffer[String]()
+      val covarBufs = Array.fill(nCov)(new scala.collection.mutable.ArrayBuffer[String]())
+      rows.foreach { r =>
+        yBuf += encodeOutcomeValue(r.getString(0), oLevels)
+        var j = 0
+        while (j < nCov) { covarBufs(j) += r.getString(1 + j); j += 1 }
+        a1 += r.getString(nCov + 2)
+        a2 += r.getString(nCov + 3)
+      }
+      val covarRaw = covarSeq.zipWithIndex.map { case (c, j) =>
+        (c, covarKindArr(j), covarBufs(j).toArray)
+      }
+      (yBuf.toArray, a1.toArray, a2.toArray, covarRaw)
+    }
+
+    val grouped = long.groupByKey(_.getInt(nCov + 1))
+    val (resultDf, producedPairIds: Set[Int]) = if (!reportBetas) {
+      // pair_id rides along so the produced-pair membership check does not
+      // depend on result naming (betas rows carry PARAMETER names)
+      val ds = grouped.mapGroups { (pairId, rows) =>
+        val (v1, v2) = interArr(pairId)
+        val (y, a1, a2, covarRaw) = collectGroup(rows)
+        pairId -> fitPairCore(v1, v2, outcomeName, varKinds(v1), varKinds(v2),
+          y, a1, a2, covarRaw, family, minN)
+      }.cache()
+      (ds.map(_._2).toDF(), ds.map(_._1).distinct().collect().toSet)
+    } else {
+      val ds = grouped.flatMapGroups { (pairId, rows) =>
+        val (v1, v2) = interArr(pairId)
+        val (y, a1, a2, covarRaw) = collectGroup(rows)
+        fitPairBetasCore(v1, v2, outcomeName, varKinds(v1), varKinds(v2),
+          y, a1, a2, covarRaw, family, minN).map(pairId -> _)
+      }.cache()
+      (ds.map(_._2).toDF(), ds.map(_._1).distinct().collect().toSet)
+    }
+    // a pair with NO complete rows forms no group; the reference still
+    // emits its non-converged row
+    val missing = interArr.indices.filterNot(producedPairIds)
+    val out = if (missing.isEmpty) resultDf
+    else if (!reportBetas) {
+      import spark.implicits._
+      resultDf.unionByName(missing.map { i =>
+        val (v1, v2) = interArr(i)
+        InteractionResult(v1, v2, outcomeName, Converged = false, 0,
+          None, None, None, None)
+      }.toDF())
+    } else {
+      import spark.implicits._
+      resultDf.unionByName(missing.map { i =>
+        val (v1, v2) = interArr(i)
+        InteractionBetaResult(v1, v2, outcomeName, s"$v1:$v2",
+          Converged = false, 0, None, None, None, None, None, None, None,
+          None, None, None, None, None, None, None, None, None)
+      }.toDF())
+    }
+    if (!reportBetas) sortPlain(out) else sortBetas(out)
+  }
+
+  private def sortPlain(df: DataFrame): DataFrame =
+    df.orderBy(col("LRT_pvalue").asc_nulls_last, col("Term1"), col("Term2"))
+
+  private def sortBetas(df: DataFrame): DataFrame =
+    df.orderBy(col("LRT_pvalue").asc_nulls_last,
+      col("Full_Var1_Var2_Pval").asc_nulls_last, col("Parameter"))
+
+  /** 0/1-encode a binary outcome by sorted level order with the
+    * Case/Control override (reference: glm_regression.py:128-156). */
+  private def encodeOutcome(raw: Array[String], kind: VariableType,
+                            knownLevels: Option[Seq[String]]): Array[Double] =
+    kind match {
+      case Continuous => raw.map(_.toDouble)
+      case Binary =>
+        val levels0 = knownLevels.getOrElse(raw.distinct.sorted.toSeq)
+        val levels =
+          if (levels0 == Seq("Case", "Control")) Seq("Control", "Case") else levels0
+        raw.map(v => if (v == levels(1)) 1.0 else 0.0)
+      case t => throw new IllegalArgumentException(s"bad outcome type $t")
+    }
+
+  private def encodeOutcomeValue(v: String, levels: Option[Seq[String]]): Double =
+    levels match {
+      case None => v.toDouble
+      case Some(l0) =>
+        val l = if (l0 == Seq("Case", "Control")) Seq("Control", "Case") else l0
+        if (v == l(1)) 1.0 else 0.0
+    }
+
+  private def term(name: String, kind: String, raw: Array[String]): DesignMatrix.Term =
+    kind match {
+      case "continuous" =>
+        DesignMatrix.ContinuousTerm(name, raw.map(_.toDouble))
+      case _ =>
+        // binary AND categorical enter interaction formulas as patsy
+        // categoricals (dummy columns named `var[T.level]`) — the reference
+        // builds these via formula strings, unlike the main-effect study's
+        // "binary treated as continuous 0/1" rule
+        DesignMatrix.CategoricalTerm(name, raw)
+    }
+
+  /** Interaction columns = elementwise products of the two terms' design
+    * columns (level crossings for categoricals —
+    * reference: interaction_regression.py:308-314). */
+  private final case class ProductTerm(t1: DesignMatrix.Term, t2: DesignMatrix.Term)
+      extends DesignMatrix.Term {
+    def name: String = s"${t1.name}:${t2.name}"
+    def columns: Seq[(String, Array[Double])] = for {
+      (n1, c1) <- t1.columns; (n2, c2) <- t2.columns
+    } yield s"$n1:$n2" -> Array.tabulate(c1.length)(i => c1(i) * c2(i))
+    def varies: Boolean = columns.exists { case (_, v) => v.exists(_ != v(0)) }
+  }
+
+  /** Shared pair kernel over base-complete aligned arrays (a1/a2 may hold
+    * nulls: pair completeness is filtered here). Pure local math — runs
+    * executor-side from both execution paths. */
+  private def fitPairCore(
+      v1: String, v2: String, outcome: String, k1: String, k2: String,
+      y: Array[Double], a1: Array[String], a2: Array[String],
+      covarRaw: Seq[(String, String, Array[String])],
+      family: Glm.Family, minN: Long): InteractionResult = {
+    val nullRes = InteractionResult(v1, v2, outcome, Converged = false, 0,
+      None, None, None, None)
+    try {
+      val idx = (0 until y.length).filter(i => a1(i) != null && a2(i) != null).toArray
+      val n = idx.length
+      if (n < minN || n < 3) return nullRes.copy(N = n)
+
+      val ySub = DenseVector(idx.map(y))
+      val covarTerms = covarRaw.map { case (c, k, arr) => term(c, k, idx.map(arr)) }
+      val t1 = term(v1, k1, idx.map(a1))
+      val t2 = term(v2, k2, idx.map(a2))
+      if (!t1.varies || !t2.varies) return nullRes.copy(N = n)
+      val inter = ProductTerm(t1, t2)
+
+      val (_, xRest) = DesignMatrix.build(n, covarTerms ++ Seq(t1, t2))
+      val (namesFull, xFull) = DesignMatrix.build(n, covarTerms ++ Seq(t1, t2, inter))
+      val rest = Glm.fit(xRest, ySub, family)
+      val full = Glm.fit(xFull, ySub, family)
+      val lrdf = full.p - rest.p
+      val lrstat = -2.0 * (rest.llf - full.llf)
+      // special case lrdf==0 && lrstat==0 (reference:
+      // interaction_regression.py — interaction adds no information)
+      val lrP =
+        if (lrdf == 0 && lrstat == 0.0) None
+        else Some(graft.stats.Distributions.chi2Sf(lrstat, lrdf.toDouble))
+
+      // single-column interaction (both terms continuous/binary): report its
+      // beta like the reference does
+      val interCols = inter.columns.map(_._1)
+      val (beta, se, bp) =
+        if (interCols.size == 1) {
+          val i = namesFull.indexOf(interCols.head)
+          if (i >= 0)
+            (Some(full.beta(i)), Some(full.se(i)), Some(full.pvalue(i, family)))
+          else (None, None, None)
+        } else (None, None, None)
+
+      InteractionResult(v1, v2, outcome, full.converged && rest.converged, n,
+        beta, se, bp, lrP)
+    } catch {
+      case _: Exception => nullRes
     }
   }
 
   /** report_betas mode: one row per interaction design column with reduced-
     * and full-model coefficient reports (reference:
     * interaction_regression.py:255-295). */
-  private def fitPairBetas(
-      v1: String, v2: String, outcome: String,
-      y: Array[Double], colData: Map[String, Array[String]],
-      types: Map[String, String], levels: Map[String, Seq[String]],
-      covariates: Seq[String], family: Glm.Family, minN: Long): Seq[InteractionBetaResult] = {
+  private def fitPairBetasCore(
+      v1: String, v2: String, outcome: String, k1: String, k2: String,
+      y: Array[Double], a1: Array[String], a2: Array[String],
+      covarRaw: Seq[(String, String, Array[String])],
+      family: Glm.Family, minN: Long): Seq[InteractionBetaResult] = {
     // failures yield a visible non-converged placeholder row, never a
     // silently-vanished pair (the reference emits 'NOT Converge' rows)
     def failRow(n: Long) = Seq(InteractionBetaResult(v1, v2, outcome,
       s"$v1:$v2", Converged = false, n, None, None, None, None, None, None,
       None, None, None, None, None, None, None, None, None, None))
     try {
-      val a1 = colData(v1); val a2 = colData(v2)
       val idx = (0 until y.length).filter(i => a1(i) != null && a2(i) != null).toArray
       val n = idx.length
       if (n < minN || n < 3) return failRow(n)
 
       val ySub = DenseVector(idx.map(y))
-      val covarTerms = covariates.map(c => term(c, types(c), idx.map(colData(c)), levels))
-      val t1 = term(v1, types(v1), idx.map(a1), levels)
-      val t2 = term(v2, types(v2), idx.map(a2), levels)
+      val covarTerms = covarRaw.map { case (c, k, arr) => term(c, k, idx.map(arr)) }
+      val t1 = term(v1, k1, idx.map(a1))
+      val t2 = term(v2, k2, idx.map(a2))
       if (!t1.varies || !t2.varies) return failRow(n)
       val inter = ProductTerm(t1, t2)
 
@@ -171,82 +391,6 @@ object InteractionStudy {
       }
     } catch {
       case _: Exception => failRow(0)
-    }
-  }
-
-  private def term(name: String, kind: String, raw: Array[String],
-                   levels: Map[String, Seq[String]]): DesignMatrix.Term = kind match {
-    case "continuous" =>
-      DesignMatrix.ContinuousTerm(name, raw.map(_.toDouble))
-    case _ =>
-      // binary AND categorical enter interaction formulas as patsy
-      // categoricals (dummy columns named `var[T.level]`) — the reference
-      // builds these via formula strings, unlike the main-effect study's
-      // "binary treated as continuous 0/1" rule
-      DesignMatrix.CategoricalTerm(name, raw)
-  }
-
-  /** Interaction columns = elementwise products of the two terms' design
-    * columns (level crossings for categoricals —
-    * reference: interaction_regression.py:308-314). */
-  private final case class ProductTerm(t1: DesignMatrix.Term, t2: DesignMatrix.Term)
-      extends DesignMatrix.Term {
-    def name: String = s"${t1.name}:${t2.name}"
-    def columns: Seq[(String, Array[Double])] = for {
-      (n1, c1) <- t1.columns; (n2, c2) <- t2.columns
-    } yield s"$n1:$n2" -> Array.tabulate(c1.length)(i => c1(i) * c2(i))
-    def varies: Boolean = columns.exists { case (_, v) => v.exists(_ != v(0)) }
-  }
-
-  private def fitPair(
-      v1: String, v2: String, outcome: String,
-      y: Array[Double], colData: Map[String, Array[String]],
-      types: Map[String, String], levels: Map[String, Seq[String]],
-      covariates: Seq[String], family: Glm.Family, minN: Long): InteractionResult = {
-    val nullRes = InteractionResult(v1, v2, outcome, Converged = false, 0,
-      None, None, None, None)
-    try {
-      // complete-case over the pair (covars/outcome already complete)
-      val a1 = colData(v1); val a2 = colData(v2)
-      val idx = (0 until y.length).filter(i => a1(i) != null && a2(i) != null).toArray
-      val n = idx.length
-      if (n < minN || n < 3) return nullRes.copy(N = n)
-
-      val ySub = DenseVector(idx.map(y))
-      val covarTerms = covariates.map(c =>
-        term(c, types(c), idx.map(colData(c)), levels))
-      val t1 = term(v1, types(v1), idx.map(a1), levels)
-      val t2 = term(v2, types(v2), idx.map(a2), levels)
-      if (!t1.varies || !t2.varies) return nullRes.copy(N = n)
-      val inter = ProductTerm(t1, t2)
-
-      val (_, xRest) = DesignMatrix.build(n, covarTerms ++ Seq(t1, t2))
-      val (namesFull, xFull) = DesignMatrix.build(n, covarTerms ++ Seq(t1, t2, inter))
-      val rest = Glm.fit(xRest, ySub, family)
-      val full = Glm.fit(xFull, ySub, family)
-      val lrdf = full.p - rest.p
-      val lrstat = -2.0 * (rest.llf - full.llf)
-      // special case lrdf==0 && lrstat==0 (reference:
-      // interaction_regression.py — interaction adds no information)
-      val lrP =
-        if (lrdf == 0 && lrstat == 0.0) None
-        else Some(graft.stats.Distributions.chi2Sf(lrstat, lrdf.toDouble))
-
-      // single-column interaction (both terms continuous/binary): report its
-      // beta like the reference does
-      val interCols = inter.columns.map(_._1)
-      val (beta, se, bp) =
-        if (interCols.size == 1) {
-          val i = namesFull.indexOf(interCols.head)
-          if (i >= 0)
-            (Some(full.beta(i)), Some(full.se(i)), Some(full.pvalue(i, family)))
-          else (None, None, None)
-        } else (None, None, None)
-
-      InteractionResult(v1, v2, outcome, full.converged && rest.converged, n,
-        beta, se, bp, lrP)
-    } catch {
-      case _: Exception => nullRes
     }
   }
 }

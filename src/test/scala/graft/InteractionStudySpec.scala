@@ -132,6 +132,38 @@ class InteractionStudySpec extends SparkSpec {
       }
     }
 
+  test("co-group path matches broadcast path and the pairwise golden") {
+    val data = Modify.colfilter(nhanes,
+      only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
+    val rvs = Seq("RIAGENDR", "race", "agecat")
+    val pairs = for (i <- rvs.indices; j <- (i + 1) until rvs.size)
+      yield (rvs(i), rvs(j))
+    val cg = InteractionStudy.run(spark, data, "HI_CHOL",
+      interactions = pairs, covariates = Nil, broadcastBase = false)
+    check(cg, golden("nhanes_pairwise.csv"))
+    // exact numeric equivalence against the broadcast path
+    val bc = InteractionStudy.run(spark, data, "HI_CHOL",
+      interactions = pairs, covariates = Nil)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getString(1))
+    val bcMap = bc.collect().map(r => key(r) -> r.toSeq).toMap
+    cg.collect().foreach { r =>
+      assert(bcMap(key(r)) === r.toSeq, s"pair ${key(r)} differs across paths")
+    }
+  }
+
+  test("co-group path reportBetas matches broadcast (ageXgender with covar)") {
+    val data = Modify.colfilter(nhanes,
+      only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
+    val run = (b: Boolean) => InteractionStudy.run(spark, data, "HI_CHOL",
+      interactions = Seq(("agecat", "RIAGENDR")), covariates = Seq("race"),
+      reportBetas = true, broadcastBase = b)
+    val bc = run(true).collect().map(r => r.getString(3) -> r.toSeq).toMap
+    val cg = run(false).collect().map(r => r.getString(3) -> r.toSeq).toMap
+    assert(bc.keySet === cg.keySet)
+    bc.foreach { case (param, row) => assert(cg(param) === row, s"$param differs") }
+  }
+
   test("nhanes_pairwise_withbetas.csv: all-pairs per-parameter betas") {
     val data = Modify.colfilter(nhanes,
       only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
