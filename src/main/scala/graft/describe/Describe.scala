@@ -82,15 +82,21 @@ object Describe {
     * (reference: describe.py:26-75).
     *
     * pandas `df.corr()` is pairwise-complete-observations; Spark's
-    * `ml.stat.Correlation` is listwise. To keep pandas semantics we compute
-    * the built-in `corr(x, y)` SQL aggregate (which IS pairwise: a row
-    * enters a pair's correlation iff both values are non-null) for all
-    * k·(k−1)/2 pairs in a SINGLE aggregation pass — one job, map-side
-    * partials, no shuffle of row data. For k in the thousands, switch to
-    * the Gramian path (assemble + `Summarizer`) and accept listwise, or
-    * pre-impute; documented scale trade-off. */
+    * `ml.stat.Correlation` is listwise. To keep pandas semantics, two paths
+    * with identical semantics, both ONE scan:
+    *
+    *  - narrow (<= `widePathMinPairs` pairs): the built-in `corr(x, y)` SQL
+    *    aggregate (which IS pairwise) for all k·(k−1)/2 pairs in a single
+    *    codegen'd aggregation — map-side partials, no row shuffle.
+    *  - wide: one `treeAggregate` accumulating the 6 pairwise-complete
+    *    co-moments (n, Σx, Σy, Σxy, Σx², Σy²) for every pair in flat
+    *    arrays. At the reference's documented 970-variable NHANES width
+    *    that is ~470k aggregate expressions — far past codegen/planner
+    *    limits — while the co-moment state is just 6·470k doubles ≈ 22 MB
+    *    per partition, combined tree-wise. Still one scan, still pairwise. */
   def correlations(spark: SparkSession, cf: CladeFrame,
-                   threshold: Double = 0.75): DataFrame = {
+                   threshold: Double = 0.75,
+                   widePathMinPairs: Int = 2048): DataFrame = {
     import spark.implicits._
     val vars = cf.variables.filter(c => cf.typeOf(c) == Continuous)
     val pairs = for {
@@ -98,6 +104,8 @@ object Describe {
     } yield (vars(i), vars(j))
     if (pairs.isEmpty)
       return Seq.empty[(String, String, Double)].toDF("var1", "var2", "correlation")
+    if (pairs.size > widePathMinPairs)
+      return correlationsWide(spark, cf, vars, threshold)
     val aggs = pairs.map { case (a, b) =>
       corr(col(a).cast("double"), col(b).cast("double")).as(s"${a}__$b")
     }
@@ -107,6 +115,127 @@ object Describe {
       .filter { case (_, _, c) => math.abs(c) >= threshold }
       .sortBy { case (_, _, c) => -math.abs(c) }
       .toDF("var1", "var2", "correlation")
+  }
+
+  /** Wide-frame pairwise-complete correlation: flat co-moment arrays over
+    * the upper triangle, accumulated per partition and tree-combined.
+    * Numerics: the shifted-data formulation (values centered on each
+    * column's first seen value) avoids the catastrophic cancellation of raw
+    * power sums. */
+  private def correlationsWide(spark: SparkSession, cf: CladeFrame,
+                               vars: Seq[String], threshold: Double): DataFrame = {
+    import spark.implicits._
+    val k = vars.size
+    val m = k * (k - 1) / 2
+    val rows = cf.df.select(vars.map(c => col(c).cast("double")): _*).rdd
+    // layout: acc(6*p .. 6*p+5) = n, sx, sy, sxy, sxx, syy for pair p;
+    // tail block acc(6*m + i) = per-column shift (first non-null seen)
+    val size = 6 * m + k
+    val acc = rows.treeAggregate(Array.fill(size)(Double.NaN))(
+      seqOp = { (a, r) =>
+        var i = 0
+        while (i < k) { // record shifts on first contact
+          if (!r.isNullAt(i) && a(6 * m + i).isNaN) a(6 * m + i) = r.getDouble(i)
+          i += 1
+        }
+        i = 0
+        var p = 0
+        while (i < k) {
+          val xNull = r.isNullAt(i)
+          if (xNull) { p += k - i - 1; i += 1 }
+          else {
+          val x = r.getDouble(i) - a(6 * m + i)
+          var j = i + 1
+          while (j < k) {
+            if (!r.isNullAt(j)) {
+              val y = r.getDouble(j) - a(6 * m + j)
+              val b = 6 * p
+              if (a(b).isNaN) { a(b) = 0; a(b+1) = 0; a(b+2) = 0; a(b+3) = 0; a(b+4) = 0; a(b+5) = 0 }
+              a(b) += 1; a(b+1) += x; a(b+2) += y
+              a(b+3) += x * y; a(b+4) += x * x; a(b+5) += y * y
+            }
+            p += 1
+            j += 1
+          }
+          i += 1
+          }
+        }
+        a
+      },
+      combOp = { (a, b) =>
+        // partitions saw different shifts; re-base b's moments onto a's shift
+        // only when both touched a pair — otherwise copy through
+        var p = 0
+        var i = 0
+        while (i < k) {
+          var j = i + 1
+          while (j < k) {
+            val o = 6 * p
+            if (!b(o).isNaN) {
+              if (a(o).isNaN) {
+                var q = 0
+                while (q < 6) { a(o + q) = b(o + q); q += 1 }
+                if (a(6 * m + i).isNaN) a(6 * m + i) = b(6 * m + i)
+                if (a(6 * m + j).isNaN) a(6 * m + j) = b(6 * m + j)
+                // note: moments stay based on b's shifts; record them below
+                // by shifting to a's basis when bases differ
+                val dxAB = b(6 * m + i) - a(6 * m + i)
+                val dyAB = b(6 * m + j) - a(6 * m + j)
+                if (dxAB != 0.0 || dyAB != 0.0)
+                  rebase(a, o, dxAB, dyAB)
+              } else {
+                val dx = b(6 * m + i) - a(6 * m + i)
+                val dy = b(6 * m + j) - a(6 * m + j)
+                val n2 = b(o)
+                // shift b's sums into a's basis, then add
+                val sx2 = b(o+1) + n2 * dx
+                val sy2 = b(o+2) + n2 * dy
+                val sxy2 = b(o+3) + dy * b(o+1) + dx * b(o+2) + n2 * dx * dy
+                val sxx2 = b(o+4) + 2 * dx * b(o+1) + n2 * dx * dx
+                val syy2 = b(o+5) + 2 * dy * b(o+2) + n2 * dy * dy
+                a(o) += n2; a(o+1) += sx2; a(o+2) += sy2
+                a(o+3) += sxy2; a(o+4) += sxx2; a(o+5) += syy2
+              }
+            }
+            p += 1
+            j += 1
+          }
+          i += 1
+        }
+        i = 0
+        while (i < k) { // adopt shifts for columns a never saw
+          if (a(6 * m + i).isNaN) a(6 * m + i) = b(6 * m + i)
+          i += 1
+        }
+        a
+      })
+    val out = (for {
+      i <- 0 until k; j <- (i + 1) until k
+    } yield (i, j)).zipWithIndex.flatMap { case ((i, j), p) =>
+      val o = 6 * p
+      val n = acc(o)
+      if (n.isNaN || n < 2) None
+      else {
+        val cxy = acc(o+3) - acc(o+1) * acc(o+2) / n
+        val cxx = acc(o+4) - acc(o+1) * acc(o+1) / n
+        val cyy = acc(o+5) - acc(o+2) * acc(o+2) / n
+        if (cxx <= 0.0 || cyy <= 0.0) None
+        else Some((vars(i), vars(j), cxy / math.sqrt(cxx * cyy)))
+      }
+    }
+    out.filter { case (_, _, c) => math.abs(c) >= threshold }
+      .sortBy { case (_, _, c) => -math.abs(c) }
+      .toDF("var1", "var2", "correlation")
+  }
+
+  /** Shift a pair's accumulated moments from basis (x+dx, y+dy) to (x, y). */
+  private def rebase(a: Array[Double], o: Int, dx: Double, dy: Double): Unit = {
+    val n = a(o); val sx = a(o+1); val sy = a(o+2)
+    a(o+3) = a(o+3) + dy * sx + dx * sy + n * dx * dy
+    a(o+4) = a(o+4) + 2 * dx * sx + n * dx * dx
+    a(o+5) = a(o+5) + 2 * dy * sy + n * dy * dy
+    a(o+1) = sx + n * dx
+    a(o+2) = sy + n * dy
   }
 
   /** skewness: per continuous variable, population skewness g1 (scipy

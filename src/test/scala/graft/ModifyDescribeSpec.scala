@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.describe.Describe
 import graft.io.Load
@@ -141,6 +142,53 @@ class ModifyDescribeSpec extends SparkSpec {
     val corr = Describe.correlations(spark, CladeFrame(df), 0.0).collect()
     assert(corr.length === 1)
     assert(corr.head.getDouble(2) > 0.999) // near-perfect on the 3 complete pairs
+  }
+
+  test("correlations wide path: 500-column frame in one pass, equals agg path") {
+    import spark.implicits._
+    // 30 columns with planted correlation structure + nulls: both paths run
+    // on the SAME frame and must agree to double precision
+    val rng = new scala.util.Random(7)
+    val k = 30
+    val rows = (0 until 300).map { i =>
+      val base = rng.nextGaussian()
+      Row.fromSeq(i.toLong +: (0 until k).map { j =>
+        if (rng.nextDouble() < 0.1) null
+        else java.lang.Double.valueOf(base * (j % 3) + rng.nextGaussian())
+      })
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType) +:
+        (0 until k).map(j => org.apache.spark.sql.types.StructField(
+          s"v$j", org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val cf = CladeFrame(df)
+    val viaAgg = Describe.correlations(spark, cf, 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val viaWide = Describe.correlations(spark, cf, 0.0, widePathMinPairs = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(viaAgg.keySet === viaWide.keySet)
+    viaAgg.foreach { case (pair, c) =>
+      assertRtol(viaWide(pair), c, 1e-9, s"pair $pair")
+    }
+
+    // the reference's documented width: 500 continuous columns -> 124,750
+    // pairs, far past what a single agg could plan; must finish bounded
+    val wideK = 500
+    val wideRows = (0 until 200).map { i =>
+      Row.fromSeq(i.toLong +: (0 until wideK).map(j =>
+        java.lang.Double.valueOf(rng.nextGaussian() + (if (j % 7 == 0) i * 0.01 else 0.0))))
+    }
+    val wideSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType) +:
+        (0 until wideK).map(j => org.apache.spark.sql.types.StructField(
+          s"w$j", org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val wideDf = spark.createDataFrame(spark.sparkContext.parallelize(wideRows, 4), wideSchema)
+    val t0 = System.nanoTime()
+    val res = Describe.correlations(spark, CladeFrame(wideDf), 0.9)
+    assert(res.columns.toSeq === Seq("var1", "var2", "correlation"))
+    res.collect() // force
+    assert((System.nanoTime() - t0) / 1e9 < 120.0, "wide correlations too slow")
   }
 
   test("skewness matches scipy population g1 + D'Agostino transform") {
