@@ -79,7 +79,7 @@ object AssociationStudy {
 
   def run(
       spark: SparkSession,
-      cf: CladeFrame,
+      cf0: CladeFrame,
       outcomes: Seq[String],
       covariates: Seq[String] = Nil,
       regressionVariables: Seq[String] = Nil,
@@ -87,8 +87,11 @@ object AssociationStudy {
       standardizeData: Boolean = false,
       surveyDesign: Option[SurveyDesignSpec] = None,
       reportCategoricalBetas: Boolean = false,
-      broadcastBase: Boolean = true): DataFrame = {
+      broadcastBase: Boolean = true,
+      encoding: String = "additive",
+      edgeEncodingInfo: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    val cf = graft.genomics.Genotypes.encodeForStudy(cf0, encoding, edgeEncodingInfo)
     val rvs =
       if (regressionVariables.nonEmpty) regressionVariables
       else cf.variables.filterNot((outcomes ++ covariates).toSet)

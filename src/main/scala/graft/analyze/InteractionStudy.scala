@@ -55,15 +55,18 @@ object InteractionStudy {
 
   def run(
       spark: SparkSession,
-      cf: CladeFrame,
+      cf0: CladeFrame,
       outcome: String,
       interactions: Seq[(String, String)],
       covariates: Seq[String] = Nil,
       minN: Long = 200,
       reportBetas: Boolean = false,
-      broadcastBase: Boolean = true): DataFrame = {
+      broadcastBase: Boolean = true,
+      encoding: String = "additive",
+      edgeEncodingInfo: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     require(interactions.nonEmpty, "no interaction pairs")
+    val cf = graft.genomics.Genotypes.encodeForStudy(cf0, encoding, edgeEncodingInfo)
     if (!broadcastBase)
       return runCogroup(spark, cf, outcome, interactions, covariates, minN, reportBetas)
     val outcomeType = cf.typeOf(outcome)

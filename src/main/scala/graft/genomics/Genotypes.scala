@@ -75,6 +75,36 @@ object Genotypes {
     cf.copy(df = df, types = cf.types ++ newTypes, levels = cf.levels ++ newLevels)
   }
 
+  /** Parse the reference's EDGE weights-table contract: one row per variant
+    * with columns "Variant ID" and "Alpha Value" (pandas-genomics
+    * `encode_edge(encoding_info)`; reference: glm_regression.py:383-384).
+    * Snake-case variants of the names are accepted too. The table is
+    * O(#variant COLUMNS), so collecting it is bounded by schema width, not
+    * data size. */
+  def edgeAlphasFrom(info: DataFrame): Map[String, Double] = {
+    val norm = info.columns.map(_.toLowerCase.replace(" ", "_"))
+    val vi = norm.indexWhere(_ == "variant_id")
+    val ai = norm.indexWhere(c => c == "alpha_value" || c == "alpha")
+    require(vi >= 0 && ai >= 0,
+      s"edge_encoding_info needs 'Variant ID' and 'Alpha Value' columns, got ${info.columns.mkString(", ")}")
+    info.select(col(info.columns(vi)).cast("string"), col(info.columns(ai)).cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  /** The study runners' encoding hook (reference: association_study.py:20-21,
+    * interaction_study.py:16 — `encoding=` / `edge_encoding_info=`): encode
+    * any genotype-kind columns before fitting; a no-op on frames without
+    * genotypes. */
+  def encodeForStudy(cf: CladeFrame, encoding: String,
+                     edgeEncodingInfo: Option[DataFrame]): CladeFrame = {
+    if (cf.variablesOfType(VariableType.Genotype).isEmpty) cf
+    else if (encoding == "edge") {
+      val info = edgeEncodingInfo.getOrElse(throw new IllegalArgumentException(
+        "'edge_encoding_info' must be provided when using edge encoding"))
+      encode(cf, "edge", edgeAlphasFrom(info))
+    } else encode(cf, encoding)
+  }
+
   /** Seeded case/control genotype simulator (a BAMS-like generator,
     * reference fixture: tests/analyze/conftest.py:47-119): `nSnps` random
     * SNPs with the given minor-allele frequency, `effectSnps` contributing

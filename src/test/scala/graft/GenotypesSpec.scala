@@ -53,6 +53,37 @@ class GenotypesSpec extends SparkSpec {
     assert(inter(("SNP4", "SNP5")) > 0.01, s"null pair p=${inter(("SNP4", "SNP5"))}")
   }
 
+  test("encoding= param on the study runners (reference: test_gwas.py:10-31)") {
+    import spark.implicits._
+    val cf = Genotypes.simulateCaseControl(spark,
+      nSamples = 3000, nSnps = 4, maf = 0.3,
+      effectSnps = Map(0 -> 0.8, 1 -> 0.8))
+    val edgeInfo = (0 until 4).map(s => (s"SNP$s", 0.5)).toDF("Variant ID", "Alpha Value")
+    // unencoded genotype frame goes straight into the runner per encoding
+    Seq("additive", "dominant", "codominant", "edge").foreach { enc =>
+      val res = AssociationStudy.run(spark, cf, outcomes = Seq("Outcome"),
+        regressionVariables = (0 until 4).map(s => s"SNP$s"),
+        encoding = enc, edgeEncodingInfo = Some(edgeInfo))
+        .collect().map(r => r.getString(0) -> r.getDouble(r.fieldIndex("pvalue"))).toMap
+      assert(res("SNP0") <= 1e-5, s"$enc: main-effect SNP0 p=${res("SNP0")}")
+      assert(res("SNP1") <= 1e-5, s"$enc: main-effect SNP1 p=${res("SNP1")}")
+    }
+    // edge without its info table must error like the reference
+    val ex = intercept[IllegalArgumentException] {
+      AssociationStudy.run(spark, cf, outcomes = Seq("Outcome"),
+        regressionVariables = Seq("SNP0"), encoding = "edge")
+    }
+    assert(ex.getMessage.contains("edge_encoding_info"))
+    // interaction runner takes the same params
+    val cfI = Genotypes.simulateCaseControl(spark,
+      nSamples = 3000, nSnps = 4, maf = 0.3,
+      interactionPair = Some((0, 1, 1.5)), seed = 7L)
+    val inter = InteractionStudy.run(spark, cfI, "Outcome",
+      interactions = Seq(("SNP0", "SNP1")), encoding = "additive")
+      .collect().head
+    assert(inter.getDouble(inter.fieldIndex("LRT_pvalue")) < 0.01)
+  }
+
   test("Case/Control outcome ordering: Control is the reference level") {
     val cf = Genotypes.simulateCaseControl(spark, nSamples = 500, nSnps = 1,
       effectSnps = Map(0 -> 1.0))
