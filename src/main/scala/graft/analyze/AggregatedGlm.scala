@@ -89,7 +89,8 @@ object AggregatedGlm {
     }.toSeq
     results.map { r =>
       AssocResult(r.variable, outcome, r.kind, None, r.converged, r.n,
-        r.beta, r.se, r.betaPvalue, r.lrtPvalue, r.diffAic, r.pvalue)
+        r.beta, r.se, r.betaPvalue, r.lrtPvalue, r.diffAic, r.pvalue,
+        error = r.error)
     }.toDF()
   }
 
@@ -97,7 +98,8 @@ object AggregatedGlm {
       variable: String, kind: String, n: Long, converged: Boolean,
       beta: Option[Double] = None, se: Option[Double] = None,
       betaPvalue: Option[Double] = None, lrtPvalue: Option[Double] = None,
-      diffAic: Option[Double] = None, pvalue: Option[Double] = None)
+      diffAic: Option[Double] = None, pvalue: Option[Double] = None,
+      error: Option[String] = None)
 
   /** Numeric encoding of the tested column for continuous/binary rvs
     * (binary "treated as continuous 0/1", sorted second level = 1). */
@@ -176,8 +178,16 @@ object AggregatedGlm {
       val z = zColumns(v)
       val p = z.size
       val m = maskFor(cf, covariates, v, outCols)
+      // castfail: rows where the raw value is present but its numeric cast
+      // fails — the reference's astype(float) would error the variable
+      // (captured per-variable, base.py:155-195), not silently drop rows
+      val castFail: Column = cf.typeOf(v) match {
+        case Continuous => sum(when(col(v).isNotNull && tryD(v).isNull, 1L).otherwise(0L))
+        case _          => lit(0L) // binary/categorical encode string levels
+      }
       Seq(
         sum(when(m, 1L).otherwise(0L)).as(s"n_$v"),
+        castFail.as(s"castfail_$v"),
         sum(when(m, yExpr * yExpr)).as(s"yy_$v")) ++
         z.zipWithIndex.map { case (zi, i) => sum(when(m, zi * yExpr)).as(s"zy_${i}_$v") } ++
         tri(p).map { case (i, j) => sum(when(m, z(i) * z(j))).as(s"zz_${i}_${j}_$v") }
@@ -191,6 +201,7 @@ object AggregatedGlm {
       val categorical = cf.typeOf(v) == Categorical
       val pAll = zColumns(v).size
       val n = nextL()
+      val castFails = nextL()
       val yy = nextD()
       val zy = DenseVector(Array.fill(pAll)(nextD()))
       val zz = DenseMatrix.zeros[Double](pAll, pAll)
@@ -208,7 +219,11 @@ object AggregatedGlm {
         (zz(j, j) / n - mean * mean) > 1e-12
       }
 
-      if (n < minN || n <= 2) RvFit(v, kind, n, converged = false)
+      if (castFails > 0)
+        RvFit(v, kind, n, converged = false, error = Some(
+          s"NumberFormatException: $castFails value(s) of '$v' could not be cast to numeric"))
+      else if (n < minN || n <= 2) RvFit(v, kind, n, converged = false,
+        error = Some(s"too few complete observations (min_n filter: $n < $minN)"))
       else try {
         val covarIx = varying(1 until p0)
         if (categorical) {
@@ -235,7 +250,9 @@ object AggregatedGlm {
           // the rv itself must vary under the mask — otherwise pinv would
           // return a minimum-norm split between intercept and rv reported
           // as converged (collect path nulls this case via Term.varies)
-          if (varying(Seq(pAll - 1)).isEmpty) RvFit(v, kind, n, converged = false)
+          if (varying(Seq(pAll - 1)).isEmpty)
+            RvFit(v, kind, n, converged = false,
+              error = Some(s"variable '$v' does not vary"))
           else {
           val ix = (0 +: covarIx) :+ (pAll - 1)
           val p = ix.size
@@ -251,7 +268,8 @@ object AggregatedGlm {
           }
           }
         }
-      } catch { case _: Exception => RvFit(v, kind, n, converged = false) }
+      } catch { case e: Exception => RvFit(v, kind, n, converged = false,
+        error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
     }
   }
 
@@ -401,7 +419,9 @@ object AggregatedGlm {
           val fullK = s"$v@full"; val restK = s"$v@rest"
           val n = ns.getOrElse(fullK, 0L)
           if (rvFailed(v) || !dev.contains(fullK) || !dev.contains(restK))
-            RvFit(v, kind, n, converged = false)
+            RvFit(v, kind, n, converged = false, error = Some(
+              if (n < minN) s"too few complete observations (min_n filter: $n < $minN)"
+              else "IRLS failed (singular weighted design or aggregation failure)"))
           else {
             val occupancy = levelCounts(v)
             val nOccupied = occupancy.count(_ > 0)
@@ -424,7 +444,11 @@ object AggregatedGlm {
           }
         case _ =>
           if (failed(v) || !beta.contains(v))
-            RvFit(v, kind, ns.getOrElse(v, 0L), converged = false)
+            RvFit(v, kind, ns.getOrElse(v, 0L), converged = false, error = Some {
+              val n = ns.getOrElse(v, 0L)
+              if (n < minN) s"too few complete observations (min_n filter: $n < $minN)"
+              else "IRLS failed (singular weighted design or aggregation failure)"
+            })
           else {
             val p = beta(v).length
             val b = beta(v)(p - 1)

@@ -25,7 +25,8 @@ final case class AssocResult(
     LRT_pvalue: Option[Double],
     Diff_AIC: Option[Double],
     pvalue: Option[Double],
-    Category: Option[String] = None)
+    Category: Option[String] = None,
+    error: Option[String] = None)
 
 /** Mass per-variable GLM association study (EWAS/PhEWAS) —
   * `analyze.association_study` (reference: association_study.py:14-132,
@@ -68,7 +69,7 @@ object AssociationStudy {
       clust: Array[String],
       weightsByName: Map[String, Array[Double]], // normalized, NaN = missing
       weightNameFor: Map[String, Option[String]],
-      weightErrorRvs: Set[String], // rvs with no mapped weight -> null result
+      weightErrorRvs: Map[String, String], // rv -> error when no mapped weight
       weightByIdAll: Map[String, Map[String, Double]], // full-design lookup
       subsetIds: Option[Set[String]],
       fpcPerClust: Map[String, Double],
@@ -213,7 +214,7 @@ object AssociationStudy {
           wn -> idsArr.map(id => byId.getOrElse(id, Double.NaN))
         },
         weightNameFor = weightLookups.collect { case (rv, Right(w)) => rv -> w },
-        weightErrorRvs = weightLookups.collect { case (rv, Left(_)) => rv }.toSet,
+        weightErrorRvs = weightLookups.collect { case (rv, Left(e)) => rv -> e },
         weightByIdAll = sd.normalizedWeights,
         subsetIds = sd.subsetIdSet,
         fpcPerClust = sd.fpcPerClust,
@@ -261,7 +262,7 @@ object AssociationStudy {
     val missing = rvs.filterNot(produced)
     val missingRows = missing.map(v => AssocResult(v, outcome,
       cf.typeOf(v).name, None, Converged = false, 0, None, None, None, None,
-      None, None))
+      None, None, error = Some("no non-missing observations")))
     if (missingRows.isEmpty) results.toDF()
     else results.toDF().unionByName(missingRows.toDF())
   }
@@ -401,7 +402,7 @@ object AssociationStudy {
           weightsByName = wNames.zipWithIndex.map { case (wn, k) =>
             wn -> wBufs(k).toArray }.toMap,
           weightNameFor = wLookups.collect { case (rv, Right(w)) => rv -> w },
-          weightErrorRvs = wLookups.collect { case (rv, Left(_)) => rv }.toSet,
+          weightErrorRvs = wLookups.collect { case (rv, Left(e)) => rv -> e },
           weightByIdAll = wNames.zipWithIndex.map { case (wn, k) =>
             wn -> wByIdBufs(k).result() }.toMap,
           subsetIds = None, // subset already applied to the joined rows
@@ -419,7 +420,7 @@ object AssociationStudy {
     val missing = rvs.filterNot(produced)
     val missingRows = missing.map(v => AssocResult(v, outcome,
       cf.typeOf(v).name, None, Converged = false, 0, None, None, None, None,
-      None, None))
+      None, None, error = Some("no non-missing observations")))
     if (missingRows.isEmpty) resultDs.toDF()
     else resultDs.toDF().unionByName(missingRows.toDF())
   }
@@ -442,7 +443,8 @@ object AssociationStudy {
     val n = idx.length
     val nullRes = AssocResult(variable, outcome, kind, None, Converged = false,
       n, None, None, None, None, None, None)
-    if (n < minN || n < 3) return Seq(nullRes)
+    if (n < minN || n < 3) return Seq(nullRes.copy(error = Some(
+      s"too few complete observations (min_n filter: $n < $minN)")))
 
     try {
       b.survey match {
@@ -484,7 +486,8 @@ object AssociationStudy {
 
         case "categorical" =>
           val rvTerm = DesignMatrix.CategoricalTerm(variable, vals)
-          if (!rvTerm.varies) return Seq(nullRes)
+          if (!rvTerm.varies) return Seq(nullRes.copy(error = Some(
+            s"variable '$variable' does not vary")))
           val (namesFull, xFull) = DesignMatrix.build(n, covarTerms :+ rvTerm)
           val (_, xRest) = DesignMatrix.build(n, covarTerms)
           val full = Glm.fit(xFull, ySub, family)
@@ -506,10 +509,14 @@ object AssociationStudy {
           }
 
         case other =>
-          Seq(nullRes.copy(Variable_type = other))
+          Seq(nullRes.copy(Variable_type = other,
+            error = Some(s"unknown variable type '$other'")))
       }
     } catch {
-      case _: Exception => Seq(nullRes)
+      // per-variable failures become a null row WITH the reason, mirroring
+      // the reference's error capture (base.py:155-195); never swallowed
+      case e: Exception => Seq(nullRes.copy(error = Some(
+        s"${e.getClass.getSimpleName}: ${e.getMessage}")))
     }
   }
 
@@ -532,9 +539,10 @@ object AssociationStudy {
       reportCategoricalBetas: Boolean = false): Seq[AssocResult] = {
     // an rv with no mapped weight nulls this variable, not the whole study
     // (reference: per-variable ValueError capture)
-    if (sv.weightErrorRvs.contains(variable))
+    sv.weightErrorRvs.get(variable).foreach { msg =>
       return Seq(AssocResult(variable, outcome, kind, None, Converged = false,
-        idx0.length, None, None, None, None, None, None))
+        idx0.length, None, None, None, None, None, None, error = Some(msg)))
+    }
     val weightName = sv.weightNameFor(variable)
     val wAll: Array[Double] = weightName match {
       case Some(wn) => sv.weightsByName(wn)
@@ -559,9 +567,12 @@ object AssociationStudy {
       else if (sv.dropUnweighted) {
         val keep = idx0.indices.filterNot(missingW.toSet).toArray
         (keep.map(idx0), keep.map(vals0))
-      } else return Seq(nullRes)
+      } else return Seq(nullRes.copy(error = Some(
+        s"${missingW.length} observations are missing weights (${weightName.getOrElse("")}) " +
+          "where the variable is present; pass drop_unweighted to analyze anyway")))
     val n = idx.length
-    if (n < minN || n < 3) return Seq(nullRes.copy(N = n))
+    if (n < minN || n < 3) return Seq(nullRes.copy(N = n, error = Some(
+      s"too few complete observations (min_n filter: $n < $minN)")))
 
     try {
       val ySub = DenseVector(idx.map(b.y))
@@ -614,7 +625,8 @@ object AssociationStudy {
 
         case "categorical" =>
           val rvTerm = DesignMatrix.CategoricalTerm(variable, vals)
-          if (!rvTerm.varies) return Seq(nullRes.copy(N = n))
+          if (!rvTerm.varies) return Seq(nullRes.copy(N = n, error = Some(
+            s"variable '$variable' does not vary")))
           val (namesFull, xFull) = DesignMatrix.build(n, covarTerms :+ rvTerm)
           val (_, xRest) = DesignMatrix.build(n, covarTerms)
           val wVec = Some(DenseVector(w))
@@ -651,10 +663,12 @@ object AssociationStudy {
             }
           }
 
-        case other => Seq(nullRes.copy(Variable_type = other))
+        case other => Seq(nullRes.copy(Variable_type = other,
+          error = Some(s"unknown variable type '$other'")))
       }
     } catch {
-      case _: Exception => Seq(nullRes.copy(N = n))
+      case e: Exception => Seq(nullRes.copy(N = n, error = Some(
+        s"${e.getClass.getSimpleName}: ${e.getMessage}")))
     }
   }
 }

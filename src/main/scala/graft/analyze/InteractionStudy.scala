@@ -18,7 +18,8 @@ final case class InteractionResult(
     Beta: Option[Double],
     SE: Option[Double],
     Beta_pvalue: Option[Double],
-    LRT_pvalue: Option[Double])
+    LRT_pvalue: Option[Double],
+    error: Option[String] = None)
 
 /** One row per interaction parameter in `report_betas` mode
   * (reference: interaction_regression.py:255-295) — reduced- and full-model
@@ -31,7 +32,8 @@ final case class InteractionBetaResult(
     Full_Var1_Var2_beta: Option[Double], Full_Var1_Var2_SE: Option[Double],
     Full_Var1_Var2_Pval: Option[Double],
     Full_Var1_beta: Option[Double], Full_Var1_SE: Option[Double], Full_Var1_Pval: Option[Double],
-    Full_Var2_beta: Option[Double], Full_Var2_SE: Option[Double], Full_Var2_Pval: Option[Double])
+    Full_Var2_beta: Option[Double], Full_Var2_SE: Option[Double], Full_Var2_Pval: Option[Double],
+    error: Option[String] = None)
 
 /** Pairwise interaction study — `analyze.interaction_study`
   * (reference: clarite/modules/analyze/interaction_study.py:10-137,
@@ -300,13 +302,15 @@ object InteractionStudy {
     try {
       val idx = (0 until y.length).filter(i => a1(i) != null && a2(i) != null).toArray
       val n = idx.length
-      if (n < minN || n < 3) return nullRes.copy(N = n)
+      if (n < minN || n < 3) return nullRes.copy(N = n, error = Some(
+        s"too few complete observations (min_n filter: $n < $minN)"))
 
       val ySub = DenseVector(idx.map(y))
       val covarTerms = covarRaw.map { case (c, k, arr) => term(c, k, idx.map(arr)) }
       val t1 = term(v1, k1, idx.map(a1))
       val t2 = term(v2, k2, idx.map(a2))
-      if (!t1.varies || !t2.varies) return nullRes.copy(N = n)
+      if (!t1.varies || !t2.varies) return nullRes.copy(N = n, error = Some(
+        s"interaction term does not vary"))
       val inter = ProductTerm(t1, t2)
 
       val (_, xRest) = DesignMatrix.build(n, covarTerms ++ Seq(t1, t2))
@@ -335,7 +339,10 @@ object InteractionStudy {
       InteractionResult(v1, v2, outcome, full.converged && rest.converged, n,
         beta, se, bp, lrP)
     } catch {
-      case _: Exception => nullRes
+      // per-pair failures carry their reason on the null row (the reference
+      // records error strings per test, base.py:155-195)
+      case e: Exception => nullRes.copy(error = Some(
+        s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
   }
 
@@ -355,13 +362,15 @@ object InteractionStudy {
     try {
       val idx = (0 until y.length).filter(i => a1(i) != null && a2(i) != null).toArray
       val n = idx.length
-      if (n < minN || n < 3) return failRow(n)
+      if (n < minN || n < 3) return failRow(n).map(_.copy(error = Some(
+        s"too few complete observations (min_n filter: $n < $minN)")))
 
       val ySub = DenseVector(idx.map(y))
       val covarTerms = covarRaw.map { case (c, k, arr) => term(c, k, idx.map(arr)) }
       val t1 = term(v1, k1, idx.map(a1))
       val t2 = term(v2, k2, idx.map(a2))
-      if (!t1.varies || !t2.varies) return failRow(n)
+      if (!t1.varies || !t2.varies) return failRow(n).map(_.copy(error = Some(
+        "interaction term does not vary")))
       val inter = ProductTerm(t1, t2)
 
       val (namesRest, xRest) = DesignMatrix.build(n, covarTerms ++ Seq(t1, t2))
@@ -393,7 +402,8 @@ object InteractionStudy {
           rb1, rs1, rp1, rb2, rs2, rp2, fbi, fsi, fpi, fb1, fs1, fp1, fb2, fs2, fp2)
       }
     } catch {
-      case _: Exception => failRow(0)
+      case e: Exception => failRow(0).map(_.copy(error = Some(
+        s"${e.getClass.getSimpleName}: ${e.getMessage}")))
     }
   }
 }

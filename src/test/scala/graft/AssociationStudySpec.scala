@@ -114,6 +114,41 @@ class AssociationStudySpec extends SparkSpec {
     }
   }
 
+  test("fit failures surface an error message on the null row, never silently") {
+    import spark.implicits._
+    import graft.model.{CladeFrame, VariableType}
+    // 'bad' is TYPED continuous but holds unparseable strings -> the fit
+    // kernel throws; the result must be a null row WITH the reason
+    val n = 250
+    val df = (1 to n).map(i => (i.toLong, i.toDouble + (i % 7), "x" + i, i.toDouble))
+      .toDF("id", "y", "bad", "ok")
+    val cf = CladeFrame(df).withTypes(Map(
+      "y" -> VariableType.Continuous, "bad" -> VariableType.Continuous,
+      "ok" -> VariableType.Continuous))
+    for (bcast <- Seq(true, false)) {
+      val res = AssociationStudy.run(spark, cf, Seq("y"),
+        regressionVariables = Seq("bad", "ok"), minN = 10, broadcastBase = bcast)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val bad = res("bad")
+      assert(bad.isNullAt(bad.fieldIndex("pvalue")), s"bcast=$bcast")
+      val err = bad.getString(bad.fieldIndex("error"))
+      assert(err != null && err.contains("NumberFormatException"),
+        s"bcast=$bcast: error column should name the failure, got '$err'")
+      assert(res("ok").getString(res("ok").fieldIndex("error")) == null)
+    }
+    // min_n gate carries its reason too
+    val tooFew = AssociationStudy.run(spark, cf, Seq("y"),
+      regressionVariables = Seq("ok"), minN = 100000)
+      .collect().head
+    assert(tooFew.getString(tooFew.fieldIndex("error")).contains("min_n"))
+    // interaction runner: same contract
+    val inter = graft.analyze.InteractionStudy.run(spark, cf, "y",
+      interactions = Seq(("bad", "ok")), minN = 10)
+      .collect().head
+    val ierr = inter.getString(inter.fieldIndex("error"))
+    assert(ierr != null && ierr.contains("NumberFormatException"), s"got '$ierr'")
+  }
+
   test("standardize_data: z-scoring changes betas but not pvalues") {
     // (reference contract: standardization affects Beta/SE, not pvalues -
     // weighted_glm_regression.py docstring)
