@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * weights / finite-population correction, aligned to the observation table
   * by id (reference: clarite/modules/survey/survey_design.py:9-146).
   *
-  * The per-observation survey metadata is collected to compact arrays and
-  * broadcast with the analysis base block: the reference workload is tens of
-  * thousands of observations (a few MB). The cluster/stratum DESIGN TOTALS
-  * (clusters per stratum, stratum for cluster, fpc per cluster) are one-time
-  * grouped aggregates computed BEFORE any subsetting, exactly like the
-  * reference (survey_design.py:131-141); at scale they are tiny grouped aggs
-  * over the design table.
+  * Construction is DISTRIBUTED: validations (missing strata/cluster/fpc
+  * counts, empty design), weight normalization means, and the
+  * cluster/stratum DESIGN TOTALS (clusters per stratum, stratum for
+  * cluster, fpc per cluster — survey_design.py:131-141) are Spark
+  * aggregations whose results are tiny (O(#strata + #clusters) rows). The
+  * survey table itself is NEVER collected for the co-group execution path —
+  * per-observation metadata reaches the kernels via `surveyRowsDf` joins.
+  * Only the legacy broadcast execution path (which by contract collects its
+  * base block) lazily materializes id-aligned maps, and only when used.
   */
 final class SurveyDesignSpec(
     surveyDf: DataFrame,
@@ -49,101 +51,110 @@ final class SurveyDesignSpec(
 
   private val weightCols: Seq[String] = (singleWeight.toSeq ++ multiWeight.values).distinct
 
-  // ---------------------------------------------------------------- collect
-  // one collect of the (small) survey table; all downstream alignment is by
-  // id string
-  private val collected: Array[(String, String, String, Double, Array[Double])] = {
-    val strataCol = strata.map(col(_).cast("string")).getOrElse(lit("1.0"))
-    val clustColRaw = cluster.map(col(_).cast("string"))
-      .getOrElse(monotonically_increasing_id().cast("string"))
-    // nest: same PSU id in different strata are distinct PSUs
-    // (survey_design.py:216-221)
-    val clustCol =
-      if (nest && hasStrata && hasCluster) concat(strataCol, lit("-"), clustColRaw)
-      else clustColRaw
-    val fpcCol = fpc.map(col(_).cast("double")).getOrElse(lit(0.0))
-    // (fpc nulls are checked after collection — see fpcMissingCheck)
-    val wCols = weightCols.map(c => col(c).cast("double"))
-    val rows = surveyDf.select(
-      (Seq(col(idCol).cast("string"), strataCol.as("strat"), clustCol.as("clust"),
-        fpcCol.as("fpc")) ++ wCols): _*).collect()
-    if (fpc.nonEmpty) {
-      val bad = rows.count(_.isNullAt(3))
-      require(bad == 0, s"$bad of ${rows.length} fpc values were missing")
-    }
-    rows.map { r =>
-      val ws = Array.tabulate(weightCols.size) { i =>
-        if (r.isNullAt(4 + i)) Double.NaN
-        else {
-          val w = r.getDouble(4 + i)
-          if (w <= 0) 1e-99 else w // zero/negative weights (survey_design.py:244-247)
-        }
-      }
-      (r.getString(0), r.getString(1), r.getString(2),
-        if (r.isNullAt(3)) 0.0 else r.getDouble(3), ws)
-    }
-  }
-  require(collected.nonEmpty, "survey design is empty")
-  // missing design values are a hard error with a count, like the reference
-  // (survey_design.py:180-183, 206-210, 281-284)
-  if (hasStrata) {
-    val bad = collected.count(_._2 == null)
-    require(bad == 0, s"$bad of ${collected.length} strata values were missing")
-  }
-  if (hasCluster) {
-    val bad = collected.count(_._3 == null)
-    require(bad == 0, s"$bad of ${collected.length} cluster values were missing")
-  }
+  // ------------------------------------------------- projected design frame
+  private def strataCol: Column = strata.map(col(_).cast("string")).getOrElse(lit("1.0"))
 
-  val ids: Array[String] = collected.map(_._1)
-  val stratOf: Map[String, String] = collected.map(r => r._1 -> r._2).toMap
-  val clustOf: Map[String, String] = collected.map(r => r._1 -> r._3).toMap
+  /** No-cluster designs treat every observation as its own PSU; the
+    * pseudo-cluster id derives DETERMINISTICALLY from the observation id
+    * (a monotonically_increasing_id here could disagree between jobs). */
+  private def clustColRaw: Column = cluster.map(col(_).cast("string"))
+    .getOrElse(concat(lit("r"), col(idCol).cast("string")))
 
-  /** Normalized weights (w / mean(w), computed pre-subset —
-    * survey_design.py:390) per weight column, NaN where missing. */
-  val normalizedWeights: Map[String, Map[String, Double]] =
-    weightCols.zipWithIndex.map { case (wc, i) =>
-      val vals = collected.map(_._5(i))
-      val present = vals.filter(!_.isNaN)
-      val mean = if (present.isEmpty) 1.0 else present.sum / present.length
-      wc -> collected.zipWithIndex.map { case (r, j) => r._1 -> (vals(j) / mean) }.toMap
+  /** nest: same PSU id in different strata are distinct PSUs
+    * (survey_design.py:216-221). */
+  private def clustCol: Column =
+    if (nest && hasStrata && hasCluster) concat(strataCol, lit("-"), clustColRaw)
+    else clustColRaw
+
+  /** Zero/negative weights become 1e-99 (survey_design.py:244-247); nulls
+    * stay null (missing weight). */
+  private def clampedW(wc: String): Column =
+    when(col(wc).isNull, lit(null).cast("double"))
+      .when(col(wc).cast("double") <= 0, lit(1e-99))
+      .otherwise(col(wc).cast("double"))
+
+  private def designProj: DataFrame = surveyDf.select(
+    (Seq(col(idCol).cast("string").as(idCol), strataCol.as("__strat"),
+      clustCol.as("__clust"),
+      fpc.map(col(_).cast("double")).getOrElse(lit(0.0)).as("__fpc")) ++
+      weightCols.map(wc => clampedW(wc).as(s"__w_$wc"))): _*)
+
+  // ------------------------------------- one aggregation pass: validations,
+  // weight means, full-design cluster count (results are a single row)
+  private val (nRows: Long, nClustFull: Long, weightMeans: Map[String, Double]) = {
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)),
+      countDistinct(col("__clust")),
+      sum(when(col("__strat").isNull, 1L).otherwise(0L)),
+      sum(when(col("__clust").isNull, 1L).otherwise(0L)),
+      sum(when(col("__fpc").isNull, 1L).otherwise(0L))) ++
+      weightCols.map(wc => avg(col(s"__w_$wc")))
+    val r = designProj.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    require(n > 0, "survey design is empty")
+    def cnt(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    // missing design values are a hard error with a count, like the
+    // reference (survey_design.py:180-183, 206-210, 281-284)
+    if (hasStrata)
+      require(cnt(2) == 0, s"${cnt(2)} of $n strata values were missing")
+    if (hasCluster)
+      require(cnt(3) == 0, s"${cnt(3)} of $n cluster values were missing")
+    if (hasFpc)
+      require(cnt(4) == 0, s"${cnt(4)} of $n fpc values were missing")
+    val means = weightCols.zipWithIndex.map { case (wc, i) =>
+      wc -> (if (r.isNullAt(5 + i)) 1.0 else r.getDouble(5 + i))
     }.toMap
+    (n, r.getLong(1), means)
+  }
 
   // ------------------------------------------------- design totals (full)
-  /** Clusters per stratum, computed on the FULL design before subsets
-    * (survey_design.py:131-141). */
-  val clustPerStrat: Map[String, Int] =
-    collected.groupBy(_._2).view.mapValues(_.map(_._3).distinct.length).toMap
+  // grouped aggregates collected at O(#strata) / O(#clusters) — computed on
+  // the FULL design before subsets (survey_design.py:131-141). For
+  // no-cluster designs #clusters == #rows (each observation is a PSU); at
+  // scale a real design always has clusters.
+  /** (cluster, stratum, rows-in-cluster, raw fpc) — one row per cluster. */
+  private lazy val clusterTable: Array[(String, String, Long, Double)] =
+    designProj.groupBy("__clust")
+      .agg(first("__strat").as("s"), count(lit(1)).as("n"), min("__fpc").as("f"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
 
-  val stratForClust: Map[String, String] =
-    collected.groupBy(_._3).view.mapValues(_.head._2).toMap
+  /** Clusters per stratum on the full design. */
+  lazy val clustPerStrat: Map[String, Int] =
+    clusterTable.groupBy(_._2).view.mapValues(_.length).toMap
 
-  val nClustFull: Int = collected.map(_._3).distinct.length
+  lazy val stratForClust: Map[String, String] =
+    clusterTable.map(c => c._1 -> c._2).toMap
 
   /** fpc as a sampling FRACTION per cluster. Values > 1 are population
     * sizes and are converted (survey_design.py:291-312): with strata, the
     * sampled stratum SIZE (row count) over the population; cluster-only
     * designs use the number of sampled clusters over the population. */
-  val fpcPerClust: Map[String, Double] = {
-    val raw = collected.map(_._4)
-    val converted: Array[Double] =
-      if (!hasFpc || raw.forall(_ <= 1.0)) raw
-      else if (hasStrata) {
-        val strataSize = collected.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
-        collected.map(r => strataSize(r._2) / r._4)
-      } else if (hasCluster) {
-        val sampledClusters = nClustFull.toDouble
-        collected.map(r => sampledClusters / r._4)
-      } else raw // no strata/cluster: population sizes are invalid -> fail below
-    require(converted.forall(f => f >= 0 && f <= 1), "Error processing FPC- invalid values")
-    // FIRST value per cluster (survey_design.py:314-317)
-    val m = scala.collection.mutable.LinkedHashMap[String, Double]()
-    collected.map(_._3).zip(converted).foreach { case (c, f) =>
-      if (!m.contains(c)) m(c) = f
+  lazy val fpcPerClust: Map[String, Double] = {
+    if (!hasFpc) Map.empty
+    else {
+      val anyPop = clusterTable.exists(_._4 > 1.0)
+      val strataSize: Map[String, Double] =
+        if (anyPop && hasStrata)
+          clusterTable.groupBy(_._2).view.mapValues(_.map(_._3).sum.toDouble).toMap
+        else Map.empty
+      val m = clusterTable.map { case (c, s, _, f) =>
+        val conv =
+          if (!anyPop) f
+          else if (hasStrata) strataSize(s) / f
+          else if (hasCluster) nClustFull.toDouble / f
+          else f
+        c -> conv
+      }.toMap
+      require(m.values.forall(f => f >= 0 && f <= 1),
+        "Error processing FPC- invalid values")
+      m
     }
-    m.toMap
   }
 
+  // eager design-rule checks that the reference performs at construction
+  if (hasFpc) fpcPerClust
   if (hasStrata && hasCluster &&
       !Set("average", "certainty", "adjust")(singleCluster)) {
     val singles = clustPerStrat.filter(_._2 < 2)
@@ -152,6 +163,38 @@ final class SurveyDesignSpec(
         "Adjust the 'single_cluster' SurveyDesignSpec parameter or reassign " +
         "the singular cluster to avoid this error.")
   }
+
+  // --------------------------------------- broadcast-path feed (LAZY collect)
+  // Only the broadcast execution path needs id-aligned driver-side maps; it
+  // collects its base block by contract, so collecting the survey columns is
+  // the same order of driver memory. The co-group path NEVER triggers this.
+  @transient private var broadcastCollected = false
+
+  /** True iff the id-aligned maps below were ever materialized — the
+    * co-group path must keep this false (asserted in tests). */
+  def wasCollectedForBroadcast: Boolean = broadcastCollected
+
+  @transient private lazy val collected: Array[(String, String, String, Array[Double])] = {
+    broadcastCollected = true
+    designProj.collect().map { r =>
+      val ws = Array.tabulate(weightCols.size) { i =>
+        if (r.isNullAt(4 + i)) Double.NaN else r.getDouble(4 + i)
+      }
+      (r.getString(0), r.getString(1), r.getString(2), ws)
+    }
+  }
+
+  def ids: Array[String] = collected.map(_._1)
+  lazy val stratOf: Map[String, String] = collected.map(r => r._1 -> r._2).toMap
+  lazy val clustOf: Map[String, String] = collected.map(r => r._1 -> r._3).toMap
+
+  /** Normalized weights (w / mean(w), computed pre-subset —
+    * survey_design.py:390) per weight column, NaN where missing. */
+  lazy val normalizedWeights: Map[String, Map[String, Double]] =
+    weightCols.zipWithIndex.map { case (wc, i) =>
+      val mean = weightMeans(wc)
+      wc -> collected.map(r => r._1 -> (r._4(i) / mean)).toMap
+    }.toMap
 
   // ----------------------------------------------------------------- subset
   private var subsetIds: Option[Set[String]] = None
@@ -193,20 +236,8 @@ final class SurveyDesignSpec(
     * normalization means and design totals are the (tiny) aggregates this
     * spec already computed. */
   def surveyRowsDf: DataFrame = {
-    val strataCol = strata.map(col(_).cast("string")).getOrElse(lit("1.0"))
-    val clustColRaw = cluster.map(col(_).cast("string"))
-      .getOrElse(monotonically_increasing_id().cast("string"))
-    val clustCol =
-      if (nest && hasStrata && hasCluster) concat(strataCol, lit("-"), clustColRaw)
-      else clustColRaw
-    val wMeans: Map[String, Double] = weightCols.map { wc =>
-      val present = collected.map(_._5(weightCols.indexOf(wc))).filter(!_.isNaN)
-      wc -> (if (present.isEmpty) 1.0 else present.sum / present.length)
-    }.toMap
     val wExprs = weightCols.map { wc =>
-      (when(col(wc).isNull, lit(null))
-        .when(col(wc).cast("double") <= 0, lit(1e-99 / wMeans(wc)))
-        .otherwise(col(wc).cast("double") / wMeans(wc))).as(s"__w_$wc")
+      (clampedW(wc) / weightMeans(wc)).as(s"__w_$wc")
     }
     surveyDf.select(
       (Seq(col(idCol).cast("string").as(idCol), strataCol.as("__strat"),

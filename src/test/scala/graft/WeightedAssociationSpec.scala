@@ -285,5 +285,10 @@ class WeightedAssociationSpec extends SparkSpec {
           surveyDesign = Some(design), broadcastBase = false)
         checkRow(res, rv, g(rv))
       }
+    // the scale contract: the co-group path must never materialize the
+    // survey table on the driver — construction + both runs above were
+    // aggregation-only
+    assert(!design.wasCollectedForBroadcast,
+      "co-group run collected the survey table on the driver")
   }
 }
