@@ -361,16 +361,12 @@ object Modify {
           }
         }.toMap
       case "iqr" =>
-        // one percentile evaluation per column (array of fractions shares
-        // the sorted buffer instead of sorting twice)
-        val r = aggRow(cf.df, cols.map(c =>
-          percentile(col(c), array(lit(0.25), lit(0.75))).as(s"q_$c")))
-        cols.zipWithIndex.map { case (c, i) =>
-          if (r.isNullAt(i)) c -> (Double.NegativeInfinity, Double.PositiveInfinity)
-          else {
-            val qs = r.getSeq[Double](i)
-            val q1 = qs(0); val q3 = qs(1)
-            c -> (q1 - cutoff * (q3 - q1), q3 + cutoff * (q3 - q1))
+        cols.map { c =>
+          exactQuantiles(cf.df, c, Seq(0.25, 0.75)) match {
+            case None => c -> (Double.NegativeInfinity, Double.PositiveInfinity)
+            case Some(qs) =>
+              val q1 = qs(0); val q3 = qs(1)
+              c -> (q1 - cutoff * (q3 - q1), q3 + cutoff * (q3 - q1))
           }
         }.toMap
       case other => throw new IllegalArgumentException(s"bad method: $other")
@@ -380,6 +376,33 @@ object Modify {
       d.withColumn(c, when(col(c).between(lo, hi), col(c)))
     }
     cf.copy(df = out)
+  }
+
+  /** Exact linear-interpolation quantiles (pandas / DuckDB `quantile_cont`
+    * semantics: position h = (n−1)·q), computed DISTRIBUTED: a
+    * range-partitioned sort plus a global-index lookup. Spark's exact
+    * `percentile` aggregate buffers the whole column in ONE aggregation
+    * buffer — fine at test scale, dead at 100 TB; this path never holds
+    * more than a partition per task. `approx_percentile` remains the
+    * documented fast-path knob when exactness is not required. None when
+    * the column has no non-missing values. */
+  def exactQuantiles(df: DataFrame, c: String, fractions: Seq[Double]): Option[Seq[Double]] = {
+    val vals = df.select(col(c).cast("double")).na.drop().rdd.map(_.getDouble(0))
+    val n = vals.count()
+    if (n == 0) return None
+    if (n == 1) { val v = vals.first(); return Some(fractions.map(_ => v)) }
+    val sorted = vals.sortBy(identity).zipWithIndex().map { case (v, i) => (i, v) }
+    val needed: Set[Long] = fractions.flatMap { q =>
+      val h = (n - 1) * q
+      Seq(math.floor(h).toLong, math.ceil(h).toLong)
+    }.toSet
+    val found = sorted.filter { case (i, _) => needed(i) }.collect().toMap
+    Some(fractions.map { q =>
+      val h = (n - 1) * q
+      val lo = math.floor(h).toLong
+      val vl = found(lo); val vh = found(math.ceil(h).toLong)
+      vl + (h - lo) * (vh - vl)
+    })
   }
 
   /** transform: apply a whitelisted unary function to continuous variables
