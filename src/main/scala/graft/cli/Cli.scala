@@ -115,11 +115,36 @@ object Cli {
         case "remove-outliers"  => Modify.removeOutliers(cf,
           flag(rest, "--method").getOrElse("gaussian"),
           flag(rest, "--cutoff").map(_.toDouble).getOrElse(3.0), skip, only)
-        case "transform" => Modify.transform(cf, req(rest, "--method"), skip, only)
+        case "transform" | "transform-variable" =>
+          Modify.transform(cf, req(rest, "--method"), skip, only)
         case "drop-extra-categories" => Modify.dropExtraCategories(cf, skip, only)
+        case "recode-values" =>
+          // reference flags --cs/--rs etc (current/replacement by type,
+          // cli/commands/modify.py:147-186); TSV state makes string the
+          // canonical carrier, "NULL" recodes to missing
+          val current = req(rest, "--current")
+          val repl = req(rest, "--replacement")
+          Modify.recodeValues(cf,
+            Map(current -> (if (repl == "NULL") null else repl)), skip, only)
+        case "merge-variables" =>
+          // here `in` is LEFT and --right names the right state
+          Modify.mergeVariables(cf, loadState(spark, req(rest, "--right")),
+            flag(rest, "--how").getOrElse("outer"))
+        case "merge-observations" =>
+          Modify.mergeObservations(cf, loadState(spark, req(rest, "--bottom")))
         case other => throw new IllegalArgumentException(s"unknown modify verb: $other")
       }
       saveState(result, out)
+
+    // move-variables has TWO inputs and TWO outputs (reference:
+    // cli/commands/modify.py:400-428)
+    case "modify-move-variables" :: left :: right :: outLeft :: outRight :: rest =>
+      val (newLeft, newRight) = Modify.moveVariables(
+        loadState(spark, left), loadState(spark, right),
+        flag(rest, "--skip").map(_.split(",").toSeq),
+        flag(rest, "--only").map(_.split(",").toSeq))
+      saveState(newLeft, outLeft)
+      saveState(newRight, outRight)
 
     // ---------------------------------------------------------- analyze
     case "analyze" :: "association-study" :: in :: out :: rest =>
@@ -174,17 +199,75 @@ object Cli {
         .coalesce(1).write.mode("overwrite")
         .option("sep", "\t").option("header", "true").csv(out)
 
+    case "analyze" :: "get-significant" :: in :: out :: rest =>
+      val df = readTsv(spark, in)
+      Corrections.getSignificant(df,
+        flag(rest, "--cutoff").map(_.toDouble).getOrElse(0.05),
+        flag(rest, "--column").getOrElse("pvalue_fdr"))
+        .coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(out)
+
+    case "analyze" :: "top-results" :: in :: out :: rest =>
+      val df = readTsv(spark, in)
+      Corrections.topResults(df,
+        flag(rest, "--n").map(_.toInt).getOrElse(20),
+        flag(rest, "--pvalue").getOrElse("pvalue"))
+        .coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(out)
+
+    // ------------------------------------------------- plot (data prep;
+    // rendering is out of scope — SURVEY.md §7.4)
+    case "plot" :: verb :: in :: out :: rest =>
+      val result = verb match {
+        case "histogram" =>
+          graft.describe.Plots.histogram(loadState(spark, in).df,
+            req(rest, "--column"),
+            flag(rest, "--bins").map(_.toInt).getOrElse(100))
+        case "distributions" =>
+          val cf = loadState(spark, in)
+          val cols = flag(rest, "--columns").map(_.split(",").toSeq)
+            .getOrElse(cf.continuousVars)
+          graft.describe.Plots.distributions(spark, cf.df, cols,
+            flag(rest, "--bins").map(_.toInt).getOrElse(100))
+        case "qq" =>
+          val cf = loadState(spark, in)
+          val cols = flag(rest, "--columns").map(_.split(",").toSeq)
+            .getOrElse(cf.continuousVars)
+          graft.describe.Plots.qqPrep(spark, cf.df, cols,
+            flag(rest, "--n").map(_.toInt).getOrElse(400),
+            flag(rest, "--seed").map(_.toLong).getOrElse(1L))
+        case "manhattan" =>
+          Corrections.manhattanPrep(readTsv(spark, in),
+            flag(rest, "--pvalue").getOrElse("pvalue"),
+            flag(rest, "--category").getOrElse("Variable"))
+        case other => throw new IllegalArgumentException(s"unknown plot verb: $other")
+      }
+      result.coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(out)
+
     case other =>
       println(usage)
       throw new IllegalArgumentException(s"unknown command: ${other.take(2).mkString(" ")}")
   }
+
+  private def readTsv(spark: SparkSession, in: String) =
+    spark.read.option("sep", "\t").option("header", "true")
+      .option("inferSchema", "true").csv(in)
 
   private val usage: String =
     """graft-cli — Spark-native CLARITE-style pipeline
       |  load from-csv|from-tsv <in> <out>
       |  describe summarize|percent-na|freq-table|correlations|skewness|get-types <in>
       |  modify <verb> <in> <out> [--only a,b] [--skip a,b] [--n N] [--method m] ...
+      |    verbs: categorize colfilter colfilter-min-n colfilter-min-cat-n
+      |      colfilter-percent-zero rowfilter rowfilter-incomplete-obs
+      |      make-binary make-categorical make-continuous remove-outliers
+      |      transform recode-values merge-variables merge-observations
+      |      drop-extra-categories
+      |  modify-move-variables <left> <right> <outLeft> <outRight> [--only|--skip]
+      |  plot histogram|distributions|qq|manhattan <in> <outDir> [--column c] [--bins N] [--n N]
       |  analyze association-study <in> <outDir> --outcome y [--covariates a,b] [--min-n N]
+      |  analyze get-significant|top-results <in.tsv> <outDir> [--cutoff a] [--n N]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]

@@ -94,7 +94,8 @@ object Load {
     cf.variables.map { v =>
       val t = cf.typeOf(v)
       val cats = cf.levels.get(v) match {
-        case Some(ls) => s""","categories":[${ls.map(q).mkString(",")}],"ordered":false"""
+        case Some(ls) =>
+          s""","categories":[${ls.map(q).mkString(",")}],"ordered":${cf.ordered(v)}"""
         case None     => ""
       }
       s"${q(v)}:{${"\"type\""}:${q(t.name)}$cats}"
@@ -103,7 +104,8 @@ object Load {
 
   /** Parse a sidecar produced by [[dtypesJson]] (minimal JSON parser for the
     * fixed shape; avoids adding a JSON dependency). */
-  def parseDtypesJson(json: String): (Map[String, VariableType], Map[String, Seq[String]]) = {
+  def parseDtypesJson(json: String)
+      : (Map[String, VariableType], Map[String, Seq[String]], Set[String]) = {
     // shape: {"col":{"type":"binary","categories":["a","b"],"ordered":false},...}
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\{([^{}]*)\}""".r
     val typeRe = """"type"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
@@ -134,6 +136,8 @@ object Load {
     }
     var types = Map.empty[String, VariableType]
     var levels = Map.empty[String, Seq[String]]
+    var ordered = Set.empty[String]
+    val orderedRe = """"ordered"\s*:\s*true""".r
     for (m <- entry.findAllMatchIn(json)) {
       val colName = unescape(m.group(1))
       val body = m.group(2)
@@ -143,8 +147,9 @@ object Load {
       catsRe.findFirstMatchIn(body).foreach { cm =>
         levels += colName -> strRe.findAllMatchIn(cm.group(1)).map(x => unescape(x.group(1))).toSeq
       }
+      if (orderedRe.findFirstIn(body).nonEmpty) ordered += colName
     }
-    (types, levels)
+    (types, levels, ordered)
   }
 
   /** Save data as TSV + dtypes sidecar, mirroring save_clarite_data
@@ -159,7 +164,7 @@ object Load {
   def loadTsvWithSidecar(spark: SparkSession, dataPath: String, sidecarPath: String): CladeFrame = {
     val base = fromTsv(spark, dataPath)
     val json = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sidecarPath)))
-    val (types, levels) = parseDtypesJson(json)
+    val (types, levels, ordered) = parseDtypesJson(json)
     // categorical-kind columns are physically strings; continuous → double
     val casted = types.foldLeft(base.df) { case (d, (c, t)) =>
       if (!d.columns.contains(c)) d
@@ -169,6 +174,6 @@ object Load {
         case _                       => d.withColumn(c, col(c).cast(StringType))
       }
     }
-    CladeFrame(casted, base.types ++ types, levels, base.idCol)
+    CladeFrame(casted, base.types ++ types, levels, base.idCol, ordered)
   }
 }

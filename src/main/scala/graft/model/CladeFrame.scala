@@ -26,7 +26,10 @@ final case class CladeFrame(
     df: DataFrame,
     types: Map[String, VariableType],
     levels: Map[String, Seq[String]] = Map.empty,
-    idCol: String = CladeFrame.DefaultId) {
+    idCol: String = CladeFrame.DefaultId,
+    ordered: Set[String] = Set.empty) { // variables with ORDERED categories
+                                        // (round-tripped via the .dtypes
+                                        // sidecar, custom_types.py:66-114)
 
   /** All variable columns (everything except the id). */
   def variables: Seq[String] = df.columns.filterNot(_ == idCol).toSeq
@@ -47,12 +50,15 @@ final case class CladeFrame(
       df.select((idCol +: variables.filter(keep)).map(col): _*),
       types.view.filterKeys(keep).toMap,
       levels.view.filterKeys(keep).toMap,
-      idCol)
+      idCol,
+      ordered intersect keep)
   }
 
   def withTypes(t: Map[String, VariableType]): CladeFrame = copy(types = types ++ t)
 
   def withLevels(l: Map[String, Seq[String]]): CladeFrame = copy(levels = levels ++ l)
+
+  def withOrdered(cols: Set[String]): CladeFrame = copy(ordered = ordered ++ cols)
 
   /** Resolve a skip/only selection against current variables — the shared
     * column-selection predicate of every modify operator

@@ -22,6 +22,45 @@ class CliSpec extends SparkSpec {
       "race golden p through the CLI")
   }
 
+  test("recode-values, merge-variables, move-variables, plot round-trip") {
+    val dir = Files.createTempDirectory("graft-cli2").toString
+    Cli.run(spark, List("load", "from-csv",
+      refPath("test_data_files/nhanes_data.csv"), s"$dir/nh"))
+    // recode race level 1 -> 99 (string state)
+    Cli.run(spark, List("modify", "recode-values", s"$dir/nh", s"$dir/rc",
+      "--current", "1", "--replacement", "99", "--only", "race"))
+    val rc = spark.read.option("sep", "\t").option("header", "true")
+      .csv(s"$dir/rc.txt")
+    assert(rc.filter(rc("race").cast("double") === 99.0).count() > 0)
+    assert(rc.filter(rc("race").cast("double") === 1.0).count() === 0)
+    // move WTMEC2YR into a second frame
+    Cli.run(spark, List("modify", "colfilter", s"$dir/nh", s"$dir/idonly",
+      "--only", "SDMVPSU"))
+    Cli.run(spark, List("modify-move-variables", s"$dir/nh", s"$dir/idonly",
+      s"$dir/left2", s"$dir/right2", "--only", "WTMEC2YR"))
+    val left2 = spark.read.option("sep", "\t").option("header", "true").csv(s"$dir/left2.txt")
+    val right2 = spark.read.option("sep", "\t").option("header", "true").csv(s"$dir/right2.txt")
+    assert(!left2.columns.contains("WTMEC2YR"))
+    assert(right2.columns.contains("WTMEC2YR"))
+    // merge the moved column back (project right down to it first so the
+    // frames are disjoint)
+    Cli.run(spark, List("modify", "colfilter", s"$dir/right2", s"$dir/right3",
+      "--only", "WTMEC2YR"))
+    Cli.run(spark, List("modify", "merge-variables", s"$dir/left2", s"$dir/back",
+      "--right", s"$dir/right3", "--how", "inner"))
+    val back = spark.read.option("sep", "\t").option("header", "true").csv(s"$dir/back.txt")
+    assert(back.columns.contains("WTMEC2YR"))
+    // plot prep verbs write tables
+    Cli.run(spark, List("plot", "histogram", s"$dir/nh", s"$dir/hist",
+      "--column", "WTMEC2YR", "--bins", "10"))
+    val hist = spark.read.option("sep", "\t").option("header", "true").csv(s"$dir/hist")
+    assert(hist.count() > 0 && hist.columns.toSeq == Seq("bin", "lo", "hi", "count"))
+    Cli.run(spark, List("plot", "qq", s"$dir/nh", s"$dir/qq",
+      "--columns", "WTMEC2YR", "--n", "100"))
+    val qq = spark.read.option("sep", "\t").option("header", "true").csv(s"$dir/qq")
+    assert(qq.count() === 100)
+  }
+
   test("unknown commands fail loudly") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, List("frobnicate", "everything"))

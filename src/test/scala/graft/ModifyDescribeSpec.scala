@@ -204,13 +204,20 @@ class ModifyDescribeSpec extends SparkSpec {
     assertRtol(r.getDouble(r.fieldIndex("pvalue_2sided")), 0.6554066631275459, 1e-8, "p")
   }
 
-  test("dtypes sidecar roundtrip preserves kinds and levels") {
+  test("dtypes sidecar roundtrip preserves kinds, levels, and ordered flag") {
     var cf = Modify.makeCategorical(sample, only = Some(Seq("cat")))
+    cf = cf.withOrdered(Set("cat"))
     val json = Load.dtypesJson(cf)
-    val (types, levels) = Load.parseDtypesJson(json)
+    assert(json.contains("\"ordered\":true"))
+    val (types, levels, ordered) = Load.parseDtypesJson(json)
     assert(types("cat") === Categorical)
     assert(levels("cat") === Seq("a", "b"))
     assert(types("num") === Continuous)
+    assert(ordered === Set("cat"))
+    // unordered stays false
+    val cf2 = Modify.makeCategorical(sample, only = Some(Seq("cat")))
+    val (_, _, ordered2) = Load.parseDtypesJson(Load.dtypesJson(cf2))
+    assert(ordered2 === Set.empty[String])
   }
 
   test("moveVariables relocates columns between frames") {
