@@ -90,7 +90,7 @@ object AggregatedGlm {
     results.map { r =>
       AssocResult(r.variable, outcome, r.kind, None, r.converged, r.n,
         r.beta, r.se, r.betaPvalue, r.lrtPvalue, r.diffAic, r.pvalue,
-        error = r.error)
+        error = r.error, warnings = r.warnings)
     }.toDF()
   }
 
@@ -99,7 +99,7 @@ object AggregatedGlm {
       beta: Option[Double] = None, se: Option[Double] = None,
       betaPvalue: Option[Double] = None, lrtPvalue: Option[Double] = None,
       diffAic: Option[Double] = None, pvalue: Option[Double] = None,
-      error: Option[String] = None)
+      error: Option[String] = None, warnings: Option[String] = None)
 
   /** Numeric encoding of the tested column for continuous/binary rvs
     * (binary "treated as continuous 0/1", sorted second level = 1). */
@@ -226,6 +226,12 @@ object AggregatedGlm {
         error = Some(s"too few complete observations (min_n filter: $n < $minN)"))
       else try {
         val covarIx = varying(1 until p0)
+        // dropped non-varying covariates carry a warning, mirroring
+        // base.py:174-187's warning strings
+        val dropped = (1 until p0).filterNot(covarIx.contains).map(j => covariates(j - 1))
+        val warn: Option[String] =
+          if (dropped.isEmpty) None
+          else Some(s"non-varying covariates(s): ${dropped.mkString(", ")}")
         if (categorical) {
           // occupied levels from the dummy diagonal
           val dummyIx = (p0 until pAll).filter(j => zz(j, j) > 0)
@@ -244,7 +250,8 @@ object AggregatedGlm {
             val lrdf = (fullIx.size - restIx.size).toDouble
             val lrP = Distributions.chi2Sf(lrstat, lrdf)
             RvFit(v, kind, n, converged = true,
-              lrtPvalue = Some(lrP), diffAic = Some(aicF - aicR), pvalue = Some(lrP))
+              lrtPvalue = Some(lrP), diffAic = Some(aicF - aicR), pvalue = Some(lrP),
+              warnings = warn)
           }
         } else {
           // the rv itself must vary under the mask — otherwise pinv would
@@ -264,7 +271,7 @@ object AggregatedGlm {
             val beta = b(p - 1)
             val pv = Distributions.tSfTwoSided(beta / se, (n - p).toDouble)
             RvFit(v, kind, n, converged = true, Some(beta), Some(se), Some(pv),
-              pvalue = Some(pv))
+              pvalue = Some(pv), warnings = warn)
           }
           }
         }

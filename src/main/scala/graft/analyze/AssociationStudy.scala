@@ -26,7 +26,8 @@ final case class AssocResult(
     Diff_AIC: Option[Double],
     pvalue: Option[Double],
     Category: Option[String] = None,
-    error: Option[String] = None)
+    error: Option[String] = None,
+    warnings: Option[String] = None)
 
 /** Mass per-variable GLM association study (EWAS/PhEWAS) —
   * `analyze.association_study` (reference: association_study.py:14-132,
@@ -53,7 +54,30 @@ final case class AssocResult(
   * X'WX accumulation (the normal equations are associative) — the declared
   * fan-out shape is unchanged, only the kernel's data feed switches.
   */
+/** A pluggable regression kind — the reference's `regression_kind=`
+  * extension point (association_study.py:41-45: a builtin name or a custom
+  * Regression subclass). Implementations receive one outcome per call and
+  * return a results DataFrame; register under a name with
+  * [[AssociationStudy.registerRegressionKind]]. */
+trait RegressionKind extends Serializable {
+  def run(spark: SparkSession, cf: CladeFrame, outcome: String,
+          covariates: Seq[String], rvs: Seq[String], minN: Long,
+          surveyDesign: Option[SurveyDesignSpec]): DataFrame
+}
+
 object AssociationStudy {
+
+  // ---- regression-kind registry (reference: builtin_regression_kinds +
+  // custom Regression subclasses, association_study.py:63-99)
+  private val kindRegistry =
+    scala.collection.concurrent.TrieMap[String, RegressionKind]()
+
+  /** Register a custom regression kind usable via `regressionKind=`. */
+  def registerRegressionKind(name: String, kind: RegressionKind): Unit = {
+    require(!Set("glm", "weighted_glm", "r_survey")(name),
+      s"'$name' is a builtin regression kind")
+    kindRegistry(name) = kind
+  }
 
   /** Per-variable raw column data shipped to the fit kernel. */
   private final case class BaseData(
@@ -90,7 +114,8 @@ object AssociationStudy {
       reportCategoricalBetas: Boolean = false,
       broadcastBase: Boolean = true,
       encoding: String = "additive",
-      edgeEncodingInfo: Option[DataFrame] = None): DataFrame = {
+      edgeEncodingInfo: Option[DataFrame] = None,
+      regressionKind: Option[String] = None): DataFrame = {
     import spark.implicits._
     val cf = graft.genomics.Genotypes.encodeForStudy(cf0, encoding, edgeEncodingInfo)
     val rvs =
@@ -98,9 +123,33 @@ object AssociationStudy {
       else cf.variables.filterNot((outcomes ++ covariates).toSet)
     require(rvs.nonEmpty, "no regression variables")
     surveyDesign.foreach(_.validateAgainstData(cf.variables))
+    // kind selection per the reference: default 'glm' without a design,
+    // 'weighted_glm' with one (association_study.py:63-75)
+    val kindName = regressionKind.getOrElse(
+      if (surveyDesign.nonEmpty) "weighted_glm" else "glm")
+    val customKind: Option[RegressionKind] = kindName match {
+      case "glm" =>
+        require(surveyDesign.isEmpty,
+          "regression_kind 'glm' does not accept a survey design"); None
+      case "weighted_glm" =>
+        require(surveyDesign.nonEmpty,
+          "regression_kind 'weighted_glm' requires a survey design"); None
+      case "r_survey" => throw new UnsupportedOperationException(
+        "r_survey is not built in (its oracle role is covered by the R golden corpus); " +
+          "register a custom RegressionKind to bridge out")
+      case other => Some(kindRegistry.getOrElse(other,
+        throw new IllegalArgumentException(
+          s"unknown regression kind '$other' (register it via registerRegressionKind)")))
+    }
     val perOutcome = outcomes.map { outcome =>
-      runOne(spark, cf, outcome, covariates, rvs.filterNot(_ == outcome), minN,
-        standardizeData, surveyDesign, reportCategoricalBetas, broadcastBase)
+      customKind match {
+        case Some(k) =>
+          k.run(spark, cf, outcome, covariates, rvs.filterNot(_ == outcome),
+            minN, surveyDesign)
+        case None =>
+          runOne(spark, cf, outcome, covariates, rvs.filterNot(_ == outcome), minN,
+            standardizeData, surveyDesign, reportCategoricalBetas, broadcastBase)
+      }
     }
     val all = perOutcome.reduce(_ unionByName _)
     // global sort by pvalue (reference: association_study.py:126-129)
@@ -455,13 +504,17 @@ object AssociationStudy {
       }
       val ySub = DenseVector(idx.map(b.y))
       // covariate terms on the subset; non-varying covariates are dropped
-      // (reference: base.py:174-187)
+      // with a warning (reference: base.py:174-187)
       val covarTerms: Seq[DesignMatrix.Term] = b.covars.map {
         case (name, "continuous", _, dv) =>
           DesignMatrix.ContinuousTerm(name, idx.map(dv))
         case (name, _, sv, _) =>
           DesignMatrix.CategoricalTerm(name, idx.map(sv))
       }
+      val nonVarying = covarTerms.filterNot(_.varies).map(_.name)
+      val warn: Option[String] =
+        if (nonVarying.isEmpty) None
+        else Some(s"non-varying covariates(s): ${nonVarying.mkString(", ")}")
 
       kind match {
         case "continuous" | "binary" | "constant" | "unknown" =>
@@ -474,7 +527,8 @@ object AssociationStudy {
               DesignMatrix.ContinuousTerm(variable,
                 if (standardize) DesignMatrix.zscore(raw) else raw)
           }
-          if (!rvTerm.varies) return Seq(nullRes)
+          if (!rvTerm.varies) return Seq(nullRes.copy(error = Some(
+            s"variable '$variable' does not vary"), warnings = warn))
           val (names, x) = DesignMatrix.build(n, covarTerms :+ rvTerm)
           val fit = Glm.fit(x, ySub, family)
           val i = names.indexWhere(_ == rvTerm.columns.head._1)
@@ -482,12 +536,12 @@ object AssociationStudy {
           val se = fit.se(i)
           val p = fit.pvalue(i, family)
           Seq(AssocResult(variable, outcome, kind, None, fit.converged, n,
-            Some(beta), Some(se), Some(p), None, None, Some(p)))
+            Some(beta), Some(se), Some(p), None, None, Some(p), warnings = warn))
 
         case "categorical" =>
           val rvTerm = DesignMatrix.CategoricalTerm(variable, vals)
           if (!rvTerm.varies) return Seq(nullRes.copy(error = Some(
-            s"variable '$variable' does not vary")))
+            s"variable '$variable' does not vary"), warnings = warn))
           val (namesFull, xFull) = DesignMatrix.build(n, covarTerms :+ rvTerm)
           val (_, xRest) = DesignMatrix.build(n, covarTerms)
           val full = Glm.fit(xFull, ySub, family)
@@ -496,7 +550,8 @@ object AssociationStudy {
           val converged = full.converged && rest.converged
           if (!reportCategoricalBetas)
             Seq(AssocResult(variable, outcome, kind, None, converged, n,
-              None, None, None, Some(lrP), Some(diffAic), Some(lrP)))
+              None, None, None, Some(lrP), Some(diffAic), Some(lrP),
+              warnings = warn))
           else {
             // per-level rows (reference: glm_regression.py:340-354)
             rvTerm.columns.map(_._1).map { param =>
@@ -504,7 +559,7 @@ object AssociationStudy {
               AssocResult(variable, outcome, kind, None, converged, n,
                 Some(full.beta(i)), Some(full.se(i)),
                 Some(full.pvalue(i, family)), Some(lrP), Some(diffAic),
-                Some(lrP), Category = Some(param))
+                Some(lrP), Category = Some(param), warnings = warn)
             }
           }
 

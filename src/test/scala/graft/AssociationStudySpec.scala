@@ -149,6 +149,58 @@ class AssociationStudySpec extends SparkSpec {
     assert(ierr != null && ierr.contains("NumberFormatException"), s"got '$ierr'")
   }
 
+  test("regression-kind registry: custom kinds dispatch, builtin names validate") {
+    import spark.implicits._
+    import graft.model.{CladeFrame, VariableType}
+    import graft.analyze.RegressionKind
+    val df = (1 to 300).map(i => (i.toLong, i.toDouble, i * 2.0)).toDF("id", "y", "x")
+    val cf = CladeFrame(df)
+    object CountKind extends RegressionKind {
+      def run(spark: org.apache.spark.sql.SparkSession, cf: CladeFrame,
+              outcome: String, covariates: Seq[String], rvs: Seq[String],
+              minN: Long, surveyDesign: Option[graft.survey.SurveyDesignSpec]) = {
+        import spark.implicits._
+        rvs.map(v => (v, outcome, 0.5)).toDF("Variable", "Outcome", "pvalue")
+      }
+    }
+    AssociationStudy.registerRegressionKind("count_kind", CountKind)
+    val res = AssociationStudy.run(spark, cf, Seq("y"),
+      regressionVariables = Seq("x"), minN = 1,
+      regressionKind = Some("count_kind")).collect()
+    assert(res.length === 1 && res.head.getDouble(2) === 0.5)
+    intercept[IllegalArgumentException] {
+      AssociationStudy.run(spark, cf, Seq("y"), regressionVariables = Seq("x"),
+        regressionKind = Some("nope"))
+    }
+    intercept[UnsupportedOperationException] {
+      AssociationStudy.run(spark, cf, Seq("y"), regressionVariables = Seq("x"),
+        regressionKind = Some("r_survey"))
+    }
+    intercept[IllegalArgumentException] { // builtin name misuse
+      AssociationStudy.run(spark, cf, Seq("y"), regressionVariables = Seq("x"),
+        regressionKind = Some("weighted_glm"))
+    }
+  }
+
+  test("non-varying covariates are dropped with a warning on the result row") {
+    import spark.implicits._
+    import graft.model.{CladeFrame, VariableType}
+    val df = (1 to 300).map(i => (i.toLong, i.toDouble, i * 2.0 + (i % 3), 7.0))
+      .toDF("id", "y", "x", "c")
+    val cf = CladeFrame(df)
+    // AggregatedGlm path (all numeric)
+    val agg = AssociationStudy.run(spark, cf, Seq("y"),
+      covariates = Seq("c"), regressionVariables = Seq("x"), minN = 1).collect().head
+    assert(agg.getString(agg.fieldIndex("warnings")).contains("non-varying covariates(s): c"))
+    assert(!agg.isNullAt(agg.fieldIndex("pvalue"))) // still fits without c
+    // collect path (force via broadcastBase melt by making covar categorical)
+    var cf2 = cf.withTypes(Map("c" -> VariableType.Categorical))
+      .withLevels(Map("c" -> Seq("7.0")))
+    val mel = AssociationStudy.run(spark, cf2, Seq("y"),
+      covariates = Seq("c"), regressionVariables = Seq("x"), minN = 1).collect().head
+    assert(mel.getString(mel.fieldIndex("warnings")).contains("non-varying covariates(s): c"))
+  }
+
   test("standardize_data: z-scoring changes betas but not pvalues") {
     // (reference contract: standardization affects Beta/SE, not pvalues -
     // weighted_glm_regression.py docstring)
