@@ -74,7 +74,7 @@ object AggregatedGlm {
     import spark.implicits._
     val binaryOutcome = cf.typeOf(outcome) == Binary
     val yExpr: Column =
-      if (!binaryOutcome) col(outcome).cast("double")
+      if (!binaryOutcome) tryD(outcome) // ANSI-safe: malformed -> null -> masked
       else {
         val levels0 = cf.levels(outcome).sorted
         val levels = if (levels0 == Seq("Case", "Control")) Seq("Control", "Case") else levels0
@@ -107,7 +107,10 @@ object AggregatedGlm {
     case Binary =>
       val second = cf.levels(v).sorted.lift(1)
       when(col(v).cast("string") === second.orNull, 1.0).otherwise(0.0)
-    case _ => col(v).cast("double")
+    // try_cast everywhere a value could be malformed: the array
+    // materialization evaluates design columns unconditionally (no
+    // when(mask) shield), so an ANSI cast would throw instead of masking
+    case _ => tryD(v)
   }
 
   private def tryD(c: String): Column = expr(s"try_cast(`$c` AS DOUBLE)")
@@ -165,7 +168,7 @@ object AggregatedGlm {
     //    below n exposes stale level metadata (values outside the declared
     //    levels) instead of silently pooling rows into a reference level.
     def zColumns(v: String): Seq[Column] = {
-      val base = lit(1.0) +: covariates.map(col(_).cast("double"))
+      val base = lit(1.0) +: covariates.map(tryD)
       cf.typeOf(v) match {
         case Categorical => base ++ cf.levels(v).sorted.map(lvl =>
           when(col(v).cast("string") === lvl, 1.0).otherwise(0.0))
@@ -174,38 +177,98 @@ object AggregatedGlm {
     }
     val p0 = covariates.size + 1
 
-    val aggs: Seq[Column] = batch.flatMap { v =>
-      val z = zColumns(v)
-      val p = z.size
-      val m = maskFor(cf, covariates, v, outCols)
-      // castfail: rows where the raw value is present but its numeric cast
-      // fails — the reference's astype(float) would error the variable
-      // (captured per-variable, base.py:155-195), not silently drop rows
-      val castFail: Column = cf.typeOf(v) match {
-        case Continuous => sum(when(col(v).isNotNull && tryD(v).isNull, 1L).otherwise(0L))
-        case _          => lit(0L) // binary/categorical encode string levels
-      }
-      Seq(
-        sum(when(m, 1L).otherwise(0L)).as(s"n_$v"),
-        castFail.as(s"castfail_$v"),
-        sum(when(m, yExpr * yExpr)).as(s"yy_$v")) ++
-        z.zipWithIndex.map { case (zi, i) => sum(when(m, zi * yExpr)).as(s"zy_${i}_$v") } ++
-        tri(p).map { case (i, j) => sum(when(m, z(i) * z(j))).as(s"zz_${i}_${j}_$v") }
+    // One pass over a materialized array RDD instead of one giant
+    // df.agg: a 64-variable batch needs hundreds of aggregate expressions,
+    // far past spark.sql.codegen.maxFields (100), so the Catalyst plan
+    // silently drops to INTERPRETED evaluation (~5s for what is <1s of
+    // arithmetic at sf0.1). Row layout: [y | mask per rv | castfail per rv
+    // | distinct z columns]; the accumulation is plain fused loops with
+    // map-side combining via treeAggregate — the same shape the binomial
+    // IRLS uses, minus the iteration.
+    def zKey(c: Column): String = c.toString
+    val zList: Seq[(String, Column)] = {
+      val m = scala.collection.mutable.LinkedHashMap[String, Column]()
+      batch.foreach(v => zColumns(v).foreach(c => m.getOrElseUpdate(zKey(c), c)))
+      m.toSeq
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    var idx = 0
-    def nextD(): Double = { val x = if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx); idx += 1; x }
-    def nextL(): Long = { val x = if (row.isNullAt(idx)) 0L else row.getLong(idx); idx += 1; x }
+    val zPos: Map[String, Int] = zList.map(_._1).zipWithIndex.toMap
+    val nB = batch.size
+    val width = 1 + 2 * nB + zList.size
+    val selCols: Seq[Column] =
+      (yExpr.cast("double").as("__y") +:
+        batch.zipWithIndex.map { case (v, k) =>
+          maskFor(cf, covariates, v, outCols).cast("double").as(s"__m_$k") }) ++
+        batch.zipWithIndex.map { case (v, k) =>
+          // castfail: rows where the raw value is present but its numeric
+          // cast fails — the reference's astype(float) would error the
+          // variable (captured per-variable, base.py:155-195), not
+          // silently drop rows
+          (cf.typeOf(v) match {
+            case Continuous =>
+              when(col(v).isNotNull && tryD(v).isNull, 1.0).otherwise(0.0)
+            case _ => lit(0.0) // binary/categorical encode string levels
+          }).as(s"__cf_$k")
+        } ++
+        zList.zipWithIndex.map { case ((_, c), j) => c.cast("double").as(s"__z_$j") }
+    val zIdxPer: Array[Array[Int]] = batch.map(v =>
+      zColumns(v).map(c => 1 + 2 * nB + zPos(zKey(c))).toArray).toArray
+    val pPer: Array[Int] = zIdxPer.map(_.length)
+    // block per rv: [n, castfail, yy, zy(p), zz(tri(p))]
+    val blockOff = new Array[Int](nB)
+    var szAcc = 0
+    (0 until nB).foreach { k =>
+      blockOff(k) = szAcc; szAcc += 3 + pPer(k) + pPer(k) * (pPer(k) + 1) / 2
+    }
+    val size = szAcc
+    val acc = df.select(selCols: _*).rdd.map { r =>
+      val a = new Array[Double](width)
+      var i = 0
+      while (i < width) { a(i) = if (r.isNullAt(i)) Double.NaN else r.getDouble(i); i += 1 }
+      a
+    }.treeAggregate(new Array[Double](size))(
+      seqOp = { (st, row) =>
+        val y = row(0)
+        var k = 0
+        while (k < nB) {
+          val off = blockOff(k)
+          st(off + 1) += row(1 + nB + k) // castfail (mask-independent)
+          if (row(1 + k) == 1.0) {
+            val p = pPer(k)
+            val zi = zIdxPer(k)
+            st(off) += 1.0
+            st(off + 2) += y * y
+            var i = 0
+            while (i < p) { st(off + 3 + i) += row(zi(i)) * y; i += 1 }
+            var t = off + 3 + p
+            i = 0
+            while (i < p) {
+              var j = i
+              while (j < p) { st(t) += row(zi(i)) * row(zi(j)); t += 1; j += 1 }
+              i += 1
+            }
+          }
+          k += 1
+        }
+        st
+      },
+      combOp = { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
 
-    batch.map { v =>
+    batch.zipWithIndex.map { case (v, kIdx) =>
       val categorical = cf.typeOf(v) == Categorical
-      val pAll = zColumns(v).size
-      val n = nextL()
-      val castFails = nextL()
-      val yy = nextD()
-      val zy = DenseVector(Array.fill(pAll)(nextD()))
+      val pAll = pPer(kIdx)
+      val off = blockOff(kIdx)
+      val n = acc(off).toLong
+      val castFails = acc(off + 1).toLong
+      val yy = acc(off + 2)
+      val zy = DenseVector(Array.tabulate(pAll)(i => acc(off + 3 + i)))
       val zz = DenseMatrix.zeros[Double](pAll, pAll)
-      tri(pAll).foreach { case (i, j) => val x = nextD(); zz(i, j) = x; zz(j, i) = x }
+      var tPos = off + 3 + pAll
+      tri(pAll).foreach { case (i, j) =>
+        zz(i, j) = acc(tPos); zz(j, i) = acc(tPos); tPos += 1 }
       val kind = cf.typeOf(v).name
 
       def sub(ix: Seq[Int]): GaussStats = GaussStats(n, yy,

@@ -24,16 +24,16 @@ object Drive {
     }
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    time("analyze_assoc_logistic run 1") {
-      SparkEntry.queries("analyze_assoc_logistic")(spark, dir)
+    time("analyze_assoc_wide run 1") {
+      SparkEntry.queries("analyze_assoc_wide")(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
-    time("analyze_assoc_logistic run 2") {
-      SparkEntry.queries("analyze_assoc_logistic")(spark, dir)
+    time("analyze_assoc_wide run 2") {
+      SparkEntry.queries("analyze_assoc_wide")(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
     // correctness spot-check: values unchanged by the caching
-    SparkEntry.queries("analyze_assoc_logistic")(spark, dir).show(false)
+    SparkEntry.queries("analyze_assoc_wide")(spark, dir).show(false)
     spark.stop()
   }
 }
