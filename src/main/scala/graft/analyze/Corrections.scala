@@ -1,23 +1,26 @@
 package graft.analyze
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Multiple-testing correction — `analyze.add_corrected_pvalues`
-  * (reference: clarite/modules/analyze/utils.py:9-117), expressed as window
-  * functions (SURVEY.md §2.6):
+  * (reference: clarite/modules/analyze/utils.py:9-117):
   *
   *   - Bonferroni: min(p·m, 1)
   *   - Benjamini-Hochberg FDR: rank p ascending, p·m/rank, then a running
   *     minimum from the LARGEST p downward (the monotonicity step of
   *     statsmodels' `multipletests(method="fdr_bh")`), clipped at 1.
   *
-  * The result table is O(#variables) — orders of magnitude smaller than the
-  * data — so the unpartitioned ordering window is a deliberate, safe choice
-  * (a single tiny partition), not a scale hazard. With `groupby` keys the
-  * window partitions by group after de-duplicating repeated tests, matching
-  * the reference's grouped mode (utils.py:77-117).
+  * Execution is fully DISTRIBUTED — no unpartitioned window: the ranks come
+  * from a range-partitioned sort + zipWithIndex, and the suffix-min is two
+  * passes (per-partition minima, then a driver-side suffix scan over the
+  * O(#partitions) minima feeding a reverse per-partition sweep). A results
+  * table is usually tiny, but a 100M-variant GWAS results table is not —
+  * the old single-partition ordering window was the bench log's
+  * "WindowExec: No Partition Defined" warning. With `groupby` keys the
+  * correction runs once per de-duplicated test, matching the reference's
+  * grouped mode (utils.py:77-117).
   */
 object Corrections {
 
@@ -25,34 +28,82 @@ object Corrections {
       df: DataFrame,
       pvalue: String = "pvalue",
       groupby: Seq[String] = Nil): DataFrame = {
-    if (groupby.isEmpty) addFlat(df, pvalue, Nil)
+    if (groupby.isEmpty) addFlat(df, pvalue)
     else {
       // de-duplicate repeated tests on the group keys, correct once per
       // group, then re-join the corrected values to every original row
       val dedup = df.select((groupby :+ pvalue).map(col): _*).dropDuplicates(groupby)
-      val corrected = addFlat(dedup, pvalue, Nil)
+      val corrected = addFlat(dedup, pvalue)
         .select((groupby ++ Seq("pvalue_bonferroni", "pvalue_fdr")).map(col): _*)
       df.join(corrected, groupby, "left")
         .orderBy(col("pvalue_fdr").asc_nulls_last, col("pvalue_bonferroni").asc_nulls_last)
     }
   }
 
-  private def addFlat(df: DataFrame, pvalue: String, partition: Seq[String]): DataFrame = {
+  private def addFlat(df: DataFrame, pvalue: String): DataFrame = {
+    val spark = df.sparkSession
     val p = col(pvalue)
-    val part: Seq[Column] = partition.map(col)
-    val wAll = if (part.isEmpty) Window.partitionBy() else Window.partitionBy(part: _*)
-    val wAsc = (if (part.isEmpty) Window.partitionBy() else Window.partitionBy(part: _*))
-      .orderBy(p.asc_nulls_last)
-    val m = sum(when(p.isNotNull, 1L).otherwise(0L)).over(wAll)
-    val rank = row_number().over(wAsc)
-    val raw = p * m / rank
-    // running min from the bottom of the ascending order = min over the
-    // frame [current, unboundedFollowing]
-    val monotone = min(when(p.isNotNull, raw)).over(
-      wAsc.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    df.withColumn("pvalue_bonferroni", when(p.isNotNull, least(p * m, lit(1.0))))
-      .withColumn("pvalue_fdr", when(p.isNotNull, least(monotone, lit(1.0))))
-      .orderBy(col("pvalue_fdr").asc_nulls_last, col("pvalue_bonferroni").asc_nulls_last)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("pvalue_bonferroni", DoubleType, nullable = true),
+      StructField("pvalue_fdr", DoubleType, nullable = true)))
+    val nonNull = df.filter(p.isNotNull)
+    val nullRows = df.filter(p.isNull)
+      .withColumn("pvalue_bonferroni", lit(null).cast(DoubleType))
+      .withColumn("pvalue_fdr", lit(null).cast(DoubleType))
+    val m = nonNull.count()
+    if (m == 0) return nullRows
+
+    val width = df.schema.size
+    val pPos = df.schema.fieldIndex(pvalue)
+    val mD = m.toDouble
+    // range-partitioned ascending sort; zipWithIndex = global 0-based rank
+    val sorted = nonNull
+      .withColumn("__pd", p.cast(DoubleType))
+      .orderBy(col("__pd").asc)
+      .rdd.zipWithIndex()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pdPos = width // appended __pd position
+      // pass 1: per-partition minimum of raw = p·m/rank
+      val partMins: Array[(Int, Double)] = sorted.mapPartitionsWithIndex { (pi, it) =>
+        var mn = Double.PositiveInfinity
+        it.foreach { case (r, i) =>
+          val raw = r.getDouble(pdPos) * mD / (i + 1)
+          if (raw < mn) mn = raw
+        }
+        Iterator.single(pi -> mn)
+      }.collect()
+      // suffix-min across partitions (later partitions hold larger p)
+      val nPart = partMins.map(_._1).foldLeft(-1)(math.max) + 1
+      val minByPart = Array.fill(nPart)(Double.PositiveInfinity)
+      partMins.foreach { case (pi, mn) => minByPart(pi) = mn }
+      val suffixAfter = Array.fill(nPart + 1)(Double.PositiveInfinity)
+      for (pi <- nPart - 1 to 0 by -1)
+        suffixAfter(pi) = math.min(suffixAfter(pi + 1), minByPart(pi))
+      // pass 2: reverse sweep inside each partition with the later
+      // partitions' minimum as the floor
+      val outRdd = sorted.mapPartitionsWithIndex { (pi, it) =>
+        val rows = it.toArray
+        val fdr = new Array[Double](rows.length)
+        var run = suffixAfter(pi + 1)
+        var i = rows.length - 1
+        while (i >= 0) {
+          val (r, rank0) = rows(i)
+          val raw = r.getDouble(pdPos) * mD / (rank0 + 1)
+          if (raw < run) run = raw
+          fdr(i) = run
+          i -= 1
+        }
+        rows.iterator.zipWithIndex.map { case ((r, _), j) =>
+          val pv = r.getDouble(pdPos)
+          Row.fromSeq(r.toSeq.take(width) ++
+            Seq(math.min(pv * mD, 1.0), math.min(fdr(j), 1.0)))
+        }
+      }
+      val corrected = spark.createDataFrame(outRdd, outSchema)
+      corrected.unionByName(nullRows)
+        .orderBy(col("pvalue_fdr").asc_nulls_last, col("pvalue_bonferroni").asc_nulls_last)
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** Top-N results by pvalue — the data prep behind `plot.top_results`
@@ -67,12 +118,21 @@ object Corrections {
     df.filter(col(column) <= cutoff)
 
   /** Manhattan-plot data prep: per-result −log10(p) plus a dense x-position
-    * grouped by category (reference: plot/manhattan.py:58-98 — the melt/
-    * label/group-number stages, engine-mappable per SURVEY.md §2.11). */
+    * grouped by category (reference: plot/manhattan.py:58-98). The
+    * category axis is a LABEL set (bounded), so the dense rank is a
+    * distinct-collect + broadcast-join — no global ordering window. */
   def manhattanPrep(df: DataFrame, pvalue: String = "pvalue",
                     category: String = "Variable"): DataFrame = {
-    val w = Window.orderBy(col(category).asc_nulls_last)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cats = df.select(col(category).cast("string")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val (nonNullCats, nullCats) = cats.partition(_ != null)
+    val rankOf = nonNullCats.sorted.zipWithIndex.map { case (c, i) => (c, i + 1) } ++
+      nullCats.map(_ -> (nonNullCats.length + 1)) // nulls rank last
+    val mapping = rankOf.toSeq.toDF("__cat", "xpos")
     df.withColumn("neg_log_pvalue", -log10(col(pvalue)))
-      .withColumn("xpos", dense_rank().over(w))
+      .join(broadcast(mapping), df(category).cast("string") <=> col("__cat"), "left")
+      .drop("__cat")
   }
 }
