@@ -73,20 +73,27 @@ object EventStreams {
   }
 
   /** Streaming sessionization: closed sessions are emitted as gaps are
-    * observed within the data; the open session is held in state with a
-    * processing-time timeout of `gapSeconds` and emitted (state removed)
-    * when the user goes quiet — no duplicate emissions, bounded state. */
+    * observed within the data; the open session is held in state with an
+    * EVENT-TIME timeout at `last + gapSeconds` and emitted (state removed)
+    * once the watermark passes it — no duplicate emissions, bounded state,
+    * and fully deterministic/testable (closure is driven by data time via
+    * the watermark, not by wall clock). `watermarkDelay` bounds late data
+    * exactly as in the tumbling aggregation. */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
-                       gapSeconds: Long = 1800): org.apache.spark.sql.Dataset[Session] = {
+                       gapSeconds: Long = 1800,
+                       watermarkDelay: String = "0 seconds"): org.apache.spark.sql.Dataset[Session] = {
     import spark.implicits._
-    val typed = events.select(
-      col("user_id").cast("long"),
-      unix_timestamp(col("ts")).cast("long").as("epoch"),
-      col("value").cast("double"))
-      .as[(Long, Long, Double)]
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("user_id").cast("long"),
+        unix_timestamp(col("ts")).cast("long").as("epoch"),
+        col("value").cast("double"),
+        col("ts")) // watermark column must survive the projection
+      .as[(Long, Long, Double, java.sql.Timestamp)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val st = state.get
@@ -96,7 +103,7 @@ object EventStreams {
             val sorted = rows.toSeq.sortBy(_._2)
             val out = scala.collection.mutable.ArrayBuffer[Session]()
             var st = state.getOption.orNull
-            sorted.foreach { case (_, t, v) =>
+            sorted.foreach { case (_, t, v, _) =>
               if (st == null) st = SessionState(t, t, 0, 0.0)
               else if (t - st.last > gapSeconds) {
                 out += Session(user, st.start, st.last, st.n, st.value)
@@ -106,7 +113,7 @@ object EventStreams {
             }
             if (st != null) {
               state.update(st) // open session stays in state, not emitted
-              state.setTimeoutDuration(gapSeconds * 1000)
+              state.setTimeoutTimestamp((st.last + gapSeconds) * 1000)
             }
             out.iterator
           }

@@ -42,6 +42,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: open session closes on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.sessionizeStream(spark, streamDf, gapSeconds = 1800)
+      .writeStream.format("memory").queryName("session_stream_test")
+      .outputMode("append").start()
+    try {
+      // user 1: two events, then silence. No session emitted yet.
+      // (epochs start well above 0: a row AT the initial watermark (epoch 0)
+      // would be dropped by the event-time late filter)
+      mem.addData((1L, ts(100000), 1L, "a", 1.0, "{}"), (2L, ts(100100), 1L, "a", 2.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("session_stream_test").count() === 0)
+      // user 2 activity advances the WATERMARK past user 1's last+gap
+      // (100100 + 1800) -> the event-time timeout closes user 1's session
+      mem.addData((3L, ts(105000), 2L, "a", 3.0, "{}"))
+      q.processAllAvailable()
+      mem.addData((4L, ts(105001), 2L, "a", 4.0, "{}")) // extra batch: timeout firing is end-of-batch
+      q.processAllAvailable()
+      val closed = spark.table("session_stream_test")
+        .as[EventStreams.Session].collect().filter(_.user_id == 1L)
+      assert(closed.length === 1, s"expected user 1's session closed, got ${closed.toSeq}")
+      assert(closed.head.n_events === 2 && closed.head.session_start === 100000 &&
+        closed.head.session_end === 100100 && closed.head.total_value === 3.0)
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions with custom state") {
     import spark.implicits._
     val rows = Seq(
