@@ -357,9 +357,10 @@ object AssociationStudy {
         .withColumn(cf.idCol, col(cf.idCol).cast("string")),
       rvs, keep = Seq(cf.idCol))
       .filter(col("value").isNotNull)
-    // survey subsets restrict analyzed rows; design totals stay full
-    val long = surveyDesign.flatMap(_.subsetFilter) match {
-      case Some(pred) => long0.filter(pred)
+    // survey subsets restrict analyzed rows; design totals stay full. The
+    // subset stays a DataFrame end-to-end: LEFT SEMI join, no driver id set
+    val long = surveyDesign.flatMap(_.subsetKeepIdsDf) match {
+      case Some(keep) => long0.join(keep.toDF(cf.idCol), Seq(cf.idCol), "left_semi")
       case None       => long0
     }
     // LEFT join keeps rv-present rows with incomplete base visible to the

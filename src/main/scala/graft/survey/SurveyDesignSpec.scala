@@ -197,29 +197,42 @@ final class SurveyDesignSpec(
     }.toMap
 
   // ----------------------------------------------------------------- subset
-  private var subsetIds: Option[Set[String]] = None
+  @transient private var subsetKeepDf: Option[DataFrame] = None
   var subsetCount: Int = 0
 
   /** Restrict analysis to a subpopulation; the design totals above remain
     * computed on the full design (survey_design.py:552-578). The predicate
-    * is evaluated NOW against the given table (which may contain columns
-    * later dropped from the analysis data — the reference materializes the
-    * boolean mask the same way), keeping the ids where it is true. */
+    * is evaluated against the given table (which may contain columns later
+    * dropped from the analysis data — the reference materializes the
+    * boolean mask the same way). The kept-id set stays a DATAFRAME —
+    * nothing is collected here; the co-group path applies it as a left-semi
+    * join, and only the broadcast path materializes it (lazily, like the
+    * rest of its feed). */
   def subset(df: DataFrame, predicate: Column): SurveyDesignSpec = {
-    val keep = df.filter(predicate)
-      .select(col(idCol).cast("string")).collect().map(_.getString(0)).toSet
-    subsetIds = Some(subsetIds.map(_ intersect keep).getOrElse(keep))
+    val keep = df.filter(predicate).select(col(idCol).cast("string").as(idCol))
+    subsetKeepDf = Some(subsetKeepDf.map(_.join(keep, Seq(idCol), "left_semi"))
+      .getOrElse(keep))
     subsetCount += 1
     this
   }
 
-  /** Filter for the analysis data: id ∈ subset. At parity scale this is a
-    * broadcast hash-set predicate; at 100 TB the subset would instead stay
-    * a DataFrame and this becomes a LEFT SEMI join on id. */
+  /** Kept ids as a DataFrame (single `idCol` string column) — the scale
+    * path's subset representation; apply with a LEFT SEMI join. */
+  def subsetKeepIdsDf: Option[DataFrame] = subsetKeepDf
+
+  @transient private lazy val subsetIds: Option[Set[String]] = subsetKeepDf.map { d =>
+    broadcastCollected = true
+    d.collect().map(_.getString(0)).toSet
+  }
+
+  /** Filter for the analysis data: id ∈ subset as a broadcast hash-set
+    * predicate — BROADCAST-PATH ONLY (materializes the id set on the
+    * driver; the co-group path uses [[subsetKeepIdsDf]] instead). */
   def subsetFilter: Option[Column] =
     subsetIds.map(ids => col(idCol).cast("string").isInCollection(ids))
 
-  /** Ids kept by the subsets (None = no subset applied). */
+  /** Ids kept by the subsets (None = no subset applied) — broadcast-path
+    * only, see [[subsetFilter]]. */
   def subsetIdSet: Option[Set[String]] = subsetIds
 
   /** Like weightNameFor but Left(error) instead of throwing — one variable

@@ -207,6 +207,25 @@ class WeightedAssociationSpec extends SparkSpec {
       }
   }
 
+  test("subset through the co-group path: golden parity, subset stays a DataFrame") {
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_data.csv"))
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL", "RIAGENDR")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("race", "agecat")))
+    val design = new SurveyDesignSpec(cf.df, "id",
+      strata = Some("SDMVSTRA"), cluster = Some("SDMVPSU"), nest = true,
+      singleWeight = Some("WTMEC2YR"))
+      .subset(cf.df, org.apache.spark.sql.functions.col("agecat") =!= "(19,39]")
+    val data = Modify.colfilter(cf, only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
+    val g = golden(refPath("r_test_output/analyze/nhanes_complete_result_subset_cat.csv"))
+    val res = AssociationStudy.run(spark, data, outcomes = Seq("HI_CHOL"),
+      covariates = Seq("agecat", "RIAGENDR"), regressionVariables = Seq("race"),
+      surveyDesign = Some(design), broadcastBase = false)
+    checkRow(res, "race", g("race"), rtol = 1e-3)
+    assert(!design.wasCollectedForBroadcast,
+      "co-group subset run must not materialize ids on the driver")
+  }
+
   test("nhanes subset_cont: continuous-mask subpopulation") {
     val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_data_subset.csv"))
     var cf = Load.withSequentialId(raw)
