@@ -450,6 +450,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "dedup_components" -> ((s, dir) => {
+      // verified pairs (consecutive-id chain, exact jaccard >= 0.3) ->
+      // connected components -> duplicate groups with min-id keeper
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .withColumn("id2", col("id1") + 1).filter(col("id2") < 100)
+      val verified = Dedup.ngramJaccard(s, docs, pairs, "text", "doc_id", shingleK = 4)
+        .filter(col("jaccard") >= 0.3)
+      Dedup.components(verified)
+        .select(col("id").cast("long").as("id"),
+          col("component").cast("long").as("component"))
+        .orderBy("id")
+    }),
+
     "dedup_embedding_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
@@ -860,6 +874,27 @@ object SparkEntry {
            round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          ORDER BY id1, id2""",
+
+    "dedup_components" ->
+      // the pair graph here is the consecutive-id chain, so components are
+      // maximal runs of adjacent verified pairs — expressible exactly via
+      // a run-break cumulative sum (general CC is not needed for the oracle)
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 100),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) <= 4 THEN [t]
+                  ELSE list_transform(range(length(t) - 3), i -> substr(t, CAST(i AS INT) + 1, 4)) END) AS s
+                FROM d),
+         j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+               FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+         e AS (SELECT id1, id2 FROM j WHERE jac >= 0.3),
+         n AS (SELECT DISTINCT id FROM (SELECT id1 AS id FROM e UNION ALL SELECT id2 AS id FROM e)),
+         m AS (SELECT id, CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.id1 = n.id - 1 AND e.id2 = n.id)
+                 THEN 0 ELSE 1 END AS brk FROM n),
+         r AS (SELECT id, sum(brk) OVER (ORDER BY id) AS grp FROM m)
+         SELECT CAST(id AS BIGINT) AS id,
+           CAST(min(id) OVER (PARTITION BY grp) AS BIGINT) AS component
+         FROM r ORDER BY id""",
 
     "dedup_exact" ->
       """WITH fp AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f

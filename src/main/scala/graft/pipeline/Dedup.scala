@@ -140,6 +140,63 @@ object Dedup {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  // ------------------------------------------------------ duplicate groups
+
+  /** Connected components over verified candidate pairs — the grouping
+    * stage between pair verification and keep-one resolution (candidate
+    * pairs chain: A~B, B~C puts A,C in one duplicate group even when A~C
+    * was never scored). Hash-min label propagation: every node repeatedly
+    * adopts the minimum label among itself and its neighbors until
+    * fixpoint — O(component diameter) join rounds, each one shuffle on id;
+    * labels are re-persisted per round and the driver only ever sees the
+    * single changed-count aggregate. Returns (id, component) with
+    * component = min id of the group — the id column KEEPS its input type
+    * (a string cast would silently turn min into lexicographic order and
+    * disagree with numeric-min keepers).
+    *
+    * Duplicate components in real corpora are tiny and shallow (near-dup
+    * clusters, not social graphs), so the diameter bound is small; maxIter
+    * caps pathological chains. */
+  def components(pairs: DataFrame, idCol1: String = "id1",
+                 idCol2: String = "id2", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
+      .union(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
+        // min neighbor label per node, then min(self, neighbors)
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min("nlabel").as("nmin"))
+        val updated = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            (col("nmin") < col("label")).as("__chg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = updated.filter(col("__chg")).count()
+        val old = labels
+        labels = updated.drop("__chg")
+        old.unpersist(blocking = false)
+        iter += 1
+      }
+      labels.select(col("id"), col("label").as("component"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** Keep-one resolution over grouped duplicates: every id maps to its
+    * group's keeper (the minimum id). Ids absent from any pair are their
+    * own keeper — join the result back to the corpus with a left join and
+    * coalesce. */
+  def resolveKeepers(components: DataFrame): DataFrame =
+    components.select(col("id"), col("component").as("keeper"))
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: sum ±1 per bit weighted by token

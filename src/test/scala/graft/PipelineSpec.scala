@@ -48,6 +48,28 @@ class PipelineSpec extends SparkSpec {
     assert(j(("0", "2")) < 0.2)
   }
 
+  test("connected components group transitive duplicate chains") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {7,8} (pair), 20-30-40 (star on 20)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (30L, 20L), (20L, 40L))
+      .toDF("id1", "id2")
+    val comp = graft.pipeline.Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(7L) === 7L && comp(8L) === 7L)
+    assert(comp(20L) === 20L && comp(30L) === 20L && comp(40L) === 20L)
+    // keepers = component mins
+    val keepers = graft.pipeline.Dedup.resolveKeepers(
+      graft.pipeline.Dedup.components(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers(40L) === 20L)
+    // numeric ids across digit widths keep NUMERIC min (no string coercion)
+    val wide = graft.pipeline.Dedup.components(
+      Seq((8L, 9L), (9L, 10L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide(10L) === 8L)
+  }
+
   test("simhash of identical docs is identical; near-dups are close") {
     val s0 = Dedup.simhash(docs.filter(col("doc_id") === 0).head.getString(1))
     val s3 = Dedup.simhash(docs.filter(col("doc_id") === 3).head.getString(1))
