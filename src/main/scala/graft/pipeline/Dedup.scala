@@ -145,49 +145,49 @@ object Dedup {
   /** Connected components over verified candidate pairs — the grouping
     * stage between pair verification and keep-one resolution (candidate
     * pairs chain: A~B, B~C puts A,C in one duplicate group even when A~C
-    * was never scored). Hash-min label propagation: every node repeatedly
-    * adopts the minimum label among itself and its neighbors until
-    * fixpoint — O(component diameter) join rounds, each one shuffle on id;
-    * labels are re-persisted per round and the driver only ever sees the
-    * single changed-count aggregate. Returns (id, component) with
-    * component = min id of the group — the id column KEEPS its input type
-    * (a string cast would silently turn min into lexicographic order and
-    * disagree with numeric-min keepers).
-    *
-    * Duplicate components in real corpora are tiny and shallow (near-dup
-    * clusters, not social graphs), so the diameter bound is small; maxIter
-    * caps pathological chains. */
+    * was never scored). Min-label propagation with POINTER JUMPING
+    * (label <- label(label) each round), so rounds are O(log diameter)
+    * rather than O(diameter); every round is cut from the growing plan
+    * lineage with an eager localCheckpoint (iterative DataFrame algorithms
+    * otherwise re-analyze an ever-larger plan per round). Each round is a
+    * bounded number of shuffles on id over the PAIRS table only — verified
+    * duplicate pairs are tiny relative to the corpus. Returns
+    * (id, component) with component = min id of the group; the id column
+    * KEEPS its input type (a string cast would silently turn min into
+    * lexicographic order and disagree with numeric-min keepers). */
   def components(pairs: DataFrame, idCol1: String = "id1",
                  idCol2: String = "id2", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
       .union(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var iter = 0
-      var changed = 1L
-      while (changed > 0 && iter < maxIter) {
-        // min neighbor label per node, then min(self, neighbors)
-        val neighborMin = edges
-          .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min("nlabel").as("nmin"))
-        val updated = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-            (col("nmin") < col("label")).as("__chg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = updated.filter(col("__chg")).count()
-        val old = labels
-        labels = updated.drop("__chg")
-        old.unpersist(blocking = false)
-        iter += 1
-      }
-      labels.select(col("id"), col("label").as("component"))
-    } finally edges.unpersist(blocking = false)
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min over self + neighbors
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nlabel").as("nmin"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jumping: adopt the label of the current label-node
+      val jumped = stepped.as("a")
+        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).as("b"),
+          col("a.label") === col("b.jid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("jlabel"), col("a.label")).as("label"))
+        .localCheckpoint()
+      changed = jumped.join(labels.select(col("id"), col("label").as("__old")), "id")
+        .filter(col("label") =!= col("__old")).count()
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
   }
 
   /** Keep-one resolution over grouped duplicates: every id maps to its
