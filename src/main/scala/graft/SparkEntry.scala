@@ -494,6 +494,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      // IVF coarse-quantizer path; no SQL oracle (k-means not
+      // SQL-expressible) -> rows-only; recall + exactness-at-full-probe
+      // are asserted in PipelineSpec
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), k = 3,
+          nLists = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- text analysis (driver mandate)
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").filter(col("doc_id") < 50)

@@ -103,6 +103,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the billion-scale layout: a k-means COARSE
+    * QUANTIZER (spark.ml, seeded) partitions the corpus into `nLists`
+    * inverted lists; each query scans only its `nProbe` nearest lists
+    * (nearest by the quantizer's own euclidean metric, computed
+    * driver-side against the O(nLists) centroid table). Exact cosine +
+    * top-k within the probed lists. At rest the assigned corpus would be
+    * written partitioned/bucketed by `list_id` so probes prune at the
+    * source; `sampleFraction` bounds quantizer training on huge corpora.
+    * Approximate — verify recall against [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 42L,
+              sampleFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("__feat", array_to_vector(col("cv")))
+    val trainDf = if (sampleFraction >= 1.0) c else c.sample(sampleFraction, seed)
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__feat").setPredictionCol("list_id")
+      .fit(trainDf)
+    val assigned = model.transform(c).drop("__feat")
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val nP = math.min(nProbe, centers.length)
+    val probeLists = udf((v: Seq[Float]) => {
+      centers.zipWithIndex.map { case (ctr, li) =>
+        var s = 0.0; var i = 0
+        while (i < ctr.length) { val d = v(i) - ctr(i); s += d * d; i += 1 }
+        (s, li)
+      }.sortBy(_._1).take(nP).map(_._2)
+    })
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("list_id", explode(probeLists(col("qv")))))
+    val scored = assigned.join(q, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join (`byBucket`,
     * the scale path) or a cheap consecutive-id sanity scan (id2 = id1 + 1 —
     * linear, NOT an all-pairs join). */

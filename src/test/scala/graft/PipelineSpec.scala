@@ -98,6 +98,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN achieves high recall@3 vs brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(e, queries, k = 3, nLists = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // probing ALL lists must recover brute force exactly
+    val full = Similarity.ivfTopK(e, queries, k = 3, nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "nProbe = nLists must equal the exact result")
+  }
+
   test("text features: tokens, quality, langid, fingerprint") {
     import spark.implicits._
     val df = Seq((1L, "The cat and the dog, of course!")).toDF("doc_id", "text")
