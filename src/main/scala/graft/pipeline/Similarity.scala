@@ -111,17 +111,21 @@ object Similarity {
     * top-k within the probed lists. At rest the assigned corpus would be
     * written partitioned/bucketed by `list_id` so probes prune at the
     * source; `sampleFraction` bounds quantizer training on huge corpora.
-    * Approximate — verify recall against [[bruteForceTopK]]. */
+    * In production the quantizer is trained ONCE and the assignment
+    * persisted — this entry point retrains per call for self-containment.
+    * A loose quantizer is fine (recall comes from nProbe, not centroid
+    * polish), so training iterations are capped low. Approximate — verify
+    * recall against [[bruteForceTopK]]. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding", seed: Long = 42L,
-              sampleFraction: Double = 1.0): DataFrame = {
+              sampleFraction: Double = 1.0, trainMaxIter: Int = 8): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("__feat", array_to_vector(col("cv")))
     val trainDf = if (sampleFraction >= 1.0) c else c.sample(sampleFraction, seed)
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(trainMaxIter)
       .setFeaturesCol("__feat").setPredictionCol("list_id")
       .fit(trainDf)
     val assigned = model.transform(c).drop("__feat")
