@@ -245,6 +245,34 @@ object Cli {
       result.coalesce(1).write.mode("overwrite")
         .option("sep", "\t").option("header", "true").csv(out)
 
+    // ------------------------------------------- pipeline (driver-mandated
+    // training-data operators; parquet in -> parquet out)
+    case "pipeline" :: verb :: in :: out :: rest =>
+      import graft.pipeline.{Dedup, Similarity, Text}
+      val df = spark.read.parquet(in)
+      val idc = flag(rest, "--id").getOrElse("doc_id")
+      val txt = flag(rest, "--text").getOrElse("text")
+      val result = verb match {
+        case "dedup-exact" => Dedup.exact(df, txt, idc)
+        case "dedup-minhash" =>
+          val cands = Dedup.minhashCandidates(spark, df, txt, idc)
+          val verified = Dedup.ngramJaccard(spark, df, cands, txt, idc)
+            .filter(org.apache.spark.sql.functions.col("jaccard") >=
+              flag(rest, "--threshold").map(_.toDouble).getOrElse(0.7))
+          // full pipeline: candidates -> verify -> group -> keepers
+          Dedup.resolveKeepers(Dedup.components(verified))
+        case "text-features" =>
+          Text.langId(Text.qualityFeatures(df, txt), txt)
+        case "ann-topk" =>
+          val vc = flag(rest, "--vec").getOrElse("embedding")
+          val queries = flag(rest, "--queries").map(spark.read.parquet(_)).getOrElse(df)
+          Similarity.ivfTopK(df, queries,
+            k = flag(rest, "--k").map(_.toInt).getOrElse(10),
+            idCol = flag(rest, "--id").getOrElse("vec_id"), vecCol = vc)
+        case other => throw new IllegalArgumentException(s"unknown pipeline verb: $other")
+      }
+      result.write.mode("overwrite").parquet(out)
+
     case other =>
       println(usage)
       throw new IllegalArgumentException(s"unknown command: ${other.take(2).mkString(" ")}")
@@ -268,6 +296,8 @@ object Cli {
       |  plot histogram|distributions|qq|manhattan <in> <outDir> [--column c] [--bins N] [--n N]
       |  analyze association-study <in> <outDir> --outcome y [--covariates a,b] [--min-n N]
       |  analyze get-significant|top-results <in.tsv> <outDir> [--cutoff a] [--n N]
+      |  pipeline dedup-exact|dedup-minhash|text-features|ann-topk <in.parquet> <out.parquet>
+      |    [--id c] [--text c] [--vec c] [--threshold t] [--k N] [--queries p]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]

@@ -29,6 +29,19 @@ object EventStreams {
                            watermark: String = "2 hours"): DataFrame =
     tumblingCounts(events.withWatermark("ts", watermark), windowLen)
 
+  /** Sessionization via the BUILT-IN `session_window` aggregation — the
+    * "compose existing ops" preference when only aggregates per session are
+    * needed (count/sum/min/max): Catalyst owns merging, watermarking, and
+    * state. The custom-state variants below exist for semantics
+    * session_window cannot express (emit-on-close rows, per-session custom
+    * logic). Works identically in batch and streaming. */
+  def sessionizeNative(events: DataFrame, gapSeconds: Long = 1800): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("total_value"))
+
   final case class SessionState(start: Long, last: Long, n: Long, value: Double)
   final case class Session(user_id: Long, session_start: Long, session_end: Long,
                            n_events: Long, total_value: Double)

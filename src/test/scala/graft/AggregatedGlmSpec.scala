@@ -52,6 +52,32 @@ class AggregatedGlmSpec extends SparkSpec {
     }
   }
 
+  test("BatchSize boundary: 70 variables span two aggregation batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rng = new scala.util.Random(11)
+    val k = 70 // > BatchSize=64 -> exercises the batch split
+    val rows = (0 until 400).map { i =>
+      Row.fromSeq(i.toLong +: (i * 0.5 + rng.nextGaussian()) +:
+        (0 until k).map(j => i * (j % 5) * 0.01 + rng.nextGaussian()))
+    }
+    val schema = StructType(
+      StructField("id", LongType) +: StructField("y", DoubleType) +:
+        (0 until k).map(j => StructField(s"v$j", DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val cf = graft.model.CladeFrame(df)
+    val res = AssociationStudy.run(spark, cf, outcomes = Seq("y"),
+      regressionVariables = (0 until k).map(j => s"v$j"), minN = 1)
+    assert(res.count() === k.toLong)
+    // variables with a real slope (j % 5 != 0) are significant; pure-noise
+    // ones are not tiny-p across the board
+    val ps = res.collect().map(r =>
+      r.getString(0) -> r.getDouble(r.fieldIndex("pvalue"))).toMap
+    assert(ps("v1") < 1e-10 && ps("v69") < 1e-10)
+    assert(ps("v0") > 1e-10 && ps("v65") > 1e-10)
+  }
+
   test("binary outcome + categorical rv: distributed LRT == local LRT") {
     var cf = li.copy(df = li.df.withColumn("high",
       (col("l_extendedprice") > 30000).cast("string")))

@@ -61,6 +61,20 @@ class CliSpec extends SparkSpec {
     assert(qq.count() === 100)
   }
 
+  test("pipeline verbs: dedup + text features over parquet") {
+    val dir = Files.createTempDirectory("graft-cli3").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    Cli.run(spark, List("pipeline", "dedup-exact", docs, s"$dir/dd"))
+    val dd = spark.read.parquet(s"$dir/dd")
+    assert(dd.count() > 0 && dd.columns.contains("text"))
+    Cli.run(spark, List("pipeline", "text-features", docs, s"$dir/tf"))
+    val tf = spark.read.parquet(s"$dir/tf")
+    assert(tf.columns.contains("pred_lang") && tf.columns.contains("stopword_ratio"))
+    Cli.run(spark, List("pipeline", "dedup-minhash", docs, s"$dir/mk",
+      "--threshold", "0.5"))
+    assert(spark.read.parquet(s"$dir/mk").columns.toSeq === Seq("id", "keeper"))
+  }
+
   test("unknown commands fail loudly") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, List("frobnicate", "everything"))

@@ -71,6 +71,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window agrees with the custom-state sessionizer") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      val user = i % 4
+      // bursts of 5 events 60s apart, bursts separated by > gap
+      val epoch = 10000L + (i / 20) * 4000L + (i % 5) * 60L + user * 7L
+      (i.toLong, ts(epoch), user.toLong, "a", 1.0 + i, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val custom = EventStreams.sessionize(spark, df, gapSeconds = 1800)
+      .collect().map(s => (s.user_id, s.session_start, s.n_events, s.total_value)).toSet
+    val native = EventStreams.sessionizeNative(df, gapSeconds = 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(native === custom)
+  }
+
   test("sessionize: gap-based sessions with custom state") {
     import spark.implicits._
     val rows = Seq(
