@@ -43,6 +43,27 @@ object Modify {
 
   // ----------------------------------------------------------- §2.2 columns
 
+  /** Sink for the reference's filter-report prose (click.echo text) —
+    * stderr by default, swappable for capture in tests. */
+  @volatile var logSink: String => Unit = s => System.err.println(s)
+
+  /** Emit the reference's exact `_process_colfilter` report
+    * (utilities.py:163-194): per tested kind, "Testing N of M <kind>
+    * variables" + "\tRemoved R (P%) tested <kind> variables <explanation>". */
+  private def logColfilter(cf: CladeFrame, tested: Seq[String],
+                           dropped: Set[String], explanation: String,
+                           kinds: Seq[VariableType]): Unit =
+    kinds.foreach { kind =>
+      val isKind = cf.variables.count(cf.typeOf(_) == kind)
+      val testedKind = tested.filter(cf.typeOf(_) == kind)
+      logSink(f"Testing ${testedKind.size}%,d of $isKind%,d ${kind.name} variables")
+      if (testedKind.nonEmpty) {
+        val removed = testedKind.count(dropped)
+        logSink(f"\tRemoved $removed%,d (${removed * 100.0 / testedKind.size}%.2f%%) " +
+          s"tested ${kind.name} variables $explanation")
+      }
+    }
+
   /** colfilter: keep/drop named variable columns
     * (reference: modify.py:179-225). */
   def colfilter(cf: CladeFrame, skip: Option[Seq[String]] = None,
@@ -63,6 +84,8 @@ object Modify {
     val r = aggRow(cf.df, tested.map(c => count(col(c)).as(c)))
     val counts = tested.zipWithIndex.map { case (c, i) => c -> r.getLong(i) }.toMap
     val dropped = tested.filter(counts(_) < n).toSet
+    logColfilter(cf, tested, dropped, s"which had less than $n non-null values.",
+      Seq(Binary, Categorical, Continuous))
     cf.selectVariables(cf.variables.filterNot(dropped))
   }
 
@@ -87,6 +110,8 @@ object Modify {
     if (tested.isEmpty) return cf
     val minCounts = minLevelCounts(cf, tested)
     val dropped = tested.filter(c => minCounts.getOrElse(c, 0L) < n).toSet
+    logColfilter(cf, tested, dropped,
+      s"which had a category with less than $n values.", Seq(Binary, Categorical))
     cf.selectVariables(cf.variables.filterNot(dropped))
   }
 
@@ -109,6 +134,9 @@ object Modify {
     if (tested.isEmpty) return cf
     val pcts = percentZero(cf, tested)
     val dropped = tested.filter(c => pcts(c) >= filterPercent).toSet
+    logColfilter(cf, tested, dropped,
+      f"which were equal to zero in at least $filterPercent%.2f%% of non-NA observations.",
+      Seq(Continuous))
     cf.selectVariables(cf.variables.filterNot(dropped))
   }
 

@@ -220,6 +220,26 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(ordered2 === Set.empty[String])
   }
 
+  test("colfilter report matches the reference's log prose") {
+    import spark.implicits._
+    // 3 continuous vars: v1 mostly zero, others not
+    val df = (1 to 100).map(i =>
+      (i.toLong, if (i <= 95) 0.0 else 1.0, i.toDouble, i * 2.0))
+      .toDF("id", "v1", "v2", "v3")
+    val cf = CladeFrame(df)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val old = Modify.logSink
+    try {
+      Modify.logSink = lines += _
+      Modify.colfilterPercentZero(cf, filterPercent = 90.0)
+    } finally Modify.logSink = old
+    // exact _process_colfilter wording (utilities.py:183-190)
+    assert(lines.toSeq === Seq(
+      "Testing 3 of 3 continuous variables",
+      "\tRemoved 1 (33.33%) tested continuous variables which were equal to " +
+        "zero in at least 90.00% of non-NA observations."))
+  }
+
   test("moveVariables relocates columns between frames") {
     import spark.implicits._
     val left = CladeFrame(Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0)).toDF("id", "a", "b"))
