@@ -369,7 +369,10 @@ object AggregatedGlm {
     // milliseconds per pass, zero planning, spark.ml's own design for
     // iterative fitting. MEMORY_AND_DISK: an executor that can't hold its
     // slice spills instead of recomputing the projection.
-    val covarCols = covariates.map(col(_).cast("double"))
+    // try_cast, like the gaussian path: the array materialization evaluates
+    // design columns unconditionally (no when(mask) shield), so an ANSI
+    // cast of a malformed covariate value would kill the whole study
+    val covarCols = covariates.map(tryD)
     val models: Seq[IrlsModel] = batch.flatMap { v =>
       val m = maskFor(cf, covariates, v, outCols)
       cf.typeOf(v) match {
@@ -384,7 +387,11 @@ object AggregatedGlm {
       }
     }
 
-    // row layout: [y | mask per batch rv | distinct z columns]
+    // row layout: [y | mask per batch rv | castfail per batch rv | distinct
+    // z columns] — castfail mirrors the gaussian path: rows where the raw
+    // rv value is present but its numeric cast fails must surface as the
+    // reference's per-variable NumberFormatException error row, not as a
+    // silently shrunk n
     def zKey(c: Column): String = c.toString
     val zList: Seq[(String, Column)] = {
       val m = scala.collection.mutable.LinkedHashMap[String, Column]()
@@ -393,11 +400,19 @@ object AggregatedGlm {
     }
     val zPos: Map[String, Int] = zList.map(_._1).zipWithIndex.toMap
     val maskPos: Map[String, Int] = batch.zipWithIndex.toMap
-    val width = 1 + batch.size + zList.size
+    val nB = batch.size
+    val width = 1 + 2 * nB + zList.size
     val selCols: Seq[Column] =
       (yExpr.cast("double").as("__y") +:
         batch.map(v => maskFor(cf, covariates, v, outCols).cast("double")
           .as(s"__m_${maskPos(v)}"))) ++
+        batch.map { v =>
+          (cf.typeOf(v) match {
+            case Continuous =>
+              when(col(v).isNotNull && tryD(v).isNull, 1.0).otherwise(0.0)
+            case _ => lit(0.0) // binary/categorical encode string levels
+          }).as(s"__cf_${maskPos(v)}")
+        } ++
         zList.zipWithIndex.map { case ((_, c), j) => c.cast("double").as(s"__z_$j") }
     val rdd = df0.select(selCols: _*).rdd.map { r =>
       val a = new Array[Double](width)
@@ -410,7 +425,7 @@ object AggregatedGlm {
                            zIdx: Array[Int], p: Int)
     val specs: Seq[MSpec] = models.map { md =>
       MSpec(md.key, md.rv, 1 + maskPos(md.rv),
-        md.cols.map(c => 1 + batch.size + zPos(zKey(c))).toArray, md.p)
+        md.cols.map(c => 1 + 2 * nB + zPos(zKey(c))).toArray, md.p)
     }
     // (v, level-dummy row indices) for iteration-0 occupancy counting
     val lcSpecs: Seq[(String, Array[Int])] = batch
@@ -426,6 +441,7 @@ object AggregatedGlm {
     val failed = scala.collection.mutable.Map[String, Boolean]()
     val ns = scala.collection.mutable.Map[String, Long]()
     val levelCounts = scala.collection.mutable.Map[String, Seq[Long]]()
+    val castFails = scala.collection.mutable.Map[String, Long]()
     models.foreach { md => done(md.key) = false; failed(md.key) = false }
     def rvFailed(v: String): Boolean =
       models.filter(_.rv == v).exists(md => failed(md.key))
@@ -446,6 +462,9 @@ object AggregatedGlm {
         }
         val lcOff = new Array[Int](lcs.size)
         lcs.zipWithIndex.foreach { case ((_, ix), k) => lcOff(k) = sz; sz += ix.length }
+        // iteration-0 only: per-rv castfail tallies (mask-independent)
+        val cfOff = sz
+        if (firstIter) sz += nB
         val activeArr = active.toArray
         val betas: Array[Array[Double]] =
           if (firstIter) null else activeArr.map(sp => beta(sp.key).toArray)
@@ -511,6 +530,10 @@ object AggregatedGlm {
               }
               c += 1
             }
+            if (firstIter) {
+              var k2 = 0
+              while (k2 < nB) { st(cfOff + k2) += row(1 + nB + k2); k2 += 1 }
+            }
             st
           },
           combOp = { (a, b) =>
@@ -540,6 +563,15 @@ object AggregatedGlm {
         }
         lcs.zipWithIndex.foreach { case ((v, ix), k) =>
           levelCounts(v) = ix.indices.map(l => acc(lcOff(k) + l).toLong)
+        }
+        if (firstIter) {
+          batch.zipWithIndex.foreach { case (v, k) =>
+            val c = acc(cfOff + k).toLong
+            if (c > 0) {
+              castFails(v) = c
+              models.filter(_.rv == v).foreach(md => failed(md.key) = true)
+            }
+          }
         }
         iter += 1
       }
@@ -604,6 +636,11 @@ object AggregatedGlm {
 
     batch.map { v =>
       val kind = cf.typeOf(v).name
+      castFails.get(v) match {
+        case Some(c) =>
+          RvFit(v, kind, 0L, converged = false, error = Some(
+            s"NumberFormatException: $c value(s) of '$v' could not be cast to numeric"))
+        case None =>
       cf.typeOf(v) match {
         case Categorical =>
           val fullK = s"$v@full"; val restK = s"$v@rest"
@@ -646,6 +683,7 @@ object AggregatedGlm {
             val pv = Distributions.zSfTwoSided(b / se)
             RvFit(v, kind, ns(v), done(v), Some(b), Some(se), Some(pv), pvalue = Some(pv))
           }
+      }
       }
     }
   }

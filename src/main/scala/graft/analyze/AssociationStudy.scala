@@ -112,7 +112,7 @@ object AssociationStudy {
       standardizeData: Boolean = false,
       surveyDesign: Option[SurveyDesignSpec] = None,
       reportCategoricalBetas: Boolean = false,
-      broadcastBase: Boolean = true,
+      broadcastBase: Option[Boolean] = None,
       encoding: String = "additive",
       edgeEncodingInfo: Option[DataFrame] = None,
       regressionKind: Option[String] = None): DataFrame = {
@@ -169,6 +169,39 @@ object AssociationStudy {
       surveyDesign = surveyDesign)
   }
 
+  /** Broadcast the base block only when it plausibly fits the driver.
+    * Estimated from Catalyst plan stats on the projected base columns —
+    * zero jobs, conservative at scale (parquet stats flow through). */
+  private[analyze] val BroadcastBaseMaxBytes: Long = 256L << 20
+  /** Threshold override knob (bytes): `graft.broadcastBase.maxBytes`. */
+  private[analyze] def broadcastBaseMax(cf: CladeFrame): Long =
+    cf.df.sparkSession.conf.getOption("graft.broadcastBase.maxBytes")
+      .map(_.toLong).getOrElse(BroadcastBaseMaxBytes)
+  private def baseBlockBroadcastable(cf: CladeFrame, outcome: String,
+                                     covariates: Seq[String]): Boolean =
+    estimateFitsDriver(
+      cf.df.select((cf.idCol +: outcome +: covariates).map(col): _*),
+      nCols = 2 + covariates.size, maxBytes = broadcastBaseMax(cf))
+
+  /** Does this block plausibly fit the driver? Plan stats when real
+    * (parquet scans propagate file sizes); otherwise — CSV scans and
+    * windowed-id plans report the defaultSizeInBytes sentinel — a bounded
+    * row probe that scans at most maxRows+1 rows and never the full data. */
+  private[analyze] def estimateFitsDriver(df: DataFrame, nCols: Int,
+                                          maxBytes: Long): Boolean = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(1L << 50)) est <= BigInt(maxBytes)
+    else {
+      val perRow = 32L * math.max(1, nCols)
+      val maxRows = math.min(maxBytes / perRow, (Int.MaxValue - 2).toLong)
+      df.limit(maxRows.toInt + 1).count() <= maxRows
+    }
+  }
+
+  /** Test probe: did the most recent runOne/runCogroup call on this JVM
+    * collect the base block for broadcast? (Auto path-selection tests.) */
+  @volatile private[graft] var wasCollectedForBroadcast: Boolean = false
+
   private def runOne(
       spark: SparkSession,
       cf: CladeFrame,
@@ -179,7 +212,7 @@ object AssociationStudy {
       standardize: Boolean,
       surveyDesign: Option[SurveyDesignSpec] = None,
       reportCategoricalBetas: Boolean = false,
-      broadcastBase: Boolean = true): DataFrame = {
+      broadcastBase: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
 
     // tall-data fast path: every design column numeric -> distributed
@@ -192,8 +225,12 @@ object AssociationStudy {
     // survey metadata, when a design is attached) JOINS the melted
     // variables instead of being collected+broadcast, so nothing row-scale
     // ever reaches the driver; each variable's group streams through the
-    // same local kernel
-    if (!broadcastBase)
+    // same local kernel. Like the reference (association_study.py:100), a
+    // caller never has to choose: with no explicit flag the path is picked
+    // from the base block's estimated size (plan stats, zero jobs).
+    val useBroadcast = broadcastBase.getOrElse(
+      baseBlockBroadcastable(cf, outcome, covariates))
+    if (!useBroadcast)
       return runOneCogroup(spark, cf, outcome, covariates, rvs, minN,
         standardize, reportCategoricalBetas, surveyDesign)
 
@@ -216,6 +253,7 @@ object AssociationStudy {
     val baseDf = subsetDf
       .select((cf.idCol +: baseCols).map(c => col(c).cast("string").as(c)): _*)
       .na.drop("any", baseCols)
+    wasCollectedForBroadcast = true
     val baseRows = baseDf.collect()
     val n0 = baseRows.length
     val index = baseRows.iterator.zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
@@ -332,8 +370,7 @@ object AssociationStudy {
       reportCategoricalBetas: Boolean,
       surveyDesign: Option[SurveyDesignSpec] = None): DataFrame = {
     import spark.implicits._
-    require(!standardize,
-      "standardize_data needs global moments; use the broadcast path or pre-standardize")
+    wasCollectedForBroadcast = false
     val outcomeType = cf.typeOf(outcome)
     val family = outcomeType match {
       case Continuous => Glm.Gaussian
@@ -352,6 +389,35 @@ object AssociationStudy {
     val baseDf = cf.df
       .select((cf.idCol +: baseCols).map(c => col(c).cast("string").as(c)): _*)
       .na.drop("any", baseCols)
+    // standardize_data support: global moments of the continuous outcome and
+    // continuous covariates from ONE aggregation over the (subset-restricted)
+    // complete-case base — each group then z-scores with the SAME moments
+    // the broadcast path uses driver-side. zscore semantics preserved:
+    // identity when n < 2 (null stddev) or sd == 0. The rv itself is
+    // standardized inside the kernel from its own group, which is local.
+    val stdTargets: Seq[(Int, String)] =
+      if (!standardize) Nil
+      else (if (outcomeType == Continuous) Seq(-1 -> outcome) else Nil) ++
+        covariates.zipWithIndex.collect {
+          case (c, j) if cf.typeOf(c) == Continuous => j -> c }
+    val stdMom: Map[Int, (Double, Double)] =
+      if (stdTargets.isEmpty) Map.empty
+      else {
+        val baseForM = surveyDesign.flatMap(_.subsetKeepIdsDf) match {
+          case Some(keep) => baseDf.join(keep.toDF(cf.idCol), Seq(cf.idCol), "left_semi")
+          case None       => baseDf
+        }
+        val aggs = stdTargets.flatMap { case (_, c) => Seq(
+          avg(col(c).cast("double")), stddev_samp(col(c).cast("double"))) }
+        val r = baseForM.agg(aggs.head, aggs.tail: _*).head()
+        stdTargets.zipWithIndex.collect {
+          case ((j, _), k) if !r.isNullAt(2 * k) && !r.isNullAt(2 * k + 1) &&
+              r.getDouble(2 * k + 1) > 0.0 =>
+            j -> (r.getDouble(2 * k), r.getDouble(2 * k + 1))
+        }.toMap
+      }
+    val yMuSd: Option[(Double, Double)] = stdMom.get(-1)
+    val covMuSd: Map[Int, (Double, Double)] = stdMom - (-1)
     val long0 = Modify.melt(
       cf.df.select((cf.idCol +: rvs).map(col): _*)
         .withColumn(cf.idCol, col(cf.idCol).cast("string")),
@@ -392,6 +458,7 @@ object AssociationStudy {
     }
     val outcomeName = outcome
     val catBetas = reportCategoricalBetas
+    val doStd = standardize
     val nCov = covariates.size
     val covarSeq = covariates
     val oLevels = outcomeLevels
@@ -420,8 +487,12 @@ object AssociationStudy {
           ids += id
           vals += r.getString(2)
           val yRaw = r.getString(3)
-          yBuf += (if (oLevels.isEmpty) yRaw.toDouble
-            else if (yRaw == oLevels(1)) 1.0 else 0.0)
+          val y0 = if (oLevels.isEmpty) yRaw.toDouble
+            else if (yRaw == oLevels(1)) 1.0 else 0.0
+          yBuf += (yMuSd match {
+            case Some((mu, sd)) => (y0 - mu) / sd
+            case None           => y0
+          })
           var j = 0
           while (j < nCov) { covarBufs(j) += r.getString(4 + j); j += 1 }
           if (nW > 0 || surveySmall.nonEmpty) {
@@ -440,7 +511,12 @@ object AssociationStudy {
       val covarData = covarSeq.zipWithIndex.map { case (c, j) =>
         covarKinds(c) match {
           case "continuous" =>
-            (c, "continuous", null: Array[String], covarBufs(j).map(_.toDouble).toArray)
+            val arr = covarBufs(j).map(_.toDouble).toArray
+            val out = covMuSd.get(j) match {
+              case Some((mu, sd)) => arr.map(v => (v - mu) / sd)
+              case None           => arr
+            }
+            (c, "continuous", null: Array[String], out)
           case k => (c, k, covarBufs(j).toArray, null: Array[Double])
         }
       }
@@ -463,7 +539,7 @@ object AssociationStudy {
       val localBase = BaseData(Map.empty, yBuf.toArray, covarData, surveyBase)
       fitOne(variable, outcomeName, typesB.value(variable),
         levelsB.value.get(variable), localBase, Array.range(0, n),
-        vals.toArray, allIds.toArray, family, minN, standardize = false,
+        vals.toArray, allIds.toArray, family, minN, standardize = doStd,
         catBetas)
     }
     val produced = resultDs.map(_.Variable).collect().toSet

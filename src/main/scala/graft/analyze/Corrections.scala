@@ -46,8 +46,12 @@ object Corrections {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("pvalue_bonferroni", DoubleType, nullable = true),
       StructField("pvalue_fdr", DoubleType, nullable = true)))
-    val nonNull = df.filter(p.isNotNull)
-    val nullRows = df.filter(p.isNull)
+    // NaN p-values are missing, like null: they must not inflate m, and
+    // their corrections are null (NaN passed the old isNotNull filter and
+    // poisoned bonferroni via java math.min(NaN,1)=NaN)
+    val missing = p.isNull || isnan(p.cast(DoubleType))
+    val nonNull = df.filter(!missing)
+    val nullRows = df.filter(missing)
       .withColumn("pvalue_bonferroni", lit(null).cast(DoubleType))
       .withColumn("pvalue_fdr", lit(null).cast(DoubleType))
     val m = nonNull.count()
@@ -125,11 +129,14 @@ object Corrections {
                     category: String = "Variable"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cats = df.select(col(category).cast("string")).distinct()
+    // rank categories in the column's NATIVE ordering (numeric chromosomes
+    // 1..22 must not sort as "1","10","11",...), then key the broadcast
+    // mapping by string form for a type-stable join
+    val cats: Array[String] = df.select(col(category)).distinct()
+      .orderBy(col(category).asc_nulls_last)
+      .select(col(category).cast("string"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
-    val (nonNullCats, nullCats) = cats.partition(_ != null)
-    val rankOf = nonNullCats.sorted.zipWithIndex.map { case (c, i) => (c, i + 1) } ++
-      nullCats.map(_ -> (nonNullCats.length + 1)) // nulls rank last
+    val rankOf = cats.zipWithIndex.map { case (c, i) => (c, i + 1) }
     val mapping = rankOf.toSeq.toDF("__cat", "xpos")
     df.withColumn("neg_log_pvalue", -log10(col(pvalue)))
       .join(broadcast(mapping), df(category).cast("string") <=> col("__cat"), "left")

@@ -63,13 +63,22 @@ object InteractionStudy {
       covariates: Seq[String] = Nil,
       minN: Long = 200,
       reportBetas: Boolean = false,
-      broadcastBase: Boolean = true,
+      broadcastBase: Option[Boolean] = None,
       encoding: String = "additive",
       edgeEncodingInfo: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     require(interactions.nonEmpty, "no interaction pairs")
     val cf = graft.genomics.Genotypes.encodeForStudy(cf0, encoding, edgeEncodingInfo)
-    if (!broadcastBase)
+    // auto path selection from the projected block's plan-stats estimate
+    // (outcome + covars + every interaction var is what the broadcast path
+    // collects); the flag stays as an explicit override
+    val allVars = interactions.flatMap(p => Seq(p._1, p._2)).distinct
+    val useBroadcast = broadcastBase.getOrElse(
+      AssociationStudy.estimateFitsDriver(
+        cf.df.select((outcome +: (covariates ++ allVars)).map(col): _*),
+        nCols = 1 + covariates.size + allVars.size,
+        maxBytes = AssociationStudy.broadcastBaseMax(cf)))
+    if (!useBroadcast)
       return runCogroup(spark, cf, outcome, interactions, covariates, minN, reportBetas)
     val outcomeType = cf.typeOf(outcome)
     val family = outcomeType match {
@@ -194,7 +203,8 @@ object InteractionStudy {
     }
 
     val grouped = long.groupByKey(_.getInt(nCov + 1))
-    val (resultDf, producedPairIds: Set[Int]) = if (!reportBetas) {
+    val (resultDf, producedPairIds: Set[Int], cached: org.apache.spark.sql.Dataset[_]) =
+      if (!reportBetas) {
       // pair_id rides along so the produced-pair membership check does not
       // depend on result naming (betas rows carry PARAMETER names)
       val ds = grouped.mapGroups { (pairId, rows) =>
@@ -203,7 +213,8 @@ object InteractionStudy {
         pairId -> fitPairCore(v1, v2, outcomeName, varKinds(v1), varKinds(v2),
           y, a1, a2, covarRaw, family, minN)
       }.cache()
-      (ds.map(_._2).toDF(), ds.map(_._1).distinct().collect().toSet)
+      (ds.map(_._2).toDF(), ds.map(_._1).distinct().collect().toSet,
+        ds: org.apache.spark.sql.Dataset[_])
     } else {
       val ds = grouped.flatMapGroups { (pairId, rows) =>
         val (v1, v2) = interArr(pairId)
@@ -211,7 +222,8 @@ object InteractionStudy {
         fitPairBetasCore(v1, v2, outcomeName, varKinds(v1), varKinds(v2),
           y, a1, a2, covarRaw, family, minN).map(pairId -> _)
       }.cache()
-      (ds.map(_._2).toDF(), ds.map(_._1).distinct().collect().toSet)
+      (ds.map(_._2).toDF(), ds.map(_._1).distinct().collect().toSet,
+        ds: org.apache.spark.sql.Dataset[_])
     }
     // a pair with NO complete rows forms no group; the reference still
     // emits its non-converged row
@@ -222,7 +234,7 @@ object InteractionStudy {
       resultDf.unionByName(missing.map { i =>
         val (v1, v2) = interArr(i)
         InteractionResult(v1, v2, outcomeName, Converged = false, 0,
-          None, None, None, None)
+          None, None, None, None, error = Some("no non-missing observations"))
       }.toDF())
     } else {
       import spark.implicits._
@@ -230,10 +242,17 @@ object InteractionStudy {
         val (v1, v2) = interArr(i)
         InteractionBetaResult(v1, v2, outcomeName, s"$v1:$v2",
           Converged = false, 0, None, None, None, None, None, None, None,
-          None, None, None, None, None, None, None, None, None)
+          None, None, None, None, None, None, None, None, None,
+          error = Some("no non-missing observations"))
       }.toDF())
     }
-    if (!reportBetas) sortPlain(out) else sortBetas(out)
+    val sorted = if (!reportBetas) sortPlain(out) else sortBetas(out)
+    // materialize the O(#pairs) result rows (eager localCheckpoint) and
+    // release the cached per-group fit Dataset deterministically — it
+    // otherwise lingers in executor storage across calls until GC
+    val fin = sorted.localCheckpoint()
+    cached.unpersist(blocking = false)
+    fin
   }
 
   private def sortPlain(df: DataFrame): DataFrame =

@@ -263,12 +263,33 @@ object Cli {
           Dedup.resolveKeepers(Dedup.components(verified))
         case "text-features" =>
           Text.langId(Text.qualityFeatures(df, txt), txt)
+        case "ann-index" =>
+          // build-once index: train the coarse quantizer, persist the
+          // centroid table, and emit the assignment partitioned by list_id
+          // so ann-topk --model probes prune at the source
+          val vc = flag(rest, "--vec").getOrElse("embedding")
+          val model = Similarity.ivfTrain(df,
+            nLists = flag(rest, "--lists").map(_.toInt).getOrElse(16), vecCol = vc)
+          Similarity.ivfSaveModel(spark, model, s"$out/centers")
+          Similarity.ivfAssign(model, df, vc)
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(s"$out/assigned")
+          return
         case "ann-topk" =>
           val vc = flag(rest, "--vec").getOrElse("embedding")
-          val queries = flag(rest, "--queries").map(spark.read.parquet(_)).getOrElse(df)
-          Similarity.ivfTopK(df, queries,
-            k = flag(rest, "--k").map(_.toInt).getOrElse(10),
-            idCol = flag(rest, "--id").getOrElse("vec_id"), vecCol = vc)
+          val idc2 = flag(rest, "--id").getOrElse("vec_id")
+          val k = flag(rest, "--k").map(_.toInt).getOrElse(10)
+          flag(rest, "--model") match {
+            case Some(idx) =>
+              // query path only: reuse a persisted ann-index (in = queries)
+              val model = Similarity.ivfLoadModel(spark, s"$idx/centers")
+              Similarity.ivfQuery(model, spark.read.parquet(s"$idx/assigned"),
+                df, k, nProbe = flag(rest, "--probe").map(_.toInt).getOrElse(4),
+                idCol = idc2, vecCol = vc)
+            case None =>
+              val queries = flag(rest, "--queries").map(spark.read.parquet(_)).getOrElse(df)
+              Similarity.ivfTopK(df, queries, k, idCol = idc2, vecCol = vc)
+          }
         case other => throw new IllegalArgumentException(s"unknown pipeline verb: $other")
       }
       result.write.mode("overwrite").parquet(out)
@@ -297,7 +318,8 @@ object Cli {
       |  analyze association-study <in> <outDir> --outcome y [--covariates a,b] [--min-n N]
       |  analyze get-significant|top-results <in.tsv> <outDir> [--cutoff a] [--n N]
       |  pipeline dedup-exact|dedup-minhash|text-features|ann-topk <in.parquet> <out.parquet>
-      |    [--id c] [--text c] [--vec c] [--threshold t] [--k N] [--queries p]
+      |    [--id c] [--text c] [--vec c] [--threshold t] [--k N] [--queries p] [--model idxDir] [--probe N]
+      |  pipeline ann-index <in.parquet> <outIndexDir> [--vec c] [--lists N]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]

@@ -78,13 +78,24 @@ object Plots {
       .filter(col("__r") <= n).drop("__r")
     val moments = sampled.groupBy("variable").agg(
       count(lit(1)).as("__n"), avg("value").as("__mu"), stddev_samp("value").as("__sd"))
-    val ppf = udf((p: Double) => Distributions.normalPpf(p))
+    // moments are O(#variables); collect once and ship BOTH the mu/sd map
+    // and the per-(variable, position) theoretical quantiles back as
+    // broadcast literal tables — the inverse normal CDF runs driver-side
+    // over <= #variables * n bounded positions, so no udf touches row-scale
+    // data (and src/main stays udf-free on the reference surface)
+    import spark.implicits._
+    val momRows = moments.collect()
+    val muSd = momRows.map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+      .toSeq.toDF("variable", "__mu", "__sd")
+    val theo = momRows.flatMap { r =>
+      val v = r.getString(0); val n = r.getLong(1).toInt
+      (1 to n).map(i => (v, i, Distributions.normalPpf(i.toDouble / (n + 1))))
+    }.toSeq.toDF("variable", "position", "theoretical_quantile")
     val wRank = Window.partitionBy("variable").orderBy("value")
     sampled.withColumn("position", row_number().over(wRank))
-      .join(broadcast(moments), "variable")
+      .join(broadcast(muSd), "variable")
+      .join(broadcast(theo), Seq("variable", "position"))
       .withColumn("sample_quantile", (col("value") - col("__mu")) / col("__sd"))
-      .withColumn("theoretical_quantile",
-        ppf(col("position").cast("double") / (col("__n") + 1)))
       .select("variable", "position", "theoretical_quantile", "sample_quantile")
       .orderBy("variable", "position")
   }

@@ -389,14 +389,12 @@ object Modify {
           }
         }.toMap
       case "iqr" =>
-        cols.map { c =>
-          exactQuantiles(cf.df, c, Seq(0.25, 0.75)) match {
-            case None => c -> (Double.NegativeInfinity, Double.PositiveInfinity)
-            case Some(qs) =>
-              val q1 = qs(0); val q3 = qs(1)
-              c -> (q1 - cutoff * (q3 - q1), q3 + cutoff * (q3 - q1))
-          }
-        }.toMap
+        exactQuantilesAll(cf.df, cols, Seq(0.25, 0.75)).map {
+          case (c, None) => c -> (Double.NegativeInfinity, Double.PositiveInfinity)
+          case (c, Some(qs)) =>
+            val q1 = qs(0); val q3 = qs(1)
+            c -> (q1 - cutoff * (q3 - q1), q3 + cutoff * (q3 - q1))
+        }
       case other => throw new IllegalArgumentException(s"bad method: $other")
     }
     val out = cols.foldLeft(cf.df) { (d, c) =>
@@ -414,23 +412,53 @@ object Modify {
     * more than a partition per task. `approx_percentile` remains the
     * documented fast-path knob when exactness is not required. None when
     * the column has no non-missing values. */
-  def exactQuantiles(df: DataFrame, c: String, fractions: Seq[Double]): Option[Seq[Double]] = {
-    val vals = df.select(col(c).cast("double")).na.drop().rdd.map(_.getDouble(0))
-    val n = vals.count()
-    if (n == 0) return None
-    if (n == 1) { val v = vals.first(); return Some(fractions.map(_ => v)) }
-    val sorted = vals.sortBy(identity).zipWithIndex().map { case (v, i) => (i, v) }
-    val needed: Set[Long] = fractions.flatMap { q =>
-      val h = (n - 1) * q
-      Seq(math.floor(h).toLong, math.ceil(h).toLong)
+  def exactQuantiles(df: DataFrame, c: String, fractions: Seq[Double]): Option[Seq[Double]] =
+    exactQuantilesAll(df, Seq(c), fractions)(c)
+
+  /** Exact quantiles for MANY columns in ONE distributed sort. The round-2
+    * shape ran the full count+sort+lookup pipeline once PER column — ~970
+    * sequential sorts at the reference's documented width (load.py:41).
+    * This melts the requested columns to (columnIndex, value) pairs and
+    * range-sorts the composite key once: a per-partition counts pass (no
+    * shuffle), the sort, zipWithIndex, and one needed-index lookup — a
+    * bounded number of jobs regardless of column count. Per-column offsets
+    * into the global sorted order come from the counts, so each column's
+    * rank-h values are read off the single sorted sequence. The melted pair
+    * stream is recomputed for the sort rather than cached: two columnar
+    * scans beat pinning a k-times-melted copy of the table in executor
+    * storage at scale. */
+  def exactQuantilesAll(df: DataFrame, cols: Seq[String], fractions: Seq[Double])
+      : Map[String, Option[Seq[Double]]] = {
+    if (cols.isEmpty) return Map.empty
+    val k = cols.length
+    val pairs = df.select(cols.map(c => col(c).cast("double")): _*).rdd.flatMap { r =>
+      (0 until k).iterator.collect {
+        case i if !r.isNullAt(i) && !r.getDouble(i).isNaN => (i, r.getDouble(i))
+      }
+    }
+    // pandas drops NaN/null per column; counts define each column's n
+    val countMap = pairs.map(_._1).countByValue()
+    val ns: Array[Long] = Array.tabulate(k)(i => countMap.getOrElse(i, 0L))
+    val offsets: Array[Long] = ns.scanLeft(0L)(_ + _)
+    val needed: Set[Long] = (0 until k).flatMap { i =>
+      if (ns(i) == 0) Nil
+      else fractions.flatMap { q =>
+        val h = (ns(i) - 1) * q
+        Seq(offsets(i) + math.floor(h).toLong, offsets(i) + math.ceil(h).toLong)
+      }
     }.toSet
-    val found = sorted.filter { case (i, _) => needed(i) }.collect().toMap
-    Some(fractions.map { q =>
-      val h = (n - 1) * q
-      val lo = math.floor(h).toLong
-      val vl = found(lo); val vh = found(math.ceil(h).toLong)
-      vl + (h - lo) * (vh - vl)
-    })
+    val found: Map[Long, Double] = pairs.sortBy(identity).zipWithIndex()
+      .collect { case ((_, v), gi) if needed(gi) => (gi, v) }
+      .collect().toMap
+    cols.zipWithIndex.map { case (c, i) =>
+      if (ns(i) == 0) c -> None
+      else c -> Some(fractions.map { q =>
+        val h = (ns(i) - 1) * q
+        val lo = math.floor(h).toLong
+        val vl = found(offsets(i) + lo); val vh = found(offsets(i) + math.ceil(h).toLong)
+        vl + (h - lo) * (vh - vl)
+      })
+    }.toMap
   }
 
   /** transform: apply a whitelisted unary function to continuous variables

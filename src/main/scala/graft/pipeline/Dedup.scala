@@ -157,6 +157,7 @@ object Dedup {
     * lexicographic order and disagree with numeric-min keepers). */
   def components(pairs: DataFrame, idCol1: String = "id1",
                  idCol2: String = "id2", maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
       .union(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
       .distinct()
@@ -173,18 +174,28 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min("nlabel").as("nmin"))
       val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // pointer jumping: adopt the label of the current label-node
       val jumped = stepped.as("a")
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).as("b"),
           col("a.label") === col("b.jid"), "left")
-        .select(col("a.id").as("id"),
+        .select(col("a.id").as("id"), col("a.__old").as("__old"),
           coalesce(col("jlabel"), col("a.label")).as("label"))
-        .localCheckpoint()
-      changed = jumped.join(labels.select(col("id"), col("label").as("__old")), "id")
-        .filter(col("label") =!= col("__old")).count()
-      labels = jumped
+      // ONE action per round: the eager localCheckpoint that cuts lineage
+      // also tallies label changes through an accumulator, replacing the
+      // former separate join+count convergence job. Task retries can only
+      // overcount, which is safe for a ">0 means keep going" test.
+      val acc = spark.sparkContext.longAccumulator("graft.components.changed")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", jumped.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("label", jumped.schema("label").dataType)))
+      val nextRdd = jumped.rdd.map { r =>
+        if (r.get(1) != r.get(2)) acc.add(1L)
+        org.apache.spark.sql.Row(r.get(0), r.get(2))
+      }
+      labels = spark.createDataFrame(nextRdd, schema).localCheckpoint()
+      changed = acc.value
       iter += 1
     }
     labels.select(col("id"), col("label").as("component"))

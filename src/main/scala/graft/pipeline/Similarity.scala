@@ -103,44 +103,66 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** IVF (inverted-file) ANN — the billion-scale layout: a k-means COARSE
-    * QUANTIZER (spark.ml, seeded) partitions the corpus into `nLists`
-    * inverted lists; each query scans only its `nProbe` nearest lists
-    * (nearest by the quantizer's own euclidean metric, computed
-    * driver-side against the O(nLists) centroid table). Exact cosine +
-    * top-k within the probed lists. At rest the assigned corpus would be
-    * written partitioned/bucketed by `list_id` so probes prune at the
-    * source; `sampleFraction` bounds quantizer training on huge corpora.
-    * In production the quantizer is trained ONCE and the assignment
-    * persisted — this entry point retrains per call for self-containment.
-    * A loose quantizer is fine (recall comes from nProbe, not centroid
-    * polish), so training iterations are capped low. Approximate — verify
-    * recall against [[bruteForceTopK]]. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
-              vecCol: String = "embedding", seed: Long = 42L,
-              sampleFraction: Double = 1.0, trainMaxIter: Int = 8): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("__feat", array_to_vector(col("cv")))
-    val trainDf = if (sampleFraction >= 1.0) c else c.sample(sampleFraction, seed)
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(trainMaxIter)
-      .setFeaturesCol("__feat").setPredictionCol("list_id")
-      .fit(trainDf)
-    val assigned = model.transform(c).drop("__feat")
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    val nP = math.min(nProbe, centers.length)
-    val probeLists = udf((v: Seq[Float]) => {
+  /** Trained IVF coarse quantizer — just the centroid table (O(nLists·dim)
+    * doubles, driver-resident). The heavy artifact to persist alongside is
+    * the ASSIGNMENT ([[ivfAssign]]), written partitioned/bucketed by
+    * `list_id` so probes prune at the source. */
+  final case class IvfModel(centers: Array[Array[Double]]) {
+    def nLists: Int = centers.length
+  }
+
+  /** nProbe nearest inverted lists for a vector, by euclidean distance to
+    * the O(nLists) centroid table (closure-captured; queries are small, so
+    * a udf here never touches corpus-scale rows on the query path —
+    * [[ivfAssign]] reuses it corpus-side once at index-build time). */
+  private def nearestLists(centers: Array[Array[Double]], nP: Int) =
+    udf((v: Seq[Float]) => {
       centers.zipWithIndex.map { case (ctr, li) =>
         var s = 0.0; var i = 0
         while (i < ctr.length) { val d = v(i) - ctr(i); s += d * d; i += 1 }
         (s, li)
       }.sortBy(_._1).take(nP).map(_._2)
     })
+
+  /** Train the coarse quantizer ONCE (spark.ml k-means, seeded). A loose
+    * quantizer is fine — recall comes from nProbe, not centroid polish —
+    * so iterations are capped low and `sampleFraction` bounds training on
+    * huge corpora. */
+  def ivfTrain(corpus: DataFrame, nLists: Int = 16,
+               vecCol: String = "embedding", seed: Long = 42L,
+               sampleFraction: Double = 1.0, trainMaxIter: Int = 8): IvfModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(array_to_vector(col(vecCol)).as("__feat"))
+    val trainDf = if (sampleFraction >= 1.0) feats else feats.sample(sampleFraction, seed)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(trainMaxIter)
+      .setFeaturesCol("__feat").setPredictionCol("list_id")
+      .fit(trainDf)
+    IvfModel(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Assign every corpus vector to its inverted list — the index-build
+    * step. Production writes the result partitioned/bucketed by `list_id`
+    * (see the CLI's `ann-index`); [[ivfQuery]] then scans only probed
+    * lists. */
+  def ivfAssign(model: IvfModel, corpus: DataFrame,
+                vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("list_id",
+      element_at(nearestLists(model.centers, 1)(col(vecCol)), 1))
+
+  /** Query path over a pre-assigned corpus: each query probes its `nProbe`
+    * nearest lists, exact cosine + top-k within the probed lists only.
+    * This is the part a bench should time — training/assignment are
+    * build-once index costs. */
+  def ivfQuery(model: IvfModel, assigned: DataFrame, queries: DataFrame,
+               k: Int, nProbe: Int = 4, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val nP = math.min(nProbe, model.nLists)
+    val c = assigned.select(col("list_id"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("list_id", explode(probeLists(col("qv")))))
-    val scored = assigned.join(q, Seq("list_id"))
+      .withColumn("list_id", explode(nearestLists(model.centers, nP)(col("qv")))))
+    val scored = c.join(q, Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("cv")))
@@ -149,6 +171,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Centroid-table persistence: (list_id, center) parquet. */
+  def ivfSaveModel(spark: SparkSession, model: IvfModel, path: String): Unit = {
+    import spark.implicits._
+    model.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "center").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def ivfLoadModel(spark: SparkSession, path: String): IvfModel = {
+    import spark.implicits._
+    IvfModel(spark.read.parquet(path).orderBy("list_id")
+      .select("center").as[Seq[Double]].collect().map(_.toArray))
+  }
+
+  /** Self-contained convenience (bench/oracle entry): train + assign +
+    * query in one call. Production uses the split API and persists the
+    * model + assignment. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 42L,
+              sampleFraction: Double = 1.0, trainMaxIter: Int = 8): DataFrame = {
+    val model = ivfTrain(corpus, nLists, vecCol, seed, sampleFraction, trainMaxIter)
+    ivfQuery(model, ivfAssign(model, corpus, vecCol), queries, k, nProbe, idCol, vecCol)
   }
 
   /** Embedding near-duplicate pairs: LSH-bucket self-join (`byBucket`,

@@ -29,16 +29,16 @@ object Drive {
     println("== weighted EWAS via CO-GROUP path (golden: race 0.274110, agecat 1.804e-06, RIAGENDR beta 0.212760) ==")
     val ewas = AssociationStudy.run(spark, data, Seq("HI_CHOL"),
       covariates = Seq("agecat","RIAGENDR"), regressionVariables = Seq("race"),
-      surveyDesign = Some(design), broadcastBase = false)
+      surveyDesign = Some(design), broadcastBase = Some(false))
       .unionByName(AssociationStudy.run(spark, data, Seq("HI_CHOL"),
         covariates = Seq("race","agecat"), regressionVariables = Seq("RIAGENDR"),
-        surveyDesign = Some(design), broadcastBase = false))
+        surveyDesign = Some(design), broadcastBase = Some(false)))
     Corrections.addCorrectedPvalues(ewas)
       .select("Variable","Beta","SE","pvalue","pvalue_fdr","error","warnings").show(false)
     println("survey table collected for broadcast path? " + design.wasCollectedForBroadcast)
     println("== interaction via CO-GROUP path (golden LRT 1.064e-07) ==")
     InteractionStudy.run(spark, data, "HI_CHOL",
-      Seq(("agecat","RIAGENDR")), Seq("race"), broadcastBase = false)
+      Seq(("agecat","RIAGENDR")), Seq("race"), broadcastBase = Some(false))
       .select("Term1","Term2","LRT_pvalue").show(false)
 
     // 2. Training-data operators on the synthetic corpus

@@ -127,7 +127,7 @@ class AssociationStudySpec extends SparkSpec {
       "ok" -> VariableType.Continuous))
     for (bcast <- Seq(true, false)) {
       val res = AssociationStudy.run(spark, cf, Seq("y"),
-        regressionVariables = Seq("bad", "ok"), minN = 10, broadcastBase = bcast)
+        regressionVariables = Seq("bad", "ok"), minN = 10, broadcastBase = Some(bcast))
         .collect().map(r => r.getString(0) -> r).toMap
       val bad = res("bad")
       assert(bad.isNullAt(bad.fieldIndex("pvalue")), s"bcast=$bcast")
@@ -242,13 +242,55 @@ class AssociationStudySpec extends SparkSpec {
     }
   }
 
+  test("auto path selection: tiny base broadcasts, over-threshold base routes to co-group") {
+    val cfC = Modify.makeContinuous(nhanes, only = Some(Seq("WTMEC2YR")))
+    // default threshold: the nhanes base is tiny -> broadcast path collects
+    AssociationStudy.run(spark, cfC, outcomes = Seq("HI_CHOL"),
+      covariates = Seq("race"), regressionVariables = Seq("WTMEC2YR")).collect()
+    assert(AssociationStudy.wasCollectedForBroadcast, "tiny base should broadcast")
+    // force the plan-stats estimate over the threshold: must route to
+    // co-group with NO driver-side base collection, same results
+    spark.conf.set("graft.broadcastBase.maxBytes", "1")
+    try {
+      val r = AssociationStudy.run(spark, cfC, outcomes = Seq("HI_CHOL"),
+        covariates = Seq("race"), regressionVariables = Seq("WTMEC2YR")).collect()
+      assert(!AssociationStudy.wasCollectedForBroadcast,
+        "large-estimate base must route to co-group")
+      assert(r.nonEmpty && !r.head.isNullAt(r.head.fieldIndex("pvalue")))
+    } finally spark.conf.unset("graft.broadcastBase.maxBytes")
+  }
+
+  test("standardize_data through the co-group path matches the broadcast path") {
+    // binomial outcome + continuous covariate and rv (global covar moments)
+    val cfC = Modify.makeContinuous(nhanes, only = Some(Seq("WTMEC2YR")))
+    // gaussian outcome: the outcome itself is z-scored with global moments
+    val gOut = Modify.makeContinuous(nhanes, only = Some(Seq("WTMEC2YR")))
+    val cases = Seq(
+      (cfC, "HI_CHOL", Seq("race"), "WTMEC2YR"),
+      (gOut, "WTMEC2YR", Seq("race"), "RIAGENDR"))
+    cases.foreach { case (cf, outcome, covars, rv) =>
+      val bc = AssociationStudy.run(spark, cf, outcomes = Seq(outcome),
+        covariates = covars, regressionVariables = Seq(rv),
+        standardizeData = true, broadcastBase = Some(true)).collect().head
+      val cg = AssociationStudy.run(spark, cf, outcomes = Seq(outcome),
+        covariates = covars, regressionVariables = Seq(rv),
+        standardizeData = true, broadcastBase = Some(false)).collect().head
+      assert(cg.getLong(cg.fieldIndex("N")) === bc.getLong(bc.fieldIndex("N")),
+        s"$rv N")
+      Seq("Beta", "SE", "pvalue").foreach { c =>
+        assertRtol(cg.getDouble(cg.fieldIndex(c)),
+          bc.getDouble(bc.fieldIndex(c)), 1e-10, s"$outcome~$rv $c")
+      }
+    }
+  }
+
   test("cogroup path (no broadcast): golden parity on nhanes binomial LRT") {
     val golden = goldenMap(refPath("r_test_output/analyze/nhanes_noweights_result.csv"))
     Seq(("race", Seq("agecat", "RIAGENDR")), ("RIAGENDR", Seq("race", "agecat")))
       .foreach { case (rv, covars) =>
         val r = AssociationStudy.run(spark, nhanes, outcomes = Seq("HI_CHOL"),
           covariates = covars, regressionVariables = Seq(rv),
-          broadcastBase = false).collect().head
+          broadcastBase = Some(false)).collect().head
         val g = golden(rv)
         assert(r.getLong(r.fieldIndex("N")) === g("N").toLong, s"$rv N (cogroup)")
         assertRtol(r.getDouble(r.fieldIndex("pvalue")), g("pvalue"), 1e-4,

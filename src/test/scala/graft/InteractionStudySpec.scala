@@ -139,7 +139,7 @@ class InteractionStudySpec extends SparkSpec {
     val pairs = for (i <- rvs.indices; j <- (i + 1) until rvs.size)
       yield (rvs(i), rvs(j))
     val cg = InteractionStudy.run(spark, data, "HI_CHOL",
-      interactions = pairs, covariates = Nil, broadcastBase = false)
+      interactions = pairs, covariates = Nil, broadcastBase = Some(false))
     check(cg, golden("nhanes_pairwise.csv"))
     // exact numeric equivalence against the broadcast path
     val bc = InteractionStudy.run(spark, data, "HI_CHOL",
@@ -157,7 +157,7 @@ class InteractionStudySpec extends SparkSpec {
       only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
     val run = (b: Boolean) => InteractionStudy.run(spark, data, "HI_CHOL",
       interactions = Seq(("agecat", "RIAGENDR")), covariates = Seq("race"),
-      reportBetas = true, broadcastBase = b)
+      reportBetas = true, broadcastBase = Some(b))
     val bc = run(true).collect().map(r => r.getString(3) -> r.toSeq).toMap
     val cg = run(false).collect().map(r => r.getString(3) -> r.toSeq).toMap
     assert(bc.keySet === cg.keySet)

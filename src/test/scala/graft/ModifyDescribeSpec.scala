@@ -105,6 +105,35 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(out.df.filter(col("num").isNotNull).count() === 3)
   }
 
+  test("removeOutliers iqr at width: 500 columns in a bounded number of jobs") {
+    import spark.implicits._
+    // 500 continuous columns; the quantile engine must run ONE melt +
+    // range-sort for all of them, not a full sort per column
+    val k = 500
+    val wide = spark.range(0, 60).select(
+      col("id") +: (0 until k).map(i =>
+        ((col("id") + i) % 59).cast("double").as(s"c$i")): _*)
+    val cf = CladeFrame(wide)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Modify.removeOutliers(cf, "iqr", cutoff = 1.5)
+      out.df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get() < 15, s"expected a bounded job count, got ${jobs.get()} (O(k) sorts?)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the batched quantiles agree with the single-column path
+    val all = Modify.exactQuantilesAll(wide, Seq("c0", "c7"), Seq(0.25, 0.75))
+    val single = Modify.exactQuantiles(wide, "c7", Seq(0.25, 0.75))
+    assert(all("c7") === single)
+    assert(all("c0").isDefined)
+  }
+
   test("transform applies whitelisted functions and rejects unknown names") {
     val out = Modify.transform(sample, "log", only = Some(Seq("num")))
     val v = out.df.filter(col("id") === 2).select("num").head.getDouble(0)

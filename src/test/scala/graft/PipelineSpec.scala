@@ -113,6 +113,23 @@ class PipelineSpec extends SparkSpec {
     assert(full === exact, "nProbe = nLists must equal the exact result")
   }
 
+  test("IVF split API: persisted model + assignment reproduce the one-shot result") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 20)
+    val oneShot = Similarity.ivfTopK(e, queries, k = 3, nLists = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // train once, persist the centroid table, reload, assign, query
+    val model = Similarity.ivfTrain(e, nLists = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.ivfSaveModel(spark, model, s"$dir/centers")
+    val loaded = Similarity.ivfLoadModel(spark, s"$dir/centers")
+    assert(loaded.centers.map(_.toSeq).toSeq === model.centers.map(_.toSeq).toSeq)
+    val assigned = Similarity.ivfAssign(loaded, e)
+    val split = Similarity.ivfQuery(loaded, assigned, queries, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(split === oneShot, "split train/assign/query must equal the one-shot path")
+  }
+
   test("text features: tokens, quality, langid, fingerprint") {
     import spark.implicits._
     val df = Seq((1L, "The cat and the dog, of course!")).toDF("doc_id", "text")

@@ -220,7 +220,7 @@ class WeightedAssociationSpec extends SparkSpec {
     val g = golden(refPath("r_test_output/analyze/nhanes_complete_result_subset_cat.csv"))
     val res = AssociationStudy.run(spark, data, outcomes = Seq("HI_CHOL"),
       covariates = Seq("agecat", "RIAGENDR"), regressionVariables = Seq("race"),
-      surveyDesign = Some(design), broadcastBase = false)
+      surveyDesign = Some(design), broadcastBase = Some(false))
     checkRow(res, "race", g("race"), rtol = 1e-3)
     assert(!design.wasCollectedForBroadcast,
       "co-group subset run must not materialize ids on the driver")
@@ -301,7 +301,7 @@ class WeightedAssociationSpec extends SparkSpec {
       .foreach { case (rv, covars) =>
         val res = AssociationStudy.run(spark, data, outcomes = Seq("HI_CHOL"),
           covariates = covars, regressionVariables = Seq(rv),
-          surveyDesign = Some(design), broadcastBase = false)
+          surveyDesign = Some(design), broadcastBase = Some(false))
         checkRow(res, rv, g(rv))
       }
     // the scale contract: the co-group path must never materialize the
