@@ -100,7 +100,11 @@ object AssociationStudy {
       clustPerStratFull: Map[String, Int],
       stratForClustFull: Map[String, String],
       hasStrata: Boolean, hasCluster: Boolean, hasWeights: Boolean,
-      singleCluster: String, dropUnweighted: Boolean)
+      singleCluster: String, dropUnweighted: Boolean,
+      // no-cluster designs: O(#strata) full-design totals + per-row fpc
+      // fractions (replaces the per-pseudo-cluster maps, which stay empty)
+      stratumTotalsFull: Map[String, (Long, Double)] = Map.empty,
+      rowFpc: Array[Double] = Array.empty)
 
   def run(
       spark: SparkSession,
@@ -309,7 +313,10 @@ object AssociationStudy {
         stratForClustFull = sd.stratForClust,
         hasStrata = sd.hasStrata, hasCluster = sd.hasCluster,
         hasWeights = sd.hasWeights,
-        singleCluster = sd.singleCluster, dropUnweighted = sd.dropUnweighted)
+        singleCluster = sd.singleCluster, dropUnweighted = sd.dropUnweighted,
+        stratumTotalsFull = sd.stratumTotals,
+        rowFpc = if (sd.hasCluster) Array.empty[Double]
+          else idsArr.map(id => sd.fpcFracOf.getOrElse(id, 0.0)))
     }
     val base = spark.sparkContext.broadcast(BaseData(index, y, covarData, surveyBase))
     val typesB = spark.sparkContext.broadcast(
@@ -454,7 +461,7 @@ object AssociationStudy {
       (rvs.map(rv => rv -> sd.weightNameEither(rv)).toMap,
         sd.weightColumnNames, sd.fpcPerClust, sd.clustPerStrat,
         sd.stratForClust, sd.hasStrata, sd.hasCluster, sd.hasWeights,
-        sd.singleCluster, sd.dropUnweighted)
+        sd.singleCluster, sd.dropUnweighted, sd.stratumTotals)
     }
     val outcomeName = outcome
     val catBetas = reportCategoricalBetas
@@ -470,6 +477,7 @@ object AssociationStudy {
       val covarBufs = Array.fill(nCov)(new scala.collection.mutable.ArrayBuffer[String]())
       val stratBuf = new scala.collection.mutable.ArrayBuffer[String]()
       val clustBuf = new scala.collection.mutable.ArrayBuffer[String]()
+      val fpcBuf = new scala.collection.mutable.ArrayBuffer[Double]()
       val wBufs = Array.fill(nW)(new scala.collection.mutable.ArrayBuffer[Double]())
       val allIds = new scala.collection.mutable.ArrayBuffer[String]()
       val wByIdBufs = Array.fill(nW)(Map.newBuilder[String, Double])
@@ -504,6 +512,9 @@ object AssociationStudy {
                 else r.getDouble(sBase + 2 + k2))
               k2 += 1
             }
+            // per-row fpc fraction rides LAST in surveyRowsDf
+            fpcBuf += (if (r.isNullAt(sBase + 2 + nW)) 0.0
+              else r.getDouble(sBase + 2 + nW))
           }
         }
       }
@@ -521,7 +532,8 @@ object AssociationStudy {
         }
       }
       val surveyBase = surveySmall.map { case (wLookups, wNames, fpc, cps, sfc,
-          hasStrata, hasCluster, hasWeights, singleCluster, dropUnweighted) =>
+          hasStrata, hasCluster, hasWeights, singleCluster, dropUnweighted,
+          stratTotals) =>
         SurveyBase(
           strat = stratBuf.toArray,
           clust = clustBuf.toArray,
@@ -534,7 +546,8 @@ object AssociationStudy {
           subsetIds = None, // subset already applied to the joined rows
           fpcPerClust = fpc, clustPerStratFull = cps, stratForClustFull = sfc,
           hasStrata = hasStrata, hasCluster = hasCluster, hasWeights = hasWeights,
-          singleCluster = singleCluster, dropUnweighted = dropUnweighted)
+          singleCluster = singleCluster, dropUnweighted = dropUnweighted,
+          stratumTotalsFull = stratTotals, rowFpc = fpcBuf.toArray)
       }
       val localBase = BaseData(Map.empty, yBuf.toArray, covarData, surveyBase)
       fitOne(variable, outcomeName, typesB.value(variable),
@@ -724,7 +737,9 @@ object AssociationStudy {
         stratForClustFull = sv.stratForClustFull,
         hasStrata = sv.hasStrata, hasCluster = sv.hasCluster,
         hasWeights = sv.hasWeights,
-        singleCluster = sv.singleCluster)
+        singleCluster = sv.singleCluster,
+        stratumTotalsFull = sv.stratumTotalsFull,
+        rowFpc = if (sv.rowFpc.isEmpty) Array.empty[Double] else idx.map(sv.rowFpc))
 
       kind match {
         case "continuous" | "binary" | "constant" | "unknown" =>

@@ -431,11 +431,15 @@ object Modify {
       : Map[String, Option[Seq[Double]]] = {
     if (cols.isEmpty) return Map.empty
     val k = cols.length
+    // persisted (serialized, spillable): the counts pass, the range
+    // partitioner's sample pass, and the sort shuffle all read these pairs —
+    // without the cache each one re-decodes the source columns
     val pairs = df.select(cols.map(c => col(c).cast("double")): _*).rdd.flatMap { r =>
       (0 until k).iterator.collect {
         case i if !r.isNullAt(i) && !r.getDouble(i).isNaN => (i, r.getDouble(i))
       }
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
     // pandas drops NaN/null per column; counts define each column's n
     val countMap = pairs.map(_._1).countByValue()
     val ns: Array[Long] = Array.tabulate(k)(i => countMap.getOrElse(i, 0L))
@@ -459,6 +463,7 @@ object Modify {
         vl + (h - lo) * (vh - vl)
       })
     }.toMap
+    } finally pairs.unpersist(blocking = false)
   }
 
   /** transform: apply a whitelisted unary function to continuous variables

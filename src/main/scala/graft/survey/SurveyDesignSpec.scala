@@ -84,7 +84,10 @@ final class SurveyDesignSpec(
   private val (nRows: Long, nClustFull: Long, weightMeans: Map[String, Double]) = {
     val aggs: Seq[Column] = Seq(
       count(lit(1)),
-      countDistinct(col("__clust")),
+      // no-cluster: every row is its own PSU — a countDistinct over the
+      // per-row pseudo ids would be a full distinct shuffle for a number
+      // that is simply the row count
+      if (hasCluster) countDistinct(col("__clust")) else count(lit(1)),
       sum(when(col("__strat").isNull, 1L).otherwise(0L)),
       sum(when(col("__clust").isNull, 1L).otherwise(0L)),
       sum(when(col("__fpc").isNull, 1L).otherwise(0L))) ++
@@ -109,10 +112,12 @@ final class SurveyDesignSpec(
 
   // ------------------------------------------------- design totals (full)
   // grouped aggregates collected at O(#strata) / O(#clusters) — computed on
-  // the FULL design before subsets (survey_design.py:131-141). For
-  // no-cluster designs #clusters == #rows (each observation is a PSU); at
-  // scale a real design always has clusters.
-  /** (cluster, stratum, rows-in-cluster, raw fpc) — one row per cluster. */
+  // the FULL design before subsets (survey_design.py:131-141). No-cluster
+  // designs (every observation its own PSU) never build the per-cluster
+  // table — #clusters == #rows there, and an O(rows) driver map is a scale
+  // bug; they use the O(#strata) [[stratumTotals]] instead.
+  /** (cluster, stratum, rows-in-cluster, raw fpc) — one row per cluster.
+    * CLUSTERED designs only. */
   private lazy val clusterTable: Array[(String, String, Long, Double)] =
     designProj.groupBy("__clust")
       .agg(first("__strat").as("s"), count(lit(1)).as("n"), min("__fpc").as("f"))
@@ -120,19 +125,60 @@ final class SurveyDesignSpec(
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
 
-  /** Clusters per stratum on the full design. */
-  lazy val clustPerStrat: Map[String, Int] =
-    clusterTable.groupBy(_._2).view.mapValues(_.length).toMap
+  /** No-cluster designs: per-stratum totals on the FULL design — PSU count
+    * (= rows: each observation is its own PSU) and Σ(1 − fpc fraction),
+    * plus the population-form flag. All O(#strata); fpc values > 1 are
+    * population sizes converted per the reference's rules
+    * (survey_design.py:291-312 — with strata, stratum size over population;
+    * population-form fpc without strata or clusters is invalid). */
+  @transient private lazy val noClustTotals
+      : (Map[String, (Long, Double)], Boolean) = {
+    val aggs = Seq(count(lit(1)).as("n")) ++ (if (hasFpc) Seq(
+      sum("__fpc").as("sf"), sum(lit(1.0) / col("__fpc")).as("sinv"),
+      min("__fpc").as("mn"), max("__fpc").as("mx")) else Nil)
+    val rows = designProj.groupBy("__strat").agg(aggs.head, aggs.tail: _*).collect()
+    if (!hasFpc)
+      (rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(1).toDouble)).toMap, false)
+    else {
+      val anyPop = rows.exists(r => r.getDouble(r.fieldIndex("mx")) > 1.0)
+      val m = rows.map { r =>
+        val s = r.getString(0); val nh = r.getLong(1)
+        val (sumFrac, ok) =
+          if (!anyPop) (r.getDouble(r.fieldIndex("sf")),
+            r.getDouble(r.fieldIndex("mn")) >= 0.0)
+          else if (hasStrata) (nh.toDouble * r.getDouble(r.fieldIndex("sinv")),
+            r.getDouble(r.fieldIndex("mn")) >= nh.toDouble)
+          else (r.getDouble(r.fieldIndex("sf")), false)
+        require(ok, "Error processing FPC- invalid values")
+        s -> (nh, nh.toDouble - sumFrac)
+      }.toMap
+      (m, anyPop)
+    }
+  }
 
+  /** Per-stratum (full-design PSU count, Σ(1−fpc fraction)) for no-cluster
+    * designs — the kernel's replacement for the per-pseudo-cluster maps. */
+  def stratumTotals: Map[String, (Long, Double)] =
+    if (hasCluster) Map.empty else noClustTotals._1
+
+  /** Clusters per stratum on the full design (rows per stratum when every
+    * observation is its own PSU). */
+  lazy val clustPerStrat: Map[String, Int] =
+    if (hasCluster) clusterTable.groupBy(_._2).view.mapValues(_.length).toMap
+    else noClustTotals._1.map { case (s, (n, _)) => s -> n.toInt }
+
+  /** Cluster → stratum on the full design — CLUSTERED designs only (empty
+    * for no-cluster designs, whose kernel path never enumerates PSUs). */
   lazy val stratForClust: Map[String, String] =
-    clusterTable.map(c => c._1 -> c._2).toMap
+    if (hasCluster) clusterTable.map(c => c._1 -> c._2).toMap else Map.empty
 
   /** fpc as a sampling FRACTION per cluster. Values > 1 are population
     * sizes and are converted (survey_design.py:291-312): with strata, the
     * sampled stratum SIZE (row count) over the population; cluster-only
-    * designs use the number of sampled clusters over the population. */
+    * designs use the number of sampled clusters over the population.
+    * CLUSTERED designs only — no-cluster fpc rides per-row. */
   lazy val fpcPerClust: Map[String, Double] = {
-    if (!hasFpc) Map.empty
+    if (!hasFpc || !hasCluster) Map.empty
     else {
       val anyPop = clusterTable.exists(_._4 > 1.0)
       val strataSize: Map[String, Double] =
@@ -143,8 +189,7 @@ final class SurveyDesignSpec(
         val conv =
           if (!anyPop) f
           else if (hasStrata) strataSize(s) / f
-          else if (hasCluster) nClustFull.toDouble / f
-          else f
+          else nClustFull.toDouble / f
         c -> conv
       }.toMap
       require(m.values.forall(f => f >= 0 && f <= 1),
@@ -154,7 +199,7 @@ final class SurveyDesignSpec(
   }
 
   // eager design-rule checks that the reference performs at construction
-  if (hasFpc) fpcPerClust
+  if (hasFpc) { if (hasCluster) fpcPerClust else noClustTotals }
   if (hasStrata && hasCluster &&
       !Set("average", "certainty", "adjust")(singleCluster)) {
     val singles = clustPerStrat.filter(_._2 < 2)
@@ -174,13 +219,15 @@ final class SurveyDesignSpec(
     * co-group path must keep this false (asserted in tests). */
   def wasCollectedForBroadcast: Boolean = broadcastCollected
 
-  @transient private lazy val collected: Array[(String, String, String, Array[Double])] = {
+  @transient private lazy val collected
+      : Array[(String, String, String, Double, Array[Double])] = {
     broadcastCollected = true
     designProj.collect().map { r =>
       val ws = Array.tabulate(weightCols.size) { i =>
         if (r.isNullAt(4 + i)) Double.NaN else r.getDouble(4 + i)
       }
-      (r.getString(0), r.getString(1), r.getString(2), ws)
+      (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) 0.0 else r.getDouble(3), ws)
     }
   }
 
@@ -188,12 +235,25 @@ final class SurveyDesignSpec(
   lazy val stratOf: Map[String, String] = collected.map(r => r._1 -> r._2).toMap
   lazy val clustOf: Map[String, String] = collected.map(r => r._1 -> r._3).toMap
 
+  /** Per-row fpc FRACTION by id — BROADCAST-PATH feed for no-cluster
+    * designs (the co-group path reads the `__fpc` column of
+    * [[surveyRowsDf]] instead). Empty when clustered or fpc-less. */
+  @transient lazy val fpcFracOf: Map[String, Double] =
+    if (!hasFpc || hasCluster) Map.empty
+    else {
+      val (totals, anyPop) = noClustTotals
+      collected.map { r =>
+        val f = r._4
+        r._1 -> (if (!anyPop) f else totals(r._2)._1.toDouble / f)
+      }.toMap
+    }
+
   /** Normalized weights (w / mean(w), computed pre-subset —
     * survey_design.py:390) per weight column, NaN where missing. */
   lazy val normalizedWeights: Map[String, Map[String, Double]] =
     weightCols.zipWithIndex.map { case (wc, i) =>
       val mean = weightMeans(wc)
-      wc -> collected.map(r => r._1 -> (r._4(i) / mean)).toMap
+      wc -> collected.map(r => r._1 -> (r._5(i) / mean)).toMap
     }.toMap
 
   // ----------------------------------------------------------------- subset
@@ -252,9 +312,23 @@ final class SurveyDesignSpec(
     val wExprs = weightCols.map { wc =>
       (clampedW(wc) / weightMeans(wc)).as(s"__w_$wc")
     }
+    // per-row fpc FRACTION rides LAST (positional readers unchanged):
+    // populated only for no-cluster designs with fpc; population-form
+    // values convert via the tiny per-stratum row-count map (when-chain
+    // over O(#strata) literals — no join, stays codegen'd)
+    val fpcExpr: Column =
+      if (!hasFpc || hasCluster) lit(0.0).as("__fpc")
+      else {
+        val (totals, anyPop) = noClustTotals
+        val fRaw = col(fpc.get).cast("double")
+        (if (!anyPop) fRaw
+         else totals.foldLeft(lit(Double.NaN)) { case (acc, (s, (nh, _))) =>
+           when(strataCol === lit(s), lit(nh.toDouble) / fRaw).otherwise(acc)
+         }).as("__fpc")
+      }
     surveyDf.select(
       (Seq(col(idCol).cast("string").as(idCol), strataCol.as("__strat"),
-        clustCol.as("__clust")) ++ wExprs): _*)
+        clustCol.as("__clust")) ++ wExprs :+ fpcExpr): _*)
   }
 
   /** Distinct weight column names (order matches surveyRowsDf). */

@@ -17,7 +17,11 @@ import graft.stats.{Distributions, Glm}
   */
 object SurveyKernel {
 
-  /** Survey metadata aligned to the fitted rows. */
+  /** Survey metadata aligned to the fitted rows. For no-cluster designs
+    * (every observation its own PSU) the full-design universe enters ONLY
+    * through `stratumTotalsFull` — O(#strata) (PSU count, Σ(1−fpc)) pairs —
+    * and the per-fitted-row `rowFpc` fractions; the per-pseudo-cluster maps
+    * stay empty (an O(rows) driver map is a scale bug). */
   final case class AlignedDesign(
       strat: Array[String],
       clust: Array[String],
@@ -28,7 +32,9 @@ object SurveyKernel {
       hasStrata: Boolean,
       hasCluster: Boolean,
       hasWeights: Boolean,
-      singleCluster: String) {
+      singleCluster: String,
+      stratumTotalsFull: Map[String, (Long, Double)] = Map.empty,
+      rowFpc: Array[Double] = Array.empty) {
     def nStrat: Int = strat.distinct.length
     def nClust: Int = clust.distinct.length
 
@@ -87,6 +93,8 @@ object SurveyKernel {
   def stataLinearizationVcov(
       x: DenseMatrix[Double], y: DenseVector[Double], fit: Glm.Fit,
       family: Glm.Family, design: AlignedDesign): DenseMatrix[Double] = {
+    if (!design.hasCluster && design.stratumTotalsFull.nonEmpty)
+      return noClusterLinearizationVcov(x, y, fit, family, design)
     val n = x.rows
     val p = x.cols
     val beta = DenseVector(fit.beta)
@@ -163,6 +171,88 @@ object SurveyKernel {
         var b = 0
         while (b < p) { vHat(a, b) += r(a) * r(b); b += 1 }
         a += 1
+      }
+    }
+    mInv * vHat * mInv
+  }
+
+  /** No-cluster linearization: every design row is its own PSU, so the
+    * cluster-sum / stratum-centering algebra collapses to per-stratum
+    * aggregates over the FITTED rows plus the full design's O(#strata)
+    * totals. Absent PSUs (design rows dropped by subsets / complete-case)
+    * contribute zero score rows exactly as in the clustered path — but
+    * only through their count and Σ(1−fpc), never enumerated. Algebra per
+    * stratum: Σ_c fh²·(u_c−m)(u_c−m)ᵀ over ALL Nh PSUs equals
+    * G − f·mᵀ − m·fᵀ + ΣFh²_full·m·mᵀ, with G = Σ_fitted fh²·u·uᵀ and
+    * f = Σ_fitted fh²·u (absent PSUs have u = 0); m is the stratum mean
+    * S/Nh (or the population mean under single-PSU 'adjust'). Numerically
+    * identical to the generic path run over pseudo-clusters. */
+  private def noClusterLinearizationVcov(
+      x: DenseMatrix[Double], y: DenseVector[Double], fit: Glm.Fit,
+      family: Glm.Family, design: AlignedDesign): DenseMatrix[Double] = {
+    val n = x.rows
+    val p = x.cols
+    val beta = DenseVector(fit.beta)
+    val eta = x * beta
+    val mu = family match {
+      case Glm.Gaussian => eta
+      case Glm.Binomial => eta.map(e => 1.0 / (1.0 + math.exp(-e)))
+    }
+    val v = varianceAt(x, fit, family)
+    val mInv = inv(weightedGram(x, design.weights, v))
+
+    final class StratAcc {
+      val s = DenseVector.zeros[Double](p)
+      val f = DenseVector.zeros[Double](p)
+      val g = DenseMatrix.zeros[Double](p, p)
+      var sumFh2 = 0.0
+    }
+    val acc = scala.collection.mutable.LinkedHashMap[String, StratAcc]()
+    val popMean = DenseVector.zeros[Double](p)
+    val haveFpc = design.rowFpc.nonEmpty
+    var i = 0
+    while (i < n) {
+      val r = design.weights(i) * (y(i) - mu(i))
+      val u = DenseVector.tabulate(p)(j => r * x(i, j))
+      popMean += u
+      val fh2 = if (haveFpc) 1.0 - design.rowFpc(i) else 1.0
+      val a = acc.getOrElseUpdate(design.strat(i), new StratAcc)
+      a.s += u
+      a.f += u * fh2
+      var aa = 0
+      while (aa < p) {
+        var bb = 0
+        while (bb < p) { a.g(aa, bb) += fh2 * u(aa) * u(bb); bb += 1 }
+        aa += 1
+      }
+      a.sumFh2 += fh2
+      i += 1
+    }
+    popMean :/= n.toDouble
+
+    val totals = design.stratumTotalsFull
+    val scale2 =
+      if (design.hasStrata && design.singleCluster == "average") {
+        val nSingle = totals.count(_._2._1 == 1L)
+        design.nStrat.toDouble / (design.nStrat - nSingle).toDouble
+      } else 1.0
+    val vHat = DenseMatrix.zeros[Double](p, p)
+    totals.foreach { case (s, (nh, sumFh2Full)) =>
+      val a = acc.getOrElse(s, new StratAcc)
+      val c =
+        if (design.hasStrata && nh == 1L && design.singleCluster == "adjust") popMean
+        else a.s / nh.toDouble
+      val mh2 = if (nh > 1L) nh.toDouble / (nh - 1.0) else 1.0
+      val w = mh2 * scale2
+      var aa = 0
+      while (aa < p) {
+        var bb = 0
+        while (bb < p) {
+          vHat(aa, bb) += w * (a.g(aa, bb) - a.f(aa) * c(bb) - c(aa) * a.f(bb) +
+            sumFh2Full * c(aa) * c(bb))
+          bb += 1
+        }
+        aa += 1
       }
     }
     mInv * vHat * mInv

@@ -141,6 +141,30 @@ class WeightedAssociationSpec extends SparkSpec {
     }
   }
 
+  test("nhanes_weightsonly through co-group: golden parity, no row-scale collect") {
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_data.csv"))
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeBinary(cf, only = Some(Seq("HI_CHOL", "RIAGENDR")))
+    cf = Modify.makeCategorical(cf, only = Some(Seq("race", "agecat")))
+    val design = new SurveyDesignSpec(cf.df, "id", singleWeight = Some("WTMEC2YR"))
+    val data = Modify.colfilter(cf, only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
+    val g = golden(refPath("r_test_output/analyze/nhanes_weightsonly_result.csv"))
+    Seq(("race", Seq("agecat", "RIAGENDR")), ("RIAGENDR", Seq("race", "agecat")))
+      .foreach { case (rv, covars) =>
+        val res = AssociationStudy.run(spark, data, outcomes = Seq("HI_CHOL"),
+          covariates = covars, regressionVariables = Seq(rv),
+          surveyDesign = Some(design), broadcastBase = Some(false))
+        checkRow(res, rv, g(rv))
+      }
+    // the no-cluster design must reach the kernel through the O(#strata)
+    // stratum totals, never a per-pseudo-PSU map or an id-aligned collect
+    assert(!design.wasCollectedForBroadcast,
+      "no-cluster co-group run must not materialize the design on the driver")
+    assert(design.stratForClust.isEmpty && design.fpcPerClust.isEmpty,
+      "no-cluster designs must not build per-pseudo-cluster maps")
+    assert(design.stratumTotals.values.map(_._1).sum === 8591L) // rows = PSUs
+  }
+
   Seq("certainty", "adjust", "average").foreach { mode =>
     test(s"nhanes_lonely $mode: lonely-PSU handling") {
       val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_lonely_data.csv"))
