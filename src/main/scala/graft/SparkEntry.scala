@@ -423,6 +423,27 @@ object SparkEntry {
           round(avg("o_totalprice"), 4).as("avg_weight"))
         .orderBy("strat")),
 
+    "genotype_maf_describe" -> ((s, dir) => {
+      // diploid calls synthesized deterministically from lineitem ints ->
+      // Genotypes.describeMaf (ONE stack melt + ONE grouped aggregation);
+      // DuckDB replays the identical alt-count arithmetic
+      val li = t(s, dir, "lineitem")
+      val calls = li.select(
+        xxhash64(li.columns.map(col): _*).as("id"),
+        array((col("l_linenumber") % 2).cast("int"),
+          (col("l_suppkey") % 2).cast("int")).as("g1"),
+        array((col("l_partkey") % 2).cast("int"),
+          (col("l_orderkey") % 2).cast("int")).as("g2"))
+      val cf = CladeFrame(calls).withTypes(Map(
+        "g1" -> (graft.model.VariableType.Genotype: graft.model.VariableType),
+        "g2" -> (graft.model.VariableType.Genotype: graft.model.VariableType)))
+      graft.genomics.Genotypes.describeMaf(cf)
+        .select(col("variable"), col("n_obs"), col("n_hom_ref"), col("n_het"),
+          col("n_hom_alt"), col("n_missing"),
+          round(col("alt_freq"), 6).as("alt_freq"), round(col("maf"), 6).as("maf"))
+        .orderBy("variable")
+    }),
+
     // ---- streaming-shaped custom state: gap sessionization
     "sessionize_events" -> ((s, dir) => {
       import s.implicits._
@@ -881,6 +902,21 @@ object SparkEntry {
       """SELECT o_orderpriority AS strat, count(DISTINCT o_custkey % 20) AS n_clusters,
          count(*) AS n_rows, round(avg(o_totalprice), 4) AS avg_weight
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "genotype_maf_describe" ->
+      """WITH melted AS (
+           SELECT 'g1' AS variable, (l_linenumber % 2) + (l_suppkey % 2) AS ac FROM lineitem
+           UNION ALL
+           SELECT 'g2' AS variable, (l_partkey % 2) + (l_orderkey % 2) AS ac FROM lineitem)
+         SELECT variable,
+           CAST(count(ac) AS BIGINT) AS n_obs,
+           CAST(sum(CASE WHEN ac = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_ref,
+           CAST(sum(CASE WHEN ac = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+           CAST(sum(CASE WHEN ac = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_alt,
+           CAST(0 AS BIGINT) AS n_missing,
+           round(sum(ac) / (2.0 * count(ac)), 6) AS alt_freq,
+           round(least(sum(ac) / (2.0 * count(ac)), 1 - sum(ac) / (2.0 * count(ac))), 6) AS maf
+         FROM melted GROUP BY variable ORDER BY variable""",
 
     "sessionize_events" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep

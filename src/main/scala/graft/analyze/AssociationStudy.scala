@@ -119,9 +119,10 @@ object AssociationStudy {
       broadcastBase: Option[Boolean] = None,
       encoding: String = "additive",
       edgeEncodingInfo: Option[DataFrame] = None,
-      regressionKind: Option[String] = None): DataFrame = {
+      regressionKind: Option[String] = None,
+      variantInfo: Map[String, graft.genomics.Genotypes.VariantInfo] = Map.empty): DataFrame = {
     import spark.implicits._
-    val cf = graft.genomics.Genotypes.encodeForStudy(cf0, encoding, edgeEncodingInfo)
+    val cf = graft.genomics.Genotypes.encodeForStudy(cf0, encoding, edgeEncodingInfo, variantInfo)
     val rvs =
       if (regressionVariables.nonEmpty) regressionVariables
       else cf.variables.filterNot((outcomes ++ covariates).toSet)

@@ -65,10 +65,11 @@ object InteractionStudy {
       reportBetas: Boolean = false,
       broadcastBase: Option[Boolean] = None,
       encoding: String = "additive",
-      edgeEncodingInfo: Option[DataFrame] = None): DataFrame = {
+      edgeEncodingInfo: Option[DataFrame] = None,
+      variantInfo: Map[String, graft.genomics.Genotypes.VariantInfo] = Map.empty): DataFrame = {
     import spark.implicits._
     require(interactions.nonEmpty, "no interaction pairs")
-    val cf = graft.genomics.Genotypes.encodeForStudy(cf0, encoding, edgeEncodingInfo)
+    val cf = graft.genomics.Genotypes.encodeForStudy(cf0, encoding, edgeEncodingInfo, variantInfo)
     // auto path selection from the projected block's plan-stats estimate
     // (outcome + covars + every interaction var is what the broadcast path
     // collects); the flag stays as an explicit override

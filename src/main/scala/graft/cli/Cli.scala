@@ -263,6 +263,17 @@ object Cli {
           Dedup.resolveKeepers(Dedup.components(verified))
         case "text-features" =>
           Text.langId(Text.qualityFeatures(df, txt), txt)
+        case "genotype-maf" =>
+          // MAF describe over array<int> call columns (--cols to restrict)
+          import org.apache.spark.sql.types.{ArrayType, IntegerType}
+          val genoCols = flag(rest, "--cols").map(_.split(",").toSeq).getOrElse(
+            df.schema.fields.collect {
+              case f if f.dataType == ArrayType(IntegerType) ||
+                f.dataType == ArrayType(IntegerType, containsNull = true) => f.name
+            }.toSeq)
+          val cf = graft.model.CladeFrame(df).withTypes(genoCols.map(c =>
+            c -> (graft.model.VariableType.Genotype: graft.model.VariableType)).toMap)
+          graft.genomics.Genotypes.describeMaf(cf, only = Some(genoCols))
         case "ann-index" =>
           // build-once index: train the coarse quantizer, persist the
           // centroid table, and emit the assignment partitioned by list_id
@@ -317,7 +328,7 @@ object Cli {
       |  plot histogram|distributions|qq|manhattan <in> <outDir> [--column c] [--bins N] [--n N]
       |  analyze association-study <in> <outDir> --outcome y [--covariates a,b] [--min-n N]
       |  analyze get-significant|top-results <in.tsv> <outDir> [--cutoff a] [--n N]
-      |  pipeline dedup-exact|dedup-minhash|text-features|ann-topk <in.parquet> <out.parquet>
+      |  pipeline dedup-exact|dedup-minhash|text-features|genotype-maf|ann-topk <in.parquet> <out.parquet>
       |    [--id c] [--text c] [--vec c] [--threshold t] [--k N] [--queries p] [--model idxDir] [--probe N]
       |  pipeline ann-index <in.parquet> <outIndexDir> [--vec c] [--lists N]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]

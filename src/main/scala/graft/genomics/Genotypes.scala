@@ -75,6 +75,68 @@ object Genotypes {
     cf.copy(df = df, types = cf.types ++ newTypes, levels = cf.levels ++ newLevels)
   }
 
+  /** Variant metadata carried alongside a genotype COLUMN — the Spark-native
+    * analogue of the variant object inside pandas-genomics' GenotypeDtype
+    * (reference context: glm_regression.py:364-384, where EDGE bookkeeping
+    * and MAF summaries read it). Keyed by column name in an
+    * O(#variant-columns) driver map: variant metadata is schema-scale,
+    * never data-scale. */
+  final case class VariantInfo(variantId: String, chrom: String, pos: Long,
+                               ref: String, alt: String)
+
+  /** MAF + genotype-count describe over genotype columns: ONE stack
+    * generator melts every column to (variable, call) and ONE grouped
+    * aggregation produces the table — no per-column pass and no wide-agg
+    * codegen cliff at genomic width. Output per variant: call counts,
+    * alt-allele frequency, minor-allele frequency, plus (variant_id, chrom,
+    * pos, ref, alt) when variant info is provided. */
+  def describeMaf(cf: CladeFrame,
+                  variantInfo: Map[String, VariantInfo] = Map.empty,
+                  only: Option[Seq[String]] = None): DataFrame = {
+    val all = cf.variablesOfType(VariableType.Genotype)
+    val cols = only.map(sel => all.filter(sel.contains)).getOrElse(all)
+    require(cols.nonEmpty, "no genotype variables to describe")
+    val melted = cf.df.selectExpr(
+      s"stack(${cols.size}, ${cols.map(c => s"'$c', `$c`").mkString(", ")}) AS (variable, g)")
+    val agg = melted.select(col("variable"), altCount(col("g")).as("ac"))
+      .groupBy("variable").agg(
+        count(lit(1)).as("n_total"),
+        count(col("ac")).as("n_obs"),
+        sum(when(col("ac") === 0, 1L).otherwise(0L)).as("n_hom_ref"),
+        sum(when(col("ac") === 1, 1L).otherwise(0L)).as("n_het"),
+        sum(when(col("ac") === 2, 1L).otherwise(0L)).as("n_hom_alt"),
+        sum(col("ac")).as("alt_alleles"))
+      .withColumn("n_missing", col("n_total") - col("n_obs"))
+      .withColumn("alt_freq",
+        col("alt_alleles").cast("double") / (lit(2.0) * col("n_obs")))
+      .withColumn("maf", least(col("alt_freq"), lit(1.0) - col("alt_freq")))
+      .drop("n_total")
+    val out =
+      if (variantInfo.isEmpty) agg
+      else {
+        val spark = cf.df.sparkSession
+        import spark.implicits._
+        val infoDf = cols.flatMap(c => variantInfo.get(c).map(vi =>
+          (c, vi.variantId, vi.chrom, vi.pos, vi.ref, vi.alt)))
+          .toDF("variable", "variant_id", "chrom", "pos", "ref", "alt")
+        agg.join(broadcast(infoDf), Seq("variable"), "left")
+      }
+    out.orderBy("variable")
+  }
+
+  /** EDGE alpha lookup keyed by VARIANT ID with column-name fallback: the
+    * reference's encoding_info table carries variant ids from the genotype
+    * dtype, not DataFrame column names. */
+  def edgeAlphasFor(info: DataFrame, variantInfo: Map[String, VariantInfo],
+                    genoCols: Seq[String]): Map[String, Double] = {
+    val byId = edgeAlphasFrom(info)
+    genoCols.flatMap { c =>
+      byId.get(variantInfo.get(c).map(_.variantId).getOrElse(c))
+        .orElse(byId.get(c))
+        .map(c -> _)
+    }.toMap
+  }
+
   /** Parse the reference's EDGE weights-table contract: one row per variant
     * with columns "Variant ID" and "Alpha Value" (pandas-genomics
     * `encode_edge(encoding_info)`; reference: glm_regression.py:383-384).
@@ -96,14 +158,24 @@ object Genotypes {
     * any genotype-kind columns before fitting; a no-op on frames without
     * genotypes. */
   def encodeForStudy(cf: CladeFrame, encoding: String,
-                     edgeEncodingInfo: Option[DataFrame]): CladeFrame = {
-    if (cf.variablesOfType(VariableType.Genotype).isEmpty) cf
+                     edgeEncodingInfo: Option[DataFrame],
+                     variantInfo: Map[String, VariantInfo] = Map.empty): CladeFrame = {
+    val genoCols = cf.variablesOfType(VariableType.Genotype)
+    if (genoCols.isEmpty) cf
     else if (encoding == "edge") {
       val info = edgeEncodingInfo.getOrElse(throw new IllegalArgumentException(
         "'edge_encoding_info' must be provided when using edge encoding"))
-      encode(cf, "edge", edgeAlphasFrom(info))
+      encode(cf, "edge", edgeAlphasFor(info, variantInfo, genoCols))
     } else encode(cf, encoding)
   }
+
+  /** Deterministic variant metadata for [[simulateCaseControl]]'s SNPs —
+    * the simulator's companion table for MAF/EDGE bookkeeping tests. */
+  def simulatedVariantInfo(nSnps: Int): Map[String, VariantInfo] =
+    (0 until nSnps).map { s =>
+      s"SNP$s" -> VariantInfo(s"rs${1000 + s}", ((s % 22) + 1).toString,
+        10000L + 137L * s, "A", "G")
+    }.toMap
 
   /** Seeded case/control genotype simulator (a BAMS-like generator,
     * reference fixture: tests/analyze/conftest.py:47-119): `nSnps` random
@@ -123,7 +195,13 @@ object Genotypes {
     import spark.implicits._
     val rows = spark.range(nSamples).as[Long].mapPartitions { it =>
       it.map { i =>
-        val rnd = new scala.util.Random(seed * 1000003L + i)
+        // splitmix64-scramble the per-row seed: java.util.Random's first
+        // draws from SEQUENTIAL seeds are correlated, which visibly biased
+        // the first SNP's allele frequency (0.22 observed for maf=0.3)
+        var z = seed * 1000003L + i + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        val rnd = new scala.util.Random(z ^ (z >>> 31))
         val genos = Array.tabulate(nSnps) { _ =>
           Array(
             if (rnd.nextDouble() < maf) 1 else 0,

@@ -6,13 +6,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (driver mandate): image/audio/video payloads
   * as opaque `binary` columns with typed metadata, plus the batch-shaped
-  * decode/feature-extract hooks a real pipeline plugs decoders into.
+  * decode/feature-extract kernels.
   *
-  * The image/audio codec libraries are not in this container, so the decode
-  * kernel itself is a clearly-marked deterministic STUB — everything
-  * Spark-side (schema, batching, partition sizing, null handling, the
-  * mapPartitions fan-out shape) is real and tested. A production decoder
-  * replaces `stubDecode` only.
+  * IMAGE payloads (PNG/JPEG/GIF/BMP) decode for REAL through the JDK's
+  * bundled `javax.imageio` readers — no external codec libs needed — into
+  * pixel-statistics features. Audio/video codecs are not in this
+  * container, so non-image payloads fall back to a clearly-marked
+  * deterministic STUB; everything Spark-side (schema, batching, partition
+  * sizing, null handling, the mapPartitions fan-out shape) is identical
+  * for both kernels.
   */
 object Multimodal {
 
@@ -30,13 +32,55 @@ object Multimodal {
       sha2(col(binCol), 256).as("sha256"),
       lit(mime).as("mime")))
 
-  /** STUB decoder: a real implementation would decode the media bytes
-    * (e.g. JPEG → HxWxC tensor) inside this per-partition batch loop. The
-    * stub emits a deterministic 8-dim "feature" derived from the payload
-    * bytes so downstream plumbing (schema, joins, ANN) is exercised
-    * honestly. Marked intentionally: replace for production. */
+  /** Real image decoder via the JDK's bundled ImageIO readers. Returns the
+    * 8-dim feature vector [width, height, bands, meanR, meanG, meanB,
+    * lumaMean, lumaStd] (channel means in [0,1]); None when the payload is
+    * not a decodable image (magic-byte gate first, so non-image bytes
+    * never pay a decode attempt). Runs inside the per-partition batch
+    * loop of [[extractFeatures]]. */
+  def decodeImage(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.length < 8) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    val isPng = b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    val isJpg = b(0) == 0xff && b(1) == 0xd8
+    val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+    val isBmp = b(0) == 'B' && b(1) == 'M'
+    if (!(isPng || isJpg || isGif || isBmp)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val px = img.getRGB(0, 0, w, h, null, 0, w) // packed ARGB
+      val n = px.length.toDouble
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        val r = ((p >> 16) & 0xff) / 255.0
+        val g = ((p >> 8) & 0xff) / 255.0
+        val bl = (p & 0xff) / 255.0
+        val luma = 0.299 * r + 0.587 * g + 0.114 * bl
+        sr += r; sg += g; sb += bl; sl += luma; sl2 += luma * luma
+        i += 1
+      }
+      val lm = sl / n
+      val lvar = math.max(sl2 / n - lm * lm, 0.0)
+      Some(Array(w.toFloat, h.toFloat, img.getRaster.getNumBands.toFloat,
+        (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        lm.toFloat, math.sqrt(lvar).toFloat))
+    } catch { case _: Exception => None }
+  }
+
+  /** STUB decoder for non-image media: a real implementation would decode
+    * audio/video bytes inside the same per-partition batch loop (the codec
+    * libs are not in this container). The stub emits a deterministic 8-dim
+    * "feature" derived from the payload bytes so downstream plumbing
+    * (schema, joins, ANN) is exercised honestly. Marked intentionally:
+    * replace for production. */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake features below
+    // ??? <- real audio/video codec goes here; deterministic fake features
     val out = new Array[Float](8)
     var i = 0
     while (i < bytes.length) {
@@ -55,9 +99,13 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init happens HERE (codec/model load in production)
+        // per-partition init happens HERE (codec/model load in production);
+        // disabling ImageIO's temp-file cache keeps decode fully in-memory
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          (id, if (bytes == null) null else stubDecode(bytes))
+          (id,
+            if (bytes == null) null
+            else decodeImage(bytes).getOrElse(stubDecode(bytes)))
         }
       }
       .toDF("id", "features")

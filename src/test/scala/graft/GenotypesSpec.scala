@@ -84,6 +84,57 @@ class GenotypesSpec extends SparkSpec {
     assert(inter.getDouble(inter.fieldIndex("LRT_pvalue")) < 0.01)
   }
 
+  test("describeMaf: MAF matches the simulator's allele frequency; variant info rides along") {
+    val nSnps = 3
+    val cf = Genotypes.simulateCaseControl(spark, nSamples = 4000, nSnps = nSnps,
+      maf = 0.3, seed = 11L)
+    val info = Genotypes.simulatedVariantInfo(nSnps)
+    val rows = Genotypes.describeMaf(cf, info).collect()
+    assert(rows.length === nSnps)
+    rows.foreach { r =>
+      val v = r.getString(r.fieldIndex("variable"))
+      // simulator draws each allele alt with p=0.3 -> alt_freq ~ 0.3
+      val af = r.getDouble(r.fieldIndex("alt_freq"))
+      assert(math.abs(af - 0.3) < 0.03, s"$v alt_freq $af")
+      assert(r.getDouble(r.fieldIndex("maf")) === math.min(af, 1 - af))
+      assert(r.getLong(r.fieldIndex("n_obs")) === 4000L)
+      assert(r.getLong(r.fieldIndex("n_missing")) === 0L)
+      // hom/het counts partition n_obs
+      assert(r.getLong(r.fieldIndex("n_hom_ref")) + r.getLong(r.fieldIndex("n_het")) +
+        r.getLong(r.fieldIndex("n_hom_alt")) === 4000L)
+      assert(r.getString(r.fieldIndex("variant_id")) === info(v).variantId)
+      assert(r.getString(r.fieldIndex("chrom")) === info(v).chrom)
+    }
+    // MAF is the MINOR allele frequency even when alt is the major allele
+    val cfMajor = Genotypes.simulateCaseControl(spark, nSamples = 2000, nSnps = 1,
+      maf = 0.8, seed = 12L)
+    val major = Genotypes.describeMaf(cfMajor).collect().head
+    val afM = major.getDouble(major.fieldIndex("alt_freq"))
+    assert(afM > 0.5 && major.getDouble(major.fieldIndex("maf")) === 1 - afM)
+  }
+
+  test("EDGE weights join by variant id (column-name fallback preserved)") {
+    import spark.implicits._
+    val nSnps = 2
+    val cf = Genotypes.simulateCaseControl(spark, nSamples = 800, nSnps = nSnps,
+      effectSnps = Map(0 -> 0.8), seed = 13L)
+    val info = Genotypes.simulatedVariantInfo(nSnps) // SNP0 -> rs1000, SNP1 -> rs1001
+    // weights table keyed by VARIANT ID, as pandas-genomics emits it
+    val byId = Seq(("rs1000", 0.55), ("rs1001", 0.35)).toDF("Variant ID", "Alpha Value")
+    val alphas = Genotypes.edgeAlphasFor(byId, info, Seq("SNP0", "SNP1"))
+    assert(alphas === Map("SNP0" -> 0.55, "SNP1" -> 0.35))
+    // column-name fallback still works when no variant info exists
+    val byName = Seq(("SNP0", 0.5), ("SNP1", 0.4)).toDF("Variant ID", "Alpha Value")
+    assert(Genotypes.edgeAlphasFor(byName, Map.empty, Seq("SNP0", "SNP1"))
+      === Map("SNP0" -> 0.5, "SNP1" -> 0.4))
+    // end-to-end: the study runner resolves alphas through the id keyed table
+    val res = AssociationStudy.run(spark, cf, outcomes = Seq("Outcome"),
+      regressionVariables = Seq("SNP0", "SNP1"), minN = 10,
+      encoding = "edge", edgeEncodingInfo = Some(byId), variantInfo = info)
+      .collect()
+    assert(res.length === 2 && res.forall(!_.isNullAt(res.head.fieldIndex("pvalue"))))
+  }
+
   test("Case/Control outcome ordering: Control is the reference level") {
     val cf = Genotypes.simulateCaseControl(spark, nSamples = 500, nSnps = 1,
       effectSnps = Map(0 -> 1.0))

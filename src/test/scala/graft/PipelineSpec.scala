@@ -174,6 +174,41 @@ class PipelineSpec extends SparkSpec {
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 3))
   }
 
+  test("multimodal: PNG/JPEG payloads decode to REAL pixel statistics via ImageIO") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val red = png(4, 2, 0xff0000)         // pure red
+    val gray = png(3, 3, 0x808080)        // uniform mid-gray
+    val notAnImage = "hello".getBytes("UTF-8")
+    val df = Seq((1L, red), (2L, gray), (3L, notAnImage)).toDF("doc_id", "payload")
+    val f = Multimodal.extractFeatures(spark, df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // red 4x2: [w, h, bands, meanR, meanG, meanB, lumaMean, lumaStd]
+    assert(f(1L)(0) === 4.0f && f(1L)(1) === 2.0f && f(1L)(2) === 3.0f)
+    assertRtol(f(1L)(3), 1.0, 1e-6, "meanR")
+    assert(f(1L)(4) === 0.0f && f(1L)(5) === 0.0f)
+    assertRtol(f(1L)(6), 0.299, 1e-6, "luma of pure red")
+    assert(f(1L)(7) === 0.0f, "uniform image has zero luma std")
+    assertRtol(f(2L)(3), 128.0 / 255.0, 1e-6, "gray mean")
+    assert(f(2L)(7) === 0.0f)
+    // non-image payloads keep the deterministic stub features
+    assert(f(3L) === Multimodal.stubDecode(notAnImage).toSeq)
+    // and a JPEG round-trip decodes through the same path
+    val jimg = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jb)
+    val jf = Multimodal.decodeImage(jb.toByteArray)
+    assert(jf.isDefined && jf.get(0) === 2.0f && jf.get(1) === 2.0f)
+  }
+
   test("native cosine_similarity expression: eval, codegen, SQL, parity with HOF version") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
