@@ -438,7 +438,7 @@ object Modify {
       (0 until k).iterator.collect {
         case i if !r.isNullAt(i) && !r.getDouble(i).isNaN => (i, r.getDouble(i))
       }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // pandas drops NaN/null per column; counts define each column's n
     val countMap = pairs.map(_._1).countByValue()
