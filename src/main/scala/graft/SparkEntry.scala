@@ -576,6 +576,27 @@ object SparkEntry {
         .select(col("doc_id"), col("pred_lang"))
         .orderBy("doc_id")),
 
+    "text_gopher_quality" -> ((s, dir) =>
+      Text.gopherQualityFlags(t(s, dir, "documents").filter(col("doc_id") < 100),
+          "text", minWords = 25)
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("alpha_word_ratio"), 6).as("alpha_word_ratio"),
+          round(col("bullet_line_ratio"), 6).as("bullet_line_ratio"),
+          round(col("ellipsis_line_ratio"), 6).as("ellipsis_line_ratio"),
+          col("n_req_stopwords"), col("gopher_keep"))
+        .orderBy("doc_id")),
+
+    "text_repetition" -> ((s, dir) =>
+      Text.repetitionSignals(t(s, dir, "documents").filter(col("doc_id") < 100), "text")
+        .select(col("doc_id"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("dup_para_frac"), 6).as("dup_para_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")),
+
     // ---- multimodal plumbing (driver mandate; decode kernel stubbed)
     "multimodal_meta" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -1045,6 +1066,67 @@ object SparkEntry {
                 WHEN s_de = mx THEN 'de' WHEN s_fr = mx THEN 'fr'
                 ELSE 'zh' END AS pred_lang
          FROM m ORDER BY doc_id""",
+
+    "text_gopher_quality" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0) AS words,
+             list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines
+           FROM documents WHERE doc_id < 100),
+         sig AS (
+           SELECT doc_id,
+             CAST(len(words) AS INT) AS n_words,
+             CASE WHEN len(words) > 0 THEN CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE) / len(words) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(words) > 0 THEN CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(words) ELSE 0.0 END AS symbol_word_ratio,
+             CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_word_ratio,
+             CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / len(lines) ELSE 0.0 END AS bullet_line_ratio,
+             CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE) / len(lines) ELSE 0.0 END AS ellipsis_line_ratio,
+             CAST(CAST(list_contains(list_transform(words, w -> lower(w)), 'the') AS INT)
+               + CAST(list_contains(list_transform(words, w -> lower(w)), 'be') AS INT)
+               + CAST(list_contains(list_transform(words, w -> lower(w)), 'to') AS INT)
+               + CAST(list_contains(list_transform(words, w -> lower(w)), 'of') AS INT)
+               + CAST(list_contains(list_transform(words, w -> lower(w)), 'and') AS INT)
+               + CAST(list_contains(list_transform(words, w -> lower(w)), 'that') AS INT)
+               + CAST(list_contains(list_transform(words, w -> lower(w)), 'have') AS INT)
+               + CAST(list_contains(list_transform(words, w -> lower(w)), 'with') AS INT) AS INT) AS n_req_stopwords
+           FROM base)
+         SELECT doc_id, n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(symbol_word_ratio, 6) AS symbol_word_ratio,
+           round(alpha_word_ratio, 6) AS alpha_word_ratio,
+           round(bullet_line_ratio, 6) AS bullet_line_ratio,
+           round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
+           n_req_stopwords,
+           (n_words BETWEEN 25 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_word_ratio < 0.1 AND alpha_word_ratio >= 0.8
+             AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
+             AND n_req_stopwords >= 2) AS gopher_keep
+         FROM sig ORDER BY doc_id""",
+
+    "text_repetition" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+             list_filter(string_split_regex(text, '\n{2,}'), p -> len(trim(p)) > 0) AS paras,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS words
+           FROM documents WHERE doc_id < 100),
+         bg AS (
+           SELECT doc_id, lines, paras,
+             list_filter(list_transform(words, (w, i) ->
+               CASE WHEN i < len(words) THEN w || ' ' || list_extract(words, i + 1) END),
+               x -> x IS NOT NULL) AS bigrams
+           FROM base)
+         SELECT doc_id,
+           round(CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
+           round(CASE WHEN list_sum(list_transform(lines, l -> len(l))) > 0
+             THEN CAST(list_sum(list_transform(lines, l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1 THEN len(l) ELSE 0 END)) AS DOUBLE)
+               / list_sum(list_transform(lines, l -> len(l)))
+             ELSE 0.0 END, 6) AS dup_line_char_frac,
+           round(CASE WHEN len(paras) > 0 THEN 1.0 - CAST(len(list_distinct(paras)) AS DOUBLE) / len(paras) ELSE 0.0 END, 6) AS dup_para_frac,
+           round(CASE WHEN len(bigrams) > 0
+             THEN CAST(list_max(list_transform(list_distinct(bigrams), b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE) / len(bigrams)
+             ELSE 0.0 END, 6) AS top_bigram_frac
+         FROM bg ORDER BY doc_id""",
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, 'text/plain' AS mime

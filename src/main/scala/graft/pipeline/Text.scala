@@ -84,6 +84,89 @@ object Text {
       .drop(langMarkers.map { case (l, _) => s"score_$l" }: _*)
   }
 
+  /** Gopher-style document-quality rules (Rae et al. 2021 §A1.1, public):
+    * per-document signals plus the keep/reject decision, as pure codegen'd
+    * column algebra — per-row, zero shuffle, replayable in SQL. Signals:
+    * word count bounds, mean word length bounds, symbol-to-word ratio
+    * (# and ellipsis), bullet-line and ellipsis-line ratios, fraction of
+    * words containing an alphabetic character, and the count of required
+    * English stop words present. */
+  def gopherQualityFlags(df: DataFrame, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val wordChars = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x)
+    val meanWordLen = when(nWords > 0, wordChars.cast("double") / nWords).otherwise(0.0)
+    val symbols = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+    val symbolRatio = when(nWords > 0, symbols.cast("double") / nWords).otherwise(0.0)
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val alphaRatio = when(nWords > 0, alphaWords.cast("double") / nWords).otherwise(0.0)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+    val bulletRatio = when(nLines > 0, bulletLines.cast("double") / nLines).otherwise(0.0)
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+    val ellipsisRatio = when(nLines > 0, ellipsisLines.cast("double") / nLines).otherwise(0.0)
+    val lw = transform(words, w => lower(w))
+    val reqStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => array_contains(lw, w).cast("int")).reduce(_ + _)
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("symbol_word_ratio", symbolRatio)
+      .withColumn("alpha_word_ratio", alphaRatio)
+      .withColumn("bullet_line_ratio", bulletRatio)
+      .withColumn("ellipsis_line_ratio", ellipsisRatio)
+      .withColumn("n_req_stopwords", reqStops)
+      .withColumn("gopher_keep",
+        nWords.between(minWords, maxWords) &&
+          meanWordLen.between(3.0, 10.0) &&
+          symbolRatio < 0.1 &&
+          alphaRatio >= 0.8 &&
+          bulletRatio <= 0.9 &&
+          ellipsisRatio <= 0.3 &&
+          reqStops >= 2)
+  }
+
+  /** Repetition signals (Gopher §A1.1 repetition filters): duplicate
+    * line/paragraph fractions, duplicate-line character fraction, and the
+    * most-frequent word-bigram coverage. All per-row higher-order-function
+    * algebra — the quadratic occurrence counts run over ONE document's
+    * lines/bigrams, never across rows, so the operator stays a zero-shuffle
+    * projection at any corpus size. */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val dupLineFrac = when(nLines > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / nLines).otherwise(0.0)
+    val lineChars = aggregate(transform(lines, l => length(l)), lit(0), (a, x) => a + x)
+    val dupLineChars = aggregate(
+      transform(lines, l =>
+        when(size(filter(lines, x => x === l)) > 1, length(l)).otherwise(0)),
+      lit(0), (a, x) => a + x)
+    val dupLineCharFrac = when(lineChars > 0,
+      dupLineChars.cast("double") / lineChars).otherwise(0.0)
+    val paras = filter(split(t, "\\n{2,}"), p => length(trim(p)) > 0)
+    val nParas = size(paras)
+    val dupParaFrac = when(nParas > 0,
+      lit(1.0) - size(array_distinct(paras)).cast("double") / nParas).otherwise(0.0)
+    val words = filter(split(lower(trim(t)), "\\s+"), w => length(w) > 0)
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", get(words, i), get(words, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topBigram = when(size(bigrams) > 0,
+      array_max(transform(array_distinct(bigrams),
+        b => size(filter(bigrams, x => x === b))))).otherwise(0)
+    val topBigramFrac = when(size(bigrams) > 0,
+      topBigram.cast("double") / size(bigrams)).otherwise(0.0)
+    df.withColumn("dup_line_frac", dupLineFrac)
+      .withColumn("dup_line_char_frac", dupLineCharFrac)
+      .withColumn("dup_para_frac", dupParaFrac)
+      .withColumn("top_bigram_frac", topBigramFrac)
+  }
+
   /** Rolling polynomial hash fingerprints (winnowing-style): hash every
     * k-gram of the normalized text, keep the minimum per window — a compact
     * near-dup signature. Deterministic, no library dependency. */

@@ -148,6 +148,32 @@ class PipelineSpec extends SparkSpec {
     assert(fp === fp2)
   }
 
+  test("gopher quality flags and repetition signals") {
+    import spark.implicits._
+    val good = ("the quick brown fox " * 10).trim + " and that have with be to of"
+    val listy = "- item one\n- item two\n- item three"
+    val repeated = "same line\nsame line\nother\n\npara\n\npara"
+    val df = Seq((1L, good), (2L, listy), (3L, repeated)).toDF("doc_id", "text")
+    val q = Text.gopherQualityFlags(df, "text", minWords = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getBoolean(q(1L).fieldIndex("gopher_keep")), "clean prose keeps")
+    assert(q(1L).getInt(q(1L).fieldIndex("n_req_stopwords")) >= 5)
+    assert(q(2L).getDouble(q(2L).fieldIndex("bullet_line_ratio")) === 1.0)
+    assert(!q(2L).getBoolean(q(2L).fieldIndex("gopher_keep")), "all-bullets rejects")
+    val rep = Text.repetitionSignals(df, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r3 = rep(3L)
+    // lines: [same line, same line, other, para, para] -> 1 - 3/5;
+    // duplicated-line chars (9+9+4+4) over all line chars (9+9+5+4+4)
+    assertRtol(r3.getDouble(r3.fieldIndex("dup_line_frac")), 0.4, 1e-9, "dup_line")
+    assertRtol(r3.getDouble(r3.fieldIndex("dup_line_char_frac")), 26.0 / 31, 1e-9, "dup_chars")
+    // paras: [same line\nsame line\nother, para, para] -> 1 - 2/3
+    assertRtol(r3.getDouble(r3.fieldIndex("dup_para_frac")), 1.0 / 3, 1e-9, "dup_para")
+    // "the quick" dominates the good doc's bigrams
+    assert(rep(1L).getDouble(rep(1L).fieldIndex("top_bigram_frac")) > 0.15)
+    assert(rep(2L).getDouble(rep(2L).fieldIndex("dup_line_frac")) === 0.0)
+  }
+
   test("rolling-hash min-sketch is deterministic and shift-robust") {
     val a = Text.rollingHashMinSketch("the quick brown fox jumps over the lazy dog")
     val b = Text.rollingHashMinSketch("the quick brown fox jumps over the lazy dog")
