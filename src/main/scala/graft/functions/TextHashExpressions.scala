@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hash signature expressions for the dedup operators.
+  *
+  * The round-2 implementations shingled/hashed through typed Dataset maps
+  * (`as[(String, String)].map`), which force a deserialization boundary and
+  * break whole-stage codegen around the scan. These expressions keep the
+  * signature computation inside the codegen'd projection; the generated
+  * code calls the SAME static kernels ([[graft.pipeline.Dedup]]) the tests
+  * assert against, so plan shape changes but numerics cannot.
+  */
+
+/** MinHash signature of a string: array<long> of per-function minima over
+  * the fmix64 hash family (the family rides in the plan as a reference
+  * object). */
+case class MinhashSignature(child: Expression, params: Array[Long], shingleK: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(graft.pipeline.Dedup.minhashSignatureWith(
+      v.asInstanceOf[UTF8String].toString, params, shingleK))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val paramsRef = ctx.addReferenceObj("params", params, "long[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.pipeline.Dedup.minhashSignatureWith($x.toString(), $paramsRef, $shingleK));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash of a string (sign-aggregated token hashes). */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(graft.pipeline.Dedup.simhash(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.pipeline.Dedup.simhash($x.toString());")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Distinct k-shingle polynomial hashes of a string: array<long> — the
+  * exact-Jaccard verification representation. */
+case class ShingleHashes(child: Expression, shingleK: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(graft.pipeline.Dedup.shingleHashSet(
+      v.asInstanceOf[UTF8String].toString, shingleK))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.pipeline.Dedup.shingleHashSet($x.toString(), $shingleK));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}

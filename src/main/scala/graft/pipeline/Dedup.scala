@@ -91,22 +91,38 @@ object Dedup {
     sig
   }
 
+  /** Distinct k-shingle polynomial hashes — the exact-Jaccard set
+    * representation (also the static kernel behind the native
+    * ShingleHashes expression). */
+  def shingleHashSet(text: String, k: Int): Array[Long] =
+    shingles(text, k).map(Text.polyHash).toArray.distinct
+
+  /** Register-and-call helper for the native signature expressions: the
+    * signature computation stays inside the codegen'd projection (a typed
+    * Dataset map would force a deserialization boundary around the scan). */
+  private def nativeCol(spark: SparkSession, fname: String,
+                        build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+                          org.apache.spark.sql.catalyst.expressions.Expression)(
+                        c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, build, "scala_udf")
+    call_function(fname, c)
+  }
+
   /** MinHash-LSH candidate pairs: documents sharing at least one band
     * bucket. Returns (id1, id2, estimated jaccard from full signatures),
     * id1 < id2, deduplicated. */
   def minhashCandidates(spark: SparkSession, df: DataFrame, textCol: String,
                         idCol: String, numHashes: Int = 64, bands: Int = 16,
                         shingleK: Int = 5, seed: Long = 42L): DataFrame = {
-    import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val params = hashParams(numHashes, seed) // computed ONCE, closure-captured
+    val params = hashParams(numHashes, seed) // computed ONCE, rides in the plan
+    val sigOf = nativeCol(spark, s"minhash_sig_${numHashes}_${shingleK}_$seed",
+      exprs => graft.functions.MinhashSignature(exprs.head, params, shingleK)) _
     // ids ride as strings: arbitrary id types survive without cast-to-null
     // crashes or '7'/'07'-style collisions
-    val sigs = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
-      .as[(String, String)]
-      .map { case (id, text) => (id, minhashSignatureWith(text, params, shingleK)) }
-      .toDF("id", "sig")
+    val sigs = df.select(col(idCol).cast("string").as("id"),
+      sigOf(col(textCol)).as("sig"))
     // band buckets: (band, hash(band slice)) — the ONLY shuffle
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
@@ -126,11 +142,10 @@ object Dedup {
     * verification stage after LSH (never run all-pairs). */
   def ngramJaccard(spark: SparkSession, docs: DataFrame, pairs: DataFrame,
                    textCol: String, idCol: String, shingleK: Int = 5): DataFrame = {
-    import spark.implicits._
-    val sets = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
-      .as[(String, String)]
-      .map { case (id, t) => (id, shingles(t, shingleK).map(Text.polyHash).toArray.distinct) }
-      .toDF("id", "sh")
+    val shOf = nativeCol(spark, s"shingle_hashes_$shingleK",
+      exprs => graft.functions.ShingleHashes(exprs.head, shingleK)) _
+    val sets = docs.select(col(idCol).cast("string").as("id"),
+      shOf(col(textCol)).as("sh"))
     pairs
       .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sets.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
@@ -232,9 +247,10 @@ object Dedup {
     * one of 4 16-bit bands (hamming distance <= 3 guaranteed recalled). */
   def simhashCandidates(spark: SparkSession, df: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
-    import spark.implicits._
-    val sigs = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
-      .as[(String, String)].map { case (id, t) => (id, simhash(t)) }.toDF("id", "sig")
+    val simOf = nativeCol(spark, "simhash64",
+      exprs => graft.functions.Simhash64(exprs.head)) _
+    val sigs = df.select(col(idCol).cast("string").as("id"),
+      simOf(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(expr("transform(sequence(0,3), b -> (sig >> (b*16)) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")

@@ -148,6 +148,15 @@ class PipelineSpec extends SparkSpec {
     assert(fp === fp2)
   }
 
+  test("native dedup signature expressions tolerate null text (no NPE)") {
+    import spark.implicits._
+    val df = Seq((1L, "some document text here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // null text yields no signature/banded rows — the old typed-map path NPE'd
+    assert(Dedup.minhashCandidates(spark, df, "text", "doc_id").count() === 0)
+    assert(Dedup.simhashCandidates(spark, df, "text", "doc_id").count() === 0)
+  }
+
   test("gopher quality flags and repetition signals") {
     import spark.implicits._
     val good = ("the quick brown fox " * 10).trim + " and that have with be to of"
