@@ -29,6 +29,19 @@ object EventStreams {
                            watermark: String = "2 hours"): DataFrame =
     tumblingCounts(events.withWatermark("ts", watermark), windowLen)
 
+  /** Streaming exact dedup: drop re-deliveries of the same key within the
+    * watermark horizon — the ingestion-side half of the dedup pipeline
+    * (the batch side dedups the corpus; this keeps an at-least-once event
+    * source from inflating it). `dropDuplicates` on (key, event-time)
+    * bounds its state table by the watermark, which is what makes it safe
+    * at an unbounded 100 TB stream — an unwatermarked dropDuplicates
+    * accumulates state forever. Works identically in batch mode (where it
+    * is a plain distinct-by-key). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Sessionization via the BUILT-IN `session_window` aggregation — the
     * "compose existing ops" preference when only aggregates per session are
     * needed (count/sum/min/max): Catalyst owns merging, watermarking, and

@@ -42,6 +42,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: re-delivered events within the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.dedupStream(streamDf, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(100000), 1L, "a", 1.0, "{}"),
+        (2L, ts(100100), 1L, "a", 2.0, "{}"),
+        (1L, ts(100000), 1L, "a", 1.0, "{}")) // same micro-batch duplicate
+      q.processAllAvailable()
+      // re-delivery in a LATER micro-batch, still within the watermark
+      mem.addData((2L, ts(100100), 1L, "a", 2.0, "{}"),
+        (3L, ts(100200), 1L, "a", 3.0, "{}"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L), "each event id exactly once")
+    } finally q.stop()
+  }
+
   test("sessionizeStream: open session closes on event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
