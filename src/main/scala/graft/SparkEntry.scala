@@ -447,7 +447,11 @@ object SparkEntry {
     // ---- streaming-shaped custom state: gap sessionization
     "sessionize_events" -> ((s, dir) => {
       import s.implicits._
-      EventStreams.sessionize(s, t(s, dir, "events"), gapSeconds = 1800)
+      // predicate BEFORE the stateful op: sessionization is per-user, so
+      // the user slice prunes the scan — Catalyst cannot push a filter
+      // through mapGroups itself (plan-audit finding, r3)
+      EventStreams.sessionize(s, t(s, dir, "events").filter(col("user_id") < 50),
+          gapSeconds = 1800)
         .groupByKey(_.user_id)
         .mapGroups((u, it) => {
           val ss = it.toSeq
