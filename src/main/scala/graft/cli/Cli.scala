@@ -262,7 +262,12 @@ object Cli {
           // full pipeline: candidates -> verify -> group -> keepers
           Dedup.resolveKeepers(Dedup.components(verified))
         case "text-features" =>
-          Text.langId(Text.qualityFeatures(df, txt), txt)
+          // full featurization: quality + language + Gopher rules +
+          // repetition signals in one projection chain (gopher's n_words
+          // recomputes the quality count on filtered tokens — last wins)
+          Text.repetitionSignals(
+            Text.gopherQualityFlags(
+              Text.langId(Text.qualityFeatures(df, txt), txt), txt), txt)
         case "genotype-maf" =>
           // MAF describe over array<int> call columns (--cols to restrict)
           import org.apache.spark.sql.types.{ArrayType, IntegerType}
