@@ -444,6 +444,16 @@ object SparkEntry {
         .orderBy("variable")
     }),
 
+    "dedup_stream_batch" -> ((s, dir) => {
+      // at-least-once re-delivery simulated by a self-union; the SAME
+      // transform that runs watermarked on a stream (EventStreams
+      // .dedupStream) dedups it in batch mode — one definition, two modes
+      val ev = t(s, dir, "events")
+      EventStreams.dedupStream(ev.unionAll(ev))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // ---- streaming-shaped custom state: gap sessionization
     "sessionize_events" -> ((s, dir) => {
       import s.implicits._
@@ -942,6 +952,11 @@ object SparkEntry {
            round(sum(ac) / (2.0 * count(ac)), 6) AS alt_freq,
            round(least(sum(ac) / (2.0 * count(ac)), 1 - sum(ac) / (2.0 * count(ac))), 6) AS maf
          FROM melted GROUP BY variable ORDER BY variable""",
+
+    "dedup_stream_batch" ->
+      """WITH uni AS (SELECT * FROM events UNION ALL SELECT * FROM events),
+         d AS (SELECT DISTINCT event_id, ts, event_type FROM uni)
+         SELECT event_type, count(*) AS n FROM d GROUP BY 1 ORDER BY 1""",
 
     "sessionize_events" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
