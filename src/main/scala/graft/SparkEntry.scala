@@ -1134,18 +1134,28 @@ object SparkEntry {
              list_filter(list_transform(words, (w, i) ->
                CASE WHEN i < len(words) THEN w || ' ' || list_extract(words, i + 1) END),
                x -> x IS NOT NULL) AS bigrams
-           FROM base)
-         SELECT doc_id,
-           round(CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
-           round(CASE WHEN list_sum(list_transform(lines, l -> len(l))) > 0
-             THEN CAST(list_sum(list_transform(lines, l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1 THEN len(l) ELSE 0 END)) AS DOUBLE)
-               / list_sum(list_transform(lines, l -> len(l)))
-             ELSE 0.0 END, 6) AS dup_line_char_frac,
-           round(CASE WHEN len(paras) > 0 THEN 1.0 - CAST(len(list_distinct(paras)) AS DOUBLE) / len(paras) ELSE 0.0 END, 6) AS dup_para_frac,
-           round(CASE WHEN len(bigrams) > 0
-             THEN CAST(list_max(list_transform(list_distinct(bigrams), b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE) / len(bigrams)
-             ELSE 0.0 END, 6) AS top_bigram_frac
-         FROM bg ORDER BY doc_id""",
+           FROM base),
+         lstats AS (
+           SELECT doc_id,
+             sum(CASE WHEN c > 1 THEN c * le ELSE 0 END) AS dup_chars,
+             sum(c * le) AS all_chars
+           FROM (SELECT doc_id, l, count(*) AS c, min(length(l)) AS le
+                 FROM (SELECT doc_id, unnest(lines) AS l FROM bg)
+                 GROUP BY doc_id, l)
+           GROUP BY doc_id),
+         bstats AS (
+           SELECT doc_id, max(c) AS top, sum(c) AS nb
+           FROM (SELECT doc_id, b, count(*) AS c
+                 FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg)
+                 GROUP BY doc_id, b)
+           GROUP BY doc_id)
+         SELECT g.doc_id,
+           round(CASE WHEN len(g.lines) > 0 THEN 1.0 - CAST(len(list_distinct(g.lines)) AS DOUBLE) / len(g.lines) ELSE 0.0 END, 6) AS dup_line_frac,
+           round(CASE WHEN coalesce(l.all_chars, 0) > 0 THEN CAST(l.dup_chars AS DOUBLE) / l.all_chars ELSE 0.0 END, 6) AS dup_line_char_frac,
+           round(CASE WHEN len(g.paras) > 0 THEN 1.0 - CAST(len(list_distinct(g.paras)) AS DOUBLE) / len(g.paras) ELSE 0.0 END, 6) AS dup_para_frac,
+           round(CASE WHEN coalesce(b.nb, 0) > 0 THEN CAST(b.top AS DOUBLE) / b.nb ELSE 0.0 END, 6) AS top_bigram_frac
+         FROM bg g LEFT JOIN lstats l USING (doc_id) LEFT JOIN bstats b USING (doc_id)
+         ORDER BY g.doc_id""",
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, 'text/plain' AS mime

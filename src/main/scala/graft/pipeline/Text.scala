@@ -128,12 +128,42 @@ object Text {
           reqStops >= 2)
   }
 
+  /** Most-frequent element count of a SORTED array: one linear pass over
+    * equal-adjacent runs (a distinct×filter count is O(n²) per document —
+    * 20s/query at sf0.1 document sizes before this). */
+  private def maxRunCount(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(0).as("best"), lit(0).as("run"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(greatest(acc.getField("best"), run).as("best"), run.as("run"),
+          x.as("prev"))
+      },
+      acc => acc.getField("best"))
+
+  /** Characters inside duplicated elements of a SORTED array (each element
+    * of a >1 run contributes its length), one linear pass. */
+  private def dupRunChars(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(0).as("tot"), lit(0).as("run"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        val add = when(run === 2, length(x) * 2)
+          .when(run > 2, length(x)).otherwise(lit(0))
+        struct((acc.getField("tot") + add).as("tot"), run.as("run"), x.as("prev"))
+      },
+      acc => acc.getField("tot"))
+
   /** Repetition signals (Gopher §A1.1 repetition filters): duplicate
     * line/paragraph fractions, duplicate-line character fraction, and the
     * most-frequent word-bigram coverage. All per-row higher-order-function
-    * algebra — the quadratic occurrence counts run over ONE document's
-    * lines/bigrams, never across rows, so the operator stays a zero-shuffle
-    * projection at any corpus size. */
+    * algebra — duplicate detection runs as sort + one linear run-scan per
+    * document (O(n log n), never the quadratic distinct×filter shape), so
+    * the operator stays a zero-shuffle projection at any corpus size. */
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
@@ -141,10 +171,7 @@ object Text {
     val dupLineFrac = when(nLines > 0,
       lit(1.0) - size(array_distinct(lines)).cast("double") / nLines).otherwise(0.0)
     val lineChars = aggregate(transform(lines, l => length(l)), lit(0), (a, x) => a + x)
-    val dupLineChars = aggregate(
-      transform(lines, l =>
-        when(size(filter(lines, x => x === l)) > 1, length(l)).otherwise(0)),
-      lit(0), (a, x) => a + x)
+    val dupLineChars = dupRunChars(array_sort(lines))
     val dupLineCharFrac = when(lineChars > 0,
       dupLineChars.cast("double") / lineChars).otherwise(0.0)
     val paras = filter(split(t, "\\n{2,}"), p => length(trim(p)) > 0)
@@ -156,9 +183,8 @@ object Text {
       transform(sequence(lit(0), size(words) - 2),
         i => concat_ws(" ", get(words, i), get(words, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val topBigram = when(size(bigrams) > 0,
-      array_max(transform(array_distinct(bigrams),
-        b => size(filter(bigrams, x => x === b))))).otherwise(0)
+    val topBigram = when(size(bigrams) > 0, maxRunCount(array_sort(bigrams)))
+      .otherwise(0)
     val topBigramFrac = when(size(bigrams) > 0,
       topBigram.cast("double") / size(bigrams)).otherwise(0.0)
     df.withColumn("dup_line_frac", dupLineFrac)
