@@ -79,8 +79,11 @@ object InteractionStudy {
         cf.df.select((outcome +: (covariates ++ allVars)).map(col): _*),
         nCols = 1 + covariates.size + allVars.size,
         maxBytes = AssociationStudy.broadcastBaseMax(cf)))
-    if (!useBroadcast)
+    if (!useBroadcast) {
+      AssociationStudy.wasCollectedForBroadcast = false
       return runCogroup(spark, cf, outcome, interactions, covariates, minN, reportBetas)
+    }
+    AssociationStudy.wasCollectedForBroadcast = true
     val outcomeType = cf.typeOf(outcome)
     val family = outcomeType match {
       case Continuous => Glm.Gaussian

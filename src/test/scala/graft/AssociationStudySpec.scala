@@ -260,6 +260,23 @@ class AssociationStudySpec extends SparkSpec {
     } finally spark.conf.unset("graft.broadcastBase.maxBytes")
   }
 
+  test("interaction auto path selection honors the same threshold") {
+    import graft.analyze.InteractionStudy
+    spark.conf.set("graft.broadcastBase.maxBytes", "1")
+    try {
+      val r = InteractionStudy.run(spark, nhanes, "HI_CHOL",
+        interactions = Seq(("agecat", "RIAGENDR")), covariates = Seq("race"))
+        .collect()
+      assert(!AssociationStudy.wasCollectedForBroadcast,
+        "interaction study must route to co-group over the threshold")
+      assert(r.nonEmpty)
+    } finally spark.conf.unset("graft.broadcastBase.maxBytes")
+    InteractionStudy.run(spark, nhanes, "HI_CHOL",
+      interactions = Seq(("agecat", "RIAGENDR")), covariates = Seq("race")).collect()
+    assert(AssociationStudy.wasCollectedForBroadcast,
+      "tiny block broadcasts by default")
+  }
+
   test("standardize_data through the co-group path matches the broadcast path") {
     // binomial outcome + continuous covariate and rv (global covar moments)
     val cfC = Modify.makeContinuous(nhanes, only = Some(Seq("WTMEC2YR")))

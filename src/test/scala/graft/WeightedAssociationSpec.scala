@@ -141,6 +141,40 @@ class WeightedAssociationSpec extends SparkSpec {
     }
   }
 
+  test("weighted + standardized: co-group equals broadcast (fpc design)") {
+    // the r2 gap: a weighted+standardized study on unbroadcastable data had
+    // NO path (the co-group runner rejected standardize_data); the global-
+    // moments aggregation closes it — exact cross-path parity here
+    val raw = Load.rawDelimited(spark, refPath("test_data_files/fpc_data.csv"))
+    var cf = Load.withSequentialId(raw)
+    cf = Modify.makeContinuous(cf, only = Some(Seq("x", "y")))
+    def mkDesign() = new SurveyDesignSpec(cf.df, "id", strata = Some("stratid"),
+      cluster = Some("psuid"), nest = true, singleWeight = Some("weight"))
+    val data = Modify.colfilter(cf, only = Some(Seq("x", "y")))
+    def runPath(bc: Boolean) = {
+      val d = mkDesign()
+      val r = AssociationStudy.run(spark, data, outcomes = Seq("y"),
+        regressionVariables = Seq("x"), minN = 5, standardizeData = true,
+        surveyDesign = Some(d), broadcastBase = Some(bc)).collect().head
+      (r, d)
+    }
+    val (b, _) = runPath(true)
+    val (c, dC) = runPath(false)
+    assert(!dC.wasCollectedForBroadcast,
+      "standardized co-group run must stay collect-free")
+    assert(c.getLong(c.fieldIndex("N")) === b.getLong(b.fieldIndex("N")))
+    Seq("Beta", "SE", "pvalue").foreach { cn =>
+      assertRtol(c.getDouble(c.fieldIndex(cn)), b.getDouble(b.fieldIndex(cn)),
+        1e-10, s"standardized weighted $cn")
+    }
+    // and standardization actually changed the fit vs unstandardized
+    val plain = AssociationStudy.run(spark, data, outcomes = Seq("y"),
+      regressionVariables = Seq("x"), minN = 5,
+      surveyDesign = Some(mkDesign()), broadcastBase = Some(false)).collect().head
+    assert(math.abs(plain.getDouble(plain.fieldIndex("Beta")) -
+      c.getDouble(c.fieldIndex("Beta"))) > 1e-9)
+  }
+
   test("nhanes_weightsonly through co-group: golden parity, no row-scale collect") {
     val raw = Load.rawDelimited(spark, refPath("test_data_files/nhanes_data.csv"))
     var cf = Load.withSequentialId(raw)
