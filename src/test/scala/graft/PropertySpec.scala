@@ -96,4 +96,19 @@ class PropertySpec extends SparkSpec {
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head.getDouble(0)
     assertRtol(r, 1.0, 1e-12, "self-cosine")
   }
+
+  test("plan guards: row-filtered scans keep their pushed filters") {
+    // regression guards for plan-audit findings (tools/PlanAudit): the
+    // user slice must reach the events scan (it sat ABOVE the stateful
+    // sessionize op in r3 until moved), and doc slices must prune documents
+    def planOf(q: String): String =
+      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*user_id[^\\]]*\\]".r
+      .findFirstIn(planOf("sessionize_events")).isDefined,
+      "sessionize user slice must be pushed to the parquet scan")
+    assert("PushedFilters: \\[[^\\]]*doc_id[^\\]]*\\]".r
+      .findFirstIn(planOf("text_gopher_quality")).isDefined,
+      "doc slice must be pushed to the documents scan")
+  }
 }
