@@ -96,8 +96,13 @@ object Genotypes {
     val all = cf.variablesOfType(VariableType.Genotype)
     val cols = only.map(sel => all.filter(sel.contains)).getOrElse(all)
     require(cols.nonEmpty, "no genotype variables to describe")
-    val melted = cf.df.selectExpr(
-      s"stack(${cols.size}, ${cols.map(c => s"'$c', `$c`").mkString(", ")}) AS (variable, g)")
+    // chunked melt: ONE stack over a million variant columns would build a
+    // single parser-breaking expression; 512-column chunks union instead,
+    // and each branch's scan prunes to exactly its chunk's columns
+    val melted = cols.grouped(512).map { chunk =>
+      cf.df.selectExpr(
+        s"stack(${chunk.size}, ${chunk.map(c => s"'$c', `$c`").mkString(", ")}) AS (variable, g)")
+    }.reduce(_ unionByName _)
     val agg = melted.select(col("variable"), altCount(col("g")).as("ac"))
       .groupBy("variable").agg(
         count(lit(1)).as("n_total"),
