@@ -1069,14 +1069,16 @@ object SparkEntry {
          FROM f ORDER BY doc_id""",
 
     "text_langid" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      """WITH toks AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS tk
                        FROM documents WHERE doc_id < 100),
          s AS (SELECT doc_id,
              len(list_filter(tk, x -> x IN ('the','and','of','to','is','with'))) AS s_en,
              len(list_filter(tk, x -> x IN ('el','la','de','que','los','una'))) AS s_es,
              len(list_filter(tk, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
              len(list_filter(tk, x -> x IN ('le','la','les','des','est','une'))) AS s_fr,
-             len(list_filter(tk, x -> x IN ('的','是','了','在','有','我'))) AS s_zh
+             len(regexp_extract_all(text, '的')) + len(regexp_extract_all(text, '是'))
+               + len(regexp_extract_all(text, '了')) + len(regexp_extract_all(text, '在'))
+               + len(regexp_extract_all(text, '有')) + len(regexp_extract_all(text, '我')) AS s_zh
            FROM toks),
          m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS mx FROM s)
          SELECT doc_id,

@@ -73,7 +73,13 @@ object Text {
   def langId(df: DataFrame, textCol: String, out: String = "pred_lang"): DataFrame = {
     val t = col(textCol)
     val scored = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
-      d.withColumn(s"score_$lang", stopwordHits(t, markers))
+      // spaceless scripts (zh) score by marker SUBSTRING occurrences —
+      // whitespace tokens never equal a single hanzi in running text
+      val score =
+        if (lang == "zh")
+          markers.map(m => size(regexp_extract_all(t, lit(m), lit(0)))).reduce(_ + _)
+        else stopwordHits(t, markers)
+      d.withColumn(s"score_$lang", score)
     }
     val scores = langMarkers.map { case (l, _) => col(s"score_$l") }
     val maxScore = greatest(scores: _*)

@@ -140,6 +140,11 @@ class PipelineSpec extends SparkSpec {
     assert(tok.getInt(1) === 9) // 7 words + comma + bang
     val lang = Text.langId(df, "text").collect().head
     assert(lang.getString(lang.fieldIndex("pred_lang")) === "en")
+    // spaceless CJK text: marker tokens never split on whitespace, so zh
+    // scores by substring occurrences
+    val zh = Seq((9L, "我们在这里有很多好的东西了这是真的")).toDF("doc_id", "text")
+    val zl = Text.langId(zh, "text").collect().head
+    assert(zl.getString(zl.fieldIndex("pred_lang")) === "zh")
     val fp = df.select(Text.fingerprint(col("text"))).head.getString(0)
     assert(fp.matches("[0-9a-f]{32}"))
     // normalization-invariant
