@@ -602,6 +602,12 @@ object SparkEntry {
           col("n_req_stopwords"), col("gopher_keep"))
         .orderBy("doc_id")),
 
+    "text_pii_redact" -> ((s, dir) =>
+      Text.redactPii(t(s, dir, "documents").filter(col("doc_id") < 100), "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("redacted").cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")),
+
     "text_repetition" -> ((s, dir) =>
       Text.repetitionSignals(t(s, dir, "documents").filter(col("doc_id") < 100), "text")
         .select(col("doc_id"),
@@ -1123,6 +1129,17 @@ object SparkEntry {
              AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
              AND n_req_stopwords >= 2) AS gopher_keep
          FROM sig ORDER BY doc_id""",
+
+    "text_pii_redact" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '\+?\d[\d()\- ]{7,}\d')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d()\- ]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 
     "text_repetition" ->
       """WITH base AS (

@@ -134,6 +134,30 @@ object Text {
           reqStops >= 2)
   }
 
+  /** Conservative PII patterns — dialect-neutral (no lookaround/backrefs)
+    * so Java regex (Spark) and RE2 (DuckDB oracle) agree byte-for-byte. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[\\d()\\- ]{7,}\\d"
+
+  /** PII scrubbing (standard pre-training hygiene): per-document match
+    * counts on the raw text plus a redacted copy with typed placeholders
+    * (<EMAIL> before <IP> before <PHONE> — emails contain dots and digits,
+    * so order is part of the contract). Pure codegen'd column algebra,
+    * zero shuffle. */
+  def redactPii(df: DataFrame, textCol: String, out: String = "redacted"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailPattern), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhonePattern), lit(0))))
+      .withColumn(out,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "<EMAIL>"),
+            Ipv4Pattern, "<IP>"),
+          PhonePattern, "<PHONE>"))
+  }
+
   /** Most-frequent element count of a SORTED array: one linear pass over
     * equal-adjacent runs (a distinct×filter count is O(n²) per document —
     * 20s/query at sf0.1 document sizes before this). */

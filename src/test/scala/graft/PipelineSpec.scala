@@ -153,6 +153,24 @@ class PipelineSpec extends SparkSpec {
     assert(fp === fp2)
   }
 
+  test("PII redaction: emails, IPv4, phone runs get typed placeholders") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+      (2L, "server at 10.0.42.7 answered"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val r = Text.redactPii(df, "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(r(1L).fieldIndex("n_emails")) === 1)
+    assert(r(1L).getInt(r(1L).fieldIndex("n_phones")) === 1)
+    val red1 = r(1L).getString(r(1L).fieldIndex("redacted"))
+    assert(red1.contains("<EMAIL>") && red1.contains("<PHONE>"))
+    assert(!red1.contains("example.co.uk") && !red1.contains("555"))
+    assert(r(2L).getInt(r(2L).fieldIndex("n_ips")) === 1)
+    assert(r(2L).getString(r(2L).fieldIndex("redacted")) === "server at <IP> answered")
+    assert(r(3L).getString(r(3L).fieldIndex("redacted")) === "nothing sensitive here")
+  }
+
   test("native dedup signature expressions tolerate null text (no NPE)") {
     import spark.implicits._
     val df = Seq((1L, "some document text here"), (2L, null.asInstanceOf[String]))
