@@ -268,6 +268,8 @@ object Cli {
           Text.repetitionSignals(
             Text.gopherQualityFlags(
               Text.langId(Text.qualityFeatures(df, txt), txt), txt), txt)
+        case "text-redact" =>
+          Text.redactPii(df, txt)
         case "genotype-maf" =>
           // MAF describe over array<int> call columns (--cols to restrict)
           import org.apache.spark.sql.types.{ArrayType, IntegerType}
@@ -333,7 +335,7 @@ object Cli {
       |  plot histogram|distributions|qq|manhattan <in> <outDir> [--column c] [--bins N] [--n N]
       |  analyze association-study <in> <outDir> --outcome y [--covariates a,b] [--min-n N]
       |  analyze get-significant|top-results <in.tsv> <outDir> [--cutoff a] [--n N]
-      |  pipeline dedup-exact|dedup-minhash|text-features|genotype-maf|ann-topk <in.parquet> <out.parquet>
+      |  pipeline dedup-exact|dedup-minhash|text-features|text-redact|genotype-maf|ann-topk <in.parquet> <out.parquet>
       |    [--id c] [--text c] [--vec c] [--threshold t] [--k N] [--queries p] [--model idxDir] [--probe N]
       |  pipeline ann-index <in.parquet> <outIndexDir> [--vec c] [--lists N]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]

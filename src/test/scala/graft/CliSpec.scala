@@ -73,6 +73,23 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, List("pipeline", "dedup-minhash", docs, s"$dir/mk",
       "--threshold", "0.5"))
     assert(spark.read.parquet(s"$dir/mk").columns.toSeq === Seq("id", "keeper"))
+    Cli.run(spark, List("pipeline", "text-redact", docs, s"$dir/red"))
+    assert(spark.read.parquet(s"$dir/red").columns.contains("redacted"))
+  }
+
+  test("pipeline ann-index builds a persisted IVF index that ann-topk --model queries") {
+    val dir = Files.createTempDirectory("graft-cli4").toString
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    Cli.run(spark, List("pipeline", "ann-index", emb, s"$dir/idx", "--lists", "8"))
+    assert(spark.read.parquet(s"$dir/idx/centers").count() === 8)
+    val assigned = spark.read.parquet(s"$dir/idx/assigned")
+    assert(assigned.columns.contains("list_id") && assigned.count() > 0)
+    // queries-only invocation against the persisted index
+    Cli.run(spark, List("pipeline", "ann-topk", emb, s"$dir/topk",
+      "--model", s"$dir/idx", "--k", "3"))
+    val topk = spark.read.parquet(s"$dir/topk")
+    assert(topk.columns.toSeq === Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(topk.count() > 0)
   }
 
   test("unknown commands fail loudly") {
