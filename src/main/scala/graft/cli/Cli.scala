@@ -261,6 +261,10 @@ object Cli {
               flag(rest, "--threshold").map(_.toDouble).getOrElse(0.7))
           // full pipeline: candidates -> verify -> group -> keepers
           Dedup.resolveKeepers(Dedup.components(verified))
+        case "dedup-near" =>
+          // one-call near-dedup: returns the deduplicated corpus itself
+          Dedup.nearDedup(spark, df, txt, idc,
+            threshold = flag(rest, "--threshold").map(_.toDouble).getOrElse(0.7))
         case "text-features" =>
           // full featurization: quality + language + Gopher rules +
           // repetition signals in one projection chain (gopher's n_words
@@ -335,7 +339,7 @@ object Cli {
       |  plot histogram|distributions|qq|manhattan <in> <outDir> [--column c] [--bins N] [--n N]
       |  analyze association-study <in> <outDir> --outcome y [--covariates a,b] [--min-n N]
       |  analyze get-significant|top-results <in.tsv> <outDir> [--cutoff a] [--n N]
-      |  pipeline dedup-exact|dedup-minhash|text-features|text-redact|genotype-maf|ann-topk <in.parquet> <out.parquet>
+      |  pipeline dedup-exact|dedup-minhash|dedup-near|text-features|text-redact|genotype-maf|ann-topk <in.parquet> <out.parquet>
       |    [--id c] [--text c] [--vec c] [--threshold t] [--k N] [--queries p] [--model idxDir] [--probe N]
       |  pipeline ann-index <in.parquet> <outIndexDir> [--vec c] [--lists N]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]

@@ -223,6 +223,26 @@ object Dedup {
   def resolveKeepers(components: DataFrame): DataFrame =
     components.select(col("id"), col("component").as("keeper"))
 
+  /** One-call near-dedup: MinHash-LSH candidates → exact n-gram Jaccard
+    * verification (candidates only) → connected components → keep-one.
+    * Returns the deduplicated corpus: each duplicate group keeps its
+    * minimum-id member; singletons pass through untouched (LEFT ANTI on
+    * the non-keeper ids — the pairs/components tables are tiny relative to
+    * the corpus, so the only corpus-scale operations are the signature
+    * projection and one semi-join-shaped shuffle). */
+  def nearDedup(spark: SparkSession, df: DataFrame, textCol: String,
+                idCol: String, threshold: Double = 0.7, numHashes: Int = 64,
+                bands: Int = 16, shingleK: Int = 5, seed: Long = 42L): DataFrame = {
+    val cands = minhashCandidates(spark, df, textCol, idCol, numHashes, bands,
+      shingleK, seed)
+    val verified = ngramJaccard(spark, df, cands, textCol, idCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+    val dupIds = resolveKeepers(components(verified))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"))
+    df.join(dupIds, df(idCol).cast("string") === dupIds("id"), "left_anti")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: sum ±1 per bit weighted by token

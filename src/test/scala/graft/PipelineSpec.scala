@@ -153,6 +153,21 @@ class PipelineSpec extends SparkSpec {
     assert(fp === fp2)
   }
 
+  test("nearDedup end-to-end: planted near-duplicate chain collapses to its min id") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " tail-a"),          // near-dup of 10
+      (12L, base + " tail-a b"),        // near-dup of 11 (chains to 10)
+      (20L, "completely different content about spark catalyst optimizers " * 6),
+      (30L, "a third unrelated short document")).toDF("doc_id", "text")
+    val out = Dedup.nearDedup(spark, docs, "text", "doc_id", threshold = 0.6)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(10L, 20L, 30L),
+      s"chain 10-11-12 keeps min id; singletons survive (got ${kept.mkString(",")})")
+  }
+
   test("PII redaction: emails, IPv4, phone runs get typed placeholders") {
     import spark.implicits._
     val df = Seq(
