@@ -48,8 +48,12 @@ object Corrections {
       StructField("pvalue_fdr", DoubleType, nullable = true)))
     // NaN p-values are missing, like null: they must not inflate m, and
     // their corrections are null (NaN passed the old isNotNull filter and
-    // poisoned bonferroni via java math.min(NaN,1)=NaN)
-    val missing = p.isNull || isnan(p.cast(DoubleType))
+    // poisoned bonferroni via java math.min(NaN,1)=NaN). The cast-null
+    // check keeps the predicate two-valued — without it an uncastable
+    // string p-value makes `missing` NULL and the row vanishes from BOTH
+    // branches
+    val pd = expr(s"try_cast(`$pvalue` AS DOUBLE)") // ANSI-safe on strings
+    val missing = p.isNull || pd.isNull || isnan(pd)
     val nonNull = df.filter(!missing)
     val nullRows = df.filter(missing)
       .withColumn("pvalue_bonferroni", lit(null).cast(DoubleType))
@@ -62,7 +66,8 @@ object Corrections {
     val mD = m.toDouble
     // range-partitioned ascending sort; zipWithIndex = global 0-based rank
     val sorted = nonNull
-      .withColumn("__pd", p.cast(DoubleType))
+      .withColumn("__pd", pd) // try_cast: rows here are castable by filter,
+                              // but ANSI must never hinge on operator order
       .orderBy(col("__pd").asc)
       .rdd.zipWithIndex()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -85,7 +85,11 @@ object Plots {
     // data (and src/main stays udf-free on the reference surface)
     import spark.implicits._
     val momRows = moments.collect()
-    val muSd = momRows.map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    // sd is NULL for single-value variables — keep it nullable so the
+    // standardized quantile stays null (matching the old join semantics)
+    // instead of throwing on getDouble
+    val muSd = momRows.map(r => (r.getString(0), r.getDouble(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
       .toSeq.toDF("variable", "__mu", "__sd")
     val theo = momRows.flatMap { r =>
       val v = r.getString(0); val n = r.getLong(1).toInt

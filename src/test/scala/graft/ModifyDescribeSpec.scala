@@ -288,6 +288,27 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(out.levels("cat") === Seq("a", "b"))
   }
 
+  test("p-value correction: NaN and uncastable p-values are missing, never inflate m") {
+    import spark.implicits._
+    import graft.analyze.Corrections
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", Double.NaN))
+      .toDF("Variable", "pvalue")
+    val out = Corrections.addCorrectedPvalues(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // m = 2 (NaN excluded): bonferroni of a = 0.02, not NaN-poisoned
+    assertRtol(out("a").getDouble(out("a").fieldIndex("pvalue_bonferroni")),
+      0.02, 1e-12, "bonferroni with m=2")
+    assert(out("c").isNullAt(out("c").fieldIndex("pvalue_bonferroni")))
+    assert(out("c").isNullAt(out("c").fieldIndex("pvalue_fdr")))
+    // uncastable string p-values stay visible as missing rows (the naive
+    // NaN predicate made them vanish from both branches)
+    val sdf = Seq(("a", "0.01"), ("b", "oops")).toDF("Variable", "pvalue")
+    val sout = Corrections.addCorrectedPvalues(sdf).collect()
+    assert(sout.length === 2)
+    val bad = sout.find(_.getString(0) == "b").get
+    assert(bad.isNullAt(bad.fieldIndex("pvalue_fdr")))
+  }
+
   test("grouped p-value correction dedups repeated tests per group") {
     import spark.implicits._
     // two groups, each repeated twice with the same pvalue (the dedup-

@@ -16,6 +16,21 @@ class PlotsSpec extends SparkSpec {
     assert(Distributions.normalPpf(1.0).isNaN)
   }
 
+  test("qqPrep: single-observation variable yields null sample quantile, no crash") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.lang.Double.valueOf(5.0), java.lang.Double.valueOf(1.0)),
+      (2L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(2.0)),
+      (3L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(3.0)))
+      .toDF("id", "lonely", "full")
+    val out = Plots.qqPrep(spark, df, Seq("lonely", "full")).collect()
+    val lonely = out.filter(_.getString(0) == "lonely")
+    assert(lonely.length === 1)
+    assert(lonely.head.isNullAt(lonely.head.fieldIndex("sample_quantile")),
+      "sd undefined at n=1 -> null standardized quantile")
+    assert(out.count(_.getString(0) == "full") === 3)
+  }
+
   test("qqPrep: no subsample under cap, exact-n seeded subsample over it") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
