@@ -370,11 +370,26 @@ object Modify {
     * projection applies them. */
   def removeOutliers(cf: CladeFrame, method: String = "gaussian", cutoff: Double = 3.0,
                      skip: Option[Seq[String]] = None,
-                     only: Option[Seq[String]] = None): CladeFrame = {
+                     only: Option[Seq[String]] = None,
+                     exactQuantiles: Boolean = true): CladeFrame = {
     require(cutoff > 0, "cutoff must be positive")
     val cols = cf.resolveSkipOnly(skip, only).filter(cf.typeOf(_) == Continuous)
     if (cols.isEmpty) return cf
     val bounds: Map[String, (Double, Double)] = method match {
+      case "iqr" if !exactQuantiles =>
+        // fast path: ONE aggregation, no sort — approx_percentile's
+        // t-digest bounds the error; exact (pandas-parity) stays default
+        val r = aggRow(cf.df, cols.map(c =>
+          approx_percentile(col(c).cast("double"), array(lit(0.25), lit(0.75)),
+            lit(10000)).as(s"q_$c")))
+        cols.zipWithIndex.map { case (c, i) =>
+          if (r.isNullAt(i)) c -> (Double.NegativeInfinity, Double.PositiveInfinity)
+          else {
+            val qs = r.getSeq[Double](i)
+            val iqr = qs(1) - qs(0)
+            c -> (qs(0) - cutoff * iqr, qs(1) + cutoff * iqr)
+          }
+        }.toMap
       case "gaussian" =>
         val r = aggRow(cf.df, cols.flatMap(c =>
           Seq(avg(col(c)).as(s"m_$c"), stddev_samp(col(c)).as(s"s_$c"))))

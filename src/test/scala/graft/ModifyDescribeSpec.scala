@@ -105,6 +105,19 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(out.df.filter(col("num").isNotNull).count() === 3)
   }
 
+  test("removeOutliers iqr approx fast path agrees with exact on dense data") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") % 101).cast("double").as("v"))
+    val cf = CladeFrame(df)
+    val exact = Modify.removeOutliers(cf, "iqr", cutoff = 0.5)
+      .df.filter(col("v").isNotNull).count()
+    val approx = Modify.removeOutliers(cf, "iqr", cutoff = 0.5, exactQuantiles = false)
+      .df.filter(col("v").isNotNull).count()
+    // t-digest at accuracy 10000 is exact-ish on 101 distinct values
+    assert(math.abs(exact - approx) <= 20, s"exact=$exact approx=$approx")
+  }
+
   test("removeOutliers iqr at width: 500 columns in a bounded number of jobs") {
     import spark.implicits._
     // 500 continuous columns; the quantile engine must run ONE melt +
