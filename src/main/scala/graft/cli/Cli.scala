@@ -114,7 +114,8 @@ object Cli {
         case "make-continuous"  => Modify.makeContinuous(cf, skip, only)
         case "remove-outliers"  => Modify.removeOutliers(cf,
           flag(rest, "--method").getOrElse("gaussian"),
-          flag(rest, "--cutoff").map(_.toDouble).getOrElse(3.0), skip, only)
+          flag(rest, "--cutoff").map(_.toDouble).getOrElse(3.0), skip, only,
+          exactQuantiles = !rest.contains("--approx"))
         case "transform" | "transform-variable" =>
           Modify.transform(cf, req(rest, "--method"), skip, only)
         case "drop-extra-categories" => Modify.dropExtraCategories(cf, skip, only)
