@@ -73,12 +73,57 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** STUB decoder for non-image media: a real implementation would decode
-    * audio/video bytes inside the same per-partition batch loop (the codec
-    * libs are not in this container). The stub emits a deterministic 8-dim
-    * "feature" derived from the payload bytes so downstream plumbing
-    * (schema, joins, ANN) is exercised honestly. Marked intentionally:
-    * replace for production. */
+  /** Real audio decoder via the JDK's bundled javax.sound.sampled readers
+    * (WAV/AIFF/AU, PCM up to 16-bit). Returns the 8-dim feature vector
+    * [duration_sec, channels, sample_rate, rms, zero_crossing_rate, peak,
+    * mean_abs, dc_offset] over samples normalized to [-1, 1]; None when no
+    * reader accepts the payload (magic-byte gated first). */
+  def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.length < 12) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    val isWav = b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+    val isAiff = b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M'
+    val isAu = b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'
+    if (!(isWav || isAiff || isAu)) return None
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais0 = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val f0 = ais0.getFormat
+      // normalize to 16-bit signed PCM so sample extraction is uniform
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+        f0.getSampleRate, false)
+      val ais = AudioSystem.getAudioInputStream(target, ais0)
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      if (n == 0) return None
+      var sumSq = 0.0; var sumAbs = 0.0; var sum = 0.0
+      var peak = 0.0; var zc = 0L; var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort / 32768.0
+        sumSq += s * s; sumAbs += math.abs(s); sum += s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
+      }
+      val frames = n / f0.getChannels
+      Some(Array(
+        (frames / f0.getSampleRate).toFloat, f0.getChannels.toFloat,
+        f0.getSampleRate, math.sqrt(sumSq / n).toFloat,
+        (zc.toDouble / n).toFloat, peak.toFloat,
+        (sumAbs / n).toFloat, (sum / n).toFloat))
+    } catch { case _: Exception => None }
+  }
+
+  /** STUB decoder for media the JDK cannot decode (video, compressed
+    * audio): a real implementation would decode inside the same
+    * per-partition batch loop (the codec libs are not in this container).
+    * The stub emits a deterministic 8-dim "feature" derived from the
+    * payload bytes so downstream plumbing (schema, joins, ANN) is
+    * exercised honestly. Marked intentionally: replace for production. */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     // ??? <- real audio/video codec goes here; deterministic fake features
     val out = new Array[Float](8)
@@ -105,7 +150,9 @@ object Multimodal {
         it.map { case (id, bytes) =>
           (id,
             if (bytes == null) null
-            else decodeImage(bytes).getOrElse(stubDecode(bytes)))
+            else decodeImage(bytes)
+              .orElse(decodeAudio(bytes))
+              .getOrElse(stubDecode(bytes)))
         }
       }
       .toDF("id", "features")

@@ -282,6 +282,36 @@ class PipelineSpec extends SparkSpec {
     assert(jf.isDefined && jf.get(0) === 2.0f && jf.get(1) === 2.0f)
   }
 
+  test("multimodal: WAV payloads decode to REAL signal statistics via javax.sound") {
+    import spark.implicits._
+    // 0.1s of a 440 Hz sine at 8 kHz, 16-bit mono PCM, amplitude 0.5
+    val rate = 8000f
+    val nFrames = 800
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val f = Multimodal.decodeAudio(wav).get
+    assertRtol(f(0), 0.1, 1e-3, "duration")          // 800 frames / 8 kHz
+    assert(f(1) === 1.0f && f(2) === 8000.0f)        // mono, sample rate
+    assertRtol(f(3), 0.5 / math.sqrt(2), 2e-2, "sine RMS = A/sqrt(2)")
+    assertRtol(f(4), 2 * 440.0 / 8000, 0.1, "zcr ~ 2f/Fs")
+    // and the batch extractor routes WAV through the audio decoder
+    val df = Seq((7L, wav)).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(spark, df, "doc_id", "payload")
+      .collect().head.getSeq[Float](1)
+    assert(feats === f.toSeq)
+  }
+
   test("native cosine_similarity expression: eval, codegen, SQL, parity with HOF version") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
