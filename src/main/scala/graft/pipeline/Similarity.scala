@@ -27,6 +27,29 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x)
 
+  /** L2-normalize an array<float> column (unit vectors make cosine a plain
+    * dot product); null/zero vectors pass through unchanged. */
+  def l2Normalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = norm(c)
+    when(n > 0, transform(c, x => (x.cast("double") / n).cast("float"))).otherwise(c)
+  }
+
+  /** Symmetric int8 quantization for embedding storage (~4x smaller at
+    * rest): returns struct(scale, q array<tinyint>) with
+    * q = round(x / scale), scale = maxabs/127. Pure column algebra — the
+    * storage-side lever for a 100 TB embedding corpus. */
+  def quantizeInt8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val maxabs = array_max(transform(c, x => abs(x.cast("double"))))
+    val scale = when(maxabs > 0, maxabs / 127.0).otherwise(lit(1.0))
+    struct(scale.cast("float").as("scale"),
+      transform(c, x => round(x.cast("double") / scale).cast("tinyint")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: struct(scale, q) -> array<float>. */
+  def dequantizeInt8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c.getField("q"),
+      x => (x.cast("double") * c.getField("scale")).cast("float"))
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Result: (query_id, neighbor_id, cosine,
     * rank). Ties broken by neighbor id for determinism. */

@@ -113,6 +113,23 @@ class PipelineSpec extends SparkSpec {
     assert(full === exact, "nProbe = nLists must equal the exact result")
   }
 
+  test("embedding storage ops: l2-normalize and int8 quantize round-trip") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    // unit norm after normalization
+    val norms = e.select(Similarity.norm(Similarity.l2Normalize(col("embedding"))))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // quantize/dequantize keeps cosine similarity to the original high
+    val q = e.select(col("vec_id"), col("embedding"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("deq"))
+    val cos = q.select(
+      (Similarity.dot(col("embedding"), col("deq")) /
+        (Similarity.norm(col("embedding")) * Similarity.norm(col("deq")))))
+      .collect().map(_.getDouble(0))
+    assert(cos.forall(_ > 0.999), s"int8 round-trip cosine floor ${cos.min}")
+  }
+
   test("IVF split API: persisted model + assignment reproduce the one-shot result") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 20)
