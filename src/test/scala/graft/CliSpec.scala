@@ -75,6 +75,12 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/mk").columns.toSeq === Seq("id", "keeper"))
     Cli.run(spark, List("pipeline", "text-redact", docs, s"$dir/red"))
     assert(spark.read.parquet(s"$dir/red").columns.contains("redacted"))
+    // one-call near-dedup returns the corpus itself, smaller-or-equal
+    Cli.run(spark, List("pipeline", "dedup-near", docs, s"$dir/nd",
+      "--threshold", "0.5"))
+    val nd = spark.read.parquet(s"$dir/nd")
+    assert(nd.columns.contains("text") &&
+      nd.count() <= spark.read.parquet(docs).count() && nd.count() > 0)
   }
 
   test("pipeline ann-index builds a persisted IVF index that ann-topk --model queries") {

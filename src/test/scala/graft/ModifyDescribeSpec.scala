@@ -105,6 +105,31 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(out.df.filter(col("num").isNotNull).count() === 3)
   }
 
+  test("exactQuantilesAll property: matches in-memory (n-1)q linear interpolation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val colA = Seq.fill(537)(rnd.nextDouble() * 100 - 50)
+    val colB = Seq.fill(537)(if (rnd.nextDouble() < 0.3) null
+      else java.lang.Double.valueOf(rnd.nextGaussian()))
+    val df = colA.zip(colB).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+    val fracs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val got = Modify.exactQuantilesAll(df, Seq("a", "b"), fracs)
+    def expect(vs: Seq[Double]): Seq[Double] = {
+      val s = vs.sorted
+      fracs.map { q =>
+        val h = (s.length - 1) * q
+        val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+        s(lo) + (h - lo) * (s(hi) - s(lo))
+      }
+    }
+    got("a").get.zip(expect(colA)).foreach { case (g, e) =>
+      assertRtol(g, e, 1e-12, "col a quantile") }
+    val bVals = colB.collect { case v if v != null => v.doubleValue() }
+    got("b").get.zip(expect(bVals)).foreach { case (g, e) =>
+      assertRtol(g, e, 1e-12, "col b quantile (nulls dropped)") }
+  }
+
   test("removeOutliers iqr approx fast path agrees with exact on dense data") {
     import spark.implicits._
     val df = spark.range(0, 1000).select(col("id"),
