@@ -8,7 +8,7 @@ import graft.model.CladeFrame
 import graft.modify.Modify
 import graft.describe.Describe
 import graft.analyze.{AssociationStudy, Corrections}
-import graft.pipeline.{Dedup, Similarity, Text}
+import graft.pipeline.{Decontaminate, Dedup, Packing, Sampling, Similarity, Text}
 import graft.streaming.EventStreams
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2), each
@@ -636,7 +636,62 @@ object SparkEntry {
         .select(col("id"), round(element_at(col("features"), 1), 4).as("f0"),
           round(element_at(col("features"), 8), 4).as("f7"))
         .orderBy("id")
-    }))
+    }),
+
+    // ---- benchmark decontamination + corpus curation (driver mandate)
+    "decon_overlap" -> ((s, dir) => {
+      // eval slice is every 7th doc; the eval n-gram set is broadcast, so
+      // the 100 TB train side never shuffles rows — only the final per-doc
+      // aggregation moves (id, count) pairs
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlapReport(
+          docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", n = 5)
+        .select(col("id").as("doc_id"), col("n_ngrams").cast("long").as("n_ngrams"),
+          col("n_overlap"), round(col("overlap_frac"), 6).as("overlap_frac"),
+          col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    "decon_crossdoc_dup" -> ((s, dir) =>
+      Decontaminate.crossDocDupScore(
+          t(s, dir, "documents").filter(col("doc_id") < 300), "text", "doc_id", n = 5)
+        .select(col("id").as("doc_id"), col("n_ngrams").cast("long").as("n_ngrams"),
+          col("n_dup"), round(col("dup_frac"), 6).as("dup_frac"))
+        .orderBy("doc_id")),
+
+    // ---- sequence packing (driver mandate)
+    "pack_chunked" -> ((s, dir) =>
+      Packing.packChunked(t(s, dir, "documents"), col("n_chars"), maxTokens = 4096,
+          groupCol = "lang", orderCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("start_offset"),
+          col("chunk_first"), col("chunk_last"))
+        .orderBy("doc_id")),
+
+    "pack_firstfit" -> ((s, dir) =>
+      // greedy no-split bin packing is inherently sequential per group (one
+      // linear mapPartitions pass) — not SQL-expressible, rows-only check;
+      // PackingSpec verifies against a brute-force sequential reference
+      Packing.packFirstFit(t(s, dir, "documents"), "n_chars", maxTokens = 4096,
+          groupCol = "lang", orderCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("bin_id"))
+        .orderBy("doc_id")),
+
+    // ---- deterministic sampling / mixture (driver mandate)
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), fraction = 0.25)
+        .select(col("doc_id")).orderBy("doc_id")),
+
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), Seq("lang"), k = 20,
+          key = col("doc_id"))
+        .select(col("lang"), col("doc_id")).orderBy("lang", "doc_id")),
+
+    "sample_domain_mix" -> ((s, dir) =>
+      Sampling.domainMix(t(s, dir, "documents"), "source",
+          targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          key = col("doc_id"), exact = true)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")))
 
   /** 32 deterministic derived variables over lineitem — identical SQL in
     * Spark and DuckDB (integer modulo + double arithmetic only). */
@@ -1178,5 +1233,98 @@ object SparkEntry {
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, 'text/plain' AS mime
-         FROM documents WHERE doc_id < 50 ORDER BY doc_id""")
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+
+    // word-5-gram decontamination: DuckDB joins the RAW n-gram strings where
+    // the Spark side joins xxhash64 of them — a collision would surface here
+    // as a hash mismatch. unnest() of an empty list drops the row, so empty
+    // n-gram sets (docs under 5 words, e.g. spaceless zh) emit one NULL to
+    // mirror Spark's explode_outer.
+    "decon_overlap" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+           FROM documents),
+         g AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 5
+               THEN list_transform(range(len(w) - 4),
+                      i -> array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 5], ' '))
+               ELSE [] END) AS gs
+           FROM d),
+         ev AS (SELECT DISTINCT unnest(gs) AS ng FROM g WHERE doc_id % 7 = 0),
+         tr AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams,
+             unnest(CASE WHEN len(gs) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE gs END) AS ng
+           FROM g WHERE doc_id % 7 <> 0),
+         c AS (SELECT tr.doc_id, tr.n_ngrams,
+             CAST(coalesce(sum(CASE WHEN ev.ng IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_overlap
+           FROM tr LEFT JOIN ev ON tr.ng = ev.ng
+           GROUP BY 1, 2)
+         SELECT doc_id, n_ngrams, n_overlap,
+           round(CASE WHEN n_ngrams > 0 THEN CAST(n_overlap AS DOUBLE) / n_ngrams ELSE 0.0 END, 6) AS overlap_frac,
+           n_overlap > 0 AS contaminated
+         FROM c ORDER BY doc_id""",
+
+    "decon_crossdoc_dup" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+           FROM documents WHERE doc_id < 300),
+         g AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 5
+               THEN list_transform(range(len(w) - 4),
+                      i -> array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 5], ' '))
+               ELSE [] END) AS gs
+           FROM d),
+         ex AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams,
+             unnest(CASE WHEN len(gs) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE gs END) AS ng
+           FROM g),
+         df AS (SELECT ng, count(*) AS nd FROM ex WHERE ng IS NOT NULL GROUP BY 1)
+         SELECT ex.doc_id, ex.n_ngrams,
+           CAST(coalesce(sum(CASE WHEN df.nd > 1 THEN 1 END), 0) AS BIGINT) AS n_dup,
+           round(CASE WHEN ex.n_ngrams > 0
+             THEN CAST(coalesce(sum(CASE WHEN df.nd > 1 THEN 1 END), 0) AS DOUBLE) / ex.n_ngrams
+             ELSE 0.0 END, 6) AS dup_frac
+         FROM ex LEFT JOIN df ON ex.ng = df.ng
+         GROUP BY 1, 2 ORDER BY doc_id""",
+
+    "pack_chunked" ->
+      """WITH o AS (SELECT doc_id, lang, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+           FROM documents)
+         SELECT doc_id, lang, start_offset,
+           CAST(floor(start_offset / 4096.0) AS BIGINT) AS chunk_first,
+           CASE WHEN n_chars > 0
+             THEN CAST(floor((start_offset + n_chars - 1) / 4096.0) AS BIGINT)
+             ELSE CAST(floor(start_offset / 4096.0) AS BIGINT) END AS chunk_last
+         FROM o ORDER BY doc_id""",
+
+    "sample_hash" ->
+      s"""SELECT doc_id FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '${Sampling.hexThreshold(0.25)}'
+         ORDER BY doc_id""",
+
+    "sample_stratified" ->
+      """WITH r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), CAST(doc_id AS VARCHAR)) AS rn
+           FROM documents)
+         SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id""",
+
+    // mixture quotas replayed in DOUBLE arithmetic to match the JVM exactly
+    "sample_domain_mix" ->
+      """WITH t(domain, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+         c AS (SELECT source AS domain, count(*) AS n FROM documents GROUP BY 1),
+         p AS (SELECT t.domain, CAST(t.w AS DOUBLE) AS w, CAST(c.n AS DOUBLE) AS n
+               FROM t JOIN c USING (domain) WHERE t.w > 0 AND c.n > 0),
+         f AS (SELECT min(n / w) AS bigt FROM p),
+         q AS (SELECT domain,
+                 least(CAST(n AS BIGINT),
+                   CAST(floor(w * (SELECT bigt FROM f) + 1e-9) AS BIGINT)) AS quota
+               FROM p),
+         r AS (SELECT d.doc_id, d.source,
+                 row_number() OVER (PARTITION BY d.source
+                   ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15),
+                            CAST(d.doc_id AS VARCHAR)) AS rn
+               FROM documents d JOIN q ON d.source = q.domain)
+         SELECT doc_id, source FROM r JOIN q ON r.source = q.domain
+         WHERE rn <= quota ORDER BY doc_id""")
 }

@@ -313,6 +313,41 @@ object Cli {
               val queries = flag(rest, "--queries").map(spark.read.parquet(_)).getOrElse(df)
               Similarity.ivfTopK(df, queries, k, idCol = idc2, vecCol = vc)
           }
+        case "decontaminate" =>
+          // --eval is the benchmark corpus; report per-train-doc overlap
+          import graft.pipeline.Decontaminate
+          val evalDf = spark.read.parquet(req(rest, "--eval"))
+          Decontaminate.overlapReport(df, evalDf, txt, idc,
+            n = flag(rest, "--ngram").map(_.toInt).getOrElse(13))
+        case "crossdoc-dup" =>
+          graft.pipeline.Decontaminate.crossDocDupScore(df, txt, idc,
+            n = flag(rest, "--ngram").map(_.toInt).getOrElse(13))
+        case "pack-chunked" =>
+          graft.pipeline.Packing.packChunked(df,
+            org.apache.spark.sql.functions.col(req(rest, "--tokens")),
+            maxTokens = flag(rest, "--max").map(_.toInt).getOrElse(2048),
+            groupCol = req(rest, "--group"), orderCol = req(rest, "--order"))
+        case "pack-firstfit" =>
+          graft.pipeline.Packing.packFirstFit(df, req(rest, "--tokens"),
+            maxTokens = flag(rest, "--max").map(_.toInt).getOrElse(2048),
+            groupCol = req(rest, "--group"), orderCol = req(rest, "--order"))
+        case "sample-hash" =>
+          graft.pipeline.Sampling.hashSample(df,
+            org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)),
+            fraction = req(rest, "--fraction").toDouble)
+        case "sample-stratified" =>
+          graft.pipeline.Sampling.stratifiedSample(df,
+            req(rest, "--strata").split(",").toSeq,
+            k = req(rest, "--k").toInt,
+            key = org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)))
+        case "domain-mix" =>
+          // --targets dom=w,dom=w (downsample-only mixture)
+          val targets = req(rest, "--targets").split(",").map { kv =>
+            val Array(d, w) = kv.split("=", 2); d -> w.toDouble
+          }.toMap
+          graft.pipeline.Sampling.domainMix(df, req(rest, "--domain"), targets,
+            key = org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)),
+            exact = !rest.contains("--approx"))
         case other => throw new IllegalArgumentException(s"unknown pipeline verb: $other")
       }
       result.write.mode("overwrite").parquet(out)
@@ -343,6 +378,12 @@ object Cli {
       |  pipeline dedup-exact|dedup-minhash|dedup-near|text-features|text-redact|genotype-maf|ann-topk <in.parquet> <out.parquet>
       |    [--id c] [--text c] [--vec c] [--threshold t] [--k N] [--queries p] [--model idxDir] [--probe N]
       |  pipeline ann-index <in.parquet> <outIndexDir> [--vec c] [--lists N]
+      |  pipeline decontaminate <train.parquet> <out> --eval <eval.parquet> [--ngram N]
+      |  pipeline crossdoc-dup <in.parquet> <out> [--ngram N]
+      |  pipeline pack-chunked|pack-firstfit <in> <out> --tokens c --group c --order c [--max N]
+      |  pipeline sample-hash <in> <out> --fraction f [--key c]
+      |  pipeline sample-stratified <in> <out> --strata a,b --k N [--key c]
+      |  pipeline domain-mix <in> <out> --domain c --targets d1=w1,d2=w2 [--key c] [--approx]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]

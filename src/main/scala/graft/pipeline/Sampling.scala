@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / mixture operators for training-data pipelines
+  * (driver mandate — corpus curation beyond the reference surface).
+  *
+  * Everything is keyed on a cryptographic hash of a caller-chosen key column,
+  * never on RNG state: the same row always makes the same decision, on any
+  * cluster, at any partitioning, on re-runs — the property training-data
+  * pipelines need for reproducible corpus releases (and the property that
+  * makes every operator here replayable as an ANSI-SQL oracle).
+  *
+  * Scale notes:
+  *  - hashSample: per-row predicate, zero shuffle, combines with pushdown.
+  *  - stratifiedSample: rank-per-stratum rides Spark's WindowGroupLimit
+  *    (rank <= literal k): each input partition keeps only its local top-k
+  *    BEFORE the shuffle, so the stratum sort never materializes.
+  *  - domainMix: exact mode ranks inside each domain (one shuffle; quotas
+  *    are a broadcast O(#domains) table); threshold mode is the 100 TB
+  *    path — zero row shuffle, one O(#domains) aggregate + broadcast join.
+  */
+object Sampling {
+
+  /** 15-hex-digit decision bucket of a key: uniform on [0, 16^15), stable
+    * across engines (md5 of the key's canonical string form). 15 digits =
+    * 60 bits — comfortably below 2^53 so thresholds stay exact in doubles
+    * and in every SQL engine's NUMERIC. */
+  def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 15)
+
+  /** `fraction` as a 15-hex-digit threshold string: a row is kept iff
+    * hashBucket(key) < hexThreshold(fraction) (lexicographic compare of
+    * equal-length lowercase hex = numeric compare). */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    val space = BigInt(16).pow(15)
+    val scaled = (BigDecimal(fraction) * BigDecimal(space)).toBigInt
+    val s = scaled.min(space - 1).max(BigInt(0)).toString(16)
+    ("0" * (15 - s.length)) + s
+  }
+
+  /** Deterministic Bernoulli sample: keep each row with probability
+    * `fraction`, decided solely by the key hash. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(hashBucket(key) < lit(hexThreshold(fraction)))
+
+  /** Exactly-k-per-stratum deterministic sample: within each stratum, rank
+    * rows by (key hash, key) and keep the first k. The literal rank bound
+    * keeps the plan on WindowGroupLimit (per-partition top-k pushdown), so
+    * a billion-row stratum shuffles only ~k rows per input partition. */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], k: Int,
+                       key: Column): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(hashBucket(key), key.cast("string"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Static domain-mixture resampling (downsample-only): given target
+    * proportions per domain (e.g. The Pile / Gopher-style corpus weights),
+    * keep the LARGEST subset whose domain shares match the targets.
+    *
+    * Feasible total T = min over targeted domains of count_d / weight_d;
+    * each domain keeps quota_d = floor(weight_d * T) rows. Domains absent
+    * from `targets` (or with weight 0) are dropped — the mixture is the
+    * contract.
+    *
+    * exact=true  — rank rows per domain by key hash and keep the first
+    *               quota_d: output counts are EXACTLY the quotas.
+    * exact=false — per-domain hash threshold at rate quota_d/count_d:
+    *               zero-shuffle scale path, counts binomial around quota.
+    */
+  def domainMix(df: DataFrame, domainCol: String, targets: Map[String, Double],
+                key: Column, exact: Boolean = true): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
+      "targets must be non-negative weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // O(#domains) metadata aggregate — never row-scale
+    val counts = df.groupBy(col(domainCol).as("__domain"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getAs[Any]("__domain").toString -> r.getAs[Long]("__n"))
+      .toMap
+    val present = targets.filter { case (d, w) => w > 0.0 && counts.getOrElse(d, 0L) > 0L }
+    require(present.nonEmpty, "no targeted domain present in the data")
+    val feasibleT = present.map { case (d, w) => counts(d) / w }.min
+    val quotas = present.map { case (d, w) =>
+      val q = math.min(counts(d), math.floor(w * feasibleT + 1e-9).toLong)
+      (d, q, hexThreshold(math.min(1.0, q.toDouble / counts(d))))
+    }.toSeq.toDF("__domain", "__quota", "__thresh")
+    val joined = df.join(broadcast(quotas),
+      col(domainCol).cast("string") === col("__domain"), "inner")
+    val kept =
+      if (exact) {
+        val w = Window.partitionBy(col(domainCol))
+          .orderBy(hashBucket(key), key.cast("string"))
+        joined.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= col("__quota"))
+      } else joined.filter(hashBucket(key) < col("__thresh"))
+    kept.drop("__domain", "__quota", "__thresh", "__rn")
+  }
+}

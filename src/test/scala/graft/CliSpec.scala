@@ -83,6 +83,38 @@ class CliSpec extends SparkSpec {
       nd.count() <= spark.read.parquet(docs).count() && nd.count() > 0)
   }
 
+  test("pipeline curation verbs: decontaminate, pack, sample, domain-mix") {
+    val dir = Files.createTempDirectory("graft-cli5").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val nDocs = spark.read.parquet(docs).count()
+    Cli.run(spark, List("pipeline", "decontaminate", docs, s"$dir/dc",
+      "--eval", docs, "--ngram", "5"))
+    val dc = spark.read.parquet(s"$dir/dc")
+    // eval == train, so every doc with >= 1 n-gram is contaminated
+    assert(dc.count() === nDocs)
+    assert(dc.filter("n_ngrams > 0 AND NOT contaminated").count() === 0)
+    Cli.run(spark, List("pipeline", "crossdoc-dup", docs, s"$dir/cd", "--ngram", "5"))
+    assert(spark.read.parquet(s"$dir/cd").columns.contains("dup_frac"))
+    Cli.run(spark, List("pipeline", "pack-chunked", docs, s"$dir/pc",
+      "--tokens", "n_chars", "--group", "lang", "--order", "doc_id", "--max", "4096"))
+    assert(spark.read.parquet(s"$dir/pc").columns.contains("chunk_first"))
+    Cli.run(spark, List("pipeline", "pack-firstfit", docs, s"$dir/pf",
+      "--tokens", "n_chars", "--group", "lang", "--order", "doc_id", "--max", "4096"))
+    assert(spark.read.parquet(s"$dir/pf").count() === nDocs)
+    Cli.run(spark, List("pipeline", "sample-hash", docs, s"$dir/sh",
+      "--fraction", "0.5"))
+    val sh = spark.read.parquet(s"$dir/sh").count()
+    assert(sh > 0 && sh < nDocs)
+    Cli.run(spark, List("pipeline", "sample-stratified", docs, s"$dir/ss",
+      "--strata", "lang", "--k", "5"))
+    assert(spark.read.parquet(s"$dir/ss").groupBy("lang").count()
+      .filter("count <> 5").count() === 0)
+    Cli.run(spark, List("pipeline", "domain-mix", docs, s"$dir/dm",
+      "--domain", "source", "--targets", "src0=0.5,src1=0.5"))
+    val dm = spark.read.parquet(s"$dir/dm")
+    assert(dm.select("source").distinct().count() === 2)
+  }
+
   test("pipeline ann-index builds a persisted IVF index that ann-topk --model queries") {
     val dir = Files.createTempDirectory("graft-cli4").toString
     val emb = "/root/testdata/sf0.001/embeddings.parquet"

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Decontaminate, Packing, Sampling}
+
+/** Corpus-curation operators: benchmark decontamination, sequence packing,
+  * deterministic sampling / domain mixing. */
+class CurationSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------------- decontaminate
+
+  test("wordNgrams: sliding word windows, lowercased, short docs empty") {
+    import spark.implicits._
+    val df = Seq("The Quick  Brown fox", "one two", "").toDF("t")
+      .select(Decontaminate.wordNgrams(col("t"), 3).as("g"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) === Seq("the quick brown", "quick brown fox"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+  }
+
+  test("overlapReport: counts distinct train n-grams present in eval") {
+    val train = docsDf(Seq(
+      (0L, "a b c d e f"),          // ngrams(3): abc bcd cde def — abc+bcd in eval
+      (1L, "x y z w"),              // xyz yzw — none in eval
+      (2L, "a b")))                 // too short: 0 ngrams
+    val eval = docsDf(Seq((100L, "a b c d q"), (101L, "zz")))
+    val out = Decontaminate.overlapReport(train, eval, "text", "doc_id", n = 3)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    // doc 0: eval ngrams {abc, bcd, cdq}; train ngrams {abc,bcd,cde,def} -> 2 hits
+    assert(out(0).getAs[Long]("n_overlap") === 2L)
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assertRtol(out(0).getAs[Double]("overlap_frac"), 0.5, 1e-12, "overlap_frac")
+    assert(out(1).getAs[Long]("n_overlap") === 0L)
+    assert(!out(1).getAs[Boolean]("contaminated"))
+    assert(out(2).getAs[Int]("n_ngrams") === 0)
+    assert(out(2).getAs[Double]("overlap_frac") === 0.0)
+  }
+
+  test("crossDocDupScore: n-grams shared across documents, not within") {
+    val docs = docsDf(Seq(
+      (0L, "a b c d"),          // abc bcd
+      (1L, "a b c x"),          // abc bcx — shares abc with 0
+      (2L, "q r s t"),          // qrs rst — unique
+      (3L, "a b c d")))         // exact dup of 0: both ngrams dup
+    val out = Decontaminate.crossDocDupScore(docs, "text", "doc_id", n = 3)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_dup") === 2L) // abc (docs 0,1,3) + bcd (docs 0,3)
+    assert(out(1).getAs[Long]("n_dup") === 1L) // abc only
+    assert(out(2).getAs[Long]("n_dup") === 0L)
+    assert(out(3).getAs[Long]("n_dup") === 2L)
+  }
+
+  // ------------------------------------------------------------------ packing
+
+  test("packChunked: offsets are the per-group running sum; chunks cover the doc") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1L, 60L), ("g1", 2L, 50L), ("g1", 3L, 0L), ("g1", 4L, 10L),
+      ("g2", 1L, 250L)).toDF("grp", "ord", "tok")
+    val out = Packing.packChunked(df, col("tok"), maxTokens = 100, "grp", "ord")
+      .orderBy("grp", "ord").collect()
+    // g1: offsets 0,60,110,110; chunks: [0,0],[0,1],[1,1],[1,1]
+    assert(out.map(_.getAs[Long]("start_offset")).toSeq === Seq(0L, 60L, 110L, 110L, 0L))
+    assert(out.map(_.getAs[Long]("chunk_first")).toSeq === Seq(0L, 0L, 1L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("chunk_last")).toSeq === Seq(0L, 1L, 1L, 1L, 2L))
+  }
+
+  /** Brute-force sequential reference for first-fit packing. */
+  private def firstFitRef(tokens: Seq[Long], maxTokens: Long): Seq[Long] = {
+    var bin = 0L; var fill = 0L
+    tokens.map { n =>
+      if (fill > 0L && fill + n > maxTokens) { bin += 1L; fill = 0L }
+      fill += n
+      bin
+    }
+  }
+
+  test("packFirstFit matches the sequential reference per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("a", "b", "c"); i <- 0 until 200
+    } yield (g, i.toLong, rnd.nextInt(130).toLong) // some docs exceed maxTokens=100
+    val df = rows.toDF("grp", "ord", "tok").repartition(7) // scramble layout
+    val out = Packing.packFirstFit(df, "tok", maxTokens = 100, "grp", "ord")
+      .select("grp", "ord", "bin_id").as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    for ((g, rs) <- out) {
+      val sorted = rs.sortBy(_._2)
+      val expected = firstFitRef(sorted.map(r => rows.find(x => x._1 == g && x._2 == r._2).get._3).toSeq, 100L)
+      assert(sorted.map(_._3).toSeq === expected, s"group $g")
+    }
+    // invariant: no bin (except singleton oversize docs) exceeds the budget
+    val byBin = out.values.flatten.toSeq.groupBy(r => (r._1, r._3))
+    for (((g, b), rs) <- byBin) {
+      val toks = rs.map(r => rows.find(x => x._1 == g && x._2 == r._2).get._3)
+      assert(toks.sum <= 100L || rs.size == 1, s"overfull bin $g/$b")
+    }
+  }
+
+  test("packFirstFit: oversize and zero-token docs") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 300L), ("g", 2L, 50L), ("g", 3L, 0L), ("g", 4L, 60L))
+      .toDF("grp", "ord", "tok")
+    val out = Packing.packFirstFit(df, "tok", maxTokens = 100, "grp", "ord")
+      .orderBy("ord").select("bin_id").collect().map(_.getLong(0)).toSeq
+    // 300 fills bin 0 alone (overflow closes it when 50 arrives), 50+0 in bin 1
+    // (0-token never opens a new bin), 60 overflows -> bin 2
+    assert(out === Seq(0L, 1L, 1L, 2L))
+  }
+
+  // ----------------------------------------------------------------- sampling
+
+  test("hexThreshold endpoints and monotonicity") {
+    assert(Sampling.hexThreshold(0.0) === "000000000000000")
+    assert(Sampling.hexThreshold(1.0) === "fffffffffffffff")
+    assert(Sampling.hexThreshold(0.25) === "400000000000000")
+    assert(Sampling.hexThreshold(0.2) < Sampling.hexThreshold(0.5))
+    intercept[IllegalArgumentException](Sampling.hexThreshold(1.5))
+  }
+
+  test("hashSample: deterministic, partitioning-independent, ~fraction") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("k")
+    val a = Sampling.hashSample(df, col("k"), 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(13), col("k"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.03)
+    // nested property: a 0.1 sample is a subset of a 0.25 sample (same key hash)
+    val c = Sampling.hashSample(df, col("k"), 0.10).collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("stratifiedSample: exactly k per stratum, deterministic") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (s"s${i % 4}", i)).toDF("st", "k")
+    val out = Sampling.stratifiedSample(df, Seq("st"), k = 10, key = col("k"))
+    val counts = out.groupBy("st").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L, "s3" -> 10L))
+    val again = Sampling.stratifiedSample(df.repartition(11), Seq("st"), 10, col("k"))
+    assert(out.collect().toSet === again.collect().toSet)
+  }
+
+  test("domainMix exact: output counts hit the quota mixture") {
+    import spark.implicits._
+    // 600 a / 300 b / 100 c; targets 50/25/25 -> T bound by c: 100/0.25=400
+    val df = ((0L until 600L).map(i => ("a", i)) ++
+      (600L until 900L).map(i => ("b", i)) ++
+      (900L until 1000L).map(i => ("c", i))).toDF("dom", "k")
+    val out = Sampling.domainMix(df, "dom",
+      Map("a" -> 0.50, "b" -> 0.25, "c" -> 0.25), col("k"), exact = true)
+    val counts = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 200L, "b" -> 100L, "c" -> 100L))
+    // threshold mode: same quotas in expectation, binomial tolerance
+    val approx = Sampling.domainMix(df, "dom",
+      Map("a" -> 0.50, "b" -> 0.25, "c" -> 0.25), col("k"), exact = false)
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(approx("a") - 200L) < 60, s"approx a: ${approx("a")}")
+    // untargeted domains are dropped
+    val dropped = Sampling.domainMix(df, "dom", Map("a" -> 1.0), col("k"))
+    assert(dropped.select("dom").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+}
