@@ -660,6 +660,14 @@ object SparkEntry {
           col("n_dup"), round(col("dup_frac"), 6).as("dup_frac"))
         .orderBy("doc_id")),
 
+    "decon_remove_spans" -> ((s, dir) =>
+      // the cut step: every non-first occurrence of a corpus-duplicated
+      // word-5-gram is removed; doc rebuilt from surviving words
+      Decontaminate.removeDupSpans(t(s, dir, "documents"), "text", "doc_id", n = 5)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_removed"),
+          md5(col("text_dedup").cast("binary")).as("dedup_md5"))
+        .orderBy("doc_id")),
+
     // ---- sequence packing (driver mandate)
     "pack_chunked" -> ((s, dir) =>
       Packing.packChunked(t(s, dir, "documents"), col("n_chars"), maxTokens = 4096,
@@ -1284,6 +1292,34 @@ object SparkEntry {
              ELSE 0.0 END, 6) AS dup_frac
          FROM ex LEFT JOIN df ON ex.ng = df.ng
          GROUP BY 1, 2 ORDER BY doc_id""",
+
+    // positioned-occurrence replay of removeDupSpans: first occurrence per
+    // duplicated 5-gram via window rank; coverage via nested list lambdas
+    // (DuckDB list_filter index i is 1-based; Spark's is 0-based)
+    "decon_remove_spans" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+           FROM documents),
+         o AS (SELECT doc_id, u.start AS start, u.g AS g
+           FROM (SELECT doc_id,
+               unnest(list_transform(range(CASE WHEN len(w) >= 5 THEN len(w) - 4 ELSE 0 END),
+                 i -> {'start': CAST(i AS INT),
+                       'g': array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 5], ' ')})) AS u
+             FROM d)),
+         r AS (SELECT doc_id, start,
+             count(*) OVER (PARTITION BY g) AS cnt,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn
+           FROM o),
+         rm AS (SELECT doc_id, list(start) AS starts FROM r
+           WHERE cnt > 1 AND rn > 1 GROUP BY doc_id),
+         k AS (SELECT d.doc_id, d.w,
+             list_filter(d.w, (x, i) -> len(list_filter(coalesce(rm.starts, []),
+               s -> i - 1 >= s AND i - 1 < s + 5)) = 0) AS kept
+           FROM d LEFT JOIN rm USING (doc_id))
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_md5
+         FROM k ORDER BY doc_id""",
 
     "pack_chunked" ->
       """WITH o AS (SELECT doc_id, lang, n_chars,

@@ -322,6 +322,9 @@ object Cli {
         case "crossdoc-dup" =>
           graft.pipeline.Decontaminate.crossDocDupScore(df, txt, idc,
             n = flag(rest, "--ngram").map(_.toInt).getOrElse(13))
+        case "remove-dup-spans" =>
+          graft.pipeline.Decontaminate.removeDupSpans(df, txt, idc,
+            n = flag(rest, "--ngram").map(_.toInt).getOrElse(13))
         case "pack-chunked" =>
           graft.pipeline.Packing.packChunked(df,
             org.apache.spark.sql.functions.col(req(rest, "--tokens")),
@@ -379,7 +382,7 @@ object Cli {
       |    [--id c] [--text c] [--vec c] [--threshold t] [--k N] [--queries p] [--model idxDir] [--probe N]
       |  pipeline ann-index <in.parquet> <outIndexDir> [--vec c] [--lists N]
       |  pipeline decontaminate <train.parquet> <out> --eval <eval.parquet> [--ngram N]
-      |  pipeline crossdoc-dup <in.parquet> <out> [--ngram N]
+      |  pipeline crossdoc-dup|remove-dup-spans <in.parquet> <out> [--ngram N]
       |  pipeline pack-chunked|pack-firstfit <in> <out> --tokens c --group c --order c [--max N]
       |  pipeline sample-hash <in> <out> --fraction f [--key c]
       |  pipeline sample-stratified <in> <out> --strata a,b --k N [--key c]

@@ -27,14 +27,20 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Lowercased whitespace-token word n-grams of a text column; empty array
-    * when the document has fewer than n words. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val words = filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
-    when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * when the document has fewer than n words.
+    *
+    * The single-element transform(array(words), ws -> ...) wrapper is a
+    * LET-BINDING: an expression referenced inside a lambda is re-evaluated
+    * per lambda invocation, so naming `words` directly in the per-position
+    * lambda would recompute the whole split+filter for EVERY n-gram start
+    * (O(words^2) per document — measured 4.8s -> ~0.4s on the sf0.1 bench).
+    * Binding it as a lambda variable materializes it once per row. */
+  def wordNgrams(text: Column, n: Int): Column =
+    element_at(transform(array(canonicalWords(text)), ws =>
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))), 1)
 
   /** Distinct word-n-gram hashes per document: (id, ngram_hash) exploded,
     * plus the per-document distinct count carried alongside. */
@@ -64,6 +70,62 @@ object Decontaminate {
         when(col("n_ngrams") > 0,
           col("n_overlap").cast("double") / col("n_ngrams")).otherwise(0.0))
       .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Positioned (non-distinct) word n-grams: (start, hash) pairs, start
+    * 0-based over the canonical word sequence. Same let-binding shape as
+    * wordNgrams (see comment there). */
+  private def positionedNgramHashes(words: Column, n: Int): Column =
+    element_at(transform(array(words), ws =>
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => struct(i.as("start"),
+            xxhash64(concat_ws(" ", slice(ws, i + 1, lit(n)))).as("gh"))))
+        .otherwise(array().cast("array<struct<start:int,gh:bigint>>"))), 1)
+
+  private def canonicalWords(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** Duplicated-span REMOVAL (the cut step behind crossDocDupScore's
+    * signal): every occurrence of a word n-gram that occurs more than once
+    * in the corpus is dropped, EXCEPT the globally-first occurrence
+    * (ordered by (id, start)). A word survives iff no removed occurrence's
+    * n-window covers its position; the document is rebuilt from surviving
+    * words joined by single spaces (text is canonicalized: lowercased,
+    * whitespace-collapsed).
+    *
+    * Returns (id, n_words, n_removed, text_dedup).
+    *
+    * Scale shape: positioned n-grams explode per-row (no shuffle); the
+    * global occurrence count + first-occurrence winner is ONE aggregation
+    * on the 8-byte n-gram hash with map-side partial min/count; removed
+    * starts flow back via one join on that same hash (co-partitioned with
+    * the aggregation's exchange) and ONE per-doc aggregation collects them.
+    * Coverage expansion is per-row array algebra — removed-start lists are
+    * bounded by document length, never corpus size. */
+  def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 13): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      canonicalWords(col(textCol)).as("__ws"))
+    val occ = base
+      .select(col("id"), explode(positionedNgramHashes(col("__ws"), n)).as("__o"))
+      .select(col("id"), col("__o.start").as("start"), col("__o.gh").as("__gh"))
+    // one shuffle: occurrence count + globally-first occurrence per n-gram
+    val global = occ.groupBy("__gh").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col("id"), col("start"))).as("__first"))
+    val removedStarts = occ.join(global, Seq("__gh"))
+      .filter(col("__cnt") > 1 &&
+        !(col("id") === col("__first.id") && col("start") === col("__first.start")))
+      .groupBy("id").agg(collect_list(col("start")).as("__rm"))
+    base.join(removedStarts, Seq("id"), "left")
+      .withColumn("__rm", coalesce(col("__rm"), array().cast("array<int>")))
+      .select(col("id"), size(col("__ws")).cast("long").as("n_words"),
+        filter(col("__ws"), (w, p) =>
+          !exists(col("__rm"), s => p >= s && p < s + n)).as("__kept"))
+      .select(col("id"), col("n_words"),
+        (col("n_words") - size(col("__kept"))).as("n_removed"),
+        concat_ws(" ", col("__kept")).as("text_dedup"))
   }
 
   /** Cross-document duplicated-span score: for every document, the count

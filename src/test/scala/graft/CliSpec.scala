@@ -95,6 +95,9 @@ class CliSpec extends SparkSpec {
     assert(dc.filter("n_ngrams > 0 AND NOT contaminated").count() === 0)
     Cli.run(spark, List("pipeline", "crossdoc-dup", docs, s"$dir/cd", "--ngram", "5"))
     assert(spark.read.parquet(s"$dir/cd").columns.contains("dup_frac"))
+    Cli.run(spark, List("pipeline", "remove-dup-spans", docs, s"$dir/rs", "--ngram", "5"))
+    val rs = spark.read.parquet(s"$dir/rs")
+    assert(rs.count() === nDocs && rs.columns.contains("text_dedup"))
     Cli.run(spark, List("pipeline", "pack-chunked", docs, s"$dir/pc",
       "--tokens", "n_chars", "--group", "lang", "--order", "doc_id", "--max", "4096"))
     assert(spark.read.parquet(s"$dir/pc").columns.contains("chunk_first"))

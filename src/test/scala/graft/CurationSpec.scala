@@ -57,6 +57,28 @@ class CurationSpec extends SparkSpec {
     assert(out(3).getAs[Long]("n_dup") === 2L)
   }
 
+  test("removeDupSpans: cross-doc duplicated spans cut, first occurrence kept") {
+    val docs = docsDf(Seq(
+      (0L, "a b c d e f"),      // first occurrence of every shared 3-gram
+      (1L, "z a b c d e"),      // abc/bcd/cde at starts 1,2,3 -> covers pos 1..5
+      (2L, "q r s t u")))       // untouched
+    val out = Decontaminate.removeDupSpans(docs, "text", "doc_id", n = 3)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_removed") === 0L)
+    assert(out(0).getAs[String]("text_dedup") === "a b c d e f")
+    assert(out(1).getAs[Long]("n_removed") === 5L)
+    assert(out(1).getAs[String]("text_dedup") === "z")
+    assert(out(2).getAs[Long]("n_removed") === 0L)
+  }
+
+  test("removeDupSpans: within-doc repetition collapses to the first span") {
+    val docs = docsDf(Seq((7L, "p q r p q r p q r")))
+    val out = Decontaminate.removeDupSpans(docs, "text", "doc_id", n = 3).collect()
+    assert(out.head.getAs[Long]("n_words") === 9L)
+    assert(out.head.getAs[Long]("n_removed") === 6L)
+    assert(out.head.getAs[String]("text_dedup") === "p q r")
+  }
+
   // ------------------------------------------------------------------ packing
 
   test("packChunked: offsets are the per-group running sum; chunks cover the doc") {
