@@ -209,18 +209,26 @@ object Text {
     val dupParaFrac = when(nParas > 0,
       lit(1.0) - size(array_distinct(paras)).cast("double") / nParas).otherwise(0.0)
     val words = filter(split(lower(trim(t)), "\\s+"), w => length(w) > 0)
-    val bigrams = when(size(words) >= 2,
-      transform(sequence(lit(0), size(words) - 2),
-        i => concat_ws(" ", get(words, i), get(words, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val topBigram = when(size(bigrams) > 0, maxRunCount(array_sort(bigrams)))
-      .otherwise(0)
-    val topBigramFrac = when(size(bigrams) > 0,
-      topBigram.cast("double") / size(bigrams)).otherwise(0.0)
-    df.withColumn("dup_line_frac", dupLineFrac)
+    // let-bind the words array (see Decontaminate.wordNgrams): naming
+    // `words` inside the per-position lambda would re-split the text for
+    // EVERY bigram position — O(words^2) per document
+    val bigrams = element_at(transform(array(words), ws =>
+      when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", get(ws, i), get(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))), 1)
+    // materialize: `__bigrams` is referenced four times below and the
+    // builder is not cheap enough to inline per reference
+    val withB = df.withColumn("__bigrams", bigrams)
+    val b = col("__bigrams")
+    val topBigram = when(size(b) > 0, maxRunCount(array_sort(b))).otherwise(0)
+    val topBigramFrac = when(size(b) > 0,
+      topBigram.cast("double") / size(b)).otherwise(0.0)
+    withB.withColumn("dup_line_frac", dupLineFrac)
       .withColumn("dup_line_char_frac", dupLineCharFrac)
       .withColumn("dup_para_frac", dupParaFrac)
       .withColumn("top_bigram_frac", topBigramFrac)
+      .drop("__bigrams")
   }
 
   /** Rolling polynomial hash fingerprints (winnowing-style): hash every
