@@ -69,6 +69,38 @@ case class Simhash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Ordered word-n-gram window hashes over a PRE-SPLIT word array:
+  * array<long>, element i = hash of words[i..i+n-1]. Computed as a
+  * polynomial combine of per-word XXH64 hashes — O(words·n) long ops and
+  * ZERO n-gram string materialization (the Column-algebra path built an
+  * n-word string per position before hashing it). Only equality of equal
+  * windows matters to the dedup/decontamination joins, so the hash family
+  * is free to differ from xxhash64-of-concat; the DuckDB oracles join raw
+  * n-gram strings and would surface any collision. */
+case class NgramWindowHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_window_hashes needs array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(graft.pipeline.Decontaminate.ngramWindowHashKernel(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.pipeline.Decontaminate.ngramWindowHashKernel($x, $n));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ngram_window_hashes"
+}
+
 /** Distinct k-shingle polynomial hashes of a string: array<long> — the
   * exact-Jaccard verification representation. */
 case class ShingleHashes(child: Expression, shingleK: Int) extends UnaryExpression {

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Benchmark decontamination + cross-document duplicated-span scoring for
   * training-data pipelines (driver mandate).
@@ -42,15 +43,56 @@ object Decontaminate {
           i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
         .otherwise(array().cast("array<string>"))), 1)
 
+  /** Per-word XXH64 hashes combined polynomially per window: element i of
+    * the result = hash of words[i..i+n-1]. Static kernel shared by the
+    * interpreted and codegen'd paths of
+    * [[graft.functions.NgramWindowHashes]]. O(words·n) long ops, no n-gram
+    * string ever materialized. */
+  def ngramWindowHashKernel(words: ArrayData, n: Int): Array[Long] = {
+    val m = words.numElements()
+    if (m < n) return Array.emptyLongArray
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val w = words.getUTF8String(i)
+      wh(i) =
+        if (w == null) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    var s = 0
+    while (s <= m - n) {
+      var h = -7046029254386353131L
+      var j = 0
+      while (j < n) { h = h * 1099511628211L + wh(s + j); j += 1 }
+      out(s) = h
+      s += 1
+    }
+    out
+  }
+
+  /** Ordered window hashes of the canonical words of `textCol` as a native
+    * codegen'd Column (registered per (session, n)). */
+  private def windowHashesOf(df: DataFrame, words: Column, n: Int): Column = {
+    val fname = s"ngram_window_hashes_$n"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.NgramWindowHashes(exprs.head, n), "scala_udf")
+    call_function(fname, words)
+  }
+
+  private def windowHashes(df: DataFrame, textCol: String, n: Int): Column =
+    windowHashesOf(df, canonicalWords(col(textCol)), n)
+
   /** Distinct word-n-gram hashes per document: (id, ngram_hash) exploded,
     * plus the per-document distinct count carried alongside. */
   private def docNgramHashes(df: DataFrame, textCol: String, idCol: String,
                              n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        array_distinct(wordNgrams(col(textCol), n)).as("__gs"))
+        array_distinct(windowHashes(df, textCol, n)).as("__gs"))
       .select(col("id"), size(col("__gs")).as("n_ngrams"),
-        explode_outer(col("__gs")).as("__g"))
-      .withColumn("__gh", xxhash64(col("__g")))
+        explode_outer(col("__gs")).as("__gh"))
 
   /** Decontamination report: for every training document, how many of its
     * distinct word n-grams appear anywhere in the evaluation corpus.
@@ -59,8 +101,7 @@ object Decontaminate {
   def overlapReport(train: DataFrame, eval: DataFrame, textCol: String,
                     idCol: String, n: Int = 13): DataFrame = {
     val evalHashes = eval
-      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("__g"))
-      .select(xxhash64(col("__g")).as("__gh"))
+      .select(explode(array_distinct(windowHashes(eval, textCol, n))).as("__gh"))
       .distinct()
     val marked = docNgramHashes(train, textCol, idCol, n)
       .join(broadcast(evalHashes.withColumn("__hit", lit(1))), Seq("__gh"), "left")
@@ -71,17 +112,6 @@ object Decontaminate {
           col("n_overlap").cast("double") / col("n_ngrams")).otherwise(0.0))
       .withColumn("contaminated", col("n_overlap") > 0)
   }
-
-  /** Positioned (non-distinct) word n-grams: (start, hash) pairs, start
-    * 0-based over the canonical word sequence. Same let-binding shape as
-    * wordNgrams (see comment there). */
-  private def positionedNgramHashes(words: Column, n: Int): Column =
-    element_at(transform(array(words), ws =>
-      when(size(ws) >= n,
-        transform(sequence(lit(0), size(ws) - n),
-          i => struct(i.as("start"),
-            xxhash64(concat_ws(" ", slice(ws, i + 1, lit(n)))).as("gh"))))
-        .otherwise(array().cast("array<struct<start:int,gh:bigint>>"))), 1)
 
   private def canonicalWords(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
@@ -108,8 +138,8 @@ object Decontaminate {
     val base = df.select(col(idCol).as("id"),
       canonicalWords(col(textCol)).as("__ws"))
     val occ = base
-      .select(col("id"), explode(positionedNgramHashes(col("__ws"), n)).as("__o"))
-      .select(col("id"), col("__o.start").as("start"), col("__o.gh").as("__gh"))
+      .select(col("id"), posexplode(windowHashesOf(df, col("__ws"), n)))
+      .withColumnRenamed("pos", "start").withColumnRenamed("col", "__gh")
     // one shuffle: occurrence count + globally-first occurrence per n-gram
     val global = occ.groupBy("__gh").agg(
       count(lit(1)).as("__cnt"),

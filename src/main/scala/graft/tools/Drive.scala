@@ -14,14 +14,13 @@ object Drive {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.1"
-    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
-      .foreach(f => spark.read.parquet(f.getAbsolutePath).write.format("noop").mode("overwrite").save())
+    spark.read.parquet(s"$dir/documents.parquet").write.format("noop").mode("overwrite").save()
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"$tag: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
-    val names = Seq("text_repetition")
-    for (n <- names; i <- 1 to 3) time(f"$n%-28s $i") {
+    val names = Seq("decon_overlap", "decon_crossdoc_dup", "decon_remove_spans")
+    for (n <- names; i <- 1 to 3) time(f"$n%-24s $i") {
       graft.SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
     }
     spark.stop()

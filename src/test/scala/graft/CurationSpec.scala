@@ -57,6 +57,21 @@ class CurationSpec extends SparkSpec {
     assert(out(3).getAs[Long]("n_dup") === 2L)
   }
 
+  test("ngramWindowHashKernel: equal windows hash equal, ordered, short arrays empty") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ws: String*) = ArrayData.toArrayData(ws.map(UTF8String.fromString).toArray)
+    val h1 = Decontaminate.ngramWindowHashKernel(arr("a", "b", "c", "d"), 3)
+    assert(h1.length === 2) // windows abc, bcd
+    val h2 = Decontaminate.ngramWindowHashKernel(arr("z", "a", "b", "c"), 3)
+    assert(h2(1) === h1(0)) // "a b c" hashes identically at any position
+    assert(h2(0) !== h1(0))
+    assert(Decontaminate.ngramWindowHashKernel(arr("a", "b"), 3).isEmpty)
+    // order sensitivity: "a b c" != "c b a"
+    val h3 = Decontaminate.ngramWindowHashKernel(arr("c", "b", "a"), 3)
+    assert(h3(0) !== h1(0))
+  }
+
   test("removeDupSpans: cross-doc duplicated spans cut, first occurrence kept") {
     val docs = docsDf(Seq(
       (0L, "a b c d e f"),      // first occurrence of every shared 3-gram
