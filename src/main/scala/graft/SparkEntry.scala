@@ -638,6 +638,16 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "text_quality_score" -> ((s, dir) =>
+      // linear classifier inference as a zero-shuffle projection; the
+      // oracle replays the identical sigmoid arithmetic
+      Text.classifierScore(t(s, dir, "documents").filter(col("doc_id") < 200), "text",
+          weights = Map("stopword_ratio" -> 4.0, "punct_ratio" -> 2.0,
+            "mean_word_len" -> 0.1, "n_words" -> 0.001),
+          bias = -1.0)
+        .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
+        .orderBy("doc_id")),
+
     // ---- benchmark decontamination + corpus curation (driver mandate)
     "decon_overlap" -> ((s, dir) => {
       // eval slice is every 7th doc; the eval n-gram set is broadcast, so
@@ -1242,6 +1252,34 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, 'text/plain' AS mime
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+
+    // sigmoid(bias + Σ w·f) replayed with the same left-fold order over
+    // name-sorted features (float addition is not associative) and DOUBLE
+    // casts so both engines run IEEE double end-to-end
+    "text_quality_score" ->
+      """WITH f AS (SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[\.,;:!\?]')) AS punct,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop
+           FROM documents WHERE doc_id < 200),
+         g AS (SELECT doc_id,
+             CASE WHEN n_words > 0
+               THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words END AS mean_word_len,
+             n_words,
+             CASE WHEN n_chars > 0
+               THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_words > 0
+               THEN CAST(stop AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio
+           FROM f)
+         SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(((((CAST(-1.0 AS DOUBLE)
+             + mean_word_len * CAST(0.1 AS DOUBLE))
+             + n_words * CAST(0.001 AS DOUBLE))
+             + punct_ratio * CAST(2.0 AS DOUBLE))
+             + stopword_ratio * CAST(4.0 AS DOUBLE))))), 6) AS quality_score
+         FROM g ORDER BY doc_id""",
 
     // word-5-gram decontamination: DuckDB joins the RAW n-gram strings where
     // the Spark side joins xxhash64 of them — a collision would surface here

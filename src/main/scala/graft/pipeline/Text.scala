@@ -46,6 +46,24 @@ object Text {
         when(words > 0, stop.cast("double") / words).otherwise(0.0))
   }
 
+  /** Linear quality-classifier inference (the fastText/logreg-style corpus
+    * quality filter) as pure codegen'd column algebra:
+    * score = sigmoid(bias + Σ w_f · feature_f) over [[qualityFeatures]]
+    * columns. The weight vector rides the plan as literals, so model
+    * inference at corpus scale is a zero-shuffle projection that fuses into
+    * the scan — no UDF, no broadcast, replayable as ANSI SQL. */
+  def classifierScore(df: DataFrame, textCol: String,
+                      weights: Map[String, Double], bias: Double = 0.0,
+                      out: String = "quality_score"): DataFrame = {
+    val feats = qualityFeatures(df, textCol)
+    require(weights.keySet.subsetOf(feats.columns.toSet),
+      s"unknown feature(s): ${weights.keySet.diff(feats.columns.toSet).mkString(", ")}")
+    val lin = weights.toSeq.sortBy(_._1).foldLeft(lit(bias)) {
+      case (acc, (f, w)) => acc + col(f) * lit(w)
+    }
+    feats.withColumn(out, lit(1.0) / (lit(1.0) + exp(-lin)))
+  }
+
   /** Count of whitespace-delimited tokens equal to any of `words`. */
   def stopwordHits(text: Column, words: Seq[String]): Column =
     filter(split(trim(lower(text)), "\\s+"),

@@ -153,6 +153,21 @@ class CurationSpec extends SparkSpec {
     assert(out === Seq(0L, 1L, 1L, 2L))
   }
 
+  test("classifierScore: sigmoid of the weighted feature sum; unknown feature rejected") {
+    import graft.pipeline.Text
+    val df = docsDf(Seq((0L, "the cat sat"), (1L, "zzz")))
+    val out = Text.classifierScore(df, "text", Map("stopword_ratio" -> 3.0), bias = -1.0)
+      .orderBy("doc_id").collect()
+    // doc 0: stopword_ratio = 1/3 -> sigmoid(-1 + 1) = 0.5
+    assertRtol(out(0).getAs[Double]("quality_score"),
+      1.0 / (1.0 + math.exp(-(-1.0 + 3.0 / 3.0))), 1e-12, "score0")
+    assert(out(0).getAs[Double]("quality_score") === 0.5)
+    assertRtol(out(1).getAs[Double]("quality_score"),
+      1.0 / (1.0 + math.exp(1.0)), 1e-12, "score1")
+    intercept[IllegalArgumentException](
+      Text.classifierScore(df, "text", Map("nope" -> 1.0)))
+  }
+
   // ----------------------------------------------------------------- sampling
 
   test("hexThreshold endpoints and monotonicity") {
