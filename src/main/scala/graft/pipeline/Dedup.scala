@@ -171,12 +171,21 @@ object Dedup {
     * KEEPS its input type (a string cast would silently turn min into
     * lexicographic order and disagree with numeric-min keepers). */
   def components(pairs: DataFrame, idCol1: String = "id1",
-                 idCol2: String = "id2", maxIter: Int = 20): DataFrame = {
+                 idCol2: String = "id2", maxIter: Int = 20,
+                 localMaxEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
       .union(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
       .distinct()
       .localCheckpoint()
+    // adaptive small-graph path: a dedup pair graph is usually orders of
+    // magnitude smaller than the corpus; below the (conf-able) edge bound
+    // a driver union-find replaces 5+ distributed label-propagation rounds
+    // (each a join + checkpoint job). The distributed path is unchanged and
+    // takes over exactly when the graph could not fit one machine.
+    val localBound = spark.conf.getOption("graft.components.localMaxEdges")
+      .map(_.toLong).getOrElse(localMaxEdges)
+    if (edges.count() <= localBound) return localComponents(spark, edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -214,6 +223,41 @@ object Dedup {
       iter += 1
     }
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Driver union-find over a collected (already direction-doubled) edge
+    * list; representative = the component's minimum id under the same
+    * ordering the distributed path's min()/least() aggregation uses. */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              edges: DataFrame): DataFrame = {
+    val idType = edges.schema("src").dataType
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    edges.collect().foreach { r =>
+      val (s, d) = (r.get(0), r.get(1))
+      if (!parent.containsKey(s)) parent.put(s, s)
+      if (!parent.containsKey(d)) parent.put(d, d)
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) { // min root wins, matching the distributed min-label
+        if (lt(rs, rd)) parent.put(rd, rs) else parent.put(rs, rd)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = parent.keySet().asScala.toSeq.map { id =>
+      org.apache.spark.sql.Row(id, find(id))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Keep-one resolution over grouped duplicates: every id maps to its

@@ -19,9 +19,8 @@ object Drive {
       val t0 = System.nanoTime(); f
       println(f"$tag: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
-    val names = Seq("decon_overlap", "decon_crossdoc_dup", "decon_remove_spans")
-    for (n <- names; i <- 1 to 3) time(f"$n%-24s $i") {
-      graft.SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
+    for (i <- 1 to 3) time(s"dedup_components $i") {
+      graft.SparkEntry.queries("dedup_components")(spark, dir).write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

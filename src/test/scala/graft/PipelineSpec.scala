@@ -70,6 +70,18 @@ class PipelineSpec extends SparkSpec {
     assert(wide(10L) === 8L)
   }
 
+  test("components: distributed path == local union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("id1", "id2")
+    val local = graft.pipeline.Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = graft.pipeline.Dedup.components(pairs, localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+  }
+
   test("simhash of identical docs is identical; near-dups are close") {
     val s0 = Dedup.simhash(docs.filter(col("doc_id") === 0).head.getString(1))
     val s3 = Dedup.simhash(docs.filter(col("doc_id") === 3).head.getString(1))
