@@ -61,6 +61,31 @@ object Load {
     }
   }
 
+  /** ORC source (Spark-native reader — same pushdown/pruning contract as
+    * parquet; interchange format breadth beyond the reference's CSV/TSV). */
+  def fromOrc(spark: SparkSession, path: String, idCol: Option[String] = None): CladeFrame = {
+    val raw = spark.read.orc(path)
+    idCol match {
+      case Some(c) => CladeFrame(raw.withColumnRenamed(c, CladeFrame.DefaultId))
+      case None    => CladeFrame(raw, raw.columns.head)
+    }
+  }
+
+  /** Persist `df` hash-bucketed by `keys` as a saved table: two tables
+    * bucketed the same way equi-join WITHOUT a shuffle on either side (the
+    * 100 TB path for repeated fact-to-fact joins — pay the shuffle once at
+    * write time, never per query). Requires saveAsTable (bucket metadata
+    * lives in the catalog, not the files). */
+  def saveBucketed(df: DataFrame, table: String, keys: Seq[String],
+                   numBuckets: Int): Unit = {
+    require(keys.nonEmpty && numBuckets > 0, "keys and numBuckets required")
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Attach a sequential row-number id (the reference's default RangeIndex →
     * "ID" behavior when no index column exists, load.py:44-49). zipWithIndex
     * keeps file order — deterministic for a given input. */
