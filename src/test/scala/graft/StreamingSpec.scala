@@ -111,6 +111,38 @@ class StreamingSpec extends SparkSpec {
     assert(native === custom)
   }
 
+  test("stateless curation ops run unchanged on a stream: classifier + hash sample") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    // the SAME operator definitions as batch — stateless projections and
+    // filters are streaming-legal as-is, which is the point: one curation
+    // pipeline definition serves the backfill and the live feed
+    val curated = graft.pipeline.Sampling.hashSample(
+      graft.pipeline.Text.classifierScore(streamDf, "text",
+        Map("stopword_ratio" -> 4.0), bias = -1.0),
+      col("doc_id"), fraction = 0.5)
+    val q = curated.select("doc_id", "quality_score")
+      .writeStream.format("memory").queryName("curation_test")
+      .outputMode("append").start()
+    try {
+      val rows = (0L until 200L).map(i => (i, s"the doc $i of words and text"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_test").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // exactly the batch result: same hash decisions, same scores
+      val batch = graft.pipeline.Sampling.hashSample(
+        graft.pipeline.Text.classifierScore(rows.toDF("doc_id", "text"), "text",
+          Map("stopword_ratio" -> 4.0), bias = -1.0),
+        col("doc_id"), fraction = 0.5)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size < 200)
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions with custom state") {
     import spark.implicits._
     val rows = Seq(
