@@ -638,6 +638,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "ann_semantic_dedup" -> ((s, dir) =>
+      // one-call semantic dedup over embeddings (LSH-bucketed pairs ->
+      // components -> keep-one); hash-family dependent -> rows-only check,
+      // planted-duplicate semantics pinned in PipelineSpec
+      Similarity.semanticDedup(s, t(s, dir, "embeddings"), threshold = 0.95,
+          dim = 64)
+        .select(col("vec_id")).orderBy("vec_id")),
+
     "text_quality_score" -> ((s, dir) =>
       // linear classifier inference as a zero-shuffle projection; the
       // oracle replays the identical sigmoid arithmetic

@@ -313,6 +313,13 @@ object Cli {
               val queries = flag(rest, "--queries").map(spark.read.parquet(_)).getOrElse(df)
               Similarity.ivfTopK(df, queries, k, idCol = idc2, vecCol = vc)
           }
+        case "semantic-dedup" =>
+          // embedding-level near-dup removal; --dim required (vector width)
+          Similarity.semanticDedup(spark, df,
+            threshold = flag(rest, "--threshold").map(_.toDouble).getOrElse(0.95),
+            dim = req(rest, "--dim").toInt,
+            idCol = flag(rest, "--id").getOrElse("vec_id"),
+            vecCol = flag(rest, "--vec").getOrElse("embedding"))
         case "decontaminate" =>
           // --eval is the benchmark corpus; report per-train-doc overlap
           import graft.pipeline.Decontaminate
@@ -387,6 +394,7 @@ object Cli {
       |  pipeline sample-hash <in> <out> --fraction f [--key c]
       |  pipeline sample-stratified <in> <out> --strata a,b --k N [--key c]
       |  pipeline domain-mix <in> <out> --domain c --targets d1=w1,d2=w2 [--key c] [--approx]
+      |  pipeline semantic-dedup <in> <out> --dim N [--threshold t] [--id c] [--vec c]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]

@@ -221,6 +221,26 @@ object Similarity {
     ivfQuery(model, ivfAssign(model, corpus, vecCol), queries, k, nProbe, idCol, vecCol)
   }
 
+  /** One-call SEMANTIC dedup (SemDeDup-shaped): LSH-bucketed cosine
+    * near-duplicate pairs → connected components → keep-one; returns the
+    * corpus with every duplicate group reduced to its minimum-id member.
+    * Same composition contract as [[Dedup.nearDedup]] for text — the only
+    * corpus-scale operations are the signature projection and one
+    * anti-join-shaped shuffle (the pair/component tables are duplicate-
+    * sized, not corpus-sized). */
+  def semanticDedup(spark: SparkSession, df: DataFrame, threshold: Double,
+                    dim: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding", bits: Int = 6,
+                    seed: Long = 42L): DataFrame = {
+    val pairs = cosineNearDups(spark, df, threshold, dim, idCol, vecCol,
+      byBucket = true, bits, seed)
+    val dupIds = Dedup.resolveKeepers(Dedup.components(pairs))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"))
+    df.join(dupIds, df(idCol).cast("string") === dupIds("id").cast("string"),
+      "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join (`byBucket`,
     * the scale path) or a cheap consecutive-id sanity scan (id2 = id1 + 1 —
     * linear, NOT an all-pairs join). */

@@ -131,6 +131,11 @@ class CliSpec extends SparkSpec {
     val topk = spark.read.parquet(s"$dir/topk")
     assert(topk.columns.toSeq === Seq("query_id", "neighbor_id", "cosine", "rank"))
     assert(topk.count() > 0)
+    // embedding-level near-dup removal returns the corpus (<= input rows)
+    Cli.run(spark, List("pipeline", "semantic-dedup", emb, s"$dir/sd",
+      "--dim", "64", "--threshold", "0.99"))
+    val sd = spark.read.parquet(s"$dir/sd")
+    assert(sd.count() > 0 && sd.count() <= spark.read.parquet(emb).count())
   }
 
   test("unknown commands fail loudly") {

@@ -70,6 +70,23 @@ class PipelineSpec extends SparkSpec {
     assert(wide(10L) === 8L)
   }
 
+  test("semanticDedup: planted duplicate embeddings collapse to the min id") {
+    import spark.implicits._
+    val base = Array.tabulate(4)(i => if (i == 0) 1.0f else 0.1f * i)
+    val ortho = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    val rows = Seq(
+      (0L, base),                    // keeper of the duplicate group
+      (1L, base.clone()),            // exact dup
+      (2L, ortho),                   // unrelated
+      (3L, base.map(_ * 2.0f)),      // cosine 1.0 with base (same LSH signs)
+      (4L, base.map(-_)))            // antipode: cosine -1, never a dup
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(spark, df, threshold = 0.95, dim = 4,
+        bits = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L, 4L))
+  }
+
   test("components: distributed path == local union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
