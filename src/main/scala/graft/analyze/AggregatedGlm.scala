@@ -220,12 +220,8 @@ object AggregatedGlm {
       blockOff(k) = szAcc; szAcc += 3 + pPer(k) + pPer(k) * (pPer(k) + 1) / 2
     }
     val size = szAcc
-    val acc = df.select(selCols: _*).rdd.map { r =>
-      val a = new Array[Double](width)
-      var i = 0
-      while (i < width) { a(i) = if (r.isNullAt(i)) Double.NaN else r.getDouble(i); i += 1 }
-      a
-    }.treeAggregate(new Array[Double](size))(
+    val acc = graft.stats.Rows.doubleRdd(df.select(selCols: _*))
+      .treeAggregate(new Array[Double](size))(
       seqOp = { (st, row) =>
         val y = row(0)
         var k = 0
@@ -414,12 +410,8 @@ object AggregatedGlm {
           }).as(s"__cf_${maskPos(v)}")
         } ++
         zList.zipWithIndex.map { case ((_, c), j) => c.cast("double").as(s"__z_$j") }
-    val rdd = df0.select(selCols: _*).rdd.map { r =>
-      val a = new Array[Double](width)
-      var i = 0
-      while (i < width) { a(i) = if (r.isNullAt(i)) Double.NaN else r.getDouble(i); i += 1 }
-      a
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = graft.stats.Rows.doubleRdd(df0.select(selCols: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     final case class MSpec(key: String, rv: String, maskIdx: Int,
                            zIdx: Array[Int], p: Int)

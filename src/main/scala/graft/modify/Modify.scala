@@ -449,11 +449,9 @@ object Modify {
     // persisted (serialized, spillable): the counts pass, the range
     // partitioner's sample pass, and the sort shuffle all read these pairs —
     // without the cache each one re-decodes the source columns
-    val pairs = df.select(cols.map(c => col(c).cast("double")): _*).rdd.flatMap { r =>
-      (0 until k).iterator.collect {
-        case i if !r.isNullAt(i) && !r.getDouble(i).isNaN => (i, r.getDouble(i))
-      }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.stats.Rows.nonNullDoublePairs(
+        df.select(cols.map(c => col(c).cast("double")): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // pandas drops NaN/null per column; counts define each column's n
     val countMap = pairs.map(_._1).countByValue()

@@ -19,8 +19,9 @@ object Drive {
       val t0 = System.nanoTime(); f
       println(f"$tag: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
-    for (i <- 1 to 3) time(s"dedup_components $i") {
-      graft.SparkEntry.queries("dedup_components")(spark, dir).write.format("noop").mode("overwrite").save()
+    val names = Seq("analyze_assoc_wide", "analyze_assoc_logistic", "modify_remove_outliers_iqr")
+    for (n <- names; i <- 1 to 3) time(f"$n%-28s $i") {
+      graft.SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }
