@@ -127,7 +127,11 @@ object Describe {
     import spark.implicits._
     val k = vars.size
     val m = k * (k - 1) / 2
-    val rows = cf.df.select(vars.map(c => col(c).cast("double")): _*).rdd
+    // InternalRow-direct decode (see Rows.doubleRdd); null AND NaN both
+    // arrive as NaN = missing, which matches pandas' pairwise-complete
+    // drop (a literal NaN cell no longer poisons its pairs' moments)
+    val rows = graft.stats.Rows.doubleRdd(
+      cf.df.select(vars.map(c => col(c).cast("double")): _*))
     // layout: acc(6*p .. 6*p+5) = n, sx, sy, sxy, sxx, syy for pair p;
     // tail block acc(6*m + i) = per-column shift (first non-null seen)
     val size = 6 * m + k
@@ -135,20 +139,20 @@ object Describe {
       seqOp = { (a, r) =>
         var i = 0
         while (i < k) { // record shifts on first contact
-          if (!r.isNullAt(i) && a(6 * m + i).isNaN) a(6 * m + i) = r.getDouble(i)
+          if (!r(i).isNaN && a(6 * m + i).isNaN) a(6 * m + i) = r(i)
           i += 1
         }
         i = 0
         var p = 0
         while (i < k) {
-          val xNull = r.isNullAt(i)
+          val xNull = r(i).isNaN
           if (xNull) { p += k - i - 1; i += 1 }
           else {
-          val x = r.getDouble(i) - a(6 * m + i)
+          val x = r(i) - a(6 * m + i)
           var j = i + 1
           while (j < k) {
-            if (!r.isNullAt(j)) {
-              val y = r.getDouble(j) - a(6 * m + j)
+            if (!r(j).isNaN) {
+              val y = r(j) - a(6 * m + j)
               val b = 6 * p
               if (a(b).isNaN) { a(b) = 0; a(b+1) = 0; a(b+2) = 0; a(b+3) = 0; a(b+4) = 0; a(b+5) = 0 }
               a(b) += 1; a(b+1) += x; a(b+2) += y
