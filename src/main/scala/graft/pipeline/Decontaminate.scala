@@ -99,12 +99,19 @@ object Decontaminate {
     * Returns (id, n_ngrams, n_overlap, overlap_frac, contaminated) — the
     * standard policy drops (or flags) any document with n_overlap > 0. */
   def overlapReport(train: DataFrame, eval: DataFrame, textCol: String,
-                    idCol: String, n: Int = 13): DataFrame = {
+                    idCol: String, n: Int = 13,
+                    broadcastEval: Boolean = true): DataFrame = {
     val evalHashes = eval
       .select(explode(array_distinct(windowHashes(eval, textCol, n))).as("__gh"))
       .distinct()
+    // eval benchmarks are tiny vs a training corpus -> broadcast by
+    // default so the train side never shuffles; broadcastEval = false is
+    // the escape hatch when "eval" is itself corpus-sized (shuffle join
+    // on the 8-byte hash)
+    val evalSide = evalHashes.withColumn("__hit", lit(1))
     val marked = docNgramHashes(train, textCol, idCol, n)
-      .join(broadcast(evalHashes.withColumn("__hit", lit(1))), Seq("__gh"), "left")
+      .join(if (broadcastEval) broadcast(evalSide) else evalSide,
+        Seq("__gh"), "left")
     marked.groupBy("id", "n_ngrams")
       .agg(coalesce(sum("__hit"), lit(0L)).as("n_overlap"))
       .withColumn("overlap_frac",

@@ -41,6 +41,10 @@ class CurationSpec extends SparkSpec {
     assert(!out(1).getAs[Boolean]("contaminated"))
     assert(out(2).getAs[Int]("n_ngrams") === 0)
     assert(out(2).getAs[Double]("overlap_frac") === 0.0)
+    // shuffle-join path (broadcastEval = false) produces identical rows
+    val shuffled = Decontaminate.overlapReport(train, eval, "text", "doc_id",
+      n = 3, broadcastEval = false).orderBy("id").collect()
+    assert(shuffled.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
   test("crossDocDupScore: n-grams shared across documents, not within") {
