@@ -12,17 +12,20 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dir = "/root/testdata/sf0.1"
-    spark.read.parquet(s"$dir/documents.parquet").write.format("noop").mode("overwrite").save()
-    def time(tag: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"$tag: ${(System.nanoTime()-t0)/1e9}%.2f s")
-    }
-    val names = Seq("analyze_assoc_wide", "analyze_assoc_logistic", "modify_remove_outliers_iqr")
-    for (n <- names; i <- 1 to 3) time(f"$n%-28s $i") {
-      graft.SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
-    }
+    val t0 = System.nanoTime()
+    val cf = graft.genomics.Genotypes.simulateCaseControl(spark,
+      nSamples = 10000, nSnps = 1000, maf = 0.3,
+      effectSnps = Map(0 -> 0.8, 1 -> 0.8))
+    val encoded = graft.genomics.Genotypes.encode(cf, "additive")
+    println(f"simulate+encode: ${(System.nanoTime()-t0)/1e9}%.1f s")
+    val t1 = System.nanoTime()
+    val res = graft.analyze.AssociationStudy.run(spark, encoded,
+      outcomes = Seq("Outcome"),
+      regressionVariables = (0 until 1000).map(s => s"SNP$s"))
+    val n = res.count()
+    println(f"gwas 1000 snps x 10000 samples: ${(System.nanoTime()-t1)/1e9}%.1f s, rows=$n")
+    val top = res.orderBy("pvalue").select("Variable", "pvalue").limit(5).collect()
+    top.foreach(r => println(s"  ${r.getString(0)}  p=${r.getDouble(1)}"))
     spark.stop()
   }
 }

@@ -29,6 +29,37 @@ class GenotypesSpec extends SparkSpec {
     assert(out(2).getDouble(4) === 1.0)
   }
 
+  test("GWAS stress: the reference's intended 10,000 x 1,000 case/control run, with real asserts") {
+    // The reference commits this exact scale as a commented-out stress test
+    // ("TODO: Add useful asserts rather than just making sure it runs",
+    // reference: tests/analyze/test_gwas.py:33-57, fixture
+    // tests/analyze/conftest.py:92-119) — and could not run it in any case,
+    // because its per-variable multiprocessing is forced to 1 process
+    // (glm_regression.py:400-401). Here: 1000 distributed logistic fits
+    // over 10,000 samples, ~24s on local[4..32], with the asserts.
+    val cf = Genotypes.simulateCaseControl(spark,
+      nSamples = 10000, nSnps = 1000, maf = 0.3,
+      effectSnps = Map(0 -> 0.8, 1 -> 0.8))
+    val encoded = Genotypes.encode(cf, "additive")
+    val res = AssociationStudy.run(spark, encoded, outcomes = Seq("Outcome"),
+      regressionVariables = (0 until 1000).map(s => s"SNP$s"))
+      .select("Variable", "N", "pvalue", "error").collect()
+    assert(res.length === 1000)
+    // every fit converged: no error annotations, full N everywhere
+    assert(res.forall(r => r.isNullAt(3)), "no per-variable fit errors")
+    assert(res.forall(_.getLong(1) === 10000L), "complete cases everywhere")
+    val p = res.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // planted effects clear genome-wide significance by orders of magnitude
+    assert(p("SNP0") < 5e-8 && p("SNP1") < 5e-8,
+      s"effect SNPs: ${p("SNP0")}, ${p("SNP1")}")
+    // null SNPs behave like uniform p-values: none anywhere near 5e-8, and
+    // roughly the expected fraction below 0.05 (binomial tolerance)
+    val nulls = p.view.filterKeys(k => k != "SNP0" && k != "SNP1").values.toSeq
+    assert(nulls.min > 5e-8, s"null min p=${nulls.min}")
+    val below05 = nulls.count(_ < 0.05)
+    assert(below05 > 20 && below05 < 90, s"null p<.05 count=$below05 (expect ~50)")
+  }
+
   test("GWAS power: main-effect SNPs reach 1e-5; null SNPs don't; interaction-only pair caught") {
     val cf = Genotypes.simulateCaseControl(spark,
       nSamples = 3000, nSnps = 8, maf = 0.3,
