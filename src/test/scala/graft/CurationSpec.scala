@@ -113,6 +113,29 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("chunk_last")).toSeq === Seq(0L, 1L, 1L, 1L, 2L))
   }
 
+  test("packChunked properties on random data: offsets cumulative, chunks cover and order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = for (g <- Seq("x", "y"); i <- 0 until 400)
+      yield (g, i.toLong, rnd.nextInt(5000).toLong)
+    val out = Packing.packChunked(rows.toDF("grp", "ord", "tok"), col("tok"),
+        maxTokens = 1024, "grp", "ord")
+      .select("grp", "ord", "tok", "start_offset", "chunk_first", "chunk_last")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    for ((g, group) <- out.groupBy(_._1)) {
+      val sorted = group.sortBy(_._2)
+      var expectedOffset = 0L
+      for ((_, _, tok, off, cf, cl) <- sorted) {
+        assert(off === expectedOffset, s"$g offset")
+        assert(cf === off / 1024, s"$g chunk_first")
+        assert(cl === (if (tok > 0) (off + tok - 1) / 1024 else cf), s"$g chunk_last")
+        assert(cf <= cl)
+        expectedOffset += tok
+      }
+    }
+  }
+
   /** Brute-force sequential reference for first-fit packing. */
   private def firstFitRef(tokens: Seq[Long], maxTokens: Long): Seq[Long] = {
     var bin = 0L; var fill = 0L
