@@ -8,7 +8,7 @@ import graft.model.CladeFrame
 import graft.modify.Modify
 import graft.describe.Describe
 import graft.analyze.{AssociationStudy, Corrections}
-import graft.pipeline.{Decontaminate, Dedup, Packing, Sampling, Similarity, Text}
+import graft.pipeline.{Decontaminate, Dedup, Joins, Packing, Sampling, Similarity, Text}
 import graft.streaming.EventStreams
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2), each
@@ -717,7 +717,47 @@ object SparkEntry {
       Sampling.domainMix(t(s, dir, "documents"), "source",
           targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
           key = col("doc_id"), exact = true)
-        .select(col("doc_id"), col("source")).orderBy("doc_id")))
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+
+    "sample_corpus_shuffle" -> ((s, dir) =>
+      Sampling.shufflePositions(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          key = col("doc_id"), seed = "epoch0")
+        .select(col("doc_id"), col("lang"), col("shuffle_pos"))
+        .orderBy("doc_id")),
+
+    // ---- temporal joins Spark lacks natively (scale-join surface)
+    "join_asof" -> ((s, dir) => {
+      // each click attaches the user's most recent prior purchase
+      val e = t(s, dir, "events")
+      val mic = unix_micros(col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), mic.as("t"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), mic.as("pt"), col("value"))
+      Joins.asofJoin(clicks, purchases, Seq("user_id"), "t", "pt",
+          rightCols = Seq("value"), prefix = "purchase_")
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("purchase_pt"), round(col("purchase_value"), 4).as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    "join_range" -> ((s, dir) => {
+      // clicks landing inside the hour after each purchase, per user
+      val e = t(s, dir, "events")
+      val mic = unix_micros(col("ts"))
+      val intervals = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          mic.as("w_start"), (mic + lit(3600000000L)).as("w_end"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), mic.as("t"), col("value"))
+      Joins.rangeJoin(clicks, intervals, Seq("user_id"), "t",
+          "w_start", "w_end", bucketWidth = 3600000000L)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum("value"), 4).as("click_value"))
+        .orderBy("purchase_id")
+    }))
 
   /** 32 deterministic derived variables over lineitem — identical SQL in
     * Spark and DuckDB (integer modulo + double arithmetic only). */
@@ -1408,5 +1448,38 @@ object SparkEntry {
                             CAST(d.doc_id AS VARCHAR)) AS rn
                FROM documents d JOIN q ON d.source = q.domain)
          SELECT doc_id, source FROM r JOIN q ON r.source = q.domain
-         WHERE rn <= quota ORDER BY doc_id""")
+         WHERE rn <= quota ORDER BY doc_id""",
+
+    "sample_corpus_shuffle" ->
+      """SELECT doc_id, lang,
+           CAST(row_number() OVER (
+             ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                      CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS shuffle_pos
+         FROM documents ORDER BY doc_id""",
+
+    // events.ts is TIMESTAMP(NANOS); both engines truncate to epoch micros
+    // (Spark reads nanosAsLong and keys on unix_micros) so the as-of order
+    // is bit-identical
+    "join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+             epoch_ns(ts) // 1000 AS t FROM events),
+         l AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+         r AS (SELECT user_id, t AS pt, value FROM e WHERE event_type = 'purchase')
+         SELECT l.event_id, l.user_id, l.t,
+           r.pt AS purchase_pt, round(r.value, 4) AS purchase_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.t >= r.pt
+         ORDER BY l.event_id""",
+
+    "join_range" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+             epoch_ns(ts) // 1000 AS t FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, t AS w_start,
+                 t + 3600000000 AS w_end FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, t, value FROM e WHERE event_type = 'click')
+         SELECT p.purchase_id, CAST(count(*) AS BIGINT) AS n_clicks,
+           round(sum(c.value), 4) AS click_value
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.t BETWEEN p.w_start AND p.w_end
+         GROUP BY 1 ORDER BY 1""")
 }

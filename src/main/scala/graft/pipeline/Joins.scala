@@ -1,9 +1,12 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** Scale-join utilities: key-salting for skewed equi-joins.
+/** Scale-join utilities: key-salting for skewed equi-joins, as-of joins,
+  * and bucketed range (interval) joins.
   *
   * AQE's skew-join handles most runtime skew, but it only splits partitions
   * of the SHUFFLE — a single pathological key (one customer id carrying 10%
@@ -30,5 +33,96 @@ object Joins {
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Backward as-of join: for every `left` row, attach the `right` row with
+    * the LARGEST `rightTs <= leftTs` within the same `keys` group
+    * (left-outer: unmatched left rows keep null right columns). The classic
+    * trades↔quotes / event↔latest-state join that plain Spark SQL lacks.
+    *
+    * Spark-first execution — NO range explosion and NO per-key loop: both
+    * sides are tagged and unioned, ONE shuffle on `keys` sorts each group by
+    * (ts, side) — right rows before left rows at equal ts, so equality
+    * matches — and a running `last(…, ignoreNulls)` over the union carries
+    * the most recent right payload forward into each left row. Cost is one
+    * shuffle + one window sort of |L|+|R|, the same shape as a groupBy —
+    * that is the 100 TB plan (the naive inequality join is |L|·|R| per key).
+    *
+    * Timestamps are NUMERIC (e.g. epoch micros): engine-neutral and exact.
+    * Among multiple right rows at the identical (keys, ts) the greatest
+    * (ts, rightCols…) tuple wins — deterministic on any partitioning.
+    *
+    * @param rightCols right payload columns to attach, each emitted as
+    *                  `prefix + name`; the matched right timestamp is
+    *                  emitted as `prefix + rightTs`.
+    * @param tolerance max allowed lag leftTs − rightTs (same unit as the
+    *                  timestamps); matches farther back are nulled out.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, rightCols: Seq[String],
+               prefix: String = "asof_",
+               tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val payload = struct(
+      (col(rightTs).cast(LongType).as("__ts") +: rightCols.map(col)): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).cast(LongType).as("__t")
+        :+ lit(0).as("__side") :+ payload.as("__rv")): _*)
+    val rvType = r.schema("__rv").dataType
+    val l = left
+      .withColumn("__t", col(leftTs).cast(LongType))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val inReach = tolerance match {
+      case Some(tol) => col("__m").isNotNull &&
+        col("__t") - col("__m").getField("__ts") <= lit(tol)
+      case None => col("__m").isNotNull
+    }
+    val attached = (("__ts" -> s"$prefix$rightTs") +:
+        rightCols.map(c => c -> s"$prefix$c"))
+      .foldLeft(filled) { case (df, (field, out)) =>
+        df.withColumn(out,
+          when(inReach, col("__m").getField(field)).otherwise(lit(null)))
+      }
+    attached.drop("__t", "__side", "__rv", "__m")
+  }
+
+  /** Bucketed range (interval) join: pair every `points` row with every
+    * `intervals` row of the same `keys` whose `[startCol, endCol]` contains
+    * `pointCol` (inner join; all values numeric, e.g. epoch micros).
+    *
+    * Spark has no native interval join — a raw `BETWEEN` join on only the
+    * keys degenerates to a per-key cartesian. Here each interval is exploded
+    * into the fixed-width buckets it covers and each point lives in exactly
+    * ONE bucket, so the join is a plain equi-join on (keys, bucket) +
+    * residual BETWEEN filter — no duplicate pairs (a point meets an interval
+    * only in the point's own bucket), shuffle keyed by (keys, bucket) so
+    * long intervals fan out across tasks instead of piling onto one key.
+    * Pick `bucketWidth` near the typical interval length: replication is
+    * ceil(len/width)+1 per interval.
+    *
+    * Output columns = points.* ++ intervals.* minus keys (names must not
+    * otherwise collide). Domain must be non-negative (`DIV` truncation). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                pointCol: String, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bucket",
+      expr(s"CAST(`$pointCol` AS BIGINT) DIV $bucketWidth"))
+    val i = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bucket", explode(sequence(
+        expr(s"CAST(`$startCol` AS BIGINT) DIV $bucketWidth"),
+        expr(s"CAST(`$endCol` AS BIGINT) DIV $bucketWidth"))))
+    p.join(i, keys :+ "__bucket")
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
+      .drop("__bucket")
   }
 }

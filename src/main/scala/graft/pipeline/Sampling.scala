@@ -61,6 +61,48 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Seeded per-row shuffle key: md5 of "seed:key". Changing the seed is a
+    * fresh independent permutation (epoch reshuffles); same seed + same key
+    * = same position on any cluster. Key must be non-null. */
+  def shuffleKey(key: Column, seed: String): Column =
+    md5(concat(lit(seed + ":"), key.cast("string")).cast("binary"))
+
+  /** Deterministic global corpus shuffle: appends `shuffle_pos` (0-based),
+    * the row's position in the seeded permutation. Training-data pipelines
+    * need a reproducible global order (shard assignment, resume points) —
+    * RNG-based `orderBy(rand())` changes on re-run and retry.
+    *
+    * Distributed as a RANGE sort (no single-partition ordering window):
+    * `orderBy` range-partitions on the hash key, `zipWithIndex` assigns
+    * global positions from per-partition counts — one count job + the sort,
+    * at any scale. */
+  def shufflePositions(df: DataFrame, key: Column, seed: String): DataFrame = {
+    val spark = df.sparkSession
+    val width = df.schema.size
+    val outSchema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField("shuffle_pos",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val outRdd = df.withColumn("__sk", shuffleKey(key, seed))
+      .orderBy(col("__sk"), key.cast("string"))
+      .rdd.zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq.take(width) :+ i) }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** The write-side companion of [[shufflePositions]]: range-partition the
+    * seeded permutation into `numShards` contiguous shards and sort within
+    * each — `.write.parquet(...)` then yields shard files that, read in
+    * shard order, replay the exact global shuffle order without ever
+    * materializing a global sort on one node. Shard boundaries come from
+    * Spark's range sampler, so shards are near-equal in rows. */
+  def shuffledShards(df: DataFrame, key: Column, seed: String,
+                     numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val sk = shuffleKey(key, seed)
+    df.repartitionByRange(numShards, sk, key.cast("string"))
+      .sortWithinPartitions(sk, key.cast("string"))
+  }
+
   /** Static domain-mixture resampling (downsample-only): given target
     * proportions per domain (e.g. The Pile / Gopher-style corpus weights),
     * keep the LARGEST subset whose domain shares match the targets.

@@ -52,6 +52,87 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin matches a brute-force per-key scan (ties, tolerance, no-match)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // small timestamp range on purpose: forces equal-ts ties both within
+    // the right side and across left/right (the inclusive-match edge)
+    val left = Seq.fill(400)((rng.nextInt(5), rng.nextInt(50).toLong))
+    val right = Seq.fill(120)((rng.nextInt(6), rng.nextInt(50).toLong,
+      (rng.nextInt(90) + 10) / 10.0))
+    def expected(tol: Option[Long]) = left.map { case (k, t) =>
+      val cands = right.filter(x =>
+        x._1 == k && x._2 <= t && tol.forall(tt => t - x._2 <= tt))
+      val best = if (cands.isEmpty) None
+                 else Some(cands.maxBy(x => (x._2, x._3))) // greatest (ts, payload)
+      (k, t, best.map(_._2), best.map(_._3))
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    val ldf = left.toDF("k", "t")
+    val rdf = right.toDF("k", "rt", "v")
+    for (tol <- Seq(None, Some(7L))) {
+      val got = Joins.asofJoin(ldf, rdf, Seq("k"), "t", "rt", Seq("v"),
+          prefix = "m_", tolerance = tol)
+        .select("k", "t", "m_rt", "m_v").collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === expected(tol), s"tolerance=$tol")
+    }
+  }
+
+  test("rangeJoin matches a brute-force interval scan at several bucket widths") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val points = Seq.fill(300)((rng.nextInt(4), rng.nextInt(1000).toLong, rng.nextInt(100000)))
+    val intervals = Seq.fill(60) {
+      val s = rng.nextInt(1000).toLong
+      (rng.nextInt(5), s, s + rng.nextInt(200).toLong, rng.nextInt(100000))
+    }
+    val expected = (for {
+      (pk, t, pid) <- points
+      (ik, s, e, iid) <- intervals if ik == pk && s <= t && t <= e
+    } yield (pk, t, pid, s, e, iid)).groupBy(identity).view.mapValues(_.length).toMap
+    val pdf = points.toDF("k", "t", "pid")
+    val idf = intervals.toDF("k", "s", "e", "iid")
+    // widths below, near, and above the max interval length
+    for (width <- Seq(16L, 128L, 4096L)) {
+      val got = Joins.rangeJoin(pdf, idf, Seq("k"), "t", "s", "e", width)
+        .select("k", "t", "pid", "s", "e", "iid").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getInt(5)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === expected, s"bucketWidth=$width")
+    }
+  }
+
+  test("shufflePositions is the md5 permutation; shuffledShards replays it shard-by-shard") {
+    import spark.implicits._
+    val n = 500
+    val df = (0 until n).map(i => (i.toLong, s"doc$i")).toDF("id", "payload")
+      .repartition(13) // physical layout must not matter
+    val got = graft.pipeline.Sampling.shufflePositions(df, col("id"), "seedA")
+      .select("id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference permutation via the JVM's own md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectedOrder = (0L until n).sortBy(i => (m(s"seedA:$i"), i.toString))
+    assert(got.toSeq.sorted === expectedOrder.zipWithIndex
+      .map { case (id, pos) => id -> pos.toLong }.sorted)
+    // a different seed is a different permutation
+    val gotB = graft.pipeline.Sampling.shufflePositions(df, col("id"), "seedB")
+      .select("id", "shuffle_pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotB !== got)
+    // shards: range-disjoint in the shuffle key, concatenation = the permutation
+    val sharded = graft.pipeline.Sampling.shuffledShards(df, col("id"), "seedA", 7)
+    val perPart = sharded.select("id").rdd
+      .mapPartitionsWithIndex { (pi, it) => Iterator.single(pi -> it.map(_.getLong(0)).toArray) }
+      .collect().sortBy(_._1)
+    val replayed = perPart.flatMap(_._2)
+    assert(replayed.toSeq === expectedOrder)
+  }
+
   test("ORC roundtrip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
