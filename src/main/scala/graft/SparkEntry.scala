@@ -719,6 +719,11 @@ object SparkEntry {
           key = col("doc_id"), exact = true)
         .select(col("doc_id"), col("source")).orderBy("doc_id")),
 
+    "text_vocab_topk" -> ((s, dir) =>
+      Text.vocab(t(s, dir, "documents"), "text", "doc_id", topK = 100)
+        .select(col("word"), col("tf"), col("df"))
+        .orderBy(col("tf").desc, col("word").asc)),
+
     "sample_corpus_shuffle" -> ((s, dir) =>
       Sampling.shufflePositions(
           t(s, dir, "documents").select("doc_id", "lang"),
@@ -1449,6 +1454,15 @@ object SparkEntry {
                FROM documents d JOIN q ON d.source = q.domain)
          SELECT doc_id, source FROM r JOIN q ON r.source = q.domain
          WHERE rn <= quota ORDER BY doc_id""",
+
+    "text_vocab_topk" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           FROM documents)
+         SELECT word, CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         FROM w WHERE word <> ''
+         GROUP BY 1 ORDER BY tf DESC, word LIMIT 100""",
 
     "sample_corpus_shuffle" ->
       """SELECT doc_id, lang,

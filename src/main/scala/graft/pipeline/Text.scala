@@ -28,6 +28,26 @@ object Text {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Corpus vocabulary: term frequency + document frequency per lowercased
+    * whitespace word, top-`topK` by (tf desc, word asc). The corpus-release
+    * staple behind tokenizer training, IDF weighting, and OOV audits.
+    *
+    * Scale shape: explode + hash aggregate (map-side partial combine, one
+    * shuffle on the word); document frequency is a two-phase distinct
+    * aggregate Catalyst expands itself; the top-k is a TakeOrdered — no
+    * global sort materializes. */
+  def vocab(df: DataFrame, textCol: String, idCol: String,
+            topK: Int = 1000): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    df.select(col(idCol).as("__doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))
+      .orderBy(col("tf").desc, col("word").asc)
+      .limit(topK)
+  }
+
   /** Quality signals: length, word count, mean word length, punctuation
     * ratio, stopword ratio — the standard cheap text-quality features. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {

@@ -55,6 +55,31 @@ object EventStreams {
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: each `points` row pairs with the
+    * `intervals` rows of the same `keys` whose `[intervalTs, intervalTs +
+    * lag]` window contains `pointTs` — the streaming twin of
+    * `pipeline.Joins.rangeJoin` (clicks↔purchase-windows, events↔feature
+    * windows). Both sides carry watermarks and the join condition bounds
+    * event time on BOTH streams, so Spark can expire join state — the
+    * requirement for an unbounded stream-stream join (an unbounded-state
+    * join is rejected by the engine in append mode). Works identically in
+    * batch mode. Output = points.* ++ intervals.* minus the right-side
+    * keys; the two time columns must be named differently. */
+  def intervalJoinStream(points: DataFrame, intervals: DataFrame,
+                         keys: Seq[String], pointTs: String, intervalTs: String,
+                         lag: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(pointTs != intervalTs,
+      "point and interval time columns must have distinct names")
+    val l = points.withWatermark(pointTs, watermark).alias("l")
+    val r = intervals.withWatermark(intervalTs, watermark).alias("r")
+    val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+      col(s"l.$pointTs") >= col(s"r.$intervalTs") &&
+      col(s"l.$pointTs") <= col(s"r.$intervalTs") + expr(s"INTERVAL $lag")
+    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(col(s"r.$k")))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, value: Double)
   final case class Session(user_id: Long, session_start: Long, session_end: Long,
                            n_events: Long, total_value: Double)

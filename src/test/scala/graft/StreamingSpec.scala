@@ -42,6 +42,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: stream-stream interval join matches the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq((1L, ts(100), 10L), (2L, ts(1900), 10L), (3L, ts(4000), 10L),
+      (4L, ts(500), 11L), (5L, ts(90), 12L))
+    val purchases = Seq((100L, ts(50), 10L), (101L, ts(3900), 10L), (102L, ts(400), 11L))
+    val expected = (for {
+      (c, ct, cu) <- clicks
+      (p, pt, pu) <- purchases
+      if cu == pu && ct.getTime >= pt.getTime && ct.getTime <= pt.getTime + 3600000L
+    } yield (c, p)).toSet
+
+    // identical transform in batch mode
+    val batch = EventStreams.intervalJoinStream(
+        clicks.toDF("click_id", "cts", "user_id"),
+        purchases.toDF("purchase_id", "pts", "user_id"),
+        Seq("user_id"), "cts", "pts", "1 hour", "2 hours")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === expected)
+
+    // and over two MemoryStreams
+    val cm = MemoryStream[(Long, Timestamp, Long)]
+    val pm = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.intervalJoinStream(
+        cm.toDF().toDF("click_id", "cts", "user_id"),
+        pm.toDF().toDF("purchase_id", "pts", "user_id"),
+        Seq("user_id"), "cts", "pts", "1 hour", "2 hours")
+      .select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("interval_join_test")
+      .outputMode("append").start()
+    try {
+      pm.addData(purchases: _*)
+      cm.addData(clicks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("interval_join_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
   test("dedupStream: re-delivered events within the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
