@@ -358,6 +358,32 @@ object Cli {
           graft.pipeline.Sampling.domainMix(df, req(rest, "--domain"), targets,
             key = org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)),
             exact = !rest.contains("--approx"))
+        case "vocab" =>
+          Text.vocab(df, txt, idc,
+            topK = flag(rest, "--k").map(_.toInt).getOrElse(1000))
+        case "shuffle" =>
+          graft.pipeline.Sampling.shufflePositions(df,
+            org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)),
+            seed = flag(rest, "--seed").getOrElse("seed0"))
+        case "shuffle-shards" =>
+          graft.pipeline.Sampling.shuffledShards(df,
+            org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)),
+            seed = flag(rest, "--seed").getOrElse("seed0"),
+            numShards = req(rest, "--shards").toInt)
+        case "join-asof" =>
+          graft.pipeline.Joins.asofJoin(df,
+            spark.read.parquet(req(rest, "--right")),
+            keys = req(rest, "--keys").split(",").toSeq,
+            leftTs = req(rest, "--left-ts"), rightTs = req(rest, "--right-ts"),
+            rightCols = req(rest, "--right-cols").split(",").toSeq,
+            tolerance = flag(rest, "--tolerance").map(_.toLong))
+        case "join-range" =>
+          graft.pipeline.Joins.rangeJoin(df,
+            spark.read.parquet(req(rest, "--intervals")),
+            keys = req(rest, "--keys").split(",").toSeq,
+            pointCol = req(rest, "--point"),
+            startCol = req(rest, "--start"), endCol = req(rest, "--end"),
+            bucketWidth = flag(rest, "--bucket").map(_.toLong).getOrElse(3600000000L))
         case other => throw new IllegalArgumentException(s"unknown pipeline verb: $other")
       }
       result.write.mode("overwrite").parquet(out)
@@ -390,6 +416,9 @@ object Cli {
       |  pipeline ann-index <in.parquet> <outIndexDir> [--vec c] [--lists N]
       |  pipeline decontaminate <train.parquet> <out> --eval <eval.parquet> [--ngram N]
       |  pipeline crossdoc-dup|remove-dup-spans <in.parquet> <out> [--ngram N]
+      |  pipeline vocab <in> <out> [--k N]; shuffle|shuffle-shards <in> <out> [--key c] [--seed s] [--shards N]
+      |  pipeline join-asof <left> <out> --right p --keys k1,k2 --left-ts c --right-ts c --right-cols a,b [--tolerance T]
+      |  pipeline join-range <points> <out> --intervals p --keys k --point c --start c --end c [--bucket W]
       |  pipeline pack-chunked|pack-firstfit <in> <out> --tokens c --group c --order c [--max N]
       |  pipeline sample-hash <in> <out> --fraction f [--key c]
       |  pipeline sample-stratified <in> <out> --strata a,b --k N [--key c]

@@ -118,6 +118,45 @@ class CliSpec extends SparkSpec {
     assert(dm.select("source").distinct().count() === 2)
   }
 
+  test("pipeline verbs: vocab, shuffle, shuffle-shards, join-asof, join-range") {
+    val dir = Files.createTempDirectory("graft-cli6").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val events = "/root/testdata/sf0.001/events.parquet"
+    Cli.run(spark, List("pipeline", "vocab", docs, s"$dir/vb", "--k", "50"))
+    val vb = spark.read.parquet(s"$dir/vb")
+    assert(vb.count() > 0 && vb.count() <= 50 &&
+      vb.columns.toSet === Set("word", "tf", "df"))
+    Cli.run(spark, List("pipeline", "shuffle", docs, s"$dir/sp", "--seed", "s1"))
+    val sp = spark.read.parquet(s"$dir/sp")
+    assert(sp.columns.contains("shuffle_pos") &&
+      sp.select("shuffle_pos").distinct().count() === sp.count())
+    Cli.run(spark, List("pipeline", "shuffle-shards", docs, s"$dir/shd",
+      "--seed", "s1", "--shards", "4"))
+    assert(spark.read.parquet(s"$dir/shd").count() === sp.count())
+    // timestamp columns as epoch micros for the temporal joins
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // ns ts -> long
+    val e = spark.read.parquet(events)
+    import org.apache.spark.sql.functions.{col, expr}
+    val mic = expr("CAST(ts DIV 1000 AS BIGINT)") // raw ns long -> micros
+    e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), mic.as("t"))
+      .write.mode("overwrite").parquet(s"$dir/clicks")
+    e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), mic.as("pt"),
+        col("value"), mic.as("w_start"), (mic + expr("3600000000")).as("w_end"))
+      .write.mode("overwrite").parquet(s"$dir/purch")
+    Cli.run(spark, List("pipeline", "join-asof", s"$dir/clicks", s"$dir/ja",
+      "--right", s"$dir/purch", "--keys", "user_id", "--left-ts", "t",
+      "--right-ts", "pt", "--right-cols", "value"))
+    val ja = spark.read.parquet(s"$dir/ja")
+    assert(ja.count() === spark.read.parquet(s"$dir/clicks").count() &&
+      ja.columns.contains("asof_value"))
+    Cli.run(spark, List("pipeline", "join-range", s"$dir/clicks", s"$dir/jr",
+      "--intervals", s"$dir/purch", "--keys", "user_id", "--point", "t",
+      "--start", "w_start", "--end", "w_end"))
+    assert(spark.read.parquet(s"$dir/jr").columns.contains("purchase_id"))
+  }
+
   test("pipeline ann-index builds a persisted IVF index that ann-topk --model queries") {
     val dir = Files.createTempDirectory("graft-cli4").toString
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
