@@ -8,7 +8,7 @@ import graft.model.CladeFrame
 import graft.modify.Modify
 import graft.describe.Describe
 import graft.analyze.{AssociationStudy, Corrections}
-import graft.pipeline.{Decontaminate, Dedup, Joins, Packing, Sampling, Similarity, Text}
+import graft.pipeline.{Blocklist, Decontaminate, Dedup, Joins, Packing, Sampling, Similarity, Text}
 import graft.streaming.EventStreams
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2), each
@@ -762,6 +762,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clicks"),
           round(sum("value"), 4).as("click_value"))
         .orderBy("purchase_id")
+    }),
+
+    // ---- bloom-sketch-accelerated exact blocklist filtering
+    "blocklist_filter_out" -> ((s, dir) => {
+      // remove documents whose content hash is on a bad-hash blocklist;
+      // bloom-negative rows never shuffle, result is the exact anti-join
+      val docs = t(s, dir, "documents").withColumn("fp", md5(col("text")))
+      val bl = docs.filter(col("doc_id") % 7 === 0).select(col("fp").as("bad_fp"))
+      Blocklist.filterOut(docs, bl, "fp", blocklistKey = "bad_fp")
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
+
+    "blocklist_semi" -> ((s, dir) => {
+      // audit pull: every document matching the blocklist (exact semi-join,
+      // bloom prunes the probe side before the shuffle)
+      val docs = t(s, dir, "documents").withColumn("fp", md5(col("text")))
+      val bl = docs.filter(col("doc_id") % 7 === 0).select(col("fp").as("bad_fp"))
+      Blocklist.keepMatching(docs, bl, "fp", blocklistKey = "bad_fp")
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
     }))
 
   /** 32 deterministic derived variables over lineitem — identical SQL in
@@ -1495,5 +1514,17 @@ object SparkEntry {
            round(sum(c.value), 4) AS click_value
          FROM p JOIN c ON p.user_id = c.user_id
            AND c.t BETWEEN p.w_start AND p.w_end
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+
+    "blocklist_filter_out" ->
+      """SELECT doc_id, source FROM documents
+         WHERE md5(text) NOT IN
+           (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
+         ORDER BY doc_id""",
+
+    "blocklist_semi" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE md5(text) IN
+           (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
+         ORDER BY doc_id""")
 }

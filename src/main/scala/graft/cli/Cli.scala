@@ -358,6 +358,14 @@ object Cli {
           graft.pipeline.Sampling.domainMix(df, req(rest, "--domain"), targets,
             key = org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)),
             exact = !rest.contains("--approx"))
+        case "blocklist-filter" | "blocklist-semi" =>
+          val bl = spark.read.parquet(req(rest, "--blocklist"))
+          val key = req(rest, "--key")
+          val blk = flag(rest, "--bl-key").getOrElse(key)
+          val fpp = flag(rest, "--fpp").map(_.toDouble).getOrElse(0.01)
+          if (verb == "blocklist-filter")
+            graft.pipeline.Blocklist.filterOut(df, bl, key, blk, fpp)
+          else graft.pipeline.Blocklist.keepMatching(df, bl, key, blk, fpp)
         case "vocab" =>
           Text.vocab(df, txt, idc,
             topK = flag(rest, "--k").map(_.toInt).getOrElse(1000))
@@ -417,6 +425,7 @@ object Cli {
       |  pipeline decontaminate <train.parquet> <out> --eval <eval.parquet> [--ngram N]
       |  pipeline crossdoc-dup|remove-dup-spans <in.parquet> <out> [--ngram N]
       |  pipeline vocab <in> <out> [--k N]; shuffle|shuffle-shards <in> <out> [--key c] [--seed s] [--shards N]
+      |  pipeline blocklist-filter|blocklist-semi <in> <out> --blocklist p --key c [--bl-key c] [--fpp f]
       |  pipeline join-asof <left> <out> --right p --keys k1,k2 --left-ts c --right-ts c --right-cols a,b [--tolerance T]
       |  pipeline join-range <points> <out> --intervals p --keys k --point c --start c --end c [--bucket W]
       |  pipeline pack-chunked|pack-firstfit <in> <out> --tokens c --group c --order c [--max N]

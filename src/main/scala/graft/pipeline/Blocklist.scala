@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.GraftFunctions
+
+/** Sketch-accelerated EXACT blocklist operations — the "filter 100 TB of
+  * training data against a contaminated-URL / bad-hash list" primitive.
+  *
+  * The naive plan is a shuffle anti/semi join: every row of the corpus is
+  * hashed across the wire to meet the blocklist. Here a bloom filter built
+  * over the blocklist keys rides the corpus scan instead:
+  *
+  *  - bloom-NEGATIVE rows are provably not in the blocklist (bloom filters
+  *    have no false negatives) and never shuffle at all;
+  *  - bloom-POSITIVE rows — true matches plus an `fpp` fraction of false
+  *    positives — continue to an exact join that removes the FPs.
+  *
+  * Results are therefore EXACTLY the anti/semi join (oracled in DuckDB as
+  * plain `NOT IN` / `IN`), but the shuffle carries ~|matches| + fpp·|corpus|
+  * rows instead of |corpus|. The sketch itself is one binary aggregate value
+  * (`BloomFilterAggregate`, the same expression Spark's runtime join filters
+  * use) embedded in the plan as a literal — identical distribution shape to
+  * Spark's own InjectRuntimeFilter.
+  *
+  * Keys are pre-hashed with xxhash64 (any type → long) on both sides, so a
+  * 64-bit collision can only ever ADD a false positive, which the exact
+  * verify join removes.
+  */
+object Blocklist {
+
+  /** Build the serialized bloom sketch over `blocklist[keyCol]`.
+    * One aggregation job; the returned byte array is O(numBits/8), bounded
+    * and independent of corpus size. `expectedItems < 0` ⇒ count the
+    * blocklist first (metadata-fast on parquet). */
+  def sketch(blocklist: DataFrame, keyCol: String, fpp: Double = 0.01,
+             expectedItems: Long = -1L): Array[Byte] = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val n = math.max(1L, if (expectedItems >= 0) expectedItems else blocklist.count())
+    val bits = math.max(64L, BloomFilter.optimalNumOfBits(n, fpp))
+    val row = blocklist
+      .agg(GraftFunctions.bloom_agg(xxhash64(col(keyCol)), n, bits).as("bf"))
+      .head()
+    if (row.isNullAt(0)) {            // empty blocklist → empty sketch
+      val out = new java.io.ByteArrayOutputStream()
+      BloomFilter.create(1, fpp).writeTo(out)
+      out.toByteArray
+    } else row.getAs[Array[Byte]](0)
+  }
+
+  private def probe(bf: Array[Byte], key: Column): Column =
+    GraftFunctions.might_contain(lit(bf), xxhash64(key))
+
+  /** Exact left-anti join: rows of `df` whose `keyCol` does NOT appear in
+    * `blocklist[blKey]`. Bloom-negative rows (the overwhelming majority when
+    * the blocklist hit rate is low) bypass the join shuffle entirely; only
+    * bloom-positives are verified exactly. The two branches re-scan the
+    * source — at scale a columnar re-scan is far cheaper than shuffling the
+    * full corpus, and the exchange on the positive branch is tiny. */
+  def filterOut(df: DataFrame, blocklist: DataFrame, keyCol: String,
+                blocklistKey: String = null, fpp: Double = 0.01): DataFrame = {
+    val blKey = Option(blocklistKey).getOrElse(keyCol)
+    val bf = sketch(blocklist, blKey, fpp)
+    val clean = df.filter(!probe(bf, col(keyCol)))
+    val verified = df.filter(probe(bf, col(keyCol)))
+      .join(blocklist.select(col(blKey).as(keyCol)), Seq(keyCol), "left_anti")
+    clean.unionByName(verified)
+  }
+
+  /** Exact left-semi join: rows of `df` whose `keyCol` IS in the blocklist
+    * (e.g. "pull every contaminated document for audit"). Single scan: the
+    * bloom prunes the probe side BEFORE the shuffle, so the exchange carries
+    * matches + fpp·|corpus| rows only. */
+  def keepMatching(df: DataFrame, blocklist: DataFrame, keyCol: String,
+                   blocklistKey: String = null, fpp: Double = 0.01): DataFrame = {
+    val blKey = Option(blocklistKey).getOrElse(keyCol)
+    val bf = sketch(blocklist, blKey, fpp)
+    df.filter(probe(bf, col(keyCol)))
+      .join(blocklist.select(col(blKey).as(keyCol)), Seq(keyCol), "left_semi")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Blocklist
+
+/** Bloom-sketch-accelerated exact blocklist filtering. */
+class BlocklistSpec extends SparkSpec {
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"url-$i", i % 10)).toDF("id", "url", "grp")
+  }
+
+  test("filterOut equals the exact anti-join, bloom FPs removed") {
+    import spark.implicits._
+    val df = corpus(500)
+    val bl = df.filter(col("id") % 7 === 0).select("url")
+    // high fpp forces false positives through the verify branch
+    val got = Blocklist.filterOut(df, bl, "url", fpp = 0.3)
+      .select("id").as[Long].collect().sorted
+    val want = df.join(bl, Seq("url"), "left_anti")
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === want.toSeq)
+    assert(want.length === 500 - (500 + 6) / 7)
+  }
+
+  test("keepMatching equals the exact semi-join") {
+    import spark.implicits._
+    val df = corpus(300)
+    val bl = spark.createDataset(Seq("url-5", "url-5", "url-250", "url-999"))
+      .toDF("bad_url")
+    val got = Blocklist.keepMatching(df, bl, "url", blocklistKey = "bad_url",
+        fpp = 0.3)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(5L, 250L))
+  }
+
+  test("null keys follow join semantics: anti keeps them, semi drops them") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("id", "k")
+    val bl = Seq("a").toDF("k")
+    assert(Blocklist.filterOut(df, bl, "k").select("id").as[Long]
+      .collect().sorted.toSeq === Seq(2L, 3L))
+    assert(Blocklist.keepMatching(df, bl, "k").select("id").as[Long]
+      .collect().toSeq === Seq(1L))
+  }
+
+  test("empty blocklist: filterOut is identity, keepMatching is empty") {
+    import spark.implicits._
+    val df = corpus(50)
+    val bl = corpus(1).filter(lit(false)).select("url")
+    assert(Blocklist.filterOut(df, bl, "url").count() === 50L)
+    assert(Blocklist.keepMatching(df, bl, "url").count() === 0L)
+  }
+
+  test("sketch has no false negatives; fpp roughly bounds false positives") {
+    import spark.implicits._
+    val members = (0 until 1000).map(i => s"m-$i")
+    val bl = members.toDF("k")
+    val bf = Blocklist.sketch(bl, "k", fpp = 0.01)
+    val probes = (members ++ (0 until 10000).map(i => s"x-$i")).toDF("k")
+    val hits = probes.filter(
+        graft.functions.GraftFunctions.might_contain(lit(bf), xxhash64(col("k"))))
+      .as[String].collect()
+    assert(members.forall(hits.contains), "bloom must have zero false negatives")
+    val fp = hits.count(_.startsWith("x-"))
+    assert(fp < 10000 * 0.05, s"fp rate way above sizing target: $fp / 10000")
+  }
+}

@@ -157,6 +157,24 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/jr").columns.contains("purchase_id"))
   }
 
+  test("pipeline blocklist-filter and blocklist-semi partition the corpus exactly") {
+    val dir = Files.createTempDirectory("graft-cli7").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val d = spark.read.parquet(docs)
+    import org.apache.spark.sql.functions.col
+    d.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/bl")
+    Cli.run(spark, List("pipeline", "blocklist-filter", docs, s"$dir/clean",
+      "--blocklist", s"$dir/bl", "--key", "doc_id"))
+    Cli.run(spark, List("pipeline", "blocklist-semi", docs, s"$dir/hit",
+      "--blocklist", s"$dir/bl", "--key", "doc_id"))
+    val clean = spark.read.parquet(s"$dir/clean")
+    val hit = spark.read.parquet(s"$dir/hit")
+    assert(clean.count() + hit.count() === d.count())
+    assert(hit.filter(col("doc_id") % 5 =!= 0).count() === 0)
+    assert(clean.filter(col("doc_id") % 5 === 0).count() === 0)
+  }
+
   test("pipeline ann-index builds a persisted IVF index that ann-topk --model queries") {
     val dir = Files.createTempDirectory("graft-cli4").toString
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
