@@ -764,6 +764,19 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    "fuzzy_join_parts" -> ((s, dir) => {
+      // near-miss part names (dirty-catalog linkage): per part, how many
+      // other parts sit within 2 edits but are not exact name duplicates
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+      Joins.fuzzyJoin(a, b, "a_name", "b_name", maxDist = 2, prefixLen = 4)
+        .filter(col("edit_dist") >= 1 && col("a_key") =!= col("b_key"))
+        .groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_near"), min(col("edit_dist")).as("min_dist"))
+        .orderBy("a_key")
+    }),
+
     // ---- bloom-sketch-accelerated exact blocklist filtering
     "blocklist_filter_out" -> ((s, dir) => {
       // remove documents whose content hash is on a bad-hash blocklist;
@@ -1514,6 +1527,17 @@ object SparkEntry {
            round(sum(c.value), 4) AS click_value
          FROM p JOIN c ON p.user_id = c.user_id
            AND c.t BETWEEN p.w_start AND p.w_end
+         GROUP BY 1 ORDER BY 1""",
+
+    "fuzzy_join_parts" ->
+      """SELECT a.p_partkey AS a_key, CAST(count(*) AS BIGINT) AS n_near,
+           CAST(min(levenshtein(lower(a.p_name), lower(b.p_name))) AS INT)
+             AS min_dist
+         FROM part a JOIN part b
+           ON substr(lower(a.p_name), 1, 4) = substr(lower(b.p_name), 1, 4)
+           AND abs(length(a.p_name) - length(b.p_name)) <= 2
+           AND levenshtein(lower(a.p_name), lower(b.p_name)) BETWEEN 1 AND 2
+           AND a.p_partkey <> b.p_partkey
          GROUP BY 1 ORDER BY 1""",
 
     "blocklist_filter_out" ->

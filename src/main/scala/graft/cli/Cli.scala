@@ -385,6 +385,12 @@ object Cli {
             leftTs = req(rest, "--left-ts"), rightTs = req(rest, "--right-ts"),
             rightCols = req(rest, "--right-cols").split(",").toSeq,
             tolerance = flag(rest, "--tolerance").map(_.toLong))
+        case "join-fuzzy" =>
+          graft.pipeline.Joins.fuzzyJoin(df,
+            spark.read.parquet(req(rest, "--right")),
+            leftCol = req(rest, "--left-col"), rightCol = req(rest, "--right-col"),
+            maxDist = flag(rest, "--dist").map(_.toInt).getOrElse(2),
+            prefixLen = flag(rest, "--prefix").map(_.toInt).getOrElse(4))
         case "join-range" =>
           graft.pipeline.Joins.rangeJoin(df,
             spark.read.parquet(req(rest, "--intervals")),
@@ -428,6 +434,7 @@ object Cli {
       |  pipeline blocklist-filter|blocklist-semi <in> <out> --blocklist p --key c [--bl-key c] [--fpp f]
       |  pipeline join-asof <left> <out> --right p --keys k1,k2 --left-ts c --right-ts c --right-cols a,b [--tolerance T]
       |  pipeline join-range <points> <out> --intervals p --keys k --point c --start c --end c [--bucket W]
+      |  pipeline join-fuzzy <left> <out> --right p --left-col c --right-col c [--dist d] [--prefix p]
       |  pipeline pack-chunked|pack-firstfit <in> <out> --tokens c --group c --order c [--max N]
       |  pipeline sample-hash <in> <out> --fraction f [--key c]
       |  pipeline sample-stratified <in> <out> --strata a,b --k N [--key c]

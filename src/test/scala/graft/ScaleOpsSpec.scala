@@ -133,6 +133,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(replayed.toSeq === expectedOrder)
   }
 
+  test("fuzzyJoin == brute-force levenshtein within blocks; banded DP prunes") {
+    import spark.implicits._
+    val names = Seq("alpha corp", "alpha corps", "alpha korp", "ALPHA CORP",
+      "beta llc", "beta lc", "betta llc", "gamma inc", "gamm inc",
+      "delta gmbh", "delts gmbh", "zeta sa")
+    val l = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("lid", "lname")
+    val r = names.zipWithIndex.map { case (n, i) => (i.toLong + 100, n) }.toDF("rid", "rname")
+    val got = Joins.fuzzyJoin(l, r, "lname", "rname", maxDist = 2, prefixLen = 4)
+      .select("lid", "rid", "edit_dist").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    // brute force replay: same blocking contract, plain levenshtein
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex
+      if a.toLowerCase.take(4) == b.toLowerCase.take(4)
+      dist = lev(a.toLowerCase, b.toLowerCase) if dist <= 2
+    } yield (i.toLong, j.toLong + 100, dist)).toSet
+    assert(got === want)
+    // case-insensitive: "ALPHA CORP" matches "alpha corp" at distance 0
+    assert(got.contains((3L, 100L, 0)))
+    // blocking really blocks: "zeta sa" vs "beta sa" share no prefix-4
+    assert(!got.exists { case (a, b, _) => a == 11L && b != 111L })
+  }
+
   test("ORC roundtrip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
