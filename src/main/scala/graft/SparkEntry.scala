@@ -764,6 +764,12 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    "text_bm25_topk" -> ((s, dir) =>
+      // keyword retrieval over the corpus: top-20 docs for a 3-term query
+      Text.bm25Rank(t(s, dir, "documents"), "text", "doc_id",
+          terms = Seq("hash", "join", "vector"), topK = 20)
+        .withColumn("bm25", round(col("bm25"), 6))),
+
     "fuzzy_join_parts" -> ((s, dir) => {
       // near-miss part names (dirty-catalog linkage): per part, how many
       // other parts sit within 2 edits but are not exact name duplicates
@@ -1528,6 +1534,38 @@ object SparkEntry {
          FROM p JOIN c ON p.user_id = c.user_id
            AND c.t BETWEEN p.w_start AND p.w_end
          GROUP BY 1 ORDER BY 1""",
+
+    // BM25 replay: every constant CAST to DOUBLE (bare DuckDB literals are
+    // DECIMAL), term contributions added in the same order as the Spark
+    // expression, ORDER BY the raw score (round only in the projection)
+    "text_bm25_topk" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           FROM documents),
+         d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+             sum(CASE WHEN word = 'hash' THEN 1 ELSE 0 END) AS tf0,
+             sum(CASE WHEN word = 'join' THEN 1 ELSE 0 END) AS tf1,
+             sum(CASE WHEN word = 'vector' THEN 1 ELSE 0 END) AS tf2
+           FROM w WHERE word <> '' GROUP BY 1),
+         s AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+           FROM d),
+         sc AS (SELECT doc_id, dl,
+             ln(CAST(1.0 AS DOUBLE) + (n - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+               * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+             + ln(CAST(1.0 AS DOUBLE) + (n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+               * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+             + ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+               * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+             AS score
+           FROM d, s WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)
+         SELECT doc_id, round(score, 6) AS bm25, dl AS doc_len
+         FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
 
     "fuzzy_join_parts" ->
       """SELECT a.p_partkey AS a_key, CAST(count(*) AS BIGINT) AS n_near,

@@ -366,6 +366,10 @@ object Cli {
           if (verb == "blocklist-filter")
             graft.pipeline.Blocklist.filterOut(df, bl, key, blk, fpp)
           else graft.pipeline.Blocklist.keepMatching(df, bl, key, blk, fpp)
+        case "bm25" =>
+          Text.bm25Rank(df, txt, idc,
+            terms = req(rest, "--terms").split(",").toSeq,
+            topK = flag(rest, "--k").map(_.toInt).getOrElse(10))
         case "vocab" =>
           Text.vocab(df, txt, idc,
             topK = flag(rest, "--k").map(_.toInt).getOrElse(1000))
@@ -430,7 +434,8 @@ object Cli {
       |  pipeline ann-index <in.parquet> <outIndexDir> [--vec c] [--lists N]
       |  pipeline decontaminate <train.parquet> <out> --eval <eval.parquet> [--ngram N]
       |  pipeline crossdoc-dup|remove-dup-spans <in.parquet> <out> [--ngram N]
-      |  pipeline vocab <in> <out> [--k N]; shuffle|shuffle-shards <in> <out> [--key c] [--seed s] [--shards N]
+      |  pipeline vocab <in> <out> [--k N]; bm25 <in> <out> --terms t1,t2 [--k N]
+      |  pipeline shuffle|shuffle-shards <in> <out> [--key c] [--seed s] [--shards N]
       |  pipeline blocklist-filter|blocklist-semi <in> <out> --blocklist p --key c [--bl-key c] [--fpp f]
       |  pipeline join-asof <left> <out> --right p --keys k1,k2 --left-ts c --right-ts c --right-cols a,b [--tolerance T]
       |  pipeline join-range <points> <out> --intervals p --keys k --point c --start c --end c [--bucket W]

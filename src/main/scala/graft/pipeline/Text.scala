@@ -298,4 +298,62 @@ object Text {
     while (i < s.length) { h = h * 1000003L + s.charAt(i); i += 1 }
     h
   }
+
+  /** BM25 ranked retrieval for a FIXED term set — the "find the best training
+    * documents for these keywords" pass, and the relevance kernel behind
+    * retrieval-based data selection.
+    *
+    * Spark-first shape, one token shuffle total:
+    *  1. one groupBy(doc) over the exploded tokens computes doc length AND
+    *     each query term's tf as conditional sums (terms are a handful of
+    *     literals, so this stays one map-side-combined aggregation);
+    *  2. corpus stats (N, avgdl, per-term df) reduce that per-doc table to
+    *     ONE row, broadcast back as a scalar join;
+    *  3. the Robertson idf · tf saturation formula is a pure projection,
+    *     and top-k is TakeOrderedAndProject (per-partition heaps, no sort).
+    * Nothing driver-side, nothing quadratic; the per-doc table is the only
+    * exchange and it is |docs| rows wide regardless of corpus text size.
+    *
+    * Scores use idf = ln(1 + (N − df + ½)/(df + ½)) (Lucene's non-negative
+    * variant) and the standard k1/b length-normalized tf saturation. Term
+    * contributions are added in the caller's term order, so the float result
+    * replays bit-identically in any engine that evaluates the same formula
+    * left-to-right (the DuckDB oracle does). */
+  def bm25Rank(df: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.map(_.toLowerCase).distinct.length == terms.length,
+      "terms must be distinct (case-insensitive)")
+    val tfCols = terms.indices.map(i => s"__tf$i")
+    val perDoc = df
+      .select(col(idCol).as("__doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("__dl"),
+        terms.zip(tfCols).map { case (t, c) =>
+          sum(when(col("word") === t.toLowerCase, 1L).otherwise(0L)).as(c)
+        }.toSeq: _*)
+    val statsAggs = avg(col("__dl")).as("__avgdl") +:
+      tfCols.zipWithIndex.map { case (c, i) =>
+        sum(when(col(c) > 0, 1L).otherwise(0L)).as(s"__df$i")
+      }
+    val stats = perDoc.agg(count(lit(1)).as("__n"), statsAggs: _*)
+    val scored = perDoc
+      .filter(tfCols.map(c => col(c) > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+    val score = tfCols.zipWithIndex.map { case (c, i) =>
+      val idf = log(lit(1.0) + (col("__n") - col(s"__df$i") + lit(0.5)) /
+        (col(s"__df$i") + lit(0.5)))
+      val tf = col(c).cast("double")
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    scored
+      .withColumn("bm25", score)
+      .select(col("__doc").as(idCol), col("bm25"), col("__dl").as("doc_len"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

@@ -267,6 +267,36 @@ class PipelineSpec extends SparkSpec {
     assert(rep(2L).getDouble(rep(2L).fieldIndex("dup_line_frac")) === 0.0)
   }
 
+  test("bm25Rank matches the formula computed from first principles") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hash hash hash filter"),       // tf(hash)=3, dl=4
+      (1L, "hash join scan"),              // both terms, dl=3
+      (2L, "scan filter merge sort"),      // no query terms -> excluded
+      (3L, "join join join join hash x"),  // dl=6
+      (4L, "filter")).toDF("doc_id", "text")
+    val got = graft.pipeline.Text.bm25Rank(docs, "text", "doc_id",
+        terms = Seq("hash", "join"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    // replay: N=5 docs, avgdl=(4+3+4+6+1)/5, df(hash)=3, df(join)=2
+    val (n, avgdl) = (5.0, 18.0 / 5.0)
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, df: Double) =
+      if (tf == 0) 0.0
+      else idf(df) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    val want = Seq(
+      (0L, w(3, 4, 3) + w(0, 4, 2), 4L),
+      (1L, w(1, 3, 3) + w(1, 3, 2), 3L),
+      (3L, w(1, 6, 3) + w(4, 6, 2), 6L)).sortBy(x => (-x._2, x._1)).toList
+    assert(got.map(_._1) === want.map(_._1))
+    got.zip(want).foreach { case ((_, g, gl), (_, e, el)) =>
+      assert(gl === el); assertRtol(g, e, 1e-12, "bm25")
+    }
+    // doc 2 (no terms) and doc 4 excluded, not scored at zero
+    assert(!got.exists(r => r._1 == 2L || r._1 == 4L))
+  }
+
   test("rolling-hash min-sketch is deterministic and shift-robust") {
     val a = Text.rollingHashMinSketch("the quick brown fox jumps over the lazy dog")
     val b = Text.rollingHashMinSketch("the quick brown fox jumps over the lazy dog")
