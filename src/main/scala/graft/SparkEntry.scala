@@ -764,6 +764,19 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    "text_corpus_report" -> ((s, dir) =>
+      // corpus health dashboard: size stats at every (lang, source) rollup
+      Text.corpusReport(t(s, dir, "documents"), Seq("lang", "source"), "n_chars")
+        .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))),
+
+    "sample_importance" -> ((s, dir) => {
+      // quality-weighted downsampling: longer docs survive with higher p
+      val d = t(s, dir, "documents")
+      val p = col("n_chars").cast("double") / (col("n_chars") + lit(500))
+      Sampling.importanceSample(d, p, key = col("doc_id"))
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+    }),
+
     "text_bm25_topk" -> ((s, dir) =>
       // keyword retrieval over the corpus: top-20 docs for a 3-term query
       Text.bm25Rank(t(s, dir, "documents"), "text", "doc_id",
@@ -1534,6 +1547,25 @@ object SparkEntry {
          FROM p JOIN c ON p.user_id = c.user_id
            AND c.t BETWEEN p.w_start AND p.w_end
          GROUP BY 1 ORDER BY 1""",
+
+    "text_corpus_report" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_size,
+           avg(n_chars) AS avg_size,
+           CAST(min(n_chars) AS BIGINT) AS min_size,
+           CAST(max(n_chars) AS BIGINT) AS max_size,
+           CAST(GROUPING(lang) AS INT) AS g_lang,
+           CAST(GROUPING(source) AS INT) AS g_source
+         FROM documents GROUP BY CUBE(lang, source)
+         ORDER BY g_lang, g_source, lang, source""",
+
+    "sample_importance" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+           lower(lpad(hex(least(
+             CAST(floor((CAST(n_chars AS DOUBLE) / (n_chars + 500)) * pow(16, 15)) AS BIGINT),
+             1152921504606846975)), 15, '0'))
+         ORDER BY doc_id""",
 
     // BM25 replay: every constant CAST to DOUBLE (bare DuckDB literals are
     // DECIMAL), term contributions added in the same order as the Spark

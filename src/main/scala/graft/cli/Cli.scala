@@ -341,6 +341,14 @@ object Cli {
           graft.pipeline.Packing.packFirstFit(df, req(rest, "--tokens"),
             maxTokens = flag(rest, "--max").map(_.toInt).getOrElse(2048),
             groupCol = req(rest, "--group"), orderCol = req(rest, "--order"))
+        case "corpus-report" =>
+          Text.corpusReport(df, req(rest, "--dims").split(",").toSeq,
+            sizeCol = flag(rest, "--size").getOrElse("n_chars"))
+        case "sample-importance" =>
+          // --prob is a SQL expression over the row, e.g. a score column
+          graft.pipeline.Sampling.importanceSample(df,
+            org.apache.spark.sql.functions.expr(req(rest, "--prob")),
+            org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)))
         case "sample-hash" =>
           graft.pipeline.Sampling.hashSample(df,
             org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)),
@@ -441,6 +449,8 @@ object Cli {
       |  pipeline join-range <points> <out> --intervals p --keys k --point c --start c --end c [--bucket W]
       |  pipeline join-fuzzy <left> <out> --right p --left-col c --right-col c [--dist d] [--prefix p]
       |  pipeline pack-chunked|pack-firstfit <in> <out> --tokens c --group c --order c [--max N]
+      |  pipeline corpus-report <in> <out> --dims d1,d2 [--size c]
+      |  pipeline sample-importance <in> <out> --prob <sql-expr> [--key c]
       |  pipeline sample-hash <in> <out> --fraction f [--key c]
       |  pipeline sample-stratified <in> <out> --strata a,b --k N [--key c]
       |  pipeline domain-mix <in> <out> --domain c --targets d1=w1,d2=w2 [--key c] [--approx]

@@ -103,6 +103,25 @@ object Sampling {
       .sortWithinPartitions(sk, key.cast("string"))
   }
 
+  /** Importance (per-row-probability) sampling: keep each row with its OWN
+    * probability `prob` (a Column — e.g. a quality-classifier score or a
+    * length-saturation curve), decided by the deterministic key hash. The
+    * quality-weighted downsampling step of corpus curation ("keep good docs
+    * with p≈1, bad docs with p≈0.1") as a zero-shuffle predicate.
+    *
+    * Decision rule: hashBucket(key) < hex(floor(clamp(prob)·16^15)) — the
+    * row's 60-bit uniform against a per-row hex threshold, so the decision
+    * replays bit-identically in any SQL engine (the probability only enters
+    * through floor(p·2^60), which is exact IEEE in both). */
+  def importanceSample(df: DataFrame, prob: Column, key: Column): DataFrame = {
+    val space = lit(math.pow(16.0, 15.0))                  // 2^60, exact double
+    val maxT = lit(1152921504606846975L)                   // 16^15 − 1
+    val clamped = least(greatest(prob.cast("double"), lit(0.0)), lit(1.0))
+    val threshold = lower(lpad(hex(
+      least(floor(clamped * space).cast("long"), maxT)), 15, "0"))
+    df.filter(hashBucket(key) < threshold)
+  }
+
   /** Static domain-mixture resampling (downsample-only): given target
     * proportions per domain (e.g. The Pile / Gopher-style corpus weights),
     * keep the LARGEST subset whose domain shares match the targets.

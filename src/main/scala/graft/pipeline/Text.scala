@@ -299,6 +299,24 @@ object Text {
     h
   }
 
+  /** Corpus report card: doc counts and size stats at EVERY combination of
+    * the grouping dimensions in one pass (cube = grouping sets), the
+    * "corpus health dashboard" aggregation. One shuffle total — Spark
+    * expands the grouping sets map-side and aggregates once; `g_<dim>`
+    * columns carry grouping(dim) (1 = rolled up) so real NULL dimension
+    * values stay distinguishable from subtotal rows. */
+  def corpusReport(df: DataFrame, dims: Seq[String], sizeCol: String): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col(sizeCol)).as("total_size"),
+      avg(col(sizeCol)).as("avg_size"),
+      min(col(sizeCol)).as("min_size"),
+      max(col(sizeCol)).as("max_size")) ++
+      dims.map(d => grouping(col(d)).cast("int").as(s"g_$d"))
+    df.cube(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** BM25 ranked retrieval for a FIXED term set — the "find the best training
     * documents for these keywords" pass, and the relevance kernel behind
     * retrieval-based data selection.

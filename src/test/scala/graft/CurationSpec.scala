@@ -218,6 +218,52 @@ class CurationSpec extends SparkSpec {
     assert(c.subsetOf(a))
   }
 
+  test("importanceSample: per-row probability, nested in p, agrees with hashSample") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("k")
+    // constant prob == hashSample at the same fraction (same decision rule)
+    val viaImp = Sampling.importanceSample(df, lit(0.25), col("k"))
+      .collect().map(_.getLong(0)).toSet
+    val viaHash = Sampling.hashSample(df, col("k"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaImp === viaHash)
+    // endpoints clamp
+    assert(Sampling.importanceSample(df, lit(-3.0), col("k")).count() === 0L)
+    assert(Sampling.importanceSample(df, lit(7.0), col("k")).count() === 4000L)
+    // per-row rates: rows with p=0.1 kept at ~10%, rows with p=0.9 at ~90%
+    val mixed = df.withColumn("p", when(col("k") % 2 === 0, 0.1).otherwise(0.9))
+    val kept = Sampling.importanceSample(mixed, col("p"), col("k"))
+    val lowRate = kept.filter(col("k") % 2 === 0).count() / 2000.0
+    val highRate = kept.filter(col("k") % 2 =!= 0).count() / 2000.0
+    assert(math.abs(lowRate - 0.1) < 0.03, s"low-p rate $lowRate")
+    assert(math.abs(highRate - 0.9) < 0.03, s"high-p rate $highRate")
+    // monotone: raising a row's p never drops a previously-kept row
+    val at50 = Sampling.importanceSample(df, lit(0.5), col("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaImp.subsetOf(at50))
+  }
+
+  test("corpusReport: cube totals are consistent at every rollup level") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "web", 100L), ("en", "web", 300L), ("en", "book", 50L),
+      ("de", "web", 200L), (null: String, "web", 70L)).toDF("lang", "source", "sz")
+    val rep = graft.pipeline.Text.corpusReport(df, Seq("lang", "source"), "sz")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Int]("g_lang"), r.getAs[Int]("g_source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("total_size"))).toSet
+    // grand total row
+    assert(rep.contains((null, null, 1, 1, 5L, 720L)))
+    // per-lang rollups
+    assert(rep.contains(("en", null, 0, 1, 3L, 450L)))
+    // a real NULL lang group is distinguishable from the rollup by g_lang=0
+    assert(rep.contains((null, "web", 0, 0, 1L, 70L)))
+    assert(rep.contains((null, "web", 1, 0, 4L, 670L)))
+    // finest level
+    assert(rep.contains(("en", "web", 0, 0, 2L, 400L)))
+    assert(rep.size === 4 + 3 + 2 + 1) // cells + lang-rollups + src-rollups + total
+  }
+
   test("stratifiedSample: exactly k per stratum, deterministic") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (s"s${i % 4}", i)).toDF("st", "k")
