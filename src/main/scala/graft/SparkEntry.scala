@@ -784,16 +784,18 @@ object SparkEntry {
         .withColumn("bm25", round(col("bm25"), 6))),
 
     "fuzzy_join_parts" -> ((s, dir) => {
-      // near-miss part names (dirty-catalog linkage): per part, how many
-      // other parts sit within 2 edits but are not exact name duplicates
+      // near-miss NAME VARIANTS in the part catalog: fuzzy-link the distinct
+      // name vocabulary, not the rows — dedupe-before-quadratic-verify is
+      // the scale pattern (row-level blocking on a catalog that is mostly
+      // duplicate names degenerates to |rows-per-name|² pairs)
       val p = t(s, dir, "part")
-      val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"))
-      val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+      val a = p.select(col("p_name").as("a_name")).distinct()
+      val b = p.select(col("p_name").as("b_name")).distinct()
       Joins.fuzzyJoin(a, b, "a_name", "b_name", maxDist = 2, prefixLen = 4)
-        .filter(col("edit_dist") >= 1 && col("a_key") =!= col("b_key"))
-        .groupBy(col("a_key"))
+        .filter(col("edit_dist") >= 1)
+        .groupBy(col("a_name"))
         .agg(count(lit(1)).as("n_near"), min(col("edit_dist")).as("min_dist"))
-        .orderBy("a_key")
+        .orderBy("a_name")
     }),
 
     // ---- bloom-sketch-accelerated exact blocklist filtering
@@ -1600,14 +1602,14 @@ object SparkEntry {
          FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
 
     "fuzzy_join_parts" ->
-      """SELECT a.p_partkey AS a_key, CAST(count(*) AS BIGINT) AS n_near,
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+         SELECT a.p_name AS a_name, CAST(count(*) AS BIGINT) AS n_near,
            CAST(min(levenshtein(lower(a.p_name), lower(b.p_name))) AS INT)
              AS min_dist
-         FROM part a JOIN part b
+         FROM n a JOIN n b
            ON substr(lower(a.p_name), 1, 4) = substr(lower(b.p_name), 1, 4)
            AND abs(length(a.p_name) - length(b.p_name)) <= 2
            AND levenshtein(lower(a.p_name), lower(b.p_name)) BETWEEN 1 AND 2
-           AND a.p_partkey <> b.p_partkey
          GROUP BY 1 ORDER BY 1""",
 
     "blocklist_filter_out" ->
