@@ -327,6 +327,14 @@ object SparkEntry {
       Describe.summarize(s, rep.frame).orderBy("type")
     }),
 
+    "describe_summarize_approx" -> ((s, dir) =>
+      // sketch profile (HLL distinct + approx quantiles): approximate by
+      // contract, so rows-only here; error bounds pinned in
+      // ModifyDescribeSpec instead
+      Describe.summarizeApprox(s, t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("variable")),
+
     "describe_histogram" -> ((s, dir) =>
       graft.describe.Plots.histogram(t(s, dir, "lineitem"), "l_extendedprice", bins = 20)
         .select(col("bin"), round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"),

@@ -341,6 +341,14 @@ object Cli {
           graft.pipeline.Packing.packFirstFit(df, req(rest, "--tokens"),
             maxTokens = flag(rest, "--max").map(_.toInt).getOrElse(2048),
             groupCol = req(rest, "--group"), orderCol = req(rest, "--order"))
+        case "profile" =>
+          // sketch profile of numeric columns (HLL + approx quantiles)
+          import org.apache.spark.sql.types.NumericType
+          val cols = flag(rest, "--cols").map(_.split(",").toSeq).getOrElse(
+            df.schema.fields.collect {
+              case f if f.dataType.isInstanceOf[NumericType] => f.name
+            }.toSeq)
+          graft.describe.Describe.summarizeApprox(spark, df, cols)
         case "corpus-report" =>
           Text.corpusReport(df, req(rest, "--dims").split(",").toSeq,
             sizeCol = flag(rest, "--size").getOrElse("n_chars"))
@@ -449,6 +457,7 @@ object Cli {
       |  pipeline join-range <points> <out> --intervals p --keys k --point c --start c --end c [--bucket W]
       |  pipeline join-fuzzy <left> <out> --right p --left-col c --right-col c [--dist d] [--prefix p]
       |  pipeline pack-chunked|pack-firstfit <in> <out> --tokens c --group c --order c [--max N]
+      |  pipeline profile <in> <out> [--cols c1,c2]
       |  pipeline corpus-report <in> <out> --dims d1,d2 [--size c]
       |  pipeline sample-importance <in> <out> --prob <sql-expr> [--key c]
       |  pipeline sample-hash <in> <out> --fraction f [--key c]

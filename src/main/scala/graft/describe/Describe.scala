@@ -77,6 +77,44 @@ object Describe {
     }
   }
 
+  /** One-pass SKETCH profile of numeric columns — the 100 TB describe.
+    * Exact `summarize`/quantile paths sort or hold exact state; at corpus
+    * scale the profile wants mergeable sketches instead: HyperLogLog++ for
+    * distinct counts (`rsd` relative error) and the KLL/GK-style
+    * `percentile_approx` sketch (`accuracy` knob) for quantiles, plus exact
+    * streaming-mergeable n/mean/min/max. ONE aggregation job for ALL
+    * columns (map-side partials, no row shuffle); output is one row per
+    * variable. Sketch results are approximate by contract, so this op is
+    * deliberately NOT DuckDB-oracled — the spec pins error bounds instead. */
+  def summarizeApprox(spark: SparkSession, df: DataFrame, cols: Seq[String],
+                      rsd: Double = 0.05, accuracy: Int = 10000): DataFrame = {
+    import spark.implicits._
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(count(v).as(s"n__$c"),
+        approx_count_distinct(v, rsd).as(s"d__$c"),
+        avg(v).as(s"m__$c"),
+        min(v).as(s"mn__$c"),
+        max(v).as(s"mx__$c"),
+        percentile_approx(v, array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(accuracy)).as(s"q__$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 6
+      val qs = if (r.isNullAt(b + 5)) Seq[Double]() else r.getSeq[Double](b + 5)
+      def dOrNull(ix: Int) = if (r.isNullAt(ix)) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(r.getDouble(ix))
+      (c, r.getLong(b), r.getLong(b + 1), dOrNull(b + 2), dOrNull(b + 3),
+        if (qs.nonEmpty) java.lang.Double.valueOf(qs(0)) else null.asInstanceOf[java.lang.Double],
+        if (qs.nonEmpty) java.lang.Double.valueOf(qs(1)) else null.asInstanceOf[java.lang.Double],
+        if (qs.nonEmpty) java.lang.Double.valueOf(qs(2)) else null.asInstanceOf[java.lang.Double],
+        dOrNull(b + 4))
+    }.toDF("variable", "n", "approx_distinct", "mean", "min",
+      "p25_approx", "p50_approx", "p75_approx", "max")
+  }
+
   /** correlations: pairwise-complete Pearson correlation for every pair of
     * (numeric-castable) variables, |corr| >= threshold, sorted desc
     * (reference: describe.py:26-75).

@@ -370,6 +370,33 @@ class ModifyDescribeSpec extends SparkSpec {
       assertRtol(r.getDouble(r.fieldIndex("pvalue_fdr")), 0.04, 1e-12, "t2 fdr"))
   }
 
+  test("summarizeApprox: one job, exact moments, bounded sketch error") {
+    import spark.implicits._
+    val n = 10000
+    val df = (1 to n).map(i =>
+      (i.toDouble, (i % 100).toDouble, if (i % 10 == 0) None else Some(i.toDouble)))
+      .toDF("seq", "mod100", "holey")
+    val out = Describe.summarizeApprox(spark, df, Seq("seq", "mod100", "holey"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val seqR = out("seq")
+    assert(seqR.getLong(1) === n.toLong)
+    assertRtol(seqR.getDouble(3), (n + 1) / 2.0, 1e-12, "mean exact")
+    assert(seqR.getDouble(4) === 1.0 && seqR.getDouble(8) === n.toDouble)
+    // HLL at rsd=0.05: within 3 sigma of the true distinct counts
+    assert(math.abs(seqR.getLong(2) - n) <= 0.15 * n)
+    assert(math.abs(out("mod100").getLong(2) - 100) <= 15)
+    // quantile sketch at accuracy=10000 on 10k rows: near-exact
+    assert(math.abs(seqR.getDouble(5) - n / 4.0) <= n * 0.01)
+    assert(math.abs(seqR.getDouble(6) - n / 2.0) <= n * 0.01)
+    assert(math.abs(seqR.getDouble(7) - 3 * n / 4.0) <= n * 0.01)
+    // nulls excluded from n, included in nothing
+    assert(out("holey").getLong(1) === (n - n / 10).toLong)
+    // all-null column: null stats, zero counts
+    val allNull = (1 to 50).map(_ => (1, None: Option[Double])).toDF("k", "v")
+    val nr = Describe.summarizeApprox(spark, allNull, Seq("v")).head()
+    assert(nr.getLong(1) === 0L && nr.getLong(2) === 0L && nr.isNullAt(3))
+  }
+
   test("Plots.histogram and distributions bin correctly") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, i.toDouble, i * 2.0))

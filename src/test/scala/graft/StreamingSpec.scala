@@ -184,6 +184,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("blocklist + importance sampling run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "url")
+    // the bloom probe is a constant-literal predicate and the importance
+    // decision is a hash filter — both stateless, so the SAME blocklist
+    // pipeline serves the backfill and the live feed. (The exact-verify
+    // branch needs a stream-static join: filterOut's union is batch-only,
+    // so streams compose sketch-prune -> stream-static anti join.)
+    val bl = (0L until 100L by 7L).map(i => s"u-$i").toDF("bad")
+    val bf = graft.pipeline.Blocklist.sketch(bl, "bad", fpp = 0.01)
+    val pruned = streamDf.filter(!graft.functions.GraftFunctions.might_contain(
+        lit(bf), xxhash64(col("url"))))
+    val sampled = graft.pipeline.Sampling.importanceSample(
+      pruned, when(col("doc_id") < 50, 0.9).otherwise(0.1), col("doc_id"))
+    val q = sampled.writeStream.format("memory").queryName("bl_stream_test")
+      .outputMode("append").start()
+    try {
+      val rows = (0L until 100L).map(i => (i, s"u-$i"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bl_stream_test").collect()
+        .map(_.getLong(0)).toSet
+      val batch = graft.pipeline.Sampling.importanceSample(
+        graft.pipeline.Blocklist.filterOut(rows.toDF("doc_id", "url"), bl,
+          "url", blocklistKey = "bad", fpp = 0.01),
+        when(col("doc_id") < 50, 0.9).otherwise(0.1), col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      // sketch-only prune can only drop EXTRA rows (false positives), never
+      // add: streamed ⊆ batch, with a deterministic handful of FPs at most
+      assert(streamed.subsetOf(batch))
+      assert(batch.diff(streamed).size <= 5,
+        s"too many bloom FPs: ${batch.diff(streamed)}")
+      assert(streamed.intersect((0L until 100L by 7L).toSet).isEmpty,
+        "no blocklisted row may survive (no false negatives)")
+      assert(streamed.count(_ < 50) > streamed.count(_ >= 50))
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions with custom state") {
     import spark.implicits._
     val rows = Seq(
