@@ -299,6 +299,48 @@ object Text {
     h
   }
 
+  /** Unigram-LM perplexity scoring — the CCNet-style "does this read like
+    * the corpus" curation filter, self-trained in the same pass (no external
+    * model files in this container; the plumbing is the operator, the LM
+    * order is the honest simplification and is documented as such).
+    *
+    * Model: add-alpha-smoothed unigram LM over the corpus's own top-K
+    * vocabulary; every out-of-vocabulary token scores as ONE pooled OOV
+    * pseudo-word. p(w) = (c_w + α)/(T + α·(K+1)); a document's score is its
+    * mean negative log-likelihood and perplexity = exp(score). Gibberish /
+    * boilerplate-free-but-unnatural text lands in the high-ppl tail, exactly
+    * like the 5-gram KenLM filter it stands in for.
+    *
+    * Scale shape: one groupBy(word) for counts, top-K bounded vocab
+    * broadcast back onto the token stream (left join, OOV = null fallback),
+    * one groupBy(doc) — two row-scale shuffles, vocab never exceeds K rows,
+    * corpus constants are 3 driver scalars. */
+  def perplexityScore(df: DataFrame, textCol: String, idCol: String,
+                      topVocab: Int = 50000, alpha: Double = 1.0): DataFrame = {
+    require(topVocab > 0, "topVocab must be positive")
+    require(alpha > 0, "alpha must be positive (smoothing)")
+    val toks = df
+      .select(col(idCol).as("__doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val top = toks.groupBy("word").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("word").asc).limit(topVocab)
+    val tTotal = toks.count()
+    val vr = top.agg(sum(col("__c")), count(lit(1))).head()
+    val inVocabTotal = if (vr.isNullAt(0)) 0L else vr.getLong(0)
+    val k = vr.getLong(1)
+    val oovTotal = tTotal - inVocabTotal
+    val denom = tTotal + alpha * (k + 1)   // α·(K+1): OOV is one pseudo-word
+    toks.join(broadcast(top), Seq("word"), "left")
+      .withColumn("__lp",
+        log((coalesce(col("__c"), lit(oovTotal)) + lit(alpha)) / lit(denom)))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__slp"))
+      .select(col("__doc").as(idCol), col("n_tokens"),
+        (-col("__slp") / col("n_tokens")).as("avg_nll"),
+        exp(-col("__slp") / col("n_tokens")).as("perplexity"))
+  }
+
   /** Corpus report card: doc counts and size stats at EVERY combination of
     * the grouping dimensions in one pass (cube = grouping sets), the
     * "corpus health dashboard" aggregation. One shuffle total — Spark

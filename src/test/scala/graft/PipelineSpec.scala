@@ -267,6 +267,30 @@ class PipelineSpec extends SparkSpec {
     assert(rep(2L).getDouble(rep(2L).fieldIndex("dup_line_frac")) === 0.0)
   }
 
+  test("perplexityScore: hand-computed unigram LM; gibberish lands in the tail") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "z z z")).toDF("doc_id", "text")
+    val got = graft.pipeline.Text.perplexityScore(df, "text", "doc_id",
+        topVocab = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // vocab {a:2, b:1}, T=6, OOV total=3 (the z's), K=2, denom=6+1*(2+1)=9
+    val (pa, pb, poov) = (3.0 / 9, 2.0 / 9, 4.0 / 9)
+    val nll1 = -(2 * math.log(pa) + math.log(pb)) / 3
+    val nll2 = -math.log(poov)
+    assert(got(1L)._1 === 3L && got(2L)._1 === 3L)
+    assertRtol(got(1L)._2, nll1, 1e-12, "doc1 nll")
+    assertRtol(got(2L)._2, nll2, 1e-12, "doc2 nll")
+    assertRtol(got(1L)._3, math.exp(nll1), 1e-12, "doc1 ppl")
+    // natural text (corpus-typical words) beats gibberish
+    val corpus = (0L until 200L).map(i => (i, "the quick brown fox jumps")) ++
+      Seq((900L, "qzx vbnm wrtp lkjh zzqq"))
+    val scored = graft.pipeline.Text.perplexityScore(
+        corpus.toDF("doc_id", "text"), "text", "doc_id", topVocab = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scored(900L) > 5 * scored(0L),
+      s"gibberish ppl ${scored(900L)} must dwarf natural ${scored(0L)}")
+  }
+
   test("bm25Rank matches the formula computed from first principles") {
     import spark.implicits._
     val docs = Seq(
