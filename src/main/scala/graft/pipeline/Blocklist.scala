@@ -40,6 +40,17 @@ object Blocklist {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val n = math.max(1L, if (expectedItems >= 0) expectedItems else blocklist.count())
     val bits = math.max(64L, BloomFilter.optimalNumOfBits(n, fpp))
+    // BloomFilterAggregate silently clamps its sizing to the session's
+    // runtime-join-filter caps (maxNumItems default 4M, maxNumBits default
+    // 64Mi bits). A >4M-key blocklist would silently get a far higher
+    // effective fpp than requested — results stay exact (the verify join
+    // removes FPs) but the documented shuffle-pruning contract erodes.
+    // Raise the caps to cover the computed size before aggregating.
+    val conf = blocklist.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(itemsKey).toLong < n) conf.set(itemsKey, n.toString)
+    if (conf.get(bitsKey).toLong < bits) conf.set(bitsKey, bits.toString)
     val row = blocklist
       .agg(GraftFunctions.bloom_agg(xxhash64(col(keyCol)), n, bits).as("bf"))
       .head()
@@ -58,13 +69,23 @@ object Blocklist {
     * the blocklist hit rate is low) bypass the join shuffle entirely; only
     * bloom-positives are verified exactly. The two branches re-scan the
     * source — at scale a columnar re-scan is far cheaper than shuffling the
-    * full corpus, and the exchange on the positive branch is tiny. */
+    * full corpus, and the exchange on the positive branch is tiny.
+    *
+    * CONTRACT: `df` must be deterministic between scans (stable source
+    * files, no rand()-derived columns) — the two branches evaluate it
+    * independently, so a row that changes its key between scans could be
+    * dropped from or duplicated in the union. For non-deterministic inputs
+    * pass `persistInput = true` to evaluate `df` once (costs a
+    * MEMORY_AND_DISK materialization; the caller should unpersist via the
+    * returned frame's lineage when done). */
   def filterOut(df: DataFrame, blocklist: DataFrame, keyCol: String,
-                blocklistKey: String = null, fpp: Double = 0.01): DataFrame = {
+                blocklistKey: String = null, fpp: Double = 0.01,
+                persistInput: Boolean = false): DataFrame = {
     val blKey = Option(blocklistKey).getOrElse(keyCol)
     val bf = sketch(blocklist, blKey, fpp)
-    val clean = df.filter(!probe(bf, col(keyCol)))
-    val verified = df.filter(probe(bf, col(keyCol)))
+    val src = if (persistInput) df.persist() else df
+    val clean = src.filter(!probe(bf, col(keyCol)))
+    val verified = src.filter(probe(bf, col(keyCol)))
       .join(blocklist.select(col(blKey).as(keyCol)), Seq(keyCol), "left_anti")
     clean.unionByName(verified)
   }

@@ -63,6 +63,13 @@ object Joins {
                prefix: String = "asof_",
                tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
+    // same no-collision contract as rangeJoin/fuzzyJoin: withColumn would
+    // silently REPLACE a left column of the same name, not fail
+    val outNames = (rightTs +: rightCols).map(c => s"$prefix$c")
+    val clashes = outNames.filter(left.columns.contains)
+    require(clashes.isEmpty,
+      s"asofJoin output columns ${clashes.mkString(", ")} already exist on the " +
+        "left side; pass a different `prefix` or rename/drop them first")
     val payload = struct(
       (col(rightTs).cast(LongType).as("__ts") +: rightCols.map(col)): _*)
     val r = right.select(
