@@ -572,6 +572,41 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_knn_graph" -> ((s, dir) => {
+      // whole-corpus neighbor graph over the IVF lists: corpus-scale
+      // self-join on list_id (neither side broadcasts), top-k per source.
+      // No SQL oracle (k-means lists) -> rows-only; full-probe ≡ brute
+      // force is asserted in PipelineSpec
+      val (model, assigned) = ivfIndex(s, dir)
+      Similarity.knnGraph(model, assigned, k = 3, nProbe = 2)
+        .select(col("src_id"), col("dst_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("src_id", "rank")
+    }),
+
+    "embedding_centroids" -> ((s, dir) =>
+      // per-label prototype vectors; exploded to (label, pos, v) so the
+      // oracle compares scalar cells, not list equality
+      Similarity.centroids(t(s, dir, "embeddings"), "label")
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("pos", "v")))
+        .withColumn("v", round(col("v"), 6))
+        .orderBy("label", "pos")),
+
+    "embedding_quantize" -> ((s, dir) => {
+      // int8 storage quantization: deterministic arithmetic, replayed
+      // exactly by the oracle (q uses the DOUBLE scale; the stored struct
+      // carries the float-rounded scale)
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 50)
+      e.select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"),
+          round(col("qz").getField("scale").cast("double"), 9).as("scale"),
+          posexplode(col("qz").getField("q")).as(Seq("pos", "qv")))
+        .select(col("vec_id"), col("pos"), col("qv"), col("scale"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // ---- text analysis (driver mandate)
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -710,6 +745,25 @@ object SparkEntry {
           groupCol = "lang", orderCol = "doc_id")
         .select(col("doc_id"), col("lang"), col("bin_id"))
         .orderBy("doc_id")),
+
+    "text_chunk_windows" -> ((s, dir) =>
+      // context-window prep: overlapping 64-word chunks every 48 words;
+      // chunk text compared by md5 so the result stays small
+      Text.chunkDocs(t(s, dir, "documents").filter(col("doc_id") < 100),
+          "text", "doc_id", chunkWords = 64, strideWords = 48)
+        .withColumn("chunk_md5", md5(col("chunk_text").cast("binary")))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_words"), col("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    "sample_weighted" -> ((s, dir) => {
+      // Efraimidis–Spirakis weighted-without-replacement: exactly 20 docs
+      // per lang, longer docs favored proportionally to n_chars
+      val d = t(s, dir, "documents")
+      Sampling.weightedSample(d, col("n_chars"), col("doc_id"), k = 20,
+          strataCols = Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "doc_id")
+    }),
 
     // ---- deterministic sampling / mixture (driver mandate)
     "sample_hash" -> ((s, dir) =>
@@ -1496,6 +1550,49 @@ object SparkEntry {
              THEN CAST(floor((start_offset + n_chars - 1) / 4096.0) AS BIGINT)
              ELSE CAST(floor(start_offset / 4096.0) AS BIGINT) END AS chunk_last
          FROM o ORDER BY doc_id""",
+
+    "embedding_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(pos - 1 AS INT) AS pos,
+           round(avg(CAST(x AS DOUBLE)), 6) AS v
+         FROM e GROUP BY label, pos ORDER BY label, pos""",
+
+    "embedding_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           FROM embeddings WHERE vec_id < 50),
+         s AS (SELECT vec_id, embedding,
+             CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 1.0 END AS dscale FROM m)
+         SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) / dscale) AS TINYINT) AS qv,
+           round(CAST(CAST(dscale AS FLOAT) AS DOUBLE), 9) AS scale
+         FROM s ORDER BY vec_id, pos""",
+
+    "text_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+             FROM documents WHERE doc_id < 100),
+         n AS (SELECT doc_id, ws,
+             GREATEST(1, CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT) + 1) AS nc FROM w)
+         SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(len(ws[i*48+1 : i*48+64]) AS INT) AS chunk_words,
+           md5(array_to_string(ws[i*48+1 : i*48+64], ' ')) AS chunk_md5
+         FROM n, generate_series(0, 10000) t(i) WHERE i < nc
+         ORDER BY doc_id, chunk_id""",
+
+    "sample_weighted" ->
+      """WITH s AS (SELECT lang, doc_id, n_chars,
+             pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                   / 4503599627370496.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS es
+           FROM documents),
+         r AS (SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY es DESC, CAST(doc_id AS VARCHAR) ASC) AS rn FROM s)
+         SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20
+         ORDER BY lang, doc_id""",
 
     "sample_hash" ->
       s"""SELECT doc_id FROM documents

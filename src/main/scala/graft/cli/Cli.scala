@@ -361,6 +361,28 @@ object Cli {
           graft.pipeline.Sampling.hashSample(df,
             org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)),
             fraction = req(rest, "--fraction").toDouble)
+        case "sample-weighted" =>
+          // --weight is a SQL expression over the row (e.g. a score column)
+          graft.pipeline.Sampling.weightedSample(df,
+            org.apache.spark.sql.functions.expr(req(rest, "--weight")),
+            org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)),
+            k = req(rest, "--k").toInt,
+            strataCols = flag(rest, "--strata").map(_.split(",").toSeq).getOrElse(Nil))
+        case "chunk" =>
+          Text.chunkDocs(df, txt, idc,
+            chunkWords = flag(rest, "--chunk").map(_.toInt).getOrElse(512),
+            strideWords = flag(rest, "--stride").map(_.toInt).getOrElse(384))
+        case "centroids" =>
+          Similarity.centroids(df, req(rest, "--group"),
+            vecCol = flag(rest, "--vec").getOrElse("embedding"))
+        case "knn-graph" =>
+          // --model from ann-index; input is the ASSIGNED corpus
+          val model = Similarity.ivfLoadModel(spark, s"${req(rest, "--model")}/centers")
+          Similarity.knnGraph(model, df,
+            k = flag(rest, "--k").map(_.toInt).getOrElse(10),
+            nProbe = flag(rest, "--probes").map(_.toInt).getOrElse(4),
+            idCol = flag(rest, "--vec-id").getOrElse("vec_id"),
+            vecCol = flag(rest, "--vec").getOrElse("embedding"))
         case "sample-stratified" =>
           graft.pipeline.Sampling.stratifiedSample(df,
             req(rest, "--strata").split(",").toSeq,

@@ -122,6 +122,40 @@ object Sampling {
     df.filter(hashBucket(key) < threshold)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, exactly k rows
+    * (per stratum if `strataCols` non-empty): Efraimidis–Spirakis A-ES —
+    * each row draws u ∈ (0,1] from its key hash and scores u^(1/w); the k
+    * largest scores are a weighted-without-replacement sample. The
+    * quality-weighted "pick the best k docs, favoring high scores but not
+    * deterministically top-k" curation step, reproducible on any cluster.
+    *
+    * u uses 13 hex digits (52 bits): v+1 ≤ 2^52 is exact in a double and
+    * 16^13 is a power of two, so u is EXACT IEEE in every engine and the
+    * oracle replays the same doubles. Rows with weight ≤ 0 or null rank
+    * strictly below every positive-weight row (score −1). Global k rides
+    * sort+limit (TakeOrderedAndProject — per-partition top-k, no global
+    * sort); per-stratum k rides WindowGroupLimit like [[stratifiedSample]].
+    * Adds `es_score` (the selection score) to the output. */
+  def weightedSample(df: DataFrame, weight: Column, key: Column, k: Int,
+                     strataCols: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("double") + 1.0) / math.pow(16.0, 13.0)
+    val w0 = weight.cast("double")
+    val score = when(w0.isNotNull && w0 > 0.0, pow(u, lit(1.0) / w0))
+      .otherwise(lit(-1.0))
+    val scored = df.withColumn("es_score", score)
+    if (strataCols.isEmpty)
+      scored.orderBy(col("es_score").desc, key.cast("string").asc).limit(k)
+    else {
+      val win = Window.partitionBy(strataCols.map(col): _*)
+        .orderBy(col("es_score").desc, key.cast("string").asc)
+      scored.withColumn("__rn", row_number().over(win))
+        .filter(col("__rn") <= k)
+        .drop("__rn")
+    }
+  }
+
   /** Static domain-mixture resampling (downsample-only): given target
     * proportions per domain (e.g. The Pile / Gopher-style corpus weights),
     * keep the LARGEST subset whose domain shares match the targets.

@@ -50,6 +50,52 @@ object Similarity {
     transform(c.getField("q"),
       x => (x.cast("double") * c.getField("scale")).cast("float"))
 
+  /** Per-group embedding centroids (the class/topic/language prototype
+    * vectors clustering-based curation selects against — SemDeDup/prototype
+    * pruning both start here). Fully declarative two-stage aggregation:
+    * posexplode to (group, dim) — partial avg is map-side combined, so the
+    * shuffle carries O(#groups × dim) partial sums, never rows — then
+    * reassemble each centroid by sorting the (pos, avg) pairs. Returns
+    * (groupCol, n_vectors, centroid: array<double>). */
+  def centroids(df: DataFrame, groupCol: String,
+                vecCol: String = "embedding"): DataFrame = {
+    val exploded = df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("x").cast("double")).as("v"), count(lit(1)).as("n"))
+    exploded.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_vectors"),
+        transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("centroid"))
+  }
+
+  /** Whole-corpus k-nearest-neighbor GRAPH over a pre-assigned IVF index:
+    * for every vector, its k most cosine-similar neighbors among the
+    * `nProbe` nearest inverted lists. The corpus-scale self-join shape —
+    * neither side broadcasts: the source side explodes its probe lists and
+    * the join is a plain shuffle on `list_id`, so candidate pairs are
+    * |corpus| × nProbe × avg-list-size, not |corpus|². Full probe
+    * (nProbe = nLists) degenerates to the exact graph — the equivalence
+    * SimilaritySpec asserts against [[bruteForceTopK]]. */
+  def knnGraph(model: IvfModel, assigned: DataFrame, k: Int, nProbe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nP = math.min(nProbe, model.nLists)
+    val src = assigned.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+      .withColumn("list_id", explode(nearestLists(model.centers, nP)(col("sv"))))
+    val nbr = assigned.select(col("list_id"), col(idCol).as("dst_id"),
+      col(vecCol).as("dv"))
+    // no dropDuplicates needed: src probes DISTINCT lists and each neighbor
+    // lives in exactly one list, so a (src, dst) pair meets at most once
+    val scored = src.join(nbr, Seq("list_id"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine_similarity(col("sv"), col("dv")))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("cosine").desc, col("dst_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src_id", "dst_id", "cosine", "rank")
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Result: (query_id, neighbor_id, cosine,
     * rank). Ties broken by neighbor id for determinism. */

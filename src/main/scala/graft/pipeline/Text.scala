@@ -48,6 +48,35 @@ object Text {
       .limit(topK)
   }
 
+  /** Context-window chunking: split each document's word stream into
+    * overlapping windows of `chunkWords` words every `strideWords` words —
+    * the retrieval-index / context-length prep step (stride < chunk ⇒
+    * overlap keeps boundary-spanning content findable). One generator
+    * explode per document, zero shuffle, codegen'd end to end; the words
+    * array is materialized as a real column FIRST so the per-chunk lambda
+    * slices an attribute (a non-attribute expression named inside a
+    * higher-order-function lambda is re-evaluated per element — the
+    * O(words²) trap NOTES.md documents).
+    *
+    * Output: (idCol, chunk_id, chunk_words, chunk_text); documents shorter
+    * than one window yield exactly one (possibly short) chunk. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                chunkWords: Int, strideWords: Int): DataFrame = {
+    require(chunkWords > 0, "chunkWords must be positive")
+    require(strideWords > 0 && strideWords <= chunkWords,
+      s"strideWords must be in [1, chunkWords]: $strideWords")
+    val nChunks = greatest(lit(1L),
+      (ceil((col("__nw") - chunkWords).cast("double") / strideWords) + 1).cast("long"))
+    df.withColumn("__w", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__nw", size(col("__w")))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => array_join(slice(col("__w"), (i * strideWords + 1).cast("int"),
+            lit(chunkWords)), " "))).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("chunk_words", wsTokenCount(col("chunk_text")))
+      .select(col(idCol), col("chunk_id"), col("chunk_words"), col("chunk_text"))
+  }
+
   /** Quality signals: length, word count, mean word length, punctuation
     * ratio, stopword ratio — the standard cheap text-quality features. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Decontaminate, Packing, Sampling}
+import graft.pipeline.{Decontaminate, Packing, Sampling, Text}
 
 /** Corpus-curation operators: benchmark decontamination, sequence packing,
   * deterministic sampling / domain mixing. */
@@ -294,5 +294,59 @@ class CurationSpec extends SparkSpec {
     // untargeted domains are dropped
     val dropped = Sampling.domainMix(df, "dom", Map("a" -> 1.0), col("k"))
     assert(dropped.select("dom").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
+  test("chunkDocs: overlapping windows cover the doc; short docs get one chunk") {
+    import spark.implicits._
+    val words = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, words), (1L, "short doc only"), (2L, "")).toDF("doc_id", "text")
+    val out = Text.chunkDocs(df, "text", "doc_id", chunkWords = 10, strideWords = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val d0 = out.filter(_._1 == 0L).sortBy(_._2)
+    // 25 words, chunk 10, stride 5 -> 1 + ceil(15/5) = 4 chunks
+    assert(d0.length === 4)
+    assert(d0(0)._4.startsWith("w1 w2") && d0(0)._3 === 10)
+    assert(d0(1)._4.startsWith("w6 w7"), "stride-5 overlap")
+    assert(d0(3)._4.endsWith("w25"))
+    assert(d0(3)._3 === 10) // words 16..25
+    // consecutive chunks overlap by chunk - stride = 5 words
+    val c0 = d0(0)._4.split(" ").toSeq
+    val c1 = d0(1)._4.split(" ").toSeq
+    assert(c0.drop(5) === c1.take(5))
+    // short doc: exactly one (short) chunk
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length === 1 && d1(0)._3 === 3 && d1(0)._4 === "short doc only")
+    // empty doc still yields one row (empty chunk)
+    assert(out.count(_._1 == 2L) === 1)
+    // every source word appears in some chunk
+    assert(d0.flatMap(_._4.split(" ")).toSet === words.split(" ").toSet)
+  }
+
+  test("weightedSample: exact k, deterministic, weight-monotone inclusion") {
+    import spark.implicits._
+    // two interleaved weight classes: heavy rows weight 100, light weight 1
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) 100.0 else 1.0)).toDF("k", "w")
+    val out = Sampling.weightedSample(df, col("w"), col("k"), k = 100)
+    val got = out.select("k").collect().map(_.getLong(0)).toSet
+    assert(got.size === 100)
+    // determinism under repartitioning
+    val again = Sampling.weightedSample(df.repartition(13), col("w"), col("k"), k = 100)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === again)
+    // heavy rows dominate the sample (500 heavy vs 500 light, 100x weight)
+    val heavy = got.count(_ % 2 == 0)
+    assert(heavy > 85, s"expected heavy majority, got $heavy/100")
+    // per-stratum variant: exactly k rows in each stratum
+    val strat = df.withColumn("st", (col("k") % 3).cast("string"))
+    val perStrat = Sampling.weightedSample(strat, col("w"), col("k"), k = 20,
+        strataCols = Seq("st"))
+      .groupBy("st").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStrat === Map("0" -> 20L, "1" -> 20L, "2" -> 20L))
+    // non-positive weights lose to every positive weight
+    val mixed = (0L until 50L).map(i => (i, if (i < 40) 1.0 else 0.0)).toDF("k", "w")
+    val kept = Sampling.weightedSample(mixed, col("w"), col("k"), k = 40)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(kept === (0L until 40L).toSet)
   }
 }

@@ -429,4 +429,36 @@ class PipelineSpec extends SparkSpec {
     val bad = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
     intercept[Exception] { bad.selectExpr("cosine_similarity(a, b)").head }
   }
+
+  test("centroids: per-group mean vectors match a hand computation") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f, 3.0f)),
+      ("a", Array(3.0f, 4.0f, 5.0f)),
+      ("b", Array(10.0f, 0.0f, -2.0f))).toDF("label", "embedding")
+    val out = Similarity.centroids(df, "label").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Double](2).toSeq))).toMap
+    assert(out("a")._1 === 2L)
+    assert(out("a")._2 === Seq(2.0, 3.0, 4.0))
+    assert(out("b")._1 === 1L)
+    assert(out("b")._2 === Seq(10.0, 0.0, -2.0))
+  }
+
+  test("knnGraph: full probe equals the exact brute-force neighbor graph") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+    val model = Similarity.ivfTrain(e, nLists = 6)
+    val assigned = Similarity.ivfAssign(model, e)
+    val full = Similarity.knnGraph(model, assigned, k = 3, nProbe = model.nLists)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = Similarity.bruteForceTopK(e, e, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full === exact, "full-probe knnGraph must equal brute force")
+    // pruned probe keeps high recall on real embeddings
+    val pruned = Similarity.knnGraph(model, assigned, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = exactPairs.count(pruned.contains).toDouble / exactPairs.size
+    assert(recall > 0.7, s"knnGraph recall@3 with nProbe=2 was $recall")
+  }
 }
