@@ -488,6 +488,29 @@ object SparkEntry {
           sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_dupes"))
     }),
 
+    "dedup_exact_against" -> ((s, dir) => {
+      // incremental dedup: the "new batch" (doc_id >= 250) against the
+      // fingerprint index of the existing corpus (doc_id < 250); bloom
+      // prunes the verify shuffle, result is the exact anti-join
+      val docs = t(s, dir, "documents")
+      val known = Dedup.exactReport(docs.filter(col("doc_id") < 250),
+        "text", "doc_id").select("fp")
+      Dedup.exactAgainst(docs.filter(col("doc_id") >= 250), known, "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    "decon_semantic" -> ((s, dir) => {
+      // embedding-space decontamination: train = vec_id >= 100 scored
+      // against the "eval set" vec_id < 20; flags cosine >= 0.4
+      val e = t(s, dir, "embeddings")
+      Decontaminate.semanticOverlap(e.filter(col("vec_id") >= 100),
+          e.filter(col("vec_id") < 20), threshold = 0.4)
+        .select(col("id"), col("best_eval_id"),
+          round(col("best_cosine"), 6).as("best_cosine"), col("contaminated"))
+        .orderBy("id")
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       // no SQL oracle (hash-family equivalence is not expressible) ->
       // rows-only; exactness is covered by DedupSpec against planted dupes
@@ -1268,6 +1291,31 @@ object SparkEntry {
          grp AS (SELECT f, count(*) AS n FROM fp GROUP BY 1)
          SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dupes FROM grp""",
+
+    "dedup_exact_against" ->
+      """WITH known AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+             FROM documents WHERE doc_id < 250)
+         SELECT doc_id, source FROM documents
+         WHERE doc_id >= 250
+           AND md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) NOT IN
+             (SELECT f FROM known)
+         ORDER BY doc_id""",
+
+    "decon_semantic" ->
+      """WITH t AS (SELECT vec_id AS id, embedding AS tv FROM embeddings WHERE vec_id >= 100),
+         e AS (SELECT vec_id AS eid, embedding AS ev FROM embeddings WHERE vec_id < 20),
+         dots AS (
+           SELECT id, eid,
+             sum(CAST(tv[r.range + 1] AS DOUBLE) * CAST(ev[r.range + 1] AS DOUBLE)) AS d,
+             sum(CAST(tv[r.range + 1] AS DOUBLE) ^ 2) AS nt,
+             sum(CAST(ev[r.range + 1] AS DOUBLE) ^ 2) AS ne
+           FROM t CROSS JOIN e CROSS JOIN range(64) r GROUP BY 1, 2),
+         scored AS (SELECT id, eid, d / (sqrt(nt) * sqrt(ne)) AS cos FROM dots),
+         best AS (SELECT id, eid, cos, row_number() OVER (PARTITION BY id
+             ORDER BY cos DESC, eid ASC) AS rn FROM scored)
+         SELECT id, eid AS best_eval_id, round(cos, 6) AS best_cosine,
+           cos >= 0.4 AS contaminated
+         FROM best WHERE rn = 1 ORDER BY id""",
 
     "dedup_embedding_cosine" ->
       """WITH pairs AS (

@@ -262,6 +262,23 @@ object Cli {
               flag(rest, "--threshold").map(_.toDouble).getOrElse(0.7))
           // full pipeline: candidates -> verify -> group -> keepers
           Dedup.resolveKeepers(Dedup.components(verified))
+        case "dedup-against" =>
+          // incremental dedup: --index = parquet of known fingerprints
+          Dedup.exactAgainst(df, spark.read.parquet(req(rest, "--index")), txt,
+            knownFpCol = flag(rest, "--fp-col").getOrElse("fp"),
+            fpp = flag(rest, "--fpp").map(_.toDouble).getOrElse(0.01))
+        case "decon-semantic" =>
+          // embedding decontamination: --eval = parquet of eval embeddings
+          graft.pipeline.Decontaminate.semanticOverlap(df,
+            spark.read.parquet(req(rest, "--eval")),
+            threshold = flag(rest, "--threshold").map(_.toDouble).getOrElse(0.9),
+            idCol = flag(rest, "--vec-id").getOrElse("vec_id"),
+            vecCol = flag(rest, "--vec").getOrElse("embedding"))
+        case "write-sized" =>
+          val n = graft.io.Load.writeSized(df, out,
+            targetMB = flag(rest, "--target-mb").map(_.toInt).getOrElse(512))
+          println(s"wrote $n file(s) to $out")
+          return
         case "dedup-near" =>
           // one-call near-dedup: returns the deduplicated corpus itself
           Dedup.nearDedup(spark, df, txt, idc,

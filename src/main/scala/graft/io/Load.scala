@@ -89,6 +89,27 @@ object Load {
   /** Attach a sequential row-number id (the reference's default RangeIndex →
     * "ID" behavior when no index column exists, load.py:44-49). zipWithIndex
     * keeps file order — deterministic for a given input. */
+  /** Write parquet with output files sized near `targetMB` — the
+    * small-files/giant-files fix for corpus releases. File count comes
+    * from Catalyst's own size estimate of the OPTIMIZED plan (column
+    * pruning and filters already applied), derated by a columnar
+    * compression factor: plan stats estimate in-memory row bytes, parquet
+    * on disk is typically ~3-4x smaller. One round `repartition(n)` —
+    * the shuffle is the price of bounded file sizes at any input
+    * partitioning; for an already-sorted frame prefer coalesce upstream.
+    * Returns the file count chosen (useful for audits). */
+  def writeSized(df: DataFrame, path: String, targetMB: Int = 512,
+                 compressionFactor: Double = 3.5): Int = {
+    require(targetMB > 0, "targetMB must be positive")
+    require(compressionFactor >= 1.0, "compressionFactor must be >= 1")
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val onDisk = (BigDecimal(estBytes) / compressionFactor).toBigInt
+    val target = BigInt(targetMB.toLong * 1024 * 1024)
+    val n = ((onDisk + target - 1) / target).max(1).min(1 << 20).toInt
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    n
+  }
+
   def withSequentialId(df: DataFrame): CladeFrame = {
     val spark = df.sparkSession
     val schema = StructType(StructField(CladeFrame.DefaultId, LongType, nullable = false)

@@ -120,6 +120,37 @@ object Decontaminate {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** SEMANTIC decontamination: flag training documents whose embedding is
+    * cosine-similar (≥ threshold) to ANY evaluation item — catches
+    * paraphrased/reformatted benchmark leakage that n-gram overlap misses.
+    * Eval sets are tiny vs the training corpus, so the eval embeddings
+    * broadcast and the train side never shuffles: one scan, per-row max
+    * over |eval| codegen'd dot products. Returns
+    * (id, best_eval_id, best_cosine, contaminated).
+    *
+    * For an eval set too big to broadcast, bucket both sides instead —
+    * that shape is [[Similarity.cosineNearDups]]/[[Similarity.knnGraph]]. */
+  def semanticOverlap(train: DataFrame, eval: DataFrame, threshold: Double,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"threshold must be in (-1, 1]: $threshold")
+    val ev = broadcast(eval.select(col(idCol).as("__eid"), col(vecCol).as("__ev")))
+    val scored = train.select(col(idCol).as("id"), col(vecCol).as("__tv"))
+      .crossJoin(ev)
+      .withColumn("__cos",
+        graft.functions.GraftFunctions.cosine_similarity(col("__tv"), col("__ev")))
+    // per-train-doc argmax: max_by is a single hash aggregation; ties on
+    // cosine break toward the smallest eval id for determinism
+    scored.groupBy("id")
+      .agg(max_by(struct(col("__cos"), (-col("__eid")).as("__neg")),
+        struct(col("__cos"), (-col("__eid")).as("__neg"))).as("__best"))
+      .select(col("id"),
+        (-col("__best.__neg")).as("best_eval_id"),
+        col("__best.__cos").as("best_cosine"))
+      .withColumn("contaminated", col("best_cosine") >= threshold)
+  }
+
   private def canonicalWords(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
 

@@ -37,6 +37,21 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
 
+  /** INCREMENTAL exact dedup: drop rows of `df` whose normalized-text
+    * fingerprint already exists in `known` (a fingerprint corpus built by
+    * [[exactReport]] — or any frame with a fingerprint column). The
+    * new-crawl-vs-existing-corpus shape: the known index is usually far
+    * smaller than the batch, and the bloom sketch lets the overwhelmingly-
+    * novel majority of the batch skip the verify shuffle entirely
+    * (exactness via [[Blocklist.filterOut]]'s verify join). Dedup WITHIN
+    * the batch itself stays [[exact]]'s job — compose: exact then against. */
+  def exactAgainst(df: DataFrame, known: DataFrame, textCol: String,
+                   knownFpCol: String = "fp", fpp: Double = 0.01): DataFrame =
+    Blocklist.filterOut(
+        df.withColumn("__fp", Text.fingerprint(col(textCol))),
+        known, "__fp", blocklistKey = knownFpCol, fpp = fpp)
+      .drop("__fp")
+
   // ------------------------------------------------------------ MinHash LSH
 
   /** Deterministic hash family: murmur3 fmix64 finalizer over

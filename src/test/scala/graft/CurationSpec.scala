@@ -296,6 +296,24 @@ class CurationSpec extends SparkSpec {
     assert(dropped.select("dom").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("semanticOverlap: planted eval-identical embedding flagged, orthogonal not") {
+    import spark.implicits._
+    val ev = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to eval 0
+      (101L, Array(0.0f, 0.9f, 0.1f, 0.0f)),   // near eval 1
+      (102L, Array(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding") // orthogonal
+    val out = Decontaminate.semanticOverlap(train, ev, threshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(100L)._1 === 0L && out(100L)._3, "identical vector must flag")
+    assert(math.abs(out(100L)._2 - 1.0) < 1e-9)
+    assert(out(101L)._1 === 1L && out(101L)._3, "0.9/sqrt(0.82) > 0.8 must flag")
+    assert(out(102L)._2 < 1e-9 && !out(102L)._3, "orthogonal must not flag")
+  }
+
   test("chunkDocs: overlapping windows cover the doc; short docs get one chunk") {
     import spark.implicits._
     val words = (1 to 25).map(i => s"w$i").mkString(" ")

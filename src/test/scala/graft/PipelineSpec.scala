@@ -25,6 +25,21 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Set(0L, 1L, 2L, 4L)) // 3 dups 0; 5 normalizes to 2
   }
 
+  test("exactAgainst: new batch deduped against an existing fingerprint index") {
+    import spark.implicits._
+    val known = Dedup.exactReport(docs.filter(col("doc_id") <= 2), "text", "doc_id")
+      .select("fp")
+    val batch = docs.filter(col("doc_id") >= 3)
+    val out = Dedup.exactAgainst(batch, known, "text")
+    // 3 duplicates 0 (known), 5 normalizes to 2 (known); only 4 is novel
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(4L))
+    // fingerprint helper column does not leak into the output
+    assert(out.columns.toSeq === batch.columns.toSeq)
+    // empty index keeps everything
+    val none = Dedup.exactAgainst(batch, known.limit(0), "text")
+    assert(none.count() === 3)
+  }
+
   test("minhash LSH finds the planted near-duplicate pair") {
     val cands = Dedup.minhashCandidates(spark, docs, "text", "doc_id",
       numHashes = 64, bands = 16, shingleK = 5)

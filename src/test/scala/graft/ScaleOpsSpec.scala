@@ -178,4 +178,23 @@ class ScaleOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("LessThan"))
   }
+
+  test("writeSized: file count tracks the target size; round-trip intact") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("sized").toString
+    // tiny target -> several files; huge target -> exactly one
+    val nSmall = Load.writeSized(li, s"$dir/small", targetMB = 1)
+    val filesSmall = new java.io.File(s"$dir/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesSmall === nSmall, s"expected $nSmall files, saw $filesSmall")
+    val nBig = Load.writeSized(li, s"$dir/big", targetMB = 10240)
+    assert(nBig === 1)
+    val filesBig = new java.io.File(s"$dir/big").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBig === 1)
+    // data survives both layouts
+    val n = li.count()
+    assert(spark.read.parquet(s"$dir/small").count() === n)
+    assert(spark.read.parquet(s"$dir/big").count() === n)
+  }
 }
