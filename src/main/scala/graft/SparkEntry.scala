@@ -832,6 +832,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "join_asof_forward" -> ((s, dir) => {
+      // each click attaches the user's NEXT purchase (forward as-of)
+      val e = t(s, dir, "events")
+      val mic = unix_micros(col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), mic.as("t"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), mic.as("pt"), col("value"))
+      Joins.asofJoin(clicks, purchases, Seq("user_id"), "t", "pt",
+          rightCols = Seq("value"), prefix = "next_", direction = "forward")
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("next_pt"), round(col("next_value"), 4).as("next_value"))
+        .orderBy("event_id")
+    }),
+
+    "text_collocations" -> ((s, dir) =>
+      // multi-word-expression mining: top adjacent pairs by PMI
+      Text.collocations(t(s, dir, "documents"), "text", minCount = 5L, topK = 50)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))),
+
     "join_range" -> ((s, dir) => {
       // clicks landing inside the hour after each purchase, per user
       val e = t(s, dir, "events")
@@ -1702,6 +1722,33 @@ object SparkEntry {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.t >= r.pt
          ORDER BY l.event_id""",
+
+    "join_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+             epoch_ns(ts) // 1000 AS t FROM events),
+         l AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+         r AS (SELECT user_id, t AS pt, value FROM e WHERE event_type = 'purchase')
+         SELECT l.event_id, l.user_id, l.t,
+           r.pt AS next_pt, round(r.value, 4) AS next_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.t <= r.pt
+         ORDER BY l.event_id""",
+
+    "text_collocations" ->
+      """WITH d AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> len(x) > 0) AS ws FROM documents),
+         b AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+           FROM d, generate_series(1, 10000) t(i) WHERE i < len(ws)),
+         u AS (SELECT unnest(ws) AS w FROM d),
+         bc AS (SELECT w1, w2, count(*) AS n_xy FROM b GROUP BY 1, 2),
+         uc AS (SELECT w, count(*) AS n FROM u GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM b) AS nb, (SELECT count(*) FROM u) AS nw)
+         SELECT w1, w2, n_xy, x.n AS n_x, y.n AS n_y,
+           round(ln((CAST(n_xy AS DOUBLE) / nb) /
+             ((CAST(x.n AS DOUBLE) / nw) * (CAST(y.n AS DOUBLE) / nw))), 6) AS pmi
+         FROM bc JOIN uc x ON bc.w1 = x.w JOIN uc y ON bc.w2 = y.w CROSS JOIN tot
+         WHERE n_xy >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 50""",
 
     "join_range" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,

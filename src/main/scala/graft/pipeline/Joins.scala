@@ -55,14 +55,23 @@ object Joins {
     * @param rightCols right payload columns to attach, each emitted as
     *                  `prefix + name`; the matched right timestamp is
     *                  emitted as `prefix + rightTs`.
-    * @param tolerance max allowed lag leftTs − rightTs (same unit as the
-    *                  timestamps); matches farther back are nulled out.
+    * @param tolerance max allowed lag leftTs − rightTs (forward: lead
+    *                  rightTs − leftTs; same unit as the timestamps);
+    *                  matches farther away are nulled out.
+    * @param direction "backward" (largest rightTs <= leftTs, the default)
+    *                  or "forward" (smallest rightTs >= leftTs — the
+    *                  event↔next-state join). Forward rides the identical
+    *                  one-shuffle plan on sign-flipped sort keys.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightCols: Seq[String],
                prefix: String = "asof_",
-               tolerance: Option[Long] = None): DataFrame = {
+               tolerance: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward: $direction")
+    val sign = if (direction == "backward") 1L else -1L
     // same no-collision contract as rangeJoin/fuzzyJoin: withColumn would
     // silently REPLACE a left column of the same name, not fail
     val outNames = (rightTs +: rightCols).map(c => s"$prefix$c")
@@ -73,11 +82,11 @@ object Joins {
     val payload = struct(
       (col(rightTs).cast(LongType).as("__ts") +: rightCols.map(col)): _*)
     val r = right.select(
-      (keys.map(col) :+ col(rightTs).cast(LongType).as("__t")
+      (keys.map(col) :+ (col(rightTs).cast(LongType) * sign).as("__t")
         :+ lit(0).as("__side") :+ payload.as("__rv")): _*)
     val rvType = r.schema("__rv").dataType
     val l = left
-      .withColumn("__t", col(leftTs).cast(LongType))
+      .withColumn("__t", col(leftTs).cast(LongType) * sign)
       .withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(rvType))
     val w = Window.partitionBy(keys.map(col): _*)
@@ -88,7 +97,7 @@ object Joins {
       .filter(col("__side") === 1)
     val inReach = tolerance match {
       case Some(tol) => col("__m").isNotNull &&
-        col("__t") - col("__m").getField("__ts") <= lit(tol)
+        col("__t") - col("__m").getField("__ts") * sign <= lit(tol)
       case None => col("__m").isNotNull
     }
     val attached = (("__ts" -> s"$prefix$rightTs") +:

@@ -48,6 +48,49 @@ object Text {
       .limit(topK)
   }
 
+  /** Collocation mining: top-`topK` adjacent word pairs by pointwise mutual
+    * information, PMI = ln( P(x,y) / (P(x)·P(y)) ) with P(x,y) = c_xy/N_bg
+    * over bigrams and P(x) = c_x/N_w over unigrams — the tokenizer-merge /
+    * multi-word-expression signal. `minCount` prunes the rare-pair noise
+    * PMI is notorious for (a pair seen once scores arbitrarily high).
+    *
+    * Scale shape: one shuffle keyed by bigram + one keyed by word (both
+    * map-side combined); the two unigram joins run AFTER the minCount
+    * filter so they only touch surviving pairs; corpus totals ride in as
+    * one broadcast row; top-k is a TakeOrderedAndProject. Words are
+    * lowercased, whitespace-split, empties dropped. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+                   topK: Int = 100): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val words = df.withColumn("__w",
+      filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0))
+    // sequence(1, n-1) would run DESCENDING for n < 2 (Spark auto-steps
+    // down) and fabricate pairs — guard short docs to an empty array
+    val bigrams = words
+      .select(explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(1), size(col("__w")) - 1),
+          i => struct(element_at(col("__w"), i).as("w1"),
+            element_at(col("__w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val unigrams = words.select(explode(col("__w")).as("w"))
+    val uniCounts = unigrams.groupBy("w").agg(count(lit(1)).as("n"))
+    val totals = broadcast(bigrams.agg(count(lit(1)).as("nb"))
+      .crossJoin(unigrams.agg(count(lit(1)).as("nw"))))
+    bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+      .join(uniCounts.select(col("w").as("w1"), col("n").as("n_x")), Seq("w1"))
+      .join(uniCounts.select(col("w").as("w2"), col("n").as("n_y")), Seq("w2"))
+      .crossJoin(totals)
+      .withColumn("pmi", round(log(
+        (col("n_xy").cast("double") / col("nb")) /
+          ((col("n_x").cast("double") / col("nw")) *
+            (col("n_y").cast("double") / col("nw")))), 6))
+      .select("w1", "w2", "n_xy", "n_x", "n_y", "pmi")
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** Context-window chunking: split each document's word stream into
     * overlapping windows of `chunkWords` words every `strideWords` words —
     * the retrieval-index / context-length prep step (stride < chunk ⇒

@@ -445,6 +445,40 @@ class PipelineSpec extends SparkSpec {
     intercept[Exception] { bad.selectExpr("cosine_similarity(a, b)").head }
   }
 
+  test("collocations: PMI matches a hand computation; rare pairs pruned") {
+    import spark.implicits._
+    // "new york" appears 4x; "a b" appears 4x but from independent frequent
+    // words; singleton pair "rare pair" is pruned by minCount
+    val df = Seq(
+      (0L, "new york a b a b"),
+      (1L, "new york a b a b"),
+      (2L, "new york rare pair"),
+      (3L, "new york b a")).toDF("doc_id", "text")
+    val out = Text.collocations(df, "text", minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(!out.contains(("rare", "pair")), "minCount must prune singletons")
+    val words = Seq("new york a b a b", "new york a b a b",
+      "new york rare pair", "new york b a").flatMap(_.split(" "))
+    val nw = words.size.toDouble
+    val bigrams = Seq("new york a b a b", "new york a b a b",
+      "new york rare pair", "new york b a")
+      .flatMap(s => s.split(" ").sliding(2).map(a => (a(0), a(1))))
+    val nb = bigrams.size.toDouble
+    def pmiOf(x: String, y: String): Double = {
+      val cxy = bigrams.count(_ == ((x, y))).toDouble
+      val cx = words.count(_ == x).toDouble
+      val cy = words.count(_ == y).toDouble
+      math.log((cxy / nb) / ((cx / nw) * (cy / nw)))
+    }
+    val (nxy, nx, ny, pmi) = out(("new", "york"))
+    assert(nxy === 4L && nx === 4L && ny === 4L)
+    assertRtol(pmi, pmiOf("new", "york"), 1e-6, "pmi new york")
+    // "new york" (always adjacent) must outscore "a b" (frequent words)
+    assert(pmi > out(("a", "b"))._4)
+    assertRtol(out(("a", "b"))._4, pmiOf("a", "b"), 1e-6, "pmi a b")
+  }
+
   test("centroids: per-group mean vectors match a hand computation") {
     import spark.implicits._
     val df = Seq(

@@ -81,6 +81,38 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin forward matches a brute-force next-match scan") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val left = Seq.fill(400)((rng.nextInt(5), rng.nextInt(50).toLong))
+    val right = Seq.fill(120)((rng.nextInt(6), rng.nextInt(50).toLong,
+      (rng.nextInt(90) + 10) / 10.0))
+    // forward: smallest rightTs >= leftTs; among equal-ts rights the
+    // greatest (ts, payload) wins (same tie rule as backward)
+    def expected(tol: Option[Long]) = left.map { case (k, t) =>
+      val cands = right.filter(x =>
+        x._1 == k && x._2 >= t && tol.forall(tt => x._2 - t <= tt))
+      val best = if (cands.isEmpty) None
+                 else {
+                   val minTs = cands.map(_._2).min
+                   Some(cands.filter(_._2 == minTs).maxBy(_._3))
+                 }
+      (k, t, best.map(_._2), best.map(_._3))
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    val ldf = left.toDF("k", "t")
+    val rdf = right.toDF("k", "rt", "v")
+    for (tol <- Seq(None, Some(7L))) {
+      val got = Joins.asofJoin(ldf, rdf, Seq("k"), "t", "rt", Seq("v"),
+          prefix = "m_", tolerance = tol, direction = "forward")
+        .select("k", "t", "m_rt", "m_v").collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === expected(tol), s"tolerance=$tol")
+    }
+  }
+
   test("rangeJoin matches a brute-force interval scan at several bucket widths") {
     import spark.implicits._
     val rng = new scala.util.Random(11)

@@ -224,6 +224,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunking + collocation-ready tokenization run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    // chunkDocs is a generator projection (zero state), so the SAME
+    // operator serves backfill and live ingest
+    val chunked = graft.pipeline.Text.chunkDocs(streamDf, "text", "doc_id",
+      chunkWords = 4, strideWords = 2)
+    val q = chunked.writeStream.format("memory").queryName("chunk_stream_test")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (0L, (1 to 10).map(i => s"w$i").mkString(" ")),
+        (1L, "tiny doc"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+      val batch = graft.pipeline.Text.chunkDocs(rows.toDF("doc_id", "text"),
+          "text", "doc_id", chunkWords = 4, strideWords = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+      assert(streamed === batch, "stream and batch chunking must agree")
+      assert(streamed.count(_._1 == 0L) === 4) // 10 words, chunk 4, stride 2
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions with custom state") {
     import spark.implicits._
     val rows = Seq(
