@@ -852,6 +852,46 @@ object SparkEntry {
       Text.collocations(t(s, dir, "documents"), "text", minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    "genotype_hwe" -> ((s, dir) => {
+      // Hardy-Weinberg QC on the same synthesized diploid calls as the MAF
+      // describe; chi2 + A-S erfc p-value replay exactly in SQL
+      val li = t(s, dir, "lineitem")
+      val calls = li.select(
+        xxhash64(li.columns.map(col): _*).as("id"),
+        array((col("l_linenumber") % 2).cast("int"),
+          (col("l_suppkey") % 2).cast("int")).as("g1"),
+        array((col("l_partkey") % 2).cast("int"),
+          (col("l_orderkey") % 2).cast("int")).as("g2"))
+      val cf = CladeFrame(calls).withTypes(Map(
+        "g1" -> (graft.model.VariableType.Genotype: graft.model.VariableType),
+        "g2" -> (graft.model.VariableType.Genotype: graft.model.VariableType)))
+      graft.genomics.Genotypes.hweTest(cf)
+        .select(col("variable"), col("n_obs"), col("n_hom_ref"), col("n_het"),
+          col("n_hom_alt"), round(col("alt_freq"), 6).as("alt_freq"),
+          round(col("hwe_chi2"), 6).as("hwe_chi2"),
+          round(col("hwe_p"), 6).as("hwe_p"), col("hwe_fail"))
+        .orderBy("variable")
+    }),
+
+    "join_interval" -> ((s, dir) => {
+      // overlap join of two interval sets: purchase hours x click
+      // half-hours, per user; pair survives in exactly one bucket
+      val e = t(s, dir, "events")
+      val mic = unix_micros(col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          mic.as("p_start"), (mic + 3600L * 1000 * 1000).as("p_end"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          mic.as("c_start"), (mic + 1800L * 1000 * 1000).as("c_end"))
+      Joins.intervalJoin(purchases, clicks, Seq("user_id"),
+          "p_start", "p_end", "c_start", "c_end",
+          bucketWidth = 3600L * 1000 * 1000)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_overlap"), min(col("click_id")).as("first_click"))
+        .orderBy("purchase_id")
+    }),
+
     "join_range" -> ((s, dir) => {
       // clicks landing inside the hour after each purchase, per user
       val e = t(s, dir, "events")
@@ -1250,6 +1290,55 @@ object SparkEntry {
            round(sum(ac) / (2.0 * count(ac)), 6) AS alt_freq,
            round(least(sum(ac) / (2.0 * count(ac)), 1 - sum(ac) / (2.0 * count(ac))), 6) AS maf
          FROM melted GROUP BY variable ORDER BY variable""",
+
+    "genotype_hwe" ->
+      // replays hweTest's arithmetic left-to-right: expected counts from
+      // the observed allele frequency, 1-df chi2, A-S 7.1.26 erfc p-value
+      """WITH melted AS (
+           SELECT 'g1' AS variable, (l_linenumber % 2) + (l_suppkey % 2) AS ac FROM lineitem
+           UNION ALL
+           SELECT 'g2' AS variable, (l_partkey % 2) + (l_orderkey % 2) AS ac FROM lineitem),
+         c AS (SELECT variable,
+             CAST(count(ac) AS BIGINT) AS n_obs,
+             CAST(sum(CASE WHEN ac = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_ref,
+             CAST(sum(CASE WHEN ac = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+             CAST(sum(CASE WHEN ac = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_alt,
+             sum(ac) AS aa
+           FROM melted GROUP BY 1),
+         s AS (SELECT *, CAST(aa AS DOUBLE) / (2.0 * CAST(n_obs AS DOUBLE)) AS p FROM c),
+         x AS (SELECT *, 1.0 - p AS q FROM s),
+         ch AS (SELECT *,
+             (CAST(n_hom_ref AS DOUBLE) - CAST(n_obs AS DOUBLE) * q * q)
+               * (CAST(n_hom_ref AS DOUBLE) - CAST(n_obs AS DOUBLE) * q * q)
+               / (CAST(n_obs AS DOUBLE) * q * q)
+           + (CAST(n_het AS DOUBLE) - 2.0 * CAST(n_obs AS DOUBLE) * p * q)
+               * (CAST(n_het AS DOUBLE) - 2.0 * CAST(n_obs AS DOUBLE) * p * q)
+               / (2.0 * CAST(n_obs AS DOUBLE) * p * q)
+           + (CAST(n_hom_alt AS DOUBLE) - CAST(n_obs AS DOUBLE) * p * p)
+               * (CAST(n_hom_alt AS DOUBLE) - CAST(n_obs AS DOUBLE) * p * p)
+               / (CAST(n_obs AS DOUBLE) * p * p) AS chi2
+           FROM x),
+         z AS (SELECT *, sqrt(chi2 / 2.0) AS zz FROM ch),
+         tp AS (SELECT *, 1.0 / (1.0 + 0.3275911 * zz) AS tt FROM z),
+         pv AS (SELECT *, tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+             + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-zz * zz) AS hp FROM tp)
+         SELECT variable, n_obs, n_hom_ref, n_het, n_hom_alt,
+           round(p, 6) AS alt_freq, round(chi2, 6) AS hwe_chi2,
+           round(hp, 6) AS hwe_p, hp < 1e-6 AS hwe_fail
+         FROM pv ORDER BY variable""",
+
+    "join_interval" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_ns(ts) // 1000 AS t FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, t AS p_start,
+             t + 3600000000 AS p_end FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, t AS c_start,
+             t + 1800000000 AS c_end FROM e WHERE event_type = 'click')
+         SELECT p.purchase_id, CAST(count(*) AS BIGINT) AS n_overlap,
+           min(c.click_id) AS first_click
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND p.p_start <= c.c_end AND c.c_start <= p.p_end
+         GROUP BY 1 ORDER BY 1""",
 
     "dedup_stream_batch" ->
       """WITH uni AS (SELECT * FROM events UNION ALL SELECT * FROM events),

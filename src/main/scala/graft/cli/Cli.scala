@@ -303,6 +303,17 @@ object Cli {
           val cf = graft.model.CladeFrame(df).withTypes(genoCols.map(c =>
             c -> (graft.model.VariableType.Genotype: graft.model.VariableType)).toMap)
           graft.genomics.Genotypes.describeMaf(cf, only = Some(genoCols))
+        case "genotype-hwe" =>
+          import org.apache.spark.sql.types.{ArrayType, IntegerType}
+          val genoCols = flag(rest, "--cols").map(_.split(",").toSeq).getOrElse(
+            df.schema.fields.collect {
+              case f if f.dataType == ArrayType(IntegerType) ||
+                f.dataType == ArrayType(IntegerType, containsNull = true) => f.name
+            }.toSeq)
+          val cf = graft.model.CladeFrame(df).withTypes(genoCols.map(c =>
+            c -> (graft.model.VariableType.Genotype: graft.model.VariableType)).toMap)
+          graft.genomics.Genotypes.hweTest(cf, only = Some(genoCols),
+            failAt = flag(rest, "--fail-at").map(_.toDouble).getOrElse(1e-6))
         case "ann-index" =>
           // build-once index: train the coarse quantizer, persist the
           // centroid table, and emit the assignment partitioned by list_id

@@ -129,6 +129,57 @@ object Genotypes {
     out.orderBy("variable")
   }
 
+  /** Hardy-Weinberg equilibrium chi-square QC per variant — the standard
+    * pre-GWAS variant filter (het excess/deficit signals genotyping error).
+    * Same one-melt-one-aggregation shape as [[describeMaf]]; everything
+    * downstream of the counts is pure column algebra on the O(#variants)
+    * aggregate, so the whole test is SQL-replayable (oracled): expected
+    * counts from the observed allele frequency, 1-df chi-square, and the
+    * p-value via the Abramowitz-Stegun 7.1.26 erfc polynomial
+    * (|error| < 1.5e-7 — a QC flag, not an inference p; monomorphic
+    * variants get null chi2/p). `failAt` adds a boolean `hwe_fail`. */
+  def hweTest(cf: CladeFrame, only: Option[Seq[String]] = None,
+              failAt: Double = 1e-6): DataFrame = {
+    val all = cf.variablesOfType(VariableType.Genotype)
+    val cols = only.map(sel => all.filter(sel.contains)).getOrElse(all)
+    require(cols.nonEmpty, "no genotype variables to test")
+    val melted = cols.grouped(512).map { chunk =>
+      cf.df.selectExpr(
+        s"stack(${chunk.size}, ${chunk.map(c => s"'$c', `$c`").mkString(", ")}) AS (variable, g)")
+    }.reduce(_ unionByName _)
+    val counts = melted.select(col("variable"), altCount(col("g")).as("ac"))
+      .groupBy("variable").agg(
+        count(col("ac")).as("n_obs"),
+        sum(when(col("ac") === 0, 1L).otherwise(0L)).as("n_hom_ref"),
+        sum(when(col("ac") === 1, 1L).otherwise(0L)).as("n_het"),
+        sum(when(col("ac") === 2, 1L).otherwise(0L)).as("n_hom_alt"),
+        sum(col("ac")).as("alt_alleles"))
+    val n = col("n_obs").cast("double")
+    val p = col("alt_alleles").cast("double") / (lit(2.0) * n)
+    val q = lit(1.0) - col("p")
+    val eRR = col("n_obs").cast("double") * col("q") * col("q")
+    val eHet = lit(2.0) * col("n_obs").cast("double") * col("p") * col("q")
+    val eAA = col("n_obs").cast("double") * col("p") * col("p")
+    def d2(o: Column, e: Column): Column = (o.cast("double") - e) * (o.cast("double") - e) / e
+    // erfc(z) ~ t(a1 + t(a2 + t(a3 + t(a4 + t a5)))) e^{-z^2}, t = 1/(1+0.3275911 z)
+    val z = sqrt(col("hwe_chi2") / 2.0)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
+    val poly = tt * (lit(0.254829592) + tt * (lit(-0.284496736) +
+      tt * (lit(1.421413741) + tt * (lit(-1.453152027) + tt * lit(1.061405429)))))
+    counts
+      .withColumn("p", p).withColumn("q", q)
+      .withColumn("hwe_chi2",
+        when(col("p") > 0.0 && col("p") < 1.0 && n > 0,
+          d2(col("n_hom_ref"), eRR) + d2(col("n_het"), eHet) + d2(col("n_hom_alt"), eAA)))
+      .withColumn("hwe_p", when(col("hwe_chi2").isNotNull, poly * exp(-z * z)))
+      .withColumn("hwe_fail",
+        when(col("hwe_p").isNotNull, col("hwe_p") < failAt).otherwise(lit(false)))
+      .select(col("variable"), col("n_obs"), col("n_hom_ref"), col("n_het"),
+        col("n_hom_alt"), col("p").as("alt_freq"), col("hwe_chi2"),
+        col("hwe_p"), col("hwe_fail"))
+      .orderBy("variable")
+  }
+
   /** EDGE alpha lookup keyed by VARIANT ID with column-name fallback: the
     * reference's encoding_info table carries variant ids from the genotype
     * dtype, not DataFrame column names. */

@@ -142,6 +142,40 @@ object Joins {
       .drop("__bucket")
   }
 
+  /** Interval-OVERLAP join: pair every `a` interval with every `b` interval
+    * of the same `keys` that overlaps it (aStart <= bEnd AND bStart <= aEnd,
+    * inclusive; inner join, numeric domains). The sibling of [[rangeJoin]]
+    * for interval×interval workloads (sessions×outages, spans×spans).
+    *
+    * Same bucketing idea, plus the standard dedup trick: both sides explode
+    * to the fixed-width buckets they cover, candidates meet on
+    * (keys, bucket), and a pair is KEPT only in the bucket containing
+    * max(aStart, bStart) — the first bucket the two intervals share — so
+    * each overlapping pair survives exactly once without a distinct. The
+    * shuffle is keyed by (keys, bucket): long intervals fan out across
+    * tasks instead of piling onto one key.
+    *
+    * Output = a.* ++ b.* minus keys (names must not otherwise collide).
+    * Domains must be non-negative (`DIV` truncation). */
+  def intervalJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+                   aStart: String, aEnd: String, bStart: String, bEnd: String,
+                   bucketWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(s: String, e: String): Column = sequence(
+      expr(s"CAST(`$s` AS BIGINT) DIV $bucketWidth"),
+      expr(s"CAST(`$e` AS BIGINT) DIV $bucketWidth"))
+    val ae = a.filter(col(aEnd) >= col(aStart))
+      .withColumn("__bucket", explode(buckets(aStart, aEnd)))
+    val be = b.filter(col(bEnd) >= col(bStart))
+      .withColumn("__bucket", explode(buckets(bStart, bEnd)))
+    ae.join(be, keys :+ "__bucket")
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bucket") ===
+        expr(s"CAST(greatest(`$aStart`, `$bStart`) AS BIGINT) DIV $bucketWidth"))
+      .drop("__bucket")
+  }
+
   /** Blocked fuzzy (edit-distance) join — record linkage over dirty string
     * keys. The all-pairs levenshtein join is |L|·|R| and impossible at
     * scale; standard blocking makes it an equi-join: candidates must share

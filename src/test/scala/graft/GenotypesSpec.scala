@@ -144,6 +144,47 @@ class GenotypesSpec extends SparkSpec {
     assert(afM > 0.5 && major.getDouble(major.fieldIndex("maf")) === 1 - afM)
   }
 
+  test("hweTest: chi2 matches hand formula; simulated HWE passes, planted het excess fails") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // hand-check on fixed counts: 50/30/20 hom_ref/het/hom_alt
+    val fixed = (Seq.fill(50)(Seq(0, 0)) ++ Seq.fill(30)(Seq(0, 1)) ++
+      Seq.fill(20)(Seq(1, 1))).zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "gv")
+    val cfF = graft.model.CladeFrame(fixed).withTypes(Map(
+      "gv" -> (graft.model.VariableType.Genotype: graft.model.VariableType)))
+    val row = Genotypes.hweTest(cfF).collect().head
+    val (hr, het, ha) = (50.0, 30.0, 20.0); val n = 100.0
+    val p = (2 * ha + het) / (2 * n); val q = 1 - p
+    val expChi = math.pow(hr - n * q * q, 2) / (n * q * q) +
+      math.pow(het - 2 * n * p * q, 2) / (2 * n * p * q) +
+      math.pow(ha - n * p * p, 2) / (n * p * p)
+    assertRtol(row.getDouble(row.fieldIndex("hwe_chi2")), expChi, 1e-9, "chi2")
+    // A-S erfc approximation vs commons-math chi2 sf (1 df): within 1.5e-7
+    val exact = graft.stats.Distributions.chi2Sf(expChi, 1.0)
+    assert(math.abs(row.getDouble(row.fieldIndex("hwe_p")) - exact) < 1e-6)
+    // binomial(2, maf) simulated calls ARE in HWE: no variant may fail
+    val cf = Genotypes.simulateCaseControl(spark, nSamples = 4000, nSnps = 5,
+      maf = 0.3, seed = 21L)
+    val sim = Genotypes.hweTest(cf).collect()
+    assert(sim.length === 5)
+    assert(sim.forall(r => !r.getBoolean(r.fieldIndex("hwe_fail"))),
+      "simulated HWE data must pass")
+    // planted extreme het excess (every call heterozygous) must fail
+    val bad = (0 until 500).map(i => (i.toLong, Seq(0, 1))).toDF("id", "gv")
+    val cfB = graft.model.CladeFrame(bad).withTypes(Map(
+      "gv" -> (graft.model.VariableType.Genotype: graft.model.VariableType)))
+    val b = Genotypes.hweTest(cfB).collect().head
+    assert(b.getBoolean(b.fieldIndex("hwe_fail")), "all-het must fail HWE")
+    // monomorphic variant: null chi2/p, not a failure
+    val mono = (0 until 100).map(i => (i.toLong, Seq(0, 0))).toDF("id", "gv")
+    val cfM = graft.model.CladeFrame(mono).withTypes(Map(
+      "gv" -> (graft.model.VariableType.Genotype: graft.model.VariableType)))
+    val m = Genotypes.hweTest(cfM).collect().head
+    assert(m.isNullAt(m.fieldIndex("hwe_chi2")) && !m.getBoolean(m.fieldIndex("hwe_fail")))
+  }
+
   test("EDGE weights join by variant id (column-name fallback preserved)") {
     import spark.implicits._
     val nSnps = 2

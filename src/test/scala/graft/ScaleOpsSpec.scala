@@ -138,6 +138,30 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin matches a brute-force overlap scan at several bucket widths") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val as = Seq.tabulate(150) { i =>
+      val s = rng.nextInt(200).toLong; (i.toLong, rng.nextInt(4), s, s + rng.nextInt(40))
+    }
+    val bs = Seq.tabulate(150) { i =>
+      val s = rng.nextInt(200).toLong; (i.toLong, rng.nextInt(5), s, s + rng.nextInt(25))
+    }
+    val expected = (for {
+      (ai, ak, a1, a2) <- as
+      (bi, bk, b1, b2) <- bs
+      if ak == bk && a1 <= b2 && b1 <= a2
+    } yield (ai, bi)).toSet
+    val adf = as.toDF("aid", "k", "a1", "a2")
+    val bdf = bs.toDF("bid", "k", "b1", "b2")
+    for (width <- Seq(1L, 7L, 32L, 500L)) {
+      val got = Joins.intervalJoin(adf, bdf, Seq("k"), "a1", "a2", "b1", "b2", width)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.distinct.length, s"width=$width emitted duplicate pairs")
+      assert(got.toSet === expected, s"width=$width")
+    }
+  }
+
   test("shufflePositions is the md5 permutation; shuffledShards replays it shard-by-shard") {
     import spark.implicits._
     val n = 500
