@@ -197,6 +197,18 @@ object SparkEntry {
     }),
 
     // ---- modify: row filters (SURVEY §2.3)
+    "modify_quantile_bins" -> ((s, dir) => {
+      // equi-depth deciles of l_extendedprice: exact batched quantile
+      // bounds + zero-shuffle assignment; oracle replays quantile_cont
+      val li = t(s, dir, "lineitem")
+      Modify.quantileBins(li, Seq("l_extendedprice"), k = 10)
+        .groupBy(col("l_extendedprice_bin").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy("bin")
+    }),
+
     "modify_rowfilter" -> ((s, dir) => {
       val cf = CladeFrame(t(s, dir, "lineitem"), "l_orderkey")
       Modify.rowfilter(cf, "l_quantity", "lt", 10).df
@@ -1107,6 +1119,17 @@ object SparkEntry {
            count(*) FILTER (WHERE l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)) AS n_kept,
            count(*) - count(*) FILTER (WHERE l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)) AS n_removed
          FROM lineitem, b""",
+
+    "modify_quantile_bins" ->
+      s"""WITH q AS (SELECT ${(1 until 10).map(i =>
+             s"quantile_cont(l_extendedprice, 0.$i) AS b$i").mkString(", ")}
+           FROM lineitem)
+         SELECT (${(1 until 10).map(i =>
+             s"(CASE WHEN l_extendedprice > b$i THEN 1 ELSE 0 END)").mkString(" + ")}) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+         FROM lineitem, q GROUP BY 1 ORDER BY 1""",
 
     "modify_remove_outliers_gaussian" ->
       """WITH b AS (SELECT avg(l_quantity) AS m, stddev_samp(l_quantity) AS s FROM lineitem)

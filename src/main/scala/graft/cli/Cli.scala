@@ -303,6 +303,10 @@ object Cli {
           val cf = graft.model.CladeFrame(df).withTypes(genoCols.map(c =>
             c -> (graft.model.VariableType.Genotype: graft.model.VariableType)).toMap)
           graft.genomics.Genotypes.describeMaf(cf, only = Some(genoCols))
+        case "quantile-bins" =>
+          graft.modify.Modify.quantileBins(df,
+            req(rest, "--cols").split(",").toSeq,
+            k = flag(rest, "--k").map(_.toInt).getOrElse(10))
         case "genotype-hwe" =>
           import org.apache.spark.sql.types.{ArrayType, IntegerType}
           val genoCols = flag(rest, "--cols").map(_.split(",").toSeq).getOrElse(

@@ -479,6 +479,33 @@ object Modify {
     } finally pairs.unpersist(blocking = false)
   }
 
+  /** Equi-depth (quantile) binning: adds `<col>_bin` ∈ [0, k) per listed
+    * column — the quality-decile / popularity-band assignment step of
+    * corpus curation, without the global percent_rank window (which would
+    * funnel the table through one partition). Bounds come from ONE batched
+    * exact range-sort for ALL columns ([[exactQuantilesAll]], type-7
+    * interpolation = DuckDB `quantile_cont`); assignment is then the
+    * zero-shuffle predicate `bin = #bounds < value`. Values equal to an
+    * interior bound land in the LOWER bin — plain `>` comparisons, so the
+    * assignment replays in any SQL engine; null values get null bins.
+    * Interpolated bounds sit strictly between adjacent order statistics,
+    * so a last-ulp difference in the interpolation arithmetic can never
+    * flip a data value across a bound. */
+  def quantileBins(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val fractions = (1 until k).map(_.toDouble / k)
+    val bounds = exactQuantilesAll(df, cols, fractions)
+    cols.foldLeft(df) { (d, c) =>
+      bounds(c) match {
+        case None => d.withColumn(s"${c}_bin", lit(null).cast("int"))
+        case Some(bs) =>
+          val v = col(c).cast("double")
+          val cnt = bs.map(b => when(v > lit(b), 1).otherwise(0)).reduce(_ + _)
+          d.withColumn(s"${c}_bin", when(v.isNotNull, cnt).otherwise(lit(null).cast("int")))
+      }
+    }
+  }
+
   /** transform: apply a whitelisted unary function to continuous variables
     * (reference: modify.py:943-1008). Named whitelist → built-in codegen'd
     * Column functions; arbitrary code execution is deliberately impossible. */

@@ -415,4 +415,26 @@ class ModifyDescribeSpec extends SparkSpec {
     val nulls = Seq((1L, null: java.lang.Double)).toDF("id", "z")
     assert(graft.describe.Plots.histogram(nulls, "z").collect().isEmpty)
   }
+
+  test("quantileBins: equi-depth quartiles, boundary goes to the lower bin, nulls stay null") {
+    import spark.implicits._
+    val vals: Seq[(Long, Option[Double])] =
+      (1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+ (101L -> None)
+    val df = vals.toDF("id", "x")
+    val out = Modify.quantileBins(df, Seq("x"), k = 4)
+    val byBin = out.filter(col("x").isNotNull)
+      .groupBy("x_bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 1..100, quartile bounds at 25.75/50.5/75.25 -> 25 values per bin
+    assert(byBin === Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
+    // null value -> null bin
+    assert(out.filter(col("x").isNull).select("x_bin").collect().head.isNullAt(0))
+    // boundary convention: with duplicates making a bound an exact data
+    // value, v > bound is false -> lower bin
+    val dup = Seq.fill(8)(1.0).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "y")
+    val dupBins = Modify.quantileBins(dup, Seq("y"), k = 2)
+      .select("y_bin").collect().map(_.getInt(0)).toSet
+    assert(dupBins === Set(0), "all-equal values land in the lowest bin")
+  }
 }
