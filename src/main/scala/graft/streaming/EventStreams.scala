@@ -29,6 +29,23 @@ object EventStreams {
                            watermark: String = "2 hours"): DataFrame =
     tumblingCounts(events.withWatermark("ts", watermark), windowLen)
 
+  /** Windowed trending-term counts over a text stream: explode words,
+    * count per (event-time window, word). Batch and stream share the
+    * aggregation (stream callers get the watermark, so window state closes
+    * and memory stays bounded); ranking/top-k belongs DOWNSTREAM of the
+    * emitted windows — a second aggregation over a streaming aggregate is
+    * not expressible in append mode, and the closed windows are tiny. */
+  def trendingTerms(df: DataFrame, textCol: String, tsCol: String,
+                    windowLen: String = "1 hour",
+                    watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    src.select(window(col(tsCol), windowLen).as("w"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          w => length(w) > 0)).as("word"))
+      .groupBy(col("w.start").as("window_start"), col("word"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same key within the
     * watermark horizon — the ingestion-side half of the dedup pipeline
     * (the batch side dedups the corpus; this keeps an at-least-once event

@@ -251,6 +251,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendingTerms: windowed word counts agree between stream and batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val streamDf = mem.toDF().toDF("ts", "text")
+    val out = graft.streaming.EventStreams.trendingTerms(streamDf, "text", "ts",
+      windowLen = "1 hour", watermark = Some("2 hours"))
+    val q = out.writeStream.format("memory").queryName("trend_stream_test")
+      .outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      val rows = Seq(
+        (t(10, 5), "spark spark join"), (t(10, 40), "join shuffle"),
+        (t(11, 10), "spark"), (t(11, 30), "shuffle shuffle"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("trend_stream_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = graft.streaming.EventStreams.trendingTerms(
+          rows.toDF("ts", "text"), "text", "ts", windowLen = "1 hour")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.contains(("2026-01-01 10:00:00.0", "spark", 2L)))
+      assert(streamed.contains(("2026-01-01 11:00:00.0", "shuffle", 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming incremental dedup: stream-static anti join against a fingerprint index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    // static known-corpus fingerprints (exactAgainst's index contract);
+    // streams can't run filterOut's two-branch union, but a stream-static
+    // LEFT ANTI join is natively supported and gives the same exact result
+    val known = graft.pipeline.Dedup.exactReport(
+      Seq((100L, "the quick brown fox"), (101L, "known document two"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+      .select(col("fp").as("__fp")).cache()
+    known.count()
+    val deduped = streamDf
+      .withColumn("__fp", graft.pipeline.Text.fingerprint(col("text")))
+      .join(known, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    val q = deduped.writeStream.format("memory").queryName("dedup_against_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (0L, "the QUICK  brown fox"),     // normalizes to a known fp -> dropped
+        (1L, "a genuinely novel document"),
+        (2L, "known document two"))       // known -> dropped
+      q.processAllAvailable()
+      val kept = spark.table("dedup_against_stream").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept === Set(1L), s"stream dedup kept $kept")
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions with custom state") {
     import spark.implicits._
     val rows = Seq(
