@@ -303,6 +303,17 @@ object Cli {
           val cf = graft.model.CladeFrame(df).withTypes(genoCols.map(c =>
             c -> (graft.model.VariableType.Genotype: graft.model.VariableType)).toMap)
           graft.genomics.Genotypes.describeMaf(cf, only = Some(genoCols))
+        case "curate" =>
+          // standard curation pipeline: lang -> quality -> exact dedup ->
+          // near dedup -> (optional) decontaminate vs --eval
+          graft.pipeline.Curation.curate(spark, df, txt, idc,
+            graft.pipeline.Curation.CurationConfig(
+              langs = flag(rest, "--langs").map(_.split(",").toSet).getOrElse(Set("en")),
+              applyGopherRules = !rest.contains("--no-gopher"),
+              nearDupThreshold =
+                if (rest.contains("--no-near-dedup")) None
+                else Some(flag(rest, "--threshold").map(_.toDouble).getOrElse(0.8)),
+              evalCorpus = flag(rest, "--eval").map(spark.read.parquet(_))))
         case "quantile-bins" =>
           graft.modify.Modify.quantileBins(df,
             req(rest, "--cols").split(",").toSeq,

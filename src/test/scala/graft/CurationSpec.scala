@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Decontaminate, Packing, Sampling, Text}
+import graft.pipeline.{Curation, Decontaminate, Packing, Sampling, Text}
 
 /** Corpus-curation operators: benchmark decontamination, sequence packing,
   * deterministic sampling / domain mixing. */
@@ -366,5 +366,43 @@ class CurationSpec extends SparkSpec {
     val kept = Sampling.weightedSample(mixed, col("w"), col("k"), k = 40)
       .select("k").collect().map(_.getLong(0)).toSet
     assert(kept === (0L until 40L).toSet)
+  }
+
+  test("standard curation pipeline: lang -> dedup -> decontaminate, deterministic") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the green forest where many other animals live quietly"
+    val corpus = Seq(
+      (0L, base),                                     // keeper
+      (1L, base),                                     // exact dup of 0
+      (2L, base.replace("green", "grene")),           // near dup of 0
+      (3L, "a completely different english story about databases and the " +
+        "engines that run them with joins and shuffles and many other things"),
+      (4L, "this document quotes the famous benchmark question answer pair " +
+        "verbatim so it must be dropped by decontamination rules here"),
+      (5L, "\u4e2d\u6587\u6587\u6863\u5185\u5bb9\u6ca1\u6709\u7a7a\u683c" * 4)) // non-English
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the famous benchmark question answer pair verbatim"))
+      .toDF("doc_id", "text")
+    val cfg = Curation.CurationConfig(
+      langs = Set("en"), applyGopherRules = false,
+      nearDupThreshold = Some(0.7), evalCorpus = Some(eval),
+      contaminationNgram = 6, keepProbability = None)
+    val (out, report) = Curation.curateReport(spark, corpus, "text", "doc_id", cfg)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 3L), s"kept $kept")
+    val stages = report.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stages("lang")._2 === 5L)           // d5 dropped
+    assert(stages("dedup_exact")._2 === 4L)    // d1 dropped
+    assert(stages("dedup_near")._2 === 3L)     // d2 dropped
+    assert(stages("decontaminate")._2 === 2L)  // d4 dropped
+    // counts chain: rows_in of each stage = rows_out of the previous
+    val ordered = report.collect().map(r => (r.getLong(1), r.getLong(2)))
+    ordered.sliding(2).foreach { case Array(a, b) => assert(b._1 === a._2); case _ => }
+    // lazy path gives the same corpus, and re-running is deterministic
+    val lazyOut = Curation.curate(spark, corpus, "text", "doc_id", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lazyOut === kept)
   }
 }
