@@ -149,6 +149,17 @@ object SparkEntry {
           col("event_type"), col("n"), round(col("total_value"), 4).as("total_value"))
         .orderBy("hour_start", "event_type")),
 
+    "describe_crosstab" -> ((s, dir) =>
+      Describe.crosstab(t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")
+        .orderBy("a", "b")),
+
+    "describe_chi2_independence" -> ((s, dir) =>
+      // categorical x categorical screen: chi2 + Wilson-Hilferty p, both
+      // replayed exactly in SQL (erfc poly constants and all)
+      Describe.chi2Independence(t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")
+        .select(col("n"), col("df"), round(col("chi2"), 6).as("chi2"),
+          round(col("pvalue_approx"), 6).as("pvalue_approx"))),
+
     "events_json_extract" -> ((s, dir) => {
       // semi-structured payloads: schema-projected from_json (codegen'd;
       // only the needed field is materialized)
@@ -1047,6 +1058,40 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
          event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "describe_crosstab" ->
+      """SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+           CAST(o_orderpriority AS VARCHAR) AS b, count(*) AS n
+         FROM orders
+         WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "describe_chi2_independence" ->
+      """WITH cells AS (SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+             CAST(o_orderpriority AS VARCHAR) AS b, count(*) AS n
+           FROM orders
+           WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+           GROUP BY 1, 2),
+         rt AS (SELECT a, sum(n) AS ra FROM cells GROUP BY 1),
+         ct AS (SELECT b, sum(n) AS cb FROM cells GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn FROM cells),
+         f AS (SELECT rt.a, ct.b, CAST(coalesce(cells.n, 0) AS DOUBLE) AS o,
+             CAST(ra AS DOUBLE) * cb / nn AS e, nn
+           FROM rt CROSS JOIN ct CROSS JOIN tot
+           LEFT JOIN cells ON rt.a = cells.a AND ct.b = cells.b),
+         s AS (SELECT CAST(max(nn) AS BIGINT) AS n,
+             CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
+             sum((o - e) * (o - e) / e) AS chi2 FROM f),
+         wh AS (SELECT *, (pow(chi2 / CAST(dof AS DOUBLE), 1.0 / 3.0)
+               - (1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE))))
+             / sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE))) AS z FROM s),
+         az AS (SELECT *, abs(z) / sqrt(2.0) AS za FROM wh),
+         tp AS (SELECT *, 1.0 / (1.0 + 0.3275911 * za) AS tt FROM az),
+         ef AS (SELECT *, tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+             + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-za * za) AS ep FROM tp)
+         SELECT n, dof AS df, round(chi2, 6) AS chi2,
+           round(0.5 * (CASE WHEN z >= 0 THEN ep ELSE 2.0 - ep END), 6) AS pvalue_approx
+         FROM ef""",
 
     "events_json_extract" ->
       """SELECT event_type,

@@ -311,6 +311,44 @@ object Describe {
     }.toDF("variable", "type", "skew", "zscore", "pvalue_2sided")
   }
 
+  /** Contingency table of two categorical columns, long format: (a, b, n).
+    * Null rows (either side) are excluded, values stringified — one
+    * map-side-combined aggregation, output is O(levels_a x levels_b). */
+  def crosstab(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Chi-square test of independence between two categorical columns —
+    * the categorical↔categorical screening companion to `correlations`.
+    * One row-scale aggregation ([[crosstab]]); everything after runs on the
+    * O(levels²) cell table (expected counts from row/column marginals over
+    * the FULL level cross product, so zero-observed cells contribute their
+    * expectation). The p-value is the Wilson-Hilferty column approximation
+    * ([[graft.stats.ColMath.chi2SfWH]]) — a screening value that replays
+    * exactly in SQL; inference-grade tails come from
+    * [[graft.stats.Distributions.chi2Sf]] on the returned statistic.
+    * Returns one row: (n, df, chi2, pvalue_approx). */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = crosstab(df, aCol, bCol)
+    val rowT = cells.groupBy("a").agg(sum(col("n")).as("ra"))
+    val colT = cells.groupBy("b").agg(sum(col("n")).as("cb"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    val full = rowT.crossJoin(colT).crossJoin(tot)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("n"), lit(0L)).cast("double"))
+      .withColumn("e", col("ra").cast("double") * col("cb") / col("nn"))
+    full.agg(
+        max(col("nn")).as("n"),
+        countDistinct(col("a")).as("__ra_n"),
+        countDistinct(col("b")).as("__cb_n"),
+        sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("chi2"))
+      .withColumn("df", (col("__ra_n") - 1) * (col("__cb_n") - 1))
+      .withColumn("pvalue_approx",
+        graft.stats.ColMath.chi2SfWH(col("chi2"), col("df")))
+      .select("n", "df", "chi2", "pvalue_approx")
+  }
+
   /** D'Agostino skewness test (scipy.stats.skewtest transform). n must be
     * >= 8 for the normal approximation; returns NaN otherwise. */
   def skewTest(g1: Double, n: Long): (Double, Double) = {

@@ -161,17 +161,15 @@ object Genotypes {
     val eHet = lit(2.0) * col("n_obs").cast("double") * col("p") * col("q")
     val eAA = col("n_obs").cast("double") * col("p") * col("p")
     def d2(o: Column, e: Column): Column = (o.cast("double") - e) * (o.cast("double") - e) / e
-    // erfc(z) ~ t(a1 + t(a2 + t(a3 + t(a4 + t a5)))) e^{-z^2}, t = 1/(1+0.3275911 z)
+    // 1-df chi2 sf = erfc(sqrt(x/2)); A-S 7.1.26 column form (ColMath)
     val z = sqrt(col("hwe_chi2") / 2.0)
-    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
-    val poly = tt * (lit(0.254829592) + tt * (lit(-0.284496736) +
-      tt * (lit(1.421413741) + tt * (lit(-1.453152027) + tt * lit(1.061405429)))))
     counts
       .withColumn("p", p).withColumn("q", q)
       .withColumn("hwe_chi2",
         when(col("p") > 0.0 && col("p") < 1.0 && n > 0,
           d2(col("n_hom_ref"), eRR) + d2(col("n_het"), eHet) + d2(col("n_hom_alt"), eAA)))
-      .withColumn("hwe_p", when(col("hwe_chi2").isNotNull, poly * exp(-z * z)))
+      .withColumn("hwe_p", when(col("hwe_chi2").isNotNull,
+        graft.stats.ColMath.erfcPos(z)))
       .withColumn("hwe_fail",
         when(col("hwe_p").isNotNull, col("hwe_p") < failAt).otherwise(lit(false)))
       .select(col("variable"), col("n_obs"), col("n_hom_ref"), col("n_het"),

@@ -195,6 +195,31 @@ class CliSpec extends SparkSpec {
     assert(sd.count() > 0 && sd.count() <= spark.read.parquet(emb).count())
   }
 
+  test("pipeline round-6 verbs: curate, quantile-bins, chunk, sample-weighted, write-sized") {
+    val dir = Files.createTempDirectory("graft-cli6").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val nDocs = spark.read.parquet(docs).count()
+    Cli.run(spark, List("pipeline", "curate", docs, s"$dir/cur",
+      "--langs", "en,de,fr,es,zh", "--no-gopher", "--threshold", "0.8"))
+    val cur = spark.read.parquet(s"$dir/cur")
+    assert(cur.count() > 0 && cur.count() <= nDocs && cur.columns.contains("text"))
+    Cli.run(spark, List("pipeline", "quantile-bins", docs, s"$dir/qb",
+      "--cols", "n_chars", "--k", "4"))
+    val qb = spark.read.parquet(s"$dir/qb")
+    assert(qb.columns.contains("n_chars_bin"))
+    assert(qb.select("n_chars_bin").distinct().count() === 4)
+    Cli.run(spark, List("pipeline", "chunk", docs, s"$dir/ch",
+      "--chunk", "32", "--stride", "24"))
+    val ch = spark.read.parquet(s"$dir/ch")
+    assert(ch.count() >= nDocs && ch.columns.contains("chunk_text"))
+    Cli.run(spark, List("pipeline", "sample-weighted", docs, s"$dir/sw",
+      "--weight", "n_chars", "--k", "10"))
+    assert(spark.read.parquet(s"$dir/sw").count() === 10)
+    Cli.run(spark, List("pipeline", "write-sized", docs, s"$dir/ws",
+      "--target-mb", "1"))
+    assert(spark.read.parquet(s"$dir/ws").count() === nDocs)
+  }
+
   test("unknown commands fail loudly") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, List("frobnicate", "everything"))

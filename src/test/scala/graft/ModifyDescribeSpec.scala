@@ -416,6 +416,36 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(graft.describe.Plots.histogram(nulls, "z").collect().isEmpty)
   }
 
+  test("chi2Independence: matches commons-math on a fixed table; W-H p near exact") {
+    import spark.implicits._
+    // 2x3 table: [[10, 20, 30], [25, 15, 10]]
+    val rows = Seq.fill(10)(("x", "a")) ++ Seq.fill(20)(("x", "b")) ++
+      Seq.fill(30)(("x", "c")) ++ Seq.fill(25)(("y", "a")) ++
+      Seq.fill(15)(("y", "b")) ++ Seq.fill(10)(("y", "c"))
+    val df = rows.toDF("g", "h")
+    val out = Describe.chi2Independence(df, "g", "h").collect().head
+    val exactStat = new org.apache.commons.math3.stat.inference.ChiSquareTest()
+      .chiSquare(Array(Array(10L, 20L, 30L), Array(25L, 15L, 10L)))
+    assert(out.getLong(out.fieldIndex("n")) === 110L)
+    assert(out.getLong(out.fieldIndex("df")) === 2L)
+    assertRtol(out.getDouble(out.fieldIndex("chi2")), exactStat, 1e-9, "chi2 stat")
+    val exactP = graft.stats.Distributions.chi2Sf(exactStat, 2.0)
+    val approxP = out.getDouble(out.fieldIndex("pvalue_approx"))
+    assert(math.abs(approxP - exactP) < 2e-3,
+      s"W-H p $approxP vs exact $exactP")
+    // zero-observed cells still contribute their expectation: drop all
+    // (y, c) rows and the stat must still use the full 2x3 grid
+    val sparse = rows.filterNot(r => r._1 == "y" && r._2 == "c").toDF("g", "h")
+    val s2 = Describe.chi2Independence(sparse, "g", "h").collect().head
+    val exact2 = new org.apache.commons.math3.stat.inference.ChiSquareTest()
+      .chiSquare(Array(Array(10L, 20L, 30L), Array(25L, 15L, 0L)))
+    assertRtol(s2.getDouble(s2.fieldIndex("chi2")), exact2, 1e-9, "sparse chi2")
+    // crosstab long format covers the observed cells
+    val cells = Describe.crosstab(df, "g", "h").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells(("x", "c")) === 30L && cells(("y", "a")) === 25L)
+  }
+
   test("quantileBins: equi-depth quartiles, boundary goes to the lower bin, nulls stay null") {
     import spark.implicits._
     val vals: Seq[(Long, Option[Double])] =
