@@ -220,6 +220,14 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "modify_rint" -> ((s, dir) =>
+      // rank-based inverse-normal transform map: average ranks (tie runs),
+      // Blom offset, Acklam ppf — all replayed verbatim by the oracle
+      Modify.rintMap(t(s, dir, "lineitem"), Seq("l_quantity", "l_tax"))
+        .select(col("variable"), col("value"), col("n_ties"),
+          round(col("rint"), 6).as("rint"))
+        .orderBy("variable", "value")),
+
     "modify_rowfilter" -> ((s, dir) => {
       val cf = CladeFrame(t(s, dir, "lineitem"), "l_orderkey")
       Modify.rowfilter(cf, "l_quantity", "lt", 10).df
@@ -1164,6 +1172,23 @@ object SparkEntry {
            count(*) FILTER (WHERE l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)) AS n_kept,
            count(*) - count(*) FILTER (WHERE l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)) AS n_removed
          FROM lineitem, b""",
+
+    "modify_rint" ->
+      s"""WITH m AS (SELECT 'l_quantity' AS variable, CAST(l_quantity AS DOUBLE) AS value
+             FROM lineitem WHERE l_quantity IS NOT NULL
+           UNION ALL
+           SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem WHERE l_tax IS NOT NULL),
+         g AS (SELECT variable, value, count(*) AS n_ties FROM m GROUP BY 1, 2),
+         w AS (SELECT *, CAST(coalesce(sum(n_ties) OVER (PARTITION BY variable ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS below,
+             CAST(sum(n_ties) OVER (PARTITION BY variable) AS DOUBLE) AS nn FROM g),
+         r AS (SELECT variable, value, n_ties,
+             below + (CAST(n_ties AS DOUBLE) + 1.0) / 2.0 AS avg_rank, nn FROM w),
+         p AS (SELECT variable, value, n_ties,
+             (avg_rank - 0.375) / (nn + 0.25) AS pp FROM r)
+         SELECT variable, value, CAST(n_ties AS BIGINT) AS n_ties,
+           round(${graft.stats.ColMath.normalPpfSql("pp")}, 6) AS rint
+         FROM p ORDER BY variable, value""",
 
     "modify_quantile_bins" ->
       s"""WITH q AS (SELECT ${(1 until 10).map(i =>

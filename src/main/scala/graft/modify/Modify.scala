@@ -479,6 +479,65 @@ object Modify {
     } finally pairs.unpersist(blocking = false)
   }
 
+  /** Rank-based inverse-normal transform (RINT) — the standard EWAS/GWAS
+    * normalization for non-normal phenotypes: each value maps to
+    * Φ⁻¹((r − c) / (n − 2c + 1)) where r is its AVERAGE rank (ties share
+    * the mean of their rank run) and c is the Blom offset (default 3/8).
+    *
+    * Returns the transform MAP (variable, value, n_ties, rint) — one row
+    * per distinct value; [[rankInverseNormal]] joins it back onto rows.
+    * Scale shape mirrors [[exactQuantilesAll]]: ALL columns melt into ONE
+    * range-partitioned sort (no per-variable window funneling a whole
+    * column through one task); tie runs are contiguous in the global
+    * order, so the average rank is (min-rank + n_ties+1)/2 from a plain
+    * reduceByKey, and Φ⁻¹ is [[graft.stats.ColMath.normalPpf]] — column
+    * algebra that replays verbatim in the SQL oracle. */
+  def rintMap(df: DataFrame, cols: Seq[String],
+              offset: Double = 0.375): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = graft.stats.Rows.nonNullDoublePairs(
+        df.select(cols.map(c => col(c).cast("double")): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val countMap = pairs.map(_._1).countByValue()
+      val ns: Array[Long] = Array.tabulate(cols.length)(i => countMap.getOrElse(i, 0L))
+      val offsets: Array[Long] = ns.scanLeft(0L)(_ + _)
+      val colNames = cols.toArray
+      val grouped = pairs.sortBy(identity).zipWithIndex()
+        .map { case ((i, v), gi) => ((i, v), (gi, 1L)) }
+        .reduceByKey((a: (Long, Long), b: (Long, Long)) =>
+          (math.min(a._1, b._1), a._2 + b._2))
+        .map { case ((i, v), (minGi, nTies)) =>
+          (colNames(i), v, minGi - offsets(i), nTies, ns(i))
+        }
+        .toDF("variable", "value", "below", "n_ties", "n")
+      grouped
+        .withColumn("avg_rank",
+          col("below").cast("double") + (col("n_ties").cast("double") + 1.0) / 2.0)
+        .withColumn("rint", graft.stats.ColMath.normalPpf(
+          (col("avg_rank") - lit(offset)) /
+            (col("n").cast("double") + lit(1.0 - 2.0 * offset))))
+        .select("variable", "value", "n_ties", "rint")
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  /** Apply [[rintMap]] to the rows: adds `<col>_rint` per listed column
+    * (null where the value is null). One equi-join per column on the value
+    * key; the map side is O(#distinct values) and broadcasts when small
+    * (AQE picks it up). */
+  def rankInverseNormal(df: DataFrame, cols: Seq[String],
+                        offset: Double = 0.375): DataFrame = {
+    val m = rintMap(df, cols, offset)
+    cols.foldLeft(df) { (d, c) =>
+      val mc = m.filter(col("variable") === c)
+        .select(col("value").as(s"__v_$c"), col("rint").as(s"${c}_rint"))
+      d.join(mc, d(c).cast("double") === col(s"__v_$c"), "left")
+        .drop(s"__v_$c")
+    }
+  }
+
   /** Equi-depth (quantile) binning: adds `<col>_bin` ∈ [0, k) per listed
     * column — the quality-decile / popularity-band assignment step of
     * corpus curation, without the global percent_rank window (which would

@@ -40,4 +40,55 @@ object ColMath {
       sqrt(lit(2.0) / (lit(9.0) * k))
     normalSf(z)
   }
+
+  // Acklam's inverse-normal-CDF rational approximation (|rel err| < 1.15e-9
+  // over (0,1)) — three regions, plain Horner polynomials: expressible as
+  // columns AND as the generated oracle SQL below, from the SAME constants.
+  private val ackA = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+    -2.759285104469687e+02, 1.383577518672690e+02, -3.066479806614716e+01,
+    2.506628277459239e+00)
+  private val ackB = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+    -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+  private val ackC = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+    -2.400758277161838e+00, -2.549732539343734e+00, 4.374664141464968e+00,
+    2.938163982698783e+00)
+  private val ackD = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+    2.445134137142996e+00, 3.754408661907416e+00)
+  private val ackLow = 0.02425
+
+  /** Standard-normal quantile function (inverse CDF) as column algebra —
+    * Acklam's approximation. Domain (0,1); out-of-domain yields null. */
+  def normalPpf(p: Column): Column = {
+    def horner(cs: Seq[Double], x: Column): Column =
+      cs.tail.foldLeft(lit(cs.head) * x) { (acc, c) => (acc + lit(c)) * x }
+    def rat(num: Seq[Double], den: Seq[Double], x: Column): Column =
+      (horner(num.dropRight(1), x) + lit(num.last)) /
+        (horner(den, x) + lit(1.0))
+    val qLow = sqrt(lit(-2.0) * log(p))
+    val qHigh = sqrt(lit(-2.0) * log(lit(1.0) - p))
+    val r = (p - 0.5) * (p - 0.5)
+    val central = rat(ackA, ackB, r) * (p - 0.5)
+    when(p > 0.0 && p < lit(ackLow), rat(ackC, ackD, qLow))
+      .when(p >= lit(ackLow) && p <= lit(1.0 - ackLow), central)
+      .when(p > lit(1.0 - ackLow) && p < 1.0, -rat(ackC, ackD, qHigh))
+  }
+
+  /** The identical Acklam formula as a SQL fragment over the scalar
+    * expression `p` — oracle generators interpolate this so the DuckDB
+    * replay uses the same constants and Horner order as [[normalPpf]].
+    * `p` must be a simple column reference (it is repeated verbatim). */
+  def normalPpfSql(p: String): String = {
+    def horner(cs: Seq[Double], x: String): String =
+      cs.tail.foldLeft(s"(${cs.head}) * $x") { (acc, c) => s"($acc + ($c)) * $x" }
+    def rat(num: Seq[Double], den: Seq[Double], x: String): String =
+      s"((${horner(num.dropRight(1), x)} + (${num.last})) / (${horner(den, x)} + 1.0))"
+    val qLow = s"sqrt(-2.0 * ln($p))"
+    val qHigh = s"sqrt(-2.0 * ln(1.0 - $p))"
+    val r = s"(($p - 0.5) * ($p - 0.5))"
+    s"""(CASE
+       WHEN $p > 0.0 AND $p < $ackLow THEN ${rat(ackC, ackD, qLow)}
+       WHEN $p >= $ackLow AND $p <= ${1.0 - ackLow} THEN (${rat(ackA, ackB, r)} * ($p - 0.5))
+       WHEN $p > ${1.0 - ackLow} AND $p < 1.0 THEN -${rat(ackC, ackD, qHigh)}
+       END)"""
+  }
 }

@@ -416,6 +416,36 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(graft.describe.Plots.histogram(nulls, "z").collect().isEmpty)
   }
 
+  test("rintMap: Acklam ppf matches commons-math; average ranks on ties; joined transform is monotone") {
+    import spark.implicits._
+    // Acklam column ppf vs the exact erfInv-based scalar, across regions
+    val ps = Seq(1e-6, 0.001, 0.02, 0.1, 0.5, 0.77, 0.975, 0.999, 1 - 1e-6)
+    val ppf = ps.toDF("p")
+      .select(graft.stats.ColMath.normalPpf(col("p")).as("z"))
+      .collect().map(_.getDouble(0))
+    ps.zip(ppf).foreach { case (p, z) =>
+      val exact = graft.stats.Distributions.normalPpf(p)
+      assert(math.abs(z - exact) < 1e-7, s"ppf($p): $z vs $exact")
+    }
+    // ties share the average rank: values 1,2,2,3 -> ranks 1, 2.5, 2.5, 4
+    val df = Seq(1.0, 2.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val m = Modify.rintMap(df, Seq("x")).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    def blom(r: Double, n: Double) =
+      graft.stats.Distributions.normalPpf((r - 0.375) / (n + 0.25))
+    assertRtol(m(1.0), blom(1.0, 4), 1e-7, "rint rank 1")
+    assertRtol(m(2.0), blom(2.5, 4), 1e-7, "rint tied rank 2.5")
+    assertRtol(m(3.0), blom(4.0, 4), 1e-7, "rint rank 4")
+    // row applier: monotone in the raw value, symmetric-ish mean
+    val skewed = (1 to 500).map(i => (i.toLong, math.exp(i / 100.0)))
+      .toDF("id", "v")
+    val out = Modify.rankInverseNormal(skewed, Seq("v"))
+      .orderBy("v").collect().map(_.getDouble(2))
+    assert(out.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+    assert(math.abs(out.sum / out.length) < 1e-6, "RINT mean ~ 0")
+  }
+
   test("chi2Independence: matches commons-math on a fixed table; W-H p near exact") {
     import spark.implicits._
     // 2x3 table: [[10, 20, 30], [25, 15, 10]]
