@@ -149,6 +149,18 @@ object SparkEntry {
           col("event_type"), col("n"), round(col("total_value"), 4).as("total_value"))
         .orderBy("hour_start", "event_type")),
 
+    "describe_cramers_v" -> ((s, dir) =>
+      // pairwise categorical association: ALL pair tables from one
+      // grouping-sets shuffle; chi2/V algebra on the tiny aggregate
+      Describe.cramersV(
+          t(s, dir, "lineitem")
+            .withColumn("ship_mon", month(col("l_shipdate")).cast("string")),
+          Seq("l_returnflag", "l_linestatus", "ship_mon"))
+        .select(col("var_a"), col("var_b"), col("n"), col("df"),
+          round(col("chi2"), 6).as("chi2"),
+          round(col("cramers_v"), 6).as("cramers_v"))
+        .orderBy("var_a", "var_b")),
+
     "describe_crosstab" -> ((s, dir) =>
       Describe.crosstab(t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")
         .orderBy("a", "b")),
@@ -1066,6 +1078,38 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
          event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "describe_cramers_v" -> {
+      def pairSql(a: String, b: String): String =
+        s"""SELECT '$a' AS var_a, '$b' AS var_b, n, dof AS df,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(mindim AS DOUBLE))), 6) AS cramers_v
+         FROM (
+           WITH li AS (SELECT l_returnflag, l_linestatus,
+               CAST(month(l_shipdate) AS VARCHAR) AS ship_mon FROM lineitem),
+           cc AS (SELECT CAST($a AS VARCHAR) AS la, CAST($b AS VARCHAR) AS lb
+               FROM li
+               WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+                 AND ship_mon IS NOT NULL),
+           cells AS (SELECT la, lb, count(*) AS n FROM cc GROUP BY 1, 2),
+           rt AS (SELECT la, sum(n) AS ra FROM cells GROUP BY 1),
+           ct AS (SELECT lb, sum(n) AS cb FROM cells GROUP BY 1),
+           tot AS (SELECT sum(n) AS nn FROM cells),
+           f AS (SELECT rt.la, ct.lb, CAST(coalesce(cells.n, 0) AS DOUBLE) AS o,
+               CAST(ra AS DOUBLE) * cb / nn AS e, nn
+             FROM rt CROSS JOIN ct CROSS JOIN tot
+             LEFT JOIN cells ON rt.la = cells.la AND ct.lb = cells.lb)
+           SELECT CAST(max(nn) AS BIGINT) AS n,
+             CAST((count(DISTINCT la) - 1) * (count(DISTINCT lb) - 1) AS BIGINT) AS dof,
+             least(count(DISTINCT la) - 1, count(DISTINCT lb) - 1) AS mindim,
+             sum((o - e) * (o - e) / e) AS chi2 FROM f)"""
+      // pair labels follow the Spark call's column order (var_a = earlier
+      // listed column), chi2/V are symmetric
+      Seq(("l_returnflag", "l_linestatus"), ("l_returnflag", "ship_mon"),
+        ("l_linestatus", "ship_mon"))
+        .map { case (x, y) => pairSql(x, y) }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY var_a, var_b")
+    },
 
     "describe_crosstab" ->
       """SELECT CAST(o_orderstatus AS VARCHAR) AS a,

@@ -1,6 +1,6 @@
 package graft.describe
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{CladeFrame, VariableType}
 import graft.modify.Modify
@@ -347,6 +347,63 @@ object Describe {
       .withColumn("pvalue_approx",
         graft.stats.ColMath.chi2SfWH(col("chi2"), col("df")))
       .select("n", "df", "chi2", "pvalue_approx")
+  }
+
+  /** Pairwise categorical association matrix (Cramér's V) — the
+    * categorical analog of `correlations`, for every unordered pair of the
+    * listed columns. ONE grouping-sets aggregation computes every pair's
+    * contingency cells, every single-column marginal, and the grand total
+    * in a single shuffle (no per-pair scans); the chi-square algebra then
+    * runs on that O(Σ levels²) aggregate, with zero-observed cells
+    * contributing their expectation via the marginal cross product.
+    * Complete-case across `cols` (rows with any null dropped), mirroring a
+    * square correlation matrix's listwise behavior. Returns
+    * (var_a, var_b, n, df, chi2, cramers_v) per pair, var_a < var_b. */
+  def cramersV(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "cramersV needs at least two columns")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val sets: Seq[Seq[Column]] =
+      pairs.map { case (a, b) => Seq(col(a), col(b)) } ++
+        cols.map(c => Seq(col(c))) :+ Seq.empty[Column]
+    val aggs = count(lit(1)).as("n") +:
+      cols.map(c => grouping(col(c)).cast("int").as(s"g_$c"))
+    val base = df.na.drop("any", cols)
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .groupingSets(sets, cols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .persist()
+    def grouped(c: String): Column = col(s"g_$c") === 1
+    val total = base.filter(cols.map(grouped).reduce(_ && _))
+      .select(col("n").as("nn"))
+    val perPair = pairs.map { case (a, b) =>
+      val others = cols.filterNot(c => c == a || c == b)
+      def onlyThese(keep: Seq[String]): Column =
+        cols.map(c => if (keep.contains(c)) !grouped(c) else grouped(c))
+          .reduce(_ && _)
+      val cells = base.filter(onlyThese(Seq(a, b)))
+        .select(col(a).as("la"), col(b).as("lb"), col("n"))
+      val ma = base.filter(onlyThese(Seq(a)))
+        .select(col(a).as("la"), col("n").as("ra"))
+      val mb = base.filter(onlyThese(Seq(b)))
+        .select(col(b).as("lb"), col("n").as("cb"))
+      val full = ma.crossJoin(mb).crossJoin(total)
+        .join(cells, Seq("la", "lb"), "left")
+        .withColumn("o", coalesce(col("n"), lit(0L)).cast("double"))
+        .withColumn("e", col("ra").cast("double") * col("cb") / col("nn"))
+      full.agg(
+          max(col("nn")).as("n"),
+          countDistinct(col("la")).as("__ra_n"),
+          countDistinct(col("lb")).as("__cb_n"),
+          sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("chi2"))
+        .withColumn("var_a", lit(a)).withColumn("var_b", lit(b))
+        .withColumn("df", (col("__ra_n") - 1) * (col("__cb_n") - 1))
+        .withColumn("cramers_v", sqrt(col("chi2") /
+          (col("n").cast("double") *
+            least(col("__ra_n") - 1, col("__cb_n") - 1).cast("double"))))
+        .select("var_a", "var_b", "n", "df", "chi2", "cramers_v")
+    }
+    perPair.reduce(_ unionByName _)
   }
 
   /** D'Agostino skewness test (scipy.stats.skewtest transform). n must be

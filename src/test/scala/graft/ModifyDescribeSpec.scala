@@ -416,6 +416,30 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(graft.describe.Plots.histogram(nulls, "z").collect().isEmpty)
   }
 
+  test("cramersV: one-pass matrix agrees with per-pair chi2; perfect association gives V=1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 400).map { _ =>
+      val a = rnd.nextInt(3)
+      // b perfectly determined by a; c independent of both
+      (s"a$a", s"b$a", s"c${rnd.nextInt(4)}")
+    }
+    val df = rows.toDF("x", "y", "z")
+    val m = Describe.cramersV(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(m.keySet === Set(("x", "y"), ("x", "z"), ("y", "z")))
+    // x<->y perfectly associated -> V = 1
+    assertRtol(m(("x", "y"))._3, 1.0, 1e-9, "perfect association V")
+    // x<->z independent -> small V
+    assert(m(("x", "z"))._3 < 0.2, s"independent V ${m(("x", "z"))._3}")
+    // per-pair chi2 matches the standalone test on the same pair
+    val solo = Describe.chi2Independence(df, "x", "z").collect().head
+    assertRtol(m(("x", "z"))._2, solo.getDouble(solo.fieldIndex("chi2")),
+      1e-9, "matrix vs standalone chi2")
+    assert(m(("x", "z"))._1 === solo.getLong(solo.fieldIndex("n")))
+  }
+
   test("rintMap: Acklam ppf matches commons-math; average ranks on ties; joined transform is monotone") {
     import spark.implicits._
     // Acklam column ppf vs the exact erfInv-based scalar, across regions
