@@ -161,6 +161,17 @@ object SparkEntry {
           round(col("cramers_v"), 6).as("cramers_v"))
         .orderBy("var_a", "var_b")),
 
+    "describe_psi_drift" -> ((s, dir) => {
+      // corpus-drift monitor: current = a 15%-inflated price column and an
+      // unchanged quantity column; PSI flags the former, not the latter
+      val li = t(s, dir, "lineitem")
+      val cur = li.withColumn("l_extendedprice", col("l_extendedprice") * 1.15)
+      Describe.psiDrift(li, cur, Seq("l_extendedprice", "l_quantity"))
+        .select(col("variable"), col("n_ref"), col("n_cur"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy("variable")
+    }),
+
     "describe_crosstab" -> ((s, dir) =>
       Describe.crosstab(t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")
         .orderBy("a", "b")),
@@ -305,6 +316,15 @@ object SparkEntry {
         count(col("l_quantity")).as("n_kept")).head()
       Seq((r.getLong(0), r.getLong(1), r.getLong(0) - r.getLong(1)))
         .toDF("n_total", "n_kept", "n_removed")
+    }),
+
+    "modify_winsorize" -> ((s, dir) => {
+      val out = Modify.winsorize(t(s, dir, "lineitem"),
+        Seq("l_extendedprice"), lower = 0.05, upper = 0.95)
+      out.agg(count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 4).as("lo"),
+        round(max("l_extendedprice"), 4).as("hi"),
+        round(sum("l_extendedprice"), 2).as("total"))
     }),
 
     "modify_transform_log" -> ((s, dir) => {
@@ -1079,6 +1099,46 @@ object SparkEntry {
          event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "describe_psi_drift" -> {
+      val probs = (1 until 10).map(i => s"0.$i").mkString(", ")
+      def binChain(lst: String): String =
+        (1 to 9).map(i => s"(CASE WHEN value > $lst[$i] THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH b AS (SELECT quantile_cont(l_extendedprice, [$probs]) AS be,
+             quantile_cont(l_quantity, [$probs]) AS bq FROM lineitem),
+         refm AS (
+           SELECT 'l_extendedprice' AS variable, CAST(l_extendedprice AS DOUBLE) AS value FROM lineitem
+           UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem),
+         curm AS (
+           SELECT 'l_extendedprice' AS variable, CAST(l_extendedprice * 1.15 AS DOUBLE) AS value FROM lineitem
+           UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem),
+         refb AS (SELECT variable,
+             CASE WHEN variable = 'l_extendedprice' THEN ${binChain("be")}
+                  ELSE ${binChain("bq")} END AS bin, count(*) AS n_ref
+           FROM refm, b WHERE value IS NOT NULL GROUP BY 1, 2),
+         curb AS (SELECT variable,
+             CASE WHEN variable = 'l_extendedprice' THEN ${binChain("be")}
+                  ELSE ${binChain("bq")} END AS bin, count(*) AS n_cur
+           FROM curm, b WHERE value IS NOT NULL GROUP BY 1, 2),
+         grid AS (SELECT v.variable, g.bin
+           FROM (SELECT DISTINCT variable FROM refm) v, generate_series(0, 9) g(bin)),
+         cells AS (SELECT grid.variable, grid.bin,
+             CAST(coalesce(n_ref, 0) AS DOUBLE) AS n_ref,
+             CAST(coalesce(n_cur, 0) AS DOUBLE) AS n_cur
+           FROM grid LEFT JOIN refb USING (variable, bin)
+             LEFT JOIN curb USING (variable, bin)),
+         tots AS (SELECT variable, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+           FROM cells GROUP BY 1),
+         pq AS (SELECT cells.variable,
+             greatest(n_ref / t_ref, 1.0e-6) AS p,
+             greatest(n_cur / t_cur, 1.0e-6) AS q, t_ref, t_cur
+           FROM cells JOIN tots ON cells.variable = tots.variable)
+         SELECT variable, CAST(max(t_ref) AS BIGINT) AS n_ref,
+           CAST(max(t_cur) AS BIGINT) AS n_cur,
+           round(sum((p - q) * ln(p / q)), 6) AS psi
+         FROM pq GROUP BY 1 ORDER BY 1"""
+    },
+
     "describe_cramers_v" -> {
       def pairSql(a: String, b: String): String =
         s"""SELECT '$a' AS var_a, '$b' AS var_b, n, dof AS df,
@@ -1215,6 +1275,15 @@ object SparkEntry {
          SELECT count(*) AS n_total,
            count(*) FILTER (WHERE l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)) AS n_kept,
            count(*) - count(*) FILTER (WHERE l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)) AS n_removed
+         FROM lineitem, b""",
+
+    "modify_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                    quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
+         SELECT count(*) AS n,
+           round(min(least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi)), 4) AS lo,
+           round(max(least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi)), 4) AS hi,
+           round(sum(least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi)), 2) AS total
          FROM lineitem, b""",
 
     "modify_rint" ->

@@ -349,6 +349,56 @@ object Describe {
       .select("n", "df", "chi2", "pvalue_approx")
   }
 
+  /** Population-stability-index drift report: how far each numeric
+    * column's distribution in `current` has moved from `reference` — the
+    * corpus-release / feature-drift monitor (PSI < 0.1 stable, > 0.25
+    * action). Bin edges are the REFERENCE's equi-depth quantiles (one
+    * batched range-sort via [[Modify.exactQuantilesAll]]); each side then
+    * bins with a zero-shuffle predicate and aggregates once (melt + one
+    * shuffle per side). PSI = Σ_bins (p − q)·ln(p/q) with proportions
+    * floored at `eps` so empty bins stay finite. All arithmetic replays
+    * in SQL (the oracle recomputes the same quantile_cont edges). */
+  def psiDrift(reference: DataFrame, current: DataFrame, cols: Seq[String],
+               bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val bounds = Modify.exactQuantilesAll(reference, cols,
+      (1 until bins).map(_.toDouble / bins))
+    val usable = cols.filter(bounds(_).isDefined)
+    require(usable.nonEmpty, "no non-empty reference columns")
+    def stackSide(df: DataFrame): DataFrame = {
+      val melted = df.selectExpr(
+        s"stack(${usable.size}, ${usable.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")}) AS (variable, value)")
+        .filter(col("value").isNotNull)
+      val bin = usable.foldLeft(lit(null).cast("int")) { (acc, c) =>
+        when(col("variable") === c,
+          bounds(c).get.map(b => when(col("value") > b, 1).otherwise(0))
+            .reduce(_ + _)).otherwise(acc)
+      }
+      melted.withColumn("bin", bin)
+        .groupBy("variable", "bin").agg(count(lit(1)).as("n"))
+    }
+    val refC = stackSide(reference).withColumnRenamed("n", "n_ref")
+    val curC = stackSide(current).withColumnRenamed("n", "n_cur")
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val grid = usable.flatMap(c => (0 until bins).map(b => (c, b)))
+      .toDF("variable", "bin")
+    val cells = grid
+      .join(refC, Seq("variable", "bin"), "left")
+      .join(curC, Seq("variable", "bin"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    val tots = cells.groupBy("variable")
+      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    cells.join(tots, Seq("variable"))
+      .withColumn("p", greatest(col("n_ref").cast("double") / col("t_ref"), lit(eps)))
+      .withColumn("q", greatest(col("n_cur").cast("double") / col("t_cur"), lit(eps)))
+      .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy("variable")
+      .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
+        sum(col("contrib")).as("psi"))
+  }
+
   /** Pairwise categorical association matrix (Cramér's V) — the
     * categorical analog of `correlations`, for every unordered pair of the
     * listed columns. ONE grouping-sets aggregation computes every pair's

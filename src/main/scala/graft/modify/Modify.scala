@@ -479,6 +479,29 @@ object Modify {
     } finally pairs.unpersist(blocking = false)
   }
 
+  /** Winsorize: CLAMP values beyond the [lower, upper] quantiles to the
+    * quantile bounds (the keep-the-row alternative to removeOutliers'
+    * null-ing — preserves n for downstream models while taming tails).
+    * Bounds come from the same ONE-range-sort-for-all-columns batch as
+    * IQR outliers ([[exactQuantilesAll]], type-7 = DuckDB quantile_cont);
+    * the clamp itself is a zero-shuffle projection. Nulls pass through. */
+  def winsorize(df: DataFrame, cols: Seq[String], lower: Double = 0.05,
+                upper: Double = 0.95): DataFrame = {
+    require(lower >= 0 && upper <= 1 && lower < upper,
+      s"need 0 <= lower < upper <= 1: ($lower, $upper)")
+    val bounds = exactQuantilesAll(df, cols, Seq(lower, upper))
+    cols.foldLeft(df) { (d, c) =>
+      bounds(c) match {
+        case Some(Seq(lo, hi)) =>
+          val v = col(c).cast("double")
+          d.withColumn(c,
+            when(v.isNull, lit(null).cast("double"))
+              .when(v < lo, lit(lo)).when(v > hi, lit(hi)).otherwise(v))
+        case _ => d
+      }
+    }
+  }
+
   /** Rank-based inverse-normal transform (RINT) — the standard EWAS/GWAS
     * normalization for non-normal phenotypes: each value maps to
     * Φ⁻¹((r − c) / (n − 2c + 1)) where r is its AVERAGE rank (ties share

@@ -416,6 +416,45 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(graft.describe.Plots.histogram(nulls, "z").collect().isEmpty)
   }
 
+  test("winsorize clamps tails to quantile bounds and preserves row count") {
+    import spark.implicits._
+    val vals: Seq[(Long, Option[Double])] =
+      (1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+ (101L -> None)
+    val df = vals.toDF("id", "x")
+    val out = Modify.winsorize(df, Seq("x"), lower = 0.10, upper = 0.90)
+    assert(out.count() === 101)
+    val xs = out.filter(col("x").isNotNull).select("x").collect().map(_.getDouble(0))
+    // type-7 quantiles of 1..100 at 0.1/0.9: 10.9 and 90.1
+    assertRtol(xs.min, 10.9, 1e-12, "lower clamp")
+    assertRtol(xs.max, 90.1, 1e-12, "upper clamp")
+    assert(xs.count(_ === xs.min) === 10) // 1..10 all clamped up
+    // untouched middle survives exactly
+    assert(xs.count(_ === 50.0) === 1)
+    assert(out.filter(col("x").isNull).count() === 1)
+  }
+
+  test("psiDrift: zero for identical slices, hand-formula for a full shift, flags only the moved column") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(i => (i.toLong, i.toDouble, i.toDouble))
+      .toDF("id", "a", "b")
+    // identical current -> psi exactly 0 on both columns
+    val same = Describe.psiDrift(ref, ref, Seq("a", "b")).collect()
+    same.foreach(r => assert(r.getDouble(r.fieldIndex("psi")) === 0.0))
+    // shift column a far beyond the reference range: ALL current mass in
+    // the top bin -> psi = sum over the hand formula
+    val cur = ref.withColumn("a", col("a") + 1e6)
+    val out = Describe.psiDrift(ref, cur, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("psi"))).toMap
+    val eps = 1e-6
+    val expected = (0 until 10).map { bin =>
+      val p = 0.1
+      val q = if (bin == 9) 1.0 else eps
+      (p - q) * math.log(p / q)
+    }.sum
+    assertRtol(out("a"), expected, 1e-9, "full-shift psi")
+    assert(out("b") === 0.0, "unmoved column must not flag")
+  }
+
   test("cramersV: one-pass matrix agrees with per-pair chi2; perfect association gives V=1") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
