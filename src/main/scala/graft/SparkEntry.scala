@@ -670,6 +670,19 @@ object SparkEntry {
         .orderBy("src_id", "rank")
     }),
 
+    "cluster_kmeans" -> ((s, dir) => {
+      // one Lloyd step from deterministic first-k seeds: zero-shuffle
+      // argmin assignment + ONE map-side-combined (cluster, dim) shuffle;
+      // the oracle replays seed choice, assignment, and means in SQL
+      val e = t(s, dir, "embeddings")
+      val centers = Similarity.kmeansInit(e, k = 8)
+      Similarity.kmeansStep(e, centers)
+        .select(col("cluster_id"), col("n_vectors"),
+          round(Similarity.norm(col("centroid")), 6).as("center_norm"),
+          round(element_at(col("centroid"), 1), 6).as("c1"))
+        .orderBy("cluster_id")
+    }),
+
     "embedding_centroids" -> ((s, dir) =>
       // per-label prototype vectors; exploded to (label, pos, v) so the
       // oracle compares scalar cells, not list equality
@@ -867,10 +880,27 @@ object SparkEntry {
           key = col("doc_id"), exact = true)
         .select(col("doc_id"), col("source")).orderBy("doc_id")),
 
+    "sample_split" -> ((s, dir) =>
+      // leakage-safe 80/10/10 split keyed on the CONTENT fingerprint so
+      // exact dups co-locate; zero-shuffle projection + one count agg
+      Sampling.splitAssign(t(s, dir, "documents"),
+          Text.fingerprint(col("text")),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("split")),
+
     "text_vocab_topk" -> ((s, dir) =>
       Text.vocab(t(s, dir, "documents"), "text", "doc_id", topK = 100)
         .select(col("word"), col("tf"), col("df"))
         .orderBy(col("tf").desc, col("word").asc)),
+
+    "text_tfidf_topk" -> ((s, dir) =>
+      Text.tfidfTopK(t(s, dir, "documents"), "text", "doc_id",
+          topK = 3, minDf = 2L)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")),
 
     "sample_corpus_shuffle" -> ((s, dir) =>
       Sampling.shufflePositions(
@@ -1914,6 +1944,28 @@ object SparkEntry {
              ELSE CAST(floor(start_offset / 4096.0) AS BIGINT) END AS chunk_last
          FROM o ORDER BY doc_id""",
 
+    "cluster_kmeans" ->
+      """WITH init AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS c
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         a AS (
+           SELECT e.vec_id, e.embedding,
+             (SELECT i.cid FROM init i
+                ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.c), i.cid
+                LIMIT 1) AS cid
+           FROM embeddings e),
+         d AS (SELECT cid, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x FROM a),
+         m AS (SELECT cid, pos, avg(x) AS mv FROM d GROUP BY 1, 2),
+         ctr AS (SELECT cid, round(sqrt(sum(mv * mv)), 6) AS center_norm,
+                 round(max(CASE WHEN pos = 1 THEN mv END), 6) AS c1
+                 FROM m GROUP BY 1),
+         n AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors FROM a GROUP BY 1)
+         SELECT CAST(n.cid AS INT) AS cluster_id, n.n_vectors,
+           ctr.center_norm, ctr.c1
+         FROM n JOIN ctr USING (cid) ORDER BY 1""",
+
     "embedding_centroids" ->
       """WITH e AS (SELECT label, unnest(embedding) AS x,
              generate_subscripts(embedding, 1) AS pos FROM embeddings)
@@ -1962,6 +2014,23 @@ object SparkEntry {
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '${Sampling.hexThreshold(0.25)}'
          ORDER BY doc_id""",
 
+    // thresholds built with the SAME scanLeft the operator uses: 0.8+0.1
+    // in doubles is 0.9000000000000001, and the hex threshold must match
+    // that value bit-for-bit, not a literal 0.9
+    "sample_split" -> {
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).drop(1)
+      val (t1, t2) = (Sampling.hexThreshold(cum(0)), Sampling.hexThreshold(cum(1)))
+      s"""WITH f AS (SELECT doc_id,
+             substr(md5(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))), 1, 15) AS b
+           FROM documents),
+         s AS (SELECT doc_id,
+             CASE WHEN b < '$t1' THEN 'train'
+                  WHEN b < '$t2' THEN 'val' ELSE 'test' END AS split
+           FROM f)
+         SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM s GROUP BY 1 ORDER BY 1"""
+    },
+
     "sample_stratified" ->
       """WITH r AS (SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang
@@ -1996,6 +2065,24 @@ object SparkEntry {
            CAST(count(DISTINCT doc_id) AS BIGINT) AS df
          FROM w WHERE word <> ''
          GROUP BY 1 ORDER BY tf DESC, word LIMIT 100""",
+
+    "text_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+                 GROUP BY 1 HAVING count(*) >= 2),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS tfidf
+           FROM tf JOIN dfq USING (term), n),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS INT) AS rank FROM sc)
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(tfidf, 6) AS tfidf, rank
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "sample_corpus_shuffle" ->
       """SELECT doc_id, lang,

@@ -426,6 +426,38 @@ object Cli {
             nProbe = flag(rest, "--probes").map(_.toInt).getOrElse(4),
             idCol = flag(rest, "--vec-id").getOrElse("vec_id"),
             vecCol = flag(rest, "--vec").getOrElse("embedding"))
+        case "sample-split" =>
+          // --splits train=0.8,val=0.1,test=0.1; key defaults to the
+          // content fingerprint so dup groups never straddle splits
+          val splits = req(rest, "--splits").split(",").map { kv =>
+            val Array(n, w) = kv.split("=", 2); n -> w.toDouble
+          }.toSeq
+          val key = flag(rest, "--key")
+            .map(org.apache.spark.sql.functions.col)
+            .getOrElse(Text.fingerprint(org.apache.spark.sql.functions.col(txt)))
+          graft.pipeline.Sampling.splitAssign(df, key, splits)
+        case "tfidf" =>
+          Text.tfidfTopK(df, txt, idc,
+            topK = flag(rest, "--k").map(_.toInt).getOrElse(5),
+            minDf = flag(rest, "--min-df").map(_.toLong).getOrElse(1L))
+        case "kmeans" =>
+          val (_, assigned) = Similarity.kmeans(df,
+            k = req(rest, "--k").toInt,
+            iters = flag(rest, "--iters").map(_.toInt).getOrElse(10),
+            idCol = flag(rest, "--vec-id").getOrElse("vec_id"),
+            vecCol = flag(rest, "--vec").getOrElse("embedding"))
+          assigned
+        case "winsorize" =>
+          graft.modify.Modify.winsorize(df, req(rest, "--cols").split(",").toSeq,
+            lower = flag(rest, "--lower").map(_.toDouble).getOrElse(0.05),
+            upper = flag(rest, "--upper").map(_.toDouble).getOrElse(0.95))
+        case "psi-drift" =>
+          // `in` is the CURRENT slice; --ref is the reference corpus whose
+          // quantiles define the bins
+          graft.describe.Describe.psiDrift(
+            spark.read.parquet(req(rest, "--ref")), df,
+            req(rest, "--cols").split(",").toSeq,
+            bins = flag(rest, "--bins").map(_.toInt).getOrElse(10))
         case "sample-stratified" =>
           graft.pipeline.Sampling.stratifiedSample(df,
             req(rest, "--strata").split(",").toSeq,
@@ -529,6 +561,11 @@ object Cli {
       |  pipeline sample-stratified <in> <out> --strata a,b --k N [--key c]
       |  pipeline domain-mix <in> <out> --domain c --targets d1=w1,d2=w2 [--key c] [--approx]
       |  pipeline semantic-dedup <in> <out> --dim N [--threshold t] [--id c] [--vec c]
+      |  pipeline sample-split <in> <out> --splits train=0.8,val=0.1,test=0.1 [--key c]
+      |  pipeline tfidf <in> <out> [--k N] [--min-df N]
+      |  pipeline kmeans <in> <out> --k N [--iters N] [--vec-id c] [--vec c]
+      |  pipeline winsorize <in> <out> --cols c1,c2 [--lower q] [--upper q]
+      |  pipeline psi-drift <current> <out> --ref <reference.parquet> --cols c1,c2 [--bins N]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]

@@ -47,6 +47,35 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.filter(hashBucket(key) < lit(hexThreshold(fraction)))
 
+  /** Deterministic named-split assignment (train/val/test): adds `out` =
+    * the first split name whose cumulative 15-hex threshold exceeds the
+    * row's [[hashBucket]]. Fractions must sum to 1; the last split absorbs
+    * the rounding tail so every row is assigned. Zero shuffle — a pure
+    * projection that composes with pushdown, and the decision is
+    * membership-stable: adding or removing OTHER rows never moves a row
+    * across splits (unlike ntile/percent_rank splits).
+    *
+    * Leakage control: pass a CONTENT key ([[graft.pipeline.Text.fingerprint]]
+    * of the text, or a dup-group representative) instead of a row id and
+    * exact duplicates land in the same split — near-dup groups stay
+    * train-or-eval, never both. */
+  def splitAssign(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+                  out: String = "split"): DataFrame = {
+    require(splits.size >= 2, s"need >= 2 splits: ${splits.size}")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be distinct")
+    require(splits.forall(_._2 > 0), s"fractions must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: ${splits.map(_._2).sum}")
+    val bucket = hashBucket(key)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).drop(1)
+    val assigned = splits.init.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val cond = bucket < lit(hexThreshold(c))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }
+    df.withColumn(out, assigned.get.otherwise(splits.last._1))
+  }
+
   /** Exactly-k-per-stratum deterministic sample: within each stratum, rank
     * rows by (key hash, key) and keep the first k. The literal rank bound
     * keeps the plan on WindowGroupLimit (per-partition top-k pushdown), so

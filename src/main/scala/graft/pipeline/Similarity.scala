@@ -68,6 +68,61 @@ object Similarity {
           s => s.getField("v")).as("centroid"))
   }
 
+  /** Deterministic k-means seeds: the k corpus rows with the smallest ids
+    * (a k-row TakeOrdered collect, never corpus-scale). Engine-replayable:
+    * the DuckDB oracle reproduces the same seeds with ORDER BY id LIMIT k.
+    * (First-k seeding is deliberately boring — k-means|| polish buys
+    * little for curation bucketing, and determinism buys an oracle.) */
+  def kmeansInit(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(k > 0, s"k must be positive: $k")
+    val rows = corpus.orderBy(col(idCol).asc).limit(k).select(col(vecCol)).collect()
+    require(rows.length == k, s"corpus has ${rows.length} rows < k=$k")
+    rows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  }
+
+  /** Nearest-centroid assignment: squared-euclidean argmin over a
+    * driver-resident O(k·dim) center table, ties to the lower cluster id.
+    * Zero shuffle — one closure-captured projection per row (the same
+    * shape [[ivfAssign]] uses); the center table rides in the closure,
+    * never as a join side. */
+  def assignToCenters(corpus: DataFrame, centers: Array[Array[Double]],
+                      vecCol: String = "embedding",
+                      out: String = "cluster_id"): DataFrame =
+    corpus.withColumn(out, element_at(nearestLists(centers, 1)(col(vecCol)), 1))
+
+  /** One Lloyd iteration: [[assignToCenters]] (zero shuffle) + per-cluster
+    * elementwise mean ([[centroids]] — map-side-combined (cluster, dim)
+    * partial sums, ONE shuffle carrying O(k·dim), never rows). Returns
+    * (cluster_id, n_vectors, centroid: array<double>); clusters that won
+    * no rows are absent ([[kmeans]] keeps their previous center). */
+  def kmeansStep(corpus: DataFrame, centers: Array[Array[Double]],
+                 vecCol: String = "embedding"): DataFrame =
+    centroids(assignToCenters(corpus, centers, vecCol), "cluster_id", vecCol)
+
+  /** Full Lloyd loop with deterministic first-k seeding — the corpus
+    * topic/shard bucketer (cluster-then-curate, prototype pruning,
+    * per-cluster mixing all start from this assignment). Each of the
+    * `iters` rounds is one [[kmeansStep]] shuffle plus an O(k·dim) driver
+    * collect of the new center table; the corpus itself is never
+    * collected. Empty clusters keep their previous center so k never
+    * shrinks. Returns the final centers and the corpus with its final
+    * `cluster_id` assignment. */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int = 10,
+             idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    var centers = kmeansInit(corpus, k, idCol, vecCol)
+    var i = 0
+    while (i < iters) {
+      val updated = kmeansStep(corpus, centers, vecCol).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](2).toArray).toMap
+      centers = centers.indices.map(c => updated.getOrElse(c, centers(c))).toArray
+      i += 1
+    }
+    (centers, assignToCenters(corpus, centers, vecCol))
+  }
+
   /** Whole-corpus k-nearest-neighbor GRAPH over a pre-assigned IVF index:
     * for every vector, its k most cosine-similar neighbors among the
     * `nProbe` nearest inverted lists. The corpus-scale self-join shape —

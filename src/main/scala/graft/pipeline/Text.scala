@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -451,6 +452,38 @@ object Text {
     * contributions are added in the caller's term order, so the float result
     * replays bit-identically in any engine that evaluates the same formula
     * left-to-right (the DuckDB oracle does). */
+  /** Per-document top-k TF-IDF keywords — the cheap document-topic /
+    * keyword-extraction signal (cluster labeling, near-dup triage, index
+    * fields). idf = ln((N+1)/(df_t+1)) + 1 (the sklearn smooth-idf form:
+    * strictly positive, no div-by-zero on corpus-wide terms);
+    * score = tf · idf. `minDf` prunes hapax noise before the join.
+    *
+    * Scale shape: explode + (doc, word) hash agg (map-side combined),
+    * word→doc-frequency as a second map-side-combined agg over that
+    * output, then a shuffle join keyed by word — the vocab side is NOT
+    * broadcast by design (misspellings make real vocabs corpus-scale);
+    * Catalyst broadcasts it anyway below its threshold. Top-k per doc is
+    * a rank-limited window (WindowGroupLimit pushes the k cut into the
+    * sort). Corpus doc count rides in as one broadcast row. */
+  def tfidfTopK(df: DataFrame, textCol: String, idCol: String,
+                topK: Int = 5, minDf: Long = 1L): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val tf = df.select(col(idCol).as("__doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("__doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val n = df.agg(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+    val w = Window.partitionBy("__doc").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("__doc").as(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
   def bm25Rank(df: DataFrame, textCol: String, idCol: String,
                terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                topK: Int = 10): DataFrame = {

@@ -220,6 +220,34 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/ws").count() === nDocs)
   }
 
+  test("pipeline verbs: sample-split, tfidf, kmeans, winsorize, psi-drift") {
+    val dir = Files.createTempDirectory("graft-cli7").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val li = "/root/testdata/sf0.001/lineitem.parquet"
+    val nDocs = spark.read.parquet(docs).count()
+    Cli.run(spark, List("pipeline", "sample-split", docs, s"$dir/sp",
+      "--splits", "train=0.8,val=0.1,test=0.1"))
+    val sp = spark.read.parquet(s"$dir/sp")
+    assert(sp.count() === nDocs)
+    assert(sp.select("split").distinct().count() === 3)
+    Cli.run(spark, List("pipeline", "tfidf", docs, s"$dir/tfidf", "--k", "2"))
+    val tfidf = spark.read.parquet(s"$dir/tfidf")
+    assert(tfidf.columns.contains("tfidf") && tfidf.count() > 0)
+    Cli.run(spark, List("pipeline", "kmeans", emb, s"$dir/km", "--k", "4",
+      "--iters", "3"))
+    val km = spark.read.parquet(s"$dir/km")
+    assert(km.select("cluster_id").distinct().count() <= 4 && km.count() > 0)
+    Cli.run(spark, List("pipeline", "winsorize", li, s"$dir/wz",
+      "--cols", "l_extendedprice"))
+    assert(spark.read.parquet(s"$dir/wz").count() ===
+      spark.read.parquet(li).count())
+    Cli.run(spark, List("pipeline", "psi-drift", docs, s"$dir/psi",
+      "--ref", docs, "--cols", "n_chars"))
+    val psi = spark.read.parquet(s"$dir/psi").collect()
+    assert(psi.length === 1 && psi(0).getDouble(psi(0).fieldIndex("psi")) === 0.0)
+  }
+
   test("unknown commands fail loudly") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, List("frobnicate", "everything"))

@@ -218,6 +218,36 @@ class CurationSpec extends SparkSpec {
     assert(c.subsetOf(a))
   }
 
+  test("splitAssign: total coverage, ~fractions, dup co-location, membership stability") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("k")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(df, col("k"), splits)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 4000L) // every row assigned
+    assert(math.abs(counts("train") / 4000.0 - 0.8) < 0.03)
+    assert(math.abs(counts("val") / 4000.0 - 0.1) < 0.02)
+    assert(math.abs(counts("test") / 4000.0 - 0.1) < 0.02)
+    // same key -> same split regardless of the rest of the dataset
+    // (membership stability: a 500-row subset decides identically)
+    val sub = Sampling.splitAssign(df.filter(col("k") < 500), col("k"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = out.filter(col("k") < 500)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub === full)
+    // content-keyed: exact dup texts land in the same split
+    val docs = Seq((0L, "Same  Text"), (1L, "same text"), (2L, "other")).toDF("id", "text")
+    val bySplit = Sampling.splitAssign(docs,
+        graft.pipeline.Text.fingerprint(col("text")), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(bySplit(0L) === bySplit(1L))
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, col("k"), Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, col("k"), Seq("a" -> 1.0)))
+  }
+
   test("importanceSample: per-row probability, nested in p, agrees with hashSample") {
     import spark.implicits._
     val df = (0L until 4000L).toDF("k")

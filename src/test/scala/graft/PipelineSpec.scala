@@ -510,4 +510,70 @@ class PipelineSpec extends SparkSpec {
     val recall = exactPairs.count(pruned.contains).toDouble / exactPairs.size
     assert(recall > 0.7, s"knnGraph recall@3 with nProbe=2 was $recall")
   }
+
+  test("kmeans: Lloyd loop separates planted blobs; assignment is the exact argmin") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // ids 0 and 1 sit in DIFFERENT blobs so the deterministic first-k
+    // seeding starts with one center per blob
+    def pt(cx: Double, cy: Double) =
+      Array((cx + rnd.nextGaussian() * 0.1).toFloat, (cy + rnd.nextGaussian() * 0.1).toFloat)
+    val rows = ((0L, pt(0, 0)) +: (1L, pt(10, 10)) +:
+      ((2 until 60).map(i => (i.toLong,
+        if (i % 2 == 0) pt(0, 0) else pt(10, 10)))))
+    val df = rows.toDF("vec_id", "embedding")
+    val (centers, assigned) = Similarity.kmeans(df, k = 2, iters = 5)
+    val got = assigned.collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("cluster_id"))).toMap
+    (0 until 60).foreach { i =>
+      val want = if (i <= 1) i else i % 2
+      assert(got(i.toLong) === (if (want == 0) 0 else 1), s"vec $i")
+    }
+    // converged centers land on the blob means
+    assert(math.abs(centers(0)(0)) < 0.2 && math.abs(centers(1)(0) - 10) < 0.2)
+    // assignment is the brute-force argmin over the final centers
+    val local = df.collect().map { r =>
+      val v = r.getSeq[Float](1)
+      val d = centers.map(c => c.indices.map(j => (v(j) - c(j)) * (v(j) - c(j))).sum)
+      r.getLong(0) -> d.indexOf(d.min)
+    }.toMap
+    assert(local === got)
+  }
+
+  test("kmeans: empty clusters keep their previous center; k never shrinks") {
+    import spark.implicits._
+    val df = (0 until 5).map(i => (i.toLong, Array(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    // both seeds identical -> ties all go to cluster 0, cluster 1 never wins
+    val (centers, assigned) = Similarity.kmeans(df, k = 2, iters = 3)
+    assert(centers.length === 2)
+    assert(centers(1).toSeq === Seq(5.0, 5.0))
+    assert(assigned.select("cluster_id").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(0))
+  }
+
+  test("tfidfTopK matches the smooth-idf formula from first principles") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "apple apple banana"),
+      (1L, "apple cherry"),
+      (2L, "banana cherry cherry")).toDF("doc_id", "text")
+    val out = Text.tfidfTopK(df, "text", "doc_id", topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("rank"))) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(r.fieldIndex("tfidf")))))
+      .toMap
+    val idf = math.log(4.0 / 3.0) + 1.0 // every term appears in 2 of 3 docs
+    // d0: apple tf=2 beats banana tf=1
+    assert(out((0L, 1))._1 === "apple" && out((0L, 1))._2 === 2L && out((0L, 1))._3 === 2L)
+    assertRtol(out((0L, 1))._4, 2.0 * idf, 1e-12, "d0 apple tfidf")
+    assert(out((0L, 2))._1 === "banana")
+    // d1: tie on tf=1 breaks alphabetically
+    assert(out((1L, 1))._1 === "apple" && out((1L, 2))._1 === "cherry")
+    // d2: cherry tf=2 first
+    assert(out((2L, 1))._1 === "cherry")
+    assertRtol(out((2L, 1))._4, 2.0 * idf, 1e-12, "d2 cherry tfidf")
+    // minDf prunes: a hapax term never appears
+    val pruned = Text.tfidfTopK(df, "text", "doc_id", topK = 2, minDf = 3L)
+    assert(pruned.count() === 0)
+  }
 }
