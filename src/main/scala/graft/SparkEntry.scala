@@ -161,6 +161,17 @@ object SparkEntry {
           round(col("cramers_v"), 6).as("cramers_v"))
         .orderBy("var_a", "var_b")),
 
+    "describe_mutual_info" -> ((s, dir) =>
+      // pairwise MI + normalized MI from the same one-shuffle
+      // grouping-sets machinery as cramers_v; only observed cells summed
+      Describe.mutualInfo(
+          t(s, dir, "lineitem")
+            .withColumn("ship_mon", month(col("l_shipdate")).cast("string")),
+          Seq("l_returnflag", "l_linestatus", "ship_mon"))
+        .select(col("var_a"), col("var_b"), col("n"),
+          round(col("mi"), 6).as("mi"), round(col("nmi"), 6).as("nmi"))
+        .orderBy("var_a", "var_b")),
+
     "describe_psi_drift" -> ((s, dir) => {
       // corpus-drift monitor: current = a 15%-inflated price column and an
       // unchanged quantity column; PSI flags the former, not the latter
@@ -600,6 +611,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      // asymmetric overlap on consecutive-id pairs: containment catches
+      // short-in-long embeddings that jaccard dilutes
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .withColumn("id2", col("id1") + 1).filter(col("id2") < 100)
+      Dedup.ngramContainment(s, docs, pairs, "text", "doc_id", shingleK = 4)
+        .select(col("id1"), col("id2"),
+          round(col("containment1"), 6).as("containment1"),
+          round(col("containment2"), 6).as("containment2"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
     "dedup_components" -> ((s, dir) => {
       // verified pairs (consecutive-id chain, exact jaccard >= 0.3) ->
       // connected components -> duplicate groups with min-id keeper
@@ -668,6 +693,18 @@ object SparkEntry {
         .select(col("src_id"), col("dst_id"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
         .orderBy("src_id", "rank")
+    }),
+
+    "sample_cluster_balanced" -> ((s, dir) => {
+      // cluster-then-curate composition: nearest-centroid bucketing over
+      // the deterministic seeds, then exactly-k-per-cluster deterministic
+      // sampling (WindowGroupLimit) — balanced topic coverage
+      val e = t(s, dir, "embeddings")
+      val assigned = Similarity.assignToCenters(e, Similarity.kmeansInit(e, k = 8))
+      Sampling.stratifiedSample(assigned, Seq("cluster_id"), k = 10,
+          key = col("vec_id"))
+        .select(col("cluster_id"), col("vec_id"))
+        .orderBy("cluster_id", "vec_id")
     }),
 
     "cluster_kmeans" -> ((s, dir) => {
@@ -1609,6 +1646,24 @@ object SparkEntry {
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          ORDER BY id1, id2""",
 
+    "dedup_containment" ->
+      // same shingle-set replay as dedup_ngram_jaccard; union size derived
+      // as |A|+|B|-|A∩B| exactly like the Spark side
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 100),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) <= 4 THEN [t]
+                  ELSE list_transform(range(length(t) - 3), i -> substr(t, CAST(i AS INT) + 1, 4)) END) AS s
+                FROM d),
+         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS i,
+                 CAST(len(a.s) AS DOUBLE) AS n1, CAST(len(b.s) AS DOUBLE) AS n2
+               FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+         SELECT id1, id2,
+           round(i / n1, 6) AS containment1,
+           round(i / n2, 6) AS containment2,
+           round(i / (n1 + n2 - i), 6) AS jaccard
+         FROM p ORDER BY id1, id2""",
+
     "dedup_components" ->
       // the pair graph here is the consecutive-id chain, so components are
       // maximal runs of adjacent verified pairs — expressible exactly via
@@ -1944,6 +1999,25 @@ object SparkEntry {
              ELSE CAST(floor(start_offset / 4096.0) AS BIGINT) END AS chunk_last
          FROM o ORDER BY doc_id""",
 
+    "sample_cluster_balanced" ->
+      """WITH init AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS c
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         a AS (
+           SELECT e.vec_id,
+             (SELECT i.cid FROM init i
+                ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.c), i.cid
+                LIMIT 1) AS cid
+           FROM embeddings e),
+         r AS (SELECT cid, vec_id,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 15),
+                        CAST(vec_id AS VARCHAR)) AS rn
+           FROM a)
+         SELECT CAST(cid AS INT) AS cluster_id, vec_id
+         FROM r WHERE rn <= 10 ORDER BY cluster_id, vec_id""",
+
     "cluster_kmeans" ->
       """WITH init AS (
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -2013,6 +2087,37 @@ object SparkEntry {
       s"""SELECT doc_id FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '${Sampling.hexThreshold(0.25)}'
          ORDER BY doc_id""",
+
+    "describe_mutual_info" -> {
+      def pairSql(a: String, b: String): String =
+        s"""SELECT '$a' AS var_a, '$b' AS var_b, n,
+           round(mi, 6) AS mi, round(nmi, 6) AS nmi
+         FROM (
+           WITH li AS (SELECT l_returnflag, l_linestatus,
+               CAST(month(l_shipdate) AS VARCHAR) AS ship_mon FROM lineitem),
+           cc AS (SELECT CAST($a AS VARCHAR) AS la, CAST($b AS VARCHAR) AS lb
+               FROM li
+               WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+                 AND ship_mon IS NOT NULL),
+           cells AS (SELECT la, lb, count(*) AS n FROM cc GROUP BY 1, 2),
+           rt AS (SELECT la, sum(n) AS ra FROM cells GROUP BY 1),
+           ct AS (SELECT lb, sum(n) AS cb FROM cells GROUP BY 1),
+           tot AS (SELECT sum(n) AS nn FROM cells),
+           m AS (SELECT CAST(max(nn) AS BIGINT) AS n,
+               sum((CAST(cells.n AS DOUBLE) / nn) *
+                   ln(CAST(cells.n AS DOUBLE) * nn / (CAST(ra AS DOUBLE) * cb))) AS mi
+             FROM cells JOIN rt USING (la) JOIN ct USING (lb) CROSS JOIN tot),
+           h1 AS (SELECT sum(-(CAST(ra AS DOUBLE) / nn) * ln(CAST(ra AS DOUBLE) / nn)) AS ha
+                  FROM rt CROSS JOIN tot),
+           h2 AS (SELECT sum(-(CAST(cb AS DOUBLE) / nn) * ln(CAST(cb AS DOUBLE) / nn)) AS hb
+                  FROM ct CROSS JOIN tot)
+           SELECT m.n, m.mi,
+             CASE WHEN ha > 0 AND hb > 0 THEN m.mi / sqrt(ha * hb) ELSE 0.0 END AS nmi
+           FROM m CROSS JOIN h1 CROSS JOIN h2)"""
+      Seq(("l_returnflag", "l_linestatus"), ("l_returnflag", "ship_mon"),
+        ("l_linestatus", "ship_mon")).map { case (x, y) => pairSql(x, y) }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY var_a, var_b")
+    },
 
     // thresholds built with the SAME scanLeft the operator uses: 0.8+0.1
     // in doubles is 0.9000000000000001, and the hex threshold must match

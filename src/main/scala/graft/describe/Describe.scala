@@ -456,6 +456,62 @@ object Describe {
     perPair.reduce(_ unionByName _)
   }
 
+  /** Pairwise mutual information matrix (nats) for categorical columns,
+    * plus normalized MI = I(A;B) / √(H(A)·H(B)) — the scale-free
+    * redundancy screen (which label/metadata columns say the same thing)
+    * that complements [[cramersV]]'s significance view. Complete-case over
+    * the listed columns, like cramersV.
+    *
+    * Same scale shape as cramersV: ONE grouping-sets aggregation feeds
+    * every pair table, margin, and total, so the corpus is shuffled once
+    * regardless of how many pairs are requested. Unlike chi2, MI sums only
+    * OBSERVED cells (0·ln 0 = 0), so no dense level-cross is built at
+    * all — the per-pair work is joins between already-tiny aggregates. */
+  def mutualInfo(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "mutualInfo needs at least two columns")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val sets: Seq[Seq[Column]] =
+      pairs.map { case (a, b) => Seq(col(a), col(b)) } ++
+        cols.map(c => Seq(col(c))) :+ Seq.empty[Column]
+    val aggs = count(lit(1)).as("n") +:
+      cols.map(c => grouping(col(c)).cast("int").as(s"g_$c"))
+    val base = df.na.drop("any", cols)
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .groupingSets(sets, cols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .persist()
+    def grouped(c: String): Column = col(s"g_$c") === 1
+    val total = base.filter(cols.map(grouped).reduce(_ && _))
+      .select(col("n").as("nn"))
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.crossJoin(total).agg(
+        sum(-(col(cnt).cast("double") / col("nn")) *
+          log(col(cnt).cast("double") / col("nn"))).as(out))
+    val perPair = pairs.map { case (a, b) =>
+      def onlyThese(keep: Seq[String]): Column =
+        cols.map(c => if (keep.contains(c)) !grouped(c) else grouped(c))
+          .reduce(_ && _)
+      val cells = base.filter(onlyThese(Seq(a, b)))
+        .select(col(a).as("la"), col(b).as("lb"), col("n"))
+      val ma = base.filter(onlyThese(Seq(a)))
+        .select(col(a).as("la"), col("n").as("ra"))
+      val mb = base.filter(onlyThese(Seq(b)))
+        .select(col(b).as("lb"), col("n").as("cb"))
+      val miRow = cells.join(ma, Seq("la")).join(mb, Seq("lb")).crossJoin(total)
+        .agg(max(col("nn")).as("n"),
+          sum((col("n").cast("double") / col("nn")) *
+            log(col("n").cast("double") * col("nn") /
+              (col("ra").cast("double") * col("cb")))).as("mi"))
+      miRow.crossJoin(entropy(ma, "ra", "ha")).crossJoin(entropy(mb, "cb", "hb"))
+        .withColumn("var_a", lit(a)).withColumn("var_b", lit(b))
+        .withColumn("nmi", when(col("ha") > 0 && col("hb") > 0,
+          col("mi") / sqrt(col("ha") * col("hb"))).otherwise(lit(0.0)))
+        .select("var_a", "var_b", "n", "mi", "nmi")
+    }
+    perPair.reduce(_ unionByName _)
+  }
+
   /** D'Agostino skewness test (scipy.stats.skewtest transform). n must be
     * >= 8 for the normal approximation; returns NaN otherwise. */
   def skewTest(g1: Double, n: Long): (Double, Double) = {

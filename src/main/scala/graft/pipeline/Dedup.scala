@@ -170,6 +170,34 @@ object Dedup {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** Asymmetric near-dup verification: containment C(A in B) = |A∩B|/|A|
+    * flags a short document wholly embedded in a longer one — the
+    * quote-page / boilerplate-wrapper case Jaccard dilutes toward 0 as the
+    * length gap grows. One intersect pass over the same hashed-shingle
+    * sets [[ngramJaccard]] uses (union size derived as |A|+|B|−|A∩B|, no
+    * second array op); emits both directions plus jaccard so callers
+    * threshold either measure. Same scale shape as ngramJaccard: the
+    * corpus-scale work is the shingle projection; joins touch only the
+    * candidate pairs. */
+  def ngramContainment(spark: SparkSession, docs: DataFrame, pairs: DataFrame,
+                       textCol: String, idCol: String,
+                       shingleK: Int = 5): DataFrame = {
+    val shOf = nativeCol(spark, s"shingle_hashes_$shingleK",
+      exprs => graft.functions.ShingleHashes(exprs.head, shingleK)) _
+    val sets = docs.select(col(idCol).cast("string").as("id"),
+      shOf(col(textCol)).as("sh"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val n1 = size(col("sh1")).cast("double")
+    val n2 = size(col("sh2")).cast("double")
+    pairs
+      .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sets.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        when(n1 > 0, inter / n1).as("containment1"),
+        when(n2 > 0, inter / n2).as("containment2"),
+        when(n1 + n2 - inter > 0, inter / (n1 + n2 - inter)).as("jaccard"))
+  }
+
   // ------------------------------------------------------ duplicate groups
 
   /** Connected components over verified candidate pairs — the grouping

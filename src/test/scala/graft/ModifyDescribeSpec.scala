@@ -455,6 +455,35 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(out("b") === 0.0, "unmoved column must not flag")
   }
 
+  test("mutualInfo: zero for exact independence, nmi=1 for a bijection, hand formula") {
+    import spark.implicits._
+    // exact product distribution: every (a,b) cell has the same count
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 25 }
+      yield (a, b)).toDF("a", "b")
+    val mi0 = Describe.mutualInfo(indep, Seq("a", "b")).collect()(0)
+    assert(math.abs(mi0.getDouble(mi0.fieldIndex("mi"))) < 1e-12)
+    assert(math.abs(mi0.getDouble(mi0.fieldIndex("nmi"))) < 1e-12)
+    // bijection: MI = H(A) = ln 2 for a uniform 2-level map, nmi = 1
+    val bij = (Seq.fill(30)(("x", "u")) ++ Seq.fill(30)(("y", "v")))
+      .toDF("a", "b")
+    val mi1 = Describe.mutualInfo(bij, Seq("a", "b")).collect()(0)
+    assertRtol(mi1.getDouble(mi1.fieldIndex("mi")), math.log(2.0), 1e-12, "bijection MI")
+    assertRtol(mi1.getDouble(mi1.fieldIndex("nmi")), 1.0, 1e-12, "bijection NMI")
+    assert(mi1.getLong(mi1.fieldIndex("n")) === 60L)
+    // hand formula on a skewed 2x2: p(x,u)=.5, p(x,v)=.25, p(y,v)=.25
+    val skew = (Seq.fill(2)(("x", "u")) ++ Seq(("x", "v")) ++ Seq(("y", "v")))
+      .toDF("a", "b")
+    val r = Describe.mutualInfo(skew, Seq("a", "b")).collect()(0)
+    val expect = 0.5 * math.log(0.5 / (0.75 * 0.5)) +
+      0.25 * math.log(0.25 / (0.75 * 0.5)) +
+      0.25 * math.log(0.25 / (0.25 * 0.5))
+    assertRtol(r.getDouble(r.fieldIndex("mi")), expect, 1e-12, "skewed MI")
+    // three columns -> three pair rows from ONE grouping-sets pass
+    val tri = Describe.mutualInfo(
+      indep.withColumn("c", col("a")), Seq("a", "b", "c")).collect()
+    assert(tri.length === 3)
+  }
+
   test("cramersV: one-pass matrix agrees with per-pair chi2; perfect association gives V=1") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -511,6 +511,26 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.7, s"knnGraph recall@3 with nProbe=2 was $recall")
   }
 
+  test("ngramContainment: short-in-long embedding scores ~1 one way, jaccard stays low") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta"
+    val long = short + " " + (1 to 40).map(i => s"word$i").mkString(" ")
+    val df = Seq((0L, short), (1L, long), (2L, "unrelated text entirely")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id1", "id2")
+    val out = Dedup.ngramContainment(spark, df, pairs, "text", "doc_id", shingleK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (c1, c2, j) = out((0L, 1L))
+    assert(c1 === 1.0, "short doc fully contained in long")
+    assert(c2 < 0.25 && j < 0.25, "jaccard/reverse-containment diluted by length gap")
+    val (u1, _, uj) = out((0L, 2L))
+    assert(u1 < 0.2 && uj < 0.1)
+    // parity: jaccard from containment path equals ngramJaccard's
+    val viaJ = Dedup.ngramJaccard(spark, df, pairs, "text", "doc_id", shingleK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(viaJ((0L, 1L)) - j) < 1e-12)
+  }
+
   test("kmeans: Lloyd loop separates planted blobs; assignment is the exact argmin") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
