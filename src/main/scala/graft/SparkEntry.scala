@@ -329,6 +329,22 @@ object SparkEntry {
         .toDF("n_total", "n_kept", "n_removed")
     }),
 
+    "modify_robust_scale" -> ((s, dir) => {
+      // median/MAD standardization over two batched range sorts; the
+      // aggregate fingerprints the full scaled distribution
+      val out = Modify.robustScale(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_tax"))
+      out.agg(
+        count(col("l_quantity")).as("n_qty"),
+        round(min("l_quantity"), 6).as("qty_min"),
+        round(max("l_quantity"), 6).as("qty_max"),
+        round(avg("l_quantity"), 6).as("qty_avg"),
+        count(col("l_tax")).as("n_tax"),
+        round(min("l_tax"), 6).as("tax_min"),
+        round(max("l_tax"), 6).as("tax_max"),
+        round(avg("l_tax"), 6).as("tax_avg"))
+    }),
+
     "modify_winsorize" -> ((s, dir) => {
       val out = Modify.winsorize(t(s, dir, "lineitem"),
         Seq("l_extendedprice"), lower = 0.05, upper = 0.95)
@@ -1343,6 +1359,21 @@ object SparkEntry {
            count(*) FILTER (WHERE l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)) AS n_kept,
            count(*) - count(*) FILTER (WHERE l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)) AS n_removed
          FROM lineitem, b""",
+
+    "modify_robust_scale" ->
+      """WITH m AS (SELECT quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS mq,
+                    quantile_cont(CAST(l_tax AS DOUBLE), 0.5) AS mt FROM lineitem),
+         d AS (SELECT quantile_cont(abs(CAST(l_quantity AS DOUBLE) - mq), 0.5) AS dq,
+                      quantile_cont(abs(CAST(l_tax AS DOUBLE) - mt), 0.5) AS dt
+               FROM lineitem, m),
+         z AS (SELECT (CAST(l_quantity AS DOUBLE) - mq) / (1.4826022185056018 * dq) AS zq,
+                      (CAST(l_tax AS DOUBLE) - mt) / (1.4826022185056018 * dt) AS zt
+               FROM lineitem, m, d)
+         SELECT count(zq) AS n_qty, round(min(zq), 6) AS qty_min,
+           round(max(zq), 6) AS qty_max, round(avg(zq), 6) AS qty_avg,
+           count(zt) AS n_tax, round(min(zt), 6) AS tax_min,
+           round(max(zt), 6) AS tax_max, round(avg(zt), 6) AS tax_avg
+         FROM z""",
 
     "modify_winsorize" ->
       """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,

@@ -447,6 +447,8 @@ object Cli {
             idCol = flag(rest, "--vec-id").getOrElse("vec_id"),
             vecCol = flag(rest, "--vec").getOrElse("embedding"))
           assigned
+        case "robust-scale" =>
+          graft.modify.Modify.robustScale(df, req(rest, "--cols").split(",").toSeq)
         case "winsorize" =>
           graft.modify.Modify.winsorize(df, req(rest, "--cols").split(",").toSeq,
             lower = flag(rest, "--lower").map(_.toDouble).getOrElse(0.05),
@@ -565,6 +567,7 @@ object Cli {
       |  pipeline tfidf <in> <out> [--k N] [--min-df N]
       |  pipeline kmeans <in> <out> --k N [--iters N] [--vec-id c] [--vec c]
       |  pipeline winsorize <in> <out> --cols c1,c2 [--lower q] [--upper q]
+      |  pipeline robust-scale <in> <out> --cols c1,c2
       |  pipeline psi-drift <current> <out> --ref <reference.parquet> --cols c1,c2 [--bins N]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]

@@ -502,6 +502,35 @@ object Modify {
     }
   }
 
+  /** Robust (median/MAD) standardization: x → (x − median) / (1.4826·MAD)
+    * — the outlier-insensitive alternative to z-scores (a single extreme
+    * value moves mean AND sd, but not the medians; 1.4826 makes MAD a
+    * consistent σ estimator under normality). Two batched
+    * [[exactQuantilesAll]] range sorts (ALL columns per pass: one for the
+    * medians, one for the deviation medians), then a zero-shuffle
+    * projection. Columns with MAD = 0 (constant-majority) scale to null
+    * rather than ±Inf. Type-7 quantiles = DuckDB quantile_cont, so the
+    * whole transform replays in SQL. */
+  def robustScale(df: DataFrame, cols: Seq[String],
+                  consistency: Double = 1.4826022185056018): DataFrame = {
+    val med = exactQuantilesAll(df, cols, Seq(0.5))
+    val usable = cols.filter(med(_).isDefined)
+    val devs = usable.foldLeft(df) { (d, c) =>
+      d.withColumn(s"__dev_$c", abs(col(c).cast("double") - lit(med(c).get.head)))
+    }
+    val mad = exactQuantilesAll(devs, usable.map(c => s"__dev_$c"), Seq(0.5))
+    cols.foldLeft(df) { (d, c) =>
+      (med(c), if (usable.contains(c)) mad(s"__dev_$c") else None) match {
+        case (Some(Seq(m)), Some(Seq(md))) if md > 0 =>
+          d.withColumn(c,
+            (col(c).cast("double") - lit(m)) / lit(consistency * md))
+        case (Some(_), Some(_)) =>
+          d.withColumn(c, lit(null).cast("double"))
+        case _ => d
+      }
+    }
+  }
+
   /** Rank-based inverse-normal transform (RINT) — the standard EWAS/GWAS
     * normalization for non-normal phenotypes: each value maps to
     * Φ⁻¹((r − c) / (n − 2c + 1)) where r is its AVERAGE rank (ties share

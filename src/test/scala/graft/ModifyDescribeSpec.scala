@@ -433,6 +433,31 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(out.filter(col("x").isNull).count() === 1)
   }
 
+  test("robustScale: median/MAD hand computation; outlier-insensitive; MAD=0 column nulls") {
+    import spark.implicits._
+    val c = 1.4826022185056018
+    // 0..100 plus one huge outlier: median 50.5, MAD 25.5 (type-7)
+    val vals = (0 to 100).map(_.toDouble) :+ 10000.0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v, 7.0) }
+      .toDF("id", "x", "const")
+    val out = Modify.robustScale(df, Seq("x", "const"))
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Double]), Option(r.get(2)))).toMap
+    assertRtol(byId(0L)._1.get, (0.0 - 50.5) / (c * 25.5), 1e-12, "z(0)")
+    assertRtol(byId(101L)._1.get, (10000.0 - 50.5) / (c * 25.5), 1e-12, "z(outlier)")
+    // robustness: the outlier's z under mean/sd scaling would be ~10x smaller
+    // than under median/MAD because it inflates its own sd; here the bulk
+    // stays tightly scaled (z(100) ~ 1.3)
+    assertRtol(byId(100L)._1.get, (100.0 - 50.5) / (c * 25.5), 1e-12, "z(100)")
+    // constant column: MAD = 0 -> null, never Inf
+    assert(byId.values.forall(_._2.isEmpty))
+    // null passthrough counts
+    val withNull = df.withColumn("x",
+      when(col("id") === 5L, lit(null).cast("double")).otherwise(col("x")))
+    val scaled = Modify.robustScale(withNull, Seq("x"))
+    assert(scaled.filter(col("x").isNull).count() === 1)
+  }
+
   test("psiDrift: zero for identical slices, hand-formula for a full shift, flags only the moved column") {
     import spark.implicits._
     val ref = (1 to 1000).map(i => (i.toLong, i.toDouble, i.toDouble))
