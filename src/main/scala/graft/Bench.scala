@@ -17,6 +17,12 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // 103 queries x several codegen stages each far exceeds the default
+      // 100-entry generated-class cache: pass 2 of a multi-stage query was
+      // recompiling every stage pass 1 had just compiled (cramers_v
+      // measured 5.3s in the shared bench JVM vs 1.4s isolated, all of it
+      // Janino). A long-lived service JVM sizes this to its query library.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,6 +67,12 @@ object Bench {
     // showed events_json_extract at 7.5s for a plan that measures ~0.7s in
     // steady state. The minimum is the standard steady-state estimator.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // collect the PREVIOUS query's garbage before timing this one: a
+      // stop-the-world pause from another query's allocations otherwise
+      // lands on whichever line is running when the heap fills (observed
+      // as a one-off 19.7s describe_summarize_approx that measures 1.8s
+      // in an isolated JVM)
+      System.gc()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces FULL computation of every output column —
