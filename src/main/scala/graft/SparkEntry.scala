@@ -161,6 +161,15 @@ object SparkEntry {
           round(col("cramers_v"), 6).as("cramers_v"))
         .orderBy("var_a", "var_b")),
 
+    "describe_skew_report" -> ((s, dir) =>
+      // pre-join heavy-hitter diagnostic: one map-side-combined groupBy
+      // + O(#distinct) stats; top-k via TakeOrderedAndProject
+      Describe.skewReport(t(s, dir, "events"), "event_type", topK = 5)
+        .select(col("key"), col("cnt"), col("total_rows"), col("n_keys"),
+          round(col("share"), 6).as("share"),
+          round(col("skew_ratio"), 6).as("skew_ratio"))
+        .orderBy(col("cnt").desc, col("key").asc_nulls_first)),
+
     "describe_mutual_info" -> ((s, dir) =>
       // pairwise MI + normalized MI from the same one-shuffle
       // grouping-sets machinery as cramers_v; only observed cells summed
@@ -2118,6 +2127,17 @@ object SparkEntry {
       s"""SELECT doc_id FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '${Sampling.hexThreshold(0.25)}'
          ORDER BY doc_id""",
+
+    "describe_skew_report" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS cnt
+                    FROM events GROUP BY 1),
+         s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+                 count(*) AS n_keys, max(cnt) AS max_cnt FROM c),
+         t AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC NULLS FIRST LIMIT 5)
+         SELECT key, cnt, total_rows, n_keys,
+           round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+           round(CAST(max_cnt AS DOUBLE) * n_keys / total_rows, 6) AS skew_ratio
+         FROM t, s ORDER BY cnt DESC, key ASC NULLS FIRST""",
 
     "describe_mutual_info" -> {
       def pairSql(a: String, b: String): String =

@@ -447,6 +447,9 @@ object Cli {
             idCol = flag(rest, "--vec-id").getOrElse("vec_id"),
             vecCol = flag(rest, "--vec").getOrElse("embedding"))
           assigned
+        case "skew-report" =>
+          graft.describe.Describe.skewReport(df, req(rest, "--key"),
+            topK = flag(rest, "--k").map(_.toInt).getOrElse(10))
         case "robust-scale" =>
           graft.modify.Modify.robustScale(df, req(rest, "--cols").split(",").toSeq)
         case "winsorize" =>
@@ -568,6 +571,7 @@ object Cli {
       |  pipeline kmeans <in> <out> --k N [--iters N] [--vec-id c] [--vec c]
       |  pipeline winsorize <in> <out> --cols c1,c2 [--lower q] [--upper q]
       |  pipeline robust-scale <in> <out> --cols c1,c2
+      |  pipeline skew-report <in> <out> --key c [--k N]
       |  pipeline psi-drift <current> <out> --ref <reference.parquet> --cols c1,c2 [--bins N]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]

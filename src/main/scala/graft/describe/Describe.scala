@@ -349,6 +349,32 @@ object Describe {
       .select("n", "df", "chi2", "pvalue_approx")
   }
 
+  /** Join-key skew report — the 100 TB planning diagnostic run BEFORE a
+    * big join: per-key counts reduced to heavy-hitter rows (top-k) plus
+    * the skew statistics that decide the strategy (skew_ratio = max key
+    * count / mean key count; a ratio ≫ #partitions means the hot key
+    * dominates one reducer → salt it or let AQE split it; top_share = the
+    * heavy hitters' fraction of all rows). ONE map-side-combined groupBy
+    * on the key + an O(#distinct) aggregate; top-k is a
+    * TakeOrderedAndProject. Nulls count as a key (they hash to one
+    * reducer too — the classic silent skew). */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc_nulls_first)
+      .limit(topK)
+    top.crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"), col("total_rows"), col("n_keys"),
+        (col("cnt").cast("double") / col("total_rows")).as("share"),
+        (col("max_cnt").cast("double") * col("n_keys") / col("total_rows"))
+          .as("skew_ratio"))
+  }
+
   /** Population-stability-index drift report: how far each numeric
     * column's distribution in `current` has moved from `reference` — the
     * corpus-release / feature-drift monitor (PSI < 0.1 stable, > 0.25

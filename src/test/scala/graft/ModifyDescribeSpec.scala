@@ -433,6 +433,24 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(out.filter(col("x").isNull).count() === 1)
   }
 
+  test("skewReport: heavy hitter stats match hand computation; nulls count as a key") {
+    import spark.implicits._
+    val rows = Seq.fill(90)(Some("hot")) ++ (1 to 9).map(i => Some(s"k$i")) :+
+      Option.empty[String]
+    val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val out = Describe.skewReport(df, "k", topK = 3).collect()
+    assert(out.length === 3)
+    val hot = out.find(r => r.getString(0) == "hot").get
+    assert(hot.getLong(1) === 90L)
+    assert(hot.getLong(2) === 100L && hot.getLong(3) === 11L)
+    assertRtol(hot.getDouble(hot.fieldIndex("share")), 0.9, 1e-12, "hot share")
+    // skew_ratio = max_cnt * n_keys / total = 90 * 11 / 100
+    assertRtol(hot.getDouble(hot.fieldIndex("skew_ratio")), 9.9, 1e-12, "skew ratio")
+    // the null key participates (it hashes to one reducer like any other)
+    val all = Describe.skewReport(df, "k", topK = 11).collect()
+    assert(all.exists(r => r.isNullAt(0) && r.getLong(1) === 1L))
+  }
+
   test("robustScale: median/MAD hand computation; outlier-insensitive; MAD=0 column nulls") {
     import spark.implicits._
     val c = 1.4826022185056018

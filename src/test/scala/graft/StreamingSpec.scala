@@ -182,6 +182,28 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
       assert(streamed.nonEmpty && streamed.size < 200)
     } finally q.stop()
+    // splitAssign is likewise a stateless projection: the live feed routes
+    // each doc to the same split the batch backfill would
+    val mem2 = MemoryStream[(Long, String)]
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val q2 = graft.pipeline.Sampling.splitAssign(
+        mem2.toDF().toDF("doc_id", "text"),
+        graft.pipeline.Text.fingerprint(col("text")), splits)
+      .writeStream.format("memory").queryName("split_stream_test")
+      .outputMode("append").start()
+    try {
+      val rows = (0L until 120L).map(i => (i, s"doc number $i"))
+      mem2.addData(rows: _*)
+      q2.processAllAvailable()
+      val streamed = spark.table("split_stream_test").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      val batch = graft.pipeline.Sampling.splitAssign(
+          rows.toDF("doc_id", "text"),
+          graft.pipeline.Text.fingerprint(col("text")), splits)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamed === batch)
+      assert(streamed.values.toSet.size >= 2)
+    } finally q2.stop()
   }
 
   test("blocklist + importance sampling run unchanged on a stream") {
