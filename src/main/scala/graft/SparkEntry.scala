@@ -1047,6 +1047,20 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    "join_salted" -> ((s, dir) => {
+      // skew-defused equi-join: big side salted by row hash, small side
+      // exploded x salt — hot keys spread over `salt` reducers; the result
+      // is EXACTLY the plain join (the oracle is the plain join)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      Joins.saltedJoin(li, sup, Seq("s_suppkey"), salt = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("s_nationkey")
+    }),
+
     "join_range" -> ((s, dir) => {
       // clicks landing inside the hour after each purchase, per user
       val e = t(s, dir, "events")
@@ -2239,6 +2253,12 @@ object SparkEntry {
          SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
            round(tfidf, 6) AS tfidf, rank
          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "join_salted" ->
+      """SELECT s_nationkey, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY 1""",
 
     "sample_corpus_shuffle" ->
       """SELECT doc_id, lang,
