@@ -161,6 +161,51 @@ object SparkEntry {
           round(col("cramers_v"), 6).as("cramers_v"))
         .orderBy("var_a", "var_b")),
 
+    "describe_grouped_quantiles" -> ((s, dir) =>
+      // per-group EXACT quantiles via Spark's percentile aggregate (sorts
+      // within each group's agg buffer — right for bounded-cardinality
+      // groups; the 100 TB many-group path is summarizeApprox's sketch)
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"),
+          round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"))
+        .orderBy("l_returnflag")),
+
+    "events_interarrival" -> ((s, dir) => {
+      // per-user inter-event gap profile: one shuffle on user_id, window
+      // lag; gap multiset is tie-order invariant so the agg is exact
+      val mic = unix_micros(col("ts"))
+      val w = Window.partitionBy("user_id").orderBy("t")
+      t(s, dir, "events").select(col("user_id"), mic.as("t"))
+        .withColumn("gap", col("t") - lag("t", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap").as("min_gap_us"),
+          max("gap").as("max_gap_us"),
+          round(avg("gap"), 4).as("avg_gap_us"))
+        .orderBy("user_id")
+    }),
+
+    "events_funnel" -> ((s, dir) => {
+      // strict-order funnel view -> click -> purchase on first-touch
+      // times: ONE groupBy computes every user's stage timestamps, one
+      // tiny aggregate counts the stages (no joins, no windows)
+      val mic = unix_micros(col("ts"))
+      val f = t(s, dir, "events").groupBy("user_id").agg(
+        min(when(col("event_type") === "view", mic)).as("t_view"),
+        min(when(col("event_type") === "click", mic)).as("t_click"),
+        min(when(col("event_type") === "purchase", mic)).as("t_purchase"))
+      f.agg(count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("viewed"),
+        sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L))
+          .as("clicked_after_view"),
+        sum(when(col("t_view") < col("t_click") &&
+            col("t_click") < col("t_purchase"), 1L).otherwise(0L))
+          .as("full_funnel"))
+    }),
+
     "describe_skew_report" -> ((s, dir) =>
       // pre-join heavy-hitter diagnostic: one map-side-combined groupBy
       // + O(#distinct) stats; top-k via TakeOrderedAndProject
@@ -2141,6 +2186,37 @@ object SparkEntry {
       s"""SELECT doc_id FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '${Sampling.hexThreshold(0.25)}'
          ORDER BY doc_id""",
+
+    "describe_grouped_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "events_interarrival" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events),
+         g AS (SELECT user_id,
+                 t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+               FROM e)
+         SELECT user_id, count(*) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us,
+           round(avg(CAST(gap AS DOUBLE)), 4) AS avg_gap_us
+         FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""",
+
+    "events_funnel" ->
+      """WITH f AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS t_purchase
+           FROM events GROUP BY 1)
+         SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+         FROM f""",
 
     "describe_skew_report" ->
       """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS cnt
