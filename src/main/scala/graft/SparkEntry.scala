@@ -364,23 +364,19 @@ object SparkEntry {
     }),
 
     "modify_remove_outliers_iqr" -> ((s, dir) => {
-      import s.implicits._
       val cf = CladeFrame(lineitemKeyed(s, dir), "id")
       val out = Modify.removeOutliers(cf, "iqr", 1.5, only = Some(Seq("l_extendedprice")))
-      val r = out.df.agg(count(lit(1)).as("n_total"),
-        count(col("l_extendedprice")).as("n_kept")).head()
-      Seq((r.getLong(0), r.getLong(1), r.getLong(0) - r.getLong(1)))
-        .toDF("n_total", "n_kept", "n_removed")
+      out.df.agg(count(lit(1)).as("n_total"),
+          count(col("l_extendedprice")).as("n_kept"))
+        .withColumn("n_removed", col("n_total") - col("n_kept"))
     }),
 
     "modify_remove_outliers_gaussian" -> ((s, dir) => {
-      import s.implicits._
       val cf = CladeFrame(lineitemKeyed(s, dir), "id")
       val out = Modify.removeOutliers(cf, "gaussian", 2.0, only = Some(Seq("l_quantity")))
-      val r = out.df.agg(count(lit(1)).as("n_total"),
-        count(col("l_quantity")).as("n_kept")).head()
-      Seq((r.getLong(0), r.getLong(1), r.getLong(0) - r.getLong(1)))
-        .toDF("n_total", "n_kept", "n_removed")
+      out.df.agg(count(lit(1)).as("n_total"),
+          count(col("l_quantity")).as("n_kept"))
+        .withColumn("n_removed", col("n_total") - col("n_kept"))
     }),
 
     "modify_robust_scale" -> ((s, dir) => {
