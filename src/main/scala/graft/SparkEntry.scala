@@ -8,7 +8,7 @@ import graft.model.CladeFrame
 import graft.modify.Modify
 import graft.describe.Describe
 import graft.analyze.{AssociationStudy, Corrections}
-import graft.pipeline.{Blocklist, Decontaminate, Dedup, Joins, Packing, Sampling, Similarity, Text}
+import graft.pipeline.{Blocklist, Decontaminate, Dedup, Graph, Joins, Layout, Packing, Sampling, Similarity, Text}
 import graft.streaming.EventStreams
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2), each
@@ -205,6 +205,52 @@ object SparkEntry {
             col("t_click") < col("t_purchase"), 1L).otherwise(0L))
           .as("full_funnel"))
     }),
+
+    "events_resample" -> ((s, dir) =>
+      // complete hourly spine per event type: gap hours carry n=0 and a
+      // forward-filled mean value; spine rows = hours × types built from
+      // one broadcast bounds row (never event-row scale)
+      EventStreams.resampleHourly(t(s, dir, "events"))
+        .select(col("event_type"),
+          unix_timestamp(col("hour")).cast("long").as("hour_start"),
+          col("n"), round(col("ffill_avg"), 6).as("ffill_avg"))
+        .orderBy("event_type", "hour_start")),
+
+    "events_anomaly" -> ((s, dir) =>
+      // hourly volume spikes/dips: hours > 2 sample-sd from the type's own
+      // mean hourly count; per-type moments broadcast onto the hourly frame
+      EventStreams.hourlyAnomaly(t(s, dir, "events"), zThreshold = 2.0)
+        .select(col("event_type"),
+          unix_timestamp(col("hour")).cast("long").as("hour_start"),
+          col("n"), round(col("z"), 6).as("z"))
+        .orderBy("event_type", "hour_start")),
+
+    "graph_pagerank" -> ((s, dir) => {
+      // nation trade graph (cust-nation → supp-nation, weight = revenue):
+      // 3 damped PageRank supersteps, each ONE shuffle join keyed by dst
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val na = t(s, dir, "nation")
+      val edges = li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(na.select(col("n_nationkey").as("__ck"), col("n_name").as("src"))),
+          c("c_nationkey") === col("__ck"))
+        .join(broadcast(na.select(col("n_nationkey").as("__sk"), col("n_name").as("dst"))),
+          su("s_nationkey") === col("__sk"))
+        .groupBy("src", "dst")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("w"))
+      Graph.pageRank(edges, "src", "dst", "w", iterations = 3, damping = 0.85)
+        .select(col("node"), round(col("rank"), 7).as("rank"))
+        .orderBy("node")
+    }),
+
+    "layout_zorder" -> ((s, dir) =>
+      // Z-order clustering-quality report: all-integer bucketize+interleave
+      // (exact SQL replay), one ≤4096-group aggregation whatever the input
+      Layout.zCellStats(t(s, dir, "lineitem"), "l_partkey", "l_suppkey", bits = 6)
+        .orderBy("zcell")),
 
     "describe_skew_report" -> ((s, dir) =>
       // pre-join heavy-hitter diagnostic: one map-side-combined groupBy
@@ -828,6 +874,17 @@ object SparkEntry {
           round(col("mean_word_len"), 6).as("mean_word_len"),
           round(col("punct_ratio"), 6).as("punct_ratio"),
           round(col("stopword_ratio"), 6).as("stopword_ratio"))
+        .orderBy("doc_id")),
+
+    "text_lm_perplexity" -> ((s, dir) =>
+      // add-1-smoothed unigram LM scoring (the KenLM quality-filter
+      // stand-in): vocab = corpus's own top-1000 tokens, OOV pooled into
+      // one pseudo-word; two row-scale shuffles, vocab + corpus constants
+      // broadcast back onto the token stream, fully lazy frame
+      Text.perplexityScore(t(s, dir, "documents"), "text", "doc_id",
+          topVocab = 1000, alpha = 1.0)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_nll"), 6).as("avg_nll"))
         .orderBy("doc_id")),
 
     "text_langid" -> ((s, dir) =>
@@ -1866,6 +1923,21 @@ object SparkEntry {
            round(CASE WHEN n_words > 0 THEN stop * 1.0 / n_words ELSE 0.0 END, 6) AS stopword_ratio
          FROM f ORDER BY doc_id""",
 
+    "text_lm_perplexity" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           FROM documents),
+         wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+         top AS (SELECT word, count(*) AS c FROM wf GROUP BY 1
+                 ORDER BY c DESC, word ASC LIMIT 1000),
+         tot AS (SELECT count(*) AS t FROM wf),
+         vs AS (SELECT coalesce(sum(c), 0) AS iv, count(*) AS k FROM top)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(-sum(ln((CAST(coalesce(top.c, t - iv) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 / (t + CAST(1.0 AS DOUBLE) * (k + 1)))) / count(*), 6) AS avg_nll
+         FROM wf LEFT JOIN top USING (word) CROSS JOIN tot CROSS JOIN vs
+         GROUP BY doc_id, t, iv, k ORDER BY doc_id""",
+
     "text_langid" ->
       """WITH toks AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS tk
                        FROM documents WHERE doc_id < 100),
@@ -2213,6 +2285,91 @@ object SparkEntry {
            CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
                     THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
          FROM f""",
+
+    "events_resample" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n, avg(value) AS av FROM events GROUP BY 1, 2),
+         b AS (SELECT min(date_trunc('hour', ts)) AS mn,
+                 max(date_trunc('hour', ts)) AS mx FROM events),
+         s AS (SELECT t.event_type, g.hour
+               FROM (SELECT DISTINCT event_type FROM events) t
+               CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                             AS hour FROM b) g)
+         SELECT s.event_type, CAST(floor(epoch(s.hour)) AS BIGINT) AS hour_start,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+           round(last_value(h.av IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ffill_avg
+         FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hour = h.hour
+         ORDER BY 1, 2""",
+
+    "events_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, avg(n) AS m, stddev_samp(n) AS sd
+                FROM h GROUP BY 1)
+         SELECT h.event_type, CAST(floor(epoch(hour)) AS BIGINT) AS hour_start,
+           CAST(n AS BIGINT) AS n, round((n - m) / sd, 6) AS z
+         FROM h JOIN st USING (event_type)
+         WHERE sd > 0 AND abs((n - m) / sd) > 2
+         ORDER BY 1, 2""",
+
+    "graph_pagerank" ->
+      """WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+             sum(l_extendedprice * (1.0 - l_discount)) AS w
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         en AS (SELECT src, dst,
+                  w / sum(w) OVER (PARTITION BY src) AS wn FROM e),
+         r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+         r1 AS (SELECT nodes.node,
+                  0.15 / n + 0.85 * coalesce(sum(en.wn * r0.rank), 0) AS rank
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN en ON en.dst = nodes.node
+                LEFT JOIN r0 ON r0.node = en.src
+                GROUP BY nodes.node, n),
+         r2 AS (SELECT nodes.node,
+                  0.15 / n + 0.85 * coalesce(sum(en.wn * r1.rank), 0) AS rank
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN en ON en.dst = nodes.node
+                LEFT JOIN r1 ON r1.node = en.src
+                GROUP BY nodes.node, n),
+         r3 AS (SELECT nodes.node,
+                  0.15 / n + 0.85 * coalesce(sum(en.wn * r2.rank), 0) AS rank
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN en ON en.dst = nodes.node
+                LEFT JOIN r2 ON r2.node = en.src
+                GROUP BY nodes.node, n)
+         SELECT node, round(rank, 7) AS rank FROM r3 ORDER BY node""",
+
+    "layout_zorder" ->
+      """WITH b AS (SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+             min(l_suppkey) AS mny, max(l_suppkey) AS mxy FROM lineitem),
+         z AS (SELECT l_partkey, l_suppkey,
+             ((l_partkey - mnx) * 63) // greatest(mxx - mnx, 1) AS bx,
+             ((l_suppkey - mny) * 63) // greatest(mxy - mny, 1) AS by
+           FROM lineitem, b),
+         zz AS (SELECT l_partkey, l_suppkey,
+             CAST((((bx >> 0) & 1) << 0) + (((by >> 0) & 1) << 1) +
+             (((bx >> 1) & 1) << 2) + (((by >> 1) & 1) << 3) +
+             (((bx >> 2) & 1) << 4) + (((by >> 2) & 1) << 5) +
+             (((bx >> 3) & 1) << 6) + (((by >> 3) & 1) << 7) +
+             (((bx >> 4) & 1) << 8) + (((by >> 4) & 1) << 9) +
+             (((bx >> 5) & 1) << 10) + (((by >> 5) & 1) << 11) AS BIGINT)
+               AS zcell
+           FROM z)
+         SELECT zcell, count(*) AS n_rows,
+           min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+           min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+         FROM zz GROUP BY 1 ORDER BY 1""",
 
     "describe_skew_report" ->
       """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS cnt

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over an edge DataFrame — the Pregel-shaped
+  * workloads a corpus pipeline meets once documents/domains/entities are
+  * linked (site authority for quality weighting, influence propagation over
+  * a near-dup graph). Dedup's connected components live in
+  * [[graft.pipeline.Dedup]]; this module holds the rank-propagation side.
+  *
+  * Everything is expressed as joins + aggregations on (src, dst, weight)
+  * DataFrames: each superstep is one shuffle join (messages = rank/out-degree
+  * down each edge) plus one aggregation (sum of incoming messages) — the
+  * exact plan a dedicated graph engine lowers to, with Catalyst/AQE owning
+  * partitioning and skew. Edges are hash-partitioned by src once and reused
+  * across supersteps via persist.
+  */
+object Graph {
+
+  /** Weighted PageRank with damping, a FIXED number of supersteps, no
+    * dangling-mass redistribution (a node with no out-edges simply leaks its
+    * mass — acceptable for relative ranking, and exactly SQL-replayable).
+    *
+    * rank_0(v) = 1/N;
+    * rank_{k+1}(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} rank_k(u) · w(u,v)/outw(u).
+    *
+    * Scale shape: `edges` is persisted after the out-weight normalization
+    * window (partitioned by src — parallelism = src cardinality) and reused
+    * every superstep; each superstep is one shuffle keyed by dst. Ranks stay
+    * a 2-column (node, rank) frame — broadcastable when |V| is small, plain
+    * shuffle join otherwise (left to AQE). `iterations` is bounded and small
+    * (3-10 in practice): the lineage chain stays shallow, so no checkpoint
+    * is needed; callers iterating to convergence should localCheckpoint
+    * every ~10 steps.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iterations: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val src = col(srcCol).as("node")
+    val nodes = edges.select(src).unionByName(edges.select(col(dstCol).as("node")))
+      .distinct().persist()
+    val n = nodes.count()   // one scalar; nodes frame is reused below
+    val outW = Window.partitionBy(col(srcCol))
+    val norm = edges
+      .withColumn("__w", col(weightCol) / sum(col(weightCol)).over(outW))
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), col("__w"))
+      .persist()
+    val base = lit((1.0 - damping) / n)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contrib = norm.join(ranks, norm("__src") === ranks("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__w") * col("rank")).as("__in"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (base + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+    }
+    // materialize (truncating the superstep lineage) so the cached edge /
+    // node frames can be released before returning — the function is
+    // already eager via the N count, and callers get a self-contained frame
+    val out = ranks.localCheckpoint(true)
+    norm.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+}

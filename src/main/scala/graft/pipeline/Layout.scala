@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for scan pruning — the OPTIMIZE ZORDER side of a
+  * lakehouse pipeline. Multi-dimensional filters (partkey AND suppkey,
+  * date AND domain) defeat single-column sort layouts: sorting by one key
+  * scatters the other across every file. Interleaving the bits of both
+  * keys' bucket ids (a Morton / Z-order curve) gives one sort key whose
+  * ranges are small rectangles in BOTH dimensions, so per-file min/max
+  * stats prune scans on either predicate.
+  *
+  * Everything is integer Column arithmetic (codegen'd, exactly
+  * SQL-replayable): bucketize each dimension to `bits` bits against its
+  * global min/max (one broadcast aggregate row — no driver collect), then
+  * interleave. `zOrdered` range-partitions + sorts by the z-value, which is
+  * exactly the write layout; `zCellStats` is the clustering-quality report
+  * (per-cell row counts and per-dimension spans — tight spans = good
+  * pruning).
+  */
+object Layout {
+
+  /** Bucket id of `x` in [0, 2^bits) against inclusive bounds [mn, mx]:
+    * ((x - mn) * (2^bits - 1)) DIV max(mx - mn, 1). Exact integer floor
+    * division via the pmod idiom ((n - n mod d) / d): n and d are
+    * non-negative longs, the subtraction makes the quotient integral, so
+    * the double division is exact for quotients < 2^53. */
+  private def bucket(x: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val n = (x - mn) * lit((1L << bits) - 1)
+    val d = greatest(mx - mn, lit(1L))
+    ((n - pmod(n, d)) / d).cast("long")
+  }
+
+  /** Morton interleave of two `bits`-bit bucket ids: bit i of x lands at
+    * position 2i, bit i of y at 2i+1. A fixed unrolled sum of shifts/masks —
+    * whole-stage-codegen folds it into straight-line long arithmetic. */
+  def interleaveBits(bx: Column, by: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      (shiftleft(shiftrightunsigned(bx, i).bitwiseAND(lit(1L)), 2 * i))
+        .plus(shiftleft(shiftrightunsigned(by, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Attach the z-value of (xCol, yCol) as `out`, bucketized to `bits` bits
+    * per dimension against the frame's own global bounds (one broadcast
+    * aggregate row riding the plan — stays lazy, no driver action). */
+  def withZValue(df: DataFrame, xCol: String, yCol: String,
+                 bits: Int = 8, out: String = "zvalue"): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val bounds = df.agg(
+      min(col(xCol).cast("long")).as("__mnx"), max(col(xCol).cast("long")).as("__mxx"),
+      min(col(yCol).cast("long")).as("__mny"), max(col(yCol).cast("long")).as("__mxy"))
+    val bx = bucket(col(xCol).cast("long"), col("__mnx"), col("__mxx"), bits)
+    val by = bucket(col(yCol).cast("long"), col("__mny"), col("__mxy"), bits)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(out, interleaveBits(bx, by, bits))
+      .drop("__mnx", "__mxx", "__mny", "__mxy")
+  }
+
+  /** The write layout: range-partition by z-value (each output file covers
+    * one compact z-range = one small rectangle in both dimensions) and sort
+    * within partitions so parquet row-group stats are tight too. Write the
+    * result with the caller's sink; `numFiles` sizes the output. */
+  def zOrdered(df: DataFrame, xCol: String, yCol: String,
+               numFiles: Int, bits: Int = 8): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    withZValue(df, xCol, yCol, bits)
+      .repartitionByRange(numFiles, col("zvalue"))
+      .sortWithinPartitions("zvalue")
+  }
+
+  /** Clustering-quality report: rows per z-cell and each dimension's span
+    * inside the cell. One shuffle (the cell aggregation, ≤ 2^(2·bits) groups
+    * regardless of input size). Tight spans relative to the global range
+    * mean a scan with a predicate on either dimension can skip most cells. */
+  def zCellStats(df: DataFrame, xCol: String, yCol: String,
+                 bits: Int = 6): DataFrame =
+    withZValue(df, xCol, yCol, bits, out = "zcell")
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+}

@@ -387,7 +387,8 @@ object Text {
     * Scale shape: one groupBy(word) for counts, top-K bounded vocab
     * broadcast back onto the token stream (left join, OOV = null fallback),
     * one groupBy(doc) — two row-scale shuffles, vocab never exceeds K rows,
-    * corpus constants are 3 driver scalars. */
+    * corpus constants ride the plan as broadcast single-row aggregates (the
+    * frame is fully lazy; no driver job at build time). */
   def perplexityScore(df: DataFrame, textCol: String, idCol: String,
                       topVocab: Int = 50000, alpha: Double = 1.0): DataFrame = {
     require(topVocab > 0, "topVocab must be positive")
@@ -398,15 +399,16 @@ object Text {
       .filter(col("word") =!= "")
     val top = toks.groupBy("word").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("word").asc).limit(topVocab)
-    val tTotal = toks.count()
-    val vr = top.agg(sum(col("__c")), count(lit(1))).head()
-    val inVocabTotal = if (vr.isNullAt(0)) 0L else vr.getLong(0)
-    val k = vr.getLong(1)
-    val oovTotal = tTotal - inVocabTotal
-    val denom = tTotal + alpha * (k + 1)   // α·(K+1): OOV is one pseudo-word
+    // corpus constants stay IN the plan as two broadcast single-row aggs —
+    // no driver job at build time, the whole score is one lazy frame
+    val totals = toks.agg(count(lit(1)).as("__t"))
+    val vocabStats = top.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__iv"), count(lit(1)).as("__k"))
+    val oov = col("__t") - col("__iv")
+    val denom = col("__t") + lit(alpha) * (col("__k") + lit(1L))
     toks.join(broadcast(top), Seq("word"), "left")
-      .withColumn("__lp",
-        log((coalesce(col("__c"), lit(oovTotal)) + lit(alpha)) / lit(denom)))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(vocabStats))
+      .withColumn("__lp", log((coalesce(col("__c"), oov) + lit(alpha)) / denom))
       .groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__slp"))
       .select(col("__doc").as(idCol), col("n_tokens"),

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -95,6 +96,55 @@ object EventStreams {
       col(s"l.$pointTs") >= col(s"r.$intervalTs") &&
       col(s"l.$pointTs") <= col(s"r.$intervalTs") + expr(s"INTERVAL $lag")
     keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(col(s"r.$k")))
+  }
+
+  /** Hourly resample with gap-fill: a complete per-key hour spine (no
+    * missing hours) carrying observed counts (0 in gaps) and a
+    * forward-filled mean value (the last observed hour's mean, the
+    * time-series "ffill" primitive for downstream feature windows).
+    *
+    * Scale shape: the spine is `sequence(min_hour, max_hour)` exploded from
+    * ONE broadcast aggregate row cross-joined with the distinct keys —
+    * O(hours × keys) rows regardless of event volume; the only row-scale
+    * shuffle is the hourly aggregation. The forward-fill window partitions
+    * by key, so fill parallelism = key cardinality (hours per key stay
+    * within one task — bounded by calendar length, not data size). */
+  def resampleHourly(events: DataFrame, keyCol: String = "event_type",
+                     tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val hour = date_trunc("hour", col(tsCol))
+    val hourly = events.groupBy(col(keyCol), hour.as("hour"))
+      .agg(count(lit(1)).as("__n"), avg(col(valueCol)).as("__av"))
+    val bounds = events.agg(min(hour).as("__mn"), max(hour).as("__mx"))
+    val spine = events.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq(keyCol, "hour"), "left")
+      .select(col(keyCol), col("hour"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        last(col("__av"), ignoreNulls = true).over(w).as("ffill_avg"))
+  }
+
+  /** Hourly volume anomalies: hours whose event count deviates more than
+    * `zThreshold` sample standard deviations from that key's own mean hourly
+    * count. Two shuffles (hourly agg + per-key moment agg, the second over
+    * O(hours × keys) rows); the tiny per-key moments broadcast back onto the
+    * hourly frame. The batch twin of a streaming monitor — the same hourly
+    * aggregate runs under `tumblingCountsStream` with the moments supplied
+    * from a slowly-updated reference table. */
+  def hourlyAnomaly(events: DataFrame, keyCol: String = "event_type",
+                    tsCol: String = "ts", zThreshold: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col(keyCol))
+      .agg(avg(col("n")).as("__mean"), stddev_samp(col("n")).as("__sd"))
+    hourly.join(broadcast(stats), Seq(keyCol))
+      .withColumn("z", (col("n") - col("__mean")) / col("__sd"))
+      .filter(col("__sd") > 0 && abs(col("z")) > zThreshold)
+      .select(col(keyCol), col("hour"), col("n"), col("z"))
   }
 
   final case class SessionState(start: Long, last: Long, n: Long, value: Double)

@@ -253,4 +253,53 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/small").count() === n)
     assert(spark.read.parquet(s"$dir/big").count() === n)
   }
+
+  test("pageRank: hand-computed 3-node graph; sum of ranks conserved") {
+    import spark.implicits._
+    // a -> b (w 1), a -> c (w 3), b -> c (w 1), c -> a (w 1)
+    val edges = Seq(("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 1.0),
+      ("c", "a", 1.0)).toDF("src", "dst", "w")
+    val got = graft.pipeline.Graph.pageRank(edges, "src", "dst", "w",
+        iterations = 2, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // replay the recurrence by hand: rank0 = 1/3 each
+    val d = 0.85; val base = 0.15 / 3
+    def step(r: Map[String, Double]): Map[String, Double] = Map(
+      "a" -> (base + d * r("c")),                      // c's only out-edge
+      "b" -> (base + d * (0.25 * r("a"))),             // w 1 of a's total 4
+      "c" -> (base + d * (0.75 * r("a") + r("b"))))
+    val want = step(step(Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3)))
+    want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, k) }
+    // every node has out-edges -> no dangling leak: total mass stays 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("zOrder: interleave bits exactly; cells partition rows; layout sorts by z") {
+    import spark.implicits._
+    // interleaveBits(3, 5) with 3 bits: x=011 at even positions, y=101 at
+    // odd -> z = 1 + 2 + 4 + 32 = 39
+    val z = Seq((3L, 5L)).toDF("bx", "by")
+      .select(graft.pipeline.Layout.interleaveBits(col("bx"), col("by"), 3))
+      .head().getLong(0)
+    assert(z === 39L)
+
+    val df = (0 until 400).map(i => (i.toLong % 97, (i * 31L) % 89, i))
+      .toDF("x", "y", "payload")
+    val stats = graft.pipeline.Layout.zCellStats(df, "x", "y", bits = 4).collect()
+    assert(stats.map(_.getLong(1)).sum === 400L)          // every row in a cell
+    assert(stats.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 256))
+    // bucket endpoints: global min maps to cell 0's corner, max to the top
+    val zval = graft.pipeline.Layout.withZValue(df, "x", "y", bits = 4)
+    val minz = zval.filter(col("x") === 0 && col("y") === 0).head().getAs[Long]("zvalue")
+    assert(minz === 0L)
+
+    val laid = graft.pipeline.Layout.zOrdered(df, "x", "y", numFiles = 4, bits = 4)
+    assert(laid.rdd.getNumPartitions === 4)
+    // within every partition the z-values are non-decreasing (the write layout)
+    val ok = laid.select("zvalue").rdd.mapPartitions { it =>
+      val zs = it.map(_.getLong(0)).toSeq
+      Iterator.single(zs == zs.sorted)
+    }.collect()
+    assert(ok.forall(identity))
+  }
 }

@@ -347,4 +347,39 @@ class StreamingSpec extends SparkSpec {
     val first = byUser(1L).minBy(_.session_start)
     assert(first.n_events === 2 && first.session_start === 0 && first.session_end === 100)
   }
+
+  test("resampleHourly: gap hours appear with n=0 and forward-filled mean") {
+    import spark.implicits._
+    // type a: events in hour 0 (mean 3.0) and hour 2 (mean 5.0); hour 1 is a gap
+    // type b: single event in hour 1 -> hours 0 and 2 are spine-only for b
+    val rows = Seq(
+      (1L, ts(60), 1L, "a", 2.0, "{}"),
+      (2L, ts(120), 1L, "a", 4.0, "{}"),
+      (3L, ts(7300), 1L, "a", 5.0, "{}"),
+      (4L, ts(3700), 2L, "b", 7.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.resampleHourly(df).orderBy("event_type", "hour")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      ("a", 0L, 2L, Some(3.0)), ("a", 3600L, 0L, Some(3.0)), ("a", 7200L, 1L, Some(5.0)),
+      ("b", 0L, 0L, None), ("b", 3600L, 1L, Some(7.0)), ("b", 7200L, 0L, Some(7.0))))
+  }
+
+  test("hourlyAnomaly: a spike hour is flagged, quiet hours are not") {
+    import spark.implicits._
+    // 11 hours of 2 events + one hour of 30 events for type a
+    val quiet = (0 until 11).flatMap(h => Seq(
+      (h * 100L, ts(h * 3600L), 1L, "a", 1.0, "{}"),
+      (h * 100L + 1, ts(h * 3600L + 60), 1L, "a", 1.0, "{}")))
+    val spike = (0 until 30).map(i => (9000L + i, ts(11 * 3600L + i), 1L, "a", 1.0, "{}"))
+    val df = (quiet ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val flagged = EventStreams.hourlyAnomaly(df, zThreshold = 2.0).collect()
+    assert(flagged.length === 1)
+    val r = flagged.head
+    assert(r.getTimestamp(1).getTime / 1000 === 11 * 3600L)
+    assert(r.getLong(2) === 30L && r.getDouble(3) > 2.0)
+  }
 }
