@@ -164,12 +164,17 @@ object SparkEntry {
     "describe_grouped_quantiles" -> ((s, dir) =>
       // per-group EXACT quantiles via Spark's percentile aggregate (sorts
       // within each group's agg buffer — right for bounded-cardinality
-      // groups; the 100 TB many-group path is summarizeApprox's sketch)
+      // groups; the 100 TB many-group path is summarizeApprox's sketch).
+      // ONE array-percentile buffer for all three fractions: three scalar
+      // percentile calls would hold three copies of every group's values
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"),
-          round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"))
+          percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99))).as("__q"))
+        .select(col("l_returnflag"), col("n"),
+          round(element_at(col("__q"), 1), 6).as("p50"),
+          round(element_at(col("__q"), 2), 6).as("p90"),
+          round(element_at(col("__q"), 3), 6).as("p99"))
         .orderBy("l_returnflag")),
 
     "events_interarrival" -> ((s, dir) => {
@@ -224,6 +229,21 @@ object SparkEntry {
           unix_timestamp(col("hour")).cast("long").as("hour_start"),
           col("n"), round(col("z"), 6).as("z"))
         .orderBy("event_type", "hour_start")),
+
+    "events_moving_avg" -> ((s, dir) => {
+      // trailing 1-hour time-RANGE window frame (interval lookback, not a
+      // row count): one shuffle on event_type, one pass per partition with
+      // a sliding frame — tie-safe because RANGE includes all equal keys
+      val w = Window.partitionBy("event_type").orderBy(col("t"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_type"), unix_micros(col("ts")).as("t"), col("value"))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("ma", avg("value").over(w))
+        .select(col("event_type"), col("t"), round(col("value"), 4).as("value"),
+          col("n_win"), round(col("ma"), 6).as("ma"))
+        .orderBy("event_type", "t")
+    }),
 
     "graph_pagerank" -> ((s, dir) => {
       // nation trade graph (cust-nation → supp-nation, weight = revenue):
@@ -2312,6 +2332,17 @@ object SparkEntry {
            CAST(n AS BIGINT) AS n, round((n - m) / sd, 6) AS z
          FROM h JOIN st USING (event_type)
          WHERE sd > 0 AND abs((n - m) / sd) > 2
+         ORDER BY 1, 2""",
+
+    "events_moving_avg" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS t, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT event_type, t, round(value, 4) AS value,
+           count(*) OVER w AS n_win,
+           round(avg(value) OVER w, 6) AS ma
+         FROM e
+         WINDOW w AS (PARTITION BY event_type ORDER BY t
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY 1, 2""",
 
     "graph_pagerank" ->

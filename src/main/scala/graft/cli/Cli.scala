@@ -520,6 +520,36 @@ object Cli {
             pointCol = req(rest, "--point"),
             startCol = req(rest, "--start"), endCol = req(rest, "--end"),
             bucketWidth = flag(rest, "--bucket").map(_.toLong).getOrElse(3600000000L))
+        case "lm-perplexity" =>
+          Text.perplexityScore(df, txt, idc,
+            topVocab = flag(rest, "--vocab").map(_.toInt).getOrElse(50000),
+            alpha = flag(rest, "--alpha").map(_.toDouble).getOrElse(1.0))
+        case "resample-hourly" =>
+          graft.streaming.EventStreams.resampleHourly(df,
+            keyCol = flag(rest, "--key").getOrElse("event_type"),
+            tsCol = flag(rest, "--ts").getOrElse("ts"),
+            valueCol = flag(rest, "--value").getOrElse("value"))
+        case "hourly-anomaly" =>
+          graft.streaming.EventStreams.hourlyAnomaly(df,
+            keyCol = flag(rest, "--key").getOrElse("event_type"),
+            tsCol = flag(rest, "--ts").getOrElse("ts"),
+            zThreshold = flag(rest, "--z").map(_.toDouble).getOrElse(2.0))
+        case "pagerank" =>
+          graft.pipeline.Graph.pageRank(df,
+            srcCol = flag(rest, "--src").getOrElse("src"),
+            dstCol = flag(rest, "--dst").getOrElse("dst"),
+            weightCol = flag(rest, "--weight").getOrElse("w"),
+            iterations = flag(rest, "--iters").map(_.toInt).getOrElse(3),
+            damping = flag(rest, "--damping").map(_.toDouble).getOrElse(0.85))
+        case "zorder-write" =>
+          graft.pipeline.Layout.zOrdered(df,
+            xCol = req(rest, "--x"), yCol = req(rest, "--y"),
+            numFiles = req(rest, "--files").toInt,
+            bits = flag(rest, "--bits").map(_.toInt).getOrElse(8))
+        case "zorder-stats" =>
+          graft.pipeline.Layout.zCellStats(df,
+            xCol = req(rest, "--x"), yCol = req(rest, "--y"),
+            bits = flag(rest, "--bits").map(_.toInt).getOrElse(6))
         case other => throw new IllegalArgumentException(s"unknown pipeline verb: $other")
       }
       result.write.mode("overwrite").parquet(out)
@@ -573,6 +603,11 @@ object Cli {
       |  pipeline robust-scale <in> <out> --cols c1,c2
       |  pipeline skew-report <in> <out> --key c [--k N]
       |  pipeline psi-drift <current> <out> --ref <reference.parquet> --cols c1,c2 [--bins N]
+      |  pipeline lm-perplexity <in> <out> [--id c] [--text c] [--vocab N] [--alpha a]
+      |  pipeline resample-hourly|hourly-anomaly <in> <out> [--key c] [--ts c] [--value c] [--z t]
+      |  pipeline pagerank <edges> <out> [--src c] [--dst c] [--weight c] [--iters N] [--damping d]
+      |  pipeline zorder-write <in> <out> --x c --y c --files N [--bits b]
+      |  pipeline zorder-stats <in> <out> --x c --y c [--bits b]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]

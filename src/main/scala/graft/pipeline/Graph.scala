@@ -40,12 +40,17 @@ object Graph {
                damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    // cache the materialized edge list FIRST: nodes, out-weight sums, and
+    // every superstep all derive from it, and the caller's edge frame may
+    // carry an expensive lineage (a multi-way join) that must not re-run
+    // per consumer
+    val e0 = edges.select(col(srcCol), col(dstCol), col(weightCol)).persist()
     val src = col(srcCol).as("node")
-    val nodes = edges.select(src).unionByName(edges.select(col(dstCol).as("node")))
+    val nodes = e0.select(src).unionByName(e0.select(col(dstCol).as("node")))
       .distinct().persist()
-    val n = nodes.count()   // one scalar; nodes frame is reused below
+    val n = nodes.count()   // one scalar; materializes e0 + nodes for reuse
     val outW = Window.partitionBy(col(srcCol))
-    val norm = edges
+    val norm = e0
       .withColumn("__w", col(weightCol) / sum(col(weightCol)).over(outW))
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), col("__w"))
       .persist()
@@ -64,6 +69,7 @@ object Graph {
     val out = ranks.localCheckpoint(true)
     norm.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    e0.unpersist(blocking = false)
     out
   }
 }

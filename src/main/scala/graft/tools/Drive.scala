@@ -1,27 +1,29 @@
 package graft.tools
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** Scratch end-to-end driver for ad-hoc verification (see skills/verify). */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.caseSensitive", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val fn = graft.SparkEntry.queries("describe_summarize_approx")
-    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-    (1 to 3).foreach { i =>
-      time(s"summarize_approx pass $i") {
-        fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
+    for (q <- Seq("describe_grouped_quantiles", "graph_pagerank", "events_moving_avg")) {
+      val fn = graft.SparkEntry.queries(q)
+      fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      (1 to 2).foreach { i =>
+        time(s"$q pass $i") {
+          fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
+        }
       }
     }
     spark.stop()
