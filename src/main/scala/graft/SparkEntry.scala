@@ -230,6 +230,23 @@ object SparkEntry {
           col("n"), round(col("z"), 6).as("z"))
         .orderBy("event_type", "hour_start")),
 
+    "events_retention" -> ((s, dir) => {
+      // cohort retention matrix: users bucketed by first-seen day, counted
+      // at each day offset they return. Two shuffles, both keyed by
+      // user_id (the per-user min and the join reuse one partitioning);
+      // the cohort-cell aggregate is O(days²) groups
+      val ev = t(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        // date → ISO string: parquet DATE and DuckDB DATE reach the
+        // comparator as different dtypes even when values agree
+        .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     "events_moving_avg" -> ((s, dir) => {
       // trailing 1-hour time-RANGE window frame (interval lookback, not a
       // row count): one shuffle on event_type, one pass per partition with
@@ -2333,6 +2350,15 @@ object SparkEntry {
          FROM h JOIN st USING (event_type)
          WHERE sd > 0 AND abs((n - m) / sd) > 2
          ORDER BY 1, 2""",
+
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)
+         SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort_d, d) AS INT) AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+         FROM e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "events_moving_avg" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS t, value
