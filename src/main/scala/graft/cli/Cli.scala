@@ -67,6 +67,24 @@ object Cli {
     case "load" :: "from-tsv" :: in :: out :: rest =>
       val cf = Load.withSequentialId(Load.rawDelimited(spark, in, "\t"))
       saveState(cf, out)
+    case "jsonl" :: "to-parquet" :: in :: out :: rest =>
+      // corpus ingestion: JSONL dump -> parquet, corrupt lines quarantined.
+      // With an inferred schema Spark only materializes _corrupt_record when
+      // it actually met corrupt rows, so probe for the column first.
+      val df = Load.fromJsonl(spark, in, idCol = flag(rest, "--id")).df.cache()
+      val cr = org.apache.spark.sql.functions.col("_corrupt_record")
+      val hasCorrupt = df.columns.contains("_corrupt_record")
+      val clean = if (hasCorrupt) df.filter(cr.isNull).drop("_corrupt_record") else df
+      clean.write.mode("overwrite").parquet(out)
+      flag(rest, "--corrupt-out").foreach { co =>
+        if (hasCorrupt)
+          df.filter(cr.isNotNull).select("_corrupt_record")
+            .write.mode("overwrite").text(co)
+      }
+      df.unpersist()
+    case "parquet" :: "to-jsonl" :: in :: out :: rest =>
+      Load.writeJsonl(spark.read.parquet(in), out,
+        codec = flag(rest, "--codec").getOrElse("gzip"))
 
     // --------------------------------------------------------- describe
     case "describe" :: verb :: in :: _ =>
@@ -611,5 +629,7 @@ object Cli {
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]
+      |  jsonl to-parquet <in> <out> [--id c] [--corrupt-out dir]
+      |  parquet to-jsonl <in> <out> [--codec gzip|none|zstd]
       |State format: <path>.txt (TSV) + <path>.dtypes (JSON sidecar).""".stripMargin
 }

@@ -71,6 +71,38 @@ object Load {
     }
   }
 
+  /** JSONL source — the native interchange format of web-scale text corpora
+    * (one JSON object per line; splittable when uncompressed, so a 100 TB
+    * dump parallelizes per line-range). Pass `schema` in production: it
+    * pins the contract AND skips inference's extra full scan; PERMISSIVE
+    * mode shunts malformed lines into `_corrupt_record` instead of failing
+    * the job (a web-scale dump ALWAYS has some). Note Spark's contract:
+    * a query referencing ONLY `_corrupt_record` against the raw files is
+    * rejected — cache the parsed frame (or project data columns too)
+    * before auditing corrupt rows. */
+  def fromJsonl(spark: SparkSession, path: String,
+                schema: Option[org.apache.spark.sql.types.StructType] = None,
+                idCol: Option[String] = None): CladeFrame = {
+    val reader = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    val withSchema = schema.fold(reader) { s =>
+      val fields = if (s.fieldNames.contains("_corrupt_record")) s
+        else s.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      reader.schema(fields)
+    }
+    val raw = withSchema.json(path)
+    idCol match {
+      case Some(c) => CladeFrame(raw.withColumnRenamed(c, CladeFrame.DefaultId))
+      case None    => CladeFrame(raw, raw.columns.head)
+    }
+  }
+
+  /** JSONL sink. Default codec gzip for corpus hand-off; pass "none" when
+    * downstream needs line-range splittability over a single large file. */
+  def writeJsonl(df: DataFrame, path: String, codec: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", codec).json(path)
+
   /** Persist `df` hash-bucketed by `keys` as a saved table: two tables
     * bucketed the same way equi-join WITHOUT a shuffle on either side (the
     * 100 TB path for repeated fact-to-fact joins — pay the shuffle once at

@@ -254,6 +254,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/big").count() === n)
   }
 
+  test("JSONL roundtrip: schema pinned, corrupt lines quarantined not fatal") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars").limit(50)
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    Load.writeJsonl(docs, s"$dir/docs", codec = "none")
+    // drop a malformed shard into the dump (every web dump has some);
+    // a separate file keeps Hadoop's .crc sidecars of the real parts valid
+    val w = new java.io.FileWriter(s"$dir/docs/part-extra.json")
+    w.write("{not json at all\n"); w.close()
+    // Spark refuses to answer queries that reference ONLY _corrupt_record
+    // against raw files — cache the parsed frame first (documented contract)
+    val back = Load.fromJsonl(spark, s"$dir/docs",
+      schema = Some(docs.schema), idCol = Some("doc_id")).df.cache()
+    assert(back.filter(col("_corrupt_record").isNotNull).count() === 1)
+    val clean = back.filter(col("_corrupt_record").isNull)
+    assert(clean.count() === 50)
+    // values intact through the roundtrip
+    val sum0 = docs.agg(sum("n_chars")).head().getLong(0)
+    assert(clean.agg(sum("n_chars")).head().getLong(0) === sum0)
+  }
+
   test("pageRank: hand-computed 3-node graph; sum of ranks conserved") {
     import spark.implicits._
     // a -> b (w 1), a -> c (w 3), b -> c (w 1), c -> a (w 1)
