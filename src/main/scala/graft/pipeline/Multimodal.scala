@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   *
   * IMAGE payloads (PNG/JPEG/GIF/BMP) decode for REAL through the JDK's
   * bundled `javax.imageio` readers — no external codec libs needed — into
-  * pixel-statistics features. Audio/video codecs are not in this
-  * container, so non-image payloads fall back to a clearly-marked
-  * deterministic STUB; everything Spark-side (schema, batching, partition
-  * sizing, null handling, the mapPartitions fan-out shape) is identical
-  * for both kernels.
+  * pixel-statistics features; PCM audio (WAV/AIFF/AU) decodes for real via
+  * `javax.sound`. For video/compressed audio the CONTAINER metadata
+  * (MP4/MOV atom tree, MP3 frame headers, FLAC STREAMINFO — duration,
+  * resolution, track/channel counts, rates: what curation filters on) is
+  * parsed for real from bytes; only their SAMPLE decode falls back to a
+  * clearly-marked deterministic STUB (codec libs are not in this
+  * container). Everything Spark-side (schema, batching, partition sizing,
+  * null handling, the mapPartitions fan-out shape) is identical for every
+  * kernel.
   */
 object Multimodal {
 
@@ -118,11 +122,141 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** STUB decoder for media the JDK cannot decode (video, compressed
-    * audio): a real implementation would decode inside the same
-    * per-partition batch loop (the codec libs are not in this container).
-    * The stub emits a deterministic 8-dim "feature" derived from the
-    * payload bytes so downstream plumbing (schema, joins, ANN) is
+  /** REAL container-metadata parser for media whose SAMPLES the JDK cannot
+    * decode but whose container structure is pure bytes: ISO-BMFF
+    * (MP4/MOV/M4A) atom walk, MP3 frame-header scan (ID3v2-aware), FLAC
+    * STREAMINFO. Returns (kind, 8-dim features = [duration_sec, width,
+    * height, tracks_or_channels, rate_hz, bitrate_kbps, 0, 0]); None when
+    * no container matches. Pixel/sample decode for these formats still
+    * needs codec libs (see [[stubDecode]]) — but duration/resolution/
+    * track-count metadata, which is what corpus curation filters on, is
+    * extracted for real here. */
+  def parseContainerMeta(bytes: Array[Byte]): Option[(String, Array[Float])] = {
+    if (bytes == null || bytes.length < 12) return None
+    parseMp4(bytes).map(("mp4", _))
+      .orElse(parseFlac(bytes).map(("flac", _)))
+      .orElse(parseMp3(bytes).map(("mp3", _)))
+  }
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private def boxType(b: Array[Byte], i: Int): String =
+    new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** ISO-BMFF atom walk: moov/mvhd gives timescale+duration, each
+    * trak/tkhd contributes width/height (16.16 fixed point) and the track
+    * count. Handles 64-bit extended box sizes and size-0 (to-EOF) boxes. */
+  private def parseMp4(b: Array[Byte]): Option[Array[Float]] = {
+    if (b.length < 16 || boxType(b, 0) != "ftyp") return None
+    var duration = 0.0; var timescale = 1.0
+    var width = 0.0; var height = 0.0; var tracks = 0
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var off = from
+      while (off + 8 <= to && depth < 8) {
+        val size0 = be32(b, off.toInt)
+        val typ = boxType(b, off.toInt)
+        val (hdr, size) =
+          if (size0 == 1 && off + 16 <= to) (16L, be64(b, off.toInt + 8))
+          else if (size0 == 0) (8L, to - off)
+          else (8L, size0)
+        if (size < hdr || off + size > to) return
+        val body = off + hdr
+        typ match {
+          case "moov" => walk(body, off + size, depth + 1)
+          case "trak" => tracks += 1; walk(body, off + size, depth + 1)
+          case "mvhd" if body + 4 <= to =>
+            val ver = b(body.toInt) & 0xff
+            if (ver == 1 && body + 28 + 4 <= to) {
+              timescale = be32(b, body.toInt + 20).toDouble
+              duration = be64(b, body.toInt + 24).toDouble
+            } else if (body + 20 + 4 <= to) {
+              timescale = be32(b, body.toInt + 12).toDouble
+              duration = be32(b, body.toInt + 16).toDouble
+            }
+          case "tkhd" =>
+            val ver = b(body.toInt) & 0xff
+            val wOff = body + (if (ver == 1) 88 else 76)
+            if (wOff + 8 <= to) {
+              val w = be32(b, wOff.toInt) / 65536.0
+              val h = be32(b, wOff.toInt + 4) / 65536.0
+              if (w > width) width = w
+              if (h > height) height = h
+            }
+          case _ => ()
+        }
+        off += size
+      }
+    }
+    walk(0, b.length.toLong, 0)
+    if (timescale <= 0) return None
+    Some(Array((duration / timescale).toFloat, width.toFloat, height.toFloat,
+      tracks.toFloat, timescale.toFloat, 0f, 0f, 0f))
+  }
+
+  /** FLAC STREAMINFO (first metadata block, type 0, 34 bytes): 20-bit
+    * sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit total samples. */
+  private def parseFlac(b: Array[Byte]): Option[Array[Float]] = {
+    if (b.length < 4 + 4 + 34) return None
+    if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    if ((b(4) & 0x7f) != 0) return None      // first block must be STREAMINFO
+    val si = 8                               // streaminfo body offset
+    val sampleRate = ((b(si + 10) & 0xffL) << 12) |
+      ((b(si + 11) & 0xffL) << 4) | ((b(si + 12) & 0xf0L) >> 4)
+    val channels = ((b(si + 12) >> 1) & 0x7) + 1
+    val totalSamples = ((b(si + 13) & 0x0fL) << 32) | be32(b, si + 14)
+    if (sampleRate == 0) return None
+    Some(Array((totalSamples.toDouble / sampleRate).toFloat, 0f, 0f,
+      channels.toFloat, sampleRate.toFloat, 0f, 0f, 0f))
+  }
+
+  private val mp3Bitrates =    // kbps, MPEG-1 Layer III, index 1-14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val mp3Rates = Array(44100, 48000, 32000)
+
+  /** MP3 frame walk (MPEG-1 Layer III): skip any leading ID3v2 tag
+    * (syncsafe length), then count frames by stepping exact frame lengths
+    * (144·bitrate/rate + padding) — duration that is exact for CBR and a
+    * close lower bound for VBR. Requires ≥2 valid consecutive frames so
+    * random bytes cannot masquerade as sync words. */
+  private def parseMp3(b: Array[Byte]): Option[Array[Float]] = {
+    var off = 0
+    if (b.length > 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      off = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+    var frames = 0; var seconds = 0.0; var kbpsSum = 0.0
+    var rate = 0
+    while (off + 4 <= b.length) {
+      val h0 = b(off) & 0xff; val h1 = b(off + 1) & 0xff
+      // sync (11 bits) + MPEG-1 (bits 4-3 = 11) + Layer III (bits 2-1 = 01)
+      if (h0 != 0xff || (h1 & 0xfe) != 0xfa) return finishMp3(frames, seconds, kbpsSum, rate)
+      val brIdx = (b(off + 2) & 0xf0) >> 4
+      val srIdx = (b(off + 2) & 0x0c) >> 2
+      val padding = (b(off + 2) & 0x02) >> 1
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return finishMp3(frames, seconds, kbpsSum, rate)
+      val kbps = mp3Bitrates(brIdx); rate = mp3Rates(srIdx)
+      val frameLen = 144 * kbps * 1000 / rate + padding
+      frames += 1; seconds += 1152.0 / rate; kbpsSum += kbps
+      off += frameLen
+    }
+    finishMp3(frames, seconds, kbpsSum, rate)
+  }
+
+  private def finishMp3(frames: Int, seconds: Double, kbpsSum: Double,
+                        rate: Int): Option[Array[Float]] =
+    if (frames < 2) None
+    else Some(Array(seconds.toFloat, 0f, 0f, 1f, rate.toFloat,
+      (kbpsSum / frames).toFloat, 0f, 0f))
+
+  /** STUB decoder for media neither decodable by the JDK nor matching a
+    * parseable container: a real implementation would decode inside the
+    * same per-partition batch loop (the codec libs are not in this
+    * container). The stub emits a deterministic 8-dim "feature" derived
+    * from the payload bytes so downstream plumbing (schema, joins, ANN) is
     * exercised honestly. Marked intentionally: replace for production. */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     // ??? <- real audio/video codec goes here; deterministic fake features
@@ -152,6 +286,7 @@ object Multimodal {
             if (bytes == null) null
             else decodeImage(bytes)
               .orElse(decodeAudio(bytes))
+              .orElse(parseContainerMeta(bytes).map(_._2))
               .getOrElse(stubDecode(bytes)))
         }
       }

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch end-to-end driver for ad-hoc verification (see skills/verify). */
 object Drive {
@@ -13,18 +12,11 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    for (q <- Seq("describe_grouped_quantiles", "graph_pagerank", "events_moving_avg")) {
-      val fn = graft.SparkEntry.queries(q)
-      fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      (1 to 2).foreach { i =>
-        time(s"$q pass $i") {
-          fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
-        }
-      }
+    // drive the multimodal surface end-to-end on real testdata payload shapes
+    for (q <- Seq("multimodal_meta", "multimodal_features")) {
+      val out = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      println(s"[$q] rows=" + out.count())
+      out.show(3, truncate = false)
     }
     spark.stop()
   }

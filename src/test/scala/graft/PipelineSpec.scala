@@ -427,6 +427,62 @@ class PipelineSpec extends SparkSpec {
     assert(feats === f.toSeq)
   }
 
+  test("multimodal: MP4/FLAC/MP3 container metadata parses for REAL from bytes") {
+    import spark.implicits._
+    // --- hand-built ISO-BMFF: ftyp + moov(mvhd ts=1000 dur=5000, trak(tkhd 640x360))
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 100)
+    def box(size: Int, typ: String): Unit = { bb.putInt(size); bb.put(typ.getBytes("US-ASCII")) }
+    box(16, "ftyp"); bb.put("isom".getBytes); bb.putInt(0)
+    box(8 + 108 + 100, "moov")
+    box(108, "mvhd"); bb.putInt(0)                    // version 0 + flags
+    bb.putInt(0); bb.putInt(0)                        // ctime, mtime
+    bb.putInt(1000); bb.putInt(5000)                  // timescale, duration
+    bb.position(bb.position + 108 - 8 - 20)           // rest of mvhd body
+    box(100, "trak")
+    box(92, "tkhd"); bb.putInt(0)                     // version 0 + flags
+    bb.position(bb.position + 72)                     // body up to width
+    bb.putInt(640 << 16); bb.putInt(360 << 16)        // 16.16 fixed w, h
+    val mp4 = bb.array()
+    val (mk, mf) = Multimodal.parseContainerMeta(mp4).get
+    assert(mk === "mp4")
+    assert(mf(0) === 5.0f && mf(1) === 640.0f && mf(2) === 360.0f && mf(3) === 1.0f)
+
+    // --- hand-built FLAC STREAMINFO: 44100 Hz stereo, 88200 samples (2 s)
+    val fl = new Array[Byte](4 + 4 + 34)
+    Array[Byte]('f', 'L', 'a', 'C', 0x00, 0x00, 0x00, 0x22).copyToArray(fl)
+    fl(8 + 10) = 0x0a; fl(8 + 11) = 0xc4.toByte; fl(8 + 12) = 0x42 // rate|ch
+    fl(8 + 14) = 0x00; fl(8 + 15) = 0x01; fl(8 + 16) = 0x58.toByte
+    fl(8 + 17) = 0x88.toByte                                       // 88200
+    val (fk, ff) = Multimodal.parseContainerMeta(fl).get
+    assert(fk === "flac")
+    assert(ff(3) === 2.0f && ff(4) === 44100.0f)
+    assert(math.abs(ff(0) - 2.0f) < 1e-4)
+
+    // --- hand-built MP3: three 128 kbps 44.1 kHz MPEG-1 Layer III frames
+    val frameLen = 144 * 128000 / 44100                // 417, no padding
+    val mp3 = new Array[Byte](frameLen * 3)
+    for (f <- 0 until 3) {
+      mp3(f * frameLen) = 0xff.toByte
+      mp3(f * frameLen + 1) = 0xfb.toByte
+      mp3(f * frameLen + 2) = 0x90.toByte              // brIdx 9, srIdx 0
+    }
+    val (ak, af) = Multimodal.parseContainerMeta(mp3).get
+    assert(ak === "mp3")
+    assert(af(4) === 44100.0f && af(5) === 128.0f)
+    assert(math.abs(af(0) - 3 * 1152.0 / 44100) < 1e-4)
+
+    // random bytes match NO container (the sync/magic gates hold)
+    val rnd = Array.tabulate[Byte](600)(i => ((i * 37 + 11) % 251).toByte)
+    assert(Multimodal.parseContainerMeta(rnd).isEmpty)
+
+    // and the batch extractor routes containers through the real parser
+    val feats = Multimodal.extractFeatures(spark,
+        Seq((1L, mp4), (2L, fl), (3L, mp3)).toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L) === mf.toSeq && feats(2L) === ff.toSeq && feats(3L) === af.toSeq)
+  }
+
   test("native cosine_similarity expression: eval, codegen, SQL, parity with HOF version") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
