@@ -230,6 +230,15 @@ object SparkEntry {
           col("n"), round(col("z"), 6).as("z"))
         .orderBy("event_type", "hour_start")),
 
+    "describe_entropy" -> ((s, dir) =>
+      // per-column Shannon entropy over level counts: exact count algebra
+      // (H = ln N − Σ n ln n / N), second aggregation is O(#levels)
+      Describe.entropy(t(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority"))
+        .select(col("variable"), col("n_levels"), col("total"),
+          round(col("entropy_nats"), 6).as("entropy_nats"))
+        .orderBy("variable")),
+
     "events_retention" -> ((s, dir) => {
       // cohort retention matrix: users bucketed by first-seen day, counted
       // at each day offset they return. Two shuffles, both keyed by
@@ -2350,6 +2359,16 @@ object SparkEntry {
          FROM h JOIN st USING (event_type)
          WHERE sd > 0 AND abs((n - m) / sd) > 2
          ORDER BY 1, 2""",
+
+    "describe_entropy" ->
+      """WITH m AS (
+           SELECT 'o_orderstatus' AS variable, CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+           UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders),
+         c AS (SELECT variable, value, count(*) AS n FROM m
+               WHERE value IS NOT NULL GROUP BY 1, 2)
+         SELECT variable, count(*) AS n_levels, CAST(sum(n) AS BIGINT) AS total,
+           round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy_nats
+         FROM c GROUP BY 1 ORDER BY 1""",
 
     "events_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -358,6 +358,28 @@ object Describe {
     * on the key + an O(#distinct) aggregate; top-k is a
     * TakeOrderedAndProject. Nulls count as a key (they hash to one
     * reducer too — the classic silent skew). */
+  /** Shannon entropy (nats) of each column's level distribution — the
+    * corpus-diversity / label-balance metric (H = ln N − Σ n·ln n / N,
+    * exact algebra on counts so it replays in any SQL engine). Nulls are
+    * dropped, matching the freq-table convention. One melt (stack, codegen)
+    * + a (variable, value) count shuffle; the per-variable reduction is
+    * O(#levels), never row-scale. */
+  def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val k = cols.length
+    val melted = df.selectExpr(
+      s"stack($k, ${cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")}) " +
+        "AS (variable, value)")
+      .filter(col("value").isNotNull)
+    melted.groupBy("variable", "value").agg(count(lit(1)).as("n"))
+      .groupBy("variable").agg(
+        count(lit(1)).as("n_levels"),
+        sum("n").as("total"),
+        sum(col("n") * log(col("n"))).as("__snlogn"))
+      .select(col("variable"), col("n_levels"), col("total"),
+        (log(col("total")) - col("__snlogn") / col("total")).as("entropy_nats"))
+  }
+
   def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
     require(topK > 0, "topK must be positive")
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))

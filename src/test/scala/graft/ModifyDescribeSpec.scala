@@ -632,4 +632,21 @@ class ModifyDescribeSpec extends SparkSpec {
       .select("y_bin").collect().map(_.getInt(0)).toSet
     assert(dupBins === Set(0), "all-equal values land in the lowest bin")
   }
+
+  test("entropy: uniform = ln k, constant = 0, nulls dropped, skew in between") {
+    import spark.implicits._
+    val df = (0 until 80).map { i =>
+      (s"L${i % 4}",                                  // uniform over 4 levels
+        "const",                                      // single level
+        if (i % 8 == 0) null else if (i < 70) "a" else "b") // skewed + nulls
+    }.toDF("u", "c", "s")
+    val out = Describe.entropy(df, Seq("u", "c", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("u")._1 === 4L && math.abs(out("u")._3 - math.log(4)) < 1e-12)
+    assert(out("c") === ((1L, 80L, 0.0)))
+    val (lv, tot, h) = out("s")
+    assert(lv === 2L && tot === 70L)                  // 10 nulls dropped
+    val pa = 61.0 / 70; val pb = 9.0 / 70             // i%8==0 removes 9 a's, 1 b
+    assert(math.abs(h - (-(pa * math.log(pa) + pb * math.log(pb)))) < 1e-12)
+  }
 }
