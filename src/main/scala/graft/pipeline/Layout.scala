@@ -32,42 +32,60 @@ object Layout {
     ((n - pmod(n, d)) / d).cast("long")
   }
 
-  /** Morton interleave of two `bits`-bit bucket ids: bit i of x lands at
-    * position 2i, bit i of y at 2i+1. A fixed unrolled sum of shifts/masks —
+  /** Morton interleave of d `bits`-bit bucket ids: bit i of dimension j
+    * lands at position i·d + j. A fixed unrolled sum of shifts/masks —
     * whole-stage-codegen folds it into straight-line long arithmetic. */
-  def interleaveBits(bx: Column, by: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      (shiftleft(shiftrightunsigned(bx, i).bitwiseAND(lit(1L)), 2 * i))
-        .plus(shiftleft(shiftrightunsigned(by, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ + _)
-
-  /** Attach the z-value of (xCol, yCol) as `out`, bucketized to `bits` bits
-    * per dimension against the frame's own global bounds (one broadcast
-    * aggregate row riding the plan — stays lazy, no driver action). */
-  def withZValue(df: DataFrame, xCol: String, yCol: String,
-                 bits: Int = 8, out: String = "zvalue"): DataFrame = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
-    val bounds = df.agg(
-      min(col(xCol).cast("long")).as("__mnx"), max(col(xCol).cast("long")).as("__mxx"),
-      min(col(yCol).cast("long")).as("__mny"), max(col(yCol).cast("long")).as("__mxy"))
-    val bx = bucket(col(xCol).cast("long"), col("__mnx"), col("__mxx"), bits)
-    val by = bucket(col(yCol).cast("long"), col("__mny"), col("__mxy"), bits)
-    df.crossJoin(broadcast(bounds))
-      .withColumn(out, interleaveBits(bx, by, bits))
-      .drop("__mnx", "__mxx", "__mny", "__mxy")
+  def interleaveBitsN(bs: Seq[Column], bits: Int): Column = {
+    val d = bs.length
+    require(d >= 1 && d * bits <= 62, s"d*bits must fit a long: $d x $bits")
+    (for (i <- 0 until bits; j <- 0 until d) yield
+      shiftleft(shiftrightunsigned(bs(j), i).bitwiseAND(lit(1L)), i * d + j))
+      .reduce(_ + _)
   }
 
+  /** 2-D convenience: bit i of x at position 2i, of y at 2i+1. */
+  def interleaveBits(bx: Column, by: Column, bits: Int): Column =
+    interleaveBitsN(Seq(bx, by), bits)
+
+  /** Attach the z-value of `cols` as `out`, each dimension bucketized to
+    * `bits` bits against its own global bounds (ONE broadcast aggregate row
+    * riding the plan — stays lazy, no driver action). */
+  def withZValueN(df: DataFrame, cols: Seq[String],
+                  bits: Int, out: String): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val bounds = df.agg(
+      min(col(cols.head).cast("long")).as(s"__mn0"),
+      (max(col(cols.head).cast("long")).as(s"__mx0") +:
+        cols.tail.zipWithIndex.flatMap { case (c, i) => Seq(
+          min(col(c).cast("long")).as(s"__mn${i + 1}"),
+          max(col(c).cast("long")).as(s"__mx${i + 1}")) }): _*)
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      bucket(col(c).cast("long"), col(s"__mn$i"), col(s"__mx$i"), bits) }
+    df.crossJoin(broadcast(bounds))
+      .withColumn(out, interleaveBitsN(buckets, bits))
+      .drop(cols.indices.flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
+  }
+
+  def withZValue(df: DataFrame, xCol: String, yCol: String,
+                 bits: Int = 8, out: String = "zvalue"): DataFrame =
+    withZValueN(df, Seq(xCol, yCol), bits, out)
+
   /** The write layout: range-partition by z-value (each output file covers
-    * one compact z-range = one small rectangle in both dimensions) and sort
-    * within partitions so parquet row-group stats are tight too. Write the
-    * result with the caller's sink; `numFiles` sizes the output. */
-  def zOrdered(df: DataFrame, xCol: String, yCol: String,
-               numFiles: Int, bits: Int = 8): DataFrame = {
+    * one compact z-range = one small hyper-rectangle in every dimension)
+    * and sort within partitions so parquet row-group stats are tight too.
+    * Write the result with the caller's sink; `numFiles` sizes the output. */
+  def zOrderedN(df: DataFrame, cols: Seq[String],
+                numFiles: Int, bits: Int = 8): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
-    withZValue(df, xCol, yCol, bits)
+    withZValueN(df, cols, bits, "zvalue")
       .repartitionByRange(numFiles, col("zvalue"))
       .sortWithinPartitions("zvalue")
   }
+
+  def zOrdered(df: DataFrame, xCol: String, yCol: String,
+               numFiles: Int, bits: Int = 8): DataFrame =
+    zOrderedN(df, Seq(xCol, yCol), numFiles, bits)
 
   /** Clustering-quality report: rows per z-cell and each dimension's span
     * inside the cell. One shuffle (the cell aggregation, ≤ 2^(2·bits) groups

@@ -314,6 +314,19 @@ class ScaleOpsSpec extends SparkSpec {
     val minz = zval.filter(col("x") === 0 && col("y") === 0).head().getAs[Long]("zvalue")
     assert(minz === 0L)
 
+    // 3-D interleave, 2 bits: x=01,y=10,z=11 -> 1 + 4 + 16 + 32 = 53
+    val z3 = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+      .select(graft.pipeline.Layout.interleaveBitsN(
+        Seq(col("a"), col("b"), col("c")), 2))
+      .head().getLong(0)
+    assert(z3 === 53L)
+    // N-D z-value: distinct triples spread over distinct cells, bounds hold
+    val z3df = graft.pipeline.Layout.withZValueN(df
+        .withColumn("w", (col("payload") % 13).cast("long")),
+      Seq("x", "y", "w"), bits = 3, out = "zvalue")
+    assert(z3df.agg(max("zvalue")).head().getLong(0) < (1L << 9))
+    assert(z3df.agg(min("zvalue")).head().getLong(0) >= 0L)
+
     val laid = graft.pipeline.Layout.zOrdered(df, "x", "y", numFiles = 4, bits = 4)
     assert(laid.rdd.getNumPartitions === 4)
     // within every partition the z-values are non-decreasing (the write layout)
