@@ -127,24 +127,53 @@ object EventStreams {
         last(col("__av"), ignoreNulls = true).over(w).as("ffill_avg"))
   }
 
+  /** Per-key moments of the hourly count distribution (mean_n, sd_n) — the
+    * reference table the anomaly monitors score against. Two shuffles, the
+    * second over O(hours × keys) rows. */
+  def hourlyMoments(events: DataFrame, keyCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame =
+    events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(keyCol))
+      .agg(avg(col("n")).as("mean_n"), stddev_samp(col("n")).as("sd_n"))
+
+  private def flagAnomalies(hourly: DataFrame, moments: DataFrame,
+                            keyCol: String, zThreshold: Double): DataFrame =
+    hourly.join(broadcast(moments), Seq(keyCol))
+      .withColumn("z", (col("n") - col("mean_n")) / col("sd_n"))
+      .filter(col("sd_n") > 0 && abs(col("z")) > zThreshold)
+      .select(col(keyCol), col("hour"), col("n"), col("z"))
+
   /** Hourly volume anomalies: hours whose event count deviates more than
     * `zThreshold` sample standard deviations from that key's own mean hourly
-    * count. Two shuffles (hourly agg + per-key moment agg, the second over
-    * O(hours × keys) rows); the tiny per-key moments broadcast back onto the
-    * hourly frame. The batch twin of a streaming monitor — the same hourly
-    * aggregate runs under `tumblingCountsStream` with the moments supplied
-    * from a slowly-updated reference table. */
+    * count; the tiny per-key moments broadcast back onto the hourly frame.
+    * Self-referential batch form — [[hourlyAnomalyStream]] is the live
+    * monitor scoring against a static reference. */
   def hourlyAnomaly(events: DataFrame, keyCol: String = "event_type",
                     tsCol: String = "ts", zThreshold: Double = 2.0): DataFrame = {
     val hourly = events
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n"))
-    val stats = hourly.groupBy(col(keyCol))
-      .agg(avg(col("n")).as("__mean"), stddev_samp(col("n")).as("__sd"))
-    hourly.join(broadcast(stats), Seq(keyCol))
-      .withColumn("z", (col("n") - col("__mean")) / col("__sd"))
-      .filter(col("__sd") > 0 && abs(col("z")) > zThreshold)
-      .select(col(keyCol), col("hour"), col("n"), col("z"))
+    flagAnomalies(hourly, hourlyMoments(events, keyCol, tsCol), keyCol, zThreshold)
+  }
+
+  /** Streaming twin: the hourly aggregate runs on the watermarked stream
+    * (state bounded, windows close as the watermark passes) and each closed
+    * hour is scored against a STATIC `moments` reference
+    * ([[hourlyMoments]] over history, refreshed out-of-band) — a streaming
+    * aggregate cannot be re-aggregated for its own moments in append mode,
+    * and a monitor should score against yesterday's normal anyway. The
+    * stream-static join broadcasts: moments is O(#keys). */
+  def hourlyAnomalyStream(events: DataFrame, moments: DataFrame,
+                          keyCol: String = "event_type", tsCol: String = "ts",
+                          zThreshold: Double = 2.0,
+                          watermark: String = "2 hours"): DataFrame = {
+    val hourly = events.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), window(col(tsCol), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("window.start").as("hour"), col("n"))
+    flagAnomalies(hourly, moments, keyCol, zThreshold)
   }
 
   final case class SessionState(start: Long, last: Long, n: Long, value: Double)

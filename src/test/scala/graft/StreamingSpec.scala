@@ -381,5 +381,28 @@ class StreamingSpec extends SparkSpec {
     val r = flagged.head
     assert(r.getTimestamp(1).getTime / 1000 === 11 * 3600L)
     assert(r.getLong(2) === 30L && r.getDouble(3) > 2.0)
+
+    // streaming twin: same events on a MemoryStream, scored against the
+    // batch moments; a far-future sentinel (key outside the reference,
+    // dropped by the join) closes the spike window past the watermark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.hourlyAnomalyStream(streamDf,
+        EventStreams.hourlyMoments(df), zThreshold = 2.0, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode("append").start()
+    try {
+      val rows = (quiet ++ spike).map(t => (t._1, t._2, t._3, t._4, t._5, t._6))
+      mem.addData(rows: _*)
+      mem.addData((99999L, ts(20 * 3600L), 9L, "zz", 0.0, "{}"))
+      q.processAllAvailable()
+      val streamed = spark.table("anomaly_stream").collect()
+      assert(streamed.length === 1)
+      assert(streamed.head.getTimestamp(1).getTime / 1000 === 11 * 3600L)
+      assert(streamed.head.getLong(2) === 30L)
+      assert(math.abs(streamed.head.getDouble(3) - r.getDouble(3)) < 1e-12)
+    } finally q.stop()
   }
 }
