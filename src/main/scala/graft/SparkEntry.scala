@@ -230,6 +230,19 @@ object SparkEntry {
           col("n"), round(col("z"), 6).as("z"))
         .orderBy("event_type", "hour_start")),
 
+    "modify_upsert" -> ((s, dir) => {
+      // incremental corpus refresh: a delta (every 10th customer with a
+      // new balance) supersedes stale rows via ONE anti-join (the delta
+      // broadcasts; the base table never shuffles) + union
+      val c = t(s, dir, "customer")
+      val delta = c.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") * 2, 2))
+      Joins.upsert(c, delta, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     "describe_entropy" -> ((s, dir) =>
       // per-column Shannon entropy over level counts: exact count algebra
       // (H = ln N − Σ n ln n / N), second aggregation is O(#levels)
@@ -2359,6 +2372,14 @@ object SparkEntry {
          FROM h JOIN st USING (event_type)
          WHERE sd > 0 AND abs((n - m) / sd) > 2
          ORDER BY 1, 2""",
+
+    "modify_upsert" ->
+      """SELECT c_custkey, c_mktsegment, round(round(c_acctbal * 2, 2), 2) AS c_acctbal
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, round(c_acctbal, 2)
+         FROM customer WHERE c_custkey % 10 <> 0
+         ORDER BY c_custkey""",
 
     "describe_entropy" ->
       """WITH m AS (

@@ -19,6 +19,24 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Joins {
 
+  /** MERGE/upsert (SCD-type-1): rows of `updates` replace same-key rows of
+    * `base`; base rows with no update survive unchanged — the incremental
+    * corpus-refresh primitive (re-crawled documents supersede stale ones).
+    * Schemas must match by name. ONE anti-join shuffle on the key plus a
+    * union; when `updates` is the small delta (the normal case) the
+    * anti-join broadcasts and the base table never shuffles at all — the
+    * shape that matters when base is the 100 TB corpus. `updates` must be
+    * key-unique (enforce upstream with dropDuplicates — silently keeping
+    * both would duplicate the key downstream). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(base.columns.toSet == updates.columns.toSet,
+      s"schemas must match by name: base ${base.columns.mkString(",")} vs " +
+        s"updates ${updates.columns.mkString(",")}")
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+  }
+
   /** Inner equi-join of `big` (skewed side) with `small` (replicated side)
     * on `keys`, with the big side split `salt` ways per key. The salt is a
     * deterministic hash of the big side's full row, so re-runs and retries

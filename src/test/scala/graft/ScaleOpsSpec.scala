@@ -275,6 +275,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(clean.agg(sum("n_chars")).head().getLong(0) === sum0)
   }
 
+  test("upsert: updates replace, inserts append, untouched rows survive") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "name", "v")
+    val updates = Seq((2L, "b2", 99), (4L, "d", 40)).toDF("k", "name", "v")
+    val got = graft.pipeline.Joins.upsert(base, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, "a", 10), (2L, "b2", 99), (3L, "c", 30), (4L, "d", 40)))
+    // schema drift is an error, not silent column loss
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Joins.upsert(base, updates.drop("v"), Seq("k"))
+    }
+  }
+
   test("pageRank: hand-computed 3-node graph; sum of ranks conserved") {
     import spark.implicits._
     // a -> b (w 1), a -> c (w 3), b -> c (w 1), c -> a (w 1)
