@@ -946,6 +946,16 @@ object SparkEntry {
           round(col("avg_nll"), 6).as("avg_nll"))
         .orderBy("doc_id")),
 
+    "text_bigram_lm" -> ((s, dir) =>
+      // interpolated bigram LM (λ·p₂ + (1−λ)·p₁): bigrams from a
+      // zero-shuffle array zip; top-K bigram/unigram tables + corpus
+      // constants broadcast; fully lazy
+      Text.bigramPerplexity(t(s, dir, "documents"), "text", "doc_id",
+          topBigrams = 2000, topVocab = 1000, alpha = 1.0, lambda = 0.7)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_nll"), 6).as("avg_nll"))
+        .orderBy("doc_id")),
+
     "text_langid" -> ((s, dir) =>
       Text.langId(t(s, dir, "documents").filter(col("doc_id") < 100), "text")
         .select(col("doc_id"), col("pred_lang"))
@@ -1981,6 +1991,35 @@ object SparkEntry {
            round(CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,
            round(CASE WHEN n_words > 0 THEN stop * 1.0 / n_words ELSE 0.0 END, 6) AS stopword_ratio
          FROM f ORDER BY doc_id""",
+
+    "text_bigram_lm" ->
+      """WITH a AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> w <> '') AS arr
+           FROM documents),
+         bg AS (SELECT doc_id, unnest(arr[1:len(arr)-1]) AS w1,
+                  unnest(arr[2:len(arr)]) AS w2 FROM a),
+         bt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+                ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 2000),
+         cx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         btc AS (SELECT bt.w1, bt.w2, bt.c12, cx.c1 FROM bt JOIN cx USING (w1)),
+         wf AS (SELECT doc_id, unnest(arr) AS word FROM a),
+         top AS (SELECT word, count(*) AS cu FROM wf GROUP BY 1
+                 ORDER BY cu DESC, word ASC LIMIT 1000),
+         tot AS (SELECT count(*) AS t FROM wf),
+         vs AS (SELECT coalesce(sum(cu), 0) AS iv, count(*) AS k FROM top)
+         SELECT bg.doc_id, count(*) AS n_bigrams,
+           round(-sum(ln(
+               CAST(0.7 AS DOUBLE)
+                 * coalesce(CAST(btc.c12 AS DOUBLE) / btc.c1, CAST(0 AS DOUBLE))
+             + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                 * ((CAST(coalesce(top.cu, t - iv) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                    / (t + CAST(1.0 AS DOUBLE) * (k + 1)))
+           )) / count(*), 6) AS avg_nll
+         FROM bg LEFT JOIN btc ON bg.w1 = btc.w1 AND bg.w2 = btc.w2
+         LEFT JOIN top ON bg.w2 = top.word
+         CROSS JOIN tot CROSS JOIN vs
+         GROUP BY bg.doc_id, t, iv, k ORDER BY bg.doc_id""",
 
     "text_lm_perplexity" ->
       """WITH w AS (SELECT doc_id,

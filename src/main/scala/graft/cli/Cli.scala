@@ -542,6 +542,12 @@ object Cli {
           Text.perplexityScore(df, txt, idc,
             topVocab = flag(rest, "--vocab").map(_.toInt).getOrElse(50000),
             alpha = flag(rest, "--alpha").map(_.toDouble).getOrElse(1.0))
+        case "lm-bigram" =>
+          Text.bigramPerplexity(df, txt, idc,
+            topBigrams = flag(rest, "--bigrams").map(_.toInt).getOrElse(200000),
+            topVocab = flag(rest, "--vocab").map(_.toInt).getOrElse(50000),
+            alpha = flag(rest, "--alpha").map(_.toDouble).getOrElse(1.0),
+            lambda = flag(rest, "--lambda").map(_.toDouble).getOrElse(0.7))
         case "resample-hourly" =>
           graft.streaming.EventStreams.resampleHourly(df,
             keyCol = flag(rest, "--key").getOrElse("event_type"),
@@ -622,6 +628,7 @@ object Cli {
       |  pipeline skew-report <in> <out> --key c [--k N]
       |  pipeline psi-drift <current> <out> --ref <reference.parquet> --cols c1,c2 [--bins N]
       |  pipeline lm-perplexity <in> <out> [--id c] [--text c] [--vocab N] [--alpha a]
+      |  pipeline lm-bigram <in> <out> [--id c] [--text c] [--bigrams N] [--vocab N] [--alpha a] [--lambda l]
       |  pipeline resample-hourly|hourly-anomaly <in> <out> [--key c] [--ts c] [--value c] [--z t]
       |  pipeline pagerank <edges> <out> [--src c] [--dst c] [--weight c] [--iters N] [--damping d]
       |  pipeline zorder-write <in> <out> --x c --y c --files N [--bits b]

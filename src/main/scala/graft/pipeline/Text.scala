@@ -416,6 +416,58 @@ object Text {
         exp(-col("__slp") / col("n_tokens")).as("perplexity"))
   }
 
+  /** Interpolated bigram LM scoring — one rung up from [[perplexityScore]]
+    * toward the KenLM filter: p(w2|w1) = λ·p₂ + (1−λ)·p₁ where p₂ is the
+    * ML bigram probability c(w1,w2)/c(w1·) when the bigram is in the
+    * corpus's own top-K bigram table (0 otherwise — the interpolation
+    * absorbs unseen bigrams) and p₁ is the add-α unigram probability with
+    * pooled OOV. A document's score is its mean −ln p over bigrams;
+    * documents shorter than 2 tokens have no bigrams and are absent.
+    *
+    * Scale shape: bigrams come from a zero-shuffle array zip (no
+    * row-expansion shuffle); the bigram/unigram count tables are top-K
+    * bounded and broadcast back; context totals join the bigram table
+    * aggregate-to-aggregate (tiny). Corpus constants ride the plan as
+    * broadcast single-row aggregates — the frame is fully lazy. */
+  def bigramPerplexity(df: DataFrame, textCol: String, idCol: String,
+                       topBigrams: Int = 200000, topVocab: Int = 50000,
+                       alpha: Double = 1.0, lambda: Double = 0.7): DataFrame = {
+    require(topBigrams > 0 && topVocab > 0, "top-K sizes must be positive")
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val base = df.select(col(idCol).as("__doc"),
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        w => length(w) > 0).as("__a"))
+    // per-doc bigram stream: guard short docs (sequence(1,0) DESCENDS in
+    // Spark and would fabricate phantom pairs)
+    val bg = base.select(col("__doc"), explode(expr(
+        "CASE WHEN size(__a) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(__a) - 1), " +
+          "i -> struct(__a[i-1] AS w1, __a[i] AS w2)) END")).as("b"))
+      .select(col("__doc"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgTop = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+      .orderBy(col("__c12").desc, col("w1").asc, col("w2").asc).limit(topBigrams)
+    val ctx = bg.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val bt = bgTop.join(ctx, Seq("w1"))          // aggregate ⋈ aggregate
+    val toks = base.select(col("__doc"), explode(col("__a")).as("word"))
+    val uniTop = toks.groupBy("word").agg(count(lit(1)).as("__cu"))
+      .orderBy(col("__cu").desc, col("word").asc).limit(topVocab)
+    val totals = toks.agg(count(lit(1)).as("__t"))
+    val vocabStats = uniTop.agg(
+      coalesce(sum(col("__cu")), lit(0L)).as("__iv"), count(lit(1)).as("__k"))
+    val p1 = (coalesce(col("__cu"), col("__t") - col("__iv")) + lit(alpha)) /
+      (col("__t") + lit(alpha) * (col("__k") + lit(1L)))
+    val p2 = coalesce(col("__c12").cast("double") / col("__c1"), lit(0.0))
+    bg.join(broadcast(bt), Seq("w1", "w2"), "left")
+      .join(broadcast(uniTop.withColumnRenamed("word", "w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(vocabStats))
+      .withColumn("__lp", log(lit(lambda) * p2 + lit(1.0 - lambda) * p1))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__slp"))
+      .select(col("__doc").as(idCol), col("n_bigrams"),
+        (-col("__slp") / col("n_bigrams")).as("avg_nll"),
+        exp(-col("__slp") / col("n_bigrams")).as("perplexity"))
+  }
+
   /** Corpus report card: doc counts and size stats at EVERY combination of
     * the grouping dimensions in one pass (cube = grouping sets), the
     * "corpus health dashboard" aggregation. One shuffle total — Spark

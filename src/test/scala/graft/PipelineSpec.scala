@@ -306,6 +306,37 @@ class PipelineSpec extends SparkSpec {
       s"gibberish ppl ${scored(900L)} must dwarf natural ${scored(0L)}")
   }
 
+  test("bigramPerplexity: hand-computed interpolation; word order matters") {
+    import spark.implicits._
+    // one doc "a b a b": bigrams (a,b) x2, (b,a) x1; contexts a:2, b:1
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = graft.pipeline.Text.bigramPerplexity(df, "text", "doc_id",
+        topBigrams = 10, topVocab = 10, alpha = 1.0, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    // unigram: T=4, a:2 b:2 in vocab, K=2, denom=4+3=7 -> p1(a)=p1(b)=3/7
+    val p1 = 3.0 / 7
+    val pab = 0.7 * (2.0 / 2) + 0.3 * p1   // p2(b|a) = c(a,b)/c(a.) = 1
+    val pba = 0.7 * (1.0 / 1) + 0.3 * p1
+    val want = -(2 * math.log(pab) + math.log(pba)) / 3
+    assert(got._1 === 1L && got._2 === 3L)
+    assertRtol(got._3, want, 1e-12, "interpolated nll")
+
+    // word ORDER separates docs a unigram model cannot: same bag of words,
+    // one in corpus-typical order, one scrambled
+    val corpus = (0L until 100L).map(i => (i, "the quick brown fox jumps")) ++
+      Seq((900L, "fox the jumps brown quick"))
+    val scored = graft.pipeline.Text.bigramPerplexity(
+        corpus.toDF("doc_id", "text"), "text", "doc_id",
+        topBigrams = 50, topVocab = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scored(900L) > 2 * scored(0L),
+      s"scrambled ppl ${scored(900L)} must exceed natural ${scored(0L)}")
+    // a 1-token doc has no bigrams and is absent
+    val one = graft.pipeline.Text.bigramPerplexity(
+      Seq((5L, "solo")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(one.count() === 0L)
+  }
+
   test("bm25Rank matches the formula computed from first principles") {
     import spark.implicits._
     val docs = Seq(
