@@ -252,6 +252,13 @@ object SparkEntry {
           round(col("entropy_nats"), 6).as("entropy_nats"))
         .orderBy("variable")),
 
+    "events_scd2" -> ((s, dir) =>
+      // SCD2 state history: per-user validity intervals from the event
+      // stream (consecutive repeats merge; open state has null valid_to);
+      // both windows partition by user — key-parallel, never global
+      EventStreams.scd2History(t(s, dir, "events"))
+        .orderBy("user_id", "valid_from")),
+
     "events_retention" -> ((s, dir) => {
       // cohort retention matrix: users bucketed by first-seen day, counted
       // at each day offset they return. Two shuffles, both keyed by
@@ -2429,6 +2436,20 @@ object SparkEntry {
          SELECT variable, count(*) AS n_levels, CAST(sum(n) AS BIGINT) AS total,
            round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy_nats
          FROM c GROUP BY 1 ORDER BY 1""",
+
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+             event_type FROM events),
+         d AS (SELECT *, lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e),
+         f AS (SELECT user_id, event_id, t, event_type FROM d
+               WHERE prev IS NULL OR prev <> event_type),
+         g AS (SELECT user_id, event_type, t AS valid_from,
+                 lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   AS valid_to FROM f)
+         SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+         FROM g ORDER BY user_id, valid_from""",
 
     "events_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

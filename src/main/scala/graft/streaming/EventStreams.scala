@@ -176,6 +176,27 @@ object EventStreams {
     flagAnomalies(hourly, moments, keyCol, zThreshold)
   }
 
+  /** SCD-type-2 history: collapse an event stream into per-key state
+    * validity intervals [valid_from, valid_to) — consecutive repeats of
+    * the same state merge, the open current state carries a null valid_to.
+    * Two windows, both partitioned by key (parallelism = key cardinality;
+    * per-key history is calendar-bounded, never corpus-bounded).
+    * `tieCol` breaks equal-timestamp ties deterministically. */
+  def scd2History(events: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "ts", stateCol: String = "event_type",
+                  tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col(tieCol))
+    val changes = events
+      .select(col(keyCol), col(tieCol), unix_micros(col(tsCol)).as("__t"),
+        col(stateCol))
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+    changes
+      .withColumn("valid_to", lead(col("__t"), 1).over(w))
+      .select(col(keyCol), col(stateCol), col("__t").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, value: Double)
   final case class Session(user_id: Long, session_start: Long, session_end: Long,
                            n_events: Long, total_value: Double)

@@ -348,6 +348,25 @@ class StreamingSpec extends SparkSpec {
     assert(first.n_events === 2 && first.session_start === 0 && first.session_end === 100)
   }
 
+  test("scd2History: repeats merge, transitions cut, open state is current") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts(0), 1L, "free", 0.0, "{}"),
+      (2L, ts(100), 1L, "free", 0.0, "{}"),     // repeat -> merged
+      (3L, ts(200), 1L, "pro", 0.0, "{}"),      // transition
+      (4L, ts(300), 1L, "free", 0.0, "{}"),     // back-transition = new row
+      (5L, ts(50), 2L, "pro", 0.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventStreams.scd2History(df).orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (1L, "free", 0L, 200000000L, false),
+      (1L, "pro", 200000000L, 300000000L, false),
+      (1L, "free", 300000000L, -1L, true),
+      (2L, "pro", 50000000L, -1L, true)))
+  }
+
   test("resampleHourly: gap hours appear with n=0 and forward-filled mean") {
     import spark.implicits._
     // type a: events in hour 0 (mean 3.0) and hour 2 (mean 5.0); hour 1 is a gap
