@@ -348,6 +348,44 @@ class StreamingSpec extends SparkSpec {
     assert(first.n_events === 2 && first.session_start === 0 && first.session_end === 100)
   }
 
+  test("stateful aggregation runs on the RocksDB state store (production backend)") {
+    import spark.implicits._
+    // same tumbling aggregation as the batch-parity test, but with state
+    // held in RocksDB — the backend a 1000-executor cluster runs, where
+    // state must spill beyond the JVM heap
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      val streamDf = mem.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val q = EventStreams.tumblingCountsStream(streamDf, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("rocksdb_tumbling")
+        .outputMode("complete").start()
+      try {
+        mem.addData(
+          (1L, ts(0), 10L, "click", 1.0, "{}"),
+          (2L, ts(600), 10L, "click", 2.0, "{}"),
+          (3L, ts(3700), 11L, "view", 3.0, "{}"))
+        q.processAllAvailable()
+        mem.addData((4L, ts(3800), 10L, "click", 4.0, "{}"))  // state survives batches
+        q.processAllAvailable()
+        val got = spark.table("rocksdb_tumbling")
+          .orderBy("window_start", "event_type").collect()
+          .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1),
+            r.getLong(2), r.getDouble(3)))
+        assert(got.toSeq === Seq((0L, "click", 2L, 3.0),
+          (3600L, "click", 1L, 4.0), (3600L, "view", 1L, 3.0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("scd2History: repeats merge, transitions cut, open state is current") {
     import spark.implicits._
     val rows = Seq(
