@@ -243,6 +243,18 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "describe_bootstrap_ci" -> ((s, dir) =>
+      // Poisson-bootstrap CI for the mean: 50 resamples in ONE pass via
+      // deterministic hash weights (exact hex-threshold compare, no float
+      // conversion); shuffle carries replica partial sums only
+      Describe.bootstrapCI(t(s, dir, "lineitem"), "l_extendedprice",
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")), replicas = 50)
+        .select(col("n"), round(col("mean"), 4).as("mean"),
+          round(col("se_boot"), 4).as("se_boot"),
+          round(col("ci_lo"), 4).as("ci_lo"),
+          round(col("ci_p50"), 4).as("ci_p50"),
+          round(col("ci_hi"), 4).as("ci_hi"))),
+
     "describe_entropy" -> ((s, dir) =>
       // per-column Shannon entropy over level counts: exact count algebra
       // (H = ln N − Σ n ln n / N), second aggregation is O(#levels)
@@ -2426,6 +2438,32 @@ object SparkEntry {
          SELECT c_custkey, c_mktsegment, round(c_acctbal, 2)
          FROM customer WHERE c_custkey % 10 <> 0
          ORDER BY c_custkey""",
+
+    "describe_bootstrap_ci" ->
+      """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+             concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR)) AS k
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         e AS (SELECT x, k, g.r FROM s CROSS JOIN
+               (SELECT unnest(generate_series(0, 49)) AS r) g),
+         w AS (SELECT r, x,
+             CASE WHEN h < '5e2d58d8b3bce' THEN 0
+                  WHEN h < 'bc5ab1b16779c' THEN 1
+                  WHEN h < 'eb715e1dc1583' THEN 2
+                  WHEN h < 'fb23979734a25' THEN 3
+                  WHEN h < 'ff1025f59174e' THEN 4
+                  WHEN h < 'ffd90f3ba4056' THEN 5
+                  ELSE 6 END AS wt
+           FROM (SELECT x, r,
+                   substr(md5(concat(k, '_', CAST(r AS VARCHAR))), 1, 13) AS h
+                 FROM e)),
+         m AS (SELECT r, sum(wt * x) / sum(wt) AS mm FROM w GROUP BY r),
+         ci AS (SELECT stddev_samp(mm) AS se_boot,
+                quantile_cont(mm, [0.025, 0.5, 0.975]) AS q FROM m),
+         b AS (SELECT count(*) AS n, avg(x) AS mean FROM s)
+         SELECT n, round(mean, 4) AS mean, round(se_boot, 4) AS se_boot,
+           round(q[1], 4) AS ci_lo, round(q[2], 4) AS ci_p50,
+           round(q[3], 4) AS ci_hi
+         FROM b, ci""",
 
     "describe_entropy" ->
       """WITH m AS (

@@ -358,6 +358,54 @@ object Describe {
     * on the key + an O(#distinct) aggregate; top-k is a
     * TakeOrderedAndProject. Nulls count as a key (they hash to one
     * reducer too — the classic silent skew). */
+  /** Cumulative Poisson(1) probabilities as 13-hex-digit thresholds
+    * (floor(P·16^13), lowercase): EXACT string comparisons against an md5
+    * prefix, no float conversion anywhere, so any SQL engine replays the
+    * weights bit-for-bit. Mass beyond k=5 (~6e-4) gets weight 6. */
+  private val poisson1HexThresholds = Seq(
+    "5e2d58d8b3bce", "bc5ab1b16779c", "eb715e1dc1583",
+    "fb23979734a25", "ff1025f59174e", "ffd90f3ba4056")
+
+  /** Poisson bootstrap confidence interval for the mean of `valueCol` —
+    * THE bootstrap at data sizes where resampling is impossible: each row
+    * contributes a deterministic Poisson(1) weight per replica (classic
+    * multinomial resampling converges to iid Poisson(1) weights as n→∞),
+    * so ALL `replicas` resamples ride ONE pass over the data. Weights come
+    * from md5(key, replica) prefixes compared against exact hex
+    * thresholds — deterministic across runs, engines, and partitionings.
+    *
+    * Scale shape: a `replicas`× generator expansion feeds a map-side-
+    * combined groupBy(replica) — the shuffle carries O(replicas ×
+    * partitions) partial sums, never row-scale; the replica-mean frame
+    * (`replicas` rows) reduces to one CI row with an exact percentile.
+    * Null values are dropped (they carry no information about the mean).
+    * Returns one row: n, mean, se_boot, ci_lo, ci_p50, ci_hi. */
+  def bootstrapCI(df: DataFrame, valueCol: String, key: Column,
+                  replicas: Int = 50): DataFrame = {
+    require(replicas >= 2, s"replicas must be >= 2: $replicas")
+    val src = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__x"), key.cast("string").as("__k"))
+    val h = substring(
+      md5(concat(col("__k"), lit("_"), col("__r").cast("string"))), 1, 13)
+    val w = poisson1HexThresholds.zipWithIndex
+      .foldRight(lit(6): Column) { case ((th, k), rest) =>
+        when(h < lit(th), k).otherwise(rest) }
+    val replicaMeans = src
+      .select(col("__x"), col("__k"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
+      .withColumn("__w", w)
+      .groupBy("__r")
+      .agg((sum(col("__w") * col("__x")) / sum(col("__w"))).as("__m"))
+    val ci = replicaMeans.agg(
+      stddev_samp(col("__m")).as("se_boot"),
+      percentile(col("__m"), array(lit(0.025), lit(0.5), lit(0.975))).as("__q"))
+    val base = src.agg(count(lit(1)).as("n"), avg(col("__x")).as("mean"))
+    base.crossJoin(ci).select(col("n"), col("mean"), col("se_boot"),
+      element_at(col("__q"), 1).as("ci_lo"),
+      element_at(col("__q"), 2).as("ci_p50"),
+      element_at(col("__q"), 3).as("ci_hi"))
+  }
+
   /** Shannon entropy (nats) of each column's level distribution — the
     * corpus-diversity / label-balance metric (H = ln N − Σ n·ln n / N,
     * exact algebra on counts so it replays in any SQL engine). Nulls are

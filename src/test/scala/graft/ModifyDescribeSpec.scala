@@ -633,6 +633,26 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(dupBins === Set(0), "all-equal values land in the lowest bin")
   }
 
+  test("bootstrapCI: weights ~ Poisson(1), CI brackets the mean, se tracks sd/sqrt(n)") {
+    import spark.implicits._
+    // deterministic uniform-ish data: mean 49.5, sd ~ 28.9, n = 4000
+    val df = (0 until 4000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "x")
+    val r = Describe.bootstrapCI(df, "x", col("id"), replicas = 60).head()
+    val (n, mean, se, lo, mid, hi) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(n === 4000L && math.abs(mean - 49.5) < 1e-9)
+    assert(lo < mean && mean < hi, s"CI [$lo,$hi] must bracket $mean")
+    assert(lo < mid && mid < hi)
+    // bootstrap SE ~ analytic sd/sqrt(n) = 28.87/63.2 = 0.456 (loose band:
+    // 60 replicas)
+    val analytic = math.sqrt((0 until 100).map(v => math.pow(v - 49.5, 2)).sum / 100) /
+      math.sqrt(4000)
+    assert(se > analytic * 0.6 && se < analytic * 1.6, s"se=$se vs analytic=$analytic")
+    // deterministic: identical on re-run
+    val r2 = Describe.bootstrapCI(df, "x", col("id"), replicas = 60).head()
+    assert(r2.getDouble(3) === lo && r2.getDouble(5) === hi)
+  }
+
   test("entropy: uniform = ln k, constant = 0, nulls dropped, skew in between") {
     import spark.implicits._
     val df = (0 until 80).map { i =>
