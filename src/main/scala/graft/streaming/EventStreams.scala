@@ -197,6 +197,52 @@ object EventStreams {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
 
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user lifetime counters on the NEW arbitrary-state API
+    * (`transformWithState`, Spark 4): typed `ValueState` with an optional
+    * TTL so abandoned users age out of the store instead of accumulating
+    * forever — the unbounded-key-space hygiene `flatMapGroupsWithState`
+    * lacks. Each micro-batch emits the updated lifetime totals for the
+    * users it touched (Update mode). Requires the RocksDB state store —
+    * which is the production backend anyway. */
+  class RunningTotalsProcessor(ttl: Option[java.time.Duration] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserTotals] {
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val cfg = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble), cfg)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      var (n, v) = Option(totals.get()).getOrElse((0L, 0.0))
+      rows.foreach { r => n += 1; v += r._2 }
+      totals.update((n, v))
+      Iterator.single(UserTotals(key, n, v))
+    }
+  }
+
+  /** Lifetime (n_events, total_value) per user over an event stream via
+    * [[RunningTotalsProcessor]]. Update-mode output: one refreshed row per
+    * touched user per micro-batch. */
+  def runningTotalsStream(spark: SparkSession, events: DataFrame,
+                          ttl: Option[java.time.Duration] = None)
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, value: Double)
   final case class Session(user_id: Long, session_start: Long, session_end: Long,
                            n_events: Long, total_value: Double)

@@ -386,6 +386,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: lifetime totals accumulate across micro-batches") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      val streamDf = mem.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val q = EventStreams.runningTotalsStream(spark, streamDf)
+        .writeStream.format("memory").queryName("running_totals")
+        .outputMode("update").start()
+      try {
+        mem.addData((1L, ts(0), 7L, "a", 2.0, "{}"), (2L, ts(1), 7L, "a", 3.0, "{}"))
+        q.processAllAvailable()
+        mem.addData((3L, ts(2), 7L, "a", 5.0, "{}"), (4L, ts(3), 8L, "a", 1.0, "{}"))
+        q.processAllAvailable()
+        // update-mode sink: last emission per (user, batch); lifetime
+        // totals for user 7 must accumulate across the two batches
+        val rows = spark.table("running_totals").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(rows.contains((7L, 2L, 5.0)), s"batch-1 emission: ${rows.toSeq}")
+        assert(rows.contains((7L, 3L, 10.0)), s"batch-2 accumulation: ${rows.toSeq}")
+        assert(rows.contains((8L, 1L, 1.0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("scd2History: repeats merge, transitions cut, open state is current") {
     import spark.implicits._
     val rows = Seq(
