@@ -574,6 +574,22 @@ object Cli {
           graft.pipeline.Layout.zCellStats(df,
             xCol = req(rest, "--x"), yCol = req(rest, "--y"),
             bits = flag(rest, "--bits").map(_.toInt).getOrElse(6))
+        case "entropy" =>
+          graft.describe.Describe.entropy(df, req(rest, "--cols").split(",").toSeq)
+        case "bootstrap-ci" =>
+          graft.describe.Describe.bootstrapCI(df, req(rest, "--value"),
+            org.apache.spark.sql.functions.col(flag(rest, "--key").getOrElse(idc)),
+            replicas = flag(rest, "--replicas").map(_.toInt).getOrElse(50))
+        case "scd2" =>
+          graft.streaming.EventStreams.scd2History(df,
+            keyCol = flag(rest, "--key").getOrElse("user_id"),
+            tsCol = flag(rest, "--ts").getOrElse("ts"),
+            stateCol = flag(rest, "--state").getOrElse("event_type"),
+            tieCol = flag(rest, "--tie").getOrElse("event_id"))
+        case "upsert" =>
+          graft.pipeline.Joins.upsert(df,
+            spark.read.parquet(req(rest, "--updates")),
+            keys = req(rest, "--keys").split(",").toSeq)
         case other => throw new IllegalArgumentException(s"unknown pipeline verb: $other")
       }
       result.write.mode("overwrite").parquet(out)
@@ -633,6 +649,10 @@ object Cli {
       |  pipeline pagerank <edges> <out> [--src c] [--dst c] [--weight c] [--iters N] [--damping d]
       |  pipeline zorder-write <in> <out> --x c --y c --files N [--bits b]
       |  pipeline zorder-stats <in> <out> --x c --y c [--bits b]
+      |  pipeline entropy <in> <out> --cols c1,c2
+      |  pipeline bootstrap-ci <in> <out> --value c [--key c] [--replicas N]
+      |  pipeline scd2 <in> <out> [--key c] [--ts c] [--state c] [--tie c]
+      |  pipeline upsert <base> <out> --updates <delta.parquet> --keys k1,k2
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]
