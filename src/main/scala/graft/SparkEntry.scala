@@ -264,6 +264,64 @@ object SparkEntry {
           round(col("entropy_nats"), 6).as("entropy_nats"))
         .orderBy("variable")),
 
+    "events_funnel_windowed" -> ((s, dir) => {
+      // per-view funnel with a 1-hour conversion window at each step:
+      // two FORWARD as-of joins (view→next click, click→next purchase),
+      // each ONE shuffle — the composition that replaces MATCH_RECOGNIZE
+      val ev = t(s, dir, "events")
+      def stage(tp: String, out: String) =
+        ev.filter(col("event_type") === tp)
+          .select(col("user_id"), unix_micros(col("ts")).as(out))
+      val hourUs = 3600L * 1000000L
+      val vc = Joins.asofJoin(stage("view", "t_view"), stage("click", "t_click"),
+        keys = Seq("user_id"), leftTs = "t_view", rightTs = "t_click",
+        rightCols = Nil, prefix = "c_", tolerance = Some(hourUs),
+        direction = "forward")
+      val vcp = Joins.asofJoin(vc, stage("purchase", "t_purchase"),
+        keys = Seq("user_id"), leftTs = "c_t_click", rightTs = "t_purchase",
+        rightCols = Nil, prefix = "p_", tolerance = Some(hourUs),
+        direction = "forward")
+      vcp.agg(count(lit(1)).as("n_views"),
+        sum(when(col("c_t_click").isNotNull, 1L).otherwise(0L)).as("clicked_1h"),
+        sum(when(col("c_t_click").isNotNull && col("p_t_purchase").isNotNull, 1L)
+          .otherwise(0L)).as("full_1h"))
+    }),
+
+    "graph_triangles" -> ((s, dir) => {
+      // triangle counts per nation in the (undirected, thresholded) trade
+      // graph: the canonical a<b<c two-hop self-join — each edge list is
+      // tiny after aggregation, the pattern is the corpus-scale shape
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val na = t(s, dir, "nation")
+      val raw = li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(na.select(col("n_nationkey").as("__ck"), col("n_name").as("cn"))),
+          c("c_nationkey") === col("__ck"))
+        .join(broadcast(na.select(col("n_nationkey").as("__sk"), col("n_name").as("sn"))),
+          su("s_nationkey") === col("__sk"))
+        .groupBy("cn", "sn")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("w"))
+        .filter(col("cn") =!= col("sn"))
+      // keep only above-average-weight trade lanes (self-normalizing across
+      // scale factors), then the undirected deduped edge list oriented a<b
+      val e = raw.crossJoin(broadcast(raw.agg(avg(col("w")).as("__wbar"))))
+        .filter(col("w") > col("__wbar"))
+        .select(least(col("cn"), col("sn")).as("a"),
+          greatest(col("cn"), col("sn")).as("b"))
+        .distinct()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("node")
+    }),
+
     "events_scd2" -> ((s, dir) =>
       // SCD2 state history: per-user validity intervals from the event
       // stream (consecutive repeats merge; open state has null valid_to);
@@ -2474,6 +2532,55 @@ object SparkEntry {
          SELECT variable, count(*) AS n_levels, CAST(sum(n) AS BIGINT) AS total,
            round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy_nats
          FROM c GROUP BY 1 ORDER BY 1""",
+
+    "events_funnel_windowed" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events
+             WHERE event_type = 'view'),
+         c AS (SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events
+             WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events
+             WHERE event_type = 'purchase'),
+         vc AS (SELECT v.user_id, v.t,
+                  (SELECT min(c.t) FROM c
+                   WHERE c.user_id = v.user_id AND c.t >= v.t) AS tc0
+                FROM v),
+         vc2 AS (SELECT user_id, t,
+                   CASE WHEN tc0 IS NOT NULL AND tc0 - t <= 3600000000
+                        THEN tc0 END AS tc
+                 FROM vc),
+         vcp AS (SELECT vc2.user_id, vc2.t, vc2.tc,
+                   CASE WHEN vc2.tc IS NOT NULL THEN
+                     (SELECT min(p.t) FROM p
+                      WHERE p.user_id = vc2.user_id AND p.t >= vc2.tc) END AS tp0
+                 FROM vc2),
+         f AS (SELECT user_id, t, tc,
+                 CASE WHEN tp0 IS NOT NULL AND tp0 - tc <= 3600000000
+                      THEN tp0 END AS tp FROM vcp)
+         SELECT count(*) AS n_views,
+           CAST(sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS clicked_1h,
+           CAST(sum(CASE WHEN tc IS NOT NULL AND tp IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS full_1h
+         FROM f""",
+
+    "graph_triangles" ->
+      """WITH eall AS (SELECT cn.n_name AS a0, sn.n_name AS b0,
+             sum(l_extendedprice * (1.0 - l_discount)) AS w
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE cn.n_name <> sn.n_name
+           GROUP BY 1, 2),
+         e AS (SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+               FROM eall WHERE w > (SELECT avg(w) FROM eall)),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+         SELECT node, count(*) AS n_triangles FROM n GROUP BY 1 ORDER BY 1""",
 
     "events_scd2" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
