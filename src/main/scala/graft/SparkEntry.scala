@@ -243,6 +243,18 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "describe_weighted_median" -> ((s, dir) =>
+      // survey-weighted median per group (value where cumulative weight
+      // crosses half the total): RANGE-frame windows make ties share one
+      // cumulative weight, and integer-valued double weights sum EXACTLY,
+      // so the crossing is deterministic in any engine
+      Describe.weightedQuantile(t(s, dir, "lineitem"),
+          "l_extendedprice", "l_quantity", Seq("l_returnflag"), q = 0.5)
+        .select(col("l_returnflag"),
+          round(col("weighted_quantile"), 4).as("weighted_median"),
+          round(col("total_weight"), 2).as("total_weight"))
+        .orderBy("l_returnflag")),
+
     "describe_bootstrap_ci" -> ((s, dir) =>
       // Poisson-bootstrap CI for the mean: 50 resamples in ONE pass via
       // deterministic hash weights (exact hex-threshold compare, no float
@@ -2496,6 +2508,19 @@ object SparkEntry {
          SELECT c_custkey, c_mktsegment, round(c_acctbal, 2)
          FROM customer WHERE c_custkey % 10 <> 0
          ORDER BY c_custkey""",
+
+    "describe_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag, l_extendedprice,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+         SELECT l_returnflag,
+           round(min(l_extendedprice), 4) AS weighted_median,
+           round(max(tw), 2) AS total_weight
+         FROM b WHERE cw >= tw * 0.5
+         GROUP BY 1 ORDER BY 1""",
 
     "describe_bootstrap_ci" ->
       """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,

@@ -574,6 +574,10 @@ object Cli {
           graft.pipeline.Layout.zCellStats(df,
             xCol = req(rest, "--x"), yCol = req(rest, "--y"),
             bits = flag(rest, "--bits").map(_.toInt).getOrElse(6))
+        case "weighted-quantile" =>
+          graft.describe.Describe.weightedQuantile(df, req(rest, "--value"),
+            req(rest, "--weight"), req(rest, "--group").split(",").toSeq,
+            q = flag(rest, "--q").map(_.toDouble).getOrElse(0.5))
         case "entropy" =>
           graft.describe.Describe.entropy(df, req(rest, "--cols").split(",").toSeq)
         case "bootstrap-ci" =>
@@ -650,6 +654,7 @@ object Cli {
       |  pipeline zorder-write <in> <out> --x c --y c --files N [--bits b]
       |  pipeline zorder-stats <in> <out> --x c --y c [--bits b]
       |  pipeline entropy <in> <out> --cols c1,c2
+      |  pipeline weighted-quantile <in> <out> --value c --weight c --group g1,g2 [--q f]
       |  pipeline bootstrap-ci <in> <out> --value c [--key c] [--replicas N]
       |  pipeline scd2 <in> <out> [--key c] [--ts c] [--state c] [--tie c]
       |  pipeline upsert <base> <out> --updates <delta.parquet> --keys k1,k2

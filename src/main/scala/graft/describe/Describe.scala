@@ -1,6 +1,7 @@
 package graft.describe
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.{CladeFrame, VariableType}
 import graft.modify.Modify
@@ -358,6 +359,31 @@ object Describe {
     * on the key + an O(#distinct) aggregate; top-k is a
     * TakeOrderedAndProject. Nulls count as a key (they hash to one
     * reducer too — the classic silent skew). */
+  /** Weighted quantile per group: the smallest value whose cumulative
+    * weight reaches q·(total weight) — the survey-weighted median/quantile
+    * (each row counts `weightCol` times). Tie-safe by construction: the
+    * cumulative window uses the default RANGE frame, so equal values share
+    * one cumulative weight regardless of their order, and the answer is
+    * the VALUE at the crossing, which tie order cannot move. Windows
+    * partition by group — parallelism = group cardinality, the right shape
+    * for bounded-cardinality groups (the many-group approximate path is
+    * summarizeApprox). */
+  def weightedQuantile(df: DataFrame, valueCol: String, weightCol: String,
+                       groupCols: Seq[String], q: Double = 0.5): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
+    val cum = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol))                 // default RANGE frame: ties share cw
+    val tot = Window.partitionBy(groupCols.map(col): _*)
+    df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .withColumn("__cw", sum(col(weightCol)).over(cum))
+      .withColumn("__tw", sum(col(weightCol)).over(tot))
+      .filter(col("__cw") >= col("__tw") * lit(q))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as("weighted_quantile"),
+        max(col("__tw")).as("total_weight"))
+  }
+
   /** Cumulative Poisson(1) probabilities as 13-hex-digit thresholds
     * (floor(P·16^13), lowercase): EXACT string comparisons against an md5
     * prefix, no float conversion anywhere, so any SQL engine replays the

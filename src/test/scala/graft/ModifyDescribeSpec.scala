@@ -633,6 +633,26 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(dupBins === Set(0), "all-equal values land in the lowest bin")
   }
 
+  test("weightedQuantile: hand-computed crossings; weight-1 reduces to plain rank") {
+    import spark.implicits._
+    // group g: values 1..4 with weights 1,1,6,2 (total 10): cw = 1,2,8,10;
+    // median crossing at value 3 (cw 8 >= 5); q=0.9 -> value 4 (10 >= 9)
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 6.0), ("g", 4.0, 2.0))
+      .toDF("k", "v", "w")
+    def wq(q: Double) = Describe.weightedQuantile(df, "v", "w", Seq("k"), q)
+      .head().getDouble(1)
+    assert(wq(0.5) === 3.0 && wq(0.9) === 4.0 && wq(0.05) === 1.0)
+    // ties share one cumulative weight: two rows of value 2 cross together
+    val tied = Seq(("t", 1.0, 2.0), ("t", 2.0, 2.0), ("t", 2.0, 2.0), ("t", 9.0, 1.0))
+      .toDF("k", "v", "w")
+    assert(Describe.weightedQuantile(tied, "v", "w", Seq("k"), 0.5)
+      .head().getDouble(1) === 2.0)
+    // unit weights: the smallest v with rank >= q*n
+    val unit = (1 to 100).map(i => ("u", i.toDouble, 1.0)).toDF("k", "v", "w")
+    assert(Describe.weightedQuantile(unit, "v", "w", Seq("k"), 0.25)
+      .head().getDouble(1) === 25.0)
+  }
+
   test("bootstrapCI: weights ~ Poisson(1), CI brackets the mean, se tracks sd/sqrt(n)") {
     import spark.implicits._
     // deterministic uniform-ish data: mean 49.5, sd ~ 28.9, n = 4000
