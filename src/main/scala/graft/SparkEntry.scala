@@ -243,6 +243,31 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "describe_quality_rules" -> ((s, dir) =>
+      // Deequ-style validation: five declarative predicates checked in ONE
+      // aggregation over ONE scan (null verdicts count as failures)
+      Describe.checkRules(t(s, dir, "lineitem"), Seq(
+          "quantity_positive" -> (col("l_quantity") > 0),
+          "discount_in_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+          "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "price_not_null" -> col("l_extendedprice").isNotNull,
+          "tax_lt_discount" -> (col("l_tax") < col("l_discount"))))
+        .withColumn("pass_rate", round(col("pass_rate"), 6))
+        .orderBy("rule")),
+
+    "modify_diff_snapshots" -> ((s, dir) => {
+      // CDC between two snapshot versions: full-outer on the key +
+      // null-safe struct compare; statuses aggregated for audit
+      val c = t(s, dir, "customer")
+      val newer = c.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, round(col("c_acctbal") * 2, 2))
+            .otherwise(col("c_acctbal")))
+      Joins.diffSnapshots(c, newer, Seq("c_custkey"))
+        .groupBy("row_status").agg(count(lit(1)).as("n"))
+        .orderBy("row_status")
+    }),
+
     "describe_weighted_median" -> ((s, dir) =>
       // survey-weighted median per group (value where cumulative weight
       // crosses half the total): RANGE-frame windows make ties share one
@@ -2508,6 +2533,48 @@ object SparkEntry {
          SELECT c_custkey, c_mktsegment, round(c_acctbal, 2)
          FROM customer WHERE c_custkey % 10 <> 0
          ORDER BY c_custkey""",
+
+    "describe_quality_rules" ->
+      """WITH s AS (SELECT count(*) AS n,
+             sum(CASE WHEN coalesce(l_quantity > 0, false) THEN 1 ELSE 0 END) AS p0,
+             sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 0.1, false)
+                 THEN 1 ELSE 0 END) AS p1,
+             sum(CASE WHEN coalesce(l_returnflag IN ('A','N','R'), false)
+                 THEN 1 ELSE 0 END) AS p2,
+             sum(CASE WHEN l_extendedprice IS NOT NULL THEN 1 ELSE 0 END) AS p3,
+             sum(CASE WHEN coalesce(l_tax < l_discount, false)
+                 THEN 1 ELSE 0 END) AS p4
+           FROM lineitem),
+         r AS (
+           SELECT 'quantity_positive' AS rule, p0 AS passed, n FROM s
+           UNION ALL SELECT 'discount_in_range', p1, n FROM s
+           UNION ALL SELECT 'returnflag_domain', p2, n FROM s
+           UNION ALL SELECT 'price_not_null', p3, n FROM s
+           UNION ALL SELECT 'tax_lt_discount', p4, n FROM s)
+         SELECT rule, n AS n_rows, CAST(passed AS BIGINT) AS passed,
+           CAST(n - passed AS BIGINT) AS failed,
+           round(CAST(passed AS DOUBLE) / n, 6) AS pass_rate
+         FROM r ORDER BY rule""",
+
+    "modify_diff_snapshots" ->
+      """WITH o AS (SELECT * FROM customer),
+         nn AS (SELECT c_custkey, c_name, c_nationkey,
+                  CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal * 2, 2)
+                       ELSE c_acctbal END AS c_acctbal,
+                  c_mktsegment
+                FROM customer WHERE c_custkey % 97 <> 0),
+         j AS (SELECT o.c_custkey IS NOT NULL AS in_old,
+                 nn.c_custkey IS NOT NULL AS in_new,
+                 (o.c_name IS NOT DISTINCT FROM nn.c_name)
+                   AND (o.c_nationkey IS NOT DISTINCT FROM nn.c_nationkey)
+                   AND (o.c_acctbal IS NOT DISTINCT FROM nn.c_acctbal)
+                   AND (o.c_mktsegment IS NOT DISTINCT FROM nn.c_mktsegment) AS same
+               FROM o FULL OUTER JOIN nn ON o.c_custkey = nn.c_custkey)
+         SELECT CASE WHEN NOT in_old THEN 'added'
+                     WHEN NOT in_new THEN 'removed'
+                     WHEN same THEN 'unchanged' ELSE 'changed' END AS row_status,
+           count(*) AS n
+         FROM j GROUP BY 1 ORDER BY 1""",
 
     "describe_weighted_median" ->
       """WITH b AS (SELECT l_returnflag, l_extendedprice,

@@ -574,6 +574,17 @@ object Cli {
           graft.pipeline.Layout.zCellStats(df,
             xCol = req(rest, "--x"), yCol = req(rest, "--y"),
             bits = flag(rest, "--bits").map(_.toInt).getOrElse(6))
+        case "quality-rules" =>
+          // --rules name=<sql-expr>;name=<sql-expr> (';'-separated)
+          val rules = req(rest, "--rules").split(";").toSeq.map { kv =>
+            val Array(n, e) = kv.split("=", 2)
+            n -> org.apache.spark.sql.functions.expr(e)
+          }
+          graft.describe.Describe.checkRules(df, rules)
+        case "diff-snapshots" =>
+          graft.pipeline.Joins.diffSnapshots(df,
+            spark.read.parquet(req(rest, "--new")),
+            keys = req(rest, "--keys").split(",").toSeq)
         case "weighted-quantile" =>
           graft.describe.Describe.weightedQuantile(df, req(rest, "--value"),
             req(rest, "--weight"), req(rest, "--group").split(",").toSeq,
@@ -655,6 +666,8 @@ object Cli {
       |  pipeline zorder-stats <in> <out> --x c --y c [--bits b]
       |  pipeline entropy <in> <out> --cols c1,c2
       |  pipeline weighted-quantile <in> <out> --value c --weight c --group g1,g2 [--q f]
+      |  pipeline quality-rules <in> <out> --rules n1=<expr>;n2=<expr>
+      |  pipeline diff-snapshots <old> <out> --new <new.parquet> --keys k1,k2
       |  pipeline bootstrap-ci <in> <out> --value c [--key c] [--replicas N]
       |  pipeline scd2 <in> <out> [--key c] [--ts c] [--state c] [--tie c]
       |  pipeline upsert <base> <out> --updates <delta.parquet> --keys k1,k2

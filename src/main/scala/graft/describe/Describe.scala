@@ -359,6 +359,25 @@ object Describe {
     * on the key + an O(#distinct) aggregate; top-k is a
     * TakeOrderedAndProject. Nulls count as a key (they hash to one
     * reducer too — the classic silent skew). */
+  /** Declarative data-quality rules — the Deequ-style validation pass:
+    * every rule is a boolean Column evaluated in ONE aggregation over ONE
+    * scan (no per-rule jobs), returning (rule, n_rows, passed, failed,
+    * pass_rate) rows. A null rule verdict counts as FAILED (unknown is not
+    * a pass). Rules are plain Catalyst predicates, so they fold into
+    * whole-stage codegen and push nothing to the driver. */
+  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map { case ((_, c), i) =>
+      sum(when(coalesce(c, lit(false)), 1L).otherwise(0L)).as(s"__p$i") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"'${name.replace("'", "''")}', __p$i" }.mkString(", ")
+    one.selectExpr(s"stack(${rules.length}, $stacked) AS (rule, passed)", "__n")
+      .select(col("rule"), col("__n").as("n_rows"), col("passed"),
+        (col("__n") - col("passed")).as("failed"),
+        (col("passed").cast("double") / col("__n")).as("pass_rate"))
+  }
+
   /** Weighted quantile per group: the smallest value whose cumulative
     * weight reaches q·(total weight) — the survey-weighted median/quantile
     * (each row counts `weightCol` times). Tie-safe by construction: the

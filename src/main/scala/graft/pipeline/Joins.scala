@@ -37,6 +37,32 @@ object Joins {
       .unionByName(updates)
   }
 
+  /** Snapshot diff (change-data-capture between two table versions): one
+    * FULL OUTER join on the key, null-safe comparing every shared non-key
+    * column. Emits key columns + `row_status` ∈ added | removed | changed |
+    * unchanged. One shuffle keyed by `keys`; the comparison is a codegen'd
+    * predicate, no row materialization beyond the join. Schemas must match
+    * by name (diff of drifted schemas is a different question — error). */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(oldDf.columns.toSet == newDf.columns.toSet,
+      s"schemas must match by name: ${oldDf.columns.mkString(",")} vs " +
+        newDf.columns.mkString(","))
+    val dataCols = oldDf.columns.filterNot(keys.contains).toSeq
+    val o = oldDf.select(keys.map(col) :+ lit(true).as("__in_old") :+
+      struct(dataCols.map(col): _*).as("__old"): _*)
+    val n = newDf.select(keys.map(col) :+ lit(true).as("__in_new") :+
+      struct(dataCols.map(col): _*).as("__new"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("row_status",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__old") <=> col("__new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(keys.map(col) :+ col("row_status"): _*)
+  }
+
   /** Inner equi-join of `big` (skewed side) with `small` (replicated side)
     * on `keys`, with the big side split `salt` ways per key. The salt is a
     * deterministic hash of the big side's full row, so re-runs and retries

@@ -288,6 +288,35 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("diffSnapshots: added/removed/changed/unchanged; null-safe compare") {
+    import spark.implicits._
+    val base = Seq((1L, "a", Some(10)), (2L, "b", None), (3L, "c", Some(30)),
+      (4L, "d", Some(40))).toDF("k", "name", "v")
+    val newer = Seq((1L, "a", Some(10)),   // unchanged
+      (2L, "b", Some(20)),                 // null -> value = changed
+      (3L, "c2", Some(30)),                // name change
+      (5L, "e", None)                      // added (with a null field)
+    ).toDF("k", "name", "v")
+    val got = graft.pipeline.Joins.diffSnapshots(base, newer, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Joins.diffSnapshots(base, newer.drop("v"), Seq("k"))
+    }
+  }
+
+  test("checkRules: one-pass pass/fail counts; null verdicts fail") {
+    import spark.implicits._
+    val df = Seq((1, Some(5)), (2, Some(-1)), (3, None)).toDF("id", "x")
+    val got = graft.describe.Describe.checkRules(df, Seq(
+        "x_positive" -> (col("x") > 0),          // null verdict for row 3
+        "id_unique_domain" -> col("id").isin(1, 2, 3)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("x_positive") === ((3L, 1L, 2L)))  // null counts as failed
+    assert(got("id_unique_domain") === ((3L, 3L, 0L)))
+  }
+
   test("pageRank: hand-computed 3-node graph; sum of ranks conserved") {
     import spark.implicits._
     // a -> b (w 1), a -> c (w 3), b -> c (w 1), c -> a (w 1)
