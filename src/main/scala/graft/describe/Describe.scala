@@ -428,8 +428,16 @@ object Describe {
   def bootstrapCI(df: DataFrame, valueCol: String, key: Column,
                   replicas: Int = 50): DataFrame = {
     require(replicas >= 2, s"replicas must be >= 2: $replicas")
+    // spread BEFORE the replicas× expansion: downstream work is ~replicas×
+    // the scan (md5 + weight per row-replica), so inheriting the scan's
+    // partitioning (often 1-2 partitions for a single parquet file)
+    // serializes the whole op; a cheap 2-column shuffle buys full
+    // parallelism for the expensive stage
+    val parts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions, 1)
     val src = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("__x"), key.cast("string").as("__k"))
+      .repartition(parts)
     val h = substring(
       md5(concat(col("__k"), lit("_"), col("__r").cast("string"))), 1, 13)
     val w = poisson1HexThresholds.zipWithIndex
