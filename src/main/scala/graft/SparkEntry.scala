@@ -1005,6 +1005,18 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    "cluster_silhouette" -> ((s, dir) => {
+      // clustering-quality report: simplified silhouette vs the seed
+      // center table — zero-shuffle distance projection (centers ride the
+      // plan as literals), one O(k) aggregation
+      val e = t(s, dir, "embeddings")
+      val centers = Similarity.kmeansInit(e, k = 8)
+      Similarity.silhouette(Similarity.assignToCenters(e, centers), centers)
+        .select(col("cluster_id").cast("int").as("cluster_id"),
+          col("n_vectors"), round(col("silhouette"), 6).as("silhouette"))
+        .orderBy("cluster_id")
+    }),
+
     "embedding_centroids" -> ((s, dir) =>
       // per-label prototype vectors; exploded to (label, pos, v) so the
       // oracle compares scalar cells, not list equality
@@ -2418,6 +2430,30 @@ object SparkEntry {
          SELECT CAST(n.cid AS INT) AS cluster_id, n.n_vectors,
            ctr.center_norm, ctr.c1
          FROM n JOIN ctr USING (cid) ORDER BY 1""",
+
+    "cluster_silhouette" ->
+      """WITH init AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS c
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         a AS (
+           SELECT e.vec_id, e.embedding,
+             (SELECT i.cid FROM init i
+                ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.c), i.cid
+                LIMIT 1) AS cid
+           FROM embeddings e),
+         s AS (SELECT a.vec_id, a.cid,
+             (SELECT list_distance(CAST(a.embedding AS DOUBLE[]), i.c)
+              FROM init i WHERE i.cid = a.cid) AS da,
+             (SELECT min(list_distance(CAST(a.embedding AS DOUBLE[]), i.c))
+              FROM init i WHERE i.cid <> a.cid) AS db
+           FROM a)
+         SELECT CAST(cid AS INT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(CASE WHEN greatest(da, db) > 0
+                     THEN (db - da) / greatest(da, db) ELSE 0 END), 6)
+             AS silhouette
+         FROM s GROUP BY 1 ORDER BY 1""",
 
     "embedding_centroids" ->
       """WITH e AS (SELECT label, unnest(embedding) AS x,

@@ -235,6 +235,37 @@ object Similarity {
     def nLists: Int = centers.length
   }
 
+  /** Simplified (centroid-based) silhouette per cluster: for each vector,
+    * a = distance to its own cluster's center, b = distance to the nearest
+    * OTHER center, s = (b − a) / max(a, b) — the O(n·k) clustering-quality
+    * metric that scales where the classic O(n²) pairwise silhouette
+    * cannot. Distances are a zero-shuffle projection (the center table
+    * rides the plan as array literals, folded left-to-right so any engine
+    * replays the arithmetic bit-for-bit); the only shuffle is the O(k)
+    * per-cluster mean. Rows whose max(a,b) = 0 score 0. */
+  def silhouette(assigned: DataFrame, centers: Array[Array[Double]],
+                 vecCol: String = "embedding",
+                 clusterCol: String = "cluster_id"): DataFrame = {
+    require(centers.nonEmpty, "centers must be non-empty")
+    val dists = centers.map { ctr =>
+      val carr = array(ctr.map(lit): _*)
+      sqrt(aggregate(
+        zip_with(col(vecCol).cast("array<double>"), carr,
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    }
+    val s = assigned
+      .withColumn("__d", array(dists: _*))
+      .withColumn("__a", element_at(col("__d"), col(clusterCol).cast("int") + 1))
+      .withColumn("__b", array_min(filter(col("__d"),
+        (_, i) => i =!= col(clusterCol).cast("int"))))
+      .withColumn("__s", when(greatest(col("__a"), col("__b")) > 0,
+        (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+        .otherwise(lit(0.0)))
+    s.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("__s")).as("silhouette"))
+  }
+
   /** nProbe nearest inverted lists for a vector, by euclidean distance to
     * the O(nLists) centroid table (closure-captured; queries are small, so
     * a udf here never touches corpus-scale rows on the query path —
