@@ -306,6 +306,25 @@ class PipelineSpec extends SparkSpec {
       s"gibberish ppl ${scored(900L)} must dwarf natural ${scored(0L)}")
   }
 
+  test("silhouette: tight well-separated blobs score near 1, one blob scores ~0") {
+    import spark.implicits._
+    // two tight blobs far apart: every point much closer to its own center
+    val blobA = (0 until 20).map(i => (i.toLong, Array(0.0f + i % 3 * 0.01f, 0.0f)))
+    val blobB = (0 until 20).map(i => (100L + i, Array(10.0f + i % 3 * 0.01f, 10.0f)))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val centers = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val assigned = graft.pipeline.Similarity.assignToCenters(df, centers)
+    val s = graft.pipeline.Similarity.silhouette(assigned, centers)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(s(0) > 0.99 && s(1) > 0.99, s"separated blobs: $s")
+    // a single center: b is undefined (no other cluster) -> array_min of
+    // empty -> null; guard: k must be >= 2 for a meaningful score
+    val one = graft.pipeline.Similarity.silhouette(
+      graft.pipeline.Similarity.assignToCenters(df, Array(Array(0.0, 0.0))),
+      Array(Array(0.0, 0.0))).collect()
+    assert(one.head.get(2) == null || one.head.getDouble(2) <= 0.0)
+  }
+
   test("bigramPerplexity: hand-computed interpolation; word order matters") {
     import spark.implicits._
     // one doc "a b a b": bigrams (a,b) x2, (b,a) x1; contexts a:2, b:1
