@@ -359,6 +359,17 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "events_sliding_distinct" -> ((s, dir) =>
+      // distinct users per 3-hour window sliding hourly: each event lands
+      // in 3 windows (bounded replication), exact distinct per (window,
+      // type) — the overlapping-window distinct that resists naive reuse
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(unix_timestamp(col("window.start")).cast("long").as("w_start"),
+          col("event_type"), col("n_users"))
+        .orderBy("w_start", "event_type")),
+
     "events_scd2" -> ((s, dir) =>
       // SCD2 state history: per-user validity intervals from the event
       // stream (consecutive repeats merge; open state has null valid_to);
@@ -2709,6 +2720,14 @@ object SparkEntry {
                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
          n AS (SELECT unnest([x, y, z]) AS node FROM tri)
          SELECT node, count(*) AS n_triangles FROM n GROUP BY 1 ORDER BY 1""",
+
+    "events_sliding_distinct" ->
+      """WITH w AS (SELECT user_id, event_type,
+             date_trunc('hour', ts) - to_hours(g.k) AS w_start
+           FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) g)
+         SELECT CAST(floor(epoch(w_start)) AS BIGINT) AS w_start, event_type,
+           count(DISTINCT user_id) AS n_users
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "events_scd2" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
