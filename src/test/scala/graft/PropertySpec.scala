@@ -111,4 +111,47 @@ class PropertySpec extends SparkSpec {
       .findFirstIn(planOf("text_gopher_quality")).isDefined,
       "doc slice must be pushed to the documents scan")
   }
+
+  test("upsert laws: idempotent, identity on empty delta, diff sees the change") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 300).map(i => (i.toLong, rnd.nextInt(100), s"v$i"))
+      .toDF("k", "x", "s")
+    val delta = (0 until 300 by 7).map(i => (i.toLong, -1, s"new$i"))
+      .toDF("k", "x", "s")
+    val once = graft.pipeline.Joins.upsert(base, delta, Seq("k"))
+    val twice = graft.pipeline.Joins.upsert(once, delta, Seq("k"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
+      "upsert must be idempotent for the same delta")
+    val idU = graft.pipeline.Joins.upsert(base, base.limit(0), Seq("k"))
+    assert(idU.exceptAll(base).isEmpty && base.exceptAll(idU).isEmpty,
+      "empty delta must be the identity")
+    // diff(base, upsert(base, delta)) flags exactly the delta keys as
+    // changed (every delta row here differs from its base row)
+    val st = graft.pipeline.Joins.diffSnapshots(base, once, Seq("k"))
+      .groupBy("row_status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("changed") === delta.count())
+    assert(st("unchanged") === 300L - delta.count())
+    assert(!st.contains("added") && !st.contains("removed"))
+    // diff(x, x) is all-unchanged
+    val same = graft.pipeline.Joins.diffSnapshots(base, base, Seq("k"))
+      .select("row_status").distinct().collect().map(_.getString(0)).toSeq
+    assert(same === Seq("unchanged"))
+  }
+
+  test("weightedQuantile with unit weights matches exactQuantilesAll type-7 at the crossing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(501)(rnd.nextDouble() * 100)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", v, 1.0) }.toDF("k", "v", "w")
+    // with unit weights the crossing value is the ceil((n)*q)-th order
+    // statistic: compare against a direct in-memory computation
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val got = graft.describe.Describe.weightedQuantile(df, "v", "w", Seq("k"), q)
+        .head().getDouble(1)
+      val want = vals.sorted.apply(math.ceil(vals.length * q).toInt - 1)
+      assert(got === want, s"q=$q")
+    }
+  }
 }
