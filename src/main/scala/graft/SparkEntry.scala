@@ -230,6 +230,17 @@ object SparkEntry {
           col("n"), round(col("z"), 6).as("z"))
         .orderBy("event_type", "hour_start")),
 
+    "modify_quantile_normalize" -> ((s, dir) => {
+      // expression-array quantile normalization: all columns forced to the
+      // shared rank-mean distribution; ONE Tungsten range sort carries the
+      // row id so ranks, rank means, and the remap stay distributed
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+      Modify.quantileNormalize(li, Seq("l_quantity", "l_discount", "l_tax"), "rid")
+        .withColumn("normalized", round(col("normalized"), 6))
+        .orderBy("rid", "variable")
+    }),
+
     "modify_upsert" -> ((s, dir) => {
       // incremental corpus refresh: a delta (every 10th customer with a
       // new balance) supersedes stale rows via ONE anti-join (the delta
@@ -2572,6 +2583,23 @@ object SparkEntry {
          FROM h JOIN st USING (event_type)
          WHERE sd > 0 AND abs((n - m) / sd) > 2
          ORDER BY 1, 2""",
+
+    "modify_quantile_normalize" ->
+      """WITH src AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+             l_quantity, l_discount, l_tax
+           FROM lineitem WHERE l_orderkey < 1000),
+         m AS (SELECT rid, 'l_quantity' AS variable,
+                 CAST(l_quantity AS DOUBLE) AS value FROM src
+               UNION ALL SELECT rid, 'l_discount', CAST(l_discount AS DOUBLE) FROM src
+               UNION ALL SELECT rid, 'l_tax', CAST(l_tax AS DOUBLE) FROM src),
+         f AS (SELECT * FROM m WHERE value IS NOT NULL),
+         r AS (SELECT rid, variable, value,
+                 row_number() OVER (PARTITION BY variable ORDER BY value, rid) - 1
+                   AS rank
+               FROM f),
+         rm AS (SELECT rank, avg(value) AS nv FROM r GROUP BY 1)
+         SELECT r.rid, r.variable, round(rm.nv, 6) AS normalized
+         FROM r JOIN rm USING (rank) ORDER BY rid, variable""",
 
     "modify_upsert" ->
       """SELECT c_custkey, c_mktsegment, round(round(c_acctbal * 2, 2), 2) AS c_acctbal

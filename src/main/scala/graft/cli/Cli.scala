@@ -574,6 +574,10 @@ object Cli {
           graft.pipeline.Layout.zCellStats(df,
             xCol = req(rest, "--x"), yCol = req(rest, "--y"),
             bits = flag(rest, "--bits").map(_.toInt).getOrElse(6))
+        case "quantile-normalize" =>
+          graft.modify.Modify.quantileNormalize(df,
+            req(rest, "--cols").split(",").toSeq,
+            idCol = flag(rest, "--id").getOrElse(idc))
         case "quality-rules" =>
           // --rules name=<sql-expr>;name=<sql-expr> (';'-separated)
           val rules = req(rest, "--rules").split(";").toSeq.map { kv =>
@@ -666,6 +670,7 @@ object Cli {
       |  pipeline zorder-stats <in> <out> --x c --y c [--bits b]
       |  pipeline entropy <in> <out> --cols c1,c2
       |  pipeline weighted-quantile <in> <out> --value c --weight c --group g1,g2 [--q f]
+      |  pipeline quantile-normalize <in> <out> --cols c1,c2 [--id c]
       |  pipeline quality-rules <in> <out> --rules n1=<expr>;n2=<expr>
       |  pipeline diff-snapshots <old> <out> --new <new.parquet> --keys k1,k2
       |  pipeline bootstrap-ci <in> <out> --value c [--key c] [--replicas N]

@@ -471,6 +471,56 @@ object Modify {
     (pairs, ns, ns.scanLeft(0L)(_ + _))
   }
 
+  /** Quantile normalization (the expression-array classic): each column's
+    * values are replaced by the MEAN across columns of the value at the
+    * same rank, forcing identical marginal distributions while preserving
+    * each column's ordering. Columns with unequal non-null counts use the
+    * standard generalization (the rank mean averages whichever columns
+    * have that rank). Returns LONG format (id, variable, normalized).
+    *
+    * Scale shape: the same ONE Tungsten range sort as
+    * [[exactQuantilesAll]] but carrying the row id, so per-column ranks
+    * come from the sorted partitions' global index minus the column
+    * offset; rank means are one O(maxN) aggregation and the remap is one
+    * join keyed by rank. Ties break by id — deterministic in any engine. */
+  def quantileNormalize(df: DataFrame, cols: Seq[String],
+                        idCol: String): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = cols.length
+    val melted = df.selectExpr(
+      s"stack($k, ${cols.zipWithIndex.map { case (c, j) => s"$j, CAST(`$c` AS DOUBLE)" }
+        .mkString(", ")}) AS (vid, value)", s"`$idCol` AS __id")
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sorted = melted
+      .repartitionByRange(parts, col("vid"), col("value"), col("__id"))
+      .sortWithinPartitions("vid", "value", "__id")
+      .select(col("vid"), col("value"), col("__id").cast("long"))
+      .rdd.map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val countMap = sorted.map(_._1).countByValue()
+      val offsets = Array.tabulate(k)(i => countMap.getOrElse(i, 0L))
+        .scanLeft(0L)(_ + _)
+      val ranked = sorted.zipWithIndex().map { case ((vid, v, id), gi) =>
+        (vid, v, id, gi - offsets(vid))
+      }.toDF("vid", "value", "id", "rank")
+      val rankMeans = ranked.groupBy("rank")
+        .agg(avg(col("value")).as("__rm"))
+      val names = cols.zipWithIndex.map { case (c, j) => (j, c) }.toDF("vid", "variable")
+      val out = ranked.join(rankMeans, Seq("rank"))
+        .join(broadcast(names), Seq("vid"))
+        .select(col("id").as(idCol), col("variable"),
+          col("__rm").as("normalized"))
+        // zipWithIndex already computed the sort eagerly; materialize the
+        // result (truncating lineage) so the cached sort can be released
+        .localCheckpoint(true)
+      out
+    } finally sorted.unpersist(blocking = false)
+  }
+
   def exactQuantilesAll(df: DataFrame, cols: Seq[String], fractions: Seq[Double])
       : Map[String, Option[Seq[Double]]] = {
     if (cols.isEmpty) return Map.empty

@@ -633,6 +633,22 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(dupBins === Set(0), "all-equal values land in the lowest bin")
   }
 
+  test("quantileNormalize: identical marginals after, order preserved within column") {
+    import spark.implicits._
+    // classic 3x2 example: col a = (5, 2, 3), col b = (4, 1, 6)
+    // sorted a = 2,3,5; sorted b = 1,4,6; rank means = (1.5, 3.5, 5.5)
+    val df = Seq((1L, 5.0, 4.0), (2L, 2.0, 1.0), (3L, 3.0, 6.0)).toDF("id", "a", "b")
+    val out = Modify.quantileNormalize(df, Seq("a", "b"), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out((2L, "a")) === 1.5 && out((3L, "a")) === 3.5 && out((1L, "a")) === 5.5)
+    assert(out((2L, "b")) === 1.5 && out((1L, "b")) === 3.5 && out((3L, "b")) === 5.5)
+    // both columns now share EXACTLY the same multiset of values
+    val byCol = Modify.quantileNormalize(df, Seq("a", "b"), "id")
+      .collect().groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getDouble(2)).sorted.toSeq).toMap
+    assert(byCol("a") === byCol("b"))
+  }
+
   test("weightedQuantile: hand-computed crossings; weight-1 reduces to plain rank") {
     import spark.implicits._
     // group g: values 1..4 with weights 1,1,6,2 (total 10): cw = 1,2,8,10;
