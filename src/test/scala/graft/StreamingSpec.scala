@@ -386,6 +386,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sliding-window distinct: approx tracks the batch exact count") {
+    import spark.implicits._
+    // exact distinct needs full per-window state, so the STREAM variant is
+    // approx_count_distinct (sketch state, watermark-bounded); at test
+    // cardinalities HLL is exact, so stream == batch here
+    val rows = (0 until 200).map { i =>
+      (i.toLong, ts(i * 120L), (i % 23).toLong, if (i % 2 == 0) "a" else "b", 1.0, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = df.groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = streamDf.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("sliding_distinct")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_distinct").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (k, v) =>
+        assert(math.abs(v - batch(k)) <= math.max(1L, batch(k) / 10), s"window $k")
+      }
+    } finally q.stop()
+  }
+
   test("transformWithState: lifetime totals accumulate across micro-batches") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
