@@ -370,6 +370,24 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "events_markov" -> ((s, dir) => {
+      // first-order behavior model: P(next event type | current) from
+      // per-user time-ordered transitions — one lag window keyed by user,
+      // one O(#types²) pair aggregation, probabilities row-normalized
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy("from_type")
+      pairs
+        .withColumn("p", round(col("n") / sum(col("n")).over(tot), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
     "events_sliding_distinct" -> ((s, dir) =>
       // distinct users per 3-hour window sliding hourly: each event lands
       // in 3 windows (bounded replication), exact distinct per (window,
@@ -2748,6 +2766,21 @@ object SparkEntry {
                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
          n AS (SELECT unnest([x, y, z]) AS node FROM tri)
          SELECT node, count(*) AS n_triangles FROM n GROUP BY 1 ORDER BY 1""",
+
+    "events_markov" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+             event_type FROM events),
+         s AS (SELECT event_type,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY t, event_id) AS next_type
+               FROM e),
+         c AS (SELECT event_type AS from_type, next_type AS to_type,
+                 count(*) AS n
+               FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) /
+             sum(n) OVER (PARTITION BY from_type), 6) AS p
+         FROM c ORDER BY 1, 2""",
 
     "events_sliding_distinct" ->
       """WITH w AS (SELECT user_id, event_type,
