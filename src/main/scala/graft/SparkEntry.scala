@@ -1112,6 +1112,14 @@ object SparkEntry {
           round(col("avg_nll"), 6).as("avg_nll"))
         .orderBy("doc_id")),
 
+    "text_readability" -> ((s, dir) =>
+      // Flesch-Kincaid grade: three integer regex counts + closed-form
+      // arithmetic, zero shuffle, exact replay in any engine
+      Text.readability(t(s, dir, "documents").filter(col("doc_id") < 100),
+          "text", "doc_id")
+        .withColumn("fk_grade", round(col("fk_grade"), 4))
+        .orderBy("doc_id")),
+
     "text_bigram_lm" -> ((s, dir) =>
       // interpolated bigram LM (λ·p₂ + (1−λ)·p₁): bigrams from a
       // zero-shuffle array zip; top-K bigram/unigram tables + corpus
@@ -2157,6 +2165,21 @@ object SparkEntry {
            round(CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,
            round(CASE WHEN n_words > 0 THEN stop * 1.0 / n_words ELSE 0.0 END, 6) AS stopword_ratio
          FROM f ORDER BY doc_id""",
+
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+             len(regexp_extract_all(lower(trim(text)), '[a-z0-9'']+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+           FROM documents WHERE doc_id < 100)
+         SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           CAST(n_sentences AS INT) AS n_sentences,
+           CAST(n_syllables AS INT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(CAST(0.39 AS DOUBLE) * n_words / n_sentences
+               + CAST(11.8 AS DOUBLE) * n_syllables / n_words
+               - CAST(15.59 AS DOUBLE), 4) END AS fk_grade
+         FROM c ORDER BY doc_id""",
 
     "text_bigram_lm" ->
       """WITH a AS (SELECT doc_id,

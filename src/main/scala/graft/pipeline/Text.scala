@@ -416,6 +416,28 @@ object Text {
         exp(-col("__slp") / col("n_tokens")).as("perplexity"))
   }
 
+  /** Flesch-Kincaid grade level from three regex counts (words, sentence
+    * terminators, vowel-group syllable estimate) — the classic readability
+    * filter, as a zero-shuffle codegen'd projection. Counts are integers
+    * from identical regexes in any engine, so the score replays exactly;
+    * sentence count floors at 1 (fragments still score). */
+  def readability(df: DataFrame, textCol: String,
+                  idCol: String): DataFrame = {
+    val words = size(regexp_extract_all(
+      lower(trim(col(textCol))), lit("[a-z0-9']+"), lit(0)))
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    val syllables = size(regexp_extract_all(
+      lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+    df.select(col(idCol), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0,
+          lit(0.39) * col("n_words") / col("n_sentences")
+            + lit(11.8) * col("n_syllables") / col("n_words")
+            - lit(15.59)))
+  }
+
   /** Interpolated bigram LM scoring — one rung up from [[perplexityScore]]
     * toward the KenLM filter: p(w2|w1) = λ·p₂ + (1−λ)·p₁ where p₂ is the
     * ML bigram probability c(w1,w2)/c(w1·) when the bigram is in the
