@@ -279,6 +279,25 @@ object SparkEntry {
         .orderBy("row_status")
     }),
 
+    "describe_gini" -> ((s, dir) => {
+      // concentration per group: Gini from the rank-weighted sum identity
+      // G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n — one per-group sort window + one
+      // aggregation, deterministic rank ties on the row key
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("i", row_number().over(w))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("__sx"),
+          sum(col("i") * col("l_extendedprice")).as("__six"))
+        .select(col("l_returnflag"), col("n"),
+          round(lit(2.0) * col("__six") / (col("n") * col("__sx"))
+            - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+        .orderBy("l_returnflag")
+    }),
+
     "describe_weighted_median" -> ((s, dir) =>
       // survey-weighted median per group (value where cumulative weight
       // crosses half the total): RANGE-frame windows make ties share one
@@ -1111,6 +1130,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_nll"), 6).as("avg_nll"))
         .orderBy("doc_id")),
+
+    "text_zipf_fit" -> ((s, dir) => {
+      // rank-frequency power law: closed-form OLS of ln(tf) on ln(rank)
+      // over the top-500 vocab (Zipf exponent ≈ −slope). The global rank
+      // window runs on 500 rows AFTER the top-k — bounded by construction
+      val v = Text.vocab(t(s, dir, "documents"), "text", "doc_id", topK = 500)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("tf").desc, col("word").asc)))
+      val xy = v.select(log(col("rank").cast("double")).as("x"),
+        log(col("tf").cast("double")).as("y"))
+      xy.agg(count(lit(1)).as("__n"), sum("x").as("__sx"), sum("y").as("__sy"),
+          sum(col("x") * col("x")).as("__sxx"), sum(col("x") * col("y")).as("__sxy"))
+        .select(col("__n").as("n_terms"),
+          round((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            / (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6)
+            .as("slope"),
+          round((col("__sy") - ((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            / (col("__n") * col("__sxx") - col("__sx") * col("__sx"))) * col("__sx"))
+            / col("__n"), 6).as("intercept"))
+    }),
 
     "text_readability" -> ((s, dir) =>
       // Flesch-Kincaid grade: three integer regex counts + closed-form
@@ -2166,6 +2205,23 @@ object SparkEntry {
            round(CASE WHEN n_words > 0 THEN stop * 1.0 / n_words ELSE 0.0 END, 6) AS stopword_ratio
          FROM f ORDER BY doc_id""",
 
+    "text_zipf_fit" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           FROM documents),
+         v AS (SELECT word, count(*) AS tf FROM w WHERE word <> ''
+               GROUP BY 1 ORDER BY tf DESC, word LIMIT 500),
+         r AS (SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, word)
+                   AS DOUBLE)) AS x,
+                 ln(CAST(tf AS DOUBLE)) AS y FROM v),
+         s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy FROM r)
+         SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+         FROM s""",
+
     "text_readability" ->
       """WITH c AS (SELECT doc_id,
              len(regexp_extract_all(lower(trim(text)), '[a-z0-9'']+')) AS n_words,
@@ -2691,6 +2747,17 @@ object SparkEntry {
                      WHEN same THEN 'unchanged' ELSE 'changed' END AS row_status,
            count(*) AS n
          FROM j GROUP BY 1 ORDER BY 1""",
+
+    "describe_gini" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS i
+           FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+           round(CAST(2.0 AS DOUBLE) * sum(i * l_extendedprice)
+               / (count(*) * sum(l_extendedprice))
+             - (count(*) + CAST(1.0 AS DOUBLE)) / count(*), 6) AS gini
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     "describe_weighted_median" ->
       """WITH b AS (SELECT l_returnflag, l_extendedprice,
