@@ -279,24 +279,17 @@ object SparkEntry {
         .orderBy("row_status")
     }),
 
-    "describe_gini" -> ((s, dir) => {
+    "describe_gini" -> ((s, dir) =>
       // concentration per group: Gini from the rank-weighted sum identity
-      // G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n — one per-group sort window + one
-      // aggregation, deterministic rank ties on the row key
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("i", row_number().over(w))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("__sx"),
-          sum(col("i") * col("l_extendedprice")).as("__six"))
+      // G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n; ranks from a range-partitioned
+      // sort (full parallelism however few groups — a per-group window
+      // collapses to #groups tasks). Tie order cannot move the sum, so
+      // the SQL window replay is exact
+      Describe.giniByGroup(t(s, dir, "lineitem"), "l_extendedprice",
+          "l_returnflag", Seq("l_orderkey", "l_linenumber"))
         .select(col("l_returnflag"), col("n"),
-          round(lit(2.0) * col("__six") / (col("n") * col("__sx"))
-            - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
-        .orderBy("l_returnflag")
-    }),
+          round(col("gini"), 6).as("gini"))
+        .orderBy("l_returnflag")),
 
     "describe_weighted_median" -> ((s, dir) =>
       // survey-weighted median per group (value where cumulative weight

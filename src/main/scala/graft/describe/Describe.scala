@@ -359,6 +359,45 @@ object Describe {
     * on the key + an O(#distinct) aggregate; top-k is a
     * TakeOrderedAndProject. Nulls count as a key (they hash to one
     * reducer too — the classic silent skew). */
+  /** Gini concentration coefficient per group, from the rank-weighted sum
+    * identity G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n. Ranks come from a
+    * RANGE-PARTITIONED sort over (group, value, tie) + zipWithIndex — NOT
+    * a per-group window, whose parallelism collapses to the group count
+    * (3 groups = 3 tasks sorting everything). The sorted partitions' global
+    * index minus each group's offset is its in-group rank at full cluster
+    * parallelism; the tie column makes ranks deterministic in any engine. */
+  def giniByGroup(df: DataFrame, valueCol: String, groupCol: String,
+                  tieCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sorted = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__x"),
+        concat_ws(" ", tieCols.map(c => col(c).cast("string")): _*).as("__t"))
+      .repartitionByRange(parts, col("__g"), col("__x"), col("__t"))
+      .sortWithinPartitions("__g", "__x", "__t")
+      .rdd.map(r => (r.getString(0), r.getDouble(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = sorted.map(_._1).countByValue()
+      val groups = counts.keys.toSeq.sorted
+      val offsets = groups.zip(groups.map(counts(_)).scanLeft(0L)(_ + _)).toMap
+      val out = sorted.zipWithIndex().map { case ((g, x), gi) =>
+        (g, x, (gi - offsets(g) + 1).toDouble)   // 1-based in-group rank
+      }.toDF("__g", "__x", "__i")
+        .groupBy("__g")
+        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+          sum(col("__i") * col("__x")).as("__six"))
+        .select(col("__g").as(groupCol), col("n"),
+          (lit(2.0) * col("__six") / (col("n") * col("__sx"))
+            - (col("n") + lit(1.0)) / col("n")).as("gini"))
+        .localCheckpoint(true)   // zipWithIndex already ran the sort eagerly
+      out
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Declarative data-quality rules — the Deequ-style validation pass:
     * every rule is a boolean Column evaluated in ONE aggregation over ONE
     * scan (no per-rule jobs), returning (rule, n_rows, passed, failed,
