@@ -842,6 +842,22 @@ object SparkEntry {
           round(avg("o_totalprice"), 4).as("avg_weight"))
         .orderBy("strat")),
 
+    "genotype_ld" -> ((s, dir) => {
+      // linkage-disequilibrium screen: pairwise r² between SNP dosages
+      // (alt-allele counts) — ONE aggregation computes every pair's corr;
+      // the genotype-aware twin of describe_correlations
+      val li = t(s, dir, "lineitem")
+      val d = li.select(
+        ((col("l_linenumber") % 2) + (col("l_suppkey") % 2)).cast("double").as("s1"),
+        ((col("l_partkey") % 2) + (col("l_orderkey") % 2)).cast("double").as("s2"),
+        (when(col("l_orderkey") % 3 === 0, 1).otherwise(0)
+          + when(col("l_suppkey") % 3 === 0, 1).otherwise(0)).cast("double").as("s3"))
+      d.agg(
+        round(pow(corr(col("s1"), col("s2")), 2), 6).as("r2_s1_s2"),
+        round(pow(corr(col("s1"), col("s3")), 2), 6).as("r2_s1_s3"),
+        round(pow(corr(col("s2"), col("s3")), 2), 6).as("r2_s2_s3"))
+    }),
+
     "genotype_maf_describe" -> ((s, dir) => {
       // diploid calls synthesized deterministically from lineitem ints ->
       // Genotypes.describeMaf (ONE stack melt + ONE grouped aggregation);
@@ -1975,6 +1991,18 @@ object SparkEntry {
       """SELECT o_orderpriority AS strat, count(DISTINCT o_custkey % 20) AS n_clusters,
          count(*) AS n_rows, round(avg(o_totalprice), 4) AS avg_weight
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "genotype_ld" ->
+      """WITH d AS (SELECT
+             CAST((l_linenumber % 2) + (l_suppkey % 2) AS DOUBLE) AS s1,
+             CAST((l_partkey % 2) + (l_orderkey % 2) AS DOUBLE) AS s2,
+             CAST((CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN l_suppkey % 3 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS s3
+           FROM lineitem)
+         SELECT round(pow(corr(s1, s2), 2), 6) AS r2_s1_s2,
+           round(pow(corr(s1, s3), 2), 6) AS r2_s1_s3,
+           round(pow(corr(s2, s3), 2), 6) AS r2_s2_s3
+         FROM d""",
 
     "genotype_maf_describe" ->
       """WITH melted AS (
