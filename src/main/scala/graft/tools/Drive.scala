@@ -16,14 +16,11 @@ object Drive {
       val t0 = System.nanoTime(); val r = f
       println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    for (q <- Seq("describe_gini", "events_markov", "text_readability",
-        "text_zipf_fit", "modify_quantile_normalize")) {
-      val fn = graft.SparkEntry.queries(q)
-      fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      (1 to 2).foreach { i =>
-        time(s"$q pass $i") {
-          fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
-        }
+    val fn = graft.SparkEntry.queries("describe_bootstrap_ci")
+    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    (1 to 4).foreach { i =>
+      time(s"bootstrap pass $i") {
+        fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
       }
     }
     spark.stop()
