@@ -410,7 +410,7 @@ object Describe {
       sum(when(coalesce(c, lit(false)), 1L).otherwise(0L)).as(s"__p$i") }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stacked = rules.zipWithIndex.map { case ((name, _), i) =>
-      s"'${name.replace("'", "''")}', __p$i" }.mkString(", ")
+      s"'${name.replace("\\", "\\\\").replace("'", "''")}', __p$i" }.mkString(", ")
     one.selectExpr(s"stack(${rules.length}, $stacked) AS (rule, passed)", "__n")
       .select(col("rule"), col("__n").as("n_rows"), col("passed"),
         (col("__n") - col("passed")).as("failed"),
@@ -463,6 +463,8 @@ object Describe {
     * partitions) partial sums, never row-scale; the replica-mean frame
     * (`replicas` rows) reduces to one CI row with an exact percentile.
     * Null values are dropped (they carry no information about the mean).
+    * `key` must be row-unique: rows sharing a key draw IDENTICAL weights,
+    * which correlates their resampling and narrows the CI.
     * Returns one row: n, mean, se_boot, ci_lo, ci_p50, ci_hi. */
   def bootstrapCI(df: DataFrame, valueCol: String, key: Column,
                   replicas: Int = 50): DataFrame = {

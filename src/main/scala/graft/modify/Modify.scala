@@ -482,7 +482,8 @@ object Modify {
     * [[exactQuantilesAll]] but carrying the row id, so per-column ranks
     * come from the sorted partitions' global index minus the column
     * offset; rank means are one O(maxN) aggregation and the remap is one
-    * join keyed by rank. Ties break by id — deterministic in any engine. */
+    * join keyed by rank. Ties break by id — deterministic in any engine.
+    * `idCol` must be integral (it is carried as a long through the sort). */
   def quantileNormalize(df: DataFrame, cols: Seq[String],
                         idCol: String): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")

@@ -27,7 +27,9 @@ object Joins {
     * anti-join broadcasts and the base table never shuffles at all — the
     * shape that matters when base is the 100 TB corpus. `updates` must be
     * key-unique (enforce upstream with dropDuplicates — silently keeping
-    * both would duplicate the key downstream). */
+    * both would duplicate the key downstream); duplicate keys in `base`
+    * are preserved when unmatched but collapse to the single update row
+    * when matched. */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
     require(base.columns.toSet == updates.columns.toSet,
