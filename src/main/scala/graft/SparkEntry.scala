@@ -325,14 +325,16 @@ object SparkEntry {
         .orderBy("variable")),
 
     "events_funnel_windowed" -> ((s, dir) => {
-      // per-view funnel with a 1-hour conversion window at each step:
+      // per-view funnel with a 24-hour conversion window at each step:
       // two FORWARD as-of joins (view→next click, click→next purchase),
-      // each ONE shuffle — the composition that replaces MATCH_RECOGNIZE
+      // each ONE shuffle — the composition that replaces MATCH_RECOGNIZE.
+      // 24h is the tightest round window where every leg fires on the
+      // synthetic event density (1h left the final leg vacuous at all SFs)
       val ev = t(s, dir, "events")
       def stage(tp: String, out: String) =
         ev.filter(col("event_type") === tp)
           .select(col("user_id"), unix_micros(col("ts")).as(out))
-      val hourUs = 3600L * 1000000L
+      val hourUs = 24L * 3600L * 1000000L
       val vc = Joins.asofJoin(stage("view", "t_view"), stage("click", "t_click"),
         keys = Seq("user_id"), leftTs = "t_view", rightTs = "t_click",
         rightCols = Nil, prefix = "c_", tolerance = Some(hourUs),
@@ -342,9 +344,9 @@ object SparkEntry {
         rightCols = Nil, prefix = "p_", tolerance = Some(hourUs),
         direction = "forward")
       vcp.agg(count(lit(1)).as("n_views"),
-        sum(when(col("c_t_click").isNotNull, 1L).otherwise(0L)).as("clicked_1h"),
+        sum(when(col("c_t_click").isNotNull, 1L).otherwise(0L)).as("clicked_24h"),
         sum(when(col("c_t_click").isNotNull && col("p_t_purchase").isNotNull, 1L)
-          .otherwise(0L)).as("full_1h"))
+          .otherwise(0L)).as("full_24h"))
     }),
 
     "graph_triangles" -> ((s, dir) => {
@@ -2841,7 +2843,7 @@ object SparkEntry {
                    WHERE c.user_id = v.user_id AND c.t >= v.t) AS tc0
                 FROM v),
          vc2 AS (SELECT user_id, t,
-                   CASE WHEN tc0 IS NOT NULL AND tc0 - t <= 3600000000
+                   CASE WHEN tc0 IS NOT NULL AND tc0 - t <= 86400000000
                         THEN tc0 END AS tc
                  FROM vc),
          vcp AS (SELECT vc2.user_id, vc2.t, vc2.tc,
@@ -2850,13 +2852,13 @@ object SparkEntry {
                       WHERE p.user_id = vc2.user_id AND p.t >= vc2.tc) END AS tp0
                  FROM vc2),
          f AS (SELECT user_id, t, tc,
-                 CASE WHEN tp0 IS NOT NULL AND tp0 - tc <= 3600000000
+                 CASE WHEN tp0 IS NOT NULL AND tp0 - tc <= 86400000000
                       THEN tp0 END AS tp FROM vcp)
          SELECT count(*) AS n_views,
            CAST(sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS clicked_1h,
+             AS clicked_24h,
            CAST(sum(CASE WHEN tc IS NOT NULL AND tp IS NOT NULL
-                    THEN 1 ELSE 0 END) AS BIGINT) AS full_1h
+                    THEN 1 ELSE 0 END) AS BIGINT) AS full_24h
          FROM f""",
 
     "graph_triangles" ->
