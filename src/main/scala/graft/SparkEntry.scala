@@ -126,8 +126,12 @@ object SparkEntry {
     }),
 
     "q5_anti_join" -> ((s, dir) => {
+      // customers with NO order above 300k: the threshold keeps the
+      // anti-join NON-VACUOUS at every SF (unfiltered, every customer has
+      // orders and the result was empty — an oracle that exercised nothing)
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
       c.join(o, Seq("c_custkey"), "left_anti")
         .select("c_custkey").orderBy("c_custkey")
     }),
@@ -1581,7 +1585,9 @@ object SparkEntry {
 
     "q5_anti_join" ->
       """SELECT c_custkey FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 300000)
          ORDER BY 1""",
 
     "q6_window_running_sum" ->
