@@ -2803,20 +2803,23 @@ object SparkEntry {
 
     "describe_bootstrap_ci" ->
       """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
-             concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR)) AS k
+             (('0x' || substr(md5(concat(CAST(l_orderkey AS VARCHAR), '_',
+                 CAST(l_linenumber AS VARCHAR))), 1, 12))::BIGINT)
+               % 2147483647 AS h
            FROM lineitem WHERE l_extendedprice IS NOT NULL),
-         e AS (SELECT x, k, g.r FROM s CROSS JOIN
+         e AS (SELECT x, h, g.r FROM s CROSS JOIN
                (SELECT unnest(generate_series(0, 49)) AS r) g),
          w AS (SELECT r, x,
-             CASE WHEN h < '5e2d58d8b3bce' THEN 0
-                  WHEN h < 'bc5ab1b16779c' THEN 1
-                  WHEN h < 'eb715e1dc1583' THEN 2
-                  WHEN h < 'fb23979734a25' THEN 3
-                  WHEN h < 'ff1025f59174e' THEN 4
-                  WHEN h < 'ffd90f3ba4056' THEN 5
+             CASE WHEN u < 790015083 THEN 0
+                  WHEN u < 1580030167 THEN 1
+                  WHEN u < 1975037709 THEN 2
+                  WHEN u < 2106706890 THEN 3
+                  WHEN u < 2139624185 THEN 4
+                  WHEN u < 2146207644 THEN 5
                   ELSE 6 END AS wt
            FROM (SELECT x, r,
-                   substr(md5(concat(k, '_', CAST(r AS VARCHAR))), 1, 13) AS h
+                   (((r * 2654435761 + 1) % 2147483647) * h
+                     + (r * 40503 + 7) % 2147483647) % 2147483647 AS u
                  FROM e)),
          m AS (SELECT r, sum(wt * x) / sum(wt) AS mm FROM w GROUP BY r),
          ci AS (SELECT stddev_samp(mm) AS se_boot,

@@ -442,51 +442,63 @@ object Describe {
         max(col("__tw")).as("total_weight"))
   }
 
-  /** Cumulative Poisson(1) probabilities as 13-hex-digit thresholds
-    * (floor(P·16^13), lowercase): EXACT string comparisons against an md5
-    * prefix, no float conversion anywhere, so any SQL engine replays the
-    * weights bit-for-bit. Mass beyond k=5 (~6e-4) gets weight 6. */
-  private val poisson1HexThresholds = Seq(
-    "5e2d58d8b3bce", "bc5ab1b16779c", "eb715e1dc1583",
-    "fb23979734a25", "ff1025f59174e", "ffd90f3ba4056")
+  /** Cumulative Poisson(1) probabilities as integer thresholds against a
+    * 31-bit-prime uniform (floor(P·p), p = 2^31−1): exact long compares,
+    * no float conversion anywhere, so any SQL engine replays the weights
+    * bit-for-bit. Mass beyond k=5 (~6e-4) gets weight 6. */
+  private val poisson1PrimeThresholds = Seq(
+    790015083L, 1580030167L, 1975037709L, 2106706890L, 2139624185L, 2146207644L)
 
   /** Poisson bootstrap confidence interval for the mean of `valueCol` —
     * THE bootstrap at data sizes where resampling is impossible: each row
     * contributes a deterministic Poisson(1) weight per replica (classic
     * multinomial resampling converges to iid Poisson(1) weights as n→∞),
-    * so ALL `replicas` resamples ride ONE pass over the data. Weights come
-    * from md5(key, replica) prefixes compared against exact hex
-    * thresholds — deterministic across runs, engines, and partitionings.
+    * so ALL `replicas` resamples ride ONE pass over the data.
+    *
+    * Weight derivation: ONE md5 per row reduces the key to h ∈ [0, p),
+    * p = 2^31−1; each replica draws its uniform from the universal-hash
+    * family u_r = (a_r·h + b_r) mod p with per-replica multipliers derived
+    * from r by the same safe integer arithmetic in Scala and SQL (every
+    * product < 2^62, so both engines compute exactly — no wrap-around, no
+    * strings in the replica loop). Pairwise-independent uniforms are the
+    * standard construction for hash-derived resampling weights; the
+    * hot stage is pure long arithmetic, ~replicas× cheaper than hashing
+    * per (row, replica).
     *
     * Scale shape: a `replicas`× generator expansion feeds a map-side-
     * combined groupBy(replica) — the shuffle carries O(replicas ×
     * partitions) partial sums, never row-scale; the replica-mean frame
     * (`replicas` rows) reduces to one CI row with an exact percentile.
     * Null values are dropped (they carry no information about the mean).
-    * `key` must be row-unique: rows sharing a key draw IDENTICAL weights,
-    * which correlates their resampling and narrows the CI.
+    * `key` must be row-unique: rows sharing a key (or the ~n²/2^33
+    * 31-bit h collisions) draw IDENTICAL weights, correlating their
+    * resampling slightly.
     * Returns one row: n, mean, se_boot, ci_lo, ci_p50, ci_hi. */
   def bootstrapCI(df: DataFrame, valueCol: String, key: Column,
                   replicas: Int = 50): DataFrame = {
     require(replicas >= 2, s"replicas must be >= 2: $replicas")
     // spread BEFORE the replicas× expansion: downstream work is ~replicas×
-    // the scan (md5 + weight per row-replica), so inheriting the scan's
-    // partitioning (often 1-2 partitions for a single parquet file)
-    // serializes the whole op; a cheap 2-column shuffle buys full
-    // parallelism for the expensive stage
+    // the scan, so inheriting the scan's partitioning (often 1-2
+    // partitions for a single parquet file) serializes the whole op; a
+    // cheap 2-column shuffle buys full parallelism for the expensive stage
     val parts = math.max(
       df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val p = 2147483647L                      // 2^31 − 1 (prime)
     val src = df.filter(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("double").as("__x"), key.cast("string").as("__k"))
+      .select(col(valueCol).cast("double").as("__x"),
+        // 12 hex = 48 bits, reduced mod p: exact in any engine
+        pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+          .cast("long"), lit(p)).as("__h"))
       .repartition(parts)
-    val h = substring(
-      md5(concat(col("__k"), lit("_"), col("__r").cast("string"))), 1, 13)
-    val w = poisson1HexThresholds.zipWithIndex
+    val a = pmod(col("__r") * lit(2654435761L) + lit(1L), lit(p))
+    val b = pmod(col("__r") * lit(40503L) + lit(7L), lit(p))
+    val u = pmod(a * col("__h") + b, lit(p))
+    val w = poisson1PrimeThresholds.zipWithIndex
       .foldRight(lit(6): Column) { case ((th, k), rest) =>
-        when(h < lit(th), k).otherwise(rest) }
+        when(u < lit(th), k).otherwise(rest) }
     val replicaMeans = src
-      .select(col("__x"), col("__k"),
-        explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
+      .select(col("__x"), col("__h"),
+        explode(sequence(lit(0L), lit(replicas - 1L))).as("__r"))
       .withColumn("__w", w)
       .groupBy("__r")
       .agg((sum(col("__w") * col("__x")) / sum(col("__w"))).as("__m"))
