@@ -945,11 +945,13 @@ object SparkEntry {
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
-      // no SQL oracle (hash-family equivalence is not expressible) ->
-      // rows-only; exactness is covered by DedupSpec against planted dupes
+      // hash-proven: the oracle replays polyHash + the fmix64 family +
+      // band buckets + candidate pairs in DuckDB SQL (see minhashOracleSql).
+      // est_jaccard stays unrounded — k/64 is an exact binary double on
+      // both engines, while round() would pit HALF_UP against HALF_EVEN.
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
       Dedup.minhashCandidates(s, docs, "text", "doc_id")
-        .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .select(col("id1"), col("id2"), col("est_jaccard"))
         .orderBy("id1", "id2")
     }),
 
@@ -1553,6 +1555,98 @@ object SparkEntry {
     arms.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY variable")
   }
 
+  // -------------------------------------------- minhash/simhash SQL replay
+  // DuckDB replay of the Dedup hash kernels (Dedup.polyHash via Text,
+  // fmix64, the seeded family) so the LSH candidate queries are hash-proven
+  // rather than rows-only. All 64-bit wrapping arithmetic runs in HUGEINT
+  // limbs (DuckDB raises on BIGINT overflow instead of wrapping); signed
+  // Long min-comparison is obtained on UBIGINT bits by flipping the sign
+  // bit (x XOR 2^63 maps signed order onto unsigned order). Corpus is
+  // ASCII (verified), so unicode() == Java charAt and lower() == toLowerCase.
+
+  /** 64-bit wrapping multiply of a UBIGINT sql expression by a constant:
+    * 32-bit limb products in HUGEINT, recombined mod 2^64. */
+  private def sqlUmul64(a: String, c: BigInt): String = {
+    val cl = c & 0xFFFFFFFFL
+    val ch = c >> 32
+    s"CAST((((($a)::HUGEINT % 4294967296) * $cl" +
+      s" + (((($a)::HUGEINT // 4294967296) * $cl" +
+      s" + (($a)::HUGEINT % 4294967296) * $ch) % 4294967296) * 4294967296)" +
+      s" % 18446744073709551616) AS UBIGINT)"
+  }
+
+  /** Text.polyHash replay: h = h*1000003 + char, wrapping at 2^64. */
+  private def sqlPolyHash(x: String): String =
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |  list_transform(range(length($x)), ci -> CAST(unicode($x[CAST(ci AS INT)+1:CAST(ci AS INT)+1]) AS HUGEINT))),
+       |  (acc, c) -> (acc * 1000003 + c) % CAST('18446744073709551616' AS HUGEINT)) AS UBIGINT)""".stripMargin
+
+  /** Dedup.fmix64 replay as chained CTEs over a column named `a`. */
+  private def sqlFmixSteps(from: String): String = {
+    val c1 = BigInt("ff51afd7ed558ccd", 16)
+    val c2 = BigInt("c4ceb9fe1a85ec53", 16)
+    s"""f1 AS (SELECT id, i, xor(a, a >> 33) AS a FROM $from),
+       |f2 AS (SELECT id, i, ${sqlUmul64("a", c1)} AS a FROM f1),
+       |f3 AS (SELECT id, i, xor(a, a >> 33) AS a FROM f2),
+       |f4 AS (SELECT id, i, ${sqlUmul64("a", c2)} AS a FROM f3),
+       |f5 AS (SELECT id, i, xor(a, a >> 33) AS a FROM f4)""".stripMargin
+  }
+
+  /** Full DuckDB replay of Dedup.minhashCandidates on documents doc_id<200:
+    * shingle → polyHash → fmix64(x ^ param_i) → per-function signed min →
+    * 16 band slices → bucket self-join → est_jaccard from full signatures.
+    * Buckets join on the band SLICE itself where the engine joins on
+    * hash(slice) — identical pairs unless Spark murmur3 collides on two
+    * distinct 4-long slices within one band (verified collision-free on
+    * this corpus; a collision would surface as extra Spark rows here). */
+  private def minhashOracleSql: String = {
+    val params = graft.pipeline.Dedup.hashParams(64, 42L)
+    val prvals = params.zipWithIndex
+      .map { case (p, i) => s"($i, CAST('${java.lang.Long.toUnsignedString(p)}' AS UBIGINT))" }
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS id,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+       |  FROM documents WHERE doc_id < 200),
+       |shl AS (SELECT id, unnest(list_distinct(CASE WHEN length(n) <= 5 THEN [n]
+       |    ELSE list_transform(range(length(n)-4), i -> n[CAST(i AS INT)+1:CAST(i AS INT)+5]) END)) AS s
+       |  FROM d),
+       |ph AS (SELECT id, ${sqlPolyHash("s")} AS x FROM shl),
+       |pr(i, p) AS (VALUES $prvals),
+       |f0 AS (SELECT id, i, xor(x, p) AS a FROM ph CROSS JOIN pr),
+       |${sqlFmixSteps("f0")},
+       |mn AS (SELECT id, i, min(xor(a, CAST('9223372036854775808' AS UBIGINT))) AS m FROM f5 GROUP BY id, i),
+       |sg AS (SELECT id, list(m ORDER BY i) AS sig FROM mn GROUP BY id),
+       |bd AS (SELECT id, sig, b, sig[CAST(b AS INT)*4+1 : CAST(b AS INT)*4+4] AS slice
+       |       FROM sg CROSS JOIN range(16) r(b)),
+       |cd AS (SELECT DISTINCT x.id AS id1, y.id AS id2, x.sig AS s1, y.sig AS s2
+       |       FROM bd x JOIN bd y ON x.b = y.b AND x.slice = y.slice AND x.id < y.id)
+       |SELECT id1, id2,
+       |  CAST(len(list_filter(range(64), i -> s1[CAST(i AS INT)+1] = s2[CAST(i AS INT)+1])) AS DOUBLE)/64 AS est_jaccard
+       |FROM cd ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Full DuckDB replay of Dedup.simhashCandidates on documents doc_id<200:
+    * token polyHash → ±1 per bit → sign bit pack → 4 16-bit bands (exact
+    * bit-slice buckets, no hash compression anywhere) → hamming ≤ 16. */
+  private def simhashOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS id, lower(text) AS lt
+       |  FROM documents WHERE doc_id < 200),
+       |tk AS (SELECT id, unnest(string_split_regex(lt, '\\s+')) AS tok FROM d),
+       |ph AS (SELECT id, ${sqlPolyHash("tok")} AS x FROM tk),
+       |bits AS (SELECT id, b, sum(CASE WHEN (x >> CAST(b AS INT)) & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT) THEN 1 ELSE -1 END) AS acc
+       |         FROM ph CROSS JOIN range(64) r(b) GROUP BY id, b),
+       |sg AS (SELECT id, CAST(CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << CAST(b AS INT))::HUGEINT ELSE 0 END) AS HUGEINT)
+       |         % 18446744073709551616 AS UBIGINT) AS sig
+       |       FROM bits GROUP BY id),
+       |bd AS (SELECT id, sig, b, (sig >> CAST(b*16 AS INT)) & CAST(65535 AS UBIGINT) AS bucket
+       |       FROM sg CROSS JOIN range(4) r(b)),
+       |cd AS (SELECT DISTINCT x.id AS id1, y.id AS id2, x.sig AS s1, y.sig AS s2
+       |       FROM bd x JOIN bd y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id)
+       |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+       |FROM cd WHERE bit_count(xor(s1, s2)) <= 16 ORDER BY id1, id2""".stripMargin
+
   // ============================================================ oracle SQL
 
   /** DuckDB-runnable oracles. Keys without an entry get the driver's weaker
@@ -2094,6 +2188,9 @@ object SparkEntry {
          SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
            count(*) AS n_events
          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
 
     "dedup_ngram_jaccard" ->
       // set-of-4-grams jaccard on the raw strings — equivalent to the Spark

@@ -60,7 +60,7 @@ object Dedup {
     * order-preserving, signatures collapse to the globally-smallest
     * shingle, and every document pair collides in every band. fmix64 gives
     * full 64-bit avalanche at ~4 ops per hash. */
-  private def hashParams(numHashes: Int, seed: Long): Array[Long] = {
+  private[graft] def hashParams(numHashes: Int, seed: Long): Array[Long] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numHashes)(rnd.nextLong())
   }
