@@ -801,8 +801,10 @@ object SparkEntry {
     }),
 
     "analyze_assoc_logistic" -> ((s, dir) => {
-      // binary outcome (high-price flag) ~ each continuous rv; no SQL
-      // oracle (logistic IRLS is not DuckDB-expressible) -> rows-only check
+      // binary outcome (high-price flag) ~ each continuous rv; hash-proven:
+      // the oracle unrolls the 2-parameter IRLS (closed-form 2×2 solve per
+      // iteration) with the engine's init + stopping rule in DuckDB SQL and
+      // replays erfc via Cody's approximation — see logisticIrlsOracleSql
       var cf = CladeFrame(t(s, dir, "lineitem")
         .withColumn("high_price", (col("l_extendedprice") > 30000).cast("string"))
         .select("l_orderkey", "high_price", "l_quantity", "l_discount"), "l_orderkey")
@@ -1647,6 +1649,108 @@ object SparkEntry {
        |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
        |FROM cd WHERE bit_count(xor(s1, s2)) <= 16 ORDER BY id1, id2""".stripMargin
 
+  // ------------------------------------------ logistic IRLS SQL replay
+  // DuckDB replay of the Glm.fitBinomial kernel for the 2-parameter
+  // (intercept + one continuous rv) logistic fits of analyze_assoc_logistic:
+  // the 2×2 weighted normal equations solve in closed form, so each IRLS
+  // iteration is one aggregation pass, unrolled to 8 iterations with the
+  // engine's exact statsmodels init (mu = (y+0.5)/2) and deviance stopping
+  // rule replayed via a lag window (the FIRST iteration meeting
+  // |dev_k − dev_{k−1}| ≤ 1e-8(|dev_{k−1}|+1e-8) is reported, exactly like
+  // the Scala loop). p-values replay erfc via Cody's rational Chebyshev
+  // approximation (≤8e-16 relative for x ≤ 4; erfc beyond 4 is < 1.6e-8 and
+  // rounds to 0 at 6 decimals).
+
+  /** Cody erfc over a non-negative sql expression. */
+  private def sqlErfc(x: String): String = {
+    val a = Seq("3.16112374387056560e0", "1.13864154151050156e2",
+      "3.77485237685302021e2", "3.20937758913846947e3", "1.85777706184603153e-1")
+    val b = Seq("2.36012909523441209e1", "2.44024637934444173e2",
+      "1.28261652607737228e3", "2.84423683343917062e3")
+    val c = Seq("5.64188496988670089e-1", "8.88314979438837594e0",
+      "6.61191906371416295e1", "2.98635138197400131e2", "8.81952221241769090e2",
+      "1.71204761263407058e3", "2.05107837782607147e3", "1.23033935479799725e3",
+      "2.15311535474403846e-8")
+    val d = Seq("1.57449261107098347e1", "1.17693950891312499e2",
+      "5.37181101862009858e2", "1.62138957456669019e3", "3.29079923573345963e3",
+      "4.36261909014324716e3", "3.43936767414372164e3", "1.23033935480374942e3")
+    val ysq = s"(($x)*($x))"
+    val num1 = s"((((${a(4)}*$ysq+${a(0)})*$ysq+${a(1)})*$ysq+${a(2)})*$ysq+${a(3)})"
+    val den1 = s"(((($ysq+${b(0)})*$ysq+${b(1)})*$ysq+${b(2)})*$ysq+${b(3)})"
+    val erfSmall = s"(($x)*$num1/$den1)"
+    var num2 = s"${c(8)}*($x)"
+    for (ci <- c.take(7)) num2 = s"(($num2+$ci)*($x))"
+    num2 = s"($num2+${c(7)})"
+    var den2 = s"($x)"
+    for (di <- d.take(7)) den2 = s"(($den2+$di)*($x))"
+    den2 = s"($den2+${d(7)})"
+    val ysq16 = s"(floor(($x)*16)/16)"
+    val del = s"((($x)-$ysq16)*(($x)+$ysq16))"
+    val erfcMid = s"(exp(-$ysq16*$ysq16)*exp(-$del)*$num2/$den2)"
+    s"(CASE WHEN ($x) <= 0.46875 THEN 1.0 - $erfSmall" +
+      s" WHEN ($x) <= 4.0 THEN $erfcMid ELSE 0.0 END)"
+  }
+
+  /** Full IRLS replay for analyze_assoc_logistic (verified to hash-match
+    * the engine's rounded beta/se/pvalue at sf0.001 and sf0.01). */
+  private def logisticIrlsOracleSql: String = {
+    val iters = 8
+    val vars = Seq("l_quantity", "l_discount")
+    def chain(v: String): Seq[String] = {
+      val init =
+        s"""i_${v}_0 AS (SELECT 2*sum(-ln(0.75)) AS dev FROM dat_$v)"""
+      val steps = (1 to iters).flatMap { k =>
+        val inner =
+          if (k == 1)
+            s"""SELECT x, y,
+               |  CASE WHEN y = 1.0 THEN ln(3.0) ELSE ln(1.0/3.0) END AS eta,
+               |  CASE WHEN y = 1.0 THEN 0.75 ELSE 0.25 END AS mu
+               |FROM dat_$v""".stripMargin
+          else
+            s"""SELECT x, y, b0 + b1*x AS eta, 1.0/(1.0+exp(-(b0 + b1*x))) AS mu
+               |FROM dat_$v CROSS JOIN p_${v}_${k - 1}""".stripMargin
+        Seq(
+          s"""s_${v}_$k AS (
+             |  SELECT sum(w) AS sw, sum(w*x) AS swx, sum(w*x*x) AS swxx,
+             |         sum(w*z) AS swz, sum(w*x*z) AS swxz
+             |  FROM (SELECT x, y, eta, mu, greatest(mu*(1.0-mu), 1e-10) AS w,
+             |               eta + (y-mu)/greatest(mu*(1.0-mu), 1e-10) AS z
+             |        FROM ($inner)))""".stripMargin,
+          s"""p_${v}_$k AS (
+             |  SELECT (swxx*swz - swx*swxz)/(sw*swxx - swx*swx) AS b0,
+             |         (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1,
+             |         sqrt(sw/(sw*swxx - swx*swx)) AS se1
+             |  FROM s_${v}_$k)""".stripMargin,
+          s"""q_${v}_$k AS (
+             |  SELECT b0, b1, se1,
+             |    2*sum(CASE WHEN y = 1.0
+             |      THEN -ln(least(greatest(1.0/(1.0+exp(-(b0 + b1*x))), 1e-10), 1.0-1e-10))
+             |      ELSE -ln(least(greatest(1.0 - 1.0/(1.0+exp(-(b0 + b1*x))), 1e-10), 1.0-1e-10)) END) AS dev
+             |  FROM dat_$v CROSS JOIN p_${v}_$k GROUP BY b0, b1, se1)""".stripMargin)
+      }
+      val unions = (Seq(s"SELECT 0 AS k, NULL AS b0, NULL AS b1, NULL AS se1, dev FROM i_${v}_0") ++
+        (1 to iters).map(k => s"SELECT $k AS k, b0, b1, se1, dev FROM q_${v}_$k"))
+        .mkString(" UNION ALL ")
+      val track = Seq(
+        s"""t_$v AS (SELECT k, b0, b1, se1, dev, lag(dev) OVER (ORDER BY k) AS pdev FROM ($unions))""",
+        s"""r_$v AS (SELECT b0, b1, se1 FROM t_$v
+           |  WHERE k >= 1 AND abs(dev - pdev) <= 1e-8*(abs(pdev) + 1e-8)
+           |  ORDER BY k LIMIT 1)""".stripMargin)
+      init +: steps :+ track.head :+ track.last
+    }
+    val zExpr = "(abs(b1/se1)/sqrt(2.0))"
+    val ctes = vars.flatMap(v => s"dat_$v AS (SELECT $v AS x, y FROM dat0)" +: chain(v))
+    val arms = vars.map { v =>
+      s"""SELECT '$v' AS variable, (SELECT count(*) FROM dat_$v) AS n,
+         |  round(b1, 4) AS beta, round(se1, 4) AS se,
+         |  round(${sqlErfc(zExpr)}, 6) AS pvalue FROM r_$v""".stripMargin
+    }
+    "WITH dat0 AS (SELECT l_quantity, l_discount, " +
+      "CASE WHEN l_extendedprice > 30000 THEN 1.0 ELSE 0.0 END AS y FROM lineitem),\n" +
+      ctes.mkString(",\n") + "\n" +
+      "SELECT * FROM (" + arms.mkString(" UNION ALL ") + ") ORDER BY variable"
+  }
+
   // ============================================================ oracle SQL
 
   /** DuckDB-runnable oracles. Keys without an entry get the driver's weaker
@@ -2063,6 +2167,7 @@ object SparkEntry {
          ORDER BY variable""",
 
     "analyze_assoc_wide" -> wideOracle,
+    "analyze_assoc_logistic" -> logisticIrlsOracleSql,
 
     "analyze_corrected_pvalues" ->
       """WITH p AS (SELECT doc_id, (doc_id * 37 % 100 + 1) / 101.0 AS pvalue
