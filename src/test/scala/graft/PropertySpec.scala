@@ -53,33 +53,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("jackknife vcov is consistent with linearization on the fpc design") {
+  test("jackknife vcov matches the independent JKn fixture on the fpc design") {
+    // Golden parity for SurveyKernel.jackknifeVcov (SURVEY §2.10 row 61):
+    // expected SEs computed by tools/jackknife_fixture.py — a standalone
+    // numpy implementation of R `survey`'s JKn replicate scheme (drop one
+    // cluster, reweight its stratum by nh/(nh-1), center at the full fit,
+    // scale by (nh-1)/nh and 1-fpc) sharing no code with the engine.
     import graft.io.Load
     import graft.modify.Modify
-    import graft.stats.{DesignMatrix, Glm}
+    import graft.stats.Glm
     import graft.survey.{SurveyDesignSpec, SurveyKernel}
     import breeze.linalg.{DenseMatrix, DenseVector}
+    val fixture = Map(
+      "gaussian_nofpc" -> Seq(1.0631810510069022, 0.16553035311460526),
+      "gaussian_fpc" -> Seq(0.8836342405941322, 0.1375583344752421),
+      "binomial_nofpc" -> Seq(6.138792286430477, 1.2458985143317112))
     val raw = Load.rawDelimited(spark, refPath("test_data_files/fpc_data.csv"))
     var cf = Load.withSequentialId(raw)
-    cf = Modify.makeContinuous(cf, only = Some(Seq("x", "y")))
-    val spec = new SurveyDesignSpec(cf.df, "id",
-      strata = Some("stratid"), cluster = Some("psuid"), nest = true,
-      singleWeight = Some("weight"))
+    cf = Modify.makeContinuous(cf, only = Some(Seq("x", "y", "Nh")))
     val rows = cf.df.select("id", "x", "y").collect().sortBy(_.getLong(0))
     val n = rows.length
     val x = DenseMatrix.tabulate(n, 2)((i, j) => if (j == 0) 1.0 else rows(i).getDouble(1))
-    val y = DenseVector(rows.map(_.getDouble(2)))
+    val yCont = DenseVector(rows.map(_.getDouble(2)))
+    val sortedY = rows.map(_.getDouble(2)).sorted
+    val median = (sortedY((n - 1) / 2) + sortedY(n / 2)) / 2.0
+    val yBin = DenseVector(rows.map(r => if (r.getDouble(2) > median) 1.0 else 0.0))
     val ids = rows.map(_.getLong(0).toString)
-    val w = ids.map(spec.normalizedWeights("weight"))
-    val design = SurveyKernel.AlignedDesign(
-      ids.map(spec.stratOf), ids.map(spec.clustOf), w, spec.fpcPerClust,
-      spec.clustPerStrat, spec.stratForClust, hasStrata = true,
-      hasCluster = true, hasWeights = true, singleCluster = "fail")
-    val fit = Glm.fit(x, y, Glm.Gaussian, Some(DenseVector(w)))
-    val lin = SurveyKernel.stataLinearizationVcov(x, y, fit, Glm.Gaussian, design)
-    val jk = SurveyKernel.jackknifeVcov(x, y, fit, Glm.Gaussian, design)
-    // same order of magnitude on the slope variance (exact equality is not
-    // expected between the two estimators)
+    def designFor(fpc: Option[String]): SurveyKernel.AlignedDesign = {
+      val spec = new SurveyDesignSpec(cf.df, "id",
+        strata = Some("stratid"), cluster = Some("psuid"), nest = true,
+        singleWeight = Some("weight"), fpc = fpc)
+      val w = ids.map(spec.normalizedWeights("weight"))
+      SurveyKernel.AlignedDesign(
+        ids.map(spec.stratOf), ids.map(spec.clustOf), w, spec.fpcPerClust,
+        spec.clustPerStrat, spec.stratForClust, hasStrata = true,
+        hasCluster = true, hasWeights = true, singleCluster = "fail")
+    }
+    def jkSe(y: DenseVector[Double], family: Glm.Family,
+             design: SurveyKernel.AlignedDesign): Seq[Double] = {
+      val w = DenseVector(design.weights)
+      val fit = Glm.fit(x, y, family, Some(w))
+      val jk = SurveyKernel.jackknifeVcov(x, y, fit, family, design)
+      Seq(math.sqrt(jk(0, 0)), math.sqrt(jk(1, 1)))
+    }
+    val noFpc = designFor(None)
+    val withFpc = designFor(Some("Nh"))
+    val got = Map(
+      "gaussian_nofpc" -> jkSe(yCont, Glm.Gaussian, noFpc),
+      "gaussian_fpc" -> jkSe(yCont, Glm.Gaussian, withFpc),
+      "binomial_nofpc" -> jkSe(yBin, Glm.Binomial, noFpc))
+    for ((k, want) <- fixture; (g, w) <- got(k).zip(want))
+      assertRtol(g, w, 1e-8, s"jackknife SE $k")
+    // sanity anchor: on this design JKn and linearization are close
+    val fitC = Glm.fit(x, yCont, Glm.Gaussian, Some(DenseVector(noFpc.weights)))
+    val lin = SurveyKernel.stataLinearizationVcov(x, yCont, fitC, Glm.Gaussian, noFpc)
+    val jk = SurveyKernel.jackknifeVcov(x, yCont, fitC, Glm.Gaussian, noFpc)
     val ratio = jk(1, 1) / lin(1, 1)
     assert(ratio > 0.2 && ratio < 5.0, s"jk/lin variance ratio $ratio out of range")
   }
