@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Native k-nearest-centroid assignment: array<int> of the `k` nearest
+  * centroid indices (squared euclidean, ties broken by lower index — the
+  * same order a stable sort by distance produces). Replaces the former
+  * Scala udf on BOTH the IVF query path and the corpus-scale index-build
+  * assignment: the centroid matrix rides as a reference object and the
+  * whole argmin loop stays inside whole-stage codegen, so the heaviest
+  * build step (one pass over the full corpus) no longer crosses a
+  * serialization boundary per row.
+  */
+case class NearestLists(child: Expression, centers: Seq[Seq[Double]], k: Int)
+    extends UnaryExpression {
+
+  require(centers.nonEmpty, "nearest_lists needs at least one center")
+  require(centers.forall(_.length == centers.head.length),
+    "all centers must have the same dimension")
+  require(k >= 1 && k <= centers.length,
+    s"k must be in 1..${centers.length}, got $k")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_lists needs array<float>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val flat: Array[Double] = centers.flatten.toArray
+  private def dim: Int = centers.head.length
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    var i = 0
+    while (i < dim) { if (x.isNullAt(i)) return null; i += 1 }
+    new GenericArrayData(NearestLists.kernel(x, flat, dim, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centers", flat, "double[]")
+    val dimV = dim
+    val kV = k
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      s"""
+         |if ($x.numElements() != $dimV) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $dimV; $i++) {
+         |  if ($x.isNullAt($i)) ${ev.isNull} = true;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.NearestLists.kernel($x, $flatRef, $dimV, $kV));
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_lists"
+}
+
+object NearestLists {
+  /** k smallest centroid indices by squared distance; strict-< selection
+    * keeps the lower index on exact ties (stable-sort parity). Shared by
+    * interpreted eval and generated code. */
+  def kernel(x: ArrayData, flat: Array[Double], dim: Int, k: Int): Array[Int] = {
+    val nLists = flat.length / dim
+    val d = new Array[Double](nLists)
+    var l = 0
+    while (l < nLists) {
+      var s = 0.0
+      var i = 0
+      val off = l * dim
+      while (i < dim) { val diff = x.getFloat(i) - flat(off + i); s += diff * diff; i += 1 }
+      d(l) = s
+      l += 1
+    }
+    val idx = Array.tabulate(nLists)(identity)
+    var a = 0
+    while (a < k) {
+      var best = a
+      var b = a + 1
+      while (b < nLists) { if (d(idx(b)) < d(idx(best))) best = b; b += 1 }
+      val t = idx(a); idx(a) = idx(best); idx(best) = t
+      a += 1
+    }
+    java.util.Arrays.copyOf(idx, k)
+  }
+}

@@ -89,7 +89,8 @@ object Similarity {
   def assignToCenters(corpus: DataFrame, centers: Array[Array[Double]],
                       vecCol: String = "embedding",
                       out: String = "cluster_id"): DataFrame =
-    corpus.withColumn(out, element_at(nearestLists(centers, 1)(col(vecCol)), 1))
+    corpus.withColumn(out,
+      element_at(nearestLists(corpus.sparkSession, centers, 1)(col(vecCol)), 1))
 
   /** One Lloyd iteration: [[assignToCenters]] (zero shuffle) + per-cluster
     * elementwise mean ([[centroids]] — map-side-combined (cluster, dim)
@@ -135,7 +136,7 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nP = math.min(nProbe, model.nLists)
     val src = assigned.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
-      .withColumn("list_id", explode(nearestLists(model.centers, nP)(col("sv"))))
+      .withColumn("list_id", explode(nearestLists(assigned.sparkSession, model.centers, nP)(col("sv"))))
     val nbr = assigned.select(col("list_id"), col(idCol).as("dst_id"),
       col(vecCol).as("dv"))
     // no dropDuplicates needed: src probes DISTINCT lists and each neighbor
@@ -267,17 +268,19 @@ object Similarity {
   }
 
   /** nProbe nearest inverted lists for a vector, by euclidean distance to
-    * the O(nLists) centroid table (closure-captured; queries are small, so
-    * a udf here never touches corpus-scale rows on the query path —
-    * [[ivfAssign]] reuses it corpus-side once at index-build time). */
-  private def nearestLists(centers: Array[Array[Double]], nP: Int) =
-    udf((v: Seq[Float]) => {
-      centers.zipWithIndex.map { case (ctr, li) =>
-        var s = 0.0; var i = 0
-        while (i < ctr.length) { val d = v(i) - ctr(i); s += d * d; i += 1 }
-        (s, li)
-      }.sortBy(_._1).take(nP).map(_._2)
-    })
+    * the O(nLists) centroid table. A NATIVE codegen'd expression
+    * ([[graft.functions.NearestLists]], centers ride as a reference
+    * object), so the corpus-scale index-build assignment ([[ivfAssign]])
+    * runs without a per-row serialization boundary; the query path shares
+    * the same kernel. */
+  private def nearestLists(spark: SparkSession, centers: Array[Array[Double]],
+                           nP: Int)(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fname = s"nearest_lists_${nP}_${java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]])}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
+      exprs => graft.functions.NearestLists(
+        exprs.head, centers.map(_.toSeq).toSeq, nP), "scala_udf")
+    call_function(fname, c)
+  }
 
   /** Train the coarse quantizer ONCE (spark.ml k-means, seeded). A loose
     * quantizer is fine — recall comes from nProbe, not centroid polish —
@@ -303,7 +306,7 @@ object Similarity {
   def ivfAssign(model: IvfModel, corpus: DataFrame,
                 vecCol: String = "embedding"): DataFrame =
     corpus.withColumn("list_id",
-      element_at(nearestLists(model.centers, 1)(col(vecCol)), 1))
+      element_at(nearestLists(corpus.sparkSession, model.centers, 1)(col(vecCol)), 1))
 
   /** Query path over a pre-assigned corpus: each query probes its `nProbe`
     * nearest lists, exact cosine + top-k within the probed lists only.
@@ -316,7 +319,7 @@ object Similarity {
     val c = assigned.select(col("list_id"), col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("list_id", explode(nearestLists(model.centers, nP)(col("qv")))))
+      .withColumn("list_id", explode(nearestLists(queries.sparkSession, model.centers, nP)(col("qv")))))
     val scored = c.join(q, Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
