@@ -252,12 +252,278 @@ object Multimodal {
     else Some(Array(seconds.toFloat, 0f, 0f, 1f, rate.toFloat,
       (kbpsSum / frames).toFloat, 0f, 0f))
 
+  // ------------------------------------------------------------ FLAC PCM
+  /** Little bit-reader over a byte array (MSB-first, FLAC bit order). */
+  private final class BitReader(b: Array[Byte], var byteOff: Int) {
+    var bitOff: Int = 0
+    def atEnd: Boolean = byteOff >= b.length
+    def alignByte(): Unit = if (bitOff != 0) { bitOff = 0; byteOff += 1 }
+    def bits(n: Int): Long = {
+      var out = 0L
+      var left = n
+      while (left > 0) {
+        if (byteOff >= b.length) throw new java.io.EOFException
+        val avail = 8 - bitOff
+        val take = math.min(avail, left)
+        val chunk = ((b(byteOff) & 0xff) >>> (avail - take)) & ((1 << take) - 1)
+        out = (out << take) | chunk
+        bitOff += take
+        if (bitOff == 8) { bitOff = 0; byteOff += 1 }
+        left -= take
+      }
+      out
+    }
+    def sbits(n: Int): Long = {
+      val v = bits(n)
+      if ((v & (1L << (n - 1))) != 0) v - (1L << n) else v
+    }
+    def unary(): Int = {
+      var q = 0
+      while (bits(1) == 0) q += 1
+      q
+    }
+  }
+
+  /** REAL FLAC sample decoder — pure-integer, no codec library: frame
+    * headers, CONSTANT/VERBATIM/FIXED(0-4)/LPC subframes, RICE/RICE2
+    * partitioned residuals, wasted bits, and left/right/mid-side stereo
+    * decorrelation, per the public FLAC format spec (RFC 9639). Emits the
+    * SAME 8-dim feature vector as [[decodeAudio]] over interleaved samples
+    * normalized by 2^(bps-1); None on anything that does not parse (CRC
+    * bytes are skipped, not verified — features, not archival integrity).
+    */
+  def decodeFlac(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.length < 4 + 4 + 34) return None
+    if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C')) return None
+    try {
+      // metadata walk: STREAMINFO is block 0; skip to the last block
+      var off = 4
+      var last = false
+      var sampleRate = 0; var channels = 0; var bps = 0; var totalSamples = 0L
+      var first = true
+      while (!last) {
+        val hdr = bytes(off) & 0xff
+        last = (hdr & 0x80) != 0
+        val btype = hdr & 0x7f
+        val len = ((bytes(off + 1) & 0xff) << 16) | ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        if (first) {
+          if (btype != 0 || len < 34) return None
+          val si = off + 4
+          sampleRate = (((bytes(si + 10) & 0xff) << 12) |
+            ((bytes(si + 11) & 0xff) << 4) | ((bytes(si + 12) & 0xf0) >> 4))
+          channels = ((bytes(si + 12) >> 1) & 0x7) + 1
+          bps = (((bytes(si + 12) & 0x01) << 4) | ((bytes(si + 13) & 0xf0) >> 4)) + 1
+          totalSamples = ((bytes(si + 13) & 0x0fL) << 32) |
+            (((bytes(si + 14) & 0xffL) << 24) | ((bytes(si + 15) & 0xffL) << 16) |
+              ((bytes(si + 16) & 0xffL) << 8) | (bytes(si + 17) & 0xffL))
+          first = false
+        }
+        off += 4 + len
+        if (off > bytes.length) return None
+      }
+      if (sampleRate == 0 || bps < 4 || bps > 32) return None
+      val r = new BitReader(bytes, off)
+      var sumSq = 0.0; var sumAbs = 0.0; var sum = 0.0
+      var peak = 0.0; var zc = 0L; var prevNeg = false
+      var nTotal = 0L; var frames = 0L
+      val norm = (1L << (bps - 1)).toDouble
+      while (!r.atEnd && (totalSamples == 0 || frames < totalSamples)) {
+        // ---- frame header
+        if (r.bits(14) != 0x3ffe) return None // lost sync
+        r.bits(1) // reserved
+        r.bits(1) // blocking strategy
+        val bsCode = r.bits(4).toInt
+        val srCode = r.bits(4).toInt
+        val chAsgn = r.bits(4).toInt
+        val ssCode = r.bits(3).toInt
+        r.bits(1) // reserved
+        // UTF-8 coded frame/sample number (up to 7 bytes)
+        val lead = r.bits(8).toInt
+        var extra = 0
+        var l = lead
+        while ((l & 0x80) != 0) { extra += 1; l = (l << 1) & 0xff }
+        if (extra == 1 || extra > 7) return None // 0xFE = 36-bit sample number
+        var e = 0
+        while (e < extra - (if (extra > 0) 1 else 0)) { r.bits(8); e += 1 }
+        val blockSize = bsCode match {
+          case 0 => return None
+          case 1 => 192
+          case n if n >= 2 && n <= 5 => 576 << (n - 2)
+          case 6 => r.bits(8).toInt + 1
+          case 7 => r.bits(16).toInt + 1
+          case n => 256 << (n - 8)
+        }
+        if (srCode == 12) r.bits(8)
+        else if (srCode == 13 || srCode == 14) r.bits(16)
+        val frameBps = ssCode match {
+          case 0 => bps
+          case 1 => 8
+          case 2 => 12
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case 7 => 32
+          case _ => return None
+        }
+        r.bits(8) // CRC-8 (skipped)
+        val nCh = if (chAsgn < 8) chAsgn + 1 else 2
+        if (nCh != channels) return None
+        // ---- subframes
+        val chans = Array.ofDim[Array[Long]](nCh)
+        var c = 0
+        while (c < nCh) {
+          // side channel carries one extra bit
+          val sbps = frameBps + (chAsgn match {
+            case 8 => if (c == 1) 1 else 0  // left/side
+            case 9 => if (c == 0) 1 else 0  // side/right
+            case 10 => if (c == 1) 1 else 0 // mid/side
+            case _ => 0
+          })
+          chans(c) = decodeSubframe(r, blockSize, sbps)
+          c += 1
+        }
+        r.alignByte()
+        r.bits(16) // frame CRC-16 (skipped)
+        // ---- stereo decorrelation
+        val out = chAsgn match {
+          case 8 => // left/side: right = left - side
+            val Array(lft, sd) = chans
+            Array(lft, Array.tabulate(blockSize)(i => lft(i) - sd(i)))
+          case 9 => // side/right: left = right + side
+            val Array(sd, rgt) = chans
+            Array(Array.tabulate(blockSize)(i => rgt(i) + sd(i)), rgt)
+          case 10 => // mid/side
+            val Array(mid, sd) = chans
+            val lft = Array.tabulate(blockSize) { i =>
+              val m = (mid(i) << 1) | (sd(i) & 1L); (m + sd(i)) >> 1
+            }
+            val rgt = Array.tabulate(blockSize) { i =>
+              val m = (mid(i) << 1) | (sd(i) & 1L); (m - sd(i)) >> 1
+            }
+            Array(lft, rgt)
+          case _ => chans
+        }
+        // ---- interleaved feature accumulation (same loop as decodeAudio)
+        var i = 0
+        while (i < blockSize) {
+          var ch = 0
+          while (ch < out.length) {
+            val s = out(ch)(i) / norm
+            sumSq += s * s; sumAbs += math.abs(s); sum += s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            val neg = s < 0
+            if (nTotal > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            nTotal += 1
+            ch += 1
+          }
+          i += 1
+        }
+        frames += blockSize
+      }
+      if (nTotal == 0) return None
+      Some(Array(
+        (frames.toDouble / sampleRate).toFloat, channels.toFloat,
+        sampleRate.toFloat, math.sqrt(sumSq / nTotal).toFloat,
+        (zc.toDouble / nTotal).toFloat, peak.toFloat,
+        (sumAbs / nTotal).toFloat, (sum / nTotal).toFloat))
+    } catch { case _: Exception => None }
+  }
+
+  private def decodeSubframe(r: BitReader, blockSize: Int, bps: Int): Array[Long] = {
+    if (r.bits(1) != 0) throw new java.io.IOException("subframe pad bit")
+    val stype = r.bits(6).toInt
+    val wasted = if (r.bits(1) == 1) r.unary() + 1 else 0
+    val ebps = bps - wasted
+    val out: Array[Long] =
+      if (stype == 0) { // CONSTANT
+        val v = r.sbits(ebps)
+        Array.fill(blockSize)(v)
+      } else if (stype == 1) { // VERBATIM
+        Array.fill(blockSize)(r.sbits(ebps))
+      } else if ((stype & 0x38) == 0x08 && (stype & 0x07) <= 4) { // FIXED
+        val order = stype & 0x07
+        val s = new Array[Long](blockSize)
+        var i = 0
+        while (i < order) { s(i) = r.sbits(ebps); i += 1 }
+        decodeResidual(r, blockSize, order, s)
+        while (i < blockSize) {
+          val pred = order match {
+            case 0 => 0L
+            case 1 => s(i - 1)
+            case 2 => 2 * s(i - 1) - s(i - 2)
+            case 3 => 3 * s(i - 1) - 3 * s(i - 2) + s(i - 3)
+            case 4 => 4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4)
+          }
+          s(i) += pred
+          i += 1
+        }
+        s
+      } else if ((stype & 0x20) != 0) { // LPC
+        val order = (stype & 0x1f) + 1
+        val s = new Array[Long](blockSize)
+        var i = 0
+        while (i < order) { s(i) = r.sbits(ebps); i += 1 }
+        val precision = r.bits(4).toInt + 1
+        if (precision == 16) throw new java.io.IOException("invalid qlp precision")
+        val shift = r.sbits(5).toInt
+        val coefs = Array.fill(order)(r.sbits(precision))
+        decodeResidual(r, blockSize, order, s)
+        while (i < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j) * s(i - 1 - j); j += 1 }
+          s(i) += (acc >> shift)
+          i += 1
+        }
+        s
+      } else throw new java.io.IOException(s"reserved subframe type $stype")
+    if (wasted > 0) { var i = 0; while (i < blockSize) { out(i) <<= wasted; i += 1 } }
+    out
+  }
+
+  /** Partitioned Rice residual into s(order..blockSize-1). */
+  private def decodeResidual(r: BitReader, blockSize: Int, order: Int,
+                             s: Array[Long]): Unit = {
+    val method = r.bits(2).toInt
+    if (method > 1) throw new java.io.IOException("reserved residual method")
+    val pBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 15 else 31
+    val partOrder = r.bits(4).toInt
+    val parts = 1 << partOrder
+    val perPart = blockSize >> partOrder
+    if ((perPart << partOrder) != blockSize || perPart < order)
+      throw new java.io.IOException("bad partition")
+    var idx = order
+    var p = 0
+    while (p < parts) {
+      val count = (if (p == 0) perPart - order else perPart)
+      val param = r.bits(pBits).toInt
+      var k = 0
+      if (param == escape) {
+        val raw = r.bits(5).toInt
+        while (k < count) { s(idx) = if (raw == 0) 0L else r.sbits(raw); idx += 1; k += 1 }
+      } else {
+        while (k < count) {
+          val q = r.unary().toLong
+          val v = (q << param) | (if (param == 0) 0L else r.bits(param))
+          s(idx) = (v >>> 1) ^ -(v & 1L) // zigzag
+          idx += 1; k += 1
+        }
+      }
+      p += 1
+    }
+  }
+
   /** STUB decoder for media neither decodable by the JDK nor matching a
     * parseable container: a real implementation would decode inside the
     * same per-partition batch loop (the codec libs are not in this
     * container). The stub emits a deterministic 8-dim "feature" derived
     * from the payload bytes so downstream plumbing (schema, joins, ANN) is
-    * exercised honestly. Marked intentionally: replace for production. */
+    * exercised honestly. Marked intentionally: replace for production.
+    * Since FLAC gained a REAL decoder ([[decodeFlac]]), only MP3/MP4
+    * SAMPLES still land here (their container metadata is parsed for real
+    * by [[parseContainerMeta]]). */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     // ??? <- real audio/video codec goes here; deterministic fake features
     val out = new Array[Float](8)
@@ -286,6 +552,7 @@ object Multimodal {
             if (bytes == null) null
             else decodeImage(bytes)
               .orElse(decodeAudio(bytes))
+              .orElse(decodeFlac(bytes)) // real PCM decode, pure-integer JVM
               .orElse(parseContainerMeta(bytes).map(_._2))
               .getOrElse(stubDecode(bytes)))
         }

@@ -533,6 +533,129 @@ class PipelineSpec extends SparkSpec {
     assert(feats(1L) === mf.toSeq && feats(2L) === ff.toSeq && feats(3L) === af.toSeq)
   }
 
+  test("multimodal: FLAC samples decode for REAL (verbatim/fixed/rice/stereo)") {
+    import spark.implicits._
+    // minimal FLAC ENCODER: enough of the bitstream to produce legal
+    // frames (CRC bytes zeroed — the decoder derives features, it does not
+    // verify archival integrity)
+    class BW {
+      val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+      private var cur = 0; private var nb = 0
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((v >>> i) & 1L).toInt; nb += 1
+          if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+          i -= 1
+        }
+      }
+      def align(): Unit = while (nb != 0) put(0, 1)
+      def bytes: Array[Byte] = { align(); buf.toArray }
+    }
+    val rate = 8000; val bs = 64
+    def streaminfo(w: BW, channels: Int, total: Long): Unit = {
+      w.put(0x664c6143L, 32)              // fLaC
+      w.put(0x80, 8); w.put(34, 24)       // last block, STREAMINFO, len 34
+      w.put(bs, 16); w.put(bs, 16); w.put(0, 24); w.put(0, 24)
+      w.put(rate, 20); w.put(channels - 1, 3); w.put(15, 5) // 16 bps
+      w.put(total, 36); (0 until 16).foreach(_ => w.put(0, 8))
+    }
+    def frameHeader(w: BW, chAsgn: Int, frameNo: Int): Unit = {
+      w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
+      w.put(6, 4)                          // blockSize: 8-bit follows
+      w.put(0, 4)                          // rate from STREAMINFO
+      w.put(chAsgn, 4); w.put(4, 3); w.put(0, 1) // 16-bit, reserved
+      w.put(frameNo, 8)                    // UTF-8 frame number (< 0x80)
+      w.put(bs - 1, 8)                     // blockSize - 1
+      w.put(0, 8)                          // CRC-8 (zeroed)
+    }
+    def verbatim(w: BW, s: Array[Long], bits: Int): Unit = {
+      w.put(0, 1); w.put(1, 6); w.put(0, 1)
+      s.foreach(v => w.put(v & ((1L << bits) - 1), bits))
+    }
+    def constant(w: BW, v: Long): Unit = {
+      w.put(0, 1); w.put(0, 6); w.put(0, 1); w.put(v & 0xffffL, 16)
+    }
+    def fixed2Rice(w: BW, s: Array[Long], k: Int): Unit = {
+      w.put(0, 1); w.put(8 + 2, 6); w.put(0, 1)   // FIXED order 2
+      w.put(s(0) & 0xffffL, 16); w.put(s(1) & 0xffffL, 16)
+      w.put(0, 2); w.put(0, 4); w.put(k, 4)       // RICE, 1 partition
+      (2 until s.length).foreach { i =>
+        val e = s(i) - (2 * s(i - 1) - s(i - 2))
+        val u = (e << 1) ^ (e >> 63)              // zigzag
+        val q = (u >>> k).toInt
+        (0 until q).foreach(_ => w.put(0, 1)); w.put(1, 1)
+        if (k > 0) w.put(u & ((1L << k) - 1), k)
+      }
+    }
+    def endFrame(w: BW): Unit = { w.align(); w.put(0, 16) } // CRC-16 (zeroed)
+    // reference feature computation (mirrors the decodeAudio stat loop)
+    def stats(inter: Array[Double], channels: Int): Array[Float] = {
+      var sumSq = 0.0; var sumAbs = 0.0; var sum = 0.0
+      var peak = 0.0; var zc = 0L; var prevNeg = false
+      inter.zipWithIndex.foreach { case (s, i) =>
+        sumSq += s * s; sumAbs += math.abs(s); sum += s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+      }
+      val n = inter.length
+      Array((n / channels.toDouble / rate).toFloat, channels.toFloat, rate.toFloat,
+        math.sqrt(sumSq / n).toFloat, (zc.toDouble / n).toFloat, peak.toFloat,
+        (sumAbs / n).toFloat, (sum / n).toFloat)
+    }
+
+    // --- stream A: stereo; frame 0 verbatim L/R, frame 1 LEFT/SIDE
+    val left1 = Array.tabulate(bs)(i => (8000 * math.sin(2 * math.Pi * 440 * i / rate)).toLong)
+    val right1 = Array.tabulate(bs)(i => (i * 100 - 3000).toLong)
+    val left2 = Array.tabulate(bs)(i => (4000 * math.sin(2 * math.Pi * 880 * i / rate)).toLong)
+    val right2 = Array.tabulate(bs)(i => left2(i) - (i % 7) + 3) // small side
+    val wa = new BW
+    streaminfo(wa, 2, 2L * bs)
+    frameHeader(wa, 1, 0); verbatim(wa, left1, 16); verbatim(wa, right1, 16); endFrame(wa)
+    frameHeader(wa, 8, 1)                        // left/side
+    verbatim(wa, left2, 16)
+    verbatim(wa, Array.tabulate(bs)(i => left2(i) - right2(i)), 17) // side, 17 bits
+    endFrame(wa)
+    val fa = Multimodal.decodeFlac(wa.bytes).get
+    val interA = (0 until bs).flatMap(i => Seq(left1(i), right1(i))).toArray ++
+      (0 until bs).flatMap(i => Seq(left2(i), right2(i)))
+    val expA = stats(interA.map(_ / 32768.0), 2)
+    fa.zip(expA).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) < 1e-6, s"stream A feature $i: $g vs $e") }
+    // independent cross-check: the JDK's WAV decoder on the same samples
+    val pcm = new Array[Byte](interA.length * 2)
+    interA.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 2, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 2L * bs),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val fw = Multimodal.decodeAudio(baos.toByteArray).get
+    fa.zip(fw).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) < 1e-6, s"FLAC vs WAV feature $i: $g vs $e") }
+
+    // --- stream B: mono; frame 0 FIXED order-2 + Rice, frame 1 CONSTANT
+    val ramp = Array.tabulate(bs)(i => (i * i / 4 - 200 + (i % 5)).toLong)
+    val wb = new BW
+    streaminfo(wb, 1, 2L * bs)
+    frameHeader(wb, 0, 0); fixed2Rice(wb, ramp, 3); endFrame(wb)
+    frameHeader(wb, 0, 1); constant(wb, -1234L); endFrame(wb)
+    val fb = Multimodal.decodeFlac(wb.bytes).get
+    val interB = ramp ++ Array.fill(bs)(-1234L)
+    val expB = stats(interB.map(_ / 32768.0), 1)
+    fb.zip(expB).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) < 1e-6, s"stream B feature $i: $g vs $e") }
+
+    // the batch extractor routes full FLAC streams through the PCM decoder
+    val feats2 = Multimodal.extractFeatures(spark,
+        Seq((9L, wa.bytes)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().head.getSeq[Float](1)
+    assert(feats2 === fa.toSeq)
+  }
+
   test("native cosine_similarity expression: eval, codegen, SQL, parity with HOF version") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
