@@ -20,15 +20,21 @@ import graft.streaming.EventStreams
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) — Spark has no ns timestamps, so
-    // sessions set spark.sql.legacy.parquet.nanosAsLong and we normalize to
-    // a microsecond timestamp here (all queries aggregate at >= second
-    // granularity, matching the DuckDB oracle's floor(epoch(ts)))
+    // events.ts has shipped in two parquet encodings across testdata
+    // generations: TIMESTAMP(NANOS) (Spark has no ns timestamps — read via
+    // nanosAsLong as a long) and TIMESTAMP_NTZ micros. Normalize BOTH to a
+    // session-tz microsecond TIMESTAMP so every query sees one type
+    // (sessions run UTC, so NTZ wall time == the instant, and DuckDB's
+    // naive epoch(ts) agrees; queries aggregate at >= second granularity)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    } else df
   }
 
   /** lineitem with a deterministic synthetic row id: a hash of the full row.

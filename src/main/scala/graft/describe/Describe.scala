@@ -365,14 +365,15 @@ object Describe {
     * a per-group window, whose parallelism collapses to the group count
     * (3 groups = 3 tasks sorting everything). The sorted partitions' global
     * index minus each group's offset is its in-group rank at full cluster
-    * parallelism; the tie column makes ranks deterministic in any engine. */
+    * parallelism; the tie column makes ranks deterministic in any engine.
+    * Rows with a null group key are excluded (no group to attribute). */
   def giniByGroup(df: DataFrame, valueCol: String, groupCol: String,
                   tieCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val sorted = df
-      .filter(col(valueCol).isNotNull)
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"),
         col(valueCol).cast("double").as("__x"),
         concat_ws(" ", tieCols.map(c => col(c).cast("string")): _*).as("__t"))
@@ -381,10 +382,14 @@ object Describe {
       .rdd.map(r => (r.getString(0), r.getDouble(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val counts = sorted.map(_._1).countByValue()
-      val groups = counts.keys.toSeq.sorted
-      val offsets = groups.zip(groups.map(counts(_)).scanLeft(0L)(_ + _)).toMap
-      val out = sorted.zipWithIndex().map { case ((g, x), gi) =>
+      val indexed = sorted.zipWithIndex()
+      // Each group's offset = the smallest global index the sort gave any
+      // of its rows — read back from the sort itself, so the driver never
+      // re-derives the collation (JVM String ordering need not match
+      // Spark's UTF8-binary sort for non-ASCII keys). O(#groups) state.
+      val offsets = indexed.map { case ((g, _), gi) => (g, gi) }
+        .reduceByKey(math.min).collectAsMap()
+      val out = indexed.map { case ((g, x), gi) =>
         (g, x, (gi - offsets(g) + 1).toDouble)   // 1-based in-group rank
       }.toDF("__g", "__x", "__i")
         .groupBy("__g")

@@ -642,18 +642,36 @@ object Modify {
   }
 
   /** Apply [[rintMap]] to the rows: adds `<col>_rint` per listed column
-    * (null where the value is null). One equi-join per column on the value
-    * key; the map side is O(#distinct values) and broadcasts when small
-    * (AQE picks it up). */
+    * (null where the value is null). ONE melted join whatever the column
+    * count: rows posexplode to (row_id, col_idx, value) — contiguous, no
+    * shuffle — then a single (variable, value)-keyed left join against the
+    * map, a pivot-back aggregation, and a re-join on row_id. Per-column
+    * joins would be catastrophic for wide continuous data: the map side is
+    * O(#distinct) ≈ O(rows) there, so each of 500 columns would be its own
+    * full shuffle join (and a 500-join plan besides). Here the pivot's
+    * map-side partial agg collapses each row's C melted entries in place
+    * (they never leave their partition), so the shuffle carries ~one row
+    * per input row regardless of width. row_id is
+    * monotonically_increasing_id over the stable source scan — both join
+    * sides recompute it identically, the same contract as zipWithIndex. */
   def rankInverseNormal(df: DataFrame, cols: Seq[String],
                         offset: Double = 0.375): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
     val m = rintMap(df, cols, offset)
-    cols.foldLeft(df) { (d, c) =>
-      val mc = m.filter(col("variable") === c)
-        .select(col("value").as(s"__v_$c"), col("rint").as(s"${c}_rint"))
-      d.join(mc, d(c).cast("double") === col(s"__v_$c"), "left")
-        .drop(s"__v_$c")
-    }
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    val melted = withId
+      .select(col("__rid"),
+        posexplode(array(cols.map(c => col(c).cast("double")): _*)))
+      .select(col("__rid"), col("pos").as("__ci"),
+        element_at(array(cols.map(lit): _*), col("pos") + 1).as("variable"),
+        col("col").as("value"))
+    val joined = melted.join(
+      m.select(col("variable"), col("value"), col("rint")),
+      Seq("variable", "value"), "left")
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      max(when(col("__ci") === i, col("rint"))).as(s"${c}_rint") }
+    val pivoted = joined.groupBy("__rid").agg(aggs.head, aggs.tail: _*)
+    withId.join(pivoted, Seq("__rid")).drop("__rid")
   }
 
   /** Equi-depth (quantile) binning: adds `<col>_bin` ∈ [0, k) per listed

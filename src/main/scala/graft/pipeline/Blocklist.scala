@@ -45,20 +45,32 @@ object Blocklist {
     // 64Mi bits). A >4M-key blocklist would silently get a far higher
     // effective fpp than requested — results stay exact (the verify join
     // removes FPs) but the documented shuffle-pruning contract erodes.
-    // Raise the caps to cover the computed size before aggregating.
+    // Raise the caps to cover the computed size before aggregating, and
+    // RESTORE them after: the raise is scoped to this one aggregation, not
+    // a session-wide change to runtime join-filter sizing for every
+    // unrelated query that follows.
     val conf = blocklist.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (conf.get(itemsKey).toLong < n) conf.set(itemsKey, n.toString)
-    if (conf.get(bitsKey).toLong < bits) conf.set(bitsKey, bits.toString)
-    val row = blocklist
-      .agg(GraftFunctions.bloom_agg(xxhash64(col(keyCol)), n, bits).as("bf"))
-      .head()
-    if (row.isNullAt(0)) {            // empty blocklist → empty sketch
-      val out = new java.io.ByteArrayOutputStream()
-      BloomFilter.create(1, fpp).writeTo(out)
-      out.toByteArray
-    } else row.getAs[Array[Byte]](0)
+    val prevItems = conf.get(itemsKey)
+    val prevBits = conf.get(bitsKey)
+    val raiseItems = prevItems.toLong < n
+    val raiseBits = prevBits.toLong < bits
+    try {
+      if (raiseItems) conf.set(itemsKey, n.toString)
+      if (raiseBits) conf.set(bitsKey, bits.toString)
+      val row = blocklist
+        .agg(GraftFunctions.bloom_agg(xxhash64(col(keyCol)), n, bits).as("bf"))
+        .head()
+      if (row.isNullAt(0)) {          // empty blocklist → empty sketch
+        val out = new java.io.ByteArrayOutputStream()
+        BloomFilter.create(1, fpp).writeTo(out)
+        out.toByteArray
+      } else row.getAs[Array[Byte]](0)
+    } finally {
+      if (raiseItems) conf.set(itemsKey, prevItems)
+      if (raiseBits) conf.set(bitsKey, prevBits)
+    }
   }
 
   private def probe(bf: Array[Byte], key: Column): Column =

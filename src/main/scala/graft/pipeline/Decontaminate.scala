@@ -140,15 +140,30 @@ object Decontaminate {
       .crossJoin(ev)
       .withColumn("__cos",
         graft.functions.GraftFunctions.cosine_similarity(col("__tv"), col("__ev")))
-    // per-train-doc argmax: max_by is a single hash aggregation; ties on
-    // cosine break toward the smallest eval id for determinism
-    scored.groupBy("id")
-      .agg(max_by(struct(col("__cos"), (-col("__eid")).as("__neg")),
-        struct(col("__cos"), (-col("__eid")).as("__neg"))).as("__best"))
-      .select(col("id"),
-        (-col("__best.__neg")).as("best_eval_id"),
-        col("__best.__cos").as("best_cosine"))
-      .withColumn("contaminated", col("best_cosine") >= threshold)
+    // An EMPTY eval frame must report every training doc as
+    // contaminated=false (best_cosine null), not cross-join to an empty
+    // result — a caller anti-joining on flagged ids would misread an
+    // empty scan as "everything was flagged clean". The isEmpty probe is
+    // one job on the tiny eval side (it gets materialized for the
+    // broadcast anyway); the common path stays a single aggregation with
+    // no extra shuffle on the train corpus.
+    if (eval.select(col(idCol)).isEmpty) {
+      val idType = eval.schema(idCol).dataType
+      train.select(col(idCol).as("id"))
+        .withColumn("best_eval_id", lit(null).cast(idType))
+        .withColumn("best_cosine", lit(null).cast("double"))
+        .withColumn("contaminated", lit(false))
+    } else {
+      // per-train-doc argmax: max_by is a single hash aggregation; ties on
+      // cosine break toward the smallest eval id for determinism
+      scored.groupBy("id")
+        .agg(max_by(struct(col("__cos"), (-col("__eid")).as("__neg")),
+          struct(col("__cos"), (-col("__eid")).as("__neg"))).as("__best"))
+        .select(col("id"),
+          (-col("__best.__neg")).as("best_eval_id"),
+          col("__best.__cos").as("best_cosine"))
+        .withColumn("contaminated", col("best_cosine") >= threshold)
+    }
   }
 
   private def canonicalWords(text: Column): Column =

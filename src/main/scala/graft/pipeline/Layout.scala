@@ -22,13 +22,21 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Bucket id of `x` in [0, 2^bits) against inclusive bounds [mn, mx]:
-    * ((x - mn) * (2^bits - 1)) DIV max(mx - mn, 1). Exact integer floor
-    * division via the pmod idiom ((n - n mod d) / d): n and d are
-    * non-negative longs, the subtraction makes the quotient integral, so
-    * the double division is exact for quotients < 2^53. */
+    * ((x - mn) * (2^bits - 1)) DIV max(mx - mn, 1). Computed in DECIMAL,
+    * not long: for wide domains (epoch-nanos, full-range longs) the long
+    * product (x-mn)·(2^bits-1) — and even x-mn itself when the range spans
+    * the sign — silently overflows and corrupts every z-value. Decimal
+    * needs ≤ 21+10+1 = 32 digits, comfortably inside decimal(38), so the
+    * arithmetic is exact over the ENTIRE long domain. The pmod idiom
+    * ((n - n mod d) / d) makes the quotient exactly integral before the
+    * division, so the result survives any division-scale rounding; all
+    * ops remain codegen'd Catalyst decimal arithmetic. */
   private def bucket(x: Column, mn: Column, mx: Column, bits: Int): Column = {
-    val n = (x - mn) * lit((1L << bits) - 1)
-    val d = greatest(mx - mn, lit(1L))
+    val xd = x.cast("decimal(20,0)")
+    val mnd = mn.cast("decimal(20,0)")
+    val mxd = mx.cast("decimal(20,0)")
+    val n = (xd - mnd) * lit((1L << bits) - 1).cast("decimal(10,0)")
+    val d = greatest(mxd - mnd, lit(1L).cast("decimal(20,0)"))
     ((n - pmod(n, d)) / d).cast("long")
   }
 

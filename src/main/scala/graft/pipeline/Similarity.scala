@@ -275,7 +275,10 @@ object Similarity {
     * the same kernel. */
   private def nearestLists(spark: SparkSession, centers: Array[Array[Double]],
                            nP: Int)(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val fname = s"nearest_lists_${nP}_${java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]])}"
+    // unsigned suffix: a negative hashCode would put '-' in the function
+    // NAME and break call_function's identifier parse
+    val fname = s"nearest_lists_${nP}_" + java.lang.Integer.toUnsignedString(
+      java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]]))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
       exprs => graft.functions.NearestLists(
         exprs.head, centers.map(_.toSeq).toSeq, nP), "scala_udf")

@@ -16,10 +16,11 @@ object Drive {
       val t0 = System.nanoTime(); val r = f
       println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val fn = graft.SparkEntry.queries("describe_bootstrap_ci")
+    val fn = graft.SparkEntry.queries("genotype_maf_describe")
     fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-    (1 to 4).foreach { i =>
-      time(s"bootstrap pass $i") {
+    fn(spark, "/root/testdata/sf0.1").explain("formatted")
+    (1 to 5).foreach { i =>
+      time(s"maf pass $i") {
         fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
       }
     }

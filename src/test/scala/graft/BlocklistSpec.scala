@@ -67,4 +67,20 @@ class BlocklistSpec extends SparkSpec {
     val fp = hits.count(_.startsWith("x-"))
     assert(fp < 10000 * 0.05, s"fp rate way above sizing target: $fp / 10000")
   }
+
+  test("sketch restores the session bloom caps it raised") {
+    import spark.implicits._
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val beforeItems = spark.conf.get(itemsKey)
+    val beforeBits = spark.conf.get(bitsKey)
+    // expectedItems above the 4M default forces both caps up for the agg
+    val bl = (0 until 100).map(i => s"k$i").toDF("k")
+    val bf = Blocklist.sketch(bl, "k", fpp = 0.01, expectedItems = 8000000L)
+    assert(bf.nonEmpty)
+    assert(spark.conf.get(itemsKey) === beforeItems,
+      "maxNumItems must be restored after the sketch aggregation")
+    assert(spark.conf.get(bitsKey) === beforeBits,
+      "maxNumBits must be restored after the sketch aggregation")
+  }
 }

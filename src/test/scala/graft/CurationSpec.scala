@@ -435,4 +435,16 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(lazyOut === kept)
   }
+
+  test("semanticOverlap: empty eval reports every train doc contaminated=false") {
+    import spark.implicits._
+    val ev = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Decontaminate.semanticOverlap(train, ev, threshold = 0.8).collect()
+    assert(out.length === 2, "train docs must not vanish when eval is empty")
+    assert(out.forall(r => !r.getBoolean(r.fieldIndex("contaminated"))))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("best_cosine"))))
+  }
 }

@@ -705,4 +705,54 @@ class ModifyDescribeSpec extends SparkSpec {
     val pa = 61.0 / 70; val pb = 9.0 / 70             // i%8==0 removes 9 a's, 1 b
     assert(math.abs(h - (-(pa * math.log(pa) + pb * math.log(pb)))) < 1e-12)
   }
+
+  test("giniByGroup: non-ASCII keys where JVM and UTF8 orders differ; null groups dropped") {
+    import spark.implicits._
+    // U+FF61 is a single UTF-16 unit 0xFF61 but UTF-8 bytes EF BD A1;
+    // U+10000 is a surrogate pair leading 0xD800 but UTF-8 F0 90 80 80.
+    // JVM String order puts g2 < g1, UTF8-binary order puts g1 < g2 — a
+    // driver-side .sorted offset table would misalign every rank.
+    val g1 = "｡"
+    val g2 = "𐀀"
+    val vals1 = Seq(1.0, 5.0, 9.0, 9.0, 20.0)
+    val vals2 = Seq(2.0, 2.0, 3.0, 40.0)
+    val rows = vals1.map(v => (g1, v)) ++ vals2.map(v => (g2, v)) ++
+      Seq((null: String, 99.0))
+    val df = rows.toDF("g", "v")
+    def giniRef(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      2.0 * s.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum /
+        (n * s.sum) - (n + 1.0) / n
+    }
+    val out = Describe.giniByGroup(df, "v", "g", tieCols = Seq("v")).collect()
+    assert(out.length === 2, "null group key must be excluded, not NPE")
+    val m = out.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assertRtol(m(g1), giniRef(vals1), 1e-9, "gini g1")
+    assertRtol(m(g2), giniRef(vals2), 1e-9, "gini g2")
+  }
+
+  test("rankInverseNormal: melted single join matches per-column maps; nulls and row count preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1.0: java.lang.Double, 10.0: java.lang.Double),
+      (2L, 2.0: java.lang.Double, null: java.lang.Double),
+      (3L, 2.0: java.lang.Double, 30.0: java.lang.Double),
+      (4L, null: java.lang.Double, 20.0: java.lang.Double),
+      (5L, 9.0: java.lang.Double, 20.0: java.lang.Double)).toDF("id", "a", "b")
+    val out = Modify.rankInverseNormal(df, Seq("a", "b")).collect()
+    assert(out.length === 5, "the apply join must not duplicate or drop rows")
+    val byId = out.map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    def mapOf(c: String) = Modify.rintMap(df, Seq(c)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    val (ma, mb) = (mapOf("a"), mapOf("b"))
+    def rint(id: Long, c: String): Option[Double] = {
+      val r = byId(id); val i = r.fieldIndex(s"${c}_rint")
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    assertRtol(rint(1L, "a").get, ma(1.0), 1e-12, "a rint row 1")
+    assertRtol(rint(3L, "a").get, ma(2.0), 1e-12, "a rint tied row 3")
+    assertRtol(rint(5L, "b").get, mb(20.0), 1e-12, "b rint tied row 5")
+    assert(rint(4L, "a").isEmpty && rint(2L, "b").isEmpty,
+      "null inputs must keep null rint")
+  }
 }

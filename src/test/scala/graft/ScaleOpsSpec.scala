@@ -378,4 +378,22 @@ class ScaleOpsSpec extends SparkSpec {
     }.collect()
     assert(ok.forall(identity))
   }
+
+  test("zValue bucket is exact over the full long domain (no overflow)") {
+    import spark.implicits._
+    // epoch-nanos-style wide domain: (x-mn)*(2^bits-1) overflows Long, and
+    // x-mn itself overflows when the range spans the sign. The decimal
+    // bucket arithmetic must match exact BigInt division everywhere.
+    val xs = Seq(Long.MinValue + 10, Long.MinValue / 2, -1L, 0L, 1L,
+      Long.MaxValue / 3, Long.MaxValue - 10)
+    val df = xs.map(Tuple1(_)).toDF("x")
+    val bits = 8
+    val out = graft.pipeline.Layout.withZValueN(df, Seq("x"), bits, "z")
+      .select("x", "z").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mn = BigInt(xs.min); val mx = BigInt(xs.max)
+    def want(x: Long): Long =
+      ((BigInt(x) - mn) * ((1 << bits) - 1) / (mx - mn)).toLong
+    xs.foreach(x => assert(out(x) === want(x), s"bucket($x)"))
+    assert(out(xs.min) === 0L && out(xs.max) === (1L << bits) - 1)
+  }
 }
