@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch end-to-end driver for ad-hoc verification (see skills/verify). */
 object Drive {
@@ -12,17 +13,10 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    val fn = graft.SparkEntry.queries("genotype_maf_describe")
-    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-    fn(spark, "/root/testdata/sf0.1").explain("formatted")
-    (1 to 5).foreach { i =>
-      time(s"maf pass $i") {
-        fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
-      }
+    Seq("/root/testdata/sf0.1", "/tmp/sfx1").foreach { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = graft.pipeline.Dedup.minhashCandidates(spark, docs, "text", "doc_id").count()
+      println(s"[cand] $dir docs=${docs.count()} candidates=$n")
     }
     spark.stop()
   }
