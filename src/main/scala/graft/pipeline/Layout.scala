@@ -22,22 +22,27 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Bucket id of `x` in [0, 2^bits) against inclusive bounds [mn, mx]:
-    * ((x - mn) * (2^bits - 1)) DIV max(mx - mn, 1). Computed in DECIMAL,
-    * not long: for wide domains (epoch-nanos, full-range longs) the long
-    * product (x-mn)·(2^bits-1) — and even x-mn itself when the range spans
-    * the sign — silently overflows and corrupts every z-value. Decimal
-    * needs ≤ 21+10+1 = 32 digits, comfortably inside decimal(38), so the
-    * arithmetic is exact over the ENTIRE long domain. The pmod idiom
-    * ((n - n mod d) / d) makes the quotient exactly integral before the
-    * division, so the result survives any division-scale rounding; all
-    * ops remain codegen'd Catalyst decimal arithmetic. */
+    * ((x - mn) * (2^bits - 1)) DIV max(mx - mn, 1). Two exact paths behind
+    * a per-bounds-row CASE: when the domain is narrow enough that the long
+    * product cannot overflow (range ≤ Long.MaxValue / (2^bits-1) — true
+    * for any real-world key short of full-range longs), plain long
+    * arithmetic with INTEGRAL division (`div`, not `/`: double division of
+    * >2^53 operands can land one ulp below the exact integer quotient and
+    * truncate off-by-one). For wide domains (epoch-nanos over decades,
+    * sign-spanning ranges — where even x-mn overflows) the same idiom runs
+    * in decimal, exact over the entire long domain (≤ 32 digits). The
+    * width test itself is decimal so it cannot overflow; both branches
+    * stay codegen'd Catalyst arithmetic, and the CASE is constant per
+    * bounds row so the fast path costs one long compare per row. */
   private def bucket(x: Column, mn: Column, mx: Column, bits: Int): Column = {
-    val xd = x.cast("decimal(20,0)")
-    val mnd = mn.cast("decimal(20,0)")
-    val mxd = mx.cast("decimal(20,0)")
-    val n = (xd - mnd) * lit((1L << bits) - 1).cast("decimal(10,0)")
-    val d = greatest(mxd - mnd, lit(1L).cast("decimal(20,0)"))
-    ((n - pmod(n, d)) / d).cast("long")
+    val m = (1L << bits) - 1
+    val rangeD = mx.cast("decimal(20,0)") - mn.cast("decimal(20,0)")
+    val narrow = rangeD <= lit(Long.MaxValue / m).cast("decimal(20,0)")
+    val fast = call_function("div", (x - mn) * lit(m), greatest(mx - mn, lit(1L)))
+    val nD = (x.cast("decimal(20,0)") - mn.cast("decimal(20,0)")) * lit(m).cast("decimal(10,0)")
+    val dD = greatest(rangeD, lit(1L).cast("decimal(20,0)"))
+    val wide = ((nD - pmod(nD, dD)) / dD).cast("long")
+    when(narrow, fast).otherwise(wide)
   }
 
   /** Morton interleave of d `bits`-bit bucket ids: bit i of dimension j
