@@ -21,6 +21,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable regardless of the children (length mismatch / null element ->
+  // null); see NearestLists.nullable for the codegen consequence of
+  // inheriting nullable=false from non-nullable inputs
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType, _) => true

@@ -21,6 +21,11 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
 
   override def dataType: DataType = LongType
 
+  // nullable regardless of the child (dim mismatch / null element -> null);
+  // see NearestLists.nullable for the codegen consequence of inheriting
+  // child.nullable=false
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) =>

@@ -26,6 +26,14 @@ case class NearestLists(child: Expression, centers: Seq[Seq[Double]], k: Int)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // nullable regardless of the child: a dimension mismatch or null element
+  // yields null even for a non-null input. Inheriting child.nullable=false
+  // here both lies to downstream operators AND breaks codegen —
+  // nullSafeCodeGen's non-nullable branch never declares ev.isNull, so the
+  // template's `ev.isNull = true` references an undeclared name and the
+  // whole stage silently falls back to interpreted execution.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

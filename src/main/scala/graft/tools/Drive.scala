@@ -5,34 +5,31 @@ import org.apache.spark.sql.SparkSession
 /** Scratch end-to-end driver for ad-hoc verification (see skills/verify). */
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.caseSensitive", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    val names = Seq("layout_zorder", "modify_quantile_normalize")
-    names.foreach { n =>
-      val fn = graft.SparkEntry.queries(n)
-      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => println(s"[$n] warmup failed: ${e.getMessage}") }
-    }
-    (1 to 2).foreach { pass =>
-      names.foreach { n =>
-        System.gc()
-        val fn = graft.SparkEntry.queries(n)
-        time(s"$n pass $pass") {
-          fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
-        }
-      }
-    }
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val li = "/root/testdata/sf0.001/lineitem.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("drive-cg").toString
+    def tryVerb(tag: String)(f: => Unit): Unit =
+      try { f; println(s"[$tag] OK") }
+      catch { case e: Throwable =>
+        println(s"[$tag] FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+    tryVerb("sample-split") { graft.cli.Cli.run(spark, List("pipeline", "sample-split", docs, s"$dir/sp",
+      "--splits", "train=0.8,val=0.1,test=0.1")) }
+    tryVerb("tfidf") { graft.cli.Cli.run(spark, List("pipeline", "tfidf", docs, s"$dir/tfidf", "--k", "2")) }
+    tryVerb("kmeans") { graft.cli.Cli.run(spark, List("pipeline", "kmeans", emb, s"$dir/km", "--k", "4",
+      "--iters", "3")) }
+    tryVerb("winsorize") { graft.cli.Cli.run(spark, List("pipeline", "winsorize", li, s"$dir/wz",
+      "--cols", "l_extendedprice")) }
+    tryVerb("psi-drift") { graft.cli.Cli.run(spark, List("pipeline", "psi-drift", docs, s"$dir/psi",
+      "--ref", docs, "--cols", "n_chars")) }
     spark.stop()
   }
 }

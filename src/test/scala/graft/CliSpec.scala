@@ -133,11 +133,17 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, List("pipeline", "shuffle-shards", docs, s"$dir/shd",
       "--seed", "s1", "--shards", "4"))
     assert(spark.read.parquet(s"$dir/shd").count() === sp.count())
-    // timestamp columns as epoch micros for the temporal joins
+    // timestamp columns as epoch micros for the temporal joins; the
+    // testdata has shipped ts as both TIMESTAMP(NANOS) (long via
+    // nanosAsLong) and TIMESTAMP_NTZ micros — handle either
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // ns ts -> long
     val e = spark.read.parquet(events)
     import org.apache.spark.sql.functions.{col, expr}
-    val mic = expr("CAST(ts DIV 1000 AS BIGINT)") // raw ns long -> micros
+    val mic = e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("CAST(ts DIV 1000 AS BIGINT)") // raw ns long -> micros
+      case _ => expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    }
     e.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), mic.as("t"))
       .write.mode("overwrite").parquet(s"$dir/clicks")

@@ -755,4 +755,20 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(rint(4L, "a").isEmpty && rint(2L, "b").isEmpty,
       "null inputs must keep null rint")
   }
+
+  test("rankInverseNormal plan: join count independent of column width") {
+    import spark.implicits._
+    // the melted apply is 2 joins (map join + row_id re-join) whatever the
+    // width; the per-column design was C joins — a 500-column apply would
+    // be 500 shuffle joins on continuous data where the map is O(rows)
+    val df = (1 to 50).map(i => (i.toLong, i * 1.0, i * 2.0, i * 3.0, i * 5.0))
+      .toDF("id", "a", "b", "c", "d")
+    def joins(cols: Seq[String]): Int =
+      Modify.rankInverseNormal(df, cols).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    val one = joins(Seq("a"))
+    assert(one === joins(Seq("a", "b", "c", "d")),
+      "join count must not grow with the column count")
+  }
 }

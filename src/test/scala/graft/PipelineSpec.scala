@@ -674,6 +674,39 @@ class PipelineSpec extends SparkSpec {
     intercept[Exception] { bad.selectExpr("cosine_similarity(a, b)").head }
   }
 
+  test("array-input native expressions codegen over NON-NULLABLE children and null dim mismatches") {
+    // array(lit...) children are non-nullable: with inherited nullability
+    // the generated `ev.isNull = true` referenced an undeclared variable,
+    // failing codegen compile (silent interpreted fallback in production;
+    // fatal here since the test session sets codegen.fallback=false)
+    import spark.implicits._
+    val one = spark.range(1).toDF("i")
+    val v2 = array(lit(1.0f), lit(0.0f))
+    val v2b = array(lit(0.6f), lit(0.8f))
+    val cos = one.select(graft.functions.GraftFunctions
+      .cosine_similarity(v2, v2b).as("c")).head.getDouble(0)
+    assertRtol(cos, 0.6, 1e-6, "cosine over literal arrays (float inputs)")
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("t_hyper",
+      exprs => graft.functions.HyperplaneSignature(exprs.head, planes), "scala_udf")
+    reg.createOrReplaceTempFunction("t_near",
+      exprs => graft.functions.NearestLists(
+        exprs.head, Seq(Seq(0.0, 0.0), Seq(1.0, 0.0)), 1), "scala_udf")
+    val sig = one.select(call_function("t_hyper", v2).as("s")).head.getLong(0)
+    assert(sig === 3L, "both projections non-negative -> both bits set")
+    val nl = one.select(call_function("t_near", v2).as("n")).head.getSeq[Int](0)
+    assert(nl === Seq(1), "nearest centroid is (1,0)")
+    // dimension mismatch -> null, even though the child is non-nullable
+    val wrongDim = array(lit(1.0f), lit(2.0f), lit(3.0f))
+    val row = one.select(
+      call_function("t_hyper", wrongDim).as("s"),
+      call_function("t_near", wrongDim).as("n"),
+      graft.functions.GraftFunctions.cosine_similarity(v2, wrongDim).as("c")).head
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2),
+      "dim mismatch must yield null, not garbage")
+  }
+
   test("collocations: PMI matches a hand computation; rare pairs pruned") {
     import spark.implicits._
     // "new york" appears 4x; "a b" appears 4x but from independent frequent

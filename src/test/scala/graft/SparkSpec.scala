@@ -30,6 +30,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.caseSensitive", "true")
+      // fail loudly on broken generated code instead of silently falling
+      // back to interpreted execution: a doGenCode bug is a perf cliff in
+      // production and must be a red test here (caught the NearestLists /
+      // HyperplaneSignature / CosineSimilarity nullable-vs-codegen bug)
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
