@@ -42,6 +42,8 @@ object BenchSf1 {
     scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 32)
     scaled("orders", Seq("o_orderkey", "o_custkey"), 16)
     scaled("customer", Seq("c_custkey"), 8)
+    scaled("supplier", Seq("s_suppkey"), 4)
+    scaled("events", Seq("event_id", "user_id"), 16)
     scaled("documents", Seq("doc_id"), 16, d =>
       // per-copy suffix: cross-copy pairs become near-dups, not byte-dups
       d.withColumn("text", concat(col("text"), lit(" variant"), col("__i"))))
@@ -78,6 +80,10 @@ object BenchSf1 {
       "q3_join_revenue_by_nation" -> graft.SparkEntry.queries("q3_join_revenue_by_nation"),
       "analyze_assoc_wide" -> graft.SparkEntry.queries("analyze_assoc_wide"),
       "text_tfidf_topk" -> graft.SparkEntry.queries("text_tfidf_topk"),
+      "graph_pagerank" -> graft.SparkEntry.queries("graph_pagerank"),
+      "join_asof" -> graft.SparkEntry.queries("join_asof"),
+      "events_retention" -> graft.SparkEntry.queries("events_retention"),
+      "dedup_exact" -> graft.SparkEntry.queries("dedup_exact"),
       "dedup_minhash_full" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.Dedup.minhashCandidates(s,
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
