@@ -1028,9 +1028,10 @@ object SparkEntry {
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
-      // approximate path: same contract, bucket-pruned search; no SQL
-      // oracle (hyperplane family not replicated in SQL) -> rows-only;
-      // recall vs brute force is asserted in SimilaritySpec
+      // approximate path, hash-proven: the oracle replays the seeded
+      // hyperplane family, sign-bit signatures, multi-probe buckets, and
+      // in-bucket cosine top-k in DuckDB SQL (see lshOracleSql); recall vs
+      // brute force is additionally asserted in SimilaritySpec
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 50), k = 3, dim = 64, bits = 4)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
@@ -1632,6 +1633,54 @@ object SparkEntry {
        |SELECT id1, id2,
        |  CAST(len(list_filter(range(64), i -> s1[CAST(i AS INT)+1] = s2[CAST(i AS INT)+1])) AS DOUBLE)/64 AS est_jaccard
        |FROM cd ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Full DuckDB replay of Similarity.lshTopK over embeddings (dim=64,
+    * bits=4, seed=42, probes=1): the seeded gaussian plane matrix rides as
+    * 256 literal coefficients (Similarity.hyperplanes — the SAME doubles
+    * the native expression embeds), signature bit b = sign(v · plane_b),
+    * multi-probe buckets = sig XOR {0,1,2,4,8}, then exact cosine + rank
+    * within the candidate set. Sign tests and ranking tolerate summation-
+    * order noise only if no projection sits within ~1e-12 of zero and no
+    * two candidate cosines are equal to ~1e-15 — true on this data (a
+    * violation would surface as a hash mismatch, not silently). */
+  private def lshOracleSql: String = {
+    val planes = graft.pipeline.Similarity.hyperplanes(dim = 64, bits = 4, seed = 42L)
+    val pvals = planes.zipWithIndex.flatMap { case (row, b) =>
+      row.zipWithIndex.map { case (w, j) => s"($b, $j, $w)" } }.mkString(", ")
+    s"""WITH plane(b, j, w) AS (VALUES $pvals),
+       |proj AS (
+       |  SELECT e.vec_id, p.b,
+       |         sum(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w) AS pr
+       |  FROM embeddings e CROSS JOIN plane p GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT vec_id,
+       |         sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS s
+       |  FROM proj GROUP BY 1),
+       |qp AS (
+       |  SELECT s.vec_id AS query_id, xor(s.s, CAST(m.m AS BIGINT)) AS bucket
+       |  FROM sig s CROSS JOIN (VALUES (0), (1), (2), (4), (8)) m(m)
+       |  WHERE s.vec_id < 50),
+       |cand AS (
+       |  SELECT DISTINCT qp.query_id, cs.vec_id AS neighbor_id
+       |  FROM qp JOIN sig cs ON cs.s = qp.bucket
+       |  WHERE cs.vec_id <> qp.query_id),
+       |dots AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    sum(CAST(qe.embedding[r.range + 1] AS DOUBLE) * CAST(ne.embedding[r.range + 1] AS DOUBLE)) AS d,
+       |    sum(CAST(qe.embedding[r.range + 1] AS DOUBLE) ^ 2) AS nq,
+       |    sum(CAST(ne.embedding[r.range + 1] AS DOUBLE) ^ 2) AS nc
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |  CROSS JOIN range(64) r GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, d / (sqrt(nq) * sqrt(nc)) AS cr,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id) AS INT) AS rank
+       |  FROM dots)
+       |SELECT query_id, neighbor_id, round(cr, 6) AS cosine, rank
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Full DuckDB replay of Dedup.simhashCandidates on documents doc_id<200:
@@ -2302,6 +2351,7 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
+    "ann_lsh_topk" -> lshOracleSql,
 
     "dedup_ngram_jaccard" ->
       // set-of-4-grams jaccard on the raw strings — equivalent to the Spark

@@ -176,11 +176,16 @@ object Similarity {
     * codegen'd HyperplaneSignature expression (the plane matrix rides in
     * the plan as a reference object; ONE fused loop instead of bits x dim
     * chained element_at nodes). */
+  /** The seeded gaussian plane matrix — public so the SQL oracle can embed
+    * the SAME coefficients as literals and replay the signature exactly. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
   def hyperplaneSignature(dim: Int, bits: Int, seed: Long = 42L)
       : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planes: Seq[Seq[Double]] = hyperplanes(dim, bits, seed)
     vec => {
       val spark = org.apache.spark.sql.SparkSession.active
       val fname = s"hyperplane_sig_${seed}_${bits}_$dim"
