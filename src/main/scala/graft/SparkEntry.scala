@@ -1248,13 +1248,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
-    "ann_semantic_dedup" -> ((s, dir) =>
-      // one-call semantic dedup over embeddings (LSH-bucketed pairs ->
-      // components -> keep-one); hash-family dependent -> rows-only check,
-      // planted-duplicate semantics pinned in PipelineSpec
-      Similarity.semanticDedup(s, t(s, dir, "embeddings"), threshold = 0.95,
+    "ann_semantic_dedup" -> ((s, dir) => {
+      // one-call semantic dedup, hash-proven AND non-vacuous: the corpus
+      // embeddings have max pairwise cosine ~0.51, so duplicates are
+      // PLANTED (exact copies at vec_id+100000 of vec_id<30, cosine 1) —
+      // the LSH bucket join, component build, and keep-one all do real
+      // work, and a missed pair or wrong keeper surfaces as extra rows.
+      // The oracle replays the plane family, bucket pairs, threshold, and
+      // a general recursive-CTE connected components (see semdedupOracleSql)
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 30)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
+      Similarity.semanticDedup(s, e.unionByName(planted), threshold = 0.95,
           dim = 64)
-        .select(col("vec_id")).orderBy("vec_id")),
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
 
     "text_quality_score" -> ((s, dir) =>
       // linear classifier inference as a zero-shuffle projection; the
@@ -1681,6 +1689,52 @@ object SparkEntry {
        |  FROM dots)
        |SELECT query_id, neighbor_id, round(cr, 6) AS cosine, rank
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Full DuckDB replay of Similarity.semanticDedup over embeddings plus
+    * the query's planted duplicates (dim=64, bits=6, seed=42, threshold
+    * 0.95): seeded plane literals → sign-bit signatures → same-bucket
+    * pairs (id1 < id2) → cosine threshold → GENERAL connected components
+    * via a recursive-CTE transitive closure (no chain-structure shortcut)
+    * → keep-one (min id per component) → surviving ids. */
+  private def semdedupOracleSql: String = {
+    val planes = graft.pipeline.Similarity.hyperplanes(dim = 64, bits = 6, seed = 42L)
+    val pvals = planes.zipWithIndex.flatMap { case (row, b) =>
+      row.zipWithIndex.map { case (w, j) => s"($b, $j, $w)" } }.mkString(", ")
+    s"""WITH RECURSIVE plane(b, j, w) AS (VALUES $pvals),
+       |base AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 30),
+       |proj AS (
+       |  SELECT e.vec_id, p.b,
+       |         sum(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w) AS pr
+       |  FROM base e CROSS JOIN plane p GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT vec_id,
+       |         sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS s
+       |  FROM proj GROUP BY 1),
+       |cp AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT cp.id1, cp.id2,
+       |    sum(CAST(x.embedding[r.range + 1] AS DOUBLE) * CAST(y.embedding[r.range + 1] AS DOUBLE)) AS d,
+       |    sum(CAST(x.embedding[r.range + 1] AS DOUBLE) ^ 2) AS nx,
+       |    sum(CAST(y.embedding[r.range + 1] AS DOUBLE) ^ 2) AS ny
+       |  FROM cp JOIN base x ON x.vec_id = cp.id1
+       |         JOIN base y ON y.vec_id = cp.id2
+       |  CROSS JOIN range(64) r GROUP BY 1, 2),
+       |ed AS (SELECT id1, id2 FROM dots WHERE d / (sqrt(nx) * sqrt(ny)) >= 0.95),
+       |sym AS (SELECT id1 AS a, id2 AS b FROM ed
+       |        UNION SELECT id2, id1 FROM ed),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+       |removed AS (SELECT src AS id FROM reach GROUP BY src HAVING min(dst) < src)
+       |SELECT vec_id FROM base
+       |WHERE vec_id NOT IN (SELECT id FROM removed) ORDER BY vec_id""".stripMargin
   }
 
   /** Full DuckDB replay of Dedup.simhashCandidates on documents doc_id<200:
@@ -2352,6 +2406,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "ann_lsh_topk" -> lshOracleSql,
+    "ann_semantic_dedup" -> semdedupOracleSql,
 
     "dedup_ngram_jaccard" ->
       // set-of-4-grams jaccard on the raw strings — equivalent to the Spark
