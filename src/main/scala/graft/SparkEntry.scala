@@ -1027,6 +1027,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_knn_classify" -> ((s, dir) => {
+      // kNN majority-vote over the labeled embedding corpus — the
+      // label-propagation primitive; exact cosine votes, deterministic
+      // tie-break, full SQL replay in the oracle
+      val e = t(s, dir, "embeddings")
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 50), k = 5)
+        .orderBy("query_id")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       // approximate path, hash-proven: the oracle replays the seeded
       // hyperplane family, sign-bit signatures, multi-probe buckets, and
@@ -2407,6 +2416,29 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracleSql,
     "ann_lsh_topk" -> lshOracleSql,
     "ann_semantic_dedup" -> semdedupOracleSql,
+
+    "ann_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         dots AS (
+           SELECT query_id, neighbor_id,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) * CAST(cv[r.range + 1] AS DOUBLE)) AS d,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) ^ 2) AS nq,
+             sum(CAST(cv[r.range + 1] AS DOUBLE) ^ 2) AS nc
+           FROM q CROSS JOIN c CROSS JOIN range(64) r
+           WHERE query_id <> neighbor_id GROUP BY 1, 2),
+         scored AS (SELECT query_id, neighbor_id, round(d / (sqrt(nq) * sqrt(nc)), 6) AS cosine
+                    FROM dots),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored),
+         votes AS (SELECT r.query_id, e.label AS l,
+                     count(*) AS votes, max(r.cosine) AS best_cosine
+                   FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+                   WHERE r.rank <= 5 GROUP BY 1, 2),
+         best AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY votes DESC, best_cosine DESC, l) AS rr FROM votes)
+         SELECT query_id, l AS predicted_label, votes, best_cosine
+         FROM best WHERE rr = 1 ORDER BY query_id""",
 
     "dedup_ngram_jaccard" ->
       // set-of-4-grams jaccard on the raw strings — equivalent to the Spark

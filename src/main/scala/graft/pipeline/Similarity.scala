@@ -171,11 +171,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Random-hyperplane signature: `bits` hyperplanes with deterministic
-    * seeded coefficients; bit i = sign(v · h_i). Implemented as the native
-    * codegen'd HyperplaneSignature expression (the plane matrix rides in
-    * the plan as a reference object; ONE fused loop instead of bits x dim
-    * chained element_at nodes). */
+  /** kNN majority-vote label prediction over a labeled embedding corpus —
+    * the label-propagation / weak-supervision primitive of corpus curation
+    * (label the unlabeled from their nearest labeled neighbors): each
+    * query takes its k nearest corpus vectors by exact cosine (excluding
+    * itself, [[bruteForceTopK]] shape — queries broadcast, corpus never
+    * shuffles) and the neighbors vote with `labelCol`. Ties break by
+    * (votes desc, best neighbor cosine desc, smaller label) so the answer
+    * is deterministic and SQL-replayable. Returns
+    * (query_id, predicted_label, votes, best_cosine). */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val lbl = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__l"))
+    val votes = top.join(lbl, Seq("neighbor_id"))
+      .groupBy("query_id", "__l")
+      .agg(count(lit(1)).as("votes"), max(col("cosine")).as("best_cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("best_cosine").desc, col("__l").asc)
+    votes.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("query_id"), col("__l").as("predicted_label"),
+        col("votes"), col("best_cosine"))
+  }
+
   /** The seeded gaussian plane matrix — public so the SQL oracle can embed
     * the SAME coefficients as literals and replay the signature exactly. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -183,6 +202,11 @@ object Similarity {
     Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Random-hyperplane signature: `bits` hyperplanes with deterministic
+    * seeded coefficients; bit i = sign(v · h_i). Implemented as the native
+    * codegen'd HyperplaneSignature expression (the plane matrix rides in
+    * the plan as a reference object; ONE fused loop instead of bits x dim
+    * chained element_at nodes). */
   def hyperplaneSignature(dim: Int, bits: Int, seed: Long = 42L)
       : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     val planes: Seq[Seq[Double]] = hyperplanes(dim, bits, seed)

@@ -674,6 +674,28 @@ class PipelineSpec extends SparkSpec {
     intercept[Exception] { bad.selectExpr("cosine_similarity(a, b)").head }
   }
 
+  test("knnClassify: planted clusters vote correctly; minority labels lose") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 1),
+      (2L, Array(0.9f, 0.1f, 0.0f), 1),
+      (3L, Array(0.95f, 0.05f, 0.0f), 1),
+      (4L, Array(0.0f, 1.0f, 0.0f), 2),
+      (5L, Array(0.1f, 0.9f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, Array(1.0f, 0.05f, 0.0f)),
+      (200L, Array(0.05f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnClassify(corpus, queries, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(100L) === ((1, 3L)), "all 3 nearest to q100 carry label 1")
+    assert(out(200L)._1 === 2, "2-of-3 majority near q200 is label 2")
+    // k=5 pulls in the whole corpus: q200 sees 3 votes for 1, 2 for 2 —
+    // majority flips to the global majority label
+    val all = Similarity.knnClassify(corpus, queries, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(all(200L) === 1, "k=corpus-size majority is the global label")
+  }
+
   test("array-input native expressions codegen over NON-NULLABLE children and null dim mismatches") {
     // array(lit...) children are non-nullable: with inherited nullability
     // the generated `ev.isNull = true` referenced an undeclared variable,
