@@ -1036,6 +1036,13 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "ann_label_audit" -> ((s, dir) => {
+      // noisy-label screen: per-label kNN agreement rate over a labeled
+      // slice; same exact-cosine vote kernel, aggregated per true label
+      val e = t(s, dir, "embeddings")
+      Similarity.knnLabelAudit(e, e.filter(col("vec_id") < 100), k = 5)
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       // approximate path, hash-proven: the oracle replays the seeded
       // hyperplane family, sign-bit signatures, multi-probe buckets, and
@@ -2439,6 +2446,33 @@ object SparkEntry {
                     ORDER BY votes DESC, best_cosine DESC, l) AS rr FROM votes)
          SELECT query_id, l AS predicted_label, votes, best_cosine
          FROM best WHERE rr = 1 ORDER BY query_id""",
+
+    "ann_label_audit" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 100),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         dots AS (
+           SELECT query_id, neighbor_id,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) * CAST(cv[r.range + 1] AS DOUBLE)) AS d,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) ^ 2) AS nq,
+             sum(CAST(cv[r.range + 1] AS DOUBLE) ^ 2) AS nc
+           FROM q CROSS JOIN c CROSS JOIN range(64) r
+           WHERE query_id <> neighbor_id GROUP BY 1, 2),
+         scored AS (SELECT query_id, neighbor_id, round(d / (sqrt(nq) * sqrt(nc)), 6) AS cosine
+                    FROM dots),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored),
+         votes AS (SELECT r.query_id, e.label AS l,
+                     count(*) AS votes, max(r.cosine) AS best_cosine
+                   FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+                   WHERE r.rank <= 5 GROUP BY 1, 2),
+         best AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY votes DESC, best_cosine DESC, l) AS rr FROM votes),
+         pred AS (SELECT query_id, l AS p FROM best WHERE rr = 1)
+         SELECT t.label, count(*) AS n,
+           sum(CASE WHEN pred.p = t.label THEN 1 ELSE 0 END) AS n_agree,
+           round(sum(CASE WHEN pred.p = t.label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS agree_rate
+         FROM pred JOIN embeddings t ON t.vec_id = pred.query_id
+         GROUP BY 1 ORDER BY 1""",
 
     "dedup_ngram_jaccard" ->
       // set-of-4-grams jaccard on the raw strings — equivalent to the Spark

@@ -195,6 +195,27 @@ object Similarity {
         col("votes"), col("best_cosine"))
   }
 
+  /** Noisy-label audit (confident-learning-style): every labeled vector in
+    * `queries` is kNN-classified from the corpus (self excluded) and
+    * compared against its own label; per-label agreement rates flag label
+    * classes whose examples the embedding geometry contradicts — the
+    * standard screen for mislabeled training data before a fine-tune.
+    * Returns (label, n, n_agree, agree_rate) sorted by label. */
+  def knnLabelAudit(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val pred = knnClassify(corpus, queries.select(col(idCol), col(vecCol)), k)
+    pred.join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("label")), Seq("query_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted_label") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_rate",
+        round(col("n_agree").cast("double") / col("n"), 6))
+      .orderBy("label")
+  }
+
   /** The seeded gaussian plane matrix — public so the SQL oracle can embed
     * the SAME coefficients as literals and replay the signature exactly. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
