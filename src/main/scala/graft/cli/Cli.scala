@@ -381,6 +381,21 @@ object Cli {
             dim = req(rest, "--dim").toInt,
             idCol = flag(rest, "--id").getOrElse("vec_id"),
             vecCol = flag(rest, "--vec").getOrElse("embedding"))
+        case "knn-classify" =>
+          // label the --queries frame from the labeled input corpus
+          val queries = flag(rest, "--queries").map(spark.read.parquet(_)).getOrElse(df)
+          Similarity.knnClassify(df, queries,
+            k = flag(rest, "--k").map(_.toInt).getOrElse(5),
+            idCol = flag(rest, "--id").getOrElse("vec_id"),
+            vecCol = flag(rest, "--vec").getOrElse("embedding"),
+            labelCol = flag(rest, "--label").getOrElse("label"))
+        case "label-audit" =>
+          // noisy-label screen: per-label kNN agreement over the corpus
+          Similarity.knnLabelAudit(df, df,
+            k = flag(rest, "--k").map(_.toInt).getOrElse(5),
+            idCol = flag(rest, "--id").getOrElse("vec_id"),
+            vecCol = flag(rest, "--vec").getOrElse("embedding"),
+            labelCol = flag(rest, "--label").getOrElse("label"))
         case "decontaminate" =>
           // --eval is the benchmark corpus; report per-train-doc overlap
           import graft.pipeline.Decontaminate
@@ -639,6 +654,8 @@ object Cli {
       |  pipeline dedup-exact|dedup-minhash|dedup-near|text-features|text-redact|genotype-maf|ann-topk <in.parquet> <out.parquet>
       |    [--id c] [--text c] [--vec c] [--threshold t] [--k N] [--queries p] [--model idxDir] [--probe N]
       |  pipeline ann-index <in.parquet> <outIndexDir> [--vec c] [--lists N]
+      |  pipeline knn-classify <corpus.parquet> <out> [--queries p] [--k N] [--label c]
+      |  pipeline label-audit <labeled.parquet> <out> [--k N] [--label c]
       |  pipeline decontaminate <train.parquet> <out> --eval <eval.parquet> [--ngram N]
       |  pipeline crossdoc-dup|remove-dup-spans <in.parquet> <out> [--ngram N]
       |  pipeline vocab <in> <out> [--k N]; bm25 <in> <out> --terms t1,t2 [--k N]

@@ -254,6 +254,21 @@ class CliSpec extends SparkSpec {
     assert(psi.length === 1 && psi(0).getDouble(psi(0).fieldIndex("psi")) === 0.0)
   }
 
+  test("pipeline knn-classify and label-audit over the labeled embeddings") {
+    val dir = Files.createTempDirectory("graft-cli9").toString
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val n = spark.read.parquet(emb).count()
+    Cli.run(spark, List("pipeline", "knn-classify", emb, s"$dir/kc", "--k", "3"))
+    val kc = spark.read.parquet(s"$dir/kc")
+    assert(kc.columns.toSet === Set("query_id", "predicted_label", "votes", "best_cosine"))
+    assert(kc.count() === n, "one prediction per corpus vector")
+    Cli.run(spark, List("pipeline", "label-audit", emb, s"$dir/la"))
+    val la = spark.read.parquet(s"$dir/la")
+    assert(la.columns.toSet === Set("label", "n", "n_agree", "agree_rate"))
+    import org.apache.spark.sql.functions.sum
+    assert(la.agg(sum("n")).head.getLong(0) === n, "audit covers every vector")
+  }
+
   test("unknown commands fail loudly") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, List("frobnicate", "everything"))
