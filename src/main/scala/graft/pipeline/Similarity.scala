@@ -216,6 +216,37 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Corpus-scale variant of [[knnLabelAudit]]: the votes come from a
+    * precomputed (src_id, dst_id, cosine) neighbor GRAPH — [[knnGraph]]
+    * over the bucketed IVF index at 100 TB — so the audit never
+    * cross-joins the corpus; the whole-corpus default of the brute path
+    * is |corpus|² and exists for oracle-exact slices only. Labels join
+    * twice (neighbor votes, source truth), both shuffles on id. Same
+    * deterministic tie-break, same output schema. */
+  def labelAuditFromGraph(graph: DataFrame, labeled: DataFrame,
+                          idCol: String = "vec_id",
+                          labelCol: String = "label"): DataFrame = {
+    val votes = graph.join(
+        labeled.select(col(idCol).as("dst_id"), col(labelCol).as("__l")),
+        Seq("dst_id"))
+      .groupBy(col("src_id"), col("__l"))
+      .agg(count(lit(1)).as("votes"), max(col("cosine")).as("best_cosine"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("votes").desc, col("best_cosine").desc, col("__l").asc)
+    val pred = votes.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("src_id"), col("__l").as("predicted_label"))
+    pred.join(labeled.select(col(idCol).as("src_id"),
+        col(labelCol).as("label")), Seq("src_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted_label") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_rate",
+        round(col("n_agree").cast("double") / col("n"), 6))
+      .orderBy("label")
+  }
+
   /** The seeded gaussian plane matrix — public so the SQL oracle can embed
     * the SAME coefficients as literals and replay the signature exactly. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {

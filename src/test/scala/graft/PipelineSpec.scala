@@ -696,6 +696,19 @@ class PipelineSpec extends SparkSpec {
     assert(all(200L) === 1, "k=corpus-size majority is the global label")
   }
 
+  test("labelAuditFromGraph at full probe equals the brute-force audit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.knnLabelAudit(e, e, k = 5)
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSet
+    val model = Similarity.ivfTrain(e, nLists = 8)
+    val assigned = Similarity.ivfAssign(model, e)
+    val graph = Similarity.knnGraph(model, assigned, k = 5, nProbe = 8)
+    val viaGraph = Similarity.labelAuditFromGraph(graph, e)
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGraph === brute,
+      "full-probe graph audit must reproduce the exact audit")
+  }
+
   test("array-input native expressions codegen over NON-NULLABLE children and null dim mismatches") {
     // array(lit...) children are non-nullable: with inherited nullability
     // the generated `ev.isNull = true` referenced an undeclared variable,
