@@ -1216,6 +1216,27 @@ object SparkEntry {
         .select(col("doc_id"), col("pred_lang"))
         .orderBy("doc_id")),
 
+    "text_langid_eval" -> ((s, dir) => {
+      // language-ID accuracy audit against the corpus lang column — the
+      // text twin of ann_label_audit: per-language doc counts and
+      // heuristic-agreement rate, same langid kernel, one extra join +
+      // agg. On this synthetic corpus the non-en rows are English-ish
+      // text carrying arbitrary lang tags, so ~0 accuracy there is the
+      // CORRECT audit verdict (mislabeled data is what an audit flags);
+      // both engines agree exactly
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      Text.langId(d, "text")
+        .select(col("doc_id"), col("pred_lang"))
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n"), 6))
+        .orderBy("lang")
+    }),
+
     "text_gopher_quality" -> ((s, dir) =>
       Text.gopherQualityFlags(t(s, dir, "documents").filter(col("doc_id") < 100),
           "text", minWords = 25)
@@ -2708,6 +2729,30 @@ object SparkEntry {
                 WHEN s_de = mx THEN 'de' WHEN s_fr = mx THEN 'fr'
                 ELSE 'zh' END AS pred_lang
          FROM m ORDER BY doc_id""",
+
+    "text_langid_eval" ->
+      """WITH toks AS (SELECT doc_id, text, lang, string_split_regex(lower(trim(text)), '\s+') AS tk
+                       FROM documents WHERE doc_id < 100),
+         s AS (SELECT doc_id, lang,
+             len(list_filter(tk, x -> x IN ('the','and','of','to','is','with'))) AS s_en,
+             len(list_filter(tk, x -> x IN ('el','la','de','que','los','una'))) AS s_es,
+             len(list_filter(tk, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
+             len(list_filter(tk, x -> x IN ('le','la','les','des','est','une'))) AS s_fr,
+             len(regexp_extract_all(text, '的')) + len(regexp_extract_all(text, '是'))
+               + len(regexp_extract_all(text, '了')) + len(regexp_extract_all(text, '在'))
+               + len(regexp_extract_all(text, '有')) + len(regexp_extract_all(text, '我')) AS s_zh
+           FROM toks),
+         m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS mx FROM s),
+         p AS (SELECT doc_id, lang,
+           CASE WHEN mx = 0 THEN 'und'
+                WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es'
+                WHEN s_de = mx THEN 'de' WHEN s_fr = mx THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+           FROM m)
+         SELECT lang, count(*) AS n,
+           sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_correct,
+           round(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS accuracy
+         FROM p GROUP BY 1 ORDER BY 1""",
 
     "text_gopher_quality" ->
       """WITH base AS (
