@@ -1216,6 +1216,35 @@ object SparkEntry {
         .select(col("doc_id"), col("pred_lang"))
         .orderBy("doc_id")),
 
+    "text_html_extract" -> ((s, dir) => {
+      // web-crawl front door: wrap each doc in deterministic HTML (tags,
+      // a style block, a script, entities) and extract the text back —
+      // the oracle replays the identical backreference-free regex chain
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1>"),
+        col("source"), lit("</h1><!-- crawl artifact --><p>"), col("text"),
+        lit(" &amp; more&nbsp;soon</p><script>var x=1;</script></body></html>"))
+      d.select(col("doc_id"), Text.htmlExtract(html).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_paragraphs" -> ((s, dir) => {
+      // paragraph-level dedup over synthetic multi-paragraph docs: every
+      // doc gets the SAME boilerplate footer paragraph plus its per-source
+      // tag paragraph, so the footer survives only in the first doc and
+      // each source tag only in its first carrier — non-vacuous at every SF
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val multi = d.select(col("doc_id"),
+        concat(col("text"), lit("\n\n"),
+          lit("GRAFT boilerplate footer - subscribe now"), lit("\n\n"),
+          col("source")).as("text"))
+      Dedup.dedupParagraphs(multi, "text", "doc_id")
+        .select(col("id"), col("n_paras"), col("n_removed"),
+          md5(col("text_dedup").cast("binary")).as("text_md5"))
+        .orderBy("id")
+    }),
+
     "text_langid_eval" -> ((s, dir) => {
       // language-ID accuracy audit against the corpus lang column — the
       // text twin of ann_label_audit: per-language doc counts and
@@ -2729,6 +2758,48 @@ object SparkEntry {
                 WHEN s_de = mx THEN 'de' WHEN s_fr = mx THEN 'fr'
                 ELSE 'zh' END AS pred_lang
          FROM m ORDER BY doc_id""",
+
+    "text_html_extract" ->
+      // the SAME backreference-free regex chain Text.htmlExtract emits,
+      // with DuckDB's explicit 'g' flag (Spark replaces globally by default)
+      """SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       concat('<html><head><style>p{color:red}</style></head><body><h1>', source,
+                              '</h1><!-- crawl artifact --><p>', text,
+                              ' &amp; more&nbsp;soon</p><script>var x=1;</script></body></html>'),
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '\s+', ' ', 'g')) AS clean_text
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "dedup_paragraphs" ->
+      """WITH d AS (SELECT doc_id AS id,
+                      concat(text, chr(10)||chr(10), 'GRAFT boilerplate footer - subscribe now', chr(10)||chr(10), source) AS t
+                    FROM documents WHERE doc_id < 200),
+         sp AS (SELECT id, string_split_regex(t, '\n{2,}') AS ps FROM d),
+         p AS (SELECT id, generate_subscripts(ps, 1) - 1 AS idx, unnest(ps) AS para FROM sp),
+         ph AS (SELECT id, idx, para,
+                  md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS h
+                FROM p WHERE len(trim(para)) > 0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY id, idx) AS rn,
+                 count(*) OVER (PARTITION BY h) AS cnt FROM ph),
+         kept AS (SELECT id, idx, para FROM r WHERE cnt = 1 OR rn = 1),
+         agg AS (SELECT id, count(*) AS n_kept,
+                   md5(string_agg(para, chr(10)||chr(10) ORDER BY idx)) AS text_md5
+                 FROM kept GROUP BY id),
+         tot AS (SELECT id, count(*) AS n_paras FROM ph GROUP BY id)
+         SELECT tot.id, n_paras,
+           n_paras - coalesce(n_kept, 0) AS n_removed,
+           coalesce(text_md5, md5('')) AS text_md5
+         FROM tot LEFT JOIN agg USING (id) ORDER BY id""",
 
     "text_langid_eval" ->
       """WITH toks AS (SELECT doc_id, text, lang, string_split_regex(lower(trim(text)), '\s+') AS tk

@@ -381,6 +381,12 @@ object Cli {
             dim = req(rest, "--dim").toInt,
             idCol = flag(rest, "--id").getOrElse("vec_id"),
             vecCol = flag(rest, "--vec").getOrElse("embedding"))
+        case "html-extract" =>
+          df.withColumn(flag(rest, "--out").getOrElse("clean_text"),
+            graft.pipeline.Text.htmlExtract(
+              org.apache.spark.sql.functions.col(txt)))
+        case "dedup-paragraphs" =>
+          Dedup.dedupParagraphs(df, txt, idc)
         case "knn-classify" =>
           // label the --queries frame from the labeled input corpus
           val queries = flag(rest, "--queries").map(spark.read.parquet(_)).getOrElse(df)
@@ -656,6 +662,8 @@ object Cli {
       |  pipeline ann-index <in.parquet> <outIndexDir> [--vec c] [--lists N]
       |  pipeline knn-classify <corpus.parquet> <out> [--queries p] [--k N] [--label c]
       |  pipeline label-audit <labeled.parquet> <out> [--k N] [--label c]
+      |  pipeline html-extract <in> <out> [--text c] [--out c]
+      |  pipeline dedup-paragraphs <in> <out> [--text c] [--id c]
       |  pipeline decontaminate <train.parquet> <out> --eval <eval.parquet> [--ngram N]
       |  pipeline crossdoc-dup|remove-dup-spans <in.parquet> <out> [--ngram N]
       |  pipeline vocab <in> <out> [--k N]; bm25 <in> <out> --terms t1,t2 [--k N]

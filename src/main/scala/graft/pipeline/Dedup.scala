@@ -330,6 +330,43 @@ object Dedup {
     df.join(dupIds, df(idCol).cast("string") === dupIds("id"), "left_anti")
   }
 
+  /** Paragraph-level dedup (Dolma/FineWeb-shaped): every paragraph whose
+    * normalized content (lowercased, whitespace-collapsed) occurs more
+    * than once in the corpus is dropped EXCEPT the globally-first
+    * occurrence, ordered by (doc id, paragraph index); documents are
+    * rebuilt from their surviving paragraphs in order. The middle
+    * granularity between whole-doc fingerprint dedup and word-n-gram span
+    * removal — the standard cut for boilerplate paragraphs repeated
+    * across a crawl. Cost shape: one shuffle at paragraph-hash scale
+    * (count + first-occurrence agg), the join back, and the per-doc
+    * rebuild keyed by id; nothing is corpus²; empty/whitespace paragraphs
+    * are ignored. Returns (id, n_paras, n_removed, text_dedup) — a doc
+    * whose every paragraph was removed survives with empty text_dedup. */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\\n{2,}")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
+      .filter(length(trim(col("para"))) > 0)
+      .withColumn("__ph",
+        md5(trim(regexp_replace(lower(col("para")), "\\s+", " ")).cast("binary")))
+    val global = paras.groupBy("__ph").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col("id"), col("idx"))).as("__first"))
+    val kept = paras.join(global, Seq("__ph"))
+      .filter(col("__cnt") === 1 ||
+        (col("id") === col("__first.id") && col("idx") === col("__first.idx")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws("\n\n",
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+            s => s.getField("para"))).as("text_dedup"))
+    paras.groupBy("id").agg(count(lit(1)).as("n_paras"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_paras"),
+        (col("n_paras") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: sum ±1 per bit weighted by token

@@ -21,6 +21,25 @@ object Text {
     * semantics exist in every engine (the DuckDB oracle uses md5()). */
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
 
+  /** HTML → text extraction — the boilerplate-stripping front door of a
+    * web-crawl curation pipeline (trafilatura-shaped, heuristic tier):
+    * drop script/style blocks with their content, drop comments and all
+    * remaining tags, decode the common entities, collapse whitespace.
+    * Pure codegen'd column algebra (a chain of regexp_replace/replace —
+    * zero shuffle, zero UDF) and every regex avoids backreferences so the
+    * SAME patterns replay verbatim in RE2-based engines (the DuckDB
+    * oracle runs them unchanged). */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTag) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
 

@@ -674,6 +674,40 @@ class PipelineSpec extends SparkSpec {
     intercept[Exception] { bad.selectExpr("cosine_similarity(a, b)").head }
   }
 
+  test("htmlExtract: tags, script/style content, comments, entities") {
+    import spark.implicits._
+    val html = "<html><head><style>h1{x:1}</style><script src=\"a.js\"></script>" +
+      "</head><body><!-- note --><h1 class=\"t\">Hello &amp; <b>world</b></h1>" +
+      "<script>if (1 < 2) { alert(\"hi\"); }</script>" +
+      "<p>a&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>  </body></html>"
+    val out = Seq(Tuple1(html)).toDF("h")
+      .select(Text.htmlExtract(col("h"))).head.getString(0)
+    assert(out === "Hello & world a b <tag> \"q\" 's'")
+    // multiline script body with a closing-angle inside must still vanish
+    val tricky = "<p>keep</p><script>\nvar s = '</p>';\n</script><p>tail</p>"
+    val out2 = Seq(Tuple1(tricky)).toDF("h")
+      .select(Text.htmlExtract(col("h"))).head.getString(0)
+    assert(out2 === "keep tail")
+  }
+
+  test("dedupParagraphs: global first occurrence survives, later copies cut; all-dup doc keeps empty text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta\n\nSHARED FOOTER\n\ngamma"),
+      (2L, "delta\n\nshared   footer\n\nepsilon"), // normalizes equal -> cut
+      (3L, "Shared Footer")                        // only para is a dup -> empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 0L, "alpha beta\n\nSHARED FOOTER\n\ngamma")),
+      "first occurrence keeps everything")
+    assert(out(2L) === ((3L, 1L, "delta\n\nepsilon")),
+      "normalized-equal later copy is cut")
+    assert(out(3L) === ((1L, 1L, "")),
+      "a doc of only duplicate paragraphs survives with empty text")
+  }
+
   test("knnClassify: planted clusters vote correctly; minority labels lose") {
     import spark.implicits._
     val corpus = Seq(
