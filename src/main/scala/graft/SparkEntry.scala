@@ -1056,9 +1056,11 @@ object SparkEntry {
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
-      // IVF coarse-quantizer path; no SQL oracle (k-means not
-      // SQL-expressible) -> rows-only; recall + exactness-at-full-probe
-      // are asserted in PipelineSpec. Uses the build-once index (train +
+      // IVF coarse-quantizer path, HASH-PROVEN: ivfTrain is deterministic
+      // first-k-seeded Lloyd with 6-decimal center pinning, so the DuckDB
+      // oracle replays the full train/assign/query pipeline in chained
+      // CTEs (ivfOracleCtes). Recall + exactness-at-full-probe are also
+      // asserted in PipelineSpec. Uses the build-once index (train +
       // assign memoized per dir) so repeated calls measure the QUERY path —
       // the shape production has after persisting the assignment.
       val (model, assigned) = ivfIndex(s, dir)
@@ -1072,8 +1074,8 @@ object SparkEntry {
     "ann_knn_graph" -> ((s, dir) => {
       // whole-corpus neighbor graph over the IVF lists: corpus-scale
       // self-join on list_id (neither side broadcasts), top-k per source.
-      // No SQL oracle (k-means lists) -> rows-only; full-probe ≡ brute
-      // force is asserted in PipelineSpec
+      // HASH-PROVEN via the same Lloyd CTE replay as ann_ivf_topk;
+      // full-probe ≡ brute force is additionally asserted in PipelineSpec
       val (model, assigned) = ivfIndex(s, dir)
       Similarity.knnGraph(model, assigned, k = 3, nProbe = 2)
         .select(col("src_id"), col("dst_id"), round(col("cosine"), 6).as("cosine"),
@@ -1689,7 +1691,7 @@ object SparkEntry {
       .mkString(", ")
     s"""WITH d AS (
        |  SELECT CAST(doc_id AS VARCHAR) AS id,
-       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+       |         trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS n
        |  FROM documents WHERE doc_id < 200),
        |shl AS (SELECT id, unnest(list_distinct(CASE WHEN length(n) <= 5 THEN [n]
        |    ELSE list_transform(range(length(n)-4), i -> n[CAST(i AS INT)+1:CAST(i AS INT)+5]) END)) AS s
@@ -1755,6 +1757,95 @@ object SparkEntry {
        |  FROM dots)
        |SELECT query_id, neighbor_id, round(cr, 6) AS cosine, rank
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Full IVF train/assign replay as chained DuckDB CTEs — what flips
+    * `ann_ivf_topk`/`ann_knn_graph` from rows-only to hash-proven.
+    * Mirrors [[graft.pipeline.Similarity.ivfTrain]] exactly: first-k seeds
+    * (ORDER BY vec_id LIMIT n), then `iters` Lloyd steps where each step
+    * is argmin assignment (ties to the lower list id — `ORDER BY
+    * list_distance, cid LIMIT 1` = the NearestLists tie-break) and
+    * per-(list, dim) `round(avg(x), 6)` means with empty lists keeping
+    * their previous center (the LEFT JOIN + coalesce). The 6-decimal grid
+    * is what makes cross-engine equality exact: both engines' sub-ulp
+    * mean disagreements collapse onto the same decimal lattice (see
+    * Similarity.lloyd). Exposes CTEs `e` (vec_id, v DOUBLE[]),
+    * `ctr$iters` (cid, c) and `asg` (vec_id, v, list_id). */
+  private def ivfOracleCtes(nLists: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""a$i AS (SELECT e.vec_id, e.v,
+         |  (SELECT i.cid FROM ctr$p i ORDER BY list_distance(e.v, i.c), i.cid LIMIT 1) AS cid
+         |  FROM e),
+         |m$i AS (SELECT cid, pos, round(avg(x), 6) AS mv FROM
+         |  (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a$i)
+         |  GROUP BY 1, 2),
+         |ml$i AS (SELECT cid, list(mv ORDER BY pos) AS c FROM m$i GROUP BY cid),
+         |ctr$i AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+         |  FROM ctr$p p LEFT JOIN ml$i n USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ctr0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nLists)),
+       |$steps,
+       |asg AS (SELECT e.vec_id, e.v,
+       |  (SELECT i.cid FROM ctr$iters i ORDER BY list_distance(e.v, i.c), i.cid LIMIT 1) AS list_id
+       |  FROM e)""".stripMargin
+  }
+
+  /** `ann_ivf_topk` oracle: [[ivfOracleCtes]] + the probe/scan/top-k query
+    * path. Ranks by ROUNDED cosine then neighbor id — the ivfQuery
+    * contract (round-before-rank, same as bruteForceTopK). */
+  private def ivfTopkOracleSql: String = {
+    val (nLists, iters, k, nProbe) = (16, 8, 3, 4)
+    s"""WITH ${ivfOracleCtes(nLists, iters)},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50),
+       |probe AS (SELECT query_id, qv, cid AS list_id FROM (
+       |    SELECT q.query_id, q.qv, i.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_distance(q.qv, i.c), i.cid) AS pr
+       |    FROM q CROSS JOIN ctr$iters i) WHERE pr <= $nProbe),
+       |cand AS (SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+       |  FROM probe p JOIN asg a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.query_id),
+       |dots AS (SELECT query_id, neighbor_id,
+       |    sum(qv[r.range + 1] * cv[r.range + 1]) AS d,
+       |    sum(qv[r.range + 1] ^ 2) AS nq,
+       |    sum(cv[r.range + 1] ^ 2) AS nc
+       |  FROM cand CROSS JOIN range(64) r GROUP BY 1, 2),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    round(d / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM dots),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** `ann_knn_graph` oracle: every corpus vector probes its nProbe nearest
+    * lists over the SAME replayed index; k best rounded-cosine neighbors
+    * per source. */
+  private def ivfGraphOracleSql: String = {
+    val (nLists, iters, k, nProbe) = (16, 8, 3, 2)
+    s"""WITH ${ivfOracleCtes(nLists, iters)},
+       |probe AS (SELECT vec_id AS src_id, sv, cid AS list_id FROM (
+       |    SELECT e.vec_id, e.v AS sv, i.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(e.v, i.c), i.cid) AS pr
+       |    FROM e CROSS JOIN ctr$iters i) WHERE pr <= $nProbe),
+       |cand AS (SELECT p.src_id, p.sv, a.vec_id AS dst_id, a.v AS dv
+       |  FROM probe p JOIN asg a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.src_id),
+       |dots AS (SELECT src_id, dst_id,
+       |    sum(sv[r.range + 1] * dv[r.range + 1]) AS d,
+       |    sum(sv[r.range + 1] ^ 2) AS ns,
+       |    sum(dv[r.range + 1] ^ 2) AS nd
+       |  FROM cand CROSS JOIN range(64) r GROUP BY 1, 2),
+       |scored AS (SELECT src_id, dst_id,
+       |    round(d / (sqrt(ns) * sqrt(nd)), 6) AS cosine FROM dots),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY src_id
+       |      ORDER BY cosine DESC, dst_id) AS INT) AS rank FROM scored)
+       |SELECT src_id, dst_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY src_id, rank""".stripMargin
   }
 
   /** Full DuckDB replay of Similarity.semanticDedup over embeddings plus
@@ -2472,6 +2563,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "ann_lsh_topk" -> lshOracleSql,
+    "ann_ivf_topk" -> ivfTopkOracleSql,
+    "ann_knn_graph" -> ivfGraphOracleSql,
     "ann_semantic_dedup" -> semdedupOracleSql,
 
     "ann_knn_classify" ->
@@ -2519,7 +2612,7 @@ object SparkEntry {
                     ORDER BY votes DESC, best_cosine DESC, l) AS rr FROM votes),
          pred AS (SELECT query_id, l AS p FROM best WHERE rr = 1)
          SELECT t.label, count(*) AS n,
-           sum(CASE WHEN pred.p = t.label THEN 1 ELSE 0 END) AS n_agree,
+           CAST(sum(CASE WHEN pred.p = t.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
            round(sum(CASE WHEN pred.p = t.label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS agree_rate
          FROM pred JOIN embeddings t ON t.vec_id = pred.query_id
          GROUP BY 1 ORDER BY 1""",
@@ -2777,7 +2870,7 @@ object SparkEntry {
                    '(?s)<!--.*?-->', ' ', 'g'),
                  '(?s)<[^>]*>', ' ', 'g'),
                '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-             '\s+', ' ', 'g')) AS clean_text
+             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean_text
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 
     "dedup_paragraphs" ->
@@ -2787,7 +2880,7 @@ object SparkEntry {
          sp AS (SELECT id, string_split_regex(t, '\n{2,}') AS ps FROM d),
          p AS (SELECT id, generate_subscripts(ps, 1) - 1 AS idx, unnest(ps) AS para FROM sp),
          ph AS (SELECT id, idx, para,
-                  md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS h
+                  md5(trim(regexp_replace(lower(para), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS h
                 FROM p WHERE len(trim(para)) > 0),
          r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY id, idx) AS rn,
                  count(*) OVER (PARTITION BY h) AS cnt FROM ph),
@@ -2821,7 +2914,7 @@ object SparkEntry {
                 ELSE 'zh' END AS pred_lang
            FROM m)
          SELECT lang, count(*) AS n,
-           sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_correct,
+           CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            round(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS accuracy
          FROM p GROUP BY 1 ORDER BY 1""",
 
@@ -3124,7 +3217,7 @@ object SparkEntry {
          n AS (SELECT doc_id, ws,
              GREATEST(1, CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT) + 1) AS nc FROM w)
          SELECT doc_id, CAST(i AS INT) AS chunk_id,
-           CAST(len(ws[i*48+1 : i*48+64]) AS INT) AS chunk_words,
+           CAST(len(ws[i*48+1 : i*48+64]) AS BIGINT) AS chunk_words,
            md5(array_to_string(ws[i*48+1 : i*48+64], ' ')) AS chunk_md5
          FROM n, generate_series(0, 10000) t(i) WHERE i < nc
          ORDER BY doc_id, chunk_id""",
@@ -3547,7 +3640,7 @@ object SparkEntry {
       val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).drop(1)
       val (t1, t2) = (Sampling.hexThreshold(cum(0)), Sampling.hexThreshold(cum(1)))
       s"""WITH f AS (SELECT doc_id,
-             substr(md5(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))), 1, 15) AS b
+             substr(md5(md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))), 1, 15) AS b
            FROM documents),
          s AS (SELECT doc_id,
              CASE WHEN b < '$t1' THEN 'train'

@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // --sql-only <path>: dump just oracle_sql.json (no Spark session) —
+    // used by tools/lint_oracle_types.py to regenerate the type sidecar.
+    if (args.headOption.contains("--sql-only")) {
+      writeOracleJson(args(1)); return
+    }
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -36,6 +41,11 @@ object Verify {
     if (failed.nonEmpty)
       println(s"[verify] ${failed.size} QUERY FAILURE(S): ${failed.mkString(", ")}")
     else println(s"[verify] all ${SparkEntry.queries.size} queries dumped OK")
+    writeOracleJson(s"$outDir/oracle_sql.json")
+    spark.stop()
+  }
+
+  private def writeOracleJson(path: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -50,7 +60,6 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    Files.writeString(Paths.get(path), json)
   }
 }

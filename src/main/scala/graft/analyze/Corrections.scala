@@ -141,7 +141,9 @@ object Corrections {
       .orderBy(col(category).asc_nulls_last)
       .select(col(category).cast("string"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
-    val rankOf = cats.zipWithIndex.map { case (c, i) => (c, i + 1) }
+    // xpos as Long: SQL engines rank with bigint; an Int here was a latent
+    // driver-hash type mismatch vs the dense_rank() oracle (OracleTypeLintSpec)
+    val rankOf = cats.zipWithIndex.map { case (c, i) => (c, (i + 1).toLong) }
     val mapping = rankOf.toSeq.toDF("__cat", "xpos")
     df.withColumn("neg_log_pvalue", -log10(col(pvalue)))
       .join(broadcast(mapping), df(category).cast("string") <=> col("__cat"), "left")

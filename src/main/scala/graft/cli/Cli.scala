@@ -353,7 +353,8 @@ object Cli {
           // so ann-topk --model probes prune at the source
           val vc = flag(rest, "--vec").getOrElse("embedding")
           val model = Similarity.ivfTrain(df,
-            nLists = flag(rest, "--lists").map(_.toInt).getOrElse(16), vecCol = vc)
+            nLists = flag(rest, "--lists").map(_.toInt).getOrElse(16), vecCol = vc,
+            idCol = flag(rest, "--id").getOrElse("vec_id"))
           Similarity.ivfSaveModel(spark, model, s"$out/centers")
           Similarity.ivfAssign(model, df, vc)
             .write.mode("overwrite").partitionBy("list_id")

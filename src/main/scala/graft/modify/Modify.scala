@@ -652,13 +652,20 @@ object Modify {
     * map-side partial agg collapses each row's C melted entries in place
     * (they never leave their partition), so the shuffle carries ~one row
     * per input row regardless of width. row_id is
-    * monotonically_increasing_id over the stable source scan — both join
-    * sides recompute it identically, the same contract as zipWithIndex. */
+    * monotonically_increasing_id, localCheckpoint-pinned so every plan
+    * branch reads the SAME materialized id assignment even when the
+    * upstream is non-deterministic (sample, task retry). */
   def rankInverseNormal(df: DataFrame, cols: Seq[String],
                         offset: Double = 0.375): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     val m = rintMap(df, cols, offset)
+    // localCheckpoint pins ONE materialized id assignment: __rid is
+    // consumed by two plan branches (melted and the final re-join), and
+    // monotonically_increasing_id would otherwise be recomputed per branch
+    // — a non-deterministic upstream (sample, task retry, reordering
+    // shuffle) could then silently misalign rows to the wrong __rid.
     val withId = df.withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint()
     val melted = withId
       .select(col("__rid"),
         posexplode(array(cols.map(c => col(c).cast("double")): _*)))

@@ -403,7 +403,7 @@ object Dedup {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))
       .dropDuplicates("id1", "id2")
   }
 }

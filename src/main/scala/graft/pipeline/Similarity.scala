@@ -113,15 +113,32 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding")
       : (Array[Array[Double]], DataFrame) = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    var centers = kmeansInit(corpus, k, idCol, vecCol)
+    val centers = lloyd(corpus, kmeansInit(corpus, k, idCol, vecCol), iters, vecCol)
+    (centers, assignToCenters(corpus, centers, vecCol))
+  }
+
+  /** The Lloyd loop shared by [[kmeans]] and [[ivfTrain]]. `roundTo >= 0`
+    * rounds every center coordinate to that many decimals after each step
+    * (HALF_UP, the SQL `round()` contract) — this pins the trained centers
+    * to a decimal grid so a SQL oracle replaying `round(avg(x), d)` lands
+    * on the SAME centers even though the two engines sum the means in
+    * different orders (their sub-ulp disagreement is crushed by the grid).
+    * Precision loss is irrelevant for a coarse quantizer: recall comes
+    * from nProbe, not the 7th decimal of a centroid. */
+  private def lloyd(corpus: DataFrame, init: Array[Array[Double]], iters: Int,
+                    vecCol: String, roundTo: Int = -1): Array[Array[Double]] = {
+    def grid(v: Double): Double =
+      if (roundTo < 0) v
+      else BigDecimal(v).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var centers = init
     var i = 0
     while (i < iters) {
       val updated = kmeansStep(corpus, centers, vecCol).collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](2).toArray).toMap
+        .map(r => r.getInt(0) -> r.getSeq[Double](2).toArray.map(grid)).toMap
       centers = centers.indices.map(c => updated.getOrElse(c, centers(c))).toArray
       i += 1
     }
-    (centers, assignToCenters(corpus, centers, vecCol))
+    centers
   }
 
   /** Whole-corpus k-nearest-neighbor GRAPH over a pre-assigned IVF index:
@@ -133,18 +150,21 @@ object Similarity {
     * (nProbe = nLists) degenerates to the exact graph — the equivalence
     * SimilaritySpec asserts against [[bruteForceTopK]]. */
   def knnGraph(model: IvfModel, assigned: DataFrame, k: Int, nProbe: Int = 4,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               roundTo: Int = 6): DataFrame = {
     val nP = math.min(nProbe, model.nLists)
     val src = assigned.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
       .withColumn("list_id", explode(nearestLists(assigned.sparkSession, model.centers, nP)(col("sv"))))
     val nbr = assigned.select(col("list_id"), col(idCol).as("dst_id"),
       col(vecCol).as("dv"))
     // no dropDuplicates needed: src probes DISTINCT lists and each neighbor
-    // lives in exactly one list, so a (src, dst) pair meets at most once
+    // lives in exactly one list, so a (src, dst) pair meets at most once.
+    // cosine rounds BEFORE ranking (same contract as bruteForceTopK): the
+    // rank tie-break then lives on a decimal grid both engines agree on
     val scored = src.join(nbr, Seq("list_id"))
       .filter(col("src_id") =!= col("dst_id"))
-      .withColumn("cosine",
-        graft.functions.GraftFunctions.cosine_similarity(col("sv"), col("dv")))
+      .withColumn("cosine", round(
+        graft.functions.GraftFunctions.cosine_similarity(col("sv"), col("dv")), roundTo))
     val w = Window.partitionBy("src_id")
       .orderBy(col("cosine").desc, col("dst_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -204,7 +224,8 @@ object Similarity {
   def knnLabelAudit(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
-    val pred = knnClassify(corpus, queries.select(col(idCol), col(vecCol)), k)
+    val pred = knnClassify(corpus, queries.select(col(idCol), col(vecCol)), k,
+      idCol = idCol, vecCol = vecCol, labelCol = labelCol)
     pred.join(queries.select(col(idCol).as("query_id"),
         col(labelCol).as("label")), Seq("query_id"))
       .groupBy("label")
@@ -366,21 +387,25 @@ object Similarity {
     call_function(fname, c)
   }
 
-  /** Train the coarse quantizer ONCE (spark.ml k-means, seeded). A loose
-    * quantizer is fine — recall comes from nProbe, not centroid polish —
-    * so iterations are capped low and `sampleFraction` bounds training on
-    * huge corpora. */
+  /** Train the coarse quantizer ONCE: deterministic first-`nLists` seeding
+    * + `trainMaxIter` Lloyd steps with centers pinned to a 6-decimal grid
+    * each step (see [[lloyd]]). A loose quantizer is fine — recall comes
+    * from nProbe, not centroid polish — so iterations are capped low and
+    * `sampleFraction` bounds training on huge corpora. Fully deterministic
+    * AND SQL-replayable: the DuckDB oracle reproduces seeds (ORDER BY id
+    * LIMIT n), every Lloyd step (argmin + round(avg, 6) means, empty lists
+    * keeping their previous center), and the final assignment — which is
+    * what lets `ann_ivf_topk`/`ann_knn_graph` be hash-proven rather than
+    * rows-only. `seed` only matters when `sampleFraction < 1` (the
+    * non-oracle scale path). */
   def ivfTrain(corpus: DataFrame, nLists: Int = 16,
                vecCol: String = "embedding", seed: Long = 42L,
-               sampleFraction: Double = 1.0, trainMaxIter: Int = 8): IvfModel = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus.select(array_to_vector(col(vecCol)).as("__feat"))
-    val trainDf = if (sampleFraction >= 1.0) feats else feats.sample(sampleFraction, seed)
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(trainMaxIter)
-      .setFeaturesCol("__feat").setPredictionCol("list_id")
-      .fit(trainDf)
-    IvfModel(model.clusterCenters.map(_.toArray))
+               sampleFraction: Double = 1.0, trainMaxIter: Int = 8,
+               idCol: String = "vec_id"): IvfModel = {
+    val trainDf = if (sampleFraction >= 1.0) corpus
+      else corpus.sample(sampleFraction, seed)
+    val init = kmeansInit(trainDf, nLists, idCol, vecCol)
+    IvfModel(lloyd(trainDf, init, trainMaxIter, vecCol, roundTo = 6))
   }
 
   /** Assign every corpus vector to its inverted list — the index-build
@@ -398,16 +423,18 @@ object Similarity {
     * build-once index costs. */
   def ivfQuery(model: IvfModel, assigned: DataFrame, queries: DataFrame,
                k: Int, nProbe: Int = 4, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
     val nP = math.min(nProbe, model.nLists)
     val c = assigned.select(col("list_id"), col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("list_id", explode(nearestLists(queries.sparkSession, model.centers, nP)(col("qv")))))
+    // cosine rounds BEFORE ranking (same contract as bruteForceTopK): the
+    // rank tie-break then lives on a decimal grid both engines agree on
     val scored = c.join(q, Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("cv")))
+      .withColumn("cosine", round(
+        graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("cv")), roundTo))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

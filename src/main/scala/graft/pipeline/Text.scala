@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Normalize for fingerprinting: lowercase, collapse whitespace, trim. */
+  /** Normalize for fingerprinting: lowercase, collapse whitespace, trim.
+    * The whitespace class is written out explicitly (= Java's `\s`)
+    * because RE2-based engines exclude U+000B from `\s` — with the
+    * explicit class the DuckDB oracle sees identical semantics even on
+    * documents containing a vertical tab. */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Exact document fingerprint = md5 of the normalized text. Identical
     * semantics exist in every engine (the DuckDB oracle uses md5()). */
@@ -37,16 +41,21 @@ object Text {
     val ent = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
       "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
       .foldLeft(noTag) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-    trim(regexp_replace(ent, "\\s+", " "))
+    // explicit class (= Java \s): RE2 excludes U+000B from \s, so this is
+    // what keeps the 'replays verbatim in RE2' claim true for VT input
+    trim(regexp_replace(ent, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
-  /** Whitespace token count. */
-  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  /** Whitespace token count. Typed bigint to match what every SQL engine
+    * (and the DuckDB oracle) emits for a count — keeping spark int here was
+    * a latent driver-hash type mismatch (OracleTypeLintSpec). */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
 
   /** BPE-ish token count: word pieces = letter runs, digit runs, or single
     * non-space symbols (a cheap, deterministic proxy for subword counts). */
   def regexTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   /** Corpus vocabulary: term frequency + document frequency per lowercased
     * whitespace word, top-`topK` by (tf desc, word asc). The corpus-release

@@ -64,6 +64,10 @@ object BenchSf1 {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // events.ts may be TIMESTAMP(NANOS) parquet depending on the testdata
+      // generator vintage (see SparkEntry.t / EntryCompatSpec); without this
+      // the scale-up read crashes with 'Illegal Parquet type' before timing
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -115,14 +119,19 @@ object BenchSf1 {
         }
     }
 
+    // a failed line must NOT land in the published JSON as a plausible
+    // (usually faster) number — NaN propagates to "failed":true below
     def timed(fn: (SparkSession, String) => DataFrame, dir: String): Double =
       (1 to 2).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[sf1] failed on $dir: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[sf1] failed on $dir: ${e.getMessage}")
+          Double.NaN
+        }
       }.min
 
     val rows = workloads.map { case (name, fn) =>
@@ -131,10 +140,14 @@ object BenchSf1 {
       System.err.println(f"[sf1] $name%-28s sf0.1 $t01%6.2f s   sf1 $t1%6.2f s   x${t1 / t01}%.1f")
       (name, t01, t1)
     }
+    def num(d: Double): String = if (d.isNaN) "null" else f"$d%.3f"
     val qs = rows.map { case (n, a, b) =>
-      s""""$n":{"sf01":${f"$a%.3f"},"sf1":${f"$b%.3f"},"ratio":${f"${b / a}%.2f"}}"""
+      val failed = if (a.isNaN || b.isNaN) ""","failed":true""" else ""
+      s""""$n":{"sf01":${num(a)},"sf1":${num(b)},"ratio":${num(b / a)}$failed}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"sf1_subset_total","value":${f"${rows.map(_._3).sum}%.3f"},"unit":"sec","queries":$qs,"sf":"1 (synthetic x10 of sf0.1)"}""")
+    val okTotal = rows.map(_._3).filterNot(_.isNaN).sum
+    val nFailed = rows.count { case (_, a, b) => a.isNaN || b.isNaN }
+    println(s"""{"metric":"sf1_subset_total","value":${f"$okTotal%.3f"},"unit":"sec","failed_lines":$nFailed,"queries":$qs,"sf":"1 (synthetic x10 of sf0.1)"}""")
     spark.stop()
   }
 }

@@ -269,6 +269,26 @@ class CliSpec extends SparkSpec {
     assert(la.agg(sum("n")).head.getLong(0) === n, "audit covers every vector")
   }
 
+  test("pipeline label-audit forwards non-default --id/--vec/--label") {
+    // regression: knnLabelAudit used to delegate to knnClassify with the
+    // DEFAULT column names, so renamed columns threw (or silently voted
+    // with a stray 'label' column). Renamed input must give the identical
+    // audit result as the default-named input.
+    val dir = Files.createTempDirectory("graft-cli10").toString
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val renamed = spark.read.parquet(emb)
+      .withColumnRenamed("vec_id", "my_id")
+      .withColumnRenamed("embedding", "my_vec")
+      .withColumnRenamed("label", "my_label")
+    renamed.write.parquet(s"$dir/renamed")
+    Cli.run(spark, List("pipeline", "label-audit", s"$dir/renamed", s"$dir/la2",
+      "--id", "my_id", "--vec", "my_vec", "--label", "my_label"))
+    Cli.run(spark, List("pipeline", "label-audit", emb, s"$dir/la1"))
+    val a = spark.read.parquet(s"$dir/la1").orderBy("label").collect().toSeq
+    val b = spark.read.parquet(s"$dir/la2").orderBy("label").collect().toSeq
+    assert(a === b, "renamed columns must not change the audit")
+  }
+
   test("unknown commands fail loudly") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, List("frobnicate", "everything"))

@@ -349,7 +349,7 @@ class CurationSpec extends SparkSpec {
     val words = (1 to 25).map(i => s"w$i").mkString(" ")
     val df = Seq((0L, words), (1L, "short doc only"), (2L, "")).toDF("doc_id", "text")
     val out = Text.chunkDocs(df, "text", "doc_id", chunkWords = 10, strideWords = 5)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
     val d0 = out.filter(_._1 == 0L).sortBy(_._2)
     // 25 words, chunk 10, stride 5 -> 1 + ceil(15/5) = 4 chunks
     assert(d0.length === 4)

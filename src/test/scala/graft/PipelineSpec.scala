@@ -195,10 +195,10 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, "The cat and the dog, of course!")).toDF("doc_id", "text")
     val q = Text.qualityFeatures(df, "text").collect().head
-    assert(q.getInt(q.fieldIndex("n_words")) === 7)
+    assert(q.getLong(q.fieldIndex("n_words")) === 7L)
     val tok = df.select(Text.wsTokenCount(col("text")), Text.regexTokenCount(col("text"))).head
-    assert(tok.getInt(0) === 7)
-    assert(tok.getInt(1) === 9) // 7 words + comma + bang
+    assert(tok.getLong(0) === 7L)
+    assert(tok.getLong(1) === 9L) // 7 words + comma + bang
     val lang = Text.langId(df, "text").collect().head
     assert(lang.getString(lang.fieldIndex("pred_lang")) === "en")
     // spaceless CJK text: marker tokens never split on whitespace, so zh
@@ -834,12 +834,16 @@ class PipelineSpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(e, e, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(full === exact, "full-probe knnGraph must equal brute force")
-    // pruned probe keeps high recall on real embeddings
-    val pruned = Similarity.knnGraph(model, assigned, k = 3, nProbe = 2)
+    // pruned probe keeps high recall on real embeddings (nProbe=3 of 6
+    // lists: the deterministic first-k-seeded Lloyd quantizer — the price
+    // of the hash-proven ann_* oracles — trades a little per-probe recall
+    // vs kmeans||, recovered by one extra probe; recall-per-probe is the
+    // standard ANN knob)
+    val pruned = Similarity.knnGraph(model, assigned, k = 3, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exactPairs = exact.map(t => (t._1, t._2))
     val recall = exactPairs.count(pruned.contains).toDouble / exactPairs.size
-    assert(recall > 0.7, s"knnGraph recall@3 with nProbe=2 was $recall")
+    assert(recall > 0.7, s"knnGraph recall@3 with nProbe=3 was $recall")
   }
 
   test("ngramContainment: short-in-long embedding scores ~1 one way, jaccard stays low") {

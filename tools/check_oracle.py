@@ -20,6 +20,15 @@ for name, sql in sorted(oracle.items()):
         act2 = act.sort_values(by=list(act.columns)).reset_index(drop=True)
         if len(exp2) != len(act2):
             bad.append((name, f"rows: oracle={len(exp2)} spark={len(act2)}")); continue
+        # dtype-strict: the driver's hash is type-sensitive (HUGEINT/int32
+        # class — see OracleTypeLintSpec).  duckdb HUGEINT lands in pandas
+        # as float64 and reds here against spark int64, as it should.
+        dt_bad = [(c, str(exp2[c].dtype), str(act2[c].dtype))
+                  for c in exp2.columns if exp2[c].dtype != act2[c].dtype]
+        if dt_bad:
+            bad.append((name, 'dtypes: ' + ', '.join(
+                f'{c} oracle={a} spark={b}' for c, a, b in dt_bad)))
+            continue
         try:
             pd.testing.assert_frame_equal(exp2, act2, check_dtype=False, check_exact=True)
             ok.append(name)
