@@ -846,6 +846,99 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "analyze_corrected_grouped" -> ((s, dir) => {
+      // grouped correction mode (reference: analyze/utils.py:77-117):
+      // repeated tests share the group keys, the correction is computed
+      // once per de-duplicated group (m = #groups, not #rows), then
+      // re-joined to every original row
+      val li = t(s, dir, "lineitem")
+      val g = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(avg("l_discount"), 6).as("pvalue"))
+      val members = li.select(col("l_returnflag"), col("l_linestatus"),
+        col("l_linenumber").as("member")).distinct()
+      val base = members.join(g, Seq("l_returnflag", "l_linestatus"))
+      Corrections.addCorrectedPvalues(base,
+          groupby = Seq("l_returnflag", "l_linestatus"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("member"),
+          round(col("pvalue"), 6).as("pvalue"),
+          round(col("pvalue_bonferroni"), 6).as("pvalue_bonferroni"),
+          round(col("pvalue_fdr"), 6).as("pvalue_fdr"))
+        .orderBy("l_returnflag", "l_linestatus", "member")
+    }),
+
+    "analyze_get_significant" -> ((s, dir) => {
+      // significance filter over corrected results (reference:
+      // cli/commands/analyze.py:299-324); a planted 0.001 factor on every
+      // 10th doc gives the FDR pass a clear margin on both sides of the
+      // cutoff (tiny group fdr ~0.01, rest ~0.99 — no boundary floats)
+      val p = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (((col("doc_id") * 37 % 100 + 1).cast("double") / 101.0) *
+            when(col("doc_id") % 10 === 0, 0.001).otherwise(1.0)).as("pvalue"))
+      Corrections.getSignificant(Corrections.addCorrectedPvalues(p), cutoff = 0.05)
+        .select(col("doc_id"), round(col("pvalue"), 8).as("pvalue"),
+          round(col("pvalue_fdr"), 6).as("pvalue_fdr"))
+        .orderBy("doc_id")
+    }),
+
+    "modify_make_categorical" -> ((s, dir) => {
+      // make_categorical (reference: modify.py:456-500): records the
+      // observed level sets as variable metadata; surfaced here as
+      // (variable, level) rows
+      import s.implicits._
+      var cf = CladeFrame(t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority"), "o_orderkey")
+      cf = Modify.makeCategorical(cf, only = Some(Seq("o_orderstatus", "o_orderpriority")))
+      cf.levels.toSeq.flatMap { case (v, ls) => ls.map(v -> _) }
+        .toDF("variable", "level").orderBy("variable", "level")
+    }),
+
+    "modify_make_continuous" -> ((s, dir) => {
+      // make_continuous (reference: modify.py:503-567): string-encoded
+      // numerics cast to double, any uncastable value is an error; the
+      // aggregate checksum proves the round-trip preserved every value
+      var cf = CladeFrame(t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("string").as("qty_str")), "l_orderkey")
+      cf = Modify.makeContinuous(cf, only = Some(Seq("qty_str")))
+      cf.df.agg(count(col("qty_str")).as("n"),
+        round(sum("qty_str"), 4).as("total"),
+        round(avg("qty_str"), 6).as("mean"))
+    }),
+
+    "modify_drop_extra_categories" -> ((s, dir) => {
+      // drop_extra_categories (reference: modify.py:1011-1061): a
+      // rowfilter leaves the recorded level set stale ('F' becomes a
+      // phantom level with zero rows); the op refreshes metadata from data
+      import s.implicits._
+      var cf = CladeFrame(t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus"), "o_orderkey")
+      cf = Modify.makeCategorical(cf, only = Some(Seq("o_orderstatus")))
+      val filtered = cf.copy(df = cf.df.filter(col("o_orderstatus") =!= "F"))
+      val refreshed = Modify.dropExtraCategories(filtered, only = Some(Seq("o_orderstatus")))
+      refreshed.levels.toSeq.flatMap { case (v, ls) => ls.map(v -> _) }
+        .toDF("variable", "level").orderBy("variable", "level")
+    }),
+
+    "modify_move_variables" -> ((s, dir) => {
+      // move_variables (reference: modify.py:888-940): o_totalprice moves
+      // from the left frame to the right via the outer id-join; the
+      // per-variable sums prove the join aligned every row (a duplicated
+      // or dropped id would shift a checksum)
+      val c = t(s, dir, "customer")
+      val left0 = CladeFrame(c.select("c_custkey", "c_acctbal", "c_nationkey"),
+        "c_custkey")
+      val right0 = CladeFrame(c.select("c_custkey", "c_name"), "c_custkey")
+      val (nl, nr) = Modify.moveVariables(left0, right0, only = Some(Seq("c_acctbal")))
+      def sums(side: String, cf: CladeFrame) = cf.variables.sorted.map(v =>
+        cf.df.agg(count(col(v)).as("n_vals"),
+            round(sum(col(v).cast("double")), 2).as("value_sum"))
+          .select(lit(side).as("side"), lit(v).as("variable"),
+            col("n_vals"), col("value_sum")))
+      (sums("left", nl) ++ sums("right", nr)).reduce(_ unionByName _)
+        .orderBy("side", "variable")
+    }),
+
     // ---- survey-design grouped aggregates, relationally (SURVEY §2.5)
     "survey_design_aggs" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1081,6 +1174,16 @@ object SparkEntry {
         .select(col("src_id"), col("dst_id"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
         .orderBy("src_id", "rank")
+    }),
+
+    "ann_label_audit_graph" -> ((s, dir) => {
+      // CORPUS-SCALE label audit: majority vote over the bucketed IVF kNN
+      // graph (never corpus², unlike the brute oracle slice in
+      // ann_label_audit). HASH-PROVEN: the oracle replays the Lloyd-CTE
+      // index, the graph, and the vote algebra (labelAuditGraphOracleSql)
+      val (model, assigned) = ivfIndex(s, dir)
+      val graph = Similarity.knnGraph(model, assigned, k = 3, nProbe = 2)
+      Similarity.labelAuditFromGraph(graph, t(s, dir, "embeddings"))
     }),
 
     "sample_cluster_balanced" -> ((s, dir) => {
@@ -1824,9 +1927,9 @@ object SparkEntry {
   /** `ann_knn_graph` oracle: every corpus vector probes its nProbe nearest
     * lists over the SAME replayed index; k best rounded-cosine neighbors
     * per source. */
-  private def ivfGraphOracleSql: String = {
+  private def ivfGraphCtes: String = {
     val (nLists, iters, k, nProbe) = (16, 8, 3, 2)
-    s"""WITH ${ivfOracleCtes(nLists, iters)},
+    s"""${ivfOracleCtes(nLists, iters)},
        |probe AS (SELECT vec_id AS src_id, sv, cid AS list_id FROM (
        |    SELECT e.vec_id, e.v AS sv, i.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -1843,10 +1946,36 @@ object SparkEntry {
        |scored AS (SELECT src_id, dst_id,
        |    round(d / (sqrt(ns) * sqrt(nd)), 6) AS cosine FROM dots),
        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY src_id
-       |      ORDER BY cosine DESC, dst_id) AS INT) AS rank FROM scored)
-       |SELECT src_id, dst_id, cosine, rank FROM ranked
-       |WHERE rank <= $k ORDER BY src_id, rank""".stripMargin
+       |      ORDER BY cosine DESC, dst_id) AS INT) AS rank FROM scored),
+       |graph AS (SELECT src_id, dst_id, cosine, rank FROM ranked
+       |  WHERE rank <= $k)""".stripMargin
   }
+
+  private def ivfGraphOracleSql: String =
+    s"""WITH $ivfGraphCtes
+       |SELECT src_id, dst_id, cosine, rank FROM graph
+       |ORDER BY src_id, rank""".stripMargin
+
+  /** `ann_label_audit_graph` oracle: the SAME replayed IVF kNN graph, then
+    * the majority-vote + per-label agreement algebra of
+    * [[graft.pipeline.Similarity.labelAuditFromGraph]] in plain SQL
+    * (votes desc, best rounded cosine desc, label asc tie-break). */
+  private def labelAuditGraphOracleSql: String =
+    s"""WITH $ivfGraphCtes,
+       |votes AS (SELECT g.src_id, l.label AS lbl,
+       |    count(*) AS nv, max(g.cosine) AS best_cosine
+       |  FROM graph g JOIN embeddings l ON l.vec_id = g.dst_id
+       |  GROUP BY 1, 2),
+       |pred AS (SELECT src_id, lbl AS predicted_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY nv DESC, best_cosine DESC, lbl) AS r FROM votes)
+       |  WHERE r = 1)
+       |SELECT l.label, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN p.predicted_label = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  round(CAST(sum(CASE WHEN p.predicted_label = l.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS agree_rate
+       |FROM pred p JOIN embeddings l ON l.vec_id = p.src_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Full DuckDB replay of Similarity.semanticDedup over embeddings plus
     * the query's planted duplicates (dim=64, bits=6, seed=42, threshold
@@ -2460,6 +2589,65 @@ object SparkEntry {
            dense_rank() OVER (ORDER BY lang) AS xpos
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 
+    "analyze_corrected_grouped" ->
+      """WITH g AS (SELECT l_returnflag, l_linestatus, round(avg(l_discount), 6) AS pvalue
+                    FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT *, count(*) OVER () AS m,
+                 row_number() OVER (ORDER BY pvalue, l_returnflag, l_linestatus) AS rk FROM g),
+         f AS (SELECT l_returnflag, l_linestatus, pvalue,
+                 least(pvalue * m, 1.0) AS bonf,
+                 least(min(pvalue * m / rk) OVER (ORDER BY rk
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) AS fdr
+               FROM r),
+         mem AS (SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber AS member FROM lineitem)
+         SELECT mem.l_returnflag, mem.l_linestatus, mem.member,
+           round(f.pvalue, 6) AS pvalue, round(f.bonf, 6) AS pvalue_bonferroni,
+           round(f.fdr, 6) AS pvalue_fdr
+         FROM mem JOIN f USING (l_returnflag, l_linestatus)
+         ORDER BY 1, 2, 3""",
+
+    "analyze_get_significant" ->
+      """WITH p AS (SELECT doc_id,
+                 ((doc_id * 37 % 100 + 1) / 101.0) *
+                   (CASE WHEN doc_id % 10 = 0 THEN 0.001 ELSE 1.0 END) AS pvalue
+               FROM documents WHERE doc_id < 200),
+         r AS (SELECT doc_id, pvalue, count(*) OVER () AS m,
+                 row_number() OVER (ORDER BY pvalue, doc_id) AS rk FROM p),
+         f AS (SELECT doc_id, pvalue,
+                 least(min(pvalue * m / rk) OVER (ORDER BY rk
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) AS fdr
+               FROM r)
+         SELECT doc_id, round(pvalue, 8) AS pvalue, round(fdr, 6) AS pvalue_fdr
+         FROM f WHERE fdr <= 0.05 ORDER BY doc_id""",
+
+    "modify_make_categorical" ->
+      """SELECT 'o_orderstatus' AS variable, o_orderstatus AS level FROM orders GROUP BY 2
+         UNION ALL
+         SELECT 'o_orderpriority', o_orderpriority FROM orders GROUP BY 2
+         ORDER BY 1, 2""",
+
+    "modify_make_continuous" ->
+      """SELECT count(l_quantity) AS n,
+           round(sum(CAST(l_quantity AS DOUBLE)), 4) AS total,
+           round(avg(CAST(l_quantity AS DOUBLE)), 6) AS mean
+         FROM lineitem""",
+
+    "modify_drop_extra_categories" ->
+      """SELECT 'o_orderstatus' AS variable, o_orderstatus AS level FROM orders
+         WHERE o_orderstatus <> 'F' GROUP BY 2 ORDER BY 1, 2""",
+
+    "modify_move_variables" ->
+      """SELECT 'left' AS side, 'c_nationkey' AS variable,
+           count(c_nationkey) AS n_vals,
+           round(sum(CAST(c_nationkey AS DOUBLE)), 2) AS value_sum FROM customer
+         UNION ALL
+         SELECT 'right', 'c_acctbal', count(c_acctbal),
+           round(sum(CAST(c_acctbal AS DOUBLE)), 2) FROM customer
+         UNION ALL
+         SELECT 'right', 'c_name', count(c_name),
+           round(sum(TRY_CAST(c_name AS DOUBLE)), 2) FROM customer
+         ORDER BY 1, 2""",
+
     "survey_design_aggs" ->
       """SELECT o_orderpriority AS strat, count(DISTINCT o_custkey % 20) AS n_clusters,
          count(*) AS n_rows, round(avg(o_totalprice), 4) AS avg_weight
@@ -2565,6 +2753,7 @@ object SparkEntry {
     "ann_lsh_topk" -> lshOracleSql,
     "ann_ivf_topk" -> ivfTopkOracleSql,
     "ann_knn_graph" -> ivfGraphOracleSql,
+    "ann_label_audit_graph" -> labelAuditGraphOracleSql,
     "ann_semantic_dedup" -> semdedupOracleSql,
 
     "ann_knn_classify" ->
