@@ -483,6 +483,31 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "graph_pagerank_dangling" -> ((s, dir) => {
+      // mass-conserving variant: only src<dst edges survive, so the
+      // alphabetically-last nations have no out-edges and their rank is
+      // re-spread uniformly each superstep (total rank stays exactly 1);
+      // the per-step dangling mass is a one-row aggregate, never a collect
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val na = t(s, dir, "nation")
+      val edges = li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(na.select(col("n_nationkey").as("__ck"), col("n_name").as("src"))),
+          c("c_nationkey") === col("__ck"))
+        .join(broadcast(na.select(col("n_nationkey").as("__sk"), col("n_name").as("dst"))),
+          su("s_nationkey") === col("__sk"))
+        .filter(col("src") < col("dst"))
+        .groupBy("src", "dst")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("w"))
+      Graph.pageRank(edges, "src", "dst", "w", iterations = 3, damping = 0.85,
+          danglingMass = true)
+        .select(col("node"), round(col("rank"), 7).as("rank"))
+        .orderBy("node")
+    }),
+
     "layout_zorder" -> ((s, dir) =>
       // Z-order clustering-quality report: all-integer bucketize+interleave
       // (exact SQL replay), one ≤4096-group aggregation whatever the input
@@ -3757,6 +3782,48 @@ object SparkEntry {
                 LEFT JOIN en ON en.dst = nodes.node
                 LEFT JOIN r2 ON r2.node = en.src
                 GROUP BY nodes.node, n)
+         SELECT node, round(rank, 7) AS rank FROM r3 ORDER BY node""",
+
+    "graph_pagerank_dangling" ->
+      """WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+             sum(l_extendedprice * (1.0 - l_discount)) AS w
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE cn.n_name < sn.n_name
+           GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         en AS (SELECT src, dst,
+                  w / sum(w) OVER (PARTITION BY src) AS wn FROM e),
+         dang AS (SELECT node FROM nodes
+                  WHERE node NOT IN (SELECT DISTINCT src FROM e)),
+         r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+         d0 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0 JOIN dang USING (node)),
+         r1 AS (SELECT nodes.node,
+                  0.15 / n + 0.85 * (coalesce(sum(en.wn * r0.rank), 0) + dm / n) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d0
+                LEFT JOIN en ON en.dst = nodes.node
+                LEFT JOIN r0 ON r0.node = en.src
+                GROUP BY nodes.node, n, dm),
+         d1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1 JOIN dang USING (node)),
+         r2 AS (SELECT nodes.node,
+                  0.15 / n + 0.85 * (coalesce(sum(en.wn * r1.rank), 0) + dm / n) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d1
+                LEFT JOIN en ON en.dst = nodes.node
+                LEFT JOIN r1 ON r1.node = en.src
+                GROUP BY nodes.node, n, dm),
+         d2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2 JOIN dang USING (node)),
+         r3 AS (SELECT nodes.node,
+                  0.15 / n + 0.85 * (coalesce(sum(en.wn * r2.rank), 0) + dm / n) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d2
+                LEFT JOIN en ON en.dst = nodes.node
+                LEFT JOIN r2 ON r2.node = en.src
+                GROUP BY nodes.node, n, dm)
          SELECT node, round(rank, 7) AS rank FROM r3 ORDER BY node""",
 
     "layout_zorder" ->

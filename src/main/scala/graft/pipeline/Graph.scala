@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Weighted PageRank with damping, a FIXED number of supersteps, no
-    * dangling-mass redistribution (a node with no out-edges simply leaks its
-    * mass — acceptable for relative ranking, and exactly SQL-replayable).
+  /** Weighted PageRank with damping and a FIXED number of supersteps.
+    * By default a node with no out-edges leaks its mass (acceptable for
+    * relative ranking); `danglingMass = true` re-spreads dangling rank
+    * uniformly each superstep — the textbook conservation variant, total
+    * rank exactly 1 — at the cost of one extra one-row aggregate per step.
+    * Both variants are exactly SQL-replayable.
     *
     * rank_0(v) = 1/N;
-    * rank_{k+1}(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} rank_k(u) · w(u,v)/outw(u).
+    * rank_{k+1}(v) = (1-d)/N + d * (Σ_{(u,v) ∈ E} rank_k(u) · w(u,v)/outw(u)
+    *                               [+ danglingMass_k / N]).
     *
     * Scale shape: `edges` is persisted after the out-weight normalization
     * window (partitioned by src — parallelism = src cardinality) and reused
@@ -37,7 +41,8 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iterations: Int = 3,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               danglingMass: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     // cache the materialized edge list FIRST: nodes, out-weight sums, and
@@ -55,18 +60,35 @@ object Graph {
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), col("__w"))
       .persist()
     val base = lit((1.0 - damping) / n)
+    // dangling = nodes with no out-edges; with danglingMass their rank is
+    // re-spread uniformly each superstep (total rank stays exactly 1)
+    // instead of leaking. The per-step mass is a ONE-ROW aggregate frame
+    // cross-joined in (broadcast nested loop) — no driver-side collect.
+    val dangling =
+      if (danglingMass) nodes.join(norm.select(col("__src").as("node")).distinct(),
+        Seq("node"), "left_anti").persist()
+      else null
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       val contrib = norm.join(ranks, norm("__src") === ranks("node"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("__w") * col("rank")).as("__in"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), (base + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+      val joined = nodes.join(contrib, Seq("node"), "left")
+      ranks =
+        if (danglingMass) {
+          val dm = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+          joined.crossJoin(dm).select(col("node"),
+            (base + lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+              col("__dm") / n)).as("rank"))
+        } else joined.select(col("node"),
+          (base + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
     }
     // materialize (truncating the superstep lineage) so the cached edge /
     // node frames can be released before returning — the function is
     // already eager via the N count, and callers get a self-contained frame
     val out = ranks.localCheckpoint(true)
+    if (dangling != null) dangling.unpersist(blocking = false)
     norm.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     e0.unpersist(blocking = false)

@@ -18,7 +18,7 @@ object Drive {
     val names = Seq("analyze_corrected_grouped", "analyze_get_significant",
       "modify_make_categorical", "modify_make_continuous",
       "modify_drop_extra_categories", "modify_move_variables",
-      "ann_label_audit_graph")
+      "ann_label_audit_graph", "graph_pagerank_dangling")
     names.foreach { n =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, sfDir)

@@ -207,6 +207,42 @@ class PipelineSpec extends SparkSpec {
     val zl = Text.langId(zh, "text").collect().head
     assert(zl.getString(zl.fieldIndex("pred_lang")) === "zh")
     val fp = df.select(Text.fingerprint(col("text"))).head.getString(0)
+    planted(df)
+    fpChecks(fp, df)
+  }
+
+  /** Planted truly-multilingual corpus: every language's marker path must
+    * actually fire (the synthetic documents table's non-en rows are
+    * English-ish text with arbitrary tags, so the audit query's ~0 accuracy
+    * there is the CORRECT verdict — this pins the kernel's non-trivial
+    * positives separately). */
+  private def planted(en: org.apache.spark.sql.DataFrame): Unit = {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "The size and the shape of it is known to all, with reason."),
+      ("en", "Many of the things that matter end with the truth and the proof."),
+      ("es", "El perro y la casa de que hablamos son de los vecinos, una maravilla."),
+      ("es", "La luz de el faro guia a los barcos en una noche de tormenta."),
+      ("de", "Der Hund und die Katze sind nicht da, das ist schade und nicht gut."),
+      ("de", "Die Sonne ist hell und der Himmel ist blau, das ist nicht neu."),
+      ("fr", "Le chien et la maison des voisins est une merveille, les gens le savent."),
+      ("fr", "La mer est calme et le vent souffle sur les plages, une belle journee."),
+      ("zh", "我们在这里有很多好的东西了这是真的"),
+      ("zh", "他说的话在我心里是有分量的了"))
+      .toDF("lang", "text")
+    val pred = graft.pipeline.Text.langId(docs, "text")
+    val perLang = pred.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("ok"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Seq("en", "es", "de", "fr", "zh").foreach { l =>
+      val (n, ok) = perLang(l)
+      assert(n === 2L && ok === 2L, s"$l markers must fire on planted $l text: $ok/$n")
+    }
+  }
+
+  private def fpChecks(fp: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    import spark.implicits._
     assert(fp.matches("[0-9a-f]{32}"))
     // normalization-invariant
     val fp2 = Seq((1L, "  the CAT and the  dog, of course!  ")).toDF("doc_id", "text")

@@ -337,6 +337,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
   }
 
+  test("pageRank danglingMass: leaked mass re-spread uniformly, total stays 1") {
+    import spark.implicits._
+    // c has NO out-edges: without redistribution its mass leaks each step
+    val edges = Seq(("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 1.0))
+      .toDF("src", "dst", "w")
+    val leak = graft.pipeline.Graph.pageRank(edges, "src", "dst", "w",
+        iterations = 2, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(leak.values.sum < 1.0 - 1e-6) // the default leaks
+    val got = graft.pipeline.Graph.pageRank(edges, "src", "dst", "w",
+        iterations = 2, damping = 0.85, danglingMass = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // hand recurrence with the dangling term: dm_k = rank_k(c)
+    val d = 0.85; val base = 0.15 / 3
+    def step(r: Map[String, Double]): Map[String, Double] = {
+      val dm = r("c") / 3
+      Map("a" -> (base + d * dm),
+        "b" -> (base + d * (0.25 * r("a") + dm)),
+        "c" -> (base + d * (0.75 * r("a") + r("b") + dm)))
+    }
+    val want = step(step(Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3)))
+    want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, k) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-12) // conserved exactly
+  }
+
   test("zOrder: interleave bits exactly; cells partition rows; layout sorts by z") {
     import spark.implicits._
     // interleaveBits(3, 5) with 3 bits: x=011 at even positions, y=101 at
