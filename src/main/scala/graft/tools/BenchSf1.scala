@@ -91,6 +91,25 @@ object BenchSf1 {
       "dedup_exact" -> graft.SparkEntry.queries("dedup_exact"),
       "ann_ivf_topk" -> graft.SparkEntry.queries("ann_ivf_topk"),
       "ann_knn_classify" -> graft.SparkEntry.queries("ann_knn_classify"),
+      // worst-20 sf0.1 families (VERDICT r7 item 6): every line above
+      // ~0.4s on the r7 board gets measured ×10 evidence here
+      "modify_robust_scale" -> graft.SparkEntry.queries("modify_robust_scale"),
+      "modify_quantile_normalize" -> graft.SparkEntry.queries("modify_quantile_normalize"),
+      "modify_rint" -> graft.SparkEntry.queries("modify_rint"),
+      "modify_quantile_bins" -> graft.SparkEntry.queries("modify_quantile_bins"),
+      "modify_winsorize" -> graft.SparkEntry.queries("modify_winsorize"),
+      "modify_remove_outliers_iqr" -> graft.SparkEntry.queries("modify_remove_outliers_iqr"),
+      "modify_categorize" -> graft.SparkEntry.queries("modify_categorize"),
+      "modify_make_binary" -> graft.SparkEntry.queries("modify_make_binary"),
+      "graph_triangles" -> graft.SparkEntry.queries("graph_triangles"),
+      "genotype_maf_describe" -> graft.SparkEntry.queries("genotype_maf_describe"),
+      "text_bigram_lm" -> graft.SparkEntry.queries("text_bigram_lm"),
+      "text_lm_perplexity" -> graft.SparkEntry.queries("text_lm_perplexity"),
+      "text_collocations" -> graft.SparkEntry.queries("text_collocations"),
+      "join_asof_forward" -> graft.SparkEntry.queries("join_asof_forward"),
+      "join_salted" -> graft.SparkEntry.queries("join_salted"),
+      "layout_zorder" -> graft.SparkEntry.queries("layout_zorder"),
+      "plot_qq_prep" -> graft.SparkEntry.queries("plot_qq_prep"),
       "dedup_minhash_full" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.Dedup.minhashCandidates(s,
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
