@@ -521,9 +521,10 @@ object Multimodal {
     * container). The stub emits a deterministic 8-dim "feature" derived
     * from the payload bytes so downstream plumbing (schema, joins, ANN) is
     * exercised honestly. Marked intentionally: replace for production.
-    * Since FLAC gained a REAL decoder ([[decodeFlac]]), only MP3/MP4
-    * SAMPLES still land here (their container metadata is parsed for real
-    * by [[parseContainerMeta]]). */
+    * Since FLAC gained a REAL decoder ([[decodeFlac]]) and MPEG-1 Layer II
+    * gained one too ([[MpegAudio.decodeLayer2]]), only MP3 (Layer III
+    * Huffman) and MP4 VIDEO samples still land here (their container
+    * metadata is parsed for real by [[parseContainerMeta]]). */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     // ??? <- real audio/video codec goes here; deterministic fake features
     val out = new Array[Float](8)
@@ -553,6 +554,7 @@ object Multimodal {
             else decodeImage(bytes)
               .orElse(decodeAudio(bytes))
               .orElse(decodeFlac(bytes)) // real PCM decode, pure-integer JVM
+              .orElse(MpegAudio.decodeLayer2(bytes)) // real MP2 sample decode
               .orElse(parseContainerMeta(bytes).map(_._2))
               .getOrElse(stubDecode(bytes)))
         }
