@@ -63,6 +63,21 @@ object SparkEntry {
       .select(col("doc_id"),
         ((col("doc_id") * 37 % 100 + 1).cast("double") / 101.0).as("pvalue"))
 
+  /** documents with two deterministic embedded URLs per row (mixed case,
+    * utm/fragment variants, a quoted port-carrying mirror) — the shared
+    * fixture for the URL extraction/canonicalization queries; the oracle
+    * builds the identical body with || concatenation. */
+  private def urlBody(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("body", concat(
+      col("text"), lit(" see https://Site"), (col("doc_id") % 5).cast("string"),
+      lit(".Example.COM/Page/"), (col("doc_id") % 25).cast("string"),
+      when(col("doc_id") % 4 === 0, "?utm_source=x&ref=1")
+        .when(col("doc_id") % 4 === 1, "?ref=1&utm_campaign=y")
+        .when(col("doc_id") % 4 === 2, "/").otherwise(""),
+      when(col("doc_id") % 5 === 0, "#frag").otherwise(""),
+      lit(" and 'http://mirror.example.org:8080/m/"),
+      (col("doc_id") % 11).cast("string"), lit("'")))
+
   /** Build-once IVF index per sf dir: production trains the coarse
     * quantizer and persists the assignment offline (CLI `pipeline
     * ann-index`); queries then pay only the probe+scan path. Memoized so
@@ -1357,6 +1372,30 @@ object SparkEntry {
         lit(" &amp; more&nbsp;soon</p><script>var x=1;</script></body></html>"))
       d.select(col("doc_id"), Text.htmlExtract(html).as("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    "text_url_extract" -> ((s, dir) => {
+      // URL harvesting: docs get two deterministic embedded URLs (mixed
+      // case, utm variants, fragments, a quoted one with a port); the
+      // extractor is a single generator projection and host aggregation
+      // is one map-side-combined shuffle. Oracle replays the RE2-safe
+      // regex verbatim.
+      Text.extractUrls(urlBody(s, dir), "body")
+        .groupBy(Text.urlHost(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_urls"))
+        .orderBy("host")
+    }),
+
+    "dedup_url_canonical" -> ((s, dir) => {
+      // URL-level dedup after canonicalization: fragment stripped,
+      // scheme+authority lowercased, utm_* params dropped, trailing
+      // separators trimmed — case/utm/fragment raw variants collapse
+      // onto one canonical form (non-vacuous: n_raw_forms > 1 rows exist)
+      Text.extractUrls(urlBody(s, dir), "body")
+        .groupBy(Text.canonicalizeUrl(col("url")).as("canonical_url"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("url")).as("n_raw_forms"))
+        .orderBy("canonical_url")
     }),
 
     "dedup_paragraphs" -> ((s, dir) => {
@@ -3086,6 +3125,44 @@ object SparkEntry {
                '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
              '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean_text
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "text_url_extract" ->
+      """WITH b AS (SELECT text || ' see https://Site' || (doc_id % 5)
+             || '.Example.COM/Page/' || (doc_id % 25)
+             || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&ref=1'
+                      WHEN doc_id % 4 = 1 THEN '?ref=1&utm_campaign=y'
+                      WHEN doc_id % 4 = 2 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+             || ' and ''http://mirror.example.org:8080/m/' || (doc_id % 11)
+             || '''' AS body FROM documents),
+         u AS (SELECT unnest(regexp_extract_all(body,
+             'https?://[^ \t\n\x0B\f\r"''<>]+')) AS url FROM b)
+         SELECT lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+           count(*) AS n_urls
+         FROM u GROUP BY 1 ORDER BY 1""",
+
+    "dedup_url_canonical" ->
+      """WITH b AS (SELECT text || ' see https://Site' || (doc_id % 5)
+             || '.Example.COM/Page/' || (doc_id % 25)
+             || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&ref=1'
+                      WHEN doc_id % 4 = 1 THEN '?ref=1&utm_campaign=y'
+                      WHEN doc_id % 4 = 2 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+             || ' and ''http://mirror.example.org:8080/m/' || (doc_id % 11)
+             || '''' AS body FROM documents),
+         u AS (SELECT unnest(regexp_extract_all(body,
+             'https?://[^ \t\n\x0B\f\r"''<>]+')) AS url FROM b),
+         c1 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS nf FROM u),
+         c2 AS (SELECT url,
+             lower(regexp_extract(nf, '^[^/]*//[^/?#]*', 0))
+               || regexp_replace(nf, '^[^/]*//[^/?#]*', '', 'g') AS lw FROM c1),
+         c3 AS (SELECT url, regexp_replace(regexp_replace(lw,
+             'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*$', '', 'g') AS nu FROM c2),
+         c4 AS (SELECT url, regexp_replace(regexp_replace(nu,
+             '/$', '', 'g'), '\?$', '', 'g') AS canonical_url FROM c3)
+         SELECT canonical_url, count(*) AS n_occurrences,
+           count(DISTINCT url) AS n_raw_forms
+         FROM c4 GROUP BY 1 ORDER BY 1""",
 
     "dedup_paragraphs" ->
       """WITH d AS (SELECT doc_id AS id,

@@ -625,4 +625,39 @@ object Text {
       .orderBy(col("bm25").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  // ------------------------------------------------------------------ URLs
+
+  /** Extract http(s) URLs from a text column: one output row per URL
+    * occurrence (posexplode keeps duplicates and their order). The regex
+    * is RE2-safe (no backreferences/lookaround) so the DuckDB oracle
+    * replays it verbatim; delimiters are whitespace, quotes and angle
+    * brackets — the practical crawl-text boundary set. Zero shuffle: a
+    * single generator projection. */
+  def extractUrls(df: DataFrame, textCol: String, out: String = "url"): DataFrame =
+    df.withColumn(out, explode(
+      regexp_extract_all(col(textCol), lit("""https?://[^ \t\n\x0B\f\r"'<>]+"""), lit(0))))
+
+  /** Canonicalize a URL for dedup/host-aggregation — the normalization a
+    * crawl pipeline applies before URL-level dedup:
+    *   1. strip the fragment,
+    *   2. lowercase scheme + authority (path/query case is preserved),
+    *   3. drop utm_* tracking parameters (two-step: with-successor first
+    *      so the surviving separator chain stays well-formed),
+    *   4. strip a trailing '/' and a dangling '?'.
+    * Pure codegen'd column algebra; every regex is RE2-replayable. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^[^/]*//[^/?#]*", 0)
+    val rest = regexp_replace(noFrag, "^[^/]*//[^/?#]*", "")
+    val lowered = concat(lower(prefix), rest)
+    val utm1 = regexp_replace(lowered, "utm_[^&#]*&", "")
+    val utm2 = regexp_replace(utm1, "[?&]utm_[^&#]*$", "")
+    regexp_replace(regexp_replace(utm2, "/$", ""), "\\?$", "")
+  }
+
+  /** Host of an http(s) URL, lowercased (port kept — it distinguishes
+    * origins). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^https?://([^/?#]+)", 1))
 }

@@ -211,6 +211,34 @@ class PipelineSpec extends SparkSpec {
     fpChecks(fp, df)
   }
 
+  test("url ops: extraction boundaries and canonicalization edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://A.Example.COM/Page/1?utm_a=1&utm_b=2&x=3#f end"),
+      (2L, "quoted 'http://host:8080/p/' and <https://b.example.com> tail"),
+      (3L, "bare http://Host.Example.com/ plus https://c.example.com/q?utm_only=1"),
+      (4L, "no urls here at all")).toDF("doc_id", "text")
+    val urls = graft.pipeline.Text.extractUrls(docs, "text")
+      .select(col("doc_id"), col("url"),
+        graft.pipeline.Text.canonicalizeUrl(col("url")).as("canon"),
+        graft.pipeline.Text.urlHost(col("url")).as("host"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(urls.count(_._1 == 4L) === 0)                      // none invented
+    // BOTH utm params stripped (Spark regexp_replace is global), other
+    // param and path case preserved, fragment gone
+    val u1 = urls.find(_._1 == 1L).get
+    assert(u1._3 === "https://a.example.com/Page/1?x=3", u1._3)
+    assert(u1._4 === "a.example.com")
+    // quote and angle-bracket delimiters end the URL; port survives in host
+    val u2 = urls.filter(_._1 == 2L)
+    assert(u2.map(_._2).toSet === Set("http://host:8080/p/", "https://b.example.com"))
+    assert(u2.map(_._3).toSet === Set("http://host:8080/p", "https://b.example.com"))
+    assert(u2.map(_._4).contains("host:8080"))
+    // trailing slash trimmed; utm-only query leaves no dangling '?'
+    val u3 = urls.filter(_._1 == 3L).map(_._3).toSet
+    assert(u3 === Set("http://host.example.com", "https://c.example.com/q"), u3)
+  }
+
   /** Planted truly-multilingual corpus: every language's marker path must
     * actually fire (the synthetic documents table's non-en rows are
     * English-ish text with arbitrary tags, so the audit query's ~0 accuracy
