@@ -39,12 +39,20 @@ class MpegAudioSpec extends SparkSpec {
   private def nbalFor(sb: Int): Int =
     if (sb < 11) 4 else if (sb < 23) 3 else 2
 
-  /** Encode interleaved PCM doubles (−1..1) as MPEG-1 Layer II, 48 kHz. */
-  private def encodeMp2(pcm: Array[Double], channels: Int, kbps: Int = 192): Array[Byte] = {
-    val rate = 48000
+  /** Encode interleaved PCM doubles (−1..1) as MPEG-1 Layer II.
+    * `jointBound` >= 0 emits joint (intensity) stereo: mode 01 with
+    * bound = jointBound (must be 4/8/12/16); subbands above the bound
+    * carry ONE shared sample set (the channel mean) with per-channel
+    * scalefactors — the decoder's intensity branch. */
+  private def encodeMp2(pcm: Array[Double], channels: Int, kbps: Int = 192,
+                        rate: Int = 48000, jointBound: Int = -1): Array[Byte] = {
     val brIdx = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384).indexOf(kbps)
     require(brIdx > 0, s"unsupported kbps $kbps")
-    val sblimit = 27
+    val srIdx = Array(44100, 48000, 32000).indexOf(rate)
+    require(srIdx >= 0, s"unsupported rate $rate")
+    val sblimit = if (rate == 48000) 27 else if (kbps / channels >= 96) 30 else 27
+    val bound = if (jointBound >= 0) jointBound else sblimit
+    require(channels == 2 || jointBound < 0, "joint needs stereo")
     val frameBytes = 144 * kbps * 1000 / rate
     val frameBits = frameBytes * 8
     val perCh = pcm.length / channels
@@ -69,6 +77,19 @@ class MpegAudioSpec extends SparkSpec {
           g += 1
         }
         c += 1
+      }
+      // shared (intensity) subbands carry the channel-mean sample set
+      if (jointBound >= 0) {
+        var sb = bound
+        while (sb < sblimit) {
+          var g = 0
+          while (g < 36) {
+            val m2 = (sbBuf(0)(g)(sb) + sbBuf(1)(g)(sb)) / 2
+            sbBuf(0)(g)(sb) = m2; sbBuf(1)(g)(sb) = m2
+            g += 1
+          }
+          sb += 1
+        }
       }
       // scalefactor index per (ch, sb, part): smallest value covering max|s|
       val sfIdx = Array.ofDim[Int](channels, sblimit, 3)
@@ -98,33 +119,49 @@ class MpegAudioSpec extends SparkSpec {
       }
       // fit the bit budget: header + allocation field always paid; each
       // active (ch,sb) adds scfsi + 3 scalefactors + its sample bits
-      val headerAllocBits = 32 + channels * (0 until sblimit).map(nbalFor).sum
+      val headerAllocBits = 32 +
+        (0 until sblimit).map(sb => (if (sb < bound) channels else 1) * nbalFor(sb)).sum
       var budget = frameBits - headerAllocBits
       val keep = Array.ofDim[Boolean](channels, sblimit)
+      def sampleBitsOf(lv: Int): Int = lv match {
+        case 5 => 12 * 7
+        case 15 => 12 * 3 * 4
+        case 511 => 12 * 3 * 9
+        case other => fail(s"unexpected levels $other")
+      }
       active.sortBy(-_._1).foreach { case (_, c2, sb2) =>
         val lv = levelsFor(sb2)._2
-        val sampleBits = lv match {
-          case 5 => 12 * 7
-          case 15 => 12 * 3 * 4
-          case 511 => 12 * 3 * 9
-          case other => fail(s"unexpected levels $other")
+        if (sb2 >= bound) {
+          // shared: samples once, scfsi+scf per channel; decide once
+          if (!keep(0)(sb2)) {
+            val cost = channels * (2 + 18) + sampleBitsOf(lv)
+            if (budget >= cost) {
+              var c3 = 0
+              while (c3 < channels) { keep(c3)(sb2) = true; c3 += 1 }
+              budget -= cost
+            }
+          }
+        } else {
+          val cost = 2 + 18 + sampleBitsOf(lv)
+          if (budget >= cost) { keep(c2)(sb2) = true; budget -= cost }
         }
-        val cost = 2 + 18 + sampleBits
-        if (budget >= cost) { keep(c2)(sb2) = true; budget -= cost }
       }
       // ---- emit
       val w = new BitWriter
       w.put(0xff, 8)
       w.put(0xfd, 8) // MPEG-1, Layer II, no CRC
-      w.put(brIdx, 4); w.put(1, 2); w.put(0, 1); w.put(0, 1) // 48 kHz, no pad
-      w.put(if (channels == 1) 3 else 0, 2); w.put(0, 2) // mode
+      w.put(brIdx, 4); w.put(srIdx, 2); w.put(0, 1); w.put(0, 1) // rate, no pad
+      if (jointBound >= 0) { w.put(1, 2); w.put(jointBound / 4 - 1, 2) }
+      else { w.put(if (channels == 1) 3 else 0, 2); w.put(0, 2) } // mode
       w.put(0, 2); w.put(0, 2) // copyright/original + emphasis
       var sb = 0
       while (sb < sblimit) {
-        c = 0
-        while (c < channels) {
-          w.put(if (keep(c)(sb)) levelsFor(sb)._1 else 0, nbalFor(sb)); c += 1
-        }
+        if (sb < bound) {
+          c = 0
+          while (c < channels) {
+            w.put(if (keep(c)(sb)) levelsFor(sb)._1 else 0, nbalFor(sb)); c += 1
+          }
+        } else w.put(if (keep(0)(sb)) levelsFor(sb)._1 else 0, nbalFor(sb))
         sb += 1
       }
       sb = 0
@@ -146,8 +183,9 @@ class MpegAudioSpec extends SparkSpec {
       while (g < 12) {
         sb = 0
         while (sb < sblimit) {
+          val chLimit = if (sb < bound) channels else 1
           c = 0
-          while (c < channels) {
+          while (c < chLimit) {
             if (keep(c)(sb)) {
               val lv = levelsFor(sb)._2
               val sf = MpegAudio.scaleFactor(sfIdx(c)(sb)(g / 4))
@@ -233,6 +271,59 @@ class MpegAudioSpec extends SparkSpec {
     // via the public feature (rms) AND assert the filterbank+quantizer
     // chain loses little energy: |rms_mp2 - rms_wav| / rms_wav < 3%
     assert(relDiff(f(3), w(3)) < 0.03, s"quantized rms drift ${f(3)} vs ${w(3)}")
+  }
+
+  test("mp2: 44.1 kHz stream exercises the B.2b table (sblimit 30, subband 23+)") {
+    val n = 44100
+    // 16.2 kHz tone sits in subband 23 (44100/64 = 689 Hz per band) — the
+    // 2-bit allocTop class that only exists past the B.2a sblimit
+    val pcm = Array.tabulate(n) { i =>
+      0.45 * math.sin(2 * math.Pi * 430 * i / 44100.0) +
+        0.2 * math.sin(2 * math.Pi * 16200 * i / 44100.0)
+    }
+    val mp2 = encodeMp2(pcm, channels = 1, rate = 44100)
+    val f = MpegAudio.decodeLayer2(mp2).get
+    val w = Multimodal.decodeAudio(wavBytes(pcm, 1, 44100f)).get
+    assert(f(1) === 1.0f && f(2) === 44100.0f)
+    assert(math.abs(f(0) - w(0)) < 0.05, s"duration ${f(0)} vs ${w(0)}")
+    // the grouped 5-level quantizer in sb 23 is coarse; rms still lands
+    assert(relDiff(f(3), w(3)) < 0.1, s"rms ${f(3)} vs ${w(3)}")
+  }
+
+  test("mp2: intensity (joint) stereo decodes the shared sample set above the bound") {
+    val n = 48000
+    val pcm = new Array[Double](2 * n)
+    (0 until n).foreach { i =>
+      val hi = 0.3 * math.sin(2 * math.Pi * 7000 * i / 48000.0) // sb 9 >= bound 8
+      pcm(2 * i) = 0.4 * math.sin(2 * math.Pi * 300 * i / 48000.0) + hi
+      pcm(2 * i + 1) = 0.35 * math.sin(2 * math.Pi * 500 * i / 48000.0) + hi
+    }
+    val mp2 = encodeMp2(pcm, channels = 2, jointBound = 8)
+    val f = MpegAudio.decodeLayer2(mp2).get
+    val w = Multimodal.decodeAudio(wavBytes(pcm, 2, 48000f)).get
+    assert(f(1) === 2.0f && f(2) === 48000.0f)
+    // the high band is identical in both channels, so the intensity
+    // downmix is lossless there and full-stream stats still match WAV
+    assert(relDiff(f(3), w(3)) < 0.1, s"rms ${f(3)} vs ${w(3)}")
+    assert(relDiff(f(6), w(6)) < 0.1, s"meanAbs ${f(6)} vs ${w(6)}")
+  }
+
+  test("mp2: seeded-noise property round-trip stays within quantization tolerance") {
+    val rnd = new scala.util.Random(1234)
+    val n = 48000
+    // smooth noise: 120 random tones, amplitudes summing well under 1
+    val freqs = Array.fill(120)(60.0 + rnd.nextDouble() * 15000.0)
+    val phases = Array.fill(120)(rnd.nextDouble() * 2 * math.Pi)
+    val pcm = Array.tabulate(n) { i =>
+      var acc = 0.0
+      var j = 0
+      while (j < 120) { acc += 0.006 * math.sin(2 * math.Pi * freqs(j) * i / 48000.0 + phases(j)); j += 1 }
+      acc
+    }
+    val f = MpegAudio.decodeLayer2(encodeMp2(pcm, channels = 1)).get
+    val w = Multimodal.decodeAudio(wavBytes(pcm, 1, 48000f)).get
+    assert(relDiff(f(3), w(3)) < 0.1, s"rms ${f(3)} vs ${w(3)}")
+    assert(relDiff(f(4), w(4)) < 0.25, s"zcr ${f(4)} vs ${w(4)}")
   }
 
   test("mp2: unsupported low-bitrate tables and foreign layers are refused, not garbled") {
