@@ -388,6 +388,12 @@ object Cli {
               org.apache.spark.sql.functions.col(txt)))
         case "dedup-paragraphs" =>
           Dedup.dedupParagraphs(df, txt, idc)
+        case "url-extract" =>
+          import org.apache.spark.sql.functions.col
+          graft.pipeline.Text.extractUrls(df, txt)
+            .withColumn("host", graft.pipeline.Text.urlHost(col("url")))
+            .withColumn("canonical_url",
+              graft.pipeline.Text.canonicalizeUrl(col("url")))
         case "knn-classify" =>
           // label the --queries frame from the labeled input corpus
           val queries = flag(rest, "--queries").map(spark.read.parquet(_)).getOrElse(df)
@@ -586,7 +592,8 @@ object Cli {
             dstCol = flag(rest, "--dst").getOrElse("dst"),
             weightCol = flag(rest, "--weight").getOrElse("w"),
             iterations = flag(rest, "--iters").map(_.toInt).getOrElse(3),
-            damping = flag(rest, "--damping").map(_.toDouble).getOrElse(0.85))
+            damping = flag(rest, "--damping").map(_.toDouble).getOrElse(0.85),
+            danglingMass = rest.contains("--dangling-mass"))
         case "zorder-write" =>
           graft.pipeline.Layout.zOrdered(df,
             xCol = req(rest, "--x"), yCol = req(rest, "--y"),
@@ -691,7 +698,8 @@ object Cli {
       |  pipeline lm-perplexity <in> <out> [--id c] [--text c] [--vocab N] [--alpha a]
       |  pipeline lm-bigram <in> <out> [--id c] [--text c] [--bigrams N] [--vocab N] [--alpha a] [--lambda l]
       |  pipeline resample-hourly|hourly-anomaly <in> <out> [--key c] [--ts c] [--value c] [--z t]
-      |  pipeline pagerank <edges> <out> [--src c] [--dst c] [--weight c] [--iters N] [--damping d]
+      |  pipeline pagerank <edges> <out> [--src c] [--dst c] [--weight c] [--iters N] [--damping d] [--dangling-mass]
+      |  pipeline url-extract <docs.parquet> <out> [--text c] (adds url/host/canonical_url)
       |  pipeline zorder-write <in> <out> --x c --y c --files N [--bits b]
       |  pipeline zorder-stats <in> <out> --x c --y c [--bits b]
       |  pipeline entropy <in> <out> --cols c1,c2

@@ -289,6 +289,28 @@ class CliSpec extends SparkSpec {
     assert(a === b, "renamed columns must not change the audit")
   }
 
+  test("pipeline url-extract and pagerank --dangling-mass") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli11").toString
+    Seq((1L, "a https://X.Example.com/p?utm_s=1&q=2 b"),
+        (2L, "c http://y.example.com/ d"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Cli.run(spark, List("pipeline", "url-extract", s"$dir/docs", s"$dir/urls"))
+    val u = spark.read.parquet(s"$dir/urls")
+    assert(u.columns.toSet ===
+      Set("doc_id", "text", "url", "host", "canonical_url"))
+    val canon = u.orderBy("doc_id").select("canonical_url").as[String].collect()
+    assert(canon === Array("https://x.example.com/p?q=2", "http://y.example.com"))
+
+    Seq(("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 1.0))
+      .toDF("src", "dst", "w").write.parquet(s"$dir/edges")
+    Cli.run(spark, List("pipeline", "pagerank", s"$dir/edges", s"$dir/pr",
+      "--dangling-mass"))
+    val total = spark.read.parquet(s"$dir/pr").agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"mass conserved, got $total")
+  }
+
   test("unknown commands fail loudly") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, List("frobnicate", "everything"))
