@@ -13,14 +13,10 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sfDir = "/root/testdata/sf0.01"
-    val out = "/tmp/newq"
-    val names = Seq("text_url_extract", "dedup_url_canonical")
-    names.foreach { n =>
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/$n")
-      println(f"[drive] $n ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    Seq("graph_pagerank", "graph_pagerank_dangling").foreach { n =>
+      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+        .coalesce(1).write.mode("overwrite").parquet(s"/tmp/newq/$n")
+      println(s"[drive] $n dumped")
     }
     spark.stop()
   }

@@ -362,6 +362,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-12) // conserved exactly
   }
 
+  test("pageRank: distributed path (forced via conf) equals the local fast path") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 1.0),
+      ("c", "a", 2.0), ("b", "d", 4.0)).toDF("src", "dst", "w")
+    def run(dangling: Boolean): Map[String, Double] =
+      graft.pipeline.Graph.pageRank(edges, "src", "dst", "w",
+          iterations = 3, danglingMass = dangling)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val localPlain = run(false); val localDangling = run(true)
+    spark.conf.set("graft.pagerank.localMaxNodes", "0")
+    try {
+      val distPlain = run(false); val distDangling = run(true)
+      Seq((localPlain, distPlain), (localDangling, distDangling)).foreach {
+        case (l, d) =>
+          assert(l.keySet === d.keySet)
+          l.foreach { case (k, v) => assert(math.abs(d(k) - v) < 1e-12, k) }
+      }
+    } finally spark.conf.unset("graft.pagerank.localMaxNodes")
+  }
+
   test("zOrder: interleave bits exactly; cells partition rows; layout sorts by z") {
     import spark.implicits._
     // interleaveBits(3, 5) with 3 bits: x=011 at even positions, y=101 at
