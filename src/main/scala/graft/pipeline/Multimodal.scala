@@ -11,14 +11,17 @@ import org.apache.spark.sql.types._
   * IMAGE payloads (PNG/JPEG/GIF/BMP) decode for REAL through the JDK's
   * bundled `javax.imageio` readers — no external codec libs needed — into
   * pixel-statistics features; PCM audio (WAV/AIFF/AU) decodes for real via
-  * `javax.sound`. For video/compressed audio the CONTAINER metadata
-  * (MP4/MOV atom tree, MP3 frame headers, FLAC STREAMINFO — duration,
-  * resolution, track/channel counts, rates: what curation filters on) is
-  * parsed for real from bytes; only their SAMPLE decode falls back to a
-  * clearly-marked deterministic STUB (codec libs are not in this
-  * container). Everything Spark-side (schema, batching, partition sizing,
-  * null handling, the mapPartitions fan-out shape) is identical for every
-  * kernel.
+  * `javax.sound`; FLAC PCM ([[decodeFlac]]) and MPEG-1 Layer II
+  * ([[MpegAudio.decodeLayer2]]) decode for real from scratch; ISO-BMFF
+  * sample tables demux for real ([[mp4Samples]] / [[Mp4Demux]]). For the
+  * remaining codec-bound formats the CONTAINER metadata (MP4/MOV atom
+  * tree, MP3 frame headers, FLAC STREAMINFO — duration, resolution,
+  * track/channel counts, rates: what curation filters on) is parsed for
+  * real from bytes; only MP3 Layer III Huffman and video PAYLOAD decode
+  * fall back to a clearly-marked deterministic STUB (codec libs are not
+  * in this container). Everything Spark-side (schema, batching, partition
+  * sizing, null handling, the mapPartitions fan-out shape) is identical
+  * for every kernel.
   */
 object Multimodal {
 
@@ -562,10 +565,38 @@ object Multimodal {
       .toDF("id", "features")
   }
 
-  /** Frame/sample selector for time-media: pick every `stride`-th chunk of a
-    * binary payload as pseudo-frames (stub for video frame sampling; the
-    * chunking/explode shape is the real scale concern — one row in, many
-    * frame rows out, handled by the generator without collecting). */
+  /** REAL ISO-BMFF demux as a Spark op: one row per media sample inside
+    * each MP4/MOV/M4A payload — (track_id, codec fourcc, sample index,
+    * presentation time, keyframe flag, byte size, raw sample payload), via
+    * [[Mp4Demux]]'s sample-table parse (stsd/stts/ctts/stsc/stsz/stco/
+    * co64/stss). This is the pre-decode half of video handling a corpus
+    * pipeline actually runs on (keyframe selection, codec routing, shard
+    * packing by sample extent); only payload DECODE remains stubbed.
+    * mapPartitions batch shape; the row explosion is bounded by each
+    * container's own sample count. Non-BMFF payloads contribute no rows. */
+  def mp4Samples(spark: SparkSession, df: DataFrame, idCol: String,
+                 binCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) Iterator.empty
+          else Mp4Demux.demuxWithPayload(bytes).iterator.map { case (s, payload) =>
+            (id, s.trackId, s.codec, s.sampleIdx, s.ptsSec, s.keyframe,
+              s.size, payload)
+          }
+        }
+      }
+      .toDF("id", "track_id", "codec", "sample_idx", "pts_sec", "keyframe",
+        "size", "payload")
+  }
+
+  /** Frame/sample selector for arbitrary binary payloads: pick every
+    * `stride`-th chunk as pseudo-frames (the generic fallback; for ISO-BMFF
+    * containers [[mp4Samples]] extracts REAL samples from the sample table
+    * instead). The chunking/explode shape is the scale concern — one row
+    * in, many frame rows out, handled by the generator without
+    * collecting. */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
                    frameBytes: Int = 256, maxFrames: Int = 8): DataFrame =
     // payloads shorter than one frame yield ZERO frames (guard against
