@@ -63,6 +63,15 @@ object SparkEntry {
       .select(col("doc_id"),
         ((col("doc_id") * 37 % 100 + 1).cast("double") / 101.0).as("pvalue"))
 
+  /** Committed binary fixture (see test-scope FixtureGen for
+    * regeneration) — feeds the driver-visible multimodal queries whose
+    * oracles are VALUES literals pinned to these exact bytes. */
+  private def fixtureBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"missing fixture resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
   /** documents with two deterministic embedded URLs per row (mixed case,
     * utm/fragment variants, a quoted port-carrying mirror) — the shared
     * fixture for the URL extraction/canonicalization queries; the oracle
@@ -1481,6 +1490,38 @@ object SparkEntry {
         .select(col("id"), round(element_at(col("features"), 1), 4).as("f0"),
           round(element_at(col("features"), 8), 4).as("f7"))
         .orderBy("id")
+    }),
+
+    "multimodal_audio_mp2" -> ((s, dir) => {
+      // REAL compressed-audio decode end-to-end through the driver
+      // harness: the committed Layer II fixture (FixtureGen) runs the
+      // full bitstream+filterbank decoder inside extractFeatures; the
+      // oracle pins the exact rounded signal statistics as literals
+      import s.implicits._
+      val df = Seq((1L, fixtureBytes("/graft/fixtures/sample.mp2")))
+        .toDF("doc_id", "payload")
+      graft.pipeline.Multimodal.extractFeatures(s, df, "doc_id", "payload")
+        .select(col("id"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("duration_sec"),
+          element_at(col("features"), 2).cast("int").as("channels"),
+          element_at(col("features"), 3).cast("int").as("rate_hz"),
+          round(element_at(col("features"), 4).cast("double"), 4).as("rms"),
+          round(element_at(col("features"), 5).cast("double"), 4).as("zcr"),
+          round(element_at(col("features"), 6).cast("double"), 4).as("peak"),
+          round(element_at(col("features"), 7).cast("double"), 4).as("mean_abs"))
+    }),
+
+    "multimodal_mp4_demux" -> ((s, dir) => {
+      // REAL ISO-BMFF demux end-to-end: the committed two-chunk container
+      // (ctts composition offsets, stss keyframes) explodes to one row
+      // per sample; the oracle is the VALUES literal of its sample table
+      import s.implicits._
+      val df = Seq((1L, fixtureBytes("/graft/fixtures/sample.mp4")))
+        .toDF("doc_id", "payload")
+      graft.pipeline.Multimodal.mp4Samples(s, df, "doc_id", "payload")
+        .select(col("track_id"), col("codec"), col("sample_idx"),
+          round(col("pts_sec"), 6).as("pts_sec"), col("keyframe"), col("size"))
+        .orderBy("sample_idx")
     }),
 
     "ann_semantic_dedup" -> ((s, dir) => {
@@ -3294,6 +3335,26 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, 'text/plain' AS mime
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+
+    // fixture-pinned oracles: the committed sample.mp2/sample.mp4 bytes
+    // are deterministic (FixtureGen), so the expected decode/demux output
+    // is a literal table — the driver hash now covers the real Layer II
+    // decoder and the ISO-BMFF sample-table demux end to end
+    "multimodal_audio_mp2" ->
+      """SELECT CAST(1 AS BIGINT) AS id, CAST(0.264 AS DOUBLE) AS duration_sec,
+           1 AS channels, 48000 AS rate_hz, CAST(0.3704 AS DOUBLE) AS rms,
+           CAST(0.0416 AS DOUBLE) AS zcr, CAST(0.6986 AS DOUBLE) AS peak,
+           CAST(0.3133 AS DOUBLE) AS mean_abs""",
+
+    "multimodal_mp4_demux" ->
+      """SELECT * FROM (VALUES
+           (7, 'avc1', 0, CAST(0.0 AS DOUBLE), TRUE, 3),
+           (7, 'avc1', 1, CAST(0.1 AS DOUBLE), FALSE, 4),
+           (7, 'avc1', 2, CAST(0.25 AS DOUBLE), FALSE, 5),
+           (7, 'avc1', 3, CAST(0.3 AS DOUBLE), TRUE, 6),
+           (7, 'avc1', 4, CAST(0.4 AS DOUBLE), FALSE, 7))
+         t(track_id, codec, sample_idx, pts_sec, keyframe, size)
+         ORDER BY sample_idx""",
 
     // sigmoid(bias + Σ w·f) replayed with the same left-fold order over
     // name-sorted features (float addition is not associative) and DOUBLE

@@ -5,15 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Scratch end-to-end driver for ad-hoc verification (see skills/verify). */
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Seq("graph_pagerank", "graph_pagerank_dangling").foreach { n =>
+    Seq("multimodal_audio_mp2", "multimodal_mp4_demux").foreach { n =>
       graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
         .coalesce(1).write.mode("overwrite").parquet(s"/tmp/newq/$n")
       println(s"[drive] $n dumped")

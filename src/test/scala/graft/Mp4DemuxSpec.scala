@@ -8,91 +8,8 @@ import graft.pipeline.{Mp4Demux, Multimodal}
   * payload bytes sliced back out. */
 class Mp4DemuxSpec extends SparkSpec {
 
-  private class BoxWriter {
-    val bb = java.nio.ByteBuffer.allocate(1 << 16)
-    def u32(v: Long): BoxWriter = { bb.putInt(v.toInt); this }
-    def u16(v: Int): BoxWriter = { bb.putShort(v.toShort); this }
-    def raw(b: Array[Byte]): BoxWriter = { bb.put(b); this }
-    def fourcc(s: String): BoxWriter = { bb.put(s.getBytes("US-ASCII")); this }
-    /** Write a box: payload generated by `f`, size backpatched. */
-    def box(typ: String)(f: => Unit): BoxWriter = {
-      val at = bb.position()
-      u32(0); fourcc(typ)
-      f
-      val end = bb.position()
-      bb.putInt(at, end - at)
-      this
-    }
-    def bytes: Array[Byte] = java.util.Arrays.copyOf(bb.array(), bb.position())
-  }
-
-  /** One video-ish track: 5 samples of sizes 3,4,5,6,7 split 3+2 across
-    * two chunks, timescale 1000, stts delta 100, ctts +50 on sample 3
-    * (index 2), keyframes 1 and 4 (1-based). */
-  private def buildMp4(): (Array[Byte], Array[Array[Byte]]) = {
-    val sizes = Array(3, 4, 5, 6, 7)
-    val payloads = sizes.zipWithIndex.map { case (sz, i) =>
-      Array.tabulate(sz)(j => (i * 16 + j).toByte)
-    }
-    val w = new BoxWriter
-    w.box("ftyp") { w.fourcc("isom"); w.u32(0); w.fourcc("isom") }
-    val mdatStart = w.bb.position()
-    w.box("mdat") { payloads.foreach(w.raw) }
-    val chunk1 = mdatStart + 8           // samples 0-2
-    val chunk2 = chunk1 + 3 + 4 + 5      // samples 3-4
-    w.box("moov") {
-      w.box("mvhd") {
-        w.u32(0)                          // version/flags
-        w.u32(0); w.u32(0)                // ctime, mtime
-        w.u32(1000); w.u32(500)           // timescale, duration
-        w.raw(new Array[Byte](80))        // rest of mvhd
-      }
-      w.box("trak") {
-        w.box("tkhd") {
-          w.u32(0); w.u32(0); w.u32(0)    // vf, ctime, mtime
-          w.u32(7)                        // track id
-          w.raw(new Array[Byte](72))      // rest
-        }
-        w.box("mdia") {
-          w.box("mdhd") {
-            w.u32(0); w.u32(0); w.u32(0)  // vf, ctime, mtime
-            w.u32(1000); w.u32(500)       // timescale, duration
-            w.u16(0x55c4); w.u16(0)       // language, predefined
-          }
-          w.box("minf") {
-            w.box("stbl") {
-              w.box("stsd") {
-                w.u32(0); w.u32(1)        // vf, entry count
-                w.box("avc1") { w.raw(new Array[Byte](8)) }
-              }
-              w.box("stts") { w.u32(0); w.u32(1); w.u32(5); w.u32(100) }
-              w.box("ctts") {
-                w.u32(0); w.u32(3)
-                w.u32(2); w.u32(0)        // samples 1-2: +0
-                w.u32(1); w.u32(50)       // sample 3: +50
-                w.u32(2); w.u32(0)        // samples 4-5: +0
-              }
-              w.box("stsc") {
-                w.u32(0); w.u32(2)
-                w.u32(1); w.u32(3); w.u32(1) // chunk 1: 3 samples
-                w.u32(2); w.u32(2); w.u32(1) // chunk 2+: 2 samples
-              }
-              w.box("stsz") {
-                w.u32(0); w.u32(0); w.u32(5)
-                Array(3, 4, 5, 6, 7).foreach(s => w.u32(s))
-              }
-              w.box("stco") { w.u32(0); w.u32(2); w.u32(chunk1); w.u32(chunk2) }
-              w.box("stss") { w.u32(0); w.u32(2); w.u32(1); w.u32(4) }
-            }
-          }
-        }
-      }
-    }
-    (w.bytes, payloads)
-  }
-
   test("mp4 demux: chunk layout, timestamps, keyframes, and exact payload bytes") {
-    val (mp4, payloads) = buildMp4()
+    val (mp4, payloads) = Mp4TestBuilder.buildMp4()
     val got = Mp4Demux.demuxWithPayload(mp4)
     assert(got.length === 5)
     got.zipWithIndex.foreach { case ((s, pl), i) =>
@@ -110,10 +27,10 @@ class Mp4DemuxSpec extends SparkSpec {
 
   test("mp4 demux: non-BMFF, truncated, and stbl-less containers yield no samples") {
     assert(Mp4Demux.demux("not an mp4 at all".getBytes) === Nil)
-    val (mp4, _) = buildMp4()
+    val (mp4, _) = Mp4TestBuilder.buildMp4()
     assert(Mp4Demux.demux(mp4.take(60)) === Nil)     // cut inside mdat
     // metadata-only container (the parseContainerMeta fixture shape)
-    val w = new BoxWriter
+    val w = new Mp4TestBuilder.BoxWriter
     w.box("ftyp") { w.fourcc("isom"); w.u32(0); w.fourcc("isom") }
     w.box("moov") { w.box("mvhd") { w.u32(0); w.u32(0); w.u32(0); w.u32(1000); w.u32(5000); w.raw(new Array[Byte](80)) } }
     assert(Mp4Demux.demux(w.bytes) === Nil)
@@ -121,7 +38,7 @@ class Mp4DemuxSpec extends SparkSpec {
 
   test("mp4 demux: mp4Samples Spark op explodes one row per sample") {
     import spark.implicits._
-    val (mp4, payloads) = buildMp4()
+    val (mp4, payloads) = Mp4TestBuilder.buildMp4()
     val df = Seq((31L, mp4), (32L, "garbage".getBytes)).toDF("doc_id", "payload")
     val rows = Multimodal.mp4Samples(spark, df, "doc_id", "payload")
       .orderBy("id", "sample_idx").collect()
