@@ -1,11 +1,13 @@
 package graft.pipeline
 
-/** MPEG-1 Audio Layer II (MP2) sample decoder — pure JVM, no codec library.
+/** MPEG-1 Audio Layer I + Layer II sample decoder — pure JVM, no codec
+  * library.
   *
   * Scope and honesty contract (SURVEY §2 multimodal; the round-6/7 stub
-  * shrink): the BITSTREAM layer — frame headers, CRC skip, Table B.2a/B.2b
-  * bit allocation, scfsi, Table B.1 scalefactors, sample grouping and
-  * requantization — follows the public ISO/IEC 11172-3 structure exactly.
+  * shrink): the BITSTREAM layer — frame headers, CRC skip, Layer I's
+  * uniform 4-bit allocation and Layer II's Table B.2a/B.2b classes,
+  * scfsi, Table B.1 scalefactors, sample grouping and requantization —
+  * follows the public ISO/IEC 11172-3 structure exactly.
   * Requantization needs no constant tables: the spec's published (C, D)
   * pairs satisfy C = P/levels and D = 1 - (levels-1)/P for P = the
   * enclosing power of two, which collapses s'' = C·(s''' + D) to the
@@ -15,8 +17,9 @@ package graft.pipeline
   * a numerically designed 512-tap root-raised-cosine prototype: the digits
   * of the spec's Table B.3 window are not reproducible in this offline
   * container, so the prototype approximates it (same length and cutoff,
-  * exactly power-complementary at the band fold by construction). Consequence: decoding matches a reference decoder to within
-  * the prototype difference (inaudible-class, band-edge aliasing), and the
+  * exactly power-complementary at the band fold by construction).
+  * Consequence: decoding matches a reference decoder to within the
+  * prototype difference (inaudible-class, band-edge aliasing), and the
   * matched analysis/synthesis pair round-trips at 61 dB (impulse) —
   * MpegAudioSpec asserts >30 dB end-to-end through real quantization.
   * Unsupported (documented, returns None): the low-bitrate tables B.2c/d
@@ -65,8 +68,6 @@ object MpegAudio {
     (2 * code - (levels - 1)).toDouble / levels
 
   // ------------------------------------------------------- prototype filter
-  /** 512-tap Kaiser–sinc lowpass, cutoff π/64, DC gain 1 — the pseudo-QMF
-    * prototype standing in for Table B.3 (see scaladoc above). */
   /** Build a root-raised-cosine prototype with transition rolloff `alpha`;
     * public for the design harness in tools/Drive — production uses
     * [[prototype]]. Frequency-domain design on the exact 512-point grid:
@@ -188,36 +189,55 @@ object MpegAudio {
 
   // ------------------------------------------------------------ frame info
   private final case class Header(channels: Int, bound: Int, rate: Int,
-                                  kbps: Int, frameBytes: Int, sblimit: Int)
+                                  kbps: Int, frameBytes: Int, sblimit: Int,
+                                  layer: Int) // 1 or 2
 
-  /** Parse + validate one Layer II header at `i`; None when unsupported. */
+  /** Layer I bitrate table, kbps (index 1-14; 0 = free format). */
+  private val bitratesL1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+
+  /** Parse + validate one Layer I/II header at `i`; None when unsupported. */
   private def header(b: Array[Byte], i: Int): Option[Header] = {
     if (i + 4 > b.length) return None
     val b1 = b(i + 1) & 0xff; val b2 = b(i + 2) & 0xff; val b3 = b(i + 3) & 0xff
     if ((b(i) & 0xff) != 0xff || (b1 & 0xe0) != 0xe0) return None
     if ((b1 >> 3 & 3) != 3) return None          // MPEG-1 only
-    if ((b1 >> 1 & 3) != 2) return None          // Layer II only
+    val layerBits = b1 >> 1 & 3
+    val layer = layerBits match {
+      case 3 => 1                                // Layer I
+      case 2 => 2                                // Layer II
+      case _ => return None                      // Layer III: Huffman-coded
+    }
     val brIdx = b2 >> 4 & 15; val srIdx = b2 >> 2 & 3
     if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
-    val kbps = bitrates(brIdx); val rate = sampleRates(srIdx)
+    val kbps = (if (layer == 1) bitratesL1 else bitrates)(brIdx)
+    val rate = sampleRates(srIdx)
     val mode = b3 >> 6 & 3; val modeExt = b3 >> 4 & 3
     val channels = if (mode == 3) 1 else 2
     // intensity bound: sb >= bound shares one allocation + sample set
     // (per-channel scalefactors still apply); non-joint modes bound=sblimit
     val perCh = kbps / channels
-    if (perCh <= 48) return None                 // B.2c/d not implemented
-    val sblimit = if (rate == 48000) 27 else if (perCh >= 96) 30 else 27
-    val frameBytes = 144 * kbps * 1000 / rate + (b2 >> 1 & 1)
+    if (layer == 2 && perCh <= 48) return None   // B.2c/d not implemented
+    val sblimit =
+      if (layer == 1) 32
+      else if (rate == 48000) 27 else if (perCh >= 96) 30 else 27
+    val frameBytes =
+      if (layer == 1) (12 * kbps * 1000 / rate + (b2 >> 1 & 1)) * 4
+      else 144 * kbps * 1000 / rate + (b2 >> 1 & 1)
     val bound = if (mode == 1) math.min((modeExt + 1) * 4, sblimit) else sblimit
-    Some(Header(channels, bound, rate, kbps, frameBytes, sblimit))
+    Some(Header(channels, bound, rate, kbps, frameBytes, sblimit, layer))
   }
 
   // -------------------------------------------------------------- decoding
-  /** Decode every Layer II frame, returning the same 8-dim feature vector
-    * as [[Multimodal.decodeAudio]]: [duration_sec, channels, rate_hz, rms,
-    * zero_cross_rate, peak, mean_abs, mean] over the reconstructed PCM
-    * (channels interleaved, matching the WAV path's accumulation). */
-  def decodeLayer2(bytes: Array[Byte]): Option[Array[Float]] = {
+  /** Decode every MPEG-1 Layer I or Layer II frame, returning the same
+    * 8-dim feature vector as [[Multimodal.decodeAudio]]: [duration_sec,
+    * channels, rate_hz, rms, zero_cross_rate, peak, mean_abs, mean] over
+    * the reconstructed PCM (channels interleaved, matching the WAV path's
+    * accumulation). Layer III (Huffman-coded) is refused, not garbled. */
+  def decodeLayer2(bytes: Array[Byte]): Option[Array[Float]] = decodeMpeg1Audio(bytes)
+
+  /** See [[decodeLayer2]] — both layers share the frame loop; the name
+    * decodeLayer2 predates Layer I support and is kept as an alias. */
+  def decodeMpeg1Audio(bytes: Array[Byte]): Option[Array[Float]] = {
     if (bytes == null || bytes.length < 4) return None
     var i = 0
     // ID3v2 skip (syncsafe size)
@@ -236,7 +256,8 @@ object MpegAudio {
         header(bytes, i) match {
           case None => i += 1 // resync scan
           case Some(h) =>
-            if (h.channels != first.channels || h.rate != first.rate) { i += 1 }
+            if (h.channels != first.channels || h.rate != first.rate ||
+                h.layer != first.layer) { i += 1 }
             else {
               decodeFrame(bytes, i, h, synth, { (s: Array[Double], ch: Int) =>
                 // one granule-sample step for channel ch → 32 PCM samples;
@@ -284,6 +305,7 @@ object MpegAudio {
                           emit: (Array[Double], Int) => Unit): Unit = {
     val r = new BitReader(b, start + 4)
     if ((b(start + 1) & 1) == 0) r.bits(16) // CRC present → skip
+    if (h.layer == 1) { decodeFrameL1(r, h, emit); return }
     val ch = h.channels
     val alloc = Array.ofDim[Int](ch, h.sblimit)       // quantizer levels
     var sb = 0
@@ -372,6 +394,71 @@ object MpegAudio {
         t += 1
       }
       gr += 1
+    }
+  }
+
+  /** Layer I frame body: 4-bit allocation over all 32 subbands (code a ->
+    * nb = a+1 bits, levels = 2^nb - 1; code 15 forbidden), ONE 6-bit
+    * scalefactor per active (sb, channel), then 12 granules of one sample
+    * per active subband — same requantization closed form as Layer II. */
+  private def decodeFrameL1(r: BitReader, h: Header,
+                            emit: (Array[Double], Int) => Unit): Unit = {
+    val ch = h.channels
+    val alloc = Array.ofDim[Int](ch, 32) // quantizer levels
+    var sb = 0
+    while (sb < 32) {
+      if (sb < h.bound) {
+        var c = 0
+        while (c < ch) {
+          val a = r.bits(4)
+          alloc(c)(sb) = if (a == 0) 0 else (1 << (a + 1)) - 1
+          c += 1
+        }
+      } else {
+        val a = r.bits(4)
+        val l = if (a == 0) 0 else (1 << (a + 1)) - 1
+        var c = 0
+        while (c < ch) { alloc(c)(sb) = l; c += 1 }
+      }
+      sb += 1
+    }
+    val sf = Array.ofDim[Double](ch, 32)
+    sb = 0
+    while (sb < 32) {
+      var c = 0
+      while (c < ch) {
+        if (alloc(c)(sb) != 0) sf(c)(sb) = scaleFactor(r.bits(6))
+        c += 1
+      }
+      sb += 1
+    }
+    val buf = Array.ofDim[Double](ch, 32)
+    var g = 0
+    while (g < 12) {
+      var c0 = 0
+      while (c0 < ch) { java.util.Arrays.fill(buf(c0), 0.0); c0 += 1 }
+      sb = 0
+      while (sb < 32) {
+        if (sb < h.bound) {
+          var c = 0
+          while (c < ch) {
+            val l = alloc(c)(sb)
+            if (l != 0) buf(c)(sb) = sf(c)(sb) * requant(r.bits(sampleBits(l)), l)
+            c += 1
+          }
+        } else {
+          val l = alloc(0)(sb)
+          if (l != 0) {
+            val raw = requant(r.bits(sampleBits(l)), l)
+            var c = 0
+            while (c < ch) { buf(c)(sb) = sf(c)(sb) * raw; c += 1 }
+          }
+        }
+        sb += 1
+      }
+      var c = 0
+      while (c < ch) { emit(buf(c), c); c += 1 }
+      g += 1
     }
   }
 

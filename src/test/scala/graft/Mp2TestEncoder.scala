@@ -209,4 +209,62 @@ object Mp2TestEncoder {
     out.toArray
   }
 
+
+  /** MPEG-1 LAYER I encoder, mono (test fixture grade): uniform 4-bit
+    * allocation (nb = 9 bits -> 511 levels on active subbands), one
+    * scalefactor per active subband per frame, 12 granules of one sample
+    * each — the decoder's Layer I branch partner. */
+  def encodeMp1Mono(pcm: Array[Double], kbps: Int = 192): Array[Byte] = {
+    val rate = 48000
+    val brIdx = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448).indexOf(kbps)
+    require(brIdx > 0, s"unsupported L1 kbps $kbps")
+    val frameBytes = 12 * kbps * 1000 / rate * 4
+    val frameBits = frameBytes * 8
+    val nFrames = (pcm.length + 383) / 384
+    val analysis = new MpegAudio.Analysis
+    val padded = java.util.Arrays.copyOf(pcm, nFrames * 384)
+    val out = collection.mutable.ArrayBuffer.empty[Byte]
+    val sb = Array.ofDim[Double](12, 32)
+    var fr = 0
+    while (fr < nFrames) {
+      var g = 0
+      while (g < 12) { analysis.step(padded, fr * 384 + g * 32, sb(g)); g += 1 }
+      val peak = Array.tabulate(32)(k => (0 until 12).map(g2 => math.abs(sb(g2)(k))).max)
+      val sfIdx = Array.tabulate(32) { k =>
+        var idx = 62
+        while (idx > 0 && MpegAudio.scaleFactor(idx) < peak(k) * (1 + 1e-9)) idx -= 1
+        idx
+      }
+      // budget: header 32 + alloc 4*32; each active: 6 + 12*9
+      var budget = frameBits - 32 - 128
+      val keep = new Array[Boolean](32)
+      (0 until 32).sortBy(k => -peak(k)).foreach { k =>
+        if (peak(k) > 1e-9 && budget >= 6 + 108) { keep(k) = true; budget -= 114 }
+      }
+      val w = new BitWriter
+      w.put(0xff, 8); w.put(0xff, 8)              // MPEG-1, Layer I, no CRC
+      w.put(brIdx, 4); w.put(1, 2); w.put(0, 1); w.put(0, 1)
+      w.put(3, 2); w.put(0, 2); w.put(0, 2); w.put(0, 2) // single channel
+      (0 until 32).foreach(k => w.put(if (keep(k)) 8 else 0, 4)) // nb=9
+      (0 until 32).foreach(k => if (keep(k)) w.put(sfIdx(k), 6))
+      g = 0
+      while (g < 12) {
+        var k = 0
+        while (k < 32) {
+          if (keep(k)) {
+            val sf = MpegAudio.scaleFactor(sfIdx(k))
+            val s2 = sb(g)(k) / sf
+            val q = math.max(0, math.min(510, math.round((s2 * 511 + 510) / 2.0).toInt))
+            w.put(q, 9)
+          }
+          k += 1
+        }
+        g += 1
+      }
+      w.padToBytes(frameBytes)
+      out ++= w.bytes
+      fr += 1
+    }
+    out.toArray
+  }
 }

@@ -125,6 +125,21 @@ class MpegAudioSpec extends SparkSpec {
     assert(relDiff(f(4), w(4)) < 0.25, s"zcr ${f(4)} vs ${w(4)}")
   }
 
+  test("mp1: Layer I round-trip matches the independent WAV decode") {
+    val n = 48000
+    val pcm = Array.tabulate(n) { i =>
+      0.5 * math.sin(2 * math.Pi * 520 * i / 48000.0) +
+        0.2 * math.sin(2 * math.Pi * 4100 * i / 48000.0)
+    }
+    val mp1 = Mp2TestEncoder.encodeMp1Mono(pcm)
+    val f = MpegAudio.decodeLayer2(mp1).get // alias: decodes both layers
+    val w = Multimodal.decodeAudio(wavBytes(pcm, 1, 48000f)).get
+    assert(f(1) === 1.0f && f(2) === 48000.0f)
+    assert(math.abs(f(0) - w(0)) < 0.05, s"duration ${f(0)} vs ${w(0)}")
+    assert(relDiff(f(3), w(3)) < 0.05, s"rms ${f(3)} vs ${w(3)}")
+    assert(relDiff(f(4), w(4)) < 0.2, s"zcr ${f(4)} vs ${w(4)}")
+  }
+
   test("mp2: unsupported low-bitrate tables and foreign layers are refused, not garbled") {
     val n = 4800
     val pcm = Array.tabulate(n)(i => 0.3 * math.sin(2 * math.Pi * 500 * i / 48000.0))
