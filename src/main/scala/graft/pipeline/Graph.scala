@@ -61,17 +61,17 @@ object Graph {
     // Bounded LOCAL fast path (same pattern as Dedup's conf'd union-find):
     // the superstep machinery costs seconds of pure stage scheduling that a
     // small graph never earns back — a 25-node nation graph spends 2-5s on
-    // ~12 trivial stages. One probe job collects at most maxLocalEdges+1
-    // normalized edges (TakeOrderedAndProject); if the graph fits the
-    // conf'd bounds the identical recurrence runs on the driver and the
-    // node set is derived locally (every node appears in some edge by
-    // construction). The distributed path is unchanged above the bounds.
+    // ~12 trivial stages. A cheap count gates the path (a sorted-collect
+    // probe would build per-task 1M-row heaps on a billion-edge graph just
+    // to decide); below the conf'd bounds the identical recurrence runs on
+    // the driver, with the node set derived locally (every node appears in
+    // some edge by construction). The distributed path is unchanged above.
     val spark = edges.sparkSession
     val maxLocalNodes = spark.conf.get("graft.pagerank.localMaxNodes", "10000").toLong
     val maxLocalEdges = spark.conf.get("graft.pagerank.localMaxEdges", "1000000").toLong
-    val probe = norm.orderBy("__dst", "__src")
-      .limit(math.min(maxLocalEdges, Int.MaxValue - 1).toInt + 1).collect()
-    if (probe.length <= maxLocalEdges) {
+    if (norm.count() <= maxLocalEdges) {
+      // deterministic accumulation order: edges sorted by (dst, src)
+      val probe = norm.orderBy("__dst", "__src").collect()
       val es = probe.map(r => (r.get(0), r.get(1), r.getDouble(2)))
       val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
         case (x: String, y: String) => x.compareTo(y)

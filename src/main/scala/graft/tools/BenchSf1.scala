@@ -86,6 +86,9 @@ object BenchSf1 {
       "analyze_assoc_wide" -> graft.SparkEntry.queries("analyze_assoc_wide"),
       "text_tfidf_topk" -> graft.SparkEntry.queries("text_tfidf_topk"),
       "graph_pagerank" -> graft.SparkEntry.queries("graph_pagerank"),
+      "graph_pagerank_dangling" -> graft.SparkEntry.queries("graph_pagerank_dangling"),
+      "text_url_extract" -> graft.SparkEntry.queries("text_url_extract"),
+      "dedup_url_canonical" -> graft.SparkEntry.queries("dedup_url_canonical"),
       "join_asof" -> graft.SparkEntry.queries("join_asof"),
       "events_retention" -> graft.SparkEntry.queries("events_retention"),
       "dedup_exact" -> graft.SparkEntry.queries("dedup_exact"),

@@ -36,6 +36,37 @@ class Mp4DemuxSpec extends SparkSpec {
     assert(Mp4Demux.demux(w.bytes) === Nil)
   }
 
+  test("mp4 demux: uniform stsz and co64 offsets take the same paths") {
+    val w = new Mp4TestBuilder.BoxWriter
+    w.box("ftyp") { w.fourcc("isom"); w.u32(0); w.fourcc("isom") }
+    val mdatStart = w.bb.position()
+    val payload = Array.tabulate(12)(_.toByte) // 3 samples x 4 bytes
+    w.box("mdat") { w.raw(payload) }
+    w.box("moov") {
+      w.box("trak") {
+        w.box("tkhd") { w.u32(0); w.u32(0); w.u32(0); w.u32(3); w.raw(new Array[Byte](72)) }
+        w.box("mdia") {
+          w.box("mdhd") { w.u32(0); w.u32(0); w.u32(0); w.u32(600); w.u32(300); w.u16(0); w.u16(0) }
+          w.box("minf") { w.box("stbl") {
+            w.box("stsd") { w.u32(0); w.u32(1); w.box("mp4a") { w.raw(new Array[Byte](8)) } }
+            w.box("stts") { w.u32(0); w.u32(1); w.u32(3); w.u32(200) }
+            w.box("stsc") { w.u32(0); w.u32(1); w.u32(1); w.u32(3); w.u32(1) }
+            w.box("stsz") { w.u32(0); w.u32(4); w.u32(3) } // UNIFORM size 4
+            w.box("co64") { w.u32(0); w.u32(1); w.u32(0); w.u32(mdatStart + 8) } // 64-bit offset
+            // no stss: every sample is a sync sample
+          } }
+        }
+      }
+    }
+    val got = Mp4Demux.demuxWithPayload(w.bytes)
+    assert(got.length === 3)
+    assert(got.forall(_._1.codec === "mp4a"))
+    assert(got.forall(_._1.size === 4))
+    assert(got.forall(_._1.keyframe), "no stss -> all sync")
+    assert(got.map(_._1.ptsSec) === Seq(0.0, 200.0 / 600, 400.0 / 600))
+    assert(got.flatMap(_._2).toSeq === payload.toSeq)
+  }
+
   test("mp4 demux: mp4Samples Spark op explodes one row per sample") {
     import spark.implicits._
     val (mp4, payloads) = Mp4TestBuilder.buildMp4()

@@ -151,6 +151,9 @@ class MpegAudioSpec extends SparkSpec {
     val l3 = mp2.clone()
     l3(1) = (l3(1) & ~0x06 | 0x02).toByte
     assert(MpegAudio.decodeLayer2(l3).isEmpty)
+    // truncation mid-frame: refused (None), never garbled or thrown
+    assert(MpegAudio.decodeLayer2(mp2.take(mp2.length / 2 + 17)).isEmpty)
+    assert(MpegAudio.decodeLayer2(mp2.take(37)).isEmpty)
   }
 
   test("mp2: extractFeatures routes Layer II payloads through the real decoder") {
