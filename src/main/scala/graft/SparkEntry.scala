@@ -1407,6 +1407,32 @@ object SparkEntry {
         .orderBy("canonical_url")
     }),
 
+    "pipeline_curate_e2e" -> ((s, dir) => {
+      // the WHOLE curation front door composed in ONE declarative plan —
+      // HTML extraction → exact dedup (copies planted at doc_id+10000)
+      // → token-count quality gate → deterministic hash sample — each
+      // stage the real library operator, the whole chain one Catalyst
+      // plan (scan → projections → one fingerprint shuffle → filters),
+      // and the oracle replays every stage in a single CTE chain
+      val d0 = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "text", "source")
+      val docs = d0.unionByName(
+        d0.filter(col("doc_id") < 40).withColumn("doc_id", col("doc_id") + 10000))
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1>"),
+        col("source"), lit("</h1><!-- crawl artifact --><p>"), col("text"),
+        lit(" &amp; more&nbsp;soon</p><script>var x=1;</script></body></html>"))
+      val cleaned = docs.select(col("doc_id"), Text.htmlExtract(html).as("clean_text"))
+      val deduped = Dedup.exact(cleaned, "clean_text", "doc_id")
+      val gated = deduped
+        .withColumn("n_words", Text.wsTokenCount(col("clean_text")))
+        .filter(col("n_words") >= 12)
+      Sampling.hashSample(gated, col("doc_id"), 0.4)
+        .select(col("doc_id"), col("n_words"),
+          md5(col("clean_text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_paragraphs" -> ((s, dir) => {
       // paragraph-level dedup over synthetic multi-paragraph docs: every
       // doc gets the SAME boilerplate footer paragraph plus its per-source
@@ -3204,6 +3230,42 @@ object SparkEntry {
          SELECT canonical_url, count(*) AS n_occurrences,
            count(DISTINCT url) AS n_raw_forms
          FROM c4 GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_curate_e2e" ->
+      """WITH docs AS (
+           SELECT doc_id, text, source FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT doc_id + 10000, text, source FROM documents WHERE doc_id < 40),
+         cleaned AS (SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       concat('<html><head><style>p{color:red}</style></head><body><h1>', source,
+                              '</h1><!-- crawl artifact --><p>', text,
+                              ' &amp; more&nbsp;soon</p><script>var x=1;</script></body></html>'),
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean_text
+           FROM docs),
+         fp AS (SELECT doc_id, clean_text,
+             md5(trim(regexp_replace(lower(clean_text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS f
+           FROM cleaned),
+         deduped AS (SELECT doc_id, clean_text FROM fp
+           WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+         gated AS (SELECT doc_id, clean_text,
+             CAST(len(string_split_regex(trim(clean_text), '\s+')) AS BIGINT) AS n_words
+           FROM deduped
+           WHERE len(string_split_regex(trim(clean_text), '\s+')) >= 12)
+         SELECT doc_id, n_words, md5(clean_text) AS text_md5
+         FROM gated
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '666666666666666'
+         ORDER BY doc_id""",
 
     "dedup_paragraphs" ->
       """WITH d AS (SELECT doc_id AS id,

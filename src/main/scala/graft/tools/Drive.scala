@@ -13,7 +13,7 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Seq("multimodal_audio_mp2", "multimodal_mp4_demux").foreach { n =>
+    Seq("pipeline_curate_e2e").foreach { n =>
       graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
         .coalesce(1).write.mode("overwrite").parquet(s"/tmp/newq/$n")
       println(s"[drive] $n dumped")
