@@ -206,6 +206,33 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("html extraction + url canonicalization run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Text.extractUrls(
+          df.withColumn("clean",
+            graft.pipeline.Text.htmlExtract(col("text"))), "clean")
+        .select(col("doc_id"), col("clean"),
+          graft.pipeline.Text.canonicalizeUrl(col("url")).as("canon"))
+    val q = pipe(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("url_stream_test")
+      .outputMode("append").start()
+    try {
+      val rows = (0L until 60L).map(i =>
+        (i, s"<p>see https://Site$i.Example.com/p?utm_x=1&k=$i#f now</p><script>x()</script>"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("url_stream_test").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toMap
+      val batch = pipe(rows.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(2))).toMap
+      assert(streamed === batch)
+      assert(streamed(3L) === "https://site3.example.com/p?k=3")
+    } finally q.stop()
+  }
+
   test("blocklist + importance sampling run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
