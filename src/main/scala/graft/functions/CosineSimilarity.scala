@@ -28,14 +28,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"cosine_similarity needs two array<float> args, got " +
+      s"cosine_similarity needs two array<float|double> args, got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  // element-width polymorphism: the testdata generator has shipped vectors
+  // as BOTH array<float> and array<double> shapes across tools — the
+  // expression must not be the thing that breaks on a regeneration
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -49,8 +57,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (isFloat(left.dataType)) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (isFloat(right.dataType)) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -76,8 +84,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double $xi = (double) $x.getFloat($i);
-         |    double $yi = (double) $y.getFloat($i);
+         |    double $xi = (double) $x.${if (isFloat(left.dataType)) "getFloat" else "getDouble"}($i);
+         |    double $yi = (double) $y.${if (isFloat(right.dataType)) "getFloat" else "getDouble"}($i);
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
          |  if (!${ev.isNull}) {

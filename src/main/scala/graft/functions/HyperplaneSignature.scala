@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, DoubleType}
 
 /** Native random-hyperplane LSH signature: bit b of the result is
   * sign(v · plane_b). The plane matrix rides inside the expression node
@@ -28,11 +28,18 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(FloatType, _) =>
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"hyperplane_signature needs array<float>, got ${t.simpleString}")
+        s"hyperplane_signature needs array<float|double>, got ${t.simpleString}")
     }
+
+  // element-width polymorphism: vectors arrive as array<float> OR
+  // array<double> depending on the data generator vintage
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   @transient private lazy val flat: Array[Double] = planes.flatten.toArray
   private def bits: Int = planes.length
@@ -51,7 +58,7 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
       var proj = 0.0
       var j = 0
       val off = b * dim
-      while (j < dim) { proj += x.getFloat(j) * flat(off + j); j += 1 }
+      while (j < dim) { proj += (if (childIsFloat) x.getFloat(j).toDouble else x.getDouble(j)) * flat(off + j); j += 1 }
       if (proj >= 0) sig |= (1L << b)
       b += 1
     }
@@ -81,7 +88,7 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
          |    double $proj = 0.0;
          |    int $off = $b * $dimV;
          |    for (int $i = 0; $i < $dimV; $i++) {
-         |      $proj += ((double) $x.getFloat($i)) * $flatRef[$off + $i];
+         |      $proj += ((double) $x.${if (childIsFloat) "getFloat" else "getDouble"}($i)) * $flatRef[$off + $i];
          |    }
          |    if ($proj >= 0) $sig |= (1L << $b);
          |  }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, DoubleType}
 
 /** Native k-nearest-centroid assignment: array<int> of the `k` nearest
   * centroid indices (squared euclidean, ties broken by lower index — the
@@ -35,9 +35,16 @@ case class NearestLists(child: Expression, centers: Seq[Seq[Double]], k: Int)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"nearest_lists needs array<float>, got ${t.simpleString}")
+      s"nearest_lists needs array<float|double>, got ${t.simpleString}")
+  }
+
+  // element-width polymorphism: vectors arrive as array<float> OR
+  // array<double> depending on the data generator vintage
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   @transient private lazy val flat: Array[Double] = centers.flatten.toArray
@@ -48,7 +55,7 @@ case class NearestLists(child: Expression, centers: Seq[Seq[Double]], k: Int)
     if (x.numElements() != dim) return null
     var i = 0
     while (i < dim) { if (x.isNullAt(i)) return null; i += 1 }
-    new GenericArrayData(NearestLists.kernel(x, flat, dim, k))
+    new GenericArrayData(NearestLists.kernel(x, flat, dim, k, childIsFloat))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -64,7 +71,7 @@ case class NearestLists(child: Expression, centers: Seq[Seq[Double]], k: Int)
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |    graft.functions.NearestLists.kernel($x, $flatRef, $dimV, $kV));
+         |    graft.functions.NearestLists.kernel($x, $flatRef, $dimV, $kV, ${childIsFloat.toString}));
          |}
        """.stripMargin
     })
@@ -78,7 +85,8 @@ object NearestLists {
   /** k smallest centroid indices by squared distance; strict-< selection
     * keeps the lower index on exact ties (stable-sort parity). Shared by
     * interpreted eval and generated code. */
-  def kernel(x: ArrayData, flat: Array[Double], dim: Int, k: Int): Array[Int] = {
+  def kernel(x: ArrayData, flat: Array[Double], dim: Int, k: Int,
+             isFloat: Boolean): Array[Int] = {
     val nLists = flat.length / dim
     val d = new Array[Double](nLists)
     var l = 0
@@ -86,7 +94,7 @@ object NearestLists {
       var s = 0.0
       var i = 0
       val off = l * dim
-      while (i < dim) { val diff = x.getFloat(i) - flat(off + i); s += diff * diff; i += 1 }
+      while (i < dim) { val diff = (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) - flat(off + i); s += diff * diff; i += 1 }
       d(l) = s
       l += 1
     }

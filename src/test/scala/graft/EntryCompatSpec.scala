@@ -26,4 +26,38 @@ class EntryCompatSpec extends SparkSpec {
     assert(a.nonEmpty, "compat fixture must produce rows")
     assert(a === b, "both ts encodings must yield identical results")
   }
+
+  test("embedding/doc_id encoding drift: double[] vectors and int32 ids agree") {
+    // guard for the NEXT testdata regeneration: if the generator ships
+    // embeddings as array<double> (not float) or ids as int32 (not
+    // int64), every query must still produce the same VALUES (the driver
+    // hash may see different integer widths, but the engine must not
+    // break or change results)
+    val dir = Files.createTempDirectory("graft-enc-compat").toString
+    val src = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$src/embeddings.parquet")
+    e.write.mode("overwrite").parquet(s"$dir/a/embeddings.parquet")
+    e.withColumn("embedding", col("embedding").cast("array<double>"))
+      .withColumn("vec_id", col("vec_id").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/b/embeddings.parquet")
+    val d = spark.read.parquet(s"$src/documents.parquet")
+    d.write.mode("overwrite").parquet(s"$dir/a/documents.parquet")
+    d.withColumn("doc_id", col("doc_id").cast("int"))
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/b/documents.parquet")
+    Seq("ann_bruteforce_topk", "ann_knn_classify", "text_token_count",
+        "dedup_exact").foreach { name =>
+      val q = SparkEntry.queries(name)
+      // normalize integer widths before compare: values are the contract
+      def run(sub: String) = q(spark, s"$dir/$sub").collect()
+        .map(_.toSeq.map {
+          case i: Int => i.toLong
+          case f: Float => f.toDouble
+          case v => v
+        }).toSet
+      val a = run("a"); val b = run("b")
+      assert(a.nonEmpty, s"$name compat fixture must produce rows")
+      assert(a === b, s"$name: re-encoded parquet must yield identical values")
+    }
+  }
 }

@@ -733,8 +733,17 @@ class PipelineSpec extends SparkSpec {
       (Similarity.dot(col("a"), col("b")) / (Similarity.norm(col("a")) * Similarity.norm(col("b"))))).head.getDouble(0)
     assertRtol(native, hof, 1e-12, "native vs HOF")
     assert(native === viaSql)
-    // type checking rejects non-float arrays
-    val bad = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    // width polymorphism: array<double> inputs work (generator-vintage
+    // guard, EntryCompatSpec) and match the float-path value
+    val dbl = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val gotD = dbl.selectExpr("cosine_similarity(a, b)").head.getDouble(0)
+    assertRtol(gotD, 11.0 / (math.sqrt(5) * 5), 1e-12, "double-width cosine")
+    // mixed widths also resolve (each side picks its own accessor)
+    val mixed = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("a", "b")
+    assertRtol(mixed.selectExpr("cosine_similarity(a, b)").head.getDouble(0),
+      gotD, 1e-6, "mixed-width cosine")
+    // type checking still rejects non-numeric arrays
+    val bad = Seq((Array("x"), Array("y"))).toDF("a", "b")
     intercept[Exception] { bad.selectExpr("cosine_similarity(a, b)").head }
   }
 
