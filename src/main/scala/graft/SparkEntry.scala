@@ -3203,8 +3203,8 @@ object SparkEntry {
              || ' and ''http://mirror.example.org:8080/m/' || (doc_id % 11)
              || '''' AS body FROM documents),
          u AS (SELECT unnest(regexp_extract_all(body,
-             'https?://[^ \t\n\x0B\f\r"''<>]+')) AS url FROM b)
-         SELECT lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+             '(?i:https?)://[^ \t\n\x0B\f\r"''<>]+')) AS url FROM b)
+         SELECT lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
            count(*) AS n_urls
          FROM u GROUP BY 1 ORDER BY 1""",
 
@@ -3218,13 +3218,13 @@ object SparkEntry {
              || ' and ''http://mirror.example.org:8080/m/' || (doc_id % 11)
              || '''' AS body FROM documents),
          u AS (SELECT unnest(regexp_extract_all(body,
-             'https?://[^ \t\n\x0B\f\r"''<>]+')) AS url FROM b),
+             '(?i:https?)://[^ \t\n\x0B\f\r"''<>]+')) AS url FROM b),
          c1 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS nf FROM u),
          c2 AS (SELECT url,
              lower(regexp_extract(nf, '^[^/]*//[^/?#]*', 0))
                || regexp_replace(nf, '^[^/]*//[^/?#]*', '', 'g') AS lw FROM c1),
          c3 AS (SELECT url, regexp_replace(regexp_replace(lw,
-             'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*$', '', 'g') AS nu FROM c2),
+             '([?&])(utm_[^&#]*&)+', '\1', 'g'), '[?&]utm_[^&#]*$', '', 'g') AS nu FROM c2),
          c4 AS (SELECT url, regexp_replace(regexp_replace(nu,
              '/$', '', 'g'), '\?$', '', 'g') AS canonical_url FROM c3)
          SELECT canonical_url, count(*) AS n_occurrences,

@@ -8,6 +8,7 @@ object Verify {
     // --sql-only <path>: dump just oracle_sql.json (no Spark session) —
     // used by tools/lint_oracle_types.py to regenerate the type sidecar.
     if (args.headOption.contains("--sql-only")) {
+      require(args.length == 2, "usage: Verify --sql-only <out.json>")
       writeOracleJson(args(1)); return
     }
     val Array(sfDir, outDir) = args

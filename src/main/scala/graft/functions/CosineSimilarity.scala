@@ -53,12 +53,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     // truncation / zero-filling would return confidently wrong scores)
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    val lf = isFloat(left.dataType); val rf = isFloat(right.dataType)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = if (isFloat(left.dataType)) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (isFloat(right.dataType)) y.getFloat(i).toDouble else y.getDouble(i)
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }

@@ -53,12 +53,13 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
     var i = 0
     while (i < dim) { if (x.isNullAt(i)) return null; i += 1 }
     var sig = 0L
+    val cf = childIsFloat
     var b = 0
     while (b < bits) {
       var proj = 0.0
       var j = 0
       val off = b * dim
-      while (j < dim) { proj += (if (childIsFloat) x.getFloat(j).toDouble else x.getDouble(j)) * flat(off + j); j += 1 }
+      while (j < dim) { proj += (if (cf) x.getFloat(j).toDouble else x.getDouble(j)) * flat(off + j); j += 1 }
       if (proj >= 0) sig |= (1L << b)
       b += 1
     }

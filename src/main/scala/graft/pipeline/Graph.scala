@@ -70,9 +70,13 @@ object Graph {
     val maxLocalNodes = spark.conf.get("graft.pagerank.localMaxNodes", "10000").toLong
     val maxLocalEdges = spark.conf.get("graft.pagerank.localMaxEdges", "1000000").toLong
     if (norm.count() <= maxLocalEdges) {
-      // deterministic accumulation order: edges sorted by (dst, src)
+      // deterministic accumulation order: edges sorted by (dst, src).
+      // A NULL weight normalizes to NULL __w; the distributed superstep's
+      // sum() skips it — locally that is a 0.0 contribution, with the
+      // edge KEPT so its endpoints still define nodes/out-degree
       val probe = norm.orderBy("__dst", "__src").collect()
-      val es = probe.map(r => (r.get(0), r.get(1), r.getDouble(2)))
+      val es = probe.map(r =>
+        (r.get(0), r.get(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
       val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
         case (x: String, y: String) => x.compareTo(y)
         case (x: java.lang.Number, y: java.lang.Number) =>

@@ -36,6 +36,15 @@ object Mp4Demux {
   private def fourcc(b: Array[Byte], i: Int): String =
     new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
+  /** Entry counts are untrusted file bytes driving allocations: cap by
+    * what actually fits in the box (a corrupt 0x3FFFFFFF count would
+    * otherwise attempt a multi-GB allocation — OutOfMemoryError is an
+    * Error, so the corrupt-box catch would NOT contain it). */
+  private def capped(dataStart: Int, end: Long, entrySize: Int, declared: Long): Int = {
+    val fits = math.max(0L, (end - dataStart) / entrySize)
+    math.min(declared, fits).toInt
+  }
+
   private final class TrackState {
     var trackId: Int = -1
     var timescale: Double = 0.0
@@ -90,33 +99,42 @@ object Mp4Demux {
             if (body + 16 <= end && be32(bytes, body + 4) >= 1)
               cur.codec = fourcc(bytes, body + 12)
           case "stts" if cur != null =>
-            val n = be32(bytes, body + 4).toInt
+            val n = capped(body + 8, end, 8, be32(bytes, body + 4))
             cur.sttsRuns = Array.tabulate(n) { j =>
               (be32(bytes, body + 8 + 8 * j), be32(bytes, body + 12 + 8 * j))
             }
           case "ctts" if cur != null =>
-            val n = be32(bytes, body + 4).toInt
+            // version 1 carries SIGNED offsets (negative = leading
+            // B-frames); version 0 unsigned — sign-extend accordingly
+            val signed = (bytes(body) & 0xff) == 1
+            val n = capped(body + 8, end, 8, be32(bytes, body + 4))
             cur.cttsRuns = Array.tabulate(n) { j =>
-              (be32(bytes, body + 8 + 8 * j), be32(bytes, body + 12 + 8 * j))
+              val raw = be32(bytes, body + 12 + 8 * j)
+              (be32(bytes, body + 8 + 8 * j), if (signed) raw.toInt.toLong else raw)
             }
           case "stsc" if cur != null =>
-            val n = be32(bytes, body + 4).toInt
+            val n = capped(body + 8, end, 12, be32(bytes, body + 4))
             cur.stsc = Array.tabulate(n) { j =>
               (be32(bytes, body + 8 + 12 * j), be32(bytes, body + 12 + 12 * j))
             }
           case "stsz" if cur != null =>
             cur.uniformSize = be32(bytes, body + 4).toInt
-            cur.nSamples = be32(bytes, body + 8).toInt
-            if (cur.uniformSize == 0)
+            if (cur.uniformSize == 0) {
+              cur.nSamples = capped(body + 12, end, 4, be32(bytes, body + 8))
               cur.sizes = Array.tabulate(cur.nSamples)(j => be32(bytes, body + 12 + 4 * j).toInt)
+            } else
+              // uniform sizes leave no per-entry bytes to bound against;
+              // every sample occupies >= 1 byte of this very file, so the
+              // file length caps the count (dts/cts arrays allocate from it)
+              cur.nSamples = math.min(be32(bytes, body + 8), bytes.length.toLong).toInt
           case "stco" if cur != null =>
-            val n = be32(bytes, body + 4).toInt
+            val n = capped(body + 8, end, 4, be32(bytes, body + 4))
             cur.chunkOffsets = Array.tabulate(n)(j => be32(bytes, body + 8 + 4 * j))
           case "co64" if cur != null =>
-            val n = be32(bytes, body + 4).toInt
+            val n = capped(body + 8, end, 8, be32(bytes, body + 4))
             cur.chunkOffsets = Array.tabulate(n)(j => be64(bytes, body + 8 + 8 * j))
           case "stss" if cur != null =>
-            val n = be32(bytes, body + 4).toInt
+            val n = capped(body + 8, end, 4, be32(bytes, body + 4))
             cur.syncSamples = Array.tabulate(n)(j => be32(bytes, body + 8 + 4 * j).toInt).toSet
           case _ => ()
         }

@@ -76,9 +76,12 @@ object Similarity {
   def kmeansInit(corpus: DataFrame, k: Int, idCol: String = "vec_id",
                  vecCol: String = "embedding"): Array[Array[Double]] = {
     require(k > 0, s"k must be positive: $k")
-    val rows = corpus.orderBy(col(idCol).asc).limit(k).select(col(vecCol)).collect()
+    // width-agnostic: embeddings have shipped as array<float> AND
+    // array<double> across generator vintages (see EntryCompatSpec)
+    val rows = corpus.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
     require(rows.length == k, s"corpus has ${rows.length} rows < k=$k")
-    rows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    rows.map(_.getSeq[Double](0).toArray)
   }
 
   /** Nearest-centroid assignment: squared-euclidean argmin over a

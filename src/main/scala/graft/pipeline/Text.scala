@@ -636,7 +636,7 @@ object Text {
     * single generator projection. */
   def extractUrls(df: DataFrame, textCol: String, out: String = "url"): DataFrame =
     df.withColumn(out, explode(
-      regexp_extract_all(col(textCol), lit("""https?://[^ \t\n\x0B\f\r"'<>]+"""), lit(0))))
+      regexp_extract_all(col(textCol), lit("""(?i:https?)://[^ \t\n\x0B\f\r"'<>]+"""), lit(0))))
 
   /** Canonicalize a URL for dedup/host-aggregation — the normalization a
     * crawl pipeline applies before URL-level dedup:
@@ -651,7 +651,12 @@ object Text {
     val prefix = regexp_extract(noFrag, "^[^/]*//[^/?#]*", 0)
     val rest = regexp_replace(noFrag, "^[^/]*//[^/?#]*", "")
     val lowered = concat(lower(prefix), rest)
-    val utm1 = regexp_replace(lowered, "utm_[^&#]*&", "")
+    // anchored to the separator and REINSERTING it ($1): the unanchored
+    // form corrupted any param whose name/value merely contained 'utm_'.
+    // The (...)+ run form removes CONSECUTIVE utm params in one match
+    // (after a replacement the scan resumes past the consumed separator,
+    // so back-to-back utms would otherwise survive every other one).
+    val utm1 = regexp_replace(lowered, "([?&])(utm_[^&#]*&)+", "$1")
     val utm2 = regexp_replace(utm1, "[?&]utm_[^&#]*$", "")
     regexp_replace(regexp_replace(utm2, "/$", ""), "\\?$", "")
   }
@@ -659,5 +664,5 @@ object Text {
   /** Host of an http(s) URL, lowercased (port kept — it distinguishes
     * origins). */
   def urlHost(url: Column): Column =
-    lower(regexp_extract(url, "^https?://([^/?#]+)", 1))
+    lower(regexp_extract(url, "(?i)^https?://([^/?#]+)", 1))
 }

@@ -67,6 +67,39 @@ class Mp4DemuxSpec extends SparkSpec {
     assert(got.flatMap(_._2).toSeq === payload.toSeq)
   }
 
+  test("mp4 demux: version-1 ctts offsets are SIGNED; corrupt counts are capped, not OOM") {
+    val w = new Mp4TestBuilder.BoxWriter
+    w.box("ftyp") { w.fourcc("isom"); w.u32(0); w.fourcc("isom") }
+    val mdatStart = w.bb.position()
+    w.box("mdat") { w.raw(Array.tabulate(6)(_.toByte)) } // 2 samples x 3
+    w.box("moov") { w.box("trak") {
+      w.box("tkhd") { w.u32(0); w.u32(0); w.u32(0); w.u32(1); w.raw(new Array[Byte](72)) }
+      w.box("mdia") {
+        w.box("mdhd") { w.u32(0); w.u32(0); w.u32(0); w.u32(100); w.u32(200); w.u32(0) }
+        w.box("minf") { w.box("stbl") {
+          w.box("stsd") { w.u32(0); w.u32(1); w.box("avc1") { w.raw(new Array[Byte](8)) } }
+          w.box("stts") { w.u32(0); w.u32(1); w.u32(2); w.u32(100) }
+          // VERSION 1 ctts: sample 2 carries a NEGATIVE offset (-50)
+          w.box("ctts") { w.bb.put(1.toByte); w.bb.put(new Array[Byte](3))
+            w.u32(2); w.u32(1); w.u32(0); w.u32(1); w.u32(-50 & 0xffffffff) }
+          w.box("stsc") { w.u32(0); w.u32(1); w.u32(1); w.u32(2); w.u32(1) }
+          w.box("stsz") { w.u32(0); w.u32(3); w.u32(2) }
+          w.box("stco") { w.u32(0); w.u32(1); w.u32(mdatStart + 8) }
+        } }
+      }
+    } }
+    val got = Mp4Demux.demux(w.bytes)
+    assert(got.map(_.ptsSec) === Seq(0.0, 0.5), got.map(_.ptsSec)) // (100-50)/100
+    // corrupt declared count: stts claiming 0x3FFFFFFF entries must cap at
+    // what fits in the box instead of attempting a multi-GB allocation
+    val c = new Mp4TestBuilder.BoxWriter
+    c.box("ftyp") { c.fourcc("isom"); c.u32(0); c.fourcc("isom") }
+    c.box("moov") { c.box("trak") { c.box("mdia") { c.box("minf") { c.box("stbl") {
+      c.box("stts") { c.u32(0); c.u32(0x3FFFFFFF); c.u32(1); c.u32(100) }
+    } } } } }
+    assert(Mp4Demux.demux(c.bytes) === Nil) // parsed, no samples — no OOM
+  }
+
   test("mp4 demux: mp4Samples Spark op explodes one row per sample") {
     import spark.implicits._
     val (mp4, payloads) = Mp4TestBuilder.buildMp4()

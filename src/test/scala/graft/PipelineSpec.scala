@@ -237,6 +237,22 @@ class PipelineSpec extends SparkSpec {
     // trailing slash trimmed; utm-only query leaves no dangling '?'
     val u3 = urls.filter(_._1 == 3L).map(_._3).toSet
     assert(u3 === Set("http://host.example.com", "https://c.example.com/q"), u3)
+
+    // review findings, pinned: a param VALUE containing 'utm_' is not a
+    // tracking param (the strip is separator-anchored); consecutive utm
+    // params all go in one run match; uppercase schemes extract
+    val extra = Seq(
+      (5L, "v http://h.example.com/p?id=abutm_z&b=2 w"),
+      (6L, "r https://h.example.com/q?utm_a=1&utm_b=2&utm_c=3&k=9 s"),
+      (7L, "t HTTPS://Upper.Example.COM/Path u")).toDF("doc_id", "text")
+    val canon = graft.pipeline.Text.extractUrls(extra, "text")
+      .select(col("doc_id"), graft.pipeline.Text.canonicalizeUrl(col("url")).as("c"),
+        graft.pipeline.Text.urlHost(col("url")).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(canon(5L)._1 === "http://h.example.com/p?id=abutm_z&b=2", canon(5L)._1)
+    assert(canon(6L)._1 === "https://h.example.com/q?k=9", canon(6L)._1)
+    assert(canon(7L)._1 === "https://upper.example.com/Path", canon(7L)._1)
+    assert(canon(7L)._2 === "upper.example.com")
   }
 
   /** Planted truly-multilingual corpus: every language's marker path must
