@@ -46,7 +46,10 @@ class EntryCompatSpec extends SparkSpec {
       .withColumn("n_chars", col("n_chars").cast("int"))
       .write.mode("overwrite").parquet(s"$dir/b/documents.parquet")
     Seq("ann_bruteforce_topk", "ann_knn_classify", "text_token_count",
-        "dedup_exact").foreach { name =>
+        "dedup_exact",
+        // the kmeansInit/NearestLists/HyperplaneSignature paths — the trio
+        // this guard caught as float-only when first written
+        "cluster_kmeans", "ann_lsh_topk", "ann_ivf_topk").foreach { name =>
       val q = SparkEntry.queries(name)
       // normalize integer widths before compare: values are the contract
       def run(sub: String) = q(spark, s"$dir/$sub").collect()
