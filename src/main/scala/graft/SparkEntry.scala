@@ -1993,12 +1993,28 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared CTE prefix for the URL oracles: the deterministic body build
+    * + RE2 extraction — ONE definition mirrored against [[urlBody]]. */
+  private val urlBodyCtes: String =
+    """b AS (SELECT text || ' see https://Site' || (doc_id % 5)
+      |     || '.Example.COM/Page/' || (doc_id % 25)
+      |     || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&ref=1'
+      |              WHEN doc_id % 4 = 1 THEN '?ref=1&utm_campaign=y'
+      |              WHEN doc_id % 4 = 2 THEN '/' ELSE '' END)
+      |     || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+      |     || ' and ''http://mirror.example.org:8080/m/' || (doc_id % 11)
+      |     || '''' AS body FROM documents),
+      | u AS (SELECT unnest(regexp_extract_all(body,
+      |     '(?i:https?)://[^ \t\n\x0B\f\r"''<>]+')) AS url FROM b)""".stripMargin
+
   /** Full IVF train/assign replay as chained DuckDB CTEs — what flips
     * `ann_ivf_topk`/`ann_knn_graph` from rows-only to hash-proven.
     * Mirrors [[graft.pipeline.Similarity.ivfTrain]] exactly: first-k seeds
     * (ORDER BY vec_id LIMIT n), then `iters` Lloyd steps where each step
     * is argmin assignment (ties to the lower list id — `ORDER BY
-    * list_distance, cid LIMIT 1` = the NearestLists tie-break) and
+    * squared-distance-sum, cid LIMIT 1` = the NearestLists tie-break,
+    * replayed on SQUARED distance — ordering by sqrt can collapse two
+    * distinct squared distances onto one double and flip the tie) and
     * per-(list, dim) `round(avg(x), 6)` means with empty lists keeping
     * their previous center (the LEFT JOIN + coalesce). The 6-decimal grid
     * is what makes cross-engine equality exact: both engines' sub-ulp
@@ -2009,7 +2025,8 @@ object SparkEntry {
     val steps = (1 to iters).map { i =>
       val p = i - 1
       s"""a$i AS (SELECT e.vec_id, e.v,
-         |  (SELECT i.cid FROM ctr$p i ORDER BY list_distance(e.v, i.c), i.cid LIMIT 1) AS cid
+         |  (SELECT i.cid FROM ctr$p i ORDER BY
+         |    (SELECT sum((e.v[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid LIMIT 1) AS cid
          |  FROM e),
          |m$i AS (SELECT cid, pos, round(avg(x), 6) AS mv FROM
          |  (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a$i)
@@ -2023,7 +2040,8 @@ object SparkEntry {
        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nLists)),
        |$steps,
        |asg AS (SELECT e.vec_id, e.v,
-       |  (SELECT i.cid FROM ctr$iters i ORDER BY list_distance(e.v, i.c), i.cid LIMIT 1) AS list_id
+       |  (SELECT i.cid FROM ctr$iters i ORDER BY
+       |    (SELECT sum((e.v[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid LIMIT 1) AS list_id
        |  FROM e)""".stripMargin
   }
 
@@ -2037,7 +2055,7 @@ object SparkEntry {
        |probe AS (SELECT query_id, qv, cid AS list_id FROM (
        |    SELECT q.query_id, q.qv, i.cid,
        |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY list_distance(q.qv, i.c), i.cid) AS pr
+       |        ORDER BY (SELECT sum((q.qv[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid) AS pr
        |    FROM q CROSS JOIN ctr$iters i) WHERE pr <= $nProbe),
        |cand AS (SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
        |  FROM probe p JOIN asg a ON a.list_id = p.list_id
@@ -2064,7 +2082,7 @@ object SparkEntry {
        |probe AS (SELECT vec_id AS src_id, sv, cid AS list_id FROM (
        |    SELECT e.vec_id, e.v AS sv, i.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY list_distance(e.v, i.c), i.cid) AS pr
+       |        ORDER BY (SELECT sum((e.v[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid) AS pr
        |    FROM e CROSS JOIN ctr$iters i) WHERE pr <= $nProbe),
        |cand AS (SELECT p.src_id, p.sv, a.vec_id AS dst_id, a.v AS dv
        |  FROM probe p JOIN asg a ON a.list_id = p.list_id
@@ -3194,45 +3212,27 @@ object SparkEntry {
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 
     "text_url_extract" ->
-      """WITH b AS (SELECT text || ' see https://Site' || (doc_id % 5)
-             || '.Example.COM/Page/' || (doc_id % 25)
-             || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&ref=1'
-                      WHEN doc_id % 4 = 1 THEN '?ref=1&utm_campaign=y'
-                      WHEN doc_id % 4 = 2 THEN '/' ELSE '' END)
-             || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
-             || ' and ''http://mirror.example.org:8080/m/' || (doc_id % 11)
-             || '''' AS body FROM documents),
-         u AS (SELECT unnest(regexp_extract_all(body,
-             '(?i:https?)://[^ \t\n\x0B\f\r"''<>]+')) AS url FROM b)
+      s"""WITH $urlBodyCtes
          SELECT lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
            count(*) AS n_urls
          FROM u GROUP BY 1 ORDER BY 1""",
 
     "dedup_url_canonical" ->
-      """WITH b AS (SELECT text || ' see https://Site' || (doc_id % 5)
-             || '.Example.COM/Page/' || (doc_id % 25)
-             || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&ref=1'
-                      WHEN doc_id % 4 = 1 THEN '?ref=1&utm_campaign=y'
-                      WHEN doc_id % 4 = 2 THEN '/' ELSE '' END)
-             || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
-             || ' and ''http://mirror.example.org:8080/m/' || (doc_id % 11)
-             || '''' AS body FROM documents),
-         u AS (SELECT unnest(regexp_extract_all(body,
-             '(?i:https?)://[^ \t\n\x0B\f\r"''<>]+')) AS url FROM b),
-         c1 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS nf FROM u),
+      s"""WITH $urlBodyCtes,
+         c1 AS (SELECT url, regexp_replace(url, '#.*$$', '', 'g') AS nf FROM u),
          c2 AS (SELECT url,
              lower(regexp_extract(nf, '^[^/]*//[^/?#]*', 0))
                || regexp_replace(nf, '^[^/]*//[^/?#]*', '', 'g') AS lw FROM c1),
          c3 AS (SELECT url, regexp_replace(regexp_replace(lw,
-             '([?&])(utm_[^&#]*&)+', '\1', 'g'), '[?&]utm_[^&#]*$', '', 'g') AS nu FROM c2),
+             '([?&])(utm_[^&#]*&)+', '\\1', 'g'), '[?&]utm_[^&#]*$$', '', 'g') AS nu FROM c2),
          c4 AS (SELECT url, regexp_replace(regexp_replace(nu,
-             '/$', '', 'g'), '\?$', '', 'g') AS canonical_url FROM c3)
+             '\\?$$', '', 'g'), '/$$', '', 'g') AS canonical_url FROM c3)
          SELECT canonical_url, count(*) AS n_occurrences,
            count(DISTINCT url) AS n_raw_forms
          FROM c4 GROUP BY 1 ORDER BY 1""",
 
     "pipeline_curate_e2e" ->
-      """WITH docs AS (
+      ("""WITH docs AS (
            SELECT doc_id, text, source FROM documents WHERE doc_id < 200
            UNION ALL
            SELECT doc_id + 10000, text, source FROM documents WHERE doc_id < 40),
@@ -3264,8 +3264,9 @@ object SparkEntry {
            WHERE len(string_split_regex(trim(clean_text), '\s+')) >= 12)
          SELECT doc_id, n_words, md5(clean_text) AS text_md5
          FROM gated
-         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '666666666666666'
-         ORDER BY doc_id""",
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '""" +
+      graft.pipeline.Sampling.hexThreshold(0.4) + """'
+         ORDER BY doc_id"""),
 
     "dedup_paragraphs" ->
       """WITH d AS (SELECT doc_id AS id,
@@ -3548,7 +3549,7 @@ object SparkEntry {
          a AS (
            SELECT e.vec_id,
              (SELECT i.cid FROM init i
-                ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.c), i.cid
+                ORDER BY (SELECT sum((CAST(e.embedding AS DOUBLE[])[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid
                 LIMIT 1) AS cid
            FROM embeddings e),
          r AS (SELECT cid, vec_id,
@@ -3567,7 +3568,7 @@ object SparkEntry {
          a AS (
            SELECT e.vec_id, e.embedding,
              (SELECT i.cid FROM init i
-                ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.c), i.cid
+                ORDER BY (SELECT sum((CAST(e.embedding AS DOUBLE[])[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid
                 LIMIT 1) AS cid
            FROM embeddings e),
          d AS (SELECT cid, generate_subscripts(embedding, 1) AS pos,
@@ -3589,7 +3590,7 @@ object SparkEntry {
          a AS (
            SELECT e.vec_id, e.embedding,
              (SELECT i.cid FROM init i
-                ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.c), i.cid
+                ORDER BY (SELECT sum((CAST(e.embedding AS DOUBLE[])[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid
                 LIMIT 1) AS cid
            FROM embeddings e),
          s AS (SELECT a.vec_id, a.cid,

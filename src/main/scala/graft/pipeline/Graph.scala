@@ -69,12 +69,30 @@ object Graph {
     val spark = edges.sparkSession
     val maxLocalNodes = spark.conf.get("graft.pagerank.localMaxNodes", "10000").toLong
     val maxLocalEdges = spark.conf.get("graft.pagerank.localMaxEdges", "1000000").toLong
-    if (norm.count() <= maxLocalEdges) {
+    val nodeType = nodes.schema.head.dataType
+    // local-path eligibility: JVM Map/Set equality must agree with SQL
+    // equality for the node ids — true for strings and primitive numerics,
+    // NOT for e.g. binary ids (Array[Byte] compares by reference). The
+    // node COUNT gates first (it is needed by the distributed path anyway)
+    // so an over-bound graph never pays a throwaway 1M-row driver collect.
+    val localEligible = nodeType match {
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+    val nCount = nodes.count() // one scalar; materializes e0 + nodes
+    if (localEligible && nCount <= maxLocalNodes && norm.count() <= maxLocalEdges) {
       // deterministic accumulation order: edges sorted by (dst, src).
+      // Endpoints are CAST to the coerced node type so mixed-width
+      // src/dst columns (int vs bigint) key one node, like the SQL path.
       // A NULL weight normalizes to NULL __w; the distributed superstep's
       // sum() skips it — locally that is a 0.0 contribution, with the
       // edge KEPT so its endpoints still define nodes/out-degree
-      val probe = norm.orderBy("__dst", "__src").collect()
+      val probe = norm
+        .select(col("__src").cast(nodeType), col("__dst").cast(nodeType), col("__w"))
+        .orderBy("__dst", "__src").collect()
       val es = probe.map(r =>
         (r.get(0), r.get(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
       val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
@@ -85,7 +103,7 @@ object Graph {
       }
       val vs: Array[Any] =
         (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct.sorted(ord)
-      if (vs.length <= maxLocalNodes) {
+      locally {
         val n = vs.length
         val idx: Map[Any, Int] = vs.zipWithIndex.toMap
         val hasOut: Set[Any] = es.iterator.map(_._1).toSet
@@ -113,7 +131,7 @@ object Graph {
           spark.sparkContext.parallelize(rows, 1), outSchema)
       }
     }
-    val n = nodes.count()   // one scalar; materializes nodes for reuse
+    val n = nCount
     val base = lit((1.0 - damping) / n)
     // dangling = nodes with no out-edges; with danglingMass their rank is
     // re-spread uniformly each superstep (total rank stays exactly 1)

@@ -194,7 +194,9 @@ object Mp4Demux {
     * samples whose extent falls outside the buffer are dropped). */
   def demuxWithPayload(bytes: Array[Byte]): Seq[(Sample, Array[Byte])] =
     demux(bytes).flatMap { s =>
-      if (s.offset >= 0 && s.offset + s.size <= bytes.length)
+      // overflow-safe form: offset + size could wrap Long on a corrupt
+      // co64 offset and sneak past a naive `offset + size <= length`
+      if (s.offset >= 0 && s.size >= 0 && s.offset <= bytes.length.toLong - s.size)
         Some((s, java.util.Arrays.copyOfRange(bytes, s.offset.toInt, s.offset.toInt + s.size)))
       else None
     }

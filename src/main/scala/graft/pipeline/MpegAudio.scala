@@ -407,16 +407,17 @@ object MpegAudio {
     val alloc = Array.ofDim[Int](ch, 32) // quantizer levels
     var sb = 0
     while (sb < 32) {
+      def levelsOf(a: Int): Int = {
+        // code 15 is forbidden by the spec: refuse (-> None via the frame
+        // loop's catch), never decode 16 bits of garbage per sample
+        if (a == 15) throw new IllegalArgumentException("forbidden L1 allocation 15")
+        if (a == 0) 0 else (1 << (a + 1)) - 1
+      }
       if (sb < h.bound) {
         var c = 0
-        while (c < ch) {
-          val a = r.bits(4)
-          alloc(c)(sb) = if (a == 0) 0 else (1 << (a + 1)) - 1
-          c += 1
-        }
+        while (c < ch) { alloc(c)(sb) = levelsOf(r.bits(4)); c += 1 }
       } else {
-        val a = r.bits(4)
-        val l = if (a == 0) 0 else (1 << (a + 1)) - 1
+        val l = levelsOf(r.bits(4))
         var c = 0
         while (c < ch) { alloc(c)(sb) = l; c += 1 }
       }

@@ -466,7 +466,9 @@ object Similarity {
               nLists: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding", seed: Long = 42L,
               sampleFraction: Double = 1.0, trainMaxIter: Int = 8): DataFrame = {
-    val model = ivfTrain(corpus, nLists, vecCol, seed, sampleFraction, trainMaxIter)
+    // forward idCol too: kmeansInit's deterministic first-k seeding orders
+    // by it (the knnLabelAudit delegate bug class, r7)
+    val model = ivfTrain(corpus, nLists, vecCol, seed, sampleFraction, trainMaxIter, idCol)
     ivfQuery(model, ivfAssign(model, corpus, vecCol), queries, k, nProbe, idCol, vecCol)
   }
 

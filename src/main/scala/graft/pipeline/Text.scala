@@ -658,7 +658,9 @@ object Text {
     // so back-to-back utms would otherwise survive every other one).
     val utm1 = regexp_replace(lowered, "([?&])(utm_[^&#]*&)+", "$1")
     val utm2 = regexp_replace(utm1, "[?&]utm_[^&#]*$", "")
-    regexp_replace(regexp_replace(utm2, "/$", ""), "\\?$", "")
+    // '?' strip FIRST: a URL ending '/?' must collapse with its slashless
+    // twin ('a.com/?' -> 'a.com/' -> 'a.com'), not keep the slash
+    regexp_replace(regexp_replace(utm2, "\\?$", ""), "/$", "")
   }
 
   /** Host of an http(s) URL, lowercased (port kept — it distinguishes

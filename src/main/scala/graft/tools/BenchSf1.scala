@@ -143,8 +143,8 @@ object BenchSf1 {
 
     // a failed line must NOT land in the published JSON as a plausible
     // (usually faster) number — NaN propagates to "failed":true below
-    def timed(fn: (SparkSession, String) => DataFrame, dir: String): Double =
-      (1 to 2).map { _ =>
+    def timed(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val runs = (1 to 2).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
         try {
@@ -154,7 +154,12 @@ object BenchSf1 {
           System.err.println(s"[sf1] failed on $dir: ${e.getMessage}")
           Double.NaN
         }
-      }.min
+      }
+      // ANY failed run fails the line: Scala's total-order min would pick
+      // the surviving (warm, usually faster) run and publish a plausible
+      // number with no failed flag — exactly what must not happen
+      if (runs.exists(_.isNaN)) Double.NaN else runs.min
+    }
 
     val rows = workloads.map { case (name, fn) =>
       val t01 = timed(fn, srcDir)
