@@ -289,6 +289,20 @@ class CliSpec extends SparkSpec {
     assert(a === b, "renamed columns must not change the audit")
   }
 
+  test("pipeline ann-topk forwards non-default --id to the deterministic train") {
+    // regression: ivfTopK delegated to ivfTrain without idCol, so the
+    // kmeansInit first-k seeding ordered by a nonexistent vec_id and threw
+    val dir = Files.createTempDirectory("graft-cli12").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumnRenamed("vec_id", "item_id")
+    emb.write.parquet(s"$dir/renamed")
+    Cli.run(spark, List("pipeline", "ann-topk", s"$dir/renamed", s"$dir/topk",
+      "--id", "item_id", "--k", "3"))
+    val out = spark.read.parquet(s"$dir/topk")
+    assert(out.count() > 0)
+    assert(out.columns.contains("query_id") && out.columns.contains("neighbor_id"))
+  }
+
   test("pipeline url-extract and pagerank --dangling-mass") {
     import org.apache.spark.sql.functions.{col, sum}
     import spark.implicits._
