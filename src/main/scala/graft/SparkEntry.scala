@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.CladeFrame
 import graft.modify.Modify
 import graft.describe.Describe
-import graft.analyze.{AssociationStudy, Corrections}
+import graft.analyze.{AssociationStudy, Corrections, InteractionStudy}
 import graft.pipeline.{Blocklist, Decontaminate, Dedup, Graph, Joins, Layout, Packing, Sampling, Similarity, Text}
 import graft.streaming.EventStreams
 
@@ -928,6 +928,29 @@ object SparkEntry {
         .select(col("doc_id"), round(col("pvalue"), 8).as("pvalue"),
           round(col("pvalue_fdr"), 6).as("pvalue_fdr"))
         .orderBy("doc_id")
+    }),
+
+    "analyze_interaction_pair" -> ((s, dir) => {
+      // InteractionStudy LRT (reference: interaction_regression.py:22-501):
+      // gaussian outcome, three continuous pairs — full model
+      // y ~ 1 + v1 + v2 + v1:v2 vs restricted without the product term,
+      // lrstat = -2*(llf_r - llf_f) with estimated (Pearson) scale. The
+      // oracle replays the 4-parameter normal equations in DuckDB via
+      // sequential Gram-Schmidt orthogonalization: by Frisch-Waugh-Lovell
+      // the slope of the LAST orthogonalized regressor IS the full-model
+      // interaction beta, and the per-stage projection drops give both RSS
+      // values in closed form (see interactionPairArm)
+      val cf = CladeFrame(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_quantity", "l_discount", "l_tax"),
+        "l_orderkey")
+      InteractionStudy.run(s, cf, outcome = "l_extendedprice",
+        interactions = Seq(("l_quantity", "l_discount"), ("l_quantity", "l_tax"),
+          ("l_discount", "l_tax")), minN = 1)
+        .select(col("Term1").as("term1"), col("Term2").as("term2"),
+          col("N").as("n"),
+          round(col("Beta"), 4).as("beta"), round(col("SE"), 4).as("se"),
+          round(col("LRT_pvalue"), 6).as("lrt_pvalue"))
+        .orderBy("term1", "term2")
     }),
 
     "modify_make_categorical" -> ((s, dir) => {
@@ -1874,6 +1897,50 @@ object SparkEntry {
     arms.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY variable")
   }
 
+  /** One UNION-ALL arm of the interaction oracle: full-vs-restricted OLS
+    * for y ~ 1 + x1 + x2 + x1*x2 replayed via sequential Gram-Schmidt.
+    * Center everything (eliminates the intercept), then z2 = c2 − proj(c2
+    * on c1), z3 = c3 − proj(c3 on c1, z2). By Frisch–Waugh–Lovell,
+    * beta(x1:x2) = Σz3·cy / Σz3², SE = sqrt(RSS_f/(n−4)/Σz3²), and each
+    * orthogonal stage's squared-projection drop yields RSS_restricted /
+    * RSS_full in closed form. lrstat mirrors Glm.fitGaussian's estimated-
+    * scale llf: 1 + n·ln((RSS_r/(n−3))·(n−4)/RSS_f); p = chi2_sf(·,1)
+    * = erfc(sqrt(lr/2)) via the Cody replay. */
+  private def interactionPairArm(x1: String, x2: String): String = {
+    val lr = "(1.0 + n * ln((rss_r / (n - 3)) * (n - 4) / rss_f))"
+    s"""SELECT '$x1' AS term1, '$x2' AS term2, CAST(n AS BIGINT) AS n,
+       |  round(beta3, 4) AS beta,
+       |  round(sqrt(rss_f / (n - 4) / s33), 4) AS se,
+       |  round(CASE WHEN $lr <= 0 THEN 1.0
+       |        ELSE ${sqlErfc(s"sqrt($lr / 2)")} END, 6) AS lrt_pvalue
+       |FROM (
+       |  WITH b AS (SELECT CAST($x1 AS DOUBLE) AS x1, CAST($x2 AS DOUBLE) AS x2,
+       |               CAST($x1 AS DOUBLE) * CAST($x2 AS DOUBLE) AS x3,
+       |               CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+       |  m AS (SELECT count(*) AS n, avg(x1) AS m1, avg(x2) AS m2,
+       |               avg(x3) AS m3, avg(y) AS my FROM b),
+       |  c AS (SELECT x1 - m1 AS c1, x2 - m2 AS c2, x3 - m3 AS c3, y - my AS cy
+       |        FROM b CROSS JOIN m),
+       |  g1 AS (SELECT sum(c1*c1) AS s11, sum(c1*c2) AS s12, sum(c1*c3) AS s13,
+       |                sum(c1*cy) AS s1y FROM c),
+       |  z2t AS (SELECT c.*, c2 - (s12/s11)*c1 AS z2 FROM c CROSS JOIN g1),
+       |  g2 AS (SELECT sum(z2*z2) AS s22, sum(z2*c3) AS s23, sum(z2*cy) AS s2y FROM z2t),
+       |  z3t AS (SELECT z2t.*, c3 - (s13/s11)*c1 - (s23/s22)*z2 AS z3
+       |          FROM z2t CROSS JOIN g1 CROSS JOIN g2),
+       |  g3 AS (SELECT sum(z3*z3) AS s33, sum(z3*cy) AS s3y FROM z3t),
+       |  gy AS (SELECT sum(cy*cy) AS syy FROM c)
+       |  SELECT n, s33, s3y/s33 AS beta3,
+       |    syy - s1y*s1y/s11 - s2y*s2y/s22 AS rss_r,
+       |    syy - s1y*s1y/s11 - s2y*s2y/s22 - s3y*s3y/s33 AS rss_f
+       |  FROM m CROSS JOIN g1 CROSS JOIN g2 CROSS JOIN g3 CROSS JOIN gy
+       |)""".stripMargin
+  }
+
+  private def interactionPairOracle: String =
+    Seq(("l_quantity", "l_discount"), ("l_quantity", "l_tax"), ("l_discount", "l_tax"))
+      .map { case (a, b) => interactionPairArm(a, b) }
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY term1, term2")
+
   // -------------------------------------------- minhash/simhash SQL replay
   // DuckDB replay of the Dedup hash kernels (Dedup.polyHash via Text,
   // fmix64, the seeded family) so the LSH candidate queries are hash-proven
@@ -2768,6 +2835,8 @@ object SparkEntry {
                FROM r)
          SELECT doc_id, round(pvalue, 8) AS pvalue, round(fdr, 6) AS pvalue_fdr
          FROM f WHERE fdr <= 0.05 ORDER BY doc_id""",
+
+    "analyze_interaction_pair" -> interactionPairOracle,
 
     "modify_make_categorical" ->
       """SELECT 'o_orderstatus' AS variable, o_orderstatus AS level FROM orders GROUP BY 2

@@ -13,16 +13,13 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sfDir = "/root/testdata/sf0.1"
-    Seq("graph_pagerank", "graph_pagerank_dangling", "pipeline_curate_e2e").foreach { n =>
-      graft.SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[drive] $n min ${times.min}%.2f s")
-    }
+    val sfDir = "/root/testdata/sf0.01"
+    val name = "analyze_interaction_pair"
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.show(20, truncate = false)
+    df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/drive_out/$name")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/drive_out/sql.txt"),
+      graft.SparkEntry.oracleSql(name))
     spark.stop()
   }
 }
