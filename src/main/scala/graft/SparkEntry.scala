@@ -800,11 +800,18 @@ object SparkEntry {
     }),
 
     "describe_summarize_approx" -> ((s, dir) =>
-      // sketch profile (HLL distinct + approx quantiles): approximate by
-      // contract, so rows-only here; error bounds pinned in
-      // ModifyDescribeSpec instead
-      Describe.summarizeApprox(s, t(s, dir, "lineitem"),
+      // sketch profile with an EXACT audit core: n/mean/min/max hash-match
+      // DuckDB directly; the HLL-distinct and GK-quantile sketches are
+      // approximate by contract so they surface as deterministic in-bounds
+      // booleans (rank window ±1/accuracy; |distinct err| ≤ 3·rsd) that the
+      // oracle pins TRUE — a sketch regression past its published bound
+      // reds this row instead of hiding behind "approximate";
+      // ModifyDescribeSpec pins the numeric error bounds as units
+      Describe.summarizeApproxAudited(s, t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("variable"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
+          col("distinct_ok"), col("p25_ok"), col("p50_ok"), col("p75_ok"))
         .orderBy("variable")),
 
     "describe_histogram" -> ((s, dir) =>
@@ -1638,9 +1645,11 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "pack_firstfit" -> ((s, dir) =>
-      // greedy no-split bin packing is inherently sequential per group (one
-      // linear mapPartitions pass) — not SQL-expressible, rows-only check;
-      // PackingSpec verifies against a brute-force sequential reference
+      // greedy no-split bin packing is sequential per group (one linear
+      // mapPartitions pass) but still deterministic — the oracle replays
+      // the exact (bin_id, fill) recurrence with a DuckDB recursive CTE
+      // advancing every group one row per iteration; PackingSpec
+      // additionally verifies against a brute-force sequential reference
       Packing.packFirstFit(t(s, dir, "documents"), "n_chars", maxTokens = 4096,
           groupCol = "lang", orderCol = "doc_id")
         .select(col("doc_id"), col("lang"), col("bin_id"))
@@ -2732,6 +2741,34 @@ object SparkEntry {
            (SELECT count(*) FROM events) AS n_rows
          FROM kinds ORDER BY kinds.type""",
 
+    "describe_summarize_approx" ->
+      // the exact audit core hash-matches; the sketch in-bounds booleans are
+      // pinned TRUE (deterministic hash-seeded sketches inside published
+      // error bounds — see Describe.summarizeApproxAudited)
+      """SELECT variable, n, mean, min, max,
+           TRUE AS distinct_ok, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+         FROM (
+           SELECT 'l_quantity' AS variable, count(CAST(l_quantity AS DOUBLE)) AS n,
+             round(avg(CAST(l_quantity AS DOUBLE)), 6) AS mean,
+             round(min(CAST(l_quantity AS DOUBLE)), 6) AS min,
+             round(max(CAST(l_quantity AS DOUBLE)), 6) AS max FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', count(CAST(l_extendedprice AS DOUBLE)),
+             round(avg(CAST(l_extendedprice AS DOUBLE)), 6),
+             round(min(CAST(l_extendedprice AS DOUBLE)), 6),
+             round(max(CAST(l_extendedprice AS DOUBLE)), 6) FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', count(CAST(l_discount AS DOUBLE)),
+             round(avg(CAST(l_discount AS DOUBLE)), 6),
+             round(min(CAST(l_discount AS DOUBLE)), 6),
+             round(max(CAST(l_discount AS DOUBLE)), 6) FROM lineitem
+           UNION ALL
+           SELECT 'l_tax', count(CAST(l_tax AS DOUBLE)),
+             round(avg(CAST(l_tax AS DOUBLE)), 6),
+             round(min(CAST(l_tax AS DOUBLE)), 6),
+             round(max(CAST(l_tax AS DOUBLE)), 6) FROM lineitem)
+         ORDER BY variable""",
+
     "describe_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
          w AS (SELECT lo, hi, (hi - lo) / 20 AS width FROM b),
@@ -3609,6 +3646,27 @@ object SparkEntry {
              THEN CAST(floor((start_offset + n_chars - 1) / 4096.0) AS BIGINT)
              ELSE CAST(floor(start_offset / 4096.0) AS BIGINT) END AS chunk_last
          FROM o ORDER BY doc_id""",
+
+    "pack_firstfit" ->
+      // exact replay of Packing.packFirstFit's sequential (bin_id, fill)
+      // recurrence: the recursive CTE advances EVERY group by one row per
+      // iteration (rn joins rn+1), so depth = max rows per group, width =
+      // #groups — the same O(group-size) work as the engine's linear pass
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, lang, CAST(coalesce(n_chars, 0) AS BIGINT) AS n,
+                  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM documents),
+         p AS (
+           SELECT doc_id, lang, rn, n, CAST(0 AS BIGINT) AS bin_id, n AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.lang, d.rn, d.n,
+             CASE WHEN p.fill > 0 AND p.fill + d.n > 4096
+                  THEN p.bin_id + CAST(1 AS BIGINT) ELSE p.bin_id END,
+             CASE WHEN p.fill > 0 AND p.fill + d.n > 4096
+                  THEN d.n ELSE p.fill + d.n END
+           FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+         SELECT doc_id, lang, bin_id FROM p ORDER BY doc_id""",
 
     "sample_cluster_balanced" ->
       """WITH init AS (

@@ -116,6 +116,66 @@ object Describe {
       "p25_approx", "p50_approx", "p75_approx", "max")
   }
 
+  /** summarizeApprox plus an EXACT audit pass — the shape that lets the
+    * sketch profile be driver-oracled. Returns per variable:
+    *
+    *  - the exact mergeable core (`n`, `mean`, `min`, `max`) — hash-matchable
+    *    against any exact engine;
+    *  - one boolean per sketch asserting it landed inside its DETERMINISTIC
+    *    contract: each GK quantile's exact rank window must straddle its
+    *    target within ±1/`accuracy` (the sketch's published guarantee), and
+    *    the HLL distinct estimate must sit within `rsdSlack`·`rsd` of the
+    *    exact count. The booleans are deterministic given the data (both
+    *    sketches are hash-seeded, not random), so an oracle can pin them
+    *    TRUE — a sketch regression past its bound reds the row instead of
+    *    hiding behind "approximate by contract".
+    *
+    * Cost: summarizeApprox's one-pass sketch job, an O(#cols) collect of the
+    * one-row result, then ONE exact audit aggregation (count-distinct + rank
+    * counts of the sketch outputs). The audit pass is the expensive half at
+    * corpus scale — this is the validation shape you run on a sample or
+    * slice, while production profiling calls plain summarizeApprox. */
+  def summarizeApproxAudited(spark: SparkSession, df: DataFrame, cols: Seq[String],
+                             rsd: Double = 0.05, accuracy: Int = 10000,
+                             rsdSlack: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val sk = summarizeApprox(spark, df, cols, rsd, accuracy).collect()
+    val byVar = sk.map(r => r.getString(0) -> r).toMap
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      val r = byVar(c)
+      count_distinct(v).as(s"d__$c") +: Seq(5, 6, 7).flatMap { i =>
+        val lim = if (r.isNullAt(i)) lit(null) else lit(r.getDouble(i))
+        Seq(count(when(v <= lim, 1)).as(s"le${i}__$c"),
+          count(when(v < lim, 1)).as(s"lt${i}__$c"))
+      }
+    }
+    val ex = df.agg(aggs.head, aggs.tail: _*).head()
+    val eps = 1.0 / accuracy
+    cols.zipWithIndex.map { case (c, ci) =>
+      val r = byVar(c)
+      val n = r.getLong(1)
+      val b = ci * 7
+      val exactD = ex.getLong(b)
+      val approxD = r.getLong(2)
+      val distinctOk =
+        if (exactD == 0L) approxD == 0L
+        else math.abs(approxD - exactD).toDouble <= rsdSlack * rsd * exactD
+      def qOk(skIdx: Int, exOff: Int, q: Double): Boolean =
+        if (r.isNullAt(skIdx)) n == 0L
+        else {
+          val le = ex.getLong(b + exOff)
+          val lt = ex.getLong(b + exOff + 1)
+          lt.toDouble / n - eps <= q && q <= le.toDouble / n + eps
+        }
+      def dOrNull(ix: Int) = if (r.isNullAt(ix)) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(r.getDouble(ix))
+      (c, n, dOrNull(3), dOrNull(4), dOrNull(8),
+        distinctOk, qOk(5, 1, 0.25), qOk(6, 3, 0.5), qOk(7, 5, 0.75))
+    }.toDF("variable", "n", "mean", "min", "max",
+      "distinct_ok", "p25_ok", "p50_ok", "p75_ok")
+  }
+
   /** correlations: pairwise-complete Pearson correlation for every pair of
     * (numeric-castable) variables, |corr| >= threshold, sorted desc
     * (reference: describe.py:26-75).

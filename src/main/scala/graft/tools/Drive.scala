@@ -2,7 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch end-to-end driver for ad-hoc verification (see skills/verify). */
+/** Scratch end-to-end driver for ad-hoc verification (see skills/verify):
+  * runs the named SparkEntry queries at the given sf dir, dumps each result
+  * parquet under /tmp/drive_out/<name> and its oracle SQL (when declared)
+  * to /tmp/drive_out/<name>.sql for a DuckDB cross-check. */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -13,13 +16,18 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sfDir = "/root/testdata/sf0.01"
-    val name = "analyze_interaction_pair"
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.show(20, truncate = false)
-    df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/drive_out/$name")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/drive_out/sql.txt"),
-      graft.SparkEntry.oracleSql(name))
+    val sfDir = sys.env.getOrElse("DRIVE_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else Seq("analyze_interaction_pair")
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.show(10, truncate = false)
+      df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/drive_out/$name")
+      graft.SparkEntry.oracleSql.get(name).foreach { sql =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"/tmp/drive_out/$name.sql"), sql)
+      }
+      println(s"[drive] $name dumped")
+    }
     spark.stop()
   }
 }
