@@ -1527,7 +1527,8 @@ object SparkEntry {
           round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
         .orderBy("doc_id")),
 
-    // ---- multimodal plumbing (driver mandate; decode kernel stubbed)
+    // ---- multimodal (driver mandate; real decode kernels for image/PCM/
+    // FLAC/MP2 + real ISO-BMFF demux; only MP3-L3/video SAMPLE decode stubbed)
     "multimodal_meta" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
         .withColumn("payload", col("text").cast("binary"))
@@ -1538,13 +1539,26 @@ object SparkEntry {
     }),
 
     "multimodal_features" -> ((s, dir) => {
-      // stub decode -> 8-dim features; rows-only check (byte-loop kernel not
-      // SQL-expressible); plumbing correctness in MultimodalSpec
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
-        .withColumn("payload", col("text").cast("binary"))
-      graft.pipeline.Multimodal.extractFeatures(s, docs, "doc_id", "payload")
-        .select(col("id"), round(element_at(col("features"), 1), 4).as("f0"),
-          round(element_at(col("features"), 8), 4).as("f7"))
+      // every REAL decode kernel end-to-end through ONE extractFeatures
+      // call on committed deterministic fixtures: MPEG-1 Layer II
+      // bitstream+filterbank (mp2), from-scratch FLAC (fixed+Rice /
+      // verbatim frames), javax.sound PCM (wav), ImageIO pixels (bmp),
+      // ISO-BMFF container metadata (mp4) — plus one text payload pinning
+      // the documented stub fallback. The oracle is the VALUES literal of
+      // the full 8-dim feature table (kernels separately unit-proven in
+      // MpegAudioSpec / PipelineSpec incl. FLAC-vs-WAV cross-decode)
+      import s.implicits._
+      val df = Seq(
+        (1L, fixtureBytes("/graft/fixtures/sample.mp2")),
+        (2L, fixtureBytes("/graft/fixtures/sample.flac")),
+        (3L, fixtureBytes("/graft/fixtures/sample.wav")),
+        (4L, fixtureBytes("/graft/fixtures/sample.bmp")),
+        (5L, fixtureBytes("/graft/fixtures/sample.mp4")),
+        (6L, "GRAFT stub fallback payload".getBytes("UTF-8")))
+        .toDF("doc_id", "payload")
+      graft.pipeline.Multimodal.extractFeatures(s, df, "doc_id", "payload")
+        .select(col("id") +: (1 to 8).map(i =>
+          round(element_at(col("features"), i).cast("double"), 4).as(s"f${i - 1}")): _*)
         .orderBy("id")
     }),
 
@@ -3509,6 +3523,26 @@ object SparkEntry {
     // are deterministic (FixtureGen), so the expected decode/demux output
     // is a literal table — the driver hash now covers the real Layer II
     // decoder and the ISO-BMFF sample-table demux end to end
+    "multimodal_features" ->
+      // one row per committed fixture through its REAL kernel: mp2 Layer II
+      // decode, FLAC decode, WAV PCM decode, BMP pixel stats, MP4 container
+      // metadata, text -> documented stub; values pinned from the
+      // deterministic fixtures (kernels unit-proven elsewhere)
+      """SELECT CAST(id AS BIGINT) AS id, CAST(f0 AS DOUBLE) AS f0,
+           CAST(f1 AS DOUBLE) AS f1, CAST(f2 AS DOUBLE) AS f2,
+           CAST(f3 AS DOUBLE) AS f3, CAST(f4 AS DOUBLE) AS f4,
+           CAST(f5 AS DOUBLE) AS f5, CAST(f6 AS DOUBLE) AS f6,
+           CAST(f7 AS DOUBLE) AS f7
+         FROM (VALUES
+           (1, 0.264,  1.0,    48000.0, 0.3704, 0.0416, 0.6986, 0.3133, 0.0),
+           (2, 0.016,  1.0,    8000.0,  0.1455, 0.0625, 0.2441, 0.1262, 0.0095),
+           (3, 0.1,    1.0,    8000.0,  0.3535, 0.1088, 0.5,    0.3183, 0.0),
+           (4, 8.0,    4.0,    3.0,     0.4985, 0.0,    0.5015, 0.2062, 0.0606),
+           (5, 0.5,    0.0,    0.0,     1.0,    1000.0, 0.0,    0.0,    0.0),
+           (6, 1.5529, 1.4745, 1.1922,  0.8,    1.149,  0.9294, 1.349,  1.2627))
+         t(id, f0, f1, f2, f3, f4, f5, f6, f7)
+         ORDER BY id""",
+
     "multimodal_audio_mp2" ->
       """SELECT CAST(1 AS BIGINT) AS id, CAST(0.264 AS DOUBLE) AS duration_sec,
            1 AS channels, 48000 AS rate_hz, CAST(0.3704 AS DOUBLE) AS rms,

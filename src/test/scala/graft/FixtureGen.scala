@@ -24,6 +24,42 @@ object FixtureGen {
     val (mp4, _) = Mp4TestBuilder.buildMp4()
     java.nio.file.Files.write(outDir.resolve("sample.mp4"), mp4)
 
-    println(s"wrote ${mp2.length}B sample.mp2 and ${mp4.length}B sample.mp4 to $outDir")
+    // mono FLAC, 2 frames (FIXED+Rice sine / VERBATIM ramp) — feeds the
+    // real decodeFlac kernel in the multimodal_features query
+    val flac = FlacTestEncoder.encodeFixture()
+    java.nio.file.Files.write(outDir.resolve("sample.flac"), flac)
+
+    // 0.1 s 440 Hz sine, 16-bit mono 8 kHz WAV — real javax.sound decode
+    val wavRate = 8000f
+    val wavFrames = 800
+    val wavPcm = new Array[Byte](wavFrames * 2)
+    (0 until wavFrames).foreach { i =>
+      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / wavRate) * 32767).toInt.toShort
+      wavPcm(2 * i) = (s & 0xff).toByte
+      wavPcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val wavFmt = new javax.sound.sampled.AudioFormat(wavRate, 16, 1, true, false)
+    val wavBaos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(wavPcm), wavFmt, wavFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBaos)
+    java.nio.file.Files.write(outDir.resolve("sample.wav"), wavBaos.toByteArray)
+
+    // 8x4 horizontal red->blue gradient BMP — real ImageIO decode
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach { x =>
+      val r = (x * 255 / 7) & 0xff
+      val rgb = (r << 16) | (255 - r)
+      (0 until 4).foreach(y => img.setRGB(x, y, rgb))
+    }
+    val bmpBaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmpBaos)
+    java.nio.file.Files.write(outDir.resolve("sample.bmp"), bmpBaos.toByteArray)
+
+    println(s"wrote sample.mp2 (${mp2.length}B), sample.mp4 (${mp4.length}B), " +
+      s"sample.flac (${flac.length}B), sample.wav (${wavBaos.size}B), " +
+      s"sample.bmp (${bmpBaos.size}B) to $outDir")
   }
 }

@@ -763,6 +763,33 @@ class PipelineSpec extends SparkSpec {
     intercept[Exception] { bad.selectExpr("cosine_similarity(a, b)").head }
   }
 
+  test("multimodal: committed sample.flac fixture decodes to its known samples (WAV cross-check)") {
+    // the fixture feeding the driver-visible multimodal_features query:
+    // decodeFlac on the committed bytes must equal the JDK WAV decoder on
+    // the same 16-bit samples (independent decode path)
+    val bytes = {
+      val in = getClass.getResourceAsStream("/graft/fixtures/sample.flac")
+      assert(in != null, "missing committed sample.flac — run Test/runMain graft.FixtureGen")
+      try in.readAllBytes() finally in.close()
+    }
+    // committed bytes == deterministic re-encode (catches fixture drift)
+    assert(bytes.toSeq === FlacTestEncoder.encodeFixture().toSeq,
+      "sample.flac drifted from FlacTestEncoder — regenerate and re-pin the oracle")
+    val got = Multimodal.decodeFlac(bytes).get
+    val samples = FlacTestEncoder.fixtureSamples
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte }
+    val fmt = new javax.sound.sampled.AudioFormat(FlacTestEncoder.rate.toFloat, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val exp = Multimodal.decodeAudio(baos.toByteArray).get
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) < 1e-6, s"fixture FLAC vs WAV feature $i: $g vs $e") }
+  }
+
   test("htmlExtract: tags, script/style content, comments, entities") {
     import spark.implicits._
     val html = "<html><head><style>h1{x:1}</style><script src=\"a.js\"></script>" +
