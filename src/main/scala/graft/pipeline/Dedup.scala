@@ -228,7 +228,25 @@ object Dedup {
     // takes over exactly when the graph could not fit one machine.
     val localBound = spark.conf.getOption("graft.components.localMaxEdges")
       .map(_.toLong).getOrElse(localMaxEdges)
-    if (edges.count() <= localBound) return localComponents(spark, edges)
+    // local-path eligibility (same gate as Graph.pageRank): the union-find
+    // keys a JVM HashMap and orders ids via Comparable — sound for strings
+    // and primitive numerics only (binary ids compare by reference /
+    // ClassCastException), and NULL ids would group in the Map where the
+    // distributed path's SQL joins never match them. Both shapes route to
+    // the distributed path; the (count, null-count) probe is ONE aggregation
+    // over the checkpointed edge list.
+    val idEligible = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+    val probe = edges.agg(
+      count(lit(1)).as("n"),
+      count(when(col("src").isNull || col("dst").isNull, 1)).as("nulls")).head()
+    if (idEligible && probe.getLong(1) == 0L && probe.getLong(0) <= localBound)
+      return localComponents(spark, edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

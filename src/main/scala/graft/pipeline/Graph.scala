@@ -93,6 +93,12 @@ object Graph {
       val probe = norm
         .select(col("__src").cast(nodeType), col("__dst").cast(nodeType), col("__w"))
         .orderBy("__dst", "__src").collect()
+      // NULL endpoints: the SQL supersteps never join them (NULL matches
+      // nothing) while the JVM Map would key and propagate their mass —
+      // same input, path-dependent result. Any null src/dst falls through
+      // to the distributed path instead (probe rows are already bounded,
+      // so the scan is cheap).
+      if (!probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
       val es = probe.map(r =>
         (r.get(0), r.get(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
       val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
@@ -129,6 +135,7 @@ object Graph {
         e0.unpersist(blocking = false)
         return spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), outSchema)
+      }
       }
     }
     val n = nCount

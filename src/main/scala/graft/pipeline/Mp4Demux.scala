@@ -21,7 +21,10 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Mp4Demux {
 
-  /** One media sample: byte extent within the container plus timing. */
+  /** One media sample: byte extent within the container plus timing.
+    * `codec` resolves through stsc's sample_description_index into the
+    * stsd entry list (multi-entry tracks label each sample with ITS
+    * chunk's codec, not just the first entry's). */
   final case class Sample(trackId: Int, codec: String, sampleIdx: Int,
                           ptsSec: Double, keyframe: Boolean,
                           offset: Long, size: Int)
@@ -48,15 +51,16 @@ object Mp4Demux {
   private final class TrackState {
     var trackId: Int = -1
     var timescale: Double = 0.0
-    var codec: String = ""
+    var codecs: Array[String] = Array.empty             // stsd entries, in order
     var sttsRuns: Array[(Long, Long)] = Array.empty     // (count, delta)
     var cttsRuns: Array[(Long, Long)] = Array.empty     // (count, offset)
-    var stsc: Array[(Long, Long)] = Array.empty         // (firstChunk, samplesPerChunk)
+    var stsc: Array[(Long, Long, Long)] = Array.empty   // (firstChunk, samplesPerChunk, descIdx)
     var sizes: Array[Int] = Array.empty
     var uniformSize: Int = 0
     var nSamples: Int = 0
     var chunkOffsets: Array[Long] = Array.empty
     var syncSamples: Set[Int] = null                    // null = all sync
+    var invalid: Boolean = false                        // malformed sibling box seen
   }
 
   /** Demux every track's sample table. Returns Nil for non-BMFF bytes or
@@ -76,7 +80,14 @@ object Mp4Demux {
           if (size0 == 1 && off + 16 <= to) (16L, be64(bytes, off.toInt + 8))
           else if (size0 == 0) (8L, to - off)
           else (8L, size0)
-        if (size < hdr || off + size > to) return
+        if (size < hdr || off + size > to) {
+          // a malformed box size means nothing after it at this level can
+          // be trusted; a partially-populated sample table must not emit
+          // confidently wrong rows (e.g. an unreached stss would report
+          // EVERY sample as a keyframe) — poison the current track
+          if (cur != null) cur.invalid = true
+          return
+        }
         val body = (off + hdr).toInt
         val end = off + size
         typ match {
@@ -96,8 +107,22 @@ object Mp4Demux {
             val tsOff = body + 4 + (if (ver == 1) 16 else 8)
             if (tsOff + 4 <= end) cur.timescale = be32(bytes, tsOff).toDouble
           case "stsd" if cur != null =>
-            if (body + 16 <= end && be32(bytes, body + 4) >= 1)
-              cur.codec = fourcc(bytes, body + 12)
+            // walk EVERY sample-description entry (size-prefixed boxes);
+            // stsc's sample_description_index resolves into this list at
+            // emission, so multi-entry tracks get per-chunk codecs
+            if (body + 8 <= end) {
+              val declared = be32(bytes, body + 4)
+              val list = ArrayBuffer.empty[String]
+              var p = body + 8
+              var k = 0L
+              var ok = true
+              while (ok && k < declared && p + 8 <= end) {
+                val esz = be32(bytes, p)
+                if (esz < 8 || p + esz > end) ok = false // malformed entry: stop
+                else { list += fourcc(bytes, p + 4); p += esz.toInt; k += 1 }
+              }
+              cur.codecs = list.toArray
+            }
           case "stts" if cur != null =>
             val n = capped(body + 8, end, 8, be32(bytes, body + 4))
             cur.sttsRuns = Array.tabulate(n) { j =>
@@ -115,7 +140,8 @@ object Mp4Demux {
           case "stsc" if cur != null =>
             val n = capped(body + 8, end, 12, be32(bytes, body + 4))
             cur.stsc = Array.tabulate(n) { j =>
-              (be32(bytes, body + 8 + 12 * j), be32(bytes, body + 12 + 12 * j))
+              (be32(bytes, body + 8 + 12 * j), be32(bytes, body + 12 + 12 * j),
+                be32(bytes, body + 16 + 12 * j))
             }
           case "stsz" if cur != null =>
             cur.uniformSize = be32(bytes, body + 4).toInt
@@ -145,8 +171,8 @@ object Mp4Demux {
     catch { case _: Exception => return Nil } // truncated/corrupt boxes
 
     tracks.toSeq.flatMap { t =>
-      if (t.nSamples == 0 || t.chunkOffsets.isEmpty || t.stsc.isEmpty ||
-          t.timescale <= 0) Nil
+      if (t.invalid || t.nSamples == 0 || t.chunkOffsets.isEmpty ||
+          t.stsc.isEmpty || t.timescale <= 0) Nil
       else {
         def sizeOf(i: Int): Int = // 0-based
           if (t.uniformSize != 0) t.uniformSize else t.sizes(i)
@@ -170,13 +196,20 @@ object Mp4Demux {
         var chunk = 1
         while (sample < t.nSamples && chunk <= t.chunkOffsets.length) {
           var spc = 1L
-          t.stsc.foreach { case (fc, n) => if (fc <= chunk) spc = n }
+          var sdi = 1L
+          t.stsc.foreach { case (fc, n, d) => if (fc <= chunk) { spc = n; sdi = d } }
+          // resolve this chunk's codec via its sample_description_index
+          // (1-based); an out-of-range index falls back to the first entry
+          val codec =
+            if (sdi >= 1 && sdi <= t.codecs.length) t.codecs(sdi.toInt - 1)
+            else if (t.codecs.nonEmpty) t.codecs(0)
+            else ""
           var within = 0L
           var offInChunk = 0L
           while (within < spc && sample < t.nSamples) {
             val sz = sizeOf(sample)
             val key = t.syncSamples == null || t.syncSamples.contains(sample + 1)
-            out += Sample(t.trackId, t.codec, sample,
+            out += Sample(t.trackId, codec, sample,
               (dts(sample) + cts(sample)) / t.timescale, key,
               t.chunkOffsets(chunk - 1) + offInChunk, sz)
             offInChunk += sz

@@ -170,11 +170,18 @@ object MpegAudio {
   }
 
   // ------------------------------------------------------------- bitreader
-  private final class BitReader(b: Array[Byte], var byteOff: Int) {
+  /** Reads are bounded by `limit` (exclusive), i.e. the CURRENT FRAME's end
+    * — Layer I/II frames are self-contained (no Layer-III bit reservoir),
+    * so a frame whose bit demand crosses its own frameBytes is corrupt and
+    * must throw (-> the decoder's partial-keep path) rather than silently
+    * consume the next frame's bytes and accumulate garbled stats. */
+  private final class BitReader(b: Array[Byte], var byteOff: Int, limit: Int) {
     var bitOff = 0
     def bits(n: Int): Int = {
       var v = 0; var left = n
       while (left > 0) {
+        if (byteOff >= limit)
+          throw new ArrayIndexOutOfBoundsException(s"bit demand crossed frame end at $byteOff/$limit")
         val avail = 8 - bitOff
         val take = math.min(avail, left)
         val cur = (b(byteOff) & 0xff) >> (avail - take) & ((1 << take) - 1)
@@ -288,7 +295,14 @@ object MpegAudio {
             }
         }
       }
-    } catch { case _: Exception => return None } // truncated/corrupt stream
+    } catch {
+      // a truncated or corrupt MID-STREAM frame must not discard the whole
+      // decode (end-truncated files are crawl-common): keep the stats
+      // already accumulated and fall through — None only when NOTHING
+      // decoded (first frame bad). The partial frame that threw may have
+      // contributed some granules; that is fine for signal statistics.
+      case _: Exception => ()
+    }
     if (frames == 0 || nSamples == 0) return None
     val n = nSamples.toDouble
     val perCh = nSamples / first.channels
@@ -303,7 +317,7 @@ object MpegAudio {
   private def decodeFrame(b: Array[Byte], start: Int, h: Header,
                           synth: Array[Synthesis],
                           emit: (Array[Double], Int) => Unit): Unit = {
-    val r = new BitReader(b, start + 4)
+    val r = new BitReader(b, start + 4, math.min(start + h.frameBytes, b.length))
     if ((b(start + 1) & 1) == 0) r.bits(16) // CRC present → skip
     if (h.layer == 1) { decodeFrameL1(r, h, emit); return }
     val ch = h.channels

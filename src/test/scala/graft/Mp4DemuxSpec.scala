@@ -100,6 +100,63 @@ class Mp4DemuxSpec extends SparkSpec {
     assert(Mp4Demux.demux(c.bytes) === Nil) // parsed, no samples — no OOM
   }
 
+  test("mp4 demux: multi-entry stsd resolves per-chunk codecs via stsc desc index") {
+    val w = new Mp4TestBuilder.BoxWriter
+    w.box("ftyp") { w.fourcc("isom"); w.u32(0); w.fourcc("isom") }
+    val mdatStart = w.bb.position()
+    w.box("mdat") { w.raw(Array.tabulate(8)(_.toByte)) } // 4 samples x 2 bytes
+    w.box("moov") { w.box("trak") {
+      w.box("tkhd") { w.u32(0); w.u32(0); w.u32(0); w.u32(2); w.raw(new Array[Byte](72)) }
+      w.box("mdia") {
+        w.box("mdhd") { w.u32(0); w.u32(0); w.u32(0); w.u32(100); w.u32(400); w.u32(0) }
+        w.box("minf") { w.box("stbl") {
+          // TWO sample descriptions: avc1 then hvc1
+          w.box("stsd") { w.u32(0); w.u32(2)
+            w.box("avc1") { w.raw(new Array[Byte](8)) }
+            w.box("hvc1") { w.raw(new Array[Byte](8)) } }
+          w.box("stts") { w.u32(0); w.u32(1); w.u32(4); w.u32(100) }
+          // chunk 1 (2 samples) uses desc 1 (avc1), chunk 2 uses desc 2 (hvc1)
+          w.box("stsc") { w.u32(0); w.u32(2)
+            w.u32(1); w.u32(2); w.u32(1)
+            w.u32(2); w.u32(2); w.u32(2) }
+          w.box("stsz") { w.u32(0); w.u32(2); w.u32(4) } // uniform size 2
+          w.box("stco") { w.u32(0); w.u32(2); w.u32(mdatStart + 8); w.u32(mdatStart + 12) }
+        } }
+      }
+    } }
+    val got = Mp4Demux.demux(w.bytes)
+    assert(got.map(_.codec) === Seq("avc1", "avc1", "hvc1", "hvc1"))
+  }
+
+  test("mp4 demux: malformed sibling box poisons the track instead of emitting wrong rows") {
+    // same track as buildMp4 but with a box whose size lies BEFORE stss is
+    // reached: the old walk aborted silently and every sample came back
+    // keyframe=true; the poisoned track must emit NOTHING
+    val w = new Mp4TestBuilder.BoxWriter
+    w.box("ftyp") { w.fourcc("isom"); w.u32(0); w.fourcc("isom") }
+    val mdatStart = w.bb.position()
+    w.box("mdat") { w.raw(Array.tabulate(6)(_.toByte)) }
+    w.box("moov") { w.box("trak") {
+      w.box("tkhd") { w.u32(0); w.u32(0); w.u32(0); w.u32(1); w.raw(new Array[Byte](72)) }
+      w.box("mdia") {
+        w.box("mdhd") { w.u32(0); w.u32(0); w.u32(0); w.u32(100); w.u32(200); w.u32(0) }
+        w.box("minf") { w.box("stbl") {
+          w.box("stsd") { w.u32(0); w.u32(1); w.box("avc1") { w.raw(new Array[Byte](8)) } }
+          w.box("stts") { w.u32(0); w.u32(1); w.u32(2); w.u32(100) }
+          w.box("stsc") { w.u32(0); w.u32(1); w.u32(1); w.u32(2); w.u32(1) }
+          w.box("stsz") { w.u32(0); w.u32(3); w.u32(2) }
+          w.box("stco") { w.u32(0); w.u32(1); w.u32(mdatStart + 8) }
+          // box claiming to extend past its parent -> malformed
+          w.u32(0x7FFFFFFF); w.fourcc("free")
+          // stss would mark ONLY sample 1 as sync — never reached
+          w.box("stss") { w.u32(0); w.u32(1); w.u32(1) }
+        } }
+      }
+    } }
+    assert(Mp4Demux.demux(w.bytes) === Nil,
+      "partially-parsed sample table must not emit (stss unreached -> all-keyframe lie)")
+  }
+
   test("mp4 demux: mp4Samples Spark op explodes one row per sample") {
     import spark.implicits._
     val (mp4, payloads) = Mp4TestBuilder.buildMp4()

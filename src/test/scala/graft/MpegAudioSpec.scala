@@ -151,9 +151,35 @@ class MpegAudioSpec extends SparkSpec {
     val l3 = mp2.clone()
     l3(1) = (l3(1) & ~0x06 | 0x02).toByte
     assert(MpegAudio.decodeLayer2(l3).isEmpty)
-    // truncation mid-frame: refused (None), never garbled or thrown
-    assert(MpegAudio.decodeLayer2(mp2.take(mp2.length / 2 + 17)).isEmpty)
+    // truncation mid-frame: frames decoded BEFORE the cut are kept
+    // (end-truncated files are crawl-common); only the truncated frame is
+    // dropped. A payload too short for even one frame stays refused.
+    val full = MpegAudio.decodeLayer2(mp2).get
+    val part = MpegAudio.decodeLayer2(mp2.take(mp2.length / 2 + 17)).get
+    assert(part(0) > 0.3f * full(0) && part(0) < 0.7f * full(0),
+      s"partial duration ${part(0)} vs full ${full(0)}")
+    assert(relDiff(part(3), full(3)) < 0.15, "partial rms stays signal-shaped")
     assert(MpegAudio.decodeLayer2(mp2.take(37)).isEmpty)
+  }
+
+  test("mp2: frame whose bit demand crosses its own frame end stops cleanly (no byte bleed)") {
+    val n = 24000
+    val pcm = Array.tabulate(n)(i => 0.3 * math.sin(2 * math.Pi * 500 * i / 48000.0))
+    val mp2 = Mp2TestEncoder.encodeMp2(pcm, channels = 1) // 576-byte frames
+    val bad = mp2.clone()
+    // relabel frame 2's header from 192 to 112 kbps: the decoder computes
+    // frameBytes 336 but the frame's real allocation data demands ~576
+    // bytes — the frame-bounded BitReader must throw at the FRAME end (the
+    // old array-end bound would silently consume frame 3's bytes and
+    // accumulate garbled stats), keeping exactly frame 1's samples
+    bad(576 + 2) = ((bad(576 + 2) & 0x0f) | (7 << 4)).toByte
+    val part = MpegAudio.decodeLayer2(bad).get
+    // frame 1 fully kept; the corrupt frame may contribute the granules it
+    // decoded before hitting its frame-end bound, but decode STOPS there —
+    // nothing from frame 3 onward (the stream has ~20 more frames)
+    assert(part(0) >= 1152.0f / 48000 - 1e-6, s"frame 1 kept: ${part(0)}")
+    assert(part(0) <= 2 * 1152.0f / 48000 + 1e-6,
+      s"no bleed past the corrupt frame, got duration ${part(0)}")
   }
 
   test("mp2: extractFeatures routes Layer II payloads through the real decoder") {

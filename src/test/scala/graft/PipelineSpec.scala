@@ -114,6 +114,37 @@ class PipelineSpec extends SparkSpec {
     assert(local === dist)
   }
 
+  test("components: binary ids route to the distributed path (local gate declines)") {
+    import spark.implicits._
+    // Array[Byte] ids: the driver union-find's Comparable ordering / HashMap
+    // keying is unsound for binary (reference equality) — the type gate must
+    // send these to the distributed min-label path even under the local bound
+    val pairs = Seq(
+      (Array[Byte](1), Array[Byte](2)), (Array[Byte](2), Array[Byte](3)),
+      (Array[Byte](7), Array[Byte](8))).toDF("id1", "id2")
+    val comp = graft.pipeline.Dedup.components(pairs).collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(comp(Seq[Byte](1)) === Seq[Byte](1))
+    assert(comp(Seq[Byte](2)) === Seq[Byte](1))
+    assert(comp(Seq[Byte](3)) === Seq[Byte](1))
+    assert(comp(Seq[Byte](8)) === Seq[Byte](7))
+  }
+
+  test("components: NULL endpoints route to the distributed path (SQL null-join semantics)") {
+    import spark.implicits._
+    // a null id never equality-joins, so the distributed path leaves both
+    // the null node and its partner isolated; the local union-find would
+    // have grouped them via JVM Map semantics — the gate picks ONE semantics
+    val pairs = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(5L)))
+      .toDF("id1", "id2")
+    val comp = graft.pipeline.Dedup.components(pairs).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(comp(Some(1L)) === Some(1L) && comp(Some(2L)) === Some(1L))
+    assert(comp(Some(5L)) === Some(5L), "null partner must stay isolated")
+    assert(comp(None) === None)
+  }
+
   test("simhash of identical docs is identical; near-dups are close") {
     val s0 = Dedup.simhash(docs.filter(col("doc_id") === 0).head.getString(1))
     val s3 = Dedup.simhash(docs.filter(col("doc_id") === 3).head.getString(1))

@@ -382,6 +382,26 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.pagerank.localMaxNodes")
   }
 
+  test("pageRank: NULL endpoints fall through to the distributed path (paths agree)") {
+    import spark.implicits._
+    // a null src/dst edge: SQL joins never match it, while the local Map
+    // would key it and propagate its mass — the local gate must decline so
+    // BOTH conf settings produce the identical (SQL-semantics) result
+    val edges = Seq((Option("a"), Option("b"), 1.0), (Option("b"), Option("a"), 2.0),
+      (Option.empty[String], Option("c"), 1.0)).toDF("src", "dst", "w")
+    def run(): Map[Option[String], Double] =
+      graft.pipeline.Graph.pageRank(edges, "src", "dst", "w", iterations = 2)
+        .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getString(0)))
+          -> r.getDouble(1)).toMap
+    val default = run()
+    spark.conf.set("graft.pagerank.localMaxNodes", "0")
+    val forced = try run() finally spark.conf.unset("graft.pagerank.localMaxNodes")
+    assert(default.keySet === forced.keySet)
+    default.foreach { case (k, v) => assert(math.abs(forced(k) - v) < 1e-12, s"$k") }
+    // and the null-src edge contributed no mass to c anywhere
+    assert(math.abs(default(Some("c")) - (0.15 / 4)) < 1e-12)
+  }
+
   test("zOrder: interleave bits exactly; cells partition rows; layout sorts by z") {
     import spark.implicits._
     // interleaveBits(3, 5) with 3 bits: x=011 at even positions, y=101 at
