@@ -960,6 +960,52 @@ object SparkEntry {
         .orderBy("term1", "term2")
     }),
 
+    "analyze_interaction_betas" -> ((s, dir) => {
+      // report_betas mode (reference: interaction_regression.py:255-295):
+      // one row per interaction design column carrying the REDUCED-model
+      // coefficients and the FULL-model var1/var2/interaction coefficients.
+      // Oracle: explicit Cramer's-rule solve of the 3-predictor normal
+      // equations on centered moments (betas + SEs + estimated-scale LRT);
+      // the t-based per-coefficient p-values stay golden-tested only
+      val cf = CladeFrame(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_quantity", "l_discount"),
+        "l_orderkey")
+      InteractionStudy.run(s, cf, outcome = "l_extendedprice",
+        interactions = Seq(("l_quantity", "l_discount")), minN = 1,
+        reportBetas = true)
+        .select(col("Term1").as("term1"), col("Term2").as("term2"),
+          col("Parameter").as("parameter"), col("N").as("n"),
+          round(col("LRT_pvalue"), 6).as("lrt_pvalue"),
+          round(col("Red_Var1_beta"), 4).as("red_v1_beta"),
+          round(col("Red_Var1_SE"), 4).as("red_v1_se"),
+          round(col("Red_Var2_beta"), 4).as("red_v2_beta"),
+          round(col("Red_Var2_SE"), 4).as("red_v2_se"),
+          round(col("Full_Var1_Var2_beta"), 4).as("full_inter_beta"),
+          round(col("Full_Var1_Var2_SE"), 4).as("full_inter_se"),
+          round(col("Full_Var1_beta"), 4).as("full_v1_beta"),
+          round(col("Full_Var1_SE"), 4).as("full_v1_se"),
+          round(col("Full_Var2_beta"), 4).as("full_v2_beta"),
+          round(col("Full_Var2_SE"), 4).as("full_v2_se"))
+    }),
+
+    "analyze_interaction_categorical" -> ((s, dir) => {
+      // categorical × continuous interaction (patsy level crossings,
+      // reference: interaction_regression.py:308-314): full model
+      // y ~ 1 + C + x + C:x spans exactly one (intercept, slope) line PER
+      // LEVEL, so the oracle computes RSS_full as the sum of per-level
+      // simple-regression residuals (grouped regr_* aggregates) and
+      // RSS_restricted by the ANCOVA common-slope identity — no matrix
+      // solve needed; lrdf = 2 makes chi2_sf(x,2) = exp(-x/2) SQL-exact
+      var cf = CladeFrame(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag"),
+        "l_orderkey")
+      cf = cf.withTypes(Map("l_returnflag" -> graft.model.VariableType.Categorical))
+      InteractionStudy.run(s, cf, outcome = "l_extendedprice",
+        interactions = Seq(("l_returnflag", "l_quantity")), minN = 1)
+        .select(col("Term1").as("term1"), col("Term2").as("term2"),
+          col("N").as("n"), round(col("LRT_pvalue"), 6).as("lrt_pvalue"))
+    }),
+
     "modify_make_categorical" -> ((s, dir) => {
       // make_categorical (reference: modify.py:456-500): records the
       // observed level sets as variable metadata; surfaced here as
@@ -1959,6 +2005,58 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** report_betas oracle: explicit Cramer's-rule solve of the centered
+    * 3-predictor normal equations (y ~ x1 + x2 + x1·x2) — full-model
+    * betas/SEs from cofactor diagonals, reduced-model (2-predictor) betas
+    * in closed form, LRT from the two RSS values with estimated scale. */
+  private def interactionBetasOracle: String = {
+    val lr = "(1.0 + n * ln((rss_r / (n - 3)) * (n - 4) / rss_f))"
+    s"""WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
+       |             CAST(l_discount AS DOUBLE) AS x2,
+       |             CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE) AS x3,
+       |             CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+       |m AS (SELECT count(*) AS n, avg(x1) AS m1, avg(x2) AS m2,
+       |             avg(x3) AS m3, avg(y) AS my FROM b),
+       |c AS (SELECT x1 - m1 AS c1, x2 - m2 AS c2, x3 - m3 AS c3, y - my AS cy
+       |      FROM b CROSS JOIN m),
+       |g AS (SELECT sum(c1*c1) AS s11, sum(c1*c2) AS s12, sum(c1*c3) AS s13,
+       |             sum(c2*c2) AS s22, sum(c2*c3) AS s23, sum(c3*c3) AS s33,
+       |             sum(c1*cy) AS s1y, sum(c2*cy) AS s2y, sum(c3*cy) AS s3y,
+       |             sum(cy*cy) AS syy FROM c),
+       |d AS (SELECT n, s11, s12, s22, s1y, s2y, s3y, syy,
+       |        s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+       |          + s13*(s12*s23 - s22*s13) AS det,
+       |        s22*s33 - s23*s23 AS c11, s11*s33 - s13*s13 AS c22,
+       |        s11*s22 - s12*s12 AS c33,
+       |        s1y*(s22*s33 - s23*s23) - s12*(s2y*s33 - s23*s3y)
+       |          + s13*(s2y*s23 - s22*s3y) AS d1,
+       |        s11*(s2y*s33 - s23*s3y) - s1y*(s12*s33 - s23*s13)
+       |          + s13*(s12*s3y - s2y*s13) AS d2,
+       |        s11*(s22*s3y - s2y*s23) - s12*(s12*s3y - s2y*s13)
+       |          + s1y*(s12*s23 - s22*s13) AS d3
+       |      FROM m CROSS JOIN g),
+       |f AS (SELECT *, d1/det AS b1, d2/det AS b2, d3/det AS b3 FROM d),
+       |r AS (SELECT *, syy - b1*s1y - b2*s2y - b3*s3y AS rss_f,
+       |        (s1y*s22 - s12*s2y) / c33 AS rb1,
+       |        (s11*s2y - s12*s1y) / c33 AS rb2 FROM f),
+       |fin AS (SELECT *, syy - rb1*s1y - rb2*s2y AS rss_r FROM r)
+       |SELECT 'l_quantity' AS term1, 'l_discount' AS term2,
+       |  'l_quantity:l_discount' AS parameter, CAST(n AS BIGINT) AS n,
+       |  round(CASE WHEN $lr <= 0 THEN 1.0
+       |        ELSE ${sqlErfc(s"sqrt($lr / 2)")} END, 6) AS lrt_pvalue,
+       |  round(rb1, 4) AS red_v1_beta,
+       |  round(sqrt(rss_r / (n - 3) * s22 / c33), 4) AS red_v1_se,
+       |  round(rb2, 4) AS red_v2_beta,
+       |  round(sqrt(rss_r / (n - 3) * s11 / c33), 4) AS red_v2_se,
+       |  round(b3, 4) AS full_inter_beta,
+       |  round(sqrt(rss_f / (n - 4) * c33 / det), 4) AS full_inter_se,
+       |  round(b1, 4) AS full_v1_beta,
+       |  round(sqrt(rss_f / (n - 4) * c11 / det), 4) AS full_v1_se,
+       |  round(b2, 4) AS full_v2_beta,
+       |  round(sqrt(rss_f / (n - 4) * c22 / det), 4) AS full_v2_se
+       |FROM fin""".stripMargin
+  }
+
   private def interactionPairOracle: String =
     Seq(("l_quantity", "l_discount"), ("l_quantity", "l_tax"), ("l_discount", "l_tax"))
       .map { case (a, b) => interactionPairArm(a, b) }
@@ -2888,6 +2986,28 @@ object SparkEntry {
          FROM f WHERE fdr <= 0.05 ORDER BY doc_id""",
 
     "analyze_interaction_pair" -> interactionPairOracle,
+    "analyze_interaction_betas" -> interactionBetasOracle,
+
+    "analyze_interaction_categorical" ->
+      // full model = per-level (intercept, slope) lines -> RSS_f is the sum
+      // of grouped simple-regression residuals; restricted = ANCOVA common
+      // slope: RSS_r = sum(Syy_g) - (sum(Sxy_g))^2 / sum(Sxx_g). lrstat
+      // mirrors Glm.fitGaussian's estimated-scale llf with p_r=4, p_f=6
+      // (intercept + 2 dummies + slope [+ 2 slope crossings]); lrdf=2 so
+      // chi2_sf = exp(-lr/2) exactly
+      """WITH g AS (SELECT l_returnflag AS lvl, count(*) AS n_g,
+             regr_sxx(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS sxx,
+             regr_sxy(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS sxy,
+             regr_syy(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS syy
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(n_g) AS n,
+             sum(syy) - sum(sxy)*sum(sxy)/sum(sxx) AS rss_r,
+             sum(syy - sxy*sxy/sxx) AS rss_f FROM g),
+         l AS (SELECT n, 2.0 + n * ln((rss_r / (n - 4)) * (n - 6) / rss_f) AS lr FROM t)
+         SELECT 'l_returnflag' AS term1, 'l_quantity' AS term2,
+           CAST(n AS BIGINT) AS n,
+           round(CASE WHEN lr <= 0 THEN 1.0 ELSE exp(-lr / 2) END, 6) AS lrt_pvalue
+         FROM l""",
 
     "modify_make_categorical" ->
       """SELECT 'o_orderstatus' AS variable, o_orderstatus AS level FROM orders GROUP BY 2
