@@ -397,6 +397,31 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(nr.getLong(1) === 0L && nr.getLong(2) === 0L && nr.isNullAt(3))
   }
 
+  test("summarizeApproxAudited: exact core matches, sketch booleans TRUE, null edges") {
+    import spark.implicits._
+    val n = 10000
+    val df = (1 to n).map(i =>
+      (i.toDouble, if (i % 10 == 0) None else Some(i.toDouble), None: Option[Double]))
+      .toDF("seq", "holey", "void")
+    val out = Describe.summarizeApproxAudited(spark, df, Seq("seq", "holey", "void"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("seq")
+    // exact core: n / mean / min / max
+    assert(s.getLong(1) === n.toLong)
+    assertRtol(s.getDouble(2), (n + 1) / 2.0, 1e-12, "mean exact")
+    assert(s.getDouble(3) === 1.0 && s.getDouble(4) === n.toDouble)
+    // deterministic in-bounds booleans (the oracle pins these TRUE)
+    Seq(5, 6, 7, 8).foreach(i => assert(s.getBoolean(i), s"seq flag $i"))
+    val h = out("holey")
+    assert(h.getLong(1) === (n - n / 10).toLong)
+    Seq(5, 6, 7, 8).foreach(i => assert(h.getBoolean(i), s"holey flag $i"))
+    // all-null column: n=0, null stats, booleans vacuously true (no data
+    // for a sketch to be wrong about)
+    val v = out("void")
+    assert(v.getLong(1) === 0L && v.isNullAt(2) && v.isNullAt(3) && v.isNullAt(4))
+    Seq(5, 6, 7, 8).foreach(i => assert(v.getBoolean(i), s"void flag $i"))
+  }
+
   test("Plots.histogram and distributions bin correctly") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, i.toDouble, i * 2.0))
