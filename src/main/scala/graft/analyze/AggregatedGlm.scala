@@ -135,12 +135,12 @@ object AggregatedGlm {
 
   // ------------------------------------------------------------- Gaussian
 
-  private final case class GaussStats(n: Long, yy: Double,
+  private[analyze] final case class GaussStats(n: Long, yy: Double,
                                       zy: DenseVector[Double], zz: DenseMatrix[Double])
 
   /** OLS solve from sufficient stats; returns (beta, Ainv, sse, llf, aic).
     * llf/aic follow statsmodels Gaussian loglike with estimated scale. */
-  private def solveGauss(s: GaussStats): (DenseVector[Double], DenseMatrix[Double], Double, Double, Double) = {
+  private[analyze] def solveGauss(s: GaussStats): (DenseVector[Double], DenseMatrix[Double], Double, Double, Double) = {
     val p = s.zy.length
     val ainv =
       try inv(s.zz)

@@ -1,7 +1,7 @@
 package graft.analyze
 
 import breeze.linalg.DenseVector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{CladeFrame, VariableType}
 import graft.stats.{DesignMatrix, Glm}
@@ -74,6 +74,19 @@ object InteractionStudy {
     // (outcome + covars + every interaction var is what the broadcast path
     // collects); the flag stays as an explicit override
     val allVars = interactions.flatMap(p => Seq(p._1, p._2)).distinct
+    // ALL-CONTINUOUS Gaussian studies never need a row anywhere: each
+    // pair's full+restricted OLS is a function of its (masked) sufficient
+    // statistics, computed for EVERY pair in ONE treeAggregate scan — the
+    // AggregatedGlm shape. At sf1 the row paths cost ~25s (6M-row collect
+    // or stack fan-out); this path is one pass of fused array arithmetic.
+    // An explicit broadcastBase flag still forces the row paths (the
+    // cross-path equivalence tests rely on that).
+    if (broadcastBase.isEmpty && cf.typeOf(outcome) == Continuous &&
+        (covariates ++ allVars).forall(c => cf.typeOf(c) == Continuous)) {
+      AssociationStudy.wasCollectedForBroadcast = false
+      return runAggregated(spark, cf, outcome, interactions, covariates,
+        minN, reportBetas)
+    }
     val useBroadcast = broadcastBase.getOrElse(
       AssociationStudy.estimateFitsDriver(
         cf.df.select((outcome +: (covariates ++ allVars)).map(col): _*),
@@ -94,8 +107,10 @@ object InteractionStudy {
 
     // broadcast the full projected block (outcome + covars + interaction
     // vars as strings); complete-case on outcome+covars only — per-pair
-    // completeness is decided in the task
-    val cols = outcome +: (covariates ++ vars)
+    // completeness is decided in the task. distinct: a covariate reused as
+    // an interaction var must not project (and crash na.drop on) a
+    // duplicate column
+    val cols = (outcome +: (covariates ++ vars)).distinct
     val rows = cf.df
       .select(cols.map(c => col(c).cast("string").as(c)): _*)
       .na.drop("any", outcome +: covariates)
@@ -137,6 +152,235 @@ object InteractionStudy {
     }
   }
 
+  /** Sufficient-statistics execution for all-continuous Gaussian studies:
+    * ONE `treeAggregate` over a primitive-array RDD accumulates, per pair,
+    * the masked Gram moments of its design block [1, covars, v1, v2,
+    * v1·v2] plus y — [n, Σy², X'y, upper(X'X), per-regressor min/max] —
+    * and per var a castfail count. Each pair's full and restricted OLS
+    * then solve driver-side from the same moments
+    * ([[AggregatedGlm.solveGauss]]: identical normal-equations algebra,
+    * llf/SE/t-inference formulas to [[graft.stats.Glm]]'s row kernel).
+    * NOTHING row-scale reaches the driver and no per-pair row fan-out
+    * shuffles — state is O(#pairs · p²) doubles with map-side combining.
+    * min/max slots make the `varies` checks EXACT (same `v != v(0)`
+    * semantics as the row kernels), not threshold-based. */
+  private def runAggregated(
+      spark: SparkSession, cf: CladeFrame, outcome: String,
+      interactions: Seq[(String, String)], covariates: Seq[String],
+      minN: Long, reportBetas: Boolean): DataFrame = {
+    import spark.implicits._
+    val nc = covariates.size
+    val vars: Seq[String] =
+      (covariates ++ interactions.flatMap(p => Seq(p._1, p._2))).distinct
+    val varIdx: Map[String, Int] = vars.zipWithIndex.toMap
+    val nVars = vars.size
+    val nPairs = interactions.size
+    def tryD(c: String) = expr(s"try_cast(`$c` AS DOUBLE)")
+    val base = cf.df.na.drop("any", outcome +: covariates)
+    // row layout: [y | per var: present, value, castfail]
+    val selCols: Seq[Column] =
+      col(outcome).cast("double").as("__y") +:
+        vars.flatMap { v => Seq(
+          when(col(v).isNotNull, 1.0).otherwise(0.0).as(s"__p_$v"),
+          tryD(v).as(s"__v_$v"),
+          when(col(v).isNotNull && tryD(v).isNull, 1.0).otherwise(0.0)
+            .as(s"__cf_$v")) }
+    def presentAt(i: Int) = 1 + 3 * i
+    def valueAt(i: Int) = 2 + 3 * i
+    def cfAt(i: Int) = 3 + 3 * i
+
+    val p = nc + 4 // Intercept, covars, v1, v2, v1:v2
+    val nMm = nc + 3 // min/max tracked for covars + v1 + v2 + v1:v2
+    val pairBlock = 2 + p + p * (p + 1) / 2 + 2 * nMm
+    val size = nVars + nPairs * pairBlock
+    def blockOff(k: Int) = nVars + k * pairBlock
+    val pairV1 = interactions.map(pr => varIdx(pr._1)).toArray
+    val pairV2 = interactions.map(pr => varIdx(pr._2)).toArray
+    val covarIdxArr = covariates.map(varIdx).toArray
+
+    // zero value: sum slots 0, min slots +Inf, max slots -Inf
+    val zero = new Array[Double](size)
+    (0 until nPairs).foreach { k =>
+      val mm = blockOff(k) + 2 + p + p * (p + 1) / 2
+      (0 until nMm).foreach { j =>
+        zero(mm + j) = Double.PositiveInfinity
+        zero(mm + nMm + j) = Double.NegativeInfinity
+      }
+    }
+    val mmOffRel = 2 + p + p * (p + 1) / 2
+
+    val acc = graft.stats.Rows.doubleRdd(base.select(selCols: _*))
+      .treeAggregate(zero.clone())(
+        seqOp = { (st, row) =>
+          var vi = 0
+          while (vi < nVars) { st(vi) += row(cfAt(vi)); vi += 1 }
+          val y = row(0)
+          val z = new Array[Double](p)
+          z(0) = 1.0
+          var k = 0
+          while (k < nPairs) {
+            if (row(presentAt(pairV1(k))) == 1.0 &&
+                row(presentAt(pairV2(k))) == 1.0) {
+              var j = 0
+              while (j < nc) { z(1 + j) = row(valueAt(covarIdxArr(j))); j += 1 }
+              val a = row(valueAt(pairV1(k)))
+              val b = row(valueAt(pairV2(k)))
+              z(nc + 1) = a; z(nc + 2) = b; z(nc + 3) = a * b
+              val off = blockOff(k)
+              st(off) += 1.0
+              st(off + 1) += y * y
+              var i = 0
+              while (i < p) { st(off + 2 + i) += z(i) * y; i += 1 }
+              var t = off + 2 + p
+              i = 0
+              while (i < p) {
+                var jj = i
+                while (jj < p) { st(t) += z(i) * z(jj); t += 1; jj += 1 }
+                i += 1
+              }
+              val mm = off + mmOffRel
+              i = 0
+              while (i < nMm) {
+                val v = z(1 + i)
+                if (v < st(mm + i)) st(mm + i) = v
+                if (v > st(mm + nMm + i)) st(mm + nMm + i) = v
+                i += 1
+              }
+            }
+            k += 1
+          }
+          st
+        },
+        combOp = { (x, yArr) =>
+          var i = 0
+          while (i < nVars) { x(i) += yArr(i); i += 1 }
+          var k = 0
+          while (k < nPairs) {
+            val off = blockOff(k)
+            var j = 0
+            while (j < mmOffRel) { x(off + j) += yArr(off + j); j += 1 }
+            val mm = off + mmOffRel
+            j = 0
+            while (j < nMm) {
+              if (yArr(mm + j) < x(mm + j)) x(mm + j) = yArr(mm + j)
+              if (yArr(mm + nMm + j) > x(mm + nMm + j)) x(mm + nMm + j) = yArr(mm + nMm + j)
+              j += 1
+            }
+            k += 1
+          }
+          x
+        })
+
+    import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+    val results: Seq[Product] = interactions.zipWithIndex.map { case ((v1, v2), k) =>
+      val off = blockOff(k)
+      val n = acc(off).toLong
+      val yy = acc(off + 1)
+      val zy = Array.tabulate(p)(i => acc(off + 2 + i))
+      val zz = BDM.zeros[Double](p, p)
+      var t = off + 2 + p
+      var i = 0
+      while (i < p) {
+        var j = i
+        while (j < p) { zz(i, j) = acc(t); zz(j, i) = acc(t); t += 1; j += 1 }
+        i += 1
+      }
+      val mm = off + mmOffRel
+      def varies(mmIdx: Int): Boolean = acc(mm + mmIdx) < acc(mm + nMm + mmIdx)
+      def failPlain(err: String, nn: Long) = InteractionResult(
+        v1, v2, outcome, Converged = false, nn, None, None, None, None,
+        error = Some(err))
+      def failBetas(err: String, nn: Long) = InteractionBetaResult(
+        v1, v2, outcome, s"$v1:$v2", Converged = false, nn, None,
+        None, None, None, None, None, None, None, None, None, None, None,
+        None, None, None, None, error = Some(err))
+      def fail(err: String, nn: Long): Product =
+        if (!reportBetas) failPlain(err, nn) else failBetas(err, nn)
+
+      val cf1 = acc(varIdx(v1)).toLong
+      val cf2 = acc(varIdx(v2)).toLong
+      if (cf1 > 0 || cf2 > 0) {
+        val bad = if (cf1 > 0) v1 else v2
+        fail(s"NumberFormatException: ${math.max(cf1, cf2)} value(s) of " +
+          s"'$bad' could not be cast to numeric", n)
+      } else if (n < minN || n < 3)
+        fail(s"too few complete observations (min_n filter: $n < $minN)", n)
+      else if (!varies(nc) || !varies(nc + 1))
+        fail("interaction term does not vary", n)
+      else {
+        // design indices: intercept + VARYING covars + v1 + v2 [+ inter]
+        val keptCovarIx = (0 until nc).filter(varies)
+        val restIx = 0 +: keptCovarIx.map(_ + 1) :+ (nc + 1) :+ (nc + 2)
+        val interVaries = varies(nc + 2) // mm slots: covars, v1, v2, inter
+        val fullIx = if (interVaries) restIx :+ (nc + 3) else restIx
+        def statsOf(ix: Seq[Int]) = AggregatedGlm.GaussStats(n, yy,
+          BDV(ix.map(zy(_)).toArray),
+          BDM.tabulate(ix.size, ix.size)((a, b) => zz(ix(a), ix(b))))
+        try {
+          val (bR, _, _, llfR, _) = AggregatedGlm.solveGauss(statsOf(restIx))
+          val (bF, ainvF, sseF, llfF, _) =
+            if (interVaries) AggregatedGlm.solveGauss(statsOf(fullIx))
+            else (bR, null, 0.0, llfR, 0.0)
+          val lrdf = fullIx.size - restIx.size
+          val lrstat = -2.0 * (llfR - llfF)
+          val lrP =
+            if (lrdf == 0 && lrstat == 0.0) None
+            else Some(graft.stats.Distributions.chi2Sf(lrstat, lrdf.toDouble))
+          if (!reportBetas) {
+            val (beta, se, bp) =
+              if (!interVaries) (None, None, None)
+              else {
+                val pf = fullIx.size
+                val scale = sseF / (n - pf)
+                val bi = bF(pf - 1)
+                val sei = math.sqrt(ainvF(pf - 1, pf - 1) * scale)
+                (Some(bi), Some(sei), Some(
+                  graft.stats.Distributions.tSfTwoSided(bi / sei, (n - pf).toDouble)))
+              }
+            InteractionResult(v1, v2, outcome, Converged = true, n,
+              beta, se, bp, lrP)
+          } else {
+            // coefficient reports mirror fitPairBetasCore's name lookups:
+            // rest design = [Intercept, covars…, v1, v2]; full appends v1:v2
+            val (_, ainvR, sseR, _, _) = AggregatedGlm.solveGauss(statsOf(restIx))
+            val pr = restIx.size
+            val scaleR = sseR / (n - pr)
+            def coefAt(b: BDV[Double], ainv: BDM[Double], scale: Double,
+                       pFit: Int, i: Int) = {
+              val bi = b(i)
+              val sei = math.sqrt(ainv(i, i) * scale)
+              (Some(bi), Some(sei), Some(
+                graft.stats.Distributions.tSfTwoSided(bi / sei, (n - pFit).toDouble)))
+            }
+            val iV1r = pr - 2; val iV2r = pr - 1
+            val (rb1, rs1, rp1) = coefAt(bR, ainvR, scaleR, pr, iV1r)
+            val (rb2, rs2, rp2) = coefAt(bR, ainvR, scaleR, pr, iV2r)
+            val (fbi, fsi, fpi, fb1, fs1, fp1, fb2, fs2, fp2) =
+              if (!interVaries) (None, None, None, None, None, None, None, None, None)
+              else {
+                val pf = fullIx.size
+                val scaleF = sseF / (n - pf)
+                val (a1, a2, a3) = coefAt(bF, ainvF, scaleF, pf, pf - 1)
+                val (b1, b2, b3) = coefAt(bF, ainvF, scaleF, pf, pf - 3)
+                val (c1, c2, c3) = coefAt(bF, ainvF, scaleF, pf, pf - 2)
+                (a1, a2, a3, b1, b2, b3, c1, c2, c3)
+              }
+            InteractionBetaResult(v1, v2, outcome, s"$v1:$v2",
+              Converged = true, n, lrP, rb1, rs1, rp1, rb2, rs2, rp2,
+              fbi, fsi, fpi, fb1, fs1, fp1, fb2, fs2, fp2)
+          }
+        } catch {
+          case e: Exception =>
+            fail(s"${e.getClass.getSimpleName}: ${e.getMessage}", n)
+        }
+      }
+    }
+    if (!reportBetas)
+      sortPlain(results.map(_.asInstanceOf[InteractionResult]).toDF())
+    else
+      sortBetas(results.map(_.asInstanceOf[InteractionBetaResult]).toDF())
+  }
+
   /** Co-group execution: a `stack` generator fans each base-complete
     * observation out to its (pair_id, val1, val2) rows, ONE shuffle keyed by
     * pair id, and each group streams through the same local kernels as the
@@ -168,7 +412,7 @@ object InteractionStudy {
     val vars = interactions.flatMap(p => Seq(p._1, p._2)).distinct
     val baseCols = outcome +: covariates
     val base = cf.df
-      .select((baseCols ++ vars).map(c => col(c).cast("string").as(c)): _*)
+      .select((baseCols ++ vars).distinct.map(c => col(c).cast("string").as(c)): _*)
       .na.drop("any", baseCols)
     val pairSql = interactions.zipWithIndex.map { case ((a, b), i) =>
       s"$i, `$a`, `$b`"

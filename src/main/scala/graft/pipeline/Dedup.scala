@@ -242,11 +242,13 @@ object Dedup {
            org.apache.spark.sql.types.DoubleType => true
       case _ => false
     }
-    val probe = edges.agg(
-      count(lit(1)).as("n"),
-      count(when(col("src").isNull || col("dst").isNull, 1)).as("nulls")).head()
-    if (idEligible && probe.getLong(1) == 0L && probe.getLong(0) <= localBound)
-      return localComponents(spark, edges)
+    if (idEligible) {
+      val probe = edges.agg(
+        count(lit(1)).as("n"),
+        count(when(col("src").isNull || col("dst").isNull, 1)).as("nulls")).head()
+      if (probe.getLong(1) == 0L && probe.getLong(0) <= localBound)
+        return localComponents(spark, edges)
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

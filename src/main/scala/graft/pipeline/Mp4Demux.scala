@@ -118,9 +118,13 @@ object Mp4Demux {
               var ok = true
               while (ok && k < declared && p + 8 <= end) {
                 val esz = be32(bytes, p)
-                if (esz < 8 || p + esz > end) ok = false // malformed entry: stop
+                if (esz < 8 || p + esz > end) ok = false
                 else { list += fourcc(bytes, p + 4); p += esz.toInt; k += 1 }
               }
+              // a malformed entry (or a count the box can't hold) leaves
+              // sample_description_index unresolvable — poison the track
+              // rather than label samples with a guessed codec
+              if (k < declared) cur.invalid = true
               cur.codecs = list.toArray
             }
           case "stts" if cur != null =>

@@ -266,41 +266,47 @@ object MpegAudio {
             if (h.channels != first.channels || h.rate != first.rate ||
                 h.layer != first.layer) { i += 1 }
             else {
-              decodeFrame(bytes, i, h, synth, { (s: Array[Double], ch: Int) =>
-                // one granule-sample step for channel ch → 32 PCM samples;
-                // stats accumulate SAMPLE-INTERLEAVED (L0 R0 L1 R1 …), the
-                // same order the WAV path sees, once the last channel of
-                // the time step arrives
-                synth(ch).step(s, pcmCh(ch), 0)
-                if (ch == first.channels - 1) {
-                  var j = 0
-                  while (j < 32) {
-                    var c = 0
-                    while (c < first.channels) {
-                      val v = math.max(-1.0, math.min(1.0, pcmCh(c)(j)))
-                      sumSq += v * v; sumAbs += math.abs(v); sum += v
-                      if (math.abs(v) > peak) peak = math.abs(v)
-                      val neg = v < 0
-                      if (nSamples > 0 && neg != prevNeg) zc += 1
-                      prevNeg = neg
-                      nSamples += 1
-                      c += 1
+              try {
+                decodeFrame(bytes, i, h, synth, { (s: Array[Double], ch: Int) =>
+                  // one granule-sample step for channel ch → 32 PCM samples;
+                  // stats accumulate SAMPLE-INTERLEAVED (L0 R0 L1 R1 …), the
+                  // same order the WAV path sees, once the last channel of
+                  // the time step arrives
+                  synth(ch).step(s, pcmCh(ch), 0)
+                  if (ch == first.channels - 1) {
+                    var j = 0
+                    while (j < 32) {
+                      var c = 0
+                      while (c < first.channels) {
+                        val v = math.max(-1.0, math.min(1.0, pcmCh(c)(j)))
+                        sumSq += v * v; sumAbs += math.abs(v); sum += v
+                        if (math.abs(v) > peak) peak = math.abs(v)
+                        val neg = v < 0
+                        if (nSamples > 0 && neg != prevNeg) zc += 1
+                        prevNeg = neg
+                        nSamples += 1
+                        c += 1
+                      }
+                      j += 1
                     }
-                    j += 1
                   }
-                }
-              })
-              frames += 1
-              i += h.frameBytes
+                })
+                frames += 1
+                i += h.frameBytes
+              } catch {
+                // a corrupt or truncated frame (bit demand crossing its own
+                // frame end, bad allocation codes) must not discard the
+                // whole decode — end-truncated and mid-corrupted files are
+                // crawl-common. RESYNC: scan forward for the next valid
+                // header and keep decoding; the stats keep every frame
+                // (and any granules of the corrupt frame) decoded so far.
+                case _: Exception => i += 1
+              }
             }
         }
       }
     } catch {
-      // a truncated or corrupt MID-STREAM frame must not discard the whole
-      // decode (end-truncated files are crawl-common): keep the stats
-      // already accumulated and fall through — None only when NOTHING
-      // decoded (first frame bad). The partial frame that threw may have
-      // contributed some granules; that is fine for signal statistics.
+      // unexpected failure outside a frame body: keep whatever decoded
       case _: Exception => ()
     }
     if (frames == 0 || nSamples == 0) return None

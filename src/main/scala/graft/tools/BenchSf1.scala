@@ -122,6 +122,13 @@ object BenchSf1 {
       "join_salted" -> graft.SparkEntry.queries("join_salted"),
       "layout_zorder" -> graft.SparkEntry.queries("layout_zorder"),
       "plot_qq_prep" -> graft.SparkEntry.queries("plot_qq_prep"),
+      // round-9 additions above the ~0.4s line: the interaction GLM pair
+      // fits (auto-selects broadcast vs co-group from plan stats — at sf1
+      // the 6M-row projected block exceeds the driver bound and the stack
+      // fan-out path takes over) and the audited sketch profile (sketch
+      // pass + exact audit pass, both linear)
+      "analyze_interaction_pair" -> graft.SparkEntry.queries("analyze_interaction_pair"),
+      "describe_summarize_approx" -> graft.SparkEntry.queries("describe_summarize_approx"),
       "dedup_minhash_full" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.Dedup.minhashCandidates(s,
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")

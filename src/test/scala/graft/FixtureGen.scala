@@ -15,8 +15,8 @@ object FixtureGen {
     // 0.25 s mono 48 kHz two-tone, Layer II 192 kbps
     val n = 12000
     val pcm = Array.tabulate(n) { i =>
-      0.5 * math.sin(2 * math.Pi * 440 * i / 48000.0) +
-        0.2 * math.sin(2 * math.Pi * 2900 * i / 48000.0)
+      0.5 * StrictMath.sin(2 * math.Pi * 440 * i / 48000.0) +
+        0.2 * StrictMath.sin(2 * math.Pi * 2900 * i / 48000.0)
     }
     val mp2 = Mp2TestEncoder.encodeMp2(pcm, channels = 1)
     java.nio.file.Files.write(outDir.resolve("sample.mp2"), mp2)
@@ -30,21 +30,10 @@ object FixtureGen {
     java.nio.file.Files.write(outDir.resolve("sample.flac"), flac)
 
     // 0.1 s 440 Hz sine, 16-bit mono 8 kHz WAV — real javax.sound decode
-    val wavRate = 8000f
-    val wavFrames = 800
-    val wavPcm = new Array[Byte](wavFrames * 2)
-    (0 until wavFrames).foreach { i =>
-      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / wavRate) * 32767).toInt.toShort
-      wavPcm(2 * i) = (s & 0xff).toByte
-      wavPcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-    }
-    val wavFmt = new javax.sound.sampled.AudioFormat(wavRate, 16, 1, true, false)
-    val wavBaos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(wavPcm), wavFmt, wavFrames.toLong),
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBaos)
-    java.nio.file.Files.write(outDir.resolve("sample.wav"), wavBaos.toByteArray)
+    val wav = TestWav.fromShorts(Array.tabulate(800)(i =>
+      (0.5 * StrictMath.sin(2 * math.Pi * 440 * i / 8000.0) * 32767).toLong),
+      1, 8000f)
+    java.nio.file.Files.write(outDir.resolve("sample.wav"), wav)
 
     // 8x4 horizontal red->blue gradient BMP — real ImageIO decode
     val img = new java.awt.image.BufferedImage(8, 4,
@@ -59,7 +48,7 @@ object FixtureGen {
     java.nio.file.Files.write(outDir.resolve("sample.bmp"), bmpBaos.toByteArray)
 
     println(s"wrote sample.mp2 (${mp2.length}B), sample.mp4 (${mp4.length}B), " +
-      s"sample.flac (${flac.length}B), sample.wav (${wavBaos.size}B), " +
+      s"sample.flac (${flac.length}B), sample.wav (${wav.length}B), " +
       s"sample.bmp (${bmpBaos.size}B) to $outDir")
   }
 }

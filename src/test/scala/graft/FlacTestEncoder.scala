@@ -30,7 +30,7 @@ object FlacTestEncoder {
   /** The two deterministic mono frames the fixture carries, as 16-bit
     * sample values (frame order = concatenation order). */
   def fixtureSamples: Array[Long] = {
-    val sine = Array.tabulate(bs)(i => (8000 * math.sin(2 * math.Pi * 440 * i / rate)).toLong)
+    val sine = Array.tabulate(bs)(i => (8000 * StrictMath.sin(2 * math.Pi * 440 * i / rate)).toLong)
     val ramp = Array.tabulate(bs)(i => (i * 200 - 6400).toLong)
     sine ++ ramp
   }

@@ -164,6 +164,57 @@ class InteractionStudySpec extends SparkSpec {
     bc.foreach { case (param, row) => assert(cg(param) === row, s"$param differs") }
   }
 
+  test("aggregated sufficient-stats path matches the broadcast row kernel (continuous Gaussian)") {
+    import spark.implicits._
+    // all-continuous Gaussian studies auto-select the ONE-scan treeAggregate
+    // path; this pins its numerics to the broadcast row kernel across
+    // per-pair null masks, a shared covariate, and a constant-variable
+    // error row. Sufficient-stats vs row summation order differ in float
+    // accumulation, so numeric cells compare at rtol 1e-8.
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map { i =>
+      val x1 = 2.0 * rnd.nextGaussian() + 1.0
+      val x2 = if (i % 7 == 0) None else Some(rnd.nextGaussian())
+      val x3 = rnd.nextDouble() * 3
+      val x4 = if (i % 5 == 0) None else Some(rnd.nextGaussian() * 0.5)
+      val y = 3.0 + 0.5 * x1 - 0.8 * x3 + x1 * x2.getOrElse(0.0) * 0.3 +
+        rnd.nextGaussian()
+      (i.toLong, y, x1, x2, x3, x4, 5.0)
+    }.toDF("id", "y", "x1", "x2", "x3", "x4", "xconst")
+    val cf = CladeFrame(df, "id")
+    val pairs = Seq(("x1", "x2"), ("x2", "x4"), ("x1", "x4"), ("xconst", "x1"))
+
+    def cmpCell(a: Any, b: Any, clue: String): Unit = (a, b) match {
+      case (x: Double, y: Double) =>
+        if (x.isNaN) assert(y.isNaN, clue)
+        else assert(math.abs(x - y) <= 1e-8 * math.max(1.0, math.abs(y)),
+          s"$clue: $x vs $y")
+      case _ => assert(a === b, clue)
+    }
+    def cmp(agg: org.apache.spark.sql.DataFrame,
+            bc: org.apache.spark.sql.DataFrame, keyIdx: Int): Unit = {
+      val aMap = agg.collect().map(r => r.getString(keyIdx) + r.getString(0) + r.getString(1) -> r.toSeq).toMap
+      val bMap = bc.collect().map(r => r.getString(keyIdx) + r.getString(0) + r.getString(1) -> r.toSeq).toMap
+      assert(aMap.keySet === bMap.keySet)
+      aMap.foreach { case (k, row) =>
+        row.zip(bMap(k)).zipWithIndex.foreach { case ((x, y), i) =>
+          cmpCell(x, y, s"$k field $i") }
+      }
+    }
+    def run(b: Option[Boolean], betas: Boolean) =
+      InteractionStudy.run(spark, cf, "y", interactions = pairs,
+        covariates = Seq("x3"), minN = 1, reportBetas = betas,
+        broadcastBase = b)
+    assert({ run(None, betas = false); !graft.analyze.AssociationStudy.wasCollectedForBroadcast },
+      "default path must be the no-collect aggregated one")
+    cmp(run(None, betas = false), run(Some(true), betas = false), 1)
+    cmp(run(None, betas = true), run(Some(true), betas = true), 3)
+    // the constant-variable pair produced the same error row on both paths
+    val err = run(None, betas = false).collect()
+      .find(r => r.getString(0) == "xconst").get
+    assert(!err.getBoolean(3) && err.getString(9) == "interaction term does not vary")
+  }
+
   test("nhanes_pairwise_withbetas.csv: all-pairs per-parameter betas") {
     val data = Modify.colfilter(nhanes,
       only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))

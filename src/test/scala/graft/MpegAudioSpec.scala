@@ -11,22 +11,8 @@ import graft.pipeline.{Multimodal, MpegAudio}
   * decoded from WAV by the independent javax.sound path. */
 class MpegAudioSpec extends SparkSpec {
 
-  private def wavBytes(pcm: Array[Double], channels: Int, rate: Float): Array[Byte] = {
-    val n = pcm.length
-    val raw = new Array[Byte](n * 2)
-    var i = 0
-    while (i < n) {
-      val s = math.max(-32768, math.min(32767, math.round(pcm(i) * 32767).toInt)).toShort
-      raw(2 * i) = (s & 0xff).toByte; raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
-    }
-    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(raw), fmt, (n / channels).toLong),
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
-  }
+  private def wavBytes(pcm: Array[Double], channels: Int, rate: Float): Array[Byte] =
+    TestWav.fromDoubles(pcm, channels, rate)
 
   private def relDiff(a: Float, b: Float): Double =
     math.abs(a - b) / math.max(1e-9, math.abs(b))
@@ -171,15 +157,18 @@ class MpegAudioSpec extends SparkSpec {
     // frameBytes 336 but the frame's real allocation data demands ~576
     // bytes — the frame-bounded BitReader must throw at the FRAME end (the
     // old array-end bound would silently consume frame 3's bytes and
-    // accumulate garbled stats), keeping exactly frame 1's samples
+    // accumulate garbled stats), then RESYNC to frame 3 and keep decoding
     bad(576 + 2) = ((bad(576 + 2) & 0x0f) | (7 << 4)).toByte
+    val full = MpegAudio.decodeLayer2(mp2).get
     val part = MpegAudio.decodeLayer2(bad).get
-    // frame 1 fully kept; the corrupt frame may contribute the granules it
-    // decoded before hitting its frame-end bound, but decode STOPS there —
-    // nothing from frame 3 onward (the stream has ~20 more frames)
-    assert(part(0) >= 1152.0f / 48000 - 1e-6, s"frame 1 kept: ${part(0)}")
-    assert(part(0) <= 2 * 1152.0f / 48000 + 1e-6,
-      s"no bleed past the corrupt frame, got duration ${part(0)}")
+    // at most one frame's worth of samples lost (the corrupt frame, minus
+    // any granules it contributed before hitting its bound); everything
+    // after it resynced and decoded — duration lands within [full-1f, full]
+    assert(part(0) >= full(0) - 1152.0f / 48000 - 1e-6,
+      s"resync kept the tail: ${part(0)} vs full ${full(0)}")
+    assert(part(0) <= full(0) + 1e-6,
+      s"no byte bleed / double count: ${part(0)} vs full ${full(0)}")
+    assert(relDiff(part(3), full(3)) < 0.1, "rms stays signal-shaped after resync")
   }
 
   test("mp2: extractFeatures routes Layer II payloads through the real decoder") {

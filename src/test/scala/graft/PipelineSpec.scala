@@ -563,19 +563,8 @@ class PipelineSpec extends SparkSpec {
     // 0.1s of a 440 Hz sine at 8 kHz, 16-bit mono PCM, amplitude 0.5
     val rate = 8000f
     val nFrames = 800
-    val pcm = new Array[Byte](nFrames * 2)
-    (0 until nFrames).foreach { i =>
-      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt.toShort
-      pcm(2 * i) = (s & 0xff).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-    }
-    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    val wav = baos.toByteArray
+    val wav = TestWav.fromShorts(Array.tabulate(nFrames)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toLong), 1, rate)
     val f = Multimodal.decodeAudio(wav).get
     assertRtol(f(0), 0.1, 1e-3, "duration")          // 800 frames / 8 kHz
     assert(f(1) === 1.0f && f(2) === 8000.0f)        // mono, sample rate
@@ -736,15 +725,7 @@ class PipelineSpec extends SparkSpec {
     fa.zip(expA).zipWithIndex.foreach { case ((g, e), i) =>
       assert(math.abs(g - e) < 1e-6, s"stream A feature $i: $g vs $e") }
     // independent cross-check: the JDK's WAV decoder on the same samples
-    val pcm = new Array[Byte](interA.length * 2)
-    interA.zipWithIndex.foreach { case (s, i) =>
-      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte }
-    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 2, true, false)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, 2L * bs),
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    val fw = Multimodal.decodeAudio(baos.toByteArray).get
+    val fw = Multimodal.decodeAudio(TestWav.fromShorts(interA, 2, rate.toFloat)).get
     fa.zip(fw).zipWithIndex.foreach { case ((g, e), i) =>
       assert(math.abs(g - e) < 1e-6, s"FLAC vs WAV feature $i: $g vs $e") }
 
@@ -807,16 +788,8 @@ class PipelineSpec extends SparkSpec {
     assert(bytes.toSeq === FlacTestEncoder.encodeFixture().toSeq,
       "sample.flac drifted from FlacTestEncoder — regenerate and re-pin the oracle")
     val got = Multimodal.decodeFlac(bytes).get
-    val samples = FlacTestEncoder.fixtureSamples
-    val pcm = new Array[Byte](samples.length * 2)
-    samples.zipWithIndex.foreach { case (s, i) =>
-      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte }
-    val fmt = new javax.sound.sampled.AudioFormat(FlacTestEncoder.rate.toFloat, 16, 1, true, false)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    val exp = Multimodal.decodeAudio(baos.toByteArray).get
+    val exp = Multimodal.decodeAudio(TestWav.fromShorts(
+      FlacTestEncoder.fixtureSamples, 1, FlacTestEncoder.rate.toFloat)).get
     got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
       assert(math.abs(g - e) < 1e-6, s"fixture FLAC vs WAV feature $i: $g vs $e") }
   }

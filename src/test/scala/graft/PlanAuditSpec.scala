@@ -35,18 +35,17 @@ class PlanAuditSpec extends SparkSpec {
     val hadAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val a = PlanAudit.auditQuery(spark, sfDir, name, fn)
-        if (a.flags.nonEmpty && !allowlist.contains(name))
-          Some(s"$name: ${a.flags.mkString(",")}")
-        else None
+      val audits = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> PlanAudit.auditQuery(spark, sfDir, name, fn)
+      }.toMap
+      val bad = audits.toSeq.sortBy(_._1).collect {
+        case (name, a) if a.flags.nonEmpty && !allowlist.contains(name) =>
+          s"$name: ${a.flags.mkString(",")}"
       }
       assert(bad.isEmpty, s"plan regressions:\n  ${bad.mkString("\n  ")}")
-      // the allowlist must not go stale: every entry still flags
-      val stale = allowlist.keys.filterNot { name =>
-        SparkEntry.queries.get(name).exists(fn =>
-          PlanAudit.auditQuery(spark, sfDir, name, fn).flags.nonEmpty)
-      }
+      // the allowlist must not go stale: every entry still flags (reuses
+      // the audits above — eager queries are not re-executed)
+      val stale = allowlist.keys.filterNot(n => audits.get(n).exists(_.flags.nonEmpty))
       assert(stale.isEmpty, s"allowlist entries no longer flag (remove them): $stale")
     } finally spark.conf.set("spark.sql.adaptive.enabled", hadAqe)
   }
