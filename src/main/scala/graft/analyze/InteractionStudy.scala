@@ -55,6 +55,54 @@ final case class InteractionBetaResult(
   */
 object InteractionStudy {
 
+  private def validVars(cf: CladeFrame, outcome: String,
+                        covariates: Seq[String]): Seq[String] =
+    cf.variables.filterNot((outcome +: covariates).toSet)
+
+  /** The reference's `interactions=None` form
+    * (interaction_regression.py:110-111): all pairwise combinations of
+    * valid variables — the frame's variables minus the outcome and
+    * covariates. Kept in COLUMN ORDER (the reference iterates a python
+    * set, i.e. order is undefined there; results are sorted by p-value
+    * either way). */
+  def allPairs(cf: CladeFrame, outcome: String,
+               covariates: Seq[String] = Nil): Seq[(String, String)] = {
+    val vs = validVars(cf, outcome, covariates)
+    require(vs.size >= 2,
+      s"Not enough valid variables for running interactions: ${vs.size} variables")
+    for (i <- vs.indices; j <- (i + 1) until vs.size) yield (vs(i), vs(j))
+  }
+
+  /** The reference's `interactions="variable"` form: that variable paired
+    * with every other valid variable. The reference DOCUMENTS this form
+    * (interaction_study.py:35-39) but `_process_interactions` validates
+    * the name without ever building the pair list (a latent reference
+    * bug, interaction_regression.py:112-117); this implements the
+    * documented intent. */
+  def pairsWith(cf: CladeFrame, variable: String, outcome: String,
+                covariates: Seq[String] = Nil): Seq[(String, String)] = {
+    val vs = validVars(cf, outcome, covariates)
+    require(vs.contains(variable),
+      s"'$variable' was passed as the value for 'interactions' but is not a valid variable")
+    vs.filterNot(_ == variable).map(v => (variable, v))
+  }
+
+  /** Explicit pair-list validation with the reference's error strings
+    * (interaction_regression.py:118-137). */
+  def validatePairs(cf: CladeFrame, outcome: String, covariates: Seq[String],
+                    pairs: Seq[(String, String)]): Unit = {
+    val vs = validVars(cf, outcome, covariates).toSet
+    val errors = pairs.zipWithIndex.flatMap { case ((a, b), idx) =>
+      if (!vs.contains(a))
+        Some(s"Interaction ${idx + 1} of ${pairs.size} contains an invalid variable: '$a'")
+      else if (!vs.contains(b))
+        Some(s"Interaction ${idx + 1} of ${pairs.size} contains an invalid variable: '$b'")
+      else None
+    }
+    require(errors.isEmpty,
+      "Invalid interactions provided\n\t" + errors.mkString("\n\t"))
+  }
+
   def run(
       spark: SparkSession,
       cf0: CladeFrame,
@@ -69,6 +117,7 @@ object InteractionStudy {
       variantInfo: Map[String, graft.genomics.Genotypes.VariantInfo] = Map.empty): DataFrame = {
     import spark.implicits._
     require(interactions.nonEmpty, "no interaction pairs")
+    validatePairs(cf0, outcome, covariates, interactions)
     val cf = graft.genomics.Genotypes.encodeForStudy(cf0, encoding, edgeEncodingInfo, variantInfo)
     // auto path selection from the projected block's plan-stats estimate
     // (outcome + covars + every interaction var is what the broadcast path

@@ -178,13 +178,17 @@ object Cli {
       val cf = loadState(spark, in)
       val outcome = req(rest, "--outcome")
       val covariates = flag(rest, "--covariates").map(_.split(",").toSeq).getOrElse(Nil)
+      // mirror the reference's three forms (interaction_study.py:35-39):
+      // omitted -> all pairs; a bare variable name -> its pairs with every
+      // other valid variable; "a,b;c,d" -> explicit pairs
       val pairs = flag(rest, "--interactions") match {
-        case Some(spec) => spec.split(";").toSeq.map { p =>
+        case Some(spec) if spec.contains(",") => spec.split(";").toSeq.map { p =>
           val Array(a, b) = p.split(","); (a, b)
         }
-        case None => // all pairs of the remaining variables
-          val rvs = cf.variables.filterNot((outcome +: covariates).toSet)
-          for (i <- rvs.indices; j <- (i + 1) until rvs.size) yield (rvs(i), rvs(j))
+        case Some(variable) =>
+          graft.analyze.InteractionStudy.pairsWith(cf, variable, outcome, covariates)
+        case None =>
+          graft.analyze.InteractionStudy.allPairs(cf, outcome, covariates)
       }
       graft.analyze.InteractionStudy.run(spark, cf, outcome, pairs, covariates,
         flag(rest, "--min-n").map(_.toLong).getOrElse(200L),
@@ -711,7 +715,7 @@ object Cli {
       |  pipeline scd2 <in> <out> [--key c] [--ts c] [--state c] [--tie c]
       |  pipeline upsert <base> <out> --updates <delta.parquet> --keys k1,k2
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
-      |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d] [--report-betas]
+      |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d | --interactions var] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]
       |  jsonl to-parquet <in> <out> [--id c] [--corrupt-out dir]
       |  parquet to-jsonl <in> <out> [--codec gzip|none|zstd]

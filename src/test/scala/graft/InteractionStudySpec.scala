@@ -164,6 +164,35 @@ class InteractionStudySpec extends SparkSpec {
     bc.foreach { case (param, row) => assert(cg(param) === row, s"$param differs") }
   }
 
+  test("interactions forms: all-pairs / single-variable / explicit validation") {
+    import spark.implicits._
+    val cf = CladeFrame((1 to 5).map(i =>
+      (i.toLong, i.toDouble, i * 2.0, i * 3.0, i % 2.0, "x"))
+      .toDF("id", "y", "a", "b", "c", "lbl"), "id")
+    // interactions=None: all pairwise combinations of valid vars (minus
+    // outcome + covariates), column order
+    assert(InteractionStudy.allPairs(cf, "y", Seq("c")) ===
+      Seq(("a", "b"), ("a", "lbl"), ("b", "lbl")))
+    // interactions="a": pairs of that var with every other valid var —
+    // the reference documents this form but never builds it (latent bug
+    // in _process_interactions); we implement the documented intent
+    assert(InteractionStudy.pairsWith(cf, "b", "y", Seq("c")) ===
+      Seq(("b", "a"), ("b", "lbl")))
+    intercept[IllegalArgumentException] {
+      InteractionStudy.pairsWith(cf, "c", "y", Seq("c")) // covariate not valid
+    }
+    intercept[IllegalArgumentException] {
+      InteractionStudy.allPairs(cf, "y", Seq("a", "b", "c", "lbl")) // <2 left
+    }
+    // explicit pairs validate with the reference's error strings
+    val err = intercept[IllegalArgumentException] {
+      InteractionStudy.run(spark, cf, "y",
+        interactions = Seq(("a", "nope")), covariates = Seq("c"), minN = 1)
+    }
+    assert(err.getMessage.contains(
+      "Interaction 1 of 1 contains an invalid variable: 'nope'"))
+  }
+
   test("aggregated sufficient-stats path matches the broadcast row kernel (continuous Gaussian)") {
     import spark.implicits._
     // all-continuous Gaussian studies auto-select the ONE-scan treeAggregate
