@@ -103,6 +103,33 @@ object InteractionStudy {
       "Invalid interactions provided\n\t" + errors.mkString("\n\t"))
   }
 
+  /** Multiple-outcome form (reference: interaction_study.py:92-120 loops
+    * outcomes and concatenates): one run per outcome, results unioned and
+    * re-sorted. With `interactions = None` the pair list is resolved PER
+    * OUTCOME — other outcomes are valid interaction variables for this
+    * one, exactly as the reference's regression_variables =
+    * columns − {outcome} − covariates implies. */
+  def runOutcomes(
+      spark: SparkSession,
+      cf0: CladeFrame,
+      outcomes: Seq[String],
+      interactions: Option[Seq[(String, String)]] = None,
+      covariates: Seq[String] = Nil,
+      minN: Long = 200,
+      reportBetas: Boolean = false,
+      encoding: String = "additive",
+      edgeEncodingInfo: Option[DataFrame] = None): DataFrame = {
+    require(outcomes.nonEmpty, "no outcomes")
+    val parts = outcomes.map { o =>
+      run(spark, cf0, o,
+        interactions.getOrElse(allPairs(cf0, o, covariates)),
+        covariates, minN, reportBetas, encoding = encoding,
+        edgeEncodingInfo = edgeEncodingInfo)
+    }
+    val all = parts.reduce(_.unionByName(_))
+    if (!reportBetas) sortPlain(all) else sortBetas(all)
+  }
+
   def run(
       spark: SparkSession,
       cf0: CladeFrame,

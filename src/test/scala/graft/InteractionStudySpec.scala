@@ -193,6 +193,26 @@ class InteractionStudySpec extends SparkSpec {
       "Interaction 1 of 1 contains an invalid variable: 'nope'"))
   }
 
+  test("runOutcomes: per-outcome pair resolution, results unioned and sorted") {
+    import spark.implicits._
+    val cf = CladeFrame((1 to 60).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian(), r.nextGaussian())
+    }.toDF("id", "y1", "y2", "a", "b"), "id")
+    val out = InteractionStudy.runOutcomes(spark, cf, Seq("y1", "y2"), minN = 1)
+      .collect()
+    // per-outcome all-pairs: for y1 the valid vars are {y2, a, b} (3 pairs),
+    // symmetrically for y2 — the OTHER outcome is a valid interaction var
+    assert(out.length === 6)
+    val byOutcome = out.groupBy(_.getString(2)).view.mapValues(_.map(r =>
+      Set(r.getString(0), r.getString(1))).toSet).toMap
+    assert(byOutcome("y1") === Set(Set("y2", "a"), Set("y2", "b"), Set("a", "b")))
+    assert(byOutcome("y2") === Set(Set("y1", "a"), Set("y1", "b"), Set("a", "b")))
+    // sorted by LRT_pvalue ascending across BOTH outcomes
+    val ps = out.map(r => if (r.isNullAt(8)) Double.MaxValue else r.getDouble(8))
+    assert(ps.toSeq === ps.sorted.toSeq)
+  }
+
   test("aggregated sufficient-stats path matches the broadcast row kernel (continuous Gaussian)") {
     import spark.implicits._
     // all-continuous Gaussian studies auto-select the ONE-scan treeAggregate
