@@ -988,6 +988,29 @@ object SparkEntry {
           round(col("Full_Var2_SE"), 4).as("full_v2_se"))
     }),
 
+    "analyze_interaction_allpairs" -> ((s, dir) => {
+      // EWAS-shaped ALL-PAIRS interaction scan: 10 derived continuous
+      // variables -> allPairs = 45 pair models (90 OLS fits), ALL from ONE
+      // sufficient-stats treeAggregate scan (the aggregated fast path —
+      // nothing row-scale anywhere). The oracle replays every pair with
+      // the same Gram-Schmidt arms as analyze_interaction_pair, over the
+      // vars' defining SQL expressions
+      val base = t(s, dir, "lineitem")
+      val withVars = interScanVars.foldLeft(base) { case (d, (name, ex)) =>
+        d.withColumn(name, expr(ex))
+      }
+      val cf = CladeFrame(withVars.select(
+        (Seq("l_orderkey", "l_extendedprice") ++ interScanVars.map(_._1)).map(col): _*),
+        "l_orderkey")
+      InteractionStudy.run(s, cf, outcome = "l_extendedprice",
+        interactions = InteractionStudy.allPairs(cf, "l_extendedprice"), minN = 1)
+        .select(col("Term1").as("term1"), col("Term2").as("term2"),
+          col("N").as("n"),
+          round(col("Beta"), 4).as("beta"), round(col("SE"), 4).as("se"),
+          round(col("LRT_pvalue"), 6).as("lrt_pvalue"))
+        .orderBy("term1", "term2")
+    }),
+
     "analyze_interaction_categorical" -> ((s, dir) => {
       // categorical × continuous interaction (patsy level crossings,
       // reference: interaction_regression.py:308-314): full model
@@ -1975,9 +1998,16 @@ object SparkEntry {
     * RSS_full in closed form. lrstat mirrors Glm.fitGaussian's estimated-
     * scale llf: 1 + n·ln((RSS_r/(n−3))·(n−4)/RSS_f); p = chi2_sf(·,1)
     * = erfc(sqrt(lr/2)) via the Cody replay. */
-  private def interactionPairArm(x1: String, x2: String): String = {
+  private def interactionPairArm(x1: String, x2: String): String =
+    interactionPairArm(x1, x1, x2, x2)
+
+  /** Arm over DERIVED variables: `e1`/`e2` are the defining SQL
+    * expressions, `n1`/`n2` the reported term names. */
+  private def interactionPairArm(n1: String, e1: String,
+                                 n2: String, e2: String): String = {
+    val (x1, x2) = (e1, e2)
     val lr = "(1.0 + n * ln((rss_r / (n - 3)) * (n - 4) / rss_f))"
-    s"""SELECT '$x1' AS term1, '$x2' AS term2, CAST(n AS BIGINT) AS n,
+    s"""SELECT '$n1' AS term1, '$n2' AS term2, CAST(n AS BIGINT) AS n,
        |  round(beta3, 4) AS beta,
        |  round(sqrt(rss_f / (n - 4) / s33), 4) AS se,
        |  round(CASE WHEN $lr <= 0 THEN 1.0
@@ -2061,6 +2091,23 @@ object SparkEntry {
     Seq(("l_quantity", "l_discount"), ("l_quantity", "l_tax"), ("l_discount", "l_tax"))
       .map { case (a, b) => interactionPairArm(a, b) }
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY term1, term2")
+
+  /** 10 derived continuous variables for the all-pairs interaction scan —
+    * wideVars-shaped (distinct partkey moduli keep every pair genuinely
+    * non-collinear, so no fit is singular). */
+  private val interScanVars: Seq[(String, String)] = (0 until 10).map { i =>
+    (f"iv$i%02d",
+      s"l_quantity * ((l_partkey % ${i + 2}) + 1) + l_tax * ${i + 1} + l_discount * ${i % 5 + 1}")
+  }
+
+  private def interactionAllPairsOracle: String = {
+    val arms = for {
+      i <- interScanVars.indices; j <- (i + 1) until interScanVars.size
+    } yield interactionPairArm(
+      interScanVars(i)._1, interScanVars(i)._2,
+      interScanVars(j)._1, interScanVars(j)._2)
+    arms.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY term1, term2")
+  }
 
   // -------------------------------------------- minhash/simhash SQL replay
   // DuckDB replay of the Dedup hash kernels (Dedup.polyHash via Text,
@@ -2987,6 +3034,7 @@ object SparkEntry {
 
     "analyze_interaction_pair" -> interactionPairOracle,
     "analyze_interaction_betas" -> interactionBetasOracle,
+    "analyze_interaction_allpairs" -> interactionAllPairsOracle,
 
     "analyze_interaction_categorical" ->
       // full model = per-level (intercept, slope) lines -> RSS_f is the sum

@@ -128,6 +128,7 @@ object BenchSf1 {
       // fan-out path takes over) and the audited sketch profile (sketch
       // pass + exact audit pass, both linear)
       "analyze_interaction_pair" -> graft.SparkEntry.queries("analyze_interaction_pair"),
+      "analyze_interaction_allpairs" -> graft.SparkEntry.queries("analyze_interaction_allpairs"),
       "describe_summarize_approx" -> graft.SparkEntry.queries("describe_summarize_approx"),
       "dedup_minhash_full" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.Dedup.minhashCandidates(s,
