@@ -1022,7 +1022,9 @@ object SparkEntry {
       var cf = CladeFrame(t(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag"),
         "l_orderkey")
-      cf = cf.withTypes(Map("l_returnflag" -> graft.model.VariableType.Categorical))
+      // makeCategorical DECLARES the level set, which routes this through
+      // the one-scan sufficient-stats path (patsy submatrix selection)
+      cf = Modify.makeCategorical(cf, only = Some(Seq("l_returnflag")))
       InteractionStudy.run(s, cf, outcome = "l_extendedprice",
         interactions = Seq(("l_returnflag", "l_quantity")), minN = 1)
         .select(col("Term1").as("term1"), col("Term2").as("term2"),

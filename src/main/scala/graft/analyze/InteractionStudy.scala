@@ -150,15 +150,27 @@ object InteractionStudy {
     // (outcome + covars + every interaction var is what the broadcast path
     // collects); the flag stays as an explicit override
     val allVars = interactions.flatMap(p => Seq(p._1, p._2)).distinct
-    // ALL-CONTINUOUS Gaussian studies never need a row anywhere: each
-    // pair's full+restricted OLS is a function of its (masked) sufficient
-    // statistics, computed for EVERY pair in ONE treeAggregate scan — the
-    // AggregatedGlm shape. At sf1 the row paths cost ~25s (6M-row collect
-    // or stack fan-out); this path is one pass of fused array arithmetic.
-    // An explicit broadcastBase flag still forces the row paths (the
-    // cross-path equivalence tests rely on that).
+    // Gaussian studies over continuous/declared-categorical variables
+    // never need a row anywhere: each pair's full+restricted OLS is a
+    // function of its (masked) sufficient statistics, computed for EVERY
+    // pair in ONE treeAggregate scan — the AggregatedGlm shape. The patsy
+    // design's Gram is selected driver-side as a SUBMATRIX of an
+    // all-declared-levels superset Gram, so categorical/binary blocks ride
+    // the same pass (their level sets must be declared — the CLARITE
+    // make_categorical/make_binary contract). At sf1 the row paths cost
+    // ~25s (6M-row collect or stack fan-out); this path is one pass of
+    // fused array arithmetic. An explicit broadcastBase flag still forces
+    // the row paths (the cross-path equivalence tests rely on that);
+    // report_betas with categorical blocks stays on them too (per-crossing
+    // coefficient naming is exercised by the golden suites there).
+    def aggEligible(v: String): Boolean = cf.typeOf(v) match {
+      case Continuous => true
+      case Categorical | Binary => !reportBetas && cf.levels.contains(v)
+      case _ => false
+    }
     if (broadcastBase.isEmpty && cf.typeOf(outcome) == Continuous &&
-        (covariates ++ allVars).forall(c => cf.typeOf(c) == Continuous)) {
+        covariates.forall(c => cf.typeOf(c) == Continuous) &&
+        allVars.forall(aggEligible)) {
       AssociationStudy.wasCollectedForBroadcast = false
       return runAggregated(spark, cf, outcome, interactions, covariates,
         minN, reportBetas)
@@ -228,17 +240,23 @@ object InteractionStudy {
     }
   }
 
-  /** Sufficient-statistics execution for all-continuous Gaussian studies:
-    * ONE `treeAggregate` over a primitive-array RDD accumulates, per pair,
-    * the masked Gram moments of its design block [1, covars, v1, v2,
-    * v1·v2] plus y — [n, Σy², X'y, upper(X'X), per-regressor min/max] —
-    * and per var a castfail count. Each pair's full and restricted OLS
-    * then solve driver-side from the same moments
+  /** Sufficient-statistics execution for Gaussian studies over
+    * continuous and DECLARED categorical/binary variables: ONE
+    * `treeAggregate` over a primitive-array RDD accumulates, per pair, the
+    * masked Gram moments of a SUPERSET design block
+    * [1, covars, block1, block2, block1 x block2] plus y — where a
+    * continuous block is the value itself and a categorical block is one
+    * dummy per declared level — plus [n, sum y^2, X'y, upper(X'X),
+    * per-column min/max] and per-continuous-var castfail counts. The patsy
+    * design (observed levels sorted, first dropped, level crossings) is
+    * then selected DRIVER-SIDE as a submatrix of each pair's superset
+    * Gram — occupancy comes free as the dummy diagonal — and full +
+    * restricted OLS solve from the same moments
     * ([[AggregatedGlm.solveGauss]]: identical normal-equations algebra,
     * llf/SE/t-inference formulas to [[graft.stats.Glm]]'s row kernel).
     * NOTHING row-scale reaches the driver and no per-pair row fan-out
-    * shuffles — state is O(#pairs · p²) doubles with map-side combining.
-    * min/max slots make the `varies` checks EXACT (same `v != v(0)`
+    * shuffles — state is O(#pairs * p^2) doubles with map-side combining.
+    * min/max slots make every `varies` check EXACT (same `v != v(0)`
     * semantics as the row kernels), not threshold-based. */
   private def runAggregated(
       spark: SparkSession, cf: CladeFrame, outcome: String,
@@ -248,61 +266,107 @@ object InteractionStudy {
     val nc = covariates.size
     val vars: Seq[String] =
       (covariates ++ interactions.flatMap(p => Seq(p._1, p._2))).distinct
-    val varIdx: Map[String, Int] = vars.zipWithIndex.toMap
-    val nVars = vars.size
     val nPairs = interactions.size
     def tryD(c: String) = expr(s"try_cast(`$c` AS DOUBLE)")
+    def isCat(v: String): Boolean = cf.typeOf(v) match {
+      case Continuous => false
+      case _ => true
+    }
+    def levelsOf(v: String): Array[String] = cf.levels(v).sorted.toArray
     val base = cf.df.na.drop("any", outcome +: covariates)
-    // row layout: [y | per var: present, value, castfail]
+
+    // ---- row layout: [y] then per var: present + (value, castfail | dummies)
+    final case class VSlots(present: Int, valueOrDummies: Array[Int],
+                            castfail: Int, levels: Array[String])
+    var w = 1
+    val slots: Map[String, VSlots] = vars.map { v =>
+      if (!isCat(v)) {
+        val s = VSlots(w, Array(w + 1), w + 2, null); w += 3; v -> s
+      } else {
+        val lv = levelsOf(v)
+        val s = VSlots(w, Array.tabulate(lv.length)(w + 1 + _), -1, lv)
+        w += 1 + lv.length; v -> s
+      }
+    }.toMap
     val selCols: Seq[Column] =
-      col(outcome).cast("double").as("__y") +:
-        vars.flatMap { v => Seq(
-          when(col(v).isNotNull, 1.0).otherwise(0.0).as(s"__p_$v"),
-          tryD(v).as(s"__v_$v"),
-          when(col(v).isNotNull && tryD(v).isNull, 1.0).otherwise(0.0)
-            .as(s"__cf_$v")) }
-    def presentAt(i: Int) = 1 + 3 * i
-    def valueAt(i: Int) = 2 + 3 * i
-    def cfAt(i: Int) = 3 + 3 * i
+      col(outcome).cast("double").as("__y") +: vars.flatMap { v =>
+        val vp = when(col(v).isNotNull, 1.0).otherwise(0.0).as(s"__p_$v")
+        if (!isCat(v))
+          Seq(vp, tryD(v).as(s"__v_$v"),
+            when(col(v).isNotNull && tryD(v).isNull, 1.0).otherwise(0.0)
+              .as(s"__cf_$v"))
+        else vp +: slots(v).levels.toSeq.map(l =>
+          when(col(v).cast("string") === l, 1.0).otherwise(0.0)
+            .as(s"__d_${v}_$l"))
+      }
 
-    val p = nc + 4 // Intercept, covars, v1, v2, v1:v2
-    val nMm = nc + 3 // min/max tracked for covars + v1 + v2 + v1:v2
-    val pairBlock = 2 + p + p * (p + 1) / 2 + 2 * nMm
-    val size = nVars + nPairs * pairBlock
-    def blockOff(k: Int) = nVars + k * pairBlock
-    val pairV1 = interactions.map(pr => varIdx(pr._1)).toArray
-    val pairV2 = interactions.map(pr => varIdx(pr._2)).toArray
-    val covarIdxArr = covariates.map(varIdx).toArray
+    // ---- per-pair superset design: (a, b) row-slot factor pairs
+    //  (-1,-1) intercept; (a,-1) single factor; (a,b) product
+    final case class PairLayout(v1: String, v2: String,
+                                cols: Array[(Int, Int)], b1: Int, b2: Int) {
+      def p: Int = cols.length
+      def covarCol(j: Int): Int = 1 + j
+      def b1Start: Int = 1 + nc
+      def b2Start: Int = 1 + nc + b1
+      def crossStart: Int = 1 + nc + b1 + b2
+      def block(size: Int, start: Int): Array[Int] = Array.tabulate(size)(start + _)
+    }
+    val layouts: Array[PairLayout] = interactions.map { case (v1, v2) =>
+      val s1 = slots(v1).valueOrDummies
+      val s2 = slots(v2).valueOrDummies
+      val cols = Array((-1, -1)) ++
+        covariates.map(c => (slots(c).valueOrDummies(0), -1)) ++
+        s1.map(a => (a, -1)) ++ s2.map(b => (b, -1)) ++
+        (for (a <- s1; b <- s2) yield (a, b))
+      PairLayout(v1, v2, cols, s1.length, s2.length)
+    }.toArray
 
-    // zero value: sum slots 0, min slots +Inf, max slots -Inf
+    // ---- accumulator layout: [castfail per var] ++ per pair
+    //   [n, yy, zy(p), zz(tri p), min(p-1), max(p-1)]
+    val nVars = vars.size
+    val varIdx: Map[String, Int] = vars.zipWithIndex.toMap
+    val pairOff = new Array[Int](nPairs)
+    var szAcc = nVars
+    layouts.zipWithIndex.foreach { case (pl, k) =>
+      pairOff(k) = szAcc
+      szAcc += 2 + pl.p + pl.p * (pl.p + 1) / 2 + 2 * (pl.p - 1)
+    }
+    val size = szAcc
+    def mmOff(pl: PairLayout): Int = 2 + pl.p + pl.p * (pl.p + 1) / 2
     val zero = new Array[Double](size)
-    (0 until nPairs).foreach { k =>
-      val mm = blockOff(k) + 2 + p + p * (p + 1) / 2
-      (0 until nMm).foreach { j =>
+    layouts.zipWithIndex.foreach { case (pl, k) =>
+      val mm = pairOff(k) + mmOff(pl)
+      (0 until pl.p - 1).foreach { j =>
         zero(mm + j) = Double.PositiveInfinity
-        zero(mm + nMm + j) = Double.NegativeInfinity
+        zero(mm + (pl.p - 1) + j) = Double.NegativeInfinity
       }
     }
-    val mmOffRel = 2 + p + p * (p + 1) / 2
+    val cfSlotArr: Array[Int] = vars.map(v => slots(v).castfail).toArray
+    val presentArr: Array[(Int, Int)] = layouts.map(pl =>
+      (slots(pl.v1).present, slots(pl.v2).present))
 
     val acc = graft.stats.Rows.doubleRdd(base.select(selCols: _*))
       .treeAggregate(zero.clone())(
         seqOp = { (st, row) =>
           var vi = 0
-          while (vi < nVars) { st(vi) += row(cfAt(vi)); vi += 1 }
+          while (vi < nVars) {
+            if (cfSlotArr(vi) >= 0) st(vi) += row(cfSlotArr(vi))
+            vi += 1
+          }
           val y = row(0)
-          val z = new Array[Double](p)
-          z(0) = 1.0
           var k = 0
           while (k < nPairs) {
-            if (row(presentAt(pairV1(k))) == 1.0 &&
-                row(presentAt(pairV2(k))) == 1.0) {
+            if (row(presentArr(k)._1) == 1.0 && row(presentArr(k)._2) == 1.0) {
+              val pl = layouts(k)
+              val p = pl.p
+              val z = new Array[Double](p)
               var j = 0
-              while (j < nc) { z(1 + j) = row(valueAt(covarIdxArr(j))); j += 1 }
-              val a = row(valueAt(pairV1(k)))
-              val b = row(valueAt(pairV2(k)))
-              z(nc + 1) = a; z(nc + 2) = b; z(nc + 3) = a * b
-              val off = blockOff(k)
+              while (j < p) {
+                val (a, b) = pl.cols(j)
+                z(j) = if (a < 0) 1.0 else if (b < 0) row(a) else row(a) * row(b)
+                j += 1
+              }
+              val off = pairOff(k)
               st(off) += 1.0
               st(off + 1) += y * y
               var i = 0
@@ -314,12 +378,12 @@ object InteractionStudy {
                 while (jj < p) { st(t) += z(i) * z(jj); t += 1; jj += 1 }
                 i += 1
               }
-              val mm = off + mmOffRel
-              i = 0
-              while (i < nMm) {
-                val v = z(1 + i)
-                if (v < st(mm + i)) st(mm + i) = v
-                if (v > st(mm + nMm + i)) st(mm + nMm + i) = v
+              val mm = off + mmOff(pl)
+              i = 1
+              while (i < p) {
+                val v = z(i)
+                if (v < st(mm + i - 1)) st(mm + i - 1) = v
+                if (v > st(mm + (p - 1) + i - 1)) st(mm + (p - 1) + i - 1) = v
                 i += 1
               }
             }
@@ -332,14 +396,17 @@ object InteractionStudy {
           while (i < nVars) { x(i) += yArr(i); i += 1 }
           var k = 0
           while (k < nPairs) {
-            val off = blockOff(k)
+            val pl = layouts(k)
+            val off = pairOff(k)
+            val sumLen = mmOff(pl)
             var j = 0
-            while (j < mmOffRel) { x(off + j) += yArr(off + j); j += 1 }
-            val mm = off + mmOffRel
+            while (j < sumLen) { x(off + j) += yArr(off + j); j += 1 }
+            val mm = off + sumLen
             j = 0
-            while (j < nMm) {
+            while (j < pl.p - 1) {
               if (yArr(mm + j) < x(mm + j)) x(mm + j) = yArr(mm + j)
-              if (yArr(mm + nMm + j) > x(mm + nMm + j)) x(mm + nMm + j) = yArr(mm + nMm + j)
+              val mx = mm + (pl.p - 1) + j
+              if (yArr(mx) > x(mx)) x(mx) = yArr(mx)
               j += 1
             }
             k += 1
@@ -348,10 +415,12 @@ object InteractionStudy {
         })
 
     import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
-    val results: Seq[Product] = interactions.zipWithIndex.map { case ((v1, v2), k) =>
-      val off = blockOff(k)
+    val results: Seq[Product] = layouts.zipWithIndex.map { case (pl, k) =>
+      val (v1, v2) = (pl.v1, pl.v2)
+      val off = pairOff(k)
       val n = acc(off).toLong
       val yy = acc(off + 1)
+      val p = pl.p
       val zy = Array.tabulate(p)(i => acc(off + 2 + i))
       val zz = BDM.zeros[Double](p, p)
       var t = off + 2 + p
@@ -361,8 +430,9 @@ object InteractionStudy {
         while (j < p) { zz(i, j) = acc(t); zz(j, i) = acc(t); t += 1; j += 1 }
         i += 1
       }
-      val mm = off + mmOffRel
-      def varies(mmIdx: Int): Boolean = acc(mm + mmIdx) < acc(mm + nMm + mmIdx)
+      val mm = off + mmOff(pl)
+      def varies(colIdx: Int): Boolean =
+        acc(mm + colIdx - 1) < acc(mm + (p - 1) + colIdx - 1)
       def failPlain(err: String, nn: Long) = InteractionResult(
         v1, v2, outcome, Converged = false, nn, None, None, None, None,
         error = Some(err))
@@ -373,38 +443,63 @@ object InteractionStudy {
       def fail(err: String, nn: Long): Product =
         if (!reportBetas) failPlain(err, nn) else failBetas(err, nn)
 
-      val cf1 = acc(varIdx(v1)).toLong
-      val cf2 = acc(varIdx(v2)).toLong
+      // patsy selection per block: continuous -> the value column if it
+      // varies; categorical -> OCCUPIED declared levels (dummy diagonal),
+      // sorted, first dropped. Returns (keptSupersetIdx, termVaries).
+      def blockKept(v: String, start: Int, size: Int): (Seq[Int], Boolean) =
+        if (slots(v).levels == null) {
+          (Seq(start), varies(start))
+        } else {
+          val occupied = (0 until size).filter(j => zz(start + j, start + j) > 0)
+          val covered = (0 until size).map(j => zz(start + j, start + j)).sum
+          if (math.abs(covered - n) > 0.5)
+            throw new IllegalArgumentException(
+              s"level metadata for $v is stale: ${n - covered.toLong} row(s) " +
+                "hold values outside the declared levels")
+          (occupied.drop(1).map(start + _), occupied.size > 1)
+        }
+
+      val cf1 = if (slots(v1).castfail >= 0) acc(varIdx(v1)).toLong else 0L
+      val cf2 = if (slots(v2).castfail >= 0) acc(varIdx(v2)).toLong else 0L
       if (cf1 > 0 || cf2 > 0) {
         val bad = if (cf1 > 0) v1 else v2
         fail(s"NumberFormatException: ${math.max(cf1, cf2)} value(s) of " +
           s"'$bad' could not be cast to numeric", n)
       } else if (n < minN || n < 3)
         fail(s"too few complete observations (min_n filter: $n < $minN)", n)
-      else if (!varies(nc) || !varies(nc + 1))
-        fail("interaction term does not vary", n)
-      else {
-        // design indices: intercept + VARYING covars + v1 + v2 [+ inter]
-        val keptCovarIx = (0 until nc).filter(varies)
-        val restIx = 0 +: keptCovarIx.map(_ + 1) :+ (nc + 1) :+ (nc + 2)
-        val interVaries = varies(nc + 2) // mm slots: covars, v1, v2, inter
-        val fullIx = if (interVaries) restIx :+ (nc + 3) else restIx
-        def statsOf(ix: Seq[Int]) = AggregatedGlm.GaussStats(n, yy,
-          BDV(ix.map(zy(_)).toArray),
-          BDM.tabulate(ix.size, ix.size)((a, b) => zz(ix(a), ix(b))))
-        try {
-          val (bR, _, _, llfR, _) = AggregatedGlm.solveGauss(statsOf(restIx))
+      else try {
+        val (kept1, varies1) = blockKept(v1, pl.b1Start, pl.b1)
+        val (kept2, varies2) = blockKept(v2, pl.b2Start, pl.b2)
+        if (!varies1 || !varies2)
+          fail("interaction term does not vary", n)
+        else {
+          val keptCovarIx = (0 until nc).filter(j => varies(pl.covarCol(j)))
+            .map(pl.covarCol)
+          // patsy crossings = kept block1 cols x kept block2 cols; the
+          // TERM varies iff ANY kept crossing varies, and then ALL kept
+          // crossings enter (term-level semantics, like DesignMatrix.build)
+          val keptCross = for (a <- kept1; b <- kept2) yield
+            pl.crossStart + (a - pl.b1Start) * pl.b2 + (b - pl.b2Start)
+          val interVaries = keptCross.exists(varies)
+          val restIx = (0 +: keptCovarIx) ++ kept1 ++ kept2
+          val fullIx = if (interVaries) restIx ++ keptCross else restIx
+          def statsOf(ix: Seq[Int]) = AggregatedGlm.GaussStats(n, yy,
+            BDV(ix.map(zy(_)).toArray),
+            BDM.tabulate(ix.size, ix.size)((a, b) => zz(ix(a), ix(b))))
+          val (bR, ainvR, sseR, llfR, _) = AggregatedGlm.solveGauss(statsOf(restIx))
           val (bF, ainvF, sseF, llfF, _) =
             if (interVaries) AggregatedGlm.solveGauss(statsOf(fullIx))
-            else (bR, null, 0.0, llfR, 0.0)
+            else (bR, ainvR, sseR, llfR, 0.0)
           val lrdf = fullIx.size - restIx.size
           val lrstat = -2.0 * (llfR - llfF)
           val lrP =
             if (lrdf == 0 && lrstat == 0.0) None
             else Some(graft.stats.Distributions.chi2Sf(lrstat, lrdf.toDouble))
           if (!reportBetas) {
+            // single-column interactions (both blocks single after patsy
+            // selection) report the crossing coefficient, like the row path
             val (beta, se, bp) =
-              if (!interVaries) (None, None, None)
+              if (!interVaries || keptCross.size != 1) (None, None, None)
               else {
                 val pf = fullIx.size
                 val scale = sseF / (n - pf)
@@ -416,9 +511,9 @@ object InteractionStudy {
             InteractionResult(v1, v2, outcome, Converged = true, n,
               beta, se, bp, lrP)
           } else {
-            // coefficient reports mirror fitPairBetasCore's name lookups:
-            // rest design = [Intercept, covars…, v1, v2]; full appends v1:v2
-            val (_, ainvR, sseR, _, _) = AggregatedGlm.solveGauss(statsOf(restIx))
+            // reportBetas reaches here only for all-continuous designs
+            // (run()'s aggEligible gate): rest = [1, covars, v1, v2],
+            // full appends the single crossing
             val pr = restIx.size
             val scaleR = sseR / (n - pr)
             def coefAt(b: BDV[Double], ainv: BDM[Double], scale: Double,
@@ -428,9 +523,8 @@ object InteractionStudy {
               (Some(bi), Some(sei), Some(
                 graft.stats.Distributions.tSfTwoSided(bi / sei, (n - pFit).toDouble)))
             }
-            val iV1r = pr - 2; val iV2r = pr - 1
-            val (rb1, rs1, rp1) = coefAt(bR, ainvR, scaleR, pr, iV1r)
-            val (rb2, rs2, rp2) = coefAt(bR, ainvR, scaleR, pr, iV2r)
+            val (rb1, rs1, rp1) = coefAt(bR, ainvR, scaleR, pr, pr - 2)
+            val (rb2, rs2, rp2) = coefAt(bR, ainvR, scaleR, pr, pr - 1)
             val (fbi, fsi, fpi, fb1, fs1, fp1, fb2, fs2, fp2) =
               if (!interVaries) (None, None, None, None, None, None, None, None, None)
               else {
@@ -445,10 +539,10 @@ object InteractionStudy {
               Converged = true, n, lrP, rb1, rs1, rp1, rb2, rs2, rp2,
               fbi, fsi, fpi, fb1, fs1, fp1, fb2, fs2, fp2)
           }
-        } catch {
-          case e: Exception =>
-            fail(s"${e.getClass.getSimpleName}: ${e.getMessage}", n)
         }
+      } catch {
+        case e: Exception =>
+          fail(s"${e.getClass.getSimpleName}: ${e.getMessage}", n)
       }
     }
     if (!reportBetas)

@@ -264,6 +264,46 @@ class InteractionStudySpec extends SparkSpec {
     assert(!err.getBoolean(3) && err.getString(9) == "interaction term does not vary")
   }
 
+  test("aggregated path matches the broadcast kernel for categorical/binary blocks") {
+    import spark.implicits._
+    // categorical (3 levels, one emptied by the null mask pattern for one
+    // pair), binary, and continuous vars through the patsy-submatrix
+    // sufficient-stats path vs the row kernel
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 300).map { i =>
+      val cat = Seq("a", "b", "c")(rnd.nextInt(3))
+      val bin = if (rnd.nextBoolean()) "yes" else "no"
+      val x = rnd.nextGaussian() * 2
+      val x2 = if (i % 6 == 0) None else Some(rnd.nextGaussian())
+      val y = 1.0 + (if (cat == "b") 2.0 else 0.0) + 0.5 * x +
+        (if (bin == "yes") 0.7 * x else 0.0) + rnd.nextGaussian()
+      (i.toLong, y, cat, bin, x, x2)
+    }.toDF("id", "y", "cat", "bin", "x", "x2")
+    var cf = CladeFrame(df, "id")
+    cf = Modify.makeCategorical(cf, only = Some(Seq("cat")))
+    cf = Modify.makeBinary(cf, only = Some(Seq("bin")))
+    val pairs = Seq(("cat", "x"), ("bin", "x"), ("cat", "x2"), ("bin", "cat"))
+    def run(b: Option[Boolean]) = InteractionStudy.run(spark, cf, "y",
+      interactions = pairs, minN = 1, broadcastBase = b)
+    val agg = run(None)
+    assert(!graft.analyze.AssociationStudy.wasCollectedForBroadcast,
+      "declared categorical/binary blocks must ride the aggregated path")
+    val bcMap = run(Some(true)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    agg.collect().foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      r.toSeq.zip(bcMap(k)).zipWithIndex.foreach { case ((a, b), i) => (a, b) match {
+        case (x: Double, y: Double) =>
+          assert(math.abs(x - y) <= 1e-8 * math.max(1.0, math.abs(y)),
+            s"$k field $i: $x vs $y")
+        case _ => assert(a === b, s"$k field $i")
+      } }
+    }
+    // binary x continuous has a SINGLE patsy crossing -> Beta/SE reported
+    val binRow = agg.collect().find(r => r.getString(0) == "bin" && r.getString(1) == "x").get
+    assert(!binRow.isNullAt(5) && !binRow.isNullAt(6), "single-crossing beta reported")
+  }
+
   test("nhanes_pairwise_withbetas.csv: all-pairs per-parameter betas") {
     val data = Modify.colfilter(nhanes,
       only = Some(Seq("HI_CHOL", "RIAGENDR", "race", "agecat")))
