@@ -55,9 +55,19 @@ final case class InteractionBetaResult(
   */
 object InteractionStudy {
 
+  /** Valid interaction variables: the frame's variables minus the outcome
+    * and covariates, EXCLUDING unknown-typed columns — the reference's
+    * regression_variables keeps only binary/categorical/continuous/
+    * genotypes dtypes (base.py:107-114), so an uncategorized string column
+    * is never a valid interaction variable there either. */
   private def validVars(cf: CladeFrame, outcome: String,
                         covariates: Seq[String]): Seq[String] =
     cf.variables.filterNot((outcome +: covariates).toSet)
+      .filterNot(v => cf.typeOf(v) == Unknown)
+
+  private def requireEnough(vs: Seq[String]): Unit =
+    require(vs.size >= 2,
+      s"Not enough valid variables for running interactions: ${vs.size} variables")
 
   /** The reference's `interactions=None` form
     * (interaction_regression.py:110-111): all pairwise combinations of
@@ -68,8 +78,7 @@ object InteractionStudy {
   def allPairs(cf: CladeFrame, outcome: String,
                covariates: Seq[String] = Nil): Seq[(String, String)] = {
     val vs = validVars(cf, outcome, covariates)
-    require(vs.size >= 2,
-      s"Not enough valid variables for running interactions: ${vs.size} variables")
+    requireEnough(vs)
     for (i <- vs.indices; j <- (i + 1) until vs.size) yield (vs(i), vs(j))
   }
 
@@ -82,6 +91,7 @@ object InteractionStudy {
   def pairsWith(cf: CladeFrame, variable: String, outcome: String,
                 covariates: Seq[String] = Nil): Seq[(String, String)] = {
     val vs = validVars(cf, outcome, covariates)
+    requireEnough(vs)
     require(vs.contains(variable),
       s"'$variable' was passed as the value for 'interactions' but is not a valid variable")
     vs.filterNot(_ == variable).map(v => (variable, v))
@@ -91,7 +101,9 @@ object InteractionStudy {
     * (interaction_regression.py:118-137). */
   def validatePairs(cf: CladeFrame, outcome: String, covariates: Seq[String],
                     pairs: Seq[(String, String)]): Unit = {
-    val vs = validVars(cf, outcome, covariates).toSet
+    val valid = validVars(cf, outcome, covariates)
+    requireEnough(valid)
+    val vs = valid.toSet
     val errors = pairs.zipWithIndex.flatMap { case ((a, b), idx) =>
       if (!vs.contains(a))
         Some(s"Interaction ${idx + 1} of ${pairs.size} contains an invalid variable: '$a'")
@@ -300,26 +312,29 @@ object InteractionStudy {
             .as(s"__d_${v}_$l"))
       }
 
-    // ---- per-pair superset design: (a, b) row-slot factor pairs
-    //  (-1,-1) intercept; (a,-1) single factor; (a,b) product
+    // ---- per-pair superset design: parallel primitive factor-slot arrays
+    // (colA(j), colB(j)): (-1,-1) intercept; (a,-1) single factor; (a,b)
+    // product — primitive arrays keep the seqOp hot loop free of tuple
+    // dereferences
     final case class PairLayout(v1: String, v2: String,
-                                cols: Array[(Int, Int)], b1: Int, b2: Int) {
-      def p: Int = cols.length
+                                colA: Array[Int], colB: Array[Int],
+                                b1: Int, b2: Int) {
+      def p: Int = colA.length
       def covarCol(j: Int): Int = 1 + j
       def b1Start: Int = 1 + nc
       def b2Start: Int = 1 + nc + b1
       def crossStart: Int = 1 + nc + b1 + b2
-      def block(size: Int, start: Int): Array[Int] = Array.tabulate(size)(start + _)
     }
     val layouts: Array[PairLayout] = interactions.map { case (v1, v2) =>
       val s1 = slots(v1).valueOrDummies
       val s2 = slots(v2).valueOrDummies
-      val cols = Array((-1, -1)) ++
+      val cols: Array[(Int, Int)] = Array((-1, -1)) ++
         covariates.map(c => (slots(c).valueOrDummies(0), -1)) ++
         s1.map(a => (a, -1)) ++ s2.map(b => (b, -1)) ++
         (for (a <- s1; b <- s2) yield (a, b))
-      PairLayout(v1, v2, cols, s1.length, s2.length)
+      PairLayout(v1, v2, cols.map(_._1), cols.map(_._2), s1.length, s2.length)
     }.toArray
+    val maxP = layouts.map(_.p).max
 
     // ---- accumulator layout: [castfail per var] ++ per pair
     //   [n, yy, zy(p), zz(tri p), min(p-1), max(p-1)]
@@ -354,15 +369,19 @@ object InteractionStudy {
             vi += 1
           }
           val y = row(0)
+          // ONE scratch buffer per row (not per pair); sized for the
+          // widest pair layout
+          val z = new Array[Double](maxP)
           var k = 0
           while (k < nPairs) {
             if (row(presentArr(k)._1) == 1.0 && row(presentArr(k)._2) == 1.0) {
               val pl = layouts(k)
               val p = pl.p
-              val z = new Array[Double](p)
+              val ca = pl.colA
+              val cb = pl.colB
               var j = 0
               while (j < p) {
-                val (a, b) = pl.cols(j)
+                val a = ca(j); val b = cb(j)
                 z(j) = if (a < 0) 1.0 else if (b < 0) row(a) else row(a) * row(b)
                 j += 1
               }

@@ -182,9 +182,16 @@ object Cli {
       // omitted -> all pairs; a bare variable name -> its pairs with every
       // other valid variable; "a,b;c,d" -> explicit pairs
       val pairs = flag(rest, "--interactions") match {
-        case Some(spec) if spec.contains(",") => spec.split(";").toSeq.map { p =>
-          val Array(a, b) = p.split(","); (a, b)
-        }
+        case Some(spec) if spec.contains(",") =>
+          val parts = spec.split(";").toSeq
+          parts.zipWithIndex.map { case (p, idx) =>
+            p.split(",") match {
+              case Array(a, b) => (a, b)
+              case _ => throw new IllegalArgumentException(
+                // reference: interaction_regression.py:122-125
+                s"Interaction ${idx + 1} of ${parts.size} does not list exactly two variables.")
+            }
+          }
         case Some(variable) =>
           graft.analyze.InteractionStudy.pairsWith(cf, variable, outcome, covariates)
         case None =>

@@ -166,11 +166,14 @@ class InteractionStudySpec extends SparkSpec {
 
   test("interactions forms: all-pairs / single-variable / explicit validation") {
     import spark.implicits._
-    val cf = CladeFrame((1 to 5).map(i =>
-      (i.toLong, i.toDouble, i * 2.0, i * 3.0, i % 2.0, "x"))
-      .toDF("id", "y", "a", "b", "c", "lbl"), "id")
+    var cf = CladeFrame((1 to 5).map(i =>
+      (i.toLong, i.toDouble, i * 2.0, i * 3.0, i % 2.0, "x", "u"))
+      .toDF("id", "y", "a", "b", "c", "lbl", "raw"), "id")
+    cf = Modify.makeCategorical(cf, only = Some(Seq("lbl")))
     // interactions=None: all pairwise combinations of valid vars (minus
-    // outcome + covariates), column order
+    // outcome + covariates), column order. 'raw' stays UNKNOWN-typed and
+    // is excluded, like the reference's regression_variables
+    // (base.py:107-114 keeps only typed dtypes)
     assert(InteractionStudy.allPairs(cf, "y", Seq("c")) ===
       Seq(("a", "b"), ("a", "lbl"), ("b", "lbl")))
     // interactions="a": pairs of that var with every other valid var —
@@ -183,6 +186,10 @@ class InteractionStudySpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       InteractionStudy.allPairs(cf, "y", Seq("a", "b", "c", "lbl")) // <2 left
+    }
+    intercept[IllegalArgumentException] { // unknown-typed var is not valid
+      InteractionStudy.run(spark, cf, "y",
+        interactions = Seq(("a", "raw")), minN = 1)
     }
     // explicit pairs validate with the reference's error strings
     val err = intercept[IllegalArgumentException] {
