@@ -140,6 +140,46 @@ class PropertySpec extends SparkSpec {
       "doc slice must be pushed to the documents scan")
   }
 
+  test("interaction aggregated path == broadcast kernel on random typed frames") {
+    import spark.implicits._
+    import graft.analyze.InteractionStudy
+    import graft.modify.Modify
+    // randomized parity sweep: random sizes, level counts, null densities
+    // — every numeric cell of the sufficient-stats result must agree with
+    // the row kernel at rtol 1e-8, error rows string-exactly
+    (1 to 6).foreach { trial =>
+      val rnd = new scala.util.Random(100 + trial)
+      val n = 60 + rnd.nextInt(140)
+      val nLevels = 2 + rnd.nextInt(3)
+      val levels = (0 until nLevels).map(l => s"L$l")
+      val nullEvery = 4 + rnd.nextInt(6)
+      val df = (1 to n).map { i =>
+        val cat = levels(rnd.nextInt(nLevels))
+        val x1 = rnd.nextGaussian() * (1 + trial)
+        val x2 = if (i % nullEvery == 0) None else Some(rnd.nextGaussian())
+        val y = 0.5 * x1 + (if (cat == "L1") 1.5 else 0.0) + rnd.nextGaussian()
+        (i.toLong, y, cat, x1, x2)
+      }.toDF("id", "y", "cat", "x1", "x2")
+      var cf = graft.model.CladeFrame(df, "id")
+      cf = Modify.makeCategorical(cf, only = Some(Seq("cat")))
+      val pairs = Seq(("x1", "x2"), ("cat", "x1"), ("cat", "x2"))
+      val agg = InteractionStudy.run(spark, cf, "y", pairs, minN = 1)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+      val bc = InteractionStudy.run(spark, cf, "y", pairs, minN = 1,
+          broadcastBase = Some(true))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+      assert(agg.keySet === bc.keySet, s"trial $trial")
+      agg.foreach { case (k, row) =>
+        row.zip(bc(k)).zipWithIndex.foreach { case ((a, b), i) => (a, b) match {
+          case (x: Double, y2: Double) =>
+            assert(math.abs(x - y2) <= 1e-8 * math.max(1.0, math.abs(y2)),
+              s"trial $trial $k field $i: $x vs $y2")
+          case _ => assert(a === b, s"trial $trial $k field $i")
+        } }
+      }
+    }
+  }
+
   test("upsert laws: idempotent, identity on empty delta, diff sees the change") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
