@@ -124,7 +124,7 @@ object Describe {
     *  - one boolean per sketch asserting it landed inside its DETERMINISTIC
     *    contract: each GK quantile's exact rank window must straddle its
     *    target within ±1/`accuracy` (the sketch's published guarantee), and
-    *    the HLL distinct estimate must sit within `rsdSlack`·`rsd` of the
+    *    the HLL distinct estimate must sit within `rsdTolerance`·`rsd` of the
     *    exact count. The booleans are deterministic given the data (both
     *    sketches are hash-seeded, not random), so an oracle can pin them
     *    TRUE — a sketch regression past its bound reds the row instead of
@@ -137,7 +137,7 @@ object Describe {
     * slice, while production profiling calls plain summarizeApprox. */
   def summarizeApproxAudited(spark: SparkSession, df: DataFrame, cols: Seq[String],
                              rsd: Double = 0.05, accuracy: Int = 10000,
-                             rsdSlack: Double = 3.0): DataFrame = {
+                             rsdTolerance: Double = 3.0): DataFrame = {
     import spark.implicits._
     val sk = summarizeApprox(spark, df, cols, rsd, accuracy).collect()
     val byVar = sk.map(r => r.getString(0) -> r).toMap
@@ -160,7 +160,7 @@ object Describe {
       val approxD = r.getLong(2)
       val distinctOk =
         if (exactD == 0L) approxD == 0L
-        else math.abs(approxD - exactD).toDouble <= rsdSlack * rsd * exactD
+        else math.abs(approxD - exactD).toDouble <= rsdTolerance * rsd * exactD
       def qOk(skIdx: Int, exOff: Int, q: Double): Boolean =
         if (r.isNullAt(skIdx)) n == 0L
         else {
