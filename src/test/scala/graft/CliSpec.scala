@@ -325,6 +325,37 @@ class CliSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-9, s"mass conserved, got $total")
   }
 
+  test("interaction-study CLI: bare-variable form, explicit pairs, arity error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-inter").toString
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 80).map { i =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian(); val c = rnd.nextGaussian()
+      (i.toLong, 1.0 + a + 0.5 * b * c + rnd.nextGaussian(), a, b, c)
+    }.toDF("ID", "y", "a", "b", "c")
+    graft.io.Load.saveTsvWithSidecar(graft.model.CladeFrame(df, "ID"),
+      s"$dir/in.txt", s"$dir/in.dtypes")
+    // bare variable: pairs of 'b' with every other valid variable
+    Cli.run(spark, List("analyze", "interaction-study", s"$dir/in", s"$dir/res",
+      "--outcome", "y", "--interactions", "b", "--min-n", "1"))
+    val res = spark.read.option("sep", "\t").option("header", "true")
+      .csv(s"$dir/res")
+    assert(res.select("Term1", "Term2").collect()
+      .map(r => Set(r.getString(0), r.getString(1))).toSet ===
+      Set(Set("b", "a"), Set("b", "c")))
+    // explicit pairs still parse
+    Cli.run(spark, List("analyze", "interaction-study", s"$dir/in", s"$dir/res2",
+      "--outcome", "y", "--interactions", "a,b;b,c", "--min-n", "1"))
+    assert(spark.read.option("sep", "\t").option("header", "true")
+      .csv(s"$dir/res2").count() === 2)
+    // malformed arity gets the reference's error, not a MatchError
+    val err = intercept[IllegalArgumentException] {
+      Cli.run(spark, List("analyze", "interaction-study", s"$dir/in", s"$dir/res3",
+        "--outcome", "y", "--interactions", "a,b,c", "--min-n", "1"))
+    }
+    assert(err.getMessage.contains("does not list exactly two variables"))
+  }
+
   test("unknown commands fail loudly") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, List("frobnicate", "everything"))
