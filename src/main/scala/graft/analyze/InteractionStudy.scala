@@ -360,18 +360,21 @@ object InteractionStudy {
     val presentArr: Array[(Int, Int)] = layouts.map(pl =>
       (slots(pl.v1).present, slots(pl.v2).present))
 
+    // per-PARTITION fold (mapPartitions) + treeReduce instead of
+    // treeAggregate: the z scratch buffer and the accumulator are allocated
+    // once per partition, not per row — 6M rows at sf1 would otherwise churn
+    // 6M short-lived arrays through the young gen inside the hot loop
     val acc = graft.stats.Rows.doubleRdd(base.select(selCols: _*))
-      .treeAggregate(zero.clone())(
-        seqOp = { (st, row) =>
+      .mapPartitions { it =>
+        val st = zero.clone()
+        val z = new Array[Double](maxP)
+        it.foreach { row =>
           var vi = 0
           while (vi < nVars) {
             if (cfSlotArr(vi) >= 0) st(vi) += row(cfSlotArr(vi))
             vi += 1
           }
           val y = row(0)
-          // ONE scratch buffer per row (not per pair); sized for the
-          // widest pair layout
-          val z = new Array[Double](maxP)
           var k = 0
           while (k < nPairs) {
             if (row(presentArr(k)._1) == 1.0 && row(presentArr(k)._2) == 1.0) {
@@ -408,32 +411,42 @@ object InteractionStudy {
             }
             k += 1
           }
-          st
-        },
-        combOp = { (x, yArr) =>
-          var i = 0
-          while (i < nVars) { x(i) += yArr(i); i += 1 }
-          var k = 0
-          while (k < nPairs) {
-            val pl = layouts(k)
-            val off = pairOff(k)
-            val sumLen = mmOff(pl)
-            var j = 0
-            while (j < sumLen) { x(off + j) += yArr(off + j); j += 1 }
-            val mm = off + sumLen
-            j = 0
-            while (j < pl.p - 1) {
-              if (yArr(mm + j) < x(mm + j)) x(mm + j) = yArr(mm + j)
-              val mx = mm + (pl.p - 1) + j
-              if (yArr(mx) > x(mx)) x(mx) = yArr(mx)
-              j += 1
-            }
-            k += 1
+        }
+        Iterator.single(st)
+      }
+      .treeReduce { (x, yArr) =>
+        var i = 0
+        while (i < nVars) { x(i) += yArr(i); i += 1 }
+        var k = 0
+        while (k < nPairs) {
+          val pl = layouts(k)
+          val off = pairOff(k)
+          val sumLen = mmOff(pl)
+          var j = 0
+          while (j < sumLen) { x(off + j) += yArr(off + j); j += 1 }
+          val mm = off + sumLen
+          j = 0
+          while (j < pl.p - 1) {
+            if (yArr(mm + j) < x(mm + j)) x(mm + j) = yArr(mm + j)
+            val mx = mm + (pl.p - 1) + j
+            if (yArr(mx) > x(mx)) x(mx) = yArr(mx)
+            j += 1
           }
-          x
-        })
+          k += 1
+        }
+        x
+      }
 
     import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+    // a present-but-unparseable COVARIATE value (possible when a raw string
+    // column is externally typed Continuous) would otherwise ride into every
+    // pair's Gram as NaN and poison the solve silently; the row kernel hits
+    // NumberFormatException and emits an error row, so mirror that here for
+    // all pairs (covariates are shared across the whole study)
+    val covarCastFail: Option[(String, Long)] = covariates.iterator
+      .filter(c => slots(c).castfail >= 0)
+      .map(c => (c, acc(varIdx(c)).toLong))
+      .find(_._2 > 0)
     val results: Seq[Product] = layouts.zipWithIndex.map { case (pl, k) =>
       val (v1, v2) = (pl.v1, pl.v2)
       val off = pairOff(k)
@@ -480,9 +493,15 @@ object InteractionStudy {
 
       val cf1 = if (slots(v1).castfail >= 0) acc(varIdx(v1)).toLong else 0L
       val cf2 = if (slots(v2).castfail >= 0) acc(varIdx(v2)).toLong else 0L
-      if (cf1 > 0 || cf2 > 0) {
-        val bad = if (cf1 > 0) v1 else v2
-        fail(s"NumberFormatException: ${math.max(cf1, cf2)} value(s) of " +
+      if (covarCastFail.isDefined) {
+        val (badC, cntC) = covarCastFail.get
+        fail(s"NumberFormatException: $cntC value(s) of covariate " +
+          s"'$badC' could not be cast to numeric", n)
+      } else if (cf1 > 0 || cf2 > 0) {
+        // report the count that matches the variable being blamed (not
+        // max(cf1, cf2), which could attribute v2's count to v1)
+        val (bad, cnt) = if (cf1 > 0) (v1, cf1) else (v2, cf2)
+        fail(s"NumberFormatException: $cnt value(s) of " +
           s"'$bad' could not be cast to numeric", n)
       } else if (n < minN || n < 3)
         fail(s"too few complete observations (min_n filter: $n < $minN)", n)

@@ -166,7 +166,11 @@ object Describe {
         else {
           val le = ex.getLong(b + exOff)
           val lt = ex.getLong(b + exOff + 1)
-          lt.toDouble / n - eps <= q && q <= le.toDouble / n + eps
+          // GK compression merges samples while g + delta <= 2*eps*n, so the
+          // answered rank carries one whole rank of discretization slack on
+          // top of the fractional eps*n window (observable at small n where
+          // eps*n < 1 — an exact-rank bound would flag a legal answer)
+          (lt - 1).toDouble / n - eps <= q && q <= (le + 1).toDouble / n + eps
         }
       def dOrNull(ix: Int) = if (r.isNullAt(ix)) null.asInstanceOf[java.lang.Double]
         else java.lang.Double.valueOf(r.getDouble(ix))
@@ -436,7 +440,7 @@ object Describe {
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"),
         col(valueCol).cast("double").as("__x"),
-        concat_ws(" ", tieCols.map(c => col(c).cast("string")): _*).as("__t"))
+        concat_ws("\u0000", tieCols.map(c => col(c).cast("string")): _*).as("__t"))
       .repartitionByRange(parts, col("__g"), col("__x"), col("__t"))
       .sortWithinPartitions("__g", "__x", "__t")
       .rdd.map(r => (r.getString(0), r.getDouble(1)))

@@ -123,9 +123,10 @@ object BenchSf1 {
       "layout_zorder" -> graft.SparkEntry.queries("layout_zorder"),
       "plot_qq_prep" -> graft.SparkEntry.queries("plot_qq_prep"),
       // round-9 additions above the ~0.4s line: the interaction GLM pair
-      // fits (auto-selects broadcast vs co-group from plan stats — at sf1
-      // the 6M-row projected block exceeds the driver bound and the stack
-      // fan-out path takes over) and the audited sketch profile (sketch
+      // fits — all-continuous Gaussian studies take the AGGREGATED
+      // sufficient-stats path (one treeReduce scan, O(pairs*p^2) state; the
+      // 24.7s->0.37s change in SCALE.md), so these lines measure that
+      // single-scan moments kernel — and the audited sketch profile (sketch
       // pass + exact audit pass, both linear)
       "analyze_interaction_pair" -> graft.SparkEntry.queries("analyze_interaction_pair"),
       "analyze_interaction_allpairs" -> graft.SparkEntry.queries("analyze_interaction_allpairs"),
