@@ -61,11 +61,16 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
-    // min of two timed passes per query: a single pass attributes one-off
-    // noise (a stop-the-world GC from the previous query's garbage, an OS
-    // scheduling hiccup) to whichever line it lands on — r5's driver run
-    // showed events_json_extract at 7.5s for a plan that measures ~0.7s in
-    // steady state. The minimum is the standard steady-state estimator.
+    // median of three timed passes per query (VERDICT r9 #1: the repeat-run
+    // protocol). A single pass attributes one-off noise (a stop-the-world GC
+    // from the previous query's garbage, an OS scheduling hiccup) to
+    // whichever line it lands on — r5's driver run showed
+    // events_json_extract at 7.5s for a plan that measures ~0.7s in steady
+    // state. Median is robust to one outlier pass in either direction, and
+    // the per-line sample stddev is published alongside so cross-round
+    // deltas can be judged against measured run-to-run variance instead of
+    // guessed at.
+    val passes = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // collect the PREVIOUS query's garbage before timing this one: a
       // stop-the-world pause from another query's allocations otherwise
@@ -73,7 +78,7 @@ object Bench {
       // as a one-off 19.7s describe_summarize_approx that measures 1.8s
       // in an isolated JVM)
       System.gc()
-      val times = (1 to 2).map { _ =>
+      val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces FULL computation of every output column —
         // count() would let Catalyst prune the measured aggregates away
@@ -83,12 +88,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val med = times.sorted.apply(passes / 2)
+      val mean = times.sum / passes
+      val sd = math.sqrt(times.map(t => (t - mean) * (t - mean)).sum / (passes - 1))
+      (name, med, sd)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val sds = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"estimator":"median","queries":$qs,"stddev":$sds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

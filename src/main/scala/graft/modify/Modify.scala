@@ -455,7 +455,8 @@ object Modify {
     * passes reuse it) — CALLER MUST UNPERSIST. Also returns per-column
     * counts and exclusive global offsets. */
   private def sortedMelt(df: DataFrame, cols: Seq[String])
-      : (org.apache.spark.rdd.RDD[(Int, Double)], Array[Long], Array[Long]) = {
+      : (org.apache.spark.rdd.RDD[(Int, Double)], Array[Long], Array[Long],
+         Array[Long]) = {
     val k = cols.length
     val melted = df.selectExpr(
       s"stack($k, ${cols.zipWithIndex.map { case (c, j) => s"$j, CAST(`$c` AS DOUBLE)" }
@@ -466,10 +467,42 @@ object Modify {
       .sortWithinPartitions("vid", "value")
       .rdd.map(r => (r.getInt(0), r.getDouble(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val countMap = pairs.map(_._1).countByValue()
-    val ns: Array[Long] = Array.tabulate(k)(i => countMap.getOrElse(i, 0L))
-    (pairs, ns, ns.scanLeft(0L)(_ + _))
+    // ONE counting job yields BOTH the per-column totals and each
+    // partition's global start offset (the RDD is range-sorted, so every
+    // partition is a contiguous slice of the global (vid, value) order) —
+    // callers then pick ranks with mapPartitionsWithIndex instead of
+    // zipWithIndex, whose internal size pass would be a third job per sort
+    val perPart: Array[(Int, Array[Long])] = pairs
+      .mapPartitionsWithIndex { (pi, it) =>
+        val cnt = new Array[Long](k)
+        it.foreach(p => cnt(p._1) += 1L)
+        Iterator.single((pi, cnt))
+      }.collect()
+    val totals = new Array[Long](pairs.getNumPartitions)
+    val ns = new Array[Long](k)
+    perPart.foreach { case (pi, cnt) =>
+      var s = 0L; var i = 0
+      while (i < k) { s += cnt(i); ns(i) += cnt(i); i += 1 }
+      totals(pi) = s
+    }
+    (pairs, ns, ns.scanLeft(0L)(_ + _), totals.scanLeft(0L)(_ + _))
   }
+
+  /** Values at the given GLOBAL ranks of a [[sortedMelt]] RDD, in one job:
+    * each partition walks its contiguous slice with a running global index
+    * starting at its precomputed offset. */
+  private def valuesAtRanks(pairs: org.apache.spark.rdd.RDD[(Int, Double)],
+                            partStart: Array[Long],
+                            needed: Set[Long]): Map[Long, Double] =
+    pairs.mapPartitionsWithIndex { (pi, it) =>
+      var gi = partStart(pi)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      it.foreach { case (_, v) =>
+        if (needed(gi)) out += ((gi, v))
+        gi += 1
+      }
+      out.iterator
+    }.collect().toMap
 
   /** Quantile normalization (the expression-array classic): each column's
     * values are replaced by the MEAN across columns of the value at the
@@ -526,7 +559,7 @@ object Modify {
       : Map[String, Option[Seq[Double]]] = {
     if (cols.isEmpty) return Map.empty
     val k = cols.length
-    val (pairs, ns, offsets) = sortedMelt(df, cols)
+    val (pairs, ns, offsets, partStart) = sortedMelt(df, cols)
     try {
     val needed: Set[Long] = (0 until k).flatMap { i =>
       if (ns(i) == 0) Nil
@@ -535,9 +568,7 @@ object Modify {
         Seq(offsets(i) + math.floor(h).toLong, offsets(i) + math.ceil(h).toLong)
       }
     }.toSet
-    val found: Map[Long, Double] = pairs.zipWithIndex()
-      .collect { case ((_, v), gi) if needed(gi) => (gi, v) }
-      .collect().toMap
+    val found: Map[Long, Double] = valuesAtRanks(pairs, partStart, needed)
     cols.zipWithIndex.map { case (c, i) =>
       if (ns(i) == 0) c -> None
       else c -> Some(fractions.map { q =>
@@ -620,11 +651,14 @@ object Modify {
     require(cols.nonEmpty, "cols must be non-empty")
     val spark = df.sparkSession
     import spark.implicits._
-    val (pairs, ns, offsets) = sortedMelt(df, cols)
+    val (pairs, ns, offsets, partStart) = sortedMelt(df, cols)
     try {
       val colNames = cols.toArray
-      val grouped = pairs.zipWithIndex()
-        .map { case ((i, v), gi) => ((i, v), (gi, 1L)) }
+      val grouped = pairs
+        .mapPartitionsWithIndex { (pi, it) =>
+          var gi = partStart(pi) - 1
+          it.map { case (i, v) => gi += 1; ((i, v), (gi, 1L)) }
+        }
         .reduceByKey((a: (Long, Long), b: (Long, Long)) =>
           (math.min(a._1, b._1), a._2 + b._2))
         .map { case ((i, v), (minGi, nTies)) =>
