@@ -880,6 +880,34 @@ object SparkEntry {
         .orderBy("variable")
     }),
 
+    "analyze_assoc_cogroup" -> ((s, dir) => {
+      // the 100 TB association path, driver-oracled (VERDICT r9 #6): a
+      // CATEGORICAL covariate (l_returnflag) disqualifies the all-numeric
+      // sufficient-stats fast path, and broadcastBase=Some(false) forces the
+      // co-group route — melted variables JOIN the base block, each group
+      // streams through the row kernel, nothing row-scale reaches the driver
+      // (AssociationCogroupOracleSpec asserts !wasCollectedForBroadcast).
+      // Oracle: Frisch–Waugh — demeaning y and x within returnflag groups
+      // absorbs intercept + dummies, so the rv's beta/SE from the simple
+      // regression on residuals equal the full-model GLM's (df = n - k - 1).
+      // orders: o_orderkey is the one genuinely UNIQUE key in the testdata
+      // (the co-group path rejects duplicate observation ids — they'd
+      // explode the melt⋈base join); order_day = days since 1992-01-01
+      val cf = CladeFrame(t(s, dir, "orders")
+        .withColumn("order_day",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01")).cast("double"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus",
+          "o_custkey", "order_day"), "o_orderkey")
+        .withTypes(Map("o_orderstatus" -> graft.model.VariableType.Categorical))
+      AssociationStudy.run(s, cf, outcomes = Seq("o_totalprice"),
+        covariates = Seq("o_orderstatus"),
+        regressionVariables = Seq("o_custkey", "order_day"), minN = 1,
+        broadcastBase = Some(false))
+        .select(col("Variable").as("variable"), col("N").as("n"),
+          round(col("Beta"), 4).as("beta"), round(col("SE"), 4).as("se"))
+        .orderBy("variable")
+    }),
+
     "analyze_corrected_pvalues" -> ((s, dir) =>
       Corrections.addCorrectedPvalues(docPvalues(s, dir))
         .select(col("doc_id"), round(col("pvalue"), 6).as("pvalue"),
@@ -2973,6 +3001,35 @@ object SparkEntry {
                    - regr_sxy(l_extendedprice, l_tax)^2 / regr_sxx(l_extendedprice, l_tax))
                   / (regr_count(l_extendedprice, l_tax) - 2)
                   / regr_sxx(l_extendedprice, l_tax)) FROM lineitem)
+         ORDER BY variable""",
+
+    "analyze_assoc_cogroup" ->
+      // Frisch–Waugh replay of the co-group GLM: within-returnflag demeaning
+      // absorbs the intercept + categorical dummies, so the residual simple
+      // regression reproduces the full model's rv beta and (with
+      // df = n - #groups - 1) its GLM SE exactly
+      """WITH cc AS (
+           SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS y,
+             CAST(o_custkey AS DOUBLE) AS x1,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x2
+           FROM orders),
+         d AS (
+           SELECT g, y - avg(y) OVER (PARTITION BY g) AS yd,
+             x1 - avg(x1) OVER (PARTITION BY g) AS x1d,
+             x2 - avg(x2) OVER (PARTITION BY g) AS x2d
+           FROM cc),
+         f AS (
+           SELECT count(*) AS n, count(DISTINCT g) AS k,
+             sum(yd * x1d) AS sxy1, sum(x1d * x1d) AS sxx1,
+             sum(yd * x2d) AS sxy2, sum(x2d * x2d) AS sxx2,
+             sum(yd * yd) AS syy
+           FROM d)
+         SELECT variable, n, round(beta, 4) AS beta, round(se, 4) AS se FROM (
+           SELECT 'o_custkey' AS variable, n, sxy1 / sxx1 AS beta,
+             sqrt((syy - sxy1 * sxy1 / sxx1) / (n - k - 1) / sxx1) AS se FROM f
+           UNION ALL
+           SELECT 'order_day', n, sxy2 / sxx2,
+             sqrt((syy - sxy2 * sxy2 / sxx2) / (n - k - 1) / sxx2) FROM f)
          ORDER BY variable""",
 
     "analyze_assoc_wide" -> wideOracle,

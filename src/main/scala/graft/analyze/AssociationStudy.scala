@@ -397,6 +397,18 @@ object AssociationStudy {
     val baseDf = cf.df
       .select((cf.idCol +: baseCols).map(c => col(c).cast("string").as(c)): _*)
       .na.drop("any", baseCols)
+    // same contract the broadcast path enforces via its collected index: a
+    // duplicate observation id would EXPLODE the melt⋈base join below and
+    // silently multiply every group's rows (observed: lineitem keyed by the
+    // non-unique l_orderkey inflated N 60000→298996). One narrow two-count
+    // aggregation over the projected base block — cheap relative to the fit
+    // scan, and a wrong-answer generator otherwise.
+    val Array(nBase, nIds) = baseDf
+      .agg(count(col(cf.idCol)), count_distinct(col(cf.idCol)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nIds == nBase,
+      s"id column ${cf.idCol} is not unique (${nBase - nIds} duplicates) — " +
+        "the observation key must identify rows (reference enforces a proper index)")
     // standardize_data support: global moments of the continuous outcome and
     // continuous covariates from ONE aggregation over the (subset-restricted)
     // complete-case base — each group then z-scores with the SAME moments

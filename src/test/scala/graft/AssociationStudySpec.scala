@@ -314,4 +314,30 @@ class AssociationStudySpec extends SparkSpec {
           s"$rv pvalue (cogroup)")
       }
   }
+
+  test("driver query analyze_assoc_cogroup is collect-free and rejects dup ids") {
+    // the CORRECTNESS board's co-group row (VERDICT r9 #6): assert the
+    // declared query actually exercises the no-collect path
+    val r = SparkEntry.queries("analyze_assoc_cogroup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(!AssociationStudy.wasCollectedForBroadcast,
+      "analyze_assoc_cogroup must run the co-group path (no driver collect)")
+    assert(r.length === 2 && r.forall(!_.isNullAt(2)))
+
+    // duplicate observation ids would silently EXPLODE the melt⋈base join
+    // (observed: lineitem keyed by non-unique l_orderkey inflated
+    // N 60000→298996) — the co-group path must reject them like the
+    // broadcast path's collected-index check does
+    import spark.implicits._
+    val dup = Seq(("a", 1.0, 2.0), ("a", 3.0, 4.0), ("b", 5.0, 6.0))
+      .toDF("id", "y", "x")
+    val cf = graft.model.CladeFrame(dup, "id")
+    val ex = intercept[IllegalArgumentException] {
+      AssociationStudy.run(spark, cf, outcomes = Seq("y"),
+        regressionVariables = Seq("x"), minN = 1,
+        reportCategoricalBetas = true, // disqualify the aggregated path
+        broadcastBase = Some(false)).collect()
+    }
+    assert(ex.getMessage.contains("not unique"), ex.getMessage)
+  }
 }
