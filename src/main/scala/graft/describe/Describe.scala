@@ -139,33 +139,68 @@ object Describe {
                              rsd: Double = 0.05, accuracy: Int = 10000,
                              rsdTolerance: Double = 3.0): DataFrame = {
     import spark.implicits._
-    val sk = summarizeApprox(spark, df, cols, rsd, accuracy).collect()
+    // Three jobs, bounded regardless of column count (job-count spec'd):
+    //
+    //  1. the sketch pass (summarizeApprox's single ObjectHashAggregate);
+    //  2. the exact-distinct audit over the MELTED columns — N independent
+    //     `count_distinct(c)`s in a flat agg make Catalyst plan an
+    //     (N+1)-way Expand (every input row replicated once per distinct
+    //     aggregate; measured 1.5s of this query's 2.7s at sf0.1), while
+    //     (vid, value) melting leaves a SINGLE distinct expression, which
+    //     plans as two-phase hash aggregation (vid, value)→(vid) with
+    //     map-side partials and no row replication;
+    //  3. the quantile rank counts — a flat codegen'd conditional-count
+    //     aggregate (needs job 1's thresholds).
+    //
+    // Jobs 1 and 2 share no inputs, so they are SUBMITTED CONCURRENTLY
+    // (SparkSession actions are thread-safe; on a cluster the scheduler
+    // interleaves their stages) — wall = max(sketch, distinct) + ranks.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val k = cols.length
+    val skF = Future { summarizeApprox(spark, df, cols, rsd, accuracy).collect() }
+    val distF = Future {
+      df.selectExpr(
+        s"stack($k, ${cols.zipWithIndex.map { case (c, j) => s"$j, CAST(`$c` AS DOUBLE)" }
+          .mkString(", ")}) AS (vid, value)")
+        .filter(col("value").isNotNull)
+        .groupBy("vid").agg(count_distinct(col("value")).as("d"))
+        .collect()
+    }
+    val sk = Await.result(skF, Duration.Inf)
     val byVar = sk.map(r => r.getString(0) -> r).toMap
-    val aggs = cols.flatMap { c =>
+    val rankAggs = cols.flatMap { c =>
       val v = col(c).cast("double")
       val r = byVar(c)
-      count_distinct(v).as(s"d__$c") +: Seq(5, 6, 7).flatMap { i =>
-        val lim = if (r.isNullAt(i)) lit(null) else lit(r.getDouble(i))
+      Seq(5, 6, 7).flatMap { i =>
+        // null (not NaN) limit for empty columns: `v <= null` is null-false,
+        // while NaN compares greater than everything in Spark's ordering
+        val lim = if (r.isNullAt(i)) lit(null).cast("double") else lit(r.getDouble(i))
         Seq(count(when(v <= lim, 1)).as(s"le${i}__$c"),
           count(when(v < lim, 1)).as(s"lt${i}__$c"))
       }
     }
-    val ex = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranks = df.agg(rankAggs.head, rankAggs.tail: _*).head()
+    // all-null columns have no melted rows: absent groups audit as zeros
+    val exByVid = Await.result(distF, Duration.Inf)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val eps = 1.0 / accuracy
     cols.zipWithIndex.map { case (c, ci) =>
       val r = byVar(c)
       val n = r.getLong(1)
-      val b = ci * 7
-      val exactD = ex.getLong(b)
+      val exactD = exByVid.getOrElse(ci, 0L)
       val approxD = r.getLong(2)
       val distinctOk =
         if (exactD == 0L) approxD == 0L
         else math.abs(approxD - exactD).toDouble <= rsdTolerance * rsd * exactD
-      def qOk(skIdx: Int, exOff: Int, q: Double): Boolean =
+      // rank-count row layout: 6 counts per column (le/lt per quantile)
+      val rb = ci * 6
+      def qOk(skIdx: Int, qIdx: Int, q: Double): Boolean =
         if (r.isNullAt(skIdx)) n == 0L
         else {
-          val le = ex.getLong(b + exOff)
-          val lt = ex.getLong(b + exOff + 1)
+          val le = ranks.getLong(rb + 2 * qIdx)
+          val lt = ranks.getLong(rb + 2 * qIdx + 1)
           // GK compression merges samples while g + delta <= 2*eps*n, so the
           // answered rank carries one whole rank of discretization slack on
           // top of the fractional eps*n window (observable at small n where
@@ -175,7 +210,7 @@ object Describe {
       def dOrNull(ix: Int) = if (r.isNullAt(ix)) null.asInstanceOf[java.lang.Double]
         else java.lang.Double.valueOf(r.getDouble(ix))
       (c, n, dOrNull(3), dOrNull(4), dOrNull(8),
-        distinctOk, qOk(5, 1, 0.25), qOk(6, 3, 0.5), qOk(7, 5, 0.75))
+        distinctOk, qOk(5, 0, 0.25), qOk(6, 1, 0.5), qOk(7, 2, 0.75))
     }.toDF("variable", "n", "mean", "min", "max",
       "distinct_ok", "p25_ok", "p50_ok", "p75_ok")
   }
