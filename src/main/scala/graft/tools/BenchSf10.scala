@@ -1,0 +1,137 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ×100 spot-probe (VERDICT r9 #5): the 100 TB story rests on sf0.1→sf1
+  * ratios staying sublinear; this main extends the evidence a SECOND
+  * decade for the worst sf1 families. It scales the BenchSf1 dataset
+  * (/tmp/sfx1) ×10 again with the same join-consistent key scaling
+  * (k → k*10+i per copy; nation/region fixed-cardinality, like TPC-H's
+  * own generator) → 60M-row lineitem = TPC-H sf10, 500k documents —
+  * then times the five worst sf1 lines at BOTH sf1 and sf10 in one JVM.
+  *
+  * Run with SPARK_DRIVER_MEM=48g: the quantile family's melted range-sort
+  * persists ~240M (vid, value) pairs MEMORY_AND_DISK at sf10.
+  *
+  * Bench-only data: correctness oracles keep reading /root/testdata. */
+object BenchSf10 {
+
+  private val srcDir = "/tmp/sfx1"
+  private val outDir = "/tmp/sfx10"
+
+  /** Same ×10 replication shape as BenchSf1.scaleUp, sourced from sfx1;
+    * only the tables the probed lines touch. */
+  private def scaleUp(spark: SparkSession): Unit = {
+    val copies = explode(lit((0 until 10).toArray)).as("__i")
+    def scaled(name: String, keyCols: Seq[String], files: Int,
+               extra: DataFrame => DataFrame = identity): Unit = {
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      val rep = src.select(col("*"), copies)
+      val keyed = keyCols.foldLeft(rep) { (d, k) =>
+        d.withColumn(k, col(k) * 10 + col("__i")) }
+      extra(keyed).drop("__i")
+        .repartition(files)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 64)
+    scaled("orders", Seq("o_orderkey", "o_custkey"), 32)
+    scaled("customer", Seq("c_custkey"), 16)
+    scaled("supplier", Seq("s_suppkey"), 8)
+    scaled("events", Seq("event_id", "user_id"), 32)
+    scaled("documents", Seq("doc_id"), 32, d =>
+      // per-copy suffix again: cross-copy pairs stay near-dups, not
+      // byte-dups (web-corpus boilerplate shape)
+      d.withColumn("text", concat(col("text"), lit(" rev"), col("__i"))))
+    spark.read.parquet(s"$srcDir/nation.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+    spark.read.parquet(s"$srcDir/region.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/region.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.caseSensitive", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    require(new java.io.File(s"$srcDir/lineitem.parquet").isDirectory,
+      s"$srcDir missing — run graft.tools.BenchSf1 first (it builds sfx1)")
+    if (!new java.io.File(s"$outDir/lineitem.parquet").isDirectory) {
+      val t0 = System.nanoTime()
+      scaleUp(spark)
+      System.err.println(f"[sf10] scale-up built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    // the five worst sf1 ratios from BENCH_sf1 (VERDICT r9 #5, named)
+    val workloads: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "events_retention" -> graft.SparkEntry.queries("events_retention"),
+      "text_tfidf_topk" -> graft.SparkEntry.queries("text_tfidf_topk"),
+      "modify_robust_scale" -> graft.SparkEntry.queries("modify_robust_scale"),
+      "graph_pagerank_distributed" -> ((s: SparkSession, dir: String) => {
+        s.conf.set("graft.pagerank.localMaxNodes", "0")
+        try graft.SparkEntry.queries("graph_pagerank")(s, dir)
+        finally s.conf.unset("graft.pagerank.localMaxNodes")
+      }),
+      "dedup_minhash_full" -> ((s: SparkSession, dir: String) =>
+        graft.pipeline.Dedup.minhashCandidates(s,
+          s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+          .groupBy().agg(count(lit(1)).as("n_candidates"))))
+
+    // codegen/JIT warmup on the tiny SF
+    workloads.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    // page-cache/footer warmup for both measured dirs
+    Seq(srcDir, outDir).foreach { dir =>
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          try spark.read.parquet(f.getAbsolutePath)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+    }
+
+    def timed(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val runs = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[sf10] failed on $dir: ${e.getMessage}")
+          Double.NaN
+        }
+      }
+      // ANY failed run fails the line (see BenchSf1.timed)
+      if (runs.exists(_.isNaN)) Double.NaN else runs.min
+    }
+
+    val rows = workloads.map { case (name, fn) =>
+      val t1 = timed(fn, srcDir)
+      val t10 = timed(fn, outDir)
+      System.err.println(f"[sf10] $name%-28s sf1 $t1%7.2f s   sf10 $t10%7.2f s   x${t10 / t1}%.1f")
+      (name, t1, t10)
+    }
+    def num(d: Double): String = if (d.isNaN) "null" else f"$d%.3f"
+    val qs = rows.map { case (n, a, b) =>
+      val failed = if (a.isNaN || b.isNaN) ""","failed":true""" else ""
+      s""""$n":{"sf1":${num(a)},"sf10":${num(b)},"ratio":${num(b / a)}$failed}"""
+    }.mkString("{", ",", "}")
+    val okTotal = rows.map(_._3).filterNot(_.isNaN).sum
+    val nFailed = rows.count { case (_, a, b) => a.isNaN || b.isNaN }
+    println(s"""{"metric":"sf10_subset_total","value":${f"$okTotal%.3f"},"unit":"sec","failed_lines":$nFailed,"queries":$qs,"sf":"10 (synthetic x10 of the sfx1 set)"}""")
+    spark.stop()
+  }
+}
