@@ -143,6 +143,45 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(math.abs(exact - approx) <= 20, s"exact=$exact approx=$approx")
   }
 
+  test("exactQuantilesAll: bracket-selection path agrees with the sort path") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // shapes that stress the brackets: heavy ties (50 distinct over 20k
+    // rows), continuous, a sparse column, a constant, an empty column —
+    // and fractions at the edges where the pad clamps
+    val rows = (1 to 20000).map { i =>
+      (math.floor(rng.nextDouble() * 50),                       // heavy ties
+       rng.nextGaussian() * 100,                                // continuous
+       if (i % 7 == 0) Some(rng.nextDouble()) else None,        // sparse
+       3.25,                                                    // constant
+       None: Option[Double])                                    // empty
+    }
+    val df = rows.toDF("ties", "cont", "sparse", "const", "void")
+    val colsQ = Seq("ties", "cont", "sparse", "const", "void")
+    val fracs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    // force the sketch-bracket route for every non-empty column (n=20000
+    // vs the small-n [min,max] widening at the default accuracy=10000
+    // would exercise only the trivial bracket)
+    spark.conf.set("graft.quantile.accuracy", "1000")
+    val fast = try Modify.exactQuantilesAll(df, colsQ, fracs)
+      finally spark.conf.unset("graft.quantile.accuracy")
+    val slow = Modify.exactQuantilesAllSorted(df, colsQ, fracs)
+    colsQ.foreach { c =>
+      (fast(c), slow(c)) match {
+        case (None, None) => ()
+        case (Some(a), Some(b)) =>
+          a.zip(b).zipWithIndex.foreach { case ((x, y), j) =>
+            assert(x === y, s"$c fraction ${fracs(j)}: bracket=$x sort=$y") }
+        case (a, b) => fail(s"$c: presence mismatch $a vs $b")
+      }
+    }
+    // small n (< accuracy): the [min, max] widening path, still exact
+    val tiny = (1 to 37).map(i => Tuple1(i.toDouble)).toDF("v")
+    val f2 = Modify.exactQuantilesAll(tiny, Seq("v"), fracs)
+    val s2 = Modify.exactQuantilesAllSorted(tiny, Seq("v"), fracs)
+    assert(f2("v").get === s2("v").get)
+  }
+
   test("removeOutliers iqr at width: 500 columns in a bounded number of jobs") {
     import spark.implicits._
     // 500 continuous columns; the quantile engine must run ONE melt +
