@@ -1240,6 +1240,16 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "dedup_minhash_star" -> ((s, dir) => {
+      // the linear-in-duplication grouping path (star edges per bucket —
+      // same connected components as the pairwise cliques, O(m·bands)
+      // edges instead of O(m²); DedupStarSpec asserts component equality);
+      // hash-proven via the shared banded replay + per-bucket min rep
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      Dedup.minhashStarEdges(s, docs, "text", "doc_id")
+        .orderBy("id1", "id2")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
       Dedup.simhashCandidates(s, docs, "text", "doc_id")
@@ -2189,7 +2199,9 @@ object SparkEntry {
     * hash(slice) — identical pairs unless Spark murmur3 collides on two
     * distinct 4-long slices within one band (verified collision-free on
     * this corpus; a collision would surface as extra Spark rows here). */
-  private def minhashOracleSql: String = {
+  /** Shared CTE prefix: shingle → polyHash → fmix64(x ^ param_i) →
+    * per-function signed min → signature list → 16 band slices (`bd`). */
+  private def minhashBandedCte: String = {
     val params = graft.pipeline.Dedup.hashParams(64, 42L)
     val prvals = params.zipWithIndex
       .map { case (p, i) => s"($i, CAST('${java.lang.Long.toUnsignedString(p)}' AS UBIGINT))" }
@@ -2208,13 +2220,26 @@ object SparkEntry {
        |mn AS (SELECT id, i, min(xor(a, CAST('9223372036854775808' AS UBIGINT))) AS m FROM f5 GROUP BY id, i),
        |sg AS (SELECT id, list(m ORDER BY i) AS sig FROM mn GROUP BY id),
        |bd AS (SELECT id, sig, b, sig[CAST(b AS INT)*4+1 : CAST(b AS INT)*4+4] AS slice
-       |       FROM sg CROSS JOIN range(16) r(b)),
+       |       FROM sg CROSS JOIN range(16) r(b))""".stripMargin
+  }
+
+  private def minhashOracleSql: String =
+    s"""$minhashBandedCte,
        |cd AS (SELECT DISTINCT x.id AS id1, y.id AS id2, x.sig AS s1, y.sig AS s2
        |       FROM bd x JOIN bd y ON x.b = y.b AND x.slice = y.slice AND x.id < y.id)
        |SELECT id1, id2,
        |  CAST(len(list_filter(range(64), i -> s1[CAST(i AS INT)+1] = s2[CAST(i AS INT)+1])) AS DOUBLE)/64 AS est_jaccard
        |FROM cd ORDER BY id1, id2""".stripMargin
-  }
+
+  /** Star-edge replay: per (band, slice) bucket the lexicographically-
+    * smallest member is the representative; edges = (rep, member). */
+  private def minhashStarOracleSql: String =
+    s"""$minhashBandedCte,
+       |rp AS (SELECT b, slice, min(id) AS id1 FROM bd GROUP BY b, slice)
+       |SELECT DISTINCT rp.id1, bd.id AS id2
+       |FROM bd JOIN rp ON bd.b = rp.b AND bd.slice = rp.slice
+       |WHERE bd.id <> rp.id1
+       |ORDER BY id1, id2""".stripMargin
 
   /** Full DuckDB replay of Similarity.lshTopK over embeddings (dim=64,
     * bits=4, seed=42, probes=1): the seeded gaussian plane matrix rides as
@@ -3251,6 +3276,7 @@ object SparkEntry {
          FROM s GROUP BY 1 ORDER BY 1""",
 
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_minhash_star" -> minhashStarOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "ann_lsh_topk" -> lshOracleSql,
     "ann_ivf_topk" -> ivfTopkOracleSql,

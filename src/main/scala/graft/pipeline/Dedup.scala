@@ -136,37 +136,58 @@ object Dedup {
       exprs => graft.functions.MinhashSignature(exprs.head, params, shingleK)) _
     // ids ride as strings: arbitrary id types survive without cast-to-null
     // crashes or '7'/'07'-style collisions
-    // signatures are consumed by THREE subtrees below (banding + both
-    // attach joins); a lazy localCheckpoint materializes the shingle+hash
-    // projection once (persisted spillable, ~signature-width per doc) —
-    // without it each subtree recomputes the dominant per-doc CPU cost
     val sigs = df.select(col(idCol).cast("string").as("id"),
       sigOf(col(textCol)).as("sig"))
-      .localCheckpoint(false)
-    // band buckets: (band, hash(band slice)). The bucket self-join carries
-    // IDS ONLY — dup-heavy corpora put m near-identical docs in the same
-    // bucket of EVERY band, so a signature-carrying join would shuffle
-    // m²·bands rows of ~1 KB signature payload per bucket cluster before
-    // dropDuplicates could collapse them (measured ×87 wall at ×10 data
-    // on 100-member dup clusters). Pairs dedupe first (plain 2-string
-    // rows), then the two signatures attach ONCE per distinct pair for
-    // the estimate.
-    val banded = sigs.select(col("id"),
+    // band buckets: (band, hash(band slice)) — the ONLY shuffle
+    val banded = sigs.select(col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id1"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id2"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .dropDuplicates("id1", "id2")
-    pairs
-      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
-      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")),
           v => v === 1)).cast("double") / numHashes).as("est_jaccard"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** LSH STAR edges — the linear-in-duplication grouping path for
+    * dup-HEAVY corpora. [[minhashCandidates]]'s contract (every bucket
+    * co-occurrence as a scored pair) is inherently quadratic in duplicate-
+    * cluster size: ×10 data with ×10-deeper clusters multiplied the pair
+    * OUTPUT ×110 and measured ×87–94 wall regardless of join shape (both
+    * the signature-carrying streamed join and a pairs-first/attach-later
+    * variant were A/B'd at sf10 — see SCALE.md). When the goal is
+    * duplicate GROUPS rather than scored pairs, emit one (bucketRep, id)
+    * edge per member instead of the bucket clique: within a bucket the
+    * star spans exactly the clique's vertex set, so the union over
+    * buckets has IDENTICAL connected components (spec-asserted against
+    * the pairwise path) with O(m·bands) edges instead of O(m²·bands).
+    * One groupBy + one self-join on (band, bucket), ids only; feed
+    * [[components]] for groups, or [[ngramJaccard]] to verify the edges
+    * when a similarity floor matters (star edges are between near-twins
+    * in dup-heavy corpora, where verification is cheapest). */
+  def minhashStarEdges(spark: SparkSession, df: DataFrame, textCol: String,
+                       idCol: String, numHashes: Int = 64, bands: Int = 16,
+                       shingleK: Int = 5, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val params = hashParams(numHashes, seed)
+    val sigOf = nativeCol(spark, s"minhash_sig_${numHashes}_${shingleK}_$seed",
+      exprs => graft.functions.MinhashSignature(exprs.head, params, shingleK)) _
+    val banded = df
+      .select(col(idCol).cast("string").as("id"), sigOf(col(textCol)).as("sig"))
+      .select(col("id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val reps = banded.groupBy("band", "bucket").agg(min(col("id")).as("id1"))
+    banded.join(reps, Seq("band", "bucket"))
+      .filter(col("id") =!= col("id1"))
+      .select(col("id1"), col("id").as("id2"))
+      .dropDuplicates("id1", "id2")
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs — the

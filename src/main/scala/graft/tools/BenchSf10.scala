@@ -84,7 +84,17 @@ object BenchSf10 {
       "dedup_minhash_full" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.Dedup.minhashCandidates(s,
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
-          .groupBy().agg(count(lit(1)).as("n_candidates"))))
+          .groupBy().agg(count(lit(1)).as("n_candidates"))),
+      // the linear-in-duplication grouping path: star edges + connected
+      // components — the shape production dedup should use on dup-heavy
+      // corpora (minhash_full's pair OUTPUT grows quadratically in
+      // duplicate-cluster depth by contract; see SCALE.md)
+      "dedup_minhash_star_full" -> ((s: SparkSession, dir: String) =>
+        graft.pipeline.Dedup.components(
+          graft.pipeline.Dedup.minhashStarEdges(s,
+            s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id"))
+          .groupBy().agg(count(lit(1)).as("n_grouped"),
+            count_distinct(col("component")).as("n_groups"))))
 
     // codegen/JIT warmup on the tiny SF
     workloads.foreach { case (_, fn) =>

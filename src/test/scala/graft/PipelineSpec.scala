@@ -53,6 +53,26 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains(("2", "4")))
   }
 
+  test("minhash star edges: same connected components as pairwise cliques, fewer edges") {
+    // real corpus slice: every bucket's star spans the clique's vertex
+    // set, so components must be IDENTICAL — with at most O(m·bands)
+    // edges where the clique path emits O(m²)
+    val docs200 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 300)
+    val pairPath = Dedup.components(
+      Dedup.minhashCandidates(spark, docs200, "text", "doc_id")
+        .select("id1", "id2"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val starEdges = Dedup.minhashStarEdges(spark, docs200, "text", "doc_id")
+    val starPath = Dedup.components(starEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pairPath.nonEmpty, "fixture must produce duplicate groups")
+    assert(starPath === pairPath, "star and clique paths must agree on components")
+    // star edge count is bounded by bands × members, never m² per bucket
+    val m = docs200.count()
+    assert(starEdges.count() <= 16 * m)
+  }
+
   test("ngram jaccard verification is exact") {
     import spark.implicits._
     val pairs = Seq(("0", "3"), ("0", "2")).toDF("id1", "id2")
