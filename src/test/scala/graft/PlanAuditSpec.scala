@@ -17,7 +17,9 @@ class PlanAuditSpec extends SparkSpec {
     * algebra, sample ranks) — there is no base-row predicate Catalyst
     * COULD push to the parquet scan. */
   private val allowlist: Map[String, String] = Map(
+    "analyze_assoc_cogroup" -> "NO-PUSHDOWN: co-group melt filters value IS NOT NULL on the stacked (vid, value) form — post-stack, not a base-column predicate",
     "ann_knn_graph" -> "NO-PUSHDOWN: whole-corpus graph; filters on IVF list ranks (derived)",
+    "events_retention" -> "NO-PUSHDOWN: explode's implicit size(days) > 0 guard on the AGGREGATED per-user day set — no base-row predicate exists",
     "describe_cramers_v" -> "NO-PUSHDOWN: filters on pair-table chi2 algebra (aggregated)",
     "describe_mutual_info" -> "NO-PUSHDOWN: filters on joint-distribution aggregates",
     "describe_psi_drift" -> "NO-PUSHDOWN: filters on per-bin aggregate shares",
