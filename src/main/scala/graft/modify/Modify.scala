@@ -456,17 +456,23 @@ object Modify {
     * counts and exclusive global offsets. */
   private def sortedMelt(df: DataFrame, cols: Seq[String])
       : (org.apache.spark.rdd.RDD[(Int, Double)], Array[Long], Array[Long],
-         Array[Long]) = {
+         Array[Long], DataFrame) = {
     val k = cols.length
     val melted = df.selectExpr(
       s"stack($k, ${cols.zipWithIndex.map { case (c, j) => s"$j, CAST(`$c` AS DOUBLE)" }
         .mkString(", ")}) AS (vid, value)")
       .filter(col("value").isNotNull && !isnan(col("value")))
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val pairs = melted.repartitionByRange(parts, col("vid"), col("value"))
+    // cache the sorted DATAFRAME (compressed Tungsten columnar batches),
+    // not an RDD of boxed (Int, Double) tuples: at 240M melted rows the
+    // tuple objects cost ~48 B each plus GC scanning, which measured as
+    // the dominant superlinearity at ×100 scale. InMemoryRelation
+    // preserves the range partitioning and intra-partition order, so the
+    // .rdd views below still walk the global (vid, value) order.
+    val sortedDf = melted.repartitionByRange(parts, col("vid"), col("value"))
       .sortWithinPartitions("vid", "value")
-      .rdd.map(r => (r.getInt(0), r.getDouble(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = sortedDf.rdd.map(r => (r.getInt(0), r.getDouble(1)))
     // ONE counting job yields BOTH the per-column totals and each
     // partition's global start offset (the RDD is range-sorted, so every
     // partition is a contiguous slice of the global (vid, value) order) —
@@ -485,7 +491,7 @@ object Modify {
       while (i < k) { s += cnt(i); ns(i) += cnt(i); i += 1 }
       totals(pi) = s
     }
-    (pairs, ns, ns.scanLeft(0L)(_ + _), totals.scanLeft(0L)(_ + _))
+    (pairs, ns, ns.scanLeft(0L)(_ + _), totals.scanLeft(0L)(_ + _), sortedDf)
   }
 
   /** Values at the given GLOBAL ranks of a [[sortedMelt]] RDD, in one job:
@@ -528,12 +534,15 @@ object Modify {
         .mkString(", ")}) AS (vid, value)", s"`$idCol` AS __id")
       .filter(col("value").isNotNull && !isnan(col("value")))
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val sorted = melted
+    // cache the sorted DATAFRAME (compressed Tungsten columnar), not boxed
+    // tuples — same reasoning as sortedMelt: object-per-row storage was
+    // the dominant superlinearity at ×100 scale
+    val sortedDf = melted
       .repartitionByRange(parts, col("vid"), col("value"), col("__id"))
       .sortWithinPartitions("vid", "value", "__id")
-      .select(col("vid"), col("value"), col("__id").cast("long"))
-      .rdd.map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      .select(col("vid"), col("value"), col("__id").cast("long").as("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = sortedDf.rdd.map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
     try {
       val countMap = sorted.map(_._1).countByValue()
       val offsets = Array.tabulate(k)(i => countMap.getOrElse(i, 0L))
@@ -552,7 +561,7 @@ object Modify {
         // result (truncating lineage) so the cached sort can be released
         .localCheckpoint(true)
       out
-    } finally sorted.unpersist(blocking = false)
+    } finally sortedDf.unpersist(blocking = false)
   }
 
   /** Exact type-7 quantiles for ALL columns via BRACKET SELECTION — two
@@ -710,7 +719,7 @@ object Modify {
       : Map[String, Option[Seq[Double]]] = {
     if (cols.isEmpty) return Map.empty
     val k = cols.length
-    val (pairs, ns, offsets, partStart) = sortedMelt(df, cols)
+    val (pairs, ns, offsets, partStart, cached) = sortedMelt(df, cols)
     try {
     val needed: Set[Long] = (0 until k).flatMap { i =>
       if (ns(i) == 0) Nil
@@ -729,7 +738,7 @@ object Modify {
         vl + (h - lo) * (vh - vl)
       })
     }.toMap
-    } finally pairs.unpersist(blocking = false)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Winsorize: CLAMP values beyond the [lower, upper] quantiles to the
@@ -802,7 +811,7 @@ object Modify {
     require(cols.nonEmpty, "cols must be non-empty")
     val spark = df.sparkSession
     import spark.implicits._
-    val (pairs, ns, offsets, partStart) = sortedMelt(df, cols)
+    val (pairs, ns, offsets, partStart, cached) = sortedMelt(df, cols)
     try {
       val colNames = cols.toArray
       val grouped = pairs
@@ -823,7 +832,7 @@ object Modify {
           (col("avg_rank") - lit(offset)) /
             (col("n").cast("double") + lit(1.0 - 2.0 * offset))))
         .select("variable", "value", "n_ties", "rint")
-    } finally pairs.unpersist(blocking = false)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Apply [[rintMap]] to the rows: adds `<col>_rint` per listed column
