@@ -697,7 +697,10 @@ object Modify {
           val h = (ns(i) - 1) * q
           val lo = math.floor(h).toLong
           (valueAtRank(lo), valueAtRank(math.ceil(h).toLong)) match {
-            case (Some(vl), Some(vh)) => vl + (h - lo) * (vh - vl)
+            // exact-rank hit returns the order statistic itself — the
+            // lerp would turn ±Inf neighbors into Inf−Inf = NaN
+            case (Some(vl), Some(vh)) =>
+              if (h == lo) vl else vl + (h - lo) * (vh - vl)
             case _ => missed.set(true); Double.NaN
           }
         }
@@ -735,7 +738,8 @@ object Modify {
         val h = (ns(i) - 1) * q
         val lo = math.floor(h).toLong
         val vl = found(offsets(i) + lo); val vh = found(offsets(i) + math.ceil(h).toLong)
-        vl + (h - lo) * (vh - vl)
+        // exact-rank hit: no lerp (±Inf neighbors would yield NaN)
+        if (h == lo) vl else vl + (h - lo) * (vh - vl)
       })
     }.toMap
     } finally cached.unpersist(blocking = false)

@@ -154,10 +154,15 @@ class ModifyDescribeSpec extends SparkSpec {
        rng.nextGaussian() * 100,                                // continuous
        if (i % 7 == 0) Some(rng.nextDouble()) else None,        // sparse
        3.25,                                                    // constant
-       None: Option[Double])                                    // empty
+       None: Option[Double],                                    // empty
+       i match {                                                // infinities
+         case x if x % 1000 == 0 => Double.PositiveInfinity
+         case x if x % 1001 == 0 => Double.NegativeInfinity
+         case _ => rng.nextDouble()
+       })
     }
-    val df = rows.toDF("ties", "cont", "sparse", "const", "void")
-    val colsQ = Seq("ties", "cont", "sparse", "const", "void")
+    val df = rows.toDF("ties", "cont", "sparse", "const", "void", "inf")
+    val colsQ = Seq("ties", "cont", "sparse", "const", "void", "inf")
     val fracs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
     // force the sketch-bracket route for every non-empty column (n=20000
     // vs the small-n [min,max] widening at the default accuracy=10000
@@ -171,7 +176,8 @@ class ModifyDescribeSpec extends SparkSpec {
         case (None, None) => ()
         case (Some(a), Some(b)) =>
           a.zip(b).zipWithIndex.foreach { case ((x, y), j) =>
-            assert(x === y, s"$c fraction ${fracs(j)}: bracket=$x sort=$y") }
+            assert(java.lang.Double.compare(x, y) == 0,
+              s"$c fraction ${fracs(j)}: bracket=$x sort=$y") }
         case (a, b) => fail(s"$c: presence mismatch $a vs $b")
       }
     }
