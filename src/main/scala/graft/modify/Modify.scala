@@ -804,29 +804,61 @@ object Modify {
     *
     * Returns the transform MAP (variable, value, n_ties, rint) — one row
     * per distinct value; [[rankInverseNormal]] joins it back onto rows.
-    * Scale shape mirrors [[exactQuantilesAll]]: ALL columns melt into ONE
-    * range-partitioned sort (no per-variable window funneling a whole
-    * column through one task); tie runs are contiguous in the global
-    * order, so the average rank is (min-rank + n_ties+1)/2 from a plain
-    * reduceByKey, and Φ⁻¹ is [[graft.stats.ColMath.normalPpf]] — column
-    * algebra that replays verbatim in the SQL oracle. */
+    *
+    * Scale shape (r10): AGGREGATE FIRST, SORT THE DISTINCT. The previous
+    * shape range-sorted the raw melted rows and then reduceByKey'd them —
+    * two row-scale shuffles. The rank map only needs per-DISTINCT-value
+    * state, so: one melted groupBy(vid, value).count (map-side combined —
+    * the only row-scale shuffle), then a range sort of the distinct rows
+    * only, and below-counts from per-partition per-column prefix sums
+    * (one tiny metadata job; the sorted partitions are contiguous slices
+    * of each column's value order). Ties collapse BEFORE the sort, so a
+    * heavily-tied 100 TB column sorts thousands of rows, not billions.
+    * Φ⁻¹ is [[graft.stats.ColMath.normalPpf]] — column algebra that
+    * replays verbatim in the SQL oracle. */
   def rintMap(df: DataFrame, cols: Seq[String],
               offset: Double = 0.375): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     val spark = df.sparkSession
     import spark.implicits._
-    val (pairs, ns, offsets, partStart, cached) = sortedMelt(df, cols)
+    val k = cols.length
+    val counted = df.selectExpr(
+      s"stack($k, ${cols.zipWithIndex.map { case (c, j) => s"$j, CAST(`$c` AS DOUBLE)" }
+        .mkString(", ")}) AS (vid, value)")
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy("vid", "value").agg(count(lit(1)).as("cnt"))
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sortedDf = counted.repartitionByRange(parts, col("vid"), col("value"))
+      .sortWithinPartitions("vid", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val colNames = cols.toArray
-      val grouped = pairs
+      // one metadata job: per-partition per-column value totals → each
+      // partition's per-column below-count offset and the column n's
+      val perPart: Array[(Int, Array[Long])] = sortedDf.rdd
         .mapPartitionsWithIndex { (pi, it) =>
-          var gi = partStart(pi) - 1
-          it.map { case (i, v) => gi += 1; ((i, v), (gi, 1L)) }
+          val tot = new Array[Long](k)
+          it.foreach(r => tot(r.getInt(0)) += r.getLong(2))
+          Iterator.single((pi, tot))
+        }.collect().sortBy(_._1)
+      val nParts = sortedDf.rdd.getNumPartitions
+      val belowStart = Array.ofDim[Long](nParts, k)
+      val ns = new Array[Long](k)
+      perPart.foreach { case (pi, tot) =>
+        var i = 0
+        while (i < k) {
+          belowStart(pi)(i) = ns(i); ns(i) += tot(i); i += 1
         }
-        .reduceByKey((a: (Long, Long), b: (Long, Long)) =>
-          (math.min(a._1, b._1), a._2 + b._2))
-        .map { case ((i, v), (minGi, nTies)) =>
-          (colNames(i), v, minGi - offsets(i), nTies, ns(i))
+      }
+      val colNames = cols.toArray
+      val nsB = ns
+      val grouped = sortedDf.rdd
+        .mapPartitionsWithIndex { (pi, it) =>
+          val below = belowStart(pi).clone()
+          it.map { r =>
+            val i = r.getInt(0); val v = r.getDouble(1); val c = r.getLong(2)
+            val b = below(i); below(i) += c
+            (colNames(i), v, b, c, nsB(i))
+          }
         }
         .toDF("variable", "value", "below", "n_ties", "n")
       grouped
@@ -836,7 +868,10 @@ object Modify {
           (col("avg_rank") - lit(offset)) /
             (col("n").cast("double") + lit(1.0 - 2.0 * offset))))
         .select("variable", "value", "n_ties", "rint")
-    } finally cached.unpersist(blocking = false)
+        // the map is distinct-value-sized; materialize it so the cached
+        // sort can be released before the caller's downstream join runs
+        .localCheckpoint(true)
+    } finally sortedDf.unpersist(blocking = false)
   }
 
   /** Apply [[rintMap]] to the rows: adds `<col>_rint` per listed column
