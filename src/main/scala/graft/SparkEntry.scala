@@ -813,8 +813,15 @@ object SparkEntry {
       // oracle pins TRUE — a sketch regression past its published bound
       // reds this row instead of hiding behind "approximate";
       // ModifyDescribeSpec pins the numeric error bounds as units
+      // accuracy 2000 (±0.05% rank error), not the library's Spark-parity
+      // default 10000: the GK sketch's per-row insert cost is strongly
+      // superlinear in accuracy (measured 16-35s vs 5s vs 3.3s for
+      // acc 10000/2000/500 on 60M×4 values) and a corpus profile does not
+      // need ±0.01% ranks — the audit bounds scale with 1/accuracy, so the
+      // in-bounds booleans stay pinned TRUE
       Describe.summarizeApproxAudited(s, t(s, dir, "lineitem"),
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          accuracy = 2000)
         .select(col("variable"), col("n"), round(col("mean"), 6).as("mean"),
           round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
           col("distinct_ok"), col("p25_ok"), col("p50_ok"), col("p75_ok"))

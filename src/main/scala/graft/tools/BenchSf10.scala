@@ -43,6 +43,7 @@ object BenchSf10 {
       // per-copy suffix again: cross-copy pairs stay near-dups, not
       // byte-dups (web-corpus boilerplate shape)
       d.withColumn("text", concat(col("text"), lit(" rev"), col("__i"))))
+    scaled("embeddings", Seq("vec_id"), 8)
     spark.read.parquet(s"$srcDir/nation.parquet")
       .write.mode("overwrite").parquet(s"$outDir/nation.parquet")
     spark.read.parquet(s"$srcDir/region.parquet")
@@ -65,13 +66,26 @@ object BenchSf10 {
 
     require(new java.io.File(s"$srcDir/lineitem.parquet").isDirectory,
       s"$srcDir missing — run graft.tools.BenchSf1 first (it builds sfx1)")
-    if (!new java.io.File(s"$outDir/lineitem.parquet").isDirectory) {
+    // embeddings joined the table set after the first sfx10 build — a
+    // missing member triggers a full rebuild
+    if (!new java.io.File(s"$outDir/lineitem.parquet").isDirectory ||
+        !new java.io.File(s"$outDir/embeddings.parquet").isDirectory) {
       val t0 = System.nanoTime()
       scaleUp(spark)
       System.err.println(f"[sf10] scale-up built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
-    // the five worst sf1 ratios from BENCH_sf1 (VERDICT r9 #5, named)
+    // the five worst sf1 ratios from BENCH_sf1 (VERDICT r9 #5, named),
+    // plus a broad second wave covering every heavy family not probed in
+    // the first pass — a cliff hiding in an unprobed family is exactly
+    // what a 5-line sample would miss
+    val secondWave = Seq(
+      "q1_pricing_summary", "q3_join_revenue_by_nation", "join_asof",
+      "join_salted", "text_bigram_lm", "dedup_exact",
+      "events_sliding_distinct", "sessionize_events", "analyze_assoc_wide",
+      "analyze_interaction_allpairs", "ann_ivf_topk",
+      "modify_quantile_normalize", "modify_rint", "graph_triangles",
+      "describe_summarize_approx", "describe_correlations")
     val workloads: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "events_retention" -> graft.SparkEntry.queries("events_retention"),
       "text_tfidf_topk" -> graft.SparkEntry.queries("text_tfidf_topk"),
@@ -94,10 +108,17 @@ object BenchSf10 {
           graft.pipeline.Dedup.minhashStarEdges(s,
             s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id"))
           .groupBy().agg(count(lit(1)).as("n_grouped"),
-            count_distinct(col("component")).as("n_groups"))))
+            count_distinct(col("component")).as("n_groups")))) ++
+      secondWave.map(n => n -> graft.SparkEntry.queries(n))
+
+    // optional subset: `runMain graft.tools.BenchSf10 q1 q2 ...` probes
+    // only the named lines (skips re-timing the known-expensive ones)
+    val selected =
+      if (args.isEmpty) workloads
+      else workloads.filter { case (n, _) => args.contains(n) }
 
     // codegen/JIT warmup on the tiny SF
-    workloads.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -128,7 +149,7 @@ object BenchSf10 {
       if (runs.exists(_.isNaN)) Double.NaN else runs.min
     }
 
-    val rows = workloads.map { case (name, fn) =>
+    val rows = selected.map { case (name, fn) =>
       val t1 = timed(fn, srcDir)
       val t10 = timed(fn, outDir)
       System.err.println(f"[sf10] $name%-28s sf1 $t1%7.2f s   sf10 $t10%7.2f s   x${t10 / t1}%.1f")
