@@ -196,19 +196,17 @@ object SparkEntry {
         .orderBy("var_a", "var_b")),
 
     "describe_grouped_quantiles" -> ((s, dir) =>
-      // per-group EXACT quantiles via Spark's percentile aggregate (sorts
-      // within each group's agg buffer — right for bounded-cardinality
-      // groups; the 100 TB many-group path is summarizeApprox's sketch).
-      // ONE array-percentile buffer for all three fractions: three scalar
-      // percentile calls would hold three copies of every group's values
-      t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          percentile(col("l_extendedprice"),
-            array(lit(0.5), lit(0.9), lit(0.99))).as("__q"))
+      // per-group EXACT type-7 quantiles WITHOUT an agg buffer holding any
+      // group's values (r10: Spark's `percentile` aggregate buffered every
+      // value of a group — the one row-scale agg buffer in the library;
+      // Describe.groupedQuantiles aggregates ties, sorts the DISTINCT
+      // rows, and walks out only the needed order statistics)
+      Describe.groupedQuantiles(t(s, dir, "lineitem"),
+          "l_extendedprice", "l_returnflag", Seq(0.5, 0.9, 0.99))
         .select(col("l_returnflag"), col("n"),
-          round(element_at(col("__q"), 1), 6).as("p50"),
-          round(element_at(col("__q"), 2), 6).as("p90"),
-          round(element_at(col("__q"), 3), 6).as("p99"))
+          round(element_at(col("quantiles"), 1), 6).as("p50"),
+          round(element_at(col("quantiles"), 2), 6).as("p90"),
+          round(element_at(col("quantiles"), 3), 6).as("p99"))
         .orderBy("l_returnflag")),
 
     "events_interarrival" -> ((s, dir) => {

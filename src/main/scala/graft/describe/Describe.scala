@@ -1,6 +1,6 @@
 package graft.describe
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.{CladeFrame, VariableType}
@@ -459,45 +459,69 @@ object Describe {
     * TakeOrderedAndProject. Nulls count as a key (they hash to one
     * reducer too — the classic silent skew). */
   /** Gini concentration coefficient per group, from the rank-weighted sum
-    * identity G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n. Ranks come from a
-    * RANGE-PARTITIONED sort over (group, value, tie) + zipWithIndex — NOT
-    * a per-group window, whose parallelism collapses to the group count
-    * (3 groups = 3 tasks sorting everything). The sorted partitions' global
-    * index minus each group's offset is its in-group rank at full cluster
-    * parallelism; the tie column makes ranks deterministic in any engine.
-    * Rows with a null group key are excluded (no group to attribute). */
+    * identity G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n.
+    *
+    * Scale shape (r10): AGGREGATE TIES FIRST. A run of c equal values x
+    * starting after b in-group predecessors contributes
+    * x·Σ(b+1..b+c) = x·c·(2b+c+1)/2 to Σi·x — closed-form and
+    * tie-order-invariant (which is also why the SQL window replay is
+    * exact). So: ONE map-side-combined groupBy(group, value).count (the
+    * only row-scale shuffle), a range-partitioned sort of the DISTINCT
+    * (group, value) rows only, per-partition per-group prefix counts from
+    * one O(#groups·#partitions) metadata job, then the closed-form
+    * contribution per distinct row and an O(#groups) final aggregate.
+    * The previous shape sorted the raw rows and zipWithIndex'd them —
+    * measured ×17 wall at ×100 data on a tied column. `tieCols` is
+    * retained for API compatibility; the rank-SUM identity never needed a
+    * tie-break. Rows with a null group key are excluded. */
   def giniByGroup(df: DataFrame, valueCol: String, groupCol: String,
-                  tieCols: Seq[String]): DataFrame = {
+                  tieCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val sorted = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"),
-        col(valueCol).cast("double").as("__x"),
-        concat_ws("\u0000", tieCols.map(c => col(c).cast("string")): _*).as("__t"))
-      .repartitionByRange(parts, col("__g"), col("__x"), col("__t"))
-      .sortWithinPartitions("__g", "__x", "__t")
-      .rdd.map(r => (r.getString(0), r.getDouble(1)))
+        col(valueCol).cast("double").as("__x"))
+      .groupBy("__g", "__x").agg(count(lit(1)).as("__c"))
+      .repartitionByRange(parts, col("__g"), col("__x"))
+      .sortWithinPartitions("__g", "__x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val indexed = sorted.zipWithIndex()
-      // Each group's offset = the smallest global index the sort gave any
-      // of its rows — read back from the sort itself, so the driver never
-      // re-derives the collation (JVM String ordering need not match
-      // Spark's UTF8-binary sort for non-ASCII keys). O(#groups) state.
-      val offsets = indexed.map { case ((g, _), gi) => (g, gi) }
-        .reduceByKey(math.min).collectAsMap()
-      val out = indexed.map { case ((g, x), gi) =>
-        (g, x, (gi - offsets(g) + 1).toDouble)   // 1-based in-group rank
-      }.toDF("__g", "__x", "__i")
+      val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { r =>
+          val g = r.getString(0)
+          m.update(g, m.getOrElse(g, 0L) + r.getLong(2))
+        }
+        Iterator.single((pi, m.toMap))
+      }.collect().sortBy(_._1)
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      val startN: Array[Map[String, Long]] = perPart.map { case (_, m) =>
+        val snapshot = running.toMap
+        m.foreach { case (g, c) => running.update(g, running.getOrElse(g, 0L) + c) }
+        snapshot
+      }
+      val out = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val below = scala.collection.mutable.HashMap[String, Long]() ++ startN(pi)
+        it.map { r =>
+          val g = r.getString(0); val x = r.getDouble(1); val c = r.getLong(2)
+          val b = below.getOrElse(g, 0L)
+          below.update(g, b + c)
+          // Σ ranks over the tie run = c·(2b + c + 1)/2 (exact in double
+          // well past any realistic n)
+          (g, c, x * c, x * (2.0 * b + c + 1.0) * c / 2.0)
+        }
+      }.toDF("__g", "__c", "__sx", "__six")
         .groupBy("__g")
-        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
-          sum(col("__i") * col("__x")).as("__six"))
+        .agg(sum(col("__c")).as("n"), sum(col("__sx")).as("__sx2"),
+          sum(col("__six")).as("__six2"))
         .select(col("__g").as(groupCol), col("n"),
-          (lit(2.0) * col("__six") / (col("n") * col("__sx"))
+          (lit(2.0) * col("__six2") / (col("n") * col("__sx2"))
             - (col("n") + lit(1.0)) / col("n")).as("gini"))
-        .localCheckpoint(true)   // zipWithIndex already ran the sort eagerly
+        // the metadata job already ran the sort eagerly; materialize the
+        // O(#groups) result so the cached sort can be released
+        .localCheckpoint(true)
       out
     } finally sorted.unpersist(blocking = false)
   }
@@ -523,27 +547,168 @@ object Describe {
 
   /** Weighted quantile per group: the smallest value whose cumulative
     * weight reaches q·(total weight) — the survey-weighted median/quantile
-    * (each row counts `weightCol` times). Tie-safe by construction: the
-    * cumulative window uses the default RANGE frame, so equal values share
-    * one cumulative weight regardless of their order, and the answer is
-    * the VALUE at the crossing, which tie order cannot move. Windows
-    * partition by group — parallelism = group cardinality, the right shape
-    * for bounded-cardinality groups (the many-group approximate path is
-    * summarizeApprox). */
+    * (each row counts `weightCol` times). Tie-safe by construction: ties
+    * aggregate into ONE (group, value, Σweight) row before any cumulative
+    * state exists, so the answer is the VALUE at the crossing, which tie
+    * order cannot move (integer-valued double weights sum exactly; the
+    * determinism contract for fractional weights is the same the SQL
+    * RANGE-frame replay carries).
+    *
+    * Scale shape (r10): the per-group WINDOW this op used funnels every
+    * row of a group through one task — measured ×10 wall at ×100 data on
+    * a 3-group table. Now: one map-side-combined groupBy(group, value)
+    * (the only row-scale shuffle), a range-partitioned sort of the
+    * DISTINCT rows, per-partition per-group weight prefixes from one
+    * O(#groups·#partitions) metadata job, and the crossing row found in
+    * a single ordered walk — full parallelism however few groups. */
   def weightedQuantile(df: DataFrame, valueCol: String, weightCol: String,
                        groupCols: Seq[String], q: Double = 0.5): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
-    val cum = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(valueCol))                 // default RANGE frame: ties share cw
-    val tot = Window.partitionBy(groupCols.map(col): _*)
-    df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
-      .withColumn("__cw", sum(col(weightCol)).over(cum))
-      .withColumn("__tw", sum(col(weightCol)).over(tot))
-      .filter(col("__cw") >= col("__tw") * lit(q))
-      .groupBy(groupCols.map(col): _*)
-      .agg(min(col(valueCol)).as("weighted_quantile"),
-        max(col("__tw")).as("total_weight"))
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    // group key string for the driver-side prefix maps; the sentinel keeps
+    // a NULL group distinct from an empty-string group
+    val gKey = concat_ws("\u0001",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0002null"))): _*)
+    val sorted = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ col(valueCol)): _*)
+      .agg(sum(col(weightCol).cast("double")).as("__w"))
+      .withColumn("__g", gKey)
+      .repartitionByRange(parts, col("__g"), col(valueCol))
+      .sortWithinPartitions("__g", valueCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gIdx = sorted.schema.fieldIndex("__g")
+      val wIdx = sorted.schema.fieldIndex("__w")
+      val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val m = scala.collection.mutable.HashMap.empty[String, Double]
+        it.foreach { r =>
+          val g = r.getString(gIdx)
+          m.update(g, m.getOrElse(g, 0.0) + r.getDouble(wIdx))
+        }
+        Iterator.single((pi, m.toMap))
+      }.collect().sortBy(_._1)
+      val running = scala.collection.mutable.HashMap.empty[String, Double]
+      val startW: Array[Map[String, Double]] = perPart.map { case (_, m) =>
+        val snapshot = running.toMap
+        m.foreach { case (g, w) => running.update(g, running.getOrElse(g, 0.0) + w) }
+        snapshot
+      }
+      val totals = running.toMap
+      val outSchema = sorted.schema.add("__tw", org.apache.spark.sql.types.DoubleType)
+      val crossing = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val cw = scala.collection.mutable.HashMap[String, Double]() ++ startW(pi)
+        it.flatMap { r =>
+          val g = r.getString(gIdx)
+          val before = cw.getOrElse(g, 0.0)
+          val after = before + r.getDouble(wIdx)
+          cw.update(g, after)
+          val tw = totals(g)
+          // smallest value with cw >= q·tw; an all-zero-weight group
+          // degenerates to its smallest value (the window shape's answer)
+          if ((before < q * tw && after >= q * tw) || (tw == 0.0 && before == 0.0))
+            Some(Row.fromSeq(r.toSeq :+ tw))
+          else None
+        }
+      }
+      spark.createDataFrame(crossing, outSchema)
+        .groupBy(groupCols.map(col): _*)
+        .agg(min(col(valueCol)).as("weighted_quantile"),
+          max(col("__tw")).as("total_weight"))
+        // O(#groups) result; release the cached sort
+        .localCheckpoint(true)
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Per-group EXACT type-7 quantiles without holding any group's values
+    * in memory — the scalable replacement for Spark's `percentile`
+    * aggregate, whose buffer holds EVERY value of a group (the one
+    * agg-buffer shape in the library that grew with rows; measured
+    * 7.5-18.5s with heavy memory-pressure variance at 60M rows).
+    *
+    * Same machinery as [[weightedQuantile]] (r10): aggregate ties into
+    * (group, value, count) rows — the only row-scale shuffle, map-side
+    * combined — range-sort the DISTINCT rows, derive each group's
+    * per-partition rank offsets from one O(#groups·#partitions) metadata
+    * job, then a single ordered walk emits just the floor/ceil order
+    * statistics each fraction needs (O(#groups·#fractions) rows to the
+    * driver) and type-7 interpolation matches `quantile_cont`/pandas.
+    * `n` counts non-null, non-NaN values (what the quantiles are over).
+    * Returns (group, n, quantiles array) with the group column keeping
+    * its input name and type. */
+  def groupedQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+                       fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(q => q >= 0.0 && q <= 1.0),
+      s"fractions must be in [0, 1]: $fractions")
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val vd = col(valueCol).cast("double")
+    val sorted = df
+      .filter(vd.isNotNull && !isnan(vd))
+      .select(col(groupCol), vd.as("__x"))
+      .groupBy(col(groupCol), col("__x")).agg(count(lit(1)).as("__c"))
+      .withColumn("__g", coalesce(col(groupCol).cast("string"), lit("__graft_null_group_key__")))
+      .repartitionByRange(parts, col("__g"), col("__x"))
+      .sortWithinPartitions("__g", "__x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { r =>
+          val g = r.getString(3)
+          m.update(g, m.getOrElse(g, 0L) + r.getLong(2))
+        }
+        Iterator.single((pi, m.toMap))
+      }.collect().sortBy(_._1)
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      val startN: Array[Map[String, Long]] = perPart.map { case (_, m) =>
+        val snapshot = running.toMap
+        m.foreach { case (g, c) => running.update(g, running.getOrElse(g, 0L) + c) }
+        snapshot
+      }
+      val ns = running.toMap
+      val needed: Map[String, Set[Long]] = ns.map { case (g, n) =>
+        g -> fractions.flatMap { q =>
+          val h = (n - 1) * q
+          Seq(math.floor(h).toLong, math.ceil(h).toLong)
+        }.toSet
+      }
+      // ordered walk: emit only the needed order statistics (+ the
+      // ORIGINAL group value riding along for the output schema)
+      val found = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val below = scala.collection.mutable.HashMap[String, Long]() ++ startN(pi)
+        it.flatMap { r =>
+          val g = r.getString(3); val x = r.getDouble(1); val c = r.getLong(2)
+          val b = below.getOrElse(g, 0L)
+          below.update(g, b + c)
+          needed(g).iterator.filter(rk => rk >= b && rk < b + c)
+            .map(rk => (g, rk, x, r.get(0)))
+        }
+      }.collect()
+      val byG = found.groupBy(_._1)
+      val rows = ns.toSeq.map { case (g, n) =>
+        val ranks = byG(g).map(t => t._2 -> t._3).toMap
+        val orig = byG(g).head._4
+        val qs = fractions.map { q =>
+          val h = (n - 1) * q
+          val lo = math.floor(h).toLong
+          val vl = ranks(lo); val vh = ranks(math.ceil(h).toLong)
+          if (h == lo) vl else vl + (h - lo) * (vh - vl)
+        }
+        Row(orig, n, qs)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        df.schema(groupCol),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("quantiles",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** Cumulative Poisson(1) probabilities as integer thresholds against a

@@ -85,7 +85,11 @@ object BenchSf10 {
       "events_sliding_distinct", "sessionize_events", "analyze_assoc_wide",
       "analyze_interaction_allpairs", "ann_ivf_topk",
       "modify_quantile_normalize", "modify_rint", "graph_triangles",
-      "describe_summarize_approx", "describe_correlations")
+      "describe_summarize_approx", "describe_correlations",
+      // third wave: every remaining family above ~1.3s on the local board
+      "describe_gini", "describe_grouped_quantiles", "describe_bootstrap_ci",
+      "describe_weighted_median", "describe_summarize", "decon_remove_spans",
+      "graph_pagerank")
     val workloads: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "events_retention" -> graft.SparkEntry.queries("events_retention"),
       "text_tfidf_topk" -> graft.SparkEntry.queries("text_tfidf_topk"),

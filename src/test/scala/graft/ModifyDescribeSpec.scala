@@ -143,6 +143,31 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(math.abs(exact - approx) <= 20, s"exact=$exact approx=$approx")
   }
 
+  test("groupedQuantiles: matches Spark's percentile aggregate; null group kept") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (1 to 5000).map { i =>
+      (if (i % 17 == 0) None: Option[String] else Some(s"g${i % 3}"),
+       math.floor(rng.nextDouble() * 40), // heavy ties
+       if (i % 9 == 0) None: Option[Double] else Some(rng.nextGaussian()))
+    }.toDF("g", "tied", "cont")
+    val fr = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    Seq("tied", "cont").foreach { vc =>
+      val fast = Describe.groupedQuantiles(df, vc, "g", fr)
+        .collect().map(r => Option(r.getString(0)) -> r.getSeq[Double](2)).toMap
+      val slow = df.filter(col(vc).isNotNull)
+        .groupBy("g")
+        .agg(percentile(col(vc).cast("double"), array(fr.map(lit): _*)).as("q"))
+        .collect().map(r => Option(r.getString(0)) -> r.getSeq[Double](1)).toMap
+      assert(fast.keySet === slow.keySet, s"$vc groups (incl. the null group)")
+      fast.keySet.foreach { g =>
+        fast(g).zip(slow(g)).zipWithIndex.foreach { case ((a, b), j) =>
+          assert(math.abs(a - b) < 1e-12, s"$vc group=$g fraction ${fr(j)}: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("exactQuantilesAll: bracket-selection path agrees with the sort path") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
