@@ -364,7 +364,7 @@ object InteractionStudy {
     // treeAggregate: the z scratch buffer and the accumulator are allocated
     // once per partition, not per row — 6M rows at sf1 would otherwise churn
     // 6M short-lived arrays through the young gen inside the hot loop
-    val acc = graft.stats.Rows.doubleRdd(base.select(selCols: _*))
+    val partStates = graft.stats.Rows.doubleRdd(base.select(selCols: _*))
       .mapPartitions { it =>
         val st = zero.clone()
         val z = new Array[Double](maxP)
@@ -414,7 +414,13 @@ object InteractionStudy {
         }
         Iterator.single(st)
       }
-      .treeReduce { (x, yArr) =>
+    // treeReduce throws on an empty collection; an empty (or AQE-coalesced-
+    // to-nothing) input yields a ZERO-partition RDD, so degrade to the zero
+    // state — every pair then reports its "too few observations" row
+    // instead of crashing (mapPartitions preserves partition count, so the
+    // check is exact)
+    val acc = if (partStates.getNumPartitions == 0) zero.clone()
+      else partStates.treeReduce { (x, yArr) =>
         var i = 0
         while (i < nVars) { x(i) += yArr(i); i += 1 }
         var k = 0

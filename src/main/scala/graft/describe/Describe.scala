@@ -567,10 +567,15 @@ object Describe {
     require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
     val spark = df.sparkSession
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    // group key string for the driver-side prefix maps; the sentinel keeps
-    // a NULL group distinct from an empty-string group
-    val gKey = concat_ws("\u0001",
-      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0002null"))): _*)
+    // injective group-key encoding for the driver-side prefix maps: each
+    // component is tagged (N = null, V = value) and length-prefixed, so it
+    // parses unambiguously left-to-right — no in-band separator or null
+    // sentinel a genuine value could collide with
+    val gKey = concat(groupCols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("N:"))
+        .otherwise(concat(lit("V"), length(s).cast("string"), lit(":"), s))
+    }: _*)
     val sorted = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
       .groupBy((groupCols.map(col) :+ col(valueCol)): _*)
@@ -636,6 +641,10 @@ object Describe {
     * statistics each fraction needs (O(#groups·#fractions) rows to the
     * driver) and type-7 interpolation matches `quantile_cont`/pandas.
     * `n` counts non-null, non-NaN values (what the quantiles are over).
+    * Groups whose values are ALL null/NaN still appear in the output,
+    * with n=0 and a null quantiles array — parity with the aggregate
+    * shape (`count(col)` = 0, `percentile_cont` = null), found by one
+    * extra O(#groups) distinct over the group column.
     * Returns (group, n, quantiles array) with the group column keeping
     * its input name and type. */
   def groupedQuantiles(df: DataFrame, valueCol: String, groupCol: String,
@@ -649,7 +658,10 @@ object Describe {
       .filter(vd.isNotNull && !isnan(vd))
       .select(col(groupCol), vd.as("__x"))
       .groupBy(col(groupCol), col("__x")).agg(count(lit(1)).as("__c"))
-      .withColumn("__g", coalesce(col(groupCol).cast("string"), lit("__graft_null_group_key__")))
+      // tag-prefixed key: "N" for null, "V" + value otherwise — injective,
+      // so no genuine group value can alias the null group
+      .withColumn("__g", when(col(groupCol).isNull, lit("N"))
+        .otherwise(concat(lit("V"), col(groupCol).cast("string"))))
       .repartitionByRange(parts, col("__g"), col("__x"))
       .sortWithinPartitions("__g", "__x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -699,15 +711,25 @@ object Describe {
         }
         Row(orig, n, qs)
       }
+      // groups whose values are ALL null/NaN never reach `sorted`; one
+      // O(#groups) column-pruned distinct finds them so they surface with
+      // n=0 and null quantiles (the aggregate shape's answer) instead of
+      // silently disappearing
+      val allG = df.select(col(groupCol),
+          when(col(groupCol).isNull, lit("N"))
+            .otherwise(concat(lit("V"), col(groupCol).cast("string"))).as("__g"))
+        .distinct().collect()
+      val emptyRows = allG.filter(r => !ns.contains(r.getString(1)))
+        .map(r => Row(r.get(0), 0L, null)).toSeq
       val schema = org.apache.spark.sql.types.StructType(Seq(
         df.schema(groupCol),
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("quantiles",
           org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType), nullable = false)))
+            org.apache.spark.sql.types.DoubleType), nullable = true)))
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
+        spark.sparkContext.parallelize(rows ++ emptyRows, 1), schema)
     } finally sorted.unpersist(blocking = false)
   }
 

@@ -602,7 +602,14 @@ object Modify {
     val spark = df.sparkSession
     val k = cols.length
     val accuracy = spark.conf.getOption("graft.quantile.accuracy")
-      .map(_.toInt).getOrElse(10000)
+      .map { s =>
+        val v = try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.quantile.accuracy must be a positive integer, got '$s'")
+        }
+        require(v > 0, s"graft.quantile.accuracy must be > 0, got $v")
+        v
+      }.getOrElse(10000)
     val eps = 1.0 / accuracy
 
     // ---- pass 1: n / min / max / padded sketch brackets, one agg job

@@ -338,4 +338,22 @@ class InteractionStudySpec extends SparkSpec {
       }
     }
   }
+
+  test("aggregated path: zero-partition input degrades to error rows, not a crash") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("id", "y", "a", "b").map {
+      case "id" => StructField("id", LongType)
+      case c    => StructField(c, DoubleType)
+    })
+    // an empty RDD has ZERO partitions — treeReduce on the per-partition
+    // accumulator RDD would throw "empty collection" without the guard
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    assert(empty.rdd.getNumPartitions === 0)
+    val res = InteractionStudy.run(spark, CladeFrame(empty), "y", Seq(("a", "b")))
+    val rows = res.collect()
+    assert(rows.length === 1)
+    val err = rows.head.getString(rows.head.fieldIndex("error"))
+    assert(err != null && err.nonEmpty, s"expected a too-few-observations error row: ${rows.head}")
+  }
 }

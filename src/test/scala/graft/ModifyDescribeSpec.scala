@@ -894,4 +894,69 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(one === joins(Seq("a", "b", "c", "d")),
       "join count must not grow with the column count")
   }
+
+  test("groupedQuantiles: sentinel-named groups stay distinct; all-null groups surface with n=0") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("__graft_null_group_key__"), Some(1.0)),
+      (Some("__graft_null_group_key__"), Some(3.0)),
+      (None: Option[String], Some(10.0)),
+      (None: Option[String], Some(20.0)),
+      (Some("allnull"), None: Option[Double]),
+      (Some("allnan"), Some(Double.NaN))
+    ).toDF("g", "v")
+    val out = Describe.groupedQuantiles(df, "v", "g", Seq(0.5)).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), Option(r.getSeq[Double](2)))).toMap
+    assert(out.size === 4)
+    // a group literally named like the old in-band sentinel must NOT merge
+    // with the null group (the r10 encoding would have aliased them)
+    assert(out(Some("__graft_null_group_key__")) === ((2L, Some(Seq(2.0)))))
+    assert(out(None) === ((2L, Some(Seq(15.0)))))
+    // groups whose values are all null / all NaN surface with n=0 and a
+    // null quantiles array (the aggregate shape's answer), not dropped
+    assert(out(Some("allnull")) === ((0L, None)))
+    assert(out(Some("allnan")) === ((0L, None)))
+  }
+
+  test("weightedQuantile: separator / null-sentinel group values never alias") {
+    import spark.implicits._
+    // engineered collisions against the old concat_ws("\u0001") key:
+    // ("a\u0001b","c") vs ("a","b\u0001c") encoded identically, and a
+    // literal "\u0002null" value collided with an actual NULL component
+    val df = Seq(
+      ("a\u0001b", "c", 1.0, 1.0),
+      ("a", "b\u0001c", 5.0, 1.0),
+      ("\u0002null", "x", 7.0, 1.0),
+      (null.asInstanceOf[String], "x", 9.0, 1.0)
+    ).toDF("k1", "k2", "v", "w")
+    val out = Describe.weightedQuantile(df, "v", "w", Seq("k1", "k2"), 0.5)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 4, s"four distinct groups expected: $out")
+    assert(out((Some("a\u0001b"), "c")) === 1.0)
+    assert(out((Some("a"), "b\u0001c")) === 5.0)
+    assert(out((Some("\u0002null"), "x")) === 7.0)
+    assert(out((None, "x")) === 9.0)
+  }
+
+  test("exactQuantilesAll: malformed graft.quantile.accuracy rejected with a clear error") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0).toDF("x")
+    Seq("nope", "0", "-5").foreach { bad =>
+      spark.conf.set("graft.quantile.accuracy", bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          Modify.exactQuantilesAll(df, Seq("x"), Seq(0.5))
+        }
+        assert(e.getMessage.contains("graft.quantile.accuracy"), s"msg: ${e.getMessage}")
+      } finally spark.conf.unset("graft.quantile.accuracy")
+    }
+    // a valid override still works
+    spark.conf.set("graft.quantile.accuracy", "500")
+    try {
+      val q = Modify.exactQuantilesAll(df, Seq("x"), Seq(0.5))("x")
+      assert(q === Some(Seq(2.0)))
+    } finally spark.conf.unset("graft.quantile.accuracy")
+  }
 }
