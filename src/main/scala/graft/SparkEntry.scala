@@ -1300,6 +1300,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "dedup_keep_best" -> ((s, dir) => {
+      // same verified chain components as dedup_components, but the keeper
+      // is the BEST cluster member (longest canonical text, string-id tie
+      // break) instead of the min id — the quality-aware canonical cut
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .withColumn("id2", col("id1") + 1).filter(col("id2") < 100)
+      val verified = Dedup.ngramJaccard(s, docs, pairs, "text", "doc_id", shingleK = 4)
+        .filter(col("jaccard") >= 0.3)
+      val comps = Dedup.components(verified)
+      Dedup.keepBest(docs, comps, "doc_id",
+          length(graft.pipeline.Text.normalized(col("text"))))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"),
+          length(graft.pipeline.Text.normalized(col("text"))).cast("long").as("quality"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_embedding_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
@@ -1443,6 +1461,18 @@ object SparkEntry {
           posexplode(col("qz").getField("q")).as(Seq("pos", "qv")))
         .select(col("vec_id"), col("pos"), col("qv"), col("scale"))
         .orderBy("vec_id", "pos")
+    }),
+
+    "embedding_random_projection" -> ((s, dir) => {
+      // JL projection onto 8 seeded gaussian planes (the SAME coefficient
+      // matrix the oracle embeds as literals); exploded + rounded so the
+      // hash compare sees scalars
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val projOf = Similarity.randomProjection(dim = 64, outDim = 8)
+      e.select(col("vec_id"),
+          posexplode(projOf(col("embedding"))).as(Seq("b", "p")))
+        .select(col("vec_id"), col("b"), round(col("p"), 6).as("proj"))
+        .orderBy("vec_id", "b")
     }),
 
     // ---- text analysis (driver mandate)
@@ -1755,6 +1785,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "decon_corpus_minhash" -> ((s, dir) => {
+      // corpus-level overlap estimate: NO join — one signature projection
+      // + one O(numHashes)-state aggregation per side
+      val docs = t(s, dir, "documents")
+      Decontaminate.corpusMinhashJaccard(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text")
+    }),
+
     "decon_crossdoc_dup" -> ((s, dir) =>
       Decontaminate.crossDocDupScore(
           t(s, dir, "documents").filter(col("doc_id") < 300), "text", "doc_id", n = 5)
@@ -1838,6 +1877,11 @@ object SparkEntry {
       Text.vocab(t(s, dir, "documents"), "text", "doc_id", topK = 100)
         .select(col("word"), col("tf"), col("df"))
         .orderBy(col("tf").desc, col("word").asc)),
+
+    "text_heavy_hitters" -> ((s, dir) =>
+      // exact >=phi*N frequent words WITHOUT shuffling the tail
+      // vocabulary (lossy-counting candidates + exact verify pass)
+      Text.heavyHitters(t(s, dir, "documents"), "text", phi = 0.002)),
 
     "text_tfidf_topk" -> ((s, dir) =>
       Text.tfidfTopK(t(s, dir, "documents"), "text", "doc_id",
@@ -2235,6 +2279,56 @@ object SparkEntry {
        |SELECT id1, id2,
        |  CAST(len(list_filter(range(64), i -> s1[CAST(i AS INT)+1] = s2[CAST(i AS INT)+1])) AS DOUBLE)/64 AS est_jaccard
        |FROM cd ORDER BY id1, id2""".stripMargin
+
+  /** Corpus-level minhash replay: same shingle → polyHash → fmix64 →
+    * signed-min pipeline as [[minhashBandedCte]], but the min groups by
+    * CORPUS SIDE (doc_id parity) instead of document — the elementwise
+    * min of per-doc signatures IS the corpus signature, so the SQL can
+    * min straight over the side's distinct shingle set. */
+  private def corpusMinhashOracleSql: String = {
+    val params = graft.pipeline.Dedup.hashParams(64, 42L)
+    val prvals = params.zipWithIndex
+      .map { case (p, i) => s"($i, CAST('${java.lang.Long.toUnsignedString(p)}' AS UBIGINT))" }
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id % 2 AS INT) AS side,
+       |         trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS n
+       |  FROM documents),
+       |shl AS (SELECT side, unnest(list_distinct(CASE WHEN length(n) <= 5 THEN [n]
+       |    ELSE list_transform(range(length(n)-4), i -> n[CAST(i AS INT)+1:CAST(i AS INT)+5]) END)) AS s
+       |  FROM d WHERE n IS NOT NULL),
+       |ph AS (SELECT DISTINCT side AS id, ${sqlPolyHash("s")} AS x FROM shl),
+       |pr(i, p) AS (VALUES $prvals),
+       |f0 AS (SELECT id, i, xor(x, p) AS a FROM ph CROSS JOIN pr),
+       |${sqlFmixSteps("f0")},
+       |mn AS (SELECT id, i, min(xor(a, CAST('9223372036854775808' AS UBIGINT))) AS m FROM f5 GROUP BY id, i),
+       |cnt AS (SELECT
+       |    CAST(count(CASE WHEN side = 0 AND n IS NOT NULL THEN 1 END) AS BIGINT) AS n_train,
+       |    CAST(count(CASE WHEN side = 1 AND n IS NOT NULL THEN 1 END) AS BIGINT) AS n_eval FROM d),
+       |mt AS (SELECT CAST(count(*) AS BIGINT) AS matching_components
+       |       FROM mn a JOIN mn b ON a.i = b.i AND a.id = 0 AND b.id = 1 AND a.m = b.m)
+       |SELECT n_train, n_eval, matching_components,
+       |  CASE WHEN n_train = 0 OR n_eval = 0 THEN NULL
+       |       ELSE matching_components / 64.0 END AS est_jaccard
+       |FROM cnt CROSS JOIN mt""".stripMargin
+  }
+
+  /** JL-projection replay: the seeded gaussian plane matrix rides as
+    * 8×64 literal coefficients — the SAME doubles the native
+    * RandomProjection expression embeds. Rounding to 6 dp tolerates
+    * summation-order noise exactly as the cosine oracles do. */
+  private def randomProjectionOracleSql: String = {
+    val planes = graft.pipeline.Similarity.hyperplanes(dim = 64, bits = 8, seed = 42L)
+    val pvals = planes.zipWithIndex.flatMap { case (row, b) =>
+      row.zipWithIndex.map { case (w, j) => s"($b, $j, $w)" } }.mkString(", ")
+    s"""WITH plane(b, j, w) AS (VALUES $pvals),
+       |proj AS (
+       |  SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w) AS pr
+       |  FROM embeddings e CROSS JOIN plane p
+       |  WHERE e.vec_id < 100 GROUP BY 1, 2)
+       |SELECT vec_id, CAST(b AS INT) AS b, round(pr, 6) AS proj
+       |FROM proj ORDER BY vec_id, b""".stripMargin
+  }
 
   /** Star-edge replay: per (band, slice) bucket the lexicographically-
     * smallest member is the representative; edges = (rep, member). */
@@ -3392,6 +3486,38 @@ object SparkEntry {
            CAST(min(id) OVER (PARTITION BY grp) AS BIGINT) AS component
          FROM r ORDER BY id""",
 
+    "dedup_keep_best" ->
+      // same run-break components replay as dedup_components, plus the
+      // quality argmax: keeper = (length(t) DESC, string-id ASC) row_number 1
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 100),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) <= 4 THEN [t]
+                  ELSE list_transform(range(length(t) - 3), i -> substr(t, CAST(i AS INT) + 1, 4)) END) AS s
+                FROM d),
+         j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+               FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+         e AS (SELECT id1, id2 FROM j WHERE jac >= 0.3),
+         n AS (SELECT DISTINCT id FROM (SELECT id1 AS id FROM e UNION ALL SELECT id2 AS id FROM e)),
+         m AS (SELECT id, CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.id1 = n.id - 1 AND e.id2 = n.id)
+                 THEN 0 ELSE 1 END AS brk FROM n),
+         r AS (SELECT id, sum(brk) OVER (ORDER BY id) AS grp FROM m),
+         comp AS (SELECT id, min(id) OVER (PARTITION BY grp) AS component FROM r),
+         membr AS (SELECT c.id, c.component, length(d.t) AS q FROM comp c JOIN d ON d.doc_id = c.id),
+         win AS (SELECT component, id AS winner FROM (
+                   SELECT id, component, row_number() OVER (PARTITION BY component
+                     ORDER BY q DESC, CAST(id AS VARCHAR)) AS rn FROM membr) WHERE rn = 1),
+         losers AS (SELECT mb.id FROM membr mb JOIN win w ON w.component = mb.component
+                    WHERE mb.id <> w.winner)
+         SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(w.component, d.doc_id) AS BIGINT) AS component,
+           CAST(length(d.t) AS BIGINT) AS quality
+         FROM d
+         LEFT JOIN losers l ON l.id = d.doc_id
+         LEFT JOIN win w ON w.winner = d.doc_id
+         WHERE l.id IS NULL
+         ORDER BY doc_id""",
+
     "dedup_exact" ->
       """WITH fp AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
                      FROM documents),
@@ -3879,6 +4005,8 @@ object SparkEntry {
            n_overlap > 0 AS contaminated
          FROM c ORDER BY doc_id""",
 
+    "decon_corpus_minhash" -> corpusMinhashOracleSql,
+
     "decon_crossdoc_dup" ->
       """WITH d AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
@@ -4038,6 +4166,8 @@ object SparkEntry {
            CAST(pos - 1 AS INT) AS pos,
            round(avg(CAST(x AS DOUBLE)), 6) AS v
          FROM e GROUP BY label, pos ORDER BY label, pos""",
+
+    "embedding_random_projection" -> randomProjectionOracleSql,
 
     "embedding_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
@@ -4557,6 +4687,18 @@ object SparkEntry {
                FROM documents d JOIN q ON d.source = q.domain)
          SELECT doc_id, source FROM r JOIN q ON r.source = q.domain
          WHERE rn <= quota ORDER BY doc_id""",
+
+    "text_heavy_hitters" ->
+      // plain GROUP BY + HAVING: the lossy-counting candidate pass is a
+      // guaranteed superset, so the engine's two-pass answer is EXACT
+      """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+                    FROM documents),
+         ww AS (SELECT word FROM w WHERE word <> ''),
+         n AS (SELECT count(*) AS total FROM ww)
+         SELECT word, CAST(count(*) AS BIGINT) AS tf
+         FROM ww GROUP BY 1
+         HAVING count(*) >= (SELECT ceil(0.002 * total) FROM n)
+         ORDER BY tf DESC, word""",
 
     "text_vocab_topk" ->
       """WITH w AS (SELECT doc_id,

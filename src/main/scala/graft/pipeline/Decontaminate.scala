@@ -230,4 +230,53 @@ object Decontaminate {
         when(col("n_ngrams") > 0,
           col("n_dup").cast("double") / col("n_ngrams")).otherwise(0.0))
   }
+
+  /** Corpus-overlap ESTIMATE between a training and an evaluation corpus:
+    * minhash Jaccard of the two corpora's character-shingle SETS, computed
+    * without ANY join. The elementwise minimum of per-document minhash
+    * signatures IS the corpus signature (min is associative), so each side
+    * costs one codegen'd signature projection + one map-side-combined
+    * aggregation with O(numHashes) state, and the estimate compares two
+    * numHashes-long vectors on the driver.
+    *
+    * THE cheap pre-screen before exact decontamination at 100 TB:
+    * [[overlapReport]] joins train x eval n-grams (a corpus-scale
+    * shuffle); this reads each corpus once, shuffles O(numHashes x
+    * partitions) longs TOTAL, and tells you whether the exact pass is
+    * worth scheduling — the same single-pass trick sketch-based corpus
+    * audits use (e.g. estimating crawl-snapshot overlap before a merge).
+    *
+    * Null-text docs carry no shingles and are excluded from the doc
+    * counts. Returns ONE row: (n_train, n_eval, matching_components,
+    * est_jaccard) — est_jaccard = matches/numHashes (an exact binary
+    * double both here and in SQL), NULL if either corpus is empty. */
+  def corpusMinhashJaccard(train: DataFrame, eval: DataFrame, textCol: String,
+                           numHashes: Int = 64, shingleK: Int = 5,
+                           seed: Long = 42L): DataFrame = {
+    require(numHashes > 0, s"numHashes must be positive: $numHashes")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val params = Dedup.hashParams(numHashes, seed)
+    def corpusSig(df: DataFrame): (Long, Array[Long]) = {
+      val fname = s"minhash_sig_${numHashes}_${shingleK}_$seed"
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        fname,
+        exprs => graft.functions.MinhashSignature(exprs.head, params, shingleK),
+        "scala_udf")
+      val sigs = df.select(call_function(fname, col(textCol)).as("sig"))
+      val aggs = count(col("sig")).as("n") +: (0 until numHashes).map(i =>
+        min(element_at(col("sig"), i + 1)).as(s"m$i"))
+      val r = sigs.agg(aggs.head, aggs.tail: _*).head()
+      (r.getLong(0), Array.tabulate(numHashes)(i =>
+        if (r.isNullAt(i + 1)) Long.MaxValue else r.getLong(i + 1)))
+    }
+    val (nTrain, sigTrain) = corpusSig(train)
+    val (nEval, sigEval) = corpusSig(eval)
+    val matches = (0 until numHashes).count(i => sigTrain(i) == sigEval(i)).toLong
+    val est: Option[Double] =
+      if (nTrain == 0L || nEval == 0L) None
+      else Some(matches.toDouble / numHashes)
+    Seq((nTrain, nEval, matches, est))
+      .toDF("n_train", "n_eval", "matching_components", "est_jaccard")
+  }
 }

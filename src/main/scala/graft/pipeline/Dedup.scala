@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -366,6 +366,48 @@ object Dedup {
     * coalesce. */
   def resolveKeepers(components: DataFrame): DataFrame =
     components.select(col("id"), col("component").as("keeper"))
+
+  /** Canonical-document selection per duplicate cluster — the "keep the
+    * BEST member" cut (longest text, highest Gopher/quality score, a model
+    * score, ...) instead of [[resolveKeepers]]' min-id keeper. `comps` is
+    * the (id, component) assignment from [[components]]; docs absent from
+    * it are singletons and survive untouched. Keeper = the member with the
+    * maximum `quality`, ties broken to the minimum id in its STRING form
+    * (the cross-type canonical ordering used throughout this module); a
+    * cluster whose every quality is NULL falls back to the min-id keeper.
+    *
+    * Returns the surviving rows of `docs` plus a string `component`
+    * column (the cluster id for cluster keepers, the doc's own id for
+    * singletons).
+    *
+    * Scale shape: the cluster tables are duplicate-scale, not corpus-
+    * scale, so every aggregate here is tiny and map-side combined; the
+    * argmax is a two-level aggregate (max quality, then min id among the
+    * maximizers — deterministic for ANY orderable id type, no window, no
+    * per-cluster single-task funnel); the only corpus-scale operations
+    * are the quality projection and the left-anti against the loser set
+    * (broadcast-shaped: losers ⊆ duplicate members). */
+  def keepBest(docs: DataFrame, comps: DataFrame, idCol: String,
+               quality: Column): DataFrame = {
+    val c = comps.select(col("id").cast("string").as("__kb_id"),
+      col("component").cast("string").as("__kb_comp"))
+    val members = docs
+      .join(c, docs(idCol).cast("string") === col("__kb_id"))
+      .select(col("__kb_comp"), col("__kb_id"), quality.as("__kb_q"))
+    val best = members.groupBy("__kb_comp").agg(max("__kb_q").as("__kb_qmax"))
+    val winners = members.join(best, Seq("__kb_comp"))
+      .filter(col("__kb_q") <=> col("__kb_qmax")) // null-safe: all-null cluster keeps min id
+      .groupBy("__kb_comp").agg(min(col("__kb_id")).as("__kb_win"))
+    val losers = members.join(winners, Seq("__kb_comp"))
+      .filter(col("__kb_id") =!= col("__kb_win"))
+      .select(col("__kb_id").as("__kb_loser"))
+    val kept = docs.join(losers,
+      docs(idCol).cast("string") === col("__kb_loser"), "left_anti")
+    kept.join(winners, kept(idCol).cast("string") === col("__kb_win"), "left")
+      .withColumn("component",
+        coalesce(col("__kb_comp"), kept(idCol).cast("string")))
+      .drop("__kb_comp", "__kb_win")
+  }
 
   /** One-call near-dedup: MinHash-LSH candidates → exact n-gram Jaccard
     * verification (candidates only) → connected components → keep-one.

@@ -296,6 +296,28 @@ object Similarity {
     }
   }
 
+  /** Johnson–Lindenstrauss random projection of `vecCol` onto `outDim`
+    * seeded gaussian planes (the [[hyperplanes]] matrix — the SAME
+    * coefficients the SQL oracle embeds as literals): a new array<double>
+    * column with component b = v · plane_b. The standard pre-ANN
+    * dimensionality cut — shrink 64→16 and every downstream embedding
+    * scan, shuffle, and distance loop is 4× lighter, with JL's (1±ε)
+    * pairwise-distance guarantee. ONE codegen'd fused loop per row
+    * (native [[graft.functions.RandomProjection]] expression), no
+    * shuffle, fully parallel. */
+  def randomProjection(dim: Int, outDim: Int, seed: Long = 42L)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val planes: Seq[Seq[Double]] = hyperplanes(dim, outDim, seed)
+    vec => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val fname = s"random_proj_${seed}_${outDim}_$dim"
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        fname, exprs => graft.functions.RandomProjection(exprs.head, planes),
+        "scala_udf")
+      call_function(fname, vec)
+    }
+  }
+
   /** LSH-bucketed ANN: join query and corpus on signature bucket, then
     * exact cosine within bucket. Recall is tunable via fewer bits and
     * MULTI-PROBE: each query also searches every bucket at hamming

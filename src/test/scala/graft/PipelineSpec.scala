@@ -1071,4 +1071,114 @@ class PipelineSpec extends SparkSpec {
     val pruned = Text.tfidfTopK(df, "text", "doc_id", topK = 2, minDf = 3L)
     assert(pruned.count() === 0)
   }
+
+  test("heavyHitters: exact parity with GROUP BY + HAVING on an adversarial spread") {
+    import spark.implicits._
+    // worst case for the pigeonhole: the phi-heavy words are spread EVENLY
+    // across many partitions (no partition sees them concentrated), the
+    // tail is a sea of distinct singletons that churns the summaries
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 20000).map { i =>
+      val w =
+        if (i % 50 == 0) "heavy" + (i % 3)            // three words at exactly 1/150 each
+        else if (i % 97 == 0) "medium" + (i % 5)
+        else "tail" + i                               // all-distinct tail
+      (i.toLong, w + " " + "tail2_" + rng.nextInt(1000000))
+    }
+    val df = rows.toDF("id", "text").repartition(16)
+    val phi = 1.0 / 500
+    val got = Text.heavyHitters(df, "text", phi).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = df.select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val total = words.count()
+    val thr = math.ceil(phi * total).toLong
+    val want = words.groupBy("w").count().filter(col("count") >= thr)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want, s"threshold=$thr total=$total")
+    assert(got.nonEmpty, "the planted heavy words must clear the threshold")
+  }
+
+  test("heavyHitters: boundary frequency exactly phi*N survives; empty corpus; bad phi") {
+    import spark.implicits._
+    // 100 tokens, phi=0.05 -> threshold 5; one word at EXACTLY 5
+    val text = (Seq.fill(5)("edge") ++ (0 until 95).map("t" + _)).mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text").repartition(4)
+    val out = Text.heavyHitters(df, "text", 0.05).collect()
+    assert(out.map(r => r.getString(0) -> r.getLong(1)).toMap === Map("edge" -> 5L))
+    val empty = Text.heavyHitters(Seq.empty[(Long, String)].toDF("id", "text"), "text", 0.1)
+    assert(empty.count() === 0 && empty.columns.toSeq === Seq("word", "tf"))
+    intercept[IllegalArgumentException](Text.heavyHitters(df, "text", 0.0))
+    intercept[IllegalArgumentException](Text.heavyHitters(df, "text", 1.0))
+  }
+
+  test("keepBest: quality argmax keeper, string-id tie break, singleton passthrough, null quality") {
+    import spark.implicits._
+    val docs = Seq(
+      (9L,  "aaaa bbbb", 10),   // cluster A member (len 9)
+      (10L, "aaaa bbbb cc", 0), // cluster A member (len 12) -> keeper
+      (11L, "aaaa bb", 0),      // cluster A member (len 7)
+      (20L, "same length", 0),  // cluster B: equal quality ->
+      (21L, "same length", 0),  //   min STRING id "20" wins
+      (30L, "loner document", 0)
+    ).toDF("doc_id", "text", "junk")
+    val comps = Seq(("9", "9"), ("10", "9"), ("11", "9"), ("20", "20"), ("21", "20"))
+      .toDF("id", "component")
+    val out = Dedup.keepBest(docs, comps, "doc_id",
+      length(Text.normalized(col("text"))))
+    val kept = out.select(col("doc_id"), col("component")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept === Map(10L -> "9", 20L -> "20", 30L -> "30"))
+    // original columns survive alongside the component tag
+    assert(out.columns.toSet === Set("doc_id", "text", "junk", "component"))
+    // an all-null-quality cluster falls back to the min-string-id keeper
+    val nulls = Seq((5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ncomp = Seq(("5", "5"), ("6", "5")).toDF("id", "component")
+    val nk = Dedup.keepBest(nulls, ncomp, "doc_id", length(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nk === Set(5L))
+  }
+
+  test("randomProjection: matches a driver-side dot product; dim mismatch and null element -> null") {
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(dim = 4, bits = 3, seed = 7L)
+    val v = Array(0.5f, -1.25f, 2.0f, 0.125f)
+    val df = Seq(Tuple1(v)).toDF("emb")
+    val projOf = Similarity.randomProjection(dim = 4, outDim = 3, seed = 7L)
+    val got = df.select(projOf(col("emb")).as("p")).head().getSeq[Double](0)
+    val want = planes.map(row => row.zip(v.map(_.toDouble)).map { case (w, x) => w * x }.sum)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+    // wrong input dimension -> null row, not a truncated projection
+    val short = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("emb")
+    assert(short.select(projOf(col("emb")).as("p")).head().isNullAt(0))
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f, 4.0f)))
+      .toDF("emb")
+    assert(withNull.select(projOf(col("emb")).as("p")).head().isNullAt(0))
+  }
+
+  test("corpusMinhashJaccard: identical corpora -> 1, disjoint -> ~0, agg min == driver min, empty -> null") {
+    import spark.implicits._
+    val a = Seq((0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val same = graft.pipeline.Decontaminate.corpusMinhashJaccard(a, a, "text").head()
+    assert(same.getLong(0) === 2L && same.getLong(1) === 2L)
+    assert(same.getDouble(3) === 1.0)
+    val b = Seq((0L, "nu xi omicron pi rho sigma"),
+      (1L, "tau upsilon phi chi psi omega")).toDF("doc_id", "text")
+    val diff = graft.pipeline.Decontaminate.corpusMinhashJaccard(a, b, "text").head()
+    assert(diff.getDouble(3) < 0.2, s"disjoint corpora estimated ${diff.getDouble(3)}")
+    // the distributed elementwise-min equals the driver-side min of per-doc signatures
+    val texts = a.select("text").collect().map(_.getString(0))
+    val sigs = texts.map(Dedup.minhashSignature(_, 64, 5))
+    val driverMin = Array.tabulate(64)(i => sigs.map(_(i)).min)
+    val apart = graft.pipeline.Decontaminate.corpusMinhashJaccard(
+      a, a.limit(1), "text").head()
+    val sig0 = Dedup.minhashSignature(texts(0), 64, 5)
+    val expectMatches = (0 until 64).count(i => driverMin(i) == sig0(i)).toLong
+    assert(apart.getLong(2) === expectMatches)
+    val et = a.limit(0)
+    val empty = graft.pipeline.Decontaminate.corpusMinhashJaccard(a, et, "text").head()
+    assert(empty.isNullAt(3) && empty.getLong(1) === 0L)
+  }
 }
