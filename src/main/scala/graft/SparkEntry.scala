@@ -221,7 +221,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_gaps"),
           min("gap").as("min_gap_us"),
           max("gap").as("max_gap_us"),
-          round(avg("gap"), 4).as("avg_gap_us"))
+          // EXACT cross-engine average: integer gap sums stay < 2^53
+          // (a user's gaps sum to its time span), so sum(long)/n is the
+          // same two IEEE ops in Spark and DuckDB; sig6 instead of
+          // round(x, 4) because the engines ROUND differently — Spark via
+          // exact BigDecimal, DuckDB via float multiply — which diverges
+          // on halfway decimals and on 1e10-magnitude values (measured at
+          // sf0.1); sig6 runs both engines through the identical
+          // float-scaled path, so ties land the same side
+          sig6(sum("gap").cast("double") / count(lit(1))).as("avg_gap_us"))
         .orderBy("user_id")
     }),
 
@@ -250,7 +258,9 @@ object SparkEntry {
       EventStreams.resampleHourly(t(s, dir, "events"))
         .select(col("event_type"),
           unix_timestamp(col("hour")).cast("long").as("hour_start"),
-          col("n"), round(col("ffill_avg"), 6).as("ffill_avg"))
+          // sig6: same cross-engine halfway-decimal rounding divergence
+          // as events_moving_avg's ma
+          col("n"), sig6(col("ffill_avg")).as("ffill_avg"))
         .orderBy("event_type", "hour_start")),
 
     "events_anomaly" -> ((s, dir) =>
@@ -482,11 +492,19 @@ object SparkEntry {
       val w = Window.partitionBy("event_type").orderBy(col("t"))
         .rangeBetween(-3600000000L, Window.currentRow)
       t(s, dir, "events").filter(col("event_type") === "purchase")
-        .select(col("event_type"), unix_micros(col("ts")).as("t"), col("value"))
+        .select(col("event_type"), unix_micros(col("ts")).as("t"), col("value"),
+          // exact integer cents: the measurements are 2-decimal, and the
+          // regular event spacing makes window counts power-of-two-dense,
+          // so float window sums land on EXACT .5 rounding ties that
+          // ±1-ulp accumulation-order noise flips per engine (89 rows at
+          // sf0.1). The sliding integer sum is order-free and exact in
+          // both engines; ma is then two identical IEEE ops + sig6.
+          round(col("value") * 100, 0).cast("long").as("__cents"))
         .withColumn("n_win", count(lit(1)).over(w))
-        .withColumn("ma", avg("value").over(w))
+        .withColumn("ma",
+          sum("__cents").over(w).cast("double") / (col("n_win") * lit(100.0)))
         .select(col("event_type"), col("t"), round(col("value"), 4).as("value"),
-          col("n_win"), round(col("ma"), 6).as("ma"))
+          col("n_win"), sig6(col("ma")).as("ma"))
         .orderBy("event_type", "t")
     }),
 
@@ -994,7 +1012,7 @@ object SparkEntry {
           ("l_discount", "l_tax")), minN = 1)
         .select(col("Term1").as("term1"), col("Term2").as("term2"),
           col("N").as("n"),
-          round(col("Beta"), 4).as("beta"), round(col("SE"), 4).as("se"),
+          sig6(col("Beta")).as("beta"), sig6(col("SE")).as("se"),
           round(col("LRT_pvalue"), 6).as("lrt_pvalue"))
         .orderBy("term1", "term2")
     }),
@@ -1015,16 +1033,16 @@ object SparkEntry {
         .select(col("Term1").as("term1"), col("Term2").as("term2"),
           col("Parameter").as("parameter"), col("N").as("n"),
           round(col("LRT_pvalue"), 6).as("lrt_pvalue"),
-          round(col("Red_Var1_beta"), 4).as("red_v1_beta"),
-          round(col("Red_Var1_SE"), 4).as("red_v1_se"),
-          round(col("Red_Var2_beta"), 4).as("red_v2_beta"),
-          round(col("Red_Var2_SE"), 4).as("red_v2_se"),
-          round(col("Full_Var1_Var2_beta"), 4).as("full_inter_beta"),
-          round(col("Full_Var1_Var2_SE"), 4).as("full_inter_se"),
-          round(col("Full_Var1_beta"), 4).as("full_v1_beta"),
-          round(col("Full_Var1_SE"), 4).as("full_v1_se"),
-          round(col("Full_Var2_beta"), 4).as("full_v2_beta"),
-          round(col("Full_Var2_SE"), 4).as("full_v2_se"))
+          sig6(col("Red_Var1_beta")).as("red_v1_beta"),
+          sig6(col("Red_Var1_SE")).as("red_v1_se"),
+          sig6(col("Red_Var2_beta")).as("red_v2_beta"),
+          sig6(col("Red_Var2_SE")).as("red_v2_se"),
+          sig6(col("Full_Var1_Var2_beta")).as("full_inter_beta"),
+          sig6(col("Full_Var1_Var2_SE")).as("full_inter_se"),
+          sig6(col("Full_Var1_beta")).as("full_v1_beta"),
+          sig6(col("Full_Var1_SE")).as("full_v1_se"),
+          sig6(col("Full_Var2_beta")).as("full_v2_beta"),
+          sig6(col("Full_Var2_SE")).as("full_v2_se"))
     }),
 
     "analyze_interaction_allpairs" -> ((s, dir) => {
@@ -1045,7 +1063,7 @@ object SparkEntry {
         interactions = InteractionStudy.allPairs(cf, "l_extendedprice"), minN = 1)
         .select(col("Term1").as("term1"), col("Term2").as("term2"),
           col("N").as("n"),
-          round(col("Beta"), 4).as("beta"), round(col("SE"), 4).as("se"),
+          sig6(col("Beta")).as("beta"), sig6(col("SE")).as("se"),
           round(col("LRT_pvalue"), 6).as("lrt_pvalue"))
         .orderBy("term1", "term2")
     }),
@@ -2084,6 +2102,35 @@ object SparkEntry {
     arms.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY variable")
   }
 
+  /** 6-significant-digit rounding that is bitwise deterministic across
+    * Spark and DuckDB — the robust alternative to round(x, d) for columns
+    * whose magnitude grows with SF (at sf0.1 the interaction betas reach
+    * 1e5, where the ~1e-9 relative cross-engine solve noise EQUALS a 4dp
+    * quantum and parks results on rounding boundaries). Mechanics: scale
+    * by an exactly-representable nonnegative power of ten (pow(10, k),
+    * k in [0, 22], exact in both libms — verified), integer-round (both
+    * engines round half away from zero), scale back; the decade exponent
+    * floor(log10|x| + 1e-9) carries a nudge so the engines' <=1-ulp log10
+    * difference can never split them across a decade boundary (a
+    * consistently "wrong" decade near the boundary is harmless — only
+    * cross-engine agreement matters). */
+  private def sig6(c: Column): Column = {
+    val e = floor(log10(abs(c)) + lit(1e-9))
+    val k = lit(5.0) - e
+    when(c.isNull || c === 0.0, c)
+      .otherwise(when(k >= 0,
+        round(c * pow(lit(10.0), k), 0) / pow(lit(10.0), k))
+        .otherwise(round(c / pow(lit(10.0), -k), 0) * pow(lit(10.0), -k)))
+  }
+
+  /** SQL twin of [[sig6]] for the DuckDB oracles (same ops, same order). */
+  private def sqlSig6(x: String): String = {
+    val e = s"floor(log10(abs($x)) + 1e-9)"
+    s"""CASE WHEN $x IS NULL OR $x = 0 THEN $x
+       | WHEN 5 - $e >= 0 THEN round($x * pow(10, 5 - $e)) / pow(10, 5 - $e)
+       | ELSE round($x / pow(10, $e - 5)) * pow(10, $e - 5) END""".stripMargin
+  }
+
   /** One UNION-ALL arm of the interaction oracle: full-vs-restricted OLS
     * for y ~ 1 + x1 + x2 + x1*x2 replayed via sequential Gram-Schmidt.
     * Center everything (eliminates the intercept), then z2 = c2 − proj(c2
@@ -2103,8 +2150,8 @@ object SparkEntry {
     val (x1, x2) = (e1, e2)
     val lr = "(1.0 + n * ln((rss_r / (n - 3)) * (n - 4) / rss_f))"
     s"""SELECT '$n1' AS term1, '$n2' AS term2, CAST(n AS BIGINT) AS n,
-       |  round(beta3, 4) AS beta,
-       |  round(sqrt(rss_f / (n - 4) / s33), 4) AS se,
+       |  ${sqlSig6("beta3")} AS beta,
+       |  ${sqlSig6("sqrt(rss_f / (n - 4) / s33)")} AS se,
        |  round(CASE WHEN $lr <= 0 THEN 1.0
        |        ELSE ${sqlErfc(s"sqrt($lr / 2)")} END, 6) AS lrt_pvalue
        |FROM (
@@ -2169,16 +2216,16 @@ object SparkEntry {
        |  'l_quantity:l_discount' AS parameter, CAST(n AS BIGINT) AS n,
        |  round(CASE WHEN $lr <= 0 THEN 1.0
        |        ELSE ${sqlErfc(s"sqrt($lr / 2)")} END, 6) AS lrt_pvalue,
-       |  round(rb1, 4) AS red_v1_beta,
-       |  round(sqrt(rss_r / (n - 3) * s22 / c33), 4) AS red_v1_se,
-       |  round(rb2, 4) AS red_v2_beta,
-       |  round(sqrt(rss_r / (n - 3) * s11 / c33), 4) AS red_v2_se,
-       |  round(b3, 4) AS full_inter_beta,
-       |  round(sqrt(rss_f / (n - 4) * c33 / det), 4) AS full_inter_se,
-       |  round(b1, 4) AS full_v1_beta,
-       |  round(sqrt(rss_f / (n - 4) * c11 / det), 4) AS full_v1_se,
-       |  round(b2, 4) AS full_v2_beta,
-       |  round(sqrt(rss_f / (n - 4) * c22 / det), 4) AS full_v2_se
+       |  ${sqlSig6("rb1")} AS red_v1_beta,
+       |  ${sqlSig6("sqrt(rss_r / (n - 3) * s22 / c33)")} AS red_v1_se,
+       |  ${sqlSig6("rb2")} AS red_v2_beta,
+       |  ${sqlSig6("sqrt(rss_r / (n - 3) * s11 / c33)")} AS red_v2_se,
+       |  ${sqlSig6("b3")} AS full_inter_beta,
+       |  ${sqlSig6("sqrt(rss_f / (n - 4) * c33 / det)")} AS full_inter_se,
+       |  ${sqlSig6("b1")} AS full_v1_beta,
+       |  ${sqlSig6("sqrt(rss_f / (n - 4) * c11 / det)")} AS full_v1_se,
+       |  ${sqlSig6("b2")} AS full_v2_beta,
+       |  ${sqlSig6("sqrt(rss_f / (n - 4) * c22 / det)")} AS full_v2_se
        |FROM fin""".stripMargin
   }
 
@@ -4217,14 +4264,14 @@ object SparkEntry {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "events_interarrival" ->
-      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events),
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events),
          g AS (SELECT user_id,
                  t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
                FROM e)
          SELECT user_id, count(*) AS n_gaps,
            CAST(min(gap) AS BIGINT) AS min_gap_us,
            CAST(max(gap) AS BIGINT) AS max_gap_us,
-           round(avg(CAST(gap AS DOUBLE)), 4) AS avg_gap_us
+           ${sqlSig6("(CAST(sum(gap) AS DOUBLE) / count(*))")} AS avg_gap_us
          FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""",
 
     "events_funnel" ->
@@ -4241,7 +4288,7 @@ object SparkEntry {
          FROM f""",
 
     "events_resample" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
              count(*) AS n, avg(value) AS av FROM events GROUP BY 1, 2),
          b AS (SELECT min(date_trunc('hour', ts)) AS mn,
                  max(date_trunc('hour', ts)) AS mx FROM events),
@@ -4249,13 +4296,14 @@ object SparkEntry {
                FROM (SELECT DISTINCT event_type FROM events) t
                CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
                              AS hour FROM b) g)
-         SELECT s.event_type, CAST(floor(epoch(s.hour)) AS BIGINT) AS hour_start,
+         , fl AS (SELECT s.event_type, CAST(floor(epoch(s.hour)) AS BIGINT) AS hour_start,
            CAST(coalesce(h.n, 0) AS BIGINT) AS n,
-           round(last_value(h.av IGNORE NULLS) OVER (
+           last_value(h.av IGNORE NULLS) OVER (
              PARTITION BY s.event_type ORDER BY s.hour
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ffill_avg
-         FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hour = h.hour
-         ORDER BY 1, 2""",
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0
+         FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hour = h.hour)
+         SELECT event_type, hour_start, n, ${sqlSig6("f0")} AS ffill_avg
+         FROM fl ORDER BY 1, 2""",
 
     "events_anomaly" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -4494,15 +4542,17 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "events_moving_avg" ->
-      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS t, value
-           FROM events WHERE event_type = 'purchase')
-         SELECT event_type, t, round(value, 4) AS value,
-           count(*) OVER w AS n_win,
-           round(avg(value) OVER w, 6) AS ma
-         FROM e
-         WINDOW w AS (PARTITION BY event_type ORDER BY t
-           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-         ORDER BY 1, 2""",
+      s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS t, value,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         win AS (SELECT event_type, t, round(value, 4) AS value,
+             count(*) OVER w AS n_win,
+             CAST(sum(cents) OVER w AS DOUBLE) / (count(*) OVER w * 100.0) AS ma0
+           FROM e
+           WINDOW w AS (PARTITION BY event_type ORDER BY t
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+         SELECT event_type, t, value, n_win, ${sqlSig6("ma0")} AS ma
+         FROM win ORDER BY 1, 2""",
 
     "graph_pagerank" ->
       """WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst,
