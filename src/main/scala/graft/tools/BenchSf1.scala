@@ -134,7 +134,27 @@ object BenchSf1 {
       "dedup_minhash_full" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.Dedup.minhashCandidates(s,
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
-          .groupBy().agg(count(lit(1)).as("n_candidates"))))
+          .groupBy().agg(count(lit(1)).as("n_candidates"))),
+      // round-11 additions: the new scale operators, full-corpus forms
+      // (the oracled keep_best / projection queries slice a fixed id range
+      // that would not grow with SF)
+      "text_heavy_hitters" -> graft.SparkEntry.queries("text_heavy_hitters"),
+      "decon_corpus_minhash" -> graft.SparkEntry.queries("decon_corpus_minhash"),
+      "dedup_keep_best_full" -> ((s: SparkSession, dir: String) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val edges = graft.pipeline.Dedup.minhashStarEdges(s, docs, "text", "doc_id")
+        val comps = graft.pipeline.Dedup.components(edges)
+        graft.pipeline.Dedup.keepBest(docs, comps, "doc_id",
+            length(graft.pipeline.Text.normalized(col("text"))))
+          .groupBy().agg(count(lit(1)).as("n_kept"))
+      }),
+      "embedding_random_projection_full" -> ((s: SparkSession, dir: String) => {
+        val projOf = graft.pipeline.Similarity.randomProjection(dim = 64, outDim = 16)
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select(projOf(col("embedding")).as("p"))
+          .groupBy().agg(count(lit(1)).as("n"),
+            sum(element_at(col("p"), 1)).as("chk"))
+      }))
 
     // codegen/JIT warmup on the tiny SF
     workloads.foreach { case (_, fn) =>
