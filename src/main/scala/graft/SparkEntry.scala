@@ -2114,7 +2114,7 @@ object SparkEntry {
     * difference can never split them across a decade boundary (a
     * consistently "wrong" decade near the boundary is harmless — only
     * cross-engine agreement matters). */
-  private def sig6(c: Column): Column = {
+  private[graft] def sig6(c: Column): Column = {
     val e = floor(log10(abs(c)) + lit(1e-9))
     val k = lit(5.0) - e
     when(c.isNull || c === 0.0, c)
@@ -2124,7 +2124,7 @@ object SparkEntry {
   }
 
   /** SQL twin of [[sig6]] for the DuckDB oracles (same ops, same order). */
-  private def sqlSig6(x: String): String = {
+  private[graft] def sqlSig6(x: String): String = {
     val e = s"floor(log10(abs($x)) + 1e-9)"
     s"""CASE WHEN $x IS NULL OR $x = 0 THEN $x
        | WHEN 5 - $e >= 0 THEN round($x * pow(10, 5 - $e)) / pow(10, 5 - $e)

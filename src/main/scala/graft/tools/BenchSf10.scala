@@ -112,7 +112,25 @@ object BenchSf10 {
           graft.pipeline.Dedup.minhashStarEdges(s,
             s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id"))
           .groupBy().agg(count(lit(1)).as("n_grouped"),
-            count_distinct(col("component")).as("n_groups")))) ++
+            count_distinct(col("component")).as("n_groups"))),
+      // round-11 operators, full-corpus forms (same shapes as BenchSf1)
+      "text_heavy_hitters" -> graft.SparkEntry.queries("text_heavy_hitters"),
+      "decon_corpus_minhash" -> graft.SparkEntry.queries("decon_corpus_minhash"),
+      "dedup_keep_best_full" -> ((s: SparkSession, dir: String) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val edges = graft.pipeline.Dedup.minhashStarEdges(s, docs, "text", "doc_id")
+        val comps = graft.pipeline.Dedup.components(edges)
+        graft.pipeline.Dedup.keepBest(docs, comps, "doc_id",
+            length(graft.pipeline.Text.normalized(col("text"))))
+          .groupBy().agg(count(lit(1)).as("n_kept"))
+      }),
+      "embedding_random_projection_full" -> ((s: SparkSession, dir: String) => {
+        val projOf = graft.pipeline.Similarity.randomProjection(dim = 64, outDim = 16)
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select(projOf(col("embedding")).as("p"))
+          .groupBy().agg(count(lit(1)).as("n"),
+            sum(element_at(col("p"), 1)).as("chk"))
+      })) ++
       secondWave.map(n => n -> graft.SparkEntry.queries(n))
 
     // optional subset: `runMain graft.tools.BenchSf10 q1 q2 ...` probes

@@ -63,4 +63,26 @@ class EntryCompatSpec extends SparkSpec {
       assert(a === b, s"$name: re-encoded parquet must yield identical values")
     }
   }
+
+  test("sig6: 6 significant digits at any magnitude, ties away from zero, null/zero passthrough") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val xs = Seq(
+      116710.8152   -> 116711.0,      // 1e5 magnitude -> integer quantum
+      -121.529349   -> -121.529,      // 1e2 -> 3dp
+      0.00123456789 -> 0.00123457,    // small magnitude keeps 6 sig digits
+      1234565.0     -> 1234570.0,     // >1e6 -> ELSE branch (divide form), tie away from zero
+      -1234565.0    -> -1234570.0,    // negative tie away from zero
+      28.613849999  -> 28.6138,       // the halfway-decimal case round(x,4) flipped
+      0.0           -> 0.0)
+    val df = xs.map(_._1).toDF("x")
+    val got = df.select(SparkEntry.sig6(col("x")).as("r")).collect().map(_.getDouble(0))
+    got.zip(xs.map(_._2)).zip(xs.map(_._1)).foreach { case ((g, want), in) =>
+      assert(g === want, s"sig6($in): got $g want $want")
+    }
+    val withNull = Seq[Option[Double]](None).toDF("x")
+    assert(withNull.select(SparkEntry.sig6(col("x"))).head().isNullAt(0))
+    // the SQL twin contains the same scale expression shape (spot check)
+    assert(SparkEntry.sqlSig6("z").contains("floor(log10(abs(z)) + 1e-9)"))
+  }
 }
