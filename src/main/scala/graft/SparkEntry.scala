@@ -1803,6 +1803,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "decon_minhash_lsh" -> ((s, dir) => {
+      // fuzzy decontamination: train docs that would be an LSH candidate
+      // pair with some eval doc (shared band bucket); eval side broadcast
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      Decontaminate.lshOverlap(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), "text", "doc_id")
+        .select(col("id").cast("long").as("doc_id"), col("n_bands_matched"))
+        .orderBy("doc_id")
+    }),
+
     "decon_corpus_minhash" -> ((s, dir) => {
       // corpus-level overlap estimate: NO join — one signature projection
       // + one O(numHashes)-state aggregation per side
@@ -1891,6 +1902,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
         .orderBy("split")),
 
+    "sample_component_split" -> ((s, dir) => {
+      // leakage-safe split at NEAR-dup granularity: verified chain pairs ->
+      // connected components -> the whole component keys ONE split decision
+      // (sample_split's content fingerprint only co-locates exact dups)
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .withColumn("id2", col("id1") + 1)
+      val verified = Dedup.ngramJaccard(s, docs, pairs, "text", "doc_id", shingleK = 4)
+        .filter(col("jaccard") >= 0.3)
+      val comps = Dedup.components(verified)
+      Sampling.componentSplit(docs, comps, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split_group")).as("n_groups"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("split")
+    }),
+
     "text_vocab_topk" -> ((s, dir) =>
       Text.vocab(t(s, dir, "documents"), "text", "doc_id", topK = 100)
         .select(col("word"), col("tf"), col("df"))
@@ -1900,6 +1930,12 @@ object SparkEntry {
       // exact >=phi*N frequent words WITHOUT shuffling the tail
       // vocabulary (lossy-counting candidates + exact verify pass)
       Text.heavyHitters(t(s, dir, "documents"), "text", phi = 0.002)),
+
+    "text_bpe_train" -> ((s, dir) =>
+      // tokenizer training at corpus scale: the corpus is scanned ONCE
+      // (word counts); 8 merge rounds then run on the vocab-sized table
+      Text.bpeTrain(t(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("step")),
 
     "text_tfidf_topk" -> ((s, dir) =>
       Text.tfidfTopK(t(s, dir, "documents"), "text", "doc_id",
@@ -4054,6 +4090,17 @@ object SparkEntry {
 
     "decon_corpus_minhash" -> corpusMinhashOracleSql,
 
+    "decon_minhash_lsh" ->
+      // same banded CTE as the dedup replays; the train/eval split rides
+      // doc_id parity mod 7, the join is on the band SLICE itself
+      s"""$minhashBandedCte,
+         |tb AS (SELECT id, b, slice FROM bd WHERE CAST(id AS BIGINT) % 7 <> 0),
+         |ebs AS (SELECT DISTINCT b, slice FROM bd WHERE CAST(id AS BIGINT) % 7 = 0)
+         |SELECT CAST(tb.id AS BIGINT) AS doc_id,
+         |  CAST(count(DISTINCT tb.b) AS BIGINT) AS n_bands_matched
+         |FROM tb JOIN ebs ON tb.b = ebs.b AND tb.slice = ebs.slice
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "decon_crossdoc_dup" ->
       """WITH d AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
@@ -4712,6 +4759,36 @@ object SparkEntry {
          FROM s GROUP BY 1 ORDER BY 1"""
     },
 
+    "sample_component_split" -> {
+      // run-break chain components (the dedup_components replay, full
+      // table) -> representative = numeric-min id -> md5 split thresholds
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).drop(1)
+      val (t1, t2) = (Sampling.hexThreshold(cum(0)), Sampling.hexThreshold(cum(1)))
+      s"""WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                    FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) <= 4 THEN [t]
+                  ELSE list_transform(range(length(t) - 3), i -> substr(t, CAST(i AS INT) + 1, 4)) END) AS s
+                FROM d),
+         j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+               FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+         e AS (SELECT id1, id2 FROM j WHERE jac >= 0.3),
+         n AS (SELECT DISTINCT id FROM (SELECT id1 AS id FROM e UNION ALL SELECT id2 AS id FROM e)),
+         m AS (SELECT id, CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.id1 = n.id - 1 AND e.id2 = n.id)
+                 THEN 0 ELSE 1 END AS brk FROM n),
+         r AS (SELECT id, sum(brk) OVER (ORDER BY id) AS grp FROM m),
+         c AS (SELECT id, min(id) OVER (PARTITION BY grp) AS component FROM r),
+         k AS (SELECT doc_id, coalesce(CAST(c.component AS VARCHAR), CAST(doc_id AS VARCHAR)) AS rep
+               FROM documents LEFT JOIN c ON c.id = documents.doc_id),
+         sp AS (SELECT doc_id, rep,
+                 CASE WHEN substr(md5(rep), 1, 15) < '$t1' THEN 'train'
+                      WHEN substr(md5(rep), 1, 15) < '$t2' THEN 'val' ELSE 'test' END AS split
+                FROM k)
+         SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_groups,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM sp GROUP BY 1 ORDER BY 1"""
+    },
+
     "sample_stratified" ->
       """WITH r AS (SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang
@@ -4749,6 +4826,46 @@ object SparkEntry {
          FROM ww GROUP BY 1
          HAVING count(*) >= (SELECT ceil(0.002 * total) FROM n)
          ORDER BY tf DESC, word""",
+
+    "text_bpe_train" -> {
+      // chained-CTE replay of 8 BPE rounds (the Lloyd-iteration pattern):
+      // p_i = weighted adjacent-pair counts, b_i = argmax with the
+      // (count DESC, pair ASC) tie break, w_i = canonical greedy
+      // left-to-right merge via a list_reduce fold whose state string is
+      // "<merged>\x02<pending>" — byte-identical to the engine's
+      // functions.aggregate fold, including the `a a a a` -> `aa aa` run
+      // semantics a regexp replace cannot express
+      val n = 8
+      val steps = (1 to n).map { i =>
+        val prev = s"w${i - 1}"
+        s"""p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+           SELECT unnest(list_transform(range(len(string_split(sym, ' ')) - 1),
+             k -> string_split(sym, ' ')[CAST(k AS INT) + 1] || ' ' || string_split(sym, ' ')[CAST(k AS INT) + 2])) AS pair, cnt
+           FROM $prev) GROUP BY 1),
+         b$i AS (SELECT pair, c, split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+                 FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),
+         w$i AS (SELECT ltrim(CASE WHEN split_part(f, chr(2), 2) = '' THEN split_part(f, chr(2), 1)
+                      ELSE split_part(f, chr(2), 1) || ' ' || split_part(f, chr(2), 2) END) AS sym, cnt FROM (
+             SELECT cnt, list_reduce(list_prepend(chr(2), string_split(sym, ' ')),
+               (acc, x) -> CASE WHEN split_part(acc, chr(2), 2) = b$i.a AND x = b$i.b
+                   THEN split_part(acc, chr(2), 1) || ' ' || b$i.a || b$i.b || chr(2)
+                   ELSE (CASE WHEN split_part(acc, chr(2), 2) = '' THEN split_part(acc, chr(2), 1)
+                         ELSE split_part(acc, chr(2), 1) || ' ' || split_part(acc, chr(2), 2) END) || chr(2) || x END) AS f
+             FROM $prev, b$i))"""
+      }.mkString(",\n         ")
+      val sel = (1 to n).map(i =>
+        s"SELECT CAST($i AS INT) AS step, a AS lhs, b AS rhs, a || b AS merged, c AS pair_count FROM b$i")
+        .mkString(" UNION ALL ")
+      s"""WITH wr AS (SELECT trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
+                      FROM documents),
+         wd AS (SELECT word, count(*) AS cnt
+                FROM (SELECT unnest(string_split(t, ' ')) AS word FROM wr)
+                WHERE length(word) > 0 AND NOT contains(word, chr(2)) GROUP BY 1),
+         w0 AS (SELECT array_to_string(list_transform(range(length(word)),
+                  k -> substr(word, CAST(k AS INT) + 1, 1)), ' ') AS sym, cnt FROM wd),
+         $steps
+         SELECT * FROM ($sel) ORDER BY step"""
+    },
 
     "text_vocab_topk" ->
       """WITH w AS (SELECT doc_id,

@@ -231,6 +231,35 @@ object Decontaminate {
           col("n_dup").cast("double") / col("n_ngrams")).otherwise(0.0))
   }
 
+  /** FUZZY decontamination via MinHash-LSH band buckets — the
+    * appendix-C-of-GPT-3 shape generalized from exact 13-grams to
+    * near-duplicate detection: a training document is flagged when ANY of
+    * its signature's band slices collides with an eval document's slice
+    * (the same banding contract [[Dedup.minhashCandidates]] uses for
+    * near-dup pairs, so the flag means "would be an LSH candidate pair
+    * with some eval doc"). Returns flagged train docs only:
+    * (id, n_bands_matched), one row per flagged doc.
+    *
+    * Scale shape: eval benchmarks are tiny next to a 100 TB corpus — the
+    * eval (band, bucket) set is distinct-aggregated then BROADCAST, so the
+    * train side never shuffles: signature projection (codegen'd, per-row),
+    * broadcast semi-shaped join, one map-side-combined count by id. */
+  def lshOverlap(train: DataFrame, eval: DataFrame, textCol: String,
+                 idCol: String, numHashes: Int = 64, bands: Int = 16,
+                 shingleK: Int = 5, seed: Long = 42L): DataFrame = {
+    val spark = train.sparkSession
+    val tb = Dedup.bandedBuckets(spark, train, textCol, idCol,
+      numHashes, bands, shingleK, seed)
+    val eb = Dedup.bandedBuckets(spark, eval, textCol, idCol,
+      numHashes, bands, shingleK, seed)
+      .select("band", "bucket").distinct()
+    tb.join(broadcast(eb), Seq("band", "bucket"))
+      // a doc can hit the same eval bucket via ONE band only once — count
+      // distinct bands, not join rows (duplicate eval slices are distinct'd)
+      .groupBy("id")
+      .agg(countDistinct(col("band")).as("n_bands_matched"))
+  }
+
   /** Corpus-overlap ESTIMATE between a training and an evaluation corpus:
     * minhash Jaccard of the two corpora's character-shingle SETS, computed
     * without ANY join. The elementwise minimum of per-document minhash

@@ -190,6 +190,24 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
+  /** Banded (id, band, bucket) projection shared with the
+    * decontamination LSH overlap: same signature expression, same
+    * band-slice hashing as [[minhashCandidates]]/[[minhashStarEdges]]. */
+  private[pipeline] def bandedBuckets(spark: SparkSession, df: DataFrame,
+      textCol: String, idCol: String, numHashes: Int, bands: Int,
+      shingleK: Int, seed: Long): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val params = hashParams(numHashes, seed)
+    val sigOf = nativeCol(spark, s"minhash_sig_${numHashes}_${shingleK}_$seed",
+      exprs => graft.functions.MinhashSignature(exprs.head, params, shingleK)) _
+    df.select(col(idCol).cast("string").as("id"), sigOf(col(textCol)).as("sig"))
+      .select(col("id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs — the
     * verification stage after LSH (never run all-pairs). */
   def ngramJaccard(spark: SparkSession, docs: DataFrame, pairs: DataFrame,

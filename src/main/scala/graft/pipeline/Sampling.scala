@@ -229,4 +229,33 @@ object Sampling {
       } else joined.filter(hashBucket(key) < col("__thresh"))
     kept.drop("__domain", "__quota", "__thresh", "__rn")
   }
+
+  /** NEAR-dup-leakage-safe split: every document of a dedup component (the
+    * `(id, component)` output of [[Dedup.components]] over verified
+    * near-dup pairs) is assigned to the SAME train/val/test split, decided
+    * by the hash of the component representative alone; documents in no
+    * component key on their own id (a singleton IS its representative).
+    * [[splitAssign]] on a content fingerprint already co-locates EXACT
+    * duplicates — this closes the remaining eval-contamination hole, where
+    * a lightly-edited copy of a training document lands in the test split.
+    *
+    * Adds `group` (the representative as string) and `out` (the split
+    * name) to `docs`.
+    *
+    * Scale shape: `components` holds one row per document that is in some
+    * dup group — orders of magnitude smaller than the corpus. The left
+    * join is a broadcast when Spark's stats allow it, else one
+    * co-partitioned equi-join on id; the split decision itself is the
+    * usual zero-shuffle hash projection, and stays membership-stable
+    * (re-running after adding documents never moves an untouched group). */
+  def componentSplit(docs: DataFrame, components: DataFrame, idCol: String,
+                     splits: Seq[(String, Double)], out: String = "split",
+                     group: String = "split_group"): DataFrame = {
+    val comp = components.select(col("id").cast("string").as("__cs_id"),
+      col("component").cast("string").as("__cs_comp"))
+    val rep = coalesce(col("__cs_comp"), col(idCol).cast("string"))
+    val keyed = docs.join(comp, docs(idCol).cast("string") === col("__cs_id"), "left")
+      .withColumn(group, rep)
+    splitAssign(keyed, col(group), splits, out).drop("__cs_id", "__cs_comp")
+  }
 }

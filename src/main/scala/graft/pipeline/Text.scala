@@ -752,4 +752,88 @@ object Text {
       .filter(col("tf") >= threshold)
       .orderBy(col("tf").desc, col("word").asc)
   }
+
+  /** One canonical greedy left-to-right BPE merge applied to a
+    * space-joined symbol string, as pure column algebra: a fold
+    * (`functions.aggregate`) over the symbol array with state
+    * (merged-prefix, pending-symbol). Exactly the reference BPE semantics
+    * — `a a a a` under merge (a,a) becomes `aa aa`, `a a a` becomes
+    * `aa a` — which a plain left-to-right regexp/replace CANNOT express
+    * (it consumes the shared boundary and misses the run tail). */
+  private def bpeApplyMerge(sym: Column, a: String, b: String): Column = {
+    val merged = a + b
+    val flush = (st: Column) =>
+      when(st.getField("p") === lit(""), st.getField("m"))
+        .otherwise(concat(st.getField("m"), lit(" "), st.getField("p")))
+    aggregate(
+      split(sym, " "),
+      struct(lit("").as("m"), lit("").as("p")),
+      (st, x) => when(st.getField("p") === lit(a) && x === lit(b),
+          struct(concat(st.getField("m"), lit(" " + merged)).as("m"),
+            lit("").as("p")))
+        .otherwise(struct(flush(st).as("m"), x.as("p"))),
+      st => ltrim(flush(st)))
+  }
+
+  /** Corpus-scale BPE tokenizer training (Sennrich et al. 2016): learn the
+    * `numMerges` highest-count symbol-pair merges over the corpus.
+    * Returns the merge table (step, lhs, rhs, merged, pair_count) in
+    * learned order — the artifact a tokenizer ships.
+    *
+    * Scale shape — the reason BPE training fits the 100 TB engine: the
+    * corpus is touched ONCE (word-count aggregation, map-side combined);
+    * every merge iteration then runs on the distinct-WORD table, which is
+    * vocabulary-sized (orders of magnitude smaller than the corpus and
+    * independent of corpus growth past saturation). Per iteration: one
+    * pair-count aggregation + a 1-row argmax to the driver + the fold
+    * projection, with `localCheckpoint` cutting the iterative plan
+    * lineage (same discipline as [[Dedup.components]]). Driver state is
+    * O(numMerges). Ties break (count DESC, pair string ASC) so the
+    * learned table is deterministic on any cluster.
+    *
+    * Symbols are the word's characters (pre-tokenization = whitespace on
+    * the normalized text); an end-of-word marker is the caller's choice
+    * of pre-tokenization and deliberately not imposed here. Words
+    * containing U+0002 (the fold's state separator — unprintable, never
+    * in natural text) are excluded up front rather than risking in-band
+    * aliasing. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 10000,
+      s"numMerges must be in [1, 10000]: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(normalized(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains("\u0002"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(expr("array_join(transform(sequence(1, char_length(word)), " +
+        "i -> substring(word, i, 1)), ' ')").as("sym"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val arr = split(col("sym"), " ")
+      val best = words
+        .select(explode(zip_with(
+            slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+            (x, y) => concat(x, lit(" "), y))).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((step, a, b, best(0).getLong(1)))
+        words = words
+          .withColumn("sym", bpeApplyMerge(col("sym"), a, b))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+  }
 }
