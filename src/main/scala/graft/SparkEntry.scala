@@ -1902,6 +1902,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
         .orderBy("split")),
 
+    "sample_dsir" -> ((s, dir) =>
+      // domain-targeted data selection: top-20 docs by likelihood ratio
+      // vs the src0 target model, exact integer micro-nat aggregation
+      Sampling.dsirScores(t(s, dir, "documents"), "text", "doc_id",
+          col("source") === "src0")
+        .orderBy(col("score_unats").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("n_tokens"), col("score_unats"))),
+
+    "sample_dsir_resample" -> ((s, dir) =>
+      // the full DSIR pipeline: likelihood-ratio scores -> deterministic
+      // importance RESAMPLING (A-ES with w = exp(score); stochastic-like
+      // but reproducible via key-hash randomness, unlike a hard top-k)
+      Sampling.weightedSample(
+          Sampling.dsirScores(t(s, dir, "documents"), "text", "doc_id",
+            col("source") === "src0"),
+          exp(col("score_unats").cast("double") / 1e6), col("doc_id"), k = 25)
+        .select(col("doc_id"), col("n_tokens"), col("score_unats"))
+        .orderBy("doc_id")),
+
     "sample_component_split" -> ((s, dir) => {
       // leakage-safe split at NEAR-dup granularity: verified chain pairs ->
       // connected components -> the whole component keys ONE split decision
@@ -1936,6 +1956,18 @@ object SparkEntry {
       // (word counts); 8 merge rounds then run on the vocab-sized table
       Text.bpeTrain(t(s, dir, "documents"), "text", numMerges = 8)
         .orderBy("step")),
+
+    "text_bpe_apply" -> ((s, dir) => {
+      // train on the FULL corpus, tokenize a slice with the learned
+      // merges (the merge table is O(#merges) driver metadata; the
+      // application itself is a zero-shuffle per-row fold chain)
+      val d = t(s, dir, "documents")
+      val merges = Text.bpeTrain(d, "text", numMerges = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Text.bpeApply(d.filter(col("doc_id") < 40), "text", "doc_id", merges)
+        .orderBy("doc_id")
+    }),
 
     "text_tfidf_topk" -> ((s, dir) =>
       Text.tfidfTopK(t(s, dir, "documents"), "text", "doc_id",
@@ -2715,6 +2747,68 @@ object SparkEntry {
 
   /** Full IRLS replay for analyze_assoc_logistic (verified to hash-match
     * the engine's rounded beta/se/pvalue at sf0.001 and sf0.01). */
+  /** CTEs replaying `Sampling.dsirScores` on the documents table with
+    * target = source 'src0': add-1-smoothed unigram log-likelihood ratio,
+    * quantized to integer micro-nats per word BEFORE the per-document sum
+    * (exact int64 — no float summation-order sensitivity). Exposes `sc`
+    * = (doc_id, n_tokens, score_unats). */
+  private def dsirScoreCtes: String =
+    """tk AS (SELECT doc_id, source = 'src0' AS tgt,
+             unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) AS word
+           FROM documents),
+         tw AS (SELECT * FROM tk WHERE word <> ''),
+         c AS (SELECT word, count(*) AS c_all,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+               FROM tw GROUP BY 1),
+         tot AS (SELECT sum(c_all) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS vocab FROM c),
+         lam AS (SELECT word,
+                 CAST(round((ln((c_tgt + 1) * 1.0 / (n_tgt + vocab))
+                           - ln((c_all + 1) * 1.0 / (n_raw + vocab))) * 1e6) AS BIGINT) AS lam
+                 FROM c, tot),
+         dc AS (SELECT doc_id, word, count(*) AS cw FROM tw GROUP BY 1, 2),
+         sc AS (SELECT dc.doc_id, CAST(sum(cw) AS BIGINT) AS n_tokens,
+                  CAST(sum(cw * lam) AS BIGINT) AS score_unats
+                FROM dc JOIN lam USING (word) GROUP BY 1)"""
+
+  /** The canonical greedy left-to-right BPE merge as a DuckDB
+    * `list_reduce` fold — state string "<merged>\x02<pending>",
+    * byte-identical to `Text.bpeApplyMerge`'s `functions.aggregate` fold.
+    * `best` is a 1-row CTE exposing the merge pair as columns a, b. */
+  private def bpeFoldSql(best: String, symCol: String): String =
+    s"""list_reduce(list_prepend(chr(2), string_split($symCol, ' ')),
+       (acc, x) -> CASE WHEN split_part(acc, chr(2), 2) = $best.a AND x = $best.b
+           THEN split_part(acc, chr(2), 1) || ' ' || $best.a || $best.b || chr(2)
+           ELSE (CASE WHEN split_part(acc, chr(2), 2) = '' THEN split_part(acc, chr(2), 1)
+                 ELSE split_part(acc, chr(2), 1) || ' ' || split_part(acc, chr(2), 2) END) || chr(2) || x END)"""
+
+  /** CTE chain replaying `n` BPE training rounds on the documents table:
+    * wd = corpus word counts, w0 = char-split symbol strings, then per
+    * round p_i (weighted adjacent-pair counts), b_i (argmax with the
+    * (count DESC, pair ASC) tie break), w_i (the fold applied). */
+  private def bpeTrainCtes(n: Int): String = {
+    val steps = (1 to n).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         SELECT unnest(list_transform(range(len(string_split(sym, ' ')) - 1),
+           k -> string_split(sym, ' ')[CAST(k AS INT) + 1] || ' ' || string_split(sym, ' ')[CAST(k AS INT) + 2])) AS pair, cnt
+         FROM $prev) GROUP BY 1),
+       b$i AS (SELECT pair, c, split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+               FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),
+       w$i AS (SELECT ltrim(CASE WHEN split_part(f, chr(2), 2) = '' THEN split_part(f, chr(2), 1)
+                    ELSE split_part(f, chr(2), 1) || ' ' || split_part(f, chr(2), 2) END) AS sym, cnt FROM (
+           SELECT cnt, ${bpeFoldSql(s"b$i", "sym")} AS f
+           FROM $prev, b$i))"""
+    }.mkString(",\n         ")
+    s"""wr AS (SELECT trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
+                    FROM documents),
+       wd AS (SELECT word, count(*) AS cnt
+              FROM (SELECT unnest(string_split(t, ' ')) AS word FROM wr)
+              WHERE length(word) > 0 AND NOT contains(word, chr(2)) GROUP BY 1),
+       w0 AS (SELECT array_to_string(list_transform(range(length(word)),
+                k -> substr(word, CAST(k AS INT) + 1, 1)), ' ') AS sym, cnt FROM wd),
+       $steps"""
+  }
+
   private def logisticIrlsOracleSql: String = {
     val iters = 8
     val vars = Seq("l_quantity", "l_discount")
@@ -4759,6 +4853,29 @@ object SparkEntry {
          FROM s GROUP BY 1 ORDER BY 1"""
     },
 
+    "sample_dsir" ->
+      // same add-1-smoothed unigram likelihood ratio; per-word micro-nat
+      // quantization BEFORE the per-doc sum makes the aggregate exact
+      // int64 (no float summation-order sensitivity between engines)
+      s"""WITH $dsirScoreCtes
+         SELECT doc_id, n_tokens, score_unats
+         FROM sc ORDER BY score_unats DESC, doc_id ASC LIMIT 20""",
+
+    "sample_dsir_resample" ->
+      // the selection step: Efraimidis–Spirakis with w = exp(score), the
+      // same A-ES replay sample_weighted uses (13-hex exact-double u)
+      s"""WITH $dsirScoreCtes,
+         es AS (SELECT doc_id, n_tokens, score_unats,
+             pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                   / 4503599627370496.0,
+                 1.0 / exp(score_unats / 1000000.0)) AS es
+           FROM sc),
+         r AS (SELECT doc_id, n_tokens, score_unats,
+             row_number() OVER (ORDER BY es DESC, CAST(doc_id AS VARCHAR) ASC) AS rn
+           FROM es)
+         SELECT doc_id, n_tokens, score_unats FROM r WHERE rn <= 25
+         ORDER BY doc_id""",
+
     "sample_component_split" -> {
       // run-break chain components (the dedup_components replay, full
       // table) -> representative = numeric-min id -> md5 split thresholds
@@ -4836,35 +4953,36 @@ object SparkEntry {
       // functions.aggregate fold, including the `a a a a` -> `aa aa` run
       // semantics a regexp replace cannot express
       val n = 8
-      val steps = (1 to n).map { i =>
-        val prev = s"w${i - 1}"
-        s"""p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
-           SELECT unnest(list_transform(range(len(string_split(sym, ' ')) - 1),
-             k -> string_split(sym, ' ')[CAST(k AS INT) + 1] || ' ' || string_split(sym, ' ')[CAST(k AS INT) + 2])) AS pair, cnt
-           FROM $prev) GROUP BY 1),
-         b$i AS (SELECT pair, c, split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
-                 FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),
-         w$i AS (SELECT ltrim(CASE WHEN split_part(f, chr(2), 2) = '' THEN split_part(f, chr(2), 1)
-                      ELSE split_part(f, chr(2), 1) || ' ' || split_part(f, chr(2), 2) END) AS sym, cnt FROM (
-             SELECT cnt, list_reduce(list_prepend(chr(2), string_split(sym, ' ')),
-               (acc, x) -> CASE WHEN split_part(acc, chr(2), 2) = b$i.a AND x = b$i.b
-                   THEN split_part(acc, chr(2), 1) || ' ' || b$i.a || b$i.b || chr(2)
-                   ELSE (CASE WHEN split_part(acc, chr(2), 2) = '' THEN split_part(acc, chr(2), 1)
-                         ELSE split_part(acc, chr(2), 1) || ' ' || split_part(acc, chr(2), 2) END) || chr(2) || x END) AS f
-             FROM $prev, b$i))"""
-      }.mkString(",\n         ")
       val sel = (1 to n).map(i =>
         s"SELECT CAST($i AS INT) AS step, a AS lhs, b AS rhs, a || b AS merged, c AS pair_count FROM b$i")
         .mkString(" UNION ALL ")
-      s"""WITH wr AS (SELECT trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
-                      FROM documents),
-         wd AS (SELECT word, count(*) AS cnt
-                FROM (SELECT unnest(string_split(t, ' ')) AS word FROM wr)
-                WHERE length(word) > 0 AND NOT contains(word, chr(2)) GROUP BY 1),
-         w0 AS (SELECT array_to_string(list_transform(range(length(word)),
-                  k -> substr(word, CAST(k AS INT) + 1, 1)), ' ') AS sym, cnt FROM wd),
-         $steps
+      s"""WITH ${bpeTrainCtes(n)}
          SELECT * FROM ($sel) ORDER BY step"""
+    },
+
+    "text_bpe_apply" -> {
+      // the same 8 trained rounds, then the per-document words of the
+      // doc_id < 40 slice are folded through b1..b8 in learned order
+      val n = 8
+      val apply = (1 to n).map { i =>
+        s"""dw$i AS (SELECT doc_id, word,
+             ltrim(CASE WHEN split_part(f, chr(2), 2) = '' THEN split_part(f, chr(2), 1)
+                  ELSE split_part(f, chr(2), 1) || ' ' || split_part(f, chr(2), 2) END) AS sym FROM (
+             SELECT doc_id, word, ${bpeFoldSql(s"b$i", "sym")} AS f
+             FROM dw${i - 1}, b$i))"""
+      }.mkString(",\n         ")
+      s"""WITH ${bpeTrainCtes(n)},
+         dwords AS (SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE doc_id < 40),
+         dw0 AS (SELECT doc_id, word, array_to_string(list_transform(range(length(word)),
+                  k -> substr(word, CAST(k AS INT) + 1, 1)), ' ') AS sym
+                 FROM dwords WHERE length(word) > 0 AND NOT contains(word, chr(2))),
+         $apply
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_bpe_tokens
+         FROM dw$n GROUP BY 1 ORDER BY 1"""
     },
 
     "text_vocab_topk" ->

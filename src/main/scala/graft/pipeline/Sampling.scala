@@ -258,4 +258,51 @@ object Sampling {
       .withColumn(group, rep)
     splitAssign(keyed, col(group), splits, out).drop("__cs_id", "__cs_comp")
   }
+
+  /** DSIR-style data selection scores (Data Selection via Importance
+    * Resampling, Xie et al. 2023): per-document log-likelihood ratio
+    * between a TARGET-domain unigram model and the raw-corpus unigram
+    * model, add-1 smoothed over the shared vocabulary —
+    * `score = Σ_w c_w(doc) · [ln p_target(w) − ln p_raw(w)]`. High scores
+    * = "looks like the target domain"; feed them to [[weightedSample]] /
+    * a top-k cut to select pretraining data that matches a quality or
+    * domain reference corpus.
+    *
+    * Determinism contract: per-word log-ratios are quantized to integer
+    * MICRO-NATS (`lam_unats`) before the per-document sum, so the
+    * aggregation is exact int64 arithmetic — no float-summation-order
+    * sensitivity across partitionings or engines (the NOTES.md sig6
+    * discipline). The log inputs are exact int64-ratio doubles, so both
+    * engines round the same value.
+    *
+    * Scale shape: the corpus is scanned once into (doc, word)
+    * multiplicities (map-side combined); the λ table is VOCAB-sized and
+    * joins by word (broadcast when stats allow); totals ride as one
+    * broadcast row. No row-scale driver state, no window over the corpus. */
+  def dsirScores(df: DataFrame, textCol: String, idCol: String,
+                 isTarget: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"), isTarget.as("__t"),
+        explode(split(Text.normalized(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val counts = toks.groupBy("word").agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("c_tgt"))
+    val tot = broadcast(counts.agg(sum("c_all").as("n_raw"),
+      sum("c_tgt").as("n_tgt"), count(lit(1)).as("vocab")))
+    val lam = counts.crossJoin(tot)
+      .withColumn("lam_unats", round(
+          (log((col("c_tgt") + 1).cast("double") /
+               (col("n_tgt") + col("vocab")).cast("double")) -
+           log((col("c_all") + 1).cast("double") /
+               (col("n_raw") + col("vocab")).cast("double"))) * 1e6)
+        .cast("long"))
+      .select("word", "lam_unats")
+    toks.groupBy("__id", "word").agg(count(lit(1)).as("__c"))
+      .join(lam, Seq("word"))
+      .groupBy("__id")
+      .agg(sum("__c").as("n_tokens"),
+        sum(col("__c") * col("lam_unats")).as("score_unats"))
+      .withColumnRenamed("__id", idCol)
+      .withColumn("score", col("score_unats").cast("double") / 1e6)
+  }
 }

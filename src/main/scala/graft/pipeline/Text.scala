@@ -836,4 +836,38 @@ object Text {
       .select(col("step"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
   }
+
+  /** Apply a learned BPE merge table ([[bpeTrain]] output order matters —
+    * merges compose) to the corpus: per document, the whitespace words are
+    * re-segmented through every merge in learned order and counted.
+    * Returns (idCol, n_words, n_chars, n_bpe_tokens) — the
+    * tokens-per-document measure a training-data pipeline budgets
+    * sequences with, and chars/tokens is the tokenizer's compression
+    * ratio.
+    *
+    * Scale shape: the merge table is O(vocab-merges) DRIVER metadata (the
+    * artifact a tokenizer ships); application is a single projection
+    * chain of per-row folds — codegen'd column algebra, zero shuffle
+    * until the one per-document count aggregation (map-side combined). */
+  def bpeApply(docs: DataFrame, textCol: String, idCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol),
+        explode(split(normalized(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains("\u0002"))
+    val sym0 = expr("array_join(transform(sequence(1, char_length(word)), " +
+      "i -> substring(word, i, 1)), ' ')")
+    // one withColumn per merge: Catalyst collapses the projection chain,
+    // and each fold reads the PREVIOUS column attribute once (embedding
+    // the whole expression per step would grow the tree exponentially)
+    val resegmented = merges.zipWithIndex.foldLeft(
+        words.withColumn("__sym_0", sym0)) { case (df, ((a, b), i)) =>
+      df.withColumn(s"__sym_${i + 1}", bpeApplyMerge(col(s"__sym_$i"), a, b))
+    }
+    resegmented
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(char_length(col("word")).cast("long")).as("n_chars"),
+        sum(size(split(col(s"__sym_${merges.size}"), " ")).cast("long"))
+          .as("n_bpe_tokens"))
+  }
 }

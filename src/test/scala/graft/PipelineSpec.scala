@@ -1258,6 +1258,49 @@ class PipelineSpec extends SparkSpec {
     out.toSeq
   }
 
+  test("dsirScores: target-domain lookalikes outscore off-domain docs; int64 scores are partitioning-invariant") {
+    import spark.implicits._
+    val docs = (
+      (1L to 10L).map(i => (i, "alpha beta gamma alpha beta", true)) ++
+      (11L to 30L).map(i => (i, "delta epsilon zeta eta theta", false)) ++
+      Seq((100L, "alpha beta gamma", false),      // target lookalike, unlabeled
+          (101L, "delta epsilon zeta", false))    // raw lookalike
+    ).toDF("doc_id", "text", "tgt")
+    val out = graft.pipeline.Sampling.dsirScores(docs, "text", "doc_id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(100L) > 0L, s"target lookalike must score positive: ${out(100L)}")
+    assert(out(101L) < out(100L))
+    // exact int64 path: any partitioning gives bit-identical scores
+    val out7 = graft.pipeline.Sampling.dsirScores(docs.repartition(7), "text", "doc_id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out7 === out)
+  }
+
+  test("bpeApply: learned merges re-segment; more merges never increase the token count") {
+    import spark.implicits._
+    val docs = Seq((1L, "banana band ban"), (2L, "an an banana")).toDF("doc_id", "text")
+    // no merges: every char is a token
+    val zero = graft.pipeline.Text.bpeApply(docs, "text", "doc_id", Seq.empty)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(zero(1L) === ((3L, 13L, 13L)) && zero(2L) === ((3L, 10L, 10L)))
+    // hand-applied: merge (a,n) then (an,an): "banana"->b an an a->b anan a (3)
+    // "band"->b an d (3), "ban"->b an (2), "an"->an (1)
+    val two = graft.pipeline.Text.bpeApply(docs, "text", "doc_id",
+        Seq(("a", "n"), ("an", "an")))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(two(1L) === 3L + 3L + 2L, s"doc1 tokens: ${two(1L)}")
+    assert(two(2L) === 1L + 1L + 3L, s"doc2 tokens: ${two(2L)}")
+    // monotone: applying the doc-trained merges never inflates tokens
+    val merges = graft.pipeline.Text.bpeTrain(docs, "text", 4)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    (0 to merges.size).foldLeft(Long.MaxValue) { (prev, k) =>
+      val tot = graft.pipeline.Text.bpeApply(docs, "text", "doc_id", merges.take(k))
+        .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).head().getLong(0)
+      assert(tot <= prev, s"tokens grew at $k merges: $tot > $prev")
+      tot
+    }
+  }
+
   test("bpeTrain: distributed merge table equals the reference greedy implementation") {
     import spark.implicits._
     // classic Sennrich corpus + an aaaa run (self-overlapping pair) + a
