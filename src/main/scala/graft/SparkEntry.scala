@@ -580,6 +580,14 @@ object SparkEntry {
           round(col("mi"), 6).as("mi"), round(col("nmi"), 6).as("nmi"))
         .orderBy("var_a", "var_b")),
 
+    "describe_ks_drift" -> ((s, dir) =>
+      // two-sample KS between returned (R) and accepted (A) line prices:
+      // the bin-free companion to the PSI report; the maximized statistic
+      // is an exact integer so the sup is partitioning-invariant
+      Describe.ksTwoSample(
+        t(s, dir, "lineitem").filter(col("l_returnflag").isin("R", "A")),
+        "l_extendedprice", col("l_returnflag") === "R")),
+
     "describe_psi_drift" -> ((s, dir) => {
       // corpus-drift monitor: current = a 15%-inflated price column and an
       // unchanged quantity column; PSI flags the former, not the latter
@@ -906,6 +914,33 @@ object SparkEntry {
         .select(col("Variable").as("variable"), col("N").as("n"),
           round(col("Beta"), 4).as("beta"), round(col("SE"), 4).as("se"),
           round(col("pvalue"), 6).as("pvalue"))
+        .orderBy("variable")
+    }),
+
+    "analyze_quality_logit" -> ((s, dir) => {
+      // train a document-quality classifier with the SAME IRLS engine the
+      // EWAS studies use: label = src0 membership, features = exact text
+      // signals (word count; mean word length as an integer-ratio double,
+      // so both engines fit from bitwise-identical inputs)
+      val base = t(s, dir, "documents")
+        .withColumn("is_src0", (col("source") === "src0").cast("string"))
+        .withColumn("__t", Text.normalized(col("text")))
+        .withColumn("__nw", size(split(col("__t"), " ")))
+        .withColumn("n_words", col("__nw").cast("double"))
+        .withColumn("mean_wlen",
+          (char_length(col("__t")) - (col("__nw") - 1)).cast("double") / col("__nw"))
+        .select("doc_id", "is_src0", "n_words", "mean_wlen")
+      val cf = CladeFrame(base, "doc_id")
+        .withTypes(Map("is_src0" -> graft.model.VariableType.Binary))
+        .withLevels(Map("is_src0" -> Seq("false", "true")))
+      AssociationStudy.run(s, cf, outcomes = Seq("is_src0"),
+          regressionVariables = Seq("mean_wlen", "n_words"), minN = 1)
+        // se/pvalue at 3dp: the near-constant mean_wlen design makes the
+        // deviance stop marginal, and the engine can legitimately take one
+        // more IRLS step than the replay (see logisticIrlsOracleSqlFor)
+        .select(col("Variable").as("variable"), col("N").as("n"),
+          round(col("Beta"), 4).as("beta"), round(col("SE"), 3).as("se"),
+          round(col("pvalue"), 3).as("pvalue"))
         .orderBy("variable")
     }),
 
@@ -2809,9 +2844,25 @@ object SparkEntry {
        $steps"""
   }
 
-  private def logisticIrlsOracleSql: String = {
+  private def logisticIrlsOracleSql: String =
+    logisticIrlsOracleSqlFor(
+      "SELECT l_quantity, l_discount, " +
+        "CASE WHEN l_extendedprice > 30000 THEN 1.0 ELSE 0.0 END AS y FROM lineitem",
+      Seq("l_quantity", "l_discount"))
+
+  /** Generalized single-covariate logistic IRLS replay: `dat0Select` must
+    * yield every column in `vars` (exact cross-engine doubles) plus a
+    * 1.0/0.0 `y`; one unrolled IRLS chain per var with the engine's init
+    * and relative-deviance stopping rule. `seDigits`/`pDigits` let
+    * ill-conditioned fits round past the near-convergence spread: when
+    * the deviance step at the stopping iteration sits close to the
+    * tolerance, the engine's partition-order accumulation can legitimately
+    * run ONE more IRLS step than the replay, and the slowest-converging
+    * outputs (se, then pvalue) differ at ~1e-4 relative — rounding must
+    * absorb that, not pretend bit-parity (see analyze_quality_logit). */
+  private def logisticIrlsOracleSqlFor(dat0Select: String, vars: Seq[String],
+                                       seDigits: Int = 4, pDigits: Int = 6): String = {
     val iters = 8
-    val vars = Seq("l_quantity", "l_discount")
     def chain(v: String): Seq[String] = {
       val init =
         s"""i_${v}_0 AS (SELECT 2*sum(-ln(0.75)) AS dev FROM dat_$v)"""
@@ -2858,11 +2909,10 @@ object SparkEntry {
     val ctes = vars.flatMap(v => s"dat_$v AS (SELECT $v AS x, y FROM dat0)" +: chain(v))
     val arms = vars.map { v =>
       s"""SELECT '$v' AS variable, (SELECT count(*) FROM dat_$v) AS n,
-         |  round(b1, 4) AS beta, round(se1, 4) AS se,
-         |  round(${sqlErfc(zExpr)}, 6) AS pvalue FROM r_$v""".stripMargin
+         |  round(b1, 4) AS beta, round(se1, $seDigits) AS se,
+         |  round(${sqlErfc(zExpr)}, $pDigits) AS pvalue FROM r_$v""".stripMargin
     }
-    "WITH dat0 AS (SELECT l_quantity, l_discount, " +
-      "CASE WHEN l_extendedprice > 30000 THEN 1.0 ELSE 0.0 END AS y FROM lineitem),\n" +
+    s"WITH dat0 AS ($dat0Select),\n" +
       ctes.mkString(",\n") + "\n" +
       "SELECT * FROM (" + arms.mkString(" UNION ALL ") + ") ORDER BY variable"
   }
@@ -2915,6 +2965,34 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
          event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "describe_ks_drift" -> {
+      // window prefix-sums over tie-aggregated distinct values; the engine's
+      // Smirnov series is replayed with the SAME left-associated 8-term sum
+      val terms = (1 to 25).map { k =>
+        val sign = if (k == 1) "" else if (k % 2 == 1) " + " else " - "
+        s"${sign}exp(-2.0 * ${k * k} * lam * lam)"
+      }.mkString
+      s"""WITH s AS (SELECT l_extendedprice AS x, l_returnflag = 'R' AS a
+               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         g AS (SELECT x, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+               FROM s GROUP BY 1),
+         tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+         c AS (SELECT sum(ca) OVER (ORDER BY x) AS cuma,
+                 sum(cb) OVER (ORDER BY x) AS cumb FROM g),
+         m AS (SELECT max(abs(cuma * nb - cumb * na)) AS dnum FROM c, tot),
+         k AS (SELECT na, nb,
+                 dnum * 1.0 / (na * 1.0 * nb) AS d,
+                 (sqrt(na * 1.0 * nb / (na + nb)) + 0.12
+                   + 0.11 / sqrt(na * 1.0 * nb / (na + nb)))
+                   * (dnum * 1.0 / (na * 1.0 * nb)) AS lam
+               FROM m, tot)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(d, 6) AS d,
+           round(least(1.0, greatest(0.0, 2.0 * ($terms))), 6) AS pvalue
+         FROM k"""
+    },
 
     "describe_psi_drift" -> {
       val probs = (1 until 10).map(i => s"0.$i").mkString(", ")
@@ -3341,6 +3419,17 @@ object SparkEntry {
 
     "analyze_assoc_wide" -> wideOracle,
     "analyze_assoc_logistic" -> logisticIrlsOracleSql,
+
+    "analyze_quality_logit" -> logisticIrlsOracleSqlFor(
+      // features from exact integer counts only (word count; mean word
+      // length = (chars - separators) / words as one int-ratio division)
+      """SELECT CAST(nw AS DOUBLE) AS n_words,
+           (lt - (nw - 1)) * 1.0 / nw AS mean_wlen, y
+         FROM (SELECT len(string_split(t, ' ')) AS nw, length(t) AS lt, y
+               FROM (SELECT trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t,
+                       CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+                     FROM documents))""",
+      Seq("mean_wlen", "n_words"), seDigits = 3, pDigits = 3),
 
     "analyze_corrected_pvalues" ->
       """WITH p AS (SELECT doc_id, (doc_id * 37 % 100 + 1) / 101.0 AS pvalue

@@ -526,6 +526,78 @@ object Describe {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test between the rows where
+    * `isFirst` is true (sample A) and the rest (sample B): D = sup over
+    * x of |F_A(x) − F_B(x)|, with the asymptotic two-sided p-value
+    * (Smirnov series with the small-sample λ correction, as scipy's
+    * `mode='asymp'` and Numerical Recipes use). The distribution-shape
+    * companion to [[psiDrift]]'s binned report: KS needs no bin choice
+    * and is sensitive to ANY CDF gap, the canonical train/serve or
+    * before/after corpus drift check.
+    *
+    * Determinism contract: the maximized statistic is the INTEGER
+    * |cumA·nB − cumB·nA| (exact int64 for any realistic n), so the max is
+    * engine/partitioning-invariant; D and p divide/transform it with a
+    * fixed operation order both engines replay bitwise.
+    *
+    * Scale shape: ties aggregate first (one shuffle keyed by value), the
+    * distinct-value table gets a range-partitioned sort, per-partition
+    * totals (O(#partitions) driver metadata) seed running counts, and the
+    * sup is a max reduce — the [[giniByGroup]] prefix-sum discipline; no
+    * single-partition global window ever materializes. */
+  def ksTwoSample(df: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sorted = df
+      .filter(col(valueCol).isNotNull && isFirst.isNotNull)
+      .select(col(valueCol).cast("double").as("__x"),
+        isFirst.cast("boolean").as("__a"))
+      .groupBy("__x").agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+      .repartitionByRange(parts, col("__x"))
+      .sortWithinPartitions("__x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var ca = 0L; var cb = 0L
+        it.foreach { r => ca += r.getLong(1); cb += r.getLong(2) }
+        Iterator.single((pi, ca, cb))
+      }.collect().sortBy(_._1)
+      val na = perPart.iterator.map(_._2).sum
+      val nb = perPart.iterator.map(_._3).sum
+      require(na > 0 && nb > 0,
+        s"ksTwoSample needs both samples non-empty: nA=$na nB=$nb")
+      val starts = perPart.scanLeft((0L, 0L)) {
+        case ((a, b), (_, ca, cb)) => (a + ca, b + cb)
+      }.init
+      val dNum = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var (ca, cb) = starts(pi)
+        it.map { r =>
+          ca += r.getLong(1); cb += r.getLong(2)
+          math.abs(ca * nb - cb * na)
+        }
+      }.fold(0L)(math.max)
+      val d = dNum * 1.0 / (na * 1.0 * nb)
+      val ne = na * 1.0 * nb / (na + nb)
+      val lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+      // alternating Smirnov series, fixed 25-term left-associated sum so
+      // the oracle's identical expression reproduces the same double. 25
+      // is ODD on purpose: for λ→0 the alternating partial sum overshoots
+      // (every term →1), so 2·sum ≥ 1 and the clamp returns the correct
+      // p=1; for λ ≥ ~0.12 the k=26 tail is < 1e-6 (inside the rounding)
+      val series = (1 to 25).map { k =>
+        val t = math.exp(-2.0 * (k * k) * lam * lam)
+        if (k % 2 == 1) t else -t
+      }.foldLeft(0.0)(_ + _)
+      val p = math.min(1.0, math.max(0.0, 2.0 * series))
+      Seq((na, nb, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("n_a", "n_b", "d", "pvalue")
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Declarative data-quality rules — the Deequ-style validation pass:
     * every rule is a boolean Column evaluated in ONE aggregation over ONE
     * scan (no per-rule jobs), returning (rule, n_rows, passed, failed,

@@ -26,6 +26,31 @@ object BenchSf1 {
   private val outDir = "/tmp/sfx1"
   private val srcDir = "/root/testdata/sf0.1"
 
+  /** Round-11 second wave, shared with [[BenchSf10]]: decontamination,
+    * dedup-aware split, BPE tokenizer, DSIR selection — full-corpus forms
+    * where the oracled query slices a fixed id range that would not grow
+    * with SF (the split/dsir/bpe_train queries already scan everything). */
+  private[tools] def round11SecondWave: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "decon_minhash_lsh_full" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Decontaminate.lshOverlap(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), "text", "doc_id")
+        .groupBy().agg(count(lit(1)).as("n_flagged"),
+          sum("n_bands_matched").as("chk"))
+    }),
+    "sample_component_split" -> graft.SparkEntry.queries("sample_component_split"),
+    "text_bpe_train" -> graft.SparkEntry.queries("text_bpe_train"),
+    "text_bpe_apply_full" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.pipeline.Text.bpeTrain(docs, "text", numMerges = 8)
+        .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.pipeline.Text.bpeApply(docs, "text", "doc_id", merges)
+        .groupBy().agg(sum("n_bpe_tokens").as("total_tokens"),
+          sum("n_chars").as("total_chars"))
+    }),
+    "sample_dsir" -> graft.SparkEntry.queries("sample_dsir"))
+
   /** ×10 replication with join-consistent key scaling. */
   private def scaleUp(spark: SparkSession): Unit = {
     val copies = explode(lit((0 until 10).toArray)).as("__i")
@@ -154,10 +179,17 @@ object BenchSf1 {
           .select(projOf(col("embedding")).as("p"))
           .groupBy().agg(count(lit(1)).as("n"),
             sum(element_at(col("p"), 1)).as("chk"))
-      }))
+      })) ++ round11SecondWave
+
+    // optional subset: `runMain graft.tools.BenchSf1 q1 q2 ...` probes only
+    // the named lines (adds new-operator evidence without re-timing the
+    // whole board)
+    val selected =
+      if (args.isEmpty) workloads
+      else workloads.filter { case (n, _) => args.contains(n) }
 
     // codegen/JIT warmup on the tiny SF
-    workloads.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -199,7 +231,7 @@ object BenchSf1 {
       if (runs.exists(_.isNaN)) Double.NaN else runs.min
     }
 
-    val rows = workloads.map { case (name, fn) =>
+    val rows = selected.map { case (name, fn) =>
       val t01 = timed(fn, srcDir)
       val t1 = timed(fn, outDir)
       System.err.println(f"[sf1] $name%-28s sf0.1 $t01%6.2f s   sf1 $t1%6.2f s   x${t1 / t01}%.1f")

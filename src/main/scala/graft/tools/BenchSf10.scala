@@ -131,7 +131,9 @@ object BenchSf10 {
           .groupBy().agg(count(lit(1)).as("n"),
             sum(element_at(col("p"), 1)).as("chk"))
       })) ++
-      secondWave.map(n => n -> graft.SparkEntry.queries(n))
+      secondWave.map(n => n -> graft.SparkEntry.queries(n)) ++
+      // round-11 second wave (shared full-corpus forms with BenchSf1)
+      BenchSf1.round11SecondWave
 
     // optional subset: `runMain graft.tools.BenchSf10 q1 q2 ...` probes
     // only the named lines (skips re-timing the known-expensive ones)

@@ -959,4 +959,27 @@ class ModifyDescribeSpec extends SparkSpec {
       assert(q === Some(Seq(2.0)))
     } finally spark.conf.unset("graft.quantile.accuracy")
   }
+
+  test("ksTwoSample: identical/disjoint/shifted samples; partitioning-invariant") {
+    import spark.implicits._
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      Describe.ksTwoSample(df, "x", col("a")).head()
+    // identical samples: D = 0, p = 1 (the λ→0 clamp)
+    val same = ks(((1 to 40).map(i => (i.toDouble, true)) ++
+      (1 to 40).map(i => (i.toDouble, false))).toDF("x", "a"))
+    assert(same.getDouble(2) === 0.0 && same.getDouble(3) === 1.0)
+    // disjoint supports: D = 1, p ~ 0
+    val disj = ks(((1 to 30).map(i => (i.toDouble, true)) ++
+      (100 to 129).map(i => (i.toDouble, false))).toDF("x", "a"))
+    assert(disj.getDouble(2) === 1.0 && disj.getDouble(3) < 1e-6)
+    // half-shifted uniforms: sup gap is exactly 25/50; ties across sides OK
+    val shift = ((1 to 50).map(i => (i.toDouble, true)) ++
+      (26 to 75).map(i => (i.toDouble, false))).toDF("x", "a")
+    val r = ks(shift)
+    assert(r.getLong(0) === 50L && r.getLong(1) === 50L)
+    assert(r.getDouble(2) === 0.5 && r.getDouble(3) < 1e-4)
+    // the integer-numerator max cannot move under repartitioning
+    val r7 = ks(shift.repartition(7))
+    assert(r7.getDouble(2) === r.getDouble(2) && r7.getDouble(3) === r.getDouble(3))
+  }
 }
