@@ -1434,6 +1434,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_pq_topk" -> ((s, dir) => {
+      // product quantization (Jégou 2011): per-block codebooks trained
+      // with the grid-pinned Lloyd loop, per-vector codes, then ADC
+      // scoring — O(m) codeword lookups per candidate instead of O(dim)
+      // float ops. HASH-PROVEN: the oracle replays all 4 block Lloyd
+      // chains, the code assignment, and the round-before-rank ADC scan
+      val e = t(s, dir, "embeddings")
+      val model = Similarity.pqTrain(e, m = 4, k = 16, iters = 4)
+      val coded = Similarity.pqAssign(model, e)
+      Similarity.pqAdcTopK(model, coded, e.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      // the billion-scale layout: IVF prunes WHICH candidates are scored
+      // (probe 4 lists, join on list_id — corpus × nProbe, never corpus ×
+      // queries), PQ codes cut the COST of each score to O(m) lookups.
+      // HASH-PROVEN: ivf Lloyd chains + pq block chains + ADC replay
+      val e = t(s, dir, "embeddings")
+      val (ivfModel, assigned) = ivfIndex(s, dir)
+      val pq = Similarity.pqTrain(e, m = 4, k = 16, iters = 4)
+      val coded = Similarity.pqAssign(pq, assigned)
+      Similarity.ivfPqTopK(ivfModel, pq, coded,
+          e.filter(col("vec_id") < 20), k = 3, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_knn_graph" -> ((s, dir) => {
       // whole-corpus neighbor graph over the IVF lists: corpus-scale
       // self-join on list_id (neither side broadcasts), top-k per source.
@@ -2590,6 +2617,100 @@ object SparkEntry {
        |  FROM e)""".stripMargin
   }
 
+  /** `ann_pq_topk` oracle: one grid-pinned Lloyd chain PER BLOCK on the
+    * sliced subvectors (the ivfOracleCtes recipe at subDim), per-vector
+    * code argmins, then the ADC scan with round-before-rank. */
+  /** Per-block Lloyd chains + code argmins for the PQ oracles: defines
+    * e$b, ctr${b}_0..iters, code$b for each block over the sliced
+    * subvectors (requires an `e` CTE with the cast DOUBLE[] vectors). */
+  private def pqOracleBlockCtes(m: Int, k: Int, iters: Int, sub: Int): String =
+    (0 until m).map { b =>
+      val lo = b * sub + 1
+      val hi = (b + 1) * sub
+      val steps = (1 to iters).map { i =>
+        val p = i - 1
+        s"""a${b}_$i AS (SELECT e.vec_id, e.v,
+           |  (SELECT i.cid FROM ctr${b}_$p i ORDER BY
+           |    (SELECT sum((e.v[r2.range+1] - i.c[r2.range+1])^2) FROM range($sub) r2), i.cid LIMIT 1) AS cid
+           |  FROM e$b e),
+           |m${b}_$i AS (SELECT cid, pos, round(avg(x), 6) AS mv FROM
+           |  (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a${b}_$i)
+           |  GROUP BY 1, 2),
+           |ml${b}_$i AS (SELECT cid, list(mv ORDER BY pos) AS c FROM m${b}_$i GROUP BY cid),
+           |ctr${b}_$i AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+           |  FROM ctr${b}_$p p LEFT JOIN ml${b}_$i n USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""e$b AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         |ctr${b}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+         |  FROM (SELECT vec_id, v FROM e$b ORDER BY vec_id LIMIT $k)),
+         |$steps,
+         |code$b AS (SELECT e.vec_id,
+         |  (SELECT i.cid FROM ctr${b}_$iters i ORDER BY
+         |    (SELECT sum((e.v[r2.range+1] - i.c[r2.range+1])^2) FROM range($sub) r2), i.cid LIMIT 1) AS cid
+         |  FROM e$b e)""".stripMargin
+    }.mkString(",\n")
+
+  /** Shared ADC tail for the PQ oracles: codes join, per-block distance
+    * arms, round-before-rank top-k. `candFrom` supplies the candidate
+    * rows as (query_id, qv, neighbor_id, k0..k{m-1}). */
+  private def pqAdcTailSql(m: Int, iters: Int, sub: Int, topK: Int,
+                           candFrom: String): String = {
+    val distArms = (0 until m).map { b =>
+      s"(SELECT sum((cand.qv[${b * sub} + r.range + 1] - b$b.c[r.range + 1])^2) FROM range($sub) r)"
+    }.mkString("\n   + ")
+    val cbJoins = (0 until m).map(b =>
+      s"JOIN ctr${b}_$iters b$b ON b$b.cid = cand.k$b").mkString("\n  ")
+    s"""cand AS ($candFrom),
+       |d AS (SELECT cand.query_id, cand.neighbor_id,
+       |   $distArms AS dist
+       |  FROM cand
+       |  $cbJoins),
+       |ranked AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(dist, 6) ASC, neighbor_id ASC) AS INT) AS rank FROM d)
+       |SELECT query_id, neighbor_id, adc_dist, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def pqCodesCteSql(m: Int): String = {
+    val codeJoins = (1 until m).map(b => s"JOIN code$b c$b USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(b => s"c$b.cid AS k$b").mkString(", ")
+    s"codes AS (SELECT c0.vec_id, $codeCols FROM code0 c0 $codeJoins)"
+  }
+
+  private def pqTopkOracleSql: String = {
+    val (m, k, iters, sub, nQ, topK) = (4, 16, 4, 16, 5, 3)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${pqOracleBlockCtes(m, k, iters, sub)},
+       |${pqCodesCteSql(m)},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQ),
+       |${pqAdcTailSql(m, iters, sub, topK,
+          s"""SELECT q.query_id, q.qv, codes.vec_id AS neighbor_id, ${(0 until m).map(b => s"codes.k$b").mkString(", ")}
+             |  FROM q CROSS JOIN codes WHERE codes.vec_id <> q.query_id""".stripMargin)}""".stripMargin
+  }
+
+  /** `ann_ivfpq_topk` oracle: the ivf Lloyd chains prune candidates to
+    * the nProbe nearest lists, the pq block chains supply the codes, the
+    * shared ADC tail scores and ranks — the full IVF × PQ replay. */
+  private def ivfPqTopkOracleSql: String = {
+    val (nLists, ivfIters) = (16, 8)
+    val (m, k, iters, sub, nQ, topK, nProbe) = (4, 16, 4, 16, 20, 3, 4)
+    s"""WITH ${ivfOracleCtes(nLists, ivfIters)},
+       |${pqOracleBlockCtes(m, k, iters, sub)},
+       |${pqCodesCteSql(m)},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQ),
+       |probe AS (SELECT query_id, qv, cid AS list_id FROM (
+       |    SELECT q.query_id, q.qv, i.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY (SELECT sum((q.qv[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid) AS pr
+       |    FROM q CROSS JOIN ctr$ivfIters i) WHERE pr <= $nProbe),
+       |${pqAdcTailSql(m, iters, sub, topK,
+          s"""SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, ${(0 until m).map(b => s"codes.k$b").mkString(", ")}
+             |  FROM probe p JOIN asg a ON a.list_id = p.list_id
+             |  JOIN codes ON codes.vec_id = a.vec_id
+             |  WHERE a.vec_id <> p.query_id""".stripMargin)}""".stripMargin
+  }
+
   /** `ann_ivf_topk` oracle: [[ivfOracleCtes]] + the probe/scan/top-k query
     * path. Ranks by ROUNDED cosine then neighbor id — the ivfQuery
     * contract (round-before-rank, same as bruteForceTopK). */
@@ -3645,6 +3766,10 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracleSql,
     "ann_lsh_topk" -> lshOracleSql,
     "ann_ivf_topk" -> ivfTopkOracleSql,
+
+    "ann_pq_topk" -> pqTopkOracleSql,
+
+    "ann_ivfpq_topk" -> ivfPqTopkOracleSql,
     "ann_knn_graph" -> ivfGraphOracleSql,
     "ann_label_audit_graph" -> labelAuditGraphOracleSql,
     "ann_semantic_dedup" -> semdedupOracleSql,

@@ -244,6 +244,18 @@ object Decontaminate {
     * eval (band, bucket) set is distinct-aggregated then BROADCAST, so the
     * train side never shuffles: signature projection (codegen'd, per-row),
     * broadcast semi-shaped join, one map-side-combined count by id. */
+  /** The banded (id, band, bucket) projection [[lshOverlap]] is built on,
+    * public for STREAMING decontamination: it is a pure per-row
+    * projection + generator (no shuffle, no state), so it runs unchanged
+    * on a streaming DataFrame — flag live documents with a stream-static
+    * LEFT SEMI join against the eval side's distinct (band, bucket) set
+    * (StreamingSpec exercises exactly that shape). */
+  def bandBuckets(df: DataFrame, textCol: String, idCol: String,
+                  numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+                  seed: Long = 42L): DataFrame =
+    Dedup.bandedBuckets(df.sparkSession, df, textCol, idCol,
+      numHashes, bands, shingleK, seed)
+
   def lshOverlap(train: DataFrame, eval: DataFrame, textCol: String,
                  idCol: String, numHashes: Int = 64, bands: Int = 16,
                  shingleK: Int = 5, seed: Long = 42L): DataFrame = {

@@ -542,4 +542,123 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
+
+  /** Product-quantization codebooks: `codebooks(b)(c)` is codeword `c` of
+    * subvector block `b` (each of length dim/m). Driver-resident
+    * O(m·k·subDim) doubles — the artifact a PQ index ships; the heavy
+    * part is the CODES column [[pqAssign]] adds (m bytes a vector in
+    * spirit vs 4·dim raw). */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def subDim: Int = codebooks.head.head.length
+  }
+
+  /** Train product-quantization codebooks (Jégou et al. 2011): split the
+    * vector into `m` contiguous blocks and k-means each block
+    * independently — the memory-side companion to [[ivfTrain]]'s
+    * list-pruning (IVF cuts WHICH candidates are scored, PQ cuts the COST
+    * of scoring one). Same determinism contract as IVF: first-k seeding,
+    * `iters` Lloyd rounds with centers pinned to the 6-decimal grid, so a
+    * SQL oracle replays the exact codebooks. m·iters one-shuffle rounds
+    * over the corpus; all driver state is O(m·k·subDim). */
+  def pqTrain(corpus: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 4,
+              vecCol: String = "embedding", idCol: String = "vec_id"): PqModel = {
+    require(m >= 1 && k >= 2 && iters >= 1, s"bad pq params m=$m k=$k iters=$iters")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val books = (0 until m).map { b =>
+      val blockDf = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), b * sub + 1, sub).as("__blk"))
+      lloyd(blockDf, kmeansInit(blockDf, k, idCol, "__blk"), iters, "__blk",
+        roundTo = 6)
+    }.toArray
+    PqModel(books)
+  }
+
+  /** Per-vector PQ codes: `out` = array of the argmin codeword id per
+    * block (squared euclidean, ties to the lower id — the
+    * [[assignToCenters]] contract per block). Zero shuffle: m
+    * closure-captured argmin projections, codebooks never join. */
+  def pqAssign(model: PqModel, corpus: DataFrame,
+               vecCol: String = "embedding", out: String = "pq_code"): DataFrame = {
+    val spark = corpus.sparkSession
+    val sub = model.subDim
+    val codes = model.codebooks.zipWithIndex.map { case (cb, b) =>
+      element_at(nearestLists(spark, cb, 1)(
+        slice(col(vecCol).cast("array<double>"), b * sub + 1, sub)), 1)
+    }
+    corpus.withColumn(out, array(codes.toSeq: _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each candidate is
+    * scored as Σ_b ||q_b − codebook_b[code_b]||² — O(m) codeword lookups
+    * instead of O(dim) float ops against the raw vector, the reason PQ
+    * codes fit a RAM tier the raw corpus cannot. Scores are rounded to 6
+    * decimals BEFORE ranking (ties to the lower neighbor id) — the same
+    * round-before-rank contract [[ivfQuery]] uses, which is what makes
+    * the ranking engine- and summation-order-invariant.
+    *
+    * Scale shape: the query block broadcasts (queries are few); the
+    * candidate side streams with a zero-shuffle score projection and the
+    * top-k rides WindowGroupLimit. `candidates` is typically pre-pruned
+    * by an IVF probe ([[ivfQuery]]'s list join) — composing IVF × PQ is
+    * the standard billion-scale layout; this operator is the scoring
+    * stage, not the pruning stage. */
+  def pqAdcTopK(model: PqModel, candidates: DataFrame, queries: DataFrame,
+                k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+                codeCol: String = "pq_code"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val cands = candidates.select(col(idCol).as("neighbor_id"), col(codeCol).as("__code"))
+    rankAdc(model, cands.crossJoin(broadcast(q)), k)
+  }
+
+  /** The IVF × PQ composition — the standard billion-scale ANN layout
+    * (Jégou 2011 §V): the coarse quantizer prunes WHICH candidates are
+    * scored (probe the `nProbe` nearest inverted lists, join on
+    * `list_id` — corpus × nProbe, never corpus × queries), and the PQ
+    * codes cut the COST of scoring each survivor to O(m) codeword
+    * lookups. `codedAssigned` carries both artifacts: [[ivfAssign]]'s
+    * `list_id` and [[pqAssign]]'s codes. Round-before-rank as ever. */
+  def ivfPqTopK(ivf: IvfModel, pq: PqModel, codedAssigned: DataFrame,
+                queries: DataFrame, k: Int, nProbe: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                codeCol: String = "pq_code", listCol: String = "list_id"): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"bad params k=$k nProbe=$nProbe")
+    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn(listCol,
+        explode(nearestLists(spark, ivf.centers, nProbe)(col("__qv"))))
+    val cands = codedAssigned.select(col(idCol).as("neighbor_id"),
+      col(codeCol).as("__code"), col(listCol))
+    rankAdc(pq, cands.join(broadcast(q), Seq(listCol)), k)
+  }
+
+  /** Shared ADC scoring + round-before-rank top-k over a joined
+    * (query_id, __qv, neighbor_id, __code) frame. */
+  private def rankAdc(model: PqModel, joined: DataFrame, k: Int): DataFrame = {
+    val sub = model.subDim
+    val cbLit = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val dist = aggregate(
+      sequence(lit(0), lit(model.m - 1)), lit(0.0),
+      (acc, b) => acc + aggregate(
+        sequence(lit(1), lit(sub)), lit(0.0),
+        (a2, j) => a2 + pow(
+          element_at(col("__qv"), b * sub + j) -
+            element_at(element_at(element_at(cbLit, b + 1),
+              element_at(col("__code"), b + 1) + 1), j),
+          lit(2.0))))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    joined
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", round(dist, 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+  }
 }

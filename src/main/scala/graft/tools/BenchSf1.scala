@@ -49,7 +49,9 @@ object BenchSf1 {
         .groupBy().agg(sum("n_bpe_tokens").as("total_tokens"),
           sum("n_chars").as("total_chars"))
     }),
-    "sample_dsir" -> graft.SparkEntry.queries("sample_dsir"))
+    "sample_dsir" -> graft.SparkEntry.queries("sample_dsir"),
+    // index build (ivf memoized per dir; pq trained in-call) + pruned ADC
+    "ann_ivfpq_topk" -> graft.SparkEntry.queries("ann_ivfpq_topk"))
 
   /** ×10 replication with join-consistent key scaling. */
   private def scaleUp(spark: SparkSession): Unit = {

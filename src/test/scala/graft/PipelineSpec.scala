@@ -1258,6 +1258,49 @@ class PipelineSpec extends SparkSpec {
     out.toSeq
   }
 
+  test("pq: blob members share codes; ADC ranks own-blob neighbors first") {
+    import spark.implicits._
+    // two well-separated blobs in dim 4, m=2 blocks of 2
+    val vecs = ((0L to 9L).map(i => (i, Array(0.0 + i * 0.01, 0.0, 0.0, 0.0))) ++
+      (10L to 19L).map(i => (i, Array(10.0 + (i - 10) * 0.01, 10.0, 10.0, 10.0))))
+      .toDF("vec_id", "embedding")
+    val model = graft.pipeline.Similarity.pqTrain(vecs, m = 2, k = 2, iters = 3)
+    assert(model.m === 2 && model.k === 2 && model.subDim === 2)
+    val coded = graft.pipeline.Similarity.pqAssign(model, vecs)
+    val codes = coded.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](r.length - 1).toList).toMap
+    // every member of a blob lands on the same code word per block
+    assert(codes.filterKeys(_ < 10).values.toSet.size === 1)
+    assert(codes.filterKeys(_ >= 10).values.toSet.size === 1)
+    assert(codes(0L) !== codes(10L))
+    val top = graft.pipeline.Similarity.pqAdcTopK(model, coded,
+        vecs.filter($"vec_id" === 0L || $"vec_id" === 15L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // own-blob neighbors rank first and at near-zero ADC distance
+    top.filter(_._1 == 0L).foreach { case (_, n, d) =>
+      assert(n < 10L && d < 1.0, s"query 0 got cross-blob neighbor $n at $d") }
+    top.filter(_._1 == 15L).foreach { case (_, n, d) =>
+      assert(n >= 10L && d < 1.0, s"query 15 got cross-blob neighbor $n at $d") }
+  }
+
+  test("ivfPqTopK at full probe equals the unpruned ADC scan") {
+    import spark.implicits._
+    val vecs = (0L to 49L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toDouble)))
+      .toDF("vec_id", "embedding")
+    val ivf = graft.pipeline.Similarity.ivfTrain(vecs, nLists = 4, trainMaxIter = 3)
+    val assigned = graft.pipeline.Similarity.ivfAssign(ivf, vecs)
+    val pq = graft.pipeline.Similarity.pqTrain(vecs, m = 2, k = 4, iters = 2)
+    val coded = graft.pipeline.Similarity.pqAssign(pq, assigned)
+    val queries = vecs.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val pruned = rows(graft.pipeline.Similarity.ivfPqTopK(
+      ivf, pq, coded, queries, k = 3, nProbe = 4))
+    val scan = rows(graft.pipeline.Similarity.pqAdcTopK(pq, coded, queries, k = 3))
+    assert(pruned === scan, "probing every list must degenerate to the full ADC scan")
+  }
+
   test("dsirScores: target-domain lookalikes outscore off-domain docs; int64 scores are partitioning-invariant") {
     import spark.implicits._
     val docs = (

@@ -359,6 +359,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fuzzy decontamination: stream-static semi join against eval band buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val longText = (1 to 60).map(i => "tok" + i).mkString(" ")
+    // static eval-benchmark side: distinct (band, bucket) set, cached
+    val evalBuckets = graft.pipeline.Decontaminate.bandBuckets(
+        Seq((100L, longText + " extra")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("band", "bucket").distinct().cache()
+    evalBuckets.count()
+    val mem = MemoryStream[(Long, String)]
+    val flagged = graft.pipeline.Decontaminate.bandBuckets(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .join(evalBuckets, Seq("band", "bucket"), "left_semi")
+      .select("id").dropDuplicates("id")
+    val q = flagged.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (0L, longText),                                        // near-dup of eval
+        (1L, "completely unrelated text about catalyst plans"))
+      q.processAllAvailable()
+      val hit = spark.table("decon_stream").collect().map(_.getString(0)).toSet
+      assert(hit === Set("0"), s"stream decon flagged $hit")
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions with custom state") {
     import spark.implicits._
     val rows = Seq(
