@@ -1964,6 +1964,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
         .orderBy("split")),
 
+    "sample_temperature_mix" -> ((s, dir) =>
+      // p_d ∝ sqrt(n_d) tail-flattening mixture; sqrt is IEEE correctly
+      // rounded, so the quota algebra replays bitwise in the oracle
+      Sampling.temperatureMix(t(s, dir, "documents"), "source",
+          tau = 0.5, key = col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("source")),
+
     "sample_dsir" -> ((s, dir) =>
       // domain-targeted data selection: top-20 docs by likelihood ratio
       // vs the src0 target model, exact integer micro-nat aggregation
@@ -5066,6 +5075,26 @@ object SparkEntry {
          SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM s GROUP BY 1 ORDER BY 1"""
     },
+
+    "sample_temperature_mix" ->
+      // the domain-mix quota replay with data-derived sqrt(n) weights —
+      // scale-invariant quotas, so no normalizer sum enters the floats
+      """WITH c AS (SELECT source AS domain, count(*) AS n FROM documents GROUP BY 1),
+         p AS (SELECT domain, sqrt(CAST(n AS DOUBLE)) AS w, CAST(n AS DOUBLE) AS n
+               FROM c WHERE n > 0),
+         f AS (SELECT min(n / w) AS bigt FROM p),
+         q AS (SELECT domain,
+                 least(CAST(n AS BIGINT),
+                   CAST(floor(w * (SELECT bigt FROM f) + 1e-9) AS BIGINT)) AS quota
+               FROM p),
+         r AS (SELECT d.doc_id, d.source,
+                 row_number() OVER (PARTITION BY d.source
+                   ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15),
+                            CAST(d.doc_id AS VARCHAR)) AS rn
+               FROM documents d JOIN q ON d.source = q.domain)
+         SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM r JOIN q ON r.source = q.domain WHERE rn <= quota
+         GROUP BY 1 ORDER BY 1""",
 
     "sample_dsir" ->
       // same add-1-smoothed unigram likelihood ratio; per-word micro-nat

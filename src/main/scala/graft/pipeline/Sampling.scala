@@ -230,6 +230,28 @@ object Sampling {
     kept.drop("__domain", "__quota", "__thresh", "__rn")
   }
 
+  /** Temperature-flattened domain mixture — the multilingual/multi-domain
+    * sampling rule p_d ∝ n_d^τ (τ < 1 upweights tail domains relative to
+    * their natural share; UniMax/mT5-style): keep the LARGEST subset
+    * whose domain composition follows n_d^τ, via [[domainMix]]'s quota
+    * algebra. τ = 0.5 is the cross-engine-replayable sweet spot: IEEE 754
+    * REQUIRES sqrt to be correctly rounded, so the oracle's weights are
+    * bitwise identical (pow carries no such guarantee). Weights are
+    * deliberately UNNORMALIZED — the quota algebra is scale-invariant,
+    * and skipping the Σ n^τ normalizer removes the one summation-order-
+    * dependent float in the pipeline. O(#domains) driver metadata only. */
+  def temperatureMix(df: DataFrame, domainCol: String, tau: Double,
+                     key: Column, exact: Boolean = true): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val counts = df.groupBy(col(domainCol).as("__d"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getAs[Any]("__d").toString -> r.getAs[Long]("__n"))
+    val targets = counts.map { case (d, n) =>
+      d -> (if (tau == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, tau))
+    }.toMap
+    domainMix(df, domainCol, targets, key, exact)
+  }
+
   /** NEAR-dup-leakage-safe split: every document of a dedup component (the
     * `(id, component)` output of [[Dedup.components]] over verified
     * near-dup pairs) is assigned to the SAME train/val/test split, decided

@@ -565,15 +565,45 @@ object Similarity {
   def pqTrain(corpus: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 4,
               vecCol: String = "embedding", idCol: String = "vec_id"): PqModel = {
     require(m >= 1 && k >= 2 && iters >= 1, s"bad pq params m=$m k=$k iters=$iters")
+    val spark = corpus.sparkSession
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    val books = (0 until m).map { b =>
-      val blockDf = corpus.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), b * sub + 1, sub).as("__blk"))
-      lloyd(blockDf, kmeansInit(blockDf, k, idCol, "__blk"), iters, "__blk",
-        roundTo = 6)
-    }.toArray
+    def blockOf(b: Int) = slice(col(vecCol).cast("array<double>"), b * sub + 1, sub)
+    // seeds: first-k rows' subvectors per block — ONE tiny head collect
+    // shared by every block (the per-block kmeansInit contract, batched)
+    val seedRows = corpus.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seedRows.length == k, s"corpus has ${seedRows.length} rows < k=$k")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(b => seedRows.map(_.slice(b * sub, (b + 1) * sub)))
+    def grid(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // fused Lloyd: all m blocks advance in ONE corpus scan per iteration
+    // (the per-block loop would scan the corpus m×iters times — at 100 TB
+    // the scan count IS the training cost). Each row emits m (block, cid,
+    // subvec) entries; total shuffle volume stays one full vector per row,
+    // and the (block, cid, pos) mean table is O(m·k·subDim) driver state.
+    // round(avg, 6) grid-pinning keeps the SQL oracle's per-block replay
+    // exact despite summation-order differences.
+    for (_ <- 1 to iters) {
+      val arms = books.zipWithIndex.map { case (cb, b) =>
+        struct(lit(b).as("blk"),
+          element_at(nearestLists(spark, cb, 1)(blockOf(b)), 1).as("cid"),
+          blockOf(b).as("sv"))
+      }
+      val means = corpus.select(explode(array(arms.toSeq: _*)).as("e"))
+        .select(col("e.blk"), col("e.cid"), posexplode(col("e.sv")))
+        .groupBy("blk", "cid", "pos").agg(avg("col").as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((blk, cid), rows) =>
+          (blk, cid) -> rows.sortBy(_.getInt(2)).map(r => grid(r.getDouble(3)))
+        }
+      books = Array.tabulate(m)(b => Array.tabulate(k)(c =>
+        means.getOrElse((b, c), books(b)(c))))
+    }
     PqModel(books)
   }
 

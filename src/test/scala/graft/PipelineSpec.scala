@@ -1283,6 +1283,44 @@ class PipelineSpec extends SparkSpec {
       assert(n >= 10L && d < 1.0, s"query 15 got cross-blob neighbor $n at $d") }
   }
 
+  test("temperatureMix: tau=0.5 keeps the smallest domain whole and geometric-means the rest; tau=1 keeps everything") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "small")) ++
+      (101 to 500).map(i => (i.toLong, "big"))).toDF("id", "dom")
+    val out = graft.pipeline.Sampling.temperatureMix(df, "dom", tau = 0.5, key = col("id"))
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // feasibleT = min sqrt(n) = 10; quota_d = floor(sqrt(n_d)*10) = sqrt(n_d*100)
+    assert(out("small") === 100L)
+    assert(out("big") === 200L)
+    val flat = graft.pipeline.Sampling.temperatureMix(df, "dom", tau = 1.0, key = col("id"))
+    assert(flat.count() === 500L, "tau=1 is the natural mixture - keep everything")
+  }
+
+  test("PQ ADC selections beat the random-candidate baseline in TRUE distance") {
+    // the testdata embeddings are near-isotropic noise — the hardest case
+    // for coarse codes (all points near-equidistant), so exact-recall
+    // floors are meaningless here; what MUST hold is that ADC-selected
+    // candidates are genuinely closer than a random pick, i.e. the codes
+    // carry real signal about true euclidean distance
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.pqTrain(e, m = 4, k = 16, iters = 4)
+    val coded = Similarity.pqAssign(model, e)
+    val picks = Similarity.pqAdcTopK(model, coded, e.filter(col("vec_id") < 20), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val all = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def trueDist(a: Long, b: Long): Double =
+      all(a).zip(all(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pickMean = picks.map { case (q, n) => trueDist(q, n) }.sum / picks.length
+    val baseMean = {
+      val qs = picks.map(_._1).distinct
+      val ds = for (q <- qs; n <- all.keys if n != q) yield trueDist(q, n)
+      ds.sum / ds.size
+    }
+    assert(pickMean < 0.8 * baseMean,
+      s"ADC picks (mean true dist $pickMean) not better than random ($baseMean)")
+  }
+
   test("ivfPqTopK at full probe equals the unpruned ADC scan") {
     import spark.implicits._
     val vecs = (0L to 49L)
