@@ -50,8 +50,13 @@ object BenchSf1 {
           sum("n_chars").as("total_chars"))
     }),
     "sample_dsir" -> graft.SparkEntry.queries("sample_dsir"),
-    // index build (ivf memoized per dir; pq trained in-call) + pruned ADC
-    "ann_ivfpq_topk" -> graft.SparkEntry.queries("ann_ivfpq_topk"))
+    // index build (memoized per dir) + pruned ADC scan
+    "ann_ivfpq_topk" -> graft.SparkEntry.queries("ann_ivfpq_topk"),
+    // statistics wave: KS prefix-sums over 6M lineitem rows; 8-iteration
+    // IRLS document-classifier training; sqrt-weighted mixture quotas
+    "describe_ks_drift" -> graft.SparkEntry.queries("describe_ks_drift"),
+    "analyze_quality_logit" -> graft.SparkEntry.queries("analyze_quality_logit"),
+    "sample_temperature_mix" -> graft.SparkEntry.queries("sample_temperature_mix"))
 
   /** ×10 replication with join-consistent key scaling. */
   private def scaleUp(spark: SparkSession): Unit = {
