@@ -1382,6 +1382,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain randomized parity sweep: 5 seeded corpora match the reference implementation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815L)
+    val alphabet = "abcdef"
+    for (trial <- 1 to 5) {
+      val nDocs = 5 + rng.nextInt(10)
+      val docs = (1 to nDocs).map { _ =>
+        val words = (1 to (3 + rng.nextInt(12))).map { _ =>
+          (1 to (1 + rng.nextInt(7)))
+            .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+        }
+        words.mkString(" ")
+      }.toDF("text")
+      val nMerges = 3 + rng.nextInt(5)
+      val got = graft.pipeline.Text.bpeTrain(docs, "text", nMerges)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+        .sortBy(_._1)
+      val wc = docs.collect().map(_.getString(0)).flatMap(_.split(" "))
+        .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+      val want = naiveBpe(wc, nMerges)
+      assert(got.length === want.length, s"trial $trial: merge counts differ")
+      got.zip(want).foreach { case ((s1, a1, b1, c1), (s2, a2, b2, c2)) =>
+        assert(s1 === s2 && a1 === a2 && b1 === b2 && c1 === c2,
+          s"trial $trial step $s1: got ($a1,$b1,$c1) want ($a2,$b2,$c2)")
+      }
+    }
+  }
+
   test("bpeTrain: distributed merge table equals the reference greedy implementation") {
     import spark.implicits._
     // classic Sennrich corpus + an aaaa run (self-overlapping pair) + a
