@@ -1975,6 +1975,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
         .orderBy("split")),
 
+    "sample_shard_manifest" -> ((s, dir) =>
+      // reproducible-release artifact: deterministic shard membership +
+      // order-free int64 content checksums, re-derivable by any reader
+      Sampling.shardManifest(t(s, dir, "documents"),
+          content = Text.normalized(col("text")), key = col("doc_id"),
+          seed = "release1", numShards = 32)
+        .orderBy("shard_id")),
+
     "sample_temperature_mix" -> ((s, dir) =>
       // p_d ∝ sqrt(n_d) tail-flattening mixture; sqrt is IEEE correctly
       // rounded, so the quota algebra replays bitwise in the oracle
@@ -5086,6 +5094,16 @@ object SparkEntry {
          SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM s GROUP BY 1 ORDER BY 1"""
     },
+
+    "sample_shard_manifest" ->
+      // shard = 52-bit seeded-key prefix mod 32; checksum = exact int64
+      // sum of 40-bit fingerprint prefixes (order-free in any engine)
+      """WITH s AS (SELECT
+             CAST(('0x' || substr(md5('release1:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 32 AS shard_id,
+             CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 10)) AS BIGINT) AS sig
+           FROM documents)
+         SELECT shard_id, count(*) AS n_docs, CAST(sum(sig) AS BIGINT) AS content_checksum
+         FROM s GROUP BY 1 ORDER BY 1""",
 
     "sample_temperature_mix" ->
       // the domain-mix quota replay with data-derived sqrt(n) weights —

@@ -230,6 +230,30 @@ object Sampling {
     kept.drop("__domain", "__quota", "__thresh", "__rn")
   }
 
+  /** Corpus-release shard manifest: deterministic shard assignment (the
+    * seeded shuffle key modulo `numShards` — membership-stable and
+    * engine-replayable, unlike repartitionByRange's sampled bounds) plus
+    * per-shard doc counts and an ORDER-FREE integer content checksum
+    * (sum of the 40-bit prefix of each row's content fingerprint — exact
+    * int64 far past any realistic shard size, so any engine, any
+    * partitioning, any retry produces the same manifest). This is the
+    * artifact a reproducible corpus release ships: a reader can re-derive
+    * it after download and diff against the published table.
+    *
+    * Scale shape: zero-shuffle projections + ONE map-side-combined
+    * aggregation to O(numShards) rows. */
+  def shardManifest(df: DataFrame, content: Column, key: Column,
+                    seed: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val shard = pmod(
+      conv(substring(shuffleKey(key, seed), 1, 13), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    val sig = conv(substring(md5(content.cast("binary")), 1, 10), 16, 10).cast("long")
+    df.select(shard.as("shard_id"), sig.as("__sig"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("__sig").as("content_checksum"))
+  }
+
   /** Temperature-flattened domain mixture — the multilingual/multi-domain
     * sampling rule p_d ∝ n_d^τ (τ < 1 upweights tail domains relative to
     * their natural share; UniMax/mT5-style): keep the LARGEST subset

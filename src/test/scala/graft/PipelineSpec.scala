@@ -1283,6 +1283,27 @@ class PipelineSpec extends SparkSpec {
       assert(n >= 10L && d < 1.0, s"query 15 got cross-blob neighbor $n at $d") }
   }
 
+  test("shardManifest: partitioning-invariant, and tampering one doc flips exactly its shard's checksum") {
+    import spark.implicits._
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Sampling.shardManifest(df,
+          content = graft.pipeline.Text.normalized(col("text")),
+          key = col("doc_id"), seed = "s", numShards = 8)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = (1L to 200L).map(i => (i, s"document number $i body")).toDF("doc_id", "text")
+    val base = manifest(docs)
+    assert(base.values.map(_._1).sum === 200L)
+    assert(manifest(docs.repartition(13)) === base)
+    // tamper: one doc's text changes -> that shard's checksum moves, its
+    // count and every other shard stay identical
+    val tampered = manifest(docs.withColumn("text",
+      when($"doc_id" === 77L, lit("evil replacement")).otherwise($"text")))
+    val moved = base.keySet.filter(k => base(k) != tampered(k))
+    assert(moved.size === 1, s"expected exactly one shard to move: $moved")
+    assert(base(moved.head)._1 === tampered(moved.head)._1, "count must not change")
+    assert(base(moved.head)._2 !== tampered(moved.head)._2)
+  }
+
   test("temperatureMix: tau=0.5 keeps the smallest domain whole and geometric-means the rest; tau=1 keeps everything") {
     import spark.implicits._
     val df = ((1 to 100).map(i => (i.toLong, "small")) ++
