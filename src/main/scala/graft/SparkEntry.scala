@@ -1678,6 +1678,28 @@ object SparkEntry {
         .orderBy("canonical_url")
     }),
 
+    "pipeline_release_e2e" -> ((s, dir) => {
+      // the release BACK door composed end-to-end (the curate_e2e chain is
+      // the front door): verified near-dup components -> leakage-safe
+      // component split -> temperature-flattened train mixture -> shard
+      // manifest of exactly what ships, all real library operators, the
+      // oracle replaying every stage in one CTE chain
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .withColumn("id2", col("id1") + 1)
+      val verified = Dedup.ngramJaccard(s, docs, pairs, "text", "doc_id", shingleK = 4)
+        .filter(col("jaccard") >= 0.3)
+      val comps = Dedup.components(verified)
+      val split = Sampling.componentSplit(docs, comps, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val train = split.filter(col("split") === "train")
+      val mixed = Sampling.temperatureMix(train, "source", tau = 0.5,
+        key = col("doc_id"))
+      Sampling.shardManifest(mixed, content = Text.normalized(col("text")),
+          key = col("doc_id"), seed = "release1", numShards = 8)
+        .orderBy("shard_id")
+    }),
+
     "pipeline_curate_e2e" -> ((s, dir) => {
       // the WHOLE curation front door composed in ONE declarative plan —
       // HTML extraction → exact dedup (copies planted at doc_id+10000)
@@ -5093,6 +5115,54 @@ object SparkEntry {
            FROM f)
          SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM s GROUP BY 1 ORDER BY 1"""
+    },
+
+    "pipeline_release_e2e" -> {
+      // every stage replayed in one chain: run-break components -> rep ->
+      // md5 split thresholds -> train slice -> sqrt-weight quotas within
+      // the train slice -> shard/checksum manifest of the survivors
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).drop(1)
+      val (t1, t2) = (Sampling.hexThreshold(cum(0)), Sampling.hexThreshold(cum(1)))
+      s"""WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                    FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) <= 4 THEN [t]
+                  ELSE list_transform(range(length(t) - 3), i -> substr(t, CAST(i AS INT) + 1, 4)) END) AS s
+                FROM d),
+         j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+               FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+         e AS (SELECT id1, id2 FROM j WHERE jac >= 0.3),
+         n AS (SELECT DISTINCT id FROM (SELECT id1 AS id FROM e UNION ALL SELECT id2 AS id FROM e)),
+         m AS (SELECT id, CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.id1 = n.id - 1 AND e.id2 = n.id)
+                 THEN 0 ELSE 1 END AS brk FROM n),
+         r AS (SELECT id, sum(brk) OVER (ORDER BY id) AS grp FROM m),
+         c AS (SELECT id, min(id) OVER (PARTITION BY grp) AS component FROM r),
+         k AS (SELECT doc_id, source, text,
+                 coalesce(CAST(c.component AS VARCHAR), CAST(doc_id AS VARCHAR)) AS rep
+               FROM documents LEFT JOIN c ON c.id = documents.doc_id),
+         tr AS (SELECT doc_id, source, text FROM k
+                WHERE substr(md5(rep), 1, 15) < '$t1'),
+         tc AS (SELECT source AS domain, count(*) AS n FROM tr GROUP BY 1),
+         p AS (SELECT domain, sqrt(CAST(n AS DOUBLE)) AS w, CAST(n AS DOUBLE) AS n
+               FROM tc WHERE n > 0),
+         f AS (SELECT min(n / w) AS bigt FROM p),
+         q AS (SELECT domain,
+                 least(CAST(n AS BIGINT),
+                   CAST(floor(w * (SELECT bigt FROM f) + 1e-9) AS BIGINT)) AS quota
+               FROM p),
+         rk AS (SELECT tr.doc_id, tr.source, tr.text,
+                 row_number() OVER (PARTITION BY tr.source
+                   ORDER BY substr(md5(CAST(tr.doc_id AS VARCHAR)), 1, 15),
+                            CAST(tr.doc_id AS VARCHAR)) AS rn
+               FROM tr JOIN q ON tr.source = q.domain),
+         mx AS (SELECT doc_id, text FROM rk JOIN q ON rk.source = q.domain
+                WHERE rn <= quota),
+         sm AS (SELECT
+             CAST(('0x' || substr(md5('release1:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 8 AS shard_id,
+             CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 10)) AS BIGINT) AS sig
+           FROM mx)
+         SELECT shard_id, count(*) AS n_docs, CAST(sum(sig) AS BIGINT) AS content_checksum
+         FROM sm GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "sample_shard_manifest" ->
