@@ -539,6 +539,56 @@ object Multimodal {
     out
   }
 
+  /** Real image RESIZE (the curation mandate's resize step): decode via
+    * ImageIO, NEAREST-NEIGHBOR scale with pure integer source mapping
+    * (src = x·w/outW — fully deterministic on any JVM, unlike Graphics2D
+    * interpolation hints), re-encode as PNG. Returns None for
+    * non-decodable payloads. Byte-level PNG output may differ across JDK
+    * encoder versions — consumers should compare decoded pixels, which
+    * ARE deterministic (the unit test re-decodes). */
+  def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val out = new java.awt.image.BufferedImage(outW, outH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * h / outH).toInt
+        var x = 0
+        while (x < outW) {
+          out.setRGB(x, y, img.getRGB((x.toLong * w / outW).toInt, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** DataFrame-level image resize — the same mapPartitions batch shape as
+    * [[extractFeatures]] (per-partition codec init, binary in → binary
+    * out), emitting (id, resized PNG or null). The thumbnail / model-input
+    * normalization stage of a multimodal pipeline. */
+  def resizeImages(spark: SparkSession, df: DataFrame, idCol: String,
+                   binCol: String, outW: Int, outH: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          (id, resizeImage(bytes, outW, outH).orNull)
+        }
+      }
+      .toDF("id", "resized")
+  }
+
   /** Feature extraction over binary payloads: the Scala analogue of a
     * `mapInPandas` batch UDF — mapPartitions so a real decoder amortizes
     * model/codec init once per partition (the batch shape that matters at

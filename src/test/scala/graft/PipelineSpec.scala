@@ -578,6 +578,36 @@ class PipelineSpec extends SparkSpec {
     assert(jf.isDefined && jf.get(0) === 2.0f && jf.get(1) === 2.0f)
   }
 
+  test("multimodal: deterministic nearest-neighbor resize preserves quadrant colors") {
+    import spark.implicits._
+    // 4x4 image: left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val src = bos.toByteArray
+    val small = Multimodal.resizeImage(src, 2, 2).get
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    assert(dec.getWidth === 2 && dec.getHeight === 2)
+    assert((dec.getRGB(0, 0) & 0xffffff) === 0xff0000, "left stays red")
+    assert((dec.getRGB(1, 1) & 0xffffff) === 0x0000ff, "right stays blue")
+    // upscale is deterministic too: every pixel maps to an exact source px
+    val big = Multimodal.resizeImage(src, 8, 8).get
+    val bigDec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big))
+    assert((bigDec.getRGB(0, 0) & 0xffffff) === 0xff0000)
+    assert((bigDec.getRGB(7, 7) & 0xffffff) === 0x0000ff)
+    // Spark plumbing: batch resize routes decodable payloads, nulls the rest
+    val df = Seq((1L, src), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(spark, df, "doc_id", "payload", 2, 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isDefined && out(2L).isEmpty)
+    val viaDf = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).get.asInstanceOf[Array[Byte]]))
+    assert(viaDf.getWidth === 2 && (viaDf.getRGB(0, 0) & 0xffffff) === 0xff0000)
+  }
+
   test("multimodal: WAV payloads decode to REAL signal statistics via javax.sound") {
     import spark.implicits._
     // 0.1s of a 440 Hz sine at 8 kHz, 16-bit mono PCM, amplitude 0.5
