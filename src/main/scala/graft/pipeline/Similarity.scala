@@ -668,6 +668,190 @@ object Similarity {
     rankAdc(pq, cands.join(broadcast(q), Seq(listCol)), k)
   }
 
+  /** Optimized Product Quantization (Ge et al. 2013 / OPQ-NP): learn an
+    * ORTHONORMAL rotation R so the PQ blocks cut along the data's
+    * principal structure instead of the arbitrary dimension order —
+    * plain PQ cannot exploit correlation that spans block boundaries,
+    * and real embedding spaces are full of it. Alternating minimization
+    * of ||Rᵀx − c(Rᵀx)||²: (1) train PQ codebooks on the rotated
+    * vectors; (2) Procrustes update R = U·Vᵀ from the SVD of the d×d
+    * cross-covariance Σ x·c(Rᵀx)ᵀ.
+    *
+    * Scale shape: the rotation/code/reconstruction pass is a
+    * mapPartitions batch (per-row O(d² + m·k·subDim) closure math, the
+    * same shape as [[Multimodal.extractFeatures]]); the cross-covariance
+    * is a treeAggregate carrying O(d²) state — NEVER rows — and the SVD
+    * runs on the driver's d×d matrix. Each OPQ round costs one pqTrain
+    * (itself one scan per Lloyd iteration) plus one covariance scan.
+    *
+    * Returns (R, model): encode NEW vectors as `pqAssign(model, Rᵀx)`.
+    * Deterministic: seeded PQ + SVD of a deterministic matrix (sign
+    * convention pinned by making each U column's largest-|u| entry
+    * positive, mirrored into V, so the U·Vᵀ product is unique). */
+  def opqTrain(corpus: DataFrame, m: Int = 4, k: Int = 16, pqIters: Int = 4,
+               opqIters: Int = 3, vecCol: String = "embedding",
+               idCol: String = "vec_id"): (Array[Array[Double]], PqModel) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    require(opqIters >= 1, s"opqIters must be >= 1: $opqIters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val base = corpus.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>")).as[(Long, Array[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // eigenvalue-allocation INIT (the parametric half of the paper):
+      // PCA-rotate, then greedily deal principal directions to blocks
+      // balancing Σ log λ — without it, alternating NP rounds cannot
+      // break symmetry on independent dims (the cross-covariance is
+      // diagonal and Procrustes returns the identity). Covariance is one
+      // O(d²) treeAggregate + an O(d) mean pass; eig runs on the driver.
+      val nRows = base.count().toDouble
+      val sums = base.rdd.treeAggregate(new Array[Double](dim))(
+        (a, row) => { var i = 0; while (i < dim) { a(i) += row._2(i); i += 1 }; a },
+        (a, b2) => { var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a })
+      val mean = sums.map(_ / nRows)
+      val covFlat = base.rdd.treeAggregate(new Array[Double](dim * dim))(
+        (a, row) => {
+          val x = row._2
+          var i = 0
+          while (i < dim) {
+            val xi = x(i) - mean(i)
+            var j = 0
+            while (j < dim) { a(i * dim + j) += xi * (x(j) - mean(j)); j += 1 }
+            i += 1
+          }
+          a
+        },
+        (a, b2) => { var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a })
+      val es = breeze.linalg.eigSym(
+        new breeze.linalg.DenseMatrix(dim, dim, covFlat)) // symmetric: major order moot
+      val order = (0 until dim).sortBy(i => -es.eigenvalues(i))
+      val sub0 = dim / m
+      val blockLog = new Array[Double](m)
+      val blockSlots = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      for (ei <- order) {
+        val open = (0 until m).filter(b => blockSlots(b).size < sub0)
+        val b = open.minBy(blockLog)
+        blockSlots(b) += ei
+        blockLog(b) += math.log(math.max(es.eigenvalues(ei), 1e-12))
+      }
+      val perm = blockSlots.flatMap(_.toSeq)
+      var r = Array.tabulate(dim, dim)((i, j) => es.eigenvectors(i, perm(j)))
+      // pin the eigenvector sign ambiguity (largest-|entry| positive)
+      for (j <- 0 until dim) {
+        var arg = 0; var mx = 0.0
+        for (i <- 0 until dim)
+          if (math.abs(r(i)(j)) > mx) { mx = math.abs(r(i)(j)); arg = i }
+        if (r(arg)(j) < 0) for (i <- 0 until dim) r(i)(j) = -r(i)(j)
+      }
+      var model: PqModel = null
+      for (round <- 1 to opqIters) {
+        val rLocal = r
+        val rotated = base.map { case (id, x) =>
+          (id, Array.tabulate(dim)(j => {
+            var s = 0.0; var i = 0
+            while (i < dim) { s += rLocal(i)(j) * x(i); i += 1 }
+            s
+          }))
+        }.toDF(idCol, "__rv")
+        model = pqTrain(rotated, m, k, pqIters, "__rv", idCol)
+        if (round < opqIters) {
+          // C = Σ x · recon(Rᵀx)ᵀ, O(d²) treeAggregate state
+          val books = model.codebooks
+          val sub = dim / m
+          val c = base.rdd.treeAggregate(new Array[Double](dim * dim))(
+            seqOp = (acc, row) => {
+              val x = row._2
+              val rot = Array.tabulate(dim)(j => {
+                var s = 0.0; var i = 0
+                while (i < dim) { s += rLocal(i)(j) * x(i); i += 1 }
+                s
+              })
+              val recon = new Array[Double](dim)
+              var b = 0
+              while (b < m) {
+                var best = 0; var bestD = Double.MaxValue
+                var cc = 0
+                while (cc < k) {
+                  var d2 = 0.0; var j = 0
+                  while (j < sub) {
+                    val d = rot(b * sub + j) - books(b)(cc)(j); d2 += d * d; j += 1
+                  }
+                  if (d2 < bestD) { bestD = d2; best = cc }
+                  cc += 1
+                }
+                System.arraycopy(books(b)(best), 0, recon, b * sub, sub)
+                b += 1
+              }
+              var i = 0
+              while (i < dim) {
+                var j = 0
+                while (j < dim) { acc(i * dim + j) += x(i) * recon(j); j += 1 }
+                i += 1
+              }
+              acc
+            },
+            combOp = (a, b2) => { var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a })
+          val svd.SVD(u, _, vt) = svd(new DenseMatrix(dim, dim, c).t)
+          // pin the SVD sign ambiguity so R is deterministic
+          for (col0 <- 0 until dim) {
+            var arg = 0; var mx = 0.0
+            for (i <- 0 until dim)
+              if (math.abs(u(i, col0)) > mx) { mx = math.abs(u(i, col0)); arg = i }
+            if (u(arg, col0) < 0) {
+              for (i <- 0 until dim) u(i, col0) = -u(i, col0)
+              for (j <- 0 until dim) vt(col0, j) = -vt(col0, j)
+            }
+          }
+          val rNew = u * vt
+          r = Array.tabulate(dim, dim)((i, j) => rNew(i, j))
+        }
+      }
+      (r, model)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Mean squared PQ reconstruction error of `corpus` under rotation `r`
+    * (identity = plain PQ) — the quantity [[opqTrain]] minimizes; one
+    * mapPartitions scan + a 2-value aggregate. */
+  def pqReconError(corpus: DataFrame, r: Array[Array[Double]], model: PqModel,
+                   vecCol: String = "embedding"): Double = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = model.codebooks
+    val m = model.m; val sub = model.subDim; val k = model.k
+    val dim = m * sub
+    val (tot, n) = corpus.select(col(vecCol).cast("array<double>"))
+      .as[Array[Double]].rdd.mapPartitions { it =>
+        var s = 0.0; var cnt = 0L
+        it.foreach { x =>
+          val rot = Array.tabulate(dim)(j => {
+            var acc = 0.0; var i = 0
+            while (i < dim) { acc += r(i)(j) * x(i); i += 1 }
+            acc
+          })
+          var b = 0
+          while (b < m) {
+            var bestD = Double.MaxValue
+            var cc = 0
+            while (cc < k) {
+              var d2 = 0.0; var j = 0
+              while (j < sub) { val d = rot(b * sub + j) - books(b)(cc)(j); d2 += d * d; j += 1 }
+              if (d2 < bestD) bestD = d2
+              cc += 1
+            }
+            s += bestD
+            b += 1
+          }
+          cnt += 1
+        }
+        Iterator.single((s, cnt))
+      }.reduce { case ((s1, c1), (s2, c2)) => (s1 + s2, c1 + c2) }
+    tot / math.max(n, 1L)
+  }
+
   /** Shared ADC scoring + round-before-rank top-k over a joined
     * (query_id, __qv, neighbor_id, __code) frame. */
   private def rankAdc(model: PqModel, joined: DataFrame, k: Int): DataFrame = {

@@ -1372,6 +1372,31 @@ class PipelineSpec extends SparkSpec {
       s"ADC picks (mean true dist $pickMean) not better than random ($baseMean)")
   }
 
+  test("OPQ: learned rotation beats plain PQ reconstruction error on block-unbalanced data") {
+    import spark.implicits._
+    // both HIGH-variance dims land in block 0 under the natural layout: a
+    // 2-D patch quantized by k codewords has error ~L²/k, but one 1-D line
+    // per block gets ~L²/k² — the rotation must split them across blocks
+    val rng = new scala.util.Random(7L)
+    val vecs = (0L until 400L).map { i =>
+      (i, Array(rng.nextDouble() * 10, rng.nextDouble() * 10,
+        rng.nextDouble() * 0.01, rng.nextDouble() * 0.01))
+    }.toDF("vec_id", "embedding")
+    val ident = Array.tabulate(4, 4)((i, j) => if (i == j) 1.0 else 0.0)
+    val plain = Similarity.pqTrain(vecs, m = 2, k = 16, iters = 5)
+    val plainErr = Similarity.pqReconError(vecs, ident, plain)
+    val (r, opq) = Similarity.opqTrain(vecs, m = 2, k = 16, pqIters = 5, opqIters = 6)
+    val opqErr = Similarity.pqReconError(vecs, r, opq)
+    info(f"plain $plainErr%.5f  opq $opqErr%.5f  ratio ${opqErr / plainErr}%.3f")
+    assert(opqErr < 0.9 * plainErr,
+      f"OPQ must beat plain PQ here: opq $opqErr%.5f vs plain $plainErr%.5f")
+    // R stays orthonormal: RᵀR = I
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(t => r(t)(i) * r(t)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RtR[$i][$j] = $dot")
+    }
+  }
+
   test("ivfPqTopK at full probe equals the unpruned ADC scan") {
     import spark.implicits._
     val vecs = (0L to 49L)
