@@ -56,7 +56,16 @@ object BenchSf1 {
     // IRLS document-classifier training; sqrt-weighted mixture quotas
     "describe_ks_drift" -> graft.SparkEntry.queries("describe_ks_drift"),
     "analyze_quality_logit" -> graft.SparkEntry.queries("analyze_quality_logit"),
-    "sample_temperature_mix" -> graft.SparkEntry.queries("sample_temperature_mix"))
+    "sample_temperature_mix" -> graft.SparkEntry.queries("sample_temperature_mix"),
+    // full OPQ training loop (eig-allocation init + 2 NP rounds) + the
+    // reconstruction-error measurement scan — library surface, no query
+    "ann_opq_train_full" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val (r, model) = graft.pipeline.Similarity.opqTrain(
+        e, m = 4, k = 16, pqIters = 3, opqIters = 2)
+      Seq(graft.pipeline.Similarity.pqReconError(e, r, model)).toDF("opq_err")
+    }))
 
   /** ×10 replication with join-consistent key scaling. */
   private def scaleUp(spark: SparkSession): Unit = {
