@@ -591,6 +591,13 @@ object SparkEntry {
           round(col("mi"), 6).as("mi"), round(col("nmi"), 6).as("nmi"))
         .orderBy("var_a", "var_b")),
 
+    "describe_mannwhitney" -> ((s, dir) =>
+      // rank-based location-shift drift (outlier-robust where a mean test
+      // is not); 2·rank-sum and the tie correction are exact int64
+      Describe.mannWhitney(
+        t(s, dir, "lineitem").filter(col("l_returnflag").isin("R", "A")),
+        "l_extendedprice", col("l_returnflag") === "R")),
+
     "describe_ks_drift" -> ((s, dir) =>
       // two-sample KS between returned (R) and accepted (A) line prices:
       // the bin-free companion to the PSI report; the maximized statistic
@@ -3136,6 +3143,36 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
          event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "describe_mannwhitney" -> {
+      // average-rank algebra over tie runs: 2·R_A = Σ ca·(2·below + t + 1)
+      // stays integral; u/z/p mirror the engine's column ops term for term
+      val zExpr = "(abs(z) / sqrt(2.0))"
+      s"""WITH s AS (SELECT l_extendedprice AS x, l_returnflag = 'R' AS a
+               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         g AS (SELECT x, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+               FROM s GROUP BY 1),
+         w AS (SELECT ca, ca + cb AS t,
+                 coalesce(sum(ca + cb) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+               FROM g),
+         tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+         acc AS (SELECT sum(ca * (2 * below + t + 1)) AS ra2,
+                   sum(t * t * t - t) AS t3 FROM w),
+         kv AS (SELECT na, nb,
+                 CAST(ra2 AS DOUBLE) / 2.0 - CAST(na * (na + 1) AS DOUBLE) / 2.0 AS u,
+                 CAST(na * nb AS DOUBLE) / 2.0 AS mu,
+                 CAST(na * nb AS DOUBLE) / 12.0 *
+                   (CAST(na + nb + 1 AS DOUBLE) -
+                     CAST(t3 AS DOUBLE) /
+                       (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))) AS s2
+               FROM acc, tot),
+         zt AS (SELECT na, nb, u, (u - mu) / sqrt(s2) AS z FROM kv)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, u,
+           round(z, 6) AS z, round(${sqlErfc(zExpr)}, 6) AS pvalue
+         FROM zt""".stripMargin
+    },
 
     "describe_ks_drift" -> {
       // window prefix-sums over tie-aggregated distinct values; the engine's

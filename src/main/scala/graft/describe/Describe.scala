@@ -598,6 +598,77 @@ object Describe {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) test — the rank-based
+    * companion to [[ksTwoSample]]: U from sample A's rank sum with
+    * average ranks over ties, the tie-corrected normal approximation for
+    * z, and the two-sided p via the shared Cody erfc. Location-shift
+    * drift detection that is outlier-robust where a mean test is not.
+    *
+    * Determinism contract: the fold accumulates 2·R_A = Σ c_A·(2·below +
+    * t + 1) and Σ(t³ − t) as EXACT int64 (ranks over a tie run sum to a
+    * half-integer multiple, so doubling stays integral); u/z/p derive
+    * from those integers through a fixed operation order the oracle
+    * mirrors term for term.
+    *
+    * Scale shape: identical to [[ksTwoSample]] — tie-aggregated shuffle,
+    * range-partitioned sort, O(#partitions) driver offsets, one fold. */
+  def mannWhitney(df: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sorted = df
+      .filter(col(valueCol).isNotNull && isFirst.isNotNull)
+      .select(col(valueCol).cast("double").as("__x"),
+        isFirst.cast("boolean").as("__a"))
+      .groupBy("__x").agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+      .repartitionByRange(parts, col("__x"))
+      .sortWithinPartitions("__x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var ca = 0L; var cb = 0L
+        it.foreach { r => ca += r.getLong(1); cb += r.getLong(2) }
+        Iterator.single((pi, ca, cb))
+      }.collect().sortBy(_._1)
+      val na = perPart.iterator.map(_._2).sum
+      val nb = perPart.iterator.map(_._3).sum
+      require(na > 0 && nb > 0,
+        s"mannWhitney needs both samples non-empty: nA=$na nB=$nb")
+      val starts = perPart.scanLeft(0L) { case (acc, (_, ca, cb)) => acc + ca + cb }.init
+      val (ra2, tie3) = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var below = starts(pi)
+        var r2 = 0L; var t3 = 0L
+        it.foreach { r =>
+          val ca = r.getLong(1); val t = ca + r.getLong(2)
+          r2 += ca * (2L * below + t + 1L)
+          t3 += t * t * t - t
+          below += t
+        }
+        Iterator.single((r2, t3))
+      }.fold((0L, 0L)) { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) }
+      // u/z/p in COLUMN algebra over the exact integers so the arithmetic
+      // (and the Cody erfc) is the very expression the oracle replays
+      Seq((na, nb, ra2, tie3)).toDF("n_a", "n_b", "__ra2", "__t3")
+        .withColumn("u",
+          col("__ra2").cast("double") / 2.0 -
+            (col("n_a") * (col("n_a") + 1)).cast("double") / 2.0)
+        .withColumn("__n", col("n_a") + col("n_b"))
+        .withColumn("__mu", (col("n_a") * col("n_b")).cast("double") / 2.0)
+        .withColumn("__s2",
+          (col("n_a") * col("n_b")).cast("double") / 12.0 *
+            ((col("__n") + 1).cast("double") -
+              col("__t3").cast("double") /
+                (col("__n").cast("double") * (col("__n").cast("double") - 1.0))))
+        .withColumn("z", (col("u") - col("__mu")) / sqrt(col("__s2")))
+        .select(col("n_a"), col("n_b"), col("u"),
+          round(col("z"), 6).as("z"),
+          round(graft.stats.ColMath.erfc(abs(col("z")) / math.sqrt(2.0)), 6).as("pvalue"))
+        .localCheckpoint(true)
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Declarative data-quality rules — the Deequ-style validation pass:
     * every rule is a boolean Column evaluated in ONE aggregation over ONE
     * scan (no per-rule jobs), returning (rule, n_rows, passed, failed,

@@ -960,6 +960,29 @@ class ModifyDescribeSpec extends SparkSpec {
     } finally spark.conf.unset("graft.quantile.accuracy")
   }
 
+  test("mannWhitney: separation/identity/tied cases; exact-integer rank sums are partitioning-invariant") {
+    import spark.implicits._
+    def mw(df: org.apache.spark.sql.DataFrame) =
+      Describe.mannWhitney(df, "x", col("a")).head()
+    // complete separation: A all lower -> U = 0, p tiny
+    val sep = mw(((1 to 20).map(i => (i.toDouble, true)) ++
+      (31 to 50).map(i => (i.toDouble, false))).toDF("x", "a"))
+    assert(sep.getDouble(2) === 0.0 && sep.getDouble(4) < 1e-6)
+    // identical samples: U = na*nb/2, z = 0, p = 1
+    val same = mw(((1 to 30).map(i => (i.toDouble, true)) ++
+      (1 to 30).map(i => (i.toDouble, false))).toDF("x", "a"))
+    assert(same.getDouble(2) === 450.0 && same.getDouble(3) === 0.0
+      && same.getDouble(4) === 1.0)
+    // tied data: U from hand-computed average ranks
+    // A = {1,2,2}, B = {2,3}: ranks 1, 3, 3, 3, 5 -> R_A = 7, U = 7 - 6 = 1
+    val tied = mw(Seq((1.0, true), (2.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("x", "a"))
+    assert(tied.getLong(0) === 3L && tied.getLong(1) === 2L && tied.getDouble(2) === 1.0)
+    // exact integers: any partitioning gives the identical row
+    val df = ((1 to 40).map(i => ((i % 7).toDouble, i % 3 == 0))).toDF("x", "a")
+    assert(mw(df) === mw(df.repartition(11)))
+  }
+
   test("ksTwoSample: identical/disjoint/shifted samples; partitioning-invariant") {
     import spark.implicits._
     def ks(df: org.apache.spark.sql.DataFrame) =
