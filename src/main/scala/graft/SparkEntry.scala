@@ -591,6 +591,21 @@ object SparkEntry {
           round(col("mi"), 6).as("mi"), round(col("nmi"), 6).as("nmi"))
         .orderBy("var_a", "var_b")),
 
+    "describe_merge_summaries" -> ((s, dir) => {
+      // incremental corpus statistics: per-batch mergeable profiles (Chan
+      // parallel combine) must equal the whole-data stats — the oracle
+      // computes the full table directly, so the merge algebra is proven
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val a = Describe.numericSummary(li.filter(col("l_orderkey") % 2 === 0), cols)
+      val b = Describe.numericSummary(li.filter(col("l_orderkey") % 2 =!= 0), cols)
+      Describe.mergeSummaries(a, b)
+        .select(col("variable"), col("n"), sig6(col("mean")).as("mean"),
+          sig6(sqrt(col("m2") / (col("n") - 1).cast("double"))).as("sd"),
+          col("min"), col("max"))
+        .orderBy("variable")
+    }),
+
     "describe_mannwhitney" -> ((s, dir) =>
       // rank-based location-shift drift (outlier-robust where a mean test
       // is not); 2·rank-sum and the tie correction are exact int64
@@ -3143,6 +3158,19 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
          event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "describe_merge_summaries" -> {
+      // the oracle never merges: it computes each column's stats over the
+      // WHOLE table — equality proves the Chan combine is exact
+      val arms = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax").map { c =>
+        s"""SELECT '$c' AS variable, count($c) AS n,
+           ${sqlSig6(s"avg($c)")} AS mean,
+           ${sqlSig6(s"stddev_samp($c)")} AS sd,
+           CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max
+           FROM lineitem"""
+      }.mkString(" UNION ALL ")
+      s"SELECT * FROM ($arms) ORDER BY variable"
+    },
 
     "describe_mannwhitney" -> {
       // average-rank algebra over tie runs: 2·R_A = Σ ca·(2·below + t + 1)

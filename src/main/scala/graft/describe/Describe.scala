@@ -598,6 +598,54 @@ object Describe {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Per-column numeric summary in the MERGEABLE form (variable, n, mean,
+    * m2, min, max) — m2 = Σ(x−mean)² is the sufficient statistic that
+    * lets [[mergeSummaries]] combine per-batch profiles without
+    * rescanning. One melt + one map-side-combined aggregation for every
+    * column together. Null values are excluded per column (n counts
+    * non-nulls). */
+  def numericSummary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val melted = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("variable"), col(c).cast("double").as("value"))): _*)).as("e"))
+      .select(col("e.variable"), col("e.value"))
+      .filter(col("value").isNotNull)
+    melted.groupBy("variable").agg(
+      count(lit(1)).as("n"),
+      avg("value").as("mean"),
+      (var_samp(col("value")) * (count(lit(1)) - 1)).as("m2"),
+      min("value").as("min"),
+      max("value").as("max"))
+  }
+
+  /** Merge two [[numericSummary]] profiles (Chan et al. parallel
+    * combine): n = nₐ+n_b, mean via the weighted delta update,
+    * m2 = m2ₐ + m2_b + Δ²·nₐ·n_b/n — the algebra that makes per-batch /
+    * per-partition / per-day profiles COMPOSABLE, so incremental corpus
+    * statistics never rescan history. Variables present on one side only
+    * pass through unchanged (full outer join on variable). */
+  def mergeSummaries(a: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.select(col("variable"), col("n").as("nb"), col("mean").as("meanb"),
+      col("m2").as("m2b"), col("min").as("minb"), col("max").as("maxb"))
+    a.join(bb, Seq("variable"), "full_outer")
+      .select(col("variable") +: {
+        val na = coalesce(col("n"), lit(0L))
+        val nb = coalesce(col("nb"), lit(0L))
+        val n = na + nb
+        val ma = coalesce(col("mean"), lit(0.0))
+        val mb = coalesce(col("meanb"), lit(0.0))
+        val delta = mb - ma
+        val mean = when(n === 0, lit(null).cast("double"))
+          .otherwise(ma + delta * nb.cast("double") / n.cast("double"))
+        val m2 = coalesce(col("m2"), lit(0.0)) + coalesce(col("m2b"), lit(0.0)) +
+          delta * delta * na.cast("double") * nb.cast("double") / n.cast("double")
+        Seq(n.as("n"), mean.as("mean"),
+          when(n === 0, lit(null).cast("double")).otherwise(m2).as("m2"),
+          least(col("min"), col("minb")).as("min"),
+          greatest(col("max"), col("maxb")).as("max"))
+      }: _*)
+  }
+
   /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) test — the rank-based
     * companion to [[ksTwoSample]]: U from sample A's rank sum with
     * average ranks over ties, the tie-corrected normal approximation for

@@ -960,6 +960,33 @@ class ModifyDescribeSpec extends SparkSpec {
     } finally spark.conf.unset("graft.quantile.accuracy")
   }
 
+  test("mergeSummaries: batch merges equal the whole-data profile; one-sided variables pass through") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4L)
+    val rows = (1 to 300).map(i =>
+      (i, rng.nextDouble() * 100, if (i % 5 == 0) null else java.lang.Double.valueOf(rng.nextGaussian())))
+    val df = rows.toDF("id", "x", "y")
+    val whole = Describe.numericSummary(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val merged = Describe.mergeSummaries(
+        Describe.mergeSummaries(
+          Describe.numericSummary(df.filter($"id" % 3 === 0), Seq("x", "y")),
+          Describe.numericSummary(df.filter($"id" % 3 === 1), Seq("x", "y"))),
+        Describe.numericSummary(df.filter($"id" % 3 === 2), Seq("x", "y")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    for (v <- Seq("x", "y")) {
+      assert(merged(v)._1 === whole(v)._1)
+      assertRtol(merged(v)._2, whole(v)._2, 1e-10, s"$v mean")
+      assertRtol(merged(v)._3, whole(v)._3, 1e-9, s"$v m2")
+    }
+    // a variable present in only one batch passes through untouched
+    val solo = Describe.mergeSummaries(
+        Describe.numericSummary(df, Seq("x")),
+        Describe.numericSummary(df.limit(0), Seq("y")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(solo("x") === 300L && !solo.contains("y"))
+  }
+
   test("mannWhitney: separation/identity/tied cases; exact-integer rank sums are partitioning-invariant") {
     import spark.implicits._
     def mw(df: org.apache.spark.sql.DataFrame) =
