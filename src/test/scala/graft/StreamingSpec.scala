@@ -300,6 +300,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental profile: foreachBatch + mergeSummaries equals the whole-data summary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    // running profile maintained across micro-batches WITHOUT rescanning
+    // history — the mergeable-summaries streaming story
+    var profile: Option[Array[org.apache.spark.sql.Row]] = None
+    val q = mem.toDF().toDF("id", "x").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = graft.describe.Describe.numericSummary(batch, Seq("x"))
+        val prev = profile.map(rows => spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq), s.schema))
+        profile = Some(prev.fold(s)(p =>
+          graft.describe.Describe.mergeSummaries(p, s)).collect())
+      }
+      .outputMode("update").start()
+    try {
+      val all = (1 to 90).map(i => (i.toLong, i * 1.37))
+      all.grouped(30).foreach { g => mem.addData(g); q.processAllAvailable() }
+      val got = profile.get.head
+      val want = graft.describe.Describe.numericSummary(all.toDF("id", "x"), Seq("x"))
+        .head()
+      assert(got.getLong(1) === want.getLong(1))
+      assert(math.abs(got.getDouble(2) - want.getDouble(2)) < 1e-10, "mean")
+      assert(math.abs(got.getDouble(3) - want.getDouble(3)) < 1e-7, "m2")
+      assert(got.getDouble(4) === want.getDouble(4) && got.getDouble(5) === want.getDouble(5))
+    } finally q.stop()
+  }
+
   test("trendingTerms: windowed word counts agree between stream and batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
