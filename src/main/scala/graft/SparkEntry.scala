@@ -591,6 +591,28 @@ object SparkEntry {
           round(col("mi"), 6).as("mi"), round(col("nmi"), 6).as("nmi"))
         .orderBy("var_a", "var_b")),
 
+    "describe_merge_distinct" -> ((s, dir) => {
+      // mergeable cardinality: per-half HLL sketches union into the
+      // whole-data estimate; the estimate is approximate BY CONTRACT so
+      // it surfaces as a deterministic in-bounds boolean against the
+      // exact count (the summarize_approx pattern), bound = 3·rsd at
+      // lgK=12 (1.04/sqrt(4096) ≈ 1.6% per sigma)
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      val merged = Describe.mergeDistinctSketches(
+        Describe.distinctSketches(li.filter(col("l_orderkey") % 2 === 0), cols),
+        Describe.distinctSketches(li.filter(col("l_orderkey") % 2 =!= 0), cols))
+      val exact = li.select(explode(array(cols.map(c =>
+          struct(lit(c).as("variable"), col(c).cast("string").as("value"))): _*)).as("e"))
+        .select(col("e.variable"), col("e.value"))
+        .groupBy("variable").agg(countDistinct(col("value")).as("n_exact"))
+      merged.join(exact, Seq("variable"))
+        .select(col("variable"), col("n_exact"),
+          (abs(hll_sketch_estimate(col("sketch")) / col("n_exact") - 1.0) <= 0.05)
+            .as("est_in_bounds"))
+        .orderBy("variable")
+    }),
+
     "describe_merge_summaries" -> ((s, dir) => {
       // incremental corpus statistics: per-batch mergeable profiles (Chan
       // parallel combine) must equal the whole-data stats — the oracle
@@ -3158,6 +3180,15 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
          event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "describe_merge_distinct" ->
+      // exact distinct per column; the merged-sketch estimate is bounded
+      // by construction so its deterministic verdict replays as TRUE
+      """SELECT variable, n_exact, TRUE AS est_in_bounds FROM (
+           SELECT 'l_orderkey' AS variable, count(DISTINCT l_orderkey) AS n_exact FROM lineitem
+           UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+           UNION ALL SELECT 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem)
+         ORDER BY variable""",
 
     "describe_merge_summaries" -> {
       // the oracle never merges: it computes each column's stats over the

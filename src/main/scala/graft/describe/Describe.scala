@@ -618,6 +618,29 @@ object Describe {
       max("value").as("max"))
   }
 
+  /** Mergeable DISTINCT-count profiles: one Datasketches HLL sketch per
+    * column ([[mergeDistinctSketches]] unions them), the sketch sibling
+    * of [[numericSummary]] — per-batch cardinality profiles combine
+    * without rescanning history, the property exact `count(DISTINCT)`
+    * fundamentally lacks. One melt + one map-side-combined sketch
+    * aggregation; each sketch is O(2^lgK) bytes whatever the row count. */
+  def distinctSketches(df: DataFrame, cols: Seq[String], lgK: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("variable"), col(c).cast("string").as("value"))): _*)).as("e"))
+      .select(col("e.variable"), col("e.value"))
+      .filter(col("value").isNotNull)
+      .groupBy("variable")
+      .agg(hll_sketch_agg(col("value"), lit(lgK)).as("sketch"))
+  }
+
+  /** Union per-variable HLL sketches from two [[distinctSketches]]
+    * profiles — O(#variables · 2^lgK) work, no data rescans. */
+  def mergeDistinctSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("variable")
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+
   /** Merge two [[numericSummary]] profiles (Chan et al. parallel
     * combine): n = nₐ+n_b, mean via the weighted delta update,
     * m2 = m2ₐ + m2_b + Δ²·nₐ·n_b/n — the algebra that makes per-batch /

@@ -960,6 +960,23 @@ class ModifyDescribeSpec extends SparkSpec {
     } finally spark.conf.unset("graft.quantile.accuracy")
   }
 
+  test("distinctSketches: merged halves and the whole-data sketch agree within the HLL error bound") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i, s"k${i % 700}")).toDF("id", "k")
+    def est(d: org.apache.spark.sql.DataFrame) = d
+      .select(hll_sketch_estimate(col("sketch"))).head().getLong(0)
+    val whole = est(Describe.distinctSketches(df, Seq("k")))
+    val merged = est(Describe.mergeDistinctSketches(
+      Describe.distinctSketches(df.filter($"id" % 2 === 0), Seq("k")),
+      Describe.distinctSketches(df.filter($"id" % 2 =!= 0), Seq("k"))))
+    // NOT bit-identical: the Datasketches union target promotes register
+    // types (HLL_4 sketch vs HLL_8 union), so the two estimators differ
+    // slightly — both must sit inside the 3·rsd bound of the true count
+    assert(math.abs(merged - 700L).toDouble / 700 < 0.05, s"merged $merged off 700")
+    assert(math.abs(whole - 700L).toDouble / 700 < 0.05, s"whole $whole off 700")
+    assert(math.abs(merged - whole).toDouble / 700 < 0.05, s"merged $merged vs whole $whole")
+  }
+
   test("mergeSummaries: batch merges equal the whole-data profile; one-sided variables pass through") {
     import spark.implicits._
     val rng = new scala.util.Random(4L)
