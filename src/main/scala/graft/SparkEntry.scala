@@ -591,6 +591,29 @@ object SparkEntry {
           round(col("mi"), 6).as("mi"), round(col("nmi"), 6).as("nmi"))
         .orderBy("var_a", "var_b")),
 
+    "pipeline_drift_e2e" -> ((s, dir) => {
+      // release-monitoring composition: one report row per drift check
+      // (PSI binned shares, KS sup-CDF gap, Mann-Whitney rank shift) over
+      // the same reference/candidate pair — the corpus-release gate a
+      // data team actually runs; each stage is the real library operator
+      // and the oracle unions the three stand-alone replays
+      val li = t(s, dir, "lineitem")
+      val ref = li.filter(col("l_returnflag") === "A")
+      val cur = li.filter(col("l_returnflag") === "R")
+      val both = li.filter(col("l_returnflag").isin("R", "A"))
+      val ks = Describe.ksTwoSample(both, "l_extendedprice",
+          col("l_returnflag") === "R")
+        .select(lit("ks").as("check"), col("d").as("statistic"), col("pvalue"))
+      val mwu = Describe.mannWhitney(both, "l_extendedprice",
+          col("l_returnflag") === "R")
+        .select(lit("mannwhitney").as("check"), col("z").as("statistic"),
+          col("pvalue"))
+      val psi = Describe.psiDrift(ref, cur, Seq("l_extendedprice"))
+        .select(lit("psi").as("check"), round(col("psi"), 6).as("statistic"),
+          lit(null).cast("double").as("pvalue"))
+      ks.unionByName(mwu).unionByName(psi).orderBy("check")
+    }),
+
     "describe_merge_distinct" -> ((s, dir) => {
       // mergeable cardinality: per-half HLL sketches union into the
       // whole-data estimate; the estimate is approximate BY CONTRACT so
@@ -2966,6 +2989,64 @@ object SparkEntry {
   // rounds to 0 at 6 decimals).
 
   /** Cody erfc over a non-negative sql expression. */
+  private def mannWhitneyOracleSql: String = {
+      // average-rank algebra over tie runs: 2·R_A = Σ ca·(2·below + t + 1)
+      // stays integral; u/z/p mirror the engine's column ops term for term
+      val zExpr = "(abs(z) / sqrt(2.0))"
+      s"""WITH s AS (SELECT l_extendedprice AS x, l_returnflag = 'R' AS a
+               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         g AS (SELECT x, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+               FROM s GROUP BY 1),
+         w AS (SELECT ca, ca + cb AS t,
+                 coalesce(sum(ca + cb) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+               FROM g),
+         tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+         acc AS (SELECT sum(ca * (2 * below + t + 1)) AS ra2,
+                   sum(t * t * t - t) AS t3 FROM w),
+         kv AS (SELECT na, nb,
+                 CAST(ra2 AS DOUBLE) / 2.0 - CAST(na * (na + 1) AS DOUBLE) / 2.0 AS u,
+                 CAST(na * nb AS DOUBLE) / 2.0 AS mu,
+                 CAST(na * nb AS DOUBLE) / 12.0 *
+                   (CAST(na + nb + 1 AS DOUBLE) -
+                     CAST(t3 AS DOUBLE) /
+                       (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))) AS s2
+               FROM acc, tot),
+         zt AS (SELECT na, nb, u, (u - mu) / sqrt(s2) AS z FROM kv)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, u,
+           round(z, 6) AS z, round(${sqlErfc(zExpr)}, 6) AS pvalue
+         FROM zt""".stripMargin
+  }
+
+  private def ksDriftOracleSql: String = {
+      // window prefix-sums over tie-aggregated distinct values; the engine's
+      // Smirnov series is replayed with the SAME left-associated 8-term sum
+      val terms = (1 to 25).map { k =>
+        val sign = if (k == 1) "" else if (k % 2 == 1) " + " else " - "
+        s"${sign}exp(-2.0 * ${k * k} * lam * lam)"
+      }.mkString
+      s"""WITH s AS (SELECT l_extendedprice AS x, l_returnflag = 'R' AS a
+               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         g AS (SELECT x, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+               FROM s GROUP BY 1),
+         tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+         c AS (SELECT sum(ca) OVER (ORDER BY x) AS cuma,
+                 sum(cb) OVER (ORDER BY x) AS cumb FROM g),
+         m AS (SELECT max(abs(cuma * nb - cumb * na)) AS dnum FROM c, tot),
+         k AS (SELECT na, nb,
+                 dnum * 1.0 / (na * 1.0 * nb) AS d,
+                 (sqrt(na * 1.0 * nb / (na + nb)) + 0.12
+                   + 0.11 / sqrt(na * 1.0 * nb / (na + nb)))
+                   * (dnum * 1.0 / (na * 1.0 * nb)) AS lam
+               FROM m, tot)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(d, 6) AS d,
+           round(least(1.0, greatest(0.0, 2.0 * ($terms))), 6) AS pvalue
+         FROM k"""
+  }
+
   private def sqlErfc(x: String): String = {
     val a = Seq("3.16112374387056560e0", "1.13864154151050156e2",
       "3.77485237685302021e2", "3.20937758913846947e3", "1.85777706184603153e-1")
@@ -3181,6 +3262,40 @@ object SparkEntry {
          event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "pipeline_drift_e2e" -> {
+      // each check is its own stand-alone replay, unioned: the ks/mwu
+      // oracles verbatim as subqueries, plus a single-column psi replay
+      // with equi-depth edges from the REFERENCE slice
+      val probs = (1 until 10).map(i => s"0.$i").mkString(", ")
+      val binChain = (1 to 9)
+        .map(i => s"(CASE WHEN value > be[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      val psiSql =
+        s"""WITH b AS (SELECT quantile_cont(l_extendedprice, [$probs]) AS be
+                 FROM lineitem WHERE l_returnflag = 'A'),
+           refm AS (SELECT CAST(l_extendedprice AS DOUBLE) AS value
+                    FROM lineitem WHERE l_returnflag = 'A'),
+           curm AS (SELECT CAST(l_extendedprice AS DOUBLE) AS value
+                    FROM lineitem WHERE l_returnflag = 'R'),
+           refb AS (SELECT $binChain AS bin, count(*) AS n_ref
+                    FROM refm, b WHERE value IS NOT NULL GROUP BY 1),
+           curb AS (SELECT $binChain AS bin, count(*) AS n_cur
+                    FROM curm, b WHERE value IS NOT NULL GROUP BY 1),
+           grid AS (SELECT g.bin FROM generate_series(0, 9) g(bin)),
+           cells AS (SELECT grid.bin,
+               CAST(coalesce(n_ref, 0) AS DOUBLE) AS n_ref,
+               CAST(coalesce(n_cur, 0) AS DOUBLE) AS n_cur
+             FROM grid LEFT JOIN refb USING (bin) LEFT JOIN curb USING (bin)),
+           tots AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM cells),
+           pq AS (SELECT greatest(n_ref / t_ref, 1.0e-6) AS p,
+                    greatest(n_cur / t_cur, 1.0e-6) AS q FROM cells, tots)
+           SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM pq"""
+      s"""SELECT * FROM (
+         SELECT 'ks' AS "check", d AS statistic, pvalue FROM ($ksDriftOracleSql)
+         UNION ALL SELECT 'mannwhitney', z, pvalue FROM ($mannWhitneyOracleSql)
+         UNION ALL SELECT 'psi', psi, CAST(NULL AS DOUBLE) FROM ($psiSql))
+         ORDER BY "check""""
+    },
+
     "describe_merge_distinct" ->
       // exact distinct per column; the merged-sketch estimate is bounded
       // by construction so its deterministic verdict replays as TRUE
@@ -3203,63 +3318,9 @@ object SparkEntry {
       s"SELECT * FROM ($arms) ORDER BY variable"
     },
 
-    "describe_mannwhitney" -> {
-      // average-rank algebra over tie runs: 2·R_A = Σ ca·(2·below + t + 1)
-      // stays integral; u/z/p mirror the engine's column ops term for term
-      val zExpr = "(abs(z) / sqrt(2.0))"
-      s"""WITH s AS (SELECT l_extendedprice AS x, l_returnflag = 'R' AS a
-               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
-         g AS (SELECT x, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
-                 sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
-               FROM s GROUP BY 1),
-         w AS (SELECT ca, ca + cb AS t,
-                 coalesce(sum(ca + cb) OVER (ORDER BY x
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
-               FROM g),
-         tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
-         acc AS (SELECT sum(ca * (2 * below + t + 1)) AS ra2,
-                   sum(t * t * t - t) AS t3 FROM w),
-         kv AS (SELECT na, nb,
-                 CAST(ra2 AS DOUBLE) / 2.0 - CAST(na * (na + 1) AS DOUBLE) / 2.0 AS u,
-                 CAST(na * nb AS DOUBLE) / 2.0 AS mu,
-                 CAST(na * nb AS DOUBLE) / 12.0 *
-                   (CAST(na + nb + 1 AS DOUBLE) -
-                     CAST(t3 AS DOUBLE) /
-                       (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))) AS s2
-               FROM acc, tot),
-         zt AS (SELECT na, nb, u, (u - mu) / sqrt(s2) AS z FROM kv)
-         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, u,
-           round(z, 6) AS z, round(${sqlErfc(zExpr)}, 6) AS pvalue
-         FROM zt""".stripMargin
-    },
+    "describe_mannwhitney" -> mannWhitneyOracleSql,
 
-    "describe_ks_drift" -> {
-      // window prefix-sums over tie-aggregated distinct values; the engine's
-      // Smirnov series is replayed with the SAME left-associated 8-term sum
-      val terms = (1 to 25).map { k =>
-        val sign = if (k == 1) "" else if (k % 2 == 1) " + " else " - "
-        s"${sign}exp(-2.0 * ${k * k} * lam * lam)"
-      }.mkString
-      s"""WITH s AS (SELECT l_extendedprice AS x, l_returnflag = 'R' AS a
-               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
-         g AS (SELECT x, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
-                 sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
-               FROM s GROUP BY 1),
-         tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
-         c AS (SELECT sum(ca) OVER (ORDER BY x) AS cuma,
-                 sum(cb) OVER (ORDER BY x) AS cumb FROM g),
-         m AS (SELECT max(abs(cuma * nb - cumb * na)) AS dnum FROM c, tot),
-         k AS (SELECT na, nb,
-                 dnum * 1.0 / (na * 1.0 * nb) AS d,
-                 (sqrt(na * 1.0 * nb / (na + nb)) + 0.12
-                   + 0.11 / sqrt(na * 1.0 * nb / (na + nb)))
-                   * (dnum * 1.0 / (na * 1.0 * nb)) AS lam
-               FROM m, tot)
-         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           round(d, 6) AS d,
-           round(least(1.0, greatest(0.0, 2.0 * ($terms))), 6) AS pvalue
-         FROM k"""
-    },
+    "describe_ks_drift" -> ksDriftOracleSql,
 
     "describe_psi_drift" -> {
       val probs = (1 until 10).map(i => s"0.$i").mkString(", ")
