@@ -1759,7 +1759,11 @@ object SparkEntry {
       val comps = Dedup.components(verified)
       val split = Sampling.componentSplit(docs, comps, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      // materialize the split ONCE: temperatureMix's O(#domains) counts
+      // action would otherwise recompute the whole verification chain a
+      // second time (measured 26.8s -> chain-once at sfx10)
       val train = split.filter(col("split") === "train")
+        .select("doc_id", "source", "text").localCheckpoint()
       val mixed = Sampling.temperatureMix(train, "source", tau = 0.5,
         key = col("doc_id"))
       Sampling.shardManifest(mixed, content = Text.normalized(col("text")),

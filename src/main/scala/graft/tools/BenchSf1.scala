@@ -57,6 +57,9 @@ object BenchSf1 {
     "describe_ks_drift" -> graft.SparkEntry.queries("describe_ks_drift"),
     "analyze_quality_logit" -> graft.SparkEntry.queries("analyze_quality_logit"),
     "sample_temperature_mix" -> graft.SparkEntry.queries("sample_temperature_mix"),
+    // composed pipelines: release back door and the drift-monitoring gate
+    "pipeline_release_e2e" -> graft.SparkEntry.queries("pipeline_release_e2e"),
+    "pipeline_drift_e2e" -> graft.SparkEntry.queries("pipeline_drift_e2e"),
     // full OPQ training loop (eig-allocation init + 2 NP rounds) + the
     // reconstruction-error measurement scan — library surface, no query
     "ann_opq_train_full" -> ((s: SparkSession, dir: String) => {
