@@ -198,7 +198,13 @@ object Sampling {
     *               quota_d: output counts are EXACTLY the quotas.
     * exact=false — per-domain hash threshold at rate quota_d/count_d:
     *               zero-shuffle scale path, counts binomial around quota.
-    */
+    *
+    * NOTE: the quota computation is an O(#domains) counts ACTION over
+    * `df` that runs before the returned plan — when `df` sits atop an
+    * expensive pipeline (joins, components, verification chains),
+    * persist/localCheckpoint it first or the upstream computes TWICE
+    * (pipeline_release_e2e measured 26.8s→16.0s at sfx10 from exactly
+    * this; same applies to [[temperatureMix]]). */
   def domainMix(df: DataFrame, domainCol: String, targets: Map[String, Double],
                 key: Column, exact: Boolean = true): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
