@@ -1065,6 +1065,9 @@ object Describe {
     * shuffle per side). PSI = Σ_bins (p − q)·ln(p/q) with proportions
     * floored at `eps` so empty bins stay finite. All arithmetic replays
     * in SQL (the oracle recomputes the same quantile_cont edges). */
+  // NOTE: the bin-edge quantiles are an ACTION over `reference` that runs
+  // before the returned plan — persist/localCheckpoint an expensive
+  // reference pipeline first or it computes twice (see Sampling.domainMix).
   def psiDrift(reference: DataFrame, current: DataFrame, cols: Seq[String],
                bins: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")

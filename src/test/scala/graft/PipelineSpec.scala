@@ -1458,6 +1458,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain: empty corpus and single-char-vocab corpora degrade to empty/short merge tables") {
+    import spark.implicits._
+    val empty = graft.pipeline.Text.bpeTrain(
+      Seq.empty[String].toDF("text"), "text", numMerges = 4)
+    assert(empty.count() === 0L)
+    // one repeated 1-char word: no adjacent pairs ever exist
+    val single = graft.pipeline.Text.bpeTrain(
+      Seq("a a a", "a").toDF("text"), "text", numMerges = 4)
+    assert(single.count() === 0L)
+    // vocab exhausts before numMerges: table stops early, no crash
+    val tiny = graft.pipeline.Text.bpeTrain(Seq("ab ab").toDF("text"), "text", 8)
+      .collect()
+    assert(tiny.length === 1 && tiny.head.getString(3) === "ab")
+  }
+
   test("bpeTrain randomized parity sweep: 5 seeded corpora match the reference implementation") {
     import spark.implicits._
     val rng = new scala.util.Random(20260815L)
