@@ -572,11 +572,15 @@ object Describe {
       val starts = perPart.scanLeft((0L, 0L)) {
         case ((a, b), (_, ca, cb)) => (a + ca, b + cb)
       }.init
+      // exact-or-fail: cum·n products approach n² — Math.multiplyExact
+      // turns a would-be silent int64 wrap (possible past ~3e9 rows) into
+      // a loud ArithmeticException instead of a wrong statistic
       val dNum = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
         var (ca, cb) = starts(pi)
         it.map { r =>
           ca += r.getLong(1); cb += r.getLong(2)
-          math.abs(ca * nb - cb * na)
+          math.abs(Math.subtractExact(
+            Math.multiplyExact(ca, nb), Math.multiplyExact(cb, na)))
         }
       }.fold(0L)(math.max)
       val d = dNum * 1.0 / (na * 1.0 * nb)
@@ -708,17 +712,22 @@ object Describe {
       require(na > 0 && nb > 0,
         s"mannWhitney needs both samples non-empty: nA=$na nB=$nb")
       val starts = perPart.scanLeft(0L) { case (acc, (_, ca, cb)) => acc + ca + cb }.init
+      // exact-or-fail (see ksTwoSample): t³ on a giant tie run or the
+      // rank-sum at multi-billion rows must raise, never silently wrap
       val (ra2, tie3) = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
         var below = starts(pi)
         var r2 = 0L; var t3 = 0L
         it.foreach { r =>
           val ca = r.getLong(1); val t = ca + r.getLong(2)
-          r2 += ca * (2L * below + t + 1L)
-          t3 += t * t * t - t
+          r2 = Math.addExact(r2,
+            Math.multiplyExact(ca, 2L * below + t + 1L))
+          t3 = Math.addExact(t3,
+            Math.multiplyExact(Math.multiplyExact(t, t), t) - t)
           below += t
         }
         Iterator.single((r2, t3))
-      }.fold((0L, 0L)) { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) }
+      }.fold((0L, 0L)) { case ((a1, b1), (a2, b2)) =>
+        (Math.addExact(a1, a2), Math.addExact(b1, b2)) }
       // u/z/p in COLUMN algebra over the exact integers so the arithmetic
       // (and the Cody erfc) is the very expression the oracle replays
       Seq((na, nb, ra2, tie3)).toDF("n_a", "n_b", "__ra2", "__t3")
