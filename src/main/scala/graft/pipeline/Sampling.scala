@@ -247,7 +247,12 @@ object Sampling {
     * it after download and diff against the published table.
     *
     * Scale shape: zero-shuffle projections + ONE map-side-combined
-    * aggregation to O(numShards) rows. */
+    * aggregation to O(numShards) rows. Exactness bound: 40-bit sigs in an
+    * int64 sum stay exact below 2^23 (~8.4M) documents PER SHARD — size
+    * `numShards` to keep shards under that (any sane shard is), and note
+    * a violation cannot pass silently: the SQL replay sums in unbounded
+    * precision, so an engine-side wrap surfaces as a verification
+    * mismatch. */
   def shardManifest(df: DataFrame, content: Column, key: Column,
                     seed: String, numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")
