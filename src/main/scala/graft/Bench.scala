@@ -98,7 +98,25 @@ object Bench {
     val sds = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"estimator":"median","queries":$qs,"stddev":$sds,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"estimator":"median","queries":$qs,"stddev":$sds,"sf":"$sfDir"}"""
+    // The complete per-line medians + stddev (~10 KB for 178 queries) go to a
+    // file: the round driver captures only the last ~2000 chars of stdout, so
+    // a single all-lines JSON line arrives with its head chopped off and
+    // fails to parse (BENCH_r11.json: "parsed": null). Humans and the judge
+    // read the file; the driver parses the compact final line below.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
+    // Compact FINAL stdout line, sized to survive tail truncation: summary
+    // stats + the slowest lines only (the signal a per-round perf diff needs),
+    // plus a pointer to the full file. Kept well under the 2000-char capture
+    // even with sbt's "[success] Total time" trailer printed after it.
+    val topN = results.sortBy(-_._2).take(12)
+    val topQs = topN.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val topSds = topN.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":$passes,"estimator":"median","n_queries":${results.size},"queries":$topQs,"stddev":$topSds,"queries_are":"slowest12_of_${results.size}","full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -786,22 +786,135 @@ object Modify {
     * whole transform replays in SQL. */
   def robustScale(df: DataFrame, cols: Seq[String],
                   consistency: Double = 1.4826022185056018): DataFrame = {
-    val med = exactQuantilesAll(df, cols, Seq(0.5))
-    val usable = cols.filter(med(_).isDefined)
-    val devs = usable.foldLeft(df) { (d, c) =>
-      d.withColumn(s"__dev_$c", abs(col(c).cast("double") - lit(med(c).get.head)))
-    }
-    val mad = exactQuantilesAll(devs, usable.map(c => s"__dev_$c"), Seq(0.5))
+    val params = robustScaleParams(df, cols)
     cols.foldLeft(df) { (d, c) =>
-      (med(c), if (usable.contains(c)) mad(s"__dev_$c") else None) match {
-        case (Some(Seq(m)), Some(Seq(md))) if md > 0 =>
+      params.getOrElse(c, None) match {
+        case Some((m, md)) if md > 0 =>
           d.withColumn(c,
             (col(c).cast("double") - lit(m)) / lit(consistency * md))
-        case (Some(_), Some(_)) =>
+        case Some(_) =>
           d.withColumn(c, lit(null).cast("double"))
-        case _ => d
+        case None => d
       }
     }
+  }
+
+  /** (median, MAD) per column, adaptive on distinct-value cardinality:
+    *
+    *  - LOW-distinct columns (HLL estimate × 1.3 fits the
+    *    `graft.robustScale.maxDistinct` driver budget, default 2M values
+    *    TOTAL across columns): ONE melted groupBy(vid, value).count gives
+    *    the full exact CDF; median AND MAD are then driver arithmetic over
+    *    the distinct values — 2 scans, no GK sketch, no deviation pass.
+    *    This is the rintMap "aggregate first, ties collapse" shape: a
+    *    100 TB integer-coded column shuffles thousands of distinct rows,
+    *    not billions, and the MAD needs no second pass because
+    *    |v − median| is a per-DISTINCT-value map the driver re-sorts.
+    *  - HIGH-distinct columns: the r10 bracket-selection path (two batched
+    *    [[exactQuantilesAll]] calls — sketch brackets + melted refinement
+    *    for the medians, again for the deviation medians).
+    *
+    * Both paths produce the identical type-7 order statistics (same
+    * floor/ceil-rank lerp, same IEEE abs), so results are bit-equal to
+    * the sort path and to DuckDB `quantile_cont`. The cardinality routing
+    * is perf-only: a mis-estimate can only move a column to the slower
+    * (still exact) path or enlarge the driver collect by the estimate's
+    * error factor. */
+  private[graft] def robustScaleParams(df: DataFrame, cols: Seq[String])
+      : Map[String, Option[(Double, Double)]] = {
+    if (cols.isEmpty) return Map.empty
+    val spark = df.sparkSession
+    val budget = spark.conf.getOption("graft.robustScale.maxDistinct")
+      .map { s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.robustScale.maxDistinct must be a positive integer, got '$s'")
+        }
+        require(v > 0, s"graft.robustScale.maxDistinct must be > 0, got $v")
+        v
+      }.getOrElse(2000000L)
+    def clean(c: String) = {
+      val v = col(c).cast("double")
+      when(isnan(v), lit(null).cast("double")).otherwise(v)
+    }
+    // job 0: per-column n + HLL distinct estimate — cheap relative to the
+    // GK sketch the bracket path would build (hash+max per row vs a
+    // compressed quantile summary insert)
+    val aggs0 = cols.flatMap(c => Seq(count(clean(c)), approx_count_distinct(clean(c), 0.05)))
+    val r0 = df.agg(aggs0.head, aggs0.tail: _*).head()
+    val ns = Array.tabulate(cols.length)(i => r0.getLong(2 * i))
+    val ests = Array.tabulate(cols.length)(i => r0.getLong(2 * i + 1))
+    // greedily admit columns (smallest estimate first) while the padded
+    // total fits the driver budget; the rest take the bracket path
+    val nonEmpty = cols.indices.filter(ns(_) > 0L)
+    var used = 0L
+    val lowIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    nonEmpty.sortBy(ests(_)).foreach { i =>
+      val padded = math.ceil(ests(i) * 1.3).toLong
+      if (used + padded <= budget) { used += padded; lowIdx += i }
+    }
+    val lowSet = lowIdx.toSet
+    val highCols = nonEmpty.filterNot(lowSet).map(cols(_))
+
+    val lowParams: Map[String, Option[(Double, Double)]] =
+      if (lowIdx.isEmpty) Map.empty
+      else {
+        val lowCols = lowIdx.toSeq.sorted.map(cols(_))
+        val k = lowCols.length
+        val counted = df.selectExpr(
+          s"stack($k, ${lowCols.zipWithIndex.map { case (c, j) => s"$j, CAST(`$c` AS DOUBLE)" }
+            .mkString(", ")}) AS (vid, value)")
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .groupBy("vid", "value").agg(count(lit(1)).as("cnt"))
+          .collect()
+        // exact type-7 order statistic over (value, cnt) runs — the same
+        // floor/ceil-rank lerp as the bracket path (exact-rank hit returns
+        // the order statistic itself; no Inf−Inf lerp)
+        def typ7(sorted: Array[(Double, Long)], n: Long, q: Double): Double = {
+          val h = (n - 1) * q
+          val lo = math.floor(h).toLong
+          val hi = math.ceil(h).toLong
+          def at(target: Long): Double = {
+            var cum = 0L; var j = 0
+            while (j < sorted.length) {
+              cum += sorted(j)._2
+              if (target < cum) return sorted(j)._1
+              j += 1
+            }
+            sorted.last._1 // unreachable when target < n
+          }
+          val vl = at(lo)
+          if (h == lo) vl else { val vh = at(hi); vl + (h - lo) * (vh - vl) }
+        }
+        val byVid = counted.groupBy(_.getInt(0))
+        lowCols.zipWithIndex.map { case (c, j) =>
+          val i = cols.indexOf(c)
+          val vals = byVid.getOrElse(j, Array.empty)
+            .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+          val m = typ7(vals, ns(i), 0.5)
+          val devs = vals.map { case (v, cnt) => (math.abs(v - m), cnt) }.sortBy(_._1)
+          c -> Some((m, typ7(devs, ns(i), 0.5)))
+        }.toMap
+      }
+
+    val highParams: Map[String, Option[(Double, Double)]] =
+      if (highCols.isEmpty) Map.empty
+      else {
+        val med = exactQuantilesAll(df, highCols, Seq(0.5))
+        val usable = highCols.filter(med(_).isDefined)
+        val devs = usable.foldLeft(df) { (d, c) =>
+          d.withColumn(s"__dev_$c", abs(col(c).cast("double") - lit(med(c).get.head)))
+        }
+        val mad = exactQuantilesAll(devs, usable.map(c => s"__dev_$c"), Seq(0.5))
+        highCols.map { c =>
+          (med(c), if (usable.contains(c)) mad(s"__dev_$c") else None) match {
+            case (Some(Seq(m)), Some(Seq(md))) => c -> Some((m, md))
+            case _ => c -> None
+          }
+        }.toMap
+      }
+
+    cols.map(c => c -> (lowParams.orElse(highParams).lift(c).flatten)).toMap
   }
 
   /** Rank-based inverse-normal transform (RINT) — the standard EWAS/GWAS

@@ -797,15 +797,59 @@ object Text {
     * containing U+0002 (the fold's state separator — unprintable, never
     * in natural text) are excluded up front rather than risking in-band
     * aliasing. */
-  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    require(numMerges >= 1 && numMerges <= 10000,
-      s"numMerges must be in [1, 10000]: $numMerges")
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               minCount: Long = 1L): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 100000,
+      s"numMerges must be in [1, 100000]: $numMerges")
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs
+    val maxLocal = spark.conf.getOption("graft.bpe.maxLocalVocab")
+      .map { s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.bpe.maxLocalVocab must be a non-negative integer, got '$s'")
+        }
+        require(v >= 0, s"graft.bpe.maxLocalVocab must be >= 0, got $v")
+        v
+      }.getOrElse(2000000L)
+    // ONE corpus scan: the distinct-word count table (map-side combined).
+    // Everything after runs on vocabulary-sized data.
+    val wordCounts = docs
       .select(explode(split(normalized(col(textCol)), " ")).as("word"))
       .filter(col("word") =!= "" && !col("word").contains("\u0002"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .localCheckpoint()
+    val merges: Seq[(Int, String, String, Long)] =
+      if (wordCounts.count() <= maxLocal) {
+        // In-budget vocabulary: collect (word, cnt) and train EXACT greedy
+        // BPE locally with incremental pair-count maintenance — the shape
+        // every production tokenizer trainer uses (the corpus stays
+        // distributed; the vocabulary is the driver artifact). ~3 Spark
+        // jobs TOTAL regardless of numMerges, vs one job per merge below.
+        localBpeTrain(wordCounts.collect()
+          .map(r => (r.getString(0), r.getLong(1))), numMerges)
+      } else distributedBpeTrain(wordCounts, numMerges)
+    merges.toDF("step", "lhs", "rhs", "pair_count")
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+  }
+
+  /** The over-budget-vocabulary path: the iterative distributed loop —
+    * still exact greedy, but one pair-count job per merge. The production
+    * lever at this scale is `minCount` (HF tokenizers' min_frequency): a
+    * 100 TB web corpus's vocabulary is noise-heavy-tailed, and a frequency
+    * floor collapses it back under `graft.bpe.maxLocalVocab`. NOTE a
+    * "top-N symbol-disjoint pairs per round" batch was considered and
+    * rejected as UNSOUND for exact greedy: merging (a,b)->ab creates new
+    * pairs (z,ab) whose count can exceed a later symbol-disjoint batch
+    * member's (corpus "z a b"x10 + "c d"x6: greedy's 2nd merge is (z,ab)
+    * at 10, not (c,d) at 6), so batched tables can diverge from the
+    * reference greedy the oracle replays. */
+  private def distributedBpeTrain(wordCounts: DataFrame,
+                                  numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = wordCounts
       .select(expr("array_join(transform(sequence(1, char_length(word)), " +
         "i -> substring(word, i, 1)), ' ')").as("sym"), col("cnt"))
       .localCheckpoint()
@@ -832,9 +876,149 @@ object Text {
         step += 1
       }
     }
-    merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
-      .select(col("step"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+    merges.toSeq
+  }
+
+  /** Exact greedy BPE over a collected (word, count) vocabulary:
+    * bit-identical to the distributed loop (same adjacency pair counts —
+    * overlaps counted per adjacency — same count-DESC / pair-string-ASC
+    * argmax under UTF-8 BYTE order to match Spark's and DuckDB's binary
+    * string collation, same left-to-right non-overlapping merge), but with
+    * incremental bookkeeping: a pair->count map, a pair->containing-words
+    * index, and a lazy-deletion max-heap, so each merge touches only the
+    * words containing the winning pair. Segmentation is per CODE POINT
+    * (Spark's char_length/substring semantics), not UTF-16 chars. */
+  private[pipeline] def localBpeTrain(vocab: Array[(String, Long)],
+                                      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    if (vocab.isEmpty) return Nil
+    val nWords = vocab.length
+    val syms = new Array[Array[String]](nWords)
+    val cnts = new Array[Long](nWords)
+    var wi = 0
+    while (wi < nWords) {
+      syms(wi) = vocab(wi)._1.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      cnts(wi) = vocab(wi)._2
+      wi += 1
+    }
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    val occ = new java.util.HashMap[String, java.util.HashSet[Integer]]()
+    val sumLongs = new java.util.function.BiFunction[java.lang.Long, java.lang.Long, java.lang.Long] {
+      override def apply(x: java.lang.Long, y: java.lang.Long): java.lang.Long =
+        java.lang.Long.valueOf(x.longValue() + y.longValue())
+    }
+    wi = 0
+    while (wi < nWords) {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val key = s(i) + " " + s(i + 1)
+        counts.merge(key, java.lang.Long.valueOf(cnts(wi)), sumLongs)
+        occ.computeIfAbsent(key, _ => new java.util.HashSet[Integer]())
+          .add(Integer.valueOf(wi))
+        i += 1
+      }
+      wi += 1
+    }
+    case class Cand(pairStr: String, cnt: Long, bytes: Array[Byte])
+    val heapOrd = new java.util.Comparator[Cand] {
+      override def compare(x: Cand, y: Cand): Int = {
+        val c = java.lang.Long.compare(y.cnt, x.cnt) // count DESC
+        if (c != 0) return c
+        val a = x.bytes; val b = y.bytes // then pair string ASC, UTF-8 bytes
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+    def cand(key: String, c: Long) =
+      Cand(key, c, key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val heap = new java.util.PriorityQueue[Cand](math.max(counts.size(), 1), heapOrd)
+    counts.forEach((k, v) => heap.add(cand(k, v.longValue())))
+    def applyMergeLocal(s: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
+    val result = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= numMerges) {
+      // pop to the first non-stale entry (a stale entry's recorded count no
+      // longer matches the live map — every count change pushed a fresh one)
+      var top: Cand = null
+      var searching = true
+      while (searching) {
+        val e = heap.poll()
+        if (e == null) searching = false
+        else {
+          val cur = counts.get(e.pairStr)
+          if (cur != null && cur.longValue() == e.cnt) { top = e; searching = false }
+        }
+      }
+      if (top == null) return result.toSeq // pairless: vocabulary exhausted
+      val sp = top.pairStr.indexOf(' ')
+      val a = top.pairStr.substring(0, sp)
+      val b = top.pairStr.substring(sp + 1)
+      result += ((step, a, b, top.cnt))
+      val affected = occ.get(top.pairStr).toArray(Array.empty[Integer])
+      val changed = new java.util.HashSet[String]()
+      var j = 0
+      while (j < affected.length) {
+        val w = affected(j).intValue()
+        val old = syms(w)
+        val neu = applyMergeLocal(old, a, b)
+        val c = cnts(w)
+        val oldTypes = new java.util.HashSet[String]()
+        val newTypes = new java.util.HashSet[String]()
+        var i = 0
+        while (i < old.length - 1) {
+          val key = old(i) + " " + old(i + 1)
+          counts.merge(key, java.lang.Long.valueOf(-c), sumLongs)
+          changed.add(key); oldTypes.add(key)
+          i += 1
+        }
+        i = 0
+        while (i < neu.length - 1) {
+          val key = neu(i) + " " + neu(i + 1)
+          counts.merge(key, java.lang.Long.valueOf(c), sumLongs)
+          changed.add(key); newTypes.add(key)
+          i += 1
+        }
+        oldTypes.forEach { t =>
+          if (!newTypes.contains(t)) {
+            val set = occ.get(t)
+            if (set != null) {
+              set.remove(Integer.valueOf(w)); if (set.isEmpty) occ.remove(t)
+            }
+          }
+        }
+        newTypes.forEach { t =>
+          if (!oldTypes.contains(t))
+            occ.computeIfAbsent(t, _ => new java.util.HashSet[Integer]())
+              .add(Integer.valueOf(w))
+        }
+        syms(w) = neu
+        j += 1
+      }
+      changed.forEach { key =>
+        val cur = counts.get(key)
+        if (cur != null) {
+          if (cur.longValue() <= 0L) counts.remove(key)
+          else heap.add(cand(key, cur.longValue()))
+        }
+      }
+      step += 1
+    }
+    result.toSeq
   }
 
   /** Apply a learned BPE merge table ([[bpeTrain]] output order matters —

@@ -41,6 +41,15 @@ object BenchSf1 {
     }),
     "sample_component_split" -> graft.SparkEntry.queries("sample_component_split"),
     "text_bpe_train" -> graft.SparkEntry.queries("text_bpe_train"),
+    // r12: the production-depth tokenizer shape — 256 merges must amortize
+    // (local exact trainer over the collected vocabulary: ~3 Spark jobs
+    // total), not run one pair-count job per merge
+    "text_bpe_train_256" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Text.bpeTrain(docs, "text", numMerges = 256)
+        .groupBy().agg(count(lit(1)).as("n_merges"),
+          sum("pair_count").as("chk"))
+    }),
     "text_bpe_apply_full" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val merges = graft.pipeline.Text.bpeTrain(docs, "text", numMerges = 8)

@@ -599,6 +599,55 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(scaled.filter(col("x").isNull).count() === 1)
   }
 
+  test("robustScale: low-distinct fast path is bit-identical to the bracket path") {
+    import spark.implicits._
+    // mixed cardinalities: a 7-distinct column, a near-continuous column,
+    // and a column with NaN + nulls sprinkled in
+    val rng = new scala.util.Random(42)
+    val df = (1 to 5000).map { i =>
+      val tied = (i % 7).toDouble
+      val contRaw = rng.nextGaussian() * 10 + 3
+      val cont = if (i % 97 == 0) Double.NaN else contRaw
+      (i.toLong, tied, cont,
+        if (i % 13 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(rng.nextDouble() * 4 - 2))
+    }.toDF("id", "tied", "cont", "gappy")
+    val cols = Seq("tied", "cont", "gappy")
+    val fast = Modify.robustScaleParams(df, cols)
+    // budget 1 admits nothing -> every column takes the bracket path
+    spark.conf.set("graft.robustScale.maxDistinct", "1")
+    val bracket =
+      try Modify.robustScaleParams(df, cols)
+      finally spark.conf.unset("graft.robustScale.maxDistinct")
+    cols.foreach { c =>
+      assert(fast(c).isDefined && bracket(c).isDefined, c)
+      val (mF, dF) = fast(c).get; val (mB, dB) = bracket(c).get
+      assert(mF === mB, s"$c median: fast $mF vs bracket $mB")
+      assert(dF === dB, s"$c MAD: fast $dF vs bracket $dB")
+    }
+    // and the public API agrees row-for-row under both budgets
+    val outFast = Modify.robustScale(df, cols).orderBy("id").collect()
+    spark.conf.set("graft.robustScale.maxDistinct", "1")
+    val outBracket =
+      try Modify.robustScale(df, cols).orderBy("id").collect()
+      finally spark.conf.unset("graft.robustScale.maxDistinct")
+    outFast.zip(outBracket).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("robustScale: malformed graft.robustScale.maxDistinct rejected with a clear error") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "x")
+    Seq("zero point five", "", "-3", "0").foreach { bad =>
+      spark.conf.set("graft.robustScale.maxDistinct", bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          Modify.robustScaleParams(df, Seq("x"))
+        }
+        assert(e.getMessage.contains("graft.robustScale.maxDistinct"), s"msg: ${e.getMessage}")
+      } finally spark.conf.unset("graft.robustScale.maxDistinct")
+    }
+  }
+
   test("psiDrift: zero for identical slices, hand-formula for a full shift, flags only the moved column") {
     import spark.implicits._
     val ref = (1 to 1000).map(i => (i.toLong, i.toDouble, i.toDouble))

@@ -1522,4 +1522,73 @@ class PipelineSpec extends SparkSpec {
     // (pair (aa,aa) becomes countable later) — guarded implicitly by the
     // parity above, explicitly by the naive impl's non-overlap scan
   }
+
+  test("bpeTrain: forced-distributed path equals the local trainer on every sweep corpus") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242L)
+    val alphabet = "abcde"
+    for (trial <- 1 to 3) {
+      val docs = (1 to (4 + rng.nextInt(8))).map { _ =>
+        (1 to (3 + rng.nextInt(10))).map { _ =>
+          (1 to (1 + rng.nextInt(6)))
+            .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }.toDF("text")
+      def table(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).sortBy(_._1).toSeq
+      val local = table(graft.pipeline.Text.bpeTrain(docs, "text", 6))
+      spark.conf.set("graft.bpe.maxLocalVocab", "0") // budget 0: nothing local
+      val dist =
+        try table(graft.pipeline.Text.bpeTrain(docs, "text", 6))
+        finally spark.conf.unset("graft.bpe.maxLocalVocab")
+      assert(local === dist, s"trial $trial: local vs distributed tables differ")
+    }
+  }
+
+  test("bpeTrain: 256 merges amortize to well under 0.1 Spark jobs per merge") {
+    import spark.implicits._
+    // a corpus rich enough to survive 256 merges: random 12-char words over
+    // a 10-letter alphabet (vocabulary >> merge count)
+    val rng = new scala.util.Random(7L)
+    val docs = (1 to 120).map { _ =>
+      (1 to 40).map { _ =>
+        (1 to 12).map(_ => ('a' + rng.nextInt(10)).toChar).mkString
+      }.mkString(" ")
+    }.toDF("text").localCheckpoint() // isolate input jobs from the count
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try {
+        val out = graft.pipeline.Text.bpeTrain(docs, "text", 256).collect()
+        Thread.sleep(500) // let queued listener events drain
+        out
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(merges.length === 256, s"expected 256 merges, got ${merges.length}")
+    assert(jobs.get() <= 25, // 25/256 < 0.1 jobs per merge
+      s"bpeTrain(256) ran ${jobs.get()} Spark jobs — one-job-per-merge regression?")
+  }
+
+  test("bpeTrain: malformed graft.bpe.maxLocalVocab and bad minCount rejected") {
+    import spark.implicits._
+    val docs = Seq("ab ab").toDF("text")
+    Seq("abc", "-1", "1.5").foreach { bad =>
+      spark.conf.set("graft.bpe.maxLocalVocab", bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          graft.pipeline.Text.bpeTrain(docs, "text", 2)
+        }
+        assert(e.getMessage.contains("graft.bpe.maxLocalVocab"), s"msg: ${e.getMessage}")
+      } finally spark.conf.unset("graft.bpe.maxLocalVocab")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Text.bpeTrain(docs, "text", 2, minCount = 0L)
+    }
+    // minCount floors the vocabulary before training: with the floor above
+    // every count, training sees an empty vocabulary
+    assert(graft.pipeline.Text.bpeTrain(docs, "text", 2, minCount = 100L).count() === 0L)
+  }
 }
