@@ -458,6 +458,37 @@ object Describe {
     * on the key + an O(#distinct) aggregate; top-k is a
     * TakeOrderedAndProject. Nulls count as a key (they hash to one
     * reducer too — the classic silent skew). */
+  /** Loud driver-state gate for the grouped prefix-sum family
+    * ([[giniByGroup]] / [[weightedQuantile]] / [[groupedQuantiles]]):
+    * their per-partition prefix maps put O(#groups × #partitions) entries
+    * on the driver — honest metadata for the domain/stratum cardinalities
+    * these target, but a million-group call must fail with a NAMED KNOB
+    * (`graft.groupedStats.maxGroups`, default 250k), not a driver OOM —
+    * the same discipline as Dedup.components' edge cap and PageRank's
+    * local-path gate. One cheap HLL aggregate over the already-cached
+    * DISTINCT-row table; ±5% estimate error only moves the refusal
+    * threshold, never correctness. */
+  private def gateGroupCardinality(op: String, sorted: DataFrame,
+                                   groupCol: String): Unit = {
+    val maxGroups = sorted.sparkSession.conf
+      .getOption("graft.groupedStats.maxGroups")
+      .map { s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.groupedStats.maxGroups must be a positive integer, got '$s'")
+        }
+        require(v > 0, s"graft.groupedStats.maxGroups must be > 0, got $v")
+        v
+      }.getOrElse(250000L)
+    val est = sorted.agg(approx_count_distinct(col(groupCol), 0.05))
+      .head().getLong(0)
+    if (est > maxGroups) throw new IllegalArgumentException(
+      s"$op: ~$est distinct groups exceeds graft.groupedStats.maxGroups=" +
+        s"$maxGroups. Driver prefix state here is O(groups x partitions); " +
+        "raise the conf only with matching driver memory, or reduce the " +
+        "group cardinality upstream (e.g. bucket the group key).")
+  }
+
   /** Gini concentration coefficient per group, from the rank-weighted sum
     * identity G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n.
     *
@@ -488,6 +519,7 @@ object Describe {
       .sortWithinPartitions("__g", "__x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      gateGroupCardinality("giniByGroup", sorted, "__g")
       val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
         val m = scala.collection.mutable.HashMap.empty[String, Long]
         it.foreach { r =>
@@ -808,6 +840,7 @@ object Describe {
       .sortWithinPartitions("__g", valueCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      gateGroupCardinality("weightedQuantile", sorted, "__g")
       val gIdx = sorted.schema.fieldIndex("__g")
       val wIdx = sorted.schema.fieldIndex("__w")
       val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
@@ -889,6 +922,7 @@ object Describe {
       .sortWithinPartitions("__g", "__x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      gateGroupCardinality("groupedQuantiles", sorted, "__g")
       val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
         val m = scala.collection.mutable.HashMap.empty[String, Long]
         it.foreach { r =>

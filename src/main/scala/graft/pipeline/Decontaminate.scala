@@ -313,7 +313,13 @@ object Decontaminate {
     }
     val (nTrain, sigTrain) = corpusSig(train)
     val (nEval, sigEval) = corpusSig(eval)
-    val matches = (0 until numHashes).count(i => sigTrain(i) == sigEval(i)).toLong
+    // empty-side short-circuit (ADVICE r11): with no shingles on a side,
+    // its per-component mins are all the Long.MaxValue sentinel — counting
+    // sentinel==sentinel as 64 "matches" against another empty side would
+    // report full overlap of two empty corpora
+    val matches =
+      if (nTrain == 0L || nEval == 0L) 0L
+      else (0 until numHashes).count(i => sigTrain(i) == sigEval(i)).toLong
     val est: Option[Double] =
       if (nTrain == 0L || nEval == 0L) None
       else Some(matches.toDouble / numHashes)

@@ -123,6 +123,9 @@ object Dedup {
     call_function(fname, c)
   }
 
+  /** Pluggable log sink for scale warnings (tests intercept; default stderr). */
+  @volatile var logSink: String => Unit = s => System.err.println(s)
+
   /** MinHash-LSH candidate pairs: documents sharing at least one band
     * bucket. Returns (id1, id2, estimated jaccard from full signatures),
     * id1 < id2, deduplicated. */
@@ -138,11 +141,40 @@ object Dedup {
     // crashes or '7'/'07'-style collisions
     val sigs = df.select(col(idCol).cast("string").as("id"),
       sigOf(col(textCol)).as("sig"))
-    // band buckets: (band, hash(band slice)) — the ONLY shuffle
+    // band buckets: (band, xxhash64(band slice)) — the ONLY shuffle
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+          s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // dup-heavy-corpus guard (VERDICT r11 #6): the pairwise contract is
+    // OUTPUT-bound — bucket cliques are quadratic in duplicate-cluster
+    // size (x110 pairs measured for x10 data at sf10, SCALE.md). One
+    // cheap pre-flight aggregates bucket sizes into the EXACT pre-dedup
+    // pair bound and warns past `graft.dedup.pairBlowupWarnFactor` x
+    // corpus size (default 8; 0 disables), pointing at the linear path.
+    val warnFactor = spark.conf.getOption("graft.dedup.pairBlowupWarnFactor")
+      .map { s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.dedup.pairBlowupWarnFactor must be a non-negative integer, got '$s'")
+        }
+        require(v >= 0, s"graft.dedup.pairBlowupWarnFactor must be >= 0, got $v")
+        v
+      }.getOrElse(8L)
+    if (warnFactor > 0L) {
+      val r = banded.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("pairs"),
+          coalesce(sum(col("c")), lit(0L)).as("rows")).head()
+      val pairBound = r.getLong(0)
+      val nDocs = math.max(r.getLong(1) / bands, 1L)
+      if (pairBound > warnFactor * nDocs)
+        logSink(s"minhashCandidates: bucket co-occurrence bound ~$pairBound " +
+          s"pairs for ~$nDocs docs (> ${warnFactor}x, " +
+          "graft.dedup.pairBlowupWarnFactor) — the pairwise contract is " +
+          "OUTPUT-bound on dup-heavy corpora. For duplicate GROUPS use " +
+          "minhashStarEdges + components instead: O(m*bands) edges, " +
+          "identical connected components (see SCALE.md, dedup_minhash_full).")
+    }
     val a = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
     a.join(b, Seq("band", "bucket"))
@@ -181,7 +213,7 @@ object Dedup {
       .select(col(idCol).cast("string").as("id"), sigOf(col(textCol)).as("sig"))
       .select(col("id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+          s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val reps = banded.groupBy("band", "bucket").agg(min(col("id")).as("id1"))
     banded.join(reps, Seq("band", "bucket"))
@@ -204,7 +236,7 @@ object Dedup {
     df.select(col(idCol).cast("string").as("id"), sigOf(col(textCol)).as("sig"))
       .select(col("id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+          s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 

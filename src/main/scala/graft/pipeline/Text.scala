@@ -684,10 +684,15 @@ object Text {
     *     the per-partition summaries is a guaranteed candidate SUPERSET
     *     of size O(partitions / phi * log(phi n)). The same pass counts
     *     N exactly.
-    *  2. Verification: exact counts for candidate words only — the
-    *     codegen'd `isInCollection` filter drops the tail BEFORE the
-    *     map-side-combined aggregate, so the one shuffle carries only
-    *     candidate keys — then the exact threshold tf >= ceil(phi * N).
+    *  2. Verification: exact counts for candidate words only — a
+    *     broadcast semi-join against the candidate set drops the tail
+    *     BEFORE the map-side-combined aggregate, so the one shuffle
+    *     carries only candidate keys — then the exact threshold
+    *     tf >= ceil(phi * N). (r12, ADVICE r11: was an isInCollection
+    *     literal — at small phi on a wide cluster the candidate superset
+    *     is O(partitions/phi) strings, and embedding it in the PLAN costs
+    *     driver memory and per-task serialization; a broadcast ships it
+    *     once per executor instead.)
     *
     * The point at 100 TB: a web corpus has billions of distinct tokens;
     * [[vocab]] shuffles every one of them to rank the top-k, while the
@@ -746,8 +751,10 @@ object Text {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("tf",
             org.apache.spark.sql.types.LongType))))
-    // pass 2: exact counts of the candidate superset only
-    words.filter(col("word").isInCollection(candidates))
+    // pass 2: exact counts of the candidate superset only (broadcast
+    // LEFT SEMI join: candidates ship once per executor, never in-plan)
+    val candDf = candidates.toSeq.toDF("word")
+    words.join(broadcast(candDf), Seq("word"), "left_semi")
       .groupBy("word").agg(count(lit(1)).as("tf"))
       .filter(col("tf") >= threshold)
       .orderBy(col("tf").desc, col("word").asc)

@@ -82,7 +82,32 @@ class EntryCompatSpec extends SparkSpec {
     }
     val withNull = Seq[Option[Double]](None).toDF("x")
     assert(withNull.select(SparkEntry.sig6(col("x"))).head().isNullAt(0))
-    // the SQL twin contains the same scale expression shape (spot check)
-    assert(SparkEntry.sqlSig6("z").contains("floor(log10(abs(z)) + 1e-9)"))
+    // the SQL twin contains the same scale expression shape (spot check),
+    // including the r12 decade clamp
+    assert(SparkEntry.sqlSig6("z")
+      .contains("greatest(least(floor(log10(abs(z)) + 1e-9), 27), -17)"))
+  }
+
+  test("sig6: out-of-range magnitudes clamp to an exact decade instead of NaN/garbage (ADVICE r11)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val xs = Seq(
+      // |x| < 1e-17: quantum pinned at 1e-22 (coarser than 6 sig digits,
+      // still exact scale): near-singular-fit SEs stay finite and stable
+      1.23456789e-20  -> 1.23e-20,
+      1e-20           -> 1e-20,
+      -2.5e-19        -> -2.5e-19,
+      // below the pinned quantum: rounds to zero, never c*inf/inf = NaN
+      1e-300          -> 0.0,
+      -4.9e-324       -> -0.0, // smallest subnormal
+      // |x| >= 1e28: quantum pinned at 1e22 (finer than 6 sig digits)
+      1.234567891e30  -> 1.23456789e30,
+      1e30            -> 1e30)
+    val got = xs.map(_._1).toDF("x")
+      .select(SparkEntry.sig6(col("x")).as("r")).collect().map(_.getDouble(0))
+    got.zip(xs).foreach { case (g, (in, want)) =>
+      assert(!g.isNaN && !g.isInfinite, s"sig6($in) must be finite, got $g")
+      assert(g === want, s"sig6($in): got $g want $want")
+    }
   }
 }

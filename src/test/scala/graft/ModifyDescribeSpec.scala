@@ -634,6 +634,38 @@ class ModifyDescribeSpec extends SparkSpec {
     outFast.zip(outBracket).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("grouped prefix-sum family: high group cardinality fails loudly with the named knob") {
+    import spark.implicits._
+    // 1000 distinct groups against a budget of 50: every member of the
+    // family must refuse with the conf name, not walk into O(groups x
+    // partitions) driver state
+    val df = (1 to 1000).map(i => (s"g$i", i.toDouble, 1.0)).toDF("g", "x", "w")
+    spark.conf.set("graft.groupedStats.maxGroups", "50")
+    try {
+      Seq(
+        "giniByGroup" -> (() => Describe.giniByGroup(df, "x", "g").collect()),
+        "weightedQuantile" -> (() => Describe.weightedQuantile(df, "x", "w", Seq("g")).collect()),
+        "groupedQuantiles" -> (() => Describe.groupedQuantiles(df, "x", "g", Seq(0.5)).collect())
+      ).foreach { case (op, run) =>
+        val e = intercept[IllegalArgumentException](run())
+        assert(e.getMessage.contains("graft.groupedStats.maxGroups") &&
+          e.getMessage.contains(op), s"$op msg: ${e.getMessage}")
+      }
+    } finally spark.conf.unset("graft.groupedStats.maxGroups")
+    // within budget: same calls succeed (default 250k ≫ 1000)
+    assert(Describe.giniByGroup(df, "x", "g").count() === 1000L)
+    // malformed conf rejected
+    Seq("many", "-2", "0").foreach { bad =>
+      spark.conf.set("graft.groupedStats.maxGroups", bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          Describe.giniByGroup(df, "x", "g").collect()
+        }
+        assert(e.getMessage.contains("graft.groupedStats.maxGroups"), s"msg: ${e.getMessage}")
+      } finally spark.conf.unset("graft.groupedStats.maxGroups")
+    }
+  }
+
   test("robustScale: malformed graft.robustScale.maxDistinct rejected with a clear error") {
     import spark.implicits._
     val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "x")

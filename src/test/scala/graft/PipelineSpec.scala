@@ -53,6 +53,43 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains(("2", "4")))
   }
 
+  test("minhashCandidates: dup-heavy corpora trigger the pair-blowup warning pointing at the star path") {
+    import spark.implicits._
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val saved = Dedup.logSink
+    Dedup.logSink = s => warnings.synchronized { warnings += s }
+    try {
+      // 100 byte-identical docs: every band has one 100-member bucket ->
+      // pair bound 16*C(100,2) = 79200 >> 8*100
+      val heavy = (1 to 100).map(i => (i.toLong, "the same document body repeated"))
+        .toDF("doc_id", "text")
+      Dedup.minhashCandidates(spark, heavy, "text", "doc_id")
+      assert(warnings.exists(w => w.contains("minhashStarEdges") &&
+        w.contains("graft.dedup.pairBlowupWarnFactor")),
+        s"expected blow-up warning, got: $warnings")
+      // distinct corpus: silent
+      warnings.clear()
+      val rngDocs = new scala.util.Random(99L)
+      val distinctDocs = (1 to 100)
+        .map(i => (i.toLong, (1 to 12).map(_ =>
+          (1 to 8).map(_ => ('a' + rngDocs.nextInt(26)).toChar).mkString).mkString(" ")))
+        .toDF("doc_id", "text")
+      Dedup.minhashCandidates(spark, distinctDocs, "text", "doc_id")
+      assert(warnings.isEmpty, s"no warning expected for a distinct corpus: $warnings")
+      // factor 0 disables the pre-flight entirely
+      spark.conf.set("graft.dedup.pairBlowupWarnFactor", "0")
+      try {
+        Dedup.minhashCandidates(spark, heavy, "text", "doc_id")
+        assert(warnings.isEmpty, "factor 0 must disable the guard")
+      } finally spark.conf.unset("graft.dedup.pairBlowupWarnFactor")
+      // malformed conf rejected loudly
+      spark.conf.set("graft.dedup.pairBlowupWarnFactor", "-1")
+      try intercept[IllegalArgumentException] {
+        Dedup.minhashCandidates(spark, heavy, "text", "doc_id")
+      } finally spark.conf.unset("graft.dedup.pairBlowupWarnFactor")
+    } finally Dedup.logSink = saved
+  }
+
   test("minhash star edges: same connected components as pairwise cliques, fewer edges") {
     // real corpus slice: every bucket's star spans the clique's vertex
     // set, so components must be IDENTICAL — with at most O(m·bands)
@@ -1210,6 +1247,16 @@ class PipelineSpec extends SparkSpec {
     val et = a.limit(0)
     val empty = graft.pipeline.Decontaminate.corpusMinhashJaccard(a, et, "text").head()
     assert(empty.isNullAt(3) && empty.getLong(1) === 0L)
+    // ADVICE r11: an empty side's mins are all the MaxValue sentinel —
+    // matching_components must be 0, never sentinel==sentinel = 64
+    assert(empty.getLong(2) === 0L, "one-side-empty must report 0 matching components")
+    val bothEmpty = graft.pipeline.Decontaminate.corpusMinhashJaccard(et, et, "text").head()
+    assert(bothEmpty.getLong(2) === 0L && bothEmpty.isNullAt(3),
+      "two empty corpora must not report full sentinel overlap")
+    // all-null-text side behaves as empty too
+    val nullText = Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nt = graft.pipeline.Decontaminate.corpusMinhashJaccard(a, nullText, "text").head()
+    assert(nt.getLong(1) === 0L && nt.getLong(2) === 0L && nt.isNullAt(3))
   }
 
   test("lshOverlap: planted eval near-dup flags its train twin; unrelated docs stay clean") {

@@ -11,6 +11,48 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: Long) = new Timestamp(s * 1000)
 
+  test("drift monitor: streamed closed-window scores equal the batch scorer, verdicts fire") {
+    import spark.implicits._
+    import graft.streaming.DriftMonitor
+    implicit val sqlCtx = spark.sqlContext
+    // static reference: uniform over 1..1000 -> every decile holds 10%
+    val ref = DriftMonitor.buildReference(
+      (1 to 1000).map(_.toDouble).toDF("value"), "value", bins = 10)
+    assert(ref.bins === 10 && math.abs(ref.props.sum - 1.0) < 1e-12)
+    // hour 0: same uniform shape (stable); hour 1: everything in the top
+    // decile (action)
+    val hour0 = (0 until 100).map(i => (ts(i * 36L), (i * 10 + 1).toDouble))
+    val hour1 = (0 until 100).map(i => (ts(3600L + i * 35L), 990.0 + (i % 10)))
+    val rows = hour0 ++ hour1
+    val batchDf = rows.toDF("ts", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 1000, r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(4)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+        r.getString(5))
+    val want = DriftMonitor.windowedDrift(batchDf, "ts", "value", ref, "1 hour")
+      .collect().map(key).toSet
+    assert(want.size === 2)
+    val verdicts = want.toSeq.sortBy(_._1).map(_._5)
+    assert(verdicts === Seq("stable", "action"),
+      s"expected hour0 stable / hour1 action, got $verdicts")
+
+    val results = scala.collection.mutable.Set
+      .empty[(Long, Long, BigDecimal, BigDecimal, String)]
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = DriftMonitor.startDriftMonitor(mem.toDF().toDF("ts", "value"),
+        "ts", "value", ref, "1 hour", "30 minutes") { scored =>
+      results.synchronized { results ++= scored.collect().map(key) }
+    }
+    try {
+      mem.addData(hour0: _*); q.processAllAvailable() // nothing closed yet
+      mem.addData(hour1: _*); q.processAllAvailable() // watermark closes hour 0
+      mem.addData((ts(12000L), 5.0)); q.processAllAvailable() // closes hour 1
+      assert(results.toSet === want,
+        s"stream/batch drift mismatch:\n  stream $results\n  batch $want")
+    } finally q.stop()
+  }
+
   test("tumblingCounts: batch and streaming agree on the same events") {
     import spark.implicits._
     val rows = Seq(
