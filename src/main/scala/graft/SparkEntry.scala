@@ -685,6 +685,21 @@ object SparkEntry {
         t(s, dir, "lineitem").filter(col("l_returnflag").isin("R", "A")),
         "l_extendedprice", col("l_returnflag") === "R")),
 
+    "describe_psi_categorical" -> ((s, dir) => {
+      // categorical drift: day-1 reference vs whole month over the raw
+      // event_type and a derived value band (with nulls as their own
+      // tagged category); categories = union of both sides, eps floor
+      val ev = t(s, dir, "events")
+        .withColumn("value_band",
+          when(col("value").isNull, lit(null).cast("string"))
+            .when(col("value") > 10, lit("high")).otherwise(lit("low")))
+      val ref = ev.filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      Describe.psiCategorical(ref, ev, Seq("event_type", "value_band"))
+        .select(col("variable"), col("n_ref"), col("n_cur"), col("n_levels"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy("variable")
+    }),
+
     "describe_psi_drift" -> ((s, dir) => {
       // corpus-drift monitor: current = a 15%-inflated price column and an
       // unchanged quantity column; PSI flags the former, not the latter
@@ -1487,6 +1502,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_matryoshka_topk" -> ((s, dir) => {
+      // MRL-style funnel: coarse cosine on the first 16 of 64 dims keeps
+      // the top 10 per query; exact full-dim cosine reranks to top 3
+      val e = t(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(e, e.filter(col("vec_id") < 5),
+          k = 3, prefixDims = 16, rerankK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_knn_classify" -> ((s, dir) => {
       // kNN majority-vote over the labeled embedding corpus — the
       // label-propagation primitive; exact cosine votes, deterministic
@@ -2095,6 +2119,21 @@ object SparkEntry {
           seed = "release1", numShards = 32)
         .orderBy("shard_id")),
 
+    "sample_epoch_mix" -> ((s, dir) => {
+      // data-constrained repetition budgeting: a token budget of half the
+      // corpus x maxEpochs=4 caps, water-filled across languages; the
+      // waterline is ONE division of exact int64s so every double is
+      // engine-identical (sig discipline)
+      val docs = t(s, dir, "documents")
+      val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+      val total = docs.agg(sum(toks)).head().getLong(0)
+      Sampling.epochMix(docs.filter(col("lang").isNotNull), "lang", toks,
+          budget = total / 2, maxEpochs = 4)
+        .select(col("domain"), col("n_tokens"), col("cap"),
+          round(col("alloc"), 6).as("alloc"), round(col("epochs"), 6).as("epochs"))
+        .orderBy("domain")
+    }),
+
     "sample_temperature_mix" -> ((s, dir) =>
       // p_d ∝ sqrt(n_d) tail-flattening mixture; sqrt is IEEE correctly
       // rounded, so the quota algebra replays bitwise in the oracle
@@ -2141,6 +2180,18 @@ object SparkEntry {
           countDistinct(col("split_group")).as("n_groups"),
           sum("doc_id").as("id_sum"))
         .orderBy("split")
+    }),
+
+    "text_js_divergence" -> ((s, dir) => {
+      // crawl-snapshot comparison: JS divergence between the even- and
+      // odd-doc_id halves' unigram distributions — symmetric, bounded,
+      // eps-free (absent-side terms are 0 by the 0*ln(0) convention)
+      val docs = t(s, dir, "documents")
+      Text.jsDivergence(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0), "text")
+        .select(col("n_a"), col("n_b"), col("vocab_a"), col("vocab_b"),
+          col("vocab_shared"), round(col("js_nats"), 6).as("js_nats"),
+          round(col("js_norm"), 6).as("js_norm"))
     }),
 
     "text_vocab_topk" -> ((s, dir) =>
@@ -3352,6 +3403,47 @@ object SparkEntry {
 
     "describe_ks_drift" -> ksDriftOracleSql,
 
+    "describe_psi_categorical" ->
+      """WITH src AS (SELECT event_type,
+             CASE WHEN value IS NULL THEN NULL
+                  WHEN value > 10 THEN 'high' ELSE 'low' END AS value_band, ts
+           FROM events),
+         refm AS (
+           SELECT 'event_type' AS variable,
+             CASE WHEN event_type IS NULL THEN 'N' ELSE 'V' || event_type END AS category
+           FROM src WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+           UNION ALL
+           SELECT 'value_band',
+             CASE WHEN value_band IS NULL THEN 'N' ELSE 'V' || value_band END
+           FROM src WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+         curm AS (
+           SELECT 'event_type' AS variable,
+             CASE WHEN event_type IS NULL THEN 'N' ELSE 'V' || event_type END AS category
+           FROM src
+           UNION ALL
+           SELECT 'value_band',
+             CASE WHEN value_band IS NULL THEN 'N' ELSE 'V' || value_band END
+           FROM src),
+         refb AS (SELECT variable, category, count(*) AS n_ref FROM refm GROUP BY 1, 2),
+         curb AS (SELECT variable, category, count(*) AS n_cur FROM curm GROUP BY 1, 2),
+         cells AS (SELECT variable, category,
+             CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+           FROM refb FULL OUTER JOIN curb USING (variable, category)),
+         tots AS (SELECT variable, CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur,
+             CAST(count(*) AS BIGINT) AS n_levels
+           FROM cells GROUP BY 1),
+         pq AS (SELECT cells.variable,
+             greatest(CAST(n_ref AS DOUBLE) / t_ref, 1.0e-6) AS p,
+             greatest(CAST(n_cur AS DOUBLE) / t_cur, 1.0e-6) AS q,
+             t_ref, t_cur, n_levels
+           FROM cells JOIN tots USING (variable))
+         SELECT variable, max(t_ref) AS n_ref, max(t_cur) AS n_cur,
+           max(n_levels) AS n_levels,
+           round(sum((p - q) * ln(p / q)), 6) AS psi
+         FROM pq GROUP BY 1 ORDER BY 1""",
+
     "describe_psi_drift" -> {
       val probs = (1 until 10).map(i => s"0.$i").mkString(", ")
       def binChain(lst: String): String =
@@ -4190,6 +4282,35 @@ object SparkEntry {
            FROM pairs CROSS JOIN range(64) r GROUP BY 1, 2)
          SELECT id1, id2, round(d / (sqrt(n1) * sqrt(n2)), 6) AS cosine
          FROM dots ORDER BY id1""",
+
+    "ann_matryoshka_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         coarse AS (
+           SELECT query_id, neighbor_id,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) * CAST(cv[r.range + 1] AS DOUBLE)) AS d,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) ^ 2) AS nq,
+             sum(CAST(cv[r.range + 1] AS DOUBLE) ^ 2) AS nc
+           FROM q CROSS JOIN c CROSS JOIN range(16) r
+           WHERE query_id <> neighbor_id GROUP BY 1, 2),
+         cs AS (SELECT query_id, neighbor_id,
+             round(d / (sqrt(nq) * sqrt(nc)), 6) AS coarse_cosine FROM coarse),
+         cr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY coarse_cosine DESC, neighbor_id) AS crank FROM cs),
+         cand AS (SELECT query_id, neighbor_id, coarse_cosine FROM cr WHERE crank <= 10),
+         ex AS (
+           SELECT cand.query_id, cand.neighbor_id, cand.coarse_cosine,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) * CAST(cv[r.range + 1] AS DOUBLE)) AS d,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) ^ 2) AS nq,
+             sum(CAST(cv[r.range + 1] AS DOUBLE) ^ 2) AS nc
+           FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+           CROSS JOIN range(64) r GROUP BY 1, 2, 3),
+         es AS (SELECT query_id, neighbor_id, coarse_cosine,
+             round(d / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM ex),
+         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM es)
+         SELECT query_id, neighbor_id, coarse_cosine, cosine, rank FROM rk
+         WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -5402,6 +5523,29 @@ object SparkEntry {
          SELECT shard_id, count(*) AS n_docs, CAST(sum(sig) AS BIGINT) AS content_checksum
          FROM s GROUP BY 1 ORDER BY 1""",
 
+    "sample_epoch_mix" ->
+      """WITH d AS (SELECT lang AS domain,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n
+           FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         p AS (SELECT CAST((SELECT sum(n) FROM d) // 2 AS BIGINT) AS budget),
+         o AS (SELECT domain, n, CAST(n * 4 AS BIGINT) AS cap,
+             row_number() OVER (ORDER BY n * 4, domain) - 1 AS idx,
+             CAST(coalesce(sum(n * 4) OVER (ORDER BY n * 4, domain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+             count(*) OVER () AS dd,
+             CAST(sum(n * 4) OVER () AS BIGINT) AS totcap
+           FROM d),
+         jl AS (SELECT min(idx) AS j FROM o, p WHERE prefix + (dd - idx) * cap >= budget),
+         lv AS (SELECT (budget - o.prefix) / CAST(o.dd - o.idx AS DOUBLE) AS line
+                FROM o, jl, p WHERE o.idx = jl.j),
+         f AS (SELECT domain, n AS n_tokens, cap,
+             CASE WHEN totcap <= budget THEN CAST(cap AS DOUBLE)
+                  WHEN idx < jl.j THEN CAST(cap AS DOUBLE) ELSE line END AS alloc
+           FROM o, jl, lv, p)
+         SELECT domain, n_tokens, cap, round(alloc, 6) AS alloc,
+           round(alloc / n_tokens, 6) AS epochs
+         FROM f ORDER BY domain""",
+
     "sample_temperature_mix" ->
       // the domain-mix quota replay with data-derived sqrt(n) weights —
       // scale-invariant quotas, so no normalizer sum enters the floats
@@ -5553,6 +5697,36 @@ object SparkEntry {
            CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_bpe_tokens
          FROM dw$n GROUP BY 1 ORDER BY 1"""
     },
+
+    "text_js_divergence" ->
+      """WITH wa AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             FROM documents WHERE doc_id % 2 = 0),
+         wb AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             FROM documents WHERE doc_id % 2 <> 0),
+         ca AS (SELECT word, CAST(count(*) AS BIGINT) AS na FROM wa WHERE word <> '' GROUP BY 1),
+         cb AS (SELECT word, CAST(count(*) AS BIGINT) AS nb FROM wb WHERE word <> '' GROUP BY 1),
+         j AS (SELECT word, CAST(coalesce(na, 0) AS BIGINT) AS na,
+             CAST(coalesce(nb, 0) AS BIGINT) AS nb
+           FROM ca FULL OUTER JOIN cb USING (word)),
+         t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb,
+             CAST(count(*) FILTER (WHERE na > 0) AS BIGINT) AS vocab_a,
+             CAST(count(*) FILTER (WHERE nb > 0) AS BIGINT) AS vocab_b,
+             CAST(count(*) FILTER (WHERE na > 0 AND nb > 0) AS BIGINT) AS vocab_shared
+           FROM j),
+         c AS (SELECT
+             (CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / ta)
+                 * ln((CAST(na AS DOUBLE) / ta)
+                   / ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2.0))
+               ELSE 0.0 END) * 0.5 +
+             (CASE WHEN nb > 0 THEN (CAST(nb AS DOUBLE) / tb)
+                 * ln((CAST(nb AS DOUBLE) / tb)
+                   / ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2.0))
+               ELSE 0.0 END) * 0.5 AS contrib
+           FROM j, t)
+         SELECT ta AS n_a, tb AS n_b, vocab_a, vocab_b, vocab_shared,
+           round(sum(contrib), 6) AS js_nats,
+           round(sum(contrib) / ln(2.0), 6) AS js_norm
+         FROM c, t GROUP BY 1, 2, 3, 4, 5""",
 
     "text_vocab_topk" ->
       """WITH w AS (SELECT doc_id,

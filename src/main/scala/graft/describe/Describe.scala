@@ -1152,6 +1152,44 @@ object Describe {
         sum(col("contrib")).as("psi"))
   }
 
+  /** Categorical PSI: [[psiDrift]]'s companion for DISCRETE columns —
+    * how far each listed column's category distribution in `current` has
+    * moved from `reference`. Categories are the UNION of both sides (a
+    * category absent from one side gets the eps floor, so new-in-current
+    * categories surface as drift instead of vanishing); nulls count as
+    * their own category via the tagged "N"/"V"+value key (injective — a
+    * genuine "N" value cannot alias the null bucket). One map-side-
+    * combined groupBy per side on (variable, tagged value) — state is
+    * category-vocabulary-sized, never row-scale — a full-outer join on
+    * the category key, per-variable totals, and the PSI sum. Returns
+    * (variable, n_ref, n_cur, n_levels, psi). */
+  def psiCategorical(reference: DataFrame, current: DataFrame,
+                     cols: Seq[String], eps: Double = 1e-6): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(eps > 0, s"eps must be > 0: $eps")
+    def side(df: DataFrame, n: String): DataFrame = {
+      val melted = df.selectExpr(
+        s"stack(${cols.size}, ${cols.map(c =>
+          s"'$c', CASE WHEN `$c` IS NULL THEN 'N' ELSE concat('V', CAST(`$c` AS STRING)) END")
+          .mkString(", ")}) AS (variable, category)")
+      melted.groupBy("variable", "category").agg(count(lit(1)).as(n))
+    }
+    val cells = side(reference, "n_ref")
+      .join(side(current, "n_cur"), Seq("variable", "category"), "full_outer")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    val tots = cells.groupBy("variable")
+      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"),
+        count(lit(1)).as("n_levels"))
+    cells.join(tots, Seq("variable"))
+      .withColumn("p", greatest(col("n_ref").cast("double") / col("t_ref"), lit(eps)))
+      .withColumn("q", greatest(col("n_cur").cast("double") / col("t_cur"), lit(eps)))
+      .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy("variable")
+      .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
+        max(col("n_levels")).as("n_levels"), sum(col("contrib")).as("psi"))
+  }
+
   /** Pairwise categorical association matrix (Cramér's V) — the
     * categorical analog of `correlations`, for every unordered pair of the
     * listed columns. ONE grouping-sets aggregation computes every pair's

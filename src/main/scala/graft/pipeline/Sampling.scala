@@ -236,6 +236,60 @@ object Sampling {
     kept.drop("__domain", "__quota", "__thresh", "__rn")
   }
 
+  /** Data-constrained epoch allocation (repetition budgeting): spread a
+    * total token `budget` across domains with at most `maxEpochs` passes
+    * over any domain, WATER-FILLING the unsaturated ones — the standard
+    * answer to "our budget exceeds the corpus, how many times do we
+    * repeat each domain" (repetition caps because repeated data decays in
+    * value). Contract: every domain receives min(cap_d, L) tokens where
+    * cap_d = n_d·maxEpochs and the waterline L is the unique level with
+    * Σ min(cap_d, L) = budget (budget ≥ Σ cap degenerates to all caps;
+    * small domains saturate at maxEpochs, large ones share the line).
+    *
+    * Exactness discipline (the micro-nats/IEEE-sqrt family): counts,
+    * caps, the saturation prefix sums, and the crossing search are all
+    * int64 — partitioning-invariant and engine-exact — and L is ONE
+    * division of two exact int64s, so every downstream double is
+    * identically rounded in any engine. Driver state is O(#domains)
+    * aggregates ([[domainMix]] precedent). Returns per domain
+    * (domain, n_tokens, cap, alloc, epochs) with epochs = alloc/n. */
+  def epochMix(df: DataFrame, domainCol: String, tokens: Column,
+               budget: Long, maxEpochs: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // O(#domains) metadata aggregate — never row-scale
+    val counts = df.groupBy(col(domainCol).cast("string").as("__domain"))
+      .agg(sum(tokens.cast("long")).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0L)
+      .sortBy { case (d, n) => (Math.multiplyExact(n, maxEpochs), d) }
+    require(counts.nonEmpty, "no domain with positive token count")
+    val caps = counts.map { case (_, n) => Math.multiplyExact(n, maxEpochs) }
+    val totalCap = caps.foldLeft(0L)(Math.addExact)
+    val dCount = counts.length
+    // crossing search in exact int64: smallest j (domains 0..j-1 saturate)
+    // with prefix(j) + (D-j)·cap_j >= budget
+    val alloc: Array[Double] =
+      if (budget >= totalCap) caps.map(_.toDouble).toArray
+      else {
+        var prefix = 0L
+        var j = 0
+        while (j < dCount &&
+          Math.addExact(prefix, Math.multiplyExact(caps(j), (dCount - j).toLong)) < budget) {
+          prefix = Math.addExact(prefix, caps(j)); j += 1
+        }
+        // L: one exact-int64 division -> identically rounded everywhere
+        val line = (budget - prefix).toDouble / (dCount - j).toDouble
+        Array.tabulate(dCount)(i => if (i < j) caps(i).toDouble else line)
+      }
+    counts.zipWithIndex.map { case ((d, n), i) =>
+      (d, n, caps(i), alloc(i), alloc(i) / n.toDouble)
+    }.toSeq.toDF("domain", "n_tokens", "cap", "alloc", "epochs")
+  }
+
   /** Corpus-release shard manifest: deterministic shard assignment (the
     * seeded shuffle key modulo `numShards` — membership-stable and
     * engine-replayable, unlike repartitionByRange's sampled bounds) plus

@@ -194,6 +194,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Matryoshka (MRL-style) two-stage retrieval: COARSE-rank on the
+    * embedding's first `prefixDims` components — prefix truncation is the
+    * matryoshka representation contract: nested prefixes are themselves
+    * trained embeddings — keep the top `rerankK` candidates per query,
+    * then EXACT full-dimension cosine rerank of just those to top `k`.
+    *
+    * Scale shape: the coarse scan pays prefixDims/d of the dot-product
+    * FLOPs (and, with prefix-pruned columnar layouts, of the scan bytes)
+    * against broadcast queries; the full-dimension stage touches only
+    * rerankK candidates per query — the standard cheap-filter/exact-
+    * rerank funnel. Both cosines round to `roundTo` BEFORE ranking with
+    * id tie-breaks ([[bruteForceTopK]]'s determinism contract). Returns
+    * (query_id, neighbor_id, coarse_cosine, cosine, rank). */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     prefixDims: Int, rerankK: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     roundTo: Int = 6): DataFrame = {
+    require(prefixDims > 0, s"prefixDims must be positive: $prefixDims")
+    require(k > 0 && rerankK >= k, s"need 0 < k <= rerankK: ($k, $rerankK)")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val coarse = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse_cosine", round(
+        graft.functions.GraftFunctions.cosine_similarity(
+          slice(col("qv"), 1, prefixDims), slice(col("cv"), 1, prefixDims)),
+        roundTo))
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("coarse_cosine").desc, col("neighbor_id").asc)
+    val candidates = coarse.withColumn("__cr", row_number().over(wCoarse))
+      .filter(col("__cr") <= rerankK)
+    val exact = candidates.withColumn("cosine", round(
+      graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("cv")),
+      roundTo))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "coarse_cosine", "cosine", "rank")
+  }
+
   /** kNN majority-vote label prediction over a labeled embedding corpus —
     * the label-propagation / weak-supervision primitive of corpus curation
     * (label the unlabeled from their nearest labeled neighbors): each

@@ -77,6 +77,56 @@ object Text {
       .limit(topK)
   }
 
+  /** Jensen–Shannon divergence between two corpora's unigram word
+    * distributions — the symmetric, bounded ([0, ln 2]) corpus-comparison
+    * statistic (crawl snapshot vs snapshot, domain vs domain, release vs
+    * release), finite WITHOUT eps floors: with m = (p+q)/2, every p>0
+    * term has m>0, and absent-side terms contribute 0 by the 0·ln(0)
+    * convention. Tokenization matches [[vocab]] (lowercased,
+    * whitespace-split, empties dropped).
+    *
+    * Scale shape: one map-side-combined word count per corpus (the only
+    * row-scale shuffles), a vocab-scale full-outer join keyed by word,
+    * totals as broadcast one-row aggregates, one final sum — nothing
+    * driver-side, vocabulary never collected. Returns ONE row
+    * (n_a, n_b, vocab_a, vocab_b, vocab_shared, js_nats, js_norm) with
+    * js_norm = js_nats/ln 2 in [0, 1]. */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String): DataFrame =
+      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as(n))
+    val ca = counts(a, "na"); val cb = counts(b, "nb")
+    val joined = ca.join(cb, Seq("word"), "full_outer")
+      .withColumn("na", coalesce(col("na"), lit(0L)))
+      .withColumn("nb", coalesce(col("nb"), lit(0L)))
+    val tots = joined.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+      count(when(col("na") > 0, 1)).as("vocab_a"),
+      count(when(col("nb") > 0, 1)).as("vocab_b"),
+      count(when(col("na") > 0 && col("nb") > 0, 1)).as("vocab_shared"))
+    // ANSI-proof: an empty side has t = 0 and its per-word proportion is
+    // definitionally 0 (the when() guards keep its log terms out anyway)
+    val p = when(col("ta") > 0, col("na").cast("double") / col("ta")).otherwise(lit(0.0))
+    val q = when(col("tb") > 0, col("nb").cast("double") / col("tb")).otherwise(lit(0.0))
+    val m = (p + q) / lit(2.0)
+    joined.crossJoin(broadcast(tots))
+      .select(col("ta"), col("tb"), col("vocab_a"), col("vocab_b"),
+        col("vocab_shared"),
+        (when(col("na") > 0, p * log(p / m)).otherwise(lit(0.0)) * lit(0.5) +
+          when(col("nb") > 0, q * log(q / m)).otherwise(lit(0.0)) * lit(0.5))
+          .as("contrib"))
+      .groupBy("ta", "tb", "vocab_a", "vocab_b", "vocab_shared")
+      .agg(sum(col("contrib")).as("__js"))
+      // one-side-empty guard: p = 0/0 is NaN-poisonous — an empty corpus
+      // has no distribution, so js is null (both-empty returns NO rows:
+      // the vocab join is empty)
+      .withColumn("__ok", col("ta") > 0 && col("tb") > 0)
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        col("vocab_a"), col("vocab_b"), col("vocab_shared"),
+        when(col("__ok"), col("__js")).as("js_nats"),
+        when(col("__ok"), col("__js") / lit(math.log(2.0))).as("js_norm"))
+  }
+
   /** Collocation mining: top-`topK` adjacent word pairs by pointwise mutual
     * information, PMI = ln( P(x,y) / (P(x)·P(y)) ) with P(x,y) = c_xy/N_bg
     * over bigrams and P(x) = c_x/N_w over unigrams — the tokenizer-merge /

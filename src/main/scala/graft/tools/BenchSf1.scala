@@ -159,6 +159,13 @@ object BenchSf1 {
       // worst-20 sf0.1 families (VERDICT r7 item 6): every line above
       // ~0.4s on the r7 board gets measured ×10 evidence here
       "modify_robust_scale" -> graft.SparkEntry.queries("modify_robust_scale"),
+      // r12 wave: drift gate, categorical PSI, JS divergence, epoch
+      // water-filling, matryoshka funnel
+      "events_drift_monitor" -> graft.SparkEntry.queries("events_drift_monitor"),
+      "describe_psi_categorical" -> graft.SparkEntry.queries("describe_psi_categorical"),
+      "text_js_divergence" -> graft.SparkEntry.queries("text_js_divergence"),
+      "sample_epoch_mix" -> graft.SparkEntry.queries("sample_epoch_mix"),
+      "ann_matryoshka_topk" -> graft.SparkEntry.queries("ann_matryoshka_topk"),
       "modify_quantile_normalize" -> graft.SparkEntry.queries("modify_quantile_normalize"),
       "modify_rint" -> graft.SparkEntry.queries("modify_rint"),
       "modify_quantile_bins" -> graft.SparkEntry.queries("modify_quantile_bins"),

@@ -94,6 +94,12 @@ object BenchSf10 {
       "events_retention" -> graft.SparkEntry.queries("events_retention"),
       "text_tfidf_topk" -> graft.SparkEntry.queries("text_tfidf_topk"),
       "modify_robust_scale" -> graft.SparkEntry.queries("modify_robust_scale"),
+      // r12 wave
+      "events_drift_monitor" -> graft.SparkEntry.queries("events_drift_monitor"),
+      "describe_psi_categorical" -> graft.SparkEntry.queries("describe_psi_categorical"),
+      "text_js_divergence" -> graft.SparkEntry.queries("text_js_divergence"),
+      "sample_epoch_mix" -> graft.SparkEntry.queries("sample_epoch_mix"),
+      "ann_matryoshka_topk" -> graft.SparkEntry.queries("ann_matryoshka_topk"),
       "graph_pagerank_distributed" -> ((s: SparkSession, dir: String) => {
         s.conf.set("graft.pagerank.localMaxNodes", "0")
         try graft.SparkEntry.queries("graph_pagerank")(s, dir)

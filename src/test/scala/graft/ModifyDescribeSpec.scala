@@ -702,6 +702,29 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(out("b") === 0.0, "unmoved column must not flag")
   }
 
+  test("psiCategorical: identical -> 0, full swap hand-formula, null is its own category") {
+    import spark.implicits._
+    val ref = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).map(Tuple1(_)).toDF("c")
+    // identical distribution -> psi exactly 0 on the shared categories
+    val same = Describe.psiCategorical(ref, ref, Seq("c")).head()
+    assert(same.getDouble(same.fieldIndex("psi")) === 0.0)
+    assert(same.getLong(same.fieldIndex("n_levels")) === 2L)
+    // full swap a<->b: hand formula with p=(0.6,0.4), q=(0.4,0.6)
+    val cur = (Seq.fill(40)("a") ++ Seq.fill(60)("b")).map(Tuple1(_)).toDF("c")
+    val swap = Describe.psiCategorical(ref, cur, Seq("c")).head()
+    val want = (0.6 - 0.4) * math.log(0.6 / 0.4) + (0.4 - 0.6) * math.log(0.4 / 0.6)
+    assertRtol(swap.getDouble(swap.fieldIndex("psi")), want, 1e-12, "swap psi")
+    // null is a category; a category only in current gets the eps floor
+    val refN = Seq(Some("x"), Some("x"), None).map(Tuple1(_)).toDF("c")
+    val curN = Seq(Some("x"), Some("y"), None).map(Tuple1(_)).toDF("c")
+    val r = Describe.psiCategorical(refN, curN, Seq("c")).head()
+    assert(r.getLong(r.fieldIndex("n_levels")) === 3L) // x, y, null
+    val eps = 1e-6
+    val terms = Seq((2.0 / 3, 1.0 / 3), (eps, 1.0 / 3), (1.0 / 3, 1.0 / 3))
+    val wantN = terms.map { case (p, q) => (p - q) * math.log(p / q) }.sum
+    assertRtol(r.getDouble(r.fieldIndex("psi")), wantN, 1e-9, "null/new-category psi")
+  }
+
   test("mutualInfo: zero for exact independence, nmi=1 for a bijection, hand formula") {
     import spark.implicits._
     // exact product distribution: every (a,b) cell has the same count

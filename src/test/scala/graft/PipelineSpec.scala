@@ -1480,6 +1480,86 @@ class PipelineSpec extends SparkSpec {
     assert(out7 === out)
   }
 
+  test("jsDivergence: identical -> 0, disjoint -> ln 2, empty side -> null js") {
+    import spark.implicits._
+    val a = Seq("alpha beta gamma", "beta gamma delta").toDF("text")
+    val same = graft.pipeline.Text.jsDivergence(a, a, "text").head()
+    assert(same.getDouble(same.fieldIndex("js_nats")) === 0.0)
+    assert(same.getLong(same.fieldIndex("vocab_shared")) === 4L)
+    // disjoint vocabularies: maximal divergence ln 2 (js_norm = 1)
+    val b = Seq("epsilon zeta eta", "zeta eta theta").toDF("text")
+    val dis = graft.pipeline.Text.jsDivergence(a, b, "text").head()
+    assertRtol(dis.getDouble(dis.fieldIndex("js_nats")), math.log(2.0), 1e-12, "disjoint js")
+    assertRtol(dis.getDouble(dis.fieldIndex("js_norm")), 1.0, 1e-12, "disjoint js_norm")
+    assert(dis.getLong(dis.fieldIndex("vocab_shared")) === 0L)
+    // hand formula on a tiny asymmetric case: a = {x:1}, b = {x:1, y:1}
+    val ha = Seq("x").toDF("text"); val hb = Seq("x y").toDF("text")
+    val h = graft.pipeline.Text.jsDivergence(ha, hb, "text").head()
+    val m1 = (1.0 + 0.5) / 2; val m2 = 0.25
+    val want = 0.5 * (1.0 * math.log(1.0 / m1)) +
+      0.5 * (0.5 * math.log(0.5 / m1) + 0.5 * math.log(0.5 / m2))
+    assertRtol(h.getDouble(h.fieldIndex("js_nats")), want, 1e-12, "hand js")
+    // one empty side: js undefined (null), not NaN
+    val e = graft.pipeline.Text.jsDivergence(a, a.limit(0), "text").head()
+    assert(e.isNullAt(e.fieldIndex("js_nats")) && e.isNullAt(e.fieldIndex("js_norm")))
+    // both empty: no distribution at all -> zero rows
+    assert(graft.pipeline.Text.jsDivergence(a.limit(0), a.limit(0), "text").count() === 0L)
+  }
+
+  test("epochMix: caps saturate small domains, waterline is exact, infeasible budget degrades to caps") {
+    import spark.implicits._
+    // domains: tiny=10 tokens, mid=100, big=1000; maxEpochs=4 ->
+    // caps 40/400/4000
+    val docs = (Seq.fill(10)("tiny") ++ Seq.fill(100)("mid") ++ Seq.fill(1000)("big"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "domain")
+    def mix(budget: Long) = graft.pipeline.Sampling
+      .epochMix(docs, "domain", lit(1L), budget, maxEpochs = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // budget 1000: tiny and mid saturate (40 + 400), big takes the rest
+    val m = mix(1000L)
+    assert(m("tiny") === ((10L, 40L, 40.0, 4.0)))
+    assert(m("mid") === ((100L, 400L, 400.0, 4.0)))
+    assert(m("big")._3 === 560.0 && m("big")._4 === 0.56)
+    // budget below every cap: uniform waterline budget/3 per domain
+    val lo = mix(30L)
+    assert(lo.values.forall(_._3 === 10.0))
+    assert(lo("tiny")._4 === 1.0 && lo("big")._4 === 0.01)
+    // infeasible budget: everything saturates at its cap
+    val hi = mix(100000L)
+    assert(hi.values.forall { case (n, cap, alloc, ep) => alloc === cap.toDouble && ep === 4.0 })
+    // total allocation always equals min(budget, total cap)
+    assert(m.values.map(_._3).sum === 1000.0)
+    assert(hi.values.map(_._3).sum === 4440.0)
+  }
+
+  test("matryoshkaTopK: full-prefix degenerates to brute force; coarse funnel keeps blob neighbors") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 4)
+    // prefixDims = full width and rerankK = corpus: identical to brute force
+    val dim = e.head().getSeq[Float](e.head().fieldIndex("embedding")).length
+    val n = e.count().toInt
+    val full = graft.pipeline.Similarity
+      .matryoshkaTopK(e, queries, k = 3, prefixDims = dim, rerankK = n)
+      .select("query_id", "neighbor_id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = graft.pipeline.Similarity.bruteForceTopK(e, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full === brute, "full-prefix matryoshka must equal brute force")
+    // constructed blobs where the FIRST dims carry the signal: the coarse
+    // stage must already rank own-blob members on top
+    val blobs = ((0L to 9L).map(i => (i, Array.fill(4)(1.0f) ++ Array.fill(4)(0.0f))) ++
+      (10L to 19L).map(i => (i, Array.fill(4)(-1.0f) ++ Array.fill(4)(0.0f))))
+      .toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity.matryoshkaTopK(blobs,
+        blobs.filter(col("vec_id").isin(0L, 15L)), k = 3, prefixDims = 4, rerankK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (q, nb) =>
+      assert((q < 10) === (nb < 10), s"query $q got cross-blob neighbor $nb")
+    }
+  }
+
   test("bpeApply: learned merges re-segment; more merges never increase the token count") {
     import spark.implicits._
     val docs = Seq((1L, "banana band ban"), (2L, "an an banana")).toDF("doc_id", "text")
