@@ -283,6 +283,15 @@ object SparkEntry {
           col("n"), round(col("z"), 6).as("z"))
         .orderBy("event_type", "hour_start")),
 
+    "events_cusum_drift" -> ((s, dir) =>
+      // sequential-shift detector over hourly volumes: the CUSUM
+      // recurrence in its prefix form, all comparisons exact int64
+      EventStreams.cusumHourly(t(s, dir, "events"), slack = 0L, threshold = 10L)
+        .select(col("event_type"), col("n_hours"), col("total"),
+          round(col("max_cusum"), 6).as("max_cusum"), col("n_alarms"),
+          unix_timestamp(col("first_alarm_hour")).cast("long").as("first_alarm_hour"))
+        .orderBy("event_type")),
+
     "events_drift_monitor" -> ((s, dir) => {
       // streaming drift gate, batch shape (stream ≡ batch by shared
       // plan, parity-tested on MemoryStream in StreamingSpec): day-1
@@ -1502,6 +1511,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_hard_negatives" -> ((s, dir) => {
+      // contrastive-training mining: for each labeled query, the 3 most
+      // cosine-similar corpus vectors with a DIFFERENT label
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    "sample_kcenter" -> ((s, dir) => {
+      // greedy farthest-point diversity pick: 5 rounds, min-id seed,
+      // distances rounded to the shared decimal grid before each argmax
+      Similarity.kCenter(t(s, dir, "embeddings"), k = 5)
+        .orderBy("round")
+    }),
+
     "ann_matryoshka_topk" -> ((s, dir) => {
       // MRL-style funnel: coarse cosine on the first 16 of 64 dims keeps
       // the top 10 per query; exact full-dim cosine reranks to top 3
@@ -2182,6 +2206,16 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "text_ccnet_buckets" -> ((s, dir) =>
+      // CCNet-style quality triage: head/middle/tail thirds by per-doc
+      // LM NLL; per-doc scores round to 6dp BEFORE the tercile edges and
+      // the bucketing, so the split replays bitwise
+      Text.perplexityBuckets(t(s, dir, "documents"), "text", "doc_id",
+          topVocab = 1000, alpha = 1.0)
+        .select(col("bucket"), col("n_docs"),
+          round(col("mean_nll"), 6).as("mean_nll"), col("n_tokens"))
+        .orderBy("bucket")),
+
     "text_js_divergence" -> ((s, dir) => {
       // crawl-snapshot comparison: JS divergence between the even- and
       // odd-doc_id halves' unigram distributions — symmetric, bounded,
@@ -2623,6 +2657,40 @@ object SparkEntry {
     * 32-bit murmur3 whose birthday bound ~2^16 distinct slices per band
     * undercut the 100 TB claim — ADVICE r11; a collision would surface
     * as extra Spark rows here). */
+  /** Chained-CTE replay of Similarity.kCenter(k): seed = min id; round
+    * j's per-point min distance md_j = least(md_{j-1}, round(sqdist to
+    * center_{j-1}, 6)); the next center is the (md DESC, id ASC) argmax
+    * excluding already-chosen ids — exactly the engine's
+    * round-before-argmax greedy, one CTE pair per round. */
+  private def kCenterOracleSql(k: Int): String = {
+    require(k >= 1)
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         c1 AS (SELECT id, v, CAST(0.0 AS DOUBLE) AS d FROM e ORDER BY id LIMIT 1)"""
+    for (j <- 2 to k) {
+      val prevC = s"c${j - 1}"
+      val chosen = (1 until j).map(i => s"SELECT id FROM c$i").mkString(" UNION ALL ")
+      sb ++= s""",
+         dj$j AS (SELECT e.id, e.v,
+             round(sum((CAST(e.v[r.range + 1] AS DOUBLE)
+                 - CAST(c.v[r.range + 1] AS DOUBLE)) ^ 2), 6) AS dc
+           FROM e CROSS JOIN $prevC c CROSS JOIN range(64) r
+           GROUP BY e.id, e.v),
+         m$j AS (${
+        if (j == 2) "SELECT id, v, dc AS md FROM dj2"
+        else s"SELECT m${j - 1}.id, m${j - 1}.v, least(m${j - 1}.md, dj$j.dc) AS md " +
+          s"FROM m${j - 1} JOIN dj$j USING (id)"
+      }),
+         c$j AS (SELECT id, v, md AS d FROM m$j
+           WHERE id NOT IN ($chosen)
+           ORDER BY md DESC, id ASC LIMIT 1)"""
+    }
+    sb ++= (1 to k).map(j =>
+        s"SELECT $j AS round, id AS center_id, d AS dist_sq FROM c$j")
+      .mkString("\n         ", "\n         UNION ALL ", "\n         ORDER BY round")
+    sb.toString
+  }
+
   /** Shared CTE prefix: shingle → polyHash → fmix64(x ^ param_i) →
     * per-function signed min → signature list → 16 band slices (`bd`). */
   private def minhashBandedCte: String = {
@@ -4283,6 +4351,29 @@ object SparkEntry {
          SELECT id1, id2, round(d / (sqrt(n1) * sqrt(n2)), 6) AS cosine
          FROM dots ORDER BY id1""",
 
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+             FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             label AS neighbor_label FROM embeddings),
+         dots AS (
+           SELECT query_id, q.label, neighbor_id, neighbor_label,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) * CAST(cv[r.range + 1] AS DOUBLE)) AS d,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) ^ 2) AS nq,
+             sum(CAST(cv[r.range + 1] AS DOUBLE) ^ 2) AS nc
+           FROM q CROSS JOIN c CROSS JOIN range(64) r
+           WHERE query_id <> neighbor_id
+             AND neighbor_label IS DISTINCT FROM q.label
+           GROUP BY 1, 2, 3, 4),
+         scored AS (SELECT query_id, label, neighbor_id, neighbor_label,
+             round(d / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM dots),
+         ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)
+         SELECT query_id, label, neighbor_id, neighbor_label, cosine, rank
+         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "sample_kcenter" -> kCenterOracleSql(5),
+
     "ann_matryoshka_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -5029,6 +5120,25 @@ object SparkEntry {
          WHERE sd > 0 AND abs((n - m) / sd) > 2
          ORDER BY 1, 2""",
 
+    "events_cusum_drift" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS nh FROM h GROUP BY 1),
+         e AS (SELECT h.event_type, h.hour, h.n, st.sx, st.nh,
+             nh * n - sx AS ev FROM h JOIN st USING (event_type)),
+         p AS (SELECT *, CAST(sum(ev) OVER (PARTITION BY event_type
+             ORDER BY hour) AS BIGINT) AS pp FROM e),
+         s AS (SELECT *, pp - least(CAST(0 AS BIGINT),
+             CAST(min(pp) OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT)) AS ss
+           FROM p),
+         a AS (SELECT *, ss > nh * 10 AS alarm FROM s)
+         SELECT event_type, max(nh) AS n_hours, max(sx) AS total,
+           round(CAST(max(ss) AS DOUBLE) / max(nh), 6) AS max_cusum,
+           CAST(count(*) FILTER (WHERE alarm) AS BIGINT) AS n_alarms,
+           CAST(floor(epoch(min(hour) FILTER (WHERE alarm))) AS BIGINT) AS first_alarm_hour
+         FROM a GROUP BY 1 ORDER BY 1""",
+
     "events_drift_monitor" -> {
       // full replay: reference equi-depth edges (quantile_cont = the
       // engine's type-7), per-bin reference proportions, per-hour window
@@ -5696,6 +5806,32 @@ object SparkEntry {
            CAST(sum(length(word)) AS BIGINT) AS n_chars,
            CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_bpe_tokens
          FROM dw$n GROUP BY 1 ORDER BY 1"""
+    },
+
+    "text_ccnet_buckets" -> {
+      val e1 = (1.0 / 3).toString
+      val e2 = (2.0 / 3).toString
+      s"""WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+           FROM documents),
+         wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+         top AS (SELECT word, count(*) AS c FROM wf GROUP BY 1
+                 ORDER BY c DESC, word ASC LIMIT 1000),
+         tot AS (SELECT count(*) AS t FROM wf),
+         vs AS (SELECT coalesce(sum(c), 0) AS iv, count(*) AS k FROM top),
+         docs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(-sum(ln((CAST(coalesce(top.c, t - iv) AS DOUBLE) + 1.0)
+                   / (t + 1.0 * (k + 1)))) / count(*), 6) AS nll6
+           FROM wf LEFT JOIN top USING (word) CROSS JOIN tot CROSS JOIN vs
+           GROUP BY doc_id, t, iv, k),
+         q AS (SELECT quantile_cont(nll6, [$e1, $e2]) AS qs FROM docs),
+         b AS (SELECT CASE WHEN nll6 <= qs[1] THEN 'head'
+                  WHEN nll6 <= qs[2] THEN 'middle' ELSE 'tail' END AS bucket,
+               nll6, n_tokens FROM docs, q)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(nll6), 6) AS mean_nll,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM b GROUP BY 1 ORDER BY 1"""
     },
 
     "text_js_divergence" ->

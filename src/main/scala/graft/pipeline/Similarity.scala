@@ -194,6 +194,83 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * labeled query, the k most-similar corpus vectors with a DIFFERENT
+    * label (the negatives that actually teach an embedding model).
+    * [[bruteForceTopK]]'s exact-cosine shape (queries broadcast, corpus
+    * never shuffles, round-before-rank + id tie-break) with the label
+    * inequality pushed into the scan filter. Returns
+    * (query_id, label, neighbor_id, neighbor_label, cosine, rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label", roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        !(col("neighbor_label") <=> col("label")))
+      .withColumn("cosine", round(
+        graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("cv")),
+        roundTo))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "label", "neighbor_id", "neighbor_label", "cosine", "rank")
+  }
+
+  /** Greedy k-center (farthest-point) diversity selection — the coverage
+    * dual of dedup: pick k corpus vectors so every point is near some
+    * pick (2-approximation of the k-center objective), the standard
+    * diverse-subset seed for annotation budgets and eval-set curation.
+    * Deterministic contract: the seed is the smallest id; each round
+    * adds the point maximizing the min squared L2 distance to the chosen
+    * set, distances ROUNDED to `roundTo` before the argmax with an id
+    * tie-break (the round-before-rank discipline — both engines agree on
+    * the decimal grid even though their 64-term sums differ in order).
+    *
+    * Scale shape: k scans, each a zero-shuffle distance projection
+    * against O(k·dim) PLAN LITERALS plus a top-1 aggregate — no
+    * pairwise join at any scale; driver state is the k centers. Returns
+    * (round, center_id, dist_sq) where dist_sq is the rounded min
+    * squared distance to the previously chosen set (0 for the seed). */
+  def kCenter(df: DataFrame, k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def sqDistTo(center: Array[Double]): org.apache.spark.sql.Column = {
+      val lits = array(center.map(lit): _*)
+      aggregate(
+        zip_with(col(vecCol), lits,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, d) => acc + d)
+    }
+    val seedRow = df.select(col(idCol).cast("long").as("id"), col(vecCol))
+      .orderBy(col("id").asc).limit(1).head()
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)](
+      (seedRow.getLong(0),
+        seedRow.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray,
+        0.0))
+    while (chosen.length < k) {
+      val minDist = chosen.map(c => round(sqDistTo(c._2), roundTo))
+        .reduce((a, b) => least(a, b))
+      val next = df.select(col(idCol).cast("long").as("id"), col(vecCol),
+          minDist.as("d"))
+        .filter(!col("id").isin(chosen.map(_._1).toSeq: _*))
+        .orderBy(col("d").desc, col("id").asc).limit(1).head()
+      chosen += ((next.getLong(0),
+        next.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray,
+        next.getDouble(2)))
+    }
+    chosen.toSeq.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("round", "center_id", "dist_sq")
+  }
+
   /** Matryoshka (MRL-style) two-stage retrieval: COARSE-rank on the
     * embedding's first `prefixDims` components — prefix truncation is the
     * matryoshka representation contract: nested prefixes are themselves

@@ -494,6 +494,34 @@ object Text {
         exp(-col("__slp") / col("n_tokens")).as("perplexity"))
   }
 
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus's own LM ([[perplexityScore]]), then split the corpus into
+    * head / middle / tail thirds by per-doc mean NLL — the standard
+    * quality triage before an LLM pretraining mix (head = most natural
+    * text, tail = gibberish/boilerplate candidates).
+    *
+    * Determinism: per-doc NLL is ROUNDED to 6dp FIRST, the tercile edges
+    * are exact type-7 quantiles OF THE ROUNDED values, and docs bucket by
+    * rounded-value ≤ edge — every comparison happens on a decimal grid
+    * both engines share, so the bucketing replays bitwise (the
+    * unrounded sums differ across engines in last-ulp summation order).
+    * Returns (bucket, n_docs, mean_nll, n_tokens) — one row per third. */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+                        topVocab: Int = 50000, alpha: Double = 1.0): DataFrame = {
+    val scored = perplexityScore(df, textCol, idCol, topVocab, alpha)
+      .withColumn("__nll6", round(col("avg_nll"), 6))
+      .localCheckpoint() // quantile pass + bucket pass read it twice
+    val edges = graft.modify.Modify.exactQuantilesAll(
+        scored, Seq("__nll6"), Seq(1.0 / 3, 2.0 / 3))("__nll6")
+      .getOrElse(throw new IllegalArgumentException("no scored documents"))
+    val bucket = when(col("__nll6") <= edges.head, "head")
+      .when(col("__nll6") <= edges(1), "middle").otherwise("tail")
+    scored.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("__nll6")).as("mean_nll"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Flesch-Kincaid grade level from three regex counts (words, sentence
     * terminators, vowel-group syllable estimate) — the classic readability
     * filter, as a zero-shuffle codegen'd projection. Counts are integers

@@ -145,6 +145,49 @@ object EventStreams {
       .filter(col("sd_n") > 0 && abs(col("z")) > zThreshold)
       .select(col(keyCol), col("hour"), col("n"), col("z"))
 
+  /** CUSUM change-point detection over hourly event volumes — the
+    * sequential-shift companion to [[hourlyAnomaly]]'s pointwise z-test
+    * (a slow 10% drift never crosses a z threshold; its cumulative sum
+    * does). Per key, the one-sided CUSUM against the series' own mean:
+    * S_t = max(0, S_{t-1} + (x_t − μ − slack)), alarm when S_t >
+    * threshold.
+    *
+    * EXACT-int64 discipline (the KS/Mann-Whitney family): the recurrence
+    * is rewritten through its prefix form S_t = P_t − min(0, min_{j≤t}
+    * P_j) with P scaled by n_hours — e_t = n·x_t − Σx − n·slack is exact
+    * int64, so the running sum, running min, sup, and every alarm
+    * comparison (against n·threshold) are integer-exact and
+    * partitioning/engine-invariant; only the reported max_cusum divides
+    * back once. `slack` and `threshold` are in COUNTS (derive from a
+    * reference sd upstream if desired — keeping them integral is what
+    * keeps the whole statistic exact). Windows are per-key sequences of
+    * O(#hours) aggregates; nothing row-scale past the first groupBy.
+    * Returns (key, n_hours, total, max_cusum, n_alarms,
+    * first_alarm_hour — null when no alarm). */
+  def cusumHourly(events: DataFrame, keyCol: String = "event_type",
+                  tsCol: String = "ts", slack: Long = 0L,
+                  threshold: Long = 10L): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0: $slack")
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("__sx"), count(lit(1)).as("__nh"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = col("__nh") * col("n") - col("__sx") - col("__nh") * lit(slack)
+    val withS = hourly.join(broadcast(stats), Seq(keyCol))
+      .withColumn("__p", sum(e).over(w))
+      .withColumn("__s", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .withColumn("__alarm", col("__s") > col("__nh") * lit(threshold))
+    withS.groupBy(col(keyCol))
+      .agg(max(col("__nh")).as("n_hours"), max(col("__sx")).as("total"),
+        (max(col("__s")).cast("double") / max(col("__nh"))).as("max_cusum"),
+        count(when(col("__alarm"), 1)).as("n_alarms"),
+        min(when(col("__alarm"), col("hour"))).as("first_alarm_hour"))
+  }
+
   /** Hourly volume anomalies: hours whose event count deviates more than
     * `zThreshold` sample standard deviations from that key's own mean hourly
     * count; the tiny per-key moments broadcast back onto the hourly frame.

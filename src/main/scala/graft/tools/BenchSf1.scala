@@ -166,6 +166,10 @@ object BenchSf1 {
       "text_js_divergence" -> graft.SparkEntry.queries("text_js_divergence"),
       "sample_epoch_mix" -> graft.SparkEntry.queries("sample_epoch_mix"),
       "ann_matryoshka_topk" -> graft.SparkEntry.queries("ann_matryoshka_topk"),
+      "ann_hard_negatives" -> graft.SparkEntry.queries("ann_hard_negatives"),
+      "sample_kcenter" -> graft.SparkEntry.queries("sample_kcenter"),
+      "events_cusum_drift" -> graft.SparkEntry.queries("events_cusum_drift"),
+      "text_ccnet_buckets" -> graft.SparkEntry.queries("text_ccnet_buckets"),
       "modify_quantile_normalize" -> graft.SparkEntry.queries("modify_quantile_normalize"),
       "modify_rint" -> graft.SparkEntry.queries("modify_rint"),
       "modify_quantile_bins" -> graft.SparkEntry.queries("modify_quantile_bins"),

@@ -100,6 +100,10 @@ object BenchSf10 {
       "text_js_divergence" -> graft.SparkEntry.queries("text_js_divergence"),
       "sample_epoch_mix" -> graft.SparkEntry.queries("sample_epoch_mix"),
       "ann_matryoshka_topk" -> graft.SparkEntry.queries("ann_matryoshka_topk"),
+      "ann_hard_negatives" -> graft.SparkEntry.queries("ann_hard_negatives"),
+      "sample_kcenter" -> graft.SparkEntry.queries("sample_kcenter"),
+      "events_cusum_drift" -> graft.SparkEntry.queries("events_cusum_drift"),
+      "text_ccnet_buckets" -> graft.SparkEntry.queries("text_ccnet_buckets"),
       "graph_pagerank_distributed" -> ((s: SparkSession, dir: String) => {
         s.conf.set("graft.pagerank.localMaxNodes", "0")
         try graft.SparkEntry.queries("graph_pagerank")(s, dir)

@@ -1560,6 +1560,62 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: same-label neighbors excluded, nearest other-label found") {
+    import spark.implicits._
+    // two tight label-0 points, one label-1 point near them, one far away
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f), 0),   // nearest to 0 but SAME label
+      (2L, Array(0.9f, 0.1f), 1),     // nearest hard negative
+      (3L, Array(-1.0f, 0.0f), 1)     // opposite direction
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.pipeline.Similarity
+      .hardNegatives(vecs, vecs.filter(col("vec_id") === 0L), k = 2)
+      .collect().map(r => (r.getLong(2), r.getInt(3), r.getInt(5)))
+    assert(out.length === 2)
+    assert(out(0)._1 === 2L && out(0)._2 === 1 && out(0)._3 === 1,
+      s"rank-1 hard negative must be vec 2: ${out.toSeq}")
+    assert(out.forall(_._2 === 1), "every mined negative must carry a different label")
+    assert(!out.map(_._1).contains(1L), "same-label twin must never appear")
+  }
+
+  test("kCenter: greedy farthest-point picks the extremes; deterministic under repartition") {
+    import spark.implicits._
+    // 1-D line embedded in 2-D: 0.0, 1.0, 10.0, 10.1, 20.0
+    val pts = Seq((0L, 0.0), (1L, 1.0), (2L, 10.0), (3L, 10.1), (4L, 20.0))
+      .map { case (i, x) => (i, Array(x.toFloat, 0.0f)) }.toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity.kCenter(pts, k = 3)
+      .orderBy("round").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // seed = id 0 (min id); round 2 = farthest from 0 -> id 4 (d=400);
+    // round 3 = farthest from {0, 4} -> id 2 (d=100) [10.1 is 98.01 from 4]
+    assert(got.toSeq === Seq((1, 0L, 0.0), (2, 4L, 400.0), (3, 2L, 100.0)))
+    val reGot = graft.pipeline.Similarity.kCenter(pts.repartition(7), k = 3)
+      .orderBy("round").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(reGot.toSeq === got.toSeq, "kCenter must be partitioning-invariant")
+  }
+
+  test("perplexityBuckets: thirds partition the corpus, head reads more natural than tail") {
+    import spark.implicits._
+    // three quality tiers with per-doc variation so the terciles are
+    // genuinely distinct (identical docs tie their NLLs and legitimately
+    // collapse the middle bucket)
+    val natural = (1 to 15).map(i =>
+      (i.toLong, s"the cat sat on the mat and the dog sat on the rug ${"the" * (i % 3 + 1)}"))
+    val mixed = (16 to 30).map(i =>
+      (i.toLong, s"the cat zz$i on the mat qq$i the dog"))
+    val noise = (31 to 45).map(i => (i.toLong, s"zq$i xv$i kj$i wq$i pf$i"))
+    val docs = (natural ++ mixed ++ noise).toDF("doc_id", "text")
+    val out = graft.pipeline.Text.perplexityBuckets(docs, "text", "doc_id",
+        topVocab = 100, alpha = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet === Set("head", "middle", "tail"))
+    assert(out.values.map(_._1).sum === 45L, "buckets must partition the corpus")
+    assert(out("head")._2 < out("tail")._2,
+      s"head must score lower NLL than tail: $out")
+    // the gibberish docs cannot be in the head third
+    assert(out("head")._1 <= 30L)
+  }
+
   test("bpeApply: learned merges re-segment; more merges never increase the token count") {
     import spark.implicits._
     val docs = Seq((1L, "banana band ban"), (2L, "an an banana")).toDF("doc_id", "text")

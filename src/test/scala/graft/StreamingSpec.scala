@@ -617,6 +617,37 @@ class StreamingSpec extends SparkSpec {
       ("b", 0L, 0L, None), ("b", 3600L, 1L, Some(7.0)), ("b", 7200L, 0L, Some(7.0))))
   }
 
+  test("cusumHourly: a sustained level shift alarms at the right hour, stationary stays quiet") {
+    import spark.implicits._
+    def mk(counts: Seq[Int], tpe: String) = counts.zipWithIndex.flatMap {
+      case (c, h) => (0 until c).map(i =>
+        (h.toLong * 100 + i, ts(h * 3600L + i), 1L, tpe, 1.0, "{}"))
+    }
+    // 'shift': 10/hour for 10h, then 20/hour for 10h — mean 15, so the
+    // scaled excursion grows by n*(20-15)=100/hour after the shift.
+    // With threshold 10 (scaled 20*10=200) the alarm lands in hour 12:
+    // S'(h10)=100 <= 200, S'(h11)=200 <= 200 (strict >), S'(h12)=300 > 200.
+    // 'flat': constant 10/hour -> S' stays 0, never alarms.
+    val events = (mk(Seq.fill(10)(10) ++ Seq.fill(10)(20), "shift") ++
+      mk(Seq.fill(20)(10), "flat"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.cusumHourly(events, slack = 0L, threshold = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          Option(r.getTimestamp(5)).map(_.getTime / 1000))).toMap
+    assert(out("flat")._3 === 0.0 && out("flat")._4 === 0L &&
+      out("flat")._5.isEmpty, s"stationary series must stay quiet: ${out("flat")}")
+    val sh = out("shift")
+    assert(sh._1 === 20L && sh._2 === 300L)
+    assert(sh._5 === Some(12L * 3600), s"first alarm must be hour 12: $sh")
+    // max excursion: hour 19 has S' = 10*(20-15)*... scaled back /n = 50.0
+    assert(sh._3 === 50.0, s"max cusum: $sh")
+    // partitioning invariance (the exact-int64 claim)
+    val re = EventStreams.cusumHourly(events.repartition(13), slack = 0L, threshold = 10L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(re === out.view.mapValues(_._3).toMap)
+  }
+
   test("hourlyAnomaly: a spike hour is flagged, quiet hours are not") {
     import spark.implicits._
     // 11 hours of 2 events + one hour of 30 events for type a
