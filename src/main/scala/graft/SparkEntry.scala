@@ -427,6 +427,17 @@ object SparkEntry {
           .otherwise(0L)).as("full_24h"))
     }),
 
+    "graph_kcore" -> ((s, dir) => {
+      // density filter on the bipartite part-supplier graph: bounded
+      // peeling to the 3-core (converged == exact; 12-round cap keeps
+      // the oracle a fixed CTE chain)
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") < 800)
+      val edges = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      Graph.kCoreBounded(edges, "src", "dst", k = 3)
+        .orderBy("node")
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       // triangle counts per nation in the (undirected, thresholded) trade
       // graph: the canonical a<b<c two-hop self-join — each edge list is
@@ -779,6 +790,19 @@ object SparkEntry {
     }),
 
     // ---- modify: row filters (SURVEY §2.3)
+    "modify_yeo_johnson_grid" -> ((s, dir) => {
+      // power-transform normality profile: the full (column, lambda)
+      // log-likelihood grid from ONE aggregation (reporting the grid,
+      // not an argmax, is what keeps the replay exact); q_centered
+      // exercises the negative-branch psi
+      val li = t(s, dir, "lineitem")
+        .withColumn("q_centered", col("l_quantity") - 25)
+      Modify.yeoJohnsonGrid(li, Seq("l_quantity", "q_centered"))
+        .select(col("variable"), col("lambda"), col("n"),
+          round(col("llf"), 4).as("llf"))
+        .orderBy("variable", "lambda")
+    }),
+
     "modify_quantile_bins" -> ((s, dir) => {
       // equi-depth deciles of l_extendedprice: exact batched quantile
       // bounds + zero-shuffle assignment; oracle replays quantile_cont
@@ -1511,6 +1535,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_mmr_rerank" -> ((s, dir) => {
+      // diversity-aware rerank: top-8 cosine candidates per query, MMR
+      // greedy keeps 4 (lambda=0.5); every argmax on a 6dp decimal grid
+      val e = t(s, dir, "embeddings")
+      Similarity.mmrRerank(e, e.filter(col("vec_id") < 4), k = 4, m = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_hard_negatives" -> ((s, dir) => {
       // contrastive-training mining: for each labeled query, the 3 most
       // cosine-similar corpus vectors with a DIFFERENT label
@@ -2206,6 +2238,14 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "text_good_turing" -> ((s, dir) =>
+      // crawl-coverage report: counts-of-counts, Turing unseen mass
+      // n1/N, smoothed r* — every number a division of exact int64s
+      Text.goodTuring(t(s, dir, "documents"), "text", maxR = 10)
+        .select(col("r"), col("n_r"), round(col("r_star"), 6).as("r_star"),
+          round(col("p_unseen"), 6).as("p_unseen"))
+        .orderBy("r")),
+
     "text_ccnet_buckets" -> ((s, dir) =>
       // CCNet-style quality triage: head/middle/tail thirds by per-doc
       // LM NLL; per-doc scores round to 6dp BEFORE the tercile edges and
@@ -2657,6 +2697,126 @@ object SparkEntry {
     * 32-bit murmur3 whose birthday bound ~2^16 distinct slices per band
     * undercut the 100 TB claim — ADVICE r11; a collision would surface
     * as extra Spark rows here). */
+  /** Chained-CTE replay of Similarity.mmrRerank(k, m, lambda=0.5):
+    * rel = the top-m cosine (rounded 6), pairwise candidate sims rounded
+    * 6, then one greedy CTE block per rank — score = round(0.5·rel −
+    * 0.5·max sim to selected, 6), argmax (score DESC, id ASC) per query
+    * partition. Same decimal-grid argmaxes as the engine's driver greedy. */
+  private def mmrOracleSql(k: Int, m: Int): String = {
+    require(k >= 1 && m >= k)
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         dots AS (
+           SELECT query_id, neighbor_id,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) * CAST(cv[r.range + 1] AS DOUBLE)) AS d,
+             sum(CAST(qv[r.range + 1] AS DOUBLE) ^ 2) AS nq,
+             sum(CAST(cv[r.range + 1] AS DOUBLE) ^ 2) AS nc
+           FROM q CROSS JOIN c CROSS JOIN range(64) r
+           WHERE query_id <> neighbor_id GROUP BY 1, 2),
+         ranked AS (SELECT query_id, neighbor_id,
+             round(d / (sqrt(nq) * sqrt(nc)), 6) AS rel,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(d / (sqrt(nq) * sqrt(nc)), 6) DESC, neighbor_id) AS rn
+           FROM dots),
+         cand AS (SELECT query_id, neighbor_id, rel FROM ranked WHERE rn <= $m),
+         cv2 AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         ps AS (
+           SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+             round(sum(CAST(x.v[r.range + 1] AS DOUBLE) * CAST(y.v[r.range + 1] AS DOUBLE))
+               / (sqrt(sum(CAST(x.v[r.range + 1] AS DOUBLE) ^ 2))
+                  * sqrt(sum(CAST(y.v[r.range + 1] AS DOUBLE) ^ 2))), 6) AS sim
+           FROM cand a JOIN cand b USING (query_id)
+           JOIN cv2 x ON x.id = a.neighbor_id JOIN cv2 y ON y.id = b.neighbor_id
+           CROSS JOIN range(64) r GROUP BY 1, 2, 3),
+         sel1 AS (SELECT query_id, neighbor_id, rel, round(0.5 * rel, 6) AS score
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY round(0.5 * rel, 6) DESC, neighbor_id) AS rn2 FROM cand)
+           WHERE rn2 = 1),
+         sall1 AS (SELECT query_id, neighbor_id FROM sel1)"""
+    for (j <- 2 to k) {
+      sb ++= s""",
+         red$j AS (SELECT p.query_id, p.id_a AS neighbor_id, max(p.sim) AS red
+           FROM ps p JOIN sall${j - 1} s
+             ON s.query_id = p.query_id AND s.neighbor_id = p.id_b
+           GROUP BY 1, 2),
+         sc$j AS (SELECT c.query_id, c.neighbor_id, c.rel,
+             round(0.5 * c.rel - 0.5 * r.red, 6) AS score
+           FROM cand c JOIN red$j r USING (query_id, neighbor_id)
+           WHERE NOT EXISTS (SELECT 1 FROM sall${j - 1} s
+             WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)),
+         sel$j AS (SELECT query_id, neighbor_id, rel, score
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rn2 FROM sc$j)
+           WHERE rn2 = 1),
+         sall$j AS (SELECT * FROM sall${j - 1}
+           UNION ALL SELECT query_id, neighbor_id FROM sel$j)"""
+    }
+    sb ++= (1 to k).map(j =>
+        s"SELECT query_id, neighbor_id, rel AS cosine, score AS mmr_score, " +
+          s"CAST($j AS INT) AS rank FROM sel$j")
+      .mkString("\n         ", "\n         UNION ALL ", "\n         ORDER BY query_id, rank")
+    sb.toString
+  }
+
+  /** Fixed-CTE replay of Graph.kCoreBounded on the part-supplier graph:
+    * `rounds` peel blocks (degree ≥ k semi-filter on both endpoints);
+    * converged rounds are no-ops, so the final CTE equals the engine's
+    * fixpoint whenever peeling converges within the bound — which is the
+    * engine's own contract (it caps at the same maxRounds). */
+  private def kCoreGraphOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    // AS MATERIALIZED: each e_j is referenced three times by round j+1 —
+    // DuckDB would otherwise inline the chain and expand the base scan
+    // 2^rounds times ("too many open files" before it even plans)
+    sb ++= s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+           SELECT 'p' || l_partkey AS a, 's' || l_suppkey AS b
+             FROM lineitem WHERE l_partkey < 800
+           UNION ALL
+           SELECT 's' || l_suppkey, 'p' || l_partkey
+             FROM lineitem WHERE l_partkey < 800))"""
+    for (j <- 1 to rounds) {
+      sb ++= s""",
+         k$j AS MATERIALIZED (SELECT a FROM e${j - 1} GROUP BY a HAVING count(*) >= $k),
+         e$j AS MATERIALIZED (SELECT e.a, e.b FROM e${j - 1} e
+           JOIN k$j ka ON e.a = ka.a JOIN k$j kb ON e.b = kb.a)"""
+    }
+    sb ++= s"""
+         SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+         FROM e$rounds GROUP BY 1 ORDER BY 1"""
+    sb.toString
+  }
+
+  /** UNION-arm replay of Modify.yeoJohnsonGrid: one arm per (column
+    * expression, lambda) with the branch-exact psi and the identical
+    * MLE-variance log-likelihood algebra. */
+  private def yeoJohnsonOracleSql(cols: Seq[(String, String)],
+                                  lambdas: Seq[Double]): String = {
+    val arms = for { (name, expr) <- cols; lam <- lambdas } yield {
+      val pos =
+        if (lam == 0.0) "ln(x + 1.0)"
+        else s"(pow(x + 1.0, $lam) - 1.0) / $lam"
+      val neg =
+        if (lam == 2.0) "-ln(-x + 1.0)"
+        else s"-(pow(-x + 1.0, ${2.0 - lam}) - 1.0) / ${2.0 - lam}"
+      s"""SELECT '$name' AS variable, CAST($lam AS DOUBLE) AS lambda,
+           CAST(count(x) AS BIGINT) AS n,
+           round(CASE WHEN (spp - sp * sp / n0) / n0 <= 0 THEN NULL
+             ELSE -n0 / 2.0 * ln((spp - sp * sp / n0) / n0)
+               + ($lam - 1.0) * slog END, 4) AS llf
+         FROM (SELECT x, count(x) OVER () AS n0,
+             sum(CASE WHEN x >= 0 THEN $pos ELSE $neg END) OVER () AS sp,
+             sum((CASE WHEN x >= 0 THEN $pos ELSE $neg END)
+               * (CASE WHEN x >= 0 THEN $pos ELSE $neg END)) OVER () AS spp,
+             sum(CAST(sign(x) AS DOUBLE) * ln(abs(x) + 1.0)) OVER () AS slog
+           FROM (SELECT CAST($expr AS DOUBLE) AS x FROM lineitem)
+           WHERE x IS NOT NULL)
+         GROUP BY n0, sp, spp, slog"""
+    }
+    arms.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY variable, lambda")
+  }
+
   /** Chained-CTE replay of Similarity.kCenter(k): seed = min id; round
     * j's per-point min distance md_j = least(md_{j-1}, round(sqdist to
     * center_{j-1}, 6)); the next center is the (md DESC, id ASC) argmax
@@ -3731,6 +3891,10 @@ object SparkEntry {
            round(${graft.stats.ColMath.normalPpfSql("pp")}, 6) AS rint
          FROM p ORDER BY variable, value""",
 
+    "modify_yeo_johnson_grid" -> yeoJohnsonOracleSql(
+      Seq(("l_quantity", "l_quantity"), ("q_centered", "l_quantity - 25")),
+      (-4 to 4).map(_ * 0.5)),
+
     "modify_quantile_bins" ->
       s"""WITH q AS (SELECT ${(1 until 10).map(i =>
              s"quantile_cont(l_extendedprice, 0.$i) AS b$i").mkString(", ")}
@@ -4350,6 +4514,8 @@ object SparkEntry {
            FROM pairs CROSS JOIN range(64) r GROUP BY 1, 2)
          SELECT id1, id2, round(d / (sqrt(n1) * sqrt(n2)), 6) AS cosine
          FROM dots ORDER BY id1""",
+
+    "ann_mmr_rerank" -> mmrOracleSql(k = 4, m = 8),
 
     "ann_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
@@ -5417,6 +5583,8 @@ object SparkEntry {
          SELECT event_type, t, value, n_win, ${sqlSig6("ma0")} AS ma
          FROM win ORDER BY 1, 2""",
 
+    "graph_kcore" -> kCoreGraphOracleSql(k = 3, rounds = 12),
+
     "graph_pagerank" ->
       """WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst,
              sum(l_extendedprice * (1.0 - l_discount)) AS w
@@ -5807,6 +5975,20 @@ object SparkEntry {
            CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_bpe_tokens
          FROM dw$n GROUP BY 1 ORDER BY 1"""
     },
+
+    "text_good_turing" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             FROM documents),
+         wc AS (SELECT word, CAST(count(*) AS BIGINT) AS r FROM w
+                WHERE word <> '' GROUP BY 1),
+         coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY 1),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE r = 1) AS BIGINT) AS n1 FROM wc)
+         SELECT coc.r, coc.n_r,
+           round((coc.r + 1) * CAST(nx.n_r AS DOUBLE) / coc.n_r, 6) AS r_star,
+           round(CAST(n1 AS DOUBLE) / n, 6) AS p_unseen
+         FROM coc LEFT JOIN coc nx ON nx.r = coc.r + 1 CROSS JOIN tot
+         WHERE coc.r <= 10 ORDER BY coc.r""",
 
     "text_ccnet_buckets" -> {
       val e1 = (1.0 / 3).toString

@@ -1086,6 +1086,131 @@ object Modify {
     cf.copy(df = selected.foldLeft(cf.df)((d, c) => d.withColumn(c, fn(col(c).cast(DoubleType)))))
   }
 
+  /** Yeo-Johnson profile-likelihood GRID — the power-transform
+    * normality diagnostic (sklearn PowerTransformer's estimator, but
+    * emitting the whole grid instead of a float-fragile argmax): for each
+    * column and each λ, the Gaussian profile log-likelihood of the
+    * transformed values, llf(λ) = −n/2·ln(σ̂²_λ) + (λ−1)·Σ sgn(x)·ln(|x|+1),
+    * where ψ_λ handles the four Yeo-Johnson branches (x≥0 / x<0, λ at the
+    * log singularities 0 and 2). Callers pick λ* from the grid (reporting
+    * the grid keeps the oracle exact — an argmax between two near-equal
+    * llf values is where cross-engine ulps bite; the grid values
+    * themselves round robustly).
+    *
+    * ONE aggregation job evaluates every (column, λ) cell: the per-row ψ
+    * and its square are plain column algebra, so the scan stays
+    * whole-stage-codegen and the shuffle carries O(#cols × #λ × 3)
+    * partial sums. NaN/null excluded per column (quantile-family
+    * convention). Returns (variable, lambda, n, llf). */
+  def yeoJohnsonGrid(df: DataFrame, cols: Seq[String],
+                     lambdas: Seq[Double] =
+                       (-4 to 4).map(_ * 0.5)): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(lambdas.nonEmpty, "lambdas must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def psi(x: Column, lam: Double): Column = {
+      val pos =
+        if (lam == 0.0) log(x + 1.0)
+        else (pow(x + 1.0, lam) - 1.0) / lam
+      val neg =
+        if (lam == 2.0) -log(-x + 1.0)
+        else -(pow(-x + 1.0, 2.0 - lam) - 1.0) / (2.0 - lam)
+      when(x >= 0, pos).otherwise(neg)
+    }
+    def clean(c: String): Column = {
+      val v = col(c).cast("double")
+      when(isnan(v), lit(null).cast("double")).otherwise(v)
+    }
+    // cardinality routing (the robustScale discipline, but the low path
+    // stays DISTRIBUTED — the budget trades a distinct-row shuffle
+    // against per-row pow evaluation, not driver memory): tied columns
+    // evaluate the 4·|λ| pow-heavy psi cells once per DISTINCT value and
+    // weight by tie counts — l_quantity-style integer columns pay ~50
+    // psi evaluations instead of 60M × |λ|. High-cardinality columns
+    // keep the zero-shuffle one-scan aggregation.
+    val budget = spark.conf.getOption("graft.powerTransform.maxDistinct")
+      .map { sVal =>
+        val v = try sVal.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.powerTransform.maxDistinct must be a positive integer, got '$sVal'")
+        }
+        require(v > 0, s"graft.powerTransform.maxDistinct must be > 0, got $v")
+        v
+      }.getOrElse(4000000L)
+    val aggs0 = cols.map(c => approx_count_distinct(clean(c), 0.05))
+    val r0 = df.agg(aggs0.head, aggs0.tail: _*).head()
+    val (lowCols, highCols) = cols.zipWithIndex.partition {
+      case (_, i) => r0.getLong(i) * 13 / 10 <= budget
+    }
+
+    def llfOf(c: String, lam: Double, n: Long, sp: Double, spp: Double,
+              slog: Double): (String, Double, Long, Option[Double]) = {
+      if (n < 2) (c, lam, n, None)
+      else {
+        // biased (MLE) variance, sklearn's convention
+        val sigma2 = (spp - sp * sp / n) / n
+        val llf =
+          if (sigma2 <= 0) None // constant transform: llf diverges
+          else Some(-n / 2.0 * math.log(sigma2) + (lam - 1.0) * slog)
+        (c, lam, n, llf)
+      }
+    }
+
+    val highRows =
+      if (highCols.isEmpty) Nil
+      else {
+        val aggs = for { (c, _) <- highCols; lam <- lambdas } yield {
+          val x = clean(c)
+          val p = psi(x, lam)
+          struct(count(x).as("n"), sum(p).as("sp"), sum(p * p).as("spp"),
+            sum(signum(x) * log(abs(x) + 1.0)).as("slog")).as(s"__${c}__$lam")
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        highCols.map(_._1).zipWithIndex.flatMap { case (c, ci) =>
+          lambdas.zipWithIndex.map { case (lam, li) =>
+            val cell = r.getStruct(ci * lambdas.length + li)
+            llfOf(c, lam, cell.getLong(0), cell.getDouble(1),
+              cell.getDouble(2), cell.getDouble(3))
+          }
+        }
+      }
+
+    val lowRows =
+      if (lowCols.isEmpty) Nil
+      else {
+        val lc = lowCols.map(_._1)
+        val k = lc.length
+        val distinct = df.selectExpr(
+          s"stack($k, ${lc.zipWithIndex.map { case (c, j) =>
+            s"$j, CAST(`$c` AS DOUBLE)" }.mkString(", ")}) AS (vid, value)")
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .groupBy("vid", "value").agg(count(lit(1)).as("cnt"))
+        val x = col("value")
+        val cd = col("cnt").cast("double")
+        val aggs = lambdas.flatMap { lam =>
+          val p = psi(x, lam)
+          Seq(sum(col("cnt")).as(s"n_$lam"), sum(cd * p).as(s"sp_$lam"),
+            sum(cd * p * p).as(s"spp_$lam"),
+            sum(cd * signum(x) * log(abs(x) + 1.0)).as(s"slog_$lam"))
+        }
+        val rs = distinct.groupBy("vid").agg(aggs.head, aggs.tail: _*).collect()
+        val byVid = rs.map(r => r.getInt(0) -> r).toMap
+        lc.zipWithIndex.flatMap { case (c, j) =>
+          lambdas.zipWithIndex.map { case (lam, li) =>
+            byVid.get(j) match {
+              case None => (c, lam, 0L, None: Option[Double])
+              case Some(r) =>
+                llfOf(c, lam, r.getLong(1 + 4 * li), r.getDouble(2 + 4 * li),
+                  r.getDouble(3 + 4 * li), r.getDouble(4 + 4 * li))
+            }
+          }
+        }
+      }
+
+    (highRows ++ lowRows).toDF("variable", "lambda", "n", "llf")
+  }
+
   /** drop_extra_categories: recompute observed level sets, dropping recorded
     * levels with zero occurrences (reference: modify.py:1011-1061). In the
     * string-encoded representation the data itself never holds phantom

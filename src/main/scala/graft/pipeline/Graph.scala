@@ -19,6 +19,51 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Bounded k-core peeling: repeatedly remove nodes whose degree in the
+    * surviving (undirected, deduped) graph is below `k`, for at most
+    * `maxRounds` rounds or until a fixpoint — whichever comes first. At
+    * the fixpoint this IS the exact k-core (the maximal subgraph with
+    * min degree ≥ k — the standard density filter for entity/citation/
+    * link graphs before expensive downstream analytics); the explicit
+    * round bound keeps the iteration count deterministic so a SQL oracle
+    * can replay it as a fixed CTE chain (converged rounds are no-ops).
+    *
+    * Scale shape: each round is ONE degree aggregation (map-side
+    * combined, keyed by node) + two semi-joins filtering the edge list,
+    * with `localCheckpoint` cutting the iterative lineage (the
+    * components/PageRank discipline); nothing ever reaches the driver
+    * but the per-round edge count. Peeling converges in at most the
+    * graph's degeneracy-ordering depth — typically a handful of rounds;
+    * raise `maxRounds` for adversarial chains. Returns the surviving
+    * (node, degree) with degree measured INSIDE the core. */
+  def kCoreBounded(edges: DataFrame, srcCol: String, dstCol: String,
+                   k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val base = edges
+      .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    var e = base.union(base.select(col("b").as("a"), col("a").as("b")))
+      .dropDuplicates("a", "b")
+      .localCheckpoint()
+    var round = 0
+    var stable = false
+    var nEdges = e.count()
+    while (round < maxRounds && !stable) {
+      val keep = e.groupBy("a").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select("a")
+      val next = e.join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n2 = next.count()
+      stable = n2 == nEdges
+      nEdges = n2
+      e = next
+      round += 1
+    }
+    e.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Weighted PageRank with damping and a FIXED number of supersteps.
     * By default a node with no out-edges leaks its mass (acceptable for
     * relative ranking); `danglingMass = true` re-spreads dangling rank

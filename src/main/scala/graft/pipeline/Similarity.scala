@@ -194,6 +194,65 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Maximal-marginal-relevance rerank — the diversity-aware second stage
+    * after any top-k retrieval: from each query's top-`m` cosine
+    * candidates, greedily keep `k` maximizing
+    * mmr(d) = lambda·rel(d) − (1−lambda)·max_{s∈selected} sim(d, s) —
+    * relevance traded against redundancy (the dedup of retrieval).
+    *
+    * Scale shape: the corpus-scale work is [[bruteForceTopK]]'s candidate
+    * scan; the greedy runs on O(#queries · m²) collected metadata (m is a
+    * small constant — the candidate list, not the corpus). Determinism:
+    * rel and pairwise sims round to `roundTo` BEFORE every argmax, ties
+    * to the smaller id — each greedy step replays on a decimal grid.
+    * Returns (query_id, neighbor_id, cosine, mmr_score, rank); rank 1's
+    * mmr_score is its relevance (empty selected set). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
+                lambda: Double = 0.5, idCol: String = "vec_id",
+                vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    require(k >= 1 && m >= k, s"need 1 <= k <= m: ($k, $m)")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val top = bruteForceTopK(corpus, queries, m, idCol, vecCol, roundTo)
+    val cv = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__v"))
+    // pairwise sims WITHIN each query's candidate list: candidate-scale
+    // self-join (m rows per query), never corpus-scale
+    val cand = top.join(cv, top("neighbor_id") === cv("__cid"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__v"))
+    val a = cand.select(col("query_id"), col("neighbor_id").as("id_a"),
+      col("cosine").as("rel_a"), col("__v").as("va"))
+    val b = cand.select(col("query_id"), col("neighbor_id").as("id_b"), col("__v").as("vb"))
+    val pairs = a.join(b, Seq("query_id"))
+      .select(col("query_id"), col("id_a"), col("rel_a"), col("id_b"),
+        round(graft.functions.GraftFunctions.cosine_similarity(col("va"), col("vb")),
+          roundTo).as("sim"))
+      .collect()
+    // driver greedy per query over the collected candidate metadata
+    val byQ = pairs.groupBy(_.getLong(0))
+    val out = byQ.toSeq.flatMap { case (q, rows) =>
+      val rel = rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      val sim = rows.map(r => ((r.getLong(1), r.getLong(3)), r.getDouble(4))).toMap
+      val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ rel.keys
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      while (selected.length < k && remaining.nonEmpty) {
+        val scoredCands = remaining.toSeq.map { d =>
+          val redundancy =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => sim((d, s._1))).max
+          val raw = lambda * rel(d) - (1 - lambda) * redundancy
+          val score = BigDecimal(raw).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (d, score)
+        }
+        val best = scoredCands.minBy { case (d, s) => (-s, d) }
+        selected += ((best._1, rel(best._1), best._2))
+        remaining -= best._1
+      }
+      selected.toSeq.zipWithIndex.map { case ((id, r, s), i) => (q, id, r, s, i + 1) }
+    }
+    out.toDF("query_id", "neighbor_id", "cosine", "mmr_score", "rank")
+  }
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * labeled query, the k most-similar corpus vectors with a DIFFERENT
     * label (the negatives that actually teach an embedding model).

@@ -77,6 +77,38 @@ object Text {
       .limit(topK)
   }
 
+  /** Good-Turing frequency-of-frequencies report — the classic answer to
+    * "how much of the language have we actually crawled": n_r = number of
+    * word types seen exactly r times; the Turing estimate of UNSEEN
+    * probability mass is p0 = n_1/N (singleton share), and the smoothed
+    * adjusted count r* = (r+1)·n_{r+1}/n_r quantifies how much observed
+    * frequencies should shrink toward the tail. A corpus whose p0 is
+    * still large needs more crawling, not more epochs.
+    *
+    * Exactness: counts-of-counts are int64 all the way; p0 and each r*
+    * are single divisions of exact integers — engine-identical doubles.
+    * Shape: word count (the only row-scale shuffle, map-side combined) →
+    * count-of-counts (vocab-scale) → a maxR-row result. Returns
+    * (r, n_r, r_star — null when n_{r+1}=0, p_unseen) for r ≤ maxR. */
+  def goodTuring(df: DataFrame, textCol: String, maxR: Int = 10): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1: $maxR")
+    val words = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("__r"))
+    val coc = words.groupBy(col("__r").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = words.agg(sum(col("__r")).as("__n"), // N = total tokens
+      sum(when(col("__r") === 1, 1L).otherwise(0L)).as("__n1"))
+    val nextC = coc.select((col("r") - 1).as("r"), col("n_r").as("__n_next"))
+    coc.filter(col("r") <= maxR)
+      .join(nextC, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        ((col("r") + 1).cast("double") * col("__n_next") / col("n_r")).as("r_star"),
+        (col("__n1").cast("double") / col("__n")).as("p_unseen"))
+  }
+
   /** Jensen–Shannon divergence between two corpora's unigram word
     * distributions — the symmetric, bounded ([0, ln 2]) corpus-comparison
     * statistic (crawl snapshot vs snapshot, domain vs domain, release vs

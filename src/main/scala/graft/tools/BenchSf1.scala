@@ -170,6 +170,10 @@ object BenchSf1 {
       "sample_kcenter" -> graft.SparkEntry.queries("sample_kcenter"),
       "events_cusum_drift" -> graft.SparkEntry.queries("events_cusum_drift"),
       "text_ccnet_buckets" -> graft.SparkEntry.queries("text_ccnet_buckets"),
+      "ann_mmr_rerank" -> graft.SparkEntry.queries("ann_mmr_rerank"),
+      "graph_kcore" -> graft.SparkEntry.queries("graph_kcore"),
+      "text_good_turing" -> graft.SparkEntry.queries("text_good_turing"),
+      "modify_yeo_johnson_grid" -> graft.SparkEntry.queries("modify_yeo_johnson_grid"),
       "modify_quantile_normalize" -> graft.SparkEntry.queries("modify_quantile_normalize"),
       "modify_rint" -> graft.SparkEntry.queries("modify_rint"),
       "modify_quantile_bins" -> graft.SparkEntry.queries("modify_quantile_bins"),

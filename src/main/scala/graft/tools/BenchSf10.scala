@@ -104,6 +104,10 @@ object BenchSf10 {
       "sample_kcenter" -> graft.SparkEntry.queries("sample_kcenter"),
       "events_cusum_drift" -> graft.SparkEntry.queries("events_cusum_drift"),
       "text_ccnet_buckets" -> graft.SparkEntry.queries("text_ccnet_buckets"),
+      "ann_mmr_rerank" -> graft.SparkEntry.queries("ann_mmr_rerank"),
+      "graph_kcore" -> graft.SparkEntry.queries("graph_kcore"),
+      "text_good_turing" -> graft.SparkEntry.queries("text_good_turing"),
+      "modify_yeo_johnson_grid" -> graft.SparkEntry.queries("modify_yeo_johnson_grid"),
       "graph_pagerank_distributed" -> ((s: SparkSession, dir: String) => {
         s.conf.set("graft.pagerank.localMaxNodes", "0")
         try graft.SparkEntry.queries("graph_pagerank")(s, dir)

@@ -1560,6 +1560,104 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("yeoJohnsonGrid: lambda=1 is the identity llf, lognormal prefers lambda~0, negatives handled") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5L)
+    val logn = (1 to 2000).map(i => (i.toLong, math.exp(rng.nextGaussian())))
+      .toDF("id", "x")
+    val grid = graft.modify.Modify.yeoJohnsonGrid(logn, Seq("x"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    // lambda = 1: psi(x) = x (identity up to shift) -> llf = -n/2 ln(mle var)
+    val xs = logn.select("x").collect().map(_.getDouble(0))
+    val n = xs.length
+    val mean = xs.sum / n
+    val mleVar = xs.map(v => (v - mean) * (v - mean)).sum / n
+    assertRtol(grid(1.0), -n / 2.0 * math.log(mleVar), 1e-9, "identity llf")
+    // lognormal data: the log transform (lambda=0) must beat identity and
+    // the extremes
+    assert(grid(0.0) > grid(1.0) && grid(0.0) > grid(2.0) && grid(0.0) > grid(-2.0),
+      s"lambda=0 must win on lognormal data: $grid")
+    // negative branch: a symmetric column runs all four psi branches
+    val sym = (1 to 500).map(i => (i.toLong, rng.nextGaussian() * 3)).toDF("id", "x")
+    val g2 = graft.modify.Modify.yeoJohnsonGrid(sym, Seq("x"))
+      .collect().map(r => (r.getDouble(1), r.getLong(2), r.isNullAt(3)))
+    assert(g2.length === 9 && g2.forall(t => t._2 === 500L && !t._3))
+    // ties-first low-cardinality path vs the one-scan row path: same grid
+    // to float noise (budget 1 admits nothing -> row path forced)
+    def gridOf(df: org.apache.spark.sql.DataFrame) =
+      graft.modify.Modify.yeoJohnsonGrid(df, Seq("x")).collect()
+        .map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val low = gridOf(sym)
+    spark.conf.set("graft.powerTransform.maxDistinct", "1")
+    val high = try gridOf(sym) finally spark.conf.unset("graft.powerTransform.maxDistinct")
+    low.zip(high).foreach { case ((l1, n1, f1), (l2, n2, f2)) =>
+      assert(l1 === l2 && n1 === n2, "grid cells must align")
+      assertRtol(f1, f2, 1e-9, s"llf parity at lambda $l1")
+    }
+    // malformed conf rejected
+    spark.conf.set("graft.powerTransform.maxDistinct", "-5")
+    try intercept[IllegalArgumentException] {
+      graft.modify.Modify.yeoJohnsonGrid(sym, Seq("x")).collect()
+    } finally spark.conf.unset("graft.powerTransform.maxDistinct")
+  }
+
+  test("goodTuring: hand-built counts-of-counts, unseen mass = singleton share") {
+    import spark.implicits._
+    // corpus: a x4, b x2, c x2, d x1, e x1, f x1 -> N=11, n1=3, n2=2, n4=1
+    val docs = Seq("a a a a b b", "c c d e f").toDF("text")
+    val out = graft.pipeline.Text.goodTuring(docs, "text", maxR = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getDouble(3))).toMap
+    assert(out(1L)._1 === 3L && out(2L)._1 === 2L && out(4L)._1 === 1L)
+    assert(!out.contains(3L), "no word occurs exactly 3 times")
+    // p0 = n1/N = 3/11 everywhere
+    out.values.foreach(v => assertRtol(v._3, 3.0 / 11, 1e-12, "p_unseen"))
+    // r*(1) = 2*n2/n1 = 4/3; r*(2) = 3*n3/n2 -> n3=0 -> null... n_3 absent
+    assertRtol(out(1L)._2.get, 2.0 * 2 / 3, 1e-12, "r*(1)")
+    assert(out(2L)._2.isEmpty, "r*(2) needs n_3 which is 0 -> null")
+  }
+
+  test("mmrRerank: redundant twin demoted below a diverse candidate; rank 1 is pure relevance") {
+    import spark.implicits._
+    // query at [1,0]; candidates: A=[0.99,0.14] (closest), A'=[0.99,0.141]
+    // (near-twin of A), B=[0.7,0.71] (diverse). Plain top-2 = {A, A'}; at
+    // lambda=0.3 the twin's redundancy penalty (0.7 * ~0.2) outweighs its
+    // relevance edge (0.3 * ~0.29), so MMR must pick A then B. (At
+    // lambda=0.5 the twin legitimately wins — relevance still dominates.)
+    def v(x: Double, y: Double) = {
+      val n = math.sqrt(x * x + y * y)
+      Array((x / n).toFloat, (y / n).toFloat)
+    }
+    val vecs = Seq(
+      (0L, v(1.0, 0.0)), (1L, v(0.99, 0.14)), (2L, v(0.99, 0.141)),
+      (3L, v(0.7, 0.71))).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity.mmrRerank(
+        vecs, vecs.filter(col("vec_id") === 0L), k = 2, m = 3, lambda = 0.3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(4)))
+    assert(out.toSeq === Seq((1L, 1), (3L, 2)),
+      s"expected A then diverse B, got ${out.toSeq}")
+  }
+
+  test("kCoreBounded: pendants peel away, the clique survives, cascade handled") {
+    import spark.implicits._
+    // 4-clique {a,b,c,d} + a chain d-e-f: 3-core = the clique only
+    // (e has degree 2 -> peeled; then f degenerates -> peeled)
+    val edges = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+      ("d","e"),("e","f")).toDF("src","dst")
+    val core = graft.pipeline.Graph.kCoreBounded(edges, "src", "dst", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core.keySet === Set("a","b","c","d"), s"3-core must be the clique: $core")
+    assert(core.values.forall(_ === 3L), "each clique member has in-core degree 3")
+    // k above the graph's degeneracy: everything peels, empty result
+    assert(graft.pipeline.Graph.kCoreBounded(edges, "src", "dst", k = 5).count() === 0L)
+    // duplicate + reversed edges collapse before peeling
+    val dup = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val core2 = graft.pipeline.Graph.kCoreBounded(dup, "src", "dst", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 === core)
+  }
+
   test("hardNegatives: same-label neighbors excluded, nearest other-label found") {
     import spark.implicits._
     // two tight label-0 points, one label-1 point near them, one far away
