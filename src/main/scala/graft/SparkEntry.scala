@@ -1870,6 +1870,26 @@ object SparkEntry {
         .orderBy("shard_id")
     }),
 
+    "pipeline_budget_e2e" -> ((s, dir) => {
+      // the BUDGET back door composed end-to-end: token-count quality
+      // floor -> exact dedup (keep min id per fingerprint) -> per-language
+      // token totals -> data-constrained epoch WATER-FILL (budget = half
+      // the surviving corpus, maxEpochs 4). Each stage is the real
+      // library operator; the survivor frame localCheckpoints once so the
+      // dedup window does not compute twice (the domainMix trap), and the
+      // whole allocation replays as one CTE chain.
+      val docs = t(s, dir, "documents").filter(col("lang").isNotNull)
+        .withColumn("n_words", Text.wsTokenCount(col("text")))
+        .filter(col("n_words") >= 20)
+      val surv = Dedup.exact(docs, "text", "doc_id").localCheckpoint()
+      val toks = col("n_words").cast("long")
+      val total = surv.agg(sum(toks)).head().getLong(0)
+      Sampling.epochMix(surv, "lang", toks, budget = total / 2, maxEpochs = 4)
+        .select(col("domain"), col("n_tokens"), col("cap"),
+          round(col("alloc"), 6).as("alloc"), round(col("epochs"), 6).as("epochs"))
+        .orderBy("domain")
+    }),
+
     "pipeline_curate_e2e" -> ((s, dir) => {
       // the WHOLE curation front door composed in ONE declarative plan —
       // HTML extraction → exact dedup (copies planted at doc_id+10000)
@@ -4746,6 +4766,37 @@ object SparkEntry {
          SELECT canonical_url, count(*) AS n_occurrences,
            count(DISTINCT url) AS n_raw_forms
          FROM c4 GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_budget_e2e" ->
+      """WITH gated AS (SELECT doc_id, text, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+           FROM documents WHERE lang IS NOT NULL),
+         g2 AS (SELECT * FROM gated WHERE n_words >= 20),
+         fp AS (SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fpr
+           FROM g2),
+         keep AS (SELECT fpr, min(doc_id) AS kid FROM fp GROUP BY 1),
+         surv AS (SELECT fp.* FROM fp
+           JOIN keep ON fp.fpr = keep.fpr AND fp.doc_id = keep.kid),
+         d AS (SELECT lang AS domain, CAST(sum(n_words) AS BIGINT) AS n
+           FROM surv GROUP BY 1),
+         p AS (SELECT CAST((SELECT sum(n) FROM d) // 2 AS BIGINT) AS budget),
+         o AS (SELECT domain, n, CAST(n * 4 AS BIGINT) AS cap,
+             row_number() OVER (ORDER BY n * 4, domain) - 1 AS idx,
+             CAST(coalesce(sum(n * 4) OVER (ORDER BY n * 4, domain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+             count(*) OVER () AS dd,
+             CAST(sum(n * 4) OVER () AS BIGINT) AS totcap
+           FROM d),
+         jl AS (SELECT min(idx) AS j FROM o, p WHERE prefix + (dd - idx) * cap >= budget),
+         lv AS (SELECT (budget - o.prefix) / CAST(o.dd - o.idx AS DOUBLE) AS line
+                FROM o, jl, p WHERE o.idx = jl.j),
+         f AS (SELECT domain, n AS n_tokens, cap,
+             CASE WHEN totcap <= budget THEN CAST(cap AS DOUBLE)
+                  WHEN idx < jl.j THEN CAST(cap AS DOUBLE) ELSE line END AS alloc
+           FROM o, jl, lv, p)
+         SELECT domain, n_tokens, cap, round(alloc, 6) AS alloc,
+           round(alloc / n_tokens, 6) AS epochs
+         FROM f ORDER BY domain""",
 
     "pipeline_curate_e2e" ->
       ("""WITH docs AS (

@@ -174,6 +174,7 @@ object BenchSf1 {
       "graph_kcore" -> graft.SparkEntry.queries("graph_kcore"),
       "text_good_turing" -> graft.SparkEntry.queries("text_good_turing"),
       "modify_yeo_johnson_grid" -> graft.SparkEntry.queries("modify_yeo_johnson_grid"),
+      "pipeline_budget_e2e" -> graft.SparkEntry.queries("pipeline_budget_e2e"),
       "modify_quantile_normalize" -> graft.SparkEntry.queries("modify_quantile_normalize"),
       "modify_rint" -> graft.SparkEntry.queries("modify_rint"),
       "modify_quantile_bins" -> graft.SparkEntry.queries("modify_quantile_bins"),

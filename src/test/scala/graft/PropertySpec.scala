@@ -180,6 +180,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("epochMix laws on random domain tables: conservation, caps, uniform waterline") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77L)
+    for (trial <- 1 to 5) {
+      val nDom = 2 + rng.nextInt(8)
+      val rows = (0 until nDom).flatMap { d =>
+        (0 until (1 + rng.nextInt(50))).map(i => (s"dom$d", 1L + rng.nextInt(40).toLong))
+      }.toDF("domain", "tok")
+      val totCap = rows.agg(org.apache.spark.sql.functions.sum("tok")).head().getLong(0) * 3
+      val budget = math.max(1L, (totCap * (0.2 + rng.nextDouble() * 1.2)).toLong)
+      val out = graft.pipeline.Sampling
+        .epochMix(rows, "domain", col("tok"), budget, maxEpochs = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      // conservation: total allocation = min(budget, total capacity)
+      val allocSum = out.map(_._4).sum
+      assert(math.abs(allocSum - math.min(budget, totCap).toDouble) < 1e-6 * allocSum + 1e-6,
+        s"trial $trial: alloc $allocSum vs min($budget, $totCap)")
+      // caps respected; epochs never exceed maxEpochs
+      out.foreach { case (d, n, cap, alloc, ep) =>
+        assert(cap === n * 3 && alloc <= cap + 1e-9 && ep <= 3.0 + 1e-12, s"$trial/$d")
+      }
+      // waterline: all UNSATURATED domains receive the same token count
+      val unsat = out.filter(t => t._4 < t._3 - 1e-9).map(_._4)
+      assert(unsat.distinct.length <= 1, s"trial $trial: waterline not uniform: ${unsat.toSeq}")
+    }
+  }
+
+  test("jsDivergence laws: symmetric, within [0, ln 2], zero iff identical") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31L)
+    val words = ('a' to 'j').map(_.toString)
+    def corpus(n: Int) = (1 to n).map(_ =>
+      (1 to (3 + rng.nextInt(8))).map(_ => words(rng.nextInt(words.length))).mkString(" "))
+      .toDF("text")
+    val (a, b) = (corpus(20), corpus(20))
+    def js(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Text.jsDivergence(x, y, "text").head()
+        .getDouble(5)
+    val ab = js(a, b); val ba = js(b, a)
+    assert(math.abs(ab - ba) < 1e-12, s"symmetry: $ab vs $ba")
+    assert(ab >= 0.0 && ab <= math.log(2.0) + 1e-12, s"bounds: $ab")
+    assert(js(a, a) === 0.0)
+  }
+
+  test("kCoreBounded invariant: every surviving node has in-core degree >= k on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13L)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = (1 to 120).map(_ => (s"v${rng.nextInt(n)}", s"v${rng.nextInt(n)}"))
+        .filter(e => e._1 != e._2).toDF("src", "dst")
+      val k = 2 + rng.nextInt(3)
+      val core = graft.pipeline.Graph.kCoreBounded(edges, "src", "dst", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(core.values.forall(_ >= k), s"trial $trial k=$k: degree invariant violated: $core")
+    }
+  }
+
   test("upsert laws: idempotent, identity on empty delta, diff sees the change") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
