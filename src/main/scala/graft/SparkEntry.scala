@@ -690,6 +690,14 @@ object SparkEntry {
         .orderBy("variable")
     }),
 
+    "describe_score_eval" -> ((s, dir) =>
+      // classifier/ranking evaluation: exact-int64 ROC AUC (rank
+      // identity, ties at 1/2) + sklearn-step average precision of
+      // price as a "returned" predictor
+      Describe.scoreEval(
+        t(s, dir, "lineitem").filter(col("l_returnflag").isin("R", "A")),
+        "l_extendedprice", col("l_returnflag") === "R")),
+
     "describe_mannwhitney" -> ((s, dir) =>
       // rank-based location-shift drift (outlier-robust where a mean test
       // is not); 2·rank-sum and the tie correction are exact int64
@@ -3646,6 +3654,28 @@ object SparkEntry {
       }.mkString(" UNION ALL ")
       s"SELECT * FROM ($arms) ORDER BY variable"
     },
+
+    "describe_score_eval" ->
+      """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS p
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         b AS (SELECT x, CAST(sum(p) AS BIGINT) AS cp,
+             CAST(count(*) - sum(p) AS BIGINT) AS cn FROM s GROUP BY 1),
+         c AS (SELECT *,
+             CAST(coalesce(sum(cp) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cpb,
+             CAST(coalesce(sum(cn) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cnb
+           FROM b),
+         t AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM b),
+         agg AS (SELECT CAST(sum(cp * (2 * cnb + cn)) AS BIGINT) AS a2,
+             sum((CAST(cp AS DOUBLE) / np)
+               * (CAST(np - cpb AS DOUBLE) / (CAST(np - cpb AS DOUBLE) + (nn - cnb)))) AS apv
+           FROM c, t)
+         SELECT np AS n_pos, nn AS n_neg,
+           round(CAST(a2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc,
+           round(apv, 6) AS average_precision
+         FROM agg, t""",
 
     "describe_mannwhitney" -> mannWhitneyOracleSql,
 

@@ -634,6 +634,74 @@ object Describe {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** ROC AUC + average precision of a score column against a boolean
+    * label — the evaluation pair for the engine's own classifiers (or
+    * any ranking score), on the KS/Mann-Whitney exact-int64 machinery:
+    * ties aggregate first (ONE row-scale shuffle keyed by score), the
+    * distinct-score blocks get a range-partitioned sort with
+    * O(#partitions) prefix offsets, and
+    *
+    *  - AUC rides the rank identity with ties at 1/2:
+    *    2·nP·nN·AUC = Σ_blocks cPos·(2·cumNegBelow + cNeg) — EXACT int64
+    *    (Math.multiplyExact makes a >3e9-row wrap loud, the KS bound),
+    *    so AUC is ONE division of exact integers: partitioning- and
+    *    engine-invariant to the last bit;
+    *  - average precision is sklearn's distinct-threshold step sum
+    *    AP = Σ_blocks (ΔTP/nP)·(TP/(TP+FP)) with TP/FP exact int64
+    *    cumulatives from the top — per-block terms are exact-rounded
+    *    identically everywhere, the cross-block sum rounds at 6dp.
+    *
+    * Returns ONE row (n_pos, n_neg, auc, average_precision). */
+  def scoreEval(df: DataFrame, scoreCol: String, isPositive: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sorted = df
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
+      .select(col(scoreCol).cast("double").as("__x"),
+        isPositive.cast("boolean").as("__p"))
+      .groupBy("__x").agg(
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(col("__p"), 0L).otherwise(1L)).as("__cn"))
+      .repartitionByRange(parts, col("__x"))
+      .sortWithinPartitions("__x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var cp = 0L; var cn = 0L
+        it.foreach { r => cp += r.getLong(1); cn += r.getLong(2) }
+        Iterator.single((pi, cp, cn))
+      }.collect().sortBy(_._1)
+      val nP = perPart.iterator.map(_._2).sum
+      val nN = perPart.iterator.map(_._3).sum
+      require(nP > 0 && nN > 0,
+        s"scoreEval needs both classes non-empty: nPos=$nP nNeg=$nN")
+      val starts = perPart.scanLeft((0L, 0L)) {
+        case ((a, b), (_, cp, cn)) => (a + cp, b + cn)
+      }.init
+      // one pass: exact 2·U accumulator + the AP step terms
+      val (a2, ap) = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var (cpb, cnb) = starts(pi)
+        it.map { r =>
+          val cp = r.getLong(1); val cn = r.getLong(2)
+          val term = Math.multiplyExact(cp,
+            Math.addExact(Math.multiplyExact(2L, cnb), cn))
+          val tp = nP - cpb; val fp = nN - cnb // cumulative from the top
+          val apTerm = (cp.toDouble / nP) * (tp.toDouble / (tp.toDouble + fp))
+          cpb += cp; cnb += cn
+          (term, apTerm)
+        }
+      }.fold((0L, 0.0)) { case ((s1, s2), (t1, t2)) =>
+        (Math.addExact(s1, t1), s2 + t2)
+      }
+      val auc = a2.toDouble / (2.0 * nP * nN)
+      Seq((nP, nN,
+        BigDecimal(auc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(ap).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("n_pos", "n_neg", "auc", "average_precision")
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Per-column numeric summary in the MERGEABLE form (variable, n, mean,
     * m2, min, max) — m2 = Σ(x−mean)² is the sufficient statistic that
     * lets [[mergeSummaries]] combine per-batch profiles without

@@ -702,6 +702,36 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(out("b") === 0.0, "unmoved column must not flag")
   }
 
+  test("scoreEval: perfect/uninformative/hand-tied AUC and AP; exact under repartition") {
+    import spark.implicits._
+    def ev(rows: Seq[(Double, Boolean)], parts: Int = 1) = {
+      val df0 = rows.toDF("score", "pos")
+      val df = if (parts > 1) df0.repartition(parts) else df0
+      val r = Describe.scoreEval(df, "score", col("pos")).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    // perfect separation: every positive above every negative
+    val perfect = (1 to 5).map(i => (10.0 + i, true)) ++ (1 to 7).map(i => (i.toDouble, false))
+    assert(ev(perfect) === ((5L, 7L, 1.0, 1.0)))
+    // uninformative: one shared score value -> AUC 1/2, AP = prevalence
+    val flat = Seq.fill(4)((3.0, true)) ++ Seq.fill(12)((3.0, false))
+    val (np, nn, auc, ap) = ev(flat)
+    assert(np === 4L && nn === 12L && auc === 0.5)
+    assertRtol(ap, 4.0 / 16, 1e-6, "AP at a single block = prevalence")
+    // hand case with a tie straddling the classes:
+    // scores: pos {3, 2}, neg {2, 1} -> pairs: (3>2),(3>1),(2=2 half),(2>1)
+    // AUC = (1 + 1 + 0.5 + 1) / 4 = 0.875
+    val hand = Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false))
+    val h = ev(hand)
+    assert(h._3 === 0.875, s"hand AUC: $h")
+    // AP blocks desc: {3}: TP1/1 * (1/2) ; {2}: dTP=1/2 * (2/3); {1}: dTP 0
+    assertRtol(h._4, 0.5 * 1.0 + 0.5 * (2.0 / 3), 1e-6, "hand AP (6dp rounded output)")
+    // partitioning cannot move the exact statistic
+    assert(ev(hand, parts = 7) === h)
+    // single-class input refuses loudly
+    intercept[IllegalArgumentException] { ev(Seq((1.0, true), (2.0, true))) }
+  }
+
   test("psiCategorical: identical -> 0, full swap hand-formula, null is its own category") {
     import spark.implicits._
     val ref = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).map(Tuple1(_)).toDF("c")

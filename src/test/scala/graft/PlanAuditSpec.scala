@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "sample_stratified" -> "NO-PUSHDOWN: filters on per-stratum hash ranks (derived)",
     "sample_weighted" -> "NO-PUSHDOWN: filters on Efraimidis-Spirakis keys (derived)",
     "decon_corpus_minhash" -> "NO-CODEGEN: the returned frame is a one-row LocalTableScan of the driver-computed estimate; the two signature aggregations that COMPUTE it are codegen'd projections + map-side-combined aggs, executed eagerly at construction",
+    "describe_score_eval" -> "NO-CODEGEN: the returned frame is a one-row LocalTableScan of the (auc, ap) summary; the compute path is the ksTwoSample discipline — tie-aggregated codegen'd shuffle, range-partitioned sort, exact-int64 fold — executed eagerly at construction",
     "describe_ks_drift" -> "NO-CODEGEN: the returned frame is a one-row LocalTableScan of the (D, pvalue) summary; the compute path is the giniByGroup discipline — tie-aggregated codegen'd shuffle, range-partitioned sort, O(#partitions) offsets, max reduce — executed eagerly at construction",
     "text_heavy_hitters" -> "NO-PUSHDOWN: the exact pass filters the empty-word guard and the candidate semi-join on the EXPLODED token stream — post-explode, not a base-column predicate",
     "text_good_turing" -> "NO-PUSHDOWN: whole-corpus counts-of-counts; the only filters are the empty-word guard on the EXPLODED token stream and r <= maxR on the AGGREGATED table — no base-row predicate exists",
