@@ -1619,6 +1619,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_recall_eval" -> ((s, dir) => {
+      // index acceptance metric: recall@3 of the nProbe=4 IVF path
+      // against the exact brute-force ground truth, per query — both
+      // paths deterministic (round-before-rank + id tie-breaks), so the
+      // overlap count is hash-exact
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 50)
+      val (model, assigned) = ivfIndex(s, dir)
+      val approx = Similarity.ivfQuery(model, assigned, queries, k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      val truth = Similarity.bruteForceTopK(e, queries, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_at_3", round(col("n_hits").cast("double") / 3.0, 6))
+        .orderBy("query_id")
+    }),
+
     "ann_pq_topk" -> ((s, dir) => {
       // product quantization (Jégou 2011): per-block codebooks trained
       // with the grid-pinned Lloyd loop, per-vector codes, then ADC
@@ -3193,6 +3212,49 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** `ann_recall_eval` oracle: the full IVF replay (same CTEs as
+    * ivfTopkOracleSql) joined against the brute-force ground truth —
+    * recall@k per query as an exact overlap count. */
+  private def annRecallOracleSql: String = {
+    val (nLists, iters, k, nProbe) = (16, 8, 3, 4)
+    s"""WITH ${ivfOracleCtes(nLists, iters)},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50),
+       |probe AS (SELECT query_id, qv, cid AS list_id FROM (
+       |    SELECT q.query_id, q.qv, i.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY (SELECT sum((q.qv[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid) AS pr
+       |    FROM q CROSS JOIN ctr$iters i) WHERE pr <= $nProbe),
+       |cand AS (SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+       |  FROM probe p JOIN asg a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.query_id),
+       |dots AS (SELECT query_id, neighbor_id,
+       |    sum(qv[r.range + 1] * cv[r.range + 1]) AS d,
+       |    sum(qv[r.range + 1] ^ 2) AS nq,
+       |    sum(cv[r.range + 1] ^ 2) AS nc
+       |  FROM cand CROSS JOIN range(64) r GROUP BY 1, 2),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    round(d / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM dots),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored),
+       |approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $k),
+       |bd AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
+       |    sum(q.qv[r.range + 1] * e2.v[r.range + 1]) AS d,
+       |    sum(q.qv[r.range + 1] ^ 2) AS nq,
+       |    sum(e2.v[r.range + 1] ^ 2) AS nc
+       |  FROM q CROSS JOIN e e2 CROSS JOIN range(64) r
+       |  WHERE e2.vec_id <> q.query_id GROUP BY 1, 2),
+       |bscored AS (SELECT query_id, neighbor_id,
+       |    round(d / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM bd),
+       |branked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk FROM bscored),
+       |truth AS (SELECT query_id, neighbor_id FROM branked WHERE rk <= $k)
+       |SELECT t.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       |  round(CAST(count(a.neighbor_id) AS DOUBLE) / $k, 6) AS recall_at_3
+       |FROM truth t LEFT JOIN approx a
+       |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** `ann_knn_graph` oracle: every corpus vector probes its nProbe nearest
     * lists over the SAME replayed index; k best rounded-cosine neighbors
     * per source. */
@@ -4376,6 +4438,8 @@ object SparkEntry {
     "dedup_minhash_star" -> minhashStarOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "ann_lsh_topk" -> lshOracleSql,
+    "ann_recall_eval" -> annRecallOracleSql,
+
     "ann_ivf_topk" -> ivfTopkOracleSql,
 
     "ann_pq_topk" -> pqTopkOracleSql,

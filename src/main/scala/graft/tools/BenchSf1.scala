@@ -176,6 +176,7 @@ object BenchSf1 {
       "modify_yeo_johnson_grid" -> graft.SparkEntry.queries("modify_yeo_johnson_grid"),
       "pipeline_budget_e2e" -> graft.SparkEntry.queries("pipeline_budget_e2e"),
       "describe_score_eval" -> graft.SparkEntry.queries("describe_score_eval"),
+      "ann_recall_eval" -> graft.SparkEntry.queries("ann_recall_eval"),
       "modify_quantile_normalize" -> graft.SparkEntry.queries("modify_quantile_normalize"),
       "modify_rint" -> graft.SparkEntry.queries("modify_rint"),
       "modify_quantile_bins" -> graft.SparkEntry.queries("modify_quantile_bins"),

@@ -110,6 +110,7 @@ object BenchSf10 {
       "modify_yeo_johnson_grid" -> graft.SparkEntry.queries("modify_yeo_johnson_grid"),
       "pipeline_budget_e2e" -> graft.SparkEntry.queries("pipeline_budget_e2e"),
       "describe_score_eval" -> graft.SparkEntry.queries("describe_score_eval"),
+      "ann_recall_eval" -> graft.SparkEntry.queries("ann_recall_eval"),
       "graph_pagerank_distributed" -> ((s: SparkSession, dir: String) => {
         s.conf.set("graft.pagerank.localMaxNodes", "0")
         try graft.SparkEntry.queries("graph_pagerank")(s, dir)
