@@ -283,6 +283,14 @@ object SparkEntry {
           col("n"), round(col("z"), 6).as("z"))
         .orderBy("event_type", "hour_start")),
 
+    "events_active_users" -> ((s, dir) =>
+      // DAU/WAU/MAU rollup: distinct (day, user) first, then a bounded
+      // 30x explode of the tiny distinct table — never a sliding self-join
+      EventStreams.activeUsers(t(s, dir, "events"))
+        .select(unix_timestamp(col("day")).cast("long").as("day_start"),
+          col("dau"), col("wau"), col("mau"))
+        .orderBy("day_start")),
+
     "events_cusum_drift" -> ((s, dir) =>
       // sequential-shift detector over hourly volumes: the CUSUM
       // recurrence in its prefix form, all comparisons exact int64
@@ -5430,6 +5438,20 @@ object SparkEntry {
          FROM h JOIN st USING (event_type)
          WHERE sd > 0 AND abs((n - m) / sd) > 2
          ORDER BY 1, 2""",
+
+    "events_active_users" ->
+      """WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             user_id AS u
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         grid AS (SELECT DISTINCT day AS tday FROM ud),
+         c AS (SELECT day + CAST(r.range AS INTEGER) AS tday, day, u
+           FROM ud CROSS JOIN range(30) r),
+         j AS (SELECT c.tday, c.day, c.u FROM c JOIN grid USING (tday))
+         SELECT CAST(floor(epoch(tday)) AS BIGINT) AS day_start,
+           CAST(count(DISTINCT CASE WHEN tday = day THEN u END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT CASE WHEN tday - day <= 6 THEN u END) AS BIGINT) AS wau,
+           CAST(count(DISTINCT u) AS BIGINT) AS mau
+         FROM j GROUP BY 1 ORDER BY 1""",
 
     "events_cusum_drift" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -177,6 +177,7 @@ object BenchSf1 {
       "pipeline_budget_e2e" -> graft.SparkEntry.queries("pipeline_budget_e2e"),
       "describe_score_eval" -> graft.SparkEntry.queries("describe_score_eval"),
       "ann_recall_eval" -> graft.SparkEntry.queries("ann_recall_eval"),
+      "events_active_users" -> graft.SparkEntry.queries("events_active_users"),
       "modify_quantile_normalize" -> graft.SparkEntry.queries("modify_quantile_normalize"),
       "modify_rint" -> graft.SparkEntry.queries("modify_rint"),
       "modify_quantile_bins" -> graft.SparkEntry.queries("modify_quantile_bins"),

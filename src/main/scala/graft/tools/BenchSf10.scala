@@ -111,6 +111,7 @@ object BenchSf10 {
       "pipeline_budget_e2e" -> graft.SparkEntry.queries("pipeline_budget_e2e"),
       "describe_score_eval" -> graft.SparkEntry.queries("describe_score_eval"),
       "ann_recall_eval" -> graft.SparkEntry.queries("ann_recall_eval"),
+      "events_active_users" -> graft.SparkEntry.queries("events_active_users"),
       "graph_pagerank_distributed" -> ((s: SparkSession, dir: String) => {
         s.conf.set("graft.pagerank.localMaxNodes", "0")
         try graft.SparkEntry.queries("graph_pagerank")(s, dir)

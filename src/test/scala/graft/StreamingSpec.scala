@@ -617,6 +617,27 @@ class StreamingSpec extends SparkSpec {
       ("b", 0L, 0L, None), ("b", 3600L, 1L, Some(7.0)), ("b", 7200L, 0L, Some(7.0))))
   }
 
+  test("activeUsers: hand DAU/WAU/MAU with trailing-window carry and absent-day drop") {
+    import spark.implicits._
+    val day = 86400L
+    // u1 active day 0 only; u2 active days 0 and 8; nothing on days 1-7
+    // except u2's day-8 row -> day 8 is the only other emitted day
+    val events = Seq(
+      (1L, ts(100L), 1L, "a", 1.0, "{}"),
+      (2L, ts(200L), 2L, "a", 1.0, "{}"),
+      (3L, ts(8 * day + 50L), 2L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.activeUsers(events)
+      .collect().map(r => (r.getDate(0).toString,
+        r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // day 0: both users in all three windows. day 8: only u2 active that
+    // day; day 0 is outside its 7-day window (8 - 0 > 6) but inside the
+    // 30-day window, so wau = 1 while mau = 2.
+    assert(out.toSeq === Seq(
+      ("1970-01-01", 2L, 2L, 2L),
+      ("1970-01-09", 1L, 1L, 2L)), s"got ${out.toSeq}")
+  }
+
   test("cusumHourly: a sustained level shift alarms at the right hour, stationary stays quiet") {
     import spark.implicits._
     def mk(counts: Seq[Int], tpe: String) = counts.zipWithIndex.flatMap {
