@@ -26,6 +26,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Belt-and-braces vs stdout-tail pollution (the driver parses the final
+    // stdout line as JSON from a ~2000-char tail): WindowExec's "No
+    // Partition Defined" WARN — triggered 3×passes per run by any bounded
+    // single-partition window — goes to ERROR. The one such window (zipf's
+    // 500-row rank) is also partitioned by a literal at the source.
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+      // the registered-native-expression helpers re-register per call by
+      // design; the per-call "replaced a previously registered function"
+      // WARN is noise at bench volume
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+        org.apache.logging.log4j.Level.ERROR)
+    } catch { case _: Throwable => () }
     // JVM/codegen/sink warmup on the smallest SF so per-query times measure
     // the engine, not first-call JIT + codegen + noop-source loading
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

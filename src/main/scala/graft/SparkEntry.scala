@@ -309,10 +309,18 @@ object SparkEntry {
       val ref = graft.streaming.DriftMonitor.buildReference(
         ev.filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp")),
         "value", bins = 10)
-      graft.streaming.DriftMonitor.windowedDrift(ev, "ts", "value", ref, "1 hour")
+      // r13: the cross-window CUSUM stage rides the same scored windows —
+      // a persistent small location shift that never trips one window's
+      // PSI accumulates in cusum_up/cusum_dn (prefix form, slack 0,
+      // threshold 1 bin·window)
+      graft.streaming.DriftMonitor.cusumBinnedScores(
+          graft.streaming.DriftMonitor.windowedDrift(ev, "ts", "value", ref, "1 hour"))
         .select(unix_timestamp(col("window_start")).cast("long").as("hour_start"),
           col("n"), round(col("psi"), 6).as("psi"),
-          round(col("ks_binned"), 6).as("ks_binned"), col("verdict"))
+          round(col("ks_binned"), 6).as("ks_binned"), col("verdict"),
+          round(col("loc_shift"), 6).as("loc_shift"),
+          round(col("cusum_up"), 6).as("cusum_up"),
+          round(col("cusum_dn"), 6).as("cusum_dn"), col("cusum_alarm"))
         .orderBy("hour_start")
     }),
 
@@ -1567,6 +1575,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_hard_negatives_ivf" -> ((s, dir) => {
+      // the SCALE path for negative mining (r12 VERDICT #6): candidates
+      // come from the probed IVF lists (nProbe/nLists of the corpus per
+      // query) instead of the exact full scan; label inequality in the
+      // same scan filter. ann_hard_negatives stays the exact contract;
+      // recall of this funnel vs exact is spec-asserted (PipelineSpec)
+      val e = t(s, dir, "embeddings")
+      val (model, assigned) = ivfIndex(s, dir)
+      Similarity.hardNegativesIvf(model, assigned,
+          e.filter(col("vec_id") < 5), k = 3, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "sample_kcenter" -> ((s, dir) => {
       // greedy farthest-point diversity pick: 5 rounds, min-id seed,
       // distances rounded to the shared decimal grid before each argmax
@@ -1801,11 +1822,15 @@ object SparkEntry {
 
     "text_zipf_fit" -> ((s, dir) => {
       // rank-frequency power law: closed-form OLS of ln(tf) on ln(rank)
-      // over the top-500 vocab (Zipf exponent ≈ −slope). The global rank
-      // window runs on 500 rows AFTER the top-k — bounded by construction
+      // over the top-500 vocab (Zipf exponent ≈ −slope). The rank window
+      // runs on 500 rows AFTER the top-k — bounded by construction; the
+      // literal partition key keeps the identical one-partition plan but
+      // without WindowExec's "No Partition Defined" WARN, which was the
+      // only log line spamming the driver's 2000-char stdout tail capture
       val v = Text.vocab(t(s, dir, "documents"), "text", "doc_id", topK = 500)
         .withColumn("rank",
-          row_number().over(Window.orderBy(col("tf").desc, col("word").asc)))
+          row_number().over(Window.partitionBy(lit(0))
+            .orderBy(col("tf").desc, col("word").asc)))
       val xy = v.select(log(col("rank").cast("double")).as("x"),
         log(col("tf").cast("double")).as("y"))
       xy.agg(count(lit(1)).as("__n"), sum("x").as("__sx"), sum("y").as("__sy"),
@@ -1966,6 +1991,17 @@ object SparkEntry {
           md5(col("text_dedup").cast("binary")).as("text_md5"))
         .orderBy("id")
     }),
+
+    "dedup_substring" -> ((s, dir) =>
+      // exact substring dedup, corpus-vs-itself (Lee et al. 2022): maximal
+      // cross-document duplicated spans of >= 15 tokens. L=15 suits this
+      // corpus's ~55-token docs (production runs 50 on web-length docs);
+      // output is span-bounded, never corpus-bounded
+      Dedup.substringSpans(t(s, dir, "documents"), "text", "doc_id",
+          minTokens = 15)
+        .select(col("id").as("doc_id"), col("span_start").cast("long"),
+          col("span_end").cast("long"), col("n_tokens").cast("long"))
+        .orderBy("doc_id", "span_start")),
 
     "text_langid_eval" -> ((s, dir) => {
       // language-ID accuracy audit against the corpus lang column — the
@@ -3263,6 +3299,38 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** `ann_hard_negatives_ivf` oracle: the ivfTopkOracleSql replay with
+    * labels joined on both sides and the IS DISTINCT FROM inequality in
+    * the candidate filter (the engine's null-safe !(<=>)). */
+  private def annHardNegativesIvfOracleSql: String = {
+    val (nLists, iters, k, nProbe) = (16, 8, 3, 4)
+    s"""WITH ${ivfOracleCtes(nLists, iters)},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |q AS (SELECT e.vec_id AS query_id, e.v AS qv, lab.label
+       |  FROM e JOIN lab ON lab.vec_id = e.vec_id WHERE e.vec_id < 5),
+       |probe AS (SELECT query_id, qv, label, cid AS list_id FROM (
+       |    SELECT q.query_id, q.qv, q.label, i.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY (SELECT sum((q.qv[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid) AS pr
+       |    FROM q CROSS JOIN ctr$iters i) WHERE pr <= $nProbe),
+       |cand AS (SELECT p.query_id, p.label, p.qv, a.vec_id AS neighbor_id,
+       |    a.v AS cv, nl.label AS neighbor_label
+       |  FROM probe p JOIN asg a ON a.list_id = p.list_id
+       |  JOIN lab nl ON nl.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id AND nl.label IS DISTINCT FROM p.label),
+       |dots AS (SELECT query_id, label, neighbor_id, neighbor_label,
+       |    sum(qv[r.range + 1] * cv[r.range + 1]) AS d,
+       |    sum(qv[r.range + 1] ^ 2) AS nq,
+       |    sum(cv[r.range + 1] ^ 2) AS nc
+       |  FROM cand CROSS JOIN range(64) r GROUP BY 1, 2, 3, 4),
+       |scored AS (SELECT query_id, label, neighbor_id, neighbor_label,
+       |    round(d / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM dots),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)
+       |SELECT query_id, label, neighbor_id, neighbor_label, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** `ann_knn_graph` oracle: every corpus vector probes its nProbe nearest
     * lists over the SAME replayed index; k best rounded-cosine neighbors
     * per source. */
@@ -4448,6 +4516,8 @@ object SparkEntry {
     "ann_lsh_topk" -> lshOracleSql,
     "ann_recall_eval" -> annRecallOracleSql,
 
+    "ann_hard_negatives_ivf" -> annHardNegativesIvfOracleSql,
+
     "ann_ivf_topk" -> ivfTopkOracleSql,
 
     "ann_pq_topk" -> pqTopkOracleSql,
@@ -4957,6 +5027,35 @@ object SparkEntry {
            n_paras - coalesce(n_kept, 0) AS n_removed,
            coalesce(text_md5, md5('')) AS text_md5
          FROM tot LEFT JOIN agg USING (id) ORDER BY id""",
+
+    // cross-doc duplicated 15-grams by STRING (the engine groups the same
+    // grams by their 8-byte fingerprint — the house dedup contract);
+    // min<>max doc_id is the ">=2 distinct docs" test; equal-length
+    // windows make the interval union a lag(start) island sweep
+    "dedup_substring" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+           FROM documents),
+         o AS (SELECT doc_id, u.start AS start, u.g AS g
+           FROM (SELECT doc_id,
+               unnest(list_transform(range(CASE WHEN len(w) >= 15 THEN len(w) - 14 ELSE 0 END),
+                 i -> {'start': CAST(i AS INT),
+                       'g': array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 15], ' ')})) AS u
+             FROM d)),
+         cd AS (SELECT g FROM o GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         dup AS (SELECT doc_id, start FROM o JOIN cd USING (g)),
+         isl AS (SELECT doc_id, start,
+             CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+                  OR start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 15
+               THEN 1 ELSE 0 END AS nw
+           FROM dup),
+         isl2 AS (SELECT doc_id, start,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+           FROM isl)
+         SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(start) + 14 AS BIGINT) AS span_end,
+           CAST(max(start) + 14 - min(start) + 1 AS BIGINT) AS n_tokens
+         FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""",
 
     "text_langid_eval" ->
       """WITH toks AS (SELECT doc_id, text, lang, string_split_regex(lower(trim(text)), '\s+') AS tk
@@ -5504,12 +5603,23 @@ object SparkEntry {
          scored AS (SELECT hour_start, CAST(max(t) AS BIGINT) AS n,
              sum((pf - qf) * ln(pf / qf)) AS psi_raw,
              max(abs(cp - cq)) AS ks_raw
-           FROM cums GROUP BY 1)
-         SELECT hour_start, n, round(psi_raw, 6) AS psi,
+           FROM cums GROUP BY 1),
+         mu AS (SELECT sum(bin * p) AS m FROM props),
+         locs AS (SELECT hour_start, sum(bin * q) AS mq FROM cells GROUP BY 1),
+         ser AS (SELECT hour_start, mq - mu.m AS d FROM locs, mu),
+         pre AS (SELECT hour_start, d, sum(d) OVER (ORDER BY hour_start) AS p FROM ser),
+         cus AS (SELECT hour_start, d,
+             p - least(0.0, min(p) OVER (ORDER BY hour_start)) AS s_up,
+             greatest(0.0, max(p) OVER (ORDER BY hour_start)) - p AS s_dn
+           FROM pre)
+         SELECT scored.hour_start, n, round(psi_raw, 6) AS psi,
            round(ks_raw, 6) AS ks_binned,
            CASE WHEN psi_raw >= 0.25 THEN 'action'
-                WHEN psi_raw >= 0.1 THEN 'warning' ELSE 'stable' END AS verdict
-         FROM scored ORDER BY hour_start"""
+                WHEN psi_raw >= 0.1 THEN 'warning' ELSE 'stable' END AS verdict,
+           round(d, 6) AS loc_shift, round(s_up, 6) AS cusum_up,
+           round(s_dn, 6) AS cusum_dn,
+           greatest(s_up, s_dn) > 1.0 AS cusum_alarm
+         FROM scored JOIN cus USING (hour_start) ORDER BY hour_start"""
     },
 
     "modify_quantile_normalize" ->

@@ -657,7 +657,11 @@ object Describe {
     import spark.implicits._
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val sorted = df
-      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
+      // null/NaN scores AND null labels are excluded symmetrically — a
+      // null label is "unknown", not "negative" (r12 ADVICE: the old
+      // otherwise(1L) silently counted null-label rows as negatives)
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double"))
+        && isPositive.cast("boolean").isNotNull)
       .select(col(scoreCol).cast("double").as("__x"),
         isPositive.cast("boolean").as("__p"))
       .groupBy("__x").agg(

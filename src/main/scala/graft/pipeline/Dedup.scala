@@ -123,16 +123,22 @@ object Dedup {
     call_function(fname, c)
   }
 
-  /** Pluggable log sink for scale warnings (tests intercept; default stderr). */
+  /** Default log sink for scale warnings (stderr). Kept as a settable var
+    * for backward compatibility, but prefer the per-call `warnSink`
+    * parameter — a global sink swapped by concurrent sessions or parallel
+    * test suites races and can misroute warnings. */
   @volatile var logSink: String => Unit = s => System.err.println(s)
 
   /** MinHash-LSH candidate pairs: documents sharing at least one band
     * bucket. Returns (id1, id2, estimated jaccard from full signatures),
-    * id1 < id2, deduplicated. */
+    * id1 < id2, deduplicated. `warnSink` receives scale warnings (default:
+    * the process-wide [[logSink]], captured at call time). */
   def minhashCandidates(spark: SparkSession, df: DataFrame, textCol: String,
                         idCol: String, numHashes: Int = 64, bands: Int = 16,
-                        shingleK: Int = 5, seed: Long = 42L): DataFrame = {
+                        shingleK: Int = 5, seed: Long = 42L,
+                        warnSink: String => Unit = null): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val sink = if (warnSink != null) warnSink else logSink
     val rowsPerBand = numHashes / bands
     val params = hashParams(numHashes, seed) // computed ONCE, rides in the plan
     val sigOf = nativeCol(spark, s"minhash_sig_${numHashes}_${shingleK}_$seed",
@@ -142,7 +148,7 @@ object Dedup {
     val sigs = df.select(col(idCol).cast("string").as("id"),
       sigOf(col(textCol)).as("sig"))
     // band buckets: (band, xxhash64(band slice)) — the ONLY shuffle
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -161,6 +167,11 @@ object Dedup {
         require(v >= 0, s"graft.dedup.pairBlowupWarnFactor must be >= 0, got $v")
         v
       }.getOrElse(8L)
+    // when the guard runs, it is a SEPARATE action over the banded frame:
+    // without a cut here the full signature pipeline (shingle + polyHash
+    // over the whole corpus) would recompute for the candidate join —
+    // localCheckpoint materializes signatures ONCE (r12 ADVICE)
+    val banded = if (warnFactor > 0L) banded0.localCheckpoint() else banded0
     if (warnFactor > 0L) {
       val r = banded.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("pairs"),
@@ -168,7 +179,7 @@ object Dedup {
       val pairBound = r.getLong(0)
       val nDocs = math.max(r.getLong(1) / bands, 1L)
       if (pairBound > warnFactor * nDocs)
-        logSink(s"minhashCandidates: bucket co-occurrence bound ~$pairBound " +
+        sink(s"minhashCandidates: bucket co-occurrence bound ~$pairBound " +
           s"pairs for ~$nDocs docs (> ${warnFactor}x, " +
           "graft.dedup.pairBlowupWarnFactor) — the pairwise contract is " +
           "OUTPUT-bound on dup-heavy corpora. For duplicate GROUPS use " +
@@ -514,6 +525,113 @@ object Dedup {
       .select(col("id"), col("n_paras"),
         (col("n_paras") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  // ----------------------------------------------- exact substring dedup
+  // (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  // Better" — the exact-substring pass production corpora run BEFORE fuzzy
+  // MinHash dedup). No suffix array is built: a span of >= L tokens is
+  // duplicated across documents iff every L-token window inside it is, so
+  // flagging = positioned L-gram fingerprints -> cross-document doc
+  // frequency -> per-document interval union. That re-expression is what
+  // makes the pass one fingerprint-bucket aggregation instead of a
+  // distributed suffix array, and it is never all-pairs.
+
+  private def canonicalWordsCol(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** MAXIMAL cross-document duplicated spans of >= `minTokens` whitespace
+    * tokens: every token position covered by an L-gram whose fingerprint
+    * occurs in MORE THAN ONE document is duplicated coverage; overlapping /
+    * adjacent covered windows merge into maximal spans (token-index
+    * intervals over the canonicalized word sequence). Unlike
+    * [[Decontaminate.removeDupSpans]] (any global re-occurrence, including
+    * within-document repeats, non-first occurrences only), this flags the
+    * cross-document coverage on BOTH sides — the flag/measure contract;
+    * [[removeSubstringDups]] is the cut.
+    *
+    * Returns (id, span_start, span_end, n_tokens), span bounds inclusive
+    * token indices, one row per maximal span.
+    *
+    * Scale shape: positioned L-gram hashes are a codegen'd per-row
+    * projection (no shuffle, NgramWindowHashes); cross-doc detection is ONE
+    * map-side-combined aggregation on the 8-byte hash — `min(id) !=
+    * max(id)` is the ">1 distinct document" test without a count-distinct
+    * expand; occurrences flow back via one join on that same hash
+    * (co-partitioned with the aggregation's exchange) and the interval
+    * union is a per-document window over DUPLICATED occurrences only —
+    * output-bound, never corpus-bound. Equal-length windows sorted by
+    * start make the union a lag(start) comparison: no running-max state.
+    * Hash collisions (~n²/2⁶⁴ for n distinct grams) can only merge two
+    * grams' coverage — the same fingerprint contract every dedup operator
+    * here rides. */
+  def substringSpans(df: DataFrame, textCol: String, idCol: String,
+                     minTokens: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    val fname = s"ngram_window_hashes_$minTokens"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.NgramWindowHashes(exprs.head, minTokens), "scala_udf")
+    val occ = df
+      .select(col(idCol).as("id"),
+        posexplode(call_function(fname, canonicalWordsCol(col(textCol)))))
+      .withColumnRenamed("pos", "start").withColumnRenamed("col", "__gh")
+    // cross-doc grams: one regular aggregation; min!=max <=> >=2 distinct ids
+    val crossDoc = occ.groupBy("__gh")
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("__gh"))
+    val dup = occ.join(crossDoc, Seq("__gh")).select(col("id"), col("start"))
+    // interval union per doc: windows are all [start, start+L-1], so after
+    // sorting by start a window starts a new island iff it clears the
+    // previous window's end+1, i.e. start > lag(start) + L
+    val w = Window.partitionBy("id").orderBy("start")
+    dup
+      .withColumn("__new",
+        when(lag(col("start"), 1).over(w).isNull
+          || col("start") > lag(col("start"), 1).over(w) + minTokens, 1).otherwise(0))
+      .withColumn("__island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + lit(minTokens - 1)).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  /** The CUT step over [[substringSpans]]' coverage: every occurrence of a
+    * cross-document-duplicated L-gram is removed EXCEPT occurrences in the
+    * globally-first document containing that gram (min id — one surviving
+    * copy per duplicated substring, the Lee et al. keep-one contract at
+    * document granularity); documents are rebuilt from surviving words.
+    * Returns (id, n_words, n_removed, text_dedup). Same shuffle shape as
+    * [[substringSpans]] plus one per-doc collect of removed starts
+    * (bounded by document length). */
+  def removeSubstringDups(df: DataFrame, textCol: String, idCol: String,
+                          minTokens: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    val fname = s"ngram_window_hashes_$minTokens"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.NgramWindowHashes(exprs.head, minTokens), "scala_udf")
+    val base = df.select(col(idCol).as("id"),
+      canonicalWordsCol(col(textCol)).as("__ws"))
+    val occ = base
+      .select(col("id"), posexplode(call_function(fname, col("__ws"))))
+      .withColumnRenamed("pos", "start").withColumnRenamed("col", "__gh")
+    val crossDoc = occ.groupBy("__gh")
+      .agg(min(col("id")).as("__keeper"), max(col("id")).as("__mx"))
+      .filter(col("__keeper") =!= col("__mx"))
+      .select(col("__gh"), col("__keeper"))
+    val removedStarts = occ.join(crossDoc, Seq("__gh"))
+      .filter(col("id") =!= col("__keeper"))
+      .groupBy("id").agg(collect_list(col("start")).as("__rm"))
+    base.join(removedStarts, Seq("id"), "left")
+      .withColumn("__rm", coalesce(col("__rm"), array().cast("array<int>")))
+      .select(col("id"), size(col("__ws")).cast("long").as("n_words"),
+        filter(col("__ws"), (word, p) =>
+          !exists(col("__rm"), st => p >= st && p < st + minTokens)).as("__kept"))
+      .select(col("id"), col("n_words"),
+        (col("n_words") - size(col("__kept"))).as("n_removed"),
+        concat_ws(" ", col("__kept")).as("text_dedup"))
   }
 
   // ---------------------------------------------------------------- SimHash

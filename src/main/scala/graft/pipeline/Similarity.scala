@@ -202,11 +202,16 @@ object Similarity {
     *
     * Scale shape: the corpus-scale work is [[bruteForceTopK]]'s candidate
     * scan; the greedy runs on O(#queries · m²) collected metadata (m is a
-    * small constant — the candidate list, not the corpus). Determinism:
+    * small constant — the candidate list, not the corpus). The collect is
+    * GATED: past `graft.ann.mmrMaxCells` (default 10M) projected
+    * query·m² cells the call refuses loudly instead of OOMing the driver
+    * (the groupedStats.maxGroups discipline) — one cheap count over the
+    * query frame, no corpus action. Determinism:
     * rel and pairwise sims round to `roundTo` BEFORE every argmax, ties
     * to the smaller id — each greedy step replays on a decimal grid.
     * Returns (query_id, neighbor_id, cosine, mmr_score, rank); rank 1's
-    * mmr_score is its relevance (empty selected set). */
+    * mmr_score is lambda times its relevance (empty selected set → zero
+    * redundancy term, so the score scale is lambda·rel). */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
                 lambda: Double = 0.5, idCol: String = "vec_id",
                 vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
@@ -214,6 +219,23 @@ object Similarity {
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
     val spark = corpus.sparkSession
     import spark.implicits._
+    val maxCells = spark.conf.getOption("graft.ann.mmrMaxCells")
+      .map { s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.ann.mmrMaxCells must be a positive integer, got '$s'")
+        }
+        require(v > 0, s"graft.ann.mmrMaxCells must be > 0, got $v")
+        v
+      }.getOrElse(10000000L)
+    val nQueries = queries.count()
+    val cells = nQueries * m.toLong * m.toLong
+    if (cells > maxCells) throw new IllegalArgumentException(
+      s"mmrRerank: $nQueries queries x m=$m projects ~$cells candidate-pair " +
+        s"cells collected to the driver, exceeding graft.ann.mmrMaxCells=" +
+        s"$maxCells. The greedy's driver state is O(#queries x m^2); raise " +
+        "the conf only with matching driver memory, shrink the query batch " +
+        "(rerank is per-query — split and union), or reduce m.")
     val top = bruteForceTopK(corpus, queries, m, idCol, vecCol, roundTo)
     val cv = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__v"))
     // pairwise sims WITHIN each query's candidate list: candidate-scale
@@ -274,6 +296,41 @@ object Similarity {
       .withColumn("cosine", round(
         graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("cv")),
         roundTo))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "label", "neighbor_id", "neighbor_label", "cosine", "rank")
+  }
+
+  /** IVF-funnel hard negatives (VERDICT r12 #6): mine from the probed
+    * inverted lists instead of the full corpus — [[hardNegatives]]' exact
+    * scan is the truth/contract path; this is the scale path that touches
+    * only nProbe/nLists of the corpus per query (the [[ivfQuery]]
+    * candidate shape with the label inequality pushed into the same scan
+    * filter). Negatives mined from nearby lists are exactly the
+    * high-similarity other-label vectors contrastive training wants;
+    * recall vs the exact path is spec-asserted the way ann_recall_eval
+    * audits retrieval. Same determinism contract (round-before-rank, id
+    * tie-breaks, queries broadcast, corpus never shuffles). Returns
+    * (query_id, label, neighbor_id, neighbor_label, cosine, rank). */
+  def hardNegativesIvf(model: IvfModel, assigned: DataFrame, queries: DataFrame,
+                       k: Int, nProbe: Int = 4, idCol: String = "vec_id",
+                       vecCol: String = "embedding", labelCol: String = "label",
+                       roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val nP = math.min(nProbe, model.nLists)
+    val c = assigned.select(col("list_id"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("neighbor_label"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("label"))
+      .withColumn("list_id",
+        explode(nearestLists(queries.sparkSession, model.centers, nP)(col("qv")))))
+    val scored = c.join(q, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        !(col("neighbor_label") <=> col("label")))
+      .withColumn("cosine", round(
+        graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("cv")), roundTo))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -178,6 +178,11 @@ object BenchSf1 {
       "describe_score_eval" -> graft.SparkEntry.queries("describe_score_eval"),
       "ann_recall_eval" -> graft.SparkEntry.queries("ann_recall_eval"),
       "events_active_users" -> graft.SparkEntry.queries("events_active_users"),
+      // r13 wave: exact substring dedup (whole-corpus by contract), the
+      // IVF hard-negative funnel; events_drift_monitor (above) re-probes
+      // with its new CUSUM stage included
+      "dedup_substring" -> graft.SparkEntry.queries("dedup_substring"),
+      "ann_hard_negatives_ivf" -> graft.SparkEntry.queries("ann_hard_negatives_ivf"),
       "modify_quantile_normalize" -> graft.SparkEntry.queries("modify_quantile_normalize"),
       "modify_rint" -> graft.SparkEntry.queries("modify_rint"),
       "modify_quantile_bins" -> graft.SparkEntry.queries("modify_quantile_bins"),

@@ -112,6 +112,9 @@ object BenchSf10 {
       "describe_score_eval" -> graft.SparkEntry.queries("describe_score_eval"),
       "ann_recall_eval" -> graft.SparkEntry.queries("ann_recall_eval"),
       "events_active_users" -> graft.SparkEntry.queries("events_active_users"),
+      // r13 wave (see BenchSf1)
+      "dedup_substring" -> graft.SparkEntry.queries("dedup_substring"),
+      "ann_hard_negatives_ivf" -> graft.SparkEntry.queries("ann_hard_negatives_ivf"),
       "graph_pagerank_distributed" -> ((s: SparkSession, dir: String) => {
         s.conf.set("graft.pagerank.localMaxNodes", "0")
         try graft.SparkEntry.queries("graph_pagerank")(s, dir)

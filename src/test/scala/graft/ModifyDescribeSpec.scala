@@ -730,6 +730,13 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(ev(hand, parts = 7) === h)
     // single-class input refuses loudly
     intercept[IllegalArgumentException] { ev(Seq((1.0, true), (2.0, true))) }
+    // null labels are EXCLUDED (not counted as negatives): a null-label
+    // row wedged between the classes must not move any statistic
+    val withNull = Seq((3.0, Some(true)), (2.0, Some(true)), (2.5, None),
+      (2.0, Some(false)), (1.0, Some(false))).toDF("score", "pos")
+    val rn = Describe.scoreEval(withNull, "score", col("pos")).head()
+    assert((rn.getLong(0), rn.getLong(1), rn.getDouble(2), rn.getDouble(3))
+      === ((2L, 2L, h._3, h._4)), "null label must be dropped, not negative")
   }
 
   test("psiCategorical: identical -> 0, full swap hand-formula, null is its own category") {

@@ -56,38 +56,37 @@ class PipelineSpec extends SparkSpec {
   test("minhashCandidates: dup-heavy corpora trigger the pair-blowup warning pointing at the star path") {
     import spark.implicits._
     val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
-    val saved = Dedup.logSink
-    Dedup.logSink = s => warnings.synchronized { warnings += s }
+    // per-call sink (r12 ADVICE): no global logSink swap — parallel suites
+    // can't race or misroute warnings through a shared var
+    val sink: String => Unit = s => warnings.synchronized { warnings += s }
+    // 100 byte-identical docs: every band has one 100-member bucket ->
+    // pair bound 16*C(100,2) = 79200 >> 8*100
+    val heavy = (1 to 100).map(i => (i.toLong, "the same document body repeated"))
+      .toDF("doc_id", "text")
+    Dedup.minhashCandidates(spark, heavy, "text", "doc_id", warnSink = sink)
+    assert(warnings.exists(w => w.contains("minhashStarEdges") &&
+      w.contains("graft.dedup.pairBlowupWarnFactor")),
+      s"expected blow-up warning, got: $warnings")
+    // distinct corpus: silent
+    warnings.clear()
+    val rngDocs = new scala.util.Random(99L)
+    val distinctDocs = (1 to 100)
+      .map(i => (i.toLong, (1 to 12).map(_ =>
+        (1 to 8).map(_ => ('a' + rngDocs.nextInt(26)).toChar).mkString).mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.minhashCandidates(spark, distinctDocs, "text", "doc_id", warnSink = sink)
+    assert(warnings.isEmpty, s"no warning expected for a distinct corpus: $warnings")
+    // factor 0 disables the pre-flight entirely
+    spark.conf.set("graft.dedup.pairBlowupWarnFactor", "0")
     try {
-      // 100 byte-identical docs: every band has one 100-member bucket ->
-      // pair bound 16*C(100,2) = 79200 >> 8*100
-      val heavy = (1 to 100).map(i => (i.toLong, "the same document body repeated"))
-        .toDF("doc_id", "text")
-      Dedup.minhashCandidates(spark, heavy, "text", "doc_id")
-      assert(warnings.exists(w => w.contains("minhashStarEdges") &&
-        w.contains("graft.dedup.pairBlowupWarnFactor")),
-        s"expected blow-up warning, got: $warnings")
-      // distinct corpus: silent
-      warnings.clear()
-      val rngDocs = new scala.util.Random(99L)
-      val distinctDocs = (1 to 100)
-        .map(i => (i.toLong, (1 to 12).map(_ =>
-          (1 to 8).map(_ => ('a' + rngDocs.nextInt(26)).toChar).mkString).mkString(" ")))
-        .toDF("doc_id", "text")
-      Dedup.minhashCandidates(spark, distinctDocs, "text", "doc_id")
-      assert(warnings.isEmpty, s"no warning expected for a distinct corpus: $warnings")
-      // factor 0 disables the pre-flight entirely
-      spark.conf.set("graft.dedup.pairBlowupWarnFactor", "0")
-      try {
-        Dedup.minhashCandidates(spark, heavy, "text", "doc_id")
-        assert(warnings.isEmpty, "factor 0 must disable the guard")
-      } finally spark.conf.unset("graft.dedup.pairBlowupWarnFactor")
-      // malformed conf rejected loudly
-      spark.conf.set("graft.dedup.pairBlowupWarnFactor", "-1")
-      try intercept[IllegalArgumentException] {
-        Dedup.minhashCandidates(spark, heavy, "text", "doc_id")
-      } finally spark.conf.unset("graft.dedup.pairBlowupWarnFactor")
-    } finally Dedup.logSink = saved
+      Dedup.minhashCandidates(spark, heavy, "text", "doc_id", warnSink = sink)
+      assert(warnings.isEmpty, "factor 0 must disable the guard")
+    } finally spark.conf.unset("graft.dedup.pairBlowupWarnFactor")
+    // malformed conf rejected loudly
+    spark.conf.set("graft.dedup.pairBlowupWarnFactor", "-1")
+    try intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(spark, heavy, "text", "doc_id", warnSink = sink)
+    } finally spark.conf.unset("graft.dedup.pairBlowupWarnFactor")
   }
 
   test("minhash star edges: same connected components as pairwise cliques, fewer edges") {
@@ -1618,7 +1617,7 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L)._2.isEmpty, "r*(2) needs n_3 which is 0 -> null")
   }
 
-  test("mmrRerank: redundant twin demoted below a diverse candidate; rank 1 is pure relevance") {
+  test("mmrRerank: redundant twin demoted below a diverse candidate; rank 1 scores lambda*rel") {
     import spark.implicits._
     // query at [1,0]; candidates: A=[0.99,0.14] (closest), A'=[0.99,0.141]
     // (near-twin of A), B=[0.7,0.71] (diverse). Plain top-2 = {A, A'}; at
@@ -1637,6 +1636,69 @@ class PipelineSpec extends SparkSpec {
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(4)))
     assert(out.toSeq === Seq((1L, 1), (3L, 2)),
       s"expected A then diverse B, got ${out.toSeq}")
+  }
+
+  test("mmrRerank: driver-collect gate refuses past graft.ann.mmrMaxCells") {
+    import spark.implicits._
+    val vecs = (0L to 9L).map(i => (i, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // 10 queries x m=5 -> 250 projected cells; a 100-cell budget must refuse
+    // BEFORE any corpus-scale action, naming the conf and the remedies
+    spark.conf.set("graft.ann.mmrMaxCells", "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.pipeline.Similarity.mmrRerank(vecs, vecs, k = 2, m = 5)
+      }
+      assert(e.getMessage.contains("graft.ann.mmrMaxCells")
+        && e.getMessage.contains("250"), e.getMessage)
+      // raising the budget lets the same call through
+      spark.conf.set("graft.ann.mmrMaxCells", "1000")
+      assert(graft.pipeline.Similarity.mmrRerank(vecs, vecs, k = 2, m = 5)
+        .count() === 20L)
+      // malformed conf rejected loudly
+      spark.conf.set("graft.ann.mmrMaxCells", "lots")
+      intercept[IllegalArgumentException] {
+        graft.pipeline.Similarity.mmrRerank(vecs, vecs, k = 2, m = 5)
+      }
+    } finally spark.conf.unset("graft.ann.mmrMaxCells")
+  }
+
+  test("substringSpans: cross-doc maximal spans merge; within-doc repeats don't flag") {
+    import spark.implicits._
+    // docs A and B share a 6-token run inside different surroundings; doc C
+    // repeats its own 5-gram twice (within-doc only — must NOT flag); doc D
+    // is unique. L=5 over A's shared run gives windows at 2..3 -> one
+    // maximal span [2, 7] (6 tokens) in A and [0, 5] in B.
+    val docs = Seq(
+      (1L, "xa xb the quick brown fox jumps high xc xd"),
+      (2L, "the quick brown fox jumps high yb yc yd ye"),
+      (3L, "r1 r2 r3 r4 r5 zz r1 r2 r3 r4 r5"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    ).toDF("doc_id", "text")
+    val spans = graft.pipeline.Dedup.substringSpans(docs, "text", "doc_id", minTokens = 5)
+      .orderBy("id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(spans.toSeq === Seq((1L, 2, 7, 6), (2L, 0, 5, 6)),
+      s"expected the shared 6-token run on both sides only, got ${spans.toSeq}")
+    // the cut: doc 1 (min id) keeps the run, doc 2 loses it
+    val cut = graft.pipeline.Dedup.removeSubstringDups(docs, "text", "doc_id", minTokens = 5)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(cut(0)._3 === 0L, "keeper doc keeps its copy")
+    assert(cut(1)._3 === 6L && cut(1)._4 === "yb yc yd ye",
+      s"doc 2 must lose exactly the shared run: ${cut(1)}")
+    assert(cut(2)._3 === 0L && cut(3)._3 === 0L,
+      "within-doc repeats and unique docs survive the cross-doc cut")
+  }
+
+  test("substringSpans: adjacent duplicated windows merge into one maximal span") {
+    import spark.implicits._
+    // A 12-token run shared verbatim: windows 0..7 at L=5 merge to [0,11]
+    val run = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((10L, s"$run tail10a tail10b"), (20L, s"$run tail20a")).toDF("doc_id", "text")
+    val spans = graft.pipeline.Dedup.substringSpans(docs, "text", "doc_id", minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(spans.toSeq === Seq((10L, 0, 11, 12), (20L, 0, 11, 12)), spans.toSeq.toString)
   }
 
   test("kCoreBounded: pendants peel away, the clique survives, cascade handled") {
@@ -1675,6 +1737,36 @@ class PipelineSpec extends SparkSpec {
       s"rank-1 hard negative must be vec 2: ${out.toSeq}")
     assert(out.forall(_._2 === 1), "every mined negative must carry a different label")
     assert(!out.map(_._1).contains(1L), "same-label twin must never appear")
+  }
+
+  test("hardNegativesIvf: label filter holds; recall vs the exact miner on real embeddings") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 10)
+    val model = graft.pipeline.Similarity.ivfTrain(e, nLists = 16)
+    val assigned = graft.pipeline.Similarity.ivfAssign(model, e)
+    val ivf = graft.pipeline.Similarity
+      .hardNegativesIvf(model, assigned, queries, k = 3, nProbe = 4)
+      .collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => r.getInt(1) != r.getInt(3)),
+      "every IVF-mined negative must carry a different label")
+    // recall vs the exact full-scan miner — the ann_recall_eval contract:
+    // nProbe=4/16 on this corpus should recover most exact negatives
+    val exact = graft.pipeline.Similarity.hardNegatives(e, queries, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, f"IVF negative-funnel recall too low: $recall%.2f " +
+      s"(${(exact & got).size}/${exact.size})")
+    // raising nProbe to all lists makes the funnel EXACT (same contract
+    // as matryoshka's full-prefix == brute force)
+    val full = graft.pipeline.Similarity
+      .hardNegativesIvf(model, assigned, queries, k = 3, nProbe = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "nProbe = nLists must equal the exact miner")
   }
 
   test("kCenter: greedy farthest-point picks the extremes; deterministic under repartition") {

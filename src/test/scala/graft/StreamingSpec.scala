@@ -25,20 +25,34 @@ class StreamingSpec extends SparkSpec {
     val hour1 = (0 until 100).map(i => (ts(3600L + i * 35L), 990.0 + (i % 10)))
     val rows = hour0 ++ hour1
     val batchDf = rows.toDF("ts", "value")
+    def dec(d: Double) = BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
     def key(r: org.apache.spark.sql.Row) =
       (r.getTimestamp(0).getTime / 1000, r.getLong(2),
-        BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
-        BigDecimal(r.getDouble(4)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
-        r.getString(5))
-    val want = DriftMonitor.windowedDrift(batchDf, "ts", "value", ref, "1 hour")
+        dec(r.getDouble(3)), dec(r.getDouble(4)), r.getString(6),
+        // loc_shift + the cross-window CUSUM columns (r13): stream's
+        // driver tracker must replay the batch window-frame sums exactly
+        dec(r.getDouble(5)),
+        dec(r.getDouble(r.fieldIndex("cusum_up"))),
+        dec(r.getDouble(r.fieldIndex("cusum_dn"))),
+        r.getBoolean(r.fieldIndex("cusum_alarm")))
+    val want = DriftMonitor.cusumBinnedScores(
+        DriftMonitor.windowedDrift(batchDf, "ts", "value", ref, "1 hour"))
       .collect().map(key).toSet
     assert(want.size === 2)
-    val verdicts = want.toSeq.sortBy(_._1).map(_._5)
+    val byHour = want.toSeq.sortBy(_._1)
+    val verdicts = byHour.map(_._5)
     assert(verdicts === Seq("stable", "action"),
       s"expected hour0 stable / hour1 action, got $verdicts")
+    // hour1 is all-top-decile: loc_shift = 9 − μref = 4.5 bins, CUSUM
+    // clears the 1-bin threshold and alarms; hour0 must not
+    assert(!byHour(0)._9 && byHour(1)._9,
+      s"expected cusum alarm only on hour1: $byHour")
+    assert((byHour(1)._7 - BigDecimal(4.5)).abs < BigDecimal(0.2),
+      s"hour1 cusum_up should be ~4.5 bins: ${byHour(1)}")
 
     val results = scala.collection.mutable.Set
-      .empty[(Long, Long, BigDecimal, BigDecimal, String)]
+      .empty[(Long, Long, BigDecimal, BigDecimal, String, BigDecimal,
+        BigDecimal, BigDecimal, Boolean)]
     val mem = MemoryStream[(Timestamp, Double)]
     val q = DriftMonitor.startDriftMonitor(mem.toDF().toDF("ts", "value"),
         "ts", "value", ref, "1 hour", "30 minutes") { scored =>
