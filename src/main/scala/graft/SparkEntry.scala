@@ -2003,6 +2003,47 @@ object SparkEntry {
           col("span_end").cast("long"), col("n_tokens").cast("long"))
         .orderBy("doc_id", "span_start")),
 
+    "dedup_substring_cut" -> ((s, dir) =>
+      // the keep-one cut over the flagged coverage: every cross-doc
+      // duplicated 15-gram occurrence outside its min-id keeper document
+      // is removed; docs rebuilt from surviving words (md5-proven)
+      Dedup.removeSubstringDups(t(s, dir, "documents"), "text", "doc_id",
+          minTokens = 15)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_removed"),
+          md5(col("text_dedup").cast("binary")).as("dedup_md5"))
+        .orderBy("doc_id")),
+
+    "text_novelty_curve" -> ((s, dir) =>
+      // corpus-growth signal: per doc (in id order), the share of its
+      // distinct word 3-grams never seen in any earlier document — the
+      // diminishing-returns curve of a crawl (first-occurrence = min id,
+      // one 8-byte-hash aggregation; house fingerprint contract)
+      Text.noveltyCurve(t(s, dir, "documents"), "text", "doc_id", n = 3)
+        .select(col("id").as("doc_id"), col("n_ngrams").cast("long"),
+          col("n_novel"), round(col("novelty"), 6).as("novelty"))
+        .orderBy("doc_id")),
+
+    "embedding_dispersion" -> ((s, dir) =>
+      // per-label intra-class diversity: E||x||^2 - ||mean||^2 without
+      // materializing the centroid or any pairwise work; collapsing
+      // dispersion = near-duplicate mass (the SemDeDup symptom)
+      Similarity.dispersionByLabel(t(s, dir, "embeddings"))
+        .select(col("label"), col("n"),
+          round(col("dispersion"), 6).as("dispersion"),
+          round(col("centroid_norm"), 6).as("centroid_norm"))
+        .orderBy("label")),
+
+    "text_oov_curve" -> ((s, dir) =>
+      // tokenizer-budget tradeoff: corpus token coverage of the top-k
+      // vocabulary at candidate budgets; coverage = one exact-int64
+      // division; top-k is a TakeOrdered, never a vocab-scale window
+      Text.oovCurve(t(s, dir, "documents"), "text",
+          sizes = Seq(100, 500, 1000, 5000))
+        .select(col("vocab_size").cast("long").as("vocab_size"),
+          col("covered_tokens"), col("total_tokens"),
+          round(col("coverage"), 6).as("coverage"))
+        .orderBy("vocab_size")),
+
     "text_langid_eval" -> ((s, dir) => {
       // language-ID accuracy audit against the corpus lang column — the
       // text twin of ann_label_audit: per-language doc counts and
@@ -2178,6 +2219,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0), "text")
     }),
+
+    "decon_source_matrix" -> ((s, dir) =>
+      // pre-merge audit: pairwise corpus-overlap estimates across the
+      // source column from ONE pass — O(#groups·numHashes) driver state,
+      // gated by graft.corpusMatrix.maxGroups
+      Decontaminate.corpusMinhashMatrix(t(s, dir, "documents"), "text", "source")
+        .orderBy("group_a", "group_b")),
 
     "decon_crossdoc_dup" -> ((s, dir) =>
       Decontaminate.crossDocDupScore(
@@ -3005,6 +3053,39 @@ object SparkEntry {
        |  CASE WHEN n_train = 0 OR n_eval = 0 THEN NULL
        |       ELSE matching_components / 64.0 END AS est_jaccard
        |FROM cnt CROSS JOIN mt""".stripMargin
+  }
+
+  /** Per-source overlap-matrix replay: the corpusMinhashOracleSql recipe
+    * grouped by source instead of the %2 split; signed-min via the 2⁶³
+    * xor trick; pairs on id < id with the empty-side NULL rule. */
+  private def corpusMatrixOracleSql: String = {
+    val params = graft.pipeline.Dedup.hashParams(64, 42L)
+    val prvals = params.zipWithIndex
+      .map { case (p, i) => s"($i, CAST('${java.lang.Long.toUnsignedString(p)}' AS UBIGINT))" }
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source AS id,
+       |         trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS n
+       |  FROM documents),
+       |shl AS (SELECT id, unnest(list_distinct(CASE WHEN length(n) <= 5 THEN [n]
+       |    ELSE list_transform(range(length(n)-4), i -> n[CAST(i AS INT)+1:CAST(i AS INT)+5]) END)) AS s
+       |  FROM d WHERE n IS NOT NULL),
+       |ph AS (SELECT DISTINCT id, ${sqlPolyHash("s")} AS x FROM shl),
+       |pr(i, p) AS (VALUES $prvals),
+       |f0 AS (SELECT id, i, xor(x, p) AS a FROM ph CROSS JOIN pr),
+       |${sqlFmixSteps("f0")},
+       |mn AS (SELECT id, i, min(xor(a, CAST('9223372036854775808' AS UBIGINT))) AS m FROM f5 GROUP BY id, i),
+       |cnt AS (SELECT id, CAST(count(CASE WHEN n IS NOT NULL THEN 1 END) AS BIGINT) AS nd FROM d GROUP BY id),
+       |mt AS (SELECT a.id AS ga, b.id AS gb,
+       |    CAST(count(CASE WHEN a.m = b.m THEN 1 END) AS BIGINT) AS mc
+       |  FROM mn a JOIN mn b ON a.i = b.i AND a.id < b.id GROUP BY 1, 2)
+       |SELECT ca.id AS group_a, cb.id AS group_b, ca.nd AS n_a, cb.nd AS n_b,
+       |  coalesce(mt.mc, 0) AS matching_components,
+       |  CASE WHEN ca.nd = 0 OR cb.nd = 0 THEN NULL
+       |       ELSE coalesce(mt.mc, 0) / 64.0 END AS est_jaccard
+       |FROM cnt ca JOIN cnt cb ON ca.id < cb.id
+       |LEFT JOIN mt ON mt.ga = ca.id AND mt.gb = cb.id
+       |ORDER BY group_a, group_b""".stripMargin
   }
 
   /** JL-projection replay: the seeded gaussian plane matrix rides as
@@ -5057,6 +5138,86 @@ object SparkEntry {
            CAST(max(start) + 14 - min(start) + 1 AS BIGINT) AS n_tokens
          FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""",
 
+    // the cut replay: same positioned 15-grams, keeper = min doc_id per
+    // cross-doc gram, coverage removal via the nested list lambdas
+    // (decon_remove_spans' recipe, cross-doc + keeper-doc semantics)
+    "dedup_substring_cut" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+           FROM documents),
+         o AS (SELECT doc_id, u.start AS start, u.g AS g
+           FROM (SELECT doc_id,
+               unnest(list_transform(range(CASE WHEN len(w) >= 15 THEN len(w) - 14 ELSE 0 END),
+                 i -> {'start': CAST(i AS INT),
+                       'g': array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 15], ' ')})) AS u
+             FROM d)),
+         cd AS (SELECT g, min(doc_id) AS keeper FROM o GROUP BY g
+           HAVING min(doc_id) <> max(doc_id)),
+         rm AS (SELECT doc_id, list(start) AS starts
+           FROM o JOIN cd USING (g) WHERE doc_id <> keeper GROUP BY doc_id),
+         k AS (SELECT d.doc_id, d.w,
+             list_filter(d.w, (x, i) -> len(list_filter(coalesce(rm.starts, []),
+               s -> i - 1 >= s AND i - 1 < s + 15)) = 0) AS kept
+           FROM d LEFT JOIN rm USING (doc_id))
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_md5
+         FROM k ORDER BY doc_id""",
+
+    // first-occurrence attribution by gram STRING (engine: 8-byte
+    // fingerprint); empty/short docs survive via the LEFT JOIN
+    "text_novelty_curve" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+           FROM documents),
+         gl AS (SELECT doc_id,
+             list_distinct(list_transform(range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END),
+               i -> array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' '))) AS gs
+           FROM d),
+         e AS (SELECT doc_id, unnest(gs) AS g FROM gl),
+         f AS (SELECT g, min(doc_id) AS fid FROM e GROUP BY g),
+         nov AS (SELECT e.doc_id, count(*) AS n_ngrams,
+             sum(CASE WHEN f.fid = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+           FROM e JOIN f USING (g) GROUP BY 1)
+         SELECT gl.doc_id, CAST(coalesce(nov.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CASE WHEN coalesce(nov.n_ngrams, 0) > 0
+             THEN CAST(nov.n_novel AS DOUBLE) / nov.n_ngrams ELSE 0.0 END, 6) AS novelty
+         FROM gl LEFT JOIN nov USING (doc_id) ORDER BY doc_id""",
+
+    // population-variance identity per label: sum over dims of
+    // (E x^2 - (E x)^2); centroid norm from the same per-dim sums
+    "embedding_dispersion" ->
+      """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         pd AS (SELECT label, pos, count(*) AS n, sum(v) AS sx, sum(v * v) AS sxx
+           FROM x GROUP BY 1, 2),
+         agg AS (SELECT label, max(n) AS n,
+             sum(sxx / n - (sx / n) * (sx / n)) AS disp,
+             sum((sx / n) * (sx / n)) AS mn2
+           FROM pd GROUP BY 1)
+         SELECT label, CAST(n AS BIGINT) AS n, round(disp, 6) AS dispersion,
+           round(sqrt(mn2), 6) AS centroid_norm
+         FROM agg ORDER BY label""",
+
+    // top-k coverage replay: rank by (tf desc, word asc), cumulative tf
+    // at each budget via the rank-bounded join; exact-int64 division
+    "text_oov_curve" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> length(x) > 0)) AS word FROM documents),
+         c AS (SELECT word, count(*) AS tf FROM w GROUP BY 1),
+         r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, word ASC) AS rk FROM c),
+         tot AS (SELECT sum(tf) AS total FROM c),
+         s(k) AS (VALUES (100), (500), (1000), (5000)),
+         cov AS (SELECT s.k, coalesce(sum(r.tf), 0) AS covered
+           FROM s LEFT JOIN r ON r.rk <= s.k GROUP BY 1)
+         SELECT CAST(k AS BIGINT) AS vocab_size,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           CAST(tot.total AS BIGINT) AS total_tokens,
+           round(CAST(covered AS DOUBLE) / tot.total, 6) AS coverage
+         FROM cov, tot ORDER BY vocab_size""",
+
     "text_langid_eval" ->
       """WITH toks AS (SELECT doc_id, text, lang, string_split_regex(lower(trim(text)), '\s+') AS tk
                        FROM documents WHERE doc_id < 100),
@@ -5264,6 +5425,8 @@ object SparkEntry {
          FROM c ORDER BY doc_id""",
 
     "decon_corpus_minhash" -> corpusMinhashOracleSql,
+
+    "decon_source_matrix" -> corpusMatrixOracleSql,
 
     "decon_minhash_lsh" ->
       // same banded CTE as the dedup replays; the train/eval split rides

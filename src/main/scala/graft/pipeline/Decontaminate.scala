@@ -326,4 +326,86 @@ object Decontaminate {
     Seq((nTrain, nEval, matches, est))
       .toDF("n_train", "n_eval", "matching_components", "est_jaccard")
   }
+
+  /** Pairwise corpus-overlap MATRIX across the groups of one frame (e.g.
+    * crawl sources, snapshot dates): [[corpusMinhashJaccard]]'s estimate
+    * for every group pair, from ONE pass — the pre-merge audit telling
+    * you which sources are re-crawls of each other before any exact
+    * (join-shaped) decontamination is scheduled.
+    *
+    * Scale shape: one signature projection over the corpus, one
+    * aggregation with O(#groups·numHashes) state (posexplode feeds
+    * map-side-combined mins, so the shuffle carries only partial mins),
+    * then the G×G comparison runs on collected O(#groups·numHashes)
+    * driver metadata. Group cardinality is gated by
+    * `graft.corpusMatrix.maxGroups` (default 256 → a 32k-pair matrix; the
+    * groupedStats loud-refusal discipline) — sources/snapshots are
+    * enum-scale, and past that a matrix is the wrong tool anyway.
+    * Returns (group_a, group_b, n_a, n_b, matching_components,
+    * est_jaccard) for group_a < group_b; est_jaccard is NULL when either
+    * side has no shingled documents (the empty-side rule). */
+  def corpusMinhashMatrix(df: DataFrame, textCol: String, groupCol: String,
+                          numHashes: Int = 64, shingleK: Int = 5,
+                          seed: Long = 42L): DataFrame = {
+    require(numHashes > 0, s"numHashes must be positive: $numHashes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxGroups = spark.conf.getOption("graft.corpusMatrix.maxGroups")
+      .map { s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.corpusMatrix.maxGroups must be a positive integer, got '$s'")
+        }
+        require(v > 0, s"graft.corpusMatrix.maxGroups must be > 0, got $v")
+        v
+      }.getOrElse(256L)
+    val params = Dedup.hashParams(numHashes, seed)
+    val fname = s"minhash_sig_${numHashes}_${shingleK}_$seed"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      exprs => graft.functions.MinhashSignature(exprs.head, params, shingleK),
+      "scala_udf")
+    val sigs = df.select(col(groupCol).cast("string").as("__g"),
+      call_function(fname, col(textCol)).as("sig"))
+    // gate straight off df so no plan shape can drag the signature
+    // projection into this probe aggregation
+    val est = df.agg(approx_count_distinct(col(groupCol).cast("string"), 0.05))
+      .head().getLong(0)
+    if (est > maxGroups) throw new IllegalArgumentException(
+      s"corpusMinhashMatrix: ~$est distinct groups exceeds " +
+        s"graft.corpusMatrix.maxGroups=$maxGroups — the matrix is O(groups²) " +
+        "pairs and O(groups x numHashes) driver state. Raise the conf only " +
+        "for a genuinely enum-scale group column, or bucket it upstream.")
+    // count non-null TEXT, not non-null sig: same answer (the signature
+    // expression is null iff its input is), but counting sig would force
+    // the whole signature pipeline to run a second time just for its
+    // nullness (measured ~2x of the op's sfx10 wall)
+    val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(col(textCol)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mins = sigs.filter(col("sig").isNotNull)
+      .select(col("__g"), posexplode(col("sig")))
+      .groupBy("__g", "pos").agg(min(col("col")).as("m"))
+      .collect()
+    val sigOf = mins.groupBy(_.getString(0)).map { case (g, rows) =>
+      val a = Array.fill(numHashes)(Long.MaxValue)
+      rows.foreach(r => a(r.getInt(1)) = r.getLong(2))
+      g -> a
+    }
+    val groups = counts.keys.toSeq.sorted
+    val out = for {
+      i <- groups.indices; j <- (i + 1) until groups.length
+      ga = groups(i); gb = groups(j)
+    } yield {
+      val (na, nb) = (counts(ga), counts(gb))
+      val empty = na == 0L || nb == 0L
+      val matches =
+        if (empty) 0L
+        else (0 until numHashes).count(h => sigOf(ga)(h) == sigOf(gb)(h)).toLong
+      (ga, gb, na, nb, matches,
+        if (empty) None else Some(matches.toDouble / numHashes))
+    }
+    out.toDF("group_a", "group_b", "n_a", "n_b", "matching_components",
+      "est_jaccard")
+  }
 }

@@ -575,11 +575,17 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(call_function(fname, canonicalWordsCol(col(textCol)))))
       .withColumnRenamed("pos", "start").withColumnRenamed("col", "__gh")
-    // cross-doc grams: one regular aggregation; min!=max <=> >=2 distinct ids
+    // cross-doc grams: one regular aggregation; min!=max <=> >=2 distinct ids.
+    // localCheckpoint cuts the plan here — without it the join's broadcast
+    // side re-runs the WHOLE gram pipeline (tokenize + window hashes over
+    // the corpus) a second time; measured 9.9s -> 1.1s on the join stage at
+    // sfx10. The materialized set is duplicated-gram fingerprints only
+    // (vocab-scale, 8 bytes each), never corpus-scale.
     val crossDoc = occ.groupBy("__gh")
       .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
       .filter(col("__mn") =!= col("__mx"))
       .select(col("__gh"))
+      .localCheckpoint()
     val dup = occ.join(crossDoc, Seq("__gh")).select(col("id"), col("start"))
     // interval union per doc: windows are all [start, start+L-1], so after
     // sorting by start a window starts a new island iff it clears the
@@ -617,10 +623,13 @@ object Dedup {
     val occ = base
       .select(col("id"), posexplode(call_function(fname, col("__ws"))))
       .withColumnRenamed("pos", "start").withColumnRenamed("col", "__gh")
+    // same lineage cut as substringSpans: the (fingerprint, keeper) set
+    // computes once instead of once per join side
     val crossDoc = occ.groupBy("__gh")
       .agg(min(col("id")).as("__keeper"), max(col("id")).as("__mx"))
       .filter(col("__keeper") =!= col("__mx"))
       .select(col("__gh"), col("__keeper"))
+      .localCheckpoint()
     val removedStarts = occ.join(crossDoc, Seq("__gh"))
       .filter(col("id") =!= col("__keeper"))
       .groupBy("id").agg(collect_list(col("start")).as("__rm"))

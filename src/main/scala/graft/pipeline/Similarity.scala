@@ -597,6 +597,35 @@ object Similarity {
     def nLists: Int = centers.length
   }
 
+  /** Per-label embedding DISPERSION — the intra-class diversity audit a
+    * curation pipeline runs before sampling: dispersion = E‖x‖² − ‖x̄‖²
+    * (the population variance identity summed over dimensions), i.e. the
+    * average squared distance of a label's vectors to their centroid,
+    * computed WITHOUT materializing the centroid or any pairwise work. A
+    * label whose dispersion collapses is near-duplicate mass (SemDeDup's
+    * corpus-level symptom); the centroid norm is emitted alongside.
+    *
+    * Scale shape: one posexplode (×dim rows but immediately map-side
+    * combined into O(#labels·dim) partial sums), one O(#labels·dim)
+    * aggregation, one O(#labels) fold — no shuffle is row-scale and
+    * nothing is pairwise. Returns (label, n, dispersion, centroid_norm). */
+  def dispersionByLabel(df: DataFrame, labelCol: String = "label",
+                        vecCol: String = "embedding"): DataFrame = {
+    val x = df.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+    x.groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(col("v") * col("v")).as("sxx"))
+      .groupBy("label")
+      .agg(max(col("n")).as("n"),
+        sum(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+          .as("dispersion"),
+        sum((col("sx") / col("n")) * (col("sx") / col("n"))).as("__mn2"))
+      .select(col("label"), col("n"), col("dispersion"),
+        sqrt(col("__mn2")).as("centroid_norm"))
+  }
+
   /** Simplified (centroid-based) silhouette per cluster: for each vector,
     * a = distance to its own cluster's center, b = distance to the nearest
     * OTHER center, s = (b − a) / max(a, b) — the O(n·k) clustering-quality

@@ -77,6 +77,82 @@ object Text {
       .limit(topK)
   }
 
+  /** Per-document n-gram NOVELTY curve — the corpus-growth/diminishing-
+    * returns signal: processing documents in id order, how many of each
+    * document's distinct word n-grams have never been seen in any EARLIER
+    * document? A crawl whose novelty stops falling is still finding new
+    * language; one that decays to ~0 is re-crawling itself (the
+    * aggregate-level complement of [[Dedup.substringSpans]]' span flags).
+    * A gram's first document is its min id — so the per-doc novel count
+    * is exactly "grams whose first occurrence lives here".
+    *
+    * Scale shape: per-doc DISTINCT positioned n-gram fingerprints are a
+    * codegen'd projection (NgramWindowHashes + array_distinct, no
+    * shuffle); the first-document attribution is ONE map-side-combined
+    * min aggregation on the 8-byte hash; one join back on that same hash
+    * and a per-doc count. Nothing is corpus² and the only row-scale
+    * shuffle carries 16-byte (hash, id) pairs. Returns
+    * (id, n_ngrams, n_novel, novelty), novelty = 0.0 for docs shorter
+    * than n. */
+  def noveltyCurve(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val spark = df.sparkSession
+    val fname = s"ngram_window_hashes_$n"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.NgramWindowHashes(exprs.head, n), "scala_udf")
+    val perDoc = df
+      .select(col(idCol).as("id"),
+        array_distinct(call_function(fname,
+          filter(split(lower(trim(col(textCol))), "\\s+"),
+            w => length(w) > 0))).as("__gs"))
+      .select(col("id"), size(col("__gs")).as("n_ngrams"),
+        explode_outer(col("__gs")).as("__gh"))
+    val first = perDoc.filter(col("__gh").isNotNull)
+      .groupBy("__gh").agg(min(col("id")).as("__fid"))
+    perDoc.join(first, Seq("__gh"), "left")
+      .groupBy("id", "n_ngrams")
+      .agg(coalesce(sum(when(col("__fid") === col("id"), 1L).otherwise(0L)),
+        lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_ngrams") > 0,
+          col("n_novel").cast("double") / col("n_ngrams")).otherwise(0.0))
+  }
+
+  /** Tokenizer-budget COVERAGE curve: for each candidate vocabulary size
+    * k, the share of all corpus tokens covered by the k most frequent
+    * word types (ties broken word-asc) — the how-big-a-vocab-do-I-need /
+    * OOV-rate-vs-budget tradeoff read before training a tokenizer.
+    *
+    * Scale shape: ONE word-count aggregation (the row-scale shuffle,
+    * map-side combined), the corpus total from the same vocab-scale
+    * table, and a TakeOrdered of max(sizes) rows to the driver — bounded
+    * by the requested budget, NEVER a global window over the vocabulary.
+    * coverage = covered/total is one division of exact int64s. Returns
+    * (vocab_size, covered_tokens, total_tokens, coverage) per size. */
+  def oovCurve(df: DataFrame, textCol: String,
+               sizes: Seq[Int] = Seq(100, 500, 1000, 5000)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ > 0), s"sizes must be positive: $sizes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = counts.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+      val top = counts.orderBy(col("tf").desc, col("word").asc)
+        .limit(sizes.max).select(col("tf")).as[Long].collect()
+      val prefix = top.scanLeft(0L)(_ + _)
+      sizes.sorted.map { k =>
+        val covered = prefix(math.min(k, top.length))
+        (k, covered, total,
+          if (total > 0) covered.toDouble / total else 0.0)
+      }.toDF("vocab_size", "covered_tokens", "total_tokens", "coverage")
+    } finally counts.unpersist(blocking = false)
+  }
+
   /** Good-Turing frequency-of-frequencies report — the classic answer to
     * "how much of the language have we actually crawled": n_r = number of
     * word types seen exactly r times; the Turing estimate of UNSEEN

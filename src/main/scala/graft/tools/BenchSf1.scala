@@ -182,6 +182,11 @@ object BenchSf1 {
       // IVF hard-negative funnel; events_drift_monitor (above) re-probes
       // with its new CUSUM stage included
       "dedup_substring" -> graft.SparkEntry.queries("dedup_substring"),
+      "dedup_substring_cut" -> graft.SparkEntry.queries("dedup_substring_cut"),
+      "text_novelty_curve" -> graft.SparkEntry.queries("text_novelty_curve"),
+      "embedding_dispersion" -> graft.SparkEntry.queries("embedding_dispersion"),
+      "text_oov_curve" -> graft.SparkEntry.queries("text_oov_curve"),
+      "decon_source_matrix" -> graft.SparkEntry.queries("decon_source_matrix"),
       "ann_hard_negatives_ivf" -> graft.SparkEntry.queries("ann_hard_negatives_ivf"),
       "modify_quantile_normalize" -> graft.SparkEntry.queries("modify_quantile_normalize"),
       "modify_rint" -> graft.SparkEntry.queries("modify_rint"),

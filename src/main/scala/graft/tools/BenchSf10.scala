@@ -114,6 +114,11 @@ object BenchSf10 {
       "events_active_users" -> graft.SparkEntry.queries("events_active_users"),
       // r13 wave (see BenchSf1)
       "dedup_substring" -> graft.SparkEntry.queries("dedup_substring"),
+      "dedup_substring_cut" -> graft.SparkEntry.queries("dedup_substring_cut"),
+      "text_novelty_curve" -> graft.SparkEntry.queries("text_novelty_curve"),
+      "embedding_dispersion" -> graft.SparkEntry.queries("embedding_dispersion"),
+      "text_oov_curve" -> graft.SparkEntry.queries("text_oov_curve"),
+      "decon_source_matrix" -> graft.SparkEntry.queries("decon_source_matrix"),
       "ann_hard_negatives_ivf" -> graft.SparkEntry.queries("ann_hard_negatives_ivf"),
       "graph_pagerank_distributed" -> ((s: SparkSession, dir: String) => {
         s.conf.set("graft.pagerank.localMaxNodes", "0")

@@ -1769,6 +1769,82 @@ class PipelineSpec extends SparkSpec {
     assert(full === exact, "nProbe = nLists must equal the exact miner")
   }
 
+  test("noveltyCurve: first-occurrence attribution by doc order; short docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),        // grams {a b c, b c d} — all novel (first doc)
+      (2L, "a b c x"),        // {a b c}=seen, {b c x}=novel -> 0.5
+      (3L, "a b"),            // too short: 0 grams, novelty 0.0
+      (4L, "b c d a b c")     // {b c d, a b c}=seen, {c d a, d a b}=novel -> 0.5
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Text.noveltyCurve(docs, "text", "doc_id", n = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 2, 2L, 1.0), (2L, 2, 1L, 0.5),
+      (3L, 0, 0L, 0.0), (4L, 4, 2L, 0.5)), out.toSeq.toString)
+  }
+
+  test("dispersionByLabel: hand variance identity; singleton label disperses 0") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(3.0f, 0.0f), 0),
+      (2L, Array(0.0f, 5.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.pipeline.Similarity.dispersionByLabel(vecs)
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // label 0: dim0 population var = 1, dim1 = 0 -> dispersion 1; centroid (2,0)
+    assert(out(0)._1 === 0 && out(0)._2 === 2L)
+    assertRtol(out(0)._3, 1.0, 1e-12, "two-point dispersion")
+    assertRtol(out(0)._4, 2.0, 1e-12, "centroid norm")
+    // singleton: zero dispersion, centroid = the point
+    assert(out(1)._2 === 1L && out(1)._3 === 0.0)
+    assertRtol(out(1)._4, 5.0, 1e-12, "singleton centroid norm")
+  }
+
+  test("oovCurve: hand coverage at each budget; budgets beyond the vocab saturate") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = graft.pipeline.Text.oovCurve(docs, "text", sizes = Seq(1, 2, 10))
+      .orderBy("vocab_size").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1, 3L, 6L, 0.5), (2, 5L, 6L, 5.0 / 6),
+      (10, 6L, 6L, 1.0)), out.toSeq.toString)
+  }
+
+  test("corpusMinhashMatrix: identical groups estimate 1, empty group nulls, cardinality gate") {
+    import spark.implicits._
+    val rngM = new scala.util.Random(7L)
+    def doc() = (1 to 12).map(_ =>
+      (1 to 6).map(_ => ('a' + rngM.nextInt(26)).toChar).mkString).mkString(" ")
+    val shared = (1 to 20).map(_ => doc())
+    val rows =
+      shared.map(t => ("s1", t)) ++ shared.map(t => ("s2", t)) ++ // identical corpora
+      (1 to 20).map(_ => ("s3", doc())) ++                        // disjoint
+      Seq(("s4", null.asInstanceOf[String]))                      // empty (null text)
+    val df = rows.toDF("source", "text")
+    val out = graft.pipeline.Decontaminate
+      .corpusMinhashMatrix(df, "text", "source")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(out.size === 6, s"4 groups -> 6 pairs: ${out.keySet}")
+    assert(out(("s1", "s2")) === ((20L, 20L, 64L, Some(1.0))),
+      s"identical corpora must match all components: ${out(("s1", "s2"))}")
+    val d13 = out(("s1", "s3"))._4.get
+    assert(d13 < 0.5, s"disjoint corpora should estimate low: $d13")
+    assert(out(("s1", "s4")) === ((20L, 0L, 0L, None)),
+      "empty side must report NULL estimate, not full overlap")
+    // group-cardinality gate refuses loudly
+    spark.conf.set("graft.corpusMatrix.maxGroups", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.pipeline.Decontaminate.corpusMinhashMatrix(df, "text", "source")
+      }
+      assert(e.getMessage.contains("graft.corpusMatrix.maxGroups"), e.getMessage)
+    } finally spark.conf.unset("graft.corpusMatrix.maxGroups")
+  }
+
   test("kCenter: greedy farthest-point picks the extremes; deterministic under repartition") {
     import spark.implicits._
     // 1-D line embedded in 2-D: 0.0, 1.0, 10.0, 10.1, 20.0

@@ -28,7 +28,9 @@ class PlanAuditSpec extends SparkSpec {
     "sample_cluster_balanced" -> "NO-PUSHDOWN: filters on per-cluster sample ranks (derived)",
     "sample_stratified" -> "NO-PUSHDOWN: filters on per-stratum hash ranks (derived)",
     "sample_weighted" -> "NO-PUSHDOWN: filters on Efraimidis-Spirakis keys (derived)",
-    "dedup_substring" -> "NO-PUSHDOWN: whole-corpus exact-substring flagging; the only filters are min(id) != max(id) on the AGGREGATED gram fingerprints (cross-doc test) and the island merge on window-derived lag — no base-row predicate exists",
+    // (dedup_substring / dedup_substring_cut don't appear here: their
+    // cross-doc filters live BEHIND the crossDoc localCheckpoint, so the
+    // audited plan is the already-materialized fingerprint set + joins)
     "decon_corpus_minhash" -> "NO-CODEGEN: the returned frame is a one-row LocalTableScan of the driver-computed estimate; the two signature aggregations that COMPUTE it are codegen'd projections + map-side-combined aggs, executed eagerly at construction",
     "describe_score_eval" -> "NO-CODEGEN: the returned frame is a one-row LocalTableScan of the (auc, ap) summary; the compute path is the ksTwoSample discipline — tie-aggregated codegen'd shuffle, range-partitioned sort, exact-int64 fold — executed eagerly at construction",
     "describe_ks_drift" -> "NO-CODEGEN: the returned frame is a one-row LocalTableScan of the (D, pvalue) summary; the compute path is the giniByGroup discipline — tie-aggregated codegen'd shuffle, range-partitioned sort, O(#partitions) offsets, max reduce — executed eagerly at construction",
