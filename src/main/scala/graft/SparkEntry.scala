@@ -8,7 +8,7 @@ import graft.model.CladeFrame
 import graft.modify.Modify
 import graft.describe.Describe
 import graft.analyze.{AssociationStudy, Corrections, InteractionStudy}
-import graft.pipeline.{Blocklist, Decontaminate, Dedup, Graph, Joins, Layout, Packing, Sampling, Similarity, Text}
+import graft.pipeline.{Blocklist, Decontaminate, Dedup, Graph, Joins, Layout, Packing, Sampling, Similarity, SpaceSaving, Text}
 import graft.streaming.EventStreams
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2), each
@@ -451,6 +451,17 @@ object SparkEntry {
       val edges = li.select(concat(lit("p"), col("l_partkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
       Graph.kCoreBounded(edges, "src", "dst", k = 3)
+        .orderBy("node")
+    }),
+
+    "graph_lpa" -> ((s, dir) => {
+      // synchronous deterministic LPA over the same bipartite
+      // part-supplier slice as graph_kcore: 3 rounds, ties to min label,
+      // one join + two-level argmax agg per round (no per-node window)
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") < 800)
+      val edges = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      Graph.labelPropagation(edges, "src", "dst", rounds = 3)
         .orderBy("node")
     }),
 
@@ -1992,6 +2003,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "dedup_prefix_join" -> ((s, dir) =>
+      // EXACT set-similarity self-join (PPJoin-family prefix filter):
+      // all word-set Jaccard >= 0.8 pairs with NO false negatives — the
+      // guarantee-grade counterpart to the probabilistic MinHash paths.
+      // Output is pair-scale (inherently quadratic in dup-cluster depth,
+      // like dedup_minhash_lsh), so the oracled slice mirrors theirs
+      Dedup.prefixJaccardJoin(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "text", "doc_id", threshold = 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")),
+
     "dedup_substring" -> ((s, dir) =>
       // exact substring dedup, corpus-vs-itself (Lee et al. 2022): maximal
       // cross-document duplicated spans of >= 15 tokens. L=15 suits this
@@ -2012,6 +2035,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_words"), col("n_removed"),
           md5(col("text_dedup").cast("binary")).as("dedup_md5"))
         .orderBy("doc_id")),
+
+    "text_heavy_hitters_sketch" -> ((s, dir) =>
+      // one-pass Space-Saving sketch in its EXACT regime (capacity >=
+      // the slice's vocabulary -> estimates are true counts, err 0):
+      // hash-proves the offer/merge/treeReduce machinery end-to-end;
+      // the approximate regime's bounds are property-tested
+      SpaceSaving.approxHeavyHitters(
+          t(s, dir, "documents").filter(col("doc_id") < 100), "text",
+          capacity = 20000)
+        .filter(col("estimate") >= 5)
+        .orderBy(col("estimate").desc, col("word").asc)),
 
     "text_novelty_curve" -> ((s, dir) =>
       // corpus-growth signal: per doc (in id order), the share of its
@@ -2903,6 +2937,29 @@ object SparkEntry {
     * converged rounds are no-ops, so the final CTE equals the engine's
     * fixpoint whenever peeling converges within the bound — which is the
     * engine's own contract (it caps at the same maxRounds). */
+  /** `graph_lpa` oracle: one CTE block per synchronous round — neighbor
+    * label counts, then the deterministic argmax (max count via window,
+    * min label among maximizers). MATERIALIZED: every round references
+    * the previous one twice, and DuckDB would inline the recursion into
+    * 2^rounds base scans otherwise (the kcore lesson). */
+  private def lpaOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""c$r AS (SELECT e.a, l.label, count(*) AS c
+         |  FROM e JOIN l$p l ON l.node = e.b GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT a AS node, min(label) AS label FROM (
+         |    SELECT a, label, c, max(c) OVER (PARTITION BY a) AS cm FROM c$r)
+         |  WHERE c = cm GROUP BY a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT DISTINCT concat('p', l_partkey) AS a, concat('s', l_suppkey) AS b
+       |  FROM lineitem WHERE l_partkey < 800),
+       |e AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |  (SELECT a, b FROM base UNION ALL SELECT b, a FROM base)),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM e),
+       |$steps
+       |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   private def kCoreGraphOracleSql(k: Int, rounds: Int): String = {
     val sb = new StringBuilder
     // AS MATERIALIZED: each e_j is referenced three times by round j+1 —
@@ -5109,6 +5166,36 @@ object SparkEntry {
            coalesce(text_md5, md5('')) AS text_md5
          FROM tot LEFT JOIN agg USING (id) ORDER BY id""",
 
+    // prefix-filter replay: ids as VARCHAR (the engine's string-id
+    // contract, so id1 < id2 agrees), rare-first prefix via (df, token)
+    // window rank, candidate join on prefix tokens, exact-count verify
+    "dedup_prefix_join" ->
+      """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS did,
+             list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS s
+           FROM documents WHERE doc_id < 200),
+         dd AS (SELECT did, s FROM d WHERE len(s) > 0),
+         tk AS (SELECT did, unnest(s) AS tok FROM dd),
+         dfq AS (SELECT tok, count(*) AS dfc FROM tk GROUP BY 1),
+         pos AS (SELECT tk.did, tk.tok,
+             row_number() OVER (PARTITION BY tk.did ORDER BY dfq.dfc, tk.tok) AS p,
+             count(*) OVER (PARTITION BY tk.did) AS n
+           FROM tk JOIN dfq USING (tok)),
+         pre AS (SELECT did, tok FROM pos WHERE p <= n - ceil(0.8 * n) + 1),
+         cand AS (SELECT DISTINCT a.did AS id1, b.did AS id2
+           FROM pre a JOIN pre b ON a.tok = b.tok AND a.did < b.did),
+         sz AS (SELECT did, len(s) AS n FROM dd),
+         inter AS (SELECT c.id1, c.id2, count(*) AS i
+           FROM cand c JOIN tk t1 ON t1.did = c.id1
+           JOIN tk t2 ON t2.did = c.id2 AND t2.tok = t1.tok
+           GROUP BY 1, 2)
+         SELECT inter.id1, inter.id2,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         FROM inter JOIN sz sa ON sa.did = inter.id1
+         JOIN sz sb ON sb.did = inter.id2
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+         ORDER BY id1, id2""",
+
     // cross-doc duplicated 15-grams by STRING (the engine groups the same
     // grams by their 8-byte fingerprint — the house dedup contract);
     // min<>max doc_id is the ">=2 distinct docs" test; equal-length
@@ -5163,6 +5250,16 @@ object SparkEntry {
            CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
            md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_md5
          FROM k ORDER BY doc_id""",
+
+    // exact-regime sketch replay: plain word counts (err 0 by contract
+    // when capacity exceeds the vocabulary)
+    "text_heavy_hitters_sketch" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> length(x) > 0)) AS word
+           FROM documents WHERE doc_id < 100),
+         c AS (SELECT word, CAST(count(*) AS BIGINT) AS estimate FROM w GROUP BY 1)
+         SELECT word, estimate, CAST(0 AS BIGINT) AS err, estimate AS guaranteed
+         FROM c WHERE estimate >= 5 ORDER BY estimate DESC, word ASC""",
 
     // first-occurrence attribution by gram STRING (engine: 8-byte
     // fingerprint); empty/short docs survive via the LEFT JOIN
@@ -6024,6 +6121,8 @@ object SparkEntry {
          FROM win ORDER BY 1, 2""",
 
     "graph_kcore" -> kCoreGraphOracleSql(k = 3, rounds = 12),
+
+    "graph_lpa" -> lpaOracleSql(rounds = 3),
 
     "graph_pagerank" ->
       """WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst,

@@ -643,6 +643,54 @@ object Dedup {
         concat_ws(" ", col("__kept")).as("text_dedup"))
   }
 
+  // ----------------------------------------------- prefix-filter join
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin-family algorithm): every pair of documents whose word-SET
+    * Jaccard is >= `threshold`, with NO false negatives — the exact
+    * counterpart to [[minhashCandidates]]' probabilistic recall, for the
+    * thresholds where production wants a guarantee (legal dedup,
+    * eval-set contamination). The prefix-filter lemma: order each set by
+    * a global token order (ascending document frequency — rarest first —
+    * then token); if J(A,B) >= t, A and B must SHARE a token in their
+    * first |X| − ceil(t·|X|) + 1 tokens, so candidates = pairs sharing a
+    * PREFIX token only — never all-pairs, and rare-first ordering keeps
+    * prefix buckets small (the frequent tokens never enter a prefix).
+    *
+    * Scale shape: one token-frequency aggregation + join (row-scale
+    * shuffle on the token), a per-doc window for prefix positions
+    * (partitioned by doc — full parallelism), the candidate self-join on
+    * PREFIX tokens only, and exact verification on candidates (the
+    * ngramJaccard discipline). Candidate volume is Σ_prefix-token c²,
+    * bounded by the rarity of prefix tokens rather than corpus².
+    * Returns (id1, id2, jaccard) with id1 < id2 (string order), jaccard
+    * exact and >= threshold. */
+  def prefixJaccardJoin(docs: DataFrame, textCol: String, idCol: String,
+                        threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
+    val words = array_distinct(canonicalWordsCol(col(textCol)))
+    val sets = docs.select(col(idCol).cast("string").as("id"), words.as("s"))
+      .filter(size(col("s")) > 0)
+    val toks = sets.select(col("id"), explode(col("s")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy("id").orderBy(col("__df").asc, col("tok").asc)
+    val prefix = toks.join(dfreq, Seq("tok"))
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("__pos") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+    val cands = prefix.select(col("tok"), col("id").as("id1"))
+      .join(prefix.select(col("tok"), col("id").as("id2")), Seq("tok"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cands
+      .join(sets.select(col("id").as("id1"), col("s").as("s1")), Seq("id1"))
+      .join(sets.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
+      .withColumn("__i", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard", col("__i").cast("double")
+        / (size(col("s1")) + size(col("s2")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: sum ±1 per bit weighted by token

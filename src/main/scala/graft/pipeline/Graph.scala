@@ -64,6 +64,49 @@ object Graph {
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Synchronous label-propagation communities (LPA) with a FIXED round
+    * count and a fully deterministic update: label_{r+1}(v) = the most
+    * frequent label among v's neighbors at round r, ties to the MINIMUM
+    * label (string order) — no randomized visit order, so any engine
+    * replays the rounds exactly (the reason `rounds` is bounded: each
+    * round is one fixed CTE block in the SQL oracle, and synchronous LPA
+    * on bipartite structures can oscillate rather than converge — callers
+    * read the round-`rounds` snapshot, the standard fix). Community
+    * detection is the grouping pass between near-dup components (exact
+    * chains) and topic balance: domains/entities that cluster via many
+    * weak links rather than duplicate content.
+    *
+    * Scale shape: per round, one shuffle join (labels onto the
+    * direction-doubled edge list, keyed by neighbor), one
+    * map-side-combined (node, label) count, and the argmax as a TWO-LEVEL
+    * aggregation (max count, then min label among maximizers — the
+    * keepBest discipline, no per-node window); localCheckpoint cuts the
+    * per-round lineage. Labels stay a 2-column frame. Returns
+    * (node, label) at round `rounds`; initial label = own node id. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val base = edges
+      .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val e = base.union(base.select(col("b").as("a"), col("a").as("b")))
+      .dropDuplicates("a", "b")
+      .localCheckpoint()
+    var labels = e.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val nbr = e.join(labels.select(col("node").as("b"), col("label").as("__l")), Seq("b"))
+        .groupBy(col("a"), col("__l")).agg(count(lit(1)).as("__c"))
+      val best = nbr.groupBy("a").agg(max(col("__c")).as("__cm"))
+      labels = nbr.join(best, Seq("a"))
+        .filter(col("__c") === col("__cm"))
+        .groupBy(col("a").as("node")).agg(min(col("__l")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Weighted PageRank with damping and a FIXED number of supersteps.
     * By default a node with no out-edges leaks its mass (acceptable for
     * relative ranking); `danglingMass = true` re-spreads dangling rank

@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Space-Saving heavy-hitters sketch (Metwally et al. 2005) with the
+  * mergeable-summaries merge — the streaming/one-pass counterpart to
+  * [[Text.heavyHitters]]' exact two-pass: capacity m counters, any item
+  * with true frequency > N/m is guaranteed tracked, and every estimate
+  * obeys trueCount <= estimate <= trueCount + err (per-item err is
+  * tracked explicitly, so callers can report guaranteed lower bounds).
+  *
+  * Scale shape: one pass — a per-partition sketch (O(m) state) built in
+  * mapPartitions, then a treeReduce merge; nothing vocab-scale ever
+  * shuffles or reaches the driver beyond the final O(m) summary. The
+  * merge is the sound Agarwal et al. form: an item untracked on one side
+  * is charged that side's minimum counter (its maximum possible true
+  * count there), keeping the overcount invariant through arbitrary merge
+  * trees — which is what makes the same sketch correct per-batch in a
+  * stream ([[streamHeavyHitters]]) and under any partitioning (the
+  * repartition-invariance property is spec-tested, bounds-wise: exact
+  * counter CONTENTS legitimately depend on merge order, the documented
+  * sketch contract; with capacity >= distinct items the sketch is exact
+  * and merge-order-invariant, which is the hash-oracled mode).
+  */
+final class SpaceSavingSketch(val capacity: Int) extends Serializable {
+  require(capacity > 0, s"capacity must be positive: $capacity")
+  // word -> (estimate, err); estimate - err is a guaranteed lower bound
+  private[pipeline] val counters =
+    scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+  private var _total = 0L
+  def total: Long = _total
+  def size: Int = counters.size
+
+  private def minEstimate: Long =
+    if (counters.isEmpty) 0L else counters.valuesIterator.map(_._1).min
+
+  def offer(w: String, c: Long = 1L): this.type = {
+    require(c > 0, s"count must be positive: $c")
+    _total += c
+    counters.get(w) match {
+      case Some((est, err)) => counters.update(w, (est + c, err))
+      case None if counters.size < capacity => counters.update(w, (c, 0L))
+      case None =>
+        // evict the minimum counter: the newcomer inherits its estimate
+        // as error (it may have occurred up to min times while untracked)
+        val (mw, (mEst, _)) = counters.minBy { case (k, (e, _)) => (e, k) }
+        counters.remove(mw)
+        counters.update(w, (mEst + c, mEst))
+    }
+    this
+  }
+
+  /** Sound merge: shared items sum estimates and errors; an item tracked
+    * on one side only is charged the OTHER side's minimum counter (at
+    * capacity) as both estimate and error mass — its true count there
+    * cannot exceed that minimum. The union then truncates back to
+    * `capacity` by (estimate desc, word asc). */
+  def merge(o: SpaceSavingSketch): SpaceSavingSketch = {
+    val out = new SpaceSavingSketch(capacity)
+    out._total = _total + o._total
+    val minA = if (counters.size < capacity) 0L else minEstimate
+    val minB = if (o.counters.size < o.capacity) 0L else o.minEstimate
+    val keys = counters.keySet ++ o.counters.keySet
+    val merged = keys.iterator.map { w =>
+      val (estA, errA) = counters.getOrElse(w, (minA, minA))
+      val (estB, errB) = o.counters.getOrElse(w, (minB, minB))
+      w -> (estA + estB, errA + errB)
+    }.toSeq
+    merged.sortBy { case (w, (e, _)) => (-e, w) }.take(capacity).foreach {
+      case (w, (e, r)) => out.counters.update(w, (e, r))
+    }
+    out
+  }
+
+  /** (word, estimate, err, guaranteed = estimate − err), estimate desc. */
+  def snapshot: Seq[(String, Long, Long, Long)] =
+    counters.toSeq.sortBy { case (w, (e, _)) => (-e, w) }
+      .map { case (w, (e, r)) => (w, e, r, e - r) }
+}
+
+object SpaceSaving {
+
+  /** One-pass approximate heavy hitters over the whitespace tokens of
+    * `textCol`: per-partition sketches merged by treeReduce. Returns
+    * (word, estimate, err, guaranteed) rows, estimate desc / word asc. */
+  def approxHeavyHitters(df: DataFrame, textCol: String,
+                         capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "").as[String]
+    val sketch = sketchOf(words, capacity)
+    sketch.snapshot.toDF("word", "estimate", "err", "guaranteed")
+  }
+
+  /** Build the sketch itself (shared by batch and the per-micro-batch
+    * streaming path). */
+  def sketchOf(words: org.apache.spark.sql.Dataset[String],
+               capacity: Int): SpaceSavingSketch = {
+    val rdd = words.rdd
+    if (rdd.isEmpty()) new SpaceSavingSketch(capacity)
+    else rdd
+      .mapPartitions { it =>
+        val sk = new SpaceSavingSketch(capacity)
+        it.foreach(w => sk.offer(w))
+        Iterator.single(sk)
+      }
+      .treeReduce((a, b) => a.merge(b))
+  }
+
+  /** Streaming heavy hitters: each micro-batch is sketched DISTRIBUTED
+    * (the same per-partition + merge path) and merged into O(capacity)
+    * driver state; `onBatch` receives the cumulative snapshot as a
+    * DataFrame after every batch. All guarantees survive the per-batch
+    * merge tree (the mergeable-summaries property). */
+  def streamHeavyHitters(events: DataFrame, textCol: String, capacity: Int)
+                        (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      new SpaceSavingSketch(capacity))
+    events.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val spark = b.sparkSession
+        import spark.implicits._
+        val words = b
+          .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+          .filter(col("word") =!= "").as[String]
+        val merged = state.updateAndGet(s => s.merge(sketchOf(words, capacity)))
+        onBatch(merged.snapshot.toDF("word", "estimate", "err", "guaranteed"))
+      }
+      .start()
+  }
+}

@@ -187,6 +187,12 @@ object BenchSf1 {
       "embedding_dispersion" -> graft.SparkEntry.queries("embedding_dispersion"),
       "text_oov_curve" -> graft.SparkEntry.queries("text_oov_curve"),
       "decon_source_matrix" -> graft.SparkEntry.queries("decon_source_matrix"),
+      "graph_lpa" -> graft.SparkEntry.queries("graph_lpa"),
+      "dedup_prefix_join" -> graft.SparkEntry.queries("dedup_prefix_join"),
+      // full-corpus sketch form: the oracled query slices doc_id<100
+      "text_hh_sketch_full" -> ((s: SparkSession, dir: String) =>
+        graft.pipeline.SpaceSaving.approxHeavyHitters(
+          s.read.parquet(s"$dir/documents.parquet"), "text", capacity = 200)),
       "ann_hard_negatives_ivf" -> graft.SparkEntry.queries("ann_hard_negatives_ivf"),
       "modify_quantile_normalize" -> graft.SparkEntry.queries("modify_quantile_normalize"),
       "modify_rint" -> graft.SparkEntry.queries("modify_rint"),

@@ -119,6 +119,11 @@ object BenchSf10 {
       "embedding_dispersion" -> graft.SparkEntry.queries("embedding_dispersion"),
       "text_oov_curve" -> graft.SparkEntry.queries("text_oov_curve"),
       "decon_source_matrix" -> graft.SparkEntry.queries("decon_source_matrix"),
+      "graph_lpa" -> graft.SparkEntry.queries("graph_lpa"),
+      "dedup_prefix_join" -> graft.SparkEntry.queries("dedup_prefix_join"),
+      "text_hh_sketch_full" -> ((s: SparkSession, dir: String) =>
+        graft.pipeline.SpaceSaving.approxHeavyHitters(
+          s.read.parquet(s"$dir/documents.parquet"), "text", capacity = 200)),
       "ann_hard_negatives_ivf" -> graft.SparkEntry.queries("ann_hard_negatives_ivf"),
       "graph_pagerank_distributed" -> ((s: SparkSession, dir: String) => {
         s.conf.set("graft.pagerank.localMaxNodes", "0")

@@ -1739,6 +1739,24 @@ class PipelineSpec extends SparkSpec {
     assert(!out.map(_._1).contains(1L), "same-label twin must never appear")
   }
 
+  test("labelPropagation: two bridged triangles split into two communities; dup edges collapse") {
+    import spark.implicits._
+    // triangles {a,b,c} and {x,y,z} joined by bridge c-x; hand-replayed
+    // 3 synchronous rounds (min-label ties) give communities a and c
+    val edges = Seq(("a","b"),("a","c"),("b","c"),("x","y"),("x","z"),("y","z"),
+      ("c","x")).toDF("src","dst")
+    val out = graft.pipeline.Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c"), out.toString)
+    // duplicate + reversed edges are collapsed before any round
+    val dup = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .union(edges)
+    val out2 = graft.pipeline.Graph.labelPropagation(dup, "src", "dst", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out2 === out)
+  }
+
   test("hardNegativesIvf: label filter holds; recall vs the exact miner on real embeddings") {
     import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -239,6 +239,107 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("substringSpans laws on random corpora: spans >= L, disjoint, novelty mass conserved") {
+    import spark.implicits._
+    val L = 4
+    val rnd = new scala.util.Random(123L)
+    // small token alphabet forces cross-doc collisions; random doc lengths
+    (0 until 5).foreach { trial =>
+      val docs = (0 until 30).map { i =>
+        (i.toLong, (0 until (3 + rnd.nextInt(25)))
+          .map(_ => s"t${rnd.nextInt(6)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val spans = graft.pipeline.Dedup.substringSpans(docs, "text", "doc_id", minTokens = L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      spans.foreach { case (_, s, e, n) =>
+        assert(n === e - s + 1 && n >= L, s"span [$s,$e] n=$n must be >= L=$L (trial $trial)")
+      }
+      // maximality: spans of one doc are disjoint AND non-adjacent (a gap
+      // of <= 1 token between covered windows would have merged)
+      spans.groupBy(_._1).foreach { case (d, ss) =>
+        ss.sortBy(_._2).sliding(2).foreach {
+          case Array(p, q) => assert(q._2 > p._3 + 1,
+            s"doc $d spans $p and $q should have merged (trial $trial)")
+          case _ =>
+        }
+      }
+      // novelty mass conservation (ties substringSpans' gram machinery to
+      // noveltyCurve's): sum of per-doc novel n-grams == corpus distinct
+      val nov = graft.pipeline.Text.noveltyCurve(docs, "text", "doc_id", n = L)
+        .agg(sum("n_novel")).head().getLong(0)
+      val distinctGrams = docs
+        .select(split(lower(trim(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= L)
+        .select(explode(expr(
+          s"transform(sequence(0, size(w) - $L), i -> concat_ws(' ', slice(w, i + 1, $L)))")).as("g"))
+        .distinct().count()
+      assert(nov === distinctGrams,
+        s"novel mass $nov != corpus distinct grams $distinctGrams (trial $trial)")
+    }
+  }
+
+  test("prefixJaccardJoin == brute-force all-pairs on random corpora (no false negatives)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777L)
+    (0 until 4).foreach { trial =>
+      val t = Seq(0.5, 0.6, 0.8, 0.9)(trial)
+      val docs = (0 until 40).map { i =>
+        (i.toLong, (0 until (4 + rnd.nextInt(10)))
+          .map(_ => s"w${rnd.nextInt(12)}").distinct.mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = graft.pipeline.Dedup.prefixJaccardJoin(docs, "text", "doc_id", t)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // brute force over the same canonical word sets
+      val sets = docs.collect().map { r =>
+        r.getLong(0).toString -> r.getString(1).toLowerCase.trim
+          .split("\\s+").filter(_.nonEmpty).toSet
+      }.toSeq
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= t
+      } yield (a, b)).toSet
+      assert(got === want,
+        s"trial $trial t=$t: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("SpaceSaving laws: overcount bounds, frequent-item guarantee, exact regime, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    (0 until 4).foreach { trial =>
+      // zipf-ish corpus: word w_k with weight ~ 1/(k+1)
+      val words = (0 until 4000).map { _ =>
+        val k = math.min((1.0 / math.max(rnd.nextDouble(), 1e-3)).toInt, 80)
+        s"w$k"
+      }
+      val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = words.size.toLong
+      val parts = 1 + rnd.nextInt(16)
+      val ds = words.toDF("w").repartition(parts).select(col("w")).as[String]
+      val cap = 20 + trial * 10
+      val sk = graft.pipeline.SpaceSaving.sketchOf(ds, cap)
+      assert(sk.total === n, "total token mass must be exact")
+      val snap = sk.snapshot.map(s => s._1 -> ((s._2, s._3))).toMap
+      snap.foreach { case (w, (est, err)) =>
+        val t = truth.getOrElse(w, 0L)
+        assert(t <= est && est <= t + err,
+          s"trial $trial cap=$cap parts=$parts: $w true=$t est=$est err=$err")
+      }
+      // any item with true count > N/cap must be tracked
+      truth.filter(_._2 > n / cap).keys.foreach { w =>
+        assert(snap.contains(w),
+          s"trial $trial: frequent item $w (${truth(w)} > ${n / cap}) untracked")
+      }
+      // exact regime: capacity >= distinct items -> estimates exact, err 0
+      val exact = graft.pipeline.SpaceSaving.sketchOf(ds, 10000).snapshot
+      assert(exact.forall(_._3 == 0L), "exact regime must carry zero error")
+      assert(exact.map(s => s._1 -> s._2).toMap === truth,
+        s"trial $trial: exact-regime counts differ")
+    }
+  }
+
   test("upsert laws: idempotent, identity on empty delta, diff sees the change") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

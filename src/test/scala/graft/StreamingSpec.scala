@@ -67,6 +67,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamHeavyHitters: cumulative sketch over micro-batches matches batch; bounds hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val chunks = Seq(
+      Seq("a a a b", "b c"), Seq("a b b d e", "a a"), Seq("c c c c a"))
+    val all = chunks.flatten
+    val truth = all.flatMap(_.split("\\s+")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    var last: Map[String, (Long, Long)] = Map.empty
+    val mem = MemoryStream[String]
+    // exact regime (capacity >> vocab): the cumulative stream sketch must
+    // equal the plain batch counts after the last micro-batch
+    val q = graft.pipeline.SpaceSaving.streamHeavyHitters(
+        mem.toDF().toDF("text"), "text", capacity = 100) { snap =>
+      last = snap.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    try {
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      assert(last.view.mapValues(_._1).toMap === truth,
+        s"stream/batch sketch mismatch: $last vs $truth")
+      assert(last.values.forall(_._2 == 0L), "exact regime: zero error")
+    } finally q.stop()
+    // tiny capacity: bounds still hold cumulatively across batches
+    var lastSmall: Seq[(String, Long, Long)] = Seq.empty
+    val mem2 = MemoryStream[String]
+    val q2 = graft.pipeline.SpaceSaving.streamHeavyHitters(
+        mem2.toDF().toDF("text"), "text", capacity = 2) { snap =>
+      lastSmall = snap.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    try {
+      chunks.foreach { c => mem2.addData(c: _*); q2.processAllAvailable() }
+      assert(lastSmall.size <= 2)
+      lastSmall.foreach { case (w, est, err) =>
+        val t = truth.getOrElse(w, 0L)
+        assert(t <= est && est <= t + err, s"bounds violated for $w: $t $est $err")
+      }
+    } finally q2.stop()
+  }
+
   test("tumblingCounts: batch and streaming agree on the same events") {
     import spark.implicits._
     val rows = Seq(
