@@ -57,6 +57,8 @@ final class SpaceSavingSketch(val capacity: Int) extends Serializable {
     * cannot exceed that minimum. The union then truncates back to
     * `capacity` by (estimate desc, word asc). */
   def merge(o: SpaceSavingSketch): SpaceSavingSketch = {
+    require(o.capacity == capacity,
+      s"cannot merge sketches of different capacity: $capacity vs ${o.capacity}")
     val out = new SpaceSavingSketch(capacity)
     out._total = _total + o._total
     val minA = if (counters.size < capacity) 0L else minEstimate
@@ -127,7 +129,11 @@ object SpaceSaving {
         val words = b
           .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
           .filter(col("word") =!= "").as[String]
-        val merged = state.updateAndGet(s => s.merge(sketchOf(words, capacity)))
+        // compute the batch sketch (a Spark action) OUTSIDE updateAndGet:
+        // a CAS retry must never re-run the job (foreachBatch is
+        // sequential, but the contract shouldn't depend on it)
+        val batchSketch = sketchOf(words, capacity)
+        val merged = state.updateAndGet(s => s.merge(batchSketch))
         onBatch(merged.snapshot.toDF("word", "estimate", "err", "guaranteed"))
       }
       .start()
