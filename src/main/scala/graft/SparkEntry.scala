@@ -1941,6 +1941,27 @@ object SparkEntry {
         .orderBy("shard_id")
     }),
 
+    "pipeline_dedup_e2e" -> ((s, dir) => {
+      // the full DEDUP stack composed end-to-end (5th e2e): exact
+      // substring cut (cross-doc spans >= 15 tokens, min-id doc keeps its
+      // copy) -> token floor on the REBUILT text -> exact doc dedup of
+      // the rebuilds -> per-language survival report. One localCheckpoint
+      // after the cut (it feeds both the floor and the token report);
+      // every stage is the real library operator and the whole chain
+      // replays as one CTE chain
+      val docs = t(s, dir, "documents").filter(col("lang").isNotNull)
+      val cut = Dedup.removeSubstringDups(docs, "text", "doc_id", minTokens = 15)
+        .localCheckpoint()
+      val floored = cut.filter(col("n_words") - col("n_removed") >= 10)
+      val deduped = Dedup.exact(floored, "text_dedup", "id")
+      deduped.join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words") - col("n_removed")).as("n_tokens"),
+          sum(col("n_removed")).as("n_tokens_cut"))
+        .orderBy("lang")
+    }),
+
     "pipeline_budget_e2e" -> ((s, dir) => {
       // the BUDGET back door composed end-to-end: token-count quality
       // floor -> exact dedup (keep min id per fingerprint) -> per-language
@@ -5076,6 +5097,41 @@ object SparkEntry {
          SELECT canonical_url, count(*) AS n_occurrences,
            count(DISTINCT url) AS n_raw_forms
          FROM c4 GROUP BY 1 ORDER BY 1""",
+
+    // full-chain replay: the dedup_substring_cut CTEs (on the lang-filtered
+    // corpus), the token floor, exact dedup via md5 of the rebuilt text
+    // (already canonical: lowercased words joined by single spaces, so
+    // fingerprint == md5(text_dedup)), then the per-language report
+    "pipeline_dedup_e2e" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+           FROM documents WHERE lang IS NOT NULL),
+         o AS (SELECT doc_id, u.start AS start, u.g AS g
+           FROM (SELECT doc_id,
+               unnest(list_transform(range(CASE WHEN len(w) >= 15 THEN len(w) - 14 ELSE 0 END),
+                 i -> {'start': CAST(i AS INT),
+                       'g': array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 15], ' ')})) AS u
+             FROM d)),
+         cd AS (SELECT g, min(doc_id) AS keeper FROM o GROUP BY g
+           HAVING min(doc_id) <> max(doc_id)),
+         rm AS (SELECT doc_id, list(start) AS starts
+           FROM o JOIN cd USING (g) WHERE doc_id <> keeper GROUP BY doc_id),
+         k AS (SELECT d.doc_id, d.w,
+             list_filter(d.w, (x, i) -> len(list_filter(coalesce(rm.starts, []),
+               s -> i - 1 >= s AND i - 1 < s + 15)) = 0) AS kept
+           FROM d LEFT JOIN rm USING (doc_id)),
+         cut AS (SELECT doc_id, len(w) AS n_words, len(w) - len(kept) AS n_removed,
+             array_to_string(kept, ' ') AS text_dedup
+           FROM k),
+         flo AS (SELECT * FROM cut WHERE n_words - n_removed >= 10),
+         ex AS (SELECT flo.*, row_number() OVER (PARTITION BY md5(text_dedup)
+             ORDER BY doc_id) AS rn FROM flo),
+         surv AS (SELECT * FROM ex WHERE rn = 1)
+         SELECT dd.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(surv.n_words - surv.n_removed) AS BIGINT) AS n_tokens,
+           CAST(sum(surv.n_removed) AS BIGINT) AS n_tokens_cut
+         FROM surv JOIN documents dd ON dd.doc_id = surv.doc_id
+         GROUP BY 1 ORDER BY 1""",
 
     "pipeline_budget_e2e" ->
       """WITH gated AS (SELECT doc_id, text, lang,

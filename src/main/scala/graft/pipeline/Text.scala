@@ -101,11 +101,13 @@ object Text {
     val fname = s"ngram_window_hashes_$n"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname, exprs => graft.functions.NgramWindowHashes(exprs.head, n), "scala_udf")
+    // null text -> empty gram set (n_ngrams 0, novelty 0.0), matching the
+    // oracle's range(0) fold instead of propagating a null array into size()
     val perDoc = df
       .select(col(idCol).as("id"),
-        array_distinct(call_function(fname,
+        coalesce(array_distinct(call_function(fname,
           filter(split(lower(trim(col(textCol))), "\\s+"),
-            w => length(w) > 0))).as("__gs"))
+            w => length(w) > 0))), array().cast("array<long>")).as("__gs"))
       .select(col("id"), size(col("__gs")).as("n_ngrams"),
         explode_outer(col("__gs")).as("__gh"))
     val first = perDoc.filter(col("__gh").isNotNull)

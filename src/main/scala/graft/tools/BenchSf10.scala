@@ -109,6 +109,7 @@ object BenchSf10 {
       "text_good_turing" -> graft.SparkEntry.queries("text_good_turing"),
       "modify_yeo_johnson_grid" -> graft.SparkEntry.queries("modify_yeo_johnson_grid"),
       "pipeline_budget_e2e" -> graft.SparkEntry.queries("pipeline_budget_e2e"),
+      "pipeline_dedup_e2e" -> graft.SparkEntry.queries("pipeline_dedup_e2e"),
       "describe_score_eval" -> graft.SparkEntry.queries("describe_score_eval"),
       "ann_recall_eval" -> graft.SparkEntry.queries("ann_recall_eval"),
       "events_active_users" -> graft.SparkEntry.queries("events_active_users"),

@@ -1793,13 +1793,14 @@ class PipelineSpec extends SparkSpec {
       (1L, "a b c d"),        // grams {a b c, b c d} — all novel (first doc)
       (2L, "a b c x"),        // {a b c}=seen, {b c x}=novel -> 0.5
       (3L, "a b"),            // too short: 0 grams, novelty 0.0
-      (4L, "b c d a b c")     // {b c d, a b c}=seen, {c d a, d a b}=novel -> 0.5
+      (4L, "b c d a b c"),    // {b c d, a b c}=seen, {c d a, d a b}=novel -> 0.5
+      (5L, null.asInstanceOf[String]) // null text: empty gram set, not a null row
     ).toDF("doc_id", "text")
     val out = graft.pipeline.Text.noveltyCurve(docs, "text", "doc_id", n = 3)
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq === Seq((1L, 2, 2L, 1.0), (2L, 2, 1L, 0.5),
-      (3L, 0, 0L, 0.0), (4L, 4, 2L, 0.5)), out.toSeq.toString)
+      (3L, 0, 0L, 0.0), (4L, 4, 2L, 0.5), (5L, 0, 0L, 0.0)), out.toSeq.toString)
   }
 
   test("dispersionByLabel: hand variance identity; singleton label disperses 0") {
