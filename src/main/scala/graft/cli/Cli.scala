@@ -397,6 +397,32 @@ object Cli {
           df.withColumn(flag(rest, "--out").getOrElse("clean_text"),
             graft.pipeline.Text.htmlExtract(
               org.apache.spark.sql.functions.col(txt)))
+        case "dedup-substring" =>
+          // flag maximal cross-doc duplicated spans (>= --min-tokens)
+          Dedup.substringSpans(df, txt, idc,
+            minTokens = flag(rest, "--min-tokens").map(_.toInt).getOrElse(50))
+        case "dedup-substring-cut" =>
+          // the keep-one cut: rebuilt docs with non-keeper spans removed
+          Dedup.removeSubstringDups(df, txt, idc,
+            minTokens = flag(rest, "--min-tokens").map(_.toInt).getOrElse(50))
+        case "dedup-prefix-join" =>
+          // exact word-set Jaccard >= --threshold pairs (no false negatives)
+          Dedup.prefixJaccardJoin(df, txt, idc,
+            threshold = flag(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
+        case "text-novelty" =>
+          Text.noveltyCurve(df, txt, idc,
+            n = flag(rest, "--n").map(_.toInt).getOrElse(3))
+        case "text-oov-curve" =>
+          Text.oovCurve(df, txt,
+            sizes = flag(rest, "--sizes").map(_.split(",").toSeq.map(_.toInt))
+              .getOrElse(Seq(1000, 10000, 50000, 100000)))
+        case "text-heavy-hitters" =>
+          // one-pass Space-Saving sketch (approximate; --capacity counters)
+          graft.pipeline.SpaceSaving.approxHeavyHitters(df, txt,
+            capacity = flag(rest, "--capacity").map(_.toInt).getOrElse(1000))
+        case "source-overlap-matrix" =>
+          graft.pipeline.Decontaminate.corpusMinhashMatrix(df, txt,
+            groupCol = flag(rest, "--group").getOrElse("source"))
         case "dedup-paragraphs" =>
           Dedup.dedupParagraphs(df, txt, idc)
         case "url-extract" =>
@@ -683,6 +709,12 @@ object Cli {
       |  pipeline label-audit <labeled.parquet> <out> [--k N] [--label c]
       |  pipeline html-extract <in> <out> [--text c] [--out c]
       |  pipeline dedup-paragraphs <in> <out> [--text c] [--id c]
+      |  pipeline dedup-substring|dedup-substring-cut <in> <out> [--text c] [--id c] [--min-tokens L]
+      |  pipeline dedup-prefix-join <in> <out> [--text c] [--id c] [--threshold t]
+      |  pipeline text-novelty <in> <out> [--text c] [--id c] [--n N]
+      |  pipeline text-oov-curve <in> <out> [--text c] [--sizes k1,k2,...]
+      |  pipeline text-heavy-hitters <in> <out> [--text c] [--capacity N]
+      |  pipeline source-overlap-matrix <in> <out> [--text c] [--group c]
       |  pipeline decontaminate <train.parquet> <out> --eval <eval.parquet> [--ngram N]
       |  pipeline crossdoc-dup|remove-dup-spans <in.parquet> <out> [--ngram N]
       |  pipeline vocab <in> <out> [--k N]; bm25 <in> <out> --terms t1,t2 [--k N]

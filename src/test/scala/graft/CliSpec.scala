@@ -98,6 +98,30 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, List("pipeline", "remove-dup-spans", docs, s"$dir/rs", "--ngram", "5"))
     val rs = spark.read.parquet(s"$dir/rs")
     assert(rs.count() === nDocs && rs.columns.contains("text_dedup"))
+    // r13 verbs: substring dedup pair, exact prefix join, novelty, OOV,
+    // Space-Saving sketch, source-overlap matrix
+    Cli.run(spark, List("pipeline", "dedup-substring", docs, s"$dir/sub",
+      "--min-tokens", "15"))
+    assert(spark.read.parquet(s"$dir/sub").columns.toSet ===
+      Set("id", "span_start", "span_end", "n_tokens"))
+    Cli.run(spark, List("pipeline", "dedup-substring-cut", docs, s"$dir/subc",
+      "--min-tokens", "15"))
+    assert(spark.read.parquet(s"$dir/subc").count() === nDocs)
+    Cli.run(spark, List("pipeline", "dedup-prefix-join", docs, s"$dir/pj",
+      "--threshold", "0.8"))
+    assert(spark.read.parquet(s"$dir/pj").columns.toSet ===
+      Set("id1", "id2", "jaccard"))
+    Cli.run(spark, List("pipeline", "text-novelty", docs, s"$dir/nv", "--n", "3"))
+    assert(spark.read.parquet(s"$dir/nv").count() === nDocs)
+    Cli.run(spark, List("pipeline", "text-oov-curve", docs, s"$dir/oov",
+      "--sizes", "10,100"))
+    assert(spark.read.parquet(s"$dir/oov").count() === 2)
+    Cli.run(spark, List("pipeline", "text-heavy-hitters", docs, s"$dir/hh",
+      "--capacity", "50"))
+    val hh = spark.read.parquet(s"$dir/hh")
+    assert(hh.count() <= 50 && hh.columns.contains("guaranteed"))
+    Cli.run(spark, List("pipeline", "source-overlap-matrix", docs, s"$dir/som"))
+    assert(spark.read.parquet(s"$dir/som").columns.contains("est_jaccard"))
     Cli.run(spark, List("pipeline", "pack-chunked", docs, s"$dir/pc",
       "--tokens", "n_chars", "--group", "lang", "--order", "doc_id", "--max", "4096"))
     assert(spark.read.parquet(s"$dir/pc").columns.contains("chunk_first"))
