@@ -380,9 +380,16 @@ object Decontaminate {
     // expression is null iff its input is), but counting sig would force
     // the whole signature pipeline to run a second time just for its
     // nullness (measured ~2x of the op's sfx10 wall)
-    val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
+    val countRows = df.groupBy(col(groupCol).cast("string").as("__g"))
       .agg(count(col(textCol)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+    // loud refusal on NULL groups (r13 ADVICE): a null map key would
+    // otherwise NPE later in groups.sorted — opaque instead of actionable
+    if (countRows.exists(_.isNullAt(0))) throw new IllegalArgumentException(
+      s"corpusMinhashMatrix: group column '$groupCol' contains NULLs — " +
+        "filter or impute them upstream (a NULL source/snapshot label has " +
+        "no place in the overlap matrix).")
+    val counts = countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val mins = sigs.filter(col("sig").isNotNull)
       .select(col("__g"), posexplode(col("sig")))
       .groupBy("__g", "pos").agg(min(col("col")).as("m"))

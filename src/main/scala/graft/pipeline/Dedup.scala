@@ -123,10 +123,12 @@ object Dedup {
     call_function(fname, c)
   }
 
-  /** Default log sink for scale warnings (stderr). Kept as a settable var
-    * for backward compatibility, but prefer the per-call `warnSink`
-    * parameter — a global sink swapped by concurrent sessions or parallel
-    * test suites races and can misroute warnings. */
+  /** Default log sink for scale warnings (stderr). DEPRECATED as a
+    * mutation target: this is PROCESS-GLOBAL state — concurrent sessions
+    * or parallel test suites swapping it race and can misroute warnings.
+    * Always pass the per-call `warnSink` parameter instead; the var
+    * remains only so existing callers that never touch it keep the stderr
+    * default, and will become a val once no suite reassigns it. */
   @volatile var logSink: String => Unit = s => System.err.println(s)
 
   /** MinHash-LSH candidate pairs: documents sharing at least one band
@@ -143,15 +145,6 @@ object Dedup {
     val params = hashParams(numHashes, seed) // computed ONCE, rides in the plan
     val sigOf = nativeCol(spark, s"minhash_sig_${numHashes}_${shingleK}_$seed",
       exprs => graft.functions.MinhashSignature(exprs.head, params, shingleK)) _
-    // ids ride as strings: arbitrary id types survive without cast-to-null
-    // crashes or '7'/'07'-style collisions
-    val sigs = df.select(col(idCol).cast("string").as("id"),
-      sigOf(col(textCol)).as("sig"))
-    // band buckets: (band, xxhash64(band slice)) — the ONLY shuffle
-    val banded0 = sigs.select(col("id"), col("sig"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // dup-heavy-corpus guard (VERDICT r11 #6): the pairwise contract is
     // OUTPUT-bound — bucket cliques are quadratic in duplicate-cluster
     // size (x110 pairs measured for x10 data at sf10, SCALE.md). One
@@ -167,11 +160,22 @@ object Dedup {
         require(v >= 0, s"graft.dedup.pairBlowupWarnFactor must be >= 0, got $v")
         v
       }.getOrElse(8L)
-    // when the guard runs, it is a SEPARATE action over the banded frame:
-    // without a cut here the full signature pipeline (shingle + polyHash
-    // over the whole corpus) would recompute for the candidate join —
-    // localCheckpoint materializes signatures ONCE (r12 ADVICE)
-    val banded = if (warnFactor > 0L) banded0.localCheckpoint() else banded0
+    // ids ride as strings: arbitrary id types survive without cast-to-null
+    // crashes or '7'/'07'-style collisions
+    val sigs0 = df.select(col(idCol).cast("string").as("id"),
+      sigOf(col(textCol)).as("sig"))
+    // when the guard adds a second action below, cut lineage at the
+    // PRE-explode signatures (r13 ADVICE refining the r12 banded cut):
+    // the expensive shingle+hash work materializes once per DOC — 1/bands
+    // the footprint of checkpointing the banded frame, which stored the
+    // 64-long sig duplicated per band; the cheap slice/xxhash banding
+    // recomputes per consumer (guard agg + both join sides)
+    val sigs = if (warnFactor > 0L) sigs0.localCheckpoint() else sigs0
+    // band buckets: (band, xxhash64(band slice)) — the ONLY shuffle
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     if (warnFactor > 0L) {
       val r = banded.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("pairs"),

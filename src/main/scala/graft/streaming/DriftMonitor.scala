@@ -185,7 +185,17 @@ object DriftMonitor {
     * state replays [[cusumBinnedScores]] exactly), and the result is
     * handed to `onBatch` (alert sink, metrics table append, ...). The
     * per-micro-batch collect is CLOSED WINDOWS only — calendar-bounded
-    * rows of O(bins) aggregates, never event-scale. */
+    * rows of O(bins) aggregates, never event-scale.
+    *
+    * Failure semantics (r13 ADVICE): foreachBatch is at-least-once, so a
+    * retried/replayed micro-batch is detected by its batchId and SKIPPED
+    * entirely — double-stepping the CUSUM prefix sums would diverge from
+    * the batch [[cusumBinnedScores]] parity (the replayed windows' scores
+    * were already delivered once). The tracker is DRIVER state — it does
+    * NOT survive a query restart from checkpoint: after a restart the
+    * CUSUM resumes from zero at the restart point. Re-seed by replaying
+    * the already-scored windows through [[cusumBinnedScores]] if exact
+    * continuity across restarts matters. */
   def startDriftMonitor(events: DataFrame, tsCol: String, valueCol: String,
                         ref: DriftReference, windowLen: String,
                         watermark: String, eps: Double = 1e-6,
@@ -193,24 +203,28 @@ object DriftMonitor {
                         slack: Double = 0.0, cusumThreshold: Double = 1.0)
                        (onBatch: DataFrame => Unit): StreamingQuery = {
     val tracker = new CusumTracker(slack, cusumThreshold)
+    val lastApplied = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     windowedBinCounts(events.withWatermark(tsCol, watermark), tsCol, valueCol,
         ref, windowLen)
       .writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        val spark = b.sparkSession
-        val scored = scoreBinned(b, ref, eps, warn, action)
-        val rows = scored.orderBy("window_start").collect()
-        val li = scored.schema.fieldIndex("loc_shift")
-        val out = rows.map { r =>
-          val (up, dn, alarm) = tracker.step(r.getDouble(li))
-          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(up, dn, alarm))
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (batchId > lastApplied.get) {
+          lastApplied.set(batchId)
+          val spark = b.sparkSession
+          val scored = scoreBinned(b, ref, eps, warn, action)
+          val rows = scored.orderBy("window_start").collect()
+          val li = scored.schema.fieldIndex("loc_shift")
+          val out = rows.map { r =>
+            val (up, dn, alarm) = tracker.step(r.getDouble(li))
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(up, dn, alarm))
+          }
+          val schema = org.apache.spark.sql.types.StructType(scored.schema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField("cusum_up", org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("cusum_dn", org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("cusum_alarm", org.apache.spark.sql.types.BooleanType)))
+          onBatch(spark.createDataFrame(
+            spark.sparkContext.parallelize(out.toSeq, 1), schema))
         }
-        val schema = org.apache.spark.sql.types.StructType(scored.schema.fields ++ Seq(
-          org.apache.spark.sql.types.StructField("cusum_up", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("cusum_dn", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("cusum_alarm", org.apache.spark.sql.types.BooleanType)))
-        onBatch(spark.createDataFrame(
-          spark.sparkContext.parallelize(out.toSeq, 1), schema))
       }
       .start()
   }
