@@ -2036,6 +2036,17 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2")),
 
+    "dedup_prefix_star" -> ((s, dir) =>
+      // the GROUPING form of dedup_prefix_join (r13 VERDICT #2): exact
+      // no-false-negative duplicate COMPONENTS via triangle-inequality
+      // star pruning — linear output where the pairwise contract is
+      // dup-cluster-quadratic; oracle replays the full pairwise graph +
+      // recursive reachability, so this row IS the pairs≡star identity
+      Dedup.prefixJaccardStar(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "text", "doc_id", threshold = 0.8)
+        .orderBy("id")),
+
     "dedup_substring" -> ((s, dir) =>
       // exact substring dedup, corpus-vs-itself (Lee et al. 2022): maximal
       // cross-document duplicated spans of >= 15 tokens. L=15 suits this
@@ -2068,6 +2079,25 @@ object SparkEntry {
         .filter(col("estimate") >= 5)
         .orderBy(col("estimate").desc, col("word").asc)),
 
+    "text_hh_guaranteed" -> ((s, dir) => {
+      // the sketch BEYOND the exact regime (r13 VERDICT #5): capacity 512
+      // << the ~950-type unigram+bigram stream, so counters genuinely
+      // differ under partitioning — but the guaranteed (estimate − err)
+      // verdict at φ = 1/100 is partitioning-invariant on this corpus
+      // (unigrams ≥ ~840 tokens vs bigrams ≤ ~48 vs φN ≈ 538, a gap far
+      // wider than the ≤ N/512 ≈ 105 err bound); oracle = TRUE counts
+      import s.implicits._
+      val w = t(s, dir, "documents")
+        .select(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0).as("w"))
+      val uni = w.select(explode(col("w")).as("g"))
+      val bi = w.select(explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      SpaceSaving.guaranteedHeavyHitters(uni.union(bi).as[String],
+        capacity = 512, phiNum = 1L, phiDen = 100L)
+    }),
+
     "text_novelty_curve" -> ((s, dir) =>
       // corpus-growth signal: per doc (in id order), the share of its
       // distinct word 3-grams never seen in any earlier document — the
@@ -2077,6 +2107,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_ngrams").cast("long"),
           col("n_novel"), round(col("novelty"), 6).as("novelty"))
         .orderBy("doc_id")),
+
+    "text_novelty_daily" -> ((s, dir) =>
+      // the crawl-health TIME series (r13 VERDICT #4): novelty per crawl
+      // DAY — docs dated via the events timestamps (event_id as the crawl
+      // record key, first fetch wins), gram first-occurrence by min day
+      Text.noveltyDaily(t(s, dir, "documents"), "text", "doc_id",
+          t(s, dir, "events"), "event_id", "ts", n = 3)
+        .select(col("day"), col("n_docs"), col("n_grams"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty"))
+        .orderBy("day")),
 
     "embedding_dispersion" -> ((s, dir) =>
       // per-label intra-class diversity: E||x||^2 - ||mean||^2 without
@@ -2503,6 +2543,20 @@ object SparkEntry {
           key = col("doc_id"), seed = "epoch0")
         .select(col("doc_id"), col("lang"), col("shuffle_pos"))
         .orderBy("doc_id")),
+
+    "sample_curriculum" -> ((s, dir) => {
+      // curriculum interleave (r13 VERDICT #3): difficulty = token count,
+      // 8 exact ntile buckets, position = rank_in_bucket*8 + bucket — all
+      // closed-form off ONE range sort's global rank, zero windows; the
+      // oracle replays the same arithmetic from row_number()
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          x => length(x) > 0)).cast("double").as("difficulty"))
+      Sampling.curriculumOrder(docs, "difficulty", "doc_id", k = 8)
+        .select(col("id").as("doc_id"), col("difficulty"), col("bucket"),
+          col("rank_in_bucket"), col("position"))
+        .orderBy("position")
+    }),
 
     // ---- temporal joins Spark lacks natively (scale-join surface)
     "join_asof" -> ((s, dir) => {
@@ -5252,6 +5306,47 @@ object SparkEntry {
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
          ORDER BY id1, id2""",
 
+    // INDEPENDENT replay of the star path's contract: the full PAIRWISE
+    // verified graph (dedup_prefix_join's recipe) + recursive reachability
+    // → component = min reachable id. The engine never builds this graph
+    // (star + triangle-pruned loose edges only), so a green row here IS
+    // the pairs≡star component-identity law on real data. ed is
+    // MATERIALIZED: the recursion must not re-inline the whole pipeline
+    // per iteration (the k-core lesson).
+    "dedup_prefix_star" ->
+      """WITH RECURSIVE d AS (SELECT CAST(doc_id AS VARCHAR) AS did,
+             list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS s
+           FROM documents WHERE doc_id < 200),
+         dd AS (SELECT did, s FROM d WHERE len(s) > 0),
+         tk AS (SELECT did, unnest(s) AS tok FROM dd),
+         dfq AS (SELECT tok, count(*) AS dfc FROM tk GROUP BY 1),
+         pos AS (SELECT tk.did, tk.tok,
+             row_number() OVER (PARTITION BY tk.did ORDER BY dfq.dfc, tk.tok) AS p,
+             count(*) OVER (PARTITION BY tk.did) AS n
+           FROM tk JOIN dfq USING (tok)),
+         pre AS (SELECT did, tok FROM pos WHERE p <= n - ceil(0.8 * n) + 1),
+         cand AS (SELECT DISTINCT a.did AS id1, b.did AS id2
+           FROM pre a JOIN pre b ON a.tok = b.tok AND a.did < b.did),
+         sz AS (SELECT did, len(s) AS n FROM dd),
+         inter AS (SELECT c.id1, c.id2, count(*) AS i
+           FROM cand c JOIN tk t1 ON t1.did = c.id1
+           JOIN tk t2 ON t2.did = c.id2 AND t2.tok = t1.tok
+           GROUP BY 1, 2),
+         e AS (SELECT inter.id1, inter.id2
+           FROM inter JOIN sz sa ON sa.did = inter.id1
+           JOIN sz sb ON sb.did = inter.id2
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         ed AS MATERIALIZED (
+           SELECT id1 AS src, id2 AS dst FROM e
+           UNION SELECT id2 AS src, id1 AS dst FROM e),
+         reach AS (
+           SELECT did AS id, did AS node FROM dd
+           UNION
+           SELECT r.id, ed.dst AS node FROM reach r JOIN ed ON ed.src = r.node)
+         SELECT id, min(node) AS component
+         FROM reach GROUP BY id ORDER BY id""",
+
     // cross-doc duplicated 15-grams by STRING (the engine groups the same
     // grams by their 8-byte fingerprint — the house dedup contract);
     // min<>max doc_id is the ">=2 distinct docs" test; equal-length
@@ -5317,6 +5412,25 @@ object SparkEntry {
          SELECT word, estimate, CAST(0 AS BIGINT) AS err, estimate AS guaranteed
          FROM c WHERE estimate >= 5 ORDER BY estimate DESC, word ASC""",
 
+    // TRUE-count replay of the guarantee contract: in the gap regime the
+    // sketch's (estimate − err) ≥ N/100 verdict equals tf · 100 >= N on
+    // true counts — the engine side never sees these counts (capacity 512
+    // << vocab), so a green row proves the lower-bound report is both
+    // sound and complete here
+    "text_hh_guaranteed" ->
+      """WITH d AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> length(x) > 0) AS w
+           FROM documents),
+         bi0 AS (SELECT list_transform(range(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END),
+             i -> array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 2], ' ')) AS gs
+           FROM d),
+         s AS (SELECT unnest(w) AS g FROM d
+               UNION ALL SELECT unnest(gs) AS g FROM bi0),
+         c AS (SELECT g, count(*) AS tf FROM s GROUP BY 1),
+         t AS (SELECT sum(tf) AS n FROM c)
+         SELECT c.g AS word, CAST(t.n AS BIGINT) AS n_total
+         FROM c, t WHERE c.tf * 100 >= t.n ORDER BY word""",
+
     // first-occurrence attribution by gram STRING (engine: 8-byte
     // fingerprint); empty/short docs survive via the LEFT JOIN
     "text_novelty_curve" ->
@@ -5337,6 +5451,33 @@ object SparkEntry {
            round(CASE WHEN coalesce(nov.n_ngrams, 0) > 0
              THEN CAST(nov.n_novel AS DOUBLE) / nov.n_ngrams ELSE 0.0 END, 6) AS novelty
          FROM gl LEFT JOIN nov USING (doc_id) ORDER BY doc_id""",
+
+    // same raw-string gram replay as text_novelty_curve, re-keyed to crawl
+    // DAYS: doc day = strftime of its first event ts (UTC both engines),
+    // gram first-occurrence = min day over the per-day DISTINCT gram sets
+    "text_novelty_daily" ->
+      """WITH dy AS (SELECT event_id AS doc_id, strftime(min(ts), '%Y-%m-%d') AS day
+           FROM events GROUP BY 1),
+         d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+           FROM documents),
+         gl AS (SELECT doc_id,
+             list_distinct(list_transform(range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END),
+               i -> array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' '))) AS gs
+           FROM d),
+         dd AS (SELECT gl.doc_id, dy.day, gl.gs FROM gl JOIN dy USING (doc_id)),
+         e AS (SELECT DISTINCT day, g FROM (SELECT day, unnest(gs) AS g FROM dd)),
+         f AS (SELECT g, min(day) AS fd FROM e GROUP BY g),
+         ds AS (SELECT e.day, count(*) AS n_grams,
+             sum(CASE WHEN f.fd = e.day THEN 1 ELSE 0 END) AS n_novel
+           FROM e JOIN f USING (g) GROUP BY 1),
+         nd AS (SELECT day, count(*) AS n_docs FROM dd GROUP BY 1)
+         SELECT nd.day, CAST(nd.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(ds.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(ds.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CASE WHEN coalesce(ds.n_grams, 0) > 0
+             THEN CAST(ds.n_novel AS DOUBLE) / ds.n_grams ELSE 0.0 END, 6) AS novelty
+         FROM nd LEFT JOIN ds USING (day) ORDER BY day""",
 
     // population-variance identity per label: sum over dims of
     // (E x^2 - (E x)^2); centroid norm from the same per-dim sums
@@ -6680,6 +6821,30 @@ object SparkEntry {
              ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
                       CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS shuffle_pos
          FROM documents ORDER BY doc_id""",
+
+    // independent replay of the curriculum arithmetic from a row_number()
+    // global rank (the engine derives the same rank from a range sort +
+    // partition offsets); ntile-of-rank is pure integer math both sides
+    "sample_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> length(x) > 0)) AS DOUBLE) AS difficulty
+           FROM documents),
+         r AS (SELECT doc_id, difficulty,
+             row_number() OVER (ORDER BY difficulty, doc_id) - 1 AS r,
+             count(*) OVER () AS n
+           FROM d),
+         p AS (SELECT doc_id, difficulty, r, n // 8 AS q, n % 8 AS m FROM r),
+         c AS (SELECT doc_id, difficulty,
+             CASE WHEN r < m * (q + 1) THEN r // (q + 1)
+                  ELSE m + (r - m * (q + 1)) // q END AS bucket,
+             CASE WHEN r < m * (q + 1) THEN r % (q + 1)
+                  ELSE (r - m * (q + 1)) % q END AS rank_in_bucket
+           FROM p)
+         SELECT doc_id, difficulty, CAST(bucket AS BIGINT) AS bucket,
+           CAST(rank_in_bucket AS BIGINT) AS rank_in_bucket,
+           CAST(rank_in_bucket * 8 + bucket AS BIGINT) AS position
+         FROM c ORDER BY position""",
 
     // events.ts is TIMESTAMP(NANOS); both engines truncate to epoch micros
     // (Spark reads nanosAsLong and keys on unix_micros) so the as-of order

@@ -278,7 +278,7 @@ object Cli {
     // ------------------------------------------- pipeline (driver-mandated
     // training-data operators; parquet in -> parquet out)
     case "pipeline" :: verb :: in :: out :: rest =>
-      import graft.pipeline.{Dedup, Similarity, Text}
+      import graft.pipeline.{Dedup, Sampling, Similarity, Text}
       val df = spark.read.parquet(in)
       val idc = flag(rest, "--id").getOrElse("doc_id")
       val txt = flag(rest, "--text").getOrElse("text")
@@ -409,8 +409,26 @@ object Cli {
           // exact word-set Jaccard >= --threshold pairs (no false negatives)
           Dedup.prefixJaccardJoin(df, txt, idc,
             threshold = flag(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
+        case "dedup-prefix-star" =>
+          // exact duplicate GROUPS (same components as the pairwise join,
+          // linear output): (id, component)
+          Dedup.prefixJaccardStar(df, txt, idc,
+            threshold = flag(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
+        case "curriculum-order" =>
+          // ntile difficulty buckets + round-robin interleave position
+          Sampling.curriculumOrder(df,
+            difficultyCol = flag(rest, "--difficulty").getOrElse("difficulty"),
+            idCol = idc, k = flag(rest, "--k").map(_.toInt).getOrElse(8))
         case "text-novelty" =>
           Text.noveltyCurve(df, txt, idc,
+            n = flag(rest, "--n").map(_.toInt).getOrElse(3))
+        case "text-novelty-daily" =>
+          // novelty per crawl day; --times parquet supplies (key, ts)
+          Text.noveltyDaily(df, txt, idc,
+            times = spark.read.parquet(flag(rest, "--times").getOrElse(
+              sys.error("text-novelty-daily requires --times <parquet>"))),
+            timeKeyCol = flag(rest, "--time-key").getOrElse(idc),
+            tsCol = flag(rest, "--ts").getOrElse("ts"),
             n = flag(rest, "--n").map(_.toInt).getOrElse(3))
         case "text-oov-curve" =>
           Text.oovCurve(df, txt,
@@ -420,6 +438,19 @@ object Cli {
           // one-pass Space-Saving sketch (approximate; --capacity counters)
           graft.pipeline.SpaceSaving.approxHeavyHitters(df, txt,
             capacity = flag(rest, "--capacity").map(_.toInt).getOrElse(1000))
+        case "text-hh-guaranteed" => {
+          // guaranteed-above-threshold report: φ = --phi-num / --phi-den
+          import spark.implicits._
+          val words = df.select(org.apache.spark.sql.functions.explode(
+              org.apache.spark.sql.functions.split(
+                org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.trim(
+                  org.apache.spark.sql.functions.col(txt))), "\\s+")).as("w"))
+            .filter(org.apache.spark.sql.functions.col("w") =!= "").as[String]
+          graft.pipeline.SpaceSaving.guaranteedHeavyHitters(words,
+            capacity = flag(rest, "--capacity").map(_.toInt).getOrElse(1000),
+            phiNum = flag(rest, "--phi-num").map(_.toLong).getOrElse(1L),
+            phiDen = flag(rest, "--phi-den").map(_.toLong).getOrElse(100L))
+        }
         case "source-overlap-matrix" =>
           graft.pipeline.Decontaminate.corpusMinhashMatrix(df, txt,
             groupCol = flag(rest, "--group").getOrElse("source"))
@@ -711,7 +742,11 @@ object Cli {
       |  pipeline dedup-paragraphs <in> <out> [--text c] [--id c]
       |  pipeline dedup-substring|dedup-substring-cut <in> <out> [--text c] [--id c] [--min-tokens L]
       |  pipeline dedup-prefix-join <in> <out> [--text c] [--id c] [--threshold t]
+      |  pipeline dedup-prefix-star <in> <out> [--text c] [--id c] [--threshold t]
+      |  pipeline curriculum-order <in> <out> [--difficulty c] [--id c] [--k N]
       |  pipeline text-novelty <in> <out> [--text c] [--id c] [--n N]
+      |  pipeline text-novelty-daily <in> <out> --times p [--time-key c] [--ts c] [--text c] [--id c] [--n N]
+      |  pipeline text-hh-guaranteed <in> <out> [--text c] [--capacity N] [--phi-num a] [--phi-den b]
       |  pipeline text-oov-curve <in> <out> [--text c] [--sizes k1,k2,...]
       |  pipeline text-heavy-hitters <in> <out> [--text c] [--capacity N]
       |  pipeline source-overlap-matrix <in> <out> [--text c] [--group c]

@@ -695,6 +695,90 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** The GROUPING form of [[prefixJaccardJoin]] — duplicate components with
+    * the same EXACT no-false-negatives guarantee, but output and (on
+    * dup-heavy corpora) work LINEAR in duplicate-cluster depth where the
+    * pairwise contract is quadratic by definition (r13 VERDICT #2; the
+    * [[minhashStarEdges]] discipline, made exact).
+    *
+    * The star reduction that preserves exactness: Jaccard DISTANCE is a
+    * metric, so within a prefix-token bucket any two members within half
+    * the threshold radius of the bucket representative — J(x, rep) >=
+    * (1+t)/2 — are provably >= t of each other via the triangle
+    * inequality, and their DIRECTLY VERIFIED star edges (x, rep) already
+    * connect them. Only pairs touching a LOOSE member (J(x, rep) below the
+    * half-radius bound) need direct verification. Every emitted edge has
+    * verified J >= t (never over-merges), and every true pair is either
+    * tight-connected via its shared bucket's rep or lands in that bucket's
+    * loose candidate set (never under-merges) — so components are
+    * IDENTICAL to components([[prefixJaccardJoin]]), spec-asserted.
+    *
+    * Scale shape: the same one token-frequency shuffle and per-doc prefix
+    * window; then member-vs-rep verification is ONE ROW PER BUCKET
+    * MEMBERSHIP (linear in prefix volume), and on a dup-heavy corpus
+    * (near-twin clusters, J ≈ 1 >> (1+t)/2) the loose set is empty — no
+    * quadratic stage anywhere, where the pairwise form measured ×110
+    * output blowup per data decade. Returns (id, component) for every doc
+    * with a nonempty word set; singletons map to themselves; component =
+    * min member id (string order — ids ride as strings like every dedup
+    * path). */
+  def prefixJaccardStar(docs: DataFrame, textCol: String, idCol: String,
+                        threshold: Double, maxIter: Int = 20): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
+    val words = array_distinct(canonicalWordsCol(col(textCol)))
+    // several downstream actions consume the set projection (star verify,
+    // loose verify, components rounds): materialize it once per doc
+    val sets = docs.select(col(idCol).cast("string").as("id"), words.as("s"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint()
+    val toks = sets.select(col("id"), explode(col("s")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy("id").orderBy(col("__df").asc, col("tok").asc)
+    val prefix = toks.join(dfreq, Seq("tok"))
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("__pos") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select("tok", "id")
+    val reps = prefix.groupBy("tok").agg(min(col("id")).as("rid"))
+    // exact member-vs-rep jaccard: one row per bucket membership — this is
+    // the linear stage that replaces the bucket cliques
+    val memberRep = prefix.join(reps, Seq("tok"))
+      .join(sets.select(col("id"), col("s").as("s1")), Seq("id"))
+      .join(sets.select(col("id").as("rid"), col("s").as("s2")), Seq("rid"))
+      .withColumn("__i", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("j", col("__i").cast("double")
+        / (size(col("s1")) + size(col("s2")) - col("__i")))
+      .select(col("tok"), col("id"), col("rid"), col("j"))
+      .localCheckpoint() // consumed by BOTH the star edges and the loose set
+    val starEdges = memberRep
+      .filter(col("id") =!= col("rid") && col("j") >= threshold)
+      .select(least(col("id"), col("rid")).as("id1"),
+        greatest(col("id"), col("rid")).as("id2"))
+      .distinct()
+    // loose members: not provably within t of their co-bucket peers via
+    // the rep — their pairs (against ALL peers of that bucket) verify
+    // directly. On near-twin clusters this set is empty.
+    val tightBound = (1.0 + threshold) / 2.0
+    val loosePairs = memberRep.filter(col("j") < tightBound)
+      .select(col("tok"), col("id").as("__l"))
+      .join(prefix.select(col("tok"), col("id").as("__m")), Seq("tok"))
+      .filter(col("__l") =!= col("__m"))
+      .select(least(col("__l"), col("__m")).as("id1"),
+        greatest(col("__l"), col("__m")).as("id2"))
+      .distinct()
+    val looseEdges = loosePairs
+      .join(sets.select(col("id").as("id1"), col("s").as("s1")), Seq("id1"))
+      .join(sets.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
+      .withColumn("__i", size(array_intersect(col("s1"), col("s2"))))
+      .filter(col("__i").cast("double")
+        / (size(col("s1")) + size(col("s2")) - col("__i")) >= threshold)
+      .select("id1", "id2")
+    val comps = components(starEdges.union(looseEdges).distinct(),
+      "id1", "id2", maxIter)
+    sets.select(col("id")).join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: sum ±1 per bit weighted by token

@@ -416,4 +416,71 @@ object Sampling {
       .withColumnRenamed("__id", idCol)
       .withColumn("score", col("score_unats").cast("double") / 1e6)
   }
+
+  /** Curriculum INTERLEAVE ordering (r13 VERDICT #3): assign each row an
+    * exact difficulty-quantile bucket (ntile semantics: the first n mod k
+    * buckets take the extra row) and a deterministic output position that
+    * round-robins the buckets — position = rank_in_bucket · k + bucket —
+    * so a reader consuming the corpus in position order sees one easy,
+    * one medium, ..., one hard, repeat: the standard curriculum/difficulty
+    * mixing step before sharding training data.
+    *
+    * No global window anywhere: ONE Tungsten range sort on
+    * (difficulty, id) — the [[graft.modify.Modify.rintMap]] machinery —
+    * then a per-partition counting pass gives each partition its global
+    * start offset, and bucket / rank_in_bucket / position are all
+    * CLOSED-FORM arithmetic on the global rank (ntile of rank r with n
+    * rows and k buckets is pure integer math), computed in a streaming
+    * mapPartitions with a running index. Two jobs total, both scans of
+    * the sorted frame; nothing is collected beyond the O(partitions)
+    * offset array. Ties order by id, so the output is bit-stable under
+    * any partitioning and replayable as a row_number() oracle.
+    *
+    * Returns (id, difficulty, bucket, rank_in_bucket, position); rows with
+    * NULL/NaN difficulty are excluded (they have no quantile). */
+  def curriculumOrder(df: DataFrame, difficultyCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = df.sparkSession
+    val proj = df.select(col(idCol).as("id"),
+        col(difficultyCol).cast("double").as("difficulty"))
+      .filter(col("difficulty").isNotNull && !isnan(col("difficulty")))
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sorted = proj.repartitionByRange(parts, col("difficulty"), col("id"))
+      .sortWithinPartitions("difficulty", "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var c = 0L; it.foreach(_ => c += 1L); Iterator.single((pi, c))
+      }.collect().sortBy(_._1).map(_._2)
+      val starts = perPart.scanLeft(0L)(_ + _)
+      val n = starts.last
+      val q = n / k; val m = n % k // ntile: first m buckets hold q+1 rows
+      val idType = sorted.schema("id").dataType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("difficulty",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank_in_bucket",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("position",
+          org.apache.spark.sql.types.LongType)))
+      val rows = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var r = starts(pi)
+        it.map { row =>
+          val (b, rib) =
+            if (r < m * (q + 1)) { val b = r / (q + 1); (b, r - b * (q + 1)) }
+            else { val r2 = r - m * (q + 1); (m + r2 / q, r2 % q) }
+          r += 1
+          org.apache.spark.sql.Row(row.get(0), row.getDouble(1),
+            b, rib, rib * k + b)
+        }
+      }
+      // the output is computed in one pass over the persisted sort; eager
+      // materialization via localCheckpoint releases it deterministically
+      spark.createDataFrame(rows, outSchema).localCheckpoint()
+    } finally sorted.unpersist(blocking = false)
+  }
 }

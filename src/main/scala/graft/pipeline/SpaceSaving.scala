@@ -128,6 +128,49 @@ object SpaceSaving {
     words.rdd.treeAggregate(new SpaceSavingSketch(capacity))(
       (sk, w) => sk.offer(w), (a, b) => a.merge(b))
 
+  /** GUARANTEED-above-threshold report from ONE Space-Saving pass (r13
+    * VERDICT #5) — the oracled batch face of the sketch BEYOND the exact
+    * regime: report exactly the items whose sketch LOWER bound clears the
+    * φ = phiNum/phiDen frequency threshold, i.e. (estimate − err) ·
+    * phiDen >= total · phiNum, in exact int64 arithmetic (no float
+    * boundary; caller keeps counts · phiDen within int64, which any real
+    * φ like 1/100 does until ~9·10^16 tokens).
+    *
+    * Contract: every reported item PROVABLY has true count >= φN
+    * (estimate − err is a true lower bound — never a false positive, on
+    * any data, at any capacity, under any partitioning). Completeness and
+    * hence partitioning-INVARIANCE of the reported set hold in the
+    * guaranteed regime: per-item err is bounded by ~N/capacity (the
+    * mergeable-summaries property), so when no item's true frequency
+    * falls in the ambiguous band [φN, φN + maxErr) — a frequency-gap
+    * condition on the data — an item is reported iff it is truly >= φN,
+    * and the verdict cannot flip under repartition even though the
+    * counter CONTENTS legitimately differ (spec-asserted: soundness
+    * always, set-invariance in the gap regime). Outside the regime the
+    * report stays sound but band items may drop — the documented sketch
+    * trade.
+    *
+    * Scale shape: identical to [[sketchOf]] — one pass, O(capacity) driver
+    * state, report rows bounded by capacity. Returns (word, n_total),
+    * word asc; n_total = exact corpus token count (total mass is exact in
+    * any Space-Saving merge). */
+  def guaranteedHeavyHitters(words: org.apache.spark.sql.Dataset[String],
+                             capacity: Int, phiNum: Long,
+                             phiDen: Long): DataFrame = {
+    require(phiNum > 0 && phiDen >= phiNum,
+      s"need 0 < phiNum <= phiDen: $phiNum/$phiDen")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val sk = sketchOf(words, capacity)
+    val n = sk.total
+    sk.snapshot
+      .filter { case (_, _, _, guaranteed) =>
+        guaranteed * phiDen >= n * phiNum }
+      .map { case (w, _, _, _) => (w, n) }
+      .sortBy(_._1)
+      .toDF("word", "n_total")
+  }
+
   /** Streaming heavy hitters: each micro-batch is sketched DISTRIBUTED
     * (the same per-partition + merge path) and merged into O(capacity)
     * driver state; `onBatch` receives the cumulative snapshot as a

@@ -121,6 +121,55 @@ object Text {
           col("n_novel").cast("double") / col("n_ngrams")).otherwise(0.0))
   }
 
+  /** [[noveltyCurve]] over TIME windows — novelty per crawl DAY, the live
+    * crawl-health signal (r13 VERDICT #4): a crawl whose daily novelty
+    * decays to ~0 is re-fetching what it already has, and the day it
+    * happens is visible, not just the corpus-order trend. Documents are
+    * dated by joining `times` (timeKeyCol -> the doc id, tsCol -> its
+    * crawl timestamp; re-crawled keys date to their FIRST fetch via min),
+    * then a gram's first DAY is attributed by one min aggregation.
+    *
+    * Scale shape: the doc->day join is id-keyed row-scale; per-day
+    * distinct grams is one (day, hash) distinct shuffle; first-day is one
+    * map-side-combined min on the 8-byte gram hash; everything after is
+    * day-scale (calendar-bounded). No per-day windows, nothing corpus².
+    * Returns (day 'yyyy-MM-dd', n_docs, n_grams, n_novel, novelty) where
+    * n_grams counts the day's distinct grams and novelty =
+    * n_novel/n_grams (0.0 on gram-free days). Docs with no crawl record
+    * are undateable and excluded (inner join). */
+  def noveltyDaily(docs: DataFrame, textCol: String, idCol: String,
+                   times: DataFrame, timeKeyCol: String, tsCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val spark = docs.sparkSession
+    val fname = s"ngram_window_hashes_$n"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.NgramWindowHashes(exprs.head, n), "scala_udf")
+    val days = times.groupBy(col(timeKeyCol).as("id"))
+      .agg(min(col(tsCol)).as("__ts"))
+      .select(col("id"), date_format(col("__ts"), "yyyy-MM-dd").as("day"))
+    val perDoc = docs
+      .select(col(idCol).as("id"),
+        coalesce(array_distinct(call_function(fname,
+          filter(split(lower(trim(col(textCol))), "\\s+"),
+            w => length(w) > 0))), array().cast("array<long>")).as("__gs"))
+      .join(days, Seq("id"))
+    val dayGram = perDoc
+      .select(col("day"), explode(col("__gs")).as("__gh")).distinct()
+    val firstDay = dayGram.groupBy("__gh").agg(min(col("day")).as("__fd"))
+    val dayStats = dayGram.join(firstDay, Seq("__gh"))
+      .groupBy("day").agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__fd") === col("day"), 1L).otherwise(0L)).as("n_novel"))
+    perDoc.groupBy("day").agg(count(lit(1)).as("n_docs"))
+      .join(dayStats, Seq("day"), "left")
+      .select(col("day"), col("n_docs"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") > 0,
+          col("n_novel").cast("double") / col("n_grams")).otherwise(0.0))
+  }
+
   /** Tokenizer-budget COVERAGE curve: for each candidate vocabulary size
     * k, the share of all corpus tokens covered by the k most frequent
     * word types (ties broken word-asc) — the how-big-a-vocab-do-I-need /

@@ -30,6 +30,31 @@ object BenchSf1 {
     * dedup-aware split, BPE tokenizer, DSIR selection — full-corpus forms
     * where the oracled query slices a fixed id range that would not grow
     * with SF (the split/dsir/bpe_train queries already scan everything). */
+  private[tools] def assertProbeKeysGrounded(
+      workloads: Seq[(String, (SparkSession, String) => DataFrame)]): Unit = {
+    val declared = graft.SparkEntry.queries.keySet
+    val orphanOk = Set("ann_opq_train_full")
+    val ungrounded = workloads.map(_._1).filterNot(k =>
+      orphanOk(k) || declared(k) || declared.exists(d => k.startsWith(d + "_")))
+    require(ungrounded.isEmpty,
+      s"probe keys not grounded in declared query names: $ungrounded")
+  }
+
+  /** Round-14 probes, shared by both SF tools: the prefix-star grouping in
+    * its full-corpus form (the declared query slices doc_id<200, which
+    * would not grow with SF — and the whole POINT of the star path is the
+    * dup-heavy full corpus where the pairwise contract is quadratic), plus
+    * three new declared lines that already scan the full corpus. */
+  private[tools] def round14Wave: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dedup_prefix_star_full" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Dedup.prefixJaccardStar(
+          s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id", 0.8)
+        .groupBy().agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("component")).as("n_components"))),
+    "sample_curriculum" -> graft.SparkEntry.queries("sample_curriculum"),
+    "text_novelty_daily" -> graft.SparkEntry.queries("text_novelty_daily"),
+    "text_hh_guaranteed" -> graft.SparkEntry.queries("text_hh_guaranteed"))
+
   private[tools] def round11SecondWave: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "decon_minhash_lsh_full" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -191,7 +216,7 @@ object BenchSf1 {
       "graph_lpa" -> graft.SparkEntry.queries("graph_lpa"),
       "dedup_prefix_join" -> graft.SparkEntry.queries("dedup_prefix_join"),
       // full-corpus sketch form: the oracled query slices doc_id<100
-      "text_hh_sketch_full" -> ((s: SparkSession, dir: String) =>
+      "text_heavy_hitters_sketch_full" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.SpaceSaving.approxHeavyHitters(
           s.read.parquet(s"$dir/documents.parquet"), "text", capacity = 200)),
       "ann_hard_negatives_ivf" -> graft.SparkEntry.queries("ann_hard_negatives_ivf"),
@@ -220,7 +245,7 @@ object BenchSf1 {
       "analyze_interaction_pair" -> graft.SparkEntry.queries("analyze_interaction_pair"),
       "analyze_interaction_allpairs" -> graft.SparkEntry.queries("analyze_interaction_allpairs"),
       "describe_summarize_approx" -> graft.SparkEntry.queries("describe_summarize_approx"),
-      "dedup_minhash_full" -> ((s: SparkSession, dir: String) =>
+      "dedup_minhash_lsh_full" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.Dedup.minhashCandidates(s,
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
           .groupBy().agg(count(lit(1)).as("n_candidates"))),
@@ -243,7 +268,15 @@ object BenchSf1 {
           .select(projOf(col("embedding")).as("p"))
           .groupBy().agg(count(lit(1)).as("n"),
             sum(element_at(col("p"), 1)).as("chk"))
-      })) ++ round11SecondWave
+      })) ++ round11SecondWave ++ round14Wave
+
+    // every probe key must be GROUNDED in a declared query name (VERDICT
+    // r13 #7): the name itself, or '<declared>_<suffix>' for documented
+    // full-corpus/forced-path variants — so a cross-artifact grep for any
+    // declared query always hits its probes. The one allowed orphan is
+    // OPQ, which deliberately has no declared form (SVD can't replay in
+    // SQL; unit-tested instead).
+    assertProbeKeysGrounded(workloads)
 
     // optional subset: `runMain graft.tools.BenchSf1 q1 q2 ...` probes only
     // the named lines (adds new-operator evidence without re-timing the

@@ -122,7 +122,7 @@ object BenchSf10 {
       "decon_source_matrix" -> graft.SparkEntry.queries("decon_source_matrix"),
       "graph_lpa" -> graft.SparkEntry.queries("graph_lpa"),
       "dedup_prefix_join" -> graft.SparkEntry.queries("dedup_prefix_join"),
-      "text_hh_sketch_full" -> ((s: SparkSession, dir: String) =>
+      "text_heavy_hitters_sketch_full" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.SpaceSaving.approxHeavyHitters(
           s.read.parquet(s"$dir/documents.parquet"), "text", capacity = 200)),
       "ann_hard_negatives_ivf" -> graft.SparkEntry.queries("ann_hard_negatives_ivf"),
@@ -131,7 +131,7 @@ object BenchSf10 {
         try graft.SparkEntry.queries("graph_pagerank")(s, dir)
         finally s.conf.unset("graft.pagerank.localMaxNodes")
       }),
-      "dedup_minhash_full" -> ((s: SparkSession, dir: String) =>
+      "dedup_minhash_lsh_full" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.Dedup.minhashCandidates(s,
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
           .groupBy().agg(count(lit(1)).as("n_candidates"))),
@@ -165,7 +165,10 @@ object BenchSf10 {
       })) ++
       secondWave.map(n => n -> graft.SparkEntry.queries(n)) ++
       // round-11 second wave (shared full-corpus forms with BenchSf1)
-      BenchSf1.round11SecondWave
+      BenchSf1.round11SecondWave ++ BenchSf1.round14Wave
+
+    // probe keys must be grounded in declared query names (VERDICT r13 #7)
+    BenchSf1.assertProbeKeysGrounded(workloads)
 
     // optional subset: `runMain graft.tools.BenchSf10 q1 q2 ...` probes
     // only the named lines (skips re-timing the known-expensive ones)

@@ -218,6 +218,48 @@ class CurationSpec extends SparkSpec {
     assert(c.subsetOf(a))
   }
 
+  test("curriculumOrder: ntile balance, round-robin interleave, deterministic under repartition") {
+    import spark.implicits._
+    // 103 rows, k=8 -> ntile: first 103%8=7 buckets hold 13, last holds 12
+    val df = (0L until 103L).map(i => (i, ((i * 37) % 103).toDouble))
+      .toDF("doc_id", "d")
+    val out = Sampling.curriculumOrder(df, "d", "doc_id", k = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length === 103)
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert((0L until 7L).forall(sizes(_) === 13) && sizes(7L) === 12)
+    // positions are unique and encode (rank_in_bucket, bucket) exactly
+    assert(out.map(_._5).distinct.length === 103)
+    out.foreach { case (_, _, b, rib, pos) => assert(pos === rib * 8 + b) }
+    // interleave: the first 8 positions are one row from EACH bucket,
+    // in bucket order, and each bucket's rows appear in difficulty order
+    val byPos = out.sortBy(_._5)
+    assert(byPos.take(8).map(_._3).toSeq === (0L until 8L).toSeq)
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4).map(_._2).toSeq
+      assert(sorted === sorted.sorted, "rank_in_bucket must follow difficulty")
+    }
+    // bucket boundaries respect the global difficulty order: every member
+    // of bucket b is <= every member of bucket b+1 (ties impossible here)
+    val maxOf = out.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minOf = out.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    (0L until 7L).foreach(b => assert(maxOf(b) <= minOf(b + 1)))
+    // bit-stable under any partitioning
+    val again = Sampling.curriculumOrder(df.repartition(17), "d", "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(again.toSeq === out.sortBy(_._1).toSeq)
+    // n < k edge: every row its own bucket, positions = buckets
+    val tiny = Sampling.curriculumOrder(
+      (0L until 3L).map(i => (i, i.toDouble)).toDF("doc_id", "d"), "d", "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(tiny.toSeq === Seq((0L, 0L, 0L, 0L), (1L, 1L, 0L, 1L), (2L, 2L, 0L, 2L)))
+    intercept[IllegalArgumentException](
+      Sampling.curriculumOrder(df, "d", "doc_id", 0))
+  }
+
   test("splitAssign: total coverage, ~fractions, dup co-location, membership stability") {
     import spark.implicits._
     val df = (0L until 4000L).toDF("k")

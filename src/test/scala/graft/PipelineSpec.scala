@@ -109,6 +109,36 @@ class PipelineSpec extends SparkSpec {
     assert(starEdges.count() <= 16 * m)
   }
 
+  test("prefixJaccardStar: transitive chains merge, singletons self-map, matches pairwise on real corpus") {
+    import spark.implicits._
+    // chain: J(0,1) = 4/6 ≈ 0.67 and J(1,2) = 4/6 ≈ 0.67 at t=0.6, but
+    // J(0,2) = 3/7 ≈ 0.43 < t — all three must still land in ONE component
+    // (the pairwise-graph contract); doc 3 shares nothing and stays alone
+    val chain = Seq(
+      (0L, "a b c d e"), (1L, "a b c d f"), (2L, "a b c f g"),
+      (3L, "x y z q")).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardStar(chain, "text", "doc_id", 0.6)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("0" -> "0", "1" -> "0", "2" -> "0", "3" -> "3"))
+    // real corpus slice at the oracled threshold: star components must
+    // equal components over the full pairwise verified graph
+    val docs200 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 300)
+    val pairPath = Dedup.components(
+      Dedup.prefixJaccardJoin(docs200, "text", "doc_id", 0.8)
+        .select("id1", "id2"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val starAll = Dedup.prefixJaccardStar(docs200, "text", "doc_id", 0.8)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pairPath.nonEmpty, "fixture must produce duplicate groups")
+    // restrict the star map to ids that have at least one verified pair
+    // (the pairwise path only returns those); the rest must self-map
+    assert(starAll.view.filterKeys(pairPath.contains).toMap === pairPath,
+      "star and pairwise paths must agree on components")
+    starAll.foreach { case (id, comp) =>
+      if (!pairPath.contains(id)) assert(comp === id, s"singleton $id moved") }
+  }
+
   test("ngram jaccard verification is exact") {
     import spark.implicits._
     val pairs = Seq(("0", "3"), ("0", "2")).toDF("id1", "id2")
@@ -1801,6 +1831,32 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq === Seq((1L, 2, 2L, 1.0), (2L, 2, 1L, 0.5),
       (3L, 0, 0L, 0.0), (4L, 4, 2L, 0.5), (5L, 0, 0L, 0.0)), out.toSeq.toString)
+  }
+
+  test("noveltyDaily: gram first-day attribution, recrawl dates to first fetch, undated docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // day1: grams {abc, bcd} both novel
+      (2L, "a b c x"),   // day1: {abc} dup within day, {bcx} novel
+      (3L, "b c d a"),   // day2: {bcd}=day1, {cda}=novel -> day2 n_novel 1 of 2
+      (4L, "a b"),       // day2: too short — counts as a doc, adds no grams
+      (5L, "q r s t")    // no crawl record: excluded entirely
+    ).toDF("doc_id", "text")
+    val times = Seq(
+      (1L, "2024-03-01 10:00:00"), (1L, "2024-03-02 09:00:00"), // recrawl -> day1
+      (2L, "2024-03-01 23:59:59"), (3L, "2024-03-02 00:00:01"),
+      (4L, "2024-03-02 12:00:00")
+    ).toDF("event_id", "tss").withColumn("ts", col("tss").cast("timestamp"))
+    val out = graft.pipeline.Text.noveltyDaily(
+        docs, "text", "doc_id", times, "event_id", "ts", n = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // day1: docs {1,2}, distinct grams {abc, bcd, bcx} all first-seen
+    // day2: docs {3,4}, distinct grams {bcd, cda}; bcd first-seen day1
+    assert(out.toSeq === Seq(
+      ("2024-03-01", 2L, 3L, 3L, 1.0),
+      ("2024-03-02", 2L, 2L, 1L, 0.5)), out.toSeq.toString)
   }
 
   test("dispersionByLabel: hand variance identity; singleton label disperses 0") {

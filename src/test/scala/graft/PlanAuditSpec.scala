@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     // cross-doc filters live BEHIND the crossDoc localCheckpoint, so the
     // audited plan is the already-materialized fingerprint set + joins)
     "decon_corpus_minhash" -> "NO-CODEGEN: the returned frame is a one-row LocalTableScan of the driver-computed estimate; the two signature aggregations that COMPUTE it are codegen'd projections + map-side-combined aggs, executed eagerly at construction",
+    "text_hh_guaranteed" -> "NO-CODEGEN: the returned frame is an O(capacity)-row LocalTableScan of the guaranteed report read off the sketch; the compute path is the sketchOf treeAggregate over the codegen'd token projection, executed eagerly at construction",
     "describe_score_eval" -> "NO-CODEGEN: the returned frame is a one-row LocalTableScan of the (auc, ap) summary; the compute path is the ksTwoSample discipline — tie-aggregated codegen'd shuffle, range-partitioned sort, exact-int64 fold — executed eagerly at construction",
     "describe_ks_drift" -> "NO-CODEGEN: the returned frame is a one-row LocalTableScan of the (D, pvalue) summary; the compute path is the giniByGroup discipline — tie-aggregated codegen'd shuffle, range-partitioned sort, O(#partitions) offsets, max reduce — executed eagerly at construction",
     "text_heavy_hitters" -> "NO-PUSHDOWN: the exact pass filters the empty-word guard and the candidate semi-join on the EXPLODED token stream — post-explode, not a base-column predicate",

@@ -305,6 +305,86 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardStar components == brute-force pairwise graph components (identity law)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(778L)
+    (0 until 4).foreach { trial =>
+      val t = Seq(0.5, 0.6, 0.8, 0.9)(trial)
+      val docs = (0 until 40).map { i =>
+        (i.toLong, (0 until (4 + rnd.nextInt(10)))
+          .map(_ => s"w${rnd.nextInt(12)}").distinct.mkString(" "))
+      }.toDF("doc_id", "text")
+      val star = graft.pipeline.Dedup.prefixJaccardStar(docs, "text", "doc_id", t)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // reference: brute-force all-pairs verified graph -> union-find,
+      // component = min string id; singletons map to themselves
+      val sets = docs.collect().map { r =>
+        r.getLong(0).toString -> r.getString(1).toLowerCase.trim
+          .split("\\s+").filter(_.nonEmpty).toSet
+      }.toSeq.filter(_._2.nonEmpty)
+      val parent = scala.collection.mutable.Map(sets.map(s => s._1 -> s._1): _*)
+      def find(x: String): String = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a < b && (sa & sb).size.toDouble / (sa | sb).size >= t
+      } {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = sets.map { case (id, _) => id -> find(id) }.toMap
+      assert(star === want,
+        s"trial $trial t=$t: star path disagrees with the pairwise graph " +
+          s"(diff=${(star.toSet diff want.toSet) ++ (want.toSet diff star.toSet)})")
+      assert(want.values.toSet.size < want.size || trial >= 2,
+        s"trial $trial fixture should contain at least one real duplicate group")
+    }
+  }
+
+  test("guaranteedHeavyHitters: verdict set never flips under repartition in the gap regime; always sound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91L)
+    // gap-regime corpus: 20 heavies at tf=300, 500 lights at tf=8 ->
+    // N=10000, φ=1/50 -> φN=200; the band [200, 200 + N/256≈39) is empty
+    // and capacity 256 << 520 types (genuinely approximate: counters DO
+    // differ across partitionings; only the verdict must not)
+    val words = rnd.shuffle(
+      (0 until 20).flatMap(h => Seq.fill(300)(s"heavy$h")) ++
+      (0 until 500).flatMap(l => Seq.fill(8)(s"light$l")))
+    val truthHeavy = (0 until 20).map(h => s"heavy$h").toSet
+    val reports = (0 until 5).map { trial =>
+      val parts = 1 + rnd.nextInt(64)
+      val ds = words.toDF("w").repartition(parts).select(col("w")).as[String]
+      val rep = graft.pipeline.SpaceSaving
+        .guaranteedHeavyHitters(ds, capacity = 256, phiNum = 1L, phiDen = 50L)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rep.forall(_._2 === 10000L), "total mass is exact in any merge")
+      rep.map(_._1).toSet
+    }
+    reports.foreach(r => assert(r === truthHeavy,
+      s"gap-regime report must be exactly the true heavy set: $r"))
+    // outside the regime (band occupied) the report may drop band items
+    // but must stay SOUND: everything reported is truly >= φN
+    val bandWords = rnd.shuffle(
+      (0 until 30).flatMap(h => Seq.fill(40 + h)(s"b$h")) ++ // tf 40..69 straddle φN
+      (0 until 300).flatMap(l => Seq.fill(3)(s"l$l")))
+    val n2 = bandWords.size.toLong
+    val truth2 = bandWords.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (0 until 3).foreach { _ =>
+      val parts = 1 + rnd.nextInt(32)
+      val ds = bandWords.toDF("w").repartition(parts).select(col("w")).as[String]
+      val rep = graft.pipeline.SpaceSaving
+        .guaranteedHeavyHitters(ds, capacity = 64, phiNum = 1L, phiDen = 50L)
+        .collect().map(_.getString(0))
+      rep.foreach(w => assert(truth2(w) * 50L >= n2,
+        s"reported $w has true tf ${truth2(w)} < N/50 — unsound"))
+    }
+    intercept[IllegalArgumentException](
+      graft.pipeline.SpaceSaving.guaranteedHeavyHitters(
+        words.take(5).toDF("w").as[String], 8, 3L, 2L))
+  }
+
   test("SpaceSaving laws: overcount bounds, frequent-item guarantee, exact regime, any partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(31L)
