@@ -2008,6 +2008,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_curriculum_e2e" -> ((s, dir) => {
+      // 6th e2e composition (r14): classifier quality gate → difficulty
+      // = token count → exact ntile buckets + round-robin interleave
+      // position (the windowless curriculum machinery) → CONTIGUOUS
+      // position-range shards (readers consume shards in order, so each
+      // shard inherits the interleave — the rollup SHOWS every shard
+      // mixing all difficulty buckets) → per-(shard, bucket) rollup.
+      // Real operators at every stage; the oracle replays the whole
+      // chain as one CTE pipeline. The filter compares the 6dp-ROUNDED
+      // score (the cross-engine equality check_oracle itself proves on
+      // text_quality_score); shard size is exact integer math off a
+      // broadcast one-row count
+      val scored = Text.classifierScore(t(s, dir, "documents"), "text",
+        weights = Map("stopword_ratio" -> 4.0, "punct_ratio" -> 2.0,
+          "mean_word_len" -> 0.1, "n_words" -> 0.001), bias = -1.0)
+      val kept = scored.filter(round(col("quality_score"), 6) >= 0.5)
+        .select(col("doc_id"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            x => length(x) > 0)).cast("double").as("difficulty"))
+      val cur = Sampling.curriculumOrder(kept, "difficulty", "doc_id", k = 4)
+      cur.crossJoin(broadcast(cur.agg(count(lit(1)).as("__n"))))
+        .withColumn("shard", expr("position DIV ((__n + 4) DIV 5)"))
+        .groupBy("shard", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("difficulty")), 6).as("avg_difficulty"),
+          min(col("position")).as("first_position"))
+        .orderBy("shard", "bucket")
+    }),
+
     "dedup_paragraphs" -> ((s, dir) => {
       // paragraph-level dedup over synthetic multi-paragraph docs: every
       // doc gets the SAME boilerplate footer paragraph plus its per-source
@@ -5689,6 +5718,58 @@ object SparkEntry {
              + punct_ratio * CAST(2.0 AS DOUBLE))
              + stopword_ratio * CAST(4.0 AS DOUBLE))))), 6) AS quality_score
          FROM g ORDER BY doc_id""",
+
+    // the whole curriculum chain in one CTE pipeline: the identical
+    // alphabetical-fold sigmoid (text_quality_score's replay, unsliced),
+    // 6dp-rounded gate, token-count difficulty, row_number ntile
+    // arithmetic, position-modular shards, rollup
+    "pipeline_curriculum_e2e" ->
+      """WITH f AS (SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[\.,;:!\?]')) AS punct,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop
+           FROM documents),
+         g AS (SELECT doc_id,
+             CASE WHEN n_words > 0
+               THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words END AS mean_word_len,
+             n_words,
+             CASE WHEN n_chars > 0
+               THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_words > 0
+               THEN CAST(stop AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio
+           FROM f),
+         sc AS (SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(((((CAST(-1.0 AS DOUBLE)
+               + mean_word_len * CAST(0.1 AS DOUBLE))
+               + n_words * CAST(0.001 AS DOUBLE))
+               + punct_ratio * CAST(2.0 AS DOUBLE))
+               + stopword_ratio * CAST(4.0 AS DOUBLE))))), 6) AS q
+           FROM g),
+         k AS (SELECT d.doc_id,
+             CAST(len(list_filter(string_split_regex(trim(d.text), '\s+'),
+               x -> length(x) > 0)) AS DOUBLE) AS difficulty
+           FROM documents d JOIN sc USING (doc_id) WHERE sc.q >= 0.5),
+         r AS (SELECT doc_id, difficulty,
+             row_number() OVER (ORDER BY difficulty, doc_id) - 1 AS r,
+             count(*) OVER () AS n
+           FROM k),
+         p AS (SELECT difficulty, r, n // 4 AS q2, n % 4 AS m FROM r),
+         c AS (SELECT difficulty,
+             CASE WHEN r < m * (q2 + 1) THEN r // (q2 + 1)
+                  ELSE m + (r - m * (q2 + 1)) // q2 END AS bucket,
+             CASE WHEN r < m * (q2 + 1) THEN r % (q2 + 1)
+                  ELSE (r - m * (q2 + 1)) % q2 END AS rib
+           FROM p),
+         s AS (SELECT difficulty, bucket, rib * 4 + bucket AS position,
+             count(*) OVER () AS n2 FROM c)
+         SELECT CAST(position // ((n2 + 4) // 5) AS BIGINT) AS shard,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(difficulty), 6) AS avg_difficulty,
+           CAST(min(position) AS BIGINT) AS first_position
+         FROM s GROUP BY 1, 2 ORDER BY shard, bucket""",
 
     // word-5-gram decontamination: DuckDB joins the RAW n-gram strings where
     // the Spark side joins xxhash64 of them — a collision would surface here

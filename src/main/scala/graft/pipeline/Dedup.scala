@@ -660,6 +660,12 @@ object Dedup {
     * PREFIX token only — never all-pairs, and rare-first ordering keeps
     * prefix buckets small (the frequent tokens never enter a prefix).
     *
+    * OUTPUT CONTRACT: pairs are quadratic in duplicate-cluster depth by
+    * definition (like [[minhashCandidates]]). When the goal is duplicate
+    * GROUPS rather than scored pairs, use [[prefixJaccardStar]] — same
+    * exact no-false-negatives guarantee, identical components, linear
+    * output and (on near-twin clusters) linear verification work.
+    *
     * Scale shape: one token-frequency aggregation + join (row-scale
     * shuffle on the token), a per-doc window for prefix positions
     * (partitioned by doc — full parallelism), the candidate self-join on

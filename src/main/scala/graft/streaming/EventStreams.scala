@@ -429,4 +429,68 @@ object EventStreams {
           }
       }
   }
+
+  final case class GramFlag(wstart: java.sql.Timestamp, novel: Long)
+
+  /** STREAMING novelty monitor — the live form of
+    * [[graft.pipeline.Text.noveltyDaily]]'s crawl-health signal: per
+    * event-time window, how many of the window's distinct word n-grams
+    * were never seen in ANY earlier window. A crawl whose per-window
+    * novelty decays to ~0 is re-fetching what it already has, visible
+    * while the crawl runs instead of at the next batch report.
+    *
+    * Shape: grams are 8-byte fingerprints (the house dedup contract) from
+    * a codegen'd projection; per-gram state is O(1) — (seenEver,
+    * lastWindowStart) — keyed by the fingerprint, so the state store is
+    * bounded by the corpus's DISTINCT gram vocabulary (the same bound the
+    * batch operator's shuffle carries), NOT by stream length; the
+    * per-window rollup is a plain windowed aggregation over the flagged
+    * first-in-window rows.
+    *
+    * Ordering contract (documented, parity-tested): windows must arrive
+    * NON-DECREASING per gram — the chronological-ingestion shape of a
+    * crawl log. Within a micro-batch rows are sorted by window, so any
+    * intra-batch disorder is absorbed; a window OLDER than a gram's last
+    * emitted window (cross-batch disorder) is dropped for that gram, the
+    * same rows a watermark would have excluded. Under that contract the
+    * final per-window table equals the batch replay exactly
+    * (MemoryStream≡noveltyDaily parity-tested).
+    *
+    * Returns the per-window aggregate (wstart, n_grams, n_novel, novelty);
+    * run with Complete/Update output (the rollup re-aggregates as windows
+    * fill). */
+  def noveltyStream(spark: SparkSession, docs: DataFrame, textCol: String,
+                    tsCol: String, windowLen: String = "1 day",
+                    n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val fname = s"ngram_window_hashes_$n"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.NgramWindowHashes(exprs.head, n), "scala_udf")
+    val grams = docs
+      .select(window(col(tsCol), windowLen).getField("start").as("wstart"),
+        explode(coalesce(array_distinct(call_function(fname,
+          filter(split(lower(trim(col(textCol))), "\\s+"),
+            w => length(w) > 0))), array().cast("array<long>"))).as("gh"))
+      .as[(java.sql.Timestamp, Long)]
+    val flagged = grams.groupByKey(_._2)
+      .flatMapGroupsWithState[(Boolean, Long), GramFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[(Boolean, Long)]) =>
+          var (seen, lastW) = state.getOption.getOrElse((false, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[GramFlag]()
+          rows.toSeq.map(_._1).sortBy(_.getTime).foreach { w =>
+            if (w.getTime > lastW) {
+              out += GramFlag(w, if (!seen) 1L else 0L)
+              seen = true; lastW = w.getTime
+            } // == lastW: duplicate within the window; < lastW: late, dropped
+          }
+          state.update((seen, lastW))
+          out.iterator
+      }
+    flagged.groupBy(col("wstart"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("novel")).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") > 0,
+          col("n_novel").cast("double") / col("n_grams")).otherwise(0.0))
+  }
 }

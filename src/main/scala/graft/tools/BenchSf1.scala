@@ -40,17 +40,46 @@ object BenchSf1 {
       s"probe keys not grounded in declared query names: $ungrounded")
   }
 
-  /** Round-14 probes, shared by both SF tools: the prefix-star grouping in
-    * its full-corpus form (the declared query slices doc_id<200, which
-    * would not grow with SF — and the whole POINT of the star path is the
-    * dup-heavy full corpus where the pairwise contract is quadratic), plus
+  /** The bench documents with 15 per-BASE salt tokens appended. WHY: the
+    * synthetic corpus draws every doc from the same 31-word vocabulary, so
+    * raw word-SET similarity is ~19%-dense corpus-wide (measured on the
+    * oracled slice: 3759 of 19900 pairs >= 0.8) — the TRUE pair graph is
+    * quadratic and NO exact method can verify less than it. That is not
+    * the regime prefix filtering exists for. The salts give each base
+    * doc's copy cluster a large-vocab identity: copies stay near-twins,
+    * cross-cluster J drops under 0.5, and the rarest-first prefixes become
+    * the df=10/100 salt tokens — bucket = one cluster, the web-corpus
+    * shape. 48 salts so the tight bound holds for the SHORTEST docs at
+    * every decade: the worst doc has 6 distinct vocab words and sfx10
+    * copies carry 2 distinct variant tokens, so within-cluster
+    * J = (6+48)/(6+48+4) = 0.931 >= (1+0.8)/2 = 0.9 (at 15 salts the
+    * short-doc clusters slipped LOOSE at sfx10 and the star probe
+    * measured an artifactual ×13 — the loose fallback doing the pairwise
+    * work the tight regime avoids). */
+  private[tools] def saltedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val div = math.max(docs.count() / 5000L, 1L) // copies per base at this SF
+    docs.select(col("doc_id"), concat(col("text"), lit(" "),
+      concat_ws(" ", (0 until 48).map(i =>
+        concat(lit(s"salt${i}b"), expr(s"doc_id DIV $div"))): _*)).as("text"))
+  }
+
+  /** Round-14 probes, shared by both SF tools: the prefix STAR grouping vs
+    * the pairwise join on the SAME salted near-twin corpus (dup-cluster
+    * depth grows ×10 per decade, so the pairwise OUTPUT is contract-
+    * quadratic — C(10,2)·5000 pairs at sfx1, C(100,2)·5000 at sfx10 —
+    * while the star path's components output stays one row per doc), plus
     * three new declared lines that already scan the full corpus. */
   private[tools] def round14Wave: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dedup_prefix_star_full" -> ((s: SparkSession, dir: String) =>
-      graft.pipeline.Dedup.prefixJaccardStar(
-          s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id", 0.8)
+      graft.pipeline.Dedup.prefixJaccardStar(saltedDocs(s, dir),
+          "text", "doc_id", 0.8)
         .groupBy().agg(count(lit(1)).as("n_docs"),
           count_distinct(col("component")).as("n_components"))),
+    "dedup_prefix_join_full" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Dedup.prefixJaccardJoin(saltedDocs(s, dir),
+          "text", "doc_id", 0.8)
+        .groupBy().agg(count(lit(1)).as("n_pairs"))),
     "sample_curriculum" -> graft.SparkEntry.queries("sample_curriculum"),
     "text_novelty_daily" -> graft.SparkEntry.queries("text_novelty_daily"),
     "text_hh_guaranteed" -> graft.SparkEntry.queries("text_hh_guaranteed"))

@@ -106,6 +106,81 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamHeavyHitters: cumulative guaranteed report equals the batch report in the gap regime") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gap-regime corpus (the guaranteedHeavyHitters law fixture, smaller):
+    // 10 heavies at tf=150 vs 200 lights at tf=6, N=2700, φ=1/50 -> φN=54;
+    // the band [54, 54 + N/128≈21) is empty and capacity 128 << 210 types
+    val rnd = new scala.util.Random(17L)
+    val words = rnd.shuffle(
+      (0 until 10).flatMap(h => Seq.fill(150)(s"heavy$h")) ++
+      (0 until 200).flatMap(l => Seq.fill(6)(s"light$l")))
+    val truthHeavy = (0 until 10).map(h => s"heavy$h").toSet
+    val n = words.size.toLong
+    var lastSnap: Seq[(String, Long)] = Seq.empty
+    val mem = MemoryStream[String]
+    val q = graft.pipeline.SpaceSaving.streamHeavyHitters(
+        mem.toDF().toDF("text"), "text", capacity = 128) { snap =>
+      lastSnap = snap.collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    }
+    try {
+      words.grouped(900).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      // the guaranteed verdict off the CUMULATIVE stream sketch must equal
+      // the truth-heavy set — i.e. the same report the oracled batch
+      // operator produces on the whole corpus at once
+      val streamReport = lastSnap.filter(_._2 * 50L >= n).map(_._1).toSet
+      assert(streamReport === truthHeavy,
+        s"streaming guaranteed report diverged: $streamReport")
+      val batchReport = graft.pipeline.SpaceSaving.guaranteedHeavyHitters(
+          words.toDF("w").select(col("w")).as[String],
+          capacity = 128, phiNum = 1L, phiDen = 50L)
+        .collect().map(_.getString(0)).toSet
+      assert(streamReport === batchReport, "stream and batch reports must agree")
+    } finally q.stop()
+  }
+
+  test("noveltyStream: per-window novelty over micro-batches equals the batch daily replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the noveltyDaily fixture, one crawl record per doc, fed in
+    // chronological micro-batches (the documented ordering contract)
+    val rows = Seq(
+      ("2024-03-01 10:00:00", "a b c d"),   // {abc, bcd} novel
+      ("2024-03-01 23:59:59", "a b c x"),   // {abc} dup, {bcx} novel
+      ("2024-03-02 00:00:01", "b c d a"),   // {bcd} seen day1, {cda} novel
+      ("2024-03-02 12:00:00", "a b"))       // too short: contributes nothing
+    val mem = MemoryStream[(String, String)]
+    val streamed = graft.streaming.EventStreams.noveltyStream(spark,
+      mem.toDF().toDF("tss", "text").withColumn("ts", col("tss").cast("timestamp")),
+      "text", "ts", windowLen = "1 day")
+    val q = streamed.writeStream.format("memory").queryName("novelty_stream_test")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("novelty_stream_test")
+        .select(date_format(col("wstart"), "yyyy-MM-dd").as("day"),
+          col("n_grams"), col("n_novel"), col("novelty"))
+        .orderBy("day").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === Seq(
+        ("2024-03-01", 3L, 3L, 1.0), ("2024-03-02", 2L, 1L, 0.5)),
+        got.toSeq.toString)
+      // batch replay: noveltyDaily over the same docs dated by the same ts
+      val docs = rows.zipWithIndex
+        .map { case ((ts, t), i) => (i.toLong, t, ts) }
+        .toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp"))
+      val batch = graft.pipeline.Text.noveltyDaily(
+          docs, "text", "doc_id", docs.select(col("doc_id"), col("ts")),
+          "doc_id", "ts", n = 3)
+        .select(col("day"), col("n_grams"), col("n_novel"), col("novelty"))
+        .orderBy("day").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === batch.toSeq, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("tumblingCounts: batch and streaming agree on the same events") {
     import spark.implicits._
     val rows = Seq(
