@@ -1805,6 +1805,19 @@ object SparkEntry {
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "text_winnow" -> ((s, dir) =>
+      // MOSS winnowing (Schleimer et al. 2003): per-window min-hash gram
+      // SELECTION (rightmost on ties) — the partial-overlap detector with
+      // the w+k-1 shared-run guarantee. Zero shuffle; hash is the
+      // cross-engine md5-prefix int64, because selection depends on hash
+      // ORDER (an engine-local hash would select different grams). The
+      // oracle replays windows via SQL frames + a frame join-back for the
+      // rightmost-min position.
+      Text.winnow(t(s, dir, "documents").filter(col("doc_id") < 200),
+          "text", "doc_id", k = 3, w = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "pos")),
+
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"),
@@ -5023,6 +5036,31 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+
+    "text_winnow" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+           FROM documents WHERE doc_id < 200),
+         gl AS (SELECT doc_id,
+             list_transform(range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END),
+               i -> CAST(('0x' || substr(md5(array_to_string(
+                      w[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' ')), 1, 15)) AS BIGINT)) AS hs
+           FROM d),
+         p AS (SELECT doc_id,
+             CAST(generate_subscripts(hs, 1) - 1 AS BIGINT) AS pos,
+             unnest(hs) AS h FROM gl),
+         wm AS (SELECT doc_id, pos AS e, h,
+             min(h) OVER win AS winmin,
+             max(pos) OVER (PARTITION BY doc_id) AS maxpos
+           FROM p
+           WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+         sel AS (SELECT wm.doc_id, max(p2.pos) AS pos, wm.winmin AS fp
+           FROM wm JOIN p p2 ON p2.doc_id = wm.doc_id
+             AND p2.pos BETWEEN wm.e - 3 AND wm.e AND p2.h = wm.winmin
+           WHERE wm.e >= 3 OR wm.e = wm.maxpos
+           GROUP BY wm.doc_id, wm.e, wm.winmin)
+         SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""",
 
     "text_token_count" ->
       """SELECT doc_id,

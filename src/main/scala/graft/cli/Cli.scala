@@ -430,6 +430,11 @@ object Cli {
             timeKeyCol = flag(rest, "--time-key").getOrElse(idc),
             tsCol = flag(rest, "--ts").getOrElse("ts"),
             n = flag(rest, "--n").map(_.toInt).getOrElse(3))
+        case "text-winnow" =>
+          // MOSS winnowing fingerprints (window-min k-gram selection)
+          Text.winnow(df, txt, idc,
+            k = flag(rest, "--k").map(_.toInt).getOrElse(3),
+            w = flag(rest, "--w").map(_.toInt).getOrElse(4))
         case "text-oov-curve" =>
           Text.oovCurve(df, txt,
             sizes = flag(rest, "--sizes").map(_.split(",").toSeq.map(_.toInt))
@@ -747,6 +752,7 @@ object Cli {
       |  pipeline text-novelty <in> <out> [--text c] [--id c] [--n N]
       |  pipeline text-novelty-daily <in> <out> --times p [--time-key c] [--ts c] [--text c] [--id c] [--n N]
       |  pipeline text-hh-guaranteed <in> <out> [--text c] [--capacity N] [--phi-num a] [--phi-den b]
+      |  pipeline text-winnow <in> <out> [--text c] [--id c] [--k N] [--w N]
       |  pipeline text-oov-curve <in> <out> [--text c] [--sizes k1,k2,...]
       |  pipeline text-heavy-hitters <in> <out> [--text c] [--capacity N]
       |  pipeline source-overlap-matrix <in> <out> [--text c] [--group c]

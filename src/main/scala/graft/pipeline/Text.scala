@@ -1307,4 +1307,62 @@ object Text {
         sum(col("__c") * char_length(col("word")).cast("long")).as("n_chars"),
         sum(col("__c") * col("__tok")).as("n_bpe_tokens"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every word `k`-gram, slide a
+    * window of `w` consecutive gram positions over the hash sequence, and
+    * in each window SELECT the minimum hash (rightmost position on ties —
+    * the paper's "robust winnowing" rule, so a repeated gram re-selects
+    * the same occurrence and selection density stays ~2/(w+1)).
+    * Guarantee (the paper's theorem): any two documents sharing a run of
+    * at least `w + k - 1` words share at least one selected fingerprint —
+    * the partial-overlap detector that whole-document hashing
+    * ([[fingerprint]]) cannot provide and that substring dedup pays a
+    * corpus-wide shuffle for. Documents shorter than `k` words select
+    * nothing; documents with 1..w-1 grams are one truncated window (their
+    * global minimum is selected), so every hashable doc gets >= 1 print.
+    *
+    * Gram hash = first 15 hex digits of md5 of the space-joined gram,
+    * read base-16 (60 bits, always positive) — bit-identical in Spark
+    * (`conv(substring(md5(..),1,15),16,10)`) and DuckDB
+    * (`('0x'||substr(md5(..),1,15))::BIGINT`), which matters here unlike
+    * in the set-algebra dedup family: winnowing SELECTION depends on hash
+    * ORDER, so an engine-local hash would select different grams.
+    *
+    * Scale shape: pure per-row array algebra (split -> gram hashes ->
+    * per-window fold -> array_distinct -> explode) — zero shuffle, zero
+    * UDF, embarrassingly parallel at 100 TB. Output is one row per
+    * selected (doc, position): `(id, pos, fp)` where `pos` is the gram's
+    * word offset. Selections are ~2/(w+1) of gram count, so output is a
+    * small constant fraction of input tokens. */
+  def winnow(df: DataFrame, textCol: String, idCol: String,
+             k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(w >= 1, s"w must be >= 1: $w")
+    val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    // gram hashes: hs(i) = h(words[i..i+k-1]), i in 0..n-k
+    val hs = when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k), i =>
+        conv(substring(md5(concat_ws(" ", slice(ws, i + 1, lit(k)))
+          .cast("binary")), 1, 15), 16, 10).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    df.select(col(idCol).as("id"), hs.as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col("id"),
+        // window ends: e in (w-1 .. ng-1); short docs (ng < w) get the
+        // single truncated window ending at ng-1
+        explode(array_distinct(transform(
+          sequence(least(lit(w - 1), size(col("__hs")) - 1),
+            size(col("__hs")) - 1),
+          e => aggregate(
+            sequence(greatest(e - (w - 1), lit(0)), e),
+            struct(lit(Long.MaxValue).as("fp"), lit(-1).cast("long").as("pos")),
+            // <= : equal hash at a LATER position wins = rightmost-min
+            (acc, p) => when(element_at(col("__hs"), p + 1) <= acc.getField("fp"),
+              struct(element_at(col("__hs"), p + 1).as("fp"),
+                p.cast("long").as("pos")))
+              .otherwise(acc))))).as("__sel"))
+      .select(col("id"), col("__sel.pos").as("pos"), col("__sel.fp").as("fp"))
+  }
 }

@@ -2115,4 +2115,61 @@ class PipelineSpec extends SparkSpec {
     // every count, training sees an empty vocabulary
     assert(graft.pipeline.Text.bpeTrain(docs, "text", 2, minCount = 100L).count() === 0L)
   }
+
+  test("winnow: the w+k-1 shared-run guarantee on randomized planted overlaps") {
+    import spark.implicits._
+    // Schleimer et al. 2003 theorem: docs sharing a run of >= w+k-1 words
+    // share >= 1 selected fingerprint. Construct random word soup pairs
+    // with a planted shared run of exactly w+k-1 words (the tight case).
+    val k = 3; val w = 4
+    val rnd = new scala.util.Random(7)
+    def soup(n: Int) = Seq.fill(n)("w" + rnd.nextInt(5000)).mkString(" ")
+    val run = Seq.fill(w + k - 1)("s" + rnd.nextInt(5000)).mkString(" ")
+    val rows = (0 until 10).flatMap { i =>
+      Seq((i * 2L, s"${soup(20)} $run ${soup(20)}"),
+          (i * 2L + 1L, s"${soup(25)} $run ${soup(15)}"))
+    }
+    val sel = Text.winnow(rows.toDF("doc_id", "text"), "text", "doc_id", k, w)
+      .select(col("id"), col("fp")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0 until 10).foreach { i =>
+      val shared = sel(i * 2L) intersect sel(i * 2L + 1L)
+      assert(shared.nonEmpty, s"pair $i: no shared fingerprint across a ${w + k - 1}-word run")
+    }
+  }
+
+  test("winnow: rightmost tie-break, short-doc window, sub-k doc, density bound") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 0: "a b c" repeats -> positions 0 and 3 hash identically and
+      // fall in one window (w=4 over 4 grams): the min's RIGHTMOST
+      // occurrence must be selected when the tie is the window min
+      (0L, "a b c a b c"),
+      (1L, "x y z"),      // exactly one gram (k=3): single truncated window
+      (2L, "x y"),        // < k words: no grams, no selections
+      (3L, "p q r s t u v w x y z a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val out = Text.winnow(docs, "text", "doc_id", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    // doc 0: grams at 0..3 = [abc, bca, cab, abc]; hs(0)==hs(3). If that
+    // hash is the window min, selection must be pos 3, not pos 0 — assert
+    // no (pos=0) and (pos=3) selection carry the SAME fp
+    val d0 = byDoc(0L).map(t => (t._2, t._3)).toMap
+    if (d0.contains(0L) && d0.contains(3L))
+      assert(d0(0L) != d0(3L), "tie selected both occurrences — rightmost rule broken")
+    // the duplicated gram hash: if selected at all, only at pos 3
+    val dupFp = d0.get(3L)
+    dupFp.foreach(fp => assert(d0.get(0L) != Some(fp)))
+    // doc 1: one gram -> exactly one selection at pos 0
+    assert(byDoc(1L).toSeq === Seq((1L, 0L, byDoc(1L).head._3)))
+    // doc 2: nothing
+    assert(!byDoc.contains(2L))
+    // doc 3: 17 grams, 14 full windows -> selections <= windows, >= ceil(windows/w)
+    val n3 = byDoc(3L).length
+    assert(n3 >= 4 && n3 <= 14, s"doc 3 selected $n3 prints")
+    // every selection's fp is the true min over SOME window: spot-check
+    // positions are within gram range
+    byDoc(3L).foreach { case (_, pos, _) => assert(pos >= 0 && pos <= 16) }
+  }
 }
