@@ -2759,6 +2759,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
 
+    "blocklist_phrase" -> ((s, dir) => {
+      // multi-word phrase blocklist at word boundaries: first-token
+      // anchored broadcast join (provably no false negatives for
+      // word-aligned matches), contains-verify — the corpus never
+      // shuffles. One phrase ("data leak probe") has a corpus-frequent
+      // anchor but never matches in full: a false positive would show as
+      // extra rows vs the oracle's brute cross-join.
+      import s.implicits._
+      val phrases = Seq("slow scan", "fast merge", "key agg",
+        "customer data", "spark join", "window sort", "stream filter",
+        "data leak probe").toDF("phrase")
+      Blocklist.phraseMatches(t(s, dir, "documents"), phrases,
+          "text", "doc_id")
+        .orderBy("doc_id", "phrase")
+    }),
+
     "blocklist_semi" -> ((s, dir) => {
       // audit pull: every document matching the blocklist (exact semi-join,
       // bloom prunes the probe side before the shuffle)
@@ -7090,5 +7106,17 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE md5(text) IN
            (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    "blocklist_phrase" ->
+      """WITH ph(phrase) AS (
+           SELECT * FROM (VALUES ('slow scan'), ('fast merge'), ('key agg'),
+             ('customer data'), ('spark join'), ('window sort'),
+             ('stream filter'), ('data leak probe')) v(phrase)),
+         n AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+           FROM documents)
+         SELECT doc_id, phrase FROM n CROSS JOIN ph
+         WHERE contains(' ' || norm || ' ', ' ' || phrase || ' ')
+         ORDER BY doc_id, phrase""")
 }

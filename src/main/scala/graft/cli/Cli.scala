@@ -603,6 +603,14 @@ object Cli {
           if (verb == "blocklist-filter")
             graft.pipeline.Blocklist.filterOut(df, bl, key, blk, fpp)
           else graft.pipeline.Blocklist.keepMatching(df, bl, key, blk, fpp)
+        case "blocklist-phrase" | "blocklist-phrase-filter" =>
+          // word-boundary phrase blocklist; --phrases parquet supplies
+          // the phrase column (--phrase-col, default 'phrase')
+          val ph = spark.read.parquet(req(rest, "--phrases"))
+          val pc = flag(rest, "--phrase-col").getOrElse("phrase")
+          if (verb == "blocklist-phrase")
+            graft.pipeline.Blocklist.phraseMatches(df, ph, txt, idc, pc)
+          else graft.pipeline.Blocklist.phraseFilterOut(df, ph, txt, idc, pc)
         case "bm25" =>
           Text.bm25Rank(df, txt, idc,
             terms = req(rest, "--terms").split(",").toSeq,
@@ -761,6 +769,7 @@ object Cli {
       |  pipeline vocab <in> <out> [--k N]; bm25 <in> <out> --terms t1,t2 [--k N]
       |  pipeline shuffle|shuffle-shards <in> <out> [--key c] [--seed s] [--shards N]
       |  pipeline blocklist-filter|blocklist-semi <in> <out> --blocklist p --key c [--bl-key c] [--fpp f]
+      |  pipeline blocklist-phrase|blocklist-phrase-filter <in> <out> --phrases p [--phrase-col c] [--text c] [--id c]
       |  pipeline join-asof <left> <out> --right p --keys k1,k2 --left-ts c --right-ts c --right-cols a,b [--tolerance T]
       |  pipeline join-range <points> <out> --intervals p --keys k --point c --start c --end c [--bucket W]
       |  pipeline join-fuzzy <left> <out> --right p --left-col c --right-col c [--dist d] [--prefix p]

@@ -113,4 +113,63 @@ object Blocklist {
     df.filter(probe(bf, col(keyCol)))
       .join(blocklist.select(col(blKey).as(keyCol)), Seq(keyCol), "left_semi")
   }
+
+  /** Multi-word PHRASE blocklist matching — "which documents contain any
+    * banned phrase" for phrases of one or more words, matched at WORD
+    * boundaries on whitespace-normalized lowercase text (so `"bad actor"`
+    * matches `"a Bad  Actor spoke"` but never `"badactor"` — substring
+    * matching inside words is deliberately NOT offered, because the
+    * anchored plan below is only exact for word-aligned matches).
+    *
+    * Scale shape — the corpus NEVER shuffles: each document explodes to
+    * its DISTINCT tokens (a narrow Generate), probes a broadcast hash
+    * table of the phrases keyed by their FIRST token, and the few
+    * anchor-hit rows verify the full phrase with one `contains` on the
+    * already-normalized text. The naive plan is corpus × phrases; this
+    * one is corpus-scan + |distinct tokens| broadcast probes.
+    *
+    * No false negatives, provably: if `' phrase '` occurs in
+    * `' normalized_text '` then the phrase's first token occurs
+    * space-bounded in the text, i.e. IS one of the document's tokens, so
+    * the anchor join cannot drop a true match. No false positives: every
+    * candidate is verified with the word-boundary `contains`.
+    *
+    * Output: one row per matched (document, phrase) — already distinct,
+    * because each phrase has exactly one anchor token and the document's
+    * tokens are distinct, so a (doc, phrase) candidate is produced at
+    * most once. Columns `(idCol, phraseCol)`. Null / empty-after-
+    * normalization phrases are refused loudly (they can match nothing or
+    * everything); null/empty documents match nothing. */
+  def phraseMatches(docs: DataFrame, phrases: DataFrame, textCol: String,
+                    idCol: String, phraseCol: String = "phrase"): DataFrame = {
+    val nBad = phrases
+      .filter(col(phraseCol).isNull || Text.normalized(col(phraseCol)) === "")
+      .count()
+    require(nBad == 0L,
+      s"$nBad null/empty phrase(s) in the blocklist ($phraseCol) — " +
+        "normalize or drop them; an empty phrase would match every document")
+    val anchored = phrases
+      .select(Text.normalized(col(phraseCol)).as("__phrase")).distinct()
+      .withColumn("__anchor", element_at(split(col("__phrase"), " "), 1))
+    val toks = docs
+      .select(col(idCol), Text.normalized(col(textCol)).as("__norm"))
+      .filter(col("__norm").isNotNull && col("__norm") =!= "")
+      .select(col(idCol), col("__norm"),
+        explode(array_distinct(split(col("__norm"), " "))).as("__anchor"))
+    toks.join(broadcast(anchored), Seq("__anchor"))
+      .filter(contains(concat(lit(" "), col("__norm"), lit(" ")),
+        concat(lit(" "), col("__phrase"), lit(" "))))
+      .select(col(idCol), col("__phrase").as(phraseCol))
+  }
+
+  /** [[phraseMatches]] as a filter: documents containing NO blocklisted
+    * phrase. One anti-join of the corpus against the (small) matched-id
+    * set — AQE broadcasts it when it fits. Same deterministic-input
+    * contract as [[filterOut]]: `docs` is evaluated on both sides. */
+  def phraseFilterOut(docs: DataFrame, phrases: DataFrame, textCol: String,
+                      idCol: String, phraseCol: String = "phrase"): DataFrame =
+    docs.join(
+      phraseMatches(docs, phrases, textCol, idCol, phraseCol)
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

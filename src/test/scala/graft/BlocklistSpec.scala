@@ -83,4 +83,57 @@ class BlocklistSpec extends SparkSpec {
     assert(spark.conf.get(bitsKey) === beforeBits,
       "maxNumBits must be restored after the sketch aggregation")
   }
+
+  test("phraseMatches: anchored plan equals brute-force contains on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 12).map(i => s"w$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0 until 200).map(i => (i.toLong, doc(8 + rnd.nextInt(20))))
+      .toDF("id", "text")
+    // 1-, 2-, and 3-word phrases from the same tiny vocab -> dense matches
+    val phrases = Seq("w1", "w2 w3", "w4 w5 w6", "w0 w0", "w7 w8 w9 w10")
+      .toDF("phrase")
+    val got = Blocklist.phraseMatches(docs, phrases, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = docs.crossJoin(phrases)
+      .filter(contains(concat(lit(" "), col("text"), lit(" ")),
+        concat(lit(" "), col("phrase"), lit(" "))))
+      .select("id", "phrase")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "vacuous law: no phrase matched any random doc")
+  }
+
+  test("phraseMatches: word boundaries, normalization, and output uniqueness") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the badactor walked"),          // no word-aligned match
+      (1L, "the  Bad   ACTOR  walked"),     // ws+case normalize -> match
+      (2L, "bad actor bad actor bad actor"),// repeats -> ONE output row
+      (3L, null.asInstanceOf[String]),      // null text matches nothing
+      (4L, "actor bad"),                    // reversed -> no match
+      (5L, "prefix bad actor")              // match at end
+    ).toDF("id", "text")
+    val phrases = Seq("bad actor").toDF("phrase")
+    val out = Blocklist.phraseMatches(docs, phrases, "text", "id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "bad actor"), (2L, "bad actor"), (5L, "bad actor")))
+    // complement: phraseFilterOut keeps exactly the unmatched ids
+    val kept = Blocklist.phraseFilterOut(docs, phrases, "text", "id")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 3L, 4L))
+  }
+
+  test("phraseMatches refuses null and empty-after-normalization phrases") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b")).toDF("id", "text")
+    Seq(Seq("ok phrase", null.asInstanceOf[String]), Seq("   "), Seq(""))
+      .foreach { bad =>
+        val e = intercept[IllegalArgumentException] {
+          Blocklist.phraseMatches(docs, bad.toDF("phrase"), "text", "id")
+        }
+        assert(e.getMessage.contains("phrase"), e.getMessage)
+      }
+  }
 }
