@@ -2312,6 +2312,24 @@ object SparkEntry {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    "dedup_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): k-means clusters scope the pairwise
+      // cosine search — Σ c² work, never corpus². Two regimes in one
+      // query: planted exact copies (cosine 1, provably co-clustered —
+      // identical vectors share an argmin) AND natural within-cluster
+      // near-pairs at threshold 0.45 (corpus max cosine ~0.51), so the
+      // drop rule does non-trivial work on real data. Oracle replays
+      // seeds, argmin assignment, within-cluster pairs, and the
+      // smaller-id-keeper rule.
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 30)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
+      Similarity.semDedupClustered(e.unionByName(planted), k = 8,
+          threshold = 0.45)
+        .select(col("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     "text_quality_score" -> ((s, dir) =>
       // linear classifier inference as a zero-shuffle projection; the
       // oracle replays the identical sigmoid arithmetic
@@ -4797,6 +4815,35 @@ object SparkEntry {
     "ann_knn_graph" -> ivfGraphOracleSql,
     "ann_label_audit_graph" -> labelAuditGraphOracleSql,
     "ann_semantic_dedup" -> semdedupOracleSql,
+
+    "dedup_semdedup" ->
+      """WITH base AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 30),
+         init AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS c
+           FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 8)),
+         a AS (
+           SELECT e.vec_id, e.embedding,
+             (SELECT i.cid FROM init i
+                ORDER BY (SELECT sum((CAST(e.embedding AS DOUBLE[])[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid
+                LIMIT 1) AS cid
+           FROM base e),
+         p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+                 x.embedding AS v1, y.embedding AS v2
+               FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         dots AS (SELECT id1, id2,
+             sum(CAST(v1[r.range + 1] AS DOUBLE) * CAST(v2[r.range + 1] AS DOUBLE)) AS d,
+             sum(CAST(v1[r.range + 1] AS DOUBLE) ^ 2) AS n1,
+             sum(CAST(v2[r.range + 1] AS DOUBLE) ^ 2) AS n2
+           FROM p CROSS JOIN range(64) r GROUP BY 1, 2),
+         dr AS (SELECT DISTINCT id2 FROM dots
+                WHERE round(d / (sqrt(n1) * sqrt(n2)), 6) >= 0.45)
+         SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id FROM a
+         WHERE a.vec_id NOT IN (SELECT id2 FROM dr)
+         ORDER BY a.vec_id""",
 
     "ann_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),

@@ -603,6 +603,14 @@ object Cli {
           if (verb == "blocklist-filter")
             graft.pipeline.Blocklist.filterOut(df, bl, key, blk, fpp)
           else graft.pipeline.Blocklist.keepMatching(df, bl, key, blk, fpp)
+        case "semdedup" =>
+          // SemDeDup: k-means-cluster-scoped cosine dedup (Abbas 2023)
+          graft.pipeline.Similarity.semDedupClustered(df,
+            k = flag(rest, "--k").map(_.toInt).getOrElse(8),
+            threshold = flag(rest, "--threshold").map(_.toDouble).getOrElse(0.95),
+            iters = flag(rest, "--iters").map(_.toInt).getOrElse(0),
+            idCol = flag(rest, "--id").getOrElse("vec_id"),
+            vecCol = flag(rest, "--vec").getOrElse("embedding"))
         case "blocklist-phrase" | "blocklist-phrase-filter" =>
           // word-boundary phrase blocklist; --phrases parquet supplies
           // the phrase column (--phrase-col, default 'phrase')
@@ -770,6 +778,7 @@ object Cli {
       |  pipeline shuffle|shuffle-shards <in> <out> [--key c] [--seed s] [--shards N]
       |  pipeline blocklist-filter|blocklist-semi <in> <out> --blocklist p --key c [--bl-key c] [--fpp f]
       |  pipeline blocklist-phrase|blocklist-phrase-filter <in> <out> --phrases p [--phrase-col c] [--text c] [--id c]
+      |  pipeline semdedup <in> <out> [--k N] [--threshold t] [--iters N] [--id c] [--vec c]
       |  pipeline join-asof <left> <out> --right p --keys k1,k2 --left-ts c --right-ts c --right-cols a,b [--tolerance T]
       |  pipeline join-range <points> <out> --intervals p --keys k --point c --start c --end c [--bucket W]
       |  pipeline join-fuzzy <left> <out> --right p --left-col c --right-col c [--dist d] [--prefix p]

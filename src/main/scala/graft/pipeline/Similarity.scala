@@ -777,6 +777,72 @@ object Similarity {
       "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — CLUSTER-scoped
+    * semantic dedup: k-means-bucket the embedding space, then look for
+    * cosine near-duplicates ONLY within each cluster and drop every
+    * member that has a smaller-id neighbor at `cosine >= threshold` in
+    * its cluster. This is the billion-document embedding-dedup recipe:
+    * the pairwise work is Σ_cluster c² instead of corpus², and the
+    * operator's contract (the paper's) is that cross-cluster near-dups
+    * are out of scope — k sets the recall/cost point. EXACT duplicates
+    * can never straddle clusters (identical vectors share an argmin), so
+    * copies are always caught. Complements [[semanticDedup]] (LSH-bucket
+    * pairs + components): clusters give cache-friendly contiguous
+    * buckets and reuse a quantizer the pipeline often already has.
+    *
+    * `iters = 0` assigns against the deterministic first-k seeds
+    * ([[kmeansInit]]) — fully SQL-replayable, the oracled form; > 0 runs
+    * that many Lloyd rounds first (centers rounded to `roundTo` decimals
+    * per round, the [[lloyd]] replay grid). Drop rule is deterministic:
+    * cosine rounds to `roundTo` decimals BEFORE the threshold compare
+    * (cross-engine identical), keeper is always the smaller id.
+    *
+    * Pre-flight gate: the within-cluster pair bound Σ c·(c−1)/2 is
+    * computed first (one projection-only corpus scan — [[assignToCenters]]
+    * is zero-shuffle) and the call refuses loudly past
+    * `graft.semdedup.maxPairs` (default 100M) instead of launching a
+    * quadratic join — raise k (smaller clusters) or the cap.
+    *
+    * Returns the corpus + `cluster_id` with dropped members removed. */
+  def semDedupClustered(corpus: DataFrame, k: Int, threshold: Double,
+                        iters: Int = 0, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        roundTo: Int = 6): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val spark = corpus.sparkSession
+    val maxPairs = spark.conf.getOption("graft.semdedup.maxPairs")
+      .map { s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.semdedup.maxPairs must be a positive integer, got '$s'")
+        }
+        require(v > 0, s"graft.semdedup.maxPairs must be > 0, got $v")
+        v
+      }.getOrElse(100000000L)
+    val seeds = kmeansInit(corpus, k, idCol, vecCol)
+    val centers = if (iters == 0) seeds else lloyd(corpus, seeds, iters, vecCol, roundTo)
+    val assigned = assignToCenters(corpus, centers, vecCol)
+    val pairBound = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c") * (col("__c") - 1L)), lit(0L)))
+      .head().getLong(0) / 2
+    require(pairBound <= maxPairs,
+      s"semDedupClustered within-cluster pair bound $pairBound exceeds " +
+        s"graft.semdedup.maxPairs=$maxPairs — raise k or the cap")
+    val a = assigned.select(col("cluster_id"),
+      col(idCol).as("__id1"), col(vecCol).as("__v1"))
+    val b = assigned.select(col("cluster_id"),
+      col(idCol).as("__id2"), col(vecCol).as("__v2"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("__id1") < col("__id2"))
+      .filter(round(dot(col("__v1"), col("__v2")) /
+        (norm(col("__v1")) * norm(col("__v2"))), roundTo) >= threshold)
+      .select(col("__id2").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join (`byBucket`,
     * the scale path) or a cheap consecutive-id sanity scan (id2 = id1 + 1 —
     * linear, NOT an all-pairs join). */

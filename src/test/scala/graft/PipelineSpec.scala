@@ -2116,6 +2116,56 @@ class PipelineSpec extends SparkSpec {
     assert(graft.pipeline.Text.bpeTrain(docs, "text", 2, minCount = 100L).count() === 0L)
   }
 
+  test("semDedupClustered: hand geometry, keeper rule, exact-copy co-clustering, iters") {
+    import spark.implicits._
+    // 2D corpus, k=2: seeds are ids 0 and 1. Cluster 0 around (1,0),
+    // cluster 1 around (0,1). Within cluster 0: ids 0,2,3 all cosine 1
+    // to each other (colinear) -> keep 0, drop 2 and 3. id 4 is nearly
+    // orthogonal to the cluster-0 members but assigned there (closer to
+    // seed 0): kept. Cluster 1: ids 1,5 cosine 1 -> drop 5.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(0.5f, 0.0f)),
+      (4L, Array(0.9f, 0.43f)), (5L, Array(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupClustered(vecs, k = 2, threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 1L, 4L))
+    // exact copies can never straddle clusters: planted copies of every
+    // row (ids +100) must ALL drop at any k
+    val planted = vecs.unionByName(
+      vecs.select((col("vec_id") + 100L).as("vec_id"), col("embedding")))
+    Seq(1, 2, 3).foreach { k =>
+      val ids = Similarity.semDedupClustered(planted, k, threshold = 0.9999)
+        .select("vec_id").as[Long].collect()
+      assert(ids.forall(_ < 100L), s"k=$k: a planted copy survived: ${ids.toSeq}")
+    }
+    // iters > 0 (Lloyd-refined centers) keeps the guarantee
+    val it = Similarity.semDedupClustered(planted, k = 2, threshold = 0.9999,
+      iters = 2).select("vec_id").as[Long].collect()
+    assert(it.forall(_ < 100L))
+  }
+
+  test("semDedupClustered: pair-bound gate refuses loudly, bad conf rejected") {
+    import spark.implicits._
+    val vecs = (0 until 50).map(i => (i.toLong, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    spark.conf.set("graft.semdedup.maxPairs", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.semDedupClustered(vecs, k = 1, threshold = 0.9)
+      }
+      assert(e.getMessage.contains("graft.semdedup.maxPairs"), e.getMessage)
+    } finally spark.conf.unset("graft.semdedup.maxPairs")
+    spark.conf.set("graft.semdedup.maxPairs", "not-a-number")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.semDedupClustered(vecs, k = 1, threshold = 0.9)
+      }
+      assert(e.getMessage.contains("positive integer"), e.getMessage)
+    } finally spark.conf.unset("graft.semdedup.maxPairs")
+  }
+
   test("winnow: the w+k-1 shared-run guarantee on randomized planted overlaps") {
     import spark.implicits._
     // Schleimer et al. 2003 theorem: docs sharing a run of >= w+k-1 words
