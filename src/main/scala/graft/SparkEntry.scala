@@ -1975,6 +1975,43 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "pipeline_policy_e2e" -> ((s, dir) => {
+      // the POLICY gate composed end-to-end (7th e2e): word-boundary
+      // phrase blocklist (anchored broadcast plan, corpus never shuffles)
+      // -> MOSS winnow fingerprints -> shared-fingerprint dup candidates
+      // (>= 8 DISTINCT shared prints; the larger id flags, smaller-id
+      // keeper discipline) -> per-language verdict rollup with policy
+      // priority phrase_blocked > dup_candidate > clean. Every stage is
+      // the real library operator; the whole chain replays as one CTE
+      // chain over the shared winnow CTEs.
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("lang").isNotNull)
+      val phrases = Seq("slow scan", "fast merge", "key agg",
+        "customer data", "spark join", "window sort", "stream filter",
+        "data leak probe").toDF("phrase")
+      val matched = Blocklist.phraseMatches(docs, phrases, "text", "doc_id")
+        .select("doc_id").distinct()
+      val fps = Text.winnow(docs, "text", "doc_id", k = 3, w = 4)
+        .select(col("id"), col("fp")).distinct()
+      val dup = fps.as("x")
+        .join(fps.as("y"),
+          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 8)
+        .select(col("id2").as("doc_id")).distinct()
+      docs.select("doc_id", "lang")
+        .join(matched.withColumn("__pm", lit(1)), Seq("doc_id"), "left")
+        .join(dup.withColumn("__dup", lit(1)), Seq("doc_id"), "left")
+        .withColumn("verdict",
+          when(col("__pm") === 1, "phrase_blocked")
+            .when(col("__dup") === 1, "dup_candidate")
+            .otherwise("clean"))
+        .groupBy("lang", "verdict")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "verdict")
+    }),
+
     "pipeline_budget_e2e" -> ((s, dir) => {
       // the BUDGET back door composed end-to-end: token-count quality
       // floor -> exact dedup (keep min id per fingerprint) -> per-language
@@ -3722,6 +3759,38 @@ object SparkEntry {
   /** Full DuckDB replay of Dedup.simhashCandidates on documents doc_id<200:
     * token polyHash → ±1 per bit → sign bit pack → 4 16-bit bands (exact
     * bit-slice buckets, no hash compression anywhere) → hamming ≤ 16. */
+  /** Winnowing CTE chain (k=3, w=4) over `documents` rows matching
+    * `where` — replays Text.winnow exactly: gram hash list (md5-prefix
+    * int64, the cross-engine hash), per-position rows, window-frame mins
+    * with the short-doc truncated window, and the rightmost-min position
+    * via a frame join-back. Exposes `sel` (doc_id, pos, fp — one row per
+    * window, pre-dedup) and `fps` (DISTINCT (doc_id, fp)). Shared by the
+    * text_winnow oracle and the policy-e2e composition. */
+  private def winnowCtes(where: String): String =
+    s"""d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w
+           FROM documents $where),
+         gl AS (SELECT doc_id,
+             list_transform(range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END),
+               i -> CAST(('0x' || substr(md5(array_to_string(
+                      w[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' ')), 1, 15)) AS BIGINT)) AS hs
+           FROM d),
+         p AS (SELECT doc_id,
+             CAST(generate_subscripts(hs, 1) - 1 AS BIGINT) AS pos,
+             unnest(hs) AS h FROM gl),
+         wm AS (SELECT doc_id, pos AS e, h,
+             min(h) OVER win AS winmin,
+             max(pos) OVER (PARTITION BY doc_id) AS maxpos
+           FROM p
+           WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+         sel AS (SELECT wm.doc_id, max(p2.pos) AS pos, wm.winmin AS fp
+           FROM wm JOIN p p2 ON p2.doc_id = wm.doc_id
+             AND p2.pos BETWEEN wm.e - 3 AND wm.e AND p2.h = wm.winmin
+           WHERE wm.e >= 3 OR wm.e = wm.maxpos
+           GROUP BY wm.doc_id, wm.e, wm.winmin),
+         fps AS (SELECT DISTINCT doc_id, fp FROM sel)"""
+
   private def simhashOracleSql: String =
     s"""WITH d AS (
        |  SELECT CAST(doc_id AS VARCHAR) AS id, lower(text) AS lt
@@ -5101,28 +5170,7 @@ object SparkEntry {
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
 
     "text_winnow" ->
-      """WITH d AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
-           FROM documents WHERE doc_id < 200),
-         gl AS (SELECT doc_id,
-             list_transform(range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END),
-               i -> CAST(('0x' || substr(md5(array_to_string(
-                      w[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' ')), 1, 15)) AS BIGINT)) AS hs
-           FROM d),
-         p AS (SELECT doc_id,
-             CAST(generate_subscripts(hs, 1) - 1 AS BIGINT) AS pos,
-             unnest(hs) AS h FROM gl),
-         wm AS (SELECT doc_id, pos AS e, h,
-             min(h) OVER win AS winmin,
-             max(pos) OVER (PARTITION BY doc_id) AS maxpos
-           FROM p
-           WINDOW win AS (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
-         sel AS (SELECT wm.doc_id, max(p2.pos) AS pos, wm.winmin AS fp
-           FROM wm JOIN p p2 ON p2.doc_id = wm.doc_id
-             AND p2.pos BETWEEN wm.e - 3 AND wm.e AND p2.h = wm.winmin
-           WHERE wm.e >= 3 OR wm.e = wm.maxpos
-           GROUP BY wm.doc_id, wm.e, wm.winmin)
+      s"""WITH ${winnowCtes("WHERE doc_id < 200")}
          SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""",
 
     "text_token_count" ->
@@ -5316,6 +5364,31 @@ object SparkEntry {
            CAST(sum(surv.n_removed) AS BIGINT) AS n_tokens_cut
          FROM surv JOIN documents dd ON dd.doc_id = surv.doc_id
          GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_policy_e2e" ->
+      s"""WITH docs AS (SELECT * FROM documents WHERE lang IS NOT NULL),
+         ph(phrase) AS (
+           SELECT * FROM (VALUES ('slow scan'), ('fast merge'), ('key agg'),
+             ('customer data'), ('spark join'), ('window sort'),
+             ('stream filter'), ('data leak probe')) v(phrase)),
+         nrm AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
+           FROM docs),
+         pm AS (SELECT DISTINCT doc_id FROM nrm CROSS JOIN ph
+                WHERE contains(' ' || norm || ' ', ' ' || phrase || ' ')),
+         ${winnowCtes("WHERE lang IS NOT NULL")},
+         pairs AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS shared
+                   FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 8),
+         dup AS (SELECT DISTINCT id2 AS doc_id FROM pairs),
+         v AS (SELECT d0.doc_id, d0.lang,
+                 CASE WHEN pm.doc_id IS NOT NULL THEN 'phrase_blocked'
+                      WHEN dup.doc_id IS NOT NULL THEN 'dup_candidate'
+                      ELSE 'clean' END AS verdict
+               FROM docs d0
+               LEFT JOIN pm USING (doc_id) LEFT JOIN dup USING (doc_id))
+         SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs
+         FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "pipeline_budget_e2e" ->
       """WITH gated AS (SELECT doc_id, text, lang,

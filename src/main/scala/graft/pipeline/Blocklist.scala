@@ -152,8 +152,11 @@ object Blocklist {
       .select(Text.normalized(col(phraseCol)).as("__phrase")).distinct()
       .withColumn("__anchor", element_at(split(col("__phrase"), " "), 1))
     val toks = docs
+      // base-column null gate first (reaches the parquet scan as a pushed
+      // filter); the derived empty-after-normalization gate follows
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), Text.normalized(col(textCol)).as("__norm"))
-      .filter(col("__norm").isNotNull && col("__norm") =!= "")
+      .filter(col("__norm") =!= "")
       .select(col(idCol), col("__norm"),
         explode(array_distinct(split(col("__norm"), " "))).as("__anchor"))
     toks.join(broadcast(anchored), Seq("__anchor"))
