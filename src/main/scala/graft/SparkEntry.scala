@@ -1805,6 +1805,24 @@ object SparkEntry {
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "text_char_entropy" -> ((s, dir) =>
+      // per-doc character-entropy gibberish signal: exact count algebra,
+      // zero shuffle; the Σ c·ln c fold runs over SORTED distinct chars
+      // so both engines add identical IEEE terms in identical order
+      Text.charEntropy(t(s, dir, "documents").filter(col("doc_id") < 200),
+          "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_chars"), col("n_distinct"),
+          round(col("entropy_nats"), 6).as("entropy_nats"))
+        .orderBy("doc_id")),
+
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      // MOSS candidate pairs: docs sharing >= 8 distinct winnow prints.
+      // fp-bucketed index join (never all-pairs); the winnowing theorem
+      // makes >= w+k-1-word true overlaps ALWAYS candidates
+      Dedup.winnowCandidates(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, w = 4, minShared = 8)
+        .orderBy("id1", "id2")),
+
     "text_winnow" -> ((s, dir) =>
       // MOSS winnowing (Schleimer et al. 2003): per-window min-hash gram
       // SELECTION (rightmost on ties) — the partial-overlap detector with
@@ -1991,14 +2009,8 @@ object SparkEntry {
         "data leak probe").toDF("phrase")
       val matched = Blocklist.phraseMatches(docs, phrases, "text", "doc_id")
         .select("doc_id").distinct()
-      val fps = Text.winnow(docs, "text", "doc_id", k = 3, w = 4)
-        .select(col("id"), col("fp")).distinct()
-      val dup = fps.as("x")
-        .join(fps.as("y"),
-          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
-        .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 8)
+      val dup = Dedup.winnowCandidates(docs, "text", "doc_id",
+          k = 3, w = 4, minShared = 8)
         .select(col("id2").as("doc_id")).distinct()
       docs.select("doc_id", "lang")
         .join(matched.withColumn("__pm", lit(1)), Seq("doc_id"), "left")
@@ -5172,6 +5184,34 @@ object SparkEntry {
     "text_winnow" ->
       s"""WITH ${winnowCtes("WHERE doc_id < 200")}
          SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""",
+
+    "text_char_entropy" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+             WHERE doc_id < 200 AND text IS NOT NULL),
+         ch AS (SELECT doc_id, length(text) AS n,
+             list_transform(range(length(text)),
+               i -> substr(text, CAST(i AS INT) + 1, 1)) AS cs
+           FROM d),
+         e AS (SELECT doc_id, n, cs, list_sort(list_distinct(cs)) AS ds FROM ch),
+         s AS (SELECT doc_id, n, len(ds) AS n_distinct,
+             list_aggregate(list_transform(ds,
+               c -> CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+                    * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE))),
+               'sum') AS t
+           FROM e)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           round(CASE WHEN n > 0 THEN ln(CAST(n AS DOUBLE)) - t / n
+                      ELSE 0.0 END, 6) AS entropy_nats
+         FROM s ORDER BY doc_id""",
+
+    "dedup_winnow_pairs" ->
+      s"""WITH ${winnowCtes("")},
+         pairs AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 8)
+         SELECT id1, id2, shared FROM pairs ORDER BY id1, id2""",
 
     "text_token_count" ->
       """SELECT doc_id,

@@ -435,6 +435,14 @@ object Cli {
           Text.winnow(df, txt, idc,
             k = flag(rest, "--k").map(_.toInt).getOrElse(3),
             w = flag(rest, "--w").map(_.toInt).getOrElse(4))
+        case "winnow-pairs" =>
+          // MOSS candidate pairs: >= --min-shared distinct shared prints
+          graft.pipeline.Dedup.winnowCandidates(df, txt, idc,
+            k = flag(rest, "--k").map(_.toInt).getOrElse(3),
+            w = flag(rest, "--w").map(_.toInt).getOrElse(4),
+            minShared = flag(rest, "--min-shared").map(_.toInt).getOrElse(8))
+        case "text-char-entropy" =>
+          Text.charEntropy(df, txt, idc)
         case "text-oov-curve" =>
           Text.oovCurve(df, txt,
             sizes = flag(rest, "--sizes").map(_.split(",").toSeq.map(_.toInt))
@@ -769,6 +777,8 @@ object Cli {
       |  pipeline text-novelty-daily <in> <out> --times p [--time-key c] [--ts c] [--text c] [--id c] [--n N]
       |  pipeline text-hh-guaranteed <in> <out> [--text c] [--capacity N] [--phi-num a] [--phi-den b]
       |  pipeline text-winnow <in> <out> [--text c] [--id c] [--k N] [--w N]
+      |  pipeline winnow-pairs <in> <out> [--text c] [--id c] [--k N] [--w N] [--min-shared N]
+      |  pipeline text-char-entropy <in> <out> [--text c] [--id c]
       |  pipeline text-oov-curve <in> <out> [--text c] [--sizes k1,k2,...]
       |  pipeline text-heavy-hitters <in> <out> [--text c] [--capacity N]
       |  pipeline source-overlap-matrix <in> <out> [--text c] [--group c]

@@ -824,4 +824,29 @@ object Dedup {
         bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))
       .dropDuplicates("id1", "id2")
   }
+
+  /** MOSS-style near-duplicate CANDIDATE pairs from winnowing
+    * fingerprints ([[Text.winnow]]): document pairs sharing at least
+    * `minShared` DISTINCT selected prints, with the shared count. The
+    * index join is fingerprint-bucketed (never all-pairs): each print's
+    * bucket joins within itself, so the work is Σ_fp b² — the same
+    * output-bound contract as the minhash band join — and the winnowing
+    * guarantee means any pair sharing a run of >= w+k-1 words shares a
+    * print, i.e. true partial overlaps of that length are ALWAYS
+    * candidates (minhash only guarantees this probabilistically).
+    * `minShared` is the noise floor: unrelated docs over a small
+    * vocabulary share the odd print; real partial overlaps share many.
+    * Returns (id1, id2, shared), id1 < id2. */
+  def winnowCandidates(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 3, w: Int = 4, minShared: Int = 8): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val fps = Text.winnow(df, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    fps.as("x")
+      .join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -1308,6 +1308,43 @@ object Text {
         sum(col("__c") * col("__tok")).as("n_bpe_tokens"))
   }
 
+  /** Per-document CHARACTER-level Shannon entropy — the classic
+    * gibberish / compressibility signal (binary blobs, key-mash, and
+    * repeated-character spam score far from natural text; complements
+    * [[repetitionSignals]], which is word/n-gram-level). Exact count
+    * algebra per document, zero shuffle: character multiset counts via
+    * array algebra (O(alphabet · len) per row), then
+    * H = ln n − (Σ c·ln c)/n in nats.
+    *
+    * Cross-engine determinism: the Σ c·ln c fold runs over the SORTED
+    * distinct characters, so Spark and the DuckDB oracle add the same
+    * IEEE terms in the same order — bit-identical before any rounding
+    * (the describe_entropy discipline, strengthened from round-and-hope
+    * to order-pinned). Returns (id, n_chars, n_distinct, entropy_nats);
+    * empty text scores 0.0 entropy with n_chars 0. */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val text = col(textCol)
+    // sequence(1, 0) DESCENDS in Spark — empty text must short-circuit
+    val chars = when(char_length(text) > 0,
+      transform(sequence(lit(1), char_length(text)),
+        i => text.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+    df.filter(text.isNotNull)
+      .select(col(idCol).as("id"), chars.as("__cs"))
+      .select(col("id"), col("__cs"),
+        array_sort(array_distinct(col("__cs"))).as("__ds"))
+      .select(col("id"),
+        size(col("__cs")).cast("long").as("n_chars"),
+        size(col("__ds")).cast("long").as("n_distinct"),
+        when(size(col("__cs")) > 0,
+          log(size(col("__cs")).cast("double")) -
+            aggregate(col("__ds"), lit(0.0), (acc, c) => {
+              val cnt = size(filter(col("__cs"), x => x === c)).cast("double")
+              acc + cnt * log(cnt)
+            }) / size(col("__cs")).cast("double"))
+          .otherwise(0.0).as("entropy_nats"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every word `k`-gram, slide a
     * window of `w` consecutive gram positions over the hash sequence, and

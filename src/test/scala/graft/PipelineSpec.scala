@@ -2116,6 +2116,49 @@ class PipelineSpec extends SparkSpec {
     assert(graft.pipeline.Text.bpeTrain(docs, "text", 2, minCount = 100L).count() === 0L)
   }
 
+  test("charEntropy: hand values, uniform max, constant zero, empty and null text") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aab"),       // H = ln3 - (2 ln2)/3
+      (1L, "abcd"),      // all distinct: H = ln4
+      (2L, "aaaa"),      // constant: H = 0
+      (3L, ""),          // empty: n=0, H=0 by contract
+      (4L, null.asInstanceOf[String]) // null: dropped
+    ).toDF("doc_id", "text")
+    val out = Text.charEntropy(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L)._1 === 3L && out(0L)._2 === 2L)
+    assert(math.abs(out(0L)._3 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12)
+    assert(math.abs(out(1L)._3 - math.log(4)) < 1e-12)
+    assert(out(2L)._3 === 0.0)
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    assert(!out.contains(4L))
+    // entropy never exceeds ln(n_distinct) (uniform bound)
+    out.values.filter(_._2 > 0).foreach { case (_, d, h) =>
+      assert(h <= math.log(d.toDouble) + 1e-12) }
+  }
+
+  test("winnowCandidates: planted partial overlap is always a candidate; noise floor holds") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    val rnd = new scala.util.Random(23)
+    def soup(n: Int) = Seq.fill(n)("n" + rnd.nextInt(10000)).mkString(" ")
+    // a long shared run -> many shared prints; disjoint-vocab docs -> none
+    val run = Seq.fill(60)("r" + rnd.nextInt(10000)).mkString(" ")
+    val docs = Seq(
+      (0L, s"${soup(30)} $run ${soup(30)}"),
+      (1L, s"${soup(40)} $run ${soup(20)}"),
+      (2L, soup(80)), (3L, soup(80))
+    ).toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.winnowCandidates(
+        docs, "text", "doc_id", k, w, minShared = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((0L, 1L)), s"planted 60-word overlap missed: $pairs")
+    assert(pairs((0L, 1L)) >= 8L)
+    assert(pairs.keySet === Set((0L, 1L)), s"noise pair above the floor: $pairs")
+  }
+
   test("semDedupClustered: hand geometry, keeper rule, exact-copy co-clustering, iters") {
     import spark.implicits._
     // 2D corpus, k=2: seeds are ids 0 and 1. Cluster 0 around (1,0),

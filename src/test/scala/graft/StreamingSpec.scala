@@ -835,4 +835,32 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(streamed.head.getDouble(3) - r.getDouble(3)) < 1e-12)
     } finally q.stop()
   }
+
+  test("phraseMatches runs stateless on a stream and equals the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the phrase blocklist plan is stateless (narrow explode + broadcast
+    // join + filter) so it applies verbatim to a streaming frame — the
+    // live ingest-gate deployment shape
+    val rows = Seq(
+      (0L, "clean text here"), (1L, "a bad actor appears"),
+      (2L, "bad  ACTOR with spacing"), (3L, "badactor fused"),
+      (4L, "actor bad reversed"))
+    val phrases = Seq("bad actor").toDF("phrase")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.pipeline.Blocklist.phraseMatches(
+      mem.toDF().toDF("id", "text"), phrases, "text", "id")
+    val q = out.writeStream.format("memory").queryName("phrase_stream_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("phrase_stream_test").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val batch = graft.pipeline.Blocklist.phraseMatches(
+          rows.toDF("id", "text"), phrases, "text", "id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got === batch, s"stream $got != batch $batch")
+      assert(got === Seq((1L, "bad actor"), (2L, "bad actor")))
+    } finally q.stop()
+  }
 }
