@@ -1823,6 +1823,27 @@ object SparkEntry {
           k = 3, w = 4, minShared = 8)
         .orderBy("id1", "id2")),
 
+    "dedup_winnow_star" -> ((s, dir) =>
+      // grouping form: winnow candidates -> components -> one row per
+      // doc (linear output; the pairwise form is dup-cluster-quadratic).
+      // Oracle replays pairs + recursive reachability, so the green row
+      // IS the pairs==components identity on real data (the
+      // dedup_prefix_star precedent)
+      Dedup.winnowStar(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, w = 4, minShared = 8, maxDocFreq = 50)
+        .orderBy("id")),
+
+    "dedup_winnow_pairs_capped" -> ((s, dir) =>
+      // the maxDocFreq boilerplate cap (MOSS practice): prints in more
+      // than maxDocFreq docs are template chrome, not copied passages,
+      // and their b² buckets dominate the uncapped join. Cap 3 BITES at
+      // the oracle SF (max print df is 7 — 20 pairs / Σshared 342 vs the
+      // uncapped 23 / 480, a visibly different result); production sets
+      // it ~2× the expected dup-cluster depth (sf1 probe: ×20.5 → ×1.2)
+      Dedup.winnowCandidates(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, w = 4, minShared = 8, maxDocFreq = 3)
+        .orderBy("id1", "id2")),
+
     "text_winnow" -> ((s, dir) =>
       // MOSS winnowing (Schleimer et al. 2003): per-window min-hash gram
       // SELECTION (rightmost on ties) — the partial-overlap detector with
@@ -2009,8 +2030,12 @@ object SparkEntry {
         "data leak probe").toDF("phrase")
       val matched = Blocklist.phraseMatches(docs, phrases, "text", "doc_id")
         .select("doc_id").distinct()
+      // maxDocFreq = 50: the production form — never bites at the oracle
+      // SF (max print doc-freq is 7) but kills the boilerplate
+      // megabuckets that dominate the uncapped join at bench scale (the
+      // ×10-copy corpus); the oracle replays the cap CTE faithfully
       val dup = Dedup.winnowCandidates(docs, "text", "doc_id",
-          k = 3, w = 4, minShared = 8)
+          k = 3, w = 4, minShared = 8, maxDocFreq = 50)
         .select(col("id2").as("doc_id")).distinct()
       docs.select("doc_id", "lang")
         .join(matched.withColumn("__pm", lit(1)), Seq("doc_id"), "left")
@@ -5213,6 +5238,38 @@ object SparkEntry {
            GROUP BY 1, 2 HAVING count(*) >= 8)
          SELECT id1, id2, shared FROM pairs ORDER BY id1, id2""",
 
+    "dedup_winnow_star" ->
+      s"""WITH RECURSIVE ${winnowCtes("")},
+         dfq AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+         f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN dfq USING (fp)
+                WHERE dfq.c <= 50),
+         pairs AS (SELECT x.doc_id AS i1, y.doc_id AS i2
+           FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 8),
+         e AS (SELECT CAST(i1 AS VARCHAR) AS id1, CAST(i2 AS VARCHAR) AS id2
+               FROM pairs),
+         ed AS MATERIALIZED (
+           SELECT id1 AS src, id2 AS dst FROM e
+           UNION SELECT id2 AS src, id1 AS dst FROM e),
+         ids AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents),
+         reach AS (
+           SELECT id, id AS node FROM ids
+           UNION
+           SELECT r.id, ed.dst AS node FROM reach r JOIN ed ON ed.src = r.node)
+         SELECT id, min(node) AS component
+         FROM reach GROUP BY id ORDER BY id""",
+
+    "dedup_winnow_pairs_capped" ->
+      s"""WITH ${winnowCtes("")},
+         dfq AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+         f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN dfq USING (fp)
+                WHERE dfq.c <= 3),
+         pairs AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 8)
+         SELECT id1, id2, shared FROM pairs ORDER BY id1, id2""",
+
     "text_token_count" ->
       """SELECT doc_id,
            len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
@@ -5417,8 +5474,11 @@ object SparkEntry {
          pm AS (SELECT DISTINCT doc_id FROM nrm CROSS JOIN ph
                 WHERE contains(' ' || norm || ' ', ' ' || phrase || ' ')),
          ${winnowCtes("WHERE lang IS NOT NULL")},
+         dfq AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+         f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN dfq USING (fp)
+                WHERE dfq.c <= 50),
          pairs AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS shared
-                   FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+                   FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
                    GROUP BY 1, 2 HAVING count(*) >= 8),
          dup AS (SELECT DISTINCT id2 AS doc_id FROM pairs),
          v AS (SELECT d0.doc_id, d0.lang,

@@ -436,13 +436,22 @@ object Cli {
             k = flag(rest, "--k").map(_.toInt).getOrElse(3),
             w = flag(rest, "--w").map(_.toInt).getOrElse(4))
         case "winnow-pairs" =>
-          // MOSS candidate pairs: >= --min-shared distinct shared prints
+          // MOSS candidate pairs: >= --min-shared distinct shared prints;
+          // --max-doc-freq drops boilerplate prints (0 = off)
           graft.pipeline.Dedup.winnowCandidates(df, txt, idc,
             k = flag(rest, "--k").map(_.toInt).getOrElse(3),
             w = flag(rest, "--w").map(_.toInt).getOrElse(4),
-            minShared = flag(rest, "--min-shared").map(_.toInt).getOrElse(8))
+            minShared = flag(rest, "--min-shared").map(_.toInt).getOrElse(8),
+            maxDocFreq = flag(rest, "--max-doc-freq").map(_.toInt).getOrElse(0))
         case "text-char-entropy" =>
           Text.charEntropy(df, txt, idc)
+        case "winnow-star" =>
+          // grouping form: winnow pairs -> components -> (id, component)
+          graft.pipeline.Dedup.winnowStar(df, txt, idc,
+            k = flag(rest, "--k").map(_.toInt).getOrElse(3),
+            w = flag(rest, "--w").map(_.toInt).getOrElse(4),
+            minShared = flag(rest, "--min-shared").map(_.toInt).getOrElse(8),
+            maxDocFreq = flag(rest, "--max-doc-freq").map(_.toInt).getOrElse(0))
         case "text-oov-curve" =>
           Text.oovCurve(df, txt,
             sizes = flag(rest, "--sizes").map(_.split(",").toSeq.map(_.toInt))
@@ -777,7 +786,8 @@ object Cli {
       |  pipeline text-novelty-daily <in> <out> --times p [--time-key c] [--ts c] [--text c] [--id c] [--n N]
       |  pipeline text-hh-guaranteed <in> <out> [--text c] [--capacity N] [--phi-num a] [--phi-den b]
       |  pipeline text-winnow <in> <out> [--text c] [--id c] [--k N] [--w N]
-      |  pipeline winnow-pairs <in> <out> [--text c] [--id c] [--k N] [--w N] [--min-shared N]
+      |  pipeline winnow-pairs <in> <out> [--text c] [--id c] [--k N] [--w N] [--min-shared N] [--max-doc-freq N]
+      |  pipeline winnow-star <in> <out> [--text c] [--id c] [--k N] [--w N] [--min-shared N] [--max-doc-freq N]
       |  pipeline text-char-entropy <in> <out> [--text c] [--id c]
       |  pipeline text-oov-curve <in> <out> [--text c] [--sizes k1,k2,...]
       |  pipeline text-heavy-hitters <in> <out> [--text c] [--capacity N]

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-hash signature expressions for the dedup operators.
@@ -99,6 +99,66 @@ case class NgramWindowHashes(child: Expression, n: Int) extends UnaryExpression 
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "ngram_window_hashes"
+}
+
+/** Winnowing fingerprint selection over a pre-split word array
+  * (Schleimer et al. 2003): array<struct<pos,fp>> of the per-window
+  * min-hash selections, rightmost on ties — one JVM loop per document
+  * replacing an interpreted nested transform/aggregate HOF chain that
+  * measured ~2 ms/doc. The hash stays the cross-engine md5-prefix int64
+  * (selection depends on hash ORDER, so the DuckDB oracle must replay it
+  * bit-identically); kernel: [[graft.pipeline.Text.winnowKernel]]. */
+case class WinnowPrints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_prints needs array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    graft.pipeline.Text.winnowKernel(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.pipeline.Text.winnowKernel($x, $k, $w);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "winnow_prints"
+}
+
+/** Per-string character-entropy statistics:
+  * struct<n_chars, n_distinct, entropy_nats> with the order-pinned
+  * Σ c·ln c fold (sorted distinct codepoints) — bit-identical to the
+  * DuckDB oracle's list-sorted fold. Kernel:
+  * [[graft.pipeline.Text.charEntropyKernel]]. */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("entropy_nats", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy_stats needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    graft.pipeline.Text.charEntropyKernel(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.pipeline.Text.charEntropyKernel($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_entropy_stats"
 }
 
 /** Distinct k-shingle polynomial hashes of a string: array<long> — the

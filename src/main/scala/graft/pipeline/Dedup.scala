@@ -836,17 +836,99 @@ object Dedup {
     * candidates (minhash only guarantees this probabilistically).
     * `minShared` is the noise floor: unrelated docs over a small
     * vocabulary share the odd print; real partial overlaps share many.
+    * `maxDocFreq` (0 = off) drops fingerprints appearing in MORE than
+    * that many documents before pairing — the MOSS paper's own practice
+    * for boilerplate prints (navigation chrome, license headers): a
+    * print shared by thousands of docs identifies a TEMPLATE, not a
+    * copied passage, and its b² bucket join dominates the cost. The
+    * documented tradeoff: pairs whose ONLY shared prints are boilerplate
+    * are no longer reported. One O(distinct-fp) count aggregate.
     * Returns (id1, id2, shared), id1 < id2. */
   def winnowCandidates(df: DataFrame, textCol: String, idCol: String,
-                       k: Int = 3, w: Int = 4, minShared: Int = 8): DataFrame = {
+                       k: Int = 3, w: Int = 4, minShared: Int = 8,
+                       maxDocFreq: Int = 0,
+                       warnSink: String => Unit = null): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
-    val fps = Text.winnow(df, textCol, idCol, k, w)
+    require(maxDocFreq >= 0, s"maxDocFreq must be >= 0 (0 = off): $maxDocFreq")
+    val sink = if (warnSink != null) warnSink else logSink
+    val spark = df.sparkSession
+    // uncapped-megabucket guard (the minhashCandidates pre-flight
+    // discipline, same conf): on boilerplate-heavy corpora one common
+    // print's bucket is a single join KEY — Σ b² work lands in ONE task
+    // (an sfx10 probe of the uncapped form killed the context by skew).
+    // The pre-flight aggregates print doc-freqs into the exact pre-dedup
+    // pair bound and warns toward maxDocFreq.
+    val warnFactor = spark.conf.getOption("graft.dedup.pairBlowupWarnFactor")
+      .map { s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.dedup.pairBlowupWarnFactor must be a non-negative integer, got '$s'")
+        }
+        require(v >= 0, s"graft.dedup.pairBlowupWarnFactor must be >= 0, got $v")
+        v
+      }.getOrElse(8L)
+    val all0 = Text.winnow(df, textCol, idCol, k, w)
       .select(col("id"), col("fp")).distinct()
+    // the guard and/or the doc-freq cap add a second action over the
+    // winnow projection: materialize it once (first probe of the capped
+    // path re-ran the whole selection and measured 2× the uncapped line)
+    val all = if (maxDocFreq > 0 || warnFactor > 0L) all0.localCheckpoint() else all0
+    if (warnFactor > 0L && maxDocFreq == 0) {
+      val r = all.groupBy("fp").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("pairs"),
+          coalesce(sum(col("c")), lit(0L)).as("rows"),
+          coalesce(max(col("c")), lit(0L)).as("maxb")).head()
+      val pairBound = r.getLong(0)
+      if (pairBound > warnFactor * r.getLong(1))
+        sink(s"winnowCandidates: print-bucket co-occurrence bound ~$pairBound " +
+          s"pairs over ${r.getLong(1)} (doc, print) rows, largest bucket " +
+          s"${r.getLong(2)} docs (> ${warnFactor}x, " +
+          "graft.dedup.pairBlowupWarnFactor) — a template print's bucket is " +
+          "ONE join key, so Σ b² work lands in one task. Set maxDocFreq " +
+          "(~2x expected dup-cluster depth) to drop boilerplate prints " +
+          "(the MOSS practice; see SCALE.md dedup_winnow_pairs).")
+    }
+    val fps =
+      if (maxDocFreq == 0) all
+      else {
+        val common = all.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select("fp")
+        all.join(common, Seq("fp"), "left_anti")
+      }
     fps.as("x")
       .join(fps.as("y"),
         col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+  }
+
+  /** The GROUPING form of [[winnowCandidates]]: candidate pairs →
+    * connected components → one row per document with its
+    * duplicate-group representative. OUTPUT is linear in the corpus
+    * where the pairwise form's output is dup-cluster-quadratic;
+    * singletons (including gram-free docs) map to themselves. NOTE the
+    * intermediate EDGE set is still the pairwise candidate graph —
+    * unlike [[prefixJaccardStar]], no member-vs-rep pruning applies,
+    * because the `minShared`-prints edge predicate is pair-specific (two
+    * docs can each share many prints with each other but few with a
+    * bucket representative, so a rep-star graph would NOT have the same
+    * components). On copy-heavy corpora bound the edge stage with
+    * `maxDocFreq` (sf10 probe: the capped graph's 24.7M candidate edges
+    * grouped in 25 s; the uncapped form is the documented skew death).
+    * Ids ride as strings like every dedup grouping path; component =
+    * min member id in string order. Returns (id, component). */
+  def winnowStar(df: DataFrame, textCol: String, idCol: String,
+                 k: Int = 3, w: Int = 4, minShared: Int = 8,
+                 maxDocFreq: Int = 0, maxIter: Int = 20,
+                 warnSink: String => Unit = null): DataFrame = {
+    val pairs = winnowCandidates(df, textCol, idCol, k, w, minShared,
+        maxDocFreq, warnSink)
+      .select(col("id1").cast("string").as("id1"),
+        col("id2").cast("string").as("id2"))
+    val comps = components(pairs, "id1", "id2", maxIter)
+    df.select(col(idCol).cast("string").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 }

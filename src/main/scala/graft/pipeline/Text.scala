@@ -1308,6 +1308,97 @@ object Text {
         sum(col("__c") * col("__tok")).as("n_bpe_tokens"))
   }
 
+  /** Kernel for [[graft.functions.WinnowPrints]]: winnowing selection
+    * over a pre-split word array. Semantics IDENTICAL to the original
+    * column-algebra form (and the DuckDB oracle): gram hash = first 15
+    * hex digits of md5 of the space-joined k-gram read base-16 (= the
+    * first 60 bits of the digest, big-endian); window ends
+    * e in (min(w-1, ng-1) .. ng-1); per window the MIN hash with the
+    * RIGHTMOST position on ties. O(ng·w) with w a small constant; one
+    * MessageDigest per call, one StringBuilder per gram — the
+    * interpreted nested-HOF form this replaced measured ~2 ms/doc
+    * (md5 via codegen'd expressions but the fold interpreted); this
+    * kernel is a plain JVM loop. Returns one struct(pos, fp) per
+    * DISTINCT selection (same-pos re-selection by adjacent windows is
+    * the only possible repeat, so a last-pos check IS distinct). */
+  def winnowKernel(words: org.apache.spark.sql.catalyst.util.ArrayData,
+                   k: Int, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = words.numElements()
+    val ng = n - k + 1
+    if (ng <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](ng)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < ng) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits = first 60 bits big-endian = be64(d[0..7]) >>> 4
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = v >>> 4
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastPos = -1
+    var e = math.min(w - 1, ng - 1)
+    while (e < ng) {
+      val s = math.max(e - (w - 1), 0)
+      var bestPos = s
+      var bestFp = hs(s)
+      var p = s + 1
+      while (p <= e) {
+        if (hs(p) <= bestFp) { bestFp = hs(p); bestPos = p } // <= : rightmost
+        p += 1
+      }
+      if (bestPos != lastPos) {
+        out += org.apache.spark.sql.catalyst.InternalRow(bestPos.toLong, bestFp)
+        lastPos = bestPos
+      }
+      e += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Kernel for [[graft.functions.CharEntropyStats]]: per-string
+    * character (codepoint) Shannon entropy with the ORDER-PINNED fold —
+    * counts per distinct codepoint, distinct codepoints sorted
+    * ascending (== UTF-8 byte order == what Spark array_sort and DuckDB
+    * list_sort produced in the column-algebra form), then
+    * H = ln n − (Σ c·ln c)/n summed left-to-right in that order: the
+    * same IEEE operations in the same order as the DuckDB oracle.
+    * Returns struct(n_chars, n_distinct, entropy_nats); empty → (0,0,0). */
+  def charEntropyKernel(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      acc += c * math.log(c)
+    }
+    val h = if (n > 0) math.log(n.toDouble) - acc / n else 0.0
+    org.apache.spark.sql.catalyst.InternalRow(n, counts.size().toLong, h)
+  }
+
   /** Per-document CHARACTER-level Shannon entropy — the classic
     * gibberish / compressibility signal (binary blobs, key-mash, and
     * repeated-character spam score far from natural text; complements
@@ -1323,26 +1414,15 @@ object Text {
     * to order-pinned). Returns (id, n_chars, n_distinct, entropy_nats);
     * empty text scores 0.0 entropy with n_chars 0. */
   def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val text = col(textCol)
-    // sequence(1, 0) DESCENDS in Spark — empty text must short-circuit
-    val chars = when(char_length(text) > 0,
-      transform(sequence(lit(1), char_length(text)),
-        i => text.substr(i, lit(1))))
-      .otherwise(array().cast("array<string>"))
-    df.filter(text.isNotNull)
-      .select(col(idCol).as("id"), chars.as("__cs"))
-      .select(col("id"), col("__cs"),
-        array_sort(array_distinct(col("__cs"))).as("__ds"))
-      .select(col("id"),
-        size(col("__cs")).cast("long").as("n_chars"),
-        size(col("__ds")).cast("long").as("n_distinct"),
-        when(size(col("__cs")) > 0,
-          log(size(col("__cs")).cast("double")) -
-            aggregate(col("__ds"), lit(0.0), (acc, c) => {
-              val cnt = size(filter(col("__cs"), x => x === c)).cast("double")
-              acc + cnt * log(cnt)
-            }) / size(col("__cs")).cast("double"))
-          .otherwise(0.0).as("entropy_nats"))
+    val spark = df.sparkSession
+    val fname = "char_entropy_stats"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.CharEntropyStats(exprs.head), "scala_udf")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), call_function(fname, col(textCol)).as("__e"))
+      .select(col("id"), col("__e.n_chars").as("n_chars"),
+        col("__e.n_distinct").as("n_distinct"),
+        col("__e.entropy_nats").as("entropy_nats"))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
@@ -1366,40 +1446,27 @@ object Text {
     * in the set-algebra dedup family: winnowing SELECTION depends on hash
     * ORDER, so an engine-local hash would select different grams.
     *
-    * Scale shape: pure per-row array algebra (split -> gram hashes ->
-    * per-window fold -> array_distinct -> explode) — zero shuffle, zero
-    * UDF, embarrassingly parallel at 100 TB. Output is one row per
-    * selected (doc, position): `(id, pos, fp)` where `pos` is the gram's
-    * word offset. Selections are ~2/(w+1) of gram count, so output is a
-    * small constant fraction of input tokens. */
+    * Scale shape: one codegen'd projection per row (split -> native
+    * [[graft.functions.WinnowPrints]] selection kernel -> explode) —
+    * zero shuffle, embarrassingly parallel at 100 TB. The first cut
+    * expressed the per-window fold as nested transform/aggregate HOFs;
+    * those evaluate interpreted and measured ~2 ms/doc at sf0.1 — the
+    * native kernel is the same semantics as one JVM loop. Output is one
+    * row per selected (doc, position): `(id, pos, fp)` where `pos` is
+    * the gram's word offset. Selections are ~2/(w+1) of gram count, so
+    * output is a small constant fraction of input tokens. */
   def winnow(df: DataFrame, textCol: String, idCol: String,
              k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(w >= 1, s"w must be >= 1: $w")
+    val spark = df.sparkSession
+    val fname = s"winnow_prints_${k}_$w"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.WinnowPrints(exprs.head, k, w), "scala_udf")
     val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
       x => length(x) > 0)
-    // gram hashes: hs(i) = h(words[i..i+k-1]), i in 0..n-k
-    val hs = when(size(ws) >= k,
-      transform(sequence(lit(0), size(ws) - k), i =>
-        conv(substring(md5(concat_ws(" ", slice(ws, i + 1, lit(k)))
-          .cast("binary")), 1, 15), 16, 10).cast("long")))
-      .otherwise(array().cast("array<long>"))
-    df.select(col(idCol).as("id"), hs.as("__hs"))
-      .filter(size(col("__hs")) > 0)
-      .select(col("id"),
-        // window ends: e in (w-1 .. ng-1); short docs (ng < w) get the
-        // single truncated window ending at ng-1
-        explode(array_distinct(transform(
-          sequence(least(lit(w - 1), size(col("__hs")) - 1),
-            size(col("__hs")) - 1),
-          e => aggregate(
-            sequence(greatest(e - (w - 1), lit(0)), e),
-            struct(lit(Long.MaxValue).as("fp"), lit(-1).cast("long").as("pos")),
-            // <= : equal hash at a LATER position wins = rightmost-min
-            (acc, p) => when(element_at(col("__hs"), p + 1) <= acc.getField("fp"),
-              struct(element_at(col("__hs"), p + 1).as("fp"),
-                p.cast("long").as("pos")))
-              .otherwise(acc))))).as("__sel"))
-      .select(col("id"), col("__sel.pos").as("pos"), col("__sel.fp").as("fp"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(call_function(fname, ws)).as("__s"))
+      .select(col("id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 }

@@ -84,6 +84,74 @@ object BenchSf1 {
     "text_novelty_daily" -> graft.SparkEntry.queries("text_novelty_daily"),
     "text_hh_guaranteed" -> graft.SparkEntry.queries("text_hh_guaranteed"))
 
+  /** Round-14 second wave (this session's operators): winnowing selection
+    * (per-row CPU, zero shuffle — full-corpus form since the oracled
+    * query slices doc_id<200), the winnow pair index join (output- and
+    * bucket-bound by dup-cluster depth, the minhash-band contract: the
+    * ×10 corpus has 10-deep near-twin clusters at sfx1, 100-deep at
+    * sfx10, so candidate output grows C(copies,2)·bases — quadratic BY
+    * CONTRACT; the maxDocFreq=2·copies form caps boilerplate buckets the
+    * MOSS way), char entropy (per-row CPU), the phrase blocklist and
+    * policy e2e (full corpus by construction), and SemDeDup with k
+    * scaled so mean cluster size stays ~100 (the paper's own scaling —
+    * fixed k at growing n is the documented quadratic trap the
+    * pre-flight gate refuses). */
+  private[tools] def round14SecondWave: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text_winnow_full" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Text.winnow(
+          s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+        .groupBy().agg(count(lit(1)).as("n_prints"),
+          sum(col("fp")).as("chk"))),
+    "text_char_entropy_full" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Text.charEntropy(
+          s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+        .groupBy().agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chk"),
+          sum(round(col("entropy_nats"), 6)).as("hchk"))),
+    "dedup_winnow_pairs" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Dedup.winnowCandidates(
+          s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+          minShared = 8)
+        .groupBy().agg(count(lit(1)).as("n_pairs"),
+          sum(col("shared")).as("chk"))),
+    // the declared capped query pins maxDocFreq=3 (bites at the oracle
+    // SF); this full-corpus form scales the cap with copy depth — the
+    // production setting (~2× expected dup-cluster size)
+    "dedup_winnow_pairs_capped_full" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val copies = math.max(docs.count() / 5000L, 1L).toInt
+      graft.pipeline.Dedup.winnowCandidates(docs, "text", "doc_id",
+          minShared = 8, maxDocFreq = 2 * copies)
+        .groupBy().agg(count(lit(1)).as("n_pairs"),
+          sum(col("shared")).as("chk"))
+    }),
+    "blocklist_phrase" -> graft.SparkEntry.queries("blocklist_phrase"),
+    "pipeline_policy_e2e" -> graft.SparkEntry.queries("pipeline_policy_e2e"),
+    // grouping form over the ×10-copy corpus with the copy-scaled cap:
+    // components output stays one row per doc at every decade
+    "dedup_winnow_star_full" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val copies = math.max(docs.count() / 5000L, 1L).toInt
+      graft.pipeline.Dedup.winnowStar(docs, "text", "doc_id",
+          minShared = 8, maxDocFreq = 2 * copies)
+        .groupBy().agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("component")).as("n_components"))
+    }),
+    "dedup_semdedup_full" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val k = math.max(8L, e.count() / 100L).toInt
+      // the ×10 corpus replicates embeddings EXACTLY, so every base
+      // vector's copies co-cluster (the operator's own guarantee) and
+      // the within-cluster pair bound is genuinely copy²-deep — at sfx10
+      // that exceeds the default 100M refusal gate (which is correct
+      // behavior, unit-tested); the probe raises the cap to measure the
+      // full quadratic-contract pair pass the gate would refuse
+      s.conf.set("graft.semdedup.maxPairs", "4000000000")
+      try graft.pipeline.Similarity.semDedupClustered(e, k, threshold = 0.95)
+        .groupBy().agg(count(lit(1)).as("n_kept"))
+      finally s.conf.unset("graft.semdedup.maxPairs")
+    }))
+
   private[tools] def round11SecondWave: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "decon_minhash_lsh_full" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -297,7 +365,7 @@ object BenchSf1 {
           .select(projOf(col("embedding")).as("p"))
           .groupBy().agg(count(lit(1)).as("n"),
             sum(element_at(col("p"), 1)).as("chk"))
-      })) ++ round11SecondWave ++ round14Wave
+      })) ++ round11SecondWave ++ round14Wave ++ round14SecondWave
 
     // every probe key must be GROUNDED in a declared query name (VERDICT
     // r13 #7): the name itself, or '<declared>_<suffix>' for documented

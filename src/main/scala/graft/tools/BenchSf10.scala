@@ -165,7 +165,12 @@ object BenchSf10 {
       })) ++
       secondWave.map(n => n -> graft.SparkEntry.queries(n)) ++
       // round-11 second wave (shared full-corpus forms with BenchSf1)
-      BenchSf1.round11SecondWave ++ BenchSf1.round14Wave
+      BenchSf1.round11SecondWave ++ BenchSf1.round14Wave ++
+      // uncapped winnow pairs is sfx10-INFEASIBLE by contract (one
+      // template print's bucket = one join key = Σ b² in one task; the
+      // probe killed the context by skew) — sf0.1→sf1 evidence lives in
+      // BENCH_sf1.json, the capped form is the sfx10 path
+      BenchSf1.round14SecondWave.filterNot(_._1 == "dedup_winnow_pairs")
 
     // probe keys must be grounded in declared query names (VERDICT r13 #7)
     BenchSf1.assertProbeKeysGrounded(workloads)

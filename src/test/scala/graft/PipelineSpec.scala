@@ -2159,6 +2159,62 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.keySet === Set((0L, 1L)), s"noise pair above the floor: $pairs")
   }
 
+  test("winnowStar: transitive chains group, singletons map to themselves") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def soup(n: Int) = Seq.fill(n)("s" + rnd.nextInt(10000)).mkString(" ")
+    val runAB = Seq.fill(40)("x" + rnd.nextInt(10000)).mkString(" ")
+    val runBC = Seq.fill(40)("y" + rnd.nextInt(10000)).mkString(" ")
+    // A shares a run with B, B with C, A and C share nothing directly:
+    // the component must still join all three (reachability, not pairs)
+    val docs = Seq(
+      (1L, s"${soup(20)} $runAB ${soup(20)}"),
+      (2L, s"$runAB ${soup(15)} $runBC"),
+      (3L, s"${soup(25)} $runBC"),
+      (4L, soup(40)), // singleton
+      (5L, "a b")     // gram-free at k=3: still a singleton row
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.winnowStar(docs, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out("1") === "1" && out("2") === "1" && out("3") === "1", out.toString)
+    assert(out("4") === "4" && out("5") === "5")
+    // identity law: components equal a local union-find over the pairs
+    val pairs = graft.pipeline.Dedup.winnowCandidates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0).toString, r.getLong(1).toString))
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    out.foreach { case (id, comp) => assert(find(id) === comp, s"$id: $comp") }
+  }
+
+  test("winnowCandidates maxDocFreq drops boilerplate prints, keeps unique overlaps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def soup(n: Int) = Seq.fill(n)("m" + rnd.nextInt(10000)).mkString(" ")
+    val boiler = Seq.fill(40)("b" + rnd.nextInt(10000)).mkString(" ")
+    val run = Seq.fill(40)("u" + rnd.nextInt(10000)).mkString(" ")
+    // 20 docs share the boilerplate header; docs 100/101 also share a
+    // unique run. Unbounded: C(20,2)+ pairs. maxDocFreq=10: boilerplate
+    // prints (df ~20) drop, ONLY the unique-run pair survives.
+    val docs = ((0 until 20).map(i => (i.toLong, s"$boiler ${soup(30)}")) ++
+      Seq((100L, s"$boiler ${soup(10)} $run"), (101L, s"${soup(12)} $run"))
+    ).toDF("doc_id", "text")
+    val unbounded = graft.pipeline.Dedup.winnowCandidates(
+        docs, "text", "doc_id", minShared = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded.size > 1 && unbounded.contains((100L, 101L)))
+    val capped = graft.pipeline.Dedup.winnowCandidates(
+        docs, "text", "doc_id", minShared = 8, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)), s"capped: $capped")
+  }
+
   test("semDedupClustered: hand geometry, keeper rule, exact-copy co-clustering, iters") {
     import spark.implicits._
     // 2D corpus, k=2: seeds are ids 0 and 1. Cluster 0 around (1,0),
