@@ -2404,6 +2404,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "describe_calibration" -> ((s, dir) =>
+      // reliability table for the quality-filter sigmoid against an
+      // is-English label: scores quantize to integer micro-probs (the
+      // DSIR discipline) so bins and sums are exact int64 — mean_pred
+      // vs obs_rate per bin is the filter-calibration report
+      Describe.calibration(
+        Text.classifierScore(t(s, dir, "documents"), "text",
+          weights = Map("stopword_ratio" -> 4.0, "punct_ratio" -> 2.0,
+            "mean_word_len" -> 0.1, "n_words" -> 0.001),
+          bias = -1.0),
+        "quality_score", col("lang") === "en", bins = 10)
+        .orderBy("bin")),
+
     "text_quality_score" -> ((s, dir) =>
       // linear classifier inference as a zero-shuffle projection; the
       // oracle replays the identical sigmoid arithmetic
@@ -2651,6 +2664,21 @@ object SparkEntry {
       // (word counts); 8 merge rounds then run on the vocab-sized table
       Text.bpeTrain(t(s, dir, "documents"), "text", numMerges = 8)
         .orderBy("step")),
+
+    "text_bpe_fertility" -> ((s, dir) =>
+      // per-language tokenizer fertility: ONE shared tokenizer trained
+      // on the whole corpus, BPE tokens per word + chars per token per
+      // lang — the vocab-budget reallocation signal. Trained on the FULL
+      // table (matching the oracle's training CTEs); null-lang groups
+      // drop at the rollup
+      Text.bpeFertility(t(s, dir, "documents"), "text", "doc_id", "lang",
+          numMerges = 8)
+        .filter(col("lang").isNotNull)
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_bpe_tokens"),
+          round(col("fertility"), 6).as("fertility"),
+          round(col("chars_per_token"), 6).as("chars_per_token"))
+        .orderBy("lang")),
 
     "text_bpe_apply" -> ((s, dir) => {
       // train on the FULL corpus, tokenize a slice with the learned
@@ -3981,6 +4009,18 @@ object SparkEntry {
            THEN split_part(acc, chr(2), 1) || ' ' || $best.a || $best.b || chr(2)
            ELSE (CASE WHEN split_part(acc, chr(2), 2) = '' THEN split_part(acc, chr(2), 1)
                  ELSE split_part(acc, chr(2), 1) || ' ' || split_part(acc, chr(2), 2) END) || chr(2) || x END)"""
+
+  /** Per-document BPE apply chain: dw1..dwn fold dw0's (doc_id, word,
+    * char-split sym) through the trained b1..bn merges in learned order —
+    * shared by the text_bpe_apply and text_bpe_fertility oracles. */
+  private def bpeApplyChainSql(n: Int): String =
+    (1 to n).map { i =>
+      s"""dw$i AS (SELECT doc_id, word,
+             ltrim(CASE WHEN split_part(f, chr(2), 2) = '' THEN split_part(f, chr(2), 1)
+                  ELSE split_part(f, chr(2), 1) || ' ' || split_part(f, chr(2), 2) END) AS sym FROM (
+             SELECT doc_id, word, ${bpeFoldSql(s"b$i", "sym")} AS f
+             FROM dw${i - 1}, b$i))"""
+    }.mkString(",\n         ")
 
   /** CTE chain replaying `n` BPE training rounds on the documents table:
     * wd = corpus word counts, w0 = char-split symbol strings, then per
@@ -5968,6 +6008,45 @@ object SparkEntry {
     // sigmoid(bias + Σ w·f) replayed with the same left-fold order over
     // name-sorted features (float addition is not associative) and DOUBLE
     // casts so both engines run IEEE double end-to-end
+    "describe_calibration" ->
+      """WITH f AS (SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[\.,;:!\?]')) AS punct,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop
+           FROM documents),
+         g AS (SELECT doc_id, lang,
+             CASE WHEN n_words > 0
+               THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words END AS mean_word_len,
+             n_words,
+             CASE WHEN n_chars > 0
+               THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_words > 0
+               THEN CAST(stop AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio
+           FROM f),
+         q AS (SELECT doc_id, lang,
+             1.0 / (1.0 + exp(-(((((CAST(-1.0 AS DOUBLE)
+               + mean_word_len * CAST(0.1 AS DOUBLE))
+               + n_words * CAST(0.001 AS DOUBLE))
+               + punct_ratio * CAST(2.0 AS DOUBLE))
+               + stopword_ratio * CAST(4.0 AS DOUBLE))))) AS score
+           FROM g),
+         m AS (SELECT CAST(round(score * 1000000) AS BIGINT) AS mm,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM q WHERE lang IS NOT NULL AND score IS NOT NULL),
+         b AS (SELECT least(mm * 10 // 1000000, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(mm) AS BIGINT) AS sm
+           FROM m GROUP BY 1)
+         SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+           round(CAST(sm AS DOUBLE) / 1000000.0 / n, 6) AS mean_pred,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate,
+           round(abs(CAST(sm AS DOUBLE) / 1000000.0 / n
+             - CAST(n_pos AS DOUBLE) / n), 6) AS gap
+         FROM b ORDER BY bin""",
+
     "text_quality_score" ->
       """WITH f AS (SELECT doc_id,
              len(string_split_regex(trim(text), '\s+')) AS n_words,
@@ -7042,17 +7121,37 @@ object SparkEntry {
          SELECT * FROM ($sel) ORDER BY step"""
     },
 
+    "text_bpe_fertility" -> {
+      // the same 8 trained rounds applied to EVERY document, rolled up
+      // per language over the per-doc word/char/token sums
+      val n = 8
+      s"""WITH ${bpeTrainCtes(n)},
+         dwords AS (SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS word
+           FROM documents),
+         dw0 AS (SELECT doc_id, word, array_to_string(list_transform(range(length(word)),
+                  k -> substr(word, CAST(k AS INT) + 1, 1)), ' ') AS sym
+                 FROM dwords WHERE length(word) > 0 AND NOT contains(word, chr(2))),
+         ${bpeApplyChainSql(n)},
+         perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(length(word)) AS BIGINT) AS n_chars,
+             CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_bpe
+           FROM dw$n GROUP BY 1)
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_words) AS BIGINT) AS n_words,
+           CAST(sum(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(p.n_bpe) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE), 6) AS fertility,
+           round(CAST(sum(p.n_chars) AS DOUBLE) / CAST(sum(p.n_bpe) AS DOUBLE), 6) AS chars_per_token
+         FROM perdoc p JOIN documents d USING (doc_id)
+         WHERE d.lang IS NOT NULL
+         GROUP BY 1 ORDER BY 1"""
+    },
+
     "text_bpe_apply" -> {
       // the same 8 trained rounds, then the per-document words of the
       // doc_id < 40 slice are folded through b1..b8 in learned order
       val n = 8
-      val apply = (1 to n).map { i =>
-        s"""dw$i AS (SELECT doc_id, word,
-             ltrim(CASE WHEN split_part(f, chr(2), 2) = '' THEN split_part(f, chr(2), 1)
-                  ELSE split_part(f, chr(2), 1) || ' ' || split_part(f, chr(2), 2) END) AS sym FROM (
-             SELECT doc_id, word, ${bpeFoldSql(s"b$i", "sym")} AS f
-             FROM dw${i - 1}, b$i))"""
-      }.mkString(",\n         ")
+      val apply = bpeApplyChainSql(n)
       s"""WITH ${bpeTrainCtes(n)},
          dwords AS (SELECT doc_id,
              unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS word

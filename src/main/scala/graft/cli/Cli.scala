@@ -713,6 +713,15 @@ object Cli {
           graft.modify.Modify.quantileNormalize(df,
             req(rest, "--cols").split(",").toSeq,
             idCol = flag(rest, "--id").getOrElse(idc))
+        case "calibration" =>
+          // reliability bins: --score prob column, --label sql-expr
+          graft.describe.Describe.calibration(df, req(rest, "--score"),
+            org.apache.spark.sql.functions.expr(req(rest, "--label")),
+            bins = flag(rest, "--bins").map(_.toInt).getOrElse(10))
+        case "bpe-fertility" =>
+          Text.bpeFertility(df, txt, idc,
+            groupCol = flag(rest, "--group").getOrElse("lang"),
+            numMerges = flag(rest, "--merges").map(_.toInt).getOrElse(8))
         case "quality-rules" =>
           // --rules name=<sql-expr>;name=<sql-expr> (';'-separated)
           val rules = req(rest, "--rules").split(";").toSeq.map { kv =>
@@ -827,6 +836,8 @@ object Cli {
       |  pipeline entropy <in> <out> --cols c1,c2
       |  pipeline weighted-quantile <in> <out> --value c --weight c --group g1,g2 [--q f]
       |  pipeline quantile-normalize <in> <out> --cols c1,c2 [--id c]
+      |  pipeline calibration <in> <out> --score c --label <expr> [--bins N]
+      |  pipeline bpe-fertility <in> <out> [--text c] [--id c] [--group c] [--merges N]
       |  pipeline quality-rules <in> <out> --rules n1=<expr>;n2=<expr>
       |  pipeline diff-snapshots <old> <out> --new <new.parquet> --keys k1,k2
       |  pipeline bootstrap-ci <in> <out> --value c [--key c] [--replicas N]

@@ -1391,4 +1391,57 @@ object Describe {
     val p = 2.0 * graft.stats.Distributions.normalSf(math.abs(z))
     (z, p)
   }
+
+  /** Classifier CALIBRATION (reliability) table — the companion to
+    * [[scoreEval]] for probability-emitting quality filters: equal-width
+    * probability bins over [0,1], per bin the exact count, positive
+    * count, mean predicted probability and observed positive rate. A
+    * well-calibrated filter has mean_pred ≈ obs_rate per bin; the gap
+    * column is the per-bin |difference| (weighted-sum it for ECE).
+    *
+    * Determinism discipline (the DSIR micro-nats pattern): scores
+    * quantize to integer MICRO-probabilities first —
+    * `round(score·1e6)` is the digitless integer round, half-away-
+    * from-zero on the same double in both engines — so bin assignment
+    * is pure int64 arithmetic (`micro·bins div 1e6`, top edge clamped)
+    * and per-bin sums are exact int64: partitioning- and
+    * engine-invariant. The two ratios are single divisions of exact
+    * integers. Scores outside [0,1] are refused loudly by contract (a
+    * "probability" of 1.2 is an upstream bug, not bin 9); null/NaN
+    * scores and null labels are excluded symmetrically (the scoreEval
+    * rule). One groupBy over O(bins) keys — aggregation-only, scales as
+    * a scan. Returns (bin, n, n_pos, mean_pred, obs_rate, gap) for
+    * OCCUPIED bins, bin in 0..bins-1. */
+  def calibration(df: DataFrame, scoreCol: String, isPositive: Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(scoreCol).cast("double")
+    // ONE corpus scan: the O(bins) aggregate collects (bounded — this is
+    // a summary table like scoreEval's single row), validation and the
+    // ratio arithmetic run on the collected bins
+    val rows = df
+      .filter(x.isNotNull && !isnan(x) && isPositive.cast("boolean").isNotNull)
+      .select(round(x * lit(1000000L)).cast("long").as("__m"),
+        when(isPositive.cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy(least(expr(s"__m * $bins div 1000000"), lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__m")).as("__sm"),
+        sum(when(col("__m") < 0L || col("__m") > 1000000L, 1L).otherwise(0L))
+          .as("__nbad"))
+      .collect()
+    val nBad = rows.iterator.map(_.getLong(4)).sum
+    require(nBad == 0L,
+      s"calibration: $nBad score(s) outside [0,1] — scores must be probabilities")
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.toSeq.map { r =>
+      val (bin, n, pos, sm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val mp = sm.toDouble / 1000000.0 / n
+      val or = pos.toDouble / n
+      (bin, n, pos, r6(mp), r6(or), r6(math.abs(mp - or)))
+    }.sortBy(_._1)
+      .toDF("bin", "n", "n_pos", "mean_pred", "obs_rate", "gap")
+  }
 }

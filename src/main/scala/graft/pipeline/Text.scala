@@ -1308,6 +1308,38 @@ object Text {
         sum(col("__c") * col("__tok")).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer FERTILITY per group (typically language) — the
+    * multilingual tokenizer-budget report: train ONE shared BPE
+    * tokenizer on the whole corpus ([[bpeTrain]] — one corpus scan to
+    * word counts, vocab-sized merge rounds), apply it everywhere
+    * ([[bpeApply]] — zero-shuffle fold chain over DISTINCT words), and
+    * roll up per `groupCol`: fertility = BPE tokens per whitespace word
+    * and chars per BPE token. Languages a shared tokenizer underserves
+    * show fertility far above the corpus mean — the signal that drives
+    * vocab-budget reallocation (the same question [[oovCurve]] answers
+    * for whole-word vocabularies). All counts are exact int64 sums; the
+    * two ratios are single double divisions of those sums. Documents
+    * with no words contribute nothing (they have no tokens). Returns
+    * (groupCol, n_docs, n_words, n_chars, n_bpe_tokens, fertility,
+    * chars_per_token), unrounded. */
+  def bpeFertility(docs: DataFrame, textCol: String, idCol: String,
+                   groupCol: String, numMerges: Int = 8): DataFrame = {
+    val merges = bpeTrain(docs, textCol, numMerges)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeApply(docs, textCol, idCol, merges)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+  }
+
   /** Kernel for [[graft.functions.WinnowPrints]]: winnowing selection
     * over a pre-split word array. Semantics IDENTICAL to the original
     * column-algebra form (and the DuckDB oracle): gram hash = first 15

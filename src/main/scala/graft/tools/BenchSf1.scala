@@ -127,6 +127,11 @@ object BenchSf1 {
     }),
     "blocklist_phrase" -> graft.SparkEntry.queries("blocklist_phrase"),
     "pipeline_policy_e2e" -> graft.SparkEntry.queries("pipeline_policy_e2e"),
+    // both full-corpus by construction: the reliability binning is one
+    // O(bins)-key aggregate; fertility is bpeTrain (~3 jobs) + the
+    // distinct-word fold chain + two row-scale rollup shuffles
+    "describe_calibration" -> graft.SparkEntry.queries("describe_calibration"),
+    "text_bpe_fertility" -> graft.SparkEntry.queries("text_bpe_fertility"),
     // grouping form over the ×10-copy corpus with the copy-scaled cap:
     // components output stays one row per doc at every decade
     "dedup_winnow_star_full" -> ((s: SparkSession, dir: String) => {

@@ -1190,4 +1190,39 @@ class ModifyDescribeSpec extends SparkSpec {
     val r7 = ks(shift.repartition(7))
     assert(r7.getDouble(2) === r.getDouble(2) && r7.getDouble(3) === r.getDouble(3))
   }
+
+  test("calibration: hand bins, edge clamp, null exclusion, out-of-range refusal") {
+    import spark.implicits._
+    val rows = Seq(
+      (0.05, true), (0.08, false),            // bin 0: mean .065, rate .5
+      (0.55, true), (0.55, true), (0.50, false), // bin 5
+      (1.0, true),                            // micro 1e6 -> clamps to bin 9
+      (0.95, false),                          // bin 9
+      (Double.NaN, true)                      // excluded
+    ).toDF("score", "pos")
+    val out = Describe.calibration(rows, "score", col("pos"), bins = 10)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet === Set(0L, 5L, 9L))
+    assert(out(0L) === ((2L, 1L, 0.065, 0.5, 0.435)))
+    assert(out(5L)._1 === 3L && out(5L)._2 === 2L)
+    assert(out(5L)._3 === BigDecimal((550000L + 550000L + 500000L) / 1e6 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(9L) === ((2L, 1L, 0.975, 0.5, 0.475)))
+    // null label excluded symmetrically (the scoreEval rule)
+    val withNull = Seq((0.5, java.lang.Boolean.TRUE), (0.5, null.asInstanceOf[java.lang.Boolean]))
+      .toDF("score", "pos")
+    val n5 = Describe.calibration(withNull, "score", col("pos")).collect()
+    assert(n5.length === 1 && n5.head.getLong(1) === 1L)
+    // out-of-range scores are an upstream bug -> loud refusal
+    val e = intercept[IllegalArgumentException] {
+      Describe.calibration(Seq((1.2, true)).toDF("score", "pos"),
+        "score", col("pos"))
+    }
+    assert(e.getMessage.contains("outside [0,1]"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Describe.calibration(rows, "score", col("pos"), bins = 1)
+    }
+  }
 }

@@ -2159,6 +2159,32 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.keySet === Set((0L, 1L)), s"noise pair above the floor: $pairs")
   }
 
+  test("bpeFertility: shared tokenizer, grouped sums equal per-doc sums, empty docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa bb", "x"), (2L, "aa bb bb", "x"),
+      (3L, "cc dd", "y"), (4L, "", "y"),   // empty: no words, contributes 0
+      (5L, "aa aa", null.asInstanceOf[String]) // null group rides through (caller filters)
+    ).toDF("doc_id", "text", "grp")
+    val out = Text.bpeFertility(docs, "text", "doc_id", "grp", numMerges = 2)
+      .collect().map(r => (Option(r.getString(0)),
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // group x: docs 1,2 -> 6 words; group y: only doc 3 (doc 4 empty)
+    assert(out(Some("x"))._1 === 2L && out(Some("x"))._2 === 6L)
+    assert(out(Some("y"))._1 === 1L && out(Some("y"))._2 === 2L)
+    assert(out.contains(None)) // null group present; callers filter explicitly
+    // identity: grouped token sums == direct bpeApply per-doc sums
+    val merges = Text.bpeTrain(docs, "text", 2).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val direct = Text.bpeApply(docs.filter(col("grp") === "x"), "text", "doc_id", merges)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(out(Some("x"))._3 === direct)
+    // fertility is tokens/words exactly
+    val (_, w, t, f) = out(Some("x"))
+    assert(f === t.toDouble / w.toDouble)
+  }
+
   test("winnowStar: transitive chains group, singletons map to themselves") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
