@@ -937,6 +937,20 @@ object SparkEntry {
         round(avg("l_tax"), 6).as("tax_avg"))
     }),
 
+    "modify_target_encode_loo" -> ((s, dir) =>
+      // leave-one-out target encoding: (Σ_cat − own)/(n−1) from exact
+      // int64 sums (quantity cast long) — one O(#cats) agg broadcast
+      // back, the corpus never shuffles
+      Modify.targetEncodeLoo(
+        t(s, dir, "lineitem").filter(col("l_orderkey") < 400)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag").as("cat"),
+            col("l_quantity").cast("long").as("q")),
+        "cat", "q")
+        .select(col("l_orderkey"), col("l_linenumber"), col("cat"),
+          round(col("te_loo"), 6).as("te_loo"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     "modify_winsorize" -> ((s, dir) => {
       val out = Modify.winsorize(t(s, dir, "lineitem"),
         Seq("l_extendedprice"), lower = 0.05, upper = 0.95)
@@ -2698,6 +2712,22 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           round(col("tfidf"), 6).as("tfidf"), col("rank"))
         .orderBy("doc_id", "rank")),
+
+    "sample_contrastive_pairs" -> ((s, dir) => {
+      // contrastive training-pair feed: positives from (planted)
+      // exact-dup components, negatives by deterministic circular
+      // seeded-hash order skipping same-component partners — byte-stable
+      // per seed, the release-reproducibility contract
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = d0.unionByName(d0.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      val c = docs.select(col("doc_id").cast("string").as("id"),
+        Text.fingerprint(col("text")).as("__f"))
+      val reps = c.groupBy("__f").agg(min("id").as("component"))
+      val comp = c.join(reps, Seq("__f")).select("id", "component")
+      Sampling.contrastivePairs(docs, comp, "doc_id", negK = 2, seed = "cp1")
+        .orderBy("anchor", "kind", "partner")
+    }),
 
     "sample_corpus_shuffle" -> ((s, dir) =>
       Sampling.shufflePositions(
@@ -4487,6 +4517,17 @@ object SparkEntry {
            count(zt) AS n_tax, round(min(zt), 6) AS tax_min,
            round(max(zt), 6) AS tax_max, round(avg(zt), 6) AS tax_avg
          FROM z""",
+
+    "modify_target_encode_loo" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag AS cat,
+             CAST(l_quantity AS BIGINT) AS q
+           FROM lineitem WHERE l_orderkey < 400),
+         s AS (SELECT cat, CAST(sum(q) AS BIGINT) AS sq,
+             CAST(count(q) AS BIGINT) AS n FROM t GROUP BY 1)
+         SELECT t.l_orderkey, t.l_linenumber, t.cat,
+           round(CASE WHEN s.n > 1 AND t.q IS NOT NULL
+             THEN CAST(s.sq - t.q AS DOUBLE) / (s.n - 1) END, 6) AS te_loo
+         FROM t LEFT JOIN s USING (cat) ORDER BY 1, 2""",
 
     "modify_winsorize" ->
       """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
@@ -7268,6 +7309,31 @@ object SparkEntry {
            round(sum(l_extendedprice), 2) AS revenue
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY 1 ORDER BY 1""",
+
+    "sample_contrastive_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30),
+         c AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS f
+           FROM base),
+         r AS (SELECT f, min(id) AS component FROM c GROUP BY 1),
+         w AS (SELECT c.id, r.component FROM c JOIN r USING (f)),
+         pos AS (SELECT id AS anchor, component AS partner, 'pos' AS kind
+                 FROM w WHERE id <> component),
+         h AS (SELECT w.id, w.component,
+             row_number() OVER (ORDER BY md5('cp1:' || w.id), w.id) - 1 AS p
+           FROM w),
+         nn AS (SELECT count(*) AS n FROM c),
+         a AS (SELECT p1.anchor, h.p, h.component AS acomp
+               FROM (SELECT DISTINCT anchor FROM pos) p1
+               JOIN h ON h.id = p1.anchor),
+         negs AS (SELECT a.anchor, h2.id AS partner, 'neg' AS kind
+                  FROM a CROSS JOIN nn CROSS JOIN range(1, 3) j(j)
+                  JOIN h h2 ON h2.p = (a.p + j.j) % nn.n
+                  WHERE h2.component <> a.acomp)
+         SELECT anchor, partner, kind FROM pos
+         UNION ALL SELECT anchor, partner, kind FROM negs
+         ORDER BY anchor, kind, partner""",
 
     "sample_corpus_shuffle" ->
       """SELECT doc_id, lang,

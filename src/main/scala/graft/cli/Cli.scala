@@ -713,6 +713,17 @@ object Cli {
           graft.modify.Modify.quantileNormalize(df,
             req(rest, "--cols").split(",").toSeq,
             idCol = flag(rest, "--id").getOrElse(idc))
+        case "target-encode" =>
+          // leave-one-out target encoding: --cat column, --target column
+          graft.modify.Modify.targetEncodeLoo(df, req(rest, "--cat"),
+            req(rest, "--target"),
+            out = flag(rest, "--out").getOrElse("te_loo"))
+        case "contrastive-pairs" =>
+          // --components parquet supplies (id, component); --neg-k, --seed
+          graft.pipeline.Sampling.contrastivePairs(df,
+            spark.read.parquet(req(rest, "--components")), idc,
+            negK = flag(rest, "--neg-k").map(_.toInt).getOrElse(2),
+            seed = flag(rest, "--seed").getOrElse("cp1"))
         case "calibration" =>
           // reliability bins: --score prob column, --label sql-expr
           graft.describe.Describe.calibration(df, req(rest, "--score"),
@@ -836,6 +847,8 @@ object Cli {
       |  pipeline entropy <in> <out> --cols c1,c2
       |  pipeline weighted-quantile <in> <out> --value c --weight c --group g1,g2 [--q f]
       |  pipeline quantile-normalize <in> <out> --cols c1,c2 [--id c]
+      |  pipeline target-encode <in> <out> --cat c --target c [--out c]
+      |  pipeline contrastive-pairs <in> <out> --components p [--id c] [--neg-k N] [--seed s]
       |  pipeline calibration <in> <out> --score c --label <expr> [--bins N]
       |  pipeline bpe-fertility <in> <out> [--text c] [--id c] [--group c] [--merges N]
       |  pipeline quality-rules <in> <out> --rules n1=<expr>;n2=<expr>

@@ -758,6 +758,37 @@ object Modify {
     * Bounds come from the same ONE-range-sort-for-all-columns batch as
     * IQR outliers ([[exactQuantilesAll]], type-7 = DuckDB quantile_cont);
     * the clamp itself is a zero-shuffle projection. Nulls pass through. */
+  /** Leave-one-out TARGET ENCODING — the standard high-cardinality
+    * categorical encoder for tabular ML: each row's category is replaced
+    * by the mean target of the OTHER rows in that category,
+    * (Σ_cat target − own target) / (n_cat − 1). Leaving the own row out
+    * is what prevents the target leak a plain category-mean encoder has.
+    *
+    * Plan shape: one map-side-combined (category) aggregation — O(#cats)
+    * rows — joined back broadcast, then a zero-shuffle projection: the
+    * corpus never shuffles (a per-category window would also collapse
+    * parallelism to #categories — the describe_gini lesson). Rows whose
+    * category is a singleton (n = 1) encode null (no "others" to
+    * average); null targets are excluded from the sums and encode null;
+    * null categories join nothing and encode null (SQL join semantics —
+    * encode them explicitly upstream if they are meaningful).
+    *
+    * Determinism: pass an integer-valued target (cast it) and the sums
+    * are exact int64, making the encoding one division of exact
+    * integers — partitioning- and engine-invariant. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      out: String = "te_loo"): DataFrame = {
+    val t = col(targetCol)
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(t).as("__te_s"), count(t).as("__te_n"))
+    df.join(broadcast(stats), Seq(catCol), "left")
+      .withColumn(out,
+        when(col("__te_n") > 1L && t.isNotNull,
+          (col("__te_s") - t).cast("double") / (col("__te_n") - 1L))
+          .otherwise(lit(null).cast("double")))
+      .drop("__te_s", "__te_n")
+  }
+
   def winsorize(df: DataFrame, cols: Seq[String], lower: Double = 0.05,
                 upper: Double = 0.95): DataFrame = {
     require(lower >= 0 && upper <= 1 && lower < upper,

@@ -483,4 +483,82 @@ object Sampling {
       spark.createDataFrame(rows, outSchema).localCheckpoint()
     } finally sorted.unpersist(blocking = false)
   }
+
+  /** Contrastive training-pair construction from duplicate components —
+    * the SimCSE/retriever-training feed: for every non-representative
+    * member of a duplicate group, one POSITIVE pair (anchor → its group
+    * representative = the `component` value) and up to `negK`
+    * deterministic NEGATIVES drawn by circular hash order. Negatives:
+    * every doc gets a global position p by seeded-md5 order (one
+    * Tungsten range sort + partition-offset running index — zero
+    * windows, the curriculumOrder machinery via row ranks replayable as
+    * `row_number() OVER (ORDER BY md5(seed:id), id)`); anchor at p takes
+    * partners at (p + j) mod n for j = 1..negK, SKIPPING partners in the
+    * anchor's own component (so a "negative" is never a known
+    * duplicate — some anchors may therefore carry fewer than negK
+    * negatives, by contract, rather than backfilled ones that would need
+    * data-dependent iteration). Changing `seed` is a fresh negative
+    * draw; same seed = byte-stable pairs (the release-reproducibility
+    * contract). Ids ride as strings (the dedup grouping convention).
+    * `components` is any (id, component) table — exact groups, minhash
+    * star, prefix star, winnow star all fit. Returns
+    * (anchor, partner, kind) with kind in ('pos', 'neg'). */
+  def contrastivePairs(docs: DataFrame, components: DataFrame,
+                       idCol: String, negK: Int = 2,
+                       seed: String = "cp1"): DataFrame = {
+    require(negK >= 0, s"negK must be >= 0: $negK")
+    val spark = docs.sparkSession
+    val ids = docs.select(col(idCol).cast("string").as("id"))
+    val comp = components.select(col("id").cast("string").as("id"),
+      col("component").cast("string").as("component"))
+    val withComp = ids.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint() // three consumers: positives, anchor lookup, negative verify
+    val pos = withComp.filter(col("id") =!= col("component"))
+      .select(col("id").as("anchor"), col("component").as("partner"),
+        lit("pos").as("kind"))
+    if (negK == 0) return pos
+    // global circular positions by seeded hash: range sort + per-partition
+    // offset running index (zero windows)
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val hashed = withComp
+      .withColumn("__h", md5(concat(lit(seed + ":"), col("id"))))
+      .repartitionByRange(parts, col("__h"), col("id"))
+      .sortWithinPartitions("__h", "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perPart = hashed.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var c = 0L; it.foreach(_ => c += 1L); Iterator.single((pi, c))
+      }.collect().sortBy(_._1).map(_._2)
+      val starts = perPart.scanLeft(0L)(_ + _)
+      val n = starts.last
+      val posSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.LongType)))
+      val positioned = spark.createDataFrame(
+        hashed.rdd.mapPartitionsWithIndex { (pi, it) =>
+          var r = starts(pi)
+          it.map { row =>
+            val out = org.apache.spark.sql.Row(row.getString(0), row.getString(1), r)
+            r += 1; out
+          }
+        }, posSchema).localCheckpoint()
+      val anchors = pos.select(col("anchor")).distinct()
+        .join(positioned.withColumnRenamed("id", "anchor")
+          .withColumnRenamed("component", "__acomp"), Seq("anchor"))
+      val negs = anchors
+        .select(col("anchor"), col("__acomp"), col("p"),
+          explode(array((1 to negK).map(lit): _*)).as("__j"))
+        .withColumn("__tp", (col("p") + col("__j")) % lit(n))
+        .join(positioned.select(col("p").as("__tp"), col("id").as("partner"),
+          col("component").as("__pcomp")), Seq("__tp"))
+        .filter(col("__pcomp") =!= col("__acomp"))
+        .select(col("anchor"), col("partner"), lit("neg").as("kind"))
+      pos.unionByName(negs)
+    } finally hashed.unpersist(blocking = false)
+  }
 }

@@ -132,6 +132,18 @@ object BenchSf1 {
     // distinct-word fold chain + two row-scale rollup shuffles
     "describe_calibration" -> graft.SparkEntry.queries("describe_calibration"),
     "text_bpe_fertility" -> graft.SparkEntry.queries("text_bpe_fertility"),
+    // full-corpus forms: LOO encoding is one O(#cats) agg broadcast
+    // back; contrastive pairs ride the planted-dup query (its position
+    // sort and joins scan the whole corpus already)
+    "modify_target_encode_loo_full" -> ((s: SparkSession, dir: String) =>
+      graft.modify.Modify.targetEncodeLoo(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_returnflag").as("cat"),
+            col("l_quantity").cast("long").as("q")),
+        "cat", "q")
+        .groupBy().agg(count(lit(1)).as("n"),
+          sum(round(col("te_loo"), 6)).as("chk"))),
+    "sample_contrastive_pairs" -> graft.SparkEntry.queries("sample_contrastive_pairs"),
     // grouping form over the ×10-copy corpus with the copy-scaled cap:
     // components output stays one row per doc at every decade
     "dedup_winnow_star_full" -> ((s: SparkSession, dir: String) => {

@@ -1191,6 +1191,30 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(r7.getDouble(2) === r.getDouble(2) && r7.getDouble(3) === r.getDouble(3))
   }
 
+  test("targetEncodeLoo: hand values, singleton null, null target and null category") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long)](
+      ("a", 10L), ("a", 20L), ("a", 30L),      // loo: (50/2, 40/2, 30/2)
+      ("b", 7L),                                // singleton -> null
+      ("c", 1L), ("c", null),                  // null target
+      (null, 5L)                               // null category -> null
+    ).toDF("cat", "q")
+    val out = graft.modify.Modify.targetEncodeLoo(df, "cat", "q")
+      .collect().map(r => (Option(r.getString(0)),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    def of(c: Option[String], q: Option[Long]) =
+      out.find(t => t._1 == c && t._2 == q).get._3
+    assert(of(Some("a"), Some(10L)) === Some(25.0))
+    assert(of(Some("a"), Some(20L)) === Some(20.0))
+    assert(of(Some("a"), Some(30L)) === Some(15.0))
+    assert(of(Some("b"), Some(7L)) === None)     // no "others"
+    assert(of(Some("c"), None) === None)         // null target encodes null
+    // c's non-null row: count(q)=1 in its category -> null too
+    assert(of(Some("c"), Some(1L)) === None)
+    assert(of(None, Some(5L)) === None)          // null category joins nothing
+  }
+
   test("calibration: hand bins, edge clamp, null exclusion, out-of-range refusal") {
     import spark.implicits._
     val rows = Seq(

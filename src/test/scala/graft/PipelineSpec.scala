@@ -2159,6 +2159,38 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.keySet === Set((0L, 1L)), s"noise pair above the floor: $pairs")
   }
 
+  test("contrastivePairs: positives are the non-reps, negatives never in-component, seed-stable") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two components: {0,1,2} and {10,11}; everything else singleton
+    val comp = ((0L until 40L).map(i => (i.toString, i.toString)).toMap
+      ++ Map("1" -> "0", "2" -> "0", "11" -> "10")).toSeq
+      .toDF("id", "component")
+    def run(seed: String) = graft.pipeline.Sampling
+      .contrastivePairs(docs, comp, "doc_id", negK = 3, seed = seed)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val out = run("s1")
+    val pos = out.filter(_._3 == "pos").map(t => (t._1, t._2)).toSet
+    assert(pos === Set(("1", "0"), ("2", "0"), ("11", "10")))
+    val compOf = (Map("1" -> "0", "2" -> "0", "11" -> "10")
+      ++ (0L until 40L).map(i => i.toString -> i.toString).toMap
+      ++ Map("1" -> "0", "2" -> "0", "11" -> "10"))
+    val negs = out.filter(_._3 == "neg")
+    assert(negs.nonEmpty)
+    negs.foreach { case (a, p, _) =>
+      assert(compOf(p) != compOf(a), s"negative $p shares $a's component") }
+    // anchors carry at most negK negatives
+    negs.groupBy(_._1).foreach { case (a, g) => assert(g.length <= 3, a) }
+    // byte-stable per seed; a different seed is a different draw
+    assert(run("s1").sortBy(t => (t._1, t._3, t._2)).toSeq ===
+      out.sortBy(t => (t._1, t._3, t._2)).toSeq)
+    assert(run("s2").filter(_._3 == "neg").toSet != negs.toSet)
+    // negK = 0: positives only
+    val p0 = graft.pipeline.Sampling.contrastivePairs(docs, comp, "doc_id", negK = 0)
+      .collect()
+    assert(p0.forall(_.getString(2) == "pos") && p0.length === 3)
+  }
+
   test("bpeFertility: shared tokenizer, grouped sums equal per-doc sums, empty docs drop") {
     import spark.implicits._
     val docs = Seq(
