@@ -86,7 +86,13 @@ object Bench {
     // deltas can be judged against measured run-to-run variance instead of
     // guessed at.
     val passes = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (`runMain graft.Bench q1 q2 ...`): isolated
+    // steady-state timing of named lines — the driver's no-arg
+    // invocation is unchanged and still boards every declared query
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter { case (n, _) => args.contains(n) }
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       // collect the PREVIOUS query's garbage before timing this one: a
       // stop-the-world pause from another query's allocations otherwise
       // lands on whichever line is running when the heap fills (observed
