@@ -91,7 +91,13 @@ object Bench {
     // invocation is unchanged and still boards every declared query
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
-      else SparkEntry.queries.toSeq.filter { case (n, _) => args.contains(n) }
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+            "would otherwise benchmark nothing and exit 0")
+        SparkEntry.queries.toSeq.filter { case (n, _) => args.contains(n) }
+      }
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       // collect the PREVIOUS query's garbage before timing this one: a
       // stop-the-world pause from another query's allocations otherwise

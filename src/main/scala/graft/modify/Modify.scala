@@ -752,12 +752,6 @@ object Modify {
     } finally cached.unpersist(blocking = false)
   }
 
-  /** Winsorize: CLAMP values beyond the [lower, upper] quantiles to the
-    * quantile bounds (the keep-the-row alternative to removeOutliers'
-    * null-ing — preserves n for downstream models while taming tails).
-    * Bounds come from the same ONE-range-sort-for-all-columns batch as
-    * IQR outliers ([[exactQuantilesAll]], type-7 = DuckDB quantile_cont);
-    * the clamp itself is a zero-shuffle projection. Nulls pass through. */
   /** Leave-one-out TARGET ENCODING — the standard high-cardinality
     * categorical encoder for tabular ML: each row's category is replaced
     * by the mean target of the OTHER rows in that category,
@@ -789,6 +783,12 @@ object Modify {
       .drop("__te_s", "__te_n")
   }
 
+  /** Winsorize: CLAMP values beyond the [lower, upper] quantiles to the
+    * quantile bounds (the keep-the-row alternative to removeOutliers'
+    * null-ing — preserves n for downstream models while taming tails).
+    * Bounds come from the same ONE-range-sort-for-all-columns batch as
+    * IQR outliers ([[exactQuantilesAll]], type-7 = DuckDB quantile_cont);
+    * the clamp itself is a zero-shuffle projection. Nulls pass through. */
   def winsorize(df: DataFrame, cols: Seq[String], lower: Double = 0.05,
                 upper: Double = 0.95): DataFrame = {
     require(lower >= 0 && upper <= 1 && lower < upper,

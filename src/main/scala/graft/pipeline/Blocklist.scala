@@ -137,9 +137,14 @@ object Blocklist {
     * Output: one row per matched (document, phrase) — already distinct,
     * because each phrase has exactly one anchor token and the document's
     * tokens are distinct, so a (doc, phrase) candidate is produced at
-    * most once. Columns `(idCol, phraseCol)`. Null / empty-after-
-    * normalization phrases are refused loudly (they can match nothing or
-    * everything); null/empty documents match nothing. */
+    * most once per ORIGINAL phrase. Columns `(idCol, phraseCol)`, where
+    * phraseCol carries the caller's ORIGINAL phrase string (not its
+    * normalized form), so the output joins back to the blocklist table
+    * for severity/category metadata; matching itself runs on the
+    * normalized form. Two originals that normalize identically each get
+    * their own match rows. Null / empty-after-normalization phrases are
+    * refused loudly (they can match nothing or everything); null/empty
+    * documents match nothing. */
   def phraseMatches(docs: DataFrame, phrases: DataFrame, textCol: String,
                     idCol: String, phraseCol: String = "phrase"): DataFrame = {
     val nBad = phrases
@@ -149,7 +154,8 @@ object Blocklist {
       s"$nBad null/empty phrase(s) in the blocklist ($phraseCol) — " +
         "normalize or drop them; an empty phrase would match every document")
     val anchored = phrases
-      .select(Text.normalized(col(phraseCol)).as("__phrase")).distinct()
+      .select(col(phraseCol).as("__orig"),
+        Text.normalized(col(phraseCol)).as("__phrase")).distinct()
       .withColumn("__anchor", element_at(split(col("__phrase"), " "), 1))
     val toks = docs
       // base-column null gate first (reaches the parquet scan as a pushed
@@ -162,7 +168,7 @@ object Blocklist {
     toks.join(broadcast(anchored), Seq("__anchor"))
       .filter(contains(concat(lit(" "), col("__norm"), lit(" ")),
         concat(lit(" "), col("__phrase"), lit(" "))))
-      .select(col(idCol), col("__phrase").as(phraseCol))
+      .select(col(idCol), col("__orig").as(phraseCol))
   }
 
   /** [[phraseMatches]] as a filter: documents containing NO blocklisted

@@ -131,6 +131,20 @@ object Dedup {
     * default, and will become a val once no suite reassigns it. */
   @volatile var logSink: String => Unit = s => System.err.println(s)
 
+  /** Parsed `graft.dedup.pairBlowupWarnFactor` (default 8; 0 disables) —
+    * shared by every pre-flight pair-bound guard so the conf key keeps
+    * ONE parse/validation/default across paths. */
+  private def pairBlowupWarnFactor(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dedup.pairBlowupWarnFactor")
+      .map { s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.dedup.pairBlowupWarnFactor must be a non-negative integer, got '$s'")
+        }
+        require(v >= 0, s"graft.dedup.pairBlowupWarnFactor must be >= 0, got $v")
+        v
+      }.getOrElse(8L)
+
   /** MinHash-LSH candidate pairs: documents sharing at least one band
     * bucket. Returns (id1, id2, estimated jaccard from full signatures),
     * id1 < id2, deduplicated. `warnSink` receives scale warnings (default:
@@ -151,15 +165,7 @@ object Dedup {
     // cheap pre-flight aggregates bucket sizes into the EXACT pre-dedup
     // pair bound and warns past `graft.dedup.pairBlowupWarnFactor` x
     // corpus size (default 8; 0 disables), pointing at the linear path.
-    val warnFactor = spark.conf.getOption("graft.dedup.pairBlowupWarnFactor")
-      .map { s =>
-        val v = try s.trim.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft.dedup.pairBlowupWarnFactor must be a non-negative integer, got '$s'")
-        }
-        require(v >= 0, s"graft.dedup.pairBlowupWarnFactor must be >= 0, got $v")
-        v
-      }.getOrElse(8L)
+    val warnFactor = pairBlowupWarnFactor(spark)
     // ids ride as strings: arbitrary id types survive without cast-to-null
     // crashes or '7'/'07'-style collisions
     val sigs0 = df.select(col(idCol).cast("string").as("id"),
@@ -858,15 +864,7 @@ object Dedup {
     // (an sfx10 probe of the uncapped form killed the context by skew).
     // The pre-flight aggregates print doc-freqs into the exact pre-dedup
     // pair bound and warns toward maxDocFreq.
-    val warnFactor = spark.conf.getOption("graft.dedup.pairBlowupWarnFactor")
-      .map { s =>
-        val v = try s.trim.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft.dedup.pairBlowupWarnFactor must be a non-negative integer, got '$s'")
-        }
-        require(v >= 0, s"graft.dedup.pairBlowupWarnFactor must be >= 0, got $v")
-        v
-      }.getOrElse(8L)
+    val warnFactor = pairBlowupWarnFactor(spark)
     val all0 = Text.winnow(df, textCol, idCol, k, w)
       .select(col("id"), col("fp")).distinct()
     // the guard and/or the doc-freq cap add a second action over the

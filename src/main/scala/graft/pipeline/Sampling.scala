@@ -532,6 +532,12 @@ object Sampling {
       }.collect().sortBy(_._1).map(_._2)
       val starts = perPart.scanLeft(0L)(_ + _)
       val n = starts.last
+      // the circle has only n-1 distinct non-self partners: j beyond
+      // that wraps onto already-drawn positions (j=n is the anchor
+      // itself), which would emit byte-identical duplicate negative
+      // rows — cap, don't dedup after the fact
+      val kEff = math.min(negK.toLong, math.max(n - 1, 0L)).toInt
+      if (kEff == 0) return pos
       val posSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.StringType),
@@ -552,7 +558,7 @@ object Sampling {
           .withColumnRenamed("component", "__acomp"), Seq("anchor"))
       val negs = anchors
         .select(col("anchor"), col("__acomp"), col("p"),
-          explode(array((1 to negK).map(lit): _*)).as("__j"))
+          explode(array((1 to kEff).map(lit): _*)).as("__j"))
         .withColumn("__tp", (col("p") + col("__j")) % lit(n))
         .join(positioned.select(col("p").as("__tp"), col("id").as("partner"),
           col("component").as("__pcomp")), Seq("__tp"))

@@ -108,7 +108,10 @@ object BenchSf1 {
         .groupBy().agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("chk"),
           sum(round(col("entropy_nats"), 6)).as("hchk"))),
-    "dedup_winnow_pairs" -> ((s: SparkSession, dir: String) =>
+    // full-corpus AGGREGATE form of the declared pairs query (the _full
+    // suffix convention — the declared name itself must mean the same
+    // workload on every artifact)
+    "dedup_winnow_pairs_full" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Dedup.winnowCandidates(
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
           minShared = 8)

@@ -170,7 +170,7 @@ object BenchSf10 {
       // template print's bucket = one join key = Σ b² in one task; the
       // probe killed the context by skew) — sf0.1→sf1 evidence lives in
       // BENCH_sf1.json, the capped form is the sfx10 path
-      BenchSf1.round14SecondWave.filterNot(_._1 == "dedup_winnow_pairs")
+      BenchSf1.round14SecondWave.filterNot(_._1 == "dedup_winnow_pairs_full")
 
     // probe keys must be grounded in declared query names (VERDICT r13 #7)
     BenchSf1.assertProbeKeysGrounded(workloads)

@@ -115,10 +115,13 @@ class BlocklistSpec extends SparkSpec {
       (4L, "actor bad"),                    // reversed -> no match
       (5L, "prefix bad actor")              // match at end
     ).toDF("id", "text")
-    val phrases = Seq("bad actor").toDF("phrase")
+    // the blocklist carries the phrase in its ORIGINAL casing/spacing:
+    // matching runs normalized, but the output must return the original
+    // string so it joins back to blocklist metadata (severity, category)
+    val phrases = Seq("Bad  ACTOR").toDF("phrase")
     val out = Blocklist.phraseMatches(docs, phrases, "text", "id").collect()
     assert(out.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
-      Seq((1L, "bad actor"), (2L, "bad actor"), (5L, "bad actor")))
+      Seq((1L, "Bad  ACTOR"), (2L, "Bad  ACTOR"), (5L, "Bad  ACTOR")))
     // complement: phraseFilterOut keeps exactly the unmatched ids
     val kept = Blocklist.phraseFilterOut(docs, phrases, "text", "id")
       .select("id").as[Long].collect().sorted

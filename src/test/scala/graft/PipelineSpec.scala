@@ -2189,6 +2189,15 @@ class PipelineSpec extends SparkSpec {
     val p0 = graft.pipeline.Sampling.contrastivePairs(docs, comp, "doc_id", negK = 0)
       .collect()
     assert(p0.forall(_.getString(2) == "pos") && p0.length === 3)
+    // negK > n-1: the circle wraps — caps at n-1 instead of emitting
+    // byte-identical duplicate negative rows
+    val tiny = Seq((0L, "x"), (1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val tcomp = Seq(("0", "0"), ("1", "0"), ("2", "2")).toDF("id", "component")
+    val tn = graft.pipeline.Sampling
+      .contrastivePairs(tiny, tcomp, "doc_id", negK = 7)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(tn.length === tn.distinct.length, s"duplicate pair rows: ${tn.toSeq}")
+    assert(tn.count(_._3 == "neg") <= 2, tn.toSeq.toString)
   }
 
   test("bpeFertility: shared tokenizer, grouped sums equal per-doc sums, empty docs drop") {
