@@ -1502,6 +1502,42 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "dedup_cluster_histogram" -> ((s, dir) => {
+      // the curation dashboard's "how deep is the duplication" number:
+      // duplicate-cluster SIZE distribution over the linear star-edge
+      // components (n_clusters per size; singletons = size 1). Output is
+      // O(max cluster size) rows at any corpus scale
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val comps = Dedup.components(
+        Dedup.minhashStarEdges(s, docs, "text", "doc_id"))
+      docs.select(col("doc_id").cast("string").as("id"))
+        .join(comps, Seq("id"), "left")
+        .select(coalesce(col("component"), col("id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("size")
+    }),
+
+    "dedup_source_report" -> ((s, dir) => {
+      // per-source exact-duplication dashboard: docs, distinct
+      // fingerprints, dup rate — ONE aggregation (count_distinct is the
+      // standard two-phase partial), zero joins. Copies are PLANTED
+      // (doc_id<30 re-ingested, same source) so the rate column does
+      // real work: the corpus has no natural byte-dups at the oracle SF
+      val d0 = t(s, dir, "documents").filter(col("source").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      d0.unionByName(d0.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 10000L))
+        .select(col("source"), Text.fingerprint(col("text")).as("__f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("__f")).as("n_unique"))
+        .withColumn("dup_rate",
+          round((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
       Dedup.simhashCandidates(s, docs, "text", "doc_id")
@@ -4988,6 +5024,44 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_minhash_star" -> minhashStarOracleSql,
+
+    "dedup_cluster_histogram" ->
+      // the star-edge CTEs + recursive reachability (the winnow_star
+      // oracle pattern) + the size histogram on top
+      s"""${minhashBandedCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         rp AS (SELECT b, slice, min(id) AS id1 FROM bd GROUP BY b, slice),
+         e AS (SELECT DISTINCT rp.id1, bd.id AS id2
+               FROM bd JOIN rp ON bd.b = rp.b AND bd.slice = rp.slice
+               WHERE bd.id <> rp.id1),
+         ed AS MATERIALIZED (
+           SELECT id1 AS src, id2 AS dst FROM e
+           UNION SELECT id2 AS src, id1 AS dst FROM e),
+         ids AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+                 WHERE doc_id < 200),
+         reach AS (
+           SELECT id, id AS node FROM ids
+           UNION
+           SELECT r.id, ed.dst AS node FROM reach r JOIN ed ON ed.src = r.node),
+         comp AS (SELECT id, min(node) AS component FROM reach GROUP BY id),
+         sz AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+                FROM comp GROUP BY 1)
+         SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sz GROUP BY 1 ORDER BY 1""",
+
+    "dedup_source_report" ->
+      """WITH base AS (
+           SELECT source, text FROM documents WHERE source IS NOT NULL
+           UNION ALL
+           SELECT source, text FROM documents
+           WHERE source IS NOT NULL AND doc_id < 30),
+         f AS (SELECT source,
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS f
+           FROM base)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT f) AS BIGINT) AS n_unique,
+           round(CAST(count(*) - count(DISTINCT f) AS DOUBLE) / count(*), 6)
+             AS dup_rate
+         FROM f GROUP BY 1 ORDER BY 1""",
     "dedup_simhash" -> simhashOracleSql,
     "ann_lsh_topk" -> lshOracleSql,
     "ann_recall_eval" -> annRecallOracleSql,

@@ -138,6 +138,18 @@ object BenchSf1 {
     // full-corpus forms: LOO encoding is one O(#cats) agg broadcast
     // back; contrastive pairs ride the planted-dup query (its position
     // sort and joins scan the whole corpus already)
+    // full-corpus star components -> size histogram (O(max size) output)
+    "dedup_cluster_histogram_full" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val comps = graft.pipeline.Dedup.components(
+        graft.pipeline.Dedup.minhashStarEdges(s, docs, "text", "doc_id"))
+      docs.select(col("doc_id").cast("string").as("id"))
+        .join(comps, Seq("id"), "left")
+        .select(coalesce(col("component"), col("id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    }),
+    "dedup_source_report" -> graft.SparkEntry.queries("dedup_source_report"),
     "modify_target_encode_loo_full" -> ((s: SparkSession, dir: String) =>
       graft.modify.Modify.targetEncodeLoo(
         s.read.parquet(s"$dir/lineitem.parquet")

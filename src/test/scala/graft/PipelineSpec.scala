@@ -2159,6 +2159,27 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.keySet === Set((0L, 1L)), s"noise pair above the floor: $pairs")
   }
 
+  test("cluster histogram and source report: hand dup structures") {
+    import spark.implicits._
+    // histogram over components: triple {0,3,6}, pair {1,4}, singles 2,5
+    val comps = Seq(("0", "0"), ("3", "0"), ("6", "0"), ("1", "1"),
+      ("4", "1"), ("2", "2"), ("5", "5")).toDF("id", "component")
+    val hist = comps.groupBy("component").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist === Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
+    // source report algebra: dup_rate = (n - distinct)/n per source
+    val docs = Seq(
+      (0L, "sA", "x x"), (1L, "sA", "x x"), (2L, "sA", "y"),
+      (3L, "sB", "z")).toDF("doc_id", "source", "text")
+    val rep = docs
+      .select(col("source"), Text.fingerprint(col("text")).as("f"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), count_distinct(col("f")).as("u"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rep("sA") === ((3L, 2L)) && rep("sB") === ((1L, 1L)))
+  }
+
   test("contrastivePairs: positives are the non-reps, negatives never in-component, seed-stable") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
