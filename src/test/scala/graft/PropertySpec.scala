@@ -462,4 +462,42 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"q=$q")
     }
   }
+
+  test("partitioning-invariance laws: calibration, targetEncodeLoo, contrastivePairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(59)
+    // calibration: exact int64 micro-bins -> identical to the last bit
+    // under any partitioning
+    val scored = (0 until 500)
+      .map(i => (rnd.nextDouble(), rnd.nextBoolean())).toDF("score", "pos")
+    def cal(df: org.apache.spark.sql.DataFrame) =
+      graft.describe.Describe.calibration(df, "score", col("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(cal(scored) === cal(scored.repartition(7)))
+    // targetEncodeLoo on integer targets: one division of exact int64s
+    val te = (0 until 400)
+      .map(i => (s"c${rnd.nextInt(12)}", rnd.nextInt(1000).toLong))
+      .toDF("cat", "q")
+    def loo(df: org.apache.spark.sql.DataFrame) =
+      graft.modify.Modify.targetEncodeLoo(df, "cat", "q")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(loo(te).zip(loo(te.repartition(5))).forall { case (a, b) =>
+      a._1 == b._1 && a._2 == b._2 &&
+        (a._3.isNaN && b._3.isNaN || a._3 == b._3) })
+    // contrastivePairs: positions come from a seeded-hash TOTAL order
+    // (range sort + offsets), so the pair set must not depend on the
+    // input partitioning
+    val docs = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val comp = ((0L until 60L).map(i => (i.toString, i.toString)).toMap
+      ++ Map("1" -> "0", "2" -> "0", "7" -> "5")).toSeq.toDF("id", "component")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Sampling.contrastivePairs(d, comp, "doc_id", negK = 3)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .sortBy(identity).toSeq
+    assert(pairs(docs) === pairs(docs.repartition(9)))
+  }
 }
