@@ -2084,9 +2084,12 @@ object SparkEntry {
       // SF (max print doc-freq is 7) but kills the boilerplate
       // megabuckets that dominate the uncapped join at bench scale (the
       // ×10-copy corpus); the oracle replays the cap CTE faithfully
+      // winnowCandidates pairs in STRING id order (the dedup family
+      // convention) — id2 is the string-larger id; cast back to long
+      // for the corpus join (numeric doc_ids round-trip exactly)
       val dup = Dedup.winnowCandidates(docs, "text", "doc_id",
           k = 3, w = 4, minShared = 8, maxDocFreq = 50)
-        .select(col("id2").as("doc_id")).distinct()
+        .select(col("id2").cast("long").as("doc_id")).distinct()
       docs.select("doc_id", "lang")
         .join(matched.withColumn("__pm", lit(1)), Seq("doc_id"), "left")
         .join(dup.withColumn("__dup", lit(1)), Seq("doc_id"), "left")
@@ -5086,20 +5089,30 @@ object SparkEntry {
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                   CAST(embedding AS DOUBLE[]) AS c
            FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 8)),
+         d0 AS (
+           SELECT e.vec_id, e.embedding, i.cid,
+             list_sum(list_transform(range(64),
+               r2 -> (CAST(e.embedding AS DOUBLE[])[r2+1] - i.c[r2+1])^2)) AS dist
+           FROM base e CROSS JOIN init i),
          a AS (
-           SELECT e.vec_id, e.embedding,
-             (SELECT i.cid FROM init i
-                ORDER BY (SELECT sum((CAST(e.embedding AS DOUBLE[])[r2.range+1] - i.c[r2.range+1])^2) FROM range(64) r2), i.cid
-                LIMIT 1) AS cid
-           FROM base e),
+           SELECT vec_id, embedding, cid FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d0)
+           WHERE rn = 1),
          p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
                  x.embedding AS v1, y.embedding AS v2
                FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         -- order-pinned index folds (list_transform preserves index
+         -- order; the unordered GROUP-BY-over-range form it replaced
+         -- could flip a near-threshold cosine nondeterministically)
          dots AS (SELECT id1, id2,
-             sum(CAST(v1[r.range + 1] AS DOUBLE) * CAST(v2[r.range + 1] AS DOUBLE)) AS d,
-             sum(CAST(v1[r.range + 1] AS DOUBLE) ^ 2) AS n1,
-             sum(CAST(v2[r.range + 1] AS DOUBLE) ^ 2) AS n2
-           FROM p CROSS JOIN range(64) r GROUP BY 1, 2),
+             list_sum(list_transform(range(64),
+               r -> CAST(v1[r + 1] AS DOUBLE) * CAST(v2[r + 1] AS DOUBLE))) AS d,
+             list_sum(list_transform(range(64),
+               r -> CAST(v1[r + 1] AS DOUBLE) ^ 2)) AS n1,
+             list_sum(list_transform(range(64),
+               r -> CAST(v2[r + 1] AS DOUBLE) ^ 2)) AS n2
+           FROM p),
          dr AS (SELECT DISTINCT id2 FROM dots
                 WHERE round(d / (sqrt(n1) * sqrt(n2)), 6) >= 0.45)
          SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id FROM a
@@ -5387,9 +5400,10 @@ object SparkEntry {
 
     "dedup_winnow_pairs" ->
       s"""WITH ${winnowCtes("")},
+         fs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, fp FROM fps),
          pairs AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
              CAST(count(*) AS BIGINT) AS shared
-           FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           FROM fs x JOIN fs y ON x.fp = y.fp AND x.doc_id < y.doc_id
            GROUP BY 1, 2 HAVING count(*) >= 8)
          SELECT id1, id2, shared FROM pairs ORDER BY id1, id2""",
 
@@ -5417,8 +5431,8 @@ object SparkEntry {
     "dedup_winnow_pairs_capped" ->
       s"""WITH ${winnowCtes("")},
          dfq AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
-         f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN dfq USING (fp)
-                WHERE dfq.c <= 3),
+         f2 AS (SELECT CAST(fps.doc_id AS VARCHAR) AS doc_id, fps.fp
+                FROM fps JOIN dfq USING (fp) WHERE dfq.c <= 3),
          pairs AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
              CAST(count(*) AS BIGINT) AS shared
            FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
@@ -5630,12 +5644,12 @@ object SparkEntry {
                 WHERE contains(' ' || norm || ' ', ' ' || phrase || ' ')),
          ${winnowCtes("WHERE lang IS NOT NULL")},
          dfq AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
-         f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN dfq USING (fp)
-                WHERE dfq.c <= 50),
+         f2 AS (SELECT CAST(fps.doc_id AS VARCHAR) AS doc_id, fps.fp
+                FROM fps JOIN dfq USING (fp) WHERE dfq.c <= 50),
          pairs AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS shared
                    FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
                    GROUP BY 1, 2 HAVING count(*) >= 8),
-         dup AS (SELECT DISTINCT id2 AS doc_id FROM pairs),
+         dup AS (SELECT DISTINCT CAST(id2 AS BIGINT) AS doc_id FROM pairs),
          v AS (SELECT d0.doc_id, d0.lang,
                  CASE WHEN pm.doc_id IS NOT NULL THEN 'phrase_blocked'
                       WHEN dup.doc_id IS NOT NULL THEN 'dup_candidate'

@@ -849,7 +849,11 @@ object Dedup {
     * copied passage, and its b² bucket join dominates the cost. The
     * documented tradeoff: pairs whose ONLY shared prints are boilerplate
     * are no longer reported. One O(distinct-fp) count aggregate.
-    * Returns (id1, id2, shared), id1 < id2. */
+    * Ids ride as strings like every dedup pairing path (the
+    * [[minhashCandidates]] convention: no cast-to-null crashes, no
+    * '7'/'07' collisions), so pair orientation is STRING order — the
+    * same order [[components]] uses for the group representative.
+    * Returns (id1, id2, shared), id1 < id2 as strings. */
   def winnowCandidates(df: DataFrame, textCol: String, idCol: String,
                        k: Int = 3, w: Int = 4, minShared: Int = 8,
                        maxDocFreq: Int = 0,
@@ -866,7 +870,7 @@ object Dedup {
     // pair bound and warns toward maxDocFreq.
     val warnFactor = pairBlowupWarnFactor(spark)
     val all0 = Text.winnow(df, textCol, idCol, k, w)
-      .select(col("id"), col("fp")).distinct()
+      .select(col("id").cast("string").as("id"), col("fp")).distinct()
     // the guard and/or the doc-freq cap add a second action over the
     // winnow projection: materialize it once (first probe of the capped
     // path re-ran the whole selection and measured 2× the uncapped line)
@@ -922,8 +926,7 @@ object Dedup {
                  warnSink: String => Unit = null): DataFrame = {
     val pairs = winnowCandidates(df, textCol, idCol, k, w, minShared,
         maxDocFreq, warnSink)
-      .select(col("id1").cast("string").as("id1"),
-        col("id2").cast("string").as("id2"))
+      .select(col("id1"), col("id2")) // already strings (pairing convention)
     val comps = components(pairs, "id1", "id2", maxIter)
     df.select(col(idCol).cast("string").as("id"))
       .join(comps, Seq("id"), "left")

@@ -842,9 +842,10 @@ object Similarity {
     val dropped = a.join(b, Seq("cluster_id"))
       .filter(col("__id1") < col("__id2"))
       // native codegen'd cosine (one interleaved loop, per-accumulator
-      // index-order sums — bit-identical to the oracle's sequential
-      // range-sum CTEs); the dot/norm HOF form it replaced evaluates
-      // interpreted and dominated the sf1 probe (~40 s of the ×19 line)
+      // index-order sums; the oracle replays the same index-order fold
+      // via ordered list_transform/list_sum, and round(roundTo) absorbs
+      // any residual engine-fold ULP); the dot/norm HOF form it replaced
+      // evaluates interpreted and dominated the sf1 probe (~40 s)
       .filter(round(graft.functions.GraftFunctions.cosine_similarity(
         col("__v1"), col("__v2")), roundTo) >= threshold)
       .select(col("__id2").as(idCol)).distinct()

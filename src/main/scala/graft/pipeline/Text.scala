@@ -1352,10 +1352,24 @@ object Text {
     * (md5 via codegen'd expressions but the fold interpreted); this
     * kernel is a plain JVM loop. Returns one struct(pos, fp) per
     * DISTINCT selection (same-pos re-selection by adjacent windows is
-    * the only possible repeat, so a last-pos check IS distinct). */
+    * the only possible repeat, so a last-pos check IS distinct).
+    * Null elements are SKIPPED (positions compact over non-null words):
+    * the internal [[winnow]] caller never produces them (split+filter),
+    * but the registered `winnow_prints_k_w` temp function is reachable
+    * with containsNull arrays, where a null word must not NPE. */
   def winnowKernel(words: org.apache.spark.sql.catalyst.util.ArrayData,
                    k: Int, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val n = words.numElements()
+    val n0 = words.numElements()
+    // materialize non-null words ONCE (the per-window getUTF8String
+    // form re-decoded each word w times and NPE'd on null elements)
+    val ws = new Array[String](n0)
+    var m = 0
+    var q = 0
+    while (q < n0) {
+      if (!words.isNullAt(q)) { ws(m) = words.getUTF8String(q).toString; m += 1 }
+      q += 1
+    }
+    val n = m
     val ng = n - k + 1
     if (ng <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
@@ -1368,7 +1382,7 @@ object Text {
       var j = 0
       while (j < k) {
         if (j > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + j).toString)
+        sb.append(ws(i + j))
         j += 1
       }
       md.reset()

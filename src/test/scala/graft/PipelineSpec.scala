@@ -2153,10 +2153,10 @@ class PipelineSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val pairs = graft.pipeline.Dedup.winnowCandidates(
         docs, "text", "doc_id", k, w, minShared = 8)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-    assert(pairs.contains((0L, 1L)), s"planted 60-word overlap missed: $pairs")
-    assert(pairs((0L, 1L)) >= 8L)
-    assert(pairs.keySet === Set((0L, 1L)), s"noise pair above the floor: $pairs")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(pairs.contains(("0", "1")), s"planted 60-word overlap missed: $pairs")
+    assert(pairs(("0", "1")) >= 8L)
+    assert(pairs.keySet === Set(("0", "1")), s"noise pair above the floor: $pairs")
   }
 
   test("cluster histogram and source report: hand dup structures") {
@@ -2268,7 +2268,7 @@ class PipelineSpec extends SparkSpec {
     assert(out("4") === "4" && out("5") === "5")
     // identity law: components equal a local union-find over the pairs
     val pairs = graft.pipeline.Dedup.winnowCandidates(docs, "text", "doc_id")
-      .collect().map(r => (r.getLong(0).toString, r.getLong(1).toString))
+      .collect().map(r => (r.getString(0), r.getString(1)))
     val parent = scala.collection.mutable.Map[String, String]()
     def find(x: String): String = {
       val p = parent.getOrElse(x, x)
@@ -2295,12 +2295,12 @@ class PipelineSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val unbounded = graft.pipeline.Dedup.winnowCandidates(
         docs, "text", "doc_id", minShared = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(unbounded.size > 1 && unbounded.contains((100L, 101L)))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(unbounded.size > 1 && unbounded.contains(("100", "101")))
     val capped = graft.pipeline.Dedup.winnowCandidates(
         docs, "text", "doc_id", minShared = 8, maxDocFreq = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(capped === Set((100L, 101L)), s"capped: $capped")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped === Set(("100", "101")), s"capped: $capped")
   }
 
   test("semDedupClustered: hand geometry, keeper rule, exact-copy co-clustering, iters") {
@@ -2373,6 +2373,26 @@ class PipelineSpec extends SparkSpec {
       val shared = sel(i * 2L) intersect sel(i * 2L + 1L)
       assert(shared.nonEmpty, s"pair $i: no shared fingerprint across a ${w + k - 1}-word run")
     }
+  }
+
+  test("winnowKernel: null elements skipped, positions compact (temp-fn reachable path)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ws: Seq[String]): GenericArrayData =
+      new GenericArrayData(ws.map(w =>
+        if (w == null) null else UTF8String.fromString(w)).toArray[Any])
+    val clean = Seq("p", "q", "r", "s", "t", "u", "v", "w")
+    val holey = Seq("p", null, "q", "r", null, "s", "t", "u", null, "v", "w")
+    // null elements must not NPE and must compact away: identical output
+    val a = Text.winnowKernel(arr(clean), 3, 4)
+    val b = Text.winnowKernel(arr(holey), 3, 4)
+    def render(g: GenericArrayData) = (0 until g.numElements()).map { i =>
+      val r = g.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+    }
+    assert(render(a).nonEmpty && render(a) === render(b))
+    // all-null and empty arrays: no grams, no selections, no NPE
+    assert(Text.winnowKernel(arr(Seq(null, null)), 3, 4).numElements() === 0)
+    assert(Text.winnowKernel(arr(Seq.empty), 3, 4).numElements() === 0)
   }
 
   test("winnow: rightmost tie-break, short-doc window, sub-k doc, density bound") {
