@@ -87,6 +87,39 @@ object SparkEntry {
       lit(" and 'http://mirror.example.org:8080/m/"),
       (col("doc_id") % 11).cast("string"), lit("'")))
 
+  /** Procedural pixel formula for the image-dedup corpus: grayscale
+    * blocky noise in [24, 231] from pure integer math on (id, x, y) —
+    * headroom for the +7 brightness plant, SQL-replayable verbatim. */
+  private def imagePixel(id: Long, x: Int, y: Int): Int =
+    (((x * (3 + id % 5) + y * (2 + id % 7) + ((x.toLong * y + id) % 23) * 11) % 208) + 24).toInt
+
+  /** BMP image corpus derived from documents doc_ids: base 64x64
+    * grayscale images of [[imagePixel]], plus planted near-dups for
+    * base < nCopies — a 2x nearest-neighbor upscale at id+100000 and a
+    * +7 brightness shift at id+200000. BMP stores raw pixels, so the
+    * REAL ImageIO decode inside Dedup.imageSignatures recovers the
+    * formula values exactly and the DuckDB oracle replays
+    * pixels -> luma grid -> bit algebra engine-independently with no
+    * codec in the loop (imageCorpusCtes). */
+  private def imageCorpus(s: SparkSession, dir: String,
+                          nBase: Int, nCopies: Int): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").filter(col("doc_id") < nBase)
+      .select(col("doc_id").as("base"))
+    val variants = ids
+      .select(col("base"), col("base").as("img_id"), lit(1).as("sc"), lit(0).as("db"))
+      .unionByName(ids.filter(col("base") < nCopies).select(col("base"),
+        (col("base") + 100000L).as("img_id"), lit(2).as("sc"), lit(0).as("db")))
+      .unionByName(ids.filter(col("base") < nCopies).select(col("base"),
+        (col("base") + 200000L).as("img_id"), lit(1).as("sc"), lit(7).as("db")))
+    variants.as[(Long, Long, Int, Int)].mapPartitions { it =>
+      it.map { case (base, img, sc, db) =>
+        (img, graft.pipeline.Multimodal.encodeBmpGray(64 * sc, 64 * sc,
+          (x, y) => imagePixel(base, x / sc, y / sc) + db))
+      }
+    }.toDF("img_id", "payload")
+  }
+
   /** Build-once IVF index per sf dir: production trains the coarse
     * quantizer and persists the assignment offline (CLI `pipeline
     * ann-index`); queries then pay only the probe+scan path. Memoized so
@@ -1882,6 +1915,32 @@ object SparkEntry {
       Dedup.winnowStar(t(s, dir, "documents"), "text", "doc_id",
           k = 3, w = 4, minShared = 8, maxDocFreq = 50)
         .orderBy("id")),
+
+    "dedup_image_dhash" -> ((s, dir) =>
+      // image near-dup GROUPS via dHash (difference hash): procedural
+      // BMP corpus (120 base + 40 resized + 40 brightness plants) ->
+      // REAL ImageIO decode -> exact integer luma grid -> 64-bit
+      // gradient-sign signature -> 16-bit-band bucket join (hamming <= 3
+      // guaranteed recalled) -> hamming <= 6 -> components. All int64
+      // bit algebra from exact pixel sums, so the oracle replays
+      // pixels -> grid -> bits -> bands -> pairs -> recursive
+      // reachability with no codec — the green row IS the decode+hash
+      // identity on planted resize/re-encode near-dups.
+      Dedup.imageDedupStar(imageCorpus(s, dir, 120, 40), "payload",
+          "img_id", "dhash", maxDist = 6)
+        .orderBy("id")),
+
+    "dedup_image_phash" -> ((s, dir) =>
+      // image near-dup PAIRS via pHash (DCT hash): 32x32 exact luma
+      // grid -> integer DCT-II over the fixed-point cosine table (the
+      // SAME integers interpolated into the oracle — no cross-engine
+      // libm drift) -> 8x8 low-frequency block vs its non-DC median ->
+      // banded pairs at hamming <= 10. Scale-invariant BY CONSTRUCTION
+      // (fixed-point means cancel k² upscales exactly), so the resized
+      // plants pair at hamming 0.
+      Dedup.imageCandidates(imageCorpus(s, dir, 80, 30), "payload",
+          "img_id", "phash", maxDist = 10)
+        .orderBy("id1", "id2")),
 
     "dedup_winnow_pairs_capped" -> ((s, dir) =>
       // the maxDocFreq boilerplate cap (MOSS practice): prints in more
@@ -3925,6 +3984,89 @@ object SparkEntry {
            GROUP BY wm.doc_id, wm.e, wm.winmin),
          fps AS (SELECT DISTINCT doc_id, fp FROM sel)"""
 
+  /** Shared image-corpus replay CTEs (through the fixed-point luma-mean
+    * grid): procedural pixels -> luma_permille (= 1000·v, grayscale) ->
+    * per-pixel cell assignment (x·gw div w) -> exact integer sums ->
+    * mean·65536 div count. All int64; GROUP BY sums are of INTEGERS so
+    * no order pinning is needed anywhere in the image oracles. */
+  private def imageGridCtes(nBase: Int, nCopies: Int, gw: Int, gh: Int): String =
+    s"""ids AS (SELECT doc_id FROM documents WHERE doc_id < $nBase),
+       |imgs AS (
+       |  SELECT doc_id AS base, doc_id AS img, 64 AS wid, 1 AS sc, 0 AS db FROM ids
+       |  UNION ALL SELECT doc_id, doc_id + 100000, 128, 2, 0 FROM ids WHERE doc_id < $nCopies
+       |  UNION ALL SELECT doc_id, doc_id + 200000, 64, 1, 7 FROM ids WHERE doc_id < $nCopies),
+       |px AS (SELECT img, wid, base, sc, db, x.range AS x, y.range AS y
+       |       FROM imgs, range(128) x, range(128) y
+       |       WHERE x.range < wid AND y.range < wid),
+       |pv AS (SELECT img, wid, x, y,
+       |         1000 * (((((x//sc) * (3 + base % 5) + (y//sc) * (2 + base % 7)
+       |           + (((x//sc) * (y//sc) + base) % 23) * 11) % 208) + 24) + db) AS lum
+       |       FROM px),
+       |grid AS (SELECT img, (y*$gh)//wid AS gy, (x*$gw)//wid AS gx,
+       |           CAST((sum(lum)*65536)//count(*) AS BIGINT) AS g
+       |         FROM pv GROUP BY 1, 2, 3)""".stripMargin
+
+  /** bits(img, idx, bit) -> 16-bit bands -> pivoted sig -> banded
+    * candidate pairs with exact hamming (ids as VARCHAR, string order —
+    * the dedup pairing convention). */
+  private def imageBandCtes: String =
+    s"""bands AS (SELECT img, idx//16 AS band,
+       |            CAST(sum(bit * (1 << (idx % 16))) AS BIGINT) AS bv
+       |          FROM bits GROUP BY 1, 2),
+       |sig AS (SELECT img,
+       |          max(CASE WHEN band = 0 THEN bv END) AS b0,
+       |          max(CASE WHEN band = 1 THEN bv END) AS b1,
+       |          max(CASE WHEN band = 2 THEN bv END) AS b2,
+       |          max(CASE WHEN band = 3 THEN bv END) AS b3
+       |        FROM bands GROUP BY 1),
+       |cd AS (SELECT CAST(x.img AS VARCHAR) AS id1, CAST(y.img AS VARCHAR) AS id2,
+       |         bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+       |         bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming
+       |       FROM sig x JOIN sig y
+       |       ON (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+       |          AND CAST(x.img AS VARCHAR) < CAST(y.img AS VARCHAR))""".stripMargin
+
+  private def imageDhashOracleSql: String =
+    s"""WITH RECURSIVE ${imageGridCtes(120, 40, 9, 8)},
+       |bits AS (SELECT a.img, a.gy*8 + a.gx AS idx,
+       |           CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+       |         FROM grid a JOIN grid b
+       |           ON b.img = a.img AND b.gy = a.gy AND b.gx = a.gx + 1
+       |         WHERE a.gx < 8),
+       |$imageBandCtes,
+       |e AS (SELECT id1, id2 FROM cd WHERE hamming <= 6),
+       |ed AS MATERIALIZED (
+       |  SELECT id1 AS src, id2 AS dst FROM e
+       |  UNION SELECT id2 AS src, id1 AS dst FROM e),
+       |allid AS (SELECT CAST(img AS VARCHAR) AS id FROM imgs),
+       |reach AS (
+       |  SELECT id, id AS node FROM allid
+       |  UNION
+       |  SELECT r.id, ed.dst AS node FROM reach r JOIN ed ON ed.src = r.node)
+       |SELECT id, min(node) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  private def imagePhashOracleSql: String = {
+    val cosLit = graft.pipeline.Dedup.phashCosTable.mkString("[", ", ", "]")
+    s"""WITH ${imageGridCtes(80, 30, 32, 32)},
+       |ct AS (SELECT $cosLit AS c),
+       |rt AS (SELECT g.img, g.gy, u.range AS u,
+       |         CAST(sum(g.g * ct.c[u.range*32 + g.gx + 1]) AS BIGINT)//65536 AS rv
+       |       FROM grid g CROSS JOIN range(8) u CROSS JOIN ct
+       |       GROUP BY 1, 2, 3),
+       |dct AS (SELECT rt.img, rt.u, v.range AS v,
+       |          CAST(sum(rt.rv * ct.c[v.range*32 + rt.gy + 1]) AS BIGINT) AS cc
+       |        FROM rt CROSS JOIN range(8) v CROSS JOIN ct
+       |        GROUP BY 1, 2, 3),
+       |med AS (SELECT img, quantile_disc(cc, 0.5) AS m
+       |        FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+       |bits AS (SELECT dct.img, dct.u*8 + dct.v AS idx,
+       |           CASE WHEN dct.cc > med.m THEN 1 ELSE 0 END AS bit
+       |         FROM dct JOIN med ON med.img = dct.img),
+       |$imageBandCtes
+       |SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
+       |FROM cd WHERE hamming <= 10 ORDER BY id1, id2""".stripMargin
+  }
+
   private def simhashOracleSql: String =
     s"""WITH d AS (
        |  SELECT CAST(doc_id AS VARCHAR) AS id, lower(text) AS lt
@@ -5066,6 +5208,8 @@ object SparkEntry {
              AS dup_rate
          FROM f GROUP BY 1 ORDER BY 1""",
     "dedup_simhash" -> simhashOracleSql,
+    "dedup_image_dhash" -> imageDhashOracleSql,
+    "dedup_image_phash" -> imagePhashOracleSql,
     "ann_lsh_topk" -> lshOracleSql,
     "ann_recall_eval" -> annRecallOracleSql,
 

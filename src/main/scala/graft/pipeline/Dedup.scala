@@ -932,4 +932,207 @@ object Dedup {
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
+
+  // ------------------------------------------------- image perceptual hash
+
+  /** dHash grid width/height (9x8 -> 64 adjacent-cell comparisons) and the
+    * pHash grid side (32x32 -> 8x8 low-frequency DCT block). */
+  val DhashGw = 9; val DhashGh = 8; val PhashG = 32
+
+  /** Fixed-point DCT-II cosine table for [[phashBands]]:
+    * COS(u, x) = round(cos(pi*(2x+1)*u / 64) * 65536) for u in 0..7,
+    * x in 0..31, flattened u*32 + x. Both engines use THESE integers (the
+    * oracle SQL interpolates this exact array as a literal), so the DCT is
+    * pure int64 arithmetic — no cross-engine libm cos drift. */
+  lazy val phashCosTable: Array[Long] = {
+    val t = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 32) {
+        t(u * 32 + x) = math.round(math.cos(math.Pi * (2 * x + 1) * u / 64.0) * 65536.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Fixed-point cell mean: sum·65536 div count — exact int64, comparable
+    * across images of different sizes (a k x k nearest-neighbor upscale
+    * multiplies sum and count by k², leaving the mean IDENTICAL, which is
+    * what makes the hashes scale-invariant by construction). */
+  private def gridMeans(sums: Array[Long], counts: Array[Long]): Array[Long] = {
+    val g = new Array[Long](sums.length)
+    var i = 0
+    while (i < g.length) { g(i) = sums(i) * 65536L / counts(i); i += 1 }
+    g
+  }
+
+  private def packBands(bits: Array[Boolean]): Array[Long] = {
+    val bands = new Array[Long](4)
+    var i = 0
+    while (i < 64) {
+      if (bits(i)) bands(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
+  /** dHash (difference hash) bands from a 9x8 [[Multimodal.lumaGrid]]:
+    * bit gy·8 + gx set iff mean(gy, gx+1) > mean(gy, gx) — the luma
+    * GRADIENT sign field, robust to uniform brightness shifts and (by the
+    * fixed-point-mean construction) exactly invariant to integer
+    * upscales. Returns the four 16-bit bands of the 64-bit signature
+    * (band b = bits 16b..16b+15), the join representation — no signed
+    * 64-bit packing anywhere, so the SQL replay needs no shift-overflow
+    * care. Pure int64 from exact grid sums: engine-independent. */
+  def dhashBands(sums: Array[Long], counts: Array[Long]): Array[Long] = {
+    require(sums.length == DhashGw * DhashGh, s"need ${DhashGw}x$DhashGh grid")
+    val g = gridMeans(sums, counts)
+    val bits = new Array[Boolean](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        bits(gy * 8 + gx) = g(gy * DhashGw + gx + 1) > g(gy * DhashGw + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    packBands(bits)
+  }
+
+  /** pHash (DCT hash) bands from a 32x32 [[Multimodal.lumaGrid]]:
+    * C(u, v) = Σ_gx Σ_gy mean(gy, gx) · COS(u, gx) · COS(v, gy) over the
+    * integer table [[phashCosTable]] (plain DCT-II, no alpha scaling —
+    * uniform factors cancel in the median compare); bit u·8 + v set iff
+    * C(u, v) > lower-median of the 63 non-DC coefficients. All int64
+    * (|C| <= 2^60 by construction), bit-replayable in SQL. Captures the
+    * low-frequency luma SHAPE — survives re-encoding and resampling that
+    * flips dHash's finer gradient bits. */
+  def phashBands(sums: Array[Long], counts: Array[Long]): Array[Long] = {
+    require(sums.length == PhashG * PhashG, s"need ${PhashG}x$PhashG grid")
+    val g = gridMeans(sums, counts)
+    val t = phashCosTable
+    // separable 2D DCT: rows first (32x8), then columns (8x8)
+    val rowT = new Array[Long](32 * 8) // rowT(gy*8 + u) = Σ_gx g(gy,gx)·COS(u,gx)
+    var gy = 0
+    while (gy < 32) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0L
+        var gx = 0
+        while (gx < 32) { acc += g(gy * 32 + gx) * t(u * 32 + gx); gx += 1 }
+        rowT(gy * 8 + u) = acc
+        u += 1
+      }
+      gy += 1
+    }
+    val c = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var k = 0
+        // scale rowT down before the second pass to keep |C| < 2^63:
+        // rowT <= 32·(255·1000·65536)·65536 ~ 2^71? No: mean <= 254745·65536
+        // ~ 2^34, ·COS(<=2^16) ~ 2^50, ·32 terms ~ 2^55; second pass
+        // ·2^16·32 ~ 2^76 would overflow — divide rowT by 2^16 first
+        // (exact spec: integer div, replayed identically in SQL).
+        while (k < 32) { acc += (rowT(k * 8 + u) / 65536L) * t(v * 32 + k); k += 1 }
+        c(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = new Array[Long](63)
+    var i = 1
+    while (i < 64) { nonDc(i - 1) = c(i); i += 1 }
+    java.util.Arrays.sort(nonDc)
+    val med = nonDc(31) // lower median of 63
+    val bits = new Array[Boolean](64)
+    i = 0
+    while (i < 64) { bits(i) = c(i) > med; i += 1 }
+    packBands(bits)
+  }
+
+  /** Perceptual-hash signatures for a binary image column: one
+    * mapPartitions decode pass ([[Multimodal.lumaGrid]], the
+    * extractFeatures batch shape) -> (id, b0..b3), the four 16-bit bands
+    * of the 64-bit dHash or pHash. Ids ride as strings (dedup family
+    * convention). Undecodable payloads yield NO row — an image that can't
+    * decode can't be a near-dup; [[imageDedupStar]] maps such ids to
+    * themselves. Zero shuffle: decode + hash are per-row JVM work. */
+  def imageSignatures(df: DataFrame, binCol: String, idCol: String,
+                      kind: String = "dhash"): DataFrame = {
+    require(kind == "dhash" || kind == "phash", s"kind must be dhash|phash: $kind")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (gw, gh) = if (kind == "dhash") (DhashGw, DhashGh) else (PhashG, PhashG)
+    val isP = kind == "phash"
+    df.select(col(idCol).cast("string"), col(binCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          Multimodal.lumaGrid(bytes, gw, gh).map { case (_, _, sums, counts) =>
+            val b = if (isP) phashBands(sums, counts) else dhashBands(sums, counts)
+            (id, b(0), b(1), b(2), b(3))
+          }
+        }
+      }
+      .toDF("id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Image near-duplicate candidate pairs: [[imageSignatures]] -> the
+    * [[simhashCandidates]] 16-bit-band bucket join (pairs sharing at
+    * least one of the 4 bands; hamming <= 3 is GUARANTEED recalled by
+    * pigeonhole, larger distances probabilistically) -> exact hamming
+    * filter at `maxDist`. The bucket join is Σ_bucket b² — on dup-heavy
+    * corpora a popular signature's band bucket is one join key, the same
+    * documented skew contract as simhash/minhash banding. Returns
+    * (id1, id2, hamming), id1 < id2 as strings. */
+  def imageCandidates(df: DataFrame, binCol: String, idCol: String,
+                      kind: String = "dhash", maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist in [0,64]: $maxDist")
+    // both sides of the band self-join consume the signatures: cut the
+    // lineage once so the DECODE pass (the expensive stage at scale)
+    // runs once, not twice (the semDedupClustered discipline)
+    val sigs = imageSignatures(df, binCol, idCol, kind).localCheckpoint()
+    val banded = sigs.select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id1"),
+      col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id2"),
+      col("b0").as("y0"), col("b1").as("y1"), col("b2").as("y2"), col("b3").as("y3"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (bit_count(col("x0").bitwiseXOR(col("y0"))) +
+          bit_count(col("x1").bitwiseXOR(col("y1"))) +
+          bit_count(col("x2").bitwiseXOR(col("y2"))) +
+          bit_count(col("x3").bitwiseXOR(col("y3")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** Grouping form of [[imageCandidates]]: hamming-<=maxDist pairs ->
+    * connected components -> one row per INPUT image with its dup-group
+    * representative (min id, string order). Undecodable payloads and
+    * singletons map to themselves. The image analogue of [[winnowStar]]:
+    * linear output, pointer-jumping components over the (small) verified
+    * pair set only. Returns (id, component). */
+  def imageDedupStar(df: DataFrame, binCol: String, idCol: String,
+                     kind: String = "dhash", maxDist: Int = 6,
+                     maxIter: Int = 20): DataFrame = {
+    val pairs = imageCandidates(df, binCol, idCol, kind, maxDist)
+      .select("id1", "id2")
+    val comps = components(pairs, "id1", "id2", maxIter)
+    df.select(col(idCol).cast("string").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
 }

@@ -539,6 +539,94 @@ object Multimodal {
     out
   }
 
+  /** Deterministic 24-bit grayscale BMP encoder (r=g=b=v(x,y), rows
+    * padded to 4 bytes, bottom-up — the uncompressed BI_RGB layout every
+    * decoder round-trips exactly). Fixture/corpus generator for the
+    * image-dedup queries: BMP stores raw pixels, so
+    * encode -> ImageIO decode -> [[lumaGrid]] is bit-exact and a SQL
+    * oracle can replay the generative pixel function without a codec. */
+  def encodeBmpGray(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val rowBytes = (3 * w + 3) & ~3
+    val dataSize = rowBytes * h
+    val out = new Array[Byte](54 + dataSize)
+    def le16(i: Int, x: Int): Unit = {
+      out(i) = (x & 0xff).toByte; out(i + 1) = ((x >> 8) & 0xff).toByte
+    }
+    def le32(i: Int, x: Int): Unit = {
+      var j = 0
+      while (j < 4) { out(i + j) = ((x >> (8 * j)) & 0xff).toByte; j += 1 }
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + dataSize); le32(10, 54)          // file size, pixel offset
+    le32(14, 40); le32(18, w); le32(22, h)        // BITMAPINFOHEADER
+    le16(26, 1); le16(28, 24)                     // planes, bpp
+    le32(30, 0); le32(34, dataSize)               // BI_RGB, image size
+    le32(38, 2835); le32(42, 2835)                // 72 dpi
+    var y = 0
+    while (y < h) {
+      val row = 54 + (h - 1 - y) * rowBytes       // bottom-up
+      var x = 0
+      while (x < w) {
+        val p = v(x, y)
+        require(p >= 0 && p <= 255, s"pixel out of range: $p at ($x,$y)")
+        val b = p.toByte
+        out(row + 3 * x) = b; out(row + 3 * x + 1) = b; out(row + 3 * x + 2) = b
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Exact integer luma grid for perceptual hashing: decode (ImageIO),
+    * luma_permille = 299r + 587g + 114b per pixel (an INT in [0, 254745];
+    * = 1000·v for grayscale), pixel (x, y) lands in cell
+    * (x·gw div w, y·gh div h) — the per-pixel assignment formula is the
+    * spec, so uneven w/gw splits are well-defined and a SQL oracle
+    * replays membership with the same integer division. Returns
+    * (w, h, sums, counts) with cell index gy·gw + gx; sums/counts are
+    * exact int64, so downstream bit algebra ([[Dedup.dhashBands]] /
+    * [[Dedup.phashBands]]) is engine-independent — no float resampling
+    * anywhere. None for undecodable payloads (magic-byte gated like
+    * [[decodeImage]]). */
+  def lumaGrid(bytes: Array[Byte], gw: Int, gh: Int): Option[(Int, Int, Array[Long], Array[Long])] = {
+    require(gw > 0 && gh > 0, s"bad grid ${gw}x$gh")
+    if (bytes == null || bytes.length < 8) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    val isPng = b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    val isJpg = b(0) == 0xff && b(1) == 0xd8
+    val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+    val isBmp = b(0) == 'B' && b(1) == 'M'
+    if (!(isPng || isJpg || isGif || isBmp)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w < gw || h < gh) return None // a cell would be empty
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val sums = new Array[Long](gw * gh)
+      val counts = new Array[Long](gw * gh)
+      var y = 0
+      while (y < h) {
+        val gy = y * gh / h
+        var x = 0
+        while (x < w) {
+          val p = px(y * w + x)
+          val lum = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)
+          val cell = gy * gw + x * gw / w
+          sums(cell) += lum
+          counts(cell) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, sums, counts))
+    } catch { case _: Exception => None }
+  }
+
   /** Real image RESIZE (the curation mandate's resize step): decode via
     * ImageIO, NEAREST-NEIGHBOR scale with pure integer source mapping
     * (src = x·w/outW — fully deterministic on any JVM, unlike Graphics2D

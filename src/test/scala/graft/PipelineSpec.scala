@@ -644,6 +644,80 @@ class PipelineSpec extends SparkSpec {
     assert(jf.isDefined && jf.get(0) === 2.0f && jf.get(1) === 2.0f)
   }
 
+  // shared procedural test image: grayscale blocky-noise pattern per id
+  // (the same family the dedup_image_* queries generate and their DuckDB
+  // oracles replay from the formula)
+  private def imgPix(id: Long)(x: Int, y: Int): Int =
+    (((x * (3 + id % 5) + y * (2 + id % 7) + ((x.toLong * y + id) % 23) * 11) % 208) + 24).toInt
+
+  test("image hash: luma grid is the exact integer block sum of the generated pixels") {
+    val bmp = Multimodal.encodeBmpGray(64, 64, imgPix(7))
+    val Some((w, h, sums, counts)) = Multimodal.lumaGrid(bmp, 9, 8)
+    assert(w === 64 && h === 64)
+    val ds = new Array[Long](72); val dc = new Array[Long](72)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val cell = (y * 8 / 64) * 9 + (x * 9 / 64)
+      ds(cell) += 1000L * imgPix(7)(x, y); dc(cell) += 1
+    }
+    assert(sums.toSeq === ds.toSeq, "decode drift: grid sums != direct sums")
+    assert(counts.toSeq === dc.toSeq)
+  }
+
+  private def bandsOf(bytes: Array[Byte], kind: String): Array[Long] = {
+    val (gw, gh) = if (kind == "dhash") (9, 8) else (32, 32)
+    val Some((_, _, s, c)) = Multimodal.lumaGrid(bytes, gw, gh)
+    if (kind == "dhash") graft.pipeline.Dedup.dhashBands(s, c)
+    else graft.pipeline.Dedup.phashBands(s, c)
+  }
+  private def ham(a: Array[Long], b: Array[Long]): Int =
+    a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+
+  test("image hash: scale/brightness invariance, lossless re-encode identity, JPEG robustness") {
+    val base = Multimodal.encodeBmpGray(64, 64, imgPix(7))
+    // 2x nearest-neighbor upscale: pHash EXACTLY invariant (power-of-2
+    // grid boundaries align; fixed-point means identical); dHash's 9-wide
+    // grid has a few boundary pixels shift cells -> hamming stays tiny
+    val up = Multimodal.encodeBmpGray(128, 128, (x, y) => imgPix(7)(x / 2, y / 2))
+    assert(bandsOf(up, "phash").toSeq === bandsOf(base, "phash").toSeq)
+    assert(ham(bandsOf(up, "dhash"), bandsOf(base, "dhash")) <= 6)
+    // +7 uniform brightness: gradient signs and non-DC DCT shape survive
+    val bright = Multimodal.encodeBmpGray(64, 64, (x, y) => imgPix(7)(x, y) + 7)
+    assert(ham(bandsOf(bright, "dhash"), bandsOf(base, "dhash")) <= 2)
+    assert(ham(bandsOf(bright, "phash"), bandsOf(base, "phash")) <= 4)
+    // lossless PNG re-encode: identical pixels -> identical bands, exactly
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", png)
+    assert(bandsOf(png.toByteArray, "dhash").toSeq === bandsOf(base, "dhash").toSeq)
+    assert(bandsOf(png.toByteArray, "phash").toSeq === bandsOf(base, "phash").toSeq)
+    // lossy JPEG re-encode: hamming small, and FAR below an unrelated pair
+    val jpg = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jpg)
+    val other = Multimodal.encodeBmpGray(64, 64, imgPix(8))
+    val jd = ham(bandsOf(jpg.toByteArray, "dhash"), bandsOf(base, "dhash"))
+    val od = ham(bandsOf(other, "dhash"), bandsOf(base, "dhash"))
+    assert(jd <= 12, s"jpeg dhash hamming $jd")
+    assert(od > 12 && jd < od, s"unrelated dhash hamming $od vs jpeg $jd")
+  }
+
+  test("imageDedupStar: planted copies group to min-string-id rep; undecodable maps to itself") {
+    import spark.implicits._
+    def bmp(id: Long, sc: Int, db: Int): Array[Byte] =
+      Multimodal.encodeBmpGray(64 * sc, 64 * sc, (x, y) => imgPix(id)(x / sc, y / sc) + db)
+    val rows = Seq(
+      (5L, bmp(5, 1, 0)), (6L, bmp(6, 1, 0)), (7L, bmp(7, 1, 0)),
+      (105L, bmp(5, 2, 0)),            // resized copy of 5
+      (205L, bmp(5, 1, 7)),            // brightness copy of 5
+      (9L, "not an image".getBytes("UTF-8")))
+    val out = graft.pipeline.Dedup.imageDedupStar(
+        rows.toDF("img_id", "payload"), "payload", "img_id", "dhash", maxDist = 6)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out("105") === out("5") && out("205") === out("5"), s"copies split: $out")
+    assert(out("5") === "105", s"min STRING id rep expected '105': ${out("5")}")
+    assert(out("6") === "6" && out("7") === "7", s"unrelated merged: $out")
+    assert(out("9") === "9", "undecodable must map to itself")
+  }
+
   test("multimodal: deterministic nearest-neighbor resize preserves quadrant colors") {
     import spark.implicits._
     // 4x4 image: left half pure red, right half pure blue
