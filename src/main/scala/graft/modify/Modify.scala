@@ -759,13 +759,24 @@ object Modify {
     * is what prevents the target leak a plain category-mean encoder has.
     *
     * Plan shape: one map-side-combined (category) aggregation — O(#cats)
-    * rows — joined back broadcast, then a zero-shuffle projection: the
-    * corpus never shuffles (a per-category window would also collapse
-    * parallelism to #categories — the describe_gini lesson). Rows whose
-    * category is a singleton (n = 1) encode null (no "others" to
-    * average); null targets are excluded from the sums and encode null;
-    * null categories join nothing and encode null (SQL join semantics —
-    * encode them explicitly upstream if they are meaningful).
+    * rows — joined back, then a zero-shuffle projection: the corpus
+    * never shuffles for the encode itself (a per-category window would
+    * also collapse parallelism to #categories — the describe_gini
+    * lesson). Rows whose category is a singleton (n = 1) encode null (no
+    * "others" to average); null targets are excluded from the sums and
+    * encode null; null categories join nothing and encode null (SQL join
+    * semantics — encode them explicitly upstream if they are meaningful).
+    *
+    * Broadcast is GATED, not forced: the operator exists FOR
+    * high-cardinality categoricals, and at extreme cardinality (tens of
+    * millions of categories at the 100 TB design point) a forced
+    * broadcast OOMs the driver. The stats side gets the broadcast hint
+    * only when its Catalyst size estimate fits
+    * `graft.broadcastBase.maxBytes` (default 256 MiB — the study
+    * runner's knob and default); past the cap it stays a plain join,
+    * where AQE still converts to broadcast at runtime if the ACTUAL
+    * aggregated size turns out small (the estimate for an aggregate is
+    * child-size-bounded, i.e. conservative).
     *
     * Determinism: pass an integer-valued target (cast it) and the sums
     * are exact int64, making the encoding one division of exact
@@ -773,9 +784,14 @@ object Modify {
   def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
                       out: String = "te_loo"): DataFrame = {
     val t = col(targetCol)
+    val maxBytes = df.sparkSession.conf
+      .getOption("graft.broadcastBase.maxBytes").map(_.toLong)
+      .getOrElse(256L << 20)
     val stats = df.groupBy(col(catCol))
       .agg(sum(t).as("__te_s"), count(t).as("__te_n"))
-    df.join(broadcast(stats), Seq(catCol), "left")
+    val est = stats.queryExecution.optimizedPlan.stats.sizeInBytes
+    val statsSide = if (est <= BigInt(maxBytes)) broadcast(stats) else stats
+    df.join(statsSide, Seq(catCol), "left")
       .withColumn(out,
         when(col("__te_n") > 1L && t.isNotNull,
           (col("__te_s") - t).cast("double") / (col("__te_n") - 1L))

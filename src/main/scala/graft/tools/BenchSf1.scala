@@ -40,6 +40,38 @@ object BenchSf1 {
       s"probe keys not grounded in declared query names: $ungrounded")
   }
 
+  /** Does probe key k cover declared query n? Exact name, or the
+    * `<name>_<suffix>` full-corpus/forced-path convention — EXCEPT when k
+    * is itself a different declared query (dedup_exact_against must not
+    * count as covering dedup_exact). */
+  private def probeCovers(k: String, n: String): Boolean =
+    k == n || (k.startsWith(n + "_") && !graft.SparkEntry.queries.contains(k))
+
+  /** Probe-board COMPLETENESS (VERDICT r14 #3, the reverse direction of
+    * [[assertProbeKeysGrounded]]): every DECLARED query must appear on the
+    * scale-probe board — as itself or as a documented `_full`-style
+    * variant. Queries without a curated full-corpus form ride as
+    * themselves (fixed-slice lines stay flat across decades, which the
+    * board then SHOWS instead of leaving unprobed — a missing pair like
+    * r14's pipeline_curriculum_e2e can no longer slip). `exclude` lists
+    * contract-infeasible lines, each documented at the call site. */
+  private[tools] def backfillDeclared(
+      curated: Seq[(String, (SparkSession, String) => DataFrame)],
+      exclude: Set[String]): Seq[(String, (SparkSession, String) => DataFrame)] =
+    curated ++ graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) =>
+        exclude(n) || curated.exists { case (k, _) => probeCovers(k, n) } }
+
+  private[tools] def assertProbesCoverDeclared(
+      workloads: Seq[(String, (SparkSession, String) => DataFrame)],
+      exclude: Set[String]): Unit = {
+    val keys = workloads.map(_._1)
+    val missing = graft.SparkEntry.queries.keySet.filterNot(n =>
+      exclude(n) || keys.exists(k => probeCovers(k, n)))
+    require(missing.isEmpty,
+      s"declared queries with no scale probe: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   /** The bench documents with 15 per-BASE salt tokens appended. WHY: the
     * synthetic corpus draws every doc from the same 31-word vocabulary, so
     * raw word-SET similarity is ~19%-dense corpus-wide (measured on the
@@ -250,6 +282,7 @@ object BenchSf1 {
     scaled("orders", Seq("o_orderkey", "o_custkey"), 16)
     scaled("customer", Seq("c_custkey"), 8)
     scaled("supplier", Seq("s_suppkey"), 4)
+    scaled("part", Seq("p_partkey"), 4) // consistent with l_partkey scaling
     scaled("events", Seq("event_id", "user_id"), 16)
     scaled("documents", Seq("doc_id"), 16, d =>
       // per-copy suffix: cross-copy pairs become near-dups, not byte-dups
@@ -279,7 +312,10 @@ object BenchSf1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$outDir/lineitem.parquet").isDirectory) {
+    // part joined the table set with the r15 full-board backfill — a
+    // missing member triggers a full rebuild (the BenchSf10 precedent)
+    if (!new java.io.File(s"$outDir/lineitem.parquet").isDirectory ||
+        !new java.io.File(s"$outDir/part.parquet").isDirectory) {
       val t0 = System.nanoTime()
       scaleUp(spark)
       System.err.println(f"[sf1] scale-up built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -404,15 +440,19 @@ object BenchSf1 {
     // full-corpus/forced-path variants — so a cross-artifact grep for any
     // declared query always hits its probes. The one allowed orphan is
     // OPQ, which deliberately has no declared form (SVD can't replay in
-    // SQL; unit-tested instead).
-    assertProbeKeysGrounded(workloads)
+    // SQL; unit-tested instead). And the REVERSE (VERDICT r14 #3): every
+    // declared query not covered by a curated form rides the board as
+    // itself, so probe keys (modulo suffix) ⊇ declared queries always.
+    val board = backfillDeclared(workloads, Set.empty)
+    assertProbeKeysGrounded(board)
+    assertProbesCoverDeclared(board, Set.empty)
 
     // optional subset: `runMain graft.tools.BenchSf1 q1 q2 ...` probes only
     // the named lines (adds new-operator evidence without re-timing the
     // whole board)
     val selected =
-      if (args.isEmpty) workloads
-      else workloads.filter { case (n, _) => args.contains(n) }
+      if (args.isEmpty) board
+      else board.filter { case (n, _) => args.contains(n) }
 
     // codegen/JIT warmup on the tiny SF
     selected.foreach { case (_, fn) =>

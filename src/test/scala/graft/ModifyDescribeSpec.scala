@@ -1215,6 +1215,34 @@ class ModifyDescribeSpec extends SparkSpec {
     assert(of(None, Some(5L)) === None)          // null category joins nothing
   }
 
+  test("targetEncodeLoo: broadcast gate falls back to a plain join past the cap, identical output") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (s"c${i % 17}", i.toLong)).toDF("cat", "q")
+    def run(): (Array[(String, Long, Option[Double])], String) = {
+      val out = graft.modify.Modify.targetEncodeLoo(df, "cat", "q")
+      val rows = out.collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(t => (t._1, t._2))
+      (rows, out.queryExecution.executedPlan.toString)
+    }
+    // session auto-broadcast OFF: only the operator's own hint (or its
+    // absence) decides the physical join — the gate must be independent
+    // of spark.sql.autoBroadcastJoinThreshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (hinted, hintedPlan) = run()
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        s"default cap must HINT broadcast despite threshold=-1:\n$hintedPlan")
+      spark.conf.set("graft.broadcastBase.maxBytes", "1")
+      try {
+        val (fallback, fbPlan) = run()
+        assert(!fbPlan.contains("BroadcastHashJoin"),
+          s"cap=1 must take the plain-join path:\n$fbPlan")
+        assert(fallback.toSeq === hinted.toSeq, "fallback output diverged")
+      } finally spark.conf.unset("graft.broadcastBase.maxBytes")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("calibration: hand bins, edge clamp, null exclusion, out-of-range refusal") {
     import spark.implicits._
     val rows = Seq(
