@@ -357,6 +357,32 @@ object SparkEntry {
         .orderBy("hour_start")
     }),
 
+    "events_drift_vector" -> ((s, dir) => {
+      // the RESTART-DURABLE drift pipeline's batch shape (r15): ONE
+      // windowed aggregation producing the per-window bin-count VECTOR
+      // (conditional sums — no second streaming agg), stateless
+      // scoreVector scoring, the same CUSUM columns. Bit-identical to
+      // events_drift_monitor by the shared scoreFolded expressions
+      // (spec-asserted), so the SAME oracle replays it; in streaming form
+      // this plan chains legally into the checkpointed CUSUM
+      // (durableDriftMonitor, kill-and-restart parity-tested).
+      val ev = t(s, dir, "events")
+      val ref = graft.streaming.DriftMonitor.buildReference(
+        ev.filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp")),
+        "value", bins = 10)
+      graft.streaming.DriftMonitor.cusumBinnedScores(
+          graft.streaming.DriftMonitor.scoreVector(
+            graft.streaming.DriftMonitor.windowedBinVector(
+              ev, "ts", "value", ref, "1 hour"), ref))
+        .select(unix_timestamp(col("window_start")).cast("long").as("hour_start"),
+          col("n"), round(col("psi"), 6).as("psi"),
+          round(col("ks_binned"), 6).as("ks_binned"), col("verdict"),
+          round(col("loc_shift"), 6).as("loc_shift"),
+          round(col("cusum_up"), 6).as("cusum_up"),
+          round(col("cusum_dn"), 6).as("cusum_dn"), col("cusum_alarm"))
+        .orderBy("hour_start")
+    }),
+
     "modify_quantile_normalize" -> ((s, dir) => {
       // expression-array quantile normalization: all columns forced to the
       // shared rank-mean distribution; ONE Tungsten range sort carries the
@@ -4067,6 +4093,60 @@ object SparkEntry {
        |FROM cd WHERE hamming <= 10 ORDER BY id1, id2""".stripMargin
   }
 
+  /** Shared by events_drift_monitor and events_drift_vector (the two
+    * scoring forms are bit-identical by the shared scoreFolded
+    * expressions — spec-asserted). Full replay: reference equi-depth
+    * edges (quantile_cont = the engine's type-7), per-bin reference
+    * proportions, per-hour window bin proportions, PSI with the eps
+    * floor, binned KS via windowed cumulative sums over the bin order,
+    * verdict bands on raw psi, CUSUM prefix form. */
+  private def driftMonitorOracleSql: String = {
+    val probs = (1 until 10).map(i => s"0.$i").mkString(", ")
+    val binChain = (1 to 9)
+      .map(i => s"(CASE WHEN value > be[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH refv AS (SELECT CAST(value AS DOUBLE) AS value FROM events
+           WHERE ts < TIMESTAMP '2024-01-02 00:00:00' AND value IS NOT NULL),
+       b AS (SELECT quantile_cont(value, [$probs]) AS be FROM refv),
+       refb AS (SELECT $binChain AS bin, count(*) AS n FROM refv, b GROUP BY 1),
+       reft AS (SELECT sum(n) AS t FROM refb),
+       props AS (SELECT g.bin, CAST(coalesce(refb.n, 0) AS DOUBLE) / reft.t AS p
+         FROM generate_series(0, 9) g(bin) LEFT JOIN refb USING (bin), reft),
+       curv AS (SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+           $binChain AS bin
+         FROM events, b WHERE value IS NOT NULL),
+       curb AS (SELECT hour_start, bin, count(*) AS n FROM curv GROUP BY 1, 2),
+       curt AS (SELECT hour_start, sum(n) AS t FROM curb GROUP BY 1),
+       cells AS (SELECT curt.hour_start, props.bin, props.p, curt.t,
+           CAST(coalesce(curb.n, 0) AS DOUBLE) / curt.t AS q
+         FROM curt CROSS JOIN props
+         LEFT JOIN curb ON curb.hour_start = curt.hour_start AND curb.bin = props.bin),
+       cums AS (SELECT hour_start, t,
+           greatest(p, 1.0e-6) AS pf, greatest(q, 1.0e-6) AS qf,
+           sum(p) OVER (PARTITION BY hour_start ORDER BY bin) AS cp,
+           sum(q) OVER (PARTITION BY hour_start ORDER BY bin) AS cq
+         FROM cells),
+       scored AS (SELECT hour_start, CAST(max(t) AS BIGINT) AS n,
+           sum((pf - qf) * ln(pf / qf)) AS psi_raw,
+           max(abs(cp - cq)) AS ks_raw
+         FROM cums GROUP BY 1),
+       mu AS (SELECT sum(bin * p) AS m FROM props),
+       locs AS (SELECT hour_start, sum(bin * q) AS mq FROM cells GROUP BY 1),
+       ser AS (SELECT hour_start, mq - mu.m AS d FROM locs, mu),
+       pre AS (SELECT hour_start, d, sum(d) OVER (ORDER BY hour_start) AS p FROM ser),
+       cus AS (SELECT hour_start, d,
+           p - least(0.0, min(p) OVER (ORDER BY hour_start)) AS s_up,
+           greatest(0.0, max(p) OVER (ORDER BY hour_start)) - p AS s_dn
+         FROM pre)
+       SELECT scored.hour_start, n, round(psi_raw, 6) AS psi,
+         round(ks_raw, 6) AS ks_binned,
+         CASE WHEN psi_raw >= 0.25 THEN 'action'
+              WHEN psi_raw >= 0.1 THEN 'warning' ELSE 'stable' END AS verdict,
+         round(d, 6) AS loc_shift, round(s_up, 6) AS cusum_up,
+         round(s_dn, 6) AS cusum_dn,
+         greatest(s_up, s_dn) > 1.0 AS cusum_alarm
+       FROM scored JOIN cus USING (hour_start) ORDER BY hour_start"""
+  }
+
   private def simhashOracleSql: String =
     s"""WITH d AS (
        |  SELECT CAST(doc_id AS VARCHAR) AS id, lower(text) AS lt
@@ -6735,56 +6815,10 @@ object SparkEntry {
            CAST(floor(epoch(min(hour) FILTER (WHERE alarm))) AS BIGINT) AS first_alarm_hour
          FROM a GROUP BY 1 ORDER BY 1""",
 
-    "events_drift_monitor" -> {
-      // full replay: reference equi-depth edges (quantile_cont = the
-      // engine's type-7), per-bin reference proportions, per-hour window
-      // bin proportions, PSI with the eps floor, binned KS via windowed
-      // cumulative sums over the bin order, verdict bands on raw psi
-      val probs = (1 until 10).map(i => s"0.$i").mkString(", ")
-      val binChain = (1 to 9)
-        .map(i => s"(CASE WHEN value > be[$i] THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH refv AS (SELECT CAST(value AS DOUBLE) AS value FROM events
-             WHERE ts < TIMESTAMP '2024-01-02 00:00:00' AND value IS NOT NULL),
-         b AS (SELECT quantile_cont(value, [$probs]) AS be FROM refv),
-         refb AS (SELECT $binChain AS bin, count(*) AS n FROM refv, b GROUP BY 1),
-         reft AS (SELECT sum(n) AS t FROM refb),
-         props AS (SELECT g.bin, CAST(coalesce(refb.n, 0) AS DOUBLE) / reft.t AS p
-           FROM generate_series(0, 9) g(bin) LEFT JOIN refb USING (bin), reft),
-         curv AS (SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
-             $binChain AS bin
-           FROM events, b WHERE value IS NOT NULL),
-         curb AS (SELECT hour_start, bin, count(*) AS n FROM curv GROUP BY 1, 2),
-         curt AS (SELECT hour_start, sum(n) AS t FROM curb GROUP BY 1),
-         cells AS (SELECT curt.hour_start, props.bin, props.p, curt.t,
-             CAST(coalesce(curb.n, 0) AS DOUBLE) / curt.t AS q
-           FROM curt CROSS JOIN props
-           LEFT JOIN curb ON curb.hour_start = curt.hour_start AND curb.bin = props.bin),
-         cums AS (SELECT hour_start, t,
-             greatest(p, 1.0e-6) AS pf, greatest(q, 1.0e-6) AS qf,
-             sum(p) OVER (PARTITION BY hour_start ORDER BY bin) AS cp,
-             sum(q) OVER (PARTITION BY hour_start ORDER BY bin) AS cq
-           FROM cells),
-         scored AS (SELECT hour_start, CAST(max(t) AS BIGINT) AS n,
-             sum((pf - qf) * ln(pf / qf)) AS psi_raw,
-             max(abs(cp - cq)) AS ks_raw
-           FROM cums GROUP BY 1),
-         mu AS (SELECT sum(bin * p) AS m FROM props),
-         locs AS (SELECT hour_start, sum(bin * q) AS mq FROM cells GROUP BY 1),
-         ser AS (SELECT hour_start, mq - mu.m AS d FROM locs, mu),
-         pre AS (SELECT hour_start, d, sum(d) OVER (ORDER BY hour_start) AS p FROM ser),
-         cus AS (SELECT hour_start, d,
-             p - least(0.0, min(p) OVER (ORDER BY hour_start)) AS s_up,
-             greatest(0.0, max(p) OVER (ORDER BY hour_start)) - p AS s_dn
-           FROM pre)
-         SELECT scored.hour_start, n, round(psi_raw, 6) AS psi,
-           round(ks_raw, 6) AS ks_binned,
-           CASE WHEN psi_raw >= 0.25 THEN 'action'
-                WHEN psi_raw >= 0.1 THEN 'warning' ELSE 'stable' END AS verdict,
-           round(d, 6) AS loc_shift, round(s_up, 6) AS cusum_up,
-           round(s_dn, 6) AS cusum_dn,
-           greatest(s_up, s_dn) > 1.0 AS cusum_alarm
-         FROM scored JOIN cus USING (hour_start) ORDER BY hour_start"""
-    },
+    "events_drift_monitor" -> driftMonitorOracleSql,
+    // the vector-scored form is bit-identical by construction (shared
+    // scoreFolded expressions, spec-asserted) — same replay
+    "events_drift_vector" -> driftMonitorOracleSql,
 
     "modify_quantile_normalize" ->
       """WITH src AS (SELECT l_orderkey * 10 + l_linenumber AS rid,

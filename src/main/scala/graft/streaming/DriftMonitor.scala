@@ -86,14 +86,24 @@ object DriftMonitor {
                   warn: Double = 0.1, action: Double = 0.25): DataFrame = {
     require(eps > 0 && warn > 0 && action > warn,
       s"need 0 < eps, 0 < warn < action: ($eps, $warn, $action)")
-    val bins = ref.bins
-    val propsLit = array(ref.props.map(lit): _*)
     val agged = binned.groupBy(col("window"))
       .agg(sum(col("__n")).as("n"),
         map_from_entries(collect_list(struct(col("__bin"), col("__n")))).as("__m"))
     val t = col("n").cast("double")
     def qRaw(b: Column): Column =
       coalesce(element_at(col("__m"), b), lit(0L)).cast("double") / t
+    scoreFolded(agged, ref, eps, warn, action, qRaw)
+  }
+
+  /** The shared psi/ks/loc bin folds over any per-window frame exposing
+    * `window` + `n` and a per-bin proportion accessor — ONE definition so
+    * the map-keyed ([[scoreBinned]]) and vector ([[scoreVector]]) forms
+    * can never drift apart bit-wise. */
+  private def scoreFolded(agged: DataFrame, ref: DriftReference, eps: Double,
+                          warn: Double, action: Double,
+                          qRaw: Column => Column): DataFrame = {
+    val bins = ref.bins
+    val propsLit = array(ref.props.map(lit): _*)
     val psi = aggregate(sequence(lit(0), lit(bins - 1)), lit(0.0),
       (acc, b) => {
         val p = greatest(element_at(propsLit, b + 1), lit(eps))
@@ -122,6 +132,36 @@ object DriftMonitor {
       .withColumn("verdict",
         when(col("psi") >= action, "action")
           .when(col("psi") >= warn, "warning").otherwise("stable"))
+  }
+
+  /** ONE-aggregation per-window bin-count VECTOR: per-bin conditional
+    * sums inside the windowed aggregation itself, so no second streaming
+    * aggregation is needed and the scoring becomes a STATELESS projection
+    * ([[scoreVector]]) — which is what lets a downstream stateful
+    * operator (the durable CUSUM) legally chain in append mode. Same
+    * counts as [[windowedBinCounts]], different shape: one row per
+    * window, `__bins[b]` = count in bin b (bins that the (window, bin)
+    * form omits appear as 0 — scoreBinned coalesces the same way). */
+  def windowedBinVector(events: DataFrame, tsCol: String, valueCol: String,
+                        ref: DriftReference, windowLen: String): DataFrame =
+    events.filter(col(valueCol).isNotNull)
+      .withColumn("__bin", binOf(col(valueCol).cast("double"), ref.edges))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n"),
+        array((0 until ref.bins).map(b =>
+          sum(when(col("__bin") === b, 1L).otherwise(0L))): _*).as("__bins"))
+
+  /** Stateless scoring over [[windowedBinVector]] rows — the same
+    * [[scoreFolded]] expressions with the array accessor, so
+    * scoreVector(windowedBinVector(df)) ≡ scoreBinned(windowedBinCounts
+    * (df)) bit-wise (parity-tested). */
+  def scoreVector(binned: DataFrame, ref: DriftReference, eps: Double = 1e-6,
+                  warn: Double = 0.1, action: Double = 0.25): DataFrame = {
+    require(eps > 0 && warn > 0 && action > warn,
+      s"need 0 < eps, 0 < warn < action: ($eps, $warn, $action)")
+    val t = col("n").cast("double")
+    def qRaw(b: Column): Column = element_at(col("__bins"), b + 1).cast("double") / t
+    scoreFolded(binned, ref, eps, warn, action, qRaw)
   }
 
   /** CUSUM over the WINDOW SEQUENCE (VERDICT r12 #5) — the cross-window
@@ -191,11 +231,10 @@ object DriftMonitor {
     * retried/replayed micro-batch is detected by its batchId and SKIPPED
     * entirely — double-stepping the CUSUM prefix sums would diverge from
     * the batch [[cusumBinnedScores]] parity (the replayed windows' scores
-    * were already delivered once). The tracker is DRIVER state — it does
-    * NOT survive a query restart from checkpoint: after a restart the
-    * CUSUM resumes from zero at the restart point. Re-seed by replaying
-    * the already-scored windows through [[cusumBinnedScores]] if exact
-    * continuity across restarts matters. */
+    * were already delivered once). The tracker here is DRIVER state and
+    * dies with the query — for a CUSUM that must survive a restart from
+    * checkpoint, use [[durableDriftMonitor]], which holds the same four
+    * prefix/extremum numbers in the checkpointed state store. */
   def startDriftMonitor(events: DataFrame, tsCol: String, valueCol: String,
                         ref: DriftReference, windowLen: String,
                         watermark: String, eps: Double = 1e-6,
@@ -227,5 +266,87 @@ object DriftMonitor {
         }
       }
       .start()
+  }
+
+  /** A scored closed window (the [[scoreVector]] row shape, typed). */
+  final case class ScoredWindow(window_start: java.sql.Timestamp,
+                                window_end: java.sql.Timestamp, n: Long,
+                                psi: Double, ks_binned: Double,
+                                loc_shift: Double, verdict: String)
+
+  /** [[ScoredWindow]] + the CUSUM columns [[cusumBinnedScores]] appends. */
+  final case class DriftCusumRow(window_start: java.sql.Timestamp,
+                                 window_end: java.sql.Timestamp, n: Long,
+                                 psi: Double, ks_binned: Double,
+                                 loc_shift: Double, verdict: String,
+                                 cusum_up: Double, cusum_dn: Double,
+                                 cusum_alarm: Boolean)
+
+  /** The four CUSUM recurrence numbers (two prefix sums + their running
+    * extrema) — the whole cross-window state, checkpointed. */
+  final case class CusumState(pu: Double, pd: Double, minPu: Double,
+                              maxPd: Double)
+
+  /** Checkpointed CUSUM over scored closed windows: the
+    * [[CusumTracker]] recurrence as a single-key `transformWithState`
+    * processor. Windows CLOSE in event-time order across micro-batches
+    * (monotone watermark), but several may close in ONE batch in
+    * arbitrary row order — sorted by window_start before stepping, the
+    * same order the batch window frame sums in, with the same float
+    * associativity (pu + (d − slack)), so stream ≡ batch to the last
+    * bit. State commits atomically with the batch offsets: replays
+    * re-step from the pre-batch state (no batchId dedup needed) and a
+    * restart CONTINUES the recurrence. */
+  final class CusumProcessor(slack: Double, threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, ScoredWindow, DriftCusumRow] {
+    import org.apache.spark.sql.streaming.ValueState
+    @transient private var st: ValueState[CusumState] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum",
+        org.apache.spark.sql.Encoders.product[CusumState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Int, rows: Iterator[ScoredWindow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DriftCusumRow] = {
+      var s = Option(st.get()).getOrElse(CusumState(0.0, 0.0, 0.0, 0.0))
+      val out = rows.toArray.sortBy(_.window_start.getTime).map { r =>
+        val pu = s.pu + (r.loc_shift - slack)
+        val pd = s.pd + (r.loc_shift + slack)
+        s = CusumState(pu, pd, math.min(s.minPu, pu), math.max(s.maxPd, pd))
+        val up = pu - s.minPu; val dn = s.maxPd - pd
+        DriftCusumRow(r.window_start, r.window_end, r.n, r.psi, r.ks_binned,
+          r.loc_shift, r.verdict, up, dn, math.max(up, dn) > threshold)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** RESTART-DURABLE drift gate (VERDICT r14 #2): the same windowed
+    * PSI/KS/loc scoring as [[startDriftMonitor]], but expressed as ONE
+    * windowed aggregation ([[windowedBinVector]]) + stateless scoring
+    * ([[scoreVector]]) + a checkpointed CUSUM (`transformWithState`), so
+    * the whole pipeline — window state AND the cross-window recurrence —
+    * survives kill-and-restart from the checkpoint (parity-tested
+    * against batch [[cusumBinnedScores]] ACROSS a restart). Emits one
+    * append-mode row per closed window; attach
+    * `.writeStream.option("checkpointLocation", ...)`. Requires the
+    * RocksDB state store (the production backend). */
+  def durableDriftMonitor(events: DataFrame, tsCol: String, valueCol: String,
+                          ref: DriftReference, windowLen: String,
+                          watermark: String, eps: Double = 1e-6,
+                          warn: Double = 0.1, action: Double = 0.25,
+                          slack: Double = 0.0, cusumThreshold: Double = 1.0)
+      : org.apache.spark.sql.Dataset[DriftCusumRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    scoreVector(windowedBinVector(events.withWatermark(tsCol, watermark),
+        tsCol, valueCol, ref, windowLen), ref, eps, warn, action)
+      .as[ScoredWindow]
+      .groupByKey(_ => 0)
+      .transformWithState(new CusumProcessor(slack, cusumThreshold),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
   }
 }

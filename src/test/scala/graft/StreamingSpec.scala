@@ -106,6 +106,142 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("durableStreamHeavyHitters: checkpointed sketch survives kill-and-restart") {
+    import spark.implicits._
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("hh_durable")
+      val srcDir = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val chunkA = Seq("a a a b", "b c", "a b b d e")
+      val chunkB = Seq("c c c c a", "a a e")
+      val snaps = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      def runOnce(): Unit = {
+        val stream = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+          .parquet(srcDir)
+        val q = graft.pipeline.SpaceSaving
+          .durableStreamHeavyHitters(stream, "text", capacity = 100)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[
+              graft.pipeline.SpaceSaving.HeavyHitterRow], _: Long) =>
+            val rows = b.collect()
+            if (rows.nonEmpty) snaps.synchronized {
+              snaps.clear()
+              rows.foreach(r => snaps(r.word) = (r.estimate, r.err))
+            }
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      chunkA.toDF("text").write.mode("append").parquet(srcDir)
+      runOnce() // phase A: count chunkA, checkpoint, KILL
+      val afterA = snaps.toMap
+      val truthA = chunkA.flatMap(_.split("\\s+")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      assert(afterA.view.mapValues(_._1).toMap === truthA)
+      chunkB.toDF("text").write.mode("append").parquet(srcDir)
+      runOnce() // phase B: a FRESH query resumes from the checkpoint
+      // exact regime (capacity >> vocab): the resumed cumulative sketch
+      // must equal batch counts over A ∪ B — driver state would have
+      // restarted from zero and reported only B
+      val truth = (chunkA ++ chunkB).flatMap(_.split("\\s+"))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(snaps.view.mapValues(_._1).toMap === truth,
+        s"restart lost sketch state: $snaps vs $truth")
+      assert(snaps.values.forall(_._2 == 0L), "exact regime: zero error")
+    }
+  }
+
+  test("durableDriftMonitor: vector scoring == binned scoring; CUSUM survives kill-and-restart") {
+    import spark.implicits._
+    import graft.streaming.DriftMonitor
+    val ref = DriftMonitor.buildReference(
+      (1 to 1000).map(_.toDouble).toDF("value"), "value", bins = 10)
+    // hour 0 leans LOW (values 1..793 -> negative loc_shift, nonzero CUSUM
+    // state to lose); hour 1 is all-top-decile (alarm)
+    val hour0 = (0 until 100).map(i => (ts(i * 36L), (i * 8 + 1).toDouble))
+    val hour1 = (0 until 100).map(i => (ts(3600L + i * 35L), 990.0 + (i % 10)))
+    val batchDf = (hour0 ++ hour1).toDF("ts", "value")
+    def dec(d: Double) = BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // the chained-safe vector form must match the (window, bin) form
+    // bit-wise on the same batch data (shared scoreFolded expressions)
+    val viaVector = DriftMonitor.scoreVector(
+        DriftMonitor.windowedBinVector(batchDf, "ts", "value", ref, "1 hour"), ref)
+      .orderBy("window_start").collect().map(_.toSeq)
+    val viaBinned = DriftMonitor.scoreBinned(
+        DriftMonitor.windowedBinCounts(batchDf, "ts", "value", ref, "1 hour"), ref)
+      .orderBy("window_start").collect().map(_.toSeq)
+    assert(viaVector.toSeq === viaBinned.toSeq, "vector/binned scoring diverged")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 1000, r.getLong(2), dec(r.getDouble(3)),
+        dec(r.getDouble(4)), r.getString(6), dec(r.getDouble(5)),
+        dec(r.getDouble(r.fieldIndex("cusum_up"))),
+        dec(r.getDouble(r.fieldIndex("cusum_dn"))),
+        r.getBoolean(r.fieldIndex("cusum_alarm")))
+    val want = DriftMonitor.cusumBinnedScores(
+        DriftMonitor.windowedDrift(batchDf, "ts", "value", ref, "1 hour"))
+      .collect().map(key).toSet
+    assert(want.size === 2)
+
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("drift_durable")
+      val srcDir = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val got = scala.collection.mutable.Set.empty[(Long, Long, BigDecimal,
+        BigDecimal, String, BigDecimal, BigDecimal, BigDecimal, Boolean)]
+      def runOnce(): Unit = {
+        val stream = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))))
+          .parquet(srcDir)
+        val q = DriftMonitor.durableDriftMonitor(stream, "ts", "value", ref,
+            "1 hour", "30 minutes")
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            got.synchronized { got ++= b.collect().map(key) }
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // phase A: hour0 arrives, then hour1 — the advancing watermark
+      // closes hour 0, its CUSUM row lands in the checkpointed state; KILL
+      hour0.toDF("ts", "value").write.mode("append").parquet(srcDir)
+      runOnce()
+      hour1.toDF("ts", "value").write.mode("append").parquet(srcDir)
+      runOnce()
+      assert(got.size === 1, s"hour0 should have closed in phase A: $got")
+      // phase B: a sentinel closes hour 1 in a FRESH query from the same
+      // checkpoint — its cusum columns must CONTINUE hour0's prefix sums
+      // (a restart-from-zero tracker would differ at 9 decimals)
+      Seq((ts(12000L), 5.0)).toDF("ts", "value")
+        .write.mode("append").parquet(srcDir)
+      runOnce()
+      assert(got.toSet === want,
+        s"restart broke CUSUM continuity:\n  stream $got\n  batch $want")
+    }
+  }
+
   test("streamHeavyHitters: cumulative guaranteed report equals the batch report in the gap regime") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
