@@ -2830,6 +2830,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_unigram_apply" -> ((s, dir) => {
+      // unigram-LM tokenizer (SentencePiece family, Kudo 2018) with the
+      // DETERMINISTIC integer hard-EM: seed substrings -> 2 Viterbi
+      // E-steps with count-as-score M-steps -> prune -> apply. Trained on
+      // the FULL corpus (one scan to word counts, vocab-local EM); the
+      // oracle replays seeding, BOTH EM rounds, the prune, and the final
+      // segmentation as unrolled integer DP chains in SQL. Output sliced
+      // to doc_id < 300 (row-bounded); training is unsliced.
+      val d = t(s, dir, "documents")
+      val pieces = Text.unigramTrain(d, "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      Text.unigramApply(d, "text", "doc_id", pieces)
+        .filter(col("doc_id") < 300)
+        .orderBy("doc_id")
+    }),
+
+    "text_tokenizer_fertility_ab" -> ((s, dir) =>
+      // the tokenizer-family A/B (VERDICT r14 #5): BPE and unigram-LM
+      // trained on the SAME corpus, applied everywhere, per-language
+      // fertility side by side — the vocab-budget question
+      // text_bpe_fertility half-answers, now answered across families.
+      // Both trainings run on the full table (matching both oracle
+      // chains); null-lang groups drop at the rollup.
+      Text.tokenizerFertilityAb(t(s, dir, "documents"), "text", "doc_id",
+          "lang", numMerges = 8)
+        .filter(col("lang").isNotNull)
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_bpe_tokens"), col("n_unigram_tokens"),
+          round(col("bpe_fertility"), 6).as("bpe_fertility"),
+          round(col("unigram_fertility"), 6).as("unigram_fertility"))
+        .orderBy("lang")),
+
     "text_tfidf_topk" -> ((s, dir) =>
       Text.tfidfTopK(t(s, dir, "documents"), "text", "doc_id",
           topK = 3, minDf = 2L)
@@ -4339,6 +4371,94 @@ object SparkEntry {
        w0 AS (SELECT array_to_string(list_transform(range(length(word)),
                 k -> substr(word, CAST(k AS INT) + 1, 1)), ' ') AS sym, cnt FROM wd),
        $steps"""
+  }
+
+  /** One unigram Viterbi segmentation pass as an unrolled integer DP
+    * chain: d{tag}_0..d{tag}_18 (best state per word per position under
+    * the (np ASC, sc DESC, path ASC) total order — Text.uniBetter
+    * verbatim) + seg{tag} (the final state of every word). Pieces up to
+    * length 3; words up to length 18 (the Text.unigramTrain caps). */
+  private def unigramDpSql(tag: String, vocab: String): String = {
+    val M = 18
+    val steps = (1 to M).map { i =>
+      val cands = (1 to math.min(3, i)).map { j =>
+        s"""SELECT d.word, d.cnt, d.np + 1 AS np, d.sc + v.cnt AS sc,
+           CASE WHEN d.path = '' THEN v.piece
+                ELSE d.path || chr(1) || v.piece END AS path
+           FROM (SELECT word, cnt, np, sc, path,
+                   substr(word, ${i - j + 1}, $j) AS pc
+                 FROM d${tag}_${i - j} WHERE length(word) >= $i) d
+           JOIN $vocab v ON v.piece = d.pc"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""d${tag}_$i AS MATERIALIZED (SELECT word, cnt, np, sc, path FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY word ORDER BY np, sc DESC, path) AS rn
+         FROM ($cands)) WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    val collect = (1 to M).map(i =>
+      s"SELECT word, cnt, np, sc, path FROM d${tag}_$i WHERE length(word) = $i")
+      .mkString("\n         UNION ALL\n         ")
+    s"""d${tag}_0 AS MATERIALIZED (SELECT word, cnt, 0 AS np, CAST(0 AS BIGINT) AS sc,
+         '' AS path FROM uwd),
+       $steps,
+       seg$tag AS ($collect)"""
+  }
+
+  /** Full Text.unigramTrain replay (defaults: seedMulti 60, 2 EM rounds,
+    * vocabSize 80, pieces <= 3 chars, words <= 18 chars): normalized word
+    * counts -> occurrence-counted substring seeds (+ all single chars) ->
+    * E1/M1 -> E2/M2 (zero-usage multigrams drop, chars persist) -> prune
+    * (top-80 multigrams + chars) -> final apply segmentation `segf`.
+    * Exposes `wtok` (word -> token count) and `udwc` (per-doc word
+    * counts, NO length cap — excluded words char-fallback via the LEFT
+    * JOIN coalesce, exactly Text.unigramApply). */
+  private def unigramTrainCtes: String = {
+    def usage(seg: String) =
+      s"""(SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         SELECT unnest(string_split(path, chr(1))) AS piece, cnt FROM $seg)
+         GROUP BY 1)"""
+    def nextVocab(prevV: String, uc: String) =
+      s"""MATERIALIZED (SELECT c.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt
+         FROM (SELECT piece FROM $prevV WHERE length(piece) = 1) c
+         LEFT JOIN $uc u USING (piece)
+         UNION ALL
+         SELECT piece, cnt FROM $uc WHERE length(piece) > 1)"""
+    s"""uwr AS (SELECT doc_id,
+           trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
+         FROM documents),
+       uaw AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM uwr),
+       uwd AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM uaw
+               WHERE length(word) > 0 AND length(word) <= 18
+                 AND NOT contains(word, chr(1)) AND NOT contains(word, chr(2))
+               GROUP BY 1),
+       subs AS (SELECT substr(word, s.range + 1, l.range + 2) AS piece, cnt
+                FROM uwd, range(18) s, range(2) l
+                WHERE s.range + l.range + 2 <= length(word)),
+       seedm AS (SELECT piece, cnt FROM (
+                 SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+                 FROM subs GROUP BY 1)
+                 ORDER BY cnt DESC, piece ASC LIMIT 60),
+       seedc AS (SELECT substr(word, s.range + 1, 1) AS piece,
+                   CAST(sum(cnt) AS BIGINT) AS cnt
+                 FROM uwd, range(18) s WHERE s.range < length(word)
+                 GROUP BY 1),
+       v1 AS MATERIALIZED (SELECT piece, cnt FROM seedc
+              UNION ALL SELECT piece, cnt FROM seedm),
+       ${unigramDpSql("e1", "v1")},
+       uc1 AS ${usage("sege1")},
+       v2 AS ${nextVocab("v1", "uc1")},
+       ${unigramDpSql("e2", "v2")},
+       uc2 AS ${usage("sege2")},
+       v3 AS ${nextVocab("v2", "uc2")},
+       vf AS MATERIALIZED (SELECT piece, cnt FROM v3 WHERE length(piece) = 1
+              UNION ALL
+              SELECT piece, cnt FROM (
+                SELECT piece, cnt FROM v3 WHERE length(piece) > 1
+                ORDER BY cnt DESC, piece ASC LIMIT 80)),
+       ${unigramDpSql("f", "vf")},
+       wtok AS MATERIALIZED (SELECT word, CAST(np AS BIGINT) AS tok FROM segf),
+       udwc AS MATERIALIZED (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+                FROM uaw WHERE length(word) > 0 GROUP BY 1, 2)"""
   }
 
   private def logisticIrlsOracleSql: String =
@@ -7426,6 +7546,55 @@ object SparkEntry {
         .mkString(" UNION ALL ")
       s"""WITH ${bpeTrainCtes(n)}
          SELECT * FROM ($sel) ORDER BY step"""
+    },
+
+    "text_unigram_apply" -> {
+      // full unigram-LM training replay (seed -> EM x2 -> prune) + the
+      // final Viterbi apply, all as unrolled integer DP chains; words
+      // over 18 chars or with separator bytes char-fallback via the
+      // LEFT JOIN coalesce
+      s"""WITH $unigramTrainCtes
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(c * length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(c * coalesce(w.tok, length(word))) AS BIGINT)
+             AS n_unigram_tokens
+         FROM udwc LEFT JOIN wtok w USING (word)
+         WHERE doc_id < 300
+         GROUP BY 1 ORDER BY 1"""
+    },
+
+    "text_tokenizer_fertility_ab" -> {
+      // BOTH tokenizer-family training replays on the same corpus: the
+      // 8-round BPE chain and the unigram seed/EM/prune/apply chain,
+      // joined per language
+      val n = 8
+      s"""WITH ${bpeTrainCtes(n)},
+         dwords AS (SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS word
+           FROM documents),
+         dw0 AS (SELECT doc_id, word, array_to_string(list_transform(range(length(word)),
+                  k -> substr(word, CAST(k AS INT) + 1, 1)), ' ') AS sym
+                 FROM dwords WHERE length(word) > 0 AND NOT contains(word, chr(2))),
+         ${bpeApplyChainSql(n)},
+         perbpe AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_bpe
+           FROM dw$n GROUP BY 1),
+         $unigramTrainCtes,
+         peruni AS (SELECT doc_id,
+             CAST(sum(c * coalesce(w.tok, length(word))) AS BIGINT) AS n_uni
+           FROM udwc LEFT JOIN wtok w USING (word) GROUP BY 1)
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_words) AS BIGINT) AS n_words,
+           CAST(sum(b.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(u.n_uni) AS BIGINT) AS n_unigram_tokens,
+           round(CAST(sum(b.n_bpe) AS DOUBLE) / CAST(sum(b.n_words) AS DOUBLE), 6)
+             AS bpe_fertility,
+           round(CAST(sum(u.n_uni) AS DOUBLE) / CAST(sum(b.n_words) AS DOUBLE), 6)
+             AS unigram_fertility
+         FROM perbpe b JOIN peruni u USING (doc_id)
+         JOIN documents d USING (doc_id)
+         WHERE d.lang IS NOT NULL
+         GROUP BY 1 ORDER BY 1"""
     },
 
     "text_bpe_fertility" -> {

@@ -1340,6 +1340,230 @@ object Text {
         col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
   }
 
+  // ------------------------------------------------ unigram-LM tokenizer
+
+  /** Unigram-LM segmentation state: (pieces used, summed piece count,
+    * path = pieces joined by U+0001). The TOTAL ORDER (np asc, sc desc,
+    * path asc) is graft's deterministic integer surrogate for the
+    * unigram-LM objective (Kudo 2018): with every piece probability far
+    * below 1, the true log-likelihood is dominated by the piece COUNT
+    * (each extra piece multiplies by p << 1), so fewest-pieces-first is
+    * the leading term; among equal-length segmentations the summed
+    * integer count prefers frequent pieces; the path itself breaks exact
+    * ties (equal-np paths over the same prefix have EQUAL string length,
+    * so lexicographic order is preserved under common suffix append —
+    * which is what makes the Viterbi DP exact under this order). Pure
+    * int64: partitioning-, engine-, and SQL-replayable. */
+  private[graft] final case class UniSeg(np: Int, sc: Long, path: String)
+
+  private[graft] def uniBetter(a: UniSeg, b: UniSeg): Boolean =
+    a.np < b.np || (a.np == b.np && (a.sc > b.sc ||
+      (a.sc == b.sc && a.path < b.path)))
+
+  /** Exact Viterbi segmentation of one word under the deterministic
+    * order; None when no piece cover exists (an unseen character). */
+  private[graft] def unigramViterbi(word: String, pieces: Map[String, Long],
+                                       maxPieceLen: Int): Option[UniSeg] = {
+    val n = word.length
+    val dp = new Array[UniSeg](n + 1)
+    dp(0) = UniSeg(0, 0L, "")
+    var i = 1
+    while (i <= n) {
+      var best: UniSeg = null
+      var j = 1
+      while (j <= math.min(maxPieceLen, i)) {
+        val prev = dp(i - j)
+        if (prev != null) {
+          val piece = word.substring(i - j, i)
+          pieces.get(piece).foreach { c =>
+            val cand = UniSeg(prev.np + 1, prev.sc + c,
+              if (prev.path.isEmpty) piece else prev.path + "\u0001" + piece)
+            if (best == null || uniBetter(cand, best)) best = cand
+          }
+        }
+        j += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    Option(dp(n))
+  }
+
+  /** Unigram-LM (SentencePiece-family, Kudo 2018) tokenizer training with
+    * a fully DETERMINISTIC integer-count hard-EM, SQL-replayable end to
+    * end (the [[bpeTrain]] discipline — the oracle replays seeding, every
+    * EM round, the prune, and the final segmentation from the corpus):
+    *
+    *  1. ONE corpus scan -> (word, cnt) over the normalized whitespace
+    *     words (words longer than `maxWordLen` chars or containing the
+    *     U+0001/U+0002 separators are excluded from training; apply
+    *     counts them by char fallback).
+    *  2. SEED: every substring of length 2..maxPieceLen of every vocab
+    *     word, counted by occurrence (all start positions) x word count;
+    *     keep the top `seedMulti` by (cnt DESC, piece ASC) — plus ALL
+    *     single characters (the fallback alphabet, never pruned).
+    *  3. `emRounds` hard-EM rounds: E = Viterbi-segment every vocab word
+    *     under the current piece scores ([[unigramViterbi]]); M = new
+    *     piece score = its exact usage count (occurrences x word count).
+    *     Multi-char pieces with zero usage drop; single chars persist
+    *     (usage count, possibly 0).
+    *  4. PRUNE to the target: top `vocabSize` multi-char pieces by
+    *     (cnt DESC, piece ASC) + all single chars — the deterministic
+    *     stand-in for unigram's loss-ranked prune.
+    *
+    * Training state is vocabulary-sized on the driver (the production
+    * tokenizer-trainer shape); the corpus is never collected. Gated by
+    * `graft.unigram.maxLocalVocab` (default 2M distinct words) with a
+    * loud refusal — subsample the corpus or raise the cap past it.
+    * Returns (piece, cnt, n_chars) sorted (cnt DESC, piece ASC). */
+  def unigramTrain(docs: DataFrame, textCol: String, seedMulti: Int = 60,
+                   emRounds: Int = 2, vocabSize: Int = 80,
+                   maxPieceLen: Int = 3, maxWordLen: Int = 18,
+                   minCount: Long = 1L): DataFrame = {
+    require(seedMulti >= 0 && vocabSize >= 0 && emRounds >= 1,
+      s"bad params: seedMulti=$seedMulti vocabSize=$vocabSize emRounds=$emRounds")
+    require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
+      s"bad lens: maxPieceLen=$maxPieceLen maxWordLen=$maxWordLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxLocal = spark.conf.getOption("graft.unigram.maxLocalVocab")
+      .map(_.trim.toLong).getOrElse(2000000L)
+    val wc = trainWordCounts(docs, textCol, maxWordLen, minCount)
+    val n = wc.count()
+    require(n <= maxLocal,
+      s"unigramTrain: $n distinct words exceeds graft.unigram.maxLocalVocab=" +
+        s"$maxLocal — subsample the corpus or raise the cap")
+    val words = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+    val model = localUnigramTrain(words, seedMulti, emRounds, vocabSize, maxPieceLen)
+    model.toSeq.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) => (p, c, p.length.toLong) }
+      .toDF("piece", "cnt", "n_chars")
+  }
+
+  /** Shared normalized word-count scan for the unigram trainer/applier:
+    * the [[bpeTrain]] projection plus the unigram-specific exclusions. */
+  private def trainWordCounts(docs: DataFrame, textCol: String,
+                              maxWordLen: Int, minCount: Long): DataFrame =
+    docs.select(explode(split(normalized(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains("\u0001") &&
+        !col("word").contains("\u0002") &&
+        char_length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  private[graft] def localUnigramTrain(words: Array[(String, Long)],
+      seedMulti: Int, emRounds: Int, vocabSize: Int,
+      maxPieceLen: Int): Map[String, Long] = {
+    // seed: occurrence-counted substrings + all single chars
+    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        while (j <= math.min(i + maxPieceLen, w.length)) {
+          val p = w.substring(i, j)
+          seedCounts(p) = seedCounts.getOrElse(p, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val chars = seedCounts.filter(_._1.length == 1)
+    val multi = seedCounts.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    var vocab: Map[String, Long] = (chars ++ multi).toMap
+    // hard-EM rounds: usage-count E-step, count-as-score M-step
+    (1 to emRounds).foreach { _ =>
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, c) =>
+        unigramViterbi(w, vocab, maxPieceLen).foreach { seg =>
+          seg.path.split("\u0001").foreach { p =>
+            usage(p) = usage.getOrElse(p, 0L) + c
+          }
+        }
+      }
+      vocab = vocab.keysIterator.collect {
+        case p if p.length == 1 => p -> usage.getOrElse(p, 0L)
+        case p if usage.getOrElse(p, 0L) > 0 => p -> usage(p)
+      }.toMap
+    }
+    // prune to target: top multi-char by (cnt desc, piece asc) + chars
+    val keptMulti = vocab.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+    (vocab.filter(_._1.length == 1) ++ keptMulti).toMap
+  }
+
+  /** Apply a trained unigram model: Viterbi-segment the DISTINCT words
+    * (the corpus never re-shuffles; the per-word DP runs distributed in
+    * mapPartitions with the O(vocab) piece table in the closure), join
+    * the token counts back to the doc-word counts, and roll up per doc.
+    * Words longer than `maxWordLen` or with no piece cover (an unseen
+    * character) fall back to their char count — deterministic, and
+    * impossible for the training corpus itself (single chars are never
+    * pruned). Returns (idCol, n_words, n_chars, n_unigram_tokens). */
+  def unigramApply(docs: DataFrame, textCol: String, idCol: String,
+                   pieces: Map[String, Long], maxPieceLen: Int = 3,
+                   maxWordLen: Int = 18): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordsAll = docs.select(col(idCol),
+        explode(split(normalized(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val docWord = wordsAll.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("__c"))
+    val vocabTok = wordsAll.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        it.map { w =>
+          val tok =
+            if (w.length > maxWordLen || w.contains("\u0001") || w.contains("\u0002"))
+              w.length.toLong
+            else unigramViterbi(w, pieces, maxPieceLen)
+              .map(_.np.toLong).getOrElse(w.length.toLong)
+          (w, tok)
+        }
+      }.toDF("word", "__tok")
+    docWord.join(vocabTok, Seq("word"))
+      .groupBy(idCol)
+      .agg(sum("__c").as("n_words"),
+        sum(col("__c") * char_length(col("word")).cast("long")).as("n_chars"),
+        sum(col("__c") * col("__tok")).as("n_unigram_tokens"))
+  }
+
+  /** Tokenizer-family A/B ([[bpeFertility]] extended, VERDICT r14 #5):
+    * train BOTH mainstream families on the same corpus — BPE (merge
+    * list, [[bpeTrain]]) and unigram-LM (piece inventory,
+    * [[unigramTrain]]) — apply both, and report per-group fertility side
+    * by side: the vocab-budget question ("which family serves which
+    * language better at this budget") answered in one frame. All counts
+    * exact int64; the fertilities are single divisions. Returns
+    * (groupCol, n_docs, n_words, n_bpe_tokens, n_unigram_tokens,
+    * bpe_fertility, unigram_fertility). */
+  def tokenizerFertilityAb(docs: DataFrame, textCol: String, idCol: String,
+                           groupCol: String, numMerges: Int = 8,
+                           seedMulti: Int = 60, emRounds: Int = 2,
+                           vocabSize: Int = 80): DataFrame = {
+    val merges = bpeTrain(docs, textCol, numMerges)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val pieces = unigramTrain(docs, textCol, seedMulti, emRounds, vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val bpe = bpeApply(docs, textCol, idCol, merges)
+      .select(col(idCol), col("n_words"), col("n_bpe_tokens"))
+    val uni = unigramApply(docs, textCol, idCol, pieces)
+      .select(col(idCol), col("n_unigram_tokens"))
+    bpe.join(uni, Seq(idCol))
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        sum("n_unigram_tokens").as("n_unigram_tokens"))
+      .withColumn("bpe_fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("unigram_fertility",
+        col("n_unigram_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
   /** Kernel for [[graft.functions.WinnowPrints]]: winnowing selection
     * over a pre-split word array. Semantics IDENTICAL to the original
     * column-algebra form (and the DuckDB oracle): gram hash = first 15

@@ -2031,6 +2031,93 @@ class PipelineSpec extends SparkSpec {
     assert(out("head")._1 <= 30L)
   }
 
+  test("unigramViterbi: DP equals brute-force enumeration under the deterministic order") {
+    import graft.pipeline.Text
+    // brute-force reference: enumerate EVERY segmentation, pick best by
+    // the same (np asc, sc desc, path asc) total order
+    def brute(w: String, pieces: Map[String, Long], maxLen: Int): Option[Text.UniSeg] = {
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(maxLen, s.length)).flatMap { j =>
+          val p = s.substring(0, j)
+          if (pieces.contains(p)) segs(s.substring(j)).map(p :: _) else Nil
+        }
+      val all = segs(w).map { ps =>
+        Text.UniSeg(ps.length, ps.map(pieces).sum, ps.mkString("\u0001"))
+      }
+      all.sortWith(Text.uniBetter).headOption
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    // piece table with deliberate count TIES to exercise every tie-break
+    val pieces: Map[String, Long] =
+      (alphabet.map(c => c.toString -> 5L) ++
+        Seq("ab" -> 9L, "bc" -> 9L, "cd" -> 9L, "abc" -> 9L, "bcd" -> 9L,
+          "aa" -> 3L, "ba" -> 3L)).toMap
+    for (_ <- 0 until 300) {
+      val w = (0 until (1 + rnd.nextInt(9)))
+        .map(_ => alphabet(rnd.nextInt(4))).mkString
+      val dp = Text.unigramViterbi(w, pieces, 3)
+      assert(dp === brute(w, pieces, 3), s"word $w")
+    }
+    // unseen char: no cover
+    assert(Text.unigramViterbi("axz", pieces, 3).isEmpty)
+  }
+
+  test("unigramTrain/apply: EM keeps frequent multigrams, fertility <= 1 token/word on a repetitive corpus") {
+    import spark.implicits._
+    // corpus dominated by two words: 'abab' and 'cd' — EM must keep the
+    // frequent multi-char pieces and segment them in 1-2 tokens
+    val docs = (0 until 50).map(i => (i.toLong, "abab cd abab cd abab"))
+      .toDF("doc_id", "text")
+    val model = graft.pipeline.Text.unigramTrain(docs, "text",
+        seedMulti = 10, emRounds = 2, vocabSize = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // single chars survive (never pruned), frequent pieces present
+    assert("abcd".forall(c => model.contains(c.toString)), model.toString)
+    assert(model.contains("cd") || model.contains("ab"), model.toString)
+    val out = graft.pipeline.Text.unigramApply(docs, "text", "doc_id", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.foreach { case (_, nWords, nChars, nTok) =>
+      assert(nWords === 5L && nChars === 3L * 4 + 2 * 2)
+      // 'abab' -> at most 2 pieces, 'cd' -> 1: 5 words segment in <= 8
+      assert(nTok <= 8L, s"tokens $nTok")
+    }
+    // determinism: a second train over a repartitioned corpus is identical
+    val model2 = graft.pipeline.Text.unigramTrain(docs.repartition(7), "text",
+        seedMulti = 10, emRounds = 2, vocabSize = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(model2 === model)
+    // char fallback: unseen chars and over-length words count as chars
+    val weird = Seq((99L, "zzzz " + "a" * 30)).toDF("doc_id", "text")
+    val fb = graft.pipeline.Text.unigramApply(weird, "text", "doc_id", model)
+      .collect().head
+    assert(fb.getLong(3) === 4L + 30L, fb.toString)
+  }
+
+  test("tokenizerFertilityAb: both families report on the same frame, ratios consistent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa", "the cat sat on the mat the cat"),
+      (2L, "aa", "the cat ran to the mat"),
+      (3L, "bb", "zq xv wj kp zq")).toDF("doc_id", "lang", "text")
+    val ab = graft.pipeline.Text.tokenizerFertilityAb(
+        docs, "text", "doc_id", "lang", numMerges = 4,
+        seedMulti = 20, emRounds = 2, vocabSize = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(ab.keySet === Set("aa", "bb"))
+    val (nDocs, nWords, bpeTok, uniTok, bpeF, uniF) = ab("aa")
+    assert(nDocs === 2L && nWords === 14L)
+    assert(bpeTok >= nWords && uniTok >= nWords) // a word is >= 1 token
+    assert(math.abs(bpeF - bpeTok.toDouble / nWords) < 1e-12)
+    assert(math.abs(uniF - uniTok.toDouble / nWords) < 1e-12)
+    // the repetitive-English group must tokenize no worse than the
+    // rare-consonant group under BOTH families
+    assert(uniF <= ab("bb")._6 && bpeF <= ab("bb")._5, ab.toString)
+  }
+
   test("bpeApply: learned merges re-segment; more merges never increase the token count") {
     import spark.implicits._
     val docs = Seq((1L, "banana band ban"), (2L, "an an banana")).toDF("doc_id", "text")
