@@ -2149,6 +2149,82 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "pipeline_incremental_e2e" -> ((s, dir) => {
+      // the DAILY INCREMENTAL-CRAWL RELEASE composed end-to-end (8th
+      // e2e, VERDICT r14 #6) — the pipeline a crawl operator actually
+      // runs each day: date docs by FIRST fetch event -> prior release
+      // (day < 2024-01-02) vs today's crawl (the rest, plus planted
+      // re-fetches of release pages at +100000 and within-crawl copies
+      // at +200000 — a real crawl's duplicate shape) -> exact dedup
+      // against the release fingerprint index (bloom-pruned anti-join,
+      // Dedup.exactAgainst) -> word-boundary phrase policy gate on the
+      // survivors (anchored broadcast) -> per-source health report:
+      // crawl size, within-crawl uniques/dup-rate (the
+      // dedup_source_report algebra), index-dup mass, blocked mass,
+      // accepted mass, and 3-gram novelty vs the release (the
+      // text_novelty_daily gram machinery). Every stage is the real
+      // library operator; the oracle replays the whole chain as one CTE
+      // pipeline.
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("source").isNotNull)
+      val days = t(s, dir, "events").groupBy(col("event_id").as("doc_id"))
+        .agg(min(col("ts")).as("__ts"))
+        .select(col("doc_id"), date_format(col("__ts"), "yyyy-MM-dd").as("day"))
+      val cutoff = "2024-01-02"
+      val dated = docs.join(days, Seq("doc_id"))
+        .select("doc_id", "source", "text", "day")
+      // prior and crawl each feed multiple stages: cut the lineage once
+      val prior = dated.filter(col("day") < cutoff).localCheckpoint()
+      val crawl0 = dated.filter(col("day") >= cutoff)
+      val crawl = crawl0
+        .unionByName(prior.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+            col("text"), lit(cutoff).as("day")))
+        .unionByName(crawl0.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("source"),
+            col("text"), col("day")))
+        .localCheckpoint()
+      val index = Dedup.exactReport(prior, "text", "doc_id").select("fp")
+      val fresh = Dedup.exactAgainst(crawl, index, "text").localCheckpoint()
+      val phrases = Seq("slow scan", "fast merge", "key agg",
+        "customer data", "spark join", "window sort", "stream filter",
+        "data leak probe").toDF("phrase")
+      val blocked = Blocklist.phraseMatches(fresh, phrases, "text", "doc_id")
+        .select("doc_id").distinct().withColumn("__blk", lit(1))
+      val freshFlag = fresh.select("doc_id").withColumn("__fresh", lit(1))
+      val priorG = Text.gramHashSets(prior, "text", "doc_id", 3)
+        .select(explode(col("__gs")).as("gh")).distinct()
+        .withColumn("__seen", lit(1))
+      val crawlG = Text.gramHashSets(crawl, "text", "doc_id", 3)
+        .join(crawl.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .select(col("source"), explode(col("__gs")).as("gh")).distinct()
+      val nov = crawlG.join(priorG, Seq("gh"), "left")
+        .groupBy("source").agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      crawl.withColumn("__fp", Text.fingerprint(col("text")))
+        .join(freshFlag, Seq("doc_id"), "left")
+        .join(blocked, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_crawled"),
+          count_distinct(col("__fp")).as("n_unique"),
+          sum(when(col("__fresh").isNull, 1L).otherwise(0L)).as("n_dup_index"),
+          sum(when(col("__fresh") === 1 && col("__blk") === 1, 1L)
+            .otherwise(0L)).as("n_blocked"),
+          sum(when(col("__fresh") === 1 && col("__blk").isNull, 1L)
+            .otherwise(0L)).as("n_accepted"))
+        .join(nov, Seq("source"), "left")
+        .select(col("source"), col("n_crawled"), col("n_unique"),
+          round((col("n_crawled") - col("n_unique")).cast("double") /
+            col("n_crawled"), 6).as("dup_rate"),
+          col("n_dup_index"), col("n_blocked"), col("n_accepted"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(when(coalesce(col("n_grams"), lit(0L)) > 0,
+            col("n_novel").cast("double") / col("n_grams"))
+            .otherwise(0.0), 6).as("novelty"))
+        .orderBy("source")
+    }),
+
     "pipeline_policy_e2e" -> ((s, dir) => {
       // the POLICY gate composed end-to-end (7th e2e): word-boundary
       // phrase blocklist (anchored broadcast plan, corpus never shuffles)
@@ -5974,6 +6050,69 @@ object SparkEntry {
            CAST(sum(surv.n_removed) AS BIGINT) AS n_tokens_cut
          FROM surv JOIN documents dd ON dd.doc_id = surv.doc_id
          GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_incremental_e2e" ->
+      """WITH dy AS (SELECT event_id AS doc_id, strftime(min(ts), '%Y-%m-%d') AS day
+           FROM events GROUP BY 1),
+         base AS (SELECT d.doc_id, d.source, d.text, dy.day
+           FROM documents d JOIN dy USING (doc_id) WHERE d.source IS NOT NULL),
+         prior AS MATERIALIZED (SELECT * FROM base WHERE day < '2024-01-02'),
+         crawl AS MATERIALIZED (
+           SELECT doc_id, source, text, day FROM base WHERE day >= '2024-01-02'
+           UNION ALL
+           SELECT doc_id + 100000, source, text, '2024-01-02' FROM prior
+           WHERE doc_id < 40
+           UNION ALL
+           SELECT doc_id + 200000, source, text, day FROM base
+           WHERE day >= '2024-01-02' AND doc_id % 5 = 0),
+         pfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text),
+             '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp FROM prior),
+         cfp AS (SELECT doc_id, source, text,
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
+           FROM crawl),
+         flags AS MATERIALIZED (SELECT c.doc_id, c.source, c.text, c.fp,
+             CASE WHEN pfp.fp IS NOT NULL THEN 1 ELSE 0 END AS dup
+           FROM cfp c LEFT JOIN pfp ON pfp.fp = c.fp),
+         ph(phrase) AS (
+           SELECT * FROM (VALUES ('slow scan'), ('fast merge'), ('key agg'),
+             ('customer data'), ('spark join'), ('window sort'),
+             ('stream filter'), ('data leak probe')) v(phrase)),
+         nrm AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+           FROM flags WHERE dup = 0),
+         blk AS (SELECT DISTINCT doc_id FROM nrm CROSS JOIN ph
+                 WHERE contains(' ' || norm || ' ', ' ' || phrase || ' ')),
+         pg AS (SELECT DISTINCT g FROM (
+             SELECT unnest(list_distinct(list_transform(
+                 range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END),
+                 i -> array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' ')))) AS g
+             FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS w FROM prior))),
+         cg AS (SELECT DISTINCT source, g FROM (
+             SELECT source, unnest(list_distinct(list_transform(
+                 range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END),
+                 i -> array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' ')))) AS g
+             FROM (SELECT source, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS w FROM crawl))),
+         nov AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN pg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+           FROM cg LEFT JOIN pg USING (g) GROUP BY 1),
+         rep AS (SELECT source, CAST(count(*) AS BIGINT) AS n_crawled,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+             CAST(sum(dup) AS BIGINT) AS n_dup_index,
+             CAST(sum(CASE WHEN dup = 0 AND blk.doc_id IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+             CAST(sum(CASE WHEN dup = 0 AND blk.doc_id IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+           FROM flags LEFT JOIN blk USING (doc_id) GROUP BY 1)
+         SELECT rep.source, n_crawled, n_unique,
+           round(CAST(n_crawled - n_unique AS DOUBLE) / n_crawled, 6) AS dup_rate,
+           n_dup_index, n_blocked, n_accepted,
+           CAST(coalesce(nov.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CASE WHEN coalesce(nov.n_grams, 0) > 0
+             THEN CAST(nov.n_novel AS DOUBLE) / nov.n_grams ELSE 0.0 END, 6) AS novelty
+         FROM rep LEFT JOIN nov USING (source) ORDER BY source""",
 
     "pipeline_policy_e2e" ->
       s"""WITH docs AS (SELECT * FROM documents WHERE lang IS NOT NULL),

@@ -137,23 +137,31 @@ object Text {
     * n_grams counts the day's distinct grams and novelty =
     * n_novel/n_grams (0.0 on gram-free days). Docs with no crawl record
     * are undateable and excluded (inner join). */
-  def noveltyDaily(docs: DataFrame, textCol: String, idCol: String,
-                   times: DataFrame, timeKeyCol: String, tsCol: String,
-                   n: Int = 3): DataFrame = {
+  /** Per-document DISTINCT word-n-gram hash sets `(id, __gs array<long>)`
+    * — the shared gram representation of [[noveltyDaily]] and the
+    * incremental-crawl e2e (native codegen'd window hashes; gram-free
+    * docs get an empty array, not null). */
+  def gramHashSets(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
     val spark = docs.sparkSession
     val fname = s"ngram_window_hashes_$n"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname, exprs => graft.functions.NgramWindowHashes(exprs.head, n), "scala_udf")
+    docs.select(col(idCol).as("id"),
+      coalesce(array_distinct(call_function(fname,
+        filter(split(lower(trim(col(textCol))), "\\s+"),
+          w => length(w) > 0))), array().cast("array<long>")).as("__gs"))
+  }
+
+  def noveltyDaily(docs: DataFrame, textCol: String, idCol: String,
+                   times: DataFrame, timeKeyCol: String, tsCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
     val days = times.groupBy(col(timeKeyCol).as("id"))
       .agg(min(col(tsCol)).as("__ts"))
       .select(col("id"), date_format(col("__ts"), "yyyy-MM-dd").as("day"))
-    val perDoc = docs
-      .select(col(idCol).as("id"),
-        coalesce(array_distinct(call_function(fname,
-          filter(split(lower(trim(col(textCol))), "\\s+"),
-            w => length(w) > 0))), array().cast("array<long>")).as("__gs"))
-      .join(days, Seq("id"))
+    val perDoc = gramHashSets(docs, textCol, idCol, n).join(days, Seq("id"))
     val dayGram = perDoc
       .select(col("day"), explode(col("__gs")).as("__gh")).distinct()
     val firstDay = dayGram.groupBy("__gh").agg(min(col("day")).as("__fd"))
