@@ -22,7 +22,7 @@ object Bench {
       // recompiling every stage pass 1 had just compiled (cramers_v
       // measured 5.3s in the shared bench JVM vs 1.4s isolated, all of it
       // Janino). A long-lived service JVM sizes this to its query library.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

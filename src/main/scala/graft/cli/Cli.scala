@@ -452,6 +452,24 @@ object Cli {
             w = flag(rest, "--w").map(_.toInt).getOrElse(4),
             minShared = flag(rest, "--min-shared").map(_.toInt).getOrElse(8),
             maxDocFreq = flag(rest, "--max-doc-freq").map(_.toInt).getOrElse(0))
+        case "image-dedup" =>
+          // perceptual-hash image dedup groups: decode -> dHash/pHash
+          // bands -> banded pairs -> components (--bin binary column)
+          graft.pipeline.Dedup.imageDedupStar(df,
+            flag(rest, "--bin").getOrElse("payload"), idc,
+            kind = flag(rest, "--kind").getOrElse("dhash"),
+            maxDist = flag(rest, "--max-dist").map(_.toInt).getOrElse(6))
+        case "unigram-train" =>
+          // unigram-LM tokenizer training (deterministic integer hard-EM)
+          Text.unigramTrain(df, txt,
+            seedMulti = flag(rest, "--seed-multi").map(_.toInt).getOrElse(60),
+            emRounds = flag(rest, "--em-rounds").map(_.toInt).getOrElse(2),
+            vocabSize = flag(rest, "--vocab-size").map(_.toInt).getOrElse(80))
+        case "tokenizer-ab" =>
+          // BPE-vs-unigram fertility A/B per --group column
+          Text.tokenizerFertilityAb(df, txt, idc,
+            flag(rest, "--group").getOrElse("lang"),
+            numMerges = flag(rest, "--merges").map(_.toInt).getOrElse(8))
         case "text-oov-curve" =>
           Text.oovCurve(df, txt,
             sizes = flag(rest, "--sizes").map(_.split(",").toSeq.map(_.toInt))

@@ -303,7 +303,7 @@ object BenchSf1 {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       // events.ts may be TIMESTAMP(NANOS) parquet depending on the testdata
       // generator vintage (see SparkEntry.t / EntryCompatSpec); without this
       // the scale-up read crashes with 'Illegal Parquet type' before timing
