@@ -142,6 +142,35 @@ class CliSpec extends SparkSpec {
     assert(dm.select("source").distinct().count() === 2)
   }
 
+  test("pipeline round-15 verbs: image-dedup, unigram-train, tokenizer-ab") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli15").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    // tiny image corpus: base + 2x-resized copy + an unrelated image
+    def pix(id: Long)(x: Int, y: Int): Int =
+      (((x * (3 + id % 5) + y * (2 + id % 7) + ((x.toLong * y + id) % 23) * 11) % 208) + 24).toInt
+    val imgs = Seq(
+      (5L, graft.pipeline.Multimodal.encodeBmpGray(64, 64, pix(5))),
+      (6L, graft.pipeline.Multimodal.encodeBmpGray(64, 64, pix(6))),
+      (105L, graft.pipeline.Multimodal.encodeBmpGray(128, 128, (x, y) => pix(5)(x / 2, y / 2))))
+      .toDF("doc_id", "payload")
+    imgs.write.parquet(s"$dir/imgs")
+    Cli.run(spark, List("pipeline", "image-dedup", s"$dir/imgs", s"$dir/idd",
+      "--bin", "payload"))
+    val idd = spark.read.parquet(s"$dir/idd").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(idd("105") === idd("5") && idd("6") === "6", idd.toString)
+    Cli.run(spark, List("pipeline", "unigram-train", docs, s"$dir/uni",
+      "--vocab-size", "40"))
+    val uni = spark.read.parquet(s"$dir/uni")
+    assert(uni.count() > 0 && uni.columns.toSet === Set("piece", "cnt", "n_chars"))
+    Cli.run(spark, List("pipeline", "tokenizer-ab", docs, s"$dir/ab",
+      "--group", "lang", "--merges", "4"))
+    val ab = spark.read.parquet(s"$dir/ab")
+    assert(ab.count() > 0 &&
+      ab.columns.contains("bpe_fertility") && ab.columns.contains("unigram_fertility"))
+  }
+
   test("pipeline verbs: vocab, shuffle, shuffle-shards, join-asof, join-range") {
     val dir = Files.createTempDirectory("graft-cli6").toString
     val docs = "/root/testdata/sf0.001/documents.parquet"
