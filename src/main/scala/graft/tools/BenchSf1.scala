@@ -216,6 +216,40 @@ object BenchSf1 {
       finally s.conf.unset("graft.semdedup.maxPairs")
     }))
 
+  /** Round-15 wave: the two IVF-graph lines whose declared fixed
+    * nLists=16 form is list-scan-QUADRATIC on a growing corpus (each of N
+    * vectors probes nProbe lists of N/nLists candidates — the first full
+    * board backfill measured ×252/×218 at sfx1, ~quadratic as predicted).
+    * The production form scales nLists WITH the corpus (~200 vectors per
+    * list, the dedup_semdedup_full k-scaling precedent) and trains the
+    * quantizer on a bounded sample: per-vector candidate count stays
+    * constant → the graph is linear in N. The declared fixed-slice
+    * queries keep their oracles; these probes measure the scale-correct
+    * configuration. */
+  private[tools] def round15Wave: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    def scaledGraph(s: SparkSession, dir: String) = {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val n = e.count()
+      val nl = math.max(16L, n / 200L).toInt
+      val model = graft.pipeline.Similarity.ivfTrain(e, nLists = nl,
+        sampleFraction = math.min(1.0, 6400.0 / n))
+      val assigned = graft.pipeline.Similarity.ivfAssign(model, e).localCheckpoint()
+      (e, graft.pipeline.Similarity.knnGraph(model, assigned, k = 3, nProbe = 2))
+    }
+    Seq(
+      "ann_knn_graph_full" -> ((s: SparkSession, dir: String) => {
+        val (_, graph) = scaledGraph(s, dir)
+        graph.groupBy().agg(count(lit(1)).as("n_edges"),
+          sum(col("rank")).as("chk"))
+      }),
+      "ann_label_audit_graph_full" -> ((s: SparkSession, dir: String) => {
+        val (e, graph) = scaledGraph(s, dir)
+        graft.pipeline.Similarity.labelAuditFromGraph(graph, e)
+          .groupBy().agg(count(lit(1)).as("n_labels"),
+            sum(col("n_agree")).as("chk"))
+      }))
+  }
+
   private[tools] def round11SecondWave: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "decon_minhash_lsh_full" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -433,7 +467,7 @@ object BenchSf1 {
           .select(projOf(col("embedding")).as("p"))
           .groupBy().agg(count(lit(1)).as("n"),
             sum(element_at(col("p"), 1)).as("chk"))
-      })) ++ round11SecondWave ++ round14Wave ++ round14SecondWave
+      })) ++ round11SecondWave ++ round14Wave ++ round14SecondWave ++ round15Wave
 
     // every probe key must be GROUNDED in a declared query name (VERDICT
     // r13 #7): the name itself, or '<declared>_<suffix>' for documented
