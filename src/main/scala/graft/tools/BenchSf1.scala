@@ -43,9 +43,14 @@ object BenchSf1 {
   /** Does probe key k cover declared query n? Exact name, or the
     * `<name>_<suffix>` full-corpus/forced-path convention — EXCEPT when k
     * is itself a different declared query (dedup_exact_against must not
-    * count as covering dedup_exact). */
+    * count as covering dedup_exact), and ONLY for the LONGEST declared
+    * prefix of k (ann_label_audit_graph_full covers
+    * ann_label_audit_graph, NOT ann_label_audit — self-review r15: the
+    * shorter name would otherwise silently drop off the board). */
   private def probeCovers(k: String, n: String): Boolean =
-    k == n || (k.startsWith(n + "_") && !graft.SparkEntry.queries.contains(k))
+    k == n || (k.startsWith(n + "_") && !graft.SparkEntry.queries.contains(k) &&
+      !graft.SparkEntry.queries.keysIterator.exists(d =>
+        d.length > n.length && k.startsWith(d + "_")))
 
   /** Probe-board COMPLETENESS (VERDICT r14 #3, the reverse direction of
     * [[assertProbeKeysGrounded]]): every DECLARED query must appear on the
@@ -247,6 +252,30 @@ object BenchSf1 {
         graft.pipeline.Similarity.labelAuditFromGraph(graph, e)
           .groupBy().agg(count(lit(1)).as("n_labels"),
             sum(col("n_agree")).as("chk"))
+      }),
+      // VOLUME form of the image dedup (the declared query's 200-image
+      // slice is flat by construction): ONE 64x64 BMP per document —
+      // encode + REAL ImageIO decode + grid + hash are the per-image
+      // work, all inside one mapPartitions pass (payloads never
+      // shuffle; only the O(1)-per-image band rows do). Gradient
+      // multipliers keyed mod 101/103 give ~240k distinct patterns, so
+      // dup mass stays light at every decade (the realistic corpus
+      // shape, not the cluster_histogram 100%-dup construction).
+      "dedup_image_dhash_full" -> ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val imgs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              (id, graft.pipeline.Multimodal.encodeBmpGray(64, 64, (x, y) =>
+                (((x * (3 + id % 101) + y * (2 + id % 103) +
+                  ((x.toLong * y + id) % 23) * 11) % 208) + 24).toInt))
+            }
+          }.toDF("img_id", "payload")
+        graft.pipeline.Dedup.imageDedupStar(imgs, "payload", "img_id",
+            "dhash", maxDist = 6)
+          .groupBy().agg(count(lit(1)).as("n_images"),
+            count_distinct(col("component")).as("n_components"))
       }))
   }
 
