@@ -180,8 +180,8 @@ object AssociationStudy {
   private[analyze] val BroadcastBaseMaxBytes: Long = 256L << 20
   /** Threshold override knob (bytes): `graft.broadcastBase.maxBytes`. */
   private[analyze] def broadcastBaseMax(cf: CladeFrame): Long =
-    cf.df.sparkSession.conf.getOption("graft.broadcastBase.maxBytes")
-      .map(_.toLong).getOrElse(BroadcastBaseMaxBytes)
+    graft.GraftConf.positiveLong(cf.df.sparkSession,
+      "graft.broadcastBase.maxBytes", BroadcastBaseMaxBytes)
   private def baseBlockBroadcastable(cf: CladeFrame, outcome: String,
                                      covariates: Seq[String]): Boolean =
     estimateFitsDriver(

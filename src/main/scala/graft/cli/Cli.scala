@@ -786,6 +786,50 @@ object Cli {
       }
       result.write.mode("overwrite").parquet(out)
 
+    // ------------------------------------------- streaming (DURABLE forms)
+    // Both verbs run the checkpointed transformWithState pipelines on the
+    // RocksDB state store: kill the command, re-run with the same
+    // --checkpoint, and the count/CUSUM CONTINUE from where they stopped
+    // (new files under <in> are the new micro-batches). The driver-state
+    // streamHeavyHitters/startDriftMonitor forms are demo/test-only and
+    // deliberately NOT exposed here.
+    case "stream" :: verb :: in :: out :: rest =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ckpt = req(rest, "--checkpoint")
+      val src = spark.readStream.schema(spark.read.parquet(in).schema).parquet(in)
+      val (result, mode, writeMode) = verb match {
+        case "heavy-hitters" =>
+          // Update mode emits the full cumulative snapshot each batch;
+          // <out> holds the LATEST snapshot (overwritten per batch)
+          (graft.pipeline.SpaceSaving.durableStreamHeavyHitters(src,
+            flag(rest, "--text").getOrElse("text"),
+            capacity = flag(rest, "--capacity").map(_.toInt).getOrElse(1000))
+            .toDF(), "update", "overwrite")
+        case "drift" =>
+          // Append mode emits one row per CLOSED window; <out> accumulates
+          val ref = graft.streaming.DriftMonitor.buildReference(
+            spark.read.parquet(req(rest, "--ref")), req(rest, "--value"),
+            bins = flag(rest, "--bins").map(_.toInt).getOrElse(10))
+          (graft.streaming.DriftMonitor.durableDriftMonitor(src,
+            flag(rest, "--ts").getOrElse("ts"), req(rest, "--value"), ref,
+            windowLen = flag(rest, "--window").getOrElse("1 hour"),
+            watermark = flag(rest, "--watermark").getOrElse("30 minutes"))
+            .toDF(), "append", "append")
+        case other => throw new IllegalArgumentException(s"unknown stream verb: $other")
+      }
+      // AvailableNow: drain everything currently under <in>, then stop —
+      // the CLI-shaped incremental run (state lives in --checkpoint)
+      val q = result.writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode(writeMode).parquet(out)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
     case other =>
       println(usage)
       throw new IllegalArgumentException(s"unknown command: ${other.take(2).mkString(" ")}")
@@ -874,6 +918,8 @@ object Cli {
       |  pipeline bootstrap-ci <in> <out> --value c [--key c] [--replicas N]
       |  pipeline scd2 <in> <out> [--key c] [--ts c] [--state c] [--tie c]
       |  pipeline upsert <base> <out> --updates <delta.parquet> --keys k1,k2
+      |  stream heavy-hitters <inDir> <out> --checkpoint dir [--text c] [--capacity N]  (durable: re-run resumes)
+      |  stream drift <inDir> <out> --checkpoint dir --ref <ref.parquet> --value c [--ts c] [--window w] [--watermark w] [--bins N]
       |  analyze association-study-weighted ... --survey <state> --weights w [--strata s] [--cluster c] [--nest]
       |  analyze interaction-study <in> <outDir> --outcome y [--interactions a,b;c,d | --interactions var] [--report-betas]
       |  analyze add-corrected-pvalues <in.tsv> <outDir> [--pvalue col]

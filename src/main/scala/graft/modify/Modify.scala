@@ -780,13 +780,17 @@ object Modify {
     *
     * Determinism: pass an integer-valued target (cast it) and the sums
     * are exact int64, making the encoding one division of exact
-    * integers — partitioning- and engine-invariant. */
+    * integers — partitioning- and engine-invariant.
+    *
+    * Side effect: sizing the broadcast gate reads the stats frame's
+    * `optimizedPlan`, which ANALYZES AND OPTIMIZES the input plan eagerly
+    * at call time (no job runs, but plan errors surface here rather than
+    * at the first action). */
   def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
                       out: String = "te_loo"): DataFrame = {
     val t = col(targetCol)
-    val maxBytes = df.sparkSession.conf
-      .getOption("graft.broadcastBase.maxBytes").map(_.toLong)
-      .getOrElse(256L << 20)
+    val maxBytes = graft.GraftConf.positiveLong(df.sparkSession,
+      "graft.broadcastBase.maxBytes", 256L << 20)
     val stats = df.groupBy(col(catCol))
       .agg(sum(t).as("__te_s"), count(t).as("__te_n"))
     val est = stats.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -1124,7 +1124,15 @@ object Dedup {
     * representative (min id, string order). Undecodable payloads and
     * singletons map to themselves. The image analogue of [[winnowStar]]:
     * linear output, pointer-jumping components over the (small) verified
-    * pair set only. Returns (id, component). */
+    * pair set only. Returns (id, component).
+    *
+    * COVERAGE CONTRACT: self-mapping an undecodable payload is correct
+    * fallback semantics, but it means this pass silently performs NO
+    * near-dup detection on formats stock ImageIO cannot decode
+    * (WebP/AVIF — the majority of a modern crawl corpus). Run
+    * [[graft.pipeline.Multimodal.imageDecodeReport]] on the same corpus
+    * and publish its per-container decode counts next to any dedup
+    * numbers derived from this operator. */
   def imageDedupStar(df: DataFrame, binCol: String, idCol: String,
                      kind: String = "dhash", maxDist: Int = 6,
                      maxIter: Int = 20): DataFrame = {

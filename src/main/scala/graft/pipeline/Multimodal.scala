@@ -80,6 +80,68 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Image CONTAINER sniff by magic bytes — detection is separate from
+    * decodability on purpose: a modern crawl corpus is majority
+    * WebP/AVIF, which the JDK's ImageIO cannot decode, and the dedup
+    * family must be able to STATE what fraction of a corpus it covered
+    * (see [[imageDecodeReport]]) instead of silently skipping payloads.
+    * Returns one of "png", "jpeg", "gif", "bmp", "webp", "avif", "tiff",
+    * "unknown". WebP is RIFF....WEBP (plain RIFF without the WEBP brand —
+    * e.g. WAV — stays "unknown" here); AVIF is an ISO-BMFF ftyp box with
+    * the avif/avis brand. */
+  def sniffImageContainer(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 12) return "unknown"
+    def b(i: Int): Int = bytes(i) & 0xff
+    def ascii(from: Int, s: String): Boolean =
+      s.indices.forall(j => b(from + j) == s.charAt(j))
+    if (b(0) == 0x89 && ascii(1, "PNG")) "png"
+    else if (b(0) == 0xff && b(1) == 0xd8) "jpeg"
+    else if (ascii(0, "GIF")) "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (ascii(0, "RIFF") && ascii(8, "WEBP")) "webp"
+    else if (ascii(4, "ftyp") && (ascii(8, "avif") || ascii(8, "avis"))) "avif"
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0) ||
+             (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a)) "tiff"
+    else "unknown"
+  }
+
+  /** Can ImageIO actually decode this payload? Attempted for every
+    * sniffed image container (including webp/avif/tiff — a JDK with a
+    * plugged-in reader would start passing here with no code change);
+    * "unknown" payloads never pay a decode attempt. */
+  def imageDecodes(bytes: Array[Byte]): Boolean =
+    sniffImageContainer(bytes) != "unknown" && (try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)) != null
+    } catch { case _: Exception => false })
+
+  /** Decode-COVERAGE report for an image corpus (VERDICT r15 #2): per
+    * sniffed container, how many payloads the JDK decoder actually
+    * decodes. This is the honesty contract of the image-dedup family —
+    * [[graft.pipeline.Dedup.imageDedupStar]] maps undecodable payloads to
+    * themselves (correct fallback semantics), so a user MUST read this
+    * report to know what fraction of the corpus the near-dup pass
+    * covered (a majority-WebP crawl corpus decodes ~0% under stock
+    * ImageIO). One mapPartitions pass: payloads never shuffle — only
+    * (container, decoded-bit) pairs reach the map-side-combined
+    * aggregation, O(#containers) rows out. Returns
+    * (container, n_total, n_decoded, n_failed, decode_rate) sorted by
+    * container. */
+  def imageDecodeReport(df: DataFrame, binCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
+      it.map { bytes =>
+        (sniffImageContainer(bytes), if (imageDecodes(bytes)) 1L else 0L)
+      }
+    }.toDF("container", "__dec")
+      .groupBy("container")
+      .agg(count(lit(1)).as("n_total"), sum(col("__dec")).as("n_decoded"))
+      .withColumn("n_failed", col("n_total") - col("n_decoded"))
+      .withColumn("decode_rate",
+        round(col("n_decoded").cast("double") / col("n_total"), 6))
+      .orderBy("container")
+  }
+
   /** Real audio decoder via the JDK's bundled javax.sound.sampled readers
     * (WAV/AIFF/AU, PCM up to 16-bit). Returns the 8-dim feature vector
     * [duration_sec, channels, sample_rate, rms, zero_crossing_rate, peak,
@@ -577,6 +639,32 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  /** Deterministic grayscale PNG encoder via the JDK's ImageIO writer —
+    * the lossless sibling of [[encodeBmpGray]] for mixed-container corpus
+    * construction ([[imageDecodeReport]]'s oracle class). PNG is
+    * lossless, so decode recovers v(x, y) exactly; the encoded BYTES may
+    * differ across JDK encoder versions, so consumers compare decoded
+    * pixels (deterministic), never payload bytes. */
+  def encodePngGray(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = v(x, y)
+        require(p >= 0 && p <= 255, s"pixel out of range: $p at ($x,$y)")
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Exact integer luma grid for perceptual hashing: decode (ImageIO),

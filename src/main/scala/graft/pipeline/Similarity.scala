@@ -149,13 +149,40 @@ object Similarity {
     * `nProbe` nearest inverted lists. The corpus-scale self-join shape —
     * neither side broadcasts: the source side explodes its probe lists and
     * the join is a plain shuffle on `list_id`, so candidate pairs are
-    * |corpus| × nProbe × avg-list-size, not |corpus|². Full probe
-    * (nProbe = nLists) degenerates to the exact graph — the equivalence
-    * SimilaritySpec asserts against [[bruteForceTopK]]. */
+    * |corpus| × nProbe × avg-list-size. That is linear ONLY if nLists
+    * grows with the corpus (avg-list-size held constant): at FIXED nLists
+    * the graph is QUADRATIC — train with [[ivfTrainScaled]] so the list
+    * count tracks corpus size, not a frozen constant.
+    *
+    * Pre-flight gate: before launching the join, ONE O(nLists)
+    * aggregation over the assignment estimates the candidate count as
+    * nProbe × Σ_l size(l)² (Σ size² alone is a hard LOWER bound — every
+    * vector's own list is its nearest, so it probes it; the nProbe factor
+    * is the proportional-probe-mass estimate) and the call refuses loudly
+    * past `graft.ann.maxGraphCandidates` (default 1G) instead of running
+    * a corpus² join. Persist/localCheckpoint the assignment (the
+    * index-build contract — see [[ivfAssign]]) so the gate's aggregation
+    * doesn't recompute it.
+    *
+    * Full probe (nProbe = nLists) degenerates to the exact graph — the
+    * equivalence PipelineSpec asserts against [[bruteForceTopK]]. */
   def knnGraph(model: IvfModel, assigned: DataFrame, k: Int, nProbe: Int = 4,
                idCol: String = "vec_id", vecCol: String = "embedding",
                roundTo: Int = 6): DataFrame = {
     val nP = math.min(nProbe, model.nLists)
+    val maxCand = graft.GraftConf.positiveLong(assigned.sparkSession,
+      "graft.ann.maxGraphCandidates", 1000000000L)
+    val sumSq = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c") * col("__c")), lit(0L)))
+      .head().getLong(0)
+    val estCand = sumSq * nP
+    require(estCand <= maxCand,
+      s"knnGraph estimated candidate count $estCand (nProbe=$nP × Σ list-size²" +
+        s" over ${model.nLists} lists) exceeds graft.ann.maxGraphCandidates=" +
+        s"$maxCand — at fixed nLists the graph join is quadratic in the " +
+        "corpus; train with ivfTrainScaled(vectorsPerList = ...) so nLists " +
+        "grows with the corpus, or raise the cap")
     val src = assigned.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
       .withColumn("list_id", explode(nearestLists(assigned.sparkSession, model.centers, nP)(col("sv"))))
     val nbr = assigned.select(col("list_id"), col(idCol).as("dst_id"),
@@ -219,15 +246,8 @@ object Similarity {
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val maxCells = spark.conf.getOption("graft.ann.mmrMaxCells")
-      .map { s =>
-        val v = try s.trim.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft.ann.mmrMaxCells must be a positive integer, got '$s'")
-        }
-        require(v > 0, s"graft.ann.mmrMaxCells must be > 0, got $v")
-        v
-      }.getOrElse(10000000L)
+    val maxCells = graft.GraftConf.positiveLong(spark,
+      "graft.ann.mmrMaxCells", 10000000L)
     val nQueries = queries.count()
     val cells = nQueries * m.toLong * m.toLong
     if (cells > maxCells) throw new IllegalArgumentException(
@@ -696,6 +716,34 @@ object Similarity {
     IvfModel(lloyd(trainDf, init, trainMaxIter, vecCol, roundTo = 6))
   }
 
+  /** [[ivfTrain]] with the list count derived FROM the corpus — the
+    * scale-correct configuration for corpus-scale consumers
+    * ([[knnGraph]], the index build): nLists = max(minLists,
+    * n / vectorsPerList), so average list size stays ~vectorsPerList at
+    * every corpus scale and list-bucketed self-joins stay LINEAR (at
+    * fixed nLists they are quadratic — the trap this helper removes).
+    * Training is bounded: when the corpus exceeds
+    * max(trainBudget, 8·nLists) vectors, Lloyd runs on a seeded sample of
+    * that size (8 vectors per list keeps the deterministic first-nLists
+    * seeding satisfiable and the means meaningful); below the budget the
+    * full corpus trains and the model stays SQL-oracle-replayable
+    * (sampleFraction = 1, see [[ivfTrain]]). One count() of the corpus is
+    * the only extra work. */
+  def ivfTrainScaled(corpus: DataFrame, vectorsPerList: Int = 200,
+                     trainBudget: Long = 6400, minLists: Int = 16,
+                     vecCol: String = "embedding", seed: Long = 42L,
+                     trainMaxIter: Int = 8,
+                     idCol: String = "vec_id"): IvfModel = {
+    require(vectorsPerList >= 1, s"vectorsPerList must be >= 1: $vectorsPerList")
+    require(minLists >= 1, s"minLists must be >= 1: $minLists")
+    require(trainBudget >= 1, s"trainBudget must be >= 1: $trainBudget")
+    val n = corpus.count()
+    val nLists = math.max(minLists.toLong, n / vectorsPerList).toInt
+    val budget = math.max(trainBudget, 8L * nLists)
+    val fraction = if (n <= budget) 1.0 else budget.toDouble / n
+    ivfTrain(corpus, nLists, vecCol, seed, fraction, trainMaxIter, idCol)
+  }
+
   /** Assign every corpus vector to its inverted list — the index-build
     * step. Production writes the result partitioned/bucketed by `list_id`
     * (see the CLI's `ann-index`); [[ivfQuery]] then scans only probed
@@ -812,15 +860,8 @@ object Similarity {
       s"threshold must be in (0,1]: $threshold")
     require(iters >= 0, s"iters must be >= 0: $iters")
     val spark = corpus.sparkSession
-    val maxPairs = spark.conf.getOption("graft.semdedup.maxPairs")
-      .map { s =>
-        val v = try s.trim.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft.semdedup.maxPairs must be a positive integer, got '$s'")
-        }
-        require(v > 0, s"graft.semdedup.maxPairs must be > 0, got $v")
-        v
-      }.getOrElse(100000000L)
+    val maxPairs = graft.GraftConf.positiveLong(spark,
+      "graft.semdedup.maxPairs", 100000000L)
     val seeds = kmeansInit(corpus, k, idCol, vecCol)
     val centers = if (iters == 0) seeds else lloyd(corpus, seeds, iters, vecCol, roundTo)
     // three consumers read the assignment (the pair-bound gate and both

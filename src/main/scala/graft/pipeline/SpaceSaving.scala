@@ -196,10 +196,13 @@ object SpaceSaving {
     * retried/replayed micro-batch is detected by its batchId and NOT
     * re-merged (merging twice would break trueCount <= estimate <=
     * trueCount + err); the replay still delivers the current cumulative
-    * snapshot (idempotent). The cumulative sketch here is DRIVER state
-    * and dies with the query — for counting that must survive a restart
-    * from checkpoint, use [[durableStreamHeavyHitters]], which holds the
-    * SAME sketch in the checkpointed state store. */
+    * snapshot (idempotent).
+    *
+    * DEMO/TEST ONLY: the cumulative sketch here is DRIVER state and dies
+    * with the query — a restart from checkpoint silently starts the
+    * count from zero. Production (and the CLI `stream heavy-hitters`
+    * verb) uses [[durableStreamHeavyHitters]], which holds the SAME
+    * sketch in the checkpointed state store and resumes exactly. */
   def streamHeavyHitters(events: DataFrame, textCol: String, capacity: Int)
                         (onBatch: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {

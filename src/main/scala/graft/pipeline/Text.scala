@@ -140,7 +140,18 @@ object Text {
   /** Per-document DISTINCT word-n-gram hash sets `(id, __gs array<long>)`
     * — the shared gram representation of [[noveltyDaily]] and the
     * incremental-crawl e2e (native codegen'd window hashes; gram-free
-    * docs get an empty array, not null). */
+    * docs get an empty array, not null).
+    *
+    * COLLISION CONVENTION (shared by every consumer of this frame —
+    * `text_novelty_daily`, `pipeline_incremental_e2e`): "distinct grams"
+    * means distinct 64-BIT GRAM HASHES. The DuckDB oracles count
+    * distinct gram STRINGS, so oracle parity additionally asserts the
+    * hash is collision-free on the test corpus — by the birthday bound,
+    * ~2e-8 for a million distinct grams in a 64-bit space, and a
+    * collision would surface as a deterministic count mismatch, not
+    * silence. At 100 TB (~1e12 grams) collisions exist (~30 expected)
+    * and the REPORTED novelty is the hash-distinct count, a documented
+    * under-count of <<1ppm — the standard sketch trade. */
   def gramHashSets(docs: DataFrame, textCol: String, idCol: String,
                    n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
@@ -1421,8 +1432,15 @@ object Text {
     *
     * Training state is vocabulary-sized on the driver (the production
     * tokenizer-trainer shape); the corpus is never collected. Gated by
-    * `graft.unigram.maxLocalVocab` (default 2M distinct words) with a
-    * loud refusal — subsample the corpus or raise the cap past it.
+    * `graft.unigram.maxLocalVocab` (default 2M distinct words): past the
+    * cap, training proceeds on a DETERMINISTIC hash-sample of the
+    * word-count table (~maxLocalVocab words, the sampling family's
+    * content-hash discipline — stable across partitionings and reruns)
+    * with a loud warning; set `graft.unigram.overBudget=refuse` to get
+    * the hard refusal instead (pre-r16 behavior). Tokenizer training is
+    * count-frequency estimation, so a uniform word-type sample changes
+    * little; the [[bpeTrain]] distributed path remains the alternative
+    * when every word must count.
     * Returns (piece, cnt, n_chars) sorted (cnt DESC, piece ASC). */
   def unigramTrain(docs: DataFrame, textCol: String, seedMulti: Int = 60,
                    emRounds: Int = 2, vocabSize: Int = 80,
@@ -1434,13 +1452,25 @@ object Text {
       s"bad lens: maxPieceLen=$maxPieceLen maxWordLen=$maxWordLen")
     val spark = docs.sparkSession
     import spark.implicits._
-    val maxLocal = spark.conf.getOption("graft.unigram.maxLocalVocab")
-      .map(_.trim.toLong).getOrElse(2000000L)
-    val wc = trainWordCounts(docs, textCol, maxWordLen, minCount)
-    val n = wc.count()
-    require(n <= maxLocal,
-      s"unigramTrain: $n distinct words exceeds graft.unigram.maxLocalVocab=" +
-        s"$maxLocal — subsample the corpus or raise the cap")
+    val maxLocal = graft.GraftConf.positiveLong(spark,
+      "graft.unigram.maxLocalVocab", 2000000L)
+    val wc0 = trainWordCounts(docs, textCol, maxWordLen, minCount)
+    val n = wc0.count()
+    val wc = if (n <= maxLocal) wc0 else {
+      val mode = spark.conf.getOption("graft.unigram.overBudget")
+        .map(_.trim).getOrElse("sample")
+      require(mode == "sample" || mode == "refuse",
+        s"graft.unigram.overBudget must be 'sample' or 'refuse', got '$mode'")
+      require(mode == "sample",
+        s"unigramTrain: $n distinct words exceeds graft.unigram.maxLocalVocab=" +
+          s"$maxLocal and graft.unigram.overBudget=refuse — subsample the " +
+          "corpus or raise the cap")
+      System.err.println(s"WARNING: unigramTrain corpus has $n distinct " +
+        s"words > graft.unigram.maxLocalVocab=$maxLocal; training on a " +
+        s"deterministic hash-sample of ~$maxLocal word types (set " +
+        "graft.unigram.overBudget=refuse to fail instead)")
+      Sampling.hashSample(wc0, col("word"), maxLocal.toDouble / n)
+    }
     val words = wc.collect().map(r => (r.getString(0), r.getLong(1)))
     val model = localUnigramTrain(words, seedMulti, emRounds, vocabSize, maxPieceLen)
     model.toSeq.sortBy { case (p, c) => (-c, p) }

@@ -231,10 +231,13 @@ object DriftMonitor {
     * retried/replayed micro-batch is detected by its batchId and SKIPPED
     * entirely — double-stepping the CUSUM prefix sums would diverge from
     * the batch [[cusumBinnedScores]] parity (the replayed windows' scores
-    * were already delivered once). The tracker here is DRIVER state and
-    * dies with the query — for a CUSUM that must survive a restart from
-    * checkpoint, use [[durableDriftMonitor]], which holds the same four
-    * prefix/extremum numbers in the checkpointed state store. */
+    * were already delivered once).
+    *
+    * DEMO/TEST ONLY: the tracker here is DRIVER state and dies with the
+    * query — a restart from checkpoint silently resets the CUSUM.
+    * Production (and the CLI `stream drift` verb) uses
+    * [[durableDriftMonitor]], which holds the same four prefix/extremum
+    * numbers in the checkpointed state store and resumes exactly. */
   def startDriftMonitor(events: DataFrame, tsCol: String, valueCol: String,
                         ref: DriftReference, windowLen: String,
                         watermark: String, eps: Double = 1e-6,

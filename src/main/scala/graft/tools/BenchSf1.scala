@@ -233,11 +233,10 @@ object BenchSf1 {
     * configuration. */
   private[tools] def round15Wave: Seq[(String, (SparkSession, String) => DataFrame)] = {
     def scaledGraph(s: SparkSession, dir: String) = {
+      // the production helper: nLists = max(16, n/200), bounded train
+      // sample — the same call the DECLARED queries make since r16
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val n = e.count()
-      val nl = math.max(16L, n / 200L).toInt
-      val model = graft.pipeline.Similarity.ivfTrain(e, nLists = nl,
-        sampleFraction = math.min(1.0, 6400.0 / n))
+      val model = graft.pipeline.Similarity.ivfTrainScaled(e, vectorsPerList = 200)
       val assigned = graft.pipeline.Similarity.ivfAssign(model, e).localCheckpoint()
       (e, graft.pipeline.Similarity.knnGraph(model, assigned, k = 3, nProbe = 2))
     }

@@ -414,4 +414,27 @@ class CliSpec extends SparkSpec {
       Cli.run(spark, List("frobnicate", "everything"))
     }
   }
+
+  test("stream heavy-hitters verb is DURABLE: second run resumes the count from --checkpoint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-stream").toString
+    val src = s"$dir/src"; val out = s"$dir/hh"; val ckpt = s"$dir/ckpt"
+    Seq("a a a b", "b c").toDF("text").write.mode("append").parquet(src)
+    Cli.run(spark, List("stream", "heavy-hitters", src, out,
+      "--checkpoint", ckpt, "--capacity", "10"))
+    val first = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first("a") === 3L && first("b") === 2L && first("c") === 1L)
+    // NEW files land under src; re-running with the SAME checkpoint
+    // processes only them and CONTINUES the cumulative count (the
+    // durable contract the CLI defaults to; driver-state forms would
+    // restart from zero)
+    Seq("c c a").toDF("text").write.mode("append").parquet(src)
+    Cli.run(spark, List("stream", "heavy-hitters", src, out,
+      "--checkpoint", ckpt, "--capacity", "10"))
+    val second = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(second("a") === 4L && second("c") === 3L && second("b") === 2L,
+      s"resumed cumulative snapshot wrong: $second")
+  }
 }

@@ -1053,6 +1053,91 @@ class PipelineSpec extends SparkSpec {
       "full-probe graph audit must reproduce the exact audit")
   }
 
+  test("sniffImageContainer + imageDecodeReport: detection separate from decodability") {
+    import spark.implicits._
+    val pix = (x: Int, y: Int) => (x * 20 + y) % 250
+    val bmp = Multimodal.encodeBmpGray(8, 8, pix)
+    val png = Multimodal.encodePngGray(8, 8, pix)
+    val webp = Array[Byte]('R', 'I', 'F', 'F', 16, 0, 0, 0, 'W', 'E', 'B', 'P',
+      'V', 'P', '8', ' ', 4, 0, 0, 0, 0, 0, 0, 0)
+    val avif = Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p', 'a', 'v', 'i', 'f',
+      0, 0, 0, 0, 'm', 'i', 'f', '1', 'm', 'i', 'a', 'f')
+    val badJpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
+      "corrupt jpeg body".getBytes("UTF-8")
+    val text = "not an image payload at all".getBytes("UTF-8")
+    val tiff = Array[Byte]('I', 'I', 0x2a, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    assert(Multimodal.sniffImageContainer(bmp) === "bmp")
+    assert(Multimodal.sniffImageContainer(png) === "png")
+    assert(Multimodal.sniffImageContainer(webp) === "webp")
+    assert(Multimodal.sniffImageContainer(avif) === "avif")
+    assert(Multimodal.sniffImageContainer(badJpg) === "jpeg")
+    assert(Multimodal.sniffImageContainer(text) === "unknown")
+    assert(Multimodal.sniffImageContainer(tiff) === "tiff")
+    // a WAV is RIFF but NOT an image container
+    assert(Multimodal.sniffImageContainer(Array[Byte]('R', 'I', 'F', 'F',
+      16, 0, 0, 0, 'W', 'A', 'V', 'E')) === "unknown")
+    assert(Multimodal.imageDecodes(bmp) && Multimodal.imageDecodes(png))
+    assert(!Multimodal.imageDecodes(webp) && !Multimodal.imageDecodes(avif))
+    assert(!Multimodal.imageDecodes(badJpg) && !Multimodal.imageDecodes(text))
+    // PNG is lossless: lumaGrid recovers the generative pixels exactly
+    val Some((w, h, sums, _)) = Multimodal.lumaGrid(png, 8, 8)
+    assert(w === 8 && h === 8)
+    assert(sums(2 * 8 + 3) === 1000L * pix(3, 2), "luma = 1000·v for gray")
+    val rep = Multimodal.imageDecodeReport(
+        Seq((0L, bmp), (1L, png), (2L, webp), (3L, badJpg), (4L, avif),
+          (5L, text), (6L, bmp)).toDF("img_id", "payload"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rep("bmp") === ((2L, 2L, 0L)))
+    assert(rep("png") === ((1L, 1L, 0L)))
+    assert(rep("webp") === ((1L, 0L, 1L)))
+    assert(rep("jpeg") === ((1L, 0L, 1L)))
+    assert(rep("avif") === ((1L, 0L, 1L)))
+    assert(rep("unknown") === ((1L, 0L, 1L)))
+  }
+
+  test("knnGraph pre-flight gate refuses past graft.ann.maxGraphCandidates") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.ivfTrain(e, nLists = 8)
+    val assigned = Similarity.ivfAssign(model, e).localCheckpoint()
+    spark.conf.set("graft.ann.maxGraphCandidates", "10")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.knnGraph(model, assigned, k = 3, nProbe = 2)
+      }
+      assert(ex.getMessage.contains("graft.ann.maxGraphCandidates"),
+        s"refusal must name the cap conf: ${ex.getMessage}")
+      assert(ex.getMessage.contains("ivfTrainScaled"),
+        s"refusal must name the nLists-∝-corpus remedy: ${ex.getMessage}")
+      // malformed conf value fails with the shared descriptive parse error
+      spark.conf.set("graft.ann.maxGraphCandidates", " 1G ")
+      val bad = intercept[IllegalArgumentException] {
+        Similarity.knnGraph(model, assigned, k = 3, nProbe = 2)
+      }
+      assert(bad.getMessage.contains("must be a positive integer"))
+    } finally spark.conf.unset("graft.ann.maxGraphCandidates")
+    // back under the default cap the same call runs
+    assert(Similarity.knnGraph(model, assigned, k = 3, nProbe = 2).count() > 0)
+  }
+
+  test("ivfTrainScaled derives nLists from the corpus and bounds the train sample") {
+    import spark.implicits._
+    // 4000 vectors / 200 per list = 20 lists; trainBudget below 8·nLists
+    // is raised to it (seeds must stay satisfiable), sampling ~160 of 4000
+    val big = spark.range(4000).map(i => (i, Array(
+        (i % 7).toFloat, (i % 11).toFloat, (i % 13).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.ivfTrainScaled(big, vectorsPerList = 200, trainBudget = 100)
+    assert(m.nLists === 20, "4000/200 lists")
+    // below minLists·vectorsPerList the floor holds — and matches the
+    // r15-and-earlier fixed config, which is what keeps the sf0.01
+    // oracle replay (500 vectors -> 16 lists, full train) hash-stable
+    val small = big.filter(col("vec_id") < 500)
+    assert(Similarity.ivfTrainScaled(small, vectorsPerList = 200).nLists === 16,
+      "minLists floor")
+  }
+
   test("array-input native expressions codegen over NON-NULLABLE children and null dim mismatches") {
     // array(lit...) children are non-nullable: with inherited nullability
     // the generated `ev.isNull = true` referenced an undeclared variable,
@@ -2093,6 +2178,41 @@ class PipelineSpec extends SparkSpec {
     val fb = graft.pipeline.Text.unigramApply(weird, "text", "doc_id", model)
       .collect().head
     assert(fb.getLong(3) === 4L + 30L, fb.toString)
+  }
+
+  test("unigramTrain over budget: deterministic hash-sample by default, refusal via conf") {
+    import spark.implicits._
+    // 26 distinct words, cap of 8: default mode trains on a hash-sample
+    val docs = (0 until 26).map(i =>
+      (i.toLong, (('a' + i).toChar.toString * 3) + " shared")).toDF("doc_id", "text")
+    spark.conf.set("graft.unigram.maxLocalVocab", "8")
+    try {
+      val m1 = graft.pipeline.Text.unigramTrain(docs, "text",
+          seedMulti = 10, emRounds = 1, vocabSize = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(m1.nonEmpty, "over-budget corpus must still train via the sample")
+      // content-hash sampling: identical under repartitioning
+      val m2 = graft.pipeline.Text.unigramTrain(docs.repartition(5), "text",
+          seedMulti = 10, emRounds = 1, vocabSize = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(m2 === m1, "hash-sampled train must be partitioning-invariant")
+      // the pre-r16 refusal stays available
+      spark.conf.set("graft.unigram.overBudget", "refuse")
+      val ex = intercept[IllegalArgumentException] {
+        graft.pipeline.Text.unigramTrain(docs, "text",
+          seedMulti = 10, emRounds = 1, vocabSize = 8)
+      }
+      assert(ex.getMessage.contains("graft.unigram.maxLocalVocab"))
+      spark.conf.set("graft.unigram.overBudget", "bogus")
+      val bad = intercept[IllegalArgumentException] {
+        graft.pipeline.Text.unigramTrain(docs, "text",
+          seedMulti = 10, emRounds = 1, vocabSize = 8)
+      }
+      assert(bad.getMessage.contains("'sample' or 'refuse'"))
+    } finally {
+      spark.conf.unset("graft.unigram.maxLocalVocab")
+      spark.conf.unset("graft.unigram.overBudget")
+    }
   }
 
   test("tokenizerFertilityAb: both families report on the same frame, ratios consistent") {
