@@ -122,20 +122,31 @@ object SparkEntry {
 
   /** Mixed-container image corpus for the decode-coverage queries: ONE
     * payload per document, container keyed by doc_id % 6 — real BMP and
-    * PNG (decodable by stock ImageIO), a WebP and an AVIF container
-    * header (sniffable, NOT decodable — the modern-crawl majority
-    * formats), a corrupt JPEG (valid magic, broken stream), and plain
-    * non-image bytes. The class arithmetic is the oracle's replay handle:
-    * DuckDB counts by doc_id % 6 while the engine really encodes, sniffs,
-    * and attempts the decode. */
+    * PNG (decodable by stock ImageIO), a webp class split on doc_id % 12
+    * (REAL lossless VP8L that decodes through the from-scratch
+    * [[graft.pipeline.Vp8l]] decoder vs a lossy VP8 chunk that sniffs but
+    * fails — the report SHOWS the lossless/lossy coverage split), an
+    * AVIF container header (sniffable, NOT decodable), a corrupt JPEG
+    * (valid magic, broken stream), and plain non-image bytes. The class
+    * arithmetic is the oracle's replay handle: DuckDB counts by
+    * doc_id % 6 / % 12 while the engine really encodes, sniffs, and
+    * attempts the decode. */
   private def mixedImagePayload(id: Long): Array[Byte] = (id % 6) match {
     case 0 => graft.pipeline.Multimodal.encodeBmpGray(8, 8,
       (x, y) => ((x * 7 + y * 11 + id) % 240 + 8).toInt)
     case 1 => graft.pipeline.Multimodal.encodePngGray(8, 8,
       (x, y) => ((x * 7 + y * 11 + id) % 240 + 8).toInt)
-    case 2 => // RIFF....WEBP + an empty VP8 chunk: sniffs webp, no JDK reader
-      Array[Byte]('R', 'I', 'F', 'F', 16, 0, 0, 0, 'W', 'E', 'B', 'P',
-        'V', 'P', '8', ' ', 4, 0, 0, 0, 0, 0, 0, 0)
+    case 2 =>
+      if (id % 12 == 2)
+        // REAL lossless WebP: VP8L stream from the in-house encoder —
+        // decodes through the from-scratch Vp8l decoder (r16)
+        graft.pipeline.Vp8lEncoder.encode(8, 8, Array.tabulate(64) { i =>
+          val p = ((i % 8) * 7 + (i / 8) * 11 + id) % 240 + 8
+          0xff000000 | (p.toInt << 16) | (p.toInt << 8) | p.toInt
+        })
+      else // lossy VP8 chunk: sniffs webp, needs a video codec — fails
+        Array[Byte]('R', 'I', 'F', 'F', 16, 0, 0, 0, 'W', 'E', 'B', 'P',
+          'V', 'P', '8', ' ', 4, 0, 0, 0, 0, 0, 0, 0)
     case 3 => // JPEG SOI + APP0 marker, then garbage: sniffs jpeg, decode fails
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
         s"corrupt jpeg $id".getBytes("UTF-8")
@@ -2284,6 +2295,71 @@ object SparkEntry {
           round(when(coalesce(col("n_grams"), lit(0L)) > 0,
             col("n_novel").cast("double") / col("n_grams"))
             .otherwise(0.0), 6).as("novelty"))
+        .orderBy("source")
+    }),
+
+    "pipeline_multimodal_e2e" -> ((s, dir) => {
+      // the MULTIMODAL curation release composed end-to-end (9th e2e,
+      // VERDICT r15 #6) — the first e2e through the r15 image machinery:
+      // mixed-container corpus (per doc a 16x16 BMP of procedural
+      // pixels; doc_id < 40 adds a PNG with IDENTICAL pixels at +100000 —
+      // a cross-FORMAT exact-pixel dup whose dhash is bit-identical since
+      // both containers decode losslessly; doc_id % 3 == 0 adds an
+      // undecodable LOSSY-VP8 WebP header at +200000, which SELF-MAPS per the
+      // imageDedupStar coverage contract) -> real encode + decodability
+      // flag in the SAME mapPartitions pass that builds the payloads ->
+      // imageDedupStar (dhash, maxDist 0; decode runs once inside via its
+      // localCheckpoint) -> caption quality gate (n_words >= 40 — the
+      // text_quality token split; median is 49, so the gate does real
+      // filtering) -> per-source release report. The
+      // oracle replays pixels -> luma grid -> dhash bits -> bands ->
+      // hamming-0 pairs -> recursive components -> the report algebra.
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select("doc_id", "source", "text").localCheckpoint()
+      val ids = docs.select(col("doc_id").as("base"))
+      val variants = ids
+        .select(col("base"), col("base").as("img_id"), lit("bmp").as("fmt"))
+        .unionByName(ids.filter(col("base") < 40).select(col("base"),
+          (col("base") + 100000L).as("img_id"), lit("png").as("fmt")))
+        .unionByName(ids.filter(col("base") % 3 === 0).select(col("base"),
+          (col("base") + 200000L).as("img_id"), lit("webp").as("fmt")))
+      val corpus = variants.as[(Long, Long, String)].mapPartitions { it =>
+        it.map { case (base, img, fmt) =>
+          val payload = fmt match {
+            case "bmp" => graft.pipeline.Multimodal.encodeBmpGray(16, 16,
+              (x, y) => imagePixel(base, x, y))
+            case "png" => graft.pipeline.Multimodal.encodePngGray(16, 16,
+              (x, y) => imagePixel(base, x, y))
+            case _ => Array[Byte]('R', 'I', 'F', 'F', 16, 0, 0, 0,
+              'W', 'E', 'B', 'P', 'V', 'P', '8', ' ', 4, 0, 0, 0, 0, 0, 0, 0)
+          }
+          (base, img, payload,
+            if (graft.pipeline.Multimodal.imageDecodes(payload)) 1L else 0L)
+        }
+      }.toDF("base", "img_id", "payload", "dec").localCheckpoint()
+      val comp = Dedup.imageDedupStar(corpus, "payload", "img_id", "dhash",
+        maxDist = 0)
+      val att = corpus.select(col("img_id").cast("string").as("id"),
+          col("base"), col("dec"))
+        .join(comp, Seq("id"))
+        .join(docs.select(col("doc_id").as("base"), col("source")), Seq("base"))
+      val perImg = att.groupBy("source").agg(
+        count(lit(1)).as("n_images"),
+        sum(col("dec")).as("n_decoded"),
+        sum(when(col("id") =!= col("component"), 1L).otherwise(0L))
+          .as("n_dup_merged"),
+        countDistinct(col("component")).as("n_groups"))
+      val cap = docs.select(col("source"),
+          when(size(split(trim(col("text")), "\\s+")) >= 40, 1L).otherwise(0L)
+            .as("__pass"))
+        .groupBy("source")
+        .agg(sum(col("__pass")).as("n_caption_pass"), count(lit(1)).as("__nb"))
+      perImg.join(cap, Seq("source"))
+        .select(col("source"), col("n_images"), col("n_decoded"),
+          col("n_dup_merged"), col("n_groups"), col("n_caption_pass"),
+          round(col("n_caption_pass").cast("double") / col("__nb"), 6)
+            .as("release_rate"))
         .orderBy("source")
     }),
 
@@ -6211,6 +6287,64 @@ object SparkEntry {
              THEN CAST(nov.n_novel AS DOUBLE) / nov.n_grams ELSE 0.0 END, 6) AS novelty
          FROM rep LEFT JOIN nov USING (source) ORDER BY source""",
 
+    // the multimodal release chain replayed engine-independently: the
+    // procedural 16x16 pixel corpus (BMP + exact-pixel PNG twins under
+    // id+100000, undecodable WebP under id+200000), luma grid at the
+    // dhash 9x8 cells, fixed-point means, horizontal-diff bits, 16-bit
+    // bands, hamming-0 banded pairs, recursive-CTE components, then the
+    // per-source report algebra with the text_quality caption tokens
+    "pipeline_multimodal_e2e" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id, source, text FROM documents WHERE doc_id < 120),
+         imgs AS (
+           SELECT doc_id AS base, doc_id AS img, 1 AS dec FROM d
+           UNION ALL SELECT doc_id, doc_id + 100000, 1 FROM d WHERE doc_id < 40
+           UNION ALL SELECT doc_id, doc_id + 200000, 0 FROM d WHERE doc_id % 3 = 0),
+         px AS (SELECT img, base, x.range AS x, y.range AS y
+                FROM imgs, range(16) x, range(16) y WHERE dec = 1),
+         pv AS (SELECT img, x, y,
+                  1000 * (((x*(3 + base % 5) + y*(2 + base % 7)
+                    + ((x*y + base) % 23) * 11) % 208) + 24) AS lum
+                FROM px),
+         grid AS (SELECT img, (y*8)//16 AS gy, (x*9)//16 AS gx,
+                    CAST((sum(lum)*65536)//count(*) AS BIGINT) AS g
+                  FROM pv GROUP BY 1, 2, 3),
+         bits AS (SELECT a.img, a.gy*8 + a.gx AS idx,
+                    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+                  FROM grid a JOIN grid b
+                    ON b.img = a.img AND b.gy = a.gy AND b.gx = a.gx + 1
+                  WHERE a.gx < 8),
+         $imageBandCtes,
+         e AS (SELECT id1, id2 FROM cd WHERE hamming <= 0),
+         ed AS MATERIALIZED (
+           SELECT id1 AS src, id2 AS dst FROM e
+           UNION SELECT id2 AS src, id1 AS dst FROM e),
+         allid AS (SELECT CAST(img AS VARCHAR) AS id, base, dec FROM imgs),
+         reach AS (
+           SELECT id, id AS node FROM allid
+           UNION
+           SELECT r.id, ed.dst AS node FROM reach r JOIN ed ON ed.src = r.node),
+         comp AS (SELECT id, min(node) AS component FROM reach GROUP BY id),
+         att AS (SELECT a.id, a.base, a.dec, c.component, d.source
+                 FROM allid a JOIN comp c USING (id)
+                 JOIN d ON d.doc_id = a.base),
+         perimg AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n_images,
+             CAST(sum(dec) AS BIGINT) AS n_decoded,
+             CAST(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_merged,
+             CAST(count(DISTINCT component) AS BIGINT) AS n_groups
+           FROM att GROUP BY 1),
+         cap AS (SELECT source,
+             CAST(sum(CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 40
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_caption_pass,
+             count(*) AS nb
+           FROM d GROUP BY 1)
+         SELECT p.source, n_images, n_decoded, n_dup_merged, n_groups,
+           n_caption_pass,
+           round(CAST(n_caption_pass AS DOUBLE) / nb, 6) AS release_rate
+         FROM perimg p JOIN cap USING (source) ORDER BY source""",
+
     "pipeline_policy_e2e" ->
       s"""WITH docs AS (SELECT * FROM documents WHERE lang IS NOT NULL),
          ph(phrase) AS (
@@ -6716,15 +6850,18 @@ object SparkEntry {
 
     // independent replay of the mixed-corpus construction: container and
     // decodability follow from doc_id % 6 by construction (BMP/PNG real
-    // and decodable, WebP/AVIF/corrupt-JPEG sniffable but undecodable,
-    // else unknown) — the ENGINE proves the same counts by actually
-    // encoding, sniffing, and running ImageIO per payload
+    // and decodable; webp splits on doc_id % 12 — LOSSLESS VP8L decodes
+    // through the from-scratch decoder, lossy VP8 sniffs but fails;
+    // AVIF/corrupt-JPEG sniffable but undecodable; else unknown) — the
+    // ENGINE proves the same counts by actually encoding, sniffing, and
+    // running the real decoders per payload
     "multimodal_decode_report" ->
       """WITH c AS (SELECT
              CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
                WHEN 2 THEN 'webp' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'avif'
                ELSE 'unknown' END AS container,
-             CASE WHEN doc_id % 6 IN (0, 1) THEN 1 ELSE 0 END AS dec
+             CASE WHEN doc_id % 6 IN (0, 1) OR doc_id % 12 = 2
+               THEN 1 ELSE 0 END AS dec
            FROM documents)
          SELECT container, CAST(count(*) AS BIGINT) AS n_total,
            CAST(sum(dec) AS BIGINT) AS n_decoded,

@@ -853,13 +853,28 @@ object Dedup {
     * [[minhashCandidates]] convention: no cast-to-null crashes, no
     * '7'/'07' collisions), so pair orientation is STRING order — the
     * same order [[components]] uses for the group representative.
+    *
+    * `maxCandidatesPerDoc` (0 = off) is the SECOND cap level of the MOSS
+    * practice: after aggregation, keep only pairs ranked in either
+    * endpoint's top-C by (shared DESC, partner id ASC) — the edge set is
+    * then <= 2·C·n rows at ANY dup-cluster depth (the r16 probe measures
+    * the uncapped edge stage superlinear when cluster depth grows with
+    * the corpus). Deterministic; inside a uniform duplicate cluster
+    * (all pairs equal `shared`) every member's top-C includes the
+    * cluster's min-id member, so connected components are PRESERVED
+    * there — asymmetric overlap structure can split (the documented
+    * trade; see SCALE.md). Two edge-scale window passes, never
+    * corpus-scale.
     * Returns (id1, id2, shared), id1 < id2 as strings. */
   def winnowCandidates(df: DataFrame, textCol: String, idCol: String,
                        k: Int = 3, w: Int = 4, minShared: Int = 8,
                        maxDocFreq: Int = 0,
-                       warnSink: String => Unit = null): DataFrame = {
+                       warnSink: String => Unit = null,
+                       maxCandidatesPerDoc: Int = 0): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     require(maxDocFreq >= 0, s"maxDocFreq must be >= 0 (0 = off): $maxDocFreq")
+    require(maxCandidatesPerDoc >= 0,
+      s"maxCandidatesPerDoc must be >= 0 (0 = off): $maxCandidatesPerDoc")
     val sink = if (warnSink != null) warnSink else logSink
     val spark = df.sparkSession
     // uncapped-megabucket guard (the minhashCandidates pre-flight
@@ -897,12 +912,24 @@ object Dedup {
           .filter(col("__df") > maxDocFreq).select("fp")
         all.join(common, Seq("fp"), "left_anti")
       }
-    fps.as("x")
+    val pairs = fps.as("x")
       .join(fps.as("y"),
         col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    if (maxCandidatesPerDoc == 0) pairs
+    else {
+      val w1 = Window.partitionBy("id1")
+        .orderBy(col("shared").desc, col("id2").asc)
+      val w2 = Window.partitionBy("id2")
+        .orderBy(col("shared").desc, col("id1").asc)
+      pairs.withColumn("__r1", row_number().over(w1))
+        .withColumn("__r2", row_number().over(w2))
+        .filter(col("__r1") <= maxCandidatesPerDoc ||
+          col("__r2") <= maxCandidatesPerDoc)
+        .drop("__r1", "__r2")
+    }
   }
 
   /** The GROUPING form of [[winnowCandidates]]: candidate pairs →
@@ -917,15 +944,20 @@ object Dedup {
     * bucket representative, so a rep-star graph would NOT have the same
     * components). On copy-heavy corpora bound the edge stage with
     * `maxDocFreq` (sf10 probe: the capped graph's 24.7M candidate edges
-    * grouped in 25 s; the uncapped form is the documented skew death).
+    * grouped in 25 s; the uncapped form is the documented skew death) —
+    * and when dup-cluster DEPTH grows with the corpus, add the second
+    * cap level `maxCandidatesPerDoc` (edge set <= 2·C·n at any depth;
+    * components preserved inside uniform clusters, measured in the r16
+    * probe — see SCALE.md).
     * Ids ride as strings like every dedup grouping path; component =
     * min member id in string order. Returns (id, component). */
   def winnowStar(df: DataFrame, textCol: String, idCol: String,
                  k: Int = 3, w: Int = 4, minShared: Int = 8,
                  maxDocFreq: Int = 0, maxIter: Int = 20,
-                 warnSink: String => Unit = null): DataFrame = {
+                 warnSink: String => Unit = null,
+                 maxCandidatesPerDoc: Int = 0): DataFrame = {
     val pairs = winnowCandidates(df, textCol, idCol, k, w, minShared,
-        maxDocFreq, warnSink)
+        maxDocFreq, warnSink, maxCandidatesPerDoc)
       .select(col("id1"), col("id2")) // already strings (pairing convention)
     val comps = components(pairs, "id1", "id2", maxIter)
     df.select(col(idCol).cast("string").as("id"))

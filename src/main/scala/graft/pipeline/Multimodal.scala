@@ -10,7 +10,10 @@ import org.apache.spark.sql.types._
   *
   * IMAGE payloads (PNG/JPEG/GIF/BMP) decode for REAL through the JDK's
   * bundled `javax.imageio` readers — no external codec libs needed — into
-  * pixel-statistics features; PCM audio (WAV/AIFF/AU) decodes for real via
+  * pixel-statistics features; lossless WebP (VP8L) decodes for real
+  * through the from-scratch [[Vp8l]] decoder (lossy VP8 needs a video
+  * codec and is counted undecodable by [[imageDecodeReport]]); PCM audio
+  * (WAV/AIFF/AU) decodes for real via
   * `javax.sound`; FLAC PCM ([[decodeFlac]]) and MPEG-1 Layer II
   * ([[MpegAudio.decodeLayer2]]) decode for real from scratch; ISO-BMFF
   * sample tables demux for real ([[mp4Samples]] / [[Mp4Demux]]). For the
@@ -39,27 +42,34 @@ object Multimodal {
       sha2(col(binCol), 256).as("sha256"),
       lit(mime).as("mime")))
 
-  /** Real image decoder via the JDK's bundled ImageIO readers. Returns the
-    * 8-dim feature vector [width, height, bands, meanR, meanG, meanB,
-    * lumaMean, lumaStd] (channel means in [0,1]); None when the payload is
-    * not a decodable image (magic-byte gate first, so non-image bytes
-    * never pay a decode attempt). Runs inside the per-partition batch
-    * loop of [[extractFeatures]]. */
+  /** Real image decoder ([[decodeArgbPixels]]: ImageIO for
+    * PNG/JPEG/GIF/BMP, the from-scratch [[Vp8l]] for lossless WebP).
+    * Returns the 8-dim feature vector [width, height, bands, meanR,
+    * meanG, meanB, lumaMean, lumaStd] (channel means in [0,1]; bands is
+    * 4 for the ARGB webp path); None when the payload is not a decodable
+    * image (magic-byte gate first, so non-image bytes never pay a decode
+    * attempt). Runs inside the per-partition batch loop of
+    * [[extractFeatures]]. */
   def decodeImage(bytes: Array[Byte]): Option[Array[Float]] = {
     if (bytes == null || bytes.length < 8) return None
-    def b(i: Int): Int = bytes(i) & 0xff
-    val isPng = b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
-    val isJpg = b(0) == 0xff && b(1) == 0xd8
-    val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
-    val isBmp = b(0) == 'B' && b(1) == 'M'
-    if (!(isPng || isJpg || isGif || isBmp)) return None
+    val container = sniffImageContainer(bytes)
+    if (container == "unknown") return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) return None
-      val w = img.getWidth
-      val h = img.getHeight
-      if (w <= 0 || h <= 0) return None
-      val px = img.getRGB(0, 0, w, h, null, 0, w) // packed ARGB
+      // ONE decode (this runs in extractFeatures' per-partition hot loop)
+      val (w, h, px, bands) =
+        if (container == "webp") Vp8l.decode(bytes) match {
+          case Some((vw, vh, vp)) if vw > 0 && vh > 0 => (vw, vh, vp, 4.0f)
+          case _ => return None
+        }
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) return None
+          val iw = img.getWidth
+          val ih = img.getHeight
+          if (iw <= 0 || ih <= 0) return None
+          (iw, ih, img.getRGB(0, 0, iw, ih, null, 0, iw),
+            img.getRaster.getNumBands.toFloat)
+        }
       val n = px.length.toDouble
       var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
       var i = 0
@@ -74,7 +84,7 @@ object Multimodal {
       }
       val lm = sl / n
       val lvar = math.max(sl2 / n - lm * lm, 0.0)
-      Some(Array(w.toFloat, h.toFloat, img.getRaster.getNumBands.toFloat,
+      Some(Array(w.toFloat, h.toFloat, bands,
         (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
         lm.toFloat, math.sqrt(lvar).toFloat))
     } catch { case _: Exception => None }
@@ -105,14 +115,37 @@ object Multimodal {
     else "unknown"
   }
 
-  /** Can ImageIO actually decode this payload? Attempted for every
-    * sniffed image container (including webp/avif/tiff — a JDK with a
-    * plugged-in reader would start passing here with no code change);
-    * "unknown" payloads never pay a decode attempt. */
+  /** Shared pixel decode for the whole image family: WebP routes through
+    * the from-scratch [[Vp8l]] decoder (LOSSLESS VP8L chunks decode for
+    * real; lossy VP8 stays None — it needs a full video codec), every
+    * other sniffed container through ImageIO (a JDK with a plugged-in
+    * avif/tiff reader would start passing with no code change);
+    * "unknown" payloads never pay a decode attempt. Returns
+    * (width, height, packed ARGB). */
+  def decodeArgbPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    sniffImageContainer(bytes) match {
+      case "unknown" => None
+      case "webp" =>
+        try Vp8l.decode(bytes).filter { case (w, h, _) => w > 0 && h > 0 }
+        catch { case _: Exception => None }
+      case _ =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            if (w <= 0 || h <= 0) None
+            else Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+          }
+        } catch { case _: Exception => None }
+    }
+
+  /** Does this payload decode under the library's decoders ([[Vp8l]] for
+    * lossless WebP, ImageIO otherwise)? The [[imageDecodeReport]]
+    * predicate. */
   def imageDecodes(bytes: Array[Byte]): Boolean =
-    sniffImageContainer(bytes) != "unknown" && (try {
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)) != null
-    } catch { case _: Exception => false })
+    decodeArgbPixels(bytes).isDefined
 
   /** Decode-COVERAGE report for an image corpus (VERDICT r15 #2): per
     * sniffed container, how many payloads the JDK decoder actually
@@ -681,19 +714,12 @@ object Multimodal {
   def lumaGrid(bytes: Array[Byte], gw: Int, gh: Int): Option[(Int, Int, Array[Long], Array[Long])] = {
     require(gw > 0 && gh > 0, s"bad grid ${gw}x$gh")
     if (bytes == null || bytes.length < 8) return None
-    def b(i: Int): Int = bytes(i) & 0xff
-    val isPng = b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
-    val isJpg = b(0) == 0xff && b(1) == 0xd8
-    val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
-    val isBmp = b(0) == 'B' && b(1) == 'M'
-    if (!(isPng || isJpg || isGif || isBmp)) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) return None
-      val w = img.getWidth
-      val h = img.getHeight
+      val (w, h, px) = decodeArgbPixels(bytes) match {
+        case Some(v) => v
+        case None => return None
+      }
       if (w < gw || h < gh) return None // a cell would be empty
-      val px = img.getRGB(0, 0, w, h, null, 0, w)
       val sums = new Array[Long](gw * gh)
       val counts = new Array[Long](gw * gh)
       var y = 0

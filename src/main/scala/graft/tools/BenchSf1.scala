@@ -278,6 +278,79 @@ object BenchSf1 {
       }))
   }
 
+  /** Round-16 wave: the multimodal release chain at full corpus volume
+    * (the declared query slices 120 docs -> flat across decades).
+    * mod-101/103 gradient multipliers give ~240k distinct patterns so dup
+    * mass stays realistic per decade; PNG exact-pixel twins for
+    * doc_id % 7 == 0 add cross-FORMAT dup work; lossy-VP8 WebP headers for
+    * % 3 == 0 exercise the coverage path (sniffed + counted, never
+    * hashed). 16x16 payloads: encode + decodability flag + ImageIO
+    * dhash decode are the per-image work, all inside mapPartitions —
+    * payloads never shuffle. */
+  private[tools] def round16Wave: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "pipeline_multimodal_e2e_full" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text").localCheckpoint()
+      val ids = docs.select(col("doc_id").as("base"))
+      val variants = ids
+        .select(col("base"), col("base").as("img_id"), lit(0).as("k"))
+        .unionByName(ids.filter(col("base") % 7 === 0).select(col("base"),
+          (col("base") + 100000000L).as("img_id"), lit(1).as("k")))
+        .unionByName(ids.filter(col("base") % 3 === 0).select(col("base"),
+          (col("base") + 200000000L).as("img_id"), lit(2).as("k")))
+      val corpus = variants.as[(Long, Long, Int)].mapPartitions { it =>
+        it.map { case (base, img, k) =>
+          def pix(x: Int, y: Int): Int =
+            (((x * (3 + base % 101) + y * (2 + base % 103) +
+              ((x.toLong * y + base) % 23) * 11) % 208) + 24).toInt
+          val payload = k match {
+            case 0 => graft.pipeline.Multimodal.encodeBmpGray(16, 16, pix)
+            case 1 => graft.pipeline.Multimodal.encodePngGray(16, 16, pix)
+            case _ => Array[Byte]('R', 'I', 'F', 'F', 16, 0, 0, 0,
+              'W', 'E', 'B', 'P', 'V', 'P', '8', ' ', 4, 0, 0, 0, 0, 0, 0, 0)
+          }
+          (base, img, payload,
+            if (graft.pipeline.Multimodal.imageDecodes(payload)) 1L else 0L)
+        }
+      }.toDF("base", "img_id", "payload", "dec").localCheckpoint()
+      val comp = graft.pipeline.Dedup.imageDedupStar(corpus, "payload",
+        "img_id", "dhash", maxDist = 0)
+      val att = corpus.select(col("img_id").cast("string").as("id"),
+          col("base"), col("dec"))
+        .join(comp, Seq("id"))
+        .join(docs.select(col("doc_id").as("base"), col("source")), Seq("base"))
+      val perImg = att.groupBy("source").agg(
+        count(lit(1)).as("n_images"),
+        sum(col("dec")).as("n_decoded"),
+        sum(when(col("id") =!= col("component"), 1L).otherwise(0L))
+          .as("n_dup_merged"),
+        count_distinct(col("component")).as("n_groups"))
+      val cap = docs.select(col("source"),
+          when(size(split(trim(col("text")), "\\s+")) >= 40, 1L)
+            .otherwise(0L).as("__p"))
+        .groupBy("source").agg(sum(col("__p")).as("n_caption_pass"))
+      perImg.join(cap, Seq("source"))
+        .groupBy().agg(sum("n_images").as("n_images"),
+          sum("n_decoded").as("n_decoded"), sum("n_dup_merged").as("n_dup"),
+          sum("n_groups").as("chk_groups"), sum("n_caption_pass").as("n_pass"))
+    }),
+    // TWO-LEVEL cap measurement (VERDICT r15 #7): same corpus and
+    // maxDocFreq as dedup_winnow_star_full, plus maxCandidatesPerDoc=3 —
+    // edge set <= 6n at ANY dup-cluster depth where the single-cap form's
+    // edge stage grows with depth (x8.1/decade at sf10). Compare this
+    // line's time AND n_components against dedup_winnow_star_full on the
+    // same board: the probe corpus's copy clusters are uniform, so
+    // components should match exactly (the preservation argument).
+    "dedup_winnow_star_capped2_full" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val copies = math.max(docs.count() / 5000L, 1L).toInt
+      graft.pipeline.Dedup.winnowStar(docs, "text", "doc_id",
+          minShared = 8, maxDocFreq = 2 * copies, maxCandidatesPerDoc = 3)
+        .groupBy().agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("component")).as("n_components"))
+    }))
+
   private[tools] def round11SecondWave: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "decon_minhash_lsh_full" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -495,7 +568,7 @@ object BenchSf1 {
           .select(projOf(col("embedding")).as("p"))
           .groupBy().agg(count(lit(1)).as("n"),
             sum(element_at(col("p"), 1)).as("chk"))
-      })) ++ round11SecondWave ++ round14Wave ++ round14SecondWave ++ round15Wave
+      })) ++ round11SecondWave ++ round14Wave ++ round14SecondWave ++ round15Wave ++ round16Wave
 
     // every probe key must be GROUNDED in a declared query name (VERDICT
     // r13 #7): the name itself, or '<declared>_<suffix>' for documented

@@ -173,7 +173,7 @@ object BenchSf10 {
       // probe killed the context by skew) — sf0.1→sf1 evidence lives in
       // BENCH_sf1.json, the capped form is the sfx10 path
       BenchSf1.round14SecondWave.filterNot(_._1 == "dedup_winnow_pairs_full") ++
-      BenchSf1.round15Wave
+      BenchSf1.round15Wave ++ BenchSf1.round16Wave
 
     // sfx10-infeasible BY CONTRACT, each with its evidence elsewhere:
     // the uncapped winnow pair join puts one template print's Σ b² work

@@ -437,4 +437,35 @@ class CliSpec extends SparkSpec {
     assert(second("a") === 4L && second("c") === 3L && second("b") === 2L,
       s"resumed cumulative snapshot wrong: $second")
   }
+
+  test("stream drift verb: closed windows scored per run, CUSUM continues across runs") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft-cli-drift").toString
+    val src = s"$dir/src"; val out = s"$dir/drift"; val ckpt = s"$dir/ckpt"
+    def ts(sec: Long) = Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z").plusSeconds(sec))
+    val refDf = (1 to 1000).map(_.toDouble).toDF("value")
+    refDf.write.parquet(s"$dir/ref")
+    // hour 0 leans low; hour 1's arrival advances the watermark past it
+    val hour0 = (0 until 100).map(i => (ts(i * 36L), (i * 8 + 1).toDouble))
+    val hour1 = (0 until 100).map(i => (ts(3600L + i * 35L), 990.0 + (i % 10)))
+    (hour0 ++ hour1).toDF("ts", "value").write.mode("append").parquet(src)
+    Cli.run(spark, List("stream", "drift", src, out,
+      "--checkpoint", ckpt, "--ref", s"$dir/ref", "--value", "value"))
+    val first = spark.read.parquet(out).collect()
+    assert(first.length === 1, s"exactly hour 0 closed: ${first.length}")
+    // hour 2 arrives -> hour 1 closes on the SECOND run; its CUSUM builds
+    // on hour 0's checkpointed state (all-top-decile hour -> alarm)
+    val hour2 = (0 until 50).map(i => (ts(7200L + i * 60L), 500.0))
+    hour2.toDF("ts", "value").write.mode("append").parquet(src)
+    Cli.run(spark, List("stream", "drift", src, out,
+      "--checkpoint", ckpt, "--ref", s"$dir/ref", "--value", "value"))
+    val rows = spark.read.parquet(out).orderBy("window_start").collect()
+    assert(rows.length === 2, s"hour 1 appended: ${rows.length}")
+    val verdictIdx = rows.head.fieldIndex("verdict")
+    assert(rows.last.getString(verdictIdx) === "action",
+      s"all-top-decile hour must score action: ${rows.last}")
+    assert(rows.last.getBoolean(rows.last.fieldIndex("cusum_alarm")),
+      "CUSUM alarm must fire on the shifted hour")
+  }
 }

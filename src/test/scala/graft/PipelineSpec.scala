@@ -1097,6 +1097,33 @@ class PipelineSpec extends SparkSpec {
     assert(rep("unknown") === ((1L, 0L, 1L)))
   }
 
+  test("VP8L webp joins the image family: decode report, lumaGrid parity, cross-format dedup") {
+    import spark.implicits._
+    val pix = (x: Int, y: Int) => (x * 13 + y * 29 + 5) % 256
+    // 16x16: the dhash 9x8 grid needs width >= 9
+    val argb = Array.tabulate(16 * 16) { i =>
+      val p = pix(i % 16, i / 16)
+      0xff000000 | (p << 16) | (p << 8) | p
+    }
+    val webp = graft.pipeline.Vp8lEncoder.encode(16, 16, argb)
+    val bmp = Multimodal.encodeBmpGray(16, 16, pix)
+    assert(Multimodal.sniffImageContainer(webp) === "webp")
+    assert(Multimodal.imageDecodes(webp), "lossless VP8L decodes for real")
+    // bit-exact pixel parity across containers: identical luma grids
+    assert(Multimodal.lumaGrid(webp, 9, 8).get._3.toSeq ===
+      Multimodal.lumaGrid(bmp, 9, 8).get._3.toSeq)
+    // ... so the image dedup star merges the cross-FORMAT pair
+    val star = Dedup.imageDedupStar(
+        Seq((1L, bmp), (2L, webp)).toDF("img_id", "payload"),
+        "payload", "img_id", "dhash", maxDist = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(star("1") === "1" && star("2") === "1",
+      s"BMP and VP8L of the same pixels must group: $star")
+    // decodeImage features flow too (bands = 4 on the ARGB webp path)
+    val f = Multimodal.decodeImage(webp).get
+    assert(f(0) === 16.0f && f(1) === 16.0f && f(2) === 4.0f)
+  }
+
   test("knnGraph pre-flight gate refuses past graft.ann.maxGraphCandidates") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = Similarity.ivfTrain(e, nLists = 8)
@@ -2582,6 +2609,38 @@ class PipelineSpec extends SparkSpec {
         docs, "text", "doc_id", minShared = 8, maxDocFreq = 10)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(capped === Set(("100", "101")), s"capped: $capped")
+  }
+
+  test("winnowCandidates maxCandidatesPerDoc: edge set bounded, uniform-cluster components preserved") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def soup(n: Int) = Seq.fill(n)("q" + rnd.nextInt(10000)).mkString(" ")
+    // a 12-deep exact-copy cluster (all pairs share ALL prints — the
+    // uniform case) plus two singletons
+    val copyText = soup(60)
+    val docs = ((0 until 12).map(i => (i.toLong, copyText)) ++
+      Seq((100L, soup(40)), (101L, soup(40)))).toDF("doc_id", "text")
+    val full = graft.pipeline.Dedup.winnowCandidates(
+        docs, "text", "doc_id", minShared = 8)
+      .collect()
+    assert(full.length === 12 * 11 / 2, s"uncapped C(12,2): ${full.length}")
+    val capped = graft.pipeline.Dedup.winnowCandidates(
+        docs, "text", "doc_id", minShared = 8, maxCandidatesPerDoc = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // union-keep bound: <= 2·C·n edges
+    assert(capped.length <= 2 * 2 * 12, s"edge bound: ${capped.length}")
+    // components unchanged: every member still reaches the min-id rep
+    val star = graft.pipeline.Dedup.winnowStar(docs, "text", "doc_id",
+        minShared = 8, maxCandidatesPerDoc = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    (0 until 12).foreach(i => assert(star(i.toString) === "0", star.toString))
+    assert(star("100") === "100" && star("101") === "101")
+    // determinism under repartitioning (window order is fully keyed)
+    val capped2 = graft.pipeline.Dedup.winnowCandidates(
+        docs.repartition(7), "text", "doc_id", minShared = 8,
+        maxCandidatesPerDoc = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(capped2.toSet === capped.toSet)
   }
 
   test("semDedupClustered: hand geometry, keeper rule, exact-copy co-clustering, iters") {
