@@ -172,13 +172,17 @@ object Similarity {
     val nP = math.min(nProbe, model.nLists)
     val maxCand = graft.GraftConf.positiveLong(assigned.sparkSession,
       "graft.ann.maxGraphCandidates", 1000000000L)
+    // the Σ c² sum runs in DOUBLE: at the 100 TB design point (n ~ 1e10
+    // vectors, stale nLists) the int64 sum overflows PAST 9.2e18 and a
+    // silent wrap would wave the quadratic join through — the exact
+    // regime this gate exists for; a gate needs magnitude, not exactness
     val sumSq = assigned.groupBy(col("list_id"))
-      .agg(count(lit(1)).as("__c"))
-      .agg(coalesce(sum(col("__c") * col("__c")), lit(0L)))
-      .head().getLong(0)
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .agg(coalesce(sum(col("__c") * col("__c")), lit(0.0d)))
+      .head().getDouble(0)
     val estCand = sumSq * nP
-    require(estCand <= maxCand,
-      s"knnGraph estimated candidate count $estCand (nProbe=$nP × Σ list-size²" +
+    require(estCand <= maxCand.toDouble,
+      f"knnGraph estimated candidate count $estCand%.3g (nProbe=$nP × Σ list-size²" +
         s" over ${model.nLists} lists) exceeds graft.ann.maxGraphCandidates=" +
         s"$maxCand — at fixed nLists the graph join is quadratic in the " +
         "corpus; train with ivfTrainScaled(vectorsPerList = ...) so nLists " +
