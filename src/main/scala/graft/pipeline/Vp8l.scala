@@ -475,9 +475,13 @@ object Vp8l {
     // transforms, each type at most once, applied inverse in reverse order
     var codedW = w
     var transforms = List.empty[Transform]
+    var seenTypes = Set.empty[Int]
     var more = br.readBit() == 1
     while (more) {
-      br.readBits(2) match {
+      val ttype = br.readBits(2)
+      require(!seenTypes(ttype), s"VP8L: duplicate transform type $ttype")
+      seenTypes += ttype
+      ttype match {
         case 0 => // predictor
           val bits = br.readBits(3) + 2
           val d = decodeEntropyImage(br, subSize(codedW, bits), subSize(h, bits), allowMeta = false)

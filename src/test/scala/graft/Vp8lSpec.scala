@@ -134,6 +134,18 @@ class Vp8lSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate transform type is rejected (spec: each at most once)") {
+    val bw = new BitWriter
+    bw.writeBits(0x2f, 8); bw.writeBits(3, 14); bw.writeBits(3, 14)
+    bw.writeBit(0); bw.writeBits(0, 3)
+    bw.writeBit(1); bw.writeBits(2, 2) // subtract-green
+    bw.writeBit(1); bw.writeBits(2, 2) // subtract-green AGAIN
+    val ex = intercept[IllegalArgumentException] {
+      Vp8l.decode(riff(bw.result()))
+    }
+    assert(ex.getMessage.contains("duplicate transform"))
+  }
+
   test("single-color image: single-symbol codes cost zero bits") {
     val (w, h) = (8, 8)
     val px = Array.fill(w * h)(0xff336699)
