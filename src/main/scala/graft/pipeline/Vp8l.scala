@@ -17,16 +17,17 @@ package graft.pipeline
   * including sub-byte pixel bundling) — applied in reverse order.
   *
   * PROVENANCE NOTE (the MP2-filterbank discipline, SCALE.md): the
-  * 120-entry 2D distance map is GENERATED from the spec's ordering rule
-  * (all offsets (x, y) with y >= 0, x in [-8, 8], excluding y == 0 with
-  * x <= 0, the 120 nearest by x² + y², ties broken y descending then x
-  * descending on equal |x|) rather than transcribed digit-by-digit; the
-  * generated table's documented prefix ((0,1),(1,0),(1,1),(-1,1),(0,2),
-  * (2,0),…) matches the spec's published examples, and the
-  * encoder/decoder roundtrip suite (Vp8lSpec) exercises both the
-  * mapped and the direct distance paths. A derivation error would
-  * surface only on real-world encoder output, not in-house streams —
-  * stated here so the limitation is explicit.
+  * 120-entry 2D distance map is GENERATED from the spec's window and
+  * ordering rule — exactly the offsets (x, y) with y in [0, 7], x in
+  * [-7, 8], excluding y == 0 with x <= 0 (8 + 7·16 = 120, the full
+  * window, no truncation), ordered by x² + y² then |x| ascending with
+  * positive x before negative — rather than transcribed
+  * digit-by-digit. An r16 advisor review found the previous window
+  * (y ≤ 8, x ≥ -8, nearest-120 truncation) diverged from the spec
+  * table at plane codes 97–120; Vp8lSpec now asserts the generated
+  * table against the spec's published 120-entry table element by
+  * element, and the encoder/decoder roundtrip suite exercises both the
+  * mapped and the direct distance paths.
   *
   * Returns packed ARGB pixels (the [[Multimodal.lumaGrid]] contract).
   * Every malformed stream throws; callers gate with try/None. */
@@ -48,7 +49,7 @@ object Vp8l {
     while (p + 8 <= b.length) {
       val fc = fourcc(p)
       val sz = le32(p + 4)
-      if (sz < 0 || p + 8 + sz > b.length) return None
+      if (sz < 0 || p + 8L + sz > b.length) return None // Long: sz near 2^31 must not wrap
       if (fc == "VP8L") return Some((p + 8, sz))
       p += 8 + sz + (sz & 1) // chunks are 2-byte aligned
     }
@@ -203,15 +204,22 @@ object Vp8l {
 
   /** 2D distance map for plane codes 1..120 — GENERATED from the spec's
     * ordering rule (see object scaladoc). */
-  private lazy val distanceMap: Array[(Int, Int)] = {
+  private[graft] lazy val distanceMap: Array[(Int, Int)] = {
+    // The spec's window is exactly y in [0,7], x in [-7,8] with (x,y)
+    // strictly after the current pixel in scan order (y==0 => x>=1):
+    // 8 + 7*16 = 120 entries — the full window, no truncation. Ordered
+    // by squared euclidean distance, then |x| ascending (equivalently y
+    // descending at fixed distance), positive x before negative.
     val candidates = for {
-      y <- 0 to 8
-      x <- -8 to 8
-      if !(y == 0 && x <= 0) && (x * x + y * y) > 0
+      y <- 0 to 7
+      x <- -7 to 8
+      if !(y == 0 && x <= 0)
     } yield (x, y)
-    candidates.sortBy { case (x, y) =>
-      (x * x + y * y, -y, -(math.abs(x)), if (x > 0) 0 else 1)
-    }.take(120).toArray
+    val sorted = candidates.sortBy { case (x, y) =>
+      (x * x + y * y, math.abs(x), if (x > 0) 0 else 1)
+    }.toArray
+    require(sorted.length == 120, s"VP8L distance map: ${sorted.length}")
+    sorted
   }
 
   private def planeCodeToDistance(width: Int, plane: Int): Int =
@@ -296,6 +304,20 @@ object Vp8l {
   private def subSize(size: Int, bits: Int): Int =
     (size + (1 << bits) - 1) >> bits
 
+  /** Predictor mode 11 (Select): the one of L/T whose per-channel
+    * Manhattan distance to the gradient L + T - TL is smaller; ties
+    * predict T (spec: "pL < pT ? L : T"). */
+  private[graft] def selectPredict(l: Int, t: Int, tl: Int): Int = {
+    def comp(p: Int, sh: Int) = (p >>> sh) & 0xff
+    var pl = 0; var pt = 0
+    Seq(24, 16, 8, 0).foreach { sh =>
+      val pred = comp(l, sh) + comp(t, sh) - comp(tl, sh)
+      pl += math.abs(pred - comp(l, sh))
+      pt += math.abs(pred - comp(t, sh))
+    }
+    if (pl < pt) l else t
+  }
+
   // ------------------------------------------------------------ transforms
 
   private sealed trait Transform { def apply(px: Array[Int], w: Int, h: Int): (Array[Int], Int) }
@@ -326,18 +348,7 @@ object Vp8l {
         (aa << 24) | (rr << 16) | (gg << 8) | bb
       }
       def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
-      def select(l: Int, t: Int, tl: Int): Int = {
-        // predict the one of L/T whose per-channel distance to the
-        // gradient L + T - TL is smaller (spec's Select)
-        def comp(p: Int, sh: Int) = (p >>> sh) & 0xff
-        var pl = 0; var pt = 0
-        Seq(24, 16, 8, 0).foreach { sh =>
-          val pred = comp(l, sh) + comp(t, sh) - comp(tl, sh)
-          pl += math.abs(pred - comp(l, sh))
-          pt += math.abs(pred - comp(t, sh))
-        }
-        if (pl <= pt) l else t
-      }
+      def select(l: Int, t: Int, tl: Int): Int = selectPredict(l, t, tl)
       def caf(l: Int, t: Int, tl: Int): Int = { // ClampAddSubtractFull
         def c(sh: Int) = clamp(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff))
         (c(24) << 24) | (c(16) << 16) | (c(8) << 8) | c(0)

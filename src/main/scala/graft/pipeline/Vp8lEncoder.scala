@@ -249,7 +249,10 @@ object Vp8lEncoder {
       if (useLz && i > 0 && px(i - 1) == p) {
         var run = 0
         while (i + run < px.length && px(i + run) == p) run += 1
-        ops += Copy(run, planeForDist1)
+        // LZ77 length codes top out at 4096 (code 23); longer runs must
+        // split or the length would alias into the color-cache range.
+        var rem = run
+        while (rem > 0) { val c = math.min(rem, 4096); ops += Copy(c, planeForDist1); rem -= c }
         // copied pixels enter the cache too (decoder behavior)
         if (cache != null) { val k = cacheKey(p, cacheBits); cache(k) = p; seen(k) = true }
         i += run

@@ -151,4 +151,86 @@ class Vp8lSpec extends AnyFunSuite {
     val px = Array.fill(w * h)(0xff336699)
     rt(w, h, px, encode(w, h, px), "constant image")
   }
+
+  // ---------------------------------------------------------- r17: ADVICE
+  // fixes + real-encoder conformance (fixtures produced by the system
+  // libwebp 1.2.4 via tools/make_webp_fixtures.py)
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/webp/$name")
+    assert(in != null, s"missing test resource webp/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** .argb fixture layout: BE int32 w, h, then w*h BE packed-ARGB ints. */
+  private def readArgb(name: String): (Int, Int, Array[Int]) = {
+    val b = java.nio.ByteBuffer.wrap(resource(name))
+    val w = b.getInt; val h = b.getInt
+    val px = Array.fill(w * h)(b.getInt)
+    (w, h, px)
+  }
+
+  test("distance map equals libwebp's 120-entry plane-code table byte-for-byte") {
+    // Fixture extracted from the Debian libwebp7 1.2.4 shared object
+    // (the real decoder's kCodeToPlane): each entry packs an offset as
+    // (y << 4) | (8 - x). The generated map must reproduce it exactly —
+    // this is the external conformance the r16 provenance note lacked.
+    val expected = resource("vp8l_code_to_plane.bin")
+    assert(expected.length === 120)
+    val packed = Vp8l.distanceMap.map { case (x, y) => ((y << 4) | (8 - x)).toByte }
+    assert(packed.toSeq === expected.toSeq)
+    // spot anchors from the spec: code 1 = (0,1), code 2 = (1,0),
+    // code 97 = (8,0) (the r16 advisor's counterexample), code 120 = (8,7)
+    assert(Vp8l.distanceMap(0) === ((0, 1)))
+    assert(Vp8l.distanceMap(1) === ((1, 0)))
+    assert(Vp8l.distanceMap(96) === ((8, 0)))
+    assert(Vp8l.distanceMap(119) === ((8, 7)))
+  }
+
+  test("Select predictor ties go to T (spec: pL < pT ? L : T)") {
+    val l = 0x0a000000; val t = 0x000a0000; val tl = 0x00000000
+    assert(Vp8l.selectPredict(l, t, tl) === t, "tie must predict T")
+    // non-tie sanity in each direction: with TL=0, pL = sum of T's
+    // channels and pT = sum of L's channels — the side closer to the
+    // gradient wins, i.e. the SMALLER opposing sum
+    assert(Vp8l.selectPredict(0x0a000000, 0x00050000, 0) === 0x0a000000, "pL=5 < pT=10: L")
+    assert(Vp8l.selectPredict(0x05000000, 0x000a0000, 0) === 0x000a0000, "pT=5 < pL=10: T")
+  }
+
+  test("uniform run longer than 4096 pixels splits into spec-max copies") {
+    val (w, h) = (70, 70) // 4900-pixel run: one Copy would alias past code 23
+    val px = Array.fill(w * h)(0xff2255aa)
+    rt(w, h, px, encode(w, h, px, useLz = true), "long uniform run, no cache")
+    rt(w, h, px, encode(w, h, px, useLz = true, cacheBits = 4), "long uniform run, cache")
+  }
+
+  test("crafted chunk size near 2^31 is rejected cleanly (no Int overflow)") {
+    val hdr = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0x7f.toByte) ++ "WEBP".getBytes ++
+      "VP8L".getBytes ++ Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte) ++
+      Array.fill[Byte](64)(0)
+    assert(Vp8l.findVp8lChunk(hdr).isEmpty, "oversize chunk must be a clean None")
+  }
+
+  test("real libwebp lossless fixtures decode pixel-exactly") {
+    for (name <- Seq("lossless_gradient", "lossless_photo",
+                     "lossless_palette", "lossless_alpha")) {
+      val (w, h, want) = readArgb(s"$name.argb")
+      val got = Vp8l.decode(resource(s"$name.webp"))
+      assert(got.isDefined, s"$name: no VP8L chunk found")
+      val (dw, dh, px) = got.get
+      assert(dw === w && dh === h, s"$name dims")
+      assert(px.toSeq === want.toSeq, s"$name pixels")
+    }
+  }
+
+  test("real lossy fixtures: VP8 simple container and VP8X extended container both walk to None") {
+    // lossy_gradient.webp: libwebp-encoded simple lossy (RIFF + VP8 chunk);
+    // python_vp8x_lossy.webp: CPython's test fixture — a genuine extended
+    // VP8X + VP8 layout from a real-world encoder.
+    for (name <- Seq("lossy_gradient.webp", "python_vp8x_lossy.webp")) {
+      val bytes = resource(name)
+      assert(Vp8l.findVp8lChunk(bytes).isEmpty, s"$name: must have no VP8L chunk")
+      assert(Vp8l.decode(bytes).isEmpty, s"$name: lossy must decode to None")
+    }
+  }
 }
