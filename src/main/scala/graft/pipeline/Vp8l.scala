@@ -483,6 +483,18 @@ object Vp8l {
     val h = br.readBits(14) + 1
     br.readBit() // alpha hint
     require(br.readBits(3) == 0, "VP8L: unsupported version")
+    val px = decodeBody(br, w, h)
+    (w, h, px)
+  }
+
+  /** Decode a HEADERLESS VP8L stream (no signature/dims/version — the
+    * ALPH-chunk form, RFC 9649 §4.5: dimensions come from the carrier
+    * frame; alpha lives in the green channel of the decoded pixels). */
+  private[pipeline] def decodeHeaderless(b: Array[Byte], off: Int, len: Int,
+                                         w: Int, h: Int): Array[Int] =
+    decodeBody(new Br(b, off, len), w, h)
+
+  private def decodeBody(br: Br, w: Int, h: Int): Array[Int] = {
     // transforms, each type at most once, applied inverse in reverse order
     var codedW = w
     var transforms = List.empty[Transform]
@@ -530,7 +542,7 @@ object Vp8l {
       curW = w2
     }
     require(curW == w, s"VP8L: width mismatch after transforms: $curW vs $w")
-    (w, h, px)
+    px
   }
 
   private def addArgb(a: Int, d: Int): Int = {

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Vp8
+
+/** Conformance tests for the from-scratch lossy-VP8 keyframe decoder:
+  * every fixture is REAL libwebp-encoded output (tools/make_vp8_fixtures
+  * .py), and the expected Y/U/V planes are libwebp's own decode — the
+  * decoder must reproduce them byte-for-byte. */
+class Vp8Spec extends AnyFunSuite {
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/webp/$name")
+    assert(in != null, s"missing test resource webp/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** .yuv layout: BE int32 w, h; Y w*h; U, V ceil(w/2)*ceil(h/2). */
+  private def readYuv(name: String): (Int, Int, Array[Byte], Array[Byte], Array[Byte]) = {
+    val b = java.nio.ByteBuffer.wrap(resource(name))
+    val w = b.getInt; val h = b.getInt
+    val y = new Array[Byte](w * h); b.get(y)
+    val cs = ((w + 1) / 2) * ((h + 1) / 2)
+    val u = new Array[Byte](cs); b.get(u)
+    val v = new Array[Byte](cs); b.get(v)
+    (w, h, y, u, v)
+  }
+
+  private def diffReport(name: String, plane: String, want: Array[Byte],
+                         got: Array[Byte], w: Int): String = {
+    val n = math.min(want.length, got.length)
+    var bad = 0
+    var first = -1
+    var i = 0
+    while (i < n) {
+      if (want(i) != got(i)) { bad += 1; if (first < 0) first = i }
+      i += 1
+    }
+    if (bad == 0 && want.length == got.length) ""
+    else {
+      val fx = if (first >= 0) first % w else -1
+      val fy = if (first >= 0) first / w else -1
+      s"$name/$plane: $bad/${n} bytes differ, first at ($fx,$fy) " +
+        (if (first >= 0) s"want ${want(first) & 0xff} got ${got(first) & 0xff}" else "") +
+        s" lens ${want.length}/${got.length}"
+    }
+  }
+
+  private def checkFixture(name: String): Unit = {
+    val (w, h, ey, eu, ev) = readYuv(s"$name.yuv")
+    val got = Vp8.decodeYuv(resource(s"$name.webp"))
+    assert(got.isDefined, s"$name: no VP8 chunk found")
+    val yuv = got.get
+    assert(yuv.width === w && yuv.height === h, s"$name dims")
+    val cw = (w + 1) / 2
+    val msgs = Seq(
+      diffReport(name, "Y", ey, yuv.y, w),
+      diffReport(name, "U", eu, yuv.u, cw),
+      diffReport(name, "V", ev, yuv.v, cw)).filter(_.nonEmpty)
+    assert(msgs.isEmpty, msgs.mkString("; "))
+  }
+
+  test("gradient q75 (64x48, aligned dims) decodes plane-exactly")(checkFixture("vp8_grad_q75"))
+  test("gradient q95 (63x47, unaligned dims) decodes plane-exactly")(checkFixture("vp8_grad_q95"))
+  test("photo q50 (63x47) decodes plane-exactly")(checkFixture("vp8_photo_q50"))
+  test("photo q95 (33x17) decodes plane-exactly")(checkFixture("vp8_photo_q95"))
+  test("photo q1 (64x48, extreme quantizer) decodes plane-exactly")(checkFixture("vp8_photo_q1"))
+  test("photo q75 (128x96) decodes plane-exactly")(checkFixture("vp8_photo_q75"))
+
+  test("real-world python.webp (VP8X + ALPH + VP8) decodes plane-exactly") {
+    checkFixture("python_vp8x_lossy")
+    // and its ALPH alpha plane decodes through the headerless-VP8L path
+    val bytes = resource("python_vp8x_lossy.webp")
+    val argb = Vp8.decodeArgb(bytes)
+    assert(argb.isDefined)
+    val (w, h, px) = argb.get
+    assert(w === 16 && h === 16)
+    // the Python logo has transparent corners and opaque body
+    val alphas = px.map(_ >>> 24)
+    assert(alphas.min < 255, "expected some transparency from ALPH")
+    assert(alphas.max === 255, "expected opaque pixels too")
+  }
+
+  test("lossless VP8L container walks to None for the VP8 decoder") {
+    assert(Vp8.decodeYuv(resource("lossless_gradient.webp")).isEmpty)
+    assert(Vp8.decodeArgb(resource("lossless_gradient.webp")).isEmpty)
+  }
+}
