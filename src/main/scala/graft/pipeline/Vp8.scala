@@ -77,8 +77,10 @@ object Vp8 {
   private final val H_PRED = 2
   private final val TM_PRED = 3
   private final val B_PRED = 4
-  // 4x4: B_DC=0, B_TM=1, B_VE=2, B_HE=3, B_LD=4, B_RD=5, B_VR=6, B_VL=7,
-  //      B_HD=8, B_HU=9
+  // 4x4 mode numbering follows the system libwebp's enum (the extracted
+  // kBModesProba table is indexed by it — context values and table rows
+  // must share one numbering): B_DC=0, B_TM=1, B_VE=2, B_HE=3, B_RD=4,
+  // B_VR=5, B_LD=6, B_VL=7, B_HD=8, B_HU=9
 
   // ------------------------------------------------------------ bool dec
 
@@ -306,6 +308,15 @@ object Vp8 {
       s += 1
     }
 
+    if (java.lang.Boolean.getBoolean("graft.vp8.debugHeader"))
+      println(s"[vp8hdr] ${w}x$h part0=$part0Len segEnabled=$segEnabled updateMap=$updateMap " +
+        s"segAbs=$segAbsolute segQ=${segQuant.mkString(",")} segLf=${segLf.mkString(",")} " +
+        s"treeP=${segTreeProbs.mkString(",")} simpleF=$simpleFilter fl=$filterLevel sharp=$sharpness " +
+        s"lfDelta=$lfDeltaEnabled ref=${refLfDelta.mkString(",")} mode=${modeLfDelta.mkString(",")} " +
+        s"nparts=$numParts qi=$yacQi d=[$ydcDelta,$y2dcDelta,$y2acDelta,$uvdcDelta,$uvacDelta] " +
+        s"useSkip=$useSkip skipP=$skipProb " +
+        s"q0=[${qY1dc(0)},${qY1ac(0)},${qY2dc(0)},${qY2ac(0)},${qUVdc(0)},${qUVac(0)}]")
+
     // --- frame buffers: MB-padded planes with a 1-pixel prediction
     // border handled via explicit edge logic (no physical border rows)
     val mbW = (w + 15) >> 4
@@ -486,6 +497,12 @@ object Vp8 {
         }
         mbSkip(mbIdx) = skipBit
         mbHasCoeffs(mbIdx) = mbNz
+        if (java.lang.Boolean.getBoolean("graft.vp8.debugMb") && mbIdx < 4) {
+          println(s"[vp8mb] ($mbX,$mbY) seg=$seg skip=$skipBit ymode=$ymode uv=$uvmode " +
+            s"sub=${(0 until 16).map(k => subModes(sm + k)).mkString(",")}")
+          for (blk <- 0 until 25 if (0 until 16).exists(k => coeffs(blk * 16 + k) != 0))
+            println(s"   blk$blk: ${(0 until 16).map(k => coeffs(blk * 16 + k)).mkString(",")}")
+        }
 
         // ---- reconstruct
         if (hasY2) {
@@ -503,8 +520,13 @@ object Vp8 {
     }
 
     // ---- loop filter (RFC 15); raster order, vertical edges then
-    // horizontal, using each MB's own filter level
-    if (filterLevel > 0) {
+    // horizontal, using each MB's own filter level. The system property
+    // graft.vp8.skipLoopFilter=true skips deblocking — NOT conformant
+    // output, but a documented fast path for hash-only pipelines (and
+    // the debugging seam that isolates filter bugs against libwebp's
+    // bypass_filtering mode).
+    val skipFilter = java.lang.Boolean.getBoolean("graft.vp8.skipLoopFilter")
+    if (filterLevel > 0 && !skipFilter) {
       mbY = 0
       while (mbY < mbH) {
         var mbX = 0
@@ -559,10 +581,10 @@ object Vp8 {
     else if (hd.bool(pb(2)) == 0) 2 // B_VE
     else if (hd.bool(pb(3)) == 0) {
       if (hd.bool(pb(4)) == 0) 3 // B_HE
-      else if (hd.bool(pb(5)) == 0) 5 // B_RD
-      else 6 // B_VR
+      else if (hd.bool(pb(5)) == 0) 4 // B_RD
+      else 5 // B_VR
     } else {
-      if (hd.bool(pb(6)) == 0) 4 // B_LD
+      if (hd.bool(pb(6)) == 0) 6 // B_LD
       else if (hd.bool(pb(7)) == 0) 7 // B_VL
       else if (hd.bool(pb(8)) == 0) 8 // B_HD
       else 9 // B_HU
@@ -880,15 +902,7 @@ object Vp8 {
         val h2 = avg3(L(1), L(2), L(3)); val h3 = avg3(L(2), L(3), L(3))
         var x = 0
         while (x < 4) { set(x, 0, h0); set(x, 1, h1); set(x, 2, h2); set(x, 3, h3); x += 1 }
-      case 4 => // B_LD (down-left)
-        set(0, 0, avg3(A(0), A(1), A(2)))
-        set(1, 0, avg3(A(1), A(2), A(3))); set(0, 1, avg3(A(1), A(2), A(3)))
-        set(2, 0, avg3(A(2), A(3), A(4))); set(1, 1, avg3(A(2), A(3), A(4))); set(0, 2, avg3(A(2), A(3), A(4)))
-        set(3, 0, avg3(A(3), A(4), A(5))); set(2, 1, avg3(A(3), A(4), A(5))); set(1, 2, avg3(A(3), A(4), A(5))); set(0, 3, avg3(A(3), A(4), A(5)))
-        set(3, 1, avg3(A(4), A(5), A(6))); set(2, 2, avg3(A(4), A(5), A(6))); set(1, 3, avg3(A(4), A(5), A(6)))
-        set(3, 2, avg3(A(5), A(6), A(7))); set(2, 3, avg3(A(5), A(6), A(7)))
-        set(3, 3, avg3(A(6), A(7), A(7)))
-      case 5 => // B_RD (down-right)
+      case 4 => // B_RD (down-right)
         set(0, 3, avg3(L(3), L(2), L(1)))
         set(0, 2, avg3(L(2), L(1), L(0))); set(1, 3, avg3(L(2), L(1), L(0)))
         set(0, 1, avg3(L(1), L(0), tl)); set(1, 2, avg3(L(1), L(0), tl)); set(2, 3, avg3(L(1), L(0), tl))
@@ -896,7 +910,7 @@ object Vp8 {
         set(1, 0, avg3(tl, A(0), A(1))); set(2, 1, avg3(tl, A(0), A(1))); set(3, 2, avg3(tl, A(0), A(1)))
         set(2, 0, avg3(A(0), A(1), A(2))); set(3, 1, avg3(A(0), A(1), A(2)))
         set(3, 0, avg3(A(1), A(2), A(3)))
-      case 6 => // B_VR (vertical-right)
+      case 5 => // B_VR (vertical-right)
         set(0, 0, avg2(tl, A(0))); set(1, 2, avg2(tl, A(0)))
         set(1, 0, avg2(A(0), A(1))); set(2, 2, avg2(A(0), A(1)))
         set(2, 0, avg2(A(1), A(2))); set(3, 2, avg2(A(1), A(2)))
@@ -907,17 +921,26 @@ object Vp8 {
         set(3, 1, avg3(A(1), A(2), A(3)))
         set(0, 2, avg3(tl, L(0), L(1)))
         set(0, 3, avg3(L(0), L(1), L(2)))
-      case 7 => // B_VL (vertical-left)
+      case 6 => // B_LD (down-left)
+        set(0, 0, avg3(A(0), A(1), A(2)))
+        set(1, 0, avg3(A(1), A(2), A(3))); set(0, 1, avg3(A(1), A(2), A(3)))
+        set(2, 0, avg3(A(2), A(3), A(4))); set(1, 1, avg3(A(2), A(3), A(4))); set(0, 2, avg3(A(2), A(3), A(4)))
+        set(3, 0, avg3(A(3), A(4), A(5))); set(2, 1, avg3(A(3), A(4), A(5))); set(1, 2, avg3(A(3), A(4), A(5))); set(0, 3, avg3(A(3), A(4), A(5)))
+        set(3, 1, avg3(A(4), A(5), A(6))); set(2, 2, avg3(A(4), A(5), A(6))); set(1, 3, avg3(A(4), A(5), A(6)))
+        set(3, 2, avg3(A(5), A(6), A(7))); set(2, 3, avg3(A(5), A(6), A(7)))
+        set(3, 3, avg3(A(6), A(7), A(7)))
+      case 7 => // B_VL (vertical-left); (3,2)/(3,3) are the spec's two
+        // non-shifted extras reaching A5..A7
         set(0, 0, avg2(A(0), A(1)))
         set(1, 0, avg2(A(1), A(2))); set(0, 2, avg2(A(1), A(2)))
         set(2, 0, avg2(A(2), A(3))); set(1, 2, avg2(A(2), A(3)))
         set(3, 0, avg2(A(3), A(4))); set(2, 2, avg2(A(3), A(4)))
-        set(3, 2, avg2(A(4), A(5)))
         set(0, 1, avg3(A(0), A(1), A(2)))
         set(1, 1, avg3(A(1), A(2), A(3))); set(0, 3, avg3(A(1), A(2), A(3)))
         set(2, 1, avg3(A(2), A(3), A(4))); set(1, 3, avg3(A(2), A(3), A(4)))
         set(3, 1, avg3(A(3), A(4), A(5))); set(2, 3, avg3(A(3), A(4), A(5)))
-        set(3, 3, avg3(A(4), A(5), A(6)))
+        set(3, 2, avg3(A(4), A(5), A(6)))
+        set(3, 3, avg3(A(5), A(6), A(7)))
       case 8 => // B_HD (horizontal-down)
         set(0, 3, avg2(L(3), L(2)))
         set(0, 2, avg2(L(2), L(1))); set(2, 3, avg2(L(2), L(1)))
