@@ -72,6 +72,15 @@ object SparkEntry {
     try in.readAllBytes() finally in.close()
   }
 
+  /** The committed REAL lossy-WebP payload (libwebp 1.2.4-encoded VP8
+    * keyframe, 64x48 q=1 — see FIXTURES.md): the lossy class of the
+    * mixed-container corpora. Decodes through the from-scratch
+    * [[graft.pipeline.Vp8]] decoder; its YUV planes are
+    * conformance-pinned byte-exact to libwebp's own decode in Vp8Spec,
+    * which is what licenses the oracle's literal replay of its dhash. */
+  private lazy val lossyVp8Fixture: Array[Byte] =
+    fixtureBytes("/graft/fixtures/lossy_vp8.webp")
+
   /** documents with two deterministic embedded URLs per row (mixed case,
     * utm/fragment variants, a quoted port-carrying mirror) — the shared
     * fixture for the URL extraction/canonicalization queries; the oracle
@@ -123,9 +132,10 @@ object SparkEntry {
   /** Mixed-container image corpus for the decode-coverage queries: ONE
     * payload per document, container keyed by doc_id % 6 — real BMP and
     * PNG (decodable by stock ImageIO), a webp class split on doc_id % 12
-    * (REAL lossless VP8L that decodes through the from-scratch
-    * [[graft.pipeline.Vp8l]] decoder vs a lossy VP8 chunk that sniffs but
-    * fails — the report SHOWS the lossless/lossy coverage split), an
+    * (REAL lossless VP8L through the from-scratch
+    * [[graft.pipeline.Vp8l]] decoder vs the REAL libwebp-encoded lossy
+    * VP8 fixture through the from-scratch [[graft.pipeline.Vp8]] decoder
+    * — both halves decode as of r17), an
     * AVIF container header (sniffable, NOT decodable), a corrupt JPEG
     * (valid magic, broken stream), and plain non-image bytes. The class
     * arithmetic is the oracle's replay handle: DuckDB counts by
@@ -144,9 +154,11 @@ object SparkEntry {
           val p = ((i % 8) * 7 + (i / 8) * 11 + id) % 240 + 8
           0xff000000 | (p.toInt << 16) | (p.toInt << 8) | p.toInt
         })
-      else // lossy VP8 chunk: sniffs webp, needs a video codec — fails
-        Array[Byte]('R', 'I', 'F', 'F', 16, 0, 0, 0, 'W', 'E', 'B', 'P',
-          'V', 'P', '8', ' ', 4, 0, 0, 0, 0, 0, 0, 0)
+      else
+        // REAL lossy WebP (libwebp-encoded VP8 keyframe, FIXTURES.md):
+        // decodes through the from-scratch Vp8 decoder (r17) — the
+        // r16-era webp_lossy "sniffs but fails" row flips to decoded
+        lossyVp8Fixture
     case 3 => // JPEG SOI + APP0 marker, then garbage: sniffs jpeg, decode fails
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
         s"corrupt jpeg $id".getBytes("UTF-8")
@@ -2304,16 +2316,21 @@ object SparkEntry {
       // mixed-container corpus (per doc a 16x16 BMP of procedural
       // pixels; doc_id < 40 adds a PNG with IDENTICAL pixels at +100000 —
       // a cross-FORMAT exact-pixel dup whose dhash is bit-identical since
-      // both containers decode losslessly; doc_id % 3 == 0 adds an
-      // undecodable LOSSY-VP8 WebP header at +200000, which SELF-MAPS per the
-      // imageDedupStar coverage contract) -> real encode + decodability
+      // both containers decode losslessly; doc_id % 3 == 0 adds the REAL
+      // libwebp-encoded LOSSY-VP8 fixture at +200000 — as of r17 it
+      // DECODES through the from-scratch Vp8 decoder, and all its
+      // byte-identical twins merge into one lossy component instead of
+      // self-mapping) -> real encode + decodability
       // flag in the SAME mapPartitions pass that builds the payloads ->
       // imageDedupStar (dhash, maxDist 0; decode runs once inside via its
       // localCheckpoint) -> caption quality gate (n_words >= 40 — the
       // text_quality token split; median is 49, so the gate does real
       // filtering) -> per-source release report. The
       // oracle replays pixels -> luma grid -> dhash bits -> bands ->
-      // hamming-0 pairs -> recursive components -> the report algebra.
+      // hamming-0 pairs -> recursive components -> the report algebra;
+      // the fixture's 64 dhash bits enter as literals derived from
+      // libwebp's OWN yuv dump by tools/lossy_fixture_dhash.py (never
+      // from graft code — Vp8Spec pins the planes byte-equal).
       import s.implicits._
       val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
         .select("doc_id", "source", "text").localCheckpoint()
@@ -2331,8 +2348,7 @@ object SparkEntry {
               (x, y) => imagePixel(base, x, y))
             case "png" => graft.pipeline.Multimodal.encodePngGray(16, 16,
               (x, y) => imagePixel(base, x, y))
-            case _ => Array[Byte]('R', 'I', 'F', 'F', 16, 0, 0, 0,
-              'W', 'E', 'B', 'P', 'V', 'P', '8', ' ', 4, 0, 0, 0, 0, 0, 0, 0)
+            case _ => lossyVp8Fixture
           }
           (base, img, payload,
             if (graft.pipeline.Multimodal.imageDecodes(payload)) 1L else 0L)
@@ -2733,9 +2749,26 @@ object SparkEntry {
       // attempts the decode in ONE mapPartitions pass (payloads never
       // shuffle; O(#containers) rows reach the agg); the oracle replays
       // the corpus-construction arithmetic (counts by doc_id % 6) —
-      // BMP/PNG decode, WebP/AVIF/corrupt-JPEG sniff but fail, text is
-      // unknown
+      // BMP/PNG/WebP (both VP8L and lossy VP8, from-scratch codecs)
+      // decode, AVIF/corrupt-JPEG sniff but fail, text is unknown
       graft.pipeline.Multimodal.imageDecodeReport(mixedImageCorpus(s, dir))
+    }),
+
+    "multimodal_lossy_webp" -> ((s, dir) => {
+      // the r17 from-scratch VP8 keyframe decoder as a first-class board
+      // line: the committed real libwebp-encoded lossy fixture runs the
+      // FULL decode (boolean decoder, token trees, dequant, iDCT, intra
+      // prediction, loop filter, BT.601 ARGB) inside extractFeatures.
+      // The oracle pins the 8-dim feature vector as literals derived
+      // INDEPENDENTLY from libwebp's own .yuv dump + the documented
+      // BT.601/stat arithmetic (tools/lossy_fixture_dhash.py family);
+      // Vp8Spec separately proves plane-level byte equality.
+      import s.implicits._
+      val df = Seq((1L, lossyVp8Fixture)).toDF("doc_id", "payload")
+      graft.pipeline.Multimodal.extractFeatures(s, df, "doc_id", "payload")
+        .select(col("id") +: (1 to 8).map(i =>
+          round(element_at(col("features"), i).cast("double"), 4).as(s"f${i - 1}")): _*)
+        .orderBy("id")
     }),
 
     "ann_semantic_dedup" -> ((s, dir) => {
@@ -4316,6 +4349,20 @@ object SparkEntry {
   /** bits(img, idx, bit) -> 16-bit bands -> pivoted sig -> banded
     * candidate pairs with exact hamming (ids as VARCHAR, string order —
     * the dedup pairing convention). */
+  /** The committed lossy fixture's 64 dhash bits as a SQL VALUES body —
+    * output of tools/lossy_fixture_dhash.py over the libwebp-produced
+    * vp8_photo_q1.yuv (bands 31675/281/56472/33885; derivation is
+    * independent of graft code, see the script header). */
+  private val lossyFixtureDhashBits: String =
+    "(0, 1), (1, 1), (2, 0), (3, 1), (4, 1), (5, 1), (6, 0), (7, 1), " +
+    "(8, 1), (9, 1), (10, 0), (11, 1), (12, 1), (13, 1), (14, 1), (15, 0), " +
+    "(16, 1), (17, 0), (18, 0), (19, 1), (20, 1), (21, 0), (22, 0), (23, 0), " +
+    "(24, 1), (25, 0), (26, 0), (27, 0), (28, 0), (29, 0), (30, 0), (31, 0), " +
+    "(32, 0), (33, 0), (34, 0), (35, 1), (36, 1), (37, 0), (38, 0), (39, 1), " +
+    "(40, 0), (41, 0), (42, 1), (43, 1), (44, 1), (45, 0), (46, 1), (47, 1), " +
+    "(48, 1), (49, 0), (50, 1), (51, 1), (52, 1), (53, 0), (54, 1), (55, 0), " +
+    "(56, 0), (57, 0), (58, 1), (59, 0), (60, 0), (61, 0), (62, 0), (63, 1)"
+
   private def imageBandCtes: String =
     s"""bands AS (SELECT img, idx//16 AS band,
        |            CAST(sum(bit * (1 << (idx % 16))) AS BIGINT) AS bv
@@ -6289,19 +6336,25 @@ object SparkEntry {
 
     // the multimodal release chain replayed engine-independently: the
     // procedural 16x16 pixel corpus (BMP + exact-pixel PNG twins under
-    // id+100000, undecodable WebP under id+200000), luma grid at the
-    // dhash 9x8 cells, fixed-point means, horizontal-diff bits, 16-bit
-    // bands, hamming-0 banded pairs, recursive-CTE components, then the
-    // per-source report algebra with the text_quality caption tokens
+    // id+100000, the REAL libwebp lossy-VP8 fixture under id+200000 —
+    // byte-identical twins that all merge into one component), luma grid
+    // at the dhash 9x8 cells, fixed-point means, horizontal-diff bits,
+    // 16-bit bands, hamming-0 banded pairs, recursive-CTE components,
+    // then the per-source report algebra with the text_quality caption
+    // tokens. The fixture's dhash bits are LITERALS derived from
+    // libwebp's own yuv dump (tools/lossy_fixture_dhash.py — BT.601 +
+    // grid + diff arithmetic in python, independent of graft; Vp8Spec
+    // pins the graft decode byte-equal to that dump).
     "pipeline_multimodal_e2e" ->
       s"""WITH RECURSIVE d AS (
            SELECT doc_id, source, text FROM documents WHERE doc_id < 120),
          imgs AS (
            SELECT doc_id AS base, doc_id AS img, 1 AS dec FROM d
            UNION ALL SELECT doc_id, doc_id + 100000, 1 FROM d WHERE doc_id < 40
-           UNION ALL SELECT doc_id, doc_id + 200000, 0 FROM d WHERE doc_id % 3 = 0),
+           UNION ALL SELECT doc_id, doc_id + 200000, 1 FROM d WHERE doc_id % 3 = 0),
          px AS (SELECT img, base, x.range AS x, y.range AS y
-                FROM imgs, range(16) x, range(16) y WHERE dec = 1),
+                FROM imgs, range(16) x, range(16) y
+                WHERE dec = 1 AND img < 200000),
          pv AS (SELECT img, x, y,
                   1000 * (((x*(3 + base % 5) + y*(2 + base % 7)
                     + ((x*y + base) % 23) * 11) % 208) + 24) AS lum
@@ -6309,11 +6362,16 @@ object SparkEntry {
          grid AS (SELECT img, (y*8)//16 AS gy, (x*9)//16 AS gx,
                     CAST((sum(lum)*65536)//count(*) AS BIGINT) AS g
                   FROM pv GROUP BY 1, 2, 3),
-         bits AS (SELECT a.img, a.gy*8 + a.gx AS idx,
+         pbits AS (SELECT a.img, a.gy*8 + a.gx AS idx,
                     CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
                   FROM grid a JOIN grid b
                     ON b.img = a.img AND b.gy = a.gy AND b.gx = a.gx + 1
                   WHERE a.gx < 8),
+         lb(idx, bit) AS (VALUES $lossyFixtureDhashBits),
+         bits AS (SELECT img, idx, bit FROM pbits
+                  UNION ALL
+                  SELECT i.img, lb.idx, lb.bit FROM imgs i, lb
+                  WHERE i.img >= 200000),
          $imageBandCtes,
          e AS (SELECT id1, id2 FROM cd WHERE hamming <= 0),
          ed AS MATERIALIZED (
@@ -6850,17 +6908,18 @@ object SparkEntry {
 
     // independent replay of the mixed-corpus construction: container and
     // decodability follow from doc_id % 6 by construction (BMP/PNG real
-    // and decodable; webp splits on doc_id % 12 — LOSSLESS VP8L decodes
-    // through the from-scratch decoder, lossy VP8 sniffs but fails;
-    // AVIF/corrupt-JPEG sniffable but undecodable; else unknown) — the
-    // ENGINE proves the same counts by actually encoding, sniffing, and
-    // running the real decoders per payload
+    // and decodable; the whole webp class decodes as of r17 — LOSSLESS
+    // VP8L through the from-scratch Vp8l decoder AND the real
+    // libwebp-encoded lossy fixture through the from-scratch Vp8
+    // decoder; AVIF/corrupt-JPEG sniffable but undecodable; else
+    // unknown) — the ENGINE proves the same counts by actually encoding,
+    // sniffing, and running the real decoders per payload
     "multimodal_decode_report" ->
       """WITH c AS (SELECT
              CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
                WHEN 2 THEN 'webp' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'avif'
                ELSE 'unknown' END AS container,
-             CASE WHEN doc_id % 6 IN (0, 1) OR doc_id % 12 = 2
+             CASE WHEN doc_id % 6 IN (0, 1, 2)
                THEN 1 ELSE 0 END AS dec
            FROM documents)
          SELECT container, CAST(count(*) AS BIGINT) AS n_total,
@@ -6868,6 +6927,21 @@ object SparkEntry {
            CAST(count(*) - sum(dec) AS BIGINT) AS n_failed,
            round(CAST(sum(dec) AS DOUBLE) / count(*), 6) AS decode_rate
          FROM c GROUP BY container ORDER BY container""",
+
+    // the full from-scratch VP8 decode pinned to literals derived from
+    // libwebp's own yuv dump (BT.601 + pixel-stat arithmetic in python,
+    // independent of graft code — tools/lossy_fixture_dhash.py family);
+    // plane-level byte equality is proven separately in Vp8Spec
+    "multimodal_lossy_webp" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(f0 AS DOUBLE) AS f0,
+           CAST(f1 AS DOUBLE) AS f1, CAST(f2 AS DOUBLE) AS f2,
+           CAST(f3 AS DOUBLE) AS f3, CAST(f4 AS DOUBLE) AS f4,
+           CAST(f5 AS DOUBLE) AS f5, CAST(f6 AS DOUBLE) AS f6,
+           CAST(f7 AS DOUBLE) AS f7
+         FROM (VALUES
+           (1, 64.0, 48.0, 4.0, 0.6783, 0.5592, 0.7628, 0.618, 0.0801))
+         t(id, f0, f1, f2, f3, f4, f5, f6, f7)
+         ORDER BY id""",
 
     // sigmoid(bias + Σ w·f) replayed with the same left-fold order over
     // name-sorted features (float addition is not associative) and DOUBLE

@@ -10,9 +10,10 @@ import org.apache.spark.sql.types._
   *
   * IMAGE payloads (PNG/JPEG/GIF/BMP) decode for REAL through the JDK's
   * bundled `javax.imageio` readers — no external codec libs needed — into
-  * pixel-statistics features; lossless WebP (VP8L) decodes for real
-  * through the from-scratch [[Vp8l]] decoder (lossy VP8 needs a video
-  * codec and is counted undecodable by [[imageDecodeReport]]); PCM audio
+  * pixel-statistics features; WebP decodes for real through the
+  * from-scratch codecs — [[Vp8l]] for lossless, [[Vp8]] (RFC 6386
+  * keyframe, conformance-tested byte-exact against libwebp output) for
+  * lossy VP8 incl. VP8X+ALPH alpha; PCM audio
   * (WAV/AIFF/AU) decodes for real via
   * `javax.sound`; FLAC PCM ([[decodeFlac]]) and MPEG-1 Layer II
   * ([[MpegAudio.decodeLayer2]]) decode for real from scratch; ISO-BMFF
@@ -43,7 +44,7 @@ object Multimodal {
       lit(mime).as("mime")))
 
   /** Real image decoder ([[decodeArgbPixels]]: ImageIO for
-    * PNG/JPEG/GIF/BMP, the from-scratch [[Vp8l]] for lossless WebP).
+    * PNG/JPEG/GIF/BMP, the from-scratch [[Vp8l]]/[[Vp8]] for WebP).
     * Returns the 8-dim feature vector [width, height, bands, meanR,
     * meanG, meanB, lumaMean, lumaStd] (channel means in [0,1]; bands is
     * 4 for the ARGB webp path); None when the payload is not a decodable
@@ -57,7 +58,8 @@ object Multimodal {
     try {
       // ONE decode (this runs in extractFeatures' per-partition hot loop)
       val (w, h, px, bands) =
-        if (container == "webp") Vp8l.decode(bytes) match {
+        if (container == "webp") Vp8l.decode(bytes)
+          .orElse(Vp8.decodeArgb(bytes)) match {
           case Some((vw, vh, vp)) if vw > 0 && vh > 0 => (vw, vh, vp, 4.0f)
           case _ => return None
         }
@@ -95,10 +97,13 @@ object Multimodal {
     * WebP/AVIF, which the JDK's ImageIO cannot decode, and the dedup
     * family must be able to STATE what fraction of a corpus it covered
     * (see [[imageDecodeReport]]) instead of silently skipping payloads.
-    * Returns one of "png", "jpeg", "gif", "bmp", "webp", "avif", "tiff",
-    * "unknown". WebP is RIFF....WEBP (plain RIFF without the WEBP brand —
-    * e.g. WAV — stays "unknown" here); AVIF is an ISO-BMFF ftyp box with
-    * the avif/avis brand. */
+    * Returns one of "png", "jpeg", "gif", "bmp", "webp", "avif", "heic",
+    * "tiff", "unknown". WebP is RIFF....WEBP (plain RIFF without the WEBP
+    * brand — e.g. WAV — stays "unknown" here); AVIF is an ISO-BMFF ftyp
+    * box with the avif/avis brand, HEIC any of the HEIF image/sequence
+    * brands (heic/heix/hevc/heim/heis/hevm/hevs) or the generic
+    * mif1/msf1 structural brands (ISO/IEC 23008-12) — so real-corpus
+    * HEIF payloads land in a named row, not "unknown". */
   def sniffImageContainer(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.length < 12) return "unknown"
     def b(i: Int): Int = bytes(i) & 0xff
@@ -110,14 +115,18 @@ object Multimodal {
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
     else if (ascii(0, "RIFF") && ascii(8, "WEBP")) "webp"
     else if (ascii(4, "ftyp") && (ascii(8, "avif") || ascii(8, "avis"))) "avif"
+    else if (ascii(4, "ftyp") && (ascii(8, "heic") || ascii(8, "heix") ||
+             ascii(8, "hevc") || ascii(8, "heim") || ascii(8, "heis") ||
+             ascii(8, "hevm") || ascii(8, "hevs") || ascii(8, "mif1") ||
+             ascii(8, "msf1"))) "heic"
     else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0) ||
              (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a)) "tiff"
     else "unknown"
   }
 
   /** Shared pixel decode for the whole image family: WebP routes through
-    * the from-scratch [[Vp8l]] decoder (LOSSLESS VP8L chunks decode for
-    * real; lossy VP8 stays None — it needs a full video codec), every
+    * the from-scratch codecs — [[Vp8l]] for LOSSLESS chunks, [[Vp8]]
+    * (RFC 6386 keyframe decoder, r17) for lossy VP8/VP8X+ALPH — every
     * other sniffed container through ImageIO (a JDK with a plugged-in
     * avif/tiff reader would start passing with no code change);
     * "unknown" payloads never pay a decode attempt. Returns
@@ -127,6 +136,7 @@ object Multimodal {
       case "unknown" => None
       case "webp" =>
         try Vp8l.decode(bytes).filter { case (w, h, _) => w > 0 && h > 0 }
+          .orElse(Vp8.decodeArgb(bytes).filter { case (w, h, _) => w > 0 && h > 0 })
         catch { case _: Exception => None }
       case _ =>
         try {
@@ -141,8 +151,8 @@ object Multimodal {
         } catch { case _: Exception => None }
     }
 
-  /** Does this payload decode under the library's decoders ([[Vp8l]] for
-    * lossless WebP, ImageIO otherwise)? The [[imageDecodeReport]]
+  /** Does this payload decode under the library's decoders ([[Vp8l]] /
+    * [[Vp8]] for WebP, ImageIO otherwise)? The [[imageDecodeReport]]
     * predicate. */
   def imageDecodes(bytes: Array[Byte]): Boolean =
     decodeArgbPixels(bytes).isDefined

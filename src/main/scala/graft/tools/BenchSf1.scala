@@ -26,6 +26,14 @@ object BenchSf1 {
   private val outDir = "/tmp/sfx1"
   private val srcDir = "/root/testdata/sf0.1"
 
+  /** The committed real lossy-WebP fixture (see SparkEntry's copy): the
+    * full-volume e2e pays the from-scratch VP8 decode per lossy payload. */
+  private[tools] lazy val lossyFixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixtures/lossy_vp8.webp")
+    require(in != null, "missing lossy_vp8.webp fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
   /** Round-11 second wave, shared with [[BenchSf10]]: decontamination,
     * dedup-aware split, BPE tokenizer, DSIR selection — full-corpus forms
     * where the oracled query slices a fixed id range that would not grow
@@ -282,9 +290,10 @@ object BenchSf1 {
     * (the declared query slices 120 docs -> flat across decades).
     * mod-101/103 gradient multipliers give ~240k distinct patterns so dup
     * mass stays realistic per decade; PNG exact-pixel twins for
-    * doc_id % 7 == 0 add cross-FORMAT dup work; lossy-VP8 WebP headers for
-    * % 3 == 0 exercise the coverage path (sniffed + counted, never
-    * hashed). 16x16 payloads: encode + decodability flag + ImageIO
+    * doc_id % 7 == 0 add cross-FORMAT dup work; the REAL libwebp lossy
+    * fixture for % 3 == 0 now pays the full from-scratch VP8 decode per
+    * payload (r17 — previously a sniff-only header). 16x16 payloads:
+    * encode + decodability flag + ImageIO
     * dhash decode are the per-image work, all inside mapPartitions —
     * payloads never shuffle. */
   private[tools] def round16Wave: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -307,8 +316,7 @@ object BenchSf1 {
           val payload = k match {
             case 0 => graft.pipeline.Multimodal.encodeBmpGray(16, 16, pix)
             case 1 => graft.pipeline.Multimodal.encodePngGray(16, 16, pix)
-            case _ => Array[Byte]('R', 'I', 'F', 'F', 16, 0, 0, 0,
-              'W', 'E', 'B', 'P', 'V', 'P', '8', ' ', 4, 0, 0, 0, 0, 0, 0, 0)
+            case _ => BenchSf1.lossyFixture
           }
           (base, img, payload,
             if (graft.pipeline.Multimodal.imageDecodes(payload)) 1L else 0L)

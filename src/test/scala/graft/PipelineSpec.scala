@@ -1073,10 +1073,19 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.sniffImageContainer(badJpg) === "jpeg")
     assert(Multimodal.sniffImageContainer(text) === "unknown")
     assert(Multimodal.sniffImageContainer(tiff) === "tiff")
+    // HEIF brands (r17): explicit image brand and the mif1 structural brand
+    val heic = Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p', 'h', 'e', 'i', 'c',
+      0, 0, 0, 0, 'm', 'i', 'f', '1', 'h', 'e', 'i', 'c')
+    val mif1 = Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p', 'm', 'i', 'f', '1',
+      0, 0, 0, 0, 'm', 'i', 'f', '1', 'h', 'e', 'i', 'c')
+    assert(Multimodal.sniffImageContainer(heic) === "heic")
+    assert(Multimodal.sniffImageContainer(mif1) === "heic")
+    assert(!Multimodal.imageDecodes(heic), "no HEVC codec — counted, not decoded")
     // a WAV is RIFF but NOT an image container
     assert(Multimodal.sniffImageContainer(Array[Byte]('R', 'I', 'F', 'F',
       16, 0, 0, 0, 'W', 'A', 'V', 'E')) === "unknown")
     assert(Multimodal.imageDecodes(bmp) && Multimodal.imageDecodes(png))
+    // a garbage/truncated VP8 chunk still fails cleanly (gated, no throw)
     assert(!Multimodal.imageDecodes(webp) && !Multimodal.imageDecodes(avif))
     assert(!Multimodal.imageDecodes(badJpg) && !Multimodal.imageDecodes(text))
     // PNG is lossless: lumaGrid recovers the generative pixels exactly
@@ -1095,6 +1104,36 @@ class PipelineSpec extends SparkSpec {
     assert(rep("jpeg") === ((1L, 0L, 1L)))
     assert(rep("avif") === ((1L, 0L, 1L)))
     assert(rep("unknown") === ((1L, 0L, 1L)))
+  }
+
+  test("lossy VP8 webp joins the image family: decode, dhash literals, identical-twin merge") {
+    import spark.implicits._
+    // the committed REAL libwebp-encoded lossy fixture (vp8_photo_q1)
+    val in = getClass.getResourceAsStream("/graft/fixtures/lossy_vp8.webp")
+    assert(in != null, "missing lossy_vp8.webp fixture")
+    val lossy = try in.readAllBytes() finally in.close()
+    assert(Multimodal.sniffImageContainer(lossy) === "webp")
+    assert(Multimodal.imageDecodes(lossy), "real lossy VP8 must decode (r17)")
+    val Some((w, h, px)) = Multimodal.decodeArgbPixels(lossy)
+    assert(w === 64 && h === 48)
+    assert(px.forall(p => (p >>> 24) == 255), "simple VP8 has no alpha chunk")
+    // engine dhash bands equal the INDEPENDENT derivation from libwebp's
+    // own yuv dump (tools/lossy_fixture_dhash.py — the oracle's literals)
+    val sig = Dedup.imageSignatures(
+        Seq(("f1", lossy)).toDF("id", "payload"), "payload", "id")
+      .collect().head
+    assert((sig.getLong(1), sig.getLong(2), sig.getLong(3), sig.getLong(4)) ===
+      ((31675L, 281L, 56472L, 33885L)),
+      "engine dhash must match the libwebp-yuv-derived literals")
+    // byte-identical lossy twins merge under imageDedupStar (maxDist 0)
+    val corpus = Seq(("a", lossy), ("b", lossy),
+      ("c", Multimodal.encodeBmpGray(16, 16, (x, y) => (x * 7 + y) % 250)))
+      .toDF("img_id", "payload")
+    val comp = Dedup.imageDedupStar(corpus, "payload", "img_id", "dhash",
+        maxDist = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp("a") === "a" && comp("b") === "a", "lossy twins merge")
+    assert(comp("c") === "c", "unrelated bmp stays its own component")
   }
 
   test("VP8L webp joins the image family: decode report, lumaGrid parity, cross-format dedup") {
