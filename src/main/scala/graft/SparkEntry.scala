@@ -826,8 +826,12 @@ object SparkEntry {
       val merged = Describe.mergeDistinctSketches(
         Describe.distinctSketches(li.filter(col("l_orderkey") % 2 === 0), cols),
         Describe.distinctSketches(li.filter(col("l_orderkey") % 2 =!= 0), cols))
+      // exact branch melts the RAW longs (no string cast): the cast
+      // tripled the shuffle/hash bytes and was the whole ×16 tail at
+      // sfx10 (isolated probe: 34.2 s string vs 11.1 s long for the
+      // branch; the sketch branch is 4.9 s) — counts are cast-invariant
       val exact = li.select(explode(array(cols.map(c =>
-          struct(lit(c).as("variable"), col(c).cast("string").as("value"))): _*)).as("e"))
+          struct(lit(c).as("variable"), col(c).as("value"))): _*)).as("e"))
         .select(col("e.variable"), col("e.value"))
         .groupBy("variable").agg(countDistinct(col("value")).as("n_exact"))
       merged.join(exact, Seq("variable"))
