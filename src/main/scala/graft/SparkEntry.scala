@@ -130,24 +130,25 @@ object SparkEntry {
   }
 
   /** Mixed-container image corpus for the decode-coverage queries: ONE
-    * payload per document, container keyed by doc_id % 6 — real BMP and
-    * PNG (decodable by stock ImageIO), a webp class split on doc_id % 12
-    * (REAL lossless VP8L through the from-scratch
+    * payload per document, container keyed by doc_id % 8 — real BMP,
+    * PNG and (r17) TIFF (decodable by stock ImageIO), a webp class
+    * split on doc_id % 16 (REAL lossless VP8L through the from-scratch
     * [[graft.pipeline.Vp8l]] decoder vs the REAL libwebp-encoded lossy
     * VP8 fixture through the from-scratch [[graft.pipeline.Vp8]] decoder
-    * — both halves decode as of r17), an
-    * AVIF container header (sniffable, NOT decodable), a corrupt JPEG
-    * (valid magic, broken stream), and plain non-image bytes. The class
-    * arithmetic is the oracle's replay handle: DuckDB counts by
-    * doc_id % 6 / % 12 while the engine really encodes, sniffs, and
-    * attempts the decode. */
-  private def mixedImagePayload(id: Long): Array[Byte] = (id % 6) match {
+    * — both halves decode as of r17), AVIF and (r17) HEIC containers
+    * with real meta/iprp/ipco/ispe property trees (sniffable, header
+    * dims parse for real, SAMPLE decode counted-not-stubbed), a corrupt
+    * JPEG (valid magic, broken stream), and plain non-image bytes. The
+    * class arithmetic is the oracle's replay handle: DuckDB counts by
+    * doc_id % 8 / % 16 while the engine really encodes, sniffs, and
+    * attempts the parse/decode. */
+  private def mixedImagePayload(id: Long): Array[Byte] = (id % 8) match {
     case 0 => graft.pipeline.Multimodal.encodeBmpGray(8, 8,
       (x, y) => ((x * 7 + y * 11 + id) % 240 + 8).toInt)
     case 1 => graft.pipeline.Multimodal.encodePngGray(8, 8,
       (x, y) => ((x * 7 + y * 11 + id) % 240 + 8).toInt)
     case 2 =>
-      if (id % 12 == 2)
+      if (id % 16 == 2)
         // REAL lossless WebP: VP8L stream from the in-house encoder —
         // decodes through the from-scratch Vp8l decoder (r16)
         graft.pipeline.Vp8lEncoder.encode(8, 8, Array.tabulate(64) { i =>
@@ -162,10 +163,31 @@ object SparkEntry {
     case 3 => // JPEG SOI + APP0 marker, then garbage: sniffs jpeg, decode fails
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
         s"corrupt jpeg $id".getBytes("UTF-8")
-    case 4 => // ISO-BMFF ftyp box with the avif brand: sniffs avif, no reader
-      Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p', 'a', 'v', 'i', 'f',
-        0, 0, 0, 0, 'm', 'i', 'f', '1', 'm', 'i', 'a', 'f')
-    case _ => s"not an image payload $id".getBytes("UTF-8")
+    case 4 => // AVIF: ftyp + meta/iprp/ipco/ispe — dims parse, no decoder
+      bmffImagePayload("avif", 100 + (id % 23).toInt, 77)
+    case 5 => s"not an image payload $id".getBytes("UTF-8")
+    case 6 => graft.pipeline.Multimodal.encodeTiffGray(8, 8,
+      (x, y) => ((x * 7 + y * 11 + id) % 240 + 8).toInt)
+    case _ => // HEIC: same BMFF shape under the heic brand
+      bmffImagePayload("heic", 200 + (id % 31).toInt, 150)
+  }
+
+  /** Minimal-but-real ISO-BMFF image container: ftyp(brand) then
+    * meta(FullBox){ hdlr, iprp{ ipco{ ispe(w,h) } } } — the hdlr sibling
+    * forces [[graft.pipeline.Multimodal.imageDims]]'s walk to SKIP an
+    * unknown box like it must on real encoder output. */
+  private def bmffImagePayload(brand: String, w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ name.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp", brand.getBytes("ISO-8859-1") ++ be32(0) ++
+      "mif1".getBytes("ISO-8859-1"))
+    val ispe = box("ispe", be32(0) ++ be32(w) ++ be32(h))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++
+      "pict".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    val meta = box("meta", be32(0) ++ hdlr ++ box("iprp", box("ipco", ispe)))
+    ftyp ++ meta
   }
 
   private def mixedImageCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -2752,10 +2774,25 @@ object SparkEntry {
       // engine really encodes each payload, sniffs magic bytes, and
       // attempts the decode in ONE mapPartitions pass (payloads never
       // shuffle; O(#containers) rows reach the agg); the oracle replays
-      // the corpus-construction arithmetic (counts by doc_id % 6) —
-      // BMP/PNG/WebP (both VP8L and lossy VP8, from-scratch codecs)
-      // decode, AVIF/corrupt-JPEG sniff but fail, text is unknown
+      // the corpus-construction arithmetic (counts by doc_id % 8) —
+      // BMP/PNG/TIFF (ImageIO) and WebP (both VP8L and lossy VP8,
+      // from-scratch codecs) decode; AVIF/HEIC/corrupt-JPEG sniff but
+      // fail; text is unknown
       graft.pipeline.Multimodal.imageDecodeReport(mixedImageCorpus(s, dir))
+    }),
+
+    "multimodal_image_dims" -> ((s, dir) => {
+      // HEADER-ONLY dims over the mixed corpus (r17): a few header bytes
+      // per payload — PNG IHDR, BMP info header, TIFF IFD tags, WebP
+      // VP8/VP8L/VP8X headers, the ISO-BMFF ispe walk for AVIF *and*
+      // HEIC (dims parse for real even where sample decode is a counted
+      // stub), JPEG SOF scan (the corrupt class has no SOF -> NULL).
+      // Zero shuffle, zero codec. The oracle replays the construction
+      // arithmetic per doc_id % 8 / % 16 class.
+      graft.pipeline.Multimodal.withImageDims(
+          mixedImageCorpus(s, dir).filter(col("img_id") < 400),
+          "payload", "img_id")
+        .orderBy("img_id")
     }),
 
     "multimodal_lossy_webp" -> ((s, dir) => {
@@ -6911,19 +6948,20 @@ object SparkEntry {
          ORDER BY sample_idx""",
 
     // independent replay of the mixed-corpus construction: container and
-    // decodability follow from doc_id % 6 by construction (BMP/PNG real
-    // and decodable; the whole webp class decodes as of r17 — LOSSLESS
-    // VP8L through the from-scratch Vp8l decoder AND the real
-    // libwebp-encoded lossy fixture through the from-scratch Vp8
-    // decoder; AVIF/corrupt-JPEG sniffable but undecodable; else
+    // decodability follow from doc_id % 8 by construction (BMP/PNG/TIFF
+    // real and decodable via ImageIO; the whole webp class decodes as of
+    // r17 — LOSSLESS VP8L through the from-scratch Vp8l decoder AND the
+    // real libwebp-encoded lossy fixture through the from-scratch Vp8
+    // decoder; AVIF/HEIC/corrupt-JPEG sniffable but undecodable; else
     // unknown) — the ENGINE proves the same counts by actually encoding,
     // sniffing, and running the real decoders per payload
     "multimodal_decode_report" ->
       """WITH c AS (SELECT
-             CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+             CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
                WHEN 2 THEN 'webp' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'avif'
-               ELSE 'unknown' END AS container,
-             CASE WHEN doc_id % 6 IN (0, 1, 2)
+               WHEN 5 THEN 'unknown' WHEN 6 THEN 'tiff'
+               ELSE 'heic' END AS container,
+             CASE WHEN doc_id % 8 IN (0, 1, 2, 6)
                THEN 1 ELSE 0 END AS dec
            FROM documents)
          SELECT container, CAST(count(*) AS BIGINT) AS n_total,
@@ -6931,6 +6969,31 @@ object SparkEntry {
            CAST(count(*) - sum(dec) AS BIGINT) AS n_failed,
            round(CAST(sum(dec) AS DOUBLE) / count(*), 6) AS decode_rate
          FROM c GROUP BY container ORDER BY container""",
+
+    // header-only dims replayed from the construction arithmetic: the
+    // decodable classes are fixed 8x8; the webp class is 8x8 (VP8L half)
+    // or the 64x48 lossy fixture; AVIF/HEIC carry their ispe values
+    // (100 + id%23, 77) / (200 + id%31, 150); corrupt JPEG has no SOF
+    // and text no container -> NULL dims
+    "multimodal_image_dims" ->
+      """SELECT doc_id AS img_id,
+           CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+             WHEN 2 THEN 'webp' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'avif'
+             WHEN 5 THEN 'unknown' WHEN 6 THEN 'tiff'
+             ELSE 'heic' END AS container,
+           CAST(CASE
+             WHEN doc_id % 8 IN (0, 1, 6) THEN 8
+             WHEN doc_id % 8 = 2 THEN (CASE WHEN doc_id % 16 = 2 THEN 8 ELSE 64 END)
+             WHEN doc_id % 8 = 4 THEN 100 + doc_id % 23
+             WHEN doc_id % 8 = 7 THEN 200 + doc_id % 31
+             END AS INTEGER) AS img_w,
+           CAST(CASE
+             WHEN doc_id % 8 IN (0, 1, 6) THEN 8
+             WHEN doc_id % 8 = 2 THEN (CASE WHEN doc_id % 16 = 2 THEN 8 ELSE 48 END)
+             WHEN doc_id % 8 = 4 THEN 77
+             WHEN doc_id % 8 = 7 THEN 150
+             END AS INTEGER) AS img_h
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // the full from-scratch VP8 decode pinned to literals derived from
     // libwebp's own yuv dump (BT.601 + pixel-stat arithmetic in python,

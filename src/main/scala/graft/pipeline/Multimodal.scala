@@ -151,6 +151,172 @@ object Multimodal {
         } catch { case _: Exception => None }
     }
 
+  /** Deterministic grayscale TIFF encoder via the JDK's bundled
+    * (JDK 9+) ImageIO TIFF writer — default uncompressed baseline TIFF,
+    * so decode recovers v(x, y) exactly; like [[encodePngGray]],
+    * consumers compare decoded pixels, never payload bytes. */
+  def encodeTiffGray(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = v(x, y)
+        require(p >= 0 && p <= 255, s"pixel out of range: $p at ($x,$y)")
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "tiff", bos),
+      "JDK TIFF writer unavailable")
+    bos.toByteArray
+  }
+
+  /** HEADER-ONLY image dimensions — the 100 TB curation primitive: a
+    * resolution gate (e.g. "drop < 64px") should read a few header bytes
+    * per payload, never run a codec. Covers every sniffable container:
+    * PNG IHDR, GIF logical screen, BMP info header, JPEG SOF0/1/2 marker
+    * scan, WebP VP8 frame header / VP8L signature bits / VP8X canvas,
+    * TIFF first-IFD tags 256/257 (both endians, SHORT and LONG), and
+    * the ISO-BMFF `ispe` property (meta -> iprp -> ipco walk) shared by
+    * AVIF and HEIC — so dims parse for real even where SAMPLE decode is
+    * a counted stub (avif/heic). None for unknown containers or
+    * truncated/garbled headers; never throws. */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ok(w: Int, h: Int): Option[(Int, Int)] =
+      if (w > 0 && h > 0) Some((w, h)) else None
+    try {
+      sniffImageContainer(bytes) match {
+        case "png" =>
+          if (bytes.length < 24) None else ok(be32(16), be32(20))
+        case "gif" =>
+          ok(le16(6), le16(8))
+        case "bmp" =>
+          // BITMAPINFOHEADER: i32 width at 18, i32 height at 22 (may be
+          // negative = top-down)
+          if (bytes.length < 26) None else ok(le32(18), math.abs(le32(22)))
+        case "jpeg" =>
+          // marker scan to the first frame header (SOF0/1/2 cover
+          // baseline + extended + progressive; C4/C8/CC are not SOFs)
+          var p = 2
+          var res: Option[(Int, Int)] = None
+          while (res.isEmpty && p + 9 < bytes.length && u8(p) == 0xff) {
+            var q = p
+            while (q < bytes.length && u8(q) == 0xff) q += 1 // fill bytes
+            if (q >= bytes.length) return None
+            val m = u8(q)
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (q + 8 < bytes.length) res = ok(be16(q + 6), be16(q + 4))
+              else return None
+            } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) {
+              p = q + 1 // standalone marker, no length
+            } else if (m == 0xd9 || m == 0xda) {
+              return None // end / scan start without a SOF
+            } else {
+              // segment with a BE16 length (includes the length bytes)
+              if (q + 2 >= bytes.length) return None
+              p = q + 1 + be16(q + 1)
+            }
+          }
+          res
+        case "webp" =>
+          // RIFF chunk walk from 12: the first VP8 /VP8L/VP8X chunk
+          // carries dims (VP8X: canvas size)
+          var p = 12
+          while (p + 8 <= bytes.length) {
+            val four = new String(bytes, p, 4, "ISO-8859-1")
+            val sz = le32(p + 4)
+            if (sz < 0 || p + 8L + sz > bytes.length) return None
+            val q = p + 8
+            four match {
+              case "VP8X" =>
+                if (sz < 10) return None
+                val w = (u8(q + 4) | (u8(q + 5) << 8) | (u8(q + 6) << 16)) + 1
+                val h = (u8(q + 7) | (u8(q + 8) << 8) | (u8(q + 9) << 16)) + 1
+                return ok(w, h)
+              case "VP8 " =>
+                // keyframe: 3-byte frame tag, start code 9d 01 2a, dims
+                if (sz < 10 || u8(q + 3) != 0x9d || u8(q + 4) != 0x01 ||
+                    u8(q + 5) != 0x2a) return None
+                return ok(le16(q + 6) & 0x3fff, le16(q + 8) & 0x3fff)
+              case "VP8L" =>
+                if (sz < 5 || u8(q) != 0x2f) return None
+                val b = le32(q + 1)
+                return ok((b & 0x3fff) + 1, ((b >>> 14) & 0x3fff) + 1)
+              case _ =>
+                p = q + sz + (sz & 1) // chunks are 2-byte aligned
+            }
+          }
+          None
+        case "tiff" =>
+          val le = u8(0) == 'I'
+          def r16(i: Int) = if (le) le16(i) else be16(i)
+          def r32(i: Int) = if (le) le32(i) else be32(i)
+          val ifd = r32(4)
+          if (ifd < 8 || ifd + 2 > bytes.length) return None
+          val n = r16(ifd)
+          var w = -1; var h = -1
+          var e = 0
+          while (e < n && ifd + 2 + 12 * (e + 1) <= bytes.length) {
+            val off = ifd + 2 + 12 * e
+            val tag = r16(off)
+            val typ = r16(off + 2)
+            // value inline in the 4-byte field: SHORT(3) in the first
+            // two bytes (endian-ordered), LONG(4) as u32
+            val v = if (typ == 3) r16(off + 8) else r32(off + 8)
+            if (tag == 256) w = v
+            if (tag == 257) h = v
+            e += 1
+          }
+          ok(w, h)
+        case "avif" | "heic" =>
+          ispeDims(bytes)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** ISO-BMFF `ispe` (image spatial extents, ISO/IEC 23008-12) walk:
+    * top-level boxes -> `meta` (FullBox: +4 version/flags) -> `iprp` ->
+    * `ipco` -> `ispe` (FullBox: u32 width, u32 height). Unknown sibling
+    * boxes (hdlr, pitm, iloc, iinf, ...) are skipped generically, so
+    * real-encoder files walk the same as synthetic ones. */
+  private def ispeDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    // find a child box by fourcc inside [from, to); returns (payloadStart, payloadEnd)
+    def child(from: Int, to: Int, fourcc: String): Option[(Int, Int)] = {
+      var p = from
+      while (p + 8 <= to) {
+        val sz = be32(p)
+        val name = new String(bytes, p + 4, 4, "ISO-8859-1")
+        val end = if (sz == 0) to else p + sz
+        if (sz != 1 && (sz == 0 || sz >= 8) && end <= to) {
+          if (name == fourcc) return Some((p + 8, end))
+          p = end
+        } else return None // 64-bit or malformed sizes: bail cleanly
+      }
+      None
+    }
+    for {
+      (m0, m1) <- child(0, bytes.length, "meta")
+      (p0, p1) <- child(m0 + 4, m1, "iprp") // meta is a FullBox
+      (c0, c1) <- child(p0, p1, "ipco")
+      (i0, i1) <- child(c0, c1, "ispe")
+      if i1 - i0 >= 12
+    } yield (be32(i0 + 4), be32(i0 + 8))
+  }
+
   /** Does this payload decode under the library's decoders ([[Vp8l]] /
     * [[Vp8]] for WebP, ImageIO otherwise)? The [[imageDecodeReport]]
     * predicate. */
@@ -183,6 +349,24 @@ object Multimodal {
       .withColumn("decode_rate",
         round(col("n_decoded").cast("double") / col("n_total"), 6))
       .orderBy("container")
+  }
+
+  /** Header-only dims for a binary image column: appends (container,
+    * img_w, img_h) via [[imageDims]] in one mapPartitions pass — a few
+    * header bytes of work per payload, no codec, no shuffle. The
+    * resolution-gate primitive: at crawl scale a `width >= 64` filter
+    * must not pay decode for the 90% it drops. */
+  def withImageDims(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val dims = imageDims(bytes)
+          (id, sniffImageContainer(bytes), dims.map(_._1), dims.map(_._2))
+        }
+      }
+      .toDF(idCol, "container", "img_w", "img_h")
   }
 
   /** Real audio decoder via the JDK's bundled javax.sound.sampled readers

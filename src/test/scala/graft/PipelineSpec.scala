@@ -1106,6 +1106,63 @@ class PipelineSpec extends SparkSpec {
     assert(rep("unknown") === ((1L, 0L, 1L)))
   }
 
+  test("imageDims: header-only dims for every sniffable container, no codec") {
+    val pix = (x: Int, y: Int) => (x * 20 + y) % 250
+    // encoders: BMP/PNG/TIFF real, VP8L in-house, lossy VP8 real fixture
+    assert(Multimodal.imageDims(Multimodal.encodeBmpGray(13, 9, pix)) === Some((13, 9)))
+    assert(Multimodal.imageDims(Multimodal.encodePngGray(13, 9, pix)) === Some((13, 9)))
+    val tiff = Multimodal.encodeTiffGray(13, 9, pix)
+    assert(Multimodal.sniffImageContainer(tiff) === "tiff")
+    assert(Multimodal.imageDims(tiff) === Some((13, 9)))
+    // TIFF also DECODES through the ImageIO path (JDK 9+ bundled plugin)
+    val Some((tw, th, tpx)) = Multimodal.decodeArgbPixels(tiff)
+    assert(tw === 13 && th === 9)
+    assert((tpx(2 * 13 + 3) & 0xff) === pix(3, 2), "baseline TIFF is lossless")
+    val vp8l = graft.pipeline.Vp8lEncoder.encode(13, 9, Array.tabulate(13 * 9)(i =>
+      0xff000000 | (pix(i % 13, i / 13) * 0x010101)))
+    assert(Multimodal.imageDims(vp8l) === Some((13, 9)))
+    // real libwebp files: simple VP8 frame header and VP8X canvas
+    def res(n: String) = {
+      val in = getClass.getResourceAsStream(n)
+      try in.readAllBytes() finally in.close()
+    }
+    assert(Multimodal.imageDims(res("/graft/fixtures/lossy_vp8.webp")) === Some((64, 48)))
+    assert(Multimodal.imageDims(res("/webp/python_vp8x_lossy.webp")) === Some((16, 16)))
+    // GIF logical screen
+    val gif = "GIF89a".getBytes("ISO-8859-1") ++
+      Array[Byte](0x0d, 0, 0x09, 0, 0, 0, 0)
+    assert(Multimodal.imageDims(gif) === Some((13, 9)))
+    // hand-built JPEG: SOI, APP0, SOF0(h=9, w=13) — the marker scan
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0, 4, 'J', 'F',
+      0xff.toByte, 0xc0.toByte, 0, 17, 8, 0, 9, 0, 13, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    assert(Multimodal.imageDims(jpeg) === Some((13, 9)))
+    // corrupt JPEG (no SOF) and non-image bytes -> None
+    assert(Multimodal.imageDims(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte) ++ "junk".getBytes) === None)
+    assert(Multimodal.imageDims("plain text".getBytes) === None)
+    // ISO-BMFF ispe walk (AVIF + HEIC), with an hdlr sibling to skip
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def box(name: String, payload: Array[Byte]) =
+      be32(8 + payload.length) ++ name.getBytes("ISO-8859-1") ++ payload
+    def bmff(brand: String, w: Int, h: Int) = {
+      val ftyp = box("ftyp", brand.getBytes("ISO-8859-1") ++ be32(0) ++
+        "mif1".getBytes("ISO-8859-1"))
+      val hdlr = box("hdlr", be32(0) ++ be32(0) ++
+        "pict".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+      val ispe = box("ispe", be32(0) ++ be32(w) ++ be32(h))
+      ftyp ++ box("meta", be32(0) ++ hdlr ++ box("iprp", box("ipco", ispe)))
+    }
+    assert(Multimodal.sniffImageContainer(bmff("avif", 123, 77)) === "avif")
+    assert(Multimodal.imageDims(bmff("avif", 123, 77)) === Some((123, 77)))
+    assert(Multimodal.sniffImageContainer(bmff("heic", 222, 150)) === "heic")
+    assert(Multimodal.imageDims(bmff("heic", 222, 150)) === Some((222, 150)))
+    // truncated ispe / missing meta -> clean None
+    assert(Multimodal.imageDims(box("ftyp", "avif".getBytes ++ be32(0) ++
+      "mif1".getBytes) ++ box("meta", be32(0))) === None)
+  }
+
   test("lossy VP8 webp joins the image family: decode, dhash literals, identical-twin merge") {
     import spark.implicits._
     // the committed REAL libwebp-encoded lossy fixture (vp8_photo_q1)
