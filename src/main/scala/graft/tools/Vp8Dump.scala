@@ -40,7 +40,9 @@ object Vp8Dump {
     if (args.contains("mb")) System.setProperty("graft.vp8.debugMb", "true")
     val only = args.filterNot(Set("nofilter","mb","grid","alldiff")).headOption
     val all = Seq("vp8_grad_q75", "vp8_grad_q95", "vp8_photo_q50",
-      "vp8_photo_q95", "vp8_photo_q1", "vp8_photo_q75", "python_vp8x_lossy")
+      "vp8_photo_q95", "vp8_photo_q1", "vp8_photo_q75", "python_vp8x_lossy",
+      "vp8_adv_simplefilter", "vp8_adv_parts8", "vp8_adv_sharp",
+      "vp8_adv_simple_parts")
     val names = only match { case Some(n) => Seq(n); case None => all }
     for (name <- names) {
       val webp = java.nio.file.Files.readAllBytes(

@@ -67,6 +67,17 @@ class Vp8Spec extends AnyFunSuite {
   test("photo q1 (64x48, extreme quantizer) decodes plane-exactly")(checkFixture("vp8_photo_q1"))
   test("photo q75 (128x96) decodes plane-exactly")(checkFixture("vp8_photo_q75"))
 
+  // advanced-API fixtures (tools/make_vp8_advanced_fixtures.py) force
+  // encoder modes the simple libwebp API never emits
+  test("SIMPLE in-loop filter decodes plane-exactly (filter_type=0, strength 80)")(
+    checkFixture("vp8_adv_simplefilter"))
+  test("8 token partitions decode plane-exactly (nparts demux path)")(
+    checkFixture("vp8_adv_parts8"))
+  test("autofilter + sharpness 5 decodes plane-exactly (filter-limit clamping)")(
+    checkFixture("vp8_adv_sharp"))
+  test("simple filter + 4 partitions + unaligned dims decode plane-exactly")(
+    checkFixture("vp8_adv_simple_parts"))
+
   test("real-world python.webp (VP8X + ALPH + VP8) decodes plane-exactly") {
     checkFixture("python_vp8x_lossy")
     // and its ALPH alpha plane decodes through the headerless-VP8L path
