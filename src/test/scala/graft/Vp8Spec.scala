@@ -96,4 +96,25 @@ class Vp8Spec extends AnyFunSuite {
     assert(Vp8.decodeYuv(resource("lossless_gradient.webp")).isEmpty)
     assert(Vp8.decodeArgb(resource("lossless_gradient.webp")).isEmpty)
   }
+
+  test("crawl robustness: every truncation and seeded bit-flips fail cleanly, never hang") {
+    val full = resource("vp8_photo_q1.webp")
+    // every prefix: gate returns false or the decode throws (caught by
+    // the Multimodal gate) — bounded work either way
+    for (n <- 0 until full.length) {
+      val cut = java.util.Arrays.copyOfRange(full, 0, n)
+      try { Vp8.decodeArgb(cut); () } catch { case _: Exception => () }
+      assert(true) // reaching here per prefix = no hang/VM error
+    }
+    // seeded single-byte corruptions over the whole stream: decode must
+    // terminate (wrong pixels are acceptable — the bool decoder is
+    // self-terminating; crashes/hangs are not)
+    val rnd = new scala.util.Random(20260817L)
+    for (_ <- 0 until 200) {
+      val b = full.clone()
+      val i = rnd.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      try { Vp8.decodeArgb(b); () } catch { case _: Exception => () }
+    }
+  }
 }
