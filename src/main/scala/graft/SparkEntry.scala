@@ -190,9 +190,16 @@ object SparkEntry {
     ftyp ++ meta
   }
 
-  private def mixedImageCorpus(s: SparkSession, dir: String): DataFrame = {
+  /** `maxId`: optional id cut applied BEFORE the payload-building
+    * mapPartitions — payloads are a pure function of the id, so filtering
+    * first is result-identical, pushes the predicate to the parquet scan
+    * (the typed map is opaque to Catalyst, so a post-map filter can
+    * never reach it), and skips encoding payloads that would be dropped. */
+  private def mixedImageCorpus(s: SparkSession, dir: String,
+                               maxId: Option[Long] = None): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    maxId.fold(ids)(m => ids.filter(col("doc_id") < m)).as[Long]
       .mapPartitions(it => it.map(id => (id, mixedImagePayload(id))))
       .toDF("img_id", "payload")
   }
@@ -2790,7 +2797,7 @@ object SparkEntry {
       // Zero shuffle, zero codec. The oracle replays the construction
       // arithmetic per doc_id % 8 / % 16 class.
       graft.pipeline.Multimodal.withImageDims(
-          mixedImageCorpus(s, dir).filter(col("img_id") < 400),
+          mixedImageCorpus(s, dir, maxId = Some(400L)),
           "payload", "img_id")
         .orderBy("img_id")
     }),
