@@ -1281,11 +1281,16 @@ object Describe {
         cols.map(c => Seq(col(c))) :+ Seq.empty[Column]
     val aggs = count(lit(1)).as("n") +:
       cols.map(c => grouping(col(c)).cast("int").as(s"g_$c"))
+    // EAGER localCheckpoint, not lazy persist — same fix as [[mutualInfo]]:
+    // the per-pair branches are materialized concurrently under AQE, and a
+    // lazy persist let every branch recompute the grouping-sets aggregation
+    // before the first cache write landed. One eager materialization of the
+    // O(Σ levels²) aggregate; branches read the checkpointed blocks.
     val base = df.na.drop("any", cols)
       .select(cols.map(c => col(c).cast("string").as(c)): _*)
       .groupingSets(sets, cols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .persist()
+      .localCheckpoint(true)
     def grouped(c: String): Column = col(s"g_$c") === 1
     val total = base.filter(cols.map(grouped).reduce(_ && _))
       .select(col("n").as("nn"))
@@ -1339,11 +1344,19 @@ object Describe {
         cols.map(c => Seq(col(c))) :+ Seq.empty[Column]
     val aggs = count(lit(1)).as("n") +:
       cols.map(c => grouping(col(c)).cast("int").as(s"g_$c"))
+    // EAGER localCheckpoint, not lazy persist: the per-pair branches below
+    // (cells/ma/mb × pairs) are planned as independent subtrees that AQE
+    // materializes concurrently — with a lazy persist each branch raced to
+    // compute the grouping-sets aggregation itself before any cache entry
+    // existed (profiled: 9 near-identical ~450 ms stages per run, one per
+    // branch, "Asked to cache already cached data" warnings). One eager
+    // materialization of the O(Σ levels²) aggregate runs the row-scale agg
+    // exactly once; every branch then reads the checkpointed blocks.
     val base = df.na.drop("any", cols)
       .select(cols.map(c => col(c).cast("string").as(c)): _*)
       .groupingSets(sets, cols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .persist()
+      .localCheckpoint(true)
     def grouped(c: String): Column = col(s"g_$c") === 1
     val total = base.filter(cols.map(grouped).reduce(_ && _))
       .select(col("n").as("nn"))

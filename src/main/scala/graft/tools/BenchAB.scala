@@ -33,6 +33,11 @@ object BenchAB {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-conf overrides for same-JVM A/B probes of graft.* knobs,
+    // e.g. GRAFT_SET="graft.scan.rebalanceMaxBytes=1;graft.quantile.accuracy=2000"
+    sys.env.get("GRAFT_SET").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k.trim, v.trim)
+    })
 
     // same warmup discipline as Bench: page cache + codegen on the tiny SF
     try {
@@ -49,18 +54,46 @@ object BenchAB {
       catch { case _: Throwable => () }
     }
 
+    // Optional same-JVM conf A/B: GRAFT_AB="k=v[;k=v...]" runs each pass
+    // TWICE interleaved — baseline conf, then with the overrides — so the
+    // two medians share one JVM/JIT/page-cache state and per-invocation
+    // machine noise cancels (the r16 1.48× lesson applied to micro-probes).
+    val abConf: Seq[(String, String)] = sys.env.get("GRAFT_AB").toSeq
+      .flatMap(_.split(";").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
+      })
+    def withAb[T](on: Boolean)(body: => T): T = {
+      if (on) abConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally if (on) abConf.foreach { case (k, _) => spark.conf.unset(k) }
+    }
     val rows = names.map { n =>
       val fn = graft.SparkEntry.queries(n)
       System.gc()
-      val ts = (1 to passes).map { _ =>
+      val tsAB = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[ab] $n failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val base = (System.nanoTime() - t0) / 1e9
+        val alt = if (abConf.isEmpty) 0.0 else {
+          val t1 = System.nanoTime()
+          withAb(on = true) {
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[ab] $n (alt) failed: ${e.getMessage}") }
+          }
+          (System.nanoTime() - t1) / 1e9
+        }
+        (base, alt)
       }
+      val ts = tsAB.map(_._1)
       val med = ts.sorted.apply(passes / 2)
-      System.err.println(f"[ab] $n%-28s med $med%6.3f s   passes ${ts.map(t => f"$t%.3f").mkString(" ")}")
+      if (abConf.nonEmpty) {
+        val alt = tsAB.map(_._2)
+        val medAlt = alt.sorted.apply(passes / 2)
+        System.err.println(f"[ab] $n%-28s med $med%6.3f s | alt $medAlt%6.3f s  (${medAlt / med * 100}%.0f%%)   passes ${ts.map(t => f"$t%.3f").mkString(" ")} | ${alt.map(t => f"$t%.3f").mkString(" ")}")
+      } else
+        System.err.println(f"[ab] $n%-28s med $med%6.3f s   passes ${ts.map(t => f"$t%.3f").mkString(" ")}")
       (n, med, ts)
     }
     val qs = rows.map { case (n, m, ts) =>
