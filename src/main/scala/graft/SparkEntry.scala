@@ -828,16 +828,29 @@ object SparkEntry {
       val ref = li.filter(col("l_returnflag") === "A")
       val cur = li.filter(col("l_returnflag") === "R")
       val both = li.filter(col("l_returnflag").isin("R", "A"))
-      val ks = Describe.ksTwoSample(both, "l_extendedprice",
+      // §2.6 (overlap independent jobs): the three checks are independent
+      // library operators whose EAGER metadata passes (ks/mwu tie-sort +
+      // prefix collects, psi's exact-quantile bracket jobs) otherwise run
+      // strictly one after another on the driver thread, each leaving most
+      // of the machine idle. Constructing them concurrently lets the FIFO
+      // scheduler back-fill; results are unchanged (no shared state — each
+      // builds its own plan).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fKs = Future(Describe.ksTwoSample(both, "l_extendedprice",
           col("l_returnflag") === "R")
-        .select(lit("ks").as("check"), col("d").as("statistic"), col("pvalue"))
-      val mwu = Describe.mannWhitney(both, "l_extendedprice",
+        .select(lit("ks").as("check"), col("d").as("statistic"), col("pvalue")))
+      val fMwu = Future(Describe.mannWhitney(both, "l_extendedprice",
           col("l_returnflag") === "R")
         .select(lit("mannwhitney").as("check"), col("z").as("statistic"),
-          col("pvalue"))
-      val psi = Describe.psiDrift(ref, cur, Seq("l_extendedprice"))
+          col("pvalue")))
+      val fPsi = Future(Describe.psiDrift(ref, cur, Seq("l_extendedprice"))
         .select(lit("psi").as("check"), round(col("psi"), 6).as("statistic"),
-          lit(null).cast("double").as("pvalue"))
+          lit(null).cast("double").as("pvalue")))
+      val ks = Await.result(fKs, Duration.Inf)
+      val mwu = Await.result(fMwu, Duration.Inf)
+      val psi = Await.result(fPsi, Duration.Inf)
       ks.unionByName(mwu).unionByName(psi).orderBy("check")
     }),
 
