@@ -1104,12 +1104,18 @@ object Describe {
     val parts = math.max(
       df.sparkSession.sessionState.conf.numShufflePartitions, 1)
     val p = 2147483647L                      // 2^31 − 1 (prime)
+    // hash-partition on the raw key (a cheap murmur, deterministic under
+    // task retry — round-robin pays a per-partition sort, §2.5) BEFORE
+    // computing the md5 reduction, so the per-row hash work itself runs
+    // at full parallelism instead of inside the scan's few tasks
     val src = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("__x"),
+        key.cast("string").as("__k"))
+      .repartition(parts, col("__k"))
+      .select(col("__x"),
         // 12 hex = 48 bits, reduced mod p: exact in any engine
-        pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+        pmod(conv(substring(md5(col("__k")), 1, 12), 16, 10)
           .cast("long"), lit(p)).as("__h"))
-      .repartition(parts)
     val a = pmod(col("__r") * lit(2654435761L) + lit(1L), lit(p))
     val b = pmod(col("__r") * lit(40503L) + lit(7L), lit(p))
     val u = pmod(a * col("__h") + b, lit(p))
@@ -1125,7 +1131,11 @@ object Describe {
     val ci = replicaMeans.agg(
       stddev_samp(col("__m")).as("se_boot"),
       percentile(col("__m"), array(lit(0.025), lit(0.5), lit(0.975))).as("__q"))
-    val base = src.agg(count(lit(1)).as("n"), avg(col("__x")).as("mean"))
+    // n/mean need neither the hash nor the shuffle — aggregate the bare
+    // filtered scan instead of recomputing src's md5+repartition pass
+    val base = df.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        avg(col(valueCol).cast("double")).as("mean"))
     base.crossJoin(ci).select(col("n"), col("mean"), col("se_boot"),
       element_at(col("__q"), 1).as("ci_lo"),
       element_at(col("__q"), 2).as("ci_p50"),
