@@ -170,34 +170,52 @@ object Graph {
            org.apache.spark.sql.types.DoubleType => true
       case _ => false
     }
-    val nCount = nodes.count() // one scalar; materializes e0 + nodes
-    if (localEligible && nCount <= maxLocalNodes && norm.count() <= maxLocalEdges) {
-      // deterministic accumulation order: edges sorted by (dst, src).
-      // Endpoints are CAST to the coerced node type so mixed-width
-      // src/dst columns (int vs bigint) key one node, like the SQL path.
-      // A NULL weight normalizes to NULL __w; the distributed superstep's
-      // sum() skips it — locally that is a 0.0 contribution, with the
-      // edge KEPT so its endpoints still define nodes/out-degree
+    // ONE bounded UNSORTED limit-collect both GATES and LOADS the local
+    // path (r17 §1: the old gate chained three eager job trees —
+    // nodes.count, norm.count, then a sorted collect — each a full
+    // scheduling round trip; the job-count floor, not the data, dominated
+    // the op on small graphs). An unsorted limit keeps tasks heap-free
+    // (the reason a sorted probe was rejected above), the driver transfer
+    // is bounded by maxLocalEdges+1 narrow rows, and on the happy path
+    // the rows ARE the local input, so nothing is thrown away. In the
+    // over-bound fallthrough the probe's partial work warmed the `norm`
+    // cache the distributed path reuses.
+    if (localEligible) {
+      // endpoints CAST to the coerced node type so mixed-width src/dst
+      // columns (int vs bigint) key one node, like the SQL path. A NULL
+      // weight normalizes to NULL __w; the distributed superstep's sum()
+      // skips it — locally that is a 0.0 contribution, with the edge KEPT
+      // so its endpoints still define nodes/out-degree
+      val limitN = (math.min(maxLocalEdges, Int.MaxValue.toLong - 1) + 1).toInt
       val probe = norm
         .select(col("__src").cast(nodeType), col("__dst").cast(nodeType), col("__w"))
-        .orderBy("__dst", "__src").collect()
+        .limit(limitN).collect()
       // NULL endpoints: the SQL supersteps never join them (NULL matches
       // nothing) while the JVM Map would key and propagate their mass —
       // same input, path-dependent result. Any null src/dst falls through
       // to the distributed path instead (probe rows are already bounded,
       // so the scan is cheap).
-      if (!probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
-      val es = probe.map(r =>
+      if (probe.length <= maxLocalEdges &&
+          !probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+      val es0 = probe.map(r =>
         (r.get(0), r.get(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+      // deterministic accumulation order: edges sorted by (dst, src) ON
+      // THE DRIVER, with strings compared as UTF-8 bytes (UTF8String) —
+      // exactly the binary order the old SQL orderBy produced — and a
+      // STABLE sort, so duplicate (src, dst) edges accumulate in a fixed
+      // order where the SQL sort left ties partition-dependent
       val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
-        case (x: String, y: String) => x.compareTo(y)
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
         case (x: java.lang.Number, y: java.lang.Number) =>
           java.lang.Double.compare(x.doubleValue, y.doubleValue)
         case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
       }
+      val es = es0.sortBy(e => (e._2, e._1))(Ordering.Tuple2(ord, ord))
       val vs: Array[Any] =
         (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct.sorted(ord)
-      locally {
+      if (vs.length <= maxLocalNodes) {
         val n = vs.length
         val idx: Map[Any, Int] = vs.zipWithIndex.toMap
         val hasOut: Set[Any] = es.iterator.map(_._1).toSet
@@ -226,7 +244,7 @@ object Graph {
       }
       }
     }
-    val n = nCount
+    val n = nodes.count() // one scalar; materializes e0 + nodes
     val base = lit((1.0 - damping) / n)
     // dangling = nodes with no out-edges; with danglingMass their rank is
     // re-spread uniformly each superstep (total rank stays exactly 1)

@@ -39,7 +39,11 @@ object Profile {
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
       val i = sc.stageInfo
       val s = stages.getOrElseUpdate(i.stageId, St())
-      s.name = i.name.linesIterator.next().take(90)
+      // the callsite name is usually an opaque lambda frame; the RDD scope
+      // chain (operator names) is what identifies the stage
+      val ops = i.rddInfos.flatMap(_.scope.map(_.name)).distinct.mkString(">")
+      val nm = i.name.linesIterator.next().take(40)
+      s.name = (if (ops.nonEmpty) ops.take(110) + " | " else "") + nm
       s.attempts += 1
       for (a <- i.submissionTime; b <- i.completionTime) s.wallMs += b - a
     }
