@@ -553,9 +553,13 @@ object Sampling {
             r += 1; out
           }
         }, posSchema).localCheckpoint()
-      val anchors = pos.select(col("anchor")).distinct()
-        .join(positioned.withColumnRenamed("id", "anchor")
-          .withColumnRenamed("component", "__acomp"), Seq("anchor"))
+      // anchors = positioned rows whose id is a non-representative member —
+      // the same predicate that defined `pos`. Filtering `positioned`
+      // directly is row-for-row identical to the old distinct+join (the
+      // (id, component) pair rides every positioned row), and drops one
+      // shuffle (distinct) plus one join from the plan.
+      val anchors = positioned.filter(col("id") =!= col("component"))
+        .select(col("id").as("anchor"), col("component").as("__acomp"), col("p"))
       val negs = anchors
         .select(col("anchor"), col("__acomp"), col("p"),
           explode(array((1 to kEff).map(lit): _*)).as("__j"))
