@@ -351,15 +351,22 @@ object AssociationStudy {
     }
     // a variable with NO non-null values forms no melt group at all; the
     // reference still emits a null row for it (the result table always has
-    // one entry per tested variable) — results are tiny, so the membership
-    // check is a cheap driver-side action
-    val produced = results.map(_.Variable).collect().toSet
+    // one entry per tested variable). The membership check is an ACTION:
+    // cache the fit Dataset first so the whole broadcast-kernel pass runs
+    // ONCE, not once for this collect and again for the caller's action
+    // (the InteractionStudy discipline; measured 2x per bench pass before),
+    // then materialize the O(#rvs) result eagerly and release the cache.
+    val cached = results.cache()
+    val produced = cached.map(_.Variable).distinct().collect().toSet
     val missing = rvs.filterNot(produced)
     val missingRows = missing.map(v => AssocResult(v, outcome,
       cf.typeOf(v).name, None, Converged = false, 0, None, None, None, None,
       None, None, error = Some("no non-missing observations")))
-    if (missingRows.isEmpty) results.toDF()
-    else results.toDF().unionByName(missingRows.toDF())
+    val out = if (missingRows.isEmpty) cached.toDF()
+      else cached.toDF().unionByName(missingRows.toDF())
+    val fin = out.localCheckpoint()
+    cached.unpersist(blocking = false)
+    fin
   }
 
   /** Co-group execution: melt the rv columns, JOIN the (uncollected) base
@@ -568,13 +575,21 @@ object AssociationStudy {
         vals.toArray, allIds.toArray, family, minN, standardize = doStd,
         catBetas)
     }
-    val produced = resultDs.map(_.Variable).collect().toSet
+    // same single-execution discipline as the broadcast path: the
+    // membership check is an action, and without the cache the ENTIRE
+    // co-group fit (melt ⋈ base shuffle + per-variable kernels) ran once
+    // for this collect and AGAIN for the caller's action
+    val cached = resultDs.cache()
+    val produced = cached.map(_.Variable).distinct().collect().toSet
     val missing = rvs.filterNot(produced)
     val missingRows = missing.map(v => AssocResult(v, outcome,
       cf.typeOf(v).name, None, Converged = false, 0, None, None, None, None,
       None, None, error = Some("no non-missing observations")))
-    if (missingRows.isEmpty) resultDs.toDF()
-    else resultDs.toDF().unionByName(missingRows.toDF())
+    val out = if (missingRows.isEmpty) cached.toDF()
+      else cached.toDF().unionByName(missingRows.toDF())
+    val fin = out.localCheckpoint()
+    cached.unpersist(blocking = false)
+    fin
   }
 
   /** Fit one variable's model(s) against the (subset of the) base block.

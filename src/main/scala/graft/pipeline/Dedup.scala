@@ -351,11 +351,18 @@ object Dedup {
       case _ => false
     }
     if (idEligible) {
-      val probe = edges.agg(
-        count(lit(1)).as("n"),
-        count(when(col("src").isNull || col("dst").isNull, 1)).as("nulls")).head()
-      if (probe.getLong(1) == 0L && probe.getLong(0) <= localBound)
-        return localComponents(spark, edges)
+      // ONE bounded limit-collect both gates and loads the local path
+      // (was: a count/null-count aggregation job, then a second collect
+      // job inside localComponents — the PageRank r17 probe discipline).
+      // The transfer is bounded by localBound+1 two-column rows, the
+      // length/null checks run on the driver, and on the happy path the
+      // rows ARE the union-find input. Over-bound graphs fall through
+      // having only re-read the already-checkpointed edge blocks.
+      val limitN = (math.min(localBound, Int.MaxValue.toLong - 1) + 1).toInt
+      val probe = edges.limit(limitN).collect()
+      if (probe.length <= localBound &&
+          !probe.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return localComponents(spark, edges, Some(probe))
     }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -398,9 +405,13 @@ object Dedup {
 
   /** Driver union-find over a collected (already direction-doubled) edge
     * list; representative = the component's minimum id under the same
-    * ordering the distributed path's min()/least() aggregation uses. */
+    * ordering the distributed path's min()/least() aggregation uses.
+    * `preCollected` carries the gate probe's rows when the caller already
+    * paid the collect, so the edge list crosses the wire once. */
   private def localComponents(spark: org.apache.spark.sql.SparkSession,
-                              edges: DataFrame): DataFrame = {
+                              edges: DataFrame,
+                              preCollected: Option[Array[org.apache.spark.sql.Row]] = None)
+      : DataFrame = {
     val idType = edges.schema("src").dataType
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
@@ -412,7 +423,7 @@ object Dedup {
     }
     def lt(a: Any, b: Any): Boolean =
       a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-    edges.collect().foreach { r =>
+    preCollected.getOrElse(edges.collect()).foreach { r =>
       val (s, d) = (r.get(0), r.get(1))
       if (!parent.containsKey(s)) parent.put(s, s)
       if (!parent.containsKey(d)) parent.put(d, d)

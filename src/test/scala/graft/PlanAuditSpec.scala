@@ -17,11 +17,16 @@ class PlanAuditSpec extends SparkSpec {
     * algebra, sample ranks) — there is no base-row predicate Catalyst
     * COULD push to the parquet scan. */
   private val allowlist: Map[String, String] = Map(
-    "analyze_assoc_cogroup" -> "NO-PUSHDOWN: co-group melt filters value IS NOT NULL on the stacked (vid, value) form — post-stack, not a base-column predicate",
+    // (analyze_assoc_cogroup left the list in r17: the study result is now
+    // an eager localCheckpoint — the single-execution fix — so the audited
+    // plan is the checkpointed O(#rvs) frame; the melt/co-group pass whose
+    // post-stack IS NOT NULL filter was allowlisted runs at construction)
     "ann_knn_graph" -> "NO-PUSHDOWN: whole-corpus graph; filters on IVF list ranks (derived)",
     "events_retention" -> "NO-PUSHDOWN: explode's implicit size(days) > 0 guard on the AGGREGATED per-user day set — no base-row predicate exists",
-    "describe_cramers_v" -> "NO-PUSHDOWN: filters on pair-table chi2 algebra (aggregated)",
-    "describe_mutual_info" -> "NO-PUSHDOWN: filters on joint-distribution aggregates",
+    // (describe_cramers_v / describe_mutual_info left the list in r17:
+    // their grouping-sets base is now an eager localCheckpoint — the
+    // concurrent-recompute fix — so the audited plan filters checkpointed
+    // O(levels²) rows and no base-column predicate exists to push)
     "describe_psi_drift" -> "NO-PUSHDOWN: filters on per-bin aggregate shares",
     "events_interarrival" -> "NO-PUSHDOWN: filters the NULL first-lag per user (window-derived)",
     "events_scd2" -> "NO-PUSHDOWN: filters on change-detection lag columns (window-derived)",
