@@ -58,6 +58,51 @@ object Corrections {
     val nullRows = df.filter(missing)
       .withColumn("pvalue_bonferroni", lit(null).cast(DoubleType))
       .withColumn("pvalue_fdr", lit(null).cast(DoubleType))
+    // Bounded LOCAL fast path (r17; the PageRank/components probe
+    // discipline): BH-FDR is a pure function of the DISTINCT p-values and
+    // their multiplicities — for equal p at ranks r1 < r2, raw(r1) =
+    // p·m/r1 > raw(r2), and the suffix-min assigns both min(raw(r2..m)),
+    // so every tie shares one corrected value and the whole correction is
+    // a mapping p → (bonferroni, fdr) computed from (p, count) pairs.
+    // Within a distinct-p block the suffix-min is reached at the block's
+    // LAST rank, so fdr_j = min_{i≥j}(p_i·m/R_i) over cumulative counts
+    // R_i — the identical double expressions the distributed sweep
+    // evaluates, in the same order. One bounded probe job replaces the
+    // count + sort/zipWithIndex + per-partition-minima jobs; over the
+    // bound (`graft.corrections.localMaxDistinct`, default 100k — a
+    // GWAS-scale table with millions of DISTINCT p-values) the
+    // distributed path below is unchanged.
+    val localMax = graft.GraftConf.positiveLong(spark,
+      "graft.corrections.localMaxDistinct", 100000L)
+    val probeLimit = (math.min(localMax, Int.MaxValue.toLong - 1) + 1).toInt
+    val probe = nonNull.groupBy(pd.as("__pd")).agg(count(lit(1)).as("__c"))
+      .limit(probeLimit).collect()
+    if (probe.length <= localMax) {
+      if (probe.isEmpty) return nullRows
+      val sortedP = probe.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+      val mD = sortedP.iterator.map(_._2).sum.toDouble
+      var cum = 0L
+      val raws = sortedP.map { case (pv, c) => cum += c; pv * mD / cum }
+      val fdrArr = new Array[Double](raws.length)
+      var run = Double.PositiveInfinity
+      var i = raws.length - 1
+      while (i >= 0) { run = math.min(run, raws(i)); fdrArr(i) = run; i -= 1 }
+      val mapRows = sortedP.zipWithIndex.map { case ((pv, _), j) =>
+        Row(pv, math.min(pv * mD, 1.0), math.min(fdrArr(j), 1.0)) }
+      val mapSchema = StructType(Seq(
+        StructField("__pdkey", DoubleType, nullable = false),
+        StructField("pvalue_bonferroni", DoubleType, nullable = true),
+        StructField("pvalue_fdr", DoubleType, nullable = true)))
+      val mapping = spark.createDataFrame(
+        spark.sparkContext.parallelize(mapRows.toSeq, 1), mapSchema)
+      val corrected = nonNull.withColumn("__pdj", pd)
+        .join(broadcast(mapping), col("__pdj") === col("__pdkey"), "left")
+        .drop("__pdj", "__pdkey")
+      return corrected.unionByName(nullRows)
+        .orderBy(col("pvalue_fdr").asc_nulls_last,
+          col("pvalue_bonferroni").asc_nulls_last)
+    }
+
     val m = nonNull.count()
     if (m == 0) return nullRows
 
