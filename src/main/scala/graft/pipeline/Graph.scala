@@ -1,8 +1,10 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.GraftConf
 
 /** Iterative graph analytics over an edge DataFrame — the Pregel-shaped
   * workloads a corpus pipeline meets once documents/domains/entities are
@@ -40,12 +42,27 @@ object Graph {
                    k: Int, maxRounds: Int = 12): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val spark = edges.sparkSession
     val base = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     var e = base.union(base.select(col("b").as("a"), col("a").as("b")))
       .dropDuplicates("a", "b")
       .localCheckpoint()
+    // Bounded LOCAL fast path (r17, the PageRank/components probe
+    // discipline): each distributed peeling round costs a degree
+    // aggregation, two semi-joins, a checkpoint job and a count — pure
+    // job-scheduling floor on the small graphs dedup pipelines produce.
+    // One bounded unsorted limit-collect gates AND loads a driver-side
+    // peel running the identical recurrence; over the conf'd bound the
+    // distributed rounds below are untouched.
+    val kcBound = GraftConf.positiveLong(spark, "graft.kcore.localMaxEdges", 1000000L)
+    locally {
+      val limitN = (math.min(kcBound, Int.MaxValue.toLong - 1) + 1).toInt
+      val probe = e.limit(limitN).collect()
+      if (probe.length <= kcBound)
+        return localKCore(spark, probe, k, maxRounds)
+    }
     var round = 0
     var stable = false
     var nEdges = e.count()
@@ -62,6 +79,78 @@ object Graph {
       round += 1
     }
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Driver-side peel over a collected direction-doubled distinct edge
+    * list — the identical recurrence the distributed rounds run: drop
+    * nodes with degree < k, keep edges with both endpoints surviving,
+    * stop at a fixpoint or `maxRounds`. Returns (node, degree-in-core)
+    * for nodes with surviving edges, like the distributed aggregate. */
+  private def localKCore(spark: SparkSession, edges0: Array[Row],
+                         k: Int, maxRounds: Int): DataFrame = {
+    var es: Array[(String, String)] =
+      edges0.map(r => (r.getString(0), r.getString(1)))
+    var round = 0
+    var stable = false
+    var nEdges = es.length
+    while (round < maxRounds && !stable) {
+      val deg = scala.collection.mutable.HashMap.empty[String, Long]
+      es.foreach { case (a, _) => deg.update(a, deg.getOrElse(a, 0L) + 1L) }
+      val keep = deg.collect { case (n, d) if d >= k => n }.toSet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      stable = next.length == nEdges
+      nEdges = next.length
+      es = next
+      round += 1
+    }
+    val deg = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    es.foreach { case (a, _) => deg.update(a, deg.getOrElse(a, 0L) + 1L) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("degree",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        deg.iterator.map { case (n, d) => Row(n, d) }.toSeq, 1), schema)
+  }
+
+  /** Driver-side synchronous LPA over a collected direction-doubled
+    * distinct edge list — the identical deterministic recurrence:
+    * label_{r+1}(v) = most frequent label among v's neighbors at round r,
+    * ties to the MINIMUM label under the SQL sort's UTF-8 binary string
+    * order (UTF8String comparison, not java String UTF-16 order). */
+  private def localLpa(spark: SparkSession, edges0: Array[Row],
+                       rounds: Int): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sqlLt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val nbrs = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    edges0.foreach { r =>
+      nbrs.getOrElseUpdate(r.getString(0),
+        scala.collection.mutable.ArrayBuffer.empty[String]) += r.getString(1)
+    }
+    var label: Map[String, String] = nbrs.keysIterator.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      label = nbrs.iterator.map { case (v, ns) =>
+        val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+        ns.foreach { b => val l = label(b); cnt.update(l, cnt.getOrElse(l, 0L) + 1L) }
+        var bestL: String = null; var bestC = -1L
+        cnt.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && sqlLt(l, bestL))) { bestL = l; bestC = c }
+        }
+        v -> bestL
+      }.toMap
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        label.iterator.map { case (n, l) => Row(n, l) }.toSeq, 1), schema)
   }
 
   /** Synchronous label-propagation communities (LPA) with a FIXED round
@@ -86,12 +175,27 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = edges.sparkSession
     val base = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     val e = base.union(base.select(col("b").as("a"), col("a").as("b")))
       .dropDuplicates("a", "b")
       .localCheckpoint()
+    // Bounded LOCAL fast path (r17): each synchronous round is a join +
+    // two aggregations + an eager checkpoint — a job-floor tax the small
+    // graphs this op meets rarely earn back (profiled 27 jobs for 3
+    // rounds). One bounded limit-collect gates and loads a driver replay
+    // of the identical deterministic recurrence (most-frequent neighbor
+    // label, ties to the minimum label in the SQL sort's UTF-8 binary
+    // string order). Over the bound the distributed rounds are untouched.
+    val lpaBound = GraftConf.positiveLong(spark, "graft.lpa.localMaxEdges", 1000000L)
+    locally {
+      val limitN = (math.min(lpaBound, Int.MaxValue.toLong - 1) + 1).toInt
+      val probe = e.limit(limitN).collect()
+      if (probe.length <= lpaBound)
+        return localLpa(spark, probe, rounds)
+    }
     var labels = e.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()

@@ -362,6 +362,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-12) // conserved exactly
   }
 
+  test("labelPropagation: distributed path (forced via conf) equals the local fast path") {
+    import spark.implicits._
+    // chain + island + a tie (b's neighbors a,c carry distinct labels with
+    // equal counts in round 1 — the min-label tie-break must agree)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+      .toDF("src", "dst")
+    def run(): Map[String, String] =
+      graft.pipeline.Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = run()
+    spark.conf.set("graft.lpa.localMaxEdges", "1")
+    val dist = try run() finally spark.conf.unset("graft.lpa.localMaxEdges")
+    assert(local === dist)
+    assert(local.keySet === Set("a", "b", "c", "d", "e", "x", "y"))
+  }
+
+  test("kCoreBounded: distributed path (forced via conf) equals the local fast path") {
+    import spark.implicits._
+    // triangle core + a degree-1 tail that must peel off at k=2
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    def run(): Map[String, Long] =
+      graft.pipeline.Graph.kCoreBounded(edges, "src", "dst", k = 2)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val local = run()
+    spark.conf.set("graft.kcore.localMaxEdges", "1")
+    val dist = try run() finally spark.conf.unset("graft.kcore.localMaxEdges")
+    assert(local === dist)
+    assert(local === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
   test("pageRank: distributed path (forced via conf) equals the local fast path") {
     import spark.implicits._
     val edges = Seq(("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 1.0),
