@@ -220,7 +220,8 @@ object AggregatedGlm {
       blockOff(k) = szAcc; szAcc += 3 + pPer(k) + pPer(k) * (pPer(k) + 1) / 2
     }
     val size = szAcc
-    val acc = graft.stats.Rows.doubleRdd(df.select(selCols: _*))
+    val acc = graft.stats.Rows.doubleRdd(
+      graft.stats.Rows.fanOutSmall(df, col(cf.idCol)).select(selCols: _*))
       .treeAggregate(new Array[Double](size))(
       seqOp = { (st, row) =>
         val y = row(0)
@@ -410,7 +411,8 @@ object AggregatedGlm {
           }).as(s"__cf_${maskPos(v)}")
         } ++
         zList.zipWithIndex.map { case ((_, c), j) => c.cast("double").as(s"__z_$j") }
-    val rdd = graft.stats.Rows.doubleRdd(df0.select(selCols: _*))
+    val rdd = graft.stats.Rows.doubleRdd(
+      graft.stats.Rows.fanOutSmall(df0, col(cf.idCol)).select(selCols: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     final case class MSpec(key: String, rv: String, maskIdx: Int,

@@ -364,7 +364,8 @@ object InteractionStudy {
     // treeAggregate: the z scratch buffer and the accumulator are allocated
     // once per partition, not per row — 6M rows at sf1 would otherwise churn
     // 6M short-lived arrays through the young gen inside the hot loop
-    val partStates = graft.stats.Rows.doubleRdd(base.select(selCols: _*))
+    val partStates = graft.stats.Rows.doubleRdd(
+        graft.stats.Rows.fanOutSmall(base, col(cf.idCol)).select(selCols: _*))
       .mapPartitions { it =>
         val st = zero.clone()
         val z = new Array[Double](maxP)

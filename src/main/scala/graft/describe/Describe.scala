@@ -268,8 +268,9 @@ object Describe {
     // InternalRow-direct decode (see Rows.doubleRdd); null AND NaN both
     // arrive as NaN = missing, which matches pandas' pairwise-complete
     // drop (a literal NaN cell no longer poisons its pairs' moments)
-    val rows = graft.stats.Rows.doubleRdd(
-      cf.df.select(vars.map(c => col(c).cast("double")): _*))
+    val rows = graft.stats.Rows.doubleRdd(graft.stats.Rows
+      .fanOutSmall(cf.df.select(vars.map(col): _*), col(vars.head))
+      .select(vars.map(c => col(c).cast("double")): _*))
     // layout: acc(6*p .. 6*p+5) = n, sx, sy, sxy, sxx, syy for pair p;
     // tail block acc(6*m + i) = per-column shift (first non-null seen)
     val size = 6 * m + k
