@@ -469,10 +469,8 @@ object Describe {
     * local-path gate. One cheap HLL aggregate over the already-cached
     * DISTINCT-row table; ±5% estimate error only moves the refusal
     * threshold, never correctness. */
-  private def gateGroupCardinality(op: String, sorted: DataFrame,
-                                   groupCol: String): Unit = {
-    val maxGroups = sorted.sparkSession.conf
-      .getOption("graft.groupedStats.maxGroups")
+  private def groupedStatsMaxGroups(spark: SparkSession): Long =
+    spark.conf.getOption("graft.groupedStats.maxGroups")
       .map { s =>
         val v = try s.trim.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
@@ -481,13 +479,20 @@ object Describe {
         require(v > 0, s"graft.groupedStats.maxGroups must be > 0, got $v")
         v
       }.getOrElse(250000L)
-    val est = sorted.agg(approx_count_distinct(col(groupCol), 0.05))
-      .head().getLong(0)
+
+  private def refuseGroupCardinality(op: String, est: Long, maxGroups: Long): Unit =
     if (est > maxGroups) throw new IllegalArgumentException(
       s"$op: ~$est distinct groups exceeds graft.groupedStats.maxGroups=" +
         s"$maxGroups. Driver prefix state here is O(groups x partitions); " +
         "raise the conf only with matching driver memory, or reduce the " +
         "group cardinality upstream (e.g. bucket the group key).")
+
+  private def gateGroupCardinality(op: String, sorted: DataFrame,
+                                   groupCol: String): Unit = {
+    val maxGroups = groupedStatsMaxGroups(sorted.sparkSession)
+    val est = sorted.agg(approx_count_distinct(col(groupCol), 0.05))
+      .head().getLong(0)
+    refuseGroupCardinality(op, est, maxGroups)
   }
 
   /** Gini concentration coefficient per group, from the rank-weighted sum
@@ -511,11 +516,55 @@ object Describe {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val sorted = df
+    val counted = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"),
         col(valueCol).cast("double").as("__x"))
       .groupBy("__g", "__x").agg(count(lit(1)).as("__c"))
+    // Bounded LOCAL fast path (r17 probe discipline): the distributed
+    // sweep needs a range sort + cache + gate + prefix-metadata jobs —
+    // three eager scheduling rounds whose floor dominates when the
+    // TIE-AGGREGATED table (already O(distinct (group, value)) rows, not
+    // row-scale) is small. One bounded limit-collect loads it; the driver
+    // walks each group in value order accumulating the SAME closed-form
+    // terms, so values agree to the final fp rounding (the per-group sums
+    // are associative up to fp order, and the result is rounded at 6dp by
+    // every caller). Over `graft.groupedStats.localMaxRows` (default 1M
+    // distinct rows) the distributed path below is unchanged.
+    val localMax = graft.GraftConf.positiveLong(spark,
+      "graft.groupedStats.localMaxRows", 1000000L)
+    locally {
+      val limitN = (math.min(localMax, Int.MaxValue.toLong - 1) + 1).toInt
+      val probe = counted.limit(limitN).collect()
+      if (probe.length <= localMax) {
+        val byG = probe.map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+          .groupBy(_._1)
+        // the group-cardinality refusal contract holds on BOTH paths (the
+        // conf is parsed, and the same named-knob error is raised, even
+        // though the local path's driver state is bounded by the probe)
+        refuseGroupCardinality("giniByGroup", byG.size.toLong,
+          groupedStatsMaxGroups(spark))
+        val rows = byG.toSeq.map { case (g, ties) =>
+          var n = 0L; var sx = 0.0; var six = 0.0; var below = 0L
+          ties.sortBy(_._2).foreach { case (_, x, c) =>
+            n += c; sx += x * c
+            six += x * (2.0 * below + c + 1.0) * c / 2.0
+            below += c
+          }
+          Row(g, n, 2.0 * six / (n * sx) - (n + 1.0) / n)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(groupCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("gini",
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+      }
+    }
+    val sorted = counted
       .repartitionByRange(parts, col("__g"), col("__x"))
       .sortWithinPartitions("__g", "__x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -582,13 +631,53 @@ object Describe {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val sorted = df
+    val counted = df
       .filter(col(valueCol).isNotNull && isFirst.isNotNull)
       .select(col(valueCol).cast("double").as("__x"),
         isFirst.cast("boolean").as("__a"))
       .groupBy("__x").agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+    // Bounded LOCAL fast path (r17): the statistic is pure int64 algebra
+    // over the tie-aggregated (value, cA, cB) table — already O(distinct
+    // values), not row-scale — so below the bound one limit-collect
+    // replaces the sort + cache + two prefix jobs, and the driver sweep
+    // is BIT-IDENTICAL (exact integers, same Smirnov scalar tail). Over
+    // `graft.groupedStats.localMaxRows` the distributed path is unchanged.
+    val ksLocalMax = graft.GraftConf.positiveLong(spark,
+      "graft.groupedStats.localMaxRows", 1000000L)
+    val ksProbe = {
+      val limitN = (math.min(ksLocalMax, Int.MaxValue.toLong - 1) + 1).toInt
+      counted.limit(limitN).collect()
+    }
+    if (ksProbe.length <= ksLocalMax) {
+      val ties = ksProbe.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      var na = 0L; var nb = 0L
+      ties.foreach { t => na += t._2; nb += t._3 }
+      require(na > 0 && nb > 0,
+        s"ksTwoSample needs both samples non-empty: nA=$na nB=$nb")
+      var ca = 0L; var cb = 0L; var dNum = 0L
+      ties.foreach { case (_, a, b) =>
+        ca += a; cb += b
+        val dd = math.abs(Math.subtractExact(
+          Math.multiplyExact(ca, nb), Math.multiplyExact(cb, na)))
+        if (dd > dNum) dNum = dd
+      }
+      val d = dNum * 1.0 / (na * 1.0 * nb)
+      val ne = na * 1.0 * nb / (na + nb)
+      val lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+      val series = (1 to 25).map { kk =>
+        val t = math.exp(-2.0 * (kk * kk) * lam * lam)
+        if (kk % 2 == 1) t else -t
+      }.foldLeft(0.0)(_ + _)
+      val p = math.min(1.0, math.max(0.0, 2.0 * series))
+      return Seq((na, nb,
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("n_a", "n_b", "d", "pvalue")
+    }
+    val sorted = counted
       .repartitionByRange(parts, col("__x"))
       .sortWithinPartitions("__x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -657,7 +746,7 @@ object Describe {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val sorted = df
+    val counted = df
       // null/NaN scores AND null labels are excluded symmetrically — a
       // null label is "unknown", not "negative" (r12 ADVICE: the old
       // otherwise(1L) silently counted null-label rows as negatives)
@@ -668,6 +757,40 @@ object Describe {
       .groupBy("__x").agg(
         sum(when(col("__p"), 1L).otherwise(0L)).as("__cp"),
         sum(when(col("__p"), 0L).otherwise(1L)).as("__cn"))
+    // Bounded LOCAL fast path — the ksTwoSample rationale: 2·U (hence
+    // AUC) is exact int64, so identical; the AP step terms accumulate in
+    // the same global score order but without the distributed fold's
+    // per-partition grouping, so AP agrees up to fp association — inside
+    // the 6dp rounding both paths apply.
+    val seLocalMax = graft.GraftConf.positiveLong(spark,
+      "graft.groupedStats.localMaxRows", 1000000L)
+    locally {
+      val limitN = (math.min(seLocalMax, Int.MaxValue.toLong - 1) + 1).toInt
+      val probe = counted.limit(limitN).collect()
+      if (probe.length <= seLocalMax) {
+        val ties = probe.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        var nP = 0L; var nN = 0L
+        ties.foreach { t => nP += t._2; nN += t._3 }
+        require(nP > 0 && nN > 0,
+          s"scoreEval needs both classes non-empty: nPos=$nP nNeg=$nN")
+        var cpb = 0L; var cnb = 0L; var a2 = 0L; var ap = 0.0
+        ties.foreach { case (_, cp, cn) =>
+          val term = Math.multiplyExact(cp,
+            Math.addExact(Math.multiplyExact(2L, cnb), cn))
+          val tp = nP - cpb; val fp = nN - cnb
+          ap += (cp.toDouble / nP) * (tp.toDouble / (tp.toDouble + fp))
+          a2 = Math.addExact(a2, term)
+          cpb += cp; cnb += cn
+        }
+        val auc = a2.toDouble / (2.0 * nP * nN)
+        return Seq((nP, nN,
+          BigDecimal(auc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(ap).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("n_pos", "n_neg", "auc", "average_precision")
+      }
+    }
+    val sorted = counted
       .repartitionByRange(parts, col("__x"))
       .sortWithinPartitions("__x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -796,43 +919,77 @@ object Describe {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val sorted = df
+    val counted = df
       .filter(col(valueCol).isNotNull && isFirst.isNotNull)
       .select(col(valueCol).cast("double").as("__x"),
         isFirst.cast("boolean").as("__a"))
       .groupBy("__x").agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
-      .repartitionByRange(parts, col("__x"))
-      .sortWithinPartitions("__x")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
-        var ca = 0L; var cb = 0L
-        it.foreach { r => ca += r.getLong(1); cb += r.getLong(2) }
-        Iterator.single((pi, ca, cb))
-      }.collect().sortBy(_._1)
-      val na = perPart.iterator.map(_._2).sum
-      val nb = perPart.iterator.map(_._3).sum
-      require(na > 0 && nb > 0,
-        s"mannWhitney needs both samples non-empty: nA=$na nB=$nb")
-      val starts = perPart.scanLeft(0L) { case (acc, (_, ca, cb)) => acc + ca + cb }.init
-      // exact-or-fail (see ksTwoSample): t³ on a giant tie run or the
-      // rank-sum at multi-billion rows must raise, never silently wrap
-      val (ra2, tie3) = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
-        var below = starts(pi)
-        var r2 = 0L; var t3 = 0L
-        it.foreach { r =>
-          val ca = r.getLong(1); val t = ca + r.getLong(2)
-          r2 = Math.addExact(r2,
-            Math.multiplyExact(ca, 2L * below + t + 1L))
+    // Bounded LOCAL fast path — same rationale and bit-exactness argument
+    // as [[ksTwoSample]]: the rank-sum and tie accumulators are exact
+    // int64 over the tie-aggregated table, and the u/z/p tail below is
+    // the SAME column algebra either way.
+    val mwuLocalMax = graft.GraftConf.positiveLong(spark,
+      "graft.groupedStats.localMaxRows", 1000000L)
+    val mwuLocal: Option[(Long, Long, Long, Long)] = {
+      val limitN = (math.min(mwuLocalMax, Int.MaxValue.toLong - 1) + 1).toInt
+      val probe = counted.limit(limitN).collect()
+      if (probe.length > mwuLocalMax) None
+      else {
+        val ties = probe.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        var na = 0L; var nb = 0L
+        ties.foreach { t => na += t._2; nb += t._3 }
+        require(na > 0 && nb > 0,
+          s"mannWhitney needs both samples non-empty: nA=$na nB=$nb")
+        var below = 0L; var r2 = 0L; var t3 = 0L
+        ties.foreach { case (_, ca, cb) =>
+          val t = ca + cb
+          r2 = Math.addExact(r2, Math.multiplyExact(ca, 2L * below + t + 1L))
           t3 = Math.addExact(t3,
             Math.multiplyExact(Math.multiplyExact(t, t), t) - t)
           below += t
         }
-        Iterator.single((r2, t3))
-      }.fold((0L, 0L)) { case ((a1, b1), (a2, b2)) =>
-        (Math.addExact(a1, a2), Math.addExact(b1, b2)) }
+        Some((na, nb, r2, t3))
+      }
+    }
+    val (na, nb, ra2, tie3) = mwuLocal.getOrElse {
+      val sorted = counted
+        .repartitionByRange(parts, col("__x"))
+        .sortWithinPartitions("__x")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val perPart = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+          var ca = 0L; var cb = 0L
+          it.foreach { r => ca += r.getLong(1); cb += r.getLong(2) }
+          Iterator.single((pi, ca, cb))
+        }.collect().sortBy(_._1)
+        val na0 = perPart.iterator.map(_._2).sum
+        val nb0 = perPart.iterator.map(_._3).sum
+        require(na0 > 0 && nb0 > 0,
+          s"mannWhitney needs both samples non-empty: nA=$na0 nB=$nb0")
+        val starts = perPart.scanLeft(0L) { case (acc, (_, ca, cb)) => acc + ca + cb }.init
+        // exact-or-fail (see ksTwoSample): t³ on a giant tie run or the
+        // rank-sum at multi-billion rows must raise, never silently wrap
+        val (r2, t3) = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+          var below = starts(pi)
+          var r2a = 0L; var t3a = 0L
+          it.foreach { r =>
+            val ca = r.getLong(1); val t = ca + r.getLong(2)
+            r2a = Math.addExact(r2a,
+              Math.multiplyExact(ca, 2L * below + t + 1L))
+            t3a = Math.addExact(t3a,
+              Math.multiplyExact(Math.multiplyExact(t, t), t) - t)
+            below += t
+          }
+          Iterator.single((r2a, t3a))
+        }.fold((0L, 0L)) { case ((a1, b1), (a2, b2)) =>
+          (Math.addExact(a1, a2), Math.addExact(b1, b2)) }
+        (na0, nb0, r2, t3)
+      } finally sorted.unpersist(blocking = false)
+    }
+    locally {
       // u/z/p in COLUMN algebra over the exact integers so the arithmetic
       // (and the Cody erfc) is the very expression the oracle replays
       Seq((na, nb, ra2, tie3)).toDF("n_a", "n_b", "__ra2", "__t3")
@@ -851,7 +1008,7 @@ object Describe {
           round(col("z"), 6).as("z"),
           round(graft.stats.ColMath.erfc(abs(col("z")) / math.sqrt(2.0)), 6).as("pvalue"))
         .localCheckpoint(true)
-    } finally sorted.unpersist(blocking = false)
+    }
   }
 
   /** Declarative data-quality rules — the Deequ-style validation pass:

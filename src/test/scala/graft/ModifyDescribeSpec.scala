@@ -1277,4 +1277,39 @@ class ModifyDescribeSpec extends SparkSpec {
       Describe.calibration(rows, "score", col("pos"), bins = 1)
     }
   }
+
+  test("tie-table stats: distributed path (forced via conf) equals the local fast path") {
+    import spark.implicits._
+    // ties, NaN-free, both classes/groups present — covers gini, ks, mwu,
+    // scoreEval (the r17 bounded local paths); forcing localMaxRows=1
+    // routes every op down the distributed sweep, which must agree
+    val df = (1 to 400).map { i =>
+      (if (i % 3 == 0) "A" else "B", (i % 25).toDouble, i % 2 == 0)
+    }.toDF("g", "x", "pos")
+    def all(): Seq[Seq[Row]] = Seq(
+      Describe.giniByGroup(df, "x", "g").orderBy("g").collect().toSeq,
+      Describe.ksTwoSample(df, "x", col("pos")).collect().toSeq,
+      Describe.mannWhitney(df, "x", col("pos")).collect().toSeq,
+      Describe.scoreEval(df, "x", col("pos")).collect().toSeq)
+    val local = all()
+    spark.conf.set("graft.groupedStats.localMaxRows", "1")
+    val dist = try all() finally spark.conf.unset("graft.groupedStats.localMaxRows")
+    local.zip(dist).zipWithIndex.foreach { case ((l, d), i) =>
+      assert(l.size === d.size, s"op $i row count")
+      l.zip(d).foreach { case (lr, dr) =>
+        lr.toSeq.zip(dr.toSeq).foreach {
+          case (a: Double, b: Double) => assert(math.abs(a - b) < 1e-9, s"op $i: $lr vs $dr")
+          case (a, b) => assert(a === b, s"op $i: $lr vs $dr")
+        }
+      }
+    }
+    // the local path still honors the group-cardinality refusal contract
+    spark.conf.set("graft.groupedStats.maxGroups", "1")
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        Describe.giniByGroup(df, "x", "g").collect()
+      }
+      assert(e2.getMessage.contains("graft.groupedStats.maxGroups"))
+    } finally spark.conf.unset("graft.groupedStats.maxGroups")
+  }
 }
