@@ -495,6 +495,56 @@ object Describe {
     refuseGroupCardinality(op, est, maxGroups)
   }
 
+  /** Driver-side ordering matching Spark's SQL ASC sort order, for the
+    * bounded local fast paths that replay a range sort on collected rows
+    * (external row values, hence the `Any`): integer types natural;
+    * float/double via java compare — NaN greatest like SQL, and the rows
+    * come from a groupBy whose key normalization already folded -0.0 into
+    * 0.0; strings by UTF8String BINARY bytes (the SQL order, NOT java's
+    * UTF-16 order — the PageRank local-path discipline); date/timestamp
+    * chronological. None for any other type keeps the distributed sort
+    * authoritative. */
+  private def driverSortOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = java.lang.Long.compare(
+          a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+      })
+      case FloatType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+      })
+      case DoubleType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      })
+      case _: DecimalType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = a.asInstanceOf[java.math.BigDecimal]
+          .compareTo(b.asInstanceOf[java.math.BigDecimal])
+      })
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+      })
+      case DateType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          a.asInstanceOf[java.sql.Date].compareTo(b.asInstanceOf[java.sql.Date])
+      })
+      case TimestampType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          a.asInstanceOf[java.sql.Timestamp].compareTo(b.asInstanceOf[java.sql.Timestamp])
+      })
+      case BooleanType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      })
+      case _ => None
+    }
+  }
+
   /** Gini concentration coefficient per group, from the rank-weighted sum
     * identity G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n.
     *
@@ -1061,11 +1111,66 @@ object Describe {
       when(s.isNull, lit("N:"))
         .otherwise(concat(lit("V"), length(s).cast("string"), lit(":"), s))
     }: _*)
-    val sorted = df
+    val counted = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
       .groupBy((groupCols.map(col) :+ col(valueCol)): _*)
       .agg(sum(col(weightCol).cast("double")).as("__w"))
       .withColumn("__g", gKey)
+    // Bounded LOCAL fast path (r17 probe discipline — the giniByGroup
+    // shape): the distributed sweep pays a range sort + cache + gate +
+    // prefix-metadata jobs whose scheduling floor dominates when the
+    // TIE-AGGREGATED table (O(distinct (group, value)), not row-scale) is
+    // small. One bounded limit-collect loads it; the driver walks each
+    // group in ASCENDING value order — exactly the range-sorted walk's
+    // order — accumulating the identical weight sums in the identical
+    // order, so the crossing row and total weight are BIT-IDENTICAL to
+    // the distributed answer. Gated on the value type having a
+    // driver-replayable SQL ordering; over
+    // `graft.groupedStats.localMaxRows` the distributed path is unchanged.
+    val localMax = graft.GraftConf.positiveLong(spark,
+      "graft.groupedStats.localMaxRows", 1000000L)
+    driverSortOrdering(df.schema(valueCol).dataType).foreach { ord =>
+      val limitN = (math.min(localMax, Int.MaxValue.toLong - 1) + 1).toInt
+      val probe = counted.limit(limitN).collect()
+      if (probe.length <= localMax) {
+        val nG = groupCols.length // row layout: groupCols..., value, __w, __g
+        val byG = probe.groupBy(_.getString(nG + 2))
+        // the group-cardinality refusal contract holds on BOTH paths
+        refuseGroupCardinality("weightedQuantile", byG.size.toLong,
+          groupedStatsMaxGroups(spark))
+        val rows = byG.toSeq.flatMap { case (_, rs) =>
+          val ties = rs.sortBy(r => r.get(nG))(ord)
+          var tw = 0.0
+          ties.foreach(r => tw += r.getDouble(nG + 1))
+          // the crossing condition replayed verbatim; the first satisfier
+          // in ascending order IS the distributed min(valueCol) over all
+          // satisfiers (negative-weight recrossings included)
+          var before = 0.0
+          var found: org.apache.spark.sql.Row = null
+          val it = ties.iterator
+          while (it.hasNext && found == null) {
+            val r = it.next(); val after = before + r.getDouble(nG + 1)
+            if ((before < q * tw && after >= q * tw) ||
+              (tw == 0.0 && before == 0.0)) found = r
+            before = after
+          }
+          // no satisfier (possible only for a negative total weight):
+          // the distributed groupBy sees zero crossing rows for the
+          // group, so it emits nothing — replicate that
+          if (found == null) None
+          else Some(Row.fromSeq((0 to nG).map(found.get) :+ tw))
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          (0 until nG).map(counted.schema(_)) ++ Seq(
+            org.apache.spark.sql.types.StructField("weighted_quantile",
+              counted.schema(nG).dataType),
+            org.apache.spark.sql.types.StructField("total_weight",
+              org.apache.spark.sql.types.DoubleType)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+      }
+    }
+    val sorted = counted
       .repartitionByRange(parts, col("__g"), col(valueCol))
       .sortWithinPartitions("__g", valueCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1140,7 +1245,7 @@ object Describe {
     val spark = df.sparkSession
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val vd = col(valueCol).cast("double")
-    val sorted = df
+    val counted = df
       .filter(vd.isNotNull && !isnan(vd))
       .select(col(groupCol), vd.as("__x"))
       .groupBy(col(groupCol), col("__x")).agg(count(lit(1)).as("__c"))
@@ -1148,6 +1253,73 @@ object Describe {
       // so no genuine group value can alias the null group
       .withColumn("__g", when(col(groupCol).isNull, lit("N"))
         .otherwise(concat(lit("V"), col(groupCol).cast("string"))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(groupCol),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("quantiles",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = true)))
+    // groups whose values are ALL null/NaN never reach the tie table; one
+    // O(#groups) column-pruned distinct finds them so they surface with
+    // n=0 and null quantiles (the aggregate shape's answer) instead of
+    // silently disappearing — needed by BOTH paths below
+    def emptyGroupRows(present: String => Boolean): Seq[Row] = {
+      val allG = df.select(col(groupCol),
+          when(col(groupCol).isNull, lit("N"))
+            .otherwise(concat(lit("V"), col(groupCol).cast("string"))).as("__g"))
+        .distinct().collect()
+      allG.filter(r => !present(r.getString(1)))
+        .map(r => Row(r.get(0), 0L, null)).toSeq
+    }
+    // Bounded LOCAL fast path (r17 probe discipline — the giniByGroup
+    // shape): below `graft.groupedStats.localMaxRows` ONE bounded
+    // limit-collect loads the tie-aggregated table and the driver reads
+    // off the needed order statistics from integer tie counts — the
+    // identical type-7 arithmetic on the identical counts, so the result
+    // is BIT-IDENTICAL to the distributed walk. Above the bound the
+    // distributed path is unchanged.
+    val localMax = graft.GraftConf.positiveLong(spark,
+      "graft.groupedStats.localMaxRows", 1000000L)
+    locally {
+      val limitN = (math.min(localMax, Int.MaxValue.toLong - 1) + 1).toInt
+      val probe = counted.limit(limitN).collect()
+      if (probe.length <= localMax) {
+        // row layout: groupCol(0), __x(1), __c(2), __g(3)
+        val byG = probe.groupBy(_.getString(3))
+        // the group-cardinality refusal contract holds on BOTH paths
+        refuseGroupCardinality("groupedQuantiles", byG.size.toLong,
+          groupedStatsMaxGroups(spark))
+        val rows = byG.toSeq.map { case (_, rs) =>
+          val ties = rs.sortBy(_.getDouble(1))
+          val n = ties.iterator.map(_.getLong(2)).sum
+          val needRanks = fractions.flatMap { fq =>
+            val h = (n - 1) * fq
+            Seq(math.floor(h).toLong, math.ceil(h).toLong)
+          }.toSet
+          val ranks = scala.collection.mutable.HashMap.empty[Long, Double]
+          var below = 0L
+          ties.foreach { r =>
+            val c = r.getLong(2)
+            needRanks.foreach { rk =>
+              if (rk >= below && rk < below + c) ranks.update(rk, r.getDouble(1)) }
+            below += c
+          }
+          val qs = fractions.map { fq =>
+            val h = (n - 1) * fq
+            val lo = math.floor(h).toLong
+            val vl = ranks(lo); val vh = ranks(math.ceil(h).toLong)
+            if (h == lo) vl else vl + (h - lo) * (vh - vl)
+          }
+          Row(rs.head.get(0), n, qs)
+        }
+        val present = byG.keySet
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows ++ emptyGroupRows(present), 1),
+          schema)
+      }
+    }
+    val sorted = counted
       .repartitionByRange(parts, col("__g"), col("__x"))
       .sortWithinPartitions("__g", "__x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1198,25 +1370,9 @@ object Describe {
         }
         Row(orig, n, qs)
       }
-      // groups whose values are ALL null/NaN never reach `sorted`; one
-      // O(#groups) column-pruned distinct finds them so they surface with
-      // n=0 and null quantiles (the aggregate shape's answer) instead of
-      // silently disappearing
-      val allG = df.select(col(groupCol),
-          when(col(groupCol).isNull, lit("N"))
-            .otherwise(concat(lit("V"), col(groupCol).cast("string"))).as("__g"))
-        .distinct().collect()
-      val emptyRows = allG.filter(r => !ns.contains(r.getString(1)))
-        .map(r => Row(r.get(0), 0L, null)).toSeq
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        df.schema(groupCol),
-        org.apache.spark.sql.types.StructField("n",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("quantiles",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType), nullable = true)))
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows ++ emptyRows, 1), schema)
+        spark.sparkContext.parallelize(rows ++ emptyGroupRows(ns.contains), 1),
+        schema)
     } finally sorted.unpersist(blocking = false)
   }
 
@@ -1358,32 +1514,34 @@ object Describe {
       (1 until bins).map(_.toDouble / bins))
     val usable = cols.filter(bounds(_).isDefined)
     require(usable.nonEmpty, "no non-empty reference columns")
-    def stackSide(df: DataFrame): DataFrame = {
-      val melted = df.selectExpr(
-        s"stack(${usable.size}, ${usable.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")}) AS (variable, value)")
-        .filter(col("value").isNotNull)
-      val bin = usable.foldLeft(lit(null).cast("int")) { (acc, c) =>
-        when(col("variable") === c,
-          bounds(c).get.map(b => when(col("value") > b, 1).otherwise(0))
-            .reduce(_ + _)).otherwise(acc)
-      }
-      melted.withColumn("bin", bin)
-        .groupBy("variable", "bin").agg(count(lit(1)).as("n"))
+    def melt(df: DataFrame): DataFrame = df.selectExpr(
+      s"stack(${usable.size}, ${usable.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")}) AS (variable, value)")
+      .filter(col("value").isNotNull)
+    val bin = usable.foldLeft(lit(null).cast("int")) { (acc, c) =>
+      when(col("variable") === c,
+        bounds(c).get.map(b => when(col("value") > b, 1).otherwise(0))
+          .reduce(_ + _)).otherwise(acc)
     }
-    val refC = stackSide(reference).withColumnRenamed("n", "n_ref")
-    val curC = stackSide(current).withColumnRenamed("n", "n_cur")
-    val spark = reference.sparkSession
-    import spark.implicits._
-    val grid = usable.flatMap(c => (0 until bins).map(b => (c, b)))
-      .toDF("variable", "bin")
-    val cells = grid
-      .join(refC, Seq("variable", "bin"), "left")
-      .join(curC, Seq("variable", "bin"), "left")
-      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
-      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
-    val tots = cells.groupBy("variable")
-      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
-    cells.join(tots, Seq("variable"))
+    // r17 §2.4: ONE union-tagged aggregation replaces the two per-side
+    // groupBys (halves the row-scale shuffle count), and the grid/totals
+    // joins collapse outright — a (variable, bin) cell absent from BOTH
+    // sides has p = q = eps, so its contribution (p−q)·ln(p/q) is exactly
+    // 0; only cells present on at least one side can contribute, and the
+    // single groupBy's output is exactly that set (every usable variable
+    // has ≥ 1 reference row by the bounds gate, so no variable row can
+    // disappear). Per-variable totals ride a window over the
+    // O(#vars·bins) cells; the final aggregation reuses the window's
+    // hash partitioning, so the tail adds one exchange total.
+    val stacked = melt(reference).withColumn("__side", lit(0))
+      .unionByName(melt(current).withColumn("__side", lit(1)))
+    val cells = stacked.withColumn("bin", bin)
+      .groupBy("variable", "bin")
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("variable")
+    cells
+      .withColumn("t_ref", sum(col("n_ref")).over(w))
+      .withColumn("t_cur", sum(col("n_cur")).over(w))
       .withColumn("p", greatest(col("n_ref").cast("double") / col("t_ref"), lit(eps)))
       .withColumn("q", greatest(col("n_cur").cast("double") / col("t_cur"), lit(eps)))
       .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
@@ -1407,21 +1565,27 @@ object Describe {
                      cols: Seq[String], eps: Double = 1e-6): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     require(eps > 0, s"eps must be > 0: $eps")
-    def side(df: DataFrame, n: String): DataFrame = {
-      val melted = df.selectExpr(
-        s"stack(${cols.size}, ${cols.map(c =>
-          s"'$c', CASE WHEN `$c` IS NULL THEN 'N' ELSE concat('V', CAST(`$c` AS STRING)) END")
-          .mkString(", ")}) AS (variable, category)")
-      melted.groupBy("variable", "category").agg(count(lit(1)).as(n))
-    }
-    val cells = side(reference, "n_ref")
-      .join(side(current, "n_cur"), Seq("variable", "category"), "full_outer")
-      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
-      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
-    val tots = cells.groupBy("variable")
-      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"),
-        count(lit(1)).as("n_levels"))
-    cells.join(tots, Seq("variable"))
+    def melt(df: DataFrame): DataFrame = df.selectExpr(
+      s"stack(${cols.size}, ${cols.map(c =>
+        s"'$c', CASE WHEN `$c` IS NULL THEN 'N' ELSE concat('V', CAST(`$c` AS STRING)) END")
+        .mkString(", ")}) AS (variable, category)")
+    // r17 §2.4 (same shape as [[psiDrift]]): one union-tagged aggregation
+    // replaces the two per-side groupBys + full-outer join — the join's
+    // output cells are exactly the categories present on EITHER side,
+    // which is exactly the single groupBy's key set (coalesce-to-0
+    // included: an absent side sums zero rows). Totals and the level
+    // count ride a per-variable window over the O(vocabulary) cells; the
+    // final aggregation reuses the window's partitioning.
+    val cells = melt(reference).withColumn("__side", lit(0))
+      .unionByName(melt(current).withColumn("__side", lit(1)))
+      .groupBy("variable", "category")
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("variable")
+    cells
+      .withColumn("t_ref", sum(col("n_ref")).over(w))
+      .withColumn("t_cur", sum(col("n_cur")).over(w))
+      .withColumn("n_levels", count(lit(1)).over(w))
       .withColumn("p", greatest(col("n_ref").cast("double") / col("t_ref"), lit(eps)))
       .withColumn("q", greatest(col("n_cur").cast("double") / col("t_cur"), lit(eps)))
       .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
