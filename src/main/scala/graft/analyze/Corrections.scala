@@ -75,9 +75,14 @@ object Corrections {
     val localMax = graft.GraftConf.positiveLong(spark,
       "graft.corrections.localMaxDistinct", 100000L)
     val probeLimit = (math.min(localMax, Int.MaxValue.toLong - 1) + 1).toInt
-    val probe = nonNull.groupBy(pd.as("__pd")).agg(count(lit(1)).as("__c"))
-      .limit(probeLimit).collect()
-    if (probe.length <= localMax) {
+    // stats short-circuit (GraftConf.probeWorthIssuing): a limit above this
+    // groupBy still aggregates every row, so don't issue it when the input
+    // estimate says the distinct gate will fail anyway
+    val probe =
+      if (!graft.GraftConf.probeWorthIssuing(nonNull)) null
+      else nonNull.groupBy(pd.as("__pd")).agg(count(lit(1)).as("__c"))
+        .limit(probeLimit).collect()
+    if (probe != null && probe.length <= localMax) {
       if (probe.isEmpty) return nullRows
       val sortedP = probe.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
       val mD = sortedP.iterator.map(_._2).sum.toDouble

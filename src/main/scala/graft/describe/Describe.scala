@@ -529,13 +529,13 @@ object Describe {
           org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
             .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
       })
-      case DateType => Some(new Ordering[Any] {
+      // collect() yields java.sql.Date/Timestamp by default but
+      // java.time.LocalDate/Instant under spark.sql.datetime.java8API —
+      // all four are Comparable and chronologically ordered, and both
+      // operands of one compare are always the same runtime class
+      case DateType | TimestampType => Some(new Ordering[Any] {
         def compare(a: Any, b: Any): Int =
-          a.asInstanceOf[java.sql.Date].compareTo(b.asInstanceOf[java.sql.Date])
-      })
-      case TimestampType => Some(new Ordering[Any] {
-        def compare(a: Any, b: Any): Int =
-          a.asInstanceOf[java.sql.Timestamp].compareTo(b.asInstanceOf[java.sql.Timestamp])
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
       })
       case BooleanType => Some(new Ordering[Any] {
         def compare(a: Any, b: Any): Int =
@@ -583,7 +583,7 @@ object Describe {
     // distinct rows) the distributed path below is unchanged.
     val localMax = graft.GraftConf.positiveLong(spark,
       "graft.groupedStats.localMaxRows", 1000000L)
-    locally {
+    if (graft.GraftConf.probeWorthIssuing(counted)) {
       val limitN = (math.min(localMax, Int.MaxValue.toLong - 1) + 1).toInt
       val probe = counted.limit(limitN).collect()
       if (probe.length <= localMax) {
@@ -696,11 +696,13 @@ object Describe {
     // `graft.groupedStats.localMaxRows` the distributed path is unchanged.
     val ksLocalMax = graft.GraftConf.positiveLong(spark,
       "graft.groupedStats.localMaxRows", 1000000L)
-    val ksProbe = {
-      val limitN = (math.min(ksLocalMax, Int.MaxValue.toLong - 1) + 1).toInt
-      counted.limit(limitN).collect()
-    }
-    if (ksProbe.length <= ksLocalMax) {
+    val ksProbe =
+      if (!graft.GraftConf.probeWorthIssuing(counted)) null
+      else {
+        val limitN = (math.min(ksLocalMax, Int.MaxValue.toLong - 1) + 1).toInt
+        counted.limit(limitN).collect()
+      }
+    if (ksProbe != null && ksProbe.length <= ksLocalMax) {
       val ties = ksProbe.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
         .sortBy(_._1)
       var na = 0L; var nb = 0L
@@ -814,7 +816,7 @@ object Describe {
     // the 6dp rounding both paths apply.
     val seLocalMax = graft.GraftConf.positiveLong(spark,
       "graft.groupedStats.localMaxRows", 1000000L)
-    locally {
+    if (graft.GraftConf.probeWorthIssuing(counted)) {
       val limitN = (math.min(seLocalMax, Int.MaxValue.toLong - 1) + 1).toInt
       val probe = counted.limit(limitN).collect()
       if (probe.length <= seLocalMax) {
@@ -982,7 +984,9 @@ object Describe {
     // the SAME column algebra either way.
     val mwuLocalMax = graft.GraftConf.positiveLong(spark,
       "graft.groupedStats.localMaxRows", 1000000L)
-    val mwuLocal: Option[(Long, Long, Long, Long)] = {
+    val mwuLocal: Option[(Long, Long, Long, Long)] =
+      if (!graft.GraftConf.probeWorthIssuing(counted)) None
+      else {
       val limitN = (math.min(mwuLocalMax, Int.MaxValue.toLong - 1) + 1).toInt
       val probe = counted.limit(limitN).collect()
       if (probe.length > mwuLocalMax) None
@@ -1122,13 +1126,17 @@ object Describe {
     // TIE-AGGREGATED table (O(distinct (group, value)), not row-scale) is
     // small. One bounded limit-collect loads it; the driver walks each
     // group in ASCENDING value order — exactly the range-sorted walk's
-    // order — accumulating the identical weight sums in the identical
-    // order, so the crossing row and total weight are BIT-IDENTICAL to
-    // the distributed answer. Gated on the value type having a
+    // order. For integer-valued double weights the crossing row and total
+    // weight are exact on both paths; for fractional weights the local
+    // strict left-to-right sum vs the distributed per-partition-then-
+    // combine sum can differ in ULPs (the same fp-order contract the
+    // docstring states for the distributed path). Gated on the value
+    // type having a
     // driver-replayable SQL ordering; over
     // `graft.groupedStats.localMaxRows` the distributed path is unchanged.
     val localMax = graft.GraftConf.positiveLong(spark,
       "graft.groupedStats.localMaxRows", 1000000L)
+    if (graft.GraftConf.probeWorthIssuing(counted))
     driverSortOrdering(df.schema(valueCol).dataType).foreach { ord =>
       val limitN = (math.min(localMax, Int.MaxValue.toLong - 1) + 1).toInt
       val probe = counted.limit(limitN).collect()
@@ -1281,7 +1289,7 @@ object Describe {
     // distributed path is unchanged.
     val localMax = graft.GraftConf.positiveLong(spark,
       "graft.groupedStats.localMaxRows", 1000000L)
-    locally {
+    if (graft.GraftConf.probeWorthIssuing(counted)) {
       val limitN = (math.min(localMax, Int.MaxValue.toLong - 1) + 1).toInt
       val probe = counted.limit(limitN).collect()
       if (probe.length <= localMax) {
@@ -1499,9 +1507,10 @@ object Describe {
     * column's distribution in `current` has moved from `reference` — the
     * corpus-release / feature-drift monitor (PSI < 0.1 stable, > 0.25
     * action). Bin edges are the REFERENCE's equi-depth quantiles (one
-    * batched range-sort via [[Modify.exactQuantilesAll]]); each side then
-    * bins with a zero-shuffle predicate and aggregates once (melt + one
-    * shuffle per side). PSI = Σ_bins (p − q)·ln(p/q) with proportions
+    * batched range-sort via [[Modify.exactQuantilesAll]]); both sides are
+    * melted, side-tagged and unioned so ONE aggregation bins and counts
+    * the (variable, bin) cells, with per-variable totals riding a window
+    * over the O(#vars·bins) cells. PSI = Σ_bins (p − q)·ln(p/q) with proportions
     * floored at `eps` so empty bins stay finite. All arithmetic replays
     * in SQL (the oracle recomputes the same quantile_cont edges). */
   // NOTE: the bin-edge quantiles are an ACTION over `reference` that runs
@@ -1542,8 +1551,13 @@ object Describe {
     cells
       .withColumn("t_ref", sum(col("n_ref")).over(w))
       .withColumn("t_cur", sum(col("n_cur")).over(w))
-      .withColumn("p", greatest(col("n_ref").cast("double") / col("t_ref"), lit(eps)))
-      .withColumn("q", greatest(col("n_cur").cast("double") / col("t_cur"), lit(eps)))
+      // try_divide: a side with ZERO rows for a variable has total 0, and
+      // its share must floor to eps (null -> skipped by greatest) under
+      // ANSI and non-ANSI alike, not raise DIVIDE_BY_ZERO under ANSI
+      .withColumn("p", greatest(
+        try_divide(col("n_ref").cast("double"), col("t_ref")), lit(eps)))
+      .withColumn("q", greatest(
+        try_divide(col("n_cur").cast("double"), col("t_cur")), lit(eps)))
       .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
       .groupBy("variable")
       .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
@@ -1556,11 +1570,12 @@ object Describe {
     * category absent from one side gets the eps floor, so new-in-current
     * categories surface as drift instead of vanishing); nulls count as
     * their own category via the tagged "N"/"V"+value key (injective — a
-    * genuine "N" value cannot alias the null bucket). One map-side-
-    * combined groupBy per side on (variable, tagged value) — state is
-    * category-vocabulary-sized, never row-scale — a full-outer join on
-    * the category key, per-variable totals, and the PSI sum. Returns
-    * (variable, n_ref, n_cur, n_levels, psi). */
+    * genuine "N" value cannot alias the null bucket). Both sides are
+    * melted, side-tagged and unioned so ONE map-side-combined groupBy on
+    * (variable, tagged value) — state is category-vocabulary-sized, never
+    * row-scale — yields the union-of-sides cells directly; per-variable
+    * totals and the level count ride a window over those cells, then the
+    * PSI sum. Returns (variable, n_ref, n_cur, n_levels, psi). */
   def psiCategorical(reference: DataFrame, current: DataFrame,
                      cols: Seq[String], eps: Double = 1e-6): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
@@ -1586,8 +1601,12 @@ object Describe {
       .withColumn("t_ref", sum(col("n_ref")).over(w))
       .withColumn("t_cur", sum(col("n_cur")).over(w))
       .withColumn("n_levels", count(lit(1)).over(w))
-      .withColumn("p", greatest(col("n_ref").cast("double") / col("t_ref"), lit(eps)))
-      .withColumn("q", greatest(col("n_cur").cast("double") / col("t_cur"), lit(eps)))
+      // try_divide: see [[psiDrift]] — an empty side floors to eps instead
+      // of raising DIVIDE_BY_ZERO under ANSI
+      .withColumn("p", greatest(
+        try_divide(col("n_ref").cast("double"), col("t_ref")), lit(eps)))
+      .withColumn("q", greatest(
+        try_divide(col("n_cur").cast("double"), col("t_cur")), lit(eps)))
       .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
       .groupBy("variable")
       .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),

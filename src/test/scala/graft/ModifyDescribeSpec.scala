@@ -1312,4 +1312,82 @@ class ModifyDescribeSpec extends SparkSpec {
       assert(e2.getMessage.contains("graft.groupedStats.maxGroups"))
     } finally spark.conf.unset("graft.groupedStats.maxGroups")
   }
+
+  test("weightedQuantile / groupedQuantiles: distributed path (forced via conf) equals the local fast path") {
+    import spark.implicits._
+    // adversarial inputs for the r17 local rewrites: fractional + negative
+    // weights, a negative-TOTAL group (no crossing row on either path), a
+    // zero-total-weight group (degenerates to its smallest value), value
+    // ties, and a null group key
+    val wq = Seq(
+      ("a", 1.0, 0.25), ("a", 2.0, 0.5), ("a", 2.0, 0.25), ("a", 3.0, 1.5),
+      ("b", 5.0, -1.0), ("b", 6.0, 2.0), ("b", 7.0, -0.5),
+      ("neg", 1.0, -1.0), ("neg", 2.0, -2.0),
+      ("z", 1.0, 0.0), ("z", 2.0, 0.0),
+      (null.asInstanceOf[String], 4.0, 1.0)
+    ).toDF("g", "v", "w")
+    val gq = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.0), (1L, 1.0), (1L, 2.0), (1L, 9.0),
+      (2L, 5.0), (2L, null), (3L, null),
+      (null.asInstanceOf[java.lang.Long], 7.0)
+    ).toDF("g", "v")
+    def run() = (
+      Describe.weightedQuantile(wq, "v", "w", Seq("g"), 0.5).collect()
+        .map(r => (Option(r.getString(0)), r.getDouble(1), r.getDouble(2))).toSet,
+      Describe.groupedQuantiles(gq, "v", "g", Seq(0.0, 0.5, 1.0)).collect()
+        .map(r => (Option(r.get(0)), r.getLong(1),
+          Option(r.getSeq[Double](2)).map(_.toList))).toSet)
+    val local = run()
+    spark.conf.set("graft.groupedStats.localMaxRows", "1")
+    val dist = try run() finally spark.conf.unset("graft.groupedStats.localMaxRows")
+    assert(local._1 === dist._1)
+    assert(local._2 === dist._2)
+    // hand-checked crossings: a crosses 1.5 at v=3; b (tw=0.5) crosses
+    // 0.25 at v=6; z degenerates to its smallest value; neg (tw<0) has no
+    // crossing row and must vanish
+    assert(local._1 === Set(
+      (Some("a"), 3.0, 2.5), (Some("b"), 6.0, 0.5),
+      (Some("z"), 1.0, 0.0), (None, 4.0, 1.0)))
+    assert(local._2 === Set(
+      (Some(1L), 4L, Some(List(1.0, 1.5, 9.0))),
+      (Some(2L), 1L, Some(List(5.0, 5.0, 5.0))),
+      (Some(3L), 0L, None),
+      (None, 1L, Some(List(7.0, 7.0, 7.0)))))
+    // date-typed value column: the driver ordering must replay the SQL
+    // chronological sort for whichever external type collect() returns
+    val dt = Seq(
+      ("a", java.sql.Date.valueOf("2020-01-02"), 1.0),
+      ("a", java.sql.Date.valueOf("2020-01-01"), 2.0)).toDF("g", "v", "w")
+    val dres = Describe.weightedQuantile(dt, "v", "w", Seq("g"), 0.5).collect()
+    assert(dres.length === 1 && dres.head.getDate(1) === java.sql.Date.valueOf("2020-01-01"))
+  }
+
+  test("psi ops: side-absent variables/categories after the union-tagged rewrite") {
+    import spark.implicits._
+    val eps = 1e-6
+    // psiDrift: current all-null on the column -> every current bin share
+    // floors to eps and n_cur reports 0 (the old two-groupBy + grid shape's
+    // answer), instead of the variable vanishing
+    val ref = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "a")
+    val cur = ref.withColumn("a", lit(null).cast("double"))
+    val d = Describe.psiDrift(ref, cur, Seq("a")).head()
+    assert(d.getLong(d.fieldIndex("n_ref")) === 1000L)
+    assert(d.getLong(d.fieldIndex("n_cur")) === 0L)
+    val expDrift = (0 until 10).map(_ => (0.1 - eps) * math.log(0.1 / eps)).sum
+    assertRtol(d.getDouble(d.fieldIndex("psi")), expDrift, 1e-9, "all-null current psi")
+    // psiCategorical: category present on ONE side only still surfaces as
+    // a cell with the eps floor on the absent side
+    val refC = (1 to 10).map(_ => Tuple1("x")).toDF("c")
+    val curC = ((1 to 5).map(_ => "x") ++ (1 to 5).map(_ => "y")).map(Tuple1(_)).toDF("c")
+    val pc = Describe.psiCategorical(refC, curC, Seq("c")).head()
+    assert(pc.getLong(pc.fieldIndex("n_levels")) === 2L)
+    val expCat = (1.0 - 0.5) * math.log(1.0 / 0.5) +
+      (eps - 0.5) * math.log(eps / 0.5)
+    assertRtol(pc.getDouble(pc.fieldIndex("psi")), expCat, 1e-9, "one-sided category psi")
+    // fully empty current side: all shares floor to eps, totals report 0
+    val pcEmpty = Describe.psiCategorical(refC, refC.limit(0), Seq("c")).head()
+    assert(pcEmpty.getLong(pcEmpty.fieldIndex("n_cur")) === 0L)
+    assertRtol(pcEmpty.getDouble(pcEmpty.fieldIndex("psi")),
+      (1.0 - eps) * math.log(1.0 / eps), 1e-9, "empty current psi")
+  }
 }

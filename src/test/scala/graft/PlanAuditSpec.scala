@@ -27,7 +27,9 @@ class PlanAuditSpec extends SparkSpec {
     // their grouping-sets base is now an eager localCheckpoint — the
     // concurrent-recompute fix — so the audited plan filters checkpointed
     // O(levels²) rows and no base-column predicate exists to push)
-    "describe_psi_drift" -> "NO-PUSHDOWN: filters on per-bin aggregate shares",
+    // (describe_psi_drift left the list in r18: the union-tagged single
+    // aggregation + per-variable window replaced the grid/full-outer join
+    // whose post-aggregate share filters used to flag NO-PUSHDOWN)
     "events_interarrival" -> "NO-PUSHDOWN: filters the NULL first-lag per user (window-derived)",
     "events_scd2" -> "NO-PUSHDOWN: filters on change-detection lag columns (window-derived)",
     "sample_cluster_balanced" -> "NO-PUSHDOWN: filters on per-cluster sample ranks (derived)",
