@@ -1142,31 +1142,69 @@ object Describe {
       val probe = counted.limit(limitN).collect()
       if (probe.length <= localMax) {
         val nG = groupCols.length // row layout: groupCols..., value, __w, __g
-        val byG = probe.groupBy(_.getString(nG + 2))
+        // Primitive-array replay (r18, §1.2 — the groupedQuantiles shape):
+        // extract each field once, bucket per group, sort index slices
+        // with a comparator reading flat arrays — not Row.get inside every
+        // sort comparison.
+        val np = probe.length
+        val gids = new Array[Int](np)
+        val vAny = new Array[Any](np)
+        val ws = new Array[Double](np)
+        val gIds = new java.util.HashMap[String, Integer]()
+        var nGroups = 0
+        var i = 0
+        while (i < np) {
+          val r = probe(i)
+          var id = gIds.get(r.getString(nG + 2))
+          if (id == null) {
+            id = Integer.valueOf(nGroups); nGroups += 1
+            gIds.put(r.getString(nG + 2), id)
+          }
+          gids(i) = id.intValue(); vAny(i) = r.get(nG); ws(i) = r.getDouble(nG + 1)
+          i += 1
+        }
         // the group-cardinality refusal contract holds on BOTH paths
-        refuseGroupCardinality("weightedQuantile", byG.size.toLong,
+        refuseGroupCardinality("weightedQuantile", nGroups.toLong,
           groupedStatsMaxGroups(spark))
-        val rows = byG.toSeq.flatMap { case (_, rs) =>
-          val ties = rs.sortBy(r => r.get(nG))(ord)
+        val starts = new Array[Int](nGroups + 1)
+        i = 0; while (i < np) { starts(gids(i) + 1) += 1; i += 1 }
+        var g = 0
+        while (g < nGroups) { starts(g + 1) += starts(g); g += 1 }
+        val pos = java.util.Arrays.copyOf(starts, nGroups)
+        val idx = new Array[Integer](np)
+        i = 0
+        while (i < np) {
+          val p = pos(gids(i)); idx(p) = Integer.valueOf(i); pos(gids(i)) = p + 1
+          i += 1
+        }
+        val byVal = new java.util.Comparator[Integer] {
+          def compare(a: Integer, b: Integer): Int =
+            ord.compare(vAny(a.intValue()), vAny(b.intValue()))
+        }
+        val rows = (0 until nGroups).flatMap { g =>
+          val s = starts(g); val e = starts(g + 1)
+          java.util.Arrays.sort(idx, s, e, byVal)
           var tw = 0.0
-          ties.foreach(r => tw += r.getDouble(nG + 1))
+          var j = s
+          while (j < e) { tw += ws(idx(j).intValue()); j += 1 }
           // the crossing condition replayed verbatim; the first satisfier
           // in ascending order IS the distributed min(valueCol) over all
           // satisfiers (negative-weight recrossings included)
           var before = 0.0
-          var found: org.apache.spark.sql.Row = null
-          val it = ties.iterator
-          while (it.hasNext && found == null) {
-            val r = it.next(); val after = before + r.getDouble(nG + 1)
+          var found = -1
+          j = s
+          while (j < e && found < 0) {
+            val k = idx(j).intValue(); val after = before + ws(k)
             if ((before < q * tw && after >= q * tw) ||
-              (tw == 0.0 && before == 0.0)) found = r
+              (tw == 0.0 && before == 0.0)) found = k
             before = after
+            j += 1
           }
           // no satisfier (possible only for a negative total weight):
           // the distributed groupBy sees zero crossing rows for the
           // group, so it emits nothing — replicate that
-          if (found == null) None
-          else Some(Row.fromSeq((0 to nG).map(found.get) :+ tw))
+          if (found < 0) None
+          else Some(Row.fromSeq((0 to nG).map(probe(found).get) :+ tw))
         }
         val schema = org.apache.spark.sql.types.StructType(
           (0 until nG).map(counted.schema(_)) ++ Seq(
@@ -1293,25 +1331,70 @@ object Describe {
       val limitN = (math.min(localMax, Int.MaxValue.toLong - 1) + 1).toInt
       val probe = counted.limit(limitN).collect()
       if (probe.length <= localMax) {
-        // row layout: groupCol(0), __x(1), __c(2), __g(3)
-        val byG = probe.groupBy(_.getString(3))
+        // row layout: groupCol(0), __x(1), __c(2), __g(3).
+        // Primitive-array replay (r18, §1.2 per-task work): the first cut
+        // grouped and sorted the collected ROWS (Row.getDouble inside every
+        // sort comparison, boxed Ordering, ArrayBuffer churn) — ~1.3 s of
+        // single-threaded driver time at the 600k-distinct bench input.
+        // Extract each field ONCE into flat arrays, bucket rows per group
+        // (counting sort), and sort each group's index slice with a
+        // primitive-reading comparator.
+        val np = probe.length
+        val gids = new Array[Int](np)
+        val vals = new Array[Double](np)
+        val cnts = new Array[Long](np)
+        val gIds = new java.util.HashMap[String, Integer]()
+        val gFirst = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var i = 0
+        while (i < np) {
+          val r = probe(i)
+          var id = gIds.get(r.getString(3))
+          if (id == null) {
+            id = Integer.valueOf(gFirst.length)
+            gIds.put(r.getString(3), id)
+            gFirst += r
+          }
+          gids(i) = id.intValue(); vals(i) = r.getDouble(1); cnts(i) = r.getLong(2)
+          i += 1
+        }
+        val nGroups = gFirst.length
         // the group-cardinality refusal contract holds on BOTH paths
-        refuseGroupCardinality("groupedQuantiles", byG.size.toLong,
+        refuseGroupCardinality("groupedQuantiles", nGroups.toLong,
           groupedStatsMaxGroups(spark))
-        val rows = byG.toSeq.map { case (_, rs) =>
-          val ties = rs.sortBy(_.getDouble(1))
-          val n = ties.iterator.map(_.getLong(2)).sum
+        val starts = new Array[Int](nGroups + 1)
+        i = 0; while (i < np) { starts(gids(i) + 1) += 1; i += 1 }
+        var g = 0
+        while (g < nGroups) { starts(g + 1) += starts(g); g += 1 }
+        val pos = java.util.Arrays.copyOf(starts, nGroups)
+        val idx = new Array[Integer](np)
+        i = 0
+        while (i < np) {
+          val p = pos(gids(i)); idx(p) = Integer.valueOf(i); pos(gids(i)) = p + 1
+          i += 1
+        }
+        val byVal = new java.util.Comparator[Integer] {
+          def compare(a: Integer, b: Integer): Int =
+            java.lang.Double.compare(vals(a.intValue()), vals(b.intValue()))
+        }
+        val rows = (0 until nGroups).map { g =>
+          val s = starts(g); val e = starts(g + 1)
+          java.util.Arrays.sort(idx, s, e, byVal)
+          var n = 0L
+          var j = s
+          while (j < e) { n += cnts(idx(j).intValue()); j += 1 }
           val needRanks = fractions.flatMap { fq =>
             val h = (n - 1) * fq
             Seq(math.floor(h).toLong, math.ceil(h).toLong)
           }.toSet
           val ranks = scala.collection.mutable.HashMap.empty[Long, Double]
           var below = 0L
-          ties.foreach { r =>
-            val c = r.getLong(2)
+          j = s
+          while (j < e) {
+            val k = idx(j).intValue(); val c = cnts(k)
             needRanks.foreach { rk =>
-              if (rk >= below && rk < below + c) ranks.update(rk, r.getDouble(1)) }
+              if (rk >= below && rk < below + c) ranks.update(rk, vals(k)) }
             below += c
+            j += 1
           }
           val qs = fractions.map { fq =>
             val h = (n - 1) * fq
@@ -1319,11 +1402,11 @@ object Describe {
             val vl = ranks(lo); val vh = ranks(math.ceil(h).toLong)
             if (h == lo) vl else vl + (h - lo) * (vh - vl)
           }
-          Row(rs.head.get(0), n, qs)
+          Row(gFirst(g).get(0), n, qs)
         }
-        val present = byG.keySet
         return spark.createDataFrame(
-          spark.sparkContext.parallelize(rows ++ emptyGroupRows(present), 1),
+          spark.sparkContext.parallelize(
+            rows ++ emptyGroupRows(gIds.containsKey), 1),
           schema)
       }
     }

@@ -678,21 +678,41 @@ object Modify {
     }
 
     // ---- pass 2: melt, zone-collapse, count. zone 2j+1 = inside bracket
-    // j (value kept); zone 2j = the gap below bracket j (value nulled)
-    val losLit = array(brackets.map(bs => array(bs.map(b => lit(b._1)): _*)): _*)
-    val hisLit = array(brackets.map(bs => array(bs.map(b => lit(b._2)): _*)): _*)
+    // j (value kept); zone 2j = the gap below bracket j (value nulled).
+    // The zone is computed with PLAIN when-chains over the per-column
+    // bracket bounds (r18, guide §4): the previous array-HOF form —
+    // size(filter(los, value >= _)) + element_at — is CodegenFallback,
+    // so every melted value paid an interpreted lambda and the Project
+    // split the whole-stage-codegen span (psi_drift's pass-2 stage
+    // measured 838 ms of its 2.1 s task time here). zone =
+    // Σ_i [value >= lo_i] + [value > hi_i] over the ascending disjoint
+    // brackets is the identical encoding: inside bracket k it counts
+    // k + (k−1) = 2k−1, in the gap above bracket k it counts 2k.
+    // balanced trees, not left-nested chains: a 500-column caller
+    // (removeOutliers at width) would otherwise nest 500 when().otherwise()
+    // levels and overflow the recursive Column-node converter; the binary
+    // vid dispatch is depth log2(k) and evaluates one branch per row
+    def balancedSum(xs: Seq[Column]): Column =
+      if (xs.size == 1) xs.head
+      else balancedSum(xs.grouped(2).map(_.reduce(_ + _)).toSeq)
+    def zoneOf(j: Int): Column = balancedSum(brackets(j).map { case (lo, hi) =>
+      when(col("value") >= lit(lo), 1).otherwise(0) +
+        when(col("value") > lit(hi), 1).otherwise(0)
+    })
+    def dispatch(lo: Int, hi: Int): Column =
+      if (hi - lo == 1) zoneOf(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(col("vid") < mid, dispatch(lo, mid)).otherwise(dispatch(mid, hi))
+      }
+    val zoneExpr: Column = dispatch(0, k)
     val melted = df.selectExpr(
       s"stack($k, ${cols.zipWithIndex.map { case (c, j) => s"$j, CAST(`$c` AS DOUBLE)" }
         .mkString(", ")}) AS (vid, value)")
       .filter(col("value").isNotNull && !isnan(col("value")))
-    val los = element_at(losLit, col("vid") + 1)
-    val his = element_at(hisLit, col("vid") + 1)
-    val nAtOrBelow = size(filter(los, l => col("value") >= l))
-    val inB = nAtOrBelow > 0 && col("value") <= element_at(his, nAtOrBelow)
     val rows2 = melted
-      .select(col("vid"),
-        when(inB, nAtOrBelow * 2 - 1).otherwise(nAtOrBelow * 2).as("zone"),
-        when(inB, col("value")).as("v"))
+      .select(col("vid"), zoneExpr.as("zone"),
+        when(zoneExpr % 2 === 1, col("value")).as("v"))
       .groupBy("vid", "zone", "v").agg(count(lit(1)).as("cnt"))
       .collect()
 
