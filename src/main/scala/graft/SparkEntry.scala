@@ -2302,19 +2302,36 @@ object SparkEntry {
       val cutoff = "2024-01-02"
       val dated = docs.join(days, Seq("doc_id"))
         .select("doc_id", "source", "text", "day")
-      // prior and crawl each feed multiple stages: cut the lineage once
-      val prior = dated.filter(col("day") < cutoff).localCheckpoint()
-      val crawl0 = dated.filter(col("day") >= cutoff)
-      val crawl = crawl0
-        .unionByName(prior.filter(col("doc_id") < 40)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
-            col("text"), lit(cutoff).as("day")))
-        .unionByName(crawl0.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 200000L).as("doc_id"), col("source"),
-            col("text"), col("day")))
+        // dated feeds EVERY downstream stage: cut the lineage once — the
+        // old shape checkpointed only `prior`, so the crawl checkpoint
+        // re-ran the whole docs+events join for the day >= cutoff half
+        // (r18, one scan+join pass removed)
         .localCheckpoint()
+      val prior = dated.filter(col("day") < cutoff)
+      val crawl0 = dated.filter(col("day") >= cutoff)
       val index = Dedup.exactReport(prior, "text", "doc_id").select("fp")
-      val fresh = Dedup.exactAgainst(crawl, index, "text").localCheckpoint()
+      // §2.6 (overlap independent jobs): the crawl checkpoint and the
+      // dedup index's bloom sketch both depend only on the dated
+      // checkpoint — run them concurrently (the drift_e2e pattern);
+      // composition unchanged (the sketch is the same bytes either way)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fCrawl = Future {
+        crawl0
+          .unionByName(prior.filter(col("doc_id") < 40)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+              col("text"), lit(cutoff).as("day")))
+          .unionByName(crawl0.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 200000L).as("doc_id"), col("source"),
+              col("text"), col("day")))
+          .localCheckpoint()
+      }
+      val fSketch = Future { Blocklist.sketch(index, "fp") }
+      val crawl = Await.result(fCrawl, Duration.Inf)
+      val bf = Await.result(fSketch, Duration.Inf)
+      val fresh = Dedup.exactAgainst(crawl, index, "text",
+        prebuiltSketch = bf).localCheckpoint()
       val phrases = Seq("slow scan", "fast merge", "key agg",
         "customer data", "spark join", "window sort", "stream filter",
         "data leak probe").toDF("phrase")

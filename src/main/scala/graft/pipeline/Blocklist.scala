@@ -92,9 +92,13 @@ object Blocklist {
     * returned frame's lineage when done). */
   def filterOut(df: DataFrame, blocklist: DataFrame, keyCol: String,
                 blocklistKey: String = null, fpp: Double = 0.01,
-                persistInput: Boolean = false): DataFrame = {
+                persistInput: Boolean = false,
+                prebuiltSketch: Array[Byte] = null): DataFrame = {
     val blKey = Option(blocklistKey).getOrElse(keyCol)
-    val bf = sketch(blocklist, blKey, fpp)
+    // prebuiltSketch (a prior [[sketch]] over blocklist[blKey]) lets a
+    // caller overlap the sketch build with other eager work (§2.6) —
+    // semantics identical, the verify join still removes every FP
+    val bf = Option(prebuiltSketch).getOrElse(sketch(blocklist, blKey, fpp))
     val src = if (persistInput) df.persist() else df
     val clean = src.filter(!probe(bf, col(keyCol)))
     val verified = src.filter(probe(bf, col(keyCol)))

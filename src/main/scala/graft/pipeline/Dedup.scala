@@ -46,10 +46,12 @@ object Dedup {
     * (exactness via [[Blocklist.filterOut]]'s verify join). Dedup WITHIN
     * the batch itself stays [[exact]]'s job — compose: exact then against. */
   def exactAgainst(df: DataFrame, known: DataFrame, textCol: String,
-                   knownFpCol: String = "fp", fpp: Double = 0.01): DataFrame =
+                   knownFpCol: String = "fp", fpp: Double = 0.01,
+                   prebuiltSketch: Array[Byte] = null): DataFrame =
     Blocklist.filterOut(
         df.withColumn("__fp", Text.fingerprint(col(textCol))),
-        known, "__fp", blocklistKey = knownFpCol, fpp = fpp)
+        known, "__fp", blocklistKey = knownFpCol, fpp = fpp,
+        prebuiltSketch = prebuiltSketch)
       .drop("__fp")
 
   // ------------------------------------------------------------ MinHash LSH
@@ -902,19 +904,29 @@ object Dedup {
     // path re-ran the whole selection and measured 2× the uncapped line)
     val all = if (maxDocFreq > 0 || warnFactor > 0L) all0.localCheckpoint() else all0
     if (warnFactor > 0L && maxDocFreq == 0) {
-      val r = all.groupBy("fp").agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("pairs"),
-          coalesce(sum(col("c")), lit(0L)).as("rows"),
-          coalesce(max(col("c")), lit(0L)).as("maxb")).head()
-      val pairBound = r.getLong(0)
-      if (pairBound > warnFactor * r.getLong(1))
-        sink(s"winnowCandidates: print-bucket co-occurrence bound ~$pairBound " +
-          s"pairs over ${r.getLong(1)} (doc, print) rows, largest bucket " +
-          s"${r.getLong(2)} docs (> ${warnFactor}x, " +
-          "graft.dedup.pairBlowupWarnFactor) — a template print's bucket is " +
-          "ONE join key, so Σ b² work lands in one task. Set maxDocFreq " +
-          "(~2x expected dup-cluster depth) to drop boilerplate prints " +
-          "(the MOSS practice; see SCALE.md dedup_winnow_pairs).")
+      // §2.6: the guard is WARN-ONLY — it never changes the result — so
+      // its aggregation over the checkpoint runs CONCURRENTLY with the
+      // caller's action instead of serializing construction (the conf was
+      // already parsed synchronously above, so a malformed knob still
+      // fails loudly; an aggregation failure here would equally fail the
+      // pair join that reads the same checkpoint)
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future {
+        val r = all.groupBy("fp").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("pairs"),
+            coalesce(sum(col("c")), lit(0L)).as("rows"),
+            coalesce(max(col("c")), lit(0L)).as("maxb")).head()
+        val pairBound = r.getLong(0)
+        if (pairBound > warnFactor * r.getLong(1))
+          sink(s"winnowCandidates: print-bucket co-occurrence bound ~$pairBound " +
+            s"pairs over ${r.getLong(1)} (doc, print) rows, largest bucket " +
+            s"${r.getLong(2)} docs (> ${warnFactor}x, " +
+            "graft.dedup.pairBlowupWarnFactor) — a template print's bucket is " +
+            "ONE join key, so Σ b² work lands in one task. Set maxDocFreq " +
+            "(~2x expected dup-cluster depth) to drop boilerplate prints " +
+            "(the MOSS practice; see SCALE.md dedup_winnow_pairs).")
+      }
     }
     val fps =
       if (maxDocFreq == 0) all

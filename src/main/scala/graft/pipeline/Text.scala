@@ -1084,14 +1084,19 @@ object Text {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .localCheckpoint()
+    // ONE bounded limit-collect over the checkpoint both gates and loads
+    // (r18 — the r17 probe discipline; was a count() job THEN a collect()
+    // job over the same materialized blocks)
+    val bpeLimitN = (math.min(maxLocal, Int.MaxValue.toLong - 1) + 1).toInt
+    val bpeProbe = wordCounts.limit(bpeLimitN).collect()
     val merges: Seq[(Int, String, String, Long)] =
-      if (wordCounts.count() <= maxLocal) {
-        // In-budget vocabulary: collect (word, cnt) and train EXACT greedy
-        // BPE locally with incremental pair-count maintenance — the shape
-        // every production tokenizer trainer uses (the corpus stays
-        // distributed; the vocabulary is the driver artifact). ~3 Spark
-        // jobs TOTAL regardless of numMerges, vs one job per merge below.
-        localBpeTrain(wordCounts.collect()
+      if (bpeProbe.length <= maxLocal) {
+        // In-budget vocabulary: train EXACT greedy BPE locally with
+        // incremental pair-count maintenance — the shape every production
+        // tokenizer trainer uses (the corpus stays distributed; the
+        // vocabulary is the driver artifact). Bounded jobs TOTAL
+        // regardless of numMerges, vs one job per merge below.
+        localBpeTrain(bpeProbe
           .map(r => (r.getString(0), r.getLong(1))), numMerges)
       } else distributedBpeTrain(wordCounts, numMerges)
     merges.toDF("step", "lhs", "rhs", "pair_count")
@@ -1454,24 +1459,35 @@ object Text {
     import spark.implicits._
     val maxLocal = graft.GraftConf.positiveLong(spark,
       "graft.unigram.maxLocalVocab", 2000000L)
+    // ONE materialization of the word-count scan (r18): the previous
+    // shape ran the un-checkpointed scan+aggregation TWICE — once for the
+    // budget count() and again for the collect(). Checkpoint it, then a
+    // bounded limit-collect over the materialized blocks both gates and
+    // loads (the r17 probe discipline); the over-budget branch pays only
+    // cheap passes over the checkpoint.
     val wc0 = trainWordCounts(docs, textCol, maxWordLen, minCount)
-    val n = wc0.count()
-    val wc = if (n <= maxLocal) wc0 else {
-      val mode = spark.conf.getOption("graft.unigram.overBudget")
-        .map(_.trim).getOrElse("sample")
-      require(mode == "sample" || mode == "refuse",
-        s"graft.unigram.overBudget must be 'sample' or 'refuse', got '$mode'")
-      require(mode == "sample",
-        s"unigramTrain: $n distinct words exceeds graft.unigram.maxLocalVocab=" +
-          s"$maxLocal and graft.unigram.overBudget=refuse — subsample the " +
-          "corpus or raise the cap")
-      System.err.println(s"WARNING: unigramTrain corpus has $n distinct " +
-        s"words > graft.unigram.maxLocalVocab=$maxLocal; training on a " +
-        s"deterministic hash-sample of ~$maxLocal word types (set " +
-        "graft.unigram.overBudget=refuse to fail instead)")
-      Sampling.hashSample(wc0, col("word"), maxLocal.toDouble / n)
-    }
-    val words = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+      .localCheckpoint()
+    val limitN = (math.min(maxLocal, Int.MaxValue.toLong - 1) + 1).toInt
+    val probe = wc0.limit(limitN).collect()
+    val words =
+      if (probe.length <= maxLocal) probe.map(r => (r.getString(0), r.getLong(1)))
+      else {
+        val n = wc0.count()
+        val mode = spark.conf.getOption("graft.unigram.overBudget")
+          .map(_.trim).getOrElse("sample")
+        require(mode == "sample" || mode == "refuse",
+          s"graft.unigram.overBudget must be 'sample' or 'refuse', got '$mode'")
+        require(mode == "sample",
+          s"unigramTrain: $n distinct words exceeds graft.unigram.maxLocalVocab=" +
+            s"$maxLocal and graft.unigram.overBudget=refuse — subsample the " +
+            "corpus or raise the cap")
+        System.err.println(s"WARNING: unigramTrain corpus has $n distinct " +
+          s"words > graft.unigram.maxLocalVocab=$maxLocal; training on a " +
+          s"deterministic hash-sample of ~$maxLocal word types (set " +
+          "graft.unigram.overBudget=refuse to fail instead)")
+        Sampling.hashSample(wc0, col("word"), maxLocal.toDouble / n)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      }
     val model = localUnigramTrain(words, seedMulti, emRounds, vocabSize, maxPieceLen)
     model.toSeq.sortBy { case (p, c) => (-c, p) }
       .map { case (p, c) => (p, c, p.length.toLong) }
@@ -1580,11 +1596,25 @@ object Text {
                            groupCol: String, numMerges: Int = 8,
                            seedMulti: Int = 60, emRounds: Int = 2,
                            vocabSize: Int = 80): DataFrame = {
-    val merges = bpeTrain(docs, textCol, numMerges)
-      .orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    val pieces = unigramTrain(docs, textCol, seedMulti, emRounds, vocabSize)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // §2.6 (overlap independent jobs): the two trainings share no state —
+    // each is its own word-count scan + driver fit — and ran strictly one
+    // after another on the driver thread; constructing them concurrently
+    // lets the FIFO scheduler back-fill (the pipeline_drift_e2e pattern).
+    // Results unchanged: both artifacts are deterministic driver values.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fMerges = Future {
+      bpeTrain(docs, textCol, numMerges)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+    val fPieces = Future {
+      unigramTrain(docs, textCol, seedMulti, emRounds, vocabSize)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    val merges = Await.result(fMerges, Duration.Inf)
+    val pieces = Await.result(fPieces, Duration.Inf)
     val bpe = bpeApply(docs, textCol, idCol, merges)
       .select(col(idCol), col("n_words"), col("n_bpe_tokens"))
     val uni = unigramApply(docs, textCol, idCol, pieces)
