@@ -301,7 +301,16 @@ object Modify {
       Seq(countDistinct(col(c)).as(s"u_$c"),
         sum(when(col(c).isNotNull && tryCastDouble(c).isNull, 1L).otherwise(0L)).as(s"b_$c"))
     }
-    val r = aggRow(cf.df, aggs)
+    // fanOutSmall (r18, §2.5): N countDistincts plan an (N+1)-way Expand —
+    // every row replicated once per distinct aggregate — and on a
+    // single-row-group input all of it ran in the scan's ONE task
+    // (915 ms of modify_categorize's 1.5 s). The deterministic union
+    // fan-out runs the Expand + distinct-hash work on 1/fanout rows per
+    // branch; countDistinct/sum are partitioning-invariant, so decisions
+    // are identical. (The r17 NEGATIVE result was a repartition-based
+    // spread — the exchange carried every column; this is the exchange-
+    // free xxhash64-filter union measured positive on the Gram scans.)
+    val r = aggRow(graft.stats.Rows.fanOutSmall(cf.df, col(cf.idCol)), aggs)
     val decisions = vars.zipWithIndex.map { case (c, i) =>
       val u = r.getLong(2 * i)
       val badCast = if (r.isNullAt(2 * i + 1)) 0L else r.getLong(2 * i + 1)
