@@ -587,21 +587,62 @@ object Describe {
       val limitN = (math.min(localMax, Int.MaxValue.toLong - 1) + 1).toInt
       val probe = counted.limit(limitN).collect()
       if (probe.length <= localMax) {
-        val byG = probe.map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-          .groupBy(_._1)
+        // primitive-array replay (r18, §1.2 — the groupedQuantiles shape):
+        // extract fields once, bucket per group, sort index slices with a
+        // primitive-reading comparator; same closed-form terms accumulated
+        // in the same ascending value order
+        val np = probe.length
+        val gids = new Array[Int](np)
+        val vals = new Array[Double](np)
+        val cnts = new Array[Long](np)
+        val gIds = new java.util.HashMap[String, Integer]()
+        val gNames = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < np) {
+          val r = probe(i)
+          var id = gIds.get(r.getString(0))
+          if (id == null) {
+            id = Integer.valueOf(gNames.length)
+            gIds.put(r.getString(0), id)
+            gNames += r.getString(0)
+          }
+          gids(i) = id.intValue(); vals(i) = r.getDouble(1); cnts(i) = r.getLong(2)
+          i += 1
+        }
+        val nGroups = gNames.length
         // the group-cardinality refusal contract holds on BOTH paths (the
         // conf is parsed, and the same named-knob error is raised, even
         // though the local path's driver state is bounded by the probe)
-        refuseGroupCardinality("giniByGroup", byG.size.toLong,
+        refuseGroupCardinality("giniByGroup", nGroups.toLong,
           groupedStatsMaxGroups(spark))
-        val rows = byG.toSeq.map { case (g, ties) =>
+        val starts = new Array[Int](nGroups + 1)
+        i = 0; while (i < np) { starts(gids(i) + 1) += 1; i += 1 }
+        var g = 0
+        while (g < nGroups) { starts(g + 1) += starts(g); g += 1 }
+        val pos = java.util.Arrays.copyOf(starts, nGroups)
+        val idx = new Array[Integer](np)
+        i = 0
+        while (i < np) {
+          val p = pos(gids(i)); idx(p) = Integer.valueOf(i); pos(gids(i)) = p + 1
+          i += 1
+        }
+        val byVal = new java.util.Comparator[Integer] {
+          def compare(a: Integer, b: Integer): Int =
+            java.lang.Double.compare(vals(a.intValue()), vals(b.intValue()))
+        }
+        val rows = (0 until nGroups).map { g =>
+          val s = starts(g); val e = starts(g + 1)
+          java.util.Arrays.sort(idx, s, e, byVal)
           var n = 0L; var sx = 0.0; var six = 0.0; var below = 0L
-          ties.sortBy(_._2).foreach { case (_, x, c) =>
+          var j = s
+          while (j < e) {
+            val k = idx(j).intValue(); val x = vals(k); val c = cnts(k)
             n += c; sx += x * c
             six += x * (2.0 * below + c + 1.0) * c / 2.0
             below += c
+            j += 1
           }
-          Row(g, n, 2.0 * six / (n * sx) - (n + 1.0) / n)
+          Row(gNames(g), n, 2.0 * six / (n * sx) - (n + 1.0) / n)
         }
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(groupCol,
@@ -703,18 +744,37 @@ object Describe {
         counted.limit(limitN).collect()
       }
     if (ksProbe != null && ksProbe.length <= ksLocalMax) {
-      val ties = ksProbe.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-        .sortBy(_._1)
+      // primitive-array replay (r18, §1.2): extract once, sort an index
+      // array with a primitive-reading comparator — not a boxed tuple
+      // sort of the whole tie table
+      val np = ksProbe.length
+      val vals = new Array[Double](np)
+      val cas = new Array[Long](np); val cbs = new Array[Long](np)
+      var i = 0
+      while (i < np) {
+        val r = ksProbe(i)
+        vals(i) = r.getDouble(0); cas(i) = r.getLong(1); cbs(i) = r.getLong(2)
+        i += 1
+      }
+      val idx = Array.tabulate[Integer](np)(Integer.valueOf)
+      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+        def compare(a: Integer, b: Integer): Int =
+          java.lang.Double.compare(vals(a.intValue()), vals(b.intValue()))
+      })
       var na = 0L; var nb = 0L
-      ties.foreach { t => na += t._2; nb += t._3 }
+      i = 0
+      while (i < np) { na += cas(i); nb += cbs(i); i += 1 }
       require(na > 0 && nb > 0,
         s"ksTwoSample needs both samples non-empty: nA=$na nB=$nb")
       var ca = 0L; var cb = 0L; var dNum = 0L
-      ties.foreach { case (_, a, b) =>
-        ca += a; cb += b
+      i = 0
+      while (i < np) {
+        val k = idx(i).intValue()
+        ca += cas(k); cb += cbs(k)
         val dd = math.abs(Math.subtractExact(
           Math.multiplyExact(ca, nb), Math.multiplyExact(cb, na)))
         if (dd > dNum) dNum = dd
+        i += 1
       }
       val d = dNum * 1.0 / (na * 1.0 * nb)
       val ne = na * 1.0 * nb / (na + nb)
@@ -820,20 +880,38 @@ object Describe {
       val limitN = (math.min(seLocalMax, Int.MaxValue.toLong - 1) + 1).toInt
       val probe = counted.limit(limitN).collect()
       if (probe.length <= seLocalMax) {
-        val ties = probe.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-          .sortBy(_._1)
+        // primitive-array replay (r18, §1.2 — the ksTwoSample shape); the
+        // AP terms accumulate in the same ascending score order
+        val np = probe.length
+        val vals = new Array[Double](np)
+        val cps = new Array[Long](np); val cns = new Array[Long](np)
+        var i = 0
+        while (i < np) {
+          val r = probe(i)
+          vals(i) = r.getDouble(0); cps(i) = r.getLong(1); cns(i) = r.getLong(2)
+          i += 1
+        }
+        val idx = Array.tabulate[Integer](np)(Integer.valueOf)
+        java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+          def compare(a: Integer, b: Integer): Int =
+            java.lang.Double.compare(vals(a.intValue()), vals(b.intValue()))
+        })
         var nP = 0L; var nN = 0L
-        ties.foreach { t => nP += t._2; nN += t._3 }
+        i = 0
+        while (i < np) { nP += cps(i); nN += cns(i); i += 1 }
         require(nP > 0 && nN > 0,
           s"scoreEval needs both classes non-empty: nPos=$nP nNeg=$nN")
         var cpb = 0L; var cnb = 0L; var a2 = 0L; var ap = 0.0
-        ties.foreach { case (_, cp, cn) =>
+        i = 0
+        while (i < np) {
+          val k = idx(i).intValue(); val cp = cps(k); val cn = cns(k)
           val term = Math.multiplyExact(cp,
             Math.addExact(Math.multiplyExact(2L, cnb), cn))
           val tp = nP - cpb; val fp = nN - cnb
           ap += (cp.toDouble / nP) * (tp.toDouble / (tp.toDouble + fp))
           a2 = Math.addExact(a2, term)
           cpb += cp; cnb += cn
+          i += 1
         }
         val auc = a2.toDouble / (2.0 * nP * nN)
         return Seq((nP, nN,
@@ -991,19 +1069,36 @@ object Describe {
       val probe = counted.limit(limitN).collect()
       if (probe.length > mwuLocalMax) None
       else {
-        val ties = probe.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-          .sortBy(_._1)
+        // primitive-array replay (r18, §1.2 — the ksTwoSample shape)
+        val np = probe.length
+        val vals = new Array[Double](np)
+        val cas = new Array[Long](np); val cbs = new Array[Long](np)
+        var i = 0
+        while (i < np) {
+          val r = probe(i)
+          vals(i) = r.getDouble(0); cas(i) = r.getLong(1); cbs(i) = r.getLong(2)
+          i += 1
+        }
+        val idx = Array.tabulate[Integer](np)(Integer.valueOf)
+        java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+          def compare(a: Integer, b: Integer): Int =
+            java.lang.Double.compare(vals(a.intValue()), vals(b.intValue()))
+        })
         var na = 0L; var nb = 0L
-        ties.foreach { t => na += t._2; nb += t._3 }
+        i = 0
+        while (i < np) { na += cas(i); nb += cbs(i); i += 1 }
         require(na > 0 && nb > 0,
           s"mannWhitney needs both samples non-empty: nA=$na nB=$nb")
         var below = 0L; var r2 = 0L; var t3 = 0L
-        ties.foreach { case (_, ca, cb) =>
-          val t = ca + cb
-          r2 = Math.addExact(r2, Math.multiplyExact(ca, 2L * below + t + 1L))
+        i = 0
+        while (i < np) {
+          val k = idx(i).intValue()
+          val t = cas(k) + cbs(k)
+          r2 = Math.addExact(r2, Math.multiplyExact(cas(k), 2L * below + t + 1L))
           t3 = Math.addExact(t3,
             Math.multiplyExact(Math.multiplyExact(t, t), t) - t)
           below += t
+          i += 1
         }
         Some((na, nb, r2, t3))
       }

@@ -564,6 +564,19 @@ object Modify {
       // (partitionId << 33 | row-in-partition, stable on the cached
       // sort's fixed partitioning) plus two broadcast literal arrays.
       // Consumers now read the compressed columnar cache directly.
+      //
+      // INVARIANT (r17 verdict #3): the rank expression is evaluated on a
+      // LATER action than the metadata collect, so correctness requires
+      // any evicted-and-recomputed cache partition to reproduce the exact
+      // row order. That holds because (a) the sort key (vid, value, __id)
+      // is TOTAL — no duplicate keys, hence a unique in-partition order —
+      // and (b) repartitionByRange's boundary sampling is seeded
+      // deterministically per input partition (XORShiftRandom over
+      // byteswap64(partitionId)), so re-execution of a lost block yields
+      // identical partition contents. MEMORY_AND_DISK additionally makes
+      // recomputation an executor-loss-only event. A nondeterministic
+      // source (rand() columns) would void (b) — same contract as
+      // Blocklist.filterOut's two-scan note.
       val nParts = sortedDf.rdd.getNumPartitions
       val pc = sortedDf
         .groupBy(spark_partition_id().as("__pid"), col("vid")).count().collect()
