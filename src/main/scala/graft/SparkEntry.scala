@@ -19,6 +19,17 @@ import graft.streaming.EventStreams
   */
 object SparkEntry {
 
+  /** Inferred parquet schema per table PATH — metadata only, the same
+    * class as Spark's own per-session file-listing cache (guide §6): a
+    * bare `read.parquet` runs a footer-inference JOB on every call, which
+    * taxed every query construction ~25-30 ms of pure scheduling floor
+    * (several t() calls per query × 3 bench passes × 235 queries).
+    * Passing the schema explicitly skips that job; the schema of an
+    * immutable table path never changes within a session, and every
+    * query still computes entirely from the parquet files. */
+  private val tableSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts has shipped in two parquet encodings across testdata
     // generations: TIMESTAMP(NANOS) (Spark has no ns timestamps — read via
@@ -27,7 +38,10 @@ object SparkEntry {
     // (sessions run UTC, so NTZ wall time == the instant, and DuckDB's
     // naive epoch(ts) agrees; queries aggregate at >= second granularity)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = tableSchemaCache.computeIfAbsent(path,
+      _ => s.read.parquet(path).schema)
+    val df = s.read.schema(schema).parquet(path)
     if (name == "events") df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
